@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.iceberg.IcebergTable
+
+/** Iceberg metadata-plane operators exposed as driver-contract queries.
+  *
+  * These exercise the from-scratch Iceberg v1 reader against the golden
+  * fixture table (written by a real Iceberg writer). They are metadata-plane
+  * semantics — version resolution, time travel, pruning, schema evolution —
+  * so they have no DuckDB-SQL oracle; the driver records rows-only checks.
+  */
+object IceQueries {
+
+  val FixtureDir = "/root/reference/test-data/my_table"
+  val FixtureOrig = "/Users/mdurant/temp/warehouse/db/my_table"
+
+  private def table(s: SparkSession): IcebergTable =
+    IcebergTable.load(s, FixtureDir, Some(FixtureOrig))
+
+  /** SURVEY §2A #15: full scan of the current snapshot (5 live rows). */
+  def iceReadAll(s: SparkSession, dir: String): DataFrame =
+    table(s).read().orderBy("name")
+
+  /** SURVEY §2A #9/#10: stats-pruned filtered read. */
+  def iceReadFiltered(s: SparkSession, dir: String): DataFrame =
+    table(s).read(filters = Seq(Seq(("age", ">", 30)))).orderBy("name")
+
+  /** SURVEY §2A #4: relative time travel (snapshot −1: 4 rows, 2 columns). */
+  def iceTimeTravel(s: SparkSession, dir: String): DataFrame =
+    table(s).snapshotRelative(-1).read().orderBy("name")
+
+  /** SURVEY §2A #2: version time travel (v2 metadata = first snapshot). */
+  def iceAtVersion(s: SparkSession, dir: String): DataFrame =
+    table(s).atVersion(2).read().orderBy("name")
+
+  /** SURVEY §2A #3/#19: snapshot enumeration with summaries. */
+  def iceSnapshots(s: SparkSession, dir: String): DataFrame =
+    table(s).snapshotsDf.orderBy("committed_at")
+
+  /** SURVEY §2A #5/#8: live-file reconciliation (manifest-list+manifest read). */
+  def iceFiles(s: SparkSession, dir: String): DataFrame =
+    table(s).filesDf.orderBy("file_path")
+
+  /** SURVEY §2A #5: manifest-list decode. */
+  def iceManifests(s: SparkSession, dir: String): DataFrame =
+    table(s).manifestsDf.orderBy("path")
+
+  /** SURVEY §2A #1/#20 + stats: one-row introspection summary. */
+  def iceIntrospect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s)
+    Seq((t.version, t.currentSnapshot.snapshotId,
+        t.schema.fieldNames.mkString(","),
+        t.countFromStats().getOrElse(-1L),
+        t.summary.getOrElse("operation", "")))
+      .toDF("version", "snapshot_id", "schema_fields", "row_count_from_stats", "operation")
+  }
+
+  /** Schema evolution: old snapshot lacks `email`; reading through the head
+    * schema yields nulls for pre-evolution files. */
+  def iceSchemaEvolution(s: SparkSession, dir: String): DataFrame =
+    table(s).read()
+      .select(col("name"), col("email").isNull.as("email_missing"))
+      .orderBy("name")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_read_all"         -> (iceReadAll _),
+    "ice_read_filtered"    -> (iceReadFiltered _),
+    "ice_time_travel"      -> (iceTimeTravel _),
+    "ice_at_version"       -> (iceAtVersion _),
+    "ice_snapshots"        -> (iceSnapshots _),
+    "ice_files"            -> (iceFiles _),
+    "ice_manifests"        -> (iceManifests _),
+    "ice_introspect"       -> (iceIntrospect _),
+    "ice_schema_evolution" -> (iceSchemaEvolution _),
+  )
+}

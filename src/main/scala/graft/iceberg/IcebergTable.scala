@@ -1,0 +1,275 @@
+package graft.iceberg
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.iceberg.Manifests._
+import graft.iceberg.Pruning._
+
+/** Read-only Apache Iceberg (format v1) table client — the Spark-native
+  * counterpart of the reference's `IcebergDataset` (`ice.py:18-282`).
+  *
+  * The metadata plane (version resolution, snapshot time travel, Avro manifest
+  * decoding, statistics pruning) is implemented here from scratch; the data
+  * plane is Spark's vectorized parquet scan fed with the pruned file list, so
+  * every downstream relational operator, shuffle, and codegen path is Catalyst.
+  *
+  * Instances are immutable: time travel returns a new view. All metadata I/O
+  * goes through Hadoop FS, so local paths and s3a/gs/abfs URLs both work.
+  */
+final class IcebergTable private (
+    val spark: SparkSession,
+    val url: String,
+    val originalUrl: String,
+    val metadata: TableMetadata,
+    val version: Int,
+    selectedSnapshotId: Option[Long]) {
+
+  private def conf: Configuration = spark.sessionState.newHadoopConf()
+
+  /** Rewrite an absolute URI embedded in metadata to the current location
+    * (`original_url` semantics, ice.py:40/169/192/247). */
+  private def rewrite(p: String): String =
+    if (originalUrl.nonEmpty) p.replace(originalUrl, url) else p
+
+  /** Manifest-list paths are resolved under the local metadata dir by
+    * basename, like the reference (ice.py:148-151) — robust even when
+    * original_url is not supplied. */
+  private def rewriteManifestList(p: String): String =
+    s"$url/metadata/${p.split('/').last}"
+
+  // ---------------------------------------------------------- time travel
+
+  def snapshots: Map[Long, Snapshot] = metadata.snapshotsById
+
+  def latestSnapshot: Snapshot = metadata.latestSnapshot
+
+  def currentSnapshot: Snapshot =
+    selectedSnapshotId.map(snapshots(_)).getOrElse(latestSnapshot)
+
+  /** Travel to a metadata version (`set_version`, ice.py:74-93). */
+  def atVersion(v: Int): IcebergTable =
+    IcebergTable.load(spark, url, Some(originalUrl), version = Some(v))
+
+  /** Travel to an absolute snapshot id (`open_snapshot(snapshot_id=)`). */
+  def atSnapshot(snapshotId: Long): IcebergTable = {
+    require(snapshots.contains(snapshotId), s"unknown snapshot $snapshotId")
+    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snapshotId))
+  }
+
+  /** Travel relative to latest: 0 = latest, −k walks k parents
+    * (`open_snapshot(rel=)`, ice.py:118-147, same validation). */
+  def snapshotRelative(rel: Int): IcebergTable = {
+    require(rel <= 0, "Relative snapshot ID must be negative or zero")
+    require(-rel <= snapshots.size - 1, "Relative snapshot out of range")
+    var snap = latestSnapshot
+    for (_ <- 0 until -rel)
+      snap = snapshots(snap.parentSnapshotId.getOrElse(
+        throw new IllegalStateException("snapshot chain broken")))
+    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snap.snapshotId))
+  }
+
+  /** Travel to the latest snapshot at or before a timestamp (extension —
+    * standard Iceberg `AS OF` semantics the reference lacks). */
+  def asOfTimestamp(tsMs: Long): IcebergTable = {
+    val candidates = metadata.snapshots.filter(_.timestampMs <= tsMs)
+    require(candidates.nonEmpty, s"no snapshot at or before $tsMs")
+    atSnapshot(candidates.maxBy(_.timestampMs).snapshotId)
+  }
+
+  // -------------------------------------------------------- introspection
+
+  def summary: Map[String, String] = currentSnapshot.summary
+
+  def iceSchema: IceSchema = metadata.schemaFor(currentSnapshot)
+
+  /** Current snapshot's schema as Spark StructType (field ids in metadata). */
+  def schema: StructType = iceSchema.toSpark
+
+  def partitionSpec: PartitionSpec = metadata.specById(metadata.defaultSpecId)
+
+  private def pruningContext(spec: PartitionSpec): Context = Context(
+    fieldsByName = iceSchema.fields
+      .map(f => f.name -> FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+    spec = spec)
+
+  // ------------------------------------------------------- manifest scan
+
+  def manifestList: Seq[ManifestFile] =
+    Manifests.readManifestList(rewriteManifestList(currentSnapshot.manifestList), conf)
+
+  /** Live data files of the current snapshot: fold ADDED/EXISTING, drop
+    * DELETED (`_scan_manifest`, ice.py:165-204), with manifest-tier pruning
+    * and parallel manifest fetch (fixes the reference's TODO ice.py:185). */
+  def liveFiles(pred: IcePredicate = AlwaysTrue): Seq[DataFileInfo] = {
+    val c = conf
+    val kept = manifestList.filter { mf =>
+      val ctx = pruningContext(metadata.specById(mf.partitionSpecId))
+      manifestMightMatch(pred, mf, ctx)
+    }
+    val entryLists = Manifests.readManifests(kept.map(m => rewrite(m.path)), c)
+    val allFiles = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
+    val deleted = scala.collection.mutable.Set.empty[String]
+    for (entries <- entryLists; e <- entries) {
+      val path = rewrite(e.dataFile.filePath)
+      require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET"),
+        s"only parquet data files are supported, got ${e.dataFile.fileFormat}") // ice.py:195
+      e.status match {
+        case Status.Added | Status.Existing => allFiles(path) = e.dataFile
+        case Status.Deleted => deleted += path
+        case other => throw new IllegalStateException(s"invalid manifest status $other")
+      }
+    }
+    deleted.foreach(allFiles.remove)
+    allFiles.values.toSeq
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** The scan entry point (`read`, ice.py:220-264): resolve snapshot → prune
+    * with manifest summaries, partition values, and file column bounds → feed
+    * the surviving file list to Spark's parquet reader with the snapshot
+    * schema (so evolved-away columns come back null), then apply the filters
+    * as row-level predicates (pushed to parquet row groups by Catalyst).
+    */
+  def read(filters: Seq[Seq[(String, String, Any)]] = Nil,
+      columns: Seq[String] = Nil): DataFrame = {
+    val pred = if (filters.isEmpty) AlwaysTrue else fromDnf(filters)
+    readPred(pred, columns, failOnEmpty = filters.nonEmpty)
+  }
+
+  def readWhere(pred: IcePredicate, columns: Seq[String] = Nil): DataFrame =
+    readPred(pred, columns, failOnEmpty = false)
+
+  private[graft] def readPred(pred: IcePredicate, columns: Seq[String],
+      failOnEmpty: Boolean): DataFrame = {
+    val spec = partitionSpec
+    val ctx = pruningContext(spec)
+    val files = liveFiles(pred).filter(f => fileMightMatch(pred, f, ctx))
+    if (files.isEmpty && failOnEmpty)
+      throw new IllegalArgumentException("No partitions pass filter(s)") // ice.py:248-249
+    val base =
+      if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else spark.read.schema(schema).parquet(files.map(f => rewrite(f.filePath)): _*)
+    val filtered = toColumn(pred).map(base.filter).getOrElse(base)
+    if (columns.nonEmpty) filtered.select(columns.map(col): _*) else filtered
+  }
+
+  /** IcePredicate → Spark Column for exact row-level filtering. */
+  private def toColumn(p: IcePredicate): Option[Column] = p match {
+    case AlwaysTrue => None
+    case Eq(c, v) => Some(col(c) === lit(v))
+    case NotEq(c, v) => Some(col(c) =!= lit(v))
+    case Lt(c, v) => Some(col(c) < lit(v))
+    case LtEq(c, v) => Some(col(c) <= lit(v))
+    case Gt(c, v) => Some(col(c) > lit(v))
+    case GtEq(c, v) => Some(col(c) >= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case NotNull(c) => Some(col(c).isNotNull)
+    case And(l, r) => (toColumn(l), toColumn(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+  }
+
+  // ------------------------------------------------- metadata-only queries
+
+  /** Distinct partition values per partition field, zero data I/O
+    * (`unique_partitions`, ice.py:266-282). */
+  def uniquePartitions(field: Option[String] = None): Map[String, Seq[Any]] = {
+    val files = liveFiles()
+    val names = field.map(Seq(_)).getOrElse(partitionSpec.fields.map(_.name))
+    names.map { n =>
+      n -> files.flatMap(f => Option(f.partition.getOrElse(n, null)))
+        .distinct.sortBy(_.toString)
+    }.toMap
+  }
+
+  /** Exact row count from manifest statistics — answers count(*) with zero
+    * data I/O (the reference exposes the stats but never uses them,
+    * README.md:95-96). */
+  def countFromStats(pred: IcePredicate = AlwaysTrue): Option[Long] = {
+    val ctx = pruningContext(partitionSpec)
+    val files = liveFiles(pred)
+    if (pred == AlwaysTrue) Some(files.map(_.recordCount).sum)
+    else None // would need residual evaluation; only exact for full scans
+  }
+
+  // ----------------------------------------------- metadata tables (DFs)
+
+  /** snapshots as a DataFrame (like Iceberg's `table$snapshots`). */
+  def snapshotsDf: DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.map(s => (s.snapshotId, s.parentSnapshotId,
+        new java.sql.Timestamp(s.timestampMs),
+        s.summary.getOrElse("operation", ""),
+        s.summary.getOrElse("total-records", "0").toLong,
+        s.summary.getOrElse("total-data-files", "0").toLong))
+      .toDF("snapshot_id", "parent_id", "committed_at", "operation",
+        "total_records", "total_data_files")
+  }
+
+  /** Live data files as a DataFrame (like Iceberg's `table$files`). */
+  def filesDf: DataFrame = {
+    import spark.implicits._
+    liveFiles().map(f => (rewrite(f.filePath), f.fileFormat, f.recordCount,
+        f.fileSizeInBytes)).toDF("file_path", "file_format", "record_count",
+        "file_size_in_bytes")
+  }
+
+  /** Manifests of the current snapshot as a DataFrame. */
+  def manifestsDf: DataFrame = {
+    import spark.implicits._
+    manifestList.map(m => (rewrite(m.path), m.length, m.partitionSpecId,
+        m.addedFilesCount.getOrElse(0), m.existingFilesCount.getOrElse(0),
+        m.deletedFilesCount.getOrElse(0)))
+      .toDF("path", "length", "partition_spec_id", "added_files",
+        "existing_files", "deleted_files")
+  }
+}
+
+object IcebergTable {
+
+  /** Open a table directory (or an explicit metadata JSON path).
+    * I/O: version-hint read + one metadata JSON read — nothing else
+    * (entry point E1 in SURVEY §3). */
+  def load(spark: SparkSession, url0: String, originalUrl: Option[String] = None,
+      version: Option[Int] = None): IcebergTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (url, metaJson, ver) =
+      if (url0.endsWith(".json")) {
+        val tableUrl = url0.replaceAll("/metadata/[^/]+$", "")
+        (tableUrl, readString(url0, conf), version.getOrElse(0))
+      } else {
+        val url = url0.stripSuffix("/")
+        val v = version.getOrElse(versionHint(url, conf))
+        (url, readString(s"$url/metadata/v$v.metadata.json", conf), v)
+      }
+    val md = TableMetadata.parse(metaJson)
+    new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None)
+  }
+
+  /** Latest version per `version-hint.text`; 0 when missing/invalid
+    * (`version_hint`, ice.py:51-61). */
+  def versionHint(url: String, conf: Configuration): Int =
+    try readString(s"$url/metadata/version-hint.text", conf).trim.toInt
+    catch { case _: Exception => 0 }
+
+  private def readString(path: String, conf: Configuration): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}

@@ -1,0 +1,175 @@
+package graft.iceberg
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.types._
+
+/** Iceberg ⇄ Spark type mapping and single-value (bound) byte decoding.
+  *
+  * Replaces the reference's `conversions.py:8-46` typemap/convert with full
+  * coverage: the reference only decodes int/string/decimal/date bounds and
+  * raises on everything else (`conversions.py:24`); we decode every primitive.
+  *
+  * Byte layout follows the Iceberg spec "binary single-value serialization":
+  * numeric values little-endian, strings UTF-8, decimals unscaled big-endian
+  * two's complement. (The reference decodes decimals little-endian at
+  * `conversions.py:17` — that disagrees with the spec and with files written
+  * by real Iceberg writers; we follow the spec.)
+  */
+object IcebergTypes {
+
+  /** Parse an Iceberg schema field type (string primitive or nested JSON
+    * object) into the Spark equivalent. Nested struct/list/map are supported
+    * (the reference raises NotImplementedError on them, conversions.py:46). */
+  def toSparkType(node: JsonNode): DataType =
+    if (node.isTextual) primitiveToSpark(node.asText)
+    else node.get("type").asText match {
+      case "struct" =>
+        val fields = node.get("fields").elements()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[StructField]
+        def flag(n: JsonNode, name: String): Boolean =
+          Option(n.get(name)).exists(_.asBoolean(false))
+        while (fields.hasNext) {
+          val f = fields.next()
+          buf += StructField(
+            f.get("name").asText,
+            toSparkType(f.get("type")),
+            nullable = !flag(f, "required"))
+        }
+        StructType(buf.toArray)
+      case "list" =>
+        ArrayType(toSparkType(node.get("element")),
+          containsNull = !Option(node.get("element-required")).exists(_.asBoolean(false)))
+      case "map" =>
+        MapType(toSparkType(node.get("key")), toSparkType(node.get("value")),
+          valueContainsNull = !Option(node.get("value-required")).exists(_.asBoolean(false)))
+      case other => throw new IllegalArgumentException(s"unknown iceberg type: $other")
+    }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  def primitiveToSpark(t: String): DataType = t match {
+    case "boolean"             => BooleanType
+    case "int"                 => IntegerType
+    case "long"                => LongType
+    case "float"               => FloatType
+    case "double"              => DoubleType
+    case "date"                => DateType
+    case "time"                => LongType // µs since midnight; Spark has no TimeType
+    case "timestamp"           => TimestampNTZType
+    case "timestamptz"         => TimestampType
+    case "timestampz"          => TimestampType // reference's spelling, conversions.py:38
+    case "string"              => StringType
+    case "uuid"                => StringType
+    case "binary"              => BinaryType
+    case DecimalRe(p, s)       => DecimalType(p.toInt, s.toInt)
+    case FixedRe(_)            => BinaryType
+    case other => throw new IllegalArgumentException(s"unknown iceberg primitive: $other")
+  }
+
+  /** Decode a bound value (manifest lower/upper bound bytes) to a normalized
+    * comparable: Boolean | Long | Double | String | BigDecimal | Array[Byte].
+    * int/long/date/time/timestamp all normalize to Long so comparisons and
+    * transform evaluation share one numeric path. */
+  def decodeBound(bytes: Array[Byte], icebergType: String): Any = {
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    icebergType match {
+      case "boolean" => bytes.nonEmpty && bytes(0) != 0
+      case "int" | "date" => le.getInt.toLong
+      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" => le.getLong
+      case "float" => le.getFloat.toDouble
+      case "double" => le.getDouble
+      case "string" => new String(bytes, StandardCharsets.UTF_8)
+      case "uuid" => // 16-byte big-endian per spec; render canonical form
+        if (bytes.length == 16) {
+          val bb = ByteBuffer.wrap(bytes)
+          new java.util.UUID(bb.getLong, bb.getLong).toString
+        } else new String(bytes, StandardCharsets.UTF_8)
+      case DecimalRe(_, s) =>
+        BigDecimal(new java.math.BigInteger(bytes), s.toInt) // big-endian two's complement
+      case "binary" | FixedRe(_) => bytes
+      case other => throw new IllegalArgumentException(s"cannot decode bound of type $other")
+    }
+  }
+
+  /** Normalize a user-supplied predicate literal to the same comparable domain
+    * as [[decodeBound]] for the given iceberg type. */
+  def normalizeLiteral(value: Any, icebergType: String): Any = value match {
+    case null => null
+    case b: Boolean => b
+    case b: Byte => widenNum(b.toLong, icebergType)
+    case s: Short => widenNum(s.toLong, icebergType)
+    case i: Int => widenNum(i.toLong, icebergType)
+    case l: Long => widenNum(l, icebergType)
+    case f: Float => f.toDouble
+    case d: Double => d
+    case bd: BigDecimal => bd
+    case bd: java.math.BigDecimal => BigDecimal(bd)
+    case s: String =>
+      icebergType match {
+        // allow string literals against date/timestamp columns
+        case "date" => java.time.LocalDate.parse(s).toEpochDay
+        case "timestamp" | "timestamptz" | "timestampz" =>
+          parseTsMicros(s)
+        case _ => s
+      }
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case dt: java.time.LocalDateTime =>
+      val i = dt.toInstant(java.time.ZoneOffset.UTC)
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case b: Array[Byte] => b
+    case other => other
+  }
+
+  private def widenNum(l: Long, icebergType: String): Any = icebergType match {
+    case "float" | "double" => l.toDouble
+    case DecimalRe(_, s) => BigDecimal(l).setScale(s.toInt)
+    case _ => l
+  }
+
+  private def parseTsMicros(s: String): Long = {
+    val ld =
+      if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+      else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val i = ld.toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Total ordering over the normalized comparable domain; None when the two
+    * values are not comparable (pruning must then keep the file: soundness). */
+  def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case (x: Long, y: Long) => Some(x.compareTo(y))
+    case (x: Long, y: Double) => Some(x.toDouble.compareTo(y))
+    case (x: Double, y: Long) => Some(x.compareTo(y.toDouble))
+    case (x: Double, y: Double) => Some(x.compareTo(y))
+    case (x: Long, y: BigDecimal) => Some(BigDecimal(x).compare(y))
+    case (x: BigDecimal, y: Long) => Some(x.compare(BigDecimal(y)))
+    case (x: Double, y: BigDecimal) => Some(BigDecimal(x).compare(y))
+    case (x: BigDecimal, y: Double) => Some(x.compare(BigDecimal(y)))
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Array[Byte], y: Array[Byte]) => Some(compareUnsigned(x, y))
+    case _ => None
+  }
+
+  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+}

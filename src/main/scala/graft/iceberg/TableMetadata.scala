@@ -1,0 +1,138 @@
+package graft.iceberg
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Parsed `vN.metadata.json` — the reference's `self._metadata` dict
+  * (`ice.py:74-93`) as typed case classes. */
+final case class SchemaField(id: Int, name: String, required: Boolean, typeNode: JsonNode) {
+  def icebergTypeString: String = if (typeNode.isTextual) typeNode.asText else typeNode.toString
+}
+
+final case class IceSchema(schemaId: Int, fields: Seq[SchemaField]) {
+  /** Spark StructType with iceberg field ids carried in column metadata. */
+  def toSpark: StructType = StructType(fields.map { f =>
+    StructField(f.name, IcebergTypes.toSparkType(f.typeNode), nullable = !f.required,
+      metadata = new MetadataBuilder().putLong("iceberg.field-id", f.id.toLong).build())
+  })
+}
+
+final case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: String)
+
+final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    timestampMs: Long,
+    summary: Map[String, String],
+    manifestList: String,
+    schemaId: Option[Int])
+
+/** Table metadata for one version (`vN.metadata.json`).
+  * Field selection mirrors what the reference reads (ice.py:100-163). */
+final case class TableMetadata(
+    formatVersion: Int,
+    location: String,
+    lastUpdatedMs: Long,
+    currentSchemaId: Int,
+    schemas: Seq[IceSchema],
+    defaultSpecId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    currentSnapshotId: Long,
+    snapshots: Seq[Snapshot],
+    properties: Map[String, String]) {
+
+  def snapshotsById: Map[Long, Snapshot] = snapshots.map(s => s.snapshotId -> s).toMap
+
+  /** Latest snapshot; error parity with the reference on empty tables
+    * (ice.py:105-110 raises when current-snapshot-id < 0). */
+  def latestSnapshot: Snapshot = {
+    if (currentSnapshotId < 0)
+      throw new IllegalStateException("No snapshots in the metadata")
+    snapshotsById(currentSnapshotId)
+  }
+
+  def schemaFor(snapshot: Snapshot): IceSchema = {
+    val id = snapshot.schemaId.getOrElse(currentSchemaId)
+    schemas.find(_.schemaId == id)
+      .getOrElse(throw new IllegalStateException(s"schema-id $id not in metadata"))
+  }
+
+  def specById(specId: Int): PartitionSpec =
+    partitionSpecs.find(_.specId == specId)
+      .getOrElse(throw new IllegalStateException(s"spec-id $specId not in metadata"))
+}
+
+object TableMetadata {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): TableMetadata = fromNode(mapper.readTree(json))
+
+  def fromNode(root: JsonNode): TableMetadata = {
+    def optNode(name: String): Option[JsonNode] = Option(root.get(name)).filterNot(_.isNull)
+
+    val schemas: Seq[IceSchema] = optNode("schemas") match {
+      case Some(arr) => arr.elements().asScala.map(parseSchema).toSeq
+      case None => // v1 metadata may carry only a single "schema"
+        optNode("schema").map(s => Seq(parseSchema(s))).getOrElse(Seq.empty)
+    }
+    val currentSchemaId = optNode("current-schema-id").map(_.asInt)
+      .orElse(schemas.headOption.map(_.schemaId)).getOrElse(0)
+
+    val specs: Seq[PartitionSpec] = optNode("partition-specs") match {
+      case Some(arr) => arr.elements().asScala.map(parseSpec).toSeq
+      case None => // fall back to flat v1 "partition-spec"
+        val fields = optNode("partition-spec")
+          .map(_.elements().asScala.map(parsePartitionField).toSeq)
+          .getOrElse(Seq.empty)
+        Seq(PartitionSpec(0, fields))
+    }
+
+    TableMetadata(
+      formatVersion = root.get("format-version").asInt,
+      location = root.get("location").asText,
+      lastUpdatedMs = optNode("last-updated-ms").map(_.asLong).getOrElse(0L),
+      currentSchemaId = currentSchemaId,
+      schemas = schemas,
+      defaultSpecId = optNode("default-spec-id").map(_.asInt).getOrElse(0),
+      partitionSpecs = specs,
+      currentSnapshotId = optNode("current-snapshot-id").map(_.asLong).getOrElse(-1L),
+      snapshots = optNode("snapshots")
+        .map(_.elements().asScala.map(parseSnapshot).toSeq).getOrElse(Seq.empty),
+      properties = optNode("properties").map(strMap).getOrElse(Map.empty))
+  }
+
+  private def parseSchema(node: JsonNode): IceSchema = {
+    val fields = node.get("fields").elements().asScala.map { f =>
+      SchemaField(f.get("id").asInt, f.get("name").asText,
+        f.get("required").asBoolean(false), f.get("type"))
+    }.toSeq
+    IceSchema(Option(node.get("schema-id")).map(_.asInt).getOrElse(0), fields)
+  }
+
+  private def parseSpec(node: JsonNode): PartitionSpec =
+    PartitionSpec(node.get("spec-id").asInt,
+      node.get("fields").elements().asScala.map(parsePartitionField).toSeq)
+
+  private def parsePartitionField(f: JsonNode): PartitionField =
+    PartitionField(
+      sourceId = f.get("source-id").asInt,
+      fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(-1),
+      name = f.get("name").asText,
+      transform = f.get("transform").asText)
+
+  private def parseSnapshot(node: JsonNode): Snapshot =
+    Snapshot(
+      snapshotId = node.get("snapshot-id").asLong,
+      parentSnapshotId = Option(node.get("parent-snapshot-id")).map(_.asLong),
+      timestampMs = node.get("timestamp-ms").asLong,
+      summary = Option(node.get("summary")).map(strMap).getOrElse(Map.empty),
+      manifestList = node.get("manifest-list").asText,
+      schemaId = Option(node.get("schema-id")).map(_.asInt))
+
+  private def strMap(node: JsonNode): Map[String, String] =
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+}
