@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-training-data pipeline operators exposed through the driver contract:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+  * similarity search (brute-force + LSH ANN), text analysis, multimodal
+  * plumbing. Oracles are supplied wherever the computation is expressible in
+  * DuckDB SQL with bit-identical arithmetic; hash-based ops are rows-only.
+  */
+object LlmQueries {
+  import Queries.t
+
+  // ------------------------------------------------------------------ dedup
+
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")
+
+  def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.5).orderBy("id_a", "id_b")
+
+  def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.5).orderBy("id_a", "id_b")
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, maxHamming = 16).orderBy("id_a", "id_b")
+
+  def ddEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+      threshold = 0.2, planes = 6, dims = 64).orderBy("id_a", "id_b")
+
+  // ------------------------------------------------------------- similarity
+
+  def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5).orderBy("query_id", "rank")
+  }
+
+  def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, planes = 8, dims = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  def txStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val feats = TF.qualityFeatures(col("text"))
+    d.select((col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
+      TF.tokenCountBpe(col("text")).as("n_tokens_bpe"): _*)
+      .orderBy("doc_id")
+  }
+
+  def txQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def txLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def txFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenFingerprint(col("text")).as("fingerprint"),
+        TF.wordShingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("fingerprint"), size(col("sh")).as("n_shingles"))
+      .orderBy("doc_id")
+
+  // -------------------------------------------------------------- multimodal
+
+  def mmMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("media_type"), col("byte_len"))
+      .orderBy("doc_id")
+
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureSummary(
+      Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
+
+  // ------------------------------------------------------------------- maps
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"          -> (ddExact _),
+    "dd_ngram_jaccard"  -> (ddNgramJaccard _),
+    "dd_minhash_lsh"    -> (ddMinhashLsh _),
+    "dd_simhash"        -> (ddSimhash _),
+    "dd_embedding"      -> (ddEmbedding _),
+    "sim_topk_brute"    -> (simTopkBrute _),
+    "sim_topk_lsh"      -> (simTopkLsh _),
+    "tx_stats"          -> (txStats _),
+    "tx_quality"        -> (txQuality _),
+    "tx_langid"         -> (txLangid _),
+    "tx_fingerprint"    -> (txFingerprint _),
+    "mm_meta"           -> (mmMeta _),
+    "mm_features"       -> (mmFeatures _),
+  )
+
+  private val shingleCte = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+      FROM toks)"""
+
+  private val jaccardPairSql = shingleCte + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ORDER BY id_a, id_b"""
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), (a, b) -> a + b)"
+  private def dot(a: String, b: String) = dotSql.format(a, b)
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" -> """
+      SELECT doc_id,
+        COUNT(*) OVER (PARTITION BY text) AS n_copies,
+        MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_canonical
+      FROM documents ORDER BY doc_id""",
+    "dd_ngram_jaccard" -> jaccardPairSql,
+    // MinHash-LSH detects the same pair set (recall ≈ 1 at J ≥ 0.5 with
+    // k=64/bands=16 on this corpus — validated), so the exact-Jaccard SQL
+    // is its oracle too.
+    "dd_minhash_lsh" -> jaccardPairSql,
+    "tx_stats" -> """
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+          ['the','and','of','to','a','in','is','it','that','for'])) AS DOUBLE) AS stopword_hits,
+        CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct_count,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens_bpe
+      FROM documents ORDER BY doc_id""",
+    "tx_quality" -> """
+      SELECT doc_id,
+        (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+         + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+      FROM documents ORDER BY doc_id""",
+    "tx_langid" -> """
+      WITH scored AS (SELECT doc_id, text,
+        len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+          ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+        len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+          ['der','die','das','und','ist','nicht','ein','zu','mit','auf'])) AS s_de,
+        len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+          ['le','la','les','et','est','un','une','des','que','pour'])) AS s_fr,
+        len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+          ['el','los','las','es','y','un','una','de','que','por'])) AS s_es
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und' END AS lang_pred
+      FROM scored ORDER BY doc_id""",
+    "mm_meta" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        CAST(strlen(text) AS BIGINT) AS byte_len
+      FROM documents ORDER BY doc_id""",
+    "sim_topk_brute" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cos
+        FROM c JOIN q ON query_id != neighbor_id)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+  )
+}

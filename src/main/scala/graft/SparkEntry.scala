@@ -16,16 +16,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.relational ++ IceQueries.all
+    Queries.relational ++ IceQueries.all ++ LlmQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.relationalOracle
+    Queries.relationalOracle ++ LlmQueries.oracle
 
   /** Subset used by Bench as the headline performance set. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_top_revenue", "q05_nation_revenue",
     "q06_forecast_revenue", "q08_returned_items", "q09_window_orders",
-    "q13_rollup", "q20_supplier_scorecard")
+    "q13_rollup", "q20_supplier_scorecard",
+    "dd_exact", "dd_minhash_lsh", "dd_simhash", "sim_topk_brute",
+    "sim_topk_lsh", "tx_stats", "tx_langid", "mm_features")
 }

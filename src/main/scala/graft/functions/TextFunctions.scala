@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for LLM data pipelines, composed from
+  * codegen'd built-in functions (no UDFs) so they stay inside whole-stage
+  * codegen and scale to 100 TB scans.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, single digits, or punctuation —
+    * a cheap proxy for subword tokenizer counts (pattern is valid in both
+    * Java regex and RE2 so oracles can reproduce it). */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def tokenCountBpe(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Distinct word n-gram shingles (the unit for Jaccard/MinHash dedup).
+    * Empty array when the text has fewer than n tokens. Backed by a one-pass
+    * custom expression (see [[WordShinglesExpr]]); semantics identical to
+    * `array_distinct(transform(sequence(...), concat_ws(' ', ...)))`. */
+  def wordShingles(text: Column, n: Int): Column =
+    WordShingles.wordShingles(text, n)
+
+  /** Distinct character n-grams. */
+  def charShingles(text: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - (n - 1), lit(0)))
+    array_distinct(transform(idx, i => text.substr(i, lit(n))))
+  }
+
+  /** Jaccard similarity of two pre-computed shingle arrays (exact). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash signature: k minimums of per-seed xxhash64 over the shingle set.
+    * Pure built-ins → codegen'd, order-independent, deterministic. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH band hashes: split the k-wide signature into `bands` bands and hash
+    * each; docs sharing any (band index, hash) are candidate duplicates. */
+  def lshBands(signature: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (0 until rows).map(r =>
+          element_at(signature, b * rows + r + 1))): _*).as("bucket"))
+    }: _*)
+  }
+
+  /** Sorted-distinct-token fingerprint (document-level content hash robust to
+    * token order and repetition). */
+  def tokenFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // ------------------------------------------------------------ language ID
+
+  /** Marker (stop)words per language for the n-gram/stopword heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "y", "un", "una", "de", "que", "por"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens(lower(text)), array(markers.map(lit): _*)))
+
+  /** Heuristic language ID: CJK characters → "zh"; else the marker-list with
+    * the highest hit count (ties resolved in LangMarkers order); no hits →
+    * "und". Deterministic and SQL-reproducible for the oracle. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh")).otherwise(pick)
+  }
+
+  // ---------------------------------------------------------- quality score
+
+  val EnStopwords: Seq[String] = LangMarkers.head._2
+
+  /** Heuristic quality features + a composite score in [0,1]-ish — the
+    * length/punctuation/stopword-ratio style filters used by LLM data
+    * pipelines. All arithmetic is exact-int-derived doubles so the DuckDB
+    * oracle reproduces it bit-for-bit. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast(DoubleType)
+    val nToks = tokenCount(text).cast(DoubleType)
+    val stopHits = size(array_intersect(tokens(lower(text)),
+      array(EnStopwords.map(lit): _*))).cast(DoubleType)
+    val punct = (length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast(DoubleType)
+    val avgTokLen = (nChars - (nToks - 1)) / nToks
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "avg_token_len" -> avgTokLen,
+      "stopword_hits" -> stopHits,
+      "punct_count" -> punct)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenOk = when(f("n_tokens") >= 10 && f("n_tokens") <= 1000, 1.0).otherwise(0.0)
+    val tokOk = when(f("avg_token_len") >= 2.0 && f("avg_token_len") <= 12.0, 1.0).otherwise(0.0)
+    val punctOk = when(f("punct_count") / f("n_chars") <= 0.2, 1.0).otherwise(0.0)
+    (lenOk + tokOk + punctOk) / 3.0
+  }
+}

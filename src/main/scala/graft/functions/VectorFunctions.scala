@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector math over `array<float>` columns using codegen'd
+  * built-ins (`transform`/`zip_with`/`aggregate`) — no UDFs, no linalg
+  * dependency, safe at any scale.
+  *
+  * All arithmetic is done in double with a left-to-right fold so results are
+  * bit-deterministic and reproducible by the DuckDB oracle (same IEEE ops in
+  * the same order).
+  */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Left-fold sum of a double array (deterministic order). */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x * y))
+
+  def norm2(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+
+  /** Cosine similarity = dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dot(ad, bd) / (norm2(ad) * norm2(bd))
+  }
+
+  /** Random-hyperplane LSH bucket for an embedding: `planes` pseudo-random
+    * hyperplanes are derived deterministically from xxhash64(plane, dim) and
+    * the bucket is the sign-bit string packed into a long. Vectors in the
+    * same bucket are likely cosine-near; used to restrict ANN search to a
+    * bucket instead of a full cross join (the 100 TB path). */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column = {
+    val vd = toDouble(v)
+    val bits = (0 until planes).map { p =>
+      // hyperplane component h[p][d] in [-1, 1): derived from a hash, no RNG
+      val proj = (0 until dims).map { d =>
+        element_at(vd, d + 1) *
+          ((pmod(xxhash64(lit(p), lit(d)), lit(2000L)).cast(DoubleType) - 1000.0) / 1000.0)
+      }.reduce(_ + _)
+      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+}

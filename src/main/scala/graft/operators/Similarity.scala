@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set broadcast —
+  * one pass over the corpus, no shuffle of the corpus itself, rank via a
+  * per-query window. Scale path: restrict candidates to matching (or
+  * neighboring) random-hyperplane LSH buckets before ranking.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN: rank only candidates that share a hyperplane bucket
+    * with the query (plus all-but-one-bit neighbor buckets for recall).
+    * Cuts the scored pairs from |corpus|·|queries| to bucket-local sizes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      planes: Int = 8, dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qbucket", lshBucket(col("qv"), planes, dims))
+    // multi-probe: query bucket itself + each single-bit flip (planes probes)
+    val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
+    val q = q0.withColumn("probe", explode(probes))
+      .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}
