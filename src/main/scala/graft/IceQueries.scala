@@ -66,7 +66,27 @@ object IceQueries {
       .select(col("name"), col("email").isNull.as("email_missing"))
       .orderBy("name")
 
+  /** The data-source API path: `spark.read.format("graft-iceberg")` with
+    * column/filter pushdown through the stable sources API. */
+  def iceSqlSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-iceberg")
+      .option("original-url", FixtureOrig)
+      .load(FixtureDir)
+      .filter(col("age") > 30)
+      .select(col("name"), col("age"))
+      .orderBy("name")
+
+  /** Time travel through data-source options (snapshot -1 = 4 rows). */
+  def iceSourceTimeTravel(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-iceberg")
+      .option("original-url", FixtureOrig)
+      .option("rel", "-1")
+      .load(FixtureDir)
+      .orderBy("name")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_sql_source"       -> (iceSqlSource _),
+    "ice_source_timetravel" -> (iceSourceTimeTravel _),
     "ice_read_all"         -> (iceReadAll _),
     "ice_read_filtered"    -> (iceReadFiltered _),
     "ice_time_travel"      -> (iceTimeTravel _),

@@ -16,12 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.relational ++ IceQueries.all ++ LlmQueries.all
+    Queries.relational ++ IceQueries.all ++ LlmQueries.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.relationalOracle ++ LlmQueries.oracle
+    Queries.relationalOracle ++ LlmQueries.oracle ++ StreamQueries.oracle
 
   /** Subset used by Bench as the headline performance set. */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+
+import graft.iceberg.IcebergTable
+
+/** Iceberg REST catalog client — namespace/table CRUD against the open REST
+  * catalog protocol, mirroring the reference's `rest_client.py:4-95`
+  * (unauthenticated, same endpoints) over `java.net.http`.
+  *
+  * `loadTable` hands the returned `metadata-location` to [[IcebergTable]]
+  * exactly as the reference feeds it to `IcebergDataset`
+  * (test_rest.py:74-79).
+  */
+final class IceRestCatalog(endpoint: String, prefix: String = "") {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+  private val base = endpoint.stripSuffix("/") + "/v1" +
+    (if (prefix.nonEmpty) s"/$prefix" else "")
+
+  private def request(method: String, path: String, body: Option[String] = None): JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    if (resp.statusCode() >= 400)
+      throw new RuntimeException(s"$method $path -> HTTP ${resp.statusCode()}: ${resp.body()}")
+    if (resp.body() == null || resp.body().isEmpty) mapper.createObjectNode()
+    else mapper.readTree(resp.body())
+  }
+
+  // ---------------------------------------------------------- namespaces
+
+  /** rest_client.py:27-31 */
+  def listNamespaces(): Seq[String] =
+    request("GET", "/namespaces").get("namespaces").elements().asScala
+      .map(_.elements().asScala.map(_.asText).mkString(".")).toSeq
+
+  /** rest_client.py:33-36 */
+  def getNamespace(name: String): JsonNode =
+    request("GET", s"/namespaces/$name")
+
+  /** rest_client.py:38-41 */
+  def createNamespace(name: String): JsonNode =
+    request("POST", "/namespaces",
+      Some(s"""{"namespace": ${levels(name)}, "properties": {}}"""))
+
+  /** rest_client.py:43-44 */
+  def deleteNamespace(name: String): Unit =
+    request("DELETE", s"/namespaces/$name")
+
+  // -------------------------------------------------------------- tables
+
+  /** rest_client.py:46-49 */
+  def listTables(namespace: String): Seq[String] =
+    request("GET", s"/namespaces/$namespace/tables").get("identifiers")
+      .elements().asScala.map(_.get("name").asText).toSeq
+
+  /** Create a table from a {name -> iceberg type} schema — the reference's
+    * simplified creation path (rest_client.py:51-82), incl. stage-create. */
+  def createTable(namespace: String, name: String, schema: Seq[(String, String)],
+      location: Option[String] = None, stageCreate: Boolean = false): JsonNode = {
+    val fields = schema.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"id": ${i + 1}, "name": "$n", "required": false, "type": "$t"}"""
+    }.mkString(",")
+    val loc = location.map(l => s""""location": "$l",""").getOrElse("")
+    val body = s"""{
+      "name": "$name", $loc
+      "schema": {"type": "struct", "schema-id": 0, "fields": [$fields]},
+      "partition-spec": {"spec-id": 0, "fields": []},
+      "write-order": null,
+      "stage-create": $stageCreate,
+      "properties": {}
+    }"""
+    request("POST", s"/namespaces/$namespace/tables", Some(body))
+  }
+
+  /** rest_client.py:84-88 */
+  def getTable(namespace: String, name: String): JsonNode =
+    request("GET", s"/namespaces/$namespace/tables/$name")
+
+  /** rest_client.py:90-95 */
+  def deleteTable(namespace: String, name: String): Unit =
+    request("DELETE", s"/namespaces/$namespace/tables/$name")
+
+  /** Open a catalog table as an [[IcebergTable]] via its metadata-location. */
+  def loadTable(spark: SparkSession, namespace: String, name: String): IcebergTable = {
+    val meta = getTable(namespace, name)
+    val loc = meta.get("metadata-location").asText
+    IcebergTable.load(spark, loc)
+  }
+
+  private def levels(name: String): String =
+    name.split('.').map(p => s""""$p"""").mkString("[", ",", "]")
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events table.
+  *
+  * Each transform is written against a generic DataFrame so the SAME code
+  * runs in batch mode (driver correctness checks) and as a streaming query
+  * (`readStream` → transform → `writeStream`); the streaming spec drives it
+  * through a file source + memory sink.
+  *
+  * events.parquet carries TIMESTAMP(NANOS) which Spark reads as a long (ns)
+  * under `spark.sql.legacy.parquet.nanosAsLong`; [[withEventTime]] converts
+  * to a proper timestamp column for watermarks/windows.
+  */
+object EventStreams {
+
+  /** ns-since-epoch long → timestamp (µs precision, floor division). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window per-type aggregation; with a watermark this is an
+    * append-able streaming aggregation, in batch it is a plain groupBy. */
+  def windowedCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val base = withEventTime(events)
+    val wm = if (watermark) base.withWatermark("event_time", "10 minutes") else base
+    wm.groupBy(window(col("event_time"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  final case class EventIn(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, first_event: Long,
+      last_event: Long, total_cents: Long)
+  // money accumulates in exact cents: a double sum would depend on the
+  // (unspecified) iteration order of rows within the group
+  final case class SessionState(n: Long, first: Long, last: Long, cents: Long)
+
+  /** Per-user session rollup via mapGroupsWithState — the custom-state
+    * primitive (runs in batch mode too, where state is per-group transient). */
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = withEventTime(events)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsMicros"), col("value"))
+      .as[EventIn]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue, 0L))
+          rows.foreach { e =>
+            s = SessionState(s.n + 1, math.min(s.first, e.event_id),
+              math.max(s.last, e.event_id), s.cents + math.round(e.value * 100))
+          }
+          state.update(s)
+          SessionOut(user, s.n, s.first, s.last, s.cents)
+      }
+  }
+}

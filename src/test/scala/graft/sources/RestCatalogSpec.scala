@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** REST catalog client against an embedded mock of the Iceberg REST protocol
+  * (the reference tests need a docker catalog, test_rest.py:23-51; a JDK
+  * HttpServer mock keeps this hermetic). */
+class RestCatalogSpec extends AnyFunSuite {
+
+  private def withServer(f: (IceRestCatalog, HttpServer) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val namespaces = scala.collection.mutable.LinkedHashSet.empty[String]
+    val tables = scala.collection.mutable.Map.empty[String, String] // ns.t -> body
+
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    server.createContext("/v1/namespaces", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/namespaces")
+      (ex.getRequestMethod, path.split("/").filter(_.nonEmpty).toList) match {
+        case ("GET", Nil) =>
+          reply(ex, 200, namespaces.map(n => s"""["$n"]""")
+            .mkString("""{"namespaces": [""", ",", "]}"))
+        case ("POST", Nil) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val ns = """"namespace":\s*\[\s*"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("?")
+          namespaces += ns
+          reply(ex, 200, s"""{"namespace": ["$ns"], "properties": {}}""")
+        case ("GET", ns :: Nil) =>
+          if (namespaces(ns)) reply(ex, 200, s"""{"namespace": ["$ns"], "properties": {}}""")
+          else reply(ex, 404, """{"error": "no such namespace"}""")
+        case ("DELETE", ns :: Nil) =>
+          namespaces -= ns
+          reply(ex, 204, "")
+        case ("GET", ns :: "tables" :: Nil) =>
+          val ids = tables.keys.filter(_.startsWith(s"$ns.")).map(_.split('.').last)
+            .map(t => s"""{"namespace": ["$ns"], "name": "$t"}""").mkString(",")
+          reply(ex, 200, s"""{"identifiers": [$ids]}""")
+        case ("POST", ns :: "tables" :: Nil) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val name = """"name":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("?")
+          tables(s"$ns.$name") = body
+          reply(ex, 200,
+            s"""{"metadata-location": "/tmp/mock/$ns/$name/metadata/v1.metadata.json",
+                 "metadata": {"current-snapshot-id": -1}}""")
+        case ("GET", ns :: "tables" :: t :: Nil) =>
+          if (tables.contains(s"$ns.$t"))
+            reply(ex, 200,
+              s"""{"metadata-location": "/tmp/mock/$ns/$t/metadata/v1.metadata.json"}""")
+          else reply(ex, 404, """{"error": "no such table"}""")
+        case ("DELETE", ns :: "tables" :: t :: Nil) =>
+          tables -= s"$ns.$t"
+          reply(ex, 204, "")
+        case other =>
+          reply(ex, 400, s"""{"error": "unhandled $other"}""")
+      }
+    })
+    server.start()
+    try f(new IceRestCatalog(s"http://127.0.0.1:${server.getAddress.getPort}"), server)
+    finally server.stop(0)
+  }
+
+  test("namespace CRUD round-trip (test_rest.py:54-61 parity)") {
+    withServer { (cat, _) =>
+      assert(cat.listNamespaces().isEmpty)
+      cat.createNamespace("myns")
+      assert(cat.listNamespaces() == Seq("myns"))
+      assert(cat.getNamespace("myns").get("namespace").get(0).asText == "myns")
+      cat.deleteNamespace("myns")
+      assert(cat.listNamespaces().isEmpty)
+    }
+  }
+
+  test("table create/list/get/delete (test_rest.py:64-83 parity)") {
+    withServer { (cat, _) =>
+      cat.createNamespace("ns2")
+      val created = cat.createTable("ns2", "prices",
+        Seq("date" -> "date", "symbol" -> "string"))
+      assert(created.get("metadata-location").asText.endsWith("v1.metadata.json"))
+      assert(cat.listTables("ns2") == Seq("prices"))
+      val got = cat.getTable("ns2", "prices")
+      assert(got.get("metadata-location").asText.contains("prices"))
+      cat.deleteTable("ns2", "prices")
+      assert(cat.listTables("ns2").isEmpty)
+    }
+  }
+
+  test("errors surface as failures with status code") {
+    withServer { (cat, _) =>
+      val e = intercept[RuntimeException](cat.getNamespace("missing"))
+      assert(e.getMessage.contains("404"))
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  /** File streaming sources need a directory: stage the events parquet. */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(eventsPath),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  test("windowed counts as a real streaming query (file source -> memory sink)") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val agg = EventStreams.windowedCounts(stream, watermark = true)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_stream_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only closed windows (watermark passed); the final
+      // windows stay open, so compare against the batch result minus the tail
+      val streamed = spark.table("graft_stream_test").count()
+      val batch = EventStreams.windowedCounts(
+        spark.read.parquet(eventsPath)).count()
+      assert(batch > 0)
+      assert(streamed <= batch)
+      // batch-mode equivalence of the same transform is oracle-checked by
+      // the driver (s1_window_agg); here we assert the streaming plan runs
+    } finally q.stop()
+  }
+
+  test("sessionize runs as streaming with update mode") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.sessionize(stream).writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("graft_session_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("graft_session_test").count()
+      assert(n > 0)
+    } finally q.stop()
+  }
+
+  test("asof backward join picks latest right row at-or-before left time") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "x"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asofBackward(
+        left, right.withColumnRenamed("t", "rt"), "k", "t", "rt", Seq("v"))
+      .select("name", "v").collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("e0") == null)      // no right row at/before t=5
+    assert(out("e1") == 100.0)     // right at t=10 matches (>= semantics)
+    assert(out("e2") == 150.0)     // latest at/before 20
+    assert(out("x") == null)       // key 2 has no right rows
+  }
+}
