@@ -33,20 +33,11 @@ object VectorFunctions {
   }
 
   /** Random-hyperplane LSH bucket for an embedding: `planes` pseudo-random
-    * hyperplanes are derived deterministically from xxhash64(plane, dim) and
-    * the bucket is the sign-bit string packed into a long. Vectors in the
-    * same bucket are likely cosine-near; used to restrict ANN search to a
-    * bucket instead of a full cross join (the 100 TB path). */
-  def lshBucket(v: Column, planes: Int, dims: Int): Column = {
-    val vd = toDouble(v)
-    val bits = (0 until planes).map { p =>
-      // hyperplane component h[p][d] in [-1, 1): derived from a hash, no RNG
-      val proj = (0 until dims).map { d =>
-        element_at(vd, d + 1) *
-          ((pmod(xxhash64(lit(p), lit(d)), lit(2000L)).cast(DoubleType) - 1000.0) / 1000.0)
-      }.reduce(_ + _)
-      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+    * hyperplanes derived deterministically from a hash (no RNG); the bucket
+    * is the sign-bit string packed into a long. Vectors in the same bucket
+    * are likely cosine-near; used to restrict ANN search to a bucket instead
+    * of a full cross join (the 100 TB path). Backed by a one-pass custom
+    * expression ([[LshBucketExpr]]). */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    LshBucket.lshBucket(v, planes, dims)
 }
