@@ -285,7 +285,44 @@ object Queries {
       .orderBy(col("s_suppkey"))
   }
 
+  // ---------------------------------------------------------------- q21
+  /** Exact interpolated median via built-in percentile. */
+  def q21Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q22
+  /** GROUPING SETS — multi-grain aggregation in one pass (SQL surface). */
+  def q22GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+    s.sql("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n
+      FROM graft_orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Typed Aggregator (UDAF surface): discount-weighted average price. */
+  def q23WeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_percentile"       -> (q21Percentile _),
+    "q22_grouping_sets"    -> (q22GroupingSets _),
+    "q23_weighted_avg"     -> (q23WeightedAvg _),
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
     "q03_top_revenue"      -> (q03TopRevenueOrders _),
@@ -311,6 +348,27 @@ object Queries {
   /** DuckDB-equivalent SQL for each query above; column names and row order
     * must match the Spark results exactly (driver hashes sorted-by-name cols). */
   val relationalOracle: Map[String, String] = Map(
+    "q21_percentile" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_extendedprice, 0.25) AS p25_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    "q22_grouping_sets" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""",
+    "q23_weighted_avg" -> """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS wavg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,

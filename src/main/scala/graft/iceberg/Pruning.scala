@@ -224,10 +224,19 @@ object Pruning {
           case _ => true
         }
       }
+      case NotEq(_, v0) if transform.lossless(srcType) => tr(v0) match {
+        case Some(v) if v != null =>
+          !(compare(min, v).contains(0) && compare(max, v).contains(0))
+        case _ => true
+      }
       case NotEq(_, _) => true // a transform bucket can hold many source values
       case Lt(_, v0) if transform.preservesOrder => tr(v0) match {
-        // v < X  ⇒  t(v) <= t(X); prune only when min > t(X)
-        case Some(v) if v != null => cmpLe(compare(min, v))
+        // lossless: v < X ⇔ t(v) < t(X) (strict). Lossy order-preserving
+        // (day on timestamp, truncate): v < X ⇒ t(v) <= t(X), so prune only
+        // when min > t(X).
+        case Some(v) if v != null =>
+          if (transform.lossless(srcType)) cmpLt(compare(min, v))
+          else cmpLe(compare(min, v))
         case _ => true
       }
       case LtEq(_, v0) if transform.preservesOrder => tr(v0) match {
@@ -235,7 +244,9 @@ object Pruning {
         case _ => true
       }
       case Gt(_, v0) if transform.preservesOrder => tr(v0) match {
-        case Some(v) if v != null => cmpGe(compare(max, v))
+        case Some(v) if v != null =>
+          if (transform.lossless(srcType)) cmpGt(compare(max, v))
+          else cmpGe(compare(max, v))
         case _ => true
       }
       case GtEq(_, v0) if transform.preservesOrder => tr(v0) match {

@@ -27,6 +27,9 @@ object Transforms {
     def apply(value: Any, sourceType: String): Option[Any]
     /** True if order-preserving — range predicates may be rewritten through it. */
     def preservesOrder: Boolean
+    /** True when the transform loses no information for the given source type
+      * (bijective on its domain): strict range comparisons stay valid. */
+    def lossless(sourceType: String): Boolean = false
   }
 
   case object Identity extends Transform {
@@ -34,6 +37,7 @@ object Transforms {
     def resultType(s: String): String = s
     def apply(v: Any, s: String): Option[Any] = Some(v)
     val preservesOrder = true
+    override def lossless(sourceType: String): Boolean = true
   }
 
   final case class Bucket(n: Int) extends Transform {
@@ -103,6 +107,8 @@ object Transforms {
   }
   case object Day extends TimeTransform("day") {
     protected def fromEpochDay(days: Long, st: String, raw: Long): Long = days
+    // a date column has day granularity already: day() is the identity on it
+    override def lossless(sourceType: String): Boolean = sourceType == "date"
   }
   case object Hour extends TimeTransform("hour") {
     protected def fromEpochDay(days: Long, st: String, raw: Long): Long =
