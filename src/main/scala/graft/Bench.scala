@@ -29,7 +29,10 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      // noop sink executes the FULL plan (a count() would let Spark prune
+      // projections and undercount the real work)
+      try { SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }

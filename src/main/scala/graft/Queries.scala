@@ -319,7 +319,33 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---------------------------------------------------------------- q24
+  /** Non-equi (range/theta) join: price bands × parts, broadcast nested loop. */
+  def q24BandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 930.0), ("mid", 930.0, 960.0),
+      ("high", 960.0, 1e9)).toDF("band", "lo", "hi")
+    t(s, dir, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice"), 2).as("total_price"))
+      .orderBy(col("band"))
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** Sketch aggregation: HLL++ approximate distinct (scale path for
+    * count-distinct; no oracle — approximate by design, rows-only check). */
+  def q25ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
+
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_band_join"        -> (q24BandJoin _),
+    "q25_approx_distinct"  -> (q25ApproxDistinct _),
     "q21_percentile"       -> (q21Percentile _),
     "q22_grouping_sets"    -> (q22GroupingSets _),
     "q23_weighted_avg"     -> (q23WeightedAvg _),
@@ -348,6 +374,15 @@ object Queries {
   /** DuckDB-equivalent SQL for each query above; column names and row order
     * must match the Spark results exactly (driver hashes sorted-by-name cols). */
   val relationalOracle: Map[String, String] = Map(
+    "q24_band_join" -> """
+      SELECT band, COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+      FROM part
+      JOIN (VALUES ('low', 0.0, 930.0), ('mid', 930.0, 960.0),
+                   ('high', 960.0, 1e9)) AS bands(band, lo, hi)
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band
+      ORDER BY band""",
     "q21_percentile" -> """
       SELECT l_returnflag,
         quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -75,9 +75,14 @@ object TextFunctions {
     size(array_intersect(tokens(lower(text)), array(markers.map(lit): _*)))
 
   /** Heuristic language ID: CJK characters → "zh"; else the marker-list with
-    * the highest hit count (ties resolved in LangMarkers order); no hits →
-    * "und". Deterministic and SQL-reproducible for the oracle. */
-  def langId(text: Column): Column = {
+    * the highest DISTINCT-token hit count (ties resolved in LangMarkers
+    * order); no hits → "und". Deterministic and SQL-reproducible for the
+    * oracle. Backed by a one-pass expression ([[LangIdExpr]]) — the
+    * composable form recomputed the token split once per language. */
+  def langId(text: Column): Column = LangId.langId(text)
+
+  /** The original composable formulation (kept for reference/tests). */
+  def langIdComposed(text: Column): Column = {
     val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
     val best = greatest(scores.map(_._2): _*)
     val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>

@@ -129,6 +129,15 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(f1.map(_.media_type).toSeq == Seq("image", "audio", "video"))
   }
 
+  test("langId expression matches the composable formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs.select(
+        TextFunctions.langId(col("text")).as("fast"),
+        TextFunctions.langIdComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatch == 0)
+  }
+
   test("langId picks marker language; CJK wins") {
     val df = Seq(
       (1L, "the cat and the dog in the house"),
