@@ -84,9 +84,29 @@ object IceQueries {
       .load(FixtureDir)
       .orderBy("name")
 
+  /** Write-path round trip (extension beyond the read-only reference):
+    * create → append twice → read back through the metadata plane with
+    * snapshot chain + stats intact. */
+  def iceWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_wrt").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    IcebergWriter.append(s, url, Seq((3L, "c")).toDF("k", "v"))
+    val t = IcebergTable.load(s, url)
+    Seq((t.version, t.read().count(), t.countFromStats().getOrElse(-1L),
+        t.snapshotRelative(-1).read().count(), t.snapshots.size))
+      .toDF("version", "rows", "rows_from_stats", "rows_prev_snapshot", "n_snapshots")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_sql_source"       -> (iceSqlSource _),
     "ice_source_timetravel" -> (iceSourceTimeTravel _),
+    "ice_write_roundtrip"  -> (iceWriteRoundtrip _),
     "ice_read_all"         -> (iceReadAll _),
     "ice_read_filtered"    -> (iceReadFiltered _),
     "ice_time_travel"      -> (iceTimeTravel _),

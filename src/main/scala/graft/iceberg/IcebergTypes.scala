@@ -95,6 +95,26 @@ object IcebergTypes {
     }
   }
 
+  /** Encode a normalized value to Iceberg single-value bound bytes — the
+    * inverse of [[decodeBound]], used by the write path. */
+  def encodeBound(value: Any, icebergType: String): Array[Byte] = {
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    icebergType match {
+      case "boolean" => Array(if (value.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case "int" | "date" => le(4).putInt(value.asInstanceOf[Long].toInt).array()
+      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" =>
+        le(8).putLong(value.asInstanceOf[Long]).array()
+      case "float" => le(4).putFloat(value.asInstanceOf[Double].toFloat).array()
+      case "double" => le(8).putDouble(value.asInstanceOf[Double]).array()
+      case "string" => value.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+      case DecimalRe(_, s) =>
+        value.asInstanceOf[BigDecimal].setScale(s.toInt).underlying
+          .unscaledValue.toByteArray // big-endian two's complement
+      case "binary" | FixedRe(_) => value.asInstanceOf[Array[Byte]]
+      case other => throw new IllegalArgumentException(s"cannot encode bound of type $other")
+    }
+  }
+
   /** Normalize a user-supplied predicate literal to the same comparable domain
     * as [[decodeBound]] for the given iceberg type. */
   def normalizeLiteral(value: Any, icebergType: String): Any = value match {
