@@ -103,10 +103,32 @@ object IceQueries {
       .toDF("version", "rows", "rows_from_stats", "rows_prev_snapshot", "n_snapshots")
   }
 
+  /** Hidden-partitioned write → read: bucket partitioning with derived-
+    * partition pruning and metadata-only partition listing. */
+  def iceWritePartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_wrtp").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
+      partitions = Seq("cat" -> "identity", "k" -> "bucket[4]"))
+    IcebergWriter.append(s, url,
+      (1L to 100L).map(i => (i, s"c${i % 2}")).toDF("k", "cat"))
+    val t = IcebergTable.load(s, url)
+    val nFiles = t.liveFiles().size
+    val prunedRows = t.read(filters = Seq(Seq(("k", "==", 7)))).count()
+    val parts = t.uniquePartitions(Some("cat"))("cat").mkString(",")
+    Seq((t.read().count(), nFiles, prunedRows, parts))
+      .toDF("rows", "n_files", "rows_k_eq_7", "cat_partitions")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_sql_source"       -> (iceSqlSource _),
     "ice_source_timetravel" -> (iceSourceTimeTravel _),
     "ice_write_roundtrip"  -> (iceWriteRoundtrip _),
+    "ice_write_partitioned" -> (iceWritePartitioned _),
     "ice_read_all"         -> (iceReadAll _),
     "ice_read_filtered"    -> (iceReadFiltered _),
     "ice_time_travel"      -> (iceTimeTravel _),

@@ -49,8 +49,14 @@ object IcebergWriter {
     case other => throw new IllegalArgumentException(s"unsupported write type: $other")
   }
 
-  /** Create an empty table (no snapshot; current-snapshot-id = -1). */
-  def createTable(spark: SparkSession, url: String, schema: StructType): Unit = {
+  /** Create an empty table (no snapshot; current-snapshot-id = -1).
+    *
+    * @param partitions hidden-partitioning spec: (source column, transform
+    *                   name) pairs, e.g. `("id", "bucket[4]")`,
+    *                   `("ts", "day")`, `("region", "identity")`.
+    */
+  def createTable(spark: SparkSession, url: String, schema: StructType,
+      partitions: Seq[(String, String)] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = mapper.createObjectNode()
     meta.put("format-version", 1)
@@ -62,12 +68,23 @@ object IcebergWriter {
     meta.set[ObjectNode]("schema", schemaNode)
     meta.put("current-schema-id", 0)
     meta.set[ArrayNode]("schemas", mapper.createArrayNode().add(schemaNode))
-    meta.set[ArrayNode]("partition-spec", mapper.createArrayNode())
     meta.put("default-spec-id", 0)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
-    spec.set[ArrayNode]("fields", mapper.createArrayNode())
+    val specFields = mapper.createArrayNode()
+    partitions.zipWithIndex.foreach { case ((src, transform), i) =>
+      val sourceId = schema.fieldIndex(src) + 1
+      val fn = mapper.createObjectNode()
+      fn.put("name", partitionFieldName(src, transform))
+      fn.put("transform", transform)
+      fn.put("source-id", sourceId)
+      fn.put("field-id", 1000 + i)
+      specFields.add(fn)
+    }
+    spec.set[ArrayNode]("fields", specFields)
     meta.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
+    // flat v1 form too (the reference reads this one, ice.py:209)
+    meta.set[ArrayNode]("partition-spec", specFields.deepCopy())
     meta.put("last-partition-id", 999)
     meta.put("default-sort-order-id", 0)
     val order = mapper.createObjectNode()
@@ -99,6 +116,69 @@ object IcebergWriter {
     node
   }
 
+  def partitionFieldName(src: String, transform: String): String = transform match {
+    case "identity" => src
+    case t if t.startsWith("bucket") => s"${src}_bucket"
+    case t if t.startsWith("truncate") => s"${src}_trunc"
+    case t => s"${src}_$t" // day/month/year/hour/void
+  }
+
+  /** Hidden-partition column in Iceberg PHYSICAL representation (date →
+    * epoch-day int, timestamp → µs long, bucket/day → int) so partitionBy
+    * dir names parse back unambiguously. */
+  private def partitionColumn(srcType: String, tr0: Transforms.Transform)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val tr = tr0
+    c => tr match {
+      case Transforms.Identity => srcType match {
+        case "date" => datediff(c, to_date(lit("1970-01-01")))
+        // NTZ → TZ cast is µs-identity under the UTC session timezone
+        case "timestamp" | "timestamptz" => unix_micros(c.cast("timestamp"))
+        case _ => c
+      }
+      case Transforms.Bucket(_) =>
+        val f = srcType match {
+          case "string" => udf((s: String) =>
+            if (s == null) null else Int.box(tr(s, srcType).get.asInstanceOf[Long].toInt))
+          case "int" | "long" => udf((l: java.lang.Long) =>
+            if (l == null) null else Int.box(tr(l.longValue(), srcType).get.asInstanceOf[Long].toInt))
+          case other => throw new IllegalArgumentException(s"bucket on $other unsupported")
+        }
+        if (srcType == "int" || srcType == "long") f(c.cast("long")) else f(c)
+      case t: Transforms.TimeTransform =>
+        val f = udf((micros: java.lang.Long) =>
+          if (micros == null) null
+          else Int.box(t(micros.longValue(), "timestamp").get.asInstanceOf[Long].toInt))
+        srcType match {
+          case "timestamp" | "timestamptz" => f(unix_micros(c.cast("timestamp")))
+          case "date" => f(datediff(c, to_date(lit("1970-01-01"))).cast("long") * 86400000000L)
+          case other => throw new IllegalArgumentException(s"${t.name} on $other unsupported")
+        }
+      case Transforms.Truncate(w) => srcType match {
+        case "int" | "long" => c - pmod(c, lit(w))
+        case "string" => substring(c, 1, w)
+        case other => throw new IllegalArgumentException(s"truncate on $other unsupported")
+      }
+      case Transforms.Void => lit(null)
+      case other => throw new IllegalArgumentException(s"unsupported write transform $other")
+    }
+  }
+
+  /** Iceberg type of the stored partition VALUE (physical representation). */
+  private def partitionValueType(srcType: String, transform: Transforms.Transform): String =
+    transform match {
+      case Transforms.Identity => srcType match {
+        case "date" => "int"
+        case "timestamp" | "timestamptz" => "long"
+        case t => t
+      }
+      case Transforms.Bucket(_) => "int"
+      case _: Transforms.TimeTransform => "int"
+      case Transforms.Truncate(_) => srcType
+      case _ => "string"
+    }
+
   /** Append `df` as a new snapshot. The table must exist (see createTable). */
   def append(spark: SparkSession, url: String, df: DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -109,33 +189,75 @@ object IcebergWriter {
       .find(_.schemaId == table.metadata.currentSchemaId)
       .getOrElse(throw new IllegalStateException("no current schema"))
     val commitId = UUID.randomUUID().toString
+    val spec = table.partitionSpec
+    val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+      val src = schema.fields.find(_.id == pf.sourceId)
+        .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+      val valueType = partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform))
+      (pf, src.icebergTypeString, valueType)
+    }
 
-    // 1. data files (one dir per commit so new files are identifiable)
+    // 1. data files (one dir per commit so new files are identifiable).
+    // Hidden-partition columns are duplicated under _p_ names so partitionBy
+    // splits files per partition value while the data files keep ALL source
+    // columns (Iceberg layout — unlike Hive, values live in metadata).
+    import org.apache.spark.sql.functions.col
     val dataDir = s"$url/data/$commitId"
-    df.select(schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
-      .write.parquet(dataDir)
-    val fs = new Path(dataDir).getFileSystem(conf)
-    val files = fs.listStatus(new Path(dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val base = df.select(schema.fields.map(f => col(f.name)): _*)
+    val withParts = specInfo.foldLeft(base) { case (d, (pf, srcType, _)) =>
+      val srcName = schema.fields.find(_.id == pf.sourceId).get.name
+      d.withColumn(s"_p_${pf.name}",
+        partitionColumn(srcType, Transforms.parse(pf.transform))(col(srcName)))
+    }
+    if (specInfo.isEmpty) withParts.write.parquet(dataDir)
+    else {
+      // cluster rows by partition value first: without this every task emits
+      // a file per value it happens to hold (small-files explosion at scale)
+      val partCols = specInfo.map(s => col(s"_p_${s._1.name}"))
+      withParts.repartition(partCols: _*)
+        .write.partitionBy(specInfo.map(s => s"_p_${s._1.name}"): _*).parquet(dataDir)
+    }
 
-    // 2. per-file stats from parquet footers
+    val fs = new Path(dataDir).getFileSystem(conf)
+    val files = listParquetFiles(fs, new Path(dataDir))
+
+    // 2. per-file stats from parquet footers + partition values from dirs
     val dataFiles = files.map { st =>
       val stats = footerStats(st.getPath, conf, schema)
-      (st.getPath.toUri.getPath, st.getLen, stats)
+      val partValues: Seq[Any] = specInfo.map { case (pf, _, valueType) =>
+        parsePartitionValue(st.getPath.toString, s"_p_${pf.name}", valueType)
+      }
+      (st.getPath.toUri.getPath, st.getLen, stats, partValues)
     }
 
     // 3. new manifest
     val manifestPath = s"$url/metadata/$commitId-m0.avro"
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    writeManifest(manifestPath, snapshotId, dataFiles, conf)
+    writeManifest(manifestPath, snapshotId, dataFiles, specInfo, conf)
 
-    // 4. manifest list = prior snapshot's manifests + the new one
+    // 4. manifest list = prior snapshot's manifests + the new one; the new
+    // manifest gets per-partition-field summaries for manifest-tier pruning
     val priorManifests: Seq[Manifests.ManifestFile] =
       if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil
     val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
     val addedRecords = dataFiles.map(_._3.recordCount).sum
+    val summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])] =
+      specInfo.zipWithIndex.map { case ((_, _, valueType), i) =>
+        val values = dataFiles.map(_._4(i))
+        val nonNull = values.filter(_ != null)
+        val containsNull = values.exists(_ == null)
+        if (nonNull.isEmpty) (containsNull, None, None)
+        else {
+          val mn = nonNull.reduce((a, b) =>
+            if (IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
+          val mx = nonNull.reduce((a, b) =>
+            if (IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
+          (containsNull, Some(IcebergTypes.encodeBound(mn, valueType)),
+            Some(IcebergTypes.encodeBound(mx, valueType)))
+        }
+      }
     writeManifestList(manifestListPath, snapshotId, manifestPath,
-      dataFiles.map(_._2).sum, dataFiles.size, addedRecords, priorManifests, conf)
+      dataFiles.size, addedRecords, summaries, priorManifests, conf)
 
     // 5. new metadata version
     val old = mapper.readTree(
@@ -242,17 +364,55 @@ object IcebergWriter {
     }
   }
 
+  // ------------------------------------------------------------- fs utils
+
+  private def listParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    out.toSeq
+  }
+
+  /** Parse a hive-style `_p_name=value` segment back to a typed value. */
+  private def parsePartitionValue(path: String, dirName: String, valueType: String): Any = {
+    val seg = path.split('/').find(_.startsWith(dirName + "="))
+      .getOrElse(throw new IllegalStateException(s"no $dirName= in $path"))
+    val raw = java.net.URLDecoder.decode(seg.substring(dirName.length + 1), "UTF-8")
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else valueType match {
+      case "int" | "date" => raw.toLong
+      case "long" => raw.toLong
+      case _ => raw
+    }
+  }
+
   // ------------------------------------------------------------- avro
 
-  /** Avro schemas per the public Iceberg v1 spec (manifest file / entry). */
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse("""
+  private def avroPartType(valueType: String): String = valueType match {
+    case "int" | "date" => "int"
+    case "long" => "long"
+    case _ => "string"
+  }
+
+  /** manifest_entry schema per the public Iceberg v1 spec, with the partition
+    * record (r102) built from the table's partition spec. */
+  private def manifestEntrySchema(specInfo: Seq[(PartitionField, String, String)]): Schema = {
+    val partFields = specInfo.map { case (pf, _, valueType) =>
+      s"""{"name": "${pf.name}", "type": ["null", "${avroPartType(valueType)}"],
+           "default": null, "field-id": ${pf.fieldId}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(s"""
     {"type": "record", "name": "manifest_entry", "fields": [
       {"name": "status", "type": "int", "field-id": 0},
       {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
       {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
-        {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
+        {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [$partFields]}, "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
         {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
@@ -278,6 +438,7 @@ object IcebergWriter {
           "logicalType": "map"}], "default": null, "field-id": 128}
       ]}, "field-id": 2}
     ]}""")
+  }
 
   private val ManifestFileSchema: Schema = new Schema.Parser().parse("""
     {"type": "record", "name": "manifest_file", "fields": [
@@ -288,6 +449,13 @@ object IcebergWriter {
       {"name": "added_data_files_count", "type": ["null", "int"], "default": null, "field-id": 504},
       {"name": "existing_data_files_count", "type": ["null", "int"], "default": null, "field-id": 505},
       {"name": "deleted_data_files_count", "type": ["null", "int"], "default": null, "field-id": 506},
+      {"name": "partitions", "type": ["null", {"type": "array", "items":
+        {"type": "record", "name": "r508", "fields": [
+          {"name": "contains_null", "type": "boolean", "field-id": 509},
+          {"name": "contains_nan", "type": ["null", "boolean"], "default": null, "field-id": 518},
+          {"name": "lower_bound", "type": ["null", "bytes"], "default": null, "field-id": 510},
+          {"name": "upper_bound", "type": ["null", "bytes"], "default": null, "field-id": 511}
+        ]}, "element-id": 508}], "default": null, "field-id": 507},
       {"name": "added_rows_count", "type": ["null", "long"], "default": null, "field-id": 512},
       {"name": "existing_rows_count", "type": ["null", "long"], "default": null, "field-id": 513},
       {"name": "deleted_rows_count", "type": ["null", "long"], "default": null, "field-id": 514}
@@ -307,14 +475,28 @@ object IcebergWriter {
   }
 
   private def writeManifest(path: String, snapshotId: Long,
-      files: Seq[(String, Long, FileStats)], conf: Configuration): Unit = {
-    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
-    writeAvro(path, ManifestEntrySchema, conf) { w =>
-      files.foreach { case (filePath, size, stats) =>
+      files: Seq[(String, Long, FileStats, Seq[Any])],
+      specInfo: Seq[(PartitionField, String, String)], conf: Configuration): Unit = {
+    val entrySchema = manifestEntrySchema(specInfo)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    writeAvro(path, entrySchema, conf) { w =>
+      files.foreach { case (filePath, size, stats, partValues) =>
         val df = new GenericData.Record(dataFileSchema)
         df.put("file_path", filePath)
         df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(dataFileSchema.getField("partition").schema()))
+        val part = new GenericData.Record(partSchema)
+        specInfo.zipWithIndex.foreach { case ((pf, _, valueType), i) =>
+          val v = partValues(i) match {
+            case null => null
+            case l: Long if avroPartType(valueType) == "int" => Int.box(l.toInt)
+            case l: Long => Long.box(l)
+            case s: String => s
+            case other => other
+          }
+          part.put(pf.name, v)
+        }
+        df.put("partition", part)
         df.put("record_count", stats.recordCount)
         df.put("file_size_in_bytes", size)
         df.put("block_size_in_bytes", 67108864L)
@@ -322,7 +504,7 @@ object IcebergWriter {
         df.put("null_value_counts", kvArray(dataFileSchema, "null_value_counts", stats.nullCounts))
         df.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds", stats.lowerBounds))
         df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", stats.upperBounds))
-        val entry = new GenericData.Record(ManifestEntrySchema)
+        val entry = new GenericData.Record(entrySchema)
         entry.put("status", Manifests.Status.Added)
         entry.put("snapshot_id", snapshotId)
         entry.put("data_file", df)
@@ -332,10 +514,25 @@ object IcebergWriter {
   }
 
   private def writeManifestList(path: String, snapshotId: Long, newManifest: String,
-      addedBytes: Long, addedFiles: Int, addedRows: Long,
+      addedFiles: Int, addedRows: Long,
+      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
       prior: Seq[Manifests.ManifestFile], conf: Configuration): Unit = {
     val fs = new Path(newManifest).getFileSystem(conf)
     val newLen = fs.getFileStatus(new Path(newManifest)).getLen
+    val summarySchema = ManifestFileSchema.getField("partitions").schema()
+      .getTypes.get(1).getElementType
+
+    def summaryArray(ss: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])]) = {
+      ss.map { case (containsNull, lo, hi) =>
+        val r = new GenericData.Record(summarySchema)
+        r.put("contains_null", containsNull)
+        r.put("contains_nan", false)
+        r.put("lower_bound", lo.map(java.nio.ByteBuffer.wrap).orNull)
+        r.put("upper_bound", hi.map(java.nio.ByteBuffer.wrap).orNull)
+        r: GenericRecord
+      }.asJava
+    }
+
     writeAvro(path, ManifestFileSchema, conf) { w =>
       val rec = new GenericData.Record(ManifestFileSchema)
       rec.put("manifest_path", newManifest)
@@ -345,6 +542,7 @@ object IcebergWriter {
       rec.put("added_data_files_count", addedFiles)
       rec.put("existing_data_files_count", 0)
       rec.put("deleted_data_files_count", 0)
+      if (summaries.nonEmpty) rec.put("partitions", summaryArray(summaries))
       rec.put("added_rows_count", addedRows)
       rec.put("existing_rows_count", 0L)
       rec.put("deleted_rows_count", 0L)
@@ -358,6 +556,9 @@ object IcebergWriter {
         r.put("added_data_files_count", m.addedFilesCount.map(Int.box).orNull)
         r.put("existing_data_files_count", m.existingFilesCount.map(Int.box).orNull)
         r.put("deleted_data_files_count", m.deletedFilesCount.map(Int.box).orNull)
+        if (m.partitions.nonEmpty)
+          r.put("partitions", summaryArray(m.partitions.map(p =>
+            (p.containsNull, p.lowerBound, p.upperBound))))
         r.put("added_rows_count", m.addedRowsCount.map(Long.box).orNull)
         r.put("existing_rows_count", m.existingRowsCount.map(Long.box).orNull)
         r.put("deleted_rows_count", m.deletedRowsCount.map(Long.box).orNull)

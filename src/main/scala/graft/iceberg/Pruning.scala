@@ -101,10 +101,25 @@ object Pruning {
         fieldOf(c, ctx) match {
           case None => true // unknown column: cannot prune
           case Some(f) =>
-            bounds(file, f, ctx) match {
+            // evidence 1: derived (hidden) partition value — rewrite the
+            // predicate through the transform (ice.py:295-300, made sound)
+            val derivedOk = ctx.partitionFieldFor(f.id)
+              .filterNot(_.transform == "identity")
+              .forall { pf =>
+                file.partition.get(pf.name).filter(_ != null) match {
+                  case Some(pv) =>
+                    val transform = Transforms.parse(pf.transform)
+                    val boundType = transform.resultType(f.icebergType)
+                    transformedRangeMightMatch(other, pv, pv,
+                      f.icebergType, boundType, transform)
+                  case None => true
+                }
+              }
+            // evidence 2: identity partition value or column bounds
+            derivedOk && (bounds(file, f, ctx) match {
               case None => true
               case Some((min, max, tpe)) => rangeMightMatch(other, min, max, tpe, ctx, f)
-            }
+            })
         }
     }
 
