@@ -343,7 +343,18 @@ object Queries {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q26
+  /** CUBE — all grouping combinations in one pass. */
+  def q26Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_cube"             -> (q26Cube _),
     "q24_band_join"        -> (q24BandJoin _),
     "q25_approx_distinct"  -> (q25ApproxDistinct _),
     "q21_percentile"       -> (q21Percentile _),
@@ -374,6 +385,13 @@ object Queries {
   /** DuckDB-equivalent SQL for each query above; column names and row order
     * must match the Spark results exactly (driver hashes sorted-by-name cols). */
   val relationalOracle: Map[String, String] = Map(
+    "q26_cube" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""",
     "q24_band_join" -> """
       SELECT band, COUNT(*) AS n_parts,
         CAST(SUM(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
