@@ -124,11 +124,31 @@ object IceQueries {
       .toDF("rows", "n_files", "rows_k_eq_7", "cat_partitions")
   }
 
+  /** Full snapshot lifecycle: append → delete partition → read reconciles,
+    * time travel restores (the fixture's overwrite semantics, writer-side). */
+  def iceWriteDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_wrtd").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
+      partitions = Seq("cat" -> "identity"))
+    IcebergWriter.append(s, url, (1L to 60L).map(i => (i, s"c${i % 3}")).toDF("k", "cat"))
+    IcebergWriter.deleteWhere(s, url, Pruning.Eq("cat", "c1"))
+    val t = IcebergTable.load(s, url)
+    Seq((t.read().count(), t.snapshotRelative(-1).read().count(),
+        t.summary.getOrElse("operation", ""), t.countFromStats().getOrElse(-1L)))
+      .toDF("rows_after_delete", "rows_before_delete", "operation", "rows_from_stats")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_sql_source"       -> (iceSqlSource _),
     "ice_source_timetravel" -> (iceSourceTimeTravel _),
     "ice_write_roundtrip"  -> (iceWriteRoundtrip _),
     "ice_write_partitioned" -> (iceWritePartitioned _),
+    "ice_write_delete"     -> (iceWriteDelete _),
     "ice_read_all"         -> (iceReadAll _),
     "ice_read_filtered"    -> (iceReadFiltered _),
     "ice_time_travel"      -> (iceTimeTravel _),

@@ -297,6 +297,85 @@ object IcebergWriter {
     writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
   }
 
+  /** Metadata-only delete: drop every data file whose statistics PROVE all
+    * of its rows match `pred` (Iceberg v1 whole-file delete — row-level
+    * rewrites are a v2/merge-on-read concern). Files that may contain a mix
+    * of matching and non-matching rows raise: a silent partial delete would
+    * corrupt the table.
+    */
+  def deleteWhere(spark: SparkSession, url: String, pred: Pruning.IcePredicate): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    val schema = table.iceSchema
+    val ctx = Pruning.Context(
+      schema.fields.map(f =>
+        f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+      table.partitionSpec)
+    val live = table.liveFiles()
+    val fullyMatching = live.filter(f =>
+      !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+    val partial = live.filter(f =>
+      Pruning.fileMightMatch(pred, f, ctx) &&
+        Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+    if (partial.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"predicate matches only part of ${partial.size} file(s); " +
+          "row-level delete (format v2) is not supported")
+    if (fullyMatching.isEmpty) return
+
+    val commitId = UUID.randomUUID().toString
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val spec = table.partitionSpec
+    val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+      val src = schema.fields.find(_.id == pf.sourceId).get
+      (pf, src.icebergTypeString,
+        partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+    }
+    // manifest of DELETED entries (readers fold them out, ice.py:196-203)
+    val manifestPath = s"$url/metadata/$commitId-m0.avro"
+    val deletedEntries = fullyMatching.map { f =>
+      val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
+        f.valueCounts, f.nullValueCounts)
+      val partValues = specInfo.map { case (pf, _, _) =>
+        f.partition.getOrElse(pf.name, null)
+      }
+      (f.filePath, f.fileSizeInBytes, stats, partValues)
+    }
+    writeManifest(manifestPath, snapshotId, deletedEntries, specInfo, conf,
+      status = Manifests.Status.Deleted)
+
+    val priorManifests = table.manifestList
+    val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+    val deletedRecords = fullyMatching.map(_.recordCount).sum
+    writeManifestList(manifestListPath, snapshotId, manifestPath,
+      0, 0L, Nil, priorManifests, conf)
+
+    val old = mapper.readTree(
+      readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+      .asInstanceOf[ObjectNode]
+    val now = System.currentTimeMillis()
+    val snap = mapper.createObjectNode()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
+    snap.put("timestamp-ms", now)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "delete")
+    summary.put("deleted-data-files", fullyMatching.size.toString)
+    summary.put("deleted-records", deletedRecords.toString)
+    val prevTotal = table.currentSnapshot.summary.get("total-records")
+      .map(_.toLong).getOrElse(0L)
+    summary.put("total-records", (prevTotal - deletedRecords).toString)
+    snap.set[ObjectNode]("summary", summary)
+    snap.put("manifest-list", manifestListPath)
+    snap.put("schema-id", schema.schemaId)
+    old.withArray[ArrayNode]("snapshots").add(snap)
+    old.put("current-snapshot-id", snapshotId)
+    old.put("last-updated-ms", now)
+    val newVersion = table.version + 1
+    writeString(s"$url/metadata/v$newVersion.metadata.json", old.toPrettyString, conf)
+    writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
+  }
+
   // ------------------------------------------------------------- stats
 
   final case class FileStats(recordCount: Long,
@@ -476,7 +555,8 @@ object IcebergWriter {
 
   private def writeManifest(path: String, snapshotId: Long,
       files: Seq[(String, Long, FileStats, Seq[Any])],
-      specInfo: Seq[(PartitionField, String, String)], conf: Configuration): Unit = {
+      specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
+      status: Int = Manifests.Status.Added): Unit = {
     val entrySchema = manifestEntrySchema(specInfo)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
@@ -505,7 +585,7 @@ object IcebergWriter {
         df.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds", stats.lowerBounds))
         df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", stats.upperBounds))
         val entry = new GenericData.Record(entrySchema)
-        entry.put("status", Manifests.Status.Added)
+        entry.put("status", status)
         entry.put("snapshot_id", snapshotId)
         entry.put("data_file", df)
         w.append(entry)

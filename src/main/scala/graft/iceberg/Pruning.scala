@@ -277,6 +277,24 @@ object Pruning {
   private def cmpGt(c: Option[Int]): Boolean = c.forall(_ > 0)
   private def cmpGe(c: Option[Int]): Boolean = c.forall(_ >= 0)
 
+  /** Logical negation of a predicate (for must-match-all-rows tests:
+    * a file matches `p` entirely iff it cannot match `negate(p)`). */
+  def negate(p: IcePredicate): IcePredicate = p match {
+    case Eq(c, v) => NotEq(c, v)
+    case NotEq(c, v) => Eq(c, v)
+    case Lt(c, v) => GtEq(c, v)
+    case LtEq(c, v) => Gt(c, v)
+    case Gt(c, v) => LtEq(c, v)
+    case GtEq(c, v) => Lt(c, v)
+    case IsNull(c) => NotNull(c)
+    case NotNull(c) => IsNull(c)
+    case And(l, r) => Or(negate(l), negate(r))
+    case Or(l, r) => And(negate(l), negate(r))
+    case In(c, vs) => vs.map(v => NotEq(c, v): IcePredicate)
+      .reduceOption(And.apply).getOrElse(AlwaysTrue)
+    case AlwaysTrue => throw new IllegalArgumentException("cannot negate TRUE")
+  }
+
   // ------------------------------------------------- Spark Filter bridge
 
   /** Translate Spark DSv2 pushed filters to IcePredicate (best-effort; filters
