@@ -98,7 +98,9 @@ final class IcebergTable private (
 
   // ------------------------------------------------------- manifest scan
 
-  def manifestList: Seq[ManifestFile] =
+  /** Memoized per table view — metadata files are immutable, so one
+    * manifest-list read serves every scan/stats call on this instance. */
+  lazy val manifestList: Seq[ManifestFile] =
     Manifests.readManifestList(rewriteManifestList(currentSnapshot.manifestList), conf)
 
   /** Live data files of the current snapshot: fold ADDED/EXISTING, drop
@@ -144,11 +146,19 @@ final class IcebergTable private (
   def readWhere(pred: IcePredicate, columns: Seq[String] = Nil): DataFrame =
     readPred(pred, columns, failOnEmpty = false)
 
+  /** Live files surviving BOTH pruning tiers (manifest summaries + file
+    * stats/partition values) — the planning entry point for the DSv2 scan. */
+  def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] = {
+    val ctx = pruningContext(partitionSpec)
+    liveFiles(pred).filter(f => fileMightMatch(pred, f, ctx))
+  }
+
+  /** Rewrite a metadata-embedded absolute path to the current table root. */
+  def resolvePath(p: String): String = rewrite(p)
+
   private[graft] def readPred(pred: IcePredicate, columns: Seq[String],
       failOnEmpty: Boolean): DataFrame = {
-    val spec = partitionSpec
-    val ctx = pruningContext(spec)
-    val files = liveFiles(pred).filter(f => fileMightMatch(pred, f, ctx))
+    val files = prunedFiles(pred)
     if (files.isEmpty && failOnEmpty)
       throw new IllegalArgumentException("No partitions pass filter(s)") // ice.py:248-249
     val base =

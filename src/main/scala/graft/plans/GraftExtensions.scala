@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.sources.GraftIcebergRelation
+import graft.sources.GraftIcebergV2Table
 
 /** Catalyst optimizer rule: answer `count(*)` over an Iceberg table from
   * manifest statistics — zero data I/O.
@@ -55,12 +55,17 @@ object CountFromIcebergStats extends Rule[LogicalPlan] {
           case _ => false
         } =>
       unwrap(child) match {
-        case LogicalRelation(rel: GraftIcebergRelation, _, _, _, _) =>
-          rel.table.countFromStats() match {
-            case Some(n) =>
-              val row = InternalRow.fromSeq(aggExprs.map(_ => n))
-              LocalRelation(agg.output.map(_.toAttribute), Seq(row))
-            case None => agg
+        // runs before V2ScanRelationPushDown, so the DSv2 relation is intact
+        case rel: DataSourceV2Relation =>
+          rel.table match {
+            case t: GraftIcebergV2Table =>
+              t.table.countFromStats() match {
+                case Some(n) =>
+                  val row = InternalRow.fromSeq(aggExprs.map(_ => n))
+                  LocalRelation(agg.output.map(_.toAttribute), Seq(row))
+                case None => agg
+              }
+            case _ => agg
           }
         case _ => agg
       }

@@ -1,0 +1,73 @@
+package org.apache.spark.sql.graftbridge
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Bridges to Spark's `private[sql]` scan machinery (same technique as
+  * ColumnBridge): lets the graft-iceberg DataSourceV2 connector plan scans
+  * over a metadata-known file list and delegate execution to Spark's
+  * vectorized, whole-stage-codegen'd parquet batch reader. */
+object ScanBridge {
+
+  /** A file index fed straight from Iceberg manifest metadata: paths and
+    * sizes are already known, so scan planning performs ZERO filesystem
+    * listing or stat calls — the property that makes Iceberg planning O(files
+    * in metadata) instead of O(directory tree), essential at 100 TB. */
+  final class KnownFilesIndex(
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      schema: StructType)
+    extends PartitioningAwareFileIndex(spark, Map.empty, Some(schema)) {
+
+    // Qualify against the filesystem (file:/…, s3a://…): the parent index
+    // looks paths up by their fully-qualified form. One FS handle per
+    // distinct scheme — no per-file I/O, makeQualified is pure URI work.
+    private val statuses: Seq[FileStatus] = {
+      val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
+      files.map { case (p, len) =>
+        val raw = new Path(p)
+        val fs = fsCache.getOrElseUpdate(
+          Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
+        new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, fs.makeQualified(raw))
+      }
+    }
+
+    override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+    override def rootPaths: Seq[Path] = statuses.map(_.getPath)
+    override def leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+      val m = mutable.LinkedHashMap.empty[Path, FileStatus]
+      statuses.foreach(s => m(s.getPath) = s)
+      m
+    }
+    override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+      statuses.groupBy(_.getPath.getParent).map { case (d, fs) => d -> fs.toArray }
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = files.map(_._2).sum
+  }
+
+  /** Build Spark's native parquet DSv2 scan (columnar batch reader, filter
+    * pushdown to row groups/pages, vectorized decode) over a known file list.
+    * `dataSchema` is the Iceberg snapshot schema: files missing evolved-in
+    * columns read back as nulls via parquet schema clipping. */
+  def parquetScan(
+      spark: SparkSession,
+      hadoopConf: Configuration,
+      files: Seq[(String, Long)],
+      dataSchema: StructType,
+      readDataSchema: StructType,
+      pushedFilters: Array[Filter],
+      options: CaseInsensitiveStringMap): Scan = {
+    val index = new KnownFilesIndex(spark, files, dataSchema)
+    ParquetScan(spark, hadoopConf, index, dataSchema, readDataSchema,
+      new StructType(), pushedFilters, options)
+  }
+}

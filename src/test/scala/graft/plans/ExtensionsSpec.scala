@@ -32,7 +32,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val df = icebergDf.groupBy().count()
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.contains("LocalRelation"), s"expected LocalRelation:\n$optimized")
-    assert(!optimized.contains("GraftIcebergRelation"), s"scan survived:\n$optimized")
+    assert(!optimized.contains("RelationV2"), s"scan survived:\n$optimized")
     assert(df.collect().head.getLong(0) == 5L)
   }
 

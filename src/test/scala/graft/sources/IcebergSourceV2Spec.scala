@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSourceV2 `graft-iceberg` connector must produce a columnar
+  * BatchScan inside whole-stage codegen (the round-1 V1 path severed codegen
+  * via df.rdd), report Iceberg-manifest statistics to the optimizer, and
+  * keep filter/column pushdown + time travel semantics. */
+class IcebergSourceV2Spec extends AnyFunSuite {
+
+  val FixtureDir = "/root/reference/test-data/my_table"
+  val FixtureOrig = "/Users/mdurant/temp/warehouse/db/my_table"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-source-v2-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixtureDf = spark.read.format("graft-iceberg")
+    .option("original-url", FixtureOrig).load(FixtureDir)
+
+  test("physical plan is a BatchScan inside WholeStageCodegen") {
+    val df = fixtureDf.filter(col("age") > 30).select("name", "age")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BatchScan"), s"no BatchScan:\n$plan")
+    val wsc = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, s"no WholeStageCodegen span:\n$plan")
+    // the scan feeds codegen'd operators — not an RDD conversion boundary
+    assert(!plan.toString.contains("Scan ExistingRDD"), s"RDD bridge present:\n$plan")
+  }
+
+  test("filter pushdown reaches the scan and prunes files") {
+    val df = fixtureDf.filter(col("age") > 30)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") && formatted.contains("age"),
+      s"filter not pushed:\n$formatted")
+    assert(df.collect().map(_.getInt(1)).forall(_ > 30))
+    assert(df.count() == 2)
+  }
+
+  test("scan reports manifest statistics (exact rows + bytes)") {
+    val stats = fixtureDf.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0)
+    // rowCount propagates from SupportsReportStatistics when CBO reads V2 stats
+    val scan = new GraftIcebergScanBuilder(
+      new GraftIcebergV2Table(graft.iceberg.IcebergTable.load(
+        spark, FixtureDir, Some(FixtureOrig))),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(new java.util.HashMap()))
+      .build().asInstanceOf[GraftIcebergScan]
+    val s = scan.estimateStatistics()
+    assert(s.numRows().getAsLong == 5L)
+    assert(s.sizeInBytes().getAsLong > 0)
+  }
+
+  test("time travel options flow through the V2 provider") {
+    val prev = spark.read.format("graft-iceberg")
+      .option("original-url", FixtureOrig)
+      .option("rel", "-1").load(FixtureDir)
+    assert(prev.count() == 4)
+    // snapshot -1 predates the email column
+    assert(!prev.columns.contains("email") || prev.filter(col("email").isNotNull).count() == 0)
+  }
+
+  test("schema evolution: pre-evolution files read back null for new columns") {
+    val df = fixtureDf.select(col("name"), col("email"))
+    assert(df.count() == 5)
+  }
+
+  test("column pruning reaches the parquet read schema") {
+    val df = fixtureDf.select("name")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("ReadSchema") || df.columns.sameElements(Array("name")))
+    assert(df.count() == 5)
+  }
+}
