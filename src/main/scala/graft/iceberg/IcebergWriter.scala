@@ -137,22 +137,23 @@ object IcebergWriter {
         case "timestamp" | "timestamptz" => unix_micros(c.cast("timestamp"))
         case _ => c
       }
-      case Transforms.Bucket(_) =>
-        val f = srcType match {
-          case "string" => udf((s: String) =>
-            if (s == null) null else Int.box(tr(s, srcType).get.asInstanceOf[Long].toInt))
-          case "int" | "long" => udf((l: java.lang.Long) =>
-            if (l == null) null else Int.box(tr(l.longValue(), srcType).get.asInstanceOf[Long].toInt))
+      case Transforms.Bucket(n) =>
+        // native Catalyst expression (murmur3 over spec-serialized form):
+        // the write projection stays inside whole-stage codegen, no UDF SerDe
+        val in = srcType match {
+          case "string" | "binary" => c
+          case "int" | "long" => c.cast("long")
+          case t if t.startsWith("decimal") => c
           case other => throw new IllegalArgumentException(s"bucket on $other unsupported")
         }
-        if (srcType == "int" || srcType == "long") f(c.cast("long")) else f(c)
+        TransformExpr.bucket(in, n)
       case t: Transforms.TimeTransform =>
-        val f = udf((micros: java.lang.Long) =>
-          if (micros == null) null
-          else Int.box(t(micros.longValue(), "timestamp").get.asInstanceOf[Long].toInt))
         srcType match {
-          case "timestamp" | "timestamptz" => f(unix_micros(c.cast("timestamp")))
-          case "date" => f(datediff(c, to_date(lit("1970-01-01"))).cast("long") * 86400000000L)
+          case "timestamp" | "timestamptz" =>
+            TransformExpr.time(unix_micros(c.cast("timestamp")), t.name)
+          case "date" =>
+            TransformExpr.time(
+              datediff(c, to_date(lit("1970-01-01"))).cast("long") * 86400000000L, t.name)
           case other => throw new IllegalArgumentException(s"${t.name} on $other unsupported")
         }
       case Transforms.Truncate(w) => srcType match {
@@ -221,9 +222,13 @@ object IcebergWriter {
     val fs = new Path(dataDir).getFileSystem(conf)
     val files = listParquetFiles(fs, new Path(dataDir))
 
-    // 2. per-file stats from parquet footers + partition values from dirs
+    // 2. per-file stats from parquet footers (harvested on EXECUTORS — a
+    // commit of thousands of files must not serialize footer reads on the
+    // driver) + partition values parsed from the directory names
+    val statsByPath = collectStats(spark,
+      files.map(st => (st.getPath.toString, st.getLen)), schema, conf)
     val dataFiles = files.map { st =>
-      val stats = footerStats(st.getPath, conf, schema)
+      val stats = statsByPath(st.getPath.toString)
       val partValues: Seq[Any] = specInfo.map { case (pf, _, valueType) =>
         parsePartitionValue(st.getPath.toString, s"_p_${pf.name}", valueType)
       }
@@ -381,6 +386,28 @@ object IcebergWriter {
   final case class FileStats(recordCount: Long,
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long])
+
+  /** Files-per-commit threshold below which a distributed stats job costs
+    * more than it saves (job-launch overhead vs a couple of footer reads). */
+  private val DistributedStatsThreshold = 8
+
+  /** Harvest footer stats for every written file. Small commits read footers
+    * on the driver; larger ones fan the reads out over the cluster so commit
+    * latency stays flat as file count grows (the round-1 driver loop
+    * serialized on thousands of footers at scale). */
+  private[iceberg] def collectStats(spark: SparkSession,
+      files: Seq[(String, Long)], schema: IceSchema,
+      conf: Configuration): Map[String, FileStats] = {
+    if (files.size <= DistributedStatsThreshold) {
+      files.map { case (p, _) => p -> footerStats(new Path(p), conf, schema) }.toMap
+    } else {
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val parallelism = math.min(files.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(files.map(_._1), parallelism)
+        .map(p => p -> footerStats(new Path(p), serConf.value, schema))
+        .collect().toMap
+    }
+  }
 
   /** Harvest record count + per-column min/max from the parquet footer and
     * encode as Iceberg bound bytes. */

@@ -90,4 +90,45 @@ class IcebergWriterSpec extends AnyFunSuite {
     val df = spark.read.format("graft-iceberg").load(url)
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
+
+  test("large append harvests footer stats via a distributed job, not a driver loop") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema,
+      partitions = Seq("id" -> "bucket[32]"))
+    // 32 buckets over 4 tasks → ≥32 files in one commit
+    IcebergWriter.append(spark, url,
+      (1L to 2000L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score"))
+    val t = IcebergTable.load(spark, url)
+    val files = t.liveFiles()
+    assert(files.size >= 32, s"expected >=32 files, got ${files.size}")
+    // every file carries footer-derived bounds and exact record counts
+    assert(files.forall(_.lowerBounds.nonEmpty))
+    assert(files.map(_.recordCount).sum == 2000L)
+    assert(t.countFromStats().contains(2000L))
+    // bounds are correct: a pruned point-read returns exactly one row
+    assert(t.read(filters = Seq(Seq(("id", "==", 1234)))).count() == 1)
+  }
+
+  test("collectStats distributed path agrees with the driver path") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 500L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+        .repartition(12)) // 12 files > threshold → distributed harvest
+    val t = IcebergTable.load(spark, url)
+    val files = t.liveFiles()
+    assert(files.size == 12)
+    // recompute the same stats on the driver and compare bound bytes
+    val conf = spark.sessionState.newHadoopConf()
+    val driverSide = IcebergWriter.collectStats(spark,
+      files.take(1).map(f => (t.resolvePath(f.filePath), f.fileSizeInBytes)),
+      t.iceSchema, conf)
+    val (_, st) = driverSide.head
+    val manifestSide = files.find(f => t.resolvePath(f.filePath) == driverSide.head._1).get
+    assert(st.recordCount == manifestSide.recordCount)
+    assert(st.lowerBounds.keySet == manifestSide.lowerBounds.keySet)
+    st.lowerBounds.foreach { case (id, b) =>
+      assert(java.util.Arrays.equals(b, manifestSide.lowerBounds(id)), s"field $id lower")
+    }
+  }
 }
