@@ -143,7 +143,33 @@ object IceQueries {
       .toDF("rows_after_delete", "rows_before_delete", "operation", "rows_from_stats")
   }
 
+  /** Single-snapshot overwrite: DELETED + ADDED entries in ONE snapshot with
+    * operation=overwrite (the fixture's own v5 history shape). Time travel
+    * one step restores the pre-overwrite data. */
+  def iceWriteOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_wrto").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
+      partitions = Seq("cat" -> "identity"))
+    IcebergWriter.append(s, url, (1L to 60L).map(i => (i, s"c${i % 3}")).toDF("k", "cat"))
+    // replace partition c1 with two fresh rows, in one snapshot
+    IcebergWriter.overwrite(s, url,
+      Seq((1001L, "c1"), (1002L, "c1")).toDF("k", "cat"), Pruning.Eq("cat", "c1"))
+    val t = IcebergTable.load(s, url)
+    Seq((t.read().count(),
+        t.read(filters = Seq(Seq(("cat", "==", "c1")))).count(),
+        t.snapshotRelative(-1).read().count(),
+        t.summary.getOrElse("operation", ""),
+        t.snapshots.size))
+      .toDF("rows_after", "c1_rows_after", "rows_before", "operation", "n_snapshots")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_sql_source"       -> (iceSqlSource _),
     "ice_source_timetravel" -> (iceSourceTimeTravel _),
     "ice_write_roundtrip"  -> (iceWriteRoundtrip _),

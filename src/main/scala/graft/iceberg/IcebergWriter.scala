@@ -181,7 +181,25 @@ object IcebergWriter {
     }
 
   /** Append `df` as a new snapshot. The table must exist (see createTable). */
-  def append(spark: SparkSession, url: String, df: DataFrame): Unit = {
+  def append(spark: SparkSession, url: String, df: DataFrame): Unit =
+    writeSnapshot(spark, url, df, deletePred = None, operation = "append")
+
+  /** Replace the rows matching `pred` with `df` in ONE snapshot
+    * (`operation=overwrite`, DELETED + ADDED entries in the same manifest) —
+    * the same single-snapshot shape the golden fixture's own history has
+    * (v5.metadata.json; reconciliation `ice.py:196-203`).
+    *
+    * Like [[deleteWhere]], files that would be split by the predicate raise:
+    * v1 metadata can only delete whole files (row-level rewrites are the v2
+    * merge-on-read path, see position deletes). `AlwaysTrue` replaces the
+    * whole table.
+    */
+  def overwrite(spark: SparkSession, url: String, df: DataFrame,
+      pred: Pruning.IcePredicate = Pruning.AlwaysTrue): Unit =
+    writeSnapshot(spark, url, df, deletePred = Some(pred), operation = "overwrite")
+
+  private def writeSnapshot(spark: SparkSession, url: String, df: DataFrame,
+      deletePred: Option[Pruning.IcePredicate], operation: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -196,6 +214,29 @@ object IcebergWriter {
         .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
       val valueType = partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform))
       (pf, src.icebergTypeString, valueType)
+    }
+
+    // 0. (overwrite only) resolve which existing files the predicate deletes;
+    // refuse predicates that would split a file (v1 = whole-file deletes)
+    val deletedFiles: Seq[Manifests.DataFileInfo] = deletePred match {
+      case None => Nil
+      case Some(Pruning.AlwaysTrue) => // full-table replace
+        if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
+      case Some(pred) =>
+        val ctx = Pruning.Context(
+          table.iceSchema.fields.map(f =>
+            f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+          spec)
+        val live = table.liveFiles()
+        val fully = live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+        val partial = live.filter(f =>
+          Pruning.fileMightMatch(pred, f, ctx) &&
+            Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+        if (partial.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"predicate matches only part of ${partial.size} file(s); " +
+              "use deleteRows (format v2 position deletes) for row-level overwrite")
+        fully
     }
 
     // 1. data files (one dir per commit so new files are identifiable).
@@ -235,10 +276,20 @@ object IcebergWriter {
       (st.getPath.toUri.getPath, st.getLen, stats, partValues)
     }
 
-    // 3. new manifest
+    // 3. ONE manifest holding DELETED entries (if overwriting) + ADDED ones
     val manifestPath = s"$url/metadata/$commitId-m0.avro"
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    writeManifest(manifestPath, snapshotId, dataFiles, specInfo, conf)
+    val deletedEntries = deletedFiles.map { f =>
+      val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
+        f.valueCounts, f.nullValueCounts)
+      val partValues = specInfo.map { case (pf, _, _) => f.partition.getOrElse(pf.name, null) }
+      (f.filePath, f.fileSizeInBytes, stats, partValues, Manifests.Status.Deleted)
+    }
+    val addedEntries = dataFiles.map { case (p, len, stats, pv) =>
+      (p, len, stats, pv, Manifests.Status.Added)
+    }
+    writeManifestEntries(manifestPath, snapshotId, deletedEntries ++ addedEntries,
+      specInfo, conf)
 
     // 4. manifest list = prior snapshot's manifests + the new one; the new
     // manifest gets per-partition-field summaries for manifest-tier pruning
@@ -246,9 +297,12 @@ object IcebergWriter {
       if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil
     val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
     val addedRecords = dataFiles.map(_._3.recordCount).sum
+    val deletedRecords = deletedFiles.map(_.recordCount).sum
     val summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])] =
       specInfo.zipWithIndex.map { case ((_, _, valueType), i) =>
-        val values = dataFiles.map(_._4(i))
+        // summaries must cover deleted entries too (pruning soundness: a
+        // manifest skipped by summary must not hide a DELETED entry)
+        val values = dataFiles.map(_._4(i)) ++ deletedEntries.map(_._4(i))
         val nonNull = values.filter(_ != null)
         val containsNull = values.exists(_ == null)
         if (nonNull.isEmpty) (containsNull, None, None)
@@ -262,7 +316,8 @@ object IcebergWriter {
         }
       }
     writeManifestList(manifestListPath, snapshotId, manifestPath,
-      dataFiles.size, addedRecords, summaries, priorManifests, conf)
+      dataFiles.size, addedRecords, summaries, priorManifests, conf,
+      deletedFiles = deletedFiles.size, deletedRows = deletedRecords)
 
     // 5. new metadata version
     val old = mapper.readTree(
@@ -275,15 +330,19 @@ object IcebergWriter {
       snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
     snap.put("timestamp-ms", now)
     val summary = mapper.createObjectNode()
-    summary.put("operation", "append")
+    summary.put("operation", operation)
     summary.put("added-data-files", dataFiles.size.toString)
     summary.put("added-records", addedRecords.toString)
-    val totalRecords = addedRecords + table.metadata.snapshots
+    if (deletedFiles.nonEmpty) {
+      summary.put("deleted-data-files", deletedFiles.size.toString)
+      summary.put("deleted-records", deletedRecords.toString)
+    }
+    val totalRecords = addedRecords - deletedRecords + table.metadata.snapshots
       .find(_.snapshotId == table.metadata.currentSnapshotId)
       .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
     summary.put("total-records", totalRecords.toString)
     summary.put("total-data-files",
-      (dataFiles.size + priorManifests.map(m =>
+      (dataFiles.size - deletedFiles.size + priorManifests.map(m =>
         m.addedFilesCount.getOrElse(0) + m.existingFilesCount.getOrElse(0)).sum).toString)
     snap.set[ObjectNode]("summary", summary)
     snap.put("manifest-list", manifestListPath)
@@ -583,12 +642,20 @@ object IcebergWriter {
   private def writeManifest(path: String, snapshotId: Long,
       files: Seq[(String, Long, FileStats, Seq[Any])],
       specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
-      status: Int = Manifests.Status.Added): Unit = {
+      status: Int = Manifests.Status.Added): Unit =
+    writeManifestEntries(path, snapshotId,
+      files.map { case (p, len, st, pv) => (p, len, st, pv, status) }, specInfo, conf)
+
+  /** Write one manifest with a per-entry status — a single-snapshot
+    * overwrite interleaves DELETED and ADDED entries in the same file. */
+  private def writeManifestEntries(path: String, snapshotId: Long,
+      files: Seq[(String, Long, FileStats, Seq[Any], Int)],
+      specInfo: Seq[(PartitionField, String, String)], conf: Configuration): Unit = {
     val entrySchema = manifestEntrySchema(specInfo)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     writeAvro(path, entrySchema, conf) { w =>
-      files.foreach { case (filePath, size, stats, partValues) =>
+      files.foreach { case (filePath, size, stats, partValues, status) =>
         val df = new GenericData.Record(dataFileSchema)
         df.put("file_path", filePath)
         df.put("file_format", "PARQUET")
@@ -623,7 +690,8 @@ object IcebergWriter {
   private def writeManifestList(path: String, snapshotId: Long, newManifest: String,
       addedFiles: Int, addedRows: Long,
       summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
-      prior: Seq[Manifests.ManifestFile], conf: Configuration): Unit = {
+      prior: Seq[Manifests.ManifestFile], conf: Configuration,
+      deletedFiles: Int = 0, deletedRows: Long = 0L): Unit = {
     val fs = new Path(newManifest).getFileSystem(conf)
     val newLen = fs.getFileStatus(new Path(newManifest)).getLen
     val summarySchema = ManifestFileSchema.getField("partitions").schema()
@@ -648,11 +716,11 @@ object IcebergWriter {
       rec.put("added_snapshot_id", snapshotId)
       rec.put("added_data_files_count", addedFiles)
       rec.put("existing_data_files_count", 0)
-      rec.put("deleted_data_files_count", 0)
+      rec.put("deleted_data_files_count", deletedFiles)
       if (summaries.nonEmpty) rec.put("partitions", summaryArray(summaries))
       rec.put("added_rows_count", addedRows)
       rec.put("existing_rows_count", 0L)
-      rec.put("deleted_rows_count", 0L)
+      rec.put("deleted_rows_count", deletedRows)
       w.append(rec)
       prior.foreach { m =>
         val r = new GenericData.Record(ManifestFileSchema)
