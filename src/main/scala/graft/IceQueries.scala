@@ -168,8 +168,31 @@ object IceQueries {
       .toDF("rows_after", "c1_rows_after", "rows_before", "operation", "n_snapshots")
   }
 
+  /** Iceberg v2 row-level delete: the predicate splits a file, matching
+    * positions land in a position-delete file, reads merge-on-read. */
+  def iceWriteDeleteRows(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_wrtr").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url,
+      (1L to 100L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 40), Pruning.Lt("k", 60)))
+    val t = IcebergTable.load(s, url)
+    Seq((t.read().count(), t.countFromStats().getOrElse(-1L),
+        t.positionDeleteFiles.size.toLong,
+        t.snapshotRelative(-1).read().count(),
+        t.summary.getOrElse("operation", "")))
+      .toDF("rows_after", "rows_from_stats", "n_delete_files", "rows_before", "operation")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
+    "ice_write_delete_rows" -> (iceWriteDeleteRows _),
     "ice_sql_source"       -> (iceSqlSource _),
     "ice_source_timetravel" -> (iceSourceTimeTravel _),
     "ice_write_roundtrip"  -> (iceWriteRoundtrip _),

@@ -105,13 +105,17 @@ final class IcebergTable private (
 
   /** Live data files of the current snapshot: fold ADDED/EXISTING, drop
     * DELETED (`_scan_manifest`, ice.py:165-204), with manifest-tier pruning
-    * and parallel manifest fetch (fixes the reference's TODO ice.py:185). */
+    * and parallel manifest fetch (fixes the reference's TODO ice.py:185).
+    * Delete manifests (v2 content=1) are excluded — their files are
+    * position-delete files, applied by [[readPred]] merge-on-read. */
   def liveFiles(pred: IcePredicate = AlwaysTrue): Seq[DataFileInfo] = {
     val c = conf
-    val kept = manifestList.filter { mf =>
-      val ctx = pruningContext(metadata.specById(mf.partitionSpecId))
-      manifestMightMatch(pred, mf, ctx)
-    }
+    val kept = manifestList
+      .filter(_.content == Manifests.ManifestContent.Data)
+      .filter { mf =>
+        val ctx = pruningContext(metadata.specById(mf.partitionSpecId))
+        manifestMightMatch(pred, mf, ctx)
+      }
     val entryLists = Manifests.readManifests(kept.map(m => rewrite(m.path)), c)
     val allFiles = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
     val deleted = scala.collection.mutable.Set.empty[String]
@@ -146,6 +150,31 @@ final class IcebergTable private (
   def readWhere(pred: IcePredicate, columns: Seq[String] = Nil): DataFrame =
     readPred(pred, columns, failOnEmpty = false)
 
+  /** Live position-delete files of the current snapshot (Iceberg v2
+    * merge-on-read): ADDED/EXISTING entries of delete-content manifests.
+    * Positions stay valid for as long as their target data file is live —
+    * data files are immutable and this writer never compacts in place — so
+    * no sequence-number scoping is needed to apply them. */
+  lazy val positionDeleteFiles: Seq[DataFileInfo] = {
+    val deleteManifests = manifestList.filter(_.content == Manifests.ManifestContent.Deletes)
+    if (deleteManifests.isEmpty) Seq.empty
+    else {
+      val entryLists = Manifests.readManifests(deleteManifests.map(m => rewrite(m.path)), conf)
+      val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
+      val dropped = scala.collection.mutable.Set.empty[String]
+      for (entries <- entryLists; e <- entries) {
+        val path = rewrite(e.dataFile.filePath)
+        e.status match {
+          case Status.Added | Status.Existing => live(path) = e.dataFile
+          case Status.Deleted => dropped += path
+          case other => throw new IllegalStateException(s"invalid manifest status $other")
+        }
+      }
+      dropped.foreach(live.remove)
+      live.values.toSeq
+    }
+  }
+
   /** Live files surviving BOTH pruning tiers (manifest summaries + file
     * stats/partition values) — the planning entry point for the DSv2 scan. */
   def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] = {
@@ -164,27 +193,34 @@ final class IcebergTable private (
     val base =
       if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else spark.read.schema(schema).parquet(files.map(f => rewrite(f.filePath)): _*)
-    val filtered = toColumn(pred).map(base.filter).getOrElse(base)
+    val merged = if (files.isEmpty) base else applyPositionDeletes(base)
+    val filtered = Pruning.toColumn(pred).map(merged.filter).getOrElse(merged)
     if (columns.nonEmpty) filtered.select(columns.map(col): _*) else filtered
   }
 
-  /** IcePredicate → Spark Column for exact row-level filtering. */
-  private def toColumn(p: IcePredicate): Option[Column] = p match {
-    case AlwaysTrue => None
-    case Eq(c, v) => Some(col(c) === lit(v))
-    case NotEq(c, v) => Some(col(c) =!= lit(v))
-    case Lt(c, v) => Some(col(c) < lit(v))
-    case LtEq(c, v) => Some(col(c) <= lit(v))
-    case Gt(c, v) => Some(col(c) > lit(v))
-    case GtEq(c, v) => Some(col(c) >= lit(v))
-    case In(c, vs) => Some(col(c).isin(vs: _*))
-    case IsNull(c) => Some(col(c).isNull)
-    case NotNull(c) => Some(col(c).isNotNull)
-    case And(l, r) => (toColumn(l), toColumn(r)) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case (a, b) => a.orElse(b)
+  /** Merge-on-read for v2 position deletes: anti-join the scan against the
+    * delete files on (data-file key, row position). The key is the path
+    * suffix after the table's `data/` dir (commit UUID + partition dirs +
+    * part name) — unique within a table, and stable across table relocation
+    * (`original_url` prefix rewrites) and file:/ vs s3a:// qualification
+    * differences. The anti-join is broadcast-able; Catalyst/AQE sizes it. */
+  private def applyPositionDeletes(base: DataFrame): DataFrame = {
+    val deletes = positionDeleteFiles
+    if (deletes.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.regexp_extract
+      def key(c: Column): Column = regexp_extract(c, "/data/(.*)$", 1)
+      val delDf = spark.read.parquet(deletes.map(f => rewrite(f.filePath)): _*)
+        .select(key(col("file_path")).as("_g_del_key"), col("pos").as("_g_del_pos"))
+        .filter(col("_g_del_key") =!= "")
+      val keyed = base
+        .withColumn("_g_key", key(col("_metadata.file_path")))
+        .withColumn("_g_pos", col("_metadata.row_index"))
+      keyed.join(delDf,
+          keyed("_g_key") === delDf("_g_del_key") && keyed("_g_pos") === delDf("_g_del_pos"),
+          "left_anti")
+        .drop("_g_key", "_g_pos")
     }
-    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
   }
 
   // ------------------------------------------------- metadata-only queries
@@ -204,9 +240,11 @@ final class IcebergTable private (
     * data I/O (the reference exposes the stats but never uses them,
     * README.md:95-96). */
   def countFromStats(pred: IcePredicate = AlwaysTrue): Option[Long] = {
-    val ctx = pruningContext(partitionSpec)
     val files = liveFiles(pred)
-    if (pred == AlwaysTrue) Some(files.map(_.recordCount).sum)
+    if (pred == AlwaysTrue)
+      // exact with v2 deletes too: every position-delete row removes exactly
+      // one live data row (positions target live immutable files)
+      Some(files.map(_.recordCount).sum - positionDeleteFiles.map(_.recordCount).sum)
     else None // would need residual evaluation; only exact for full scans
   }
 

@@ -440,6 +440,141 @@ object IcebergWriter {
     writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
   }
 
+  /** Row-level delete via Iceberg v2 POSITION DELETES (merge-on-read).
+    *
+    * Files whose statistics prove every row matches are dropped whole (v1
+    * DELETED entries — cheapest). Files the predicate splits get their
+    * matching row positions computed by a DISTRIBUTED scan (`_metadata
+    * .row_index`), written to a position-delete parquet (`file_path`,
+    * `pos`), and registered in a delete-content manifest (v2 fields 517/134).
+    * Readers apply them as an anti-join on (file name, position) — see
+    * `IcebergTable.applyPositionDeletes`. The commit bumps the table to
+    * format-version 2.
+    */
+  def deleteRows(spark: SparkSession, url: String, pred: Pruning.IcePredicate): Unit = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    val schema = table.iceSchema
+    val ctx = Pruning.Context(
+      schema.fields.map(f =>
+        f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+      table.partitionSpec)
+    val live = table.liveFiles()
+    val fully = live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+    val candidates = live.filter(f =>
+      Pruning.fileMightMatch(pred, f, ctx) &&
+        Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+    if (fully.isEmpty && candidates.isEmpty) return
+
+    val commitId = UUID.randomUUID().toString
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val spec = table.partitionSpec
+    val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+      val src = schema.fields.find(_.id == pf.sourceId).get
+      (pf, src.icebergTypeString,
+        partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+    }
+
+    // 1. position-delete file for split files: distributed position scan
+    var posDeleteCount = 0L
+    val deleteManifest: Option[NewManifestInfo] =
+      if (candidates.isEmpty) None
+      else {
+        val predCol = Pruning.toColumn(pred).getOrElse(
+          throw new IllegalStateException("row-level delete needs a concrete predicate"))
+        val delDir = s"$url/data/$commitId-deletes"
+        spark.read.schema(table.schema)
+          .parquet(candidates.map(f => table.resolvePath(f.filePath)): _*)
+          .filter(predCol)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"))
+          .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
+          .write.parquet(delDir)
+        val fs = new Path(delDir).getFileSystem(conf)
+        val delFiles = listParquetFiles(fs, new Path(delDir))
+        val entries = delFiles.map { st =>
+          val rows = rowCountOf(st.getPath, conf)
+          posDeleteCount += rows
+          (st.getPath.toUri.getPath, st.getLen,
+            FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+            specInfo.map(_ => null: Any), Manifests.Status.Added)
+        }.filter(_._3.recordCount > 0)
+        if (entries.isEmpty) None // stats said "might match" but no rows did
+        else {
+          val manifestPath = s"$url/metadata/$commitId-m1.avro"
+          writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+            fileContent = Manifests.FileContent.PositionDeletes)
+          Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+            entries.size, posDeleteCount, 0, 0L, Nil))
+        }
+      }
+
+    // 2. whole-file DELETED entries for fully matching files
+    val dataManifest: Option[NewManifestInfo] =
+      if (fully.isEmpty) None
+      else {
+        val manifestPath = s"$url/metadata/$commitId-m0.avro"
+        val deletedEntries = fully.map { f =>
+          val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
+            f.valueCounts, f.nullValueCounts)
+          val partValues = specInfo.map { case (pf, _, _) =>
+            f.partition.getOrElse(pf.name, null)
+          }
+          (f.filePath, f.fileSizeInBytes, stats, partValues, Manifests.Status.Deleted)
+        }
+        writeManifestEntries(manifestPath, snapshotId, deletedEntries, specInfo, conf)
+        Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
+          0, 0L, fully.size, fully.map(_.recordCount).sum, Nil))
+      }
+
+    if (deleteManifest.isEmpty && dataManifest.isEmpty) return // nothing matched
+
+    // 3. manifest list + metadata commit (format v2: row-level deletes)
+    val priorManifests = table.manifestList
+    val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+    writeManifestLists(manifestListPath, snapshotId,
+      dataManifest.toSeq ++ deleteManifest.toSeq, priorManifests, conf)
+
+    val deletedRecords = fully.map(_.recordCount).sum + posDeleteCount
+    val old = mapper.readTree(
+      readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+      .asInstanceOf[ObjectNode]
+    old.put("format-version", 2)
+    val now = System.currentTimeMillis()
+    val snap = mapper.createObjectNode()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
+    snap.put("timestamp-ms", now)
+    val summary = mapper.createObjectNode()
+    summary.put("operation", "delete")
+    summary.put("deleted-data-files", fully.size.toString)
+    summary.put("deleted-records", deletedRecords.toString)
+    if (posDeleteCount > 0) {
+      summary.put("added-delete-files", "1")
+      summary.put("added-position-deletes", posDeleteCount.toString)
+    }
+    val prevTotal = table.currentSnapshot.summary.get("total-records")
+      .map(_.toLong).getOrElse(0L)
+    summary.put("total-records", (prevTotal - deletedRecords).toString)
+    snap.set[ObjectNode]("summary", summary)
+    snap.put("manifest-list", manifestListPath)
+    snap.put("schema-id", schema.schemaId)
+    old.withArray[ArrayNode]("snapshots").add(snap)
+    old.put("current-snapshot-id", snapshotId)
+    old.put("last-updated-ms", now)
+    val newVersion = table.version + 1
+    writeString(s"$url/metadata/v$newVersion.metadata.json", old.toPrettyString, conf)
+    writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
+  }
+
+  /** Row count straight from the parquet footer (no data read). */
+  private def rowCountOf(path: Path, conf: Configuration): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   // ------------------------------------------------------------- stats
 
   final case class FileStats(recordCount: Long,
@@ -575,6 +710,7 @@ object IcebergWriter {
       {"name": "status", "type": "int", "field-id": 0},
       {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
       {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": ["null", "int"], "default": null, "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
         {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [$partFields]}, "field-id": 102},
@@ -623,7 +759,8 @@ object IcebergWriter {
         ]}, "element-id": 508}], "default": null, "field-id": 507},
       {"name": "added_rows_count", "type": ["null", "long"], "default": null, "field-id": 512},
       {"name": "existing_rows_count", "type": ["null", "long"], "default": null, "field-id": 513},
-      {"name": "deleted_rows_count", "type": ["null", "long"], "default": null, "field-id": 514}
+      {"name": "deleted_rows_count", "type": ["null", "long"], "default": null, "field-id": 514},
+      {"name": "content", "type": ["null", "int"], "default": null, "field-id": 517}
     ]}""")
 
   private def kvArray(schema: Schema, field: String, m: Map[Int, _]): java.util.List[GenericRecord] = {
@@ -647,16 +784,20 @@ object IcebergWriter {
       files.map { case (p, len, st, pv) => (p, len, st, pv, status) }, specInfo, conf)
 
   /** Write one manifest with a per-entry status — a single-snapshot
-    * overwrite interleaves DELETED and ADDED entries in the same file. */
+    * overwrite interleaves DELETED and ADDED entries in the same file.
+    * `fileContent` marks every data_file as data (0) or position deletes (1,
+    * Iceberg v2 field 134). */
   private def writeManifestEntries(path: String, snapshotId: Long,
       files: Seq[(String, Long, FileStats, Seq[Any], Int)],
-      specInfo: Seq[(PartitionField, String, String)], conf: Configuration): Unit = {
+      specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
+      fileContent: Int = Manifests.FileContent.Data): Unit = {
     val entrySchema = manifestEntrySchema(specInfo)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
     writeAvro(path, entrySchema, conf) { w =>
       files.foreach { case (filePath, size, stats, partValues, status) =>
         val df = new GenericData.Record(dataFileSchema)
+        df.put("content", fileContent)
         df.put("file_path", filePath)
         df.put("file_format", "PARQUET")
         val part = new GenericData.Record(partSchema)
@@ -687,13 +828,23 @@ object IcebergWriter {
     }
   }
 
+  /** A freshly written manifest to be registered in the manifest list. */
+  private final case class NewManifestInfo(path: String, content: Int,
+      addedFiles: Int, addedRows: Long, deletedFiles: Int, deletedRows: Long,
+      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
+
   private def writeManifestList(path: String, snapshotId: Long, newManifest: String,
       addedFiles: Int, addedRows: Long,
       summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
       prior: Seq[Manifests.ManifestFile], conf: Configuration,
-      deletedFiles: Int = 0, deletedRows: Long = 0L): Unit = {
-    val fs = new Path(newManifest).getFileSystem(conf)
-    val newLen = fs.getFileStatus(new Path(newManifest)).getLen
+      deletedFiles: Int = 0, deletedRows: Long = 0L): Unit =
+    writeManifestLists(path, snapshotId,
+      Seq(NewManifestInfo(newManifest, Manifests.ManifestContent.Data,
+        addedFiles, addedRows, deletedFiles, deletedRows, summaries)), prior, conf)
+
+  private def writeManifestLists(path: String, snapshotId: Long,
+      newManifests: Seq[NewManifestInfo],
+      prior: Seq[Manifests.ManifestFile], conf: Configuration): Unit = {
     val summarySchema = ManifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
 
@@ -709,19 +860,23 @@ object IcebergWriter {
     }
 
     writeAvro(path, ManifestFileSchema, conf) { w =>
-      val rec = new GenericData.Record(ManifestFileSchema)
-      rec.put("manifest_path", newManifest)
-      rec.put("manifest_length", newLen)
-      rec.put("partition_spec_id", 0)
-      rec.put("added_snapshot_id", snapshotId)
-      rec.put("added_data_files_count", addedFiles)
-      rec.put("existing_data_files_count", 0)
-      rec.put("deleted_data_files_count", deletedFiles)
-      if (summaries.nonEmpty) rec.put("partitions", summaryArray(summaries))
-      rec.put("added_rows_count", addedRows)
-      rec.put("existing_rows_count", 0L)
-      rec.put("deleted_rows_count", deletedRows)
-      w.append(rec)
+      newManifests.foreach { nm =>
+        val fs = new Path(nm.path).getFileSystem(conf)
+        val rec = new GenericData.Record(ManifestFileSchema)
+        rec.put("manifest_path", nm.path)
+        rec.put("manifest_length", fs.getFileStatus(new Path(nm.path)).getLen)
+        rec.put("partition_spec_id", 0)
+        rec.put("added_snapshot_id", snapshotId)
+        rec.put("added_data_files_count", nm.addedFiles)
+        rec.put("existing_data_files_count", 0)
+        rec.put("deleted_data_files_count", nm.deletedFiles)
+        if (nm.summaries.nonEmpty) rec.put("partitions", summaryArray(nm.summaries))
+        rec.put("added_rows_count", nm.addedRows)
+        rec.put("existing_rows_count", 0L)
+        rec.put("deleted_rows_count", nm.deletedRows)
+        rec.put("content", nm.content)
+        w.append(rec)
+      }
       prior.foreach { m =>
         val r = new GenericData.Record(ManifestFileSchema)
         r.put("manifest_path", m.path)
@@ -737,6 +892,7 @@ object IcebergWriter {
         r.put("added_rows_count", m.addedRowsCount.map(Long.box).orNull)
         r.put("existing_rows_count", m.existingRowsCount.map(Long.box).orNull)
         r.put("deleted_rows_count", m.deletedRowsCount.map(Long.box).orNull)
+        r.put("content", m.content)
         w.append(r)
       }
     }

@@ -34,6 +34,19 @@ object Manifests {
       lowerBound: Option[Array[Byte]],
       upperBound: Option[Array[Byte]])
 
+  /** manifest content kinds (Iceberg v2, manifest_file field 517). */
+  object ManifestContent {
+    val Data = 0
+    val Deletes = 1
+  }
+
+  /** data_file content kinds (Iceberg v2, data_file field 134). */
+  object FileContent {
+    val Data = 0
+    val PositionDeletes = 1
+    val EqualityDeletes = 2
+  }
+
   final case class ManifestFile(
       path: String,
       length: Long,
@@ -45,7 +58,8 @@ object Manifests {
       deletedFilesCount: Option[Int],
       addedRowsCount: Option[Long],
       existingRowsCount: Option[Long],
-      deletedRowsCount: Option[Long])
+      deletedRowsCount: Option[Long],
+      content: Int = ManifestContent.Data)
 
   /** data_file record inside a manifest (Avro field-ids 100-140). */
   final case class DataFileInfo(
@@ -59,7 +73,8 @@ object Manifests {
       nullValueCounts: Map[Int, Long],
       nanValueCounts: Map[Int, Long],
       lowerBounds: Map[Int, Array[Byte]],
-      upperBounds: Map[Int, Array[Byte]])
+      upperBounds: Map[Int, Array[Byte]],
+      content: Int = FileContent.Data)
 
   /** Entry status lifecycle — EXISTING=0, ADDED=1, DELETED=2 (ice.py:12-15). */
   object Status {
@@ -150,7 +165,8 @@ object Manifests {
         .orElse(opt(r, "deleted_files_count", _.asInstanceOf[Int])),
       addedRowsCount = opt(r, "added_rows_count", _.asInstanceOf[Long]),
       existingRowsCount = opt(r, "existing_rows_count", _.asInstanceOf[Long]),
-      deletedRowsCount = opt(r, "deleted_rows_count", _.asInstanceOf[Long]))
+      deletedRowsCount = opt(r, "deleted_rows_count", _.asInstanceOf[Long]),
+      content = opt(r, "content", _.asInstanceOf[Int]).getOrElse(ManifestContent.Data))
   }
 
   private def parseEntry(r: GenericRecord): ManifestEntry = {
@@ -182,6 +198,7 @@ object Manifests {
         nullValueCounts = kvMap(df, "null_value_counts", _.asInstanceOf[Long]),
         nanValueCounts = kvMap(df, "nan_value_counts", _.asInstanceOf[Long]),
         lowerBounds = kvMap(df, "lower_bounds", bytes),
-        upperBounds = kvMap(df, "upper_bounds", bytes)))
+        upperBounds = kvMap(df, "upper_bounds", bytes),
+        content = opt(df, "content", _.asInstanceOf[Int]).getOrElse(FileContent.Data)))
   }
 }

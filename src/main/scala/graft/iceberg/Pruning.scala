@@ -295,6 +295,28 @@ object Pruning {
     case AlwaysTrue => throw new IllegalArgumentException("cannot negate TRUE")
   }
 
+  /** IcePredicate → Spark Column for exact row-level filtering. */
+  def toColumn(p: IcePredicate): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    p match {
+      case AlwaysTrue => None
+      case Eq(c, v) => Some(col(c) === lit(v))
+      case NotEq(c, v) => Some(col(c) =!= lit(v))
+      case Lt(c, v) => Some(col(c) < lit(v))
+      case LtEq(c, v) => Some(col(c) <= lit(v))
+      case Gt(c, v) => Some(col(c) > lit(v))
+      case GtEq(c, v) => Some(col(c) >= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case NotNull(c) => Some(col(c).isNotNull)
+      case And(l, r) => (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    }
+  }
+
   // ------------------------------------------------- Spark Filter bridge
 
   /** Translate Spark DSv2 pushed filters to IcePredicate (best-effort; filters

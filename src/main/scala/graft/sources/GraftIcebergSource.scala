@@ -114,6 +114,12 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
   override def build(): Scan = {
+    // a raw batch scan cannot apply v2 merge-on-read; refuse loudly rather
+    // than silently resurrecting deleted rows (table API reads handle MOR)
+    if (tbl.table.positionDeleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        "table has v2 position deletes; read it via IcebergTable.read() " +
+          "(merge-on-read) — the graft-iceberg batch source serves append-only snapshots")
     val pred = pushed.flatMap(Pruning.fromSparkFilter)
       .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
     val files =

@@ -1,0 +1,103 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg v2 row-level deletes: position-delete files + merge-on-read.
+  * The predicate may split files — matching positions are computed by a
+  * distributed metadata-column scan, stored as (file_path, pos) parquet, and
+  * anti-joined at read time. */
+class RowDeleteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshTable: String =
+    java.nio.file.Files.createTempDirectory("graft_ice_rowdel").toString + "/tbl"
+
+  val schema = StructType(Seq(
+    StructField("k", LongType), StructField("cat", StringType)))
+
+  test("delete a predicate that splits a file; read returns the residual rows") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    // ONE file holding 1..100: any k-range predicate splits it
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.And(Pruning.GtEq("k", 40), Pruning.Lt("k", 60)))
+
+    val t = IcebergTable.load(spark, url)
+    assert(t.positionDeleteFiles.nonEmpty, "no position-delete file registered")
+    val rows = t.read().as[(Long, String)].collect().map(_._1).sorted
+    assert(rows.toSeq == ((1L to 39L) ++ (60L to 100L)))
+    assert(t.summary("operation") == "delete")
+    assert(t.summary("deleted-records") == "20")
+    // stats stay exact through position deletes
+    assert(t.countFromStats().contains(80L))
+    // time travel: the pre-delete snapshot still shows all rows
+    assert(t.snapshotRelative(-1).read().count() == 100)
+  }
+
+  test("mixed delete: whole files drop via v1 entries, split files via positions") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    // two files with disjoint ranges
+    IcebergWriter.append(spark, url,
+      (1L to 50L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.append(spark, url,
+      (51L to 100L).map(i => (i, "b")).toDF("k", "cat").coalesce(1))
+    // deletes ALL of file 1 and part of file 2
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 75))
+    val t = IcebergTable.load(spark, url)
+    assert(t.liveFiles().size == 1, "fully matching file should be dropped whole")
+    assert(t.read().as[(Long, String)].collect().map(_._1).sorted.toSeq == (75L to 100L))
+    assert(t.countFromStats().contains(26L))
+  }
+
+  test("filtered reads after row-level delete never resurrect rows") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, s"c${i % 2}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("cat", "c1"))
+    val t = IcebergTable.load(spark, url)
+    assert(t.read(filters = Seq(Seq(("cat", "==", "c1")))).count() == 0)
+    assert(t.read(filters = Seq(Seq(("k", "<=", 10)))).count() == 5)
+    assert(t.read().count() == 50)
+  }
+
+  test("deleting from a partitioned table scopes the position scan") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema,
+      partitions = Seq("cat" -> "identity"))
+    IcebergWriter.append(spark, url,
+      (1L to 90L).map(i => (i, s"c${i % 3}")).toDF("k", "cat"))
+    // rows with k<10 inside partition c1 only
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.Eq("cat", "c1"), Pruning.Lt("k", 10)))
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 87) // k=1,4,7 removed
+    assert(t.read(filters = Seq(Seq(("cat", "==", "c1")))).count() == 27)
+  }
+
+  test("the raw batch source refuses tables with position deletes") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 20L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 5))
+    val ex = intercept[Exception] {
+      spark.read.format("graft-iceberg").load(url).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected UnsupportedOperationException, got $ex")
+  }
+}
