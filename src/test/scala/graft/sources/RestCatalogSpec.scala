@@ -49,15 +49,24 @@ class RestCatalogSpec extends AnyFunSuite {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val name = """"name":\s*"([^"]+)"""".r.findFirstMatchIn(body)
             .map(_.group(1)).getOrElse("?")
-          tables(s"$ns.$name") = body
+          // honor an explicit location (points at a REAL table for E2E tests)
+          val loc = """"location":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse(s"/tmp/mock/$ns/$name")
+          tables(s"$ns.$name") = loc
           reply(ex, 200,
-            s"""{"metadata-location": "/tmp/mock/$ns/$name/metadata/v1.metadata.json",
+            s"""{"metadata-location": "$loc/metadata/v1.metadata.json",
                  "metadata": {"current-snapshot-id": -1}}""")
         case ("GET", ns :: "tables" :: t :: Nil) =>
-          if (tables.contains(s"$ns.$t"))
-            reply(ex, 200,
-              s"""{"metadata-location": "/tmp/mock/$ns/$t/metadata/v1.metadata.json"}""")
-          else reply(ex, 404, """{"error": "no such table"}""")
+          tables.get(s"$ns.$t") match {
+            case Some(loc) =>
+              // serve the LATEST metadata version like a real catalog
+              val hint = new java.io.File(s"$loc/metadata/version-hint.text")
+              val v = if (hint.exists())
+                scala.io.Source.fromFile(hint).mkString.trim else "1"
+              reply(ex, 200,
+                s"""{"metadata-location": "$loc/metadata/v$v.metadata.json"}""")
+            case None => reply(ex, 404, """{"error": "no such table"}""")
+          }
         case ("DELETE", ns :: "tables" :: t :: Nil) =>
           tables -= s"$ns.$t"
           reply(ex, 204, "")
@@ -99,6 +108,48 @@ class RestCatalogSpec extends AnyFunSuite {
     withServer { (cat, _) =>
       val e = intercept[RuntimeException](cat.getNamespace("missing"))
       assert(e.getMessage.contains("404"))
+    }
+  }
+
+  test("spark.sql resolves tables through the CatalogPlugin end-to-end") {
+    withServer { (cat, server) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+
+      // a REAL Iceberg table on disk, registered in the catalog by location
+      val url = java.nio.file.Files.createTempDirectory("graft_cat").toString + "/events"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+      graft.iceberg.IcebergWriter.append(spark, url,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+
+      cat.createNamespace("db")
+      cat.createTable("db", "events", Seq("id" -> "long", "name" -> "string"),
+        location = Some(url))
+
+      // unique catalog name per run: CatalogManager caches resolved catalogs
+      val catName = s"icetest${server.getAddress.getPort}"
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.sources.GraftIcebergCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.uri",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+
+      val rows = spark.sql(s"SELECT name FROM $catName.db.events WHERE id > 1 ORDER BY name")
+        .as[String].collect()
+      assert(rows.toSeq == Seq("b", "c"))
+      // catalog surface: SHOW TABLES / table listing flows through REST
+      assert(spark.sql(s"SHOW TABLES IN $catName.db").collect()
+        .map(_.getString(1)).contains("events"))
+      // time travel: snapshot id via VERSION AS OF
+      val snapId = graft.iceberg.IcebergTable.load(spark, url).currentSnapshot.snapshotId
+      assert(spark.sql(s"SELECT count(*) FROM $catName.db.events VERSION AS OF $snapId")
+        .head().getLong(0) == 3L)
     }
   }
 }
