@@ -33,8 +33,10 @@ object LlmQueries {
       n = 3, maxHamming = 16).orderBy("id_a", "id_b")
 
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
+    // (planes=2, tables=8) tuned to the low 0.2 threshold: LSH-theory recall
+    // 1-(1-p^2)^8 ≈ 0.95 at cos=0.2; exact-cosine verify = no false positives
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
-      threshold = 0.2, planes = 6, dims = 64).orderBy("id_a", "id_b")
+      threshold = 0.2, planes = 2, dims = 64, tables = 8).orderBy("id_a", "id_b")
 
   // ------------------------------------------------------------- similarity
 

@@ -15,16 +15,17 @@ import org.apache.spark.sql.types.{DataType, LongType, FloatType, LongType => LT
   * dims) fused multiply-adds — replaces a (planes × dims)-node interpreted
   * expression tree that dominated the ANN query's runtime.
   */
-case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
+case class LshBucketExpr(child: Expression, planes: Int, dims: Int, seed: Long = 42L)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  // hyperplanes are a compile-time constant per operator instance
+  // hyperplanes are a compile-time constant per operator instance; `seed`
+  // derives an independent table for banded multi-table LSH
   @transient private lazy val hyper: Array[Array[Double]] =
     Array.tabulate(planes, dims) { (p, d) =>
-      val h = XxHash64Function.hash(p.toLong * 1000003L + d, LT, 42L)
+      val h = XxHash64Function.hash(p.toLong * 1000003L + d, LT, seed)
       (Math.floorMod(h, 2000L) - 1000L) / 1000.0
     }
 
@@ -53,6 +54,6 @@ case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
 
 object LshBucket {
   /** LSH bucket of an `array<float>` embedding. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
-    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes, dims))
+  def lshBucket(vec: Column, planes: Int, dims: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes, dims, seed))
 }

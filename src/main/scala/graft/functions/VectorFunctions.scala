@@ -38,6 +38,6 @@ object VectorFunctions {
     * are likely cosine-near; used to restrict ANN search to a bucket instead
     * of a full cross join (the 100 TB path). Backed by a one-pass custom
     * expression ([[LshBucketExpr]]). */
-  def lshBucket(v: Column, planes: Int, dims: Int): Column =
-    LshBucket.lshBucket(v, planes, dims)
+  def lshBucket(v: Column, planes: Int, dims: Int, seed: Long = 42L): Column =
+    LshBucket.lshBucket(v, planes, dims, seed)
 }

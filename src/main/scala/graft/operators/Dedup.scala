@@ -18,11 +18,18 @@ object Dedup {
 
   /** Exact dedup bookkeeping: every row annotated with its content-group
     * size and whether it is the canonical (minimum-id) copy. Filtering
-    * `is_canonical` yields the deduplicated corpus; a plain groupBy-count
-    * underneath (map-side partial agg, one shuffle on the text hash). */
+    * `is_canonical` yields the deduplicated corpus.
+    *
+    * The shuffle is keyed by a 128-bit content fingerprint (two independent
+    * xxhash64 seeds), projected BEFORE the exchange — at 100 TB the shuffle
+    * moves 24 bytes per row instead of the documents themselves. Collision
+    * odds at 128 bits are ~n²/2¹²⁹ (negligible below ~10¹⁵ docs). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol))
-    df.withColumn("n_copies", count(lit(1)).over(w))
+    val keyed = df.select(col(idCol),
+      xxhash64(col(textCol)).as("_h1"),
+      xxhash64(lit(0x9747b28c), col(textCol)).as("_h2"))
+    val w = Window.partitionBy(col("_h1"), col("_h2"))
+    keyed.withColumn("n_copies", count(lit(1)).over(w))
       .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
       .select(col(idCol), col("n_copies"), col("canonical_id"), col("is_canonical"))
@@ -53,13 +60,21 @@ object Dedup {
     * (≥ 0.999 for J ≥ 0.8 with k=64, bands=16). */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 2000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", graft.functions.MinHash.minhash(col("sh"), k))
       .withColumn("bands", TF.lshBands(col("sig"), k, bands))
-    val buckets = sig.select(col("id"), explode(col("bands")).as("bb"))
+    val buckets0 = sig.select(col("id"), explode(col("bands")).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // cap degenerate buckets (boilerplate text hashing thousands of docs to
+    // one bucket turns the candidate join quadratic): drop buckets over the
+    // cap — their members still pair up via their other, more selective
+    // bands. Same-key aggregation so AQE reuses the exchange.
+    val buckets = buckets0.withColumn("_bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -73,9 +88,12 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash over shingles, candidates
-    * from banding the hash into 4 16-bit blocks (near-dups share at least one
-    * block when Hamming distance ≤ 3 by pigeonhole... up to 4·16 exactness),
-    * verified by exact Hamming distance. */
+    * from banding the hash into 4 16-bit blocks, verified by exact Hamming
+    * distance. NOTE (recall contract): the pigeonhole guarantee only covers
+    * Hamming ≤ 3 — pairs differing in all 4 blocks (possible when
+    * `maxHamming` ≥ 4) are found only if some block still collides. For a
+    * hard guarantee at larger radii, run with rotated copies of the hash or
+    * use [[minhashDedup]], whose banding probability is tunable. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxHamming: Int = 8): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
@@ -95,18 +113,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets
-    * (random-hyperplane). The bucket join bounds the pair count; exact cosine
-    * verifies. For guaranteed-exact small inputs use a plain cross join. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets,
+    * banded MULTI-TABLE random-hyperplane hashing (like MinHash banding): a
+    * pair is a candidate if it collides in ANY of `tables` independent
+    * tables, then exact cosine verifies — so there are never false
+    * positives, and recall follows standard LSH theory:
+    * recall(s) = 1 − (1 − p^planes)^tables with p = 1 − acos(s)/π.
+    * Tune (planes, tables) to the threshold: high thresholds (real near-dups,
+    * s ≥ 0.8) tolerate more planes (more, smaller buckets); low thresholds
+    * need few planes per table. `planes <= 0` auto-sizes each table to
+    * ~`targetBucket` vectors per bucket so within-bucket pair generation
+    * stays ~linear in corpus size instead of quadratic. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+      threshold: Double, planes: Int = -1, dims: Int = 64,
+      tables: Int = 4, targetBucket: Long = 64L): DataFrame = {
     import graft.functions.VectorFunctions._
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes, dims))
-    v.as("x").join(v.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cos", cosine(col("x.v"), col("y.v")))
+    val p = if (planes > 0) planes else autoPlanes(v.count(), targetBucket)
+    val tableBuckets = array((0 until tables).map(tb =>
+      struct(lit(tb).as("tbl"),
+        lshBucket(col("v"), p, dims, seed = 42L + tb * 7919L).as("bucket"))): _*)
+    val banded = v.withColumn("tb", explode(tableBuckets))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    banded.as("x").join(banded.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+      .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** log2(corpus / target bucket size), clamped to [4, 20] planes. */
+  private[operators] def autoPlanes(n: Long, targetBucket: Long): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    math.min(20, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets)))
   }
 }

@@ -31,16 +31,21 @@ object Similarity {
 
   /** LSH-bucketed ANN: rank only candidates that share a hyperplane bucket
     * with the query (plus all-but-one-bit neighbor buckets for recall).
-    * Cuts the scored pairs from |corpus|·|queries| to bucket-local sizes. */
+    * Cuts the scored pairs from |corpus|·|queries| to bucket-local sizes.
+    * `planes <= 0` auto-sizes the bucket count to the corpus (~`targetBucket`
+    * vectors per bucket) so per-bucket candidate lists stay bounded as the
+    * corpus grows — the fixed-64-bucket shape does not survive 100×. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      planes: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = -1, dims: Int = 64, targetBucket: Long = 64L): DataFrame = {
+    val p = if (planes > 0) planes
+      else graft.operators.Dedup.autoPlanes(corpus.count(), targetBucket)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+      .withColumn("bucket", lshBucket(col("cv"), p, dims))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qbucket", lshBucket(col("qv"), planes, dims))
+      .withColumn("qbucket", lshBucket(col("qv"), p, dims))
     // multi-probe: query bucket itself + each single-bit flip (planes probes)
-    val probes = array((lit(0L) +: (0 until planes).map(p => shiftleft(lit(1L), p))): _*)
+    val probes = array((lit(0L) +: (0 until p).map(pp => shiftleft(lit(1L), pp))): _*)
     val q = q0.withColumn("probe", explode(probes))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
     val scored = c.join(broadcast(q), Seq("bucket"))

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale behavior of the ANN/dedup operators: bucket counts must grow with
+  * the corpus (candidate pairs ~linear, not quadratic), banded multi-table
+  * LSH must keep recall, and the exact-dedup shuffle must be hash-keyed. */
+class AnnScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def syntheticVectors(n: Int, dims: Int = 16, seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("autoPlanes scales bucket count with corpus size") {
+    assert(Dedup.autoPlanes(1000, 64) == 4)   // floor at 4
+    assert(Dedup.autoPlanes(64_000, 64) == 10)
+    assert(Dedup.autoPlanes(6_400_000, 64) == 17)
+    assert(Dedup.autoPlanes(Long.MaxValue / 2, 64) == 20) // ceiling at 20
+  }
+
+  test("candidate pairs grow ~linearly when the corpus doubles (auto planes)") {
+    import graft.functions.VectorFunctions.lshBucket
+    def candidates(n: Int): Long = {
+      val df = syntheticVectors(n)
+      val p = Dedup.autoPlanes(n, 16L) // small target so planes move at test sizes
+      (0 until 4).map { tb =>
+        df.select(lshBucket(col("embedding"), p, 16, seed = 42L + tb * 7919L).as("b"))
+          .groupBy("b").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).first().getLong(0)
+      }.sum
+    }
+    val c1 = candidates(2000)
+    val c2 = candidates(4000)
+    // quadratic would be ~4x; linear is ~2x (planes grew by 1)
+    assert(c2.toDouble / c1 < 3.0, s"candidate growth $c1 -> $c2 is superlinear")
+  }
+
+  test("banded multi-table near-dup recall follows LSH theory, no false positives") {
+    import graft.functions.VectorFunctions.cosine
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exactDf = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("cos") >= 0.2)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"), col("cos"))
+    val exact = exactDf.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+        threshold = 0.2, planes = 2, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "false positives survived cosine verification")
+    // predicted recall at the mean matched similarity: p = 1 - acos(s)/pi,
+    // recall = 1 - (1 - p^2)^8; s in [0.2, ~0.5] -> predicted in [0.95, 0.999]
+    val recall = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (found ${approx.size} of ${exact.size}; " +
+      "theory predicts >= 0.95 for cos >= 0.2 with planes=2, tables=8)")
+  }
+
+  test("minhash bucket cap bounds candidates without losing fixture pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val unc = Dedup.minhashDedup(docs, "text", "doc_id").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    // a generous cap changes nothing on this corpus
+    val capped = Dedup.minhashDedup(docs, "text", "doc_id", maxBucketSize = 2000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == unc)
+    // a tiny cap degrades candidates but must never produce false positives
+    val tiny = Dedup.minhashDedup(docs, "text", "doc_id", maxBucketSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tiny.subsetOf(unc))
+  }
+
+  test("exactDedup matches text-grouped semantics via the hash-keyed shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.exactDedup(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val want = docs.withColumn("n_copies",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("n_copies"), col("canonical_id"), col("is_canonical"))
+      .orderBy("doc_id").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("lshTopK with auto planes returns k ranked neighbors per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+      "embedding", "vec_id", k = 5)
+    val counts = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 5 && counts.values.forall(_ == 5L),
+      s"per-query neighbor counts: $counts")
+  }
+}
