@@ -299,6 +299,12 @@ object IcebergTable {
         (url, readString(s"$url/metadata/v$v.metadata.json", conf), v)
       }
     val md = TableMetadata.parse(metaJson)
+    // Iceberg resolves columns by FIELD ID, not name: flip Spark's parquet
+    // reader to id-based resolution (schemas from IceSchema.toSpark carry
+    // parquet.field.id metadata). Renamed columns then read correctly;
+    // id-less files fail loudly with Spark's guidance message instead of
+    // silently nulling (spark.sql.parquet.fieldId.read.ignoreMissing).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None)
   }
 

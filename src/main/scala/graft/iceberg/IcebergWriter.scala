@@ -245,7 +245,13 @@ object IcebergWriter {
     // columns (Iceberg layout — unlike Hive, values live in metadata).
     import org.apache.spark.sql.functions.col
     val dataDir = s"$url/data/$commitId"
-    val base = df.select(schema.fields.map(f => col(f.name)): _*)
+    // carry iceberg field ids into the written parquet (parquet.field.id →
+    // `= N` ids in the file schema): readers resolve by id like real Iceberg
+    val base = df.select(schema.fields.map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", f.id.toLong).build()
+      col(f.name).as(f.name, md)
+    }: _*)
     val withParts = specInfo.foldLeft(base) { case (d, (pf, srcType, _)) =>
       val srcName = schema.fields.find(_.id == pf.sourceId).get.name
       d.withColumn(s"_p_${pf.name}",
@@ -281,7 +287,7 @@ object IcebergWriter {
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val deletedEntries = deletedFiles.map { f =>
       val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
-        f.valueCounts, f.nullValueCounts)
+        f.valueCounts, f.nullValueCounts, f.nanValueCounts)
       val partValues = specInfo.map { case (pf, _, _) => f.partition.getOrElse(pf.name, null) }
       (f.filePath, f.fileSizeInBytes, stats, partValues, Manifests.Status.Deleted)
     }
@@ -399,7 +405,7 @@ object IcebergWriter {
     val manifestPath = s"$url/metadata/$commitId-m0.avro"
     val deletedEntries = fullyMatching.map { f =>
       val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
-        f.valueCounts, f.nullValueCounts)
+        f.valueCounts, f.nullValueCounts, f.nanValueCounts)
       val partValues = specInfo.map { case (pf, _, _) =>
         f.partition.getOrElse(pf.name, null)
       }
@@ -579,7 +585,8 @@ object IcebergWriter {
 
   final case class FileStats(recordCount: Long,
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
-      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long])
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
+      nanCounts: Map[Int, Long] = Map.empty)
 
   /** Files-per-commit threshold below which a distributed stats job costs
     * more than it saves (job-launch overhead vs a couple of footer reads). */
@@ -615,13 +622,19 @@ object IcebergWriter {
       var upper = Map.empty[Int, Any]
       var valueCounts = Map.empty[Int, Long]
       var nullCounts = Map.empty[Int, Long]
+      // a column is "incomplete" when any row group with values lacks usable
+      // min/max — parquet-mr drops float/double stats when the group holds
+      // NaN, so partial bounds would not describe every row. Such columns
+      // get NO bounds (sound: pruning keeps the file).
+      var incomplete = Set.empty[Int]
       for (block <- blocks; col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
         byName.get(name).foreach { field =>
           val id = field.id
           valueCounts = valueCounts.updated(id, valueCounts.getOrElse(id, 0L) + col.getValueCount)
           val s = col.getStatistics
-          if (s != null && !s.isEmpty) {
+          if (s == null || s.isEmpty) incomplete += id
+          else {
             nullCounts = nullCounts.updated(id, nullCounts.getOrElse(id, 0L) + s.getNumNulls)
             if (s.hasNonNullValue) {
               val (mn, mx) = normalizedMinMax(s, field.icebergTypeString)
@@ -634,17 +647,28 @@ object IcebergWriter {
                   case Some(prev) => Some(if (IcebergTypes.compare(mx, prev).exists(_ > 0)) mx else prev)
                   case None => Some(mx)
                 }
-              }
+              } else incomplete += id // type without encodable bounds
+            } else if (s.getNumNulls < col.getValueCount) {
+              incomplete += id // values present but min/max dropped (NaN)
             }
           }
         }
       }
+      lower = lower.removedAll(incomplete)
+      upper = upper.removedAll(incomplete)
+      // float/double columns with complete bounds are PROVEN NaN-free
+      // (parquet-mr drops min/max on NaN) — record it so the NaN-aware
+      // pruning tier can use these bounds (Pruning.nanSensitive)
+      val nanCounts = byName.values.collect {
+        case f if (f.icebergTypeString == "float" || f.icebergTypeString == "double") &&
+            lower.contains(f.id) => f.id -> 0L
+      }.toMap
       FileStats(recordCount,
         lower.map { case (id, v) =>
           id -> IcebergTypes.encodeBound(v, byName.values.find(_.id == id).get.icebergTypeString) },
         upper.map { case (id, v) =>
           id -> IcebergTypes.encodeBound(v, byName.values.find(_.id == id).get.icebergTypeString) },
-        valueCounts, nullCounts)
+        valueCounts, nullCounts, nanCounts)
     } finally reader.close()
   }
 
@@ -727,6 +751,11 @@ object IcebergWriter {
             {"name": "key", "type": "int", "field-id": 121},
             {"name": "value", "type": "long", "field-id": 122}]},
           "logicalType": "map"}], "default": null, "field-id": 110},
+        {"name": "nan_value_counts", "type": ["null", {"type": "array", "items":
+          {"type": "record", "name": "k138_v139", "fields": [
+            {"name": "key", "type": "int", "field-id": 138},
+            {"name": "value", "type": "long", "field-id": 139}]},
+          "logicalType": "map"}], "default": null, "field-id": 137},
         {"name": "lower_bounds", "type": ["null", {"type": "array", "items":
           {"type": "record", "name": "k126_v127", "fields": [
             {"name": "key", "type": "int", "field-id": 126},
@@ -817,6 +846,7 @@ object IcebergWriter {
         df.put("block_size_in_bytes", 67108864L)
         df.put("value_counts", kvArray(dataFileSchema, "value_counts", stats.valueCounts))
         df.put("null_value_counts", kvArray(dataFileSchema, "null_value_counts", stats.nullCounts))
+        df.put("nan_value_counts", kvArray(dataFileSchema, "nan_value_counts", stats.nanCounts))
         df.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds", stats.lowerBounds))
         df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", stats.upperBounds))
         val entry = new GenericData.Record(entrySchema)

@@ -100,6 +100,14 @@ object Pruning {
         val (c, _, _) = colOpValue(other)
         fieldOf(c, ctx) match {
           case None => true // unknown column: cannot prune
+          case Some(f) if nanSensitive(other, f.icebergType) &&
+              !file.nanValueCounts.get(f.id).contains(0L) =>
+            // NaN guard: NaN compares GREATER than everything in Spark/
+            // Iceberg sort semantics while parquet bounds exclude NaN rows,
+            // so Gt/GtEq/NotEq (or a NaN literal) can be satisfied by rows
+            // the bounds don't describe. Prune only with recorded evidence
+            // of zero NaNs; unknown → keep (sound).
+            true
           case Some(f) =>
             // evidence 1: derived (hidden) partition value — rewrite the
             // predicate through the transform (ice.py:295-300, made sound)
@@ -157,6 +165,10 @@ object Pruning {
           case Some((summary, pf)) =>
             val srcType = ctx.fieldsByName.values.find(_.id == pf.sourceId)
               .map(_.icebergType).getOrElse(return true)
+            // NaN guard, summary tier: float/double partition summaries may
+            // exclude NaN; prune only when contains_nan is known false
+            if (nanSensitive(other, srcType) && !summary.containsNan.contains(false))
+              return true
             val transform = Transforms.parse(pf.transform)
             val boundType = transform.resultType(srcType)
             (summary.lowerBound, summary.upperBound) match {
@@ -193,6 +205,25 @@ object Pruning {
   }
 
   private def fieldOf(c: String, ctx: Context): Option[FieldInfo] = ctx.fieldsByName.get(c)
+
+  private def isNanValue(v: Any): Boolean = v match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case _ => false
+  }
+
+  /** Could NaN rows (invisible to min/max bounds) satisfy this predicate?
+    * Spark and Iceberg both order NaN after every other value, so `>`, `>=`
+    * and `!=` match NaN rows regardless of bounds; `<`, `<=` and non-NaN
+    * equality never do. */
+  private[iceberg] def nanSensitive(p: IcePredicate, icebergType: String): Boolean =
+    (icebergType == "float" || icebergType == "double") && (p match {
+      case Gt(_, _) | GtEq(_, _) => true
+      case NotEq(_, v) => !isNanValue(v) // NaN != v is true unless v is NaN (NaN equals itself in Spark)
+      case Eq(_, v) => isNanValue(v)
+      case In(_, vs) => vs.exists(isNanValue)
+      case _ => false
+    })
 
   /** Range check of a comparison predicate against [min, max] in the SOURCE
     * column domain (file tier). */

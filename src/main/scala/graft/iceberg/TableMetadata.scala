@@ -12,10 +12,17 @@ final case class SchemaField(id: Int, name: String, required: Boolean, typeNode:
 }
 
 final case class IceSchema(schemaId: Int, fields: Seq[SchemaField]) {
-  /** Spark StructType with iceberg field ids carried in column metadata. */
+  /** Spark StructType with iceberg field ids carried in column metadata.
+    * `parquet.field.id` makes Spark's parquet reader resolve columns BY ID
+    * (with `spark.sql.parquet.fieldId.read.enabled`), so Iceberg column
+    * renames — legal, id-resolved — read correctly instead of silently
+    * nulling out; the writer propagates the same ids into new files. */
   def toSpark: StructType = StructType(fields.map { f =>
     StructField(f.name, IcebergTypes.toSparkType(f.typeNode), nullable = !f.required,
-      metadata = new MetadataBuilder().putLong("iceberg.field-id", f.id.toLong).build())
+      metadata = new MetadataBuilder()
+        .putLong("iceberg.field-id", f.id.toLong)
+        .putLong("parquet.field.id", f.id.toLong)
+        .build())
   })
 }
 
