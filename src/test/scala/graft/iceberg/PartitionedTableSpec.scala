@@ -128,4 +128,56 @@ class PartitionedTableSpec extends AnyFunSuite {
       Pruning.GtEq("ts", "2024-01-08T12:00:00"), f, ctx))
     assert(keptNoon.size == 2)
   }
+
+  test("month-partitioned table: E2E write, read, and range pruning") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema, Seq("ts" -> "month"))
+    val base = java.time.LocalDateTime.of(2023, 11, 15, 6, 30)
+    IcebergWriter.append(spark, url,
+      (1L to 120L).map(i => (i, s"c${i % 2}", base.plusMonths(i % 4), i.toDouble))
+        .toDF("id", "cat", "ts", "v"))
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 120)
+    val files = t.liveFiles()
+    assert(files.size == 4) // Nov 23, Dec 23, Jan 24, Feb 24
+    // month transform values: months since 1970-01
+    val monthVals = files.flatMap(_.partition.get("ts_month")).map(_.asInstanceOf[Long]).sorted
+    assert(monthVals == Seq(646L, 647L, 648L, 649L))
+    val ctx = Pruning.Context(
+      t.iceSchema.fields.map(f =>
+        f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+      t.partitionSpec)
+    // range predicate prunes via the order-preserving month transform
+    val kept = files.filter(f => Pruning.fileMightMatch(
+      Pruning.GtEq("ts", "2024-01-01T00:00:00"), f, ctx))
+    assert(kept.size == 2)
+    // pruned read returns the right rows
+    assert(t.read(filters = Seq(Seq(("ts", ">=", "2024-01-01T00:00:00")))).count() ==
+      t.read().where("ts >= '2024-01-01'").count())
+    // metadata-only month listing
+    assert(t.uniquePartitions(Some("ts_month"))("ts_month").size == 4)
+  }
+
+  test("year-partitioned table: E2E write, read, and range pruning") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema, Seq("ts" -> "year"))
+    val base = java.time.LocalDateTime.of(2021, 6, 1, 12, 0)
+    IcebergWriter.append(spark, url,
+      (1L to 90L).map(i => (i, s"c${i % 2}", base.plusYears(i % 3), i.toDouble))
+        .toDF("id", "cat", "ts", "v"))
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 90)
+    val files = t.liveFiles()
+    assert(files.size == 3) // 2021, 2022, 2023
+    val yearVals = files.flatMap(_.partition.get("ts_year")).map(_.asInstanceOf[Long]).sorted
+    assert(yearVals == Seq(51L, 52L, 53L)) // years since 1970
+    val ctx = Pruning.Context(
+      t.iceSchema.fields.map(f =>
+        f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+      t.partitionSpec)
+    val kept = files.filter(f => Pruning.fileMightMatch(
+      Pruning.Lt("ts", "2022-01-01T00:00:00"), f, ctx))
+    assert(kept.size == 1)
+    assert(t.read(filters = Seq(Seq(("ts", "<", "2022-01-01T00:00:00")))).count() == 30)
+  }
 }
