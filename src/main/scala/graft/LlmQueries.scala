@@ -53,6 +53,15 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (k-means inverted file) ANN: build the index, probe 4 of 8 cells. */
+  def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------- text analysis
 
   def txStats(s: SparkSession, dir: String): DataFrame = {
@@ -101,6 +110,7 @@ object LlmQueries {
     "dd_embedding"      -> (ddEmbedding _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
+    "sim_topk_ivf"      -> (simTopkIvf _),
     "tx_stats"          -> (txStats _),
     "tx_quality"        -> (txQuality _),
     "tx_langid"         -> (txLangid _),

@@ -40,4 +40,8 @@ object VectorFunctions {
     * expression ([[LshBucketExpr]]). */
   def lshBucket(v: Column, planes: Int, dims: Int, seed: Long = 42L): Column =
     LshBucket.lshBucket(v, planes, dims, seed)
+
+  /** Squared L2 distance (codegen'd zip_with fold — no UDF). */
+  def l2Squared(a: Column, b: Column): Column =
+    fsum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
 }

@@ -308,11 +308,27 @@ object IcebergTable {
     new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None)
   }
 
-  /** Latest version per `version-hint.text`; 0 when missing/invalid
-    * (`version_hint`, ice.py:51-61). */
-  def versionHint(url: String, conf: Configuration): Int =
-    try readString(s"$url/metadata/version-hint.text", conf).trim.toInt
-    catch { case _: Exception => 0 }
+  /** Latest version per `version-hint.text`; falls back to scanning the
+    * metadata dir for the highest `vN.metadata.json` when the hint is
+    * missing, unreadable, or mid-rewrite by a concurrent committer (the
+    * reference returns 0 there, ice.py:51-61 — the scan keeps concurrent
+    * readers consistent; Iceberg's own HadoopTableOperations does the same). */
+  def versionHint(url: String, conf: Configuration): Int = {
+    val hinted =
+      try readString(s"$url/metadata/version-hint.text", conf).trim.toInt
+      catch { case _: Exception => -1 }
+    if (hinted > 0) hinted
+    else {
+      val dir = new Path(s"$url/metadata")
+      val fs = dir.getFileSystem(conf)
+      val V = """v(\d+)\.metadata\.json""".r
+      try fs.listStatus(dir).flatMap(_.getPath.getName match {
+        case V(n) => Some(n.toInt)
+        case _ => None
+      }).maxOption.getOrElse(0)
+      catch { case _: Exception => 0 }
+    }
+  }
 
   private def readString(path: String, conf: Configuration): String = {
     val p = new Path(path)

@@ -201,42 +201,19 @@ object IcebergWriter {
   private def writeSnapshot(spark: SparkSession, url: String, df: DataFrame,
       deletePred: Option[Pruning.IcePredicate], operation: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
     // (IcebergTable.iceSchema raises there, reference parity)
-    val schema = table.metadata.schemas
-      .find(_.schemaId == table.metadata.currentSchemaId)
+    val schema = table0.metadata.schemas
+      .find(_.schemaId == table0.metadata.currentSchemaId)
       .getOrElse(throw new IllegalStateException("no current schema"))
     val commitId = UUID.randomUUID().toString
-    val spec = table.partitionSpec
+    val spec = table0.partitionSpec
     val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
       val src = schema.fields.find(_.id == pf.sourceId)
         .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
       val valueType = partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform))
       (pf, src.icebergTypeString, valueType)
-    }
-
-    // 0. (overwrite only) resolve which existing files the predicate deletes;
-    // refuse predicates that would split a file (v1 = whole-file deletes)
-    val deletedFiles: Seq[Manifests.DataFileInfo] = deletePred match {
-      case None => Nil
-      case Some(Pruning.AlwaysTrue) => // full-table replace
-        if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
-      case Some(pred) =>
-        val ctx = Pruning.Context(
-          table.iceSchema.fields.map(f =>
-            f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
-          spec)
-        val live = table.liveFiles()
-        val fully = live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
-        val partial = live.filter(f =>
-          Pruning.fileMightMatch(pred, f, ctx) &&
-            Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
-        if (partial.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"predicate matches only part of ${partial.size} file(s); " +
-              "use deleteRows (format v2 position deletes) for row-level overwrite")
-        fully
     }
 
     // 1. data files (one dir per commit so new files are identifiable).
@@ -282,89 +259,115 @@ object IcebergWriter {
       (st.getPath.toUri.getPath, st.getLen, stats, partValues)
     }
 
-    // 3. ONE manifest holding DELETED entries (if overwriting) + ADDED ones
-    val manifestPath = s"$url/metadata/$commitId-m0.avro"
+    // 3-5 run inside the optimistic commit loop: delete resolution, the
+    // manifest, the manifest list, and the metadata json all depend on the
+    // table state CURRENT at publish time, so each attempt rebuilds them
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    val deletedEntries = deletedFiles.map { f =>
-      val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
-        f.valueCounts, f.nullValueCounts, f.nanValueCounts)
-      val partValues = specInfo.map { case (pf, _, _) => f.partition.getOrElse(pf.name, null) }
-      (f.filePath, f.fileSizeInBytes, stats, partValues, Manifests.Status.Deleted)
-    }
-    val addedEntries = dataFiles.map { case (p, len, stats, pv) =>
-      (p, len, stats, pv, Manifests.Status.Added)
-    }
-    writeManifestEntries(manifestPath, snapshotId, deletedEntries ++ addedEntries,
-      specInfo, conf)
-
-    // 4. manifest list = prior snapshot's manifests + the new one; the new
-    // manifest gets per-partition-field summaries for manifest-tier pruning
-    val priorManifests: Seq[Manifests.ManifestFile] =
-      if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil
-    val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
-    val addedRecords = dataFiles.map(_._3.recordCount).sum
-    val deletedRecords = deletedFiles.map(_.recordCount).sum
-    val summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])] =
-      specInfo.zipWithIndex.map { case ((_, _, valueType), i) =>
-        // summaries must cover deleted entries too (pruning soundness: a
-        // manifest skipped by summary must not hide a DELETED entry)
-        val values = dataFiles.map(_._4(i)) ++ deletedEntries.map(_._4(i))
-        val nonNull = values.filter(_ != null)
-        val containsNull = values.exists(_ == null)
-        if (nonNull.isEmpty) (containsNull, None, None)
-        else {
-          val mn = nonNull.reduce((a, b) =>
-            if (IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
-          val mx = nonNull.reduce((a, b) =>
-            if (IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
-          (containsNull, Some(IcebergTypes.encodeBound(mn, valueType)),
-            Some(IcebergTypes.encodeBound(mx, valueType)))
-        }
+    commitWithRetry(spark, url, conf) { table =>
+      // 3a. (overwrite only) resolve which existing files the predicate
+      // deletes; refuse predicates that would split a file
+      val deletedFiles: Seq[Manifests.DataFileInfo] = deletePred match {
+        case None => Nil
+        case Some(Pruning.AlwaysTrue) => // full-table replace
+          if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
+        case Some(pred) =>
+          val ctx = Pruning.Context(
+            table.iceSchema.fields.map(f =>
+              f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+            spec)
+          val live = table.liveFiles()
+          val fully = live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+          val partial = live.filter(f =>
+            Pruning.fileMightMatch(pred, f, ctx) &&
+              Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+          if (partial.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"predicate matches only part of ${partial.size} file(s); " +
+                "use deleteRows (format v2 position deletes) for row-level overwrite")
+          fully
       }
-    writeManifestList(manifestListPath, snapshotId, manifestPath,
-      dataFiles.size, addedRecords, summaries, priorManifests, conf,
-      deletedFiles = deletedFiles.size, deletedRows = deletedRecords)
 
-    // 5. new metadata version
-    val old = mapper.readTree(
-      readString(s"$url/metadata/v${table.version}.metadata.json", conf))
-      .asInstanceOf[ObjectNode]
-    val now = System.currentTimeMillis()
-    val snap = mapper.createObjectNode()
-    snap.put("snapshot-id", snapshotId)
-    if (table.metadata.currentSnapshotId >= 0)
-      snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
-    snap.put("timestamp-ms", now)
-    val summary = mapper.createObjectNode()
-    summary.put("operation", operation)
-    summary.put("added-data-files", dataFiles.size.toString)
-    summary.put("added-records", addedRecords.toString)
-    if (deletedFiles.nonEmpty) {
-      summary.put("deleted-data-files", deletedFiles.size.toString)
-      summary.put("deleted-records", deletedRecords.toString)
+      // 3b. ONE manifest holding DELETED entries (if overwriting) + ADDED ones
+      val manifestPath = s"$url/metadata/$commitId-m0.avro"
+      val deletedEntries = deletedFiles.map { f =>
+        val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
+          f.valueCounts, f.nullValueCounts, f.nanValueCounts)
+        val partValues = specInfo.map { case (pf, _, _) => f.partition.getOrElse(pf.name, null) }
+        (f.filePath, f.fileSizeInBytes, stats, partValues, Manifests.Status.Deleted)
+      }
+      val addedEntries = dataFiles.map { case (p, len, stats, pv) =>
+        (p, len, stats, pv, Manifests.Status.Added)
+      }
+      writeManifestEntries(manifestPath, snapshotId, deletedEntries ++ addedEntries,
+        specInfo, conf)
+
+      // 4. manifest list = prior snapshot's manifests + the new one; the new
+      // manifest gets per-partition-field summaries for manifest-tier pruning
+      val priorManifests: Seq[Manifests.ManifestFile] =
+        if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil
+      val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+      val addedRecords = dataFiles.map(_._3.recordCount).sum
+      val deletedRecords = deletedFiles.map(_.recordCount).sum
+      val summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])] =
+        specInfo.zipWithIndex.map { case ((_, _, valueType), i) =>
+          // summaries must cover deleted entries too (pruning soundness: a
+          // manifest skipped by summary must not hide a DELETED entry)
+          val values = dataFiles.map(_._4(i)) ++ deletedEntries.map(_._4(i))
+          val nonNull = values.filter(_ != null)
+          val containsNull = values.exists(_ == null)
+          if (nonNull.isEmpty) (containsNull, None, None)
+          else {
+            val mn = nonNull.reduce((a, b) =>
+              if (IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
+            val mx = nonNull.reduce((a, b) =>
+              if (IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
+            (containsNull, Some(IcebergTypes.encodeBound(mn, valueType)),
+              Some(IcebergTypes.encodeBound(mx, valueType)))
+          }
+        }
+      writeManifestList(manifestListPath, snapshotId, manifestPath,
+        dataFiles.size, addedRecords, summaries, priorManifests, conf,
+        deletedFiles = deletedFiles.size, deletedRows = deletedRecords)
+
+      // 5. new metadata version
+      val old = mapper.readTree(
+        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        .asInstanceOf[ObjectNode]
+      val now = System.currentTimeMillis()
+      val snap = mapper.createObjectNode()
+      snap.put("snapshot-id", snapshotId)
+      if (table.metadata.currentSnapshotId >= 0)
+        snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
+      snap.put("timestamp-ms", now)
+      val summary = mapper.createObjectNode()
+      summary.put("operation", operation)
+      summary.put("added-data-files", dataFiles.size.toString)
+      summary.put("added-records", addedRecords.toString)
+      if (deletedFiles.nonEmpty) {
+        summary.put("deleted-data-files", deletedFiles.size.toString)
+        summary.put("deleted-records", deletedRecords.toString)
+      }
+      val totalRecords = addedRecords - deletedRecords + table.metadata.snapshots
+        .find(_.snapshotId == table.metadata.currentSnapshotId)
+        .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+      summary.put("total-records", totalRecords.toString)
+      summary.put("total-data-files",
+        (dataFiles.size - deletedFiles.size + priorManifests.map(m =>
+          m.addedFilesCount.getOrElse(0) + m.existingFilesCount.getOrElse(0)).sum).toString)
+      snap.set[ObjectNode]("summary", summary)
+      snap.put("manifest-list", manifestListPath)
+      snap.put("schema-id", schema.schemaId)
+      old.withArray[ArrayNode]("snapshots").add(snap)
+      old.put("current-snapshot-id", snapshotId)
+      old.put("last-updated-ms", now)
+      val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
+        else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
+      val logEntry = mapper.createObjectNode()
+      logEntry.put("timestamp-ms", now)
+      logEntry.put("snapshot-id", snapshotId)
+      log.add(logEntry)
+      Some(old.toPrettyString)
     }
-    val totalRecords = addedRecords - deletedRecords + table.metadata.snapshots
-      .find(_.snapshotId == table.metadata.currentSnapshotId)
-      .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
-    summary.put("total-records", totalRecords.toString)
-    summary.put("total-data-files",
-      (dataFiles.size - deletedFiles.size + priorManifests.map(m =>
-        m.addedFilesCount.getOrElse(0) + m.existingFilesCount.getOrElse(0)).sum).toString)
-    snap.set[ObjectNode]("summary", summary)
-    snap.put("manifest-list", manifestListPath)
-    snap.put("schema-id", schema.schemaId)
-    old.withArray[ArrayNode]("snapshots").add(snap)
-    old.put("current-snapshot-id", snapshotId)
-    old.put("last-updated-ms", now)
-    val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
-      else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
-    val logEntry = mapper.createObjectNode()
-    logEntry.put("timestamp-ms", now)
-    logEntry.put("snapshot-id", snapshotId)
-    log.add(logEntry)
-    val newVersion = table.version + 1
-    writeString(s"$url/metadata/v$newVersion.metadata.json", old.toPrettyString, conf)
-    writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
   }
 
   /** Metadata-only delete: drop every data file whose statistics PROVE all
@@ -375,75 +378,77 @@ object IcebergWriter {
     */
   def deleteWhere(spark: SparkSession, url: String, pred: Pruning.IcePredicate): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
-    val schema = table.iceSchema
-    val ctx = Pruning.Context(
-      schema.fields.map(f =>
-        f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
-      table.partitionSpec)
-    val live = table.liveFiles()
-    val fullyMatching = live.filter(f =>
-      !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
-    val partial = live.filter(f =>
-      Pruning.fileMightMatch(pred, f, ctx) &&
-        Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
-    if (partial.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"predicate matches only part of ${partial.size} file(s); " +
-          "row-level delete (format v2) is not supported")
-    if (fullyMatching.isEmpty) return
-
     val commitId = UUID.randomUUID().toString
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    val spec = table.partitionSpec
-    val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
-      val src = schema.fields.find(_.id == pf.sourceId).get
-      (pf, src.icebergTypeString,
-        partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
-    }
-    // manifest of DELETED entries (readers fold them out, ice.py:196-203)
-    val manifestPath = s"$url/metadata/$commitId-m0.avro"
-    val deletedEntries = fullyMatching.map { f =>
-      val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
-        f.valueCounts, f.nullValueCounts, f.nanValueCounts)
-      val partValues = specInfo.map { case (pf, _, _) =>
-        f.partition.getOrElse(pf.name, null)
+    // metadata-only operation: the whole resolution re-runs per commit
+    // attempt, so a concurrent append/delete is re-validated after reload
+    commitWithRetry(spark, url, conf) { table =>
+      val schema = table.iceSchema
+      val ctx = Pruning.Context(
+        schema.fields.map(f =>
+          f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+        table.partitionSpec)
+      val live = table.liveFiles()
+      val fullyMatching = live.filter(f =>
+        !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+      val partial = live.filter(f =>
+        Pruning.fileMightMatch(pred, f, ctx) &&
+          Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+      if (partial.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"predicate matches only part of ${partial.size} file(s); " +
+            "row-level delete (format v2) is not supported")
+      if (fullyMatching.isEmpty) None
+      else {
+        val spec = table.partitionSpec
+        val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+          val src = schema.fields.find(_.id == pf.sourceId).get
+          (pf, src.icebergTypeString,
+            partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+        }
+        // manifest of DELETED entries (readers fold them out, ice.py:196-203)
+        val manifestPath = s"$url/metadata/$commitId-m0.avro"
+        val deletedEntries = fullyMatching.map { f =>
+          val stats = FileStats(f.recordCount, f.lowerBounds, f.upperBounds,
+            f.valueCounts, f.nullValueCounts, f.nanValueCounts)
+          val partValues = specInfo.map { case (pf, _, _) =>
+            f.partition.getOrElse(pf.name, null)
+          }
+          (f.filePath, f.fileSizeInBytes, stats, partValues)
+        }
+        writeManifest(manifestPath, snapshotId, deletedEntries, specInfo, conf,
+          status = Manifests.Status.Deleted)
+
+        val priorManifests = table.manifestList
+        val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+        val deletedRecords = fullyMatching.map(_.recordCount).sum
+        writeManifestList(manifestListPath, snapshotId, manifestPath,
+          0, 0L, Nil, priorManifests, conf)
+
+        val old = mapper.readTree(
+          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          .asInstanceOf[ObjectNode]
+        val now = System.currentTimeMillis()
+        val snap = mapper.createObjectNode()
+        snap.put("snapshot-id", snapshotId)
+        snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
+        snap.put("timestamp-ms", now)
+        val summary = mapper.createObjectNode()
+        summary.put("operation", "delete")
+        summary.put("deleted-data-files", fullyMatching.size.toString)
+        summary.put("deleted-records", deletedRecords.toString)
+        val prevTotal = table.currentSnapshot.summary.get("total-records")
+          .map(_.toLong).getOrElse(0L)
+        summary.put("total-records", (prevTotal - deletedRecords).toString)
+        snap.set[ObjectNode]("summary", summary)
+        snap.put("manifest-list", manifestListPath)
+        snap.put("schema-id", schema.schemaId)
+        old.withArray[ArrayNode]("snapshots").add(snap)
+        old.put("current-snapshot-id", snapshotId)
+        old.put("last-updated-ms", now)
+        Some(old.toPrettyString)
       }
-      (f.filePath, f.fileSizeInBytes, stats, partValues)
     }
-    writeManifest(manifestPath, snapshotId, deletedEntries, specInfo, conf,
-      status = Manifests.Status.Deleted)
-
-    val priorManifests = table.manifestList
-    val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
-    val deletedRecords = fullyMatching.map(_.recordCount).sum
-    writeManifestList(manifestListPath, snapshotId, manifestPath,
-      0, 0L, Nil, priorManifests, conf)
-
-    val old = mapper.readTree(
-      readString(s"$url/metadata/v${table.version}.metadata.json", conf))
-      .asInstanceOf[ObjectNode]
-    val now = System.currentTimeMillis()
-    val snap = mapper.createObjectNode()
-    snap.put("snapshot-id", snapshotId)
-    snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
-    snap.put("timestamp-ms", now)
-    val summary = mapper.createObjectNode()
-    summary.put("operation", "delete")
-    summary.put("deleted-data-files", fullyMatching.size.toString)
-    summary.put("deleted-records", deletedRecords.toString)
-    val prevTotal = table.currentSnapshot.summary.get("total-records")
-      .map(_.toLong).getOrElse(0L)
-    summary.put("total-records", (prevTotal - deletedRecords).toString)
-    snap.set[ObjectNode]("summary", summary)
-    snap.put("manifest-list", manifestListPath)
-    snap.put("schema-id", schema.schemaId)
-    old.withArray[ArrayNode]("snapshots").add(snap)
-    old.put("current-snapshot-id", snapshotId)
-    old.put("last-updated-ms", now)
-    val newVersion = table.version + 1
-    writeString(s"$url/metadata/v$newVersion.metadata.json", old.toPrettyString, conf)
-    writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
   }
 
   /** Row-level delete via Iceberg v2 POSITION DELETES (merge-on-read).
@@ -536,42 +541,45 @@ object IcebergWriter {
 
     if (deleteManifest.isEmpty && dataManifest.isEmpty) return // nothing matched
 
-    // 3. manifest list + metadata commit (format v2: row-level deletes)
-    val priorManifests = table.manifestList
-    val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
-    writeManifestLists(manifestListPath, snapshotId,
-      dataManifest.toSeq ++ deleteManifest.toSeq, priorManifests, conf)
+    // 3. manifest list + metadata commit (format v2: row-level deletes),
+    // re-published against current state via the optimistic commit loop
+    // (the position scan above stays outside — positions target immutable
+    // files, so they remain valid across a lost race)
+    commitWithRetry(spark, url, conf) { current =>
+      val priorManifests = current.manifestList
+      val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+      writeManifestLists(manifestListPath, snapshotId,
+        dataManifest.toSeq ++ deleteManifest.toSeq, priorManifests, conf)
 
-    val deletedRecords = fully.map(_.recordCount).sum + posDeleteCount
-    val old = mapper.readTree(
-      readString(s"$url/metadata/v${table.version}.metadata.json", conf))
-      .asInstanceOf[ObjectNode]
-    old.put("format-version", 2)
-    val now = System.currentTimeMillis()
-    val snap = mapper.createObjectNode()
-    snap.put("snapshot-id", snapshotId)
-    snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
-    snap.put("timestamp-ms", now)
-    val summary = mapper.createObjectNode()
-    summary.put("operation", "delete")
-    summary.put("deleted-data-files", fully.size.toString)
-    summary.put("deleted-records", deletedRecords.toString)
-    if (posDeleteCount > 0) {
-      summary.put("added-delete-files", "1")
-      summary.put("added-position-deletes", posDeleteCount.toString)
+      val deletedRecords = fully.map(_.recordCount).sum + posDeleteCount
+      val old = mapper.readTree(
+        readString(s"$url/metadata/v${current.version}.metadata.json", conf))
+        .asInstanceOf[ObjectNode]
+      old.put("format-version", 2)
+      val now = System.currentTimeMillis()
+      val snap = mapper.createObjectNode()
+      snap.put("snapshot-id", snapshotId)
+      snap.put("parent-snapshot-id", current.metadata.currentSnapshotId)
+      snap.put("timestamp-ms", now)
+      val summary = mapper.createObjectNode()
+      summary.put("operation", "delete")
+      summary.put("deleted-data-files", fully.size.toString)
+      summary.put("deleted-records", deletedRecords.toString)
+      if (posDeleteCount > 0) {
+        summary.put("added-delete-files", "1")
+        summary.put("added-position-deletes", posDeleteCount.toString)
+      }
+      val prevTotal = current.currentSnapshot.summary.get("total-records")
+        .map(_.toLong).getOrElse(0L)
+      summary.put("total-records", (prevTotal - deletedRecords).toString)
+      snap.set[ObjectNode]("summary", summary)
+      snap.put("manifest-list", manifestListPath)
+      snap.put("schema-id", schema.schemaId)
+      old.withArray[ArrayNode]("snapshots").add(snap)
+      old.put("current-snapshot-id", snapshotId)
+      old.put("last-updated-ms", now)
+      Some(old.toPrettyString)
     }
-    val prevTotal = table.currentSnapshot.summary.get("total-records")
-      .map(_.toLong).getOrElse(0L)
-    summary.put("total-records", (prevTotal - deletedRecords).toString)
-    snap.set[ObjectNode]("summary", summary)
-    snap.put("manifest-list", manifestListPath)
-    snap.put("schema-id", schema.schemaId)
-    old.withArray[ArrayNode]("snapshots").add(snap)
-    old.put("current-snapshot-id", snapshotId)
-    old.put("last-updated-ms", now)
-    val newVersion = table.version + 1
-    writeString(s"$url/metadata/v$newVersion.metadata.json", old.toPrettyString, conf)
-    writeString(s"$url/metadata/version-hint.text", newVersion.toString, conf)
   }
 
   /** Row count straight from the parquet footer (no data read). */
@@ -937,6 +945,73 @@ object IcebergWriter {
     writer.create(schema, out)
     try body(writer) finally writer.close()
   }
+
+  // ------------------------------------------------------- commit protocol
+
+  /** Optimistic-concurrency commit loop (the shape of Iceberg's own
+    * protocol): each attempt re-resolves the CURRENT table state, rebuilds
+    * the snapshot's manifests/metadata against it, and publishes the new
+    * `v{N+1}.metadata.json` with an EXCLUSIVE create. A concurrent committer
+    * winning the version makes the create fail → reload and retry, so no
+    * committed snapshot is ever lost (last-writer-wins overwrite was the
+    * round-1 behavior). Atomicity relies on the store's exclusive-create
+    * (atomic on HDFS/local; object stores need a catalog lock — out of
+    * scope, reference parity).
+    *
+    * `attempt` returns None to abort without committing (no-op deletes). */
+  private def commitWithRetry(spark: SparkSession, url: String, conf: Configuration,
+      maxAttempts: Int = 10)(attempt: IcebergTable => Option[String]): Unit = {
+    var n = 0
+    while (true) {
+      val table = IcebergTable.load(spark, url)
+      val json = attempt(table) match {
+        case None => return
+        case Some(j) => j
+      }
+      val newVersion = table.version + 1
+      try {
+        writeStringExclusive(s"$url/metadata/v$newVersion.metadata.json", json, conf)
+        writeHint(url, newVersion, conf)
+        return
+      } catch {
+        case e: java.io.IOException
+            if n < maxAttempts && (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+              || e.getMessage != null && e.getMessage.toLowerCase.contains("exist")) =>
+          n += 1 // lost the race — reload the new state and retry
+      }
+    }
+  }
+
+  /** Serializes same-JVM committers (local FS create(overwrite=false) has a
+    * check-then-create window); cross-process atomicity is the filesystem's
+    * exclusive-create contract (HDFS yes, raw object stores no — catalog). */
+  private val commitLock = new Object
+
+  /** Near-atomic hint update: write aside, then delete+rename. Readers that
+    * hit the tiny window fall back to IcebergTable.versionHint's dir scan. */
+  private def writeHint(url: String, version: Int, conf: Configuration): Unit = {
+    val target = new Path(s"$url/metadata/version-hint.text")
+    val tmp = new Path(s"$url/metadata/.version-hint.${UUID.randomUUID()}.tmp")
+    val fs = target.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    commitLock.synchronized {
+      fs.delete(target, false)
+      fs.rename(tmp, target)
+    }
+  }
+
+  private def writeStringExclusive(path: String, content: String, conf: Configuration): Unit =
+    commitLock.synchronized {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) // pre-check; the create below is the atomic gate
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(path)
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
 
   // ------------------------------------------------------------- fs io
 

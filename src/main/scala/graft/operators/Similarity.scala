@@ -58,4 +58,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** An IVF (inverted-file) coarse-quantizer index: every corpus vector
+    * assigned to its nearest k-means centroid. Build once, search many — at
+    * scale the assignment is a table you persist (e.g. an Iceberg table
+    * partitioned by `cell`), so a probe reads only nProbe/nlist of the
+    * corpus. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nlist: Int)
+
+  /** Train the coarse quantizer (k-means on a corpus sample) and assign
+    * every vector to a cell. The FAISS IVF-Flat shape on DataFrames. */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 64, trainFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("feat", array_to_vector(col("cv")))
+    val train = if (trainFraction >= 1.0) feats else feats.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("feat").setPredictionCol("cell").fit(train)
+    val assigned = model.transform(feats).select(
+      col("neighbor_id"), col("cv"), col("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cell", "centroid")
+    IvfIndex(assigned, centroids, nlist)
+  }
+
+  /** ANN top-k through an IVF index: each query ranks only the vectors in
+    * its `nProbe` nearest cells (euclidean to centroid — the k-means
+    * metric), final ranking by exact cosine. Scored pairs drop from
+    * |corpus|·|queries| to ~nProbe/nlist of that; the probe side is
+    * broadcast (queries × nlist is small). */
+  def ivfTopK(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // nearest nProbe cells per query: cross join against the (tiny) centroid
+    // table, codegen'd distance, window rank — no UDF in the query path
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("d2", l2Squared(col("qv"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

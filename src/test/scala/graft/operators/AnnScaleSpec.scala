@@ -93,6 +93,29 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("IVF top-k: high recall vs brute force while probing half the cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+    // index partitions the corpus completely
+    assert(index.assigned.count() == emb.count())
+    assert(index.centroids.count() == 8)
+    val approx = Similarity.ivfTopK(index, queries, "embedding", "vec_id",
+      k = 5, nProbe = 4)
+    val counts = approx.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L))
+    val got = approx.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 = $recall probing 4/8 cells")
+    // full probe = exact: nProbe == nlist degenerates to brute force
+    val full = Similarity.ivfTopK(index, queries, "embedding", "vec_id",
+      k = 5, nProbe = 8).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe IVF must equal brute force")
+  }
+
   test("lshTopK with auto planes returns k ranked neighbors per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
