@@ -190,9 +190,55 @@ object IceQueries {
       .toDF("rows_after", "rows_from_stats", "n_delete_files", "rows_before", "operation")
   }
 
+  /** Write-side schema evolution: add → rename → drop, all metadata-only,
+    * with id-resolved reads keeping every file readable. */
+  def iceEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, Seq((1L, "a"), (2L, "b")).toDF("k", "cat"))
+    IcebergWriter.addColumn(s, url, "score", "double")
+    IcebergWriter.append(s, url, Seq((3L, "c", 0.5)).toDF("k", "cat", "score"))
+    IcebergWriter.renameColumn(s, url, "cat", "category")
+    val t = IcebergTable.load(s, url)
+    val nonNullCat = t.read().filter(col("category").isNotNull).count()
+    val nullScores = t.read().filter(col("score").isNull).count()
+    Seq((t.schema.fieldNames.mkString(","), t.read().count(), nonNullCat, nullScores,
+        t.snapshotRelative(-1).schema.fieldNames.length.toLong))
+      .toDF("fields", "rows", "category_values", "null_scores", "old_schema_width")
+  }
+
+  /** Maintenance: small-file compaction (replace snapshot, MOR folded) and
+    * snapshot expiration with physical cleanup. */
+  def iceMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_maint").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    (1 to 4).foreach(i => IcebergWriter.append(s, url,
+      ((i * 10L) until (i * 10L + 10)).map(j => (j, s"c$i")).toDF("k", "cat").repartition(2)))
+    IcebergWriter.deleteRows(s, url, Pruning.Eq("k", 25L))
+    val filesBefore = IcebergTable.load(s, url).liveFiles().size.toLong
+    Maintenance.compact(s, url, targetFiles = Some(2))
+    Maintenance.expireSnapshots(s, url, keepLast = 1)
+    val t = IcebergTable.load(s, url)
+    Seq((filesBefore, t.liveFiles().size.toLong, t.read().count(),
+        t.snapshots.size.toLong, t.summary.getOrElse("operation", "")))
+      .toDF("files_before", "files_after", "rows", "n_snapshots", "operation")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
+    "ice_evolution"        -> (iceEvolution _),
+    "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),
     "ice_source_timetravel" -> (iceSourceTimeTravel _),
     "ice_write_roundtrip"  -> (iceWriteRoundtrip _),

@@ -46,13 +46,49 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming ingestion into an Iceberg table: a real readStream over the
+    * events parquet, one append snapshot per micro-batch, exactly-once via
+    * the batch id recorded in snapshot summaries. */
+  def s3IcebergSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.streaming.IcebergSink
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s3sink").toString
+    val url = s"$tmp/tbl"
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+    // stage as a streaming file source
+    val srcDir = s"$tmp/src"
+    events.write.parquet(srcDir)
+    val stream = s.readStream.schema(events.schema).parquet(srcDir)
+    val q = IcebergSink.start(stream, url, s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val tb = IcebergTable.load(s, url)
+    tb.read().groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
+    "s3_iceberg_sink" -> (s3IcebergSink _),
     "aj_asof"       -> (ajAsof _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the sink round-trips events through an Iceberg table; the oracle is
+    // the same aggregation over the source — losing or duplicating ANY
+    // micro-batch row breaks the hash match
+    "s3_iceberg_sink" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "s1_window_agg" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
         COUNT(*) AS n,

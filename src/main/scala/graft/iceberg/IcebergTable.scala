@@ -84,7 +84,14 @@ final class IcebergTable private (
 
   def summary: Map[String, String] = currentSnapshot.summary
 
-  def iceSchema: IceSchema = metadata.schemaFor(currentSnapshot)
+  /** Head reads use the table's CURRENT schema (Iceberg semantics — a
+    * schema change applies immediately, before any new snapshot); explicit
+    * time travel uses the snapshot's own schema-id. */
+  def iceSchema: IceSchema =
+    if (selectedSnapshotId.isEmpty)
+      metadata.schemas.find(_.schemaId == metadata.currentSchemaId)
+        .getOrElse(metadata.schemaFor(currentSnapshot))
+    else metadata.schemaFor(currentSnapshot)
 
   /** Current snapshot's schema as Spark StructType (field ids in metadata). */
   def schema: StructType = iceSchema.toSpark

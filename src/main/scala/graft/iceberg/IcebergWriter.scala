@@ -184,6 +184,13 @@ object IcebergWriter {
   def append(spark: SparkSession, url: String, df: DataFrame): Unit =
     writeSnapshot(spark, url, df, deletePred = None, operation = "append")
 
+  /** Append with extra snapshot-summary properties (streaming sinks record
+    * their batch id here for exactly-once replay protection). */
+  def append(spark: SparkSession, url: String, df: DataFrame,
+      extraSummary: Map[String, String]): Unit =
+    writeSnapshot(spark, url, df, deletePred = None, operation = "append",
+      extraSummary = extraSummary)
+
   /** Replace the rows matching `pred` with `df` in ONE snapshot
     * (`operation=overwrite`, DELETED + ADDED entries in the same manifest) —
     * the same single-snapshot shape the golden fixture's own history has
@@ -198,8 +205,11 @@ object IcebergWriter {
       pred: Pruning.IcePredicate = Pruning.AlwaysTrue): Unit =
     writeSnapshot(spark, url, df, deletePred = Some(pred), operation = "overwrite")
 
-  private def writeSnapshot(spark: SparkSession, url: String, df: DataFrame,
-      deletePred: Option[Pruning.IcePredicate], operation: String): Unit = {
+  private[iceberg] def writeSnapshot(spark: SparkSession, url: String, df: DataFrame,
+      deletePred: Option[Pruning.IcePredicate], operation: String,
+      pinnedDeletes: Option[Seq[Manifests.DataFileInfo]] = None,
+      dropDeleteManifests: Boolean = false,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -265,8 +275,11 @@ object IcebergWriter {
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     commitWithRetry(spark, url, conf) { table =>
       // 3a. (overwrite only) resolve which existing files the predicate
-      // deletes; refuse predicates that would split a file
-      val deletedFiles: Seq[Manifests.DataFileInfo] = deletePred match {
+      // deletes; refuse predicates that would split a file. Compaction pins
+      // the EXACT files it read, so a concurrent append's files survive.
+      val deletedFiles: Seq[Manifests.DataFileInfo] = if (pinnedDeletes.isDefined)
+        pinnedDeletes.get
+      else deletePred match {
         case None => Nil
         case Some(Pruning.AlwaysTrue) => // full-table replace
           if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
@@ -302,9 +315,13 @@ object IcebergWriter {
         specInfo, conf)
 
       // 4. manifest list = prior snapshot's manifests + the new one; the new
-      // manifest gets per-partition-field summaries for manifest-tier pruning
+      // manifest gets per-partition-field summaries for manifest-tier pruning.
+      // Compaction drops delete manifests: every position delete targeted a
+      // file that is being removed, so they are fully applied.
       val priorManifests: Seq[Manifests.ManifestFile] =
-        if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil
+        (if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil)
+          .filterNot(m => dropDeleteManifests &&
+            m.content == Manifests.ManifestContent.Deletes)
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
       val addedRecords = dataFiles.map(_._3.recordCount).sum
       val deletedRecords = deletedFiles.map(_.recordCount).sum
@@ -347,7 +364,13 @@ object IcebergWriter {
         summary.put("deleted-data-files", deletedFiles.size.toString)
         summary.put("deleted-records", deletedRecords.toString)
       }
-      val totalRecords = addedRecords - deletedRecords + table.metadata.snapshots
+      extraSummary.foreach { case (k, v) => summary.put(k, v) }
+      // deleted file record counts are RAW; rows already removed by applied
+      // position deletes (dropped with their manifests) must not be
+      // double-subtracted from the running total
+      val morAdjust = if (dropDeleteManifests)
+        table.positionDeleteFiles.map(_.recordCount).sum else 0L
+      val totalRecords = addedRecords - (deletedRecords - morAdjust) + table.metadata.snapshots
         .find(_.snapshotId == table.metadata.currentSnapshotId)
         .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
       summary.put("total-records", totalRecords.toString)
@@ -366,6 +389,81 @@ object IcebergWriter {
       logEntry.put("timestamp-ms", now)
       logEntry.put("snapshot-id", snapshotId)
       log.add(logEntry)
+      Some(old.toPrettyString)
+    }
+  }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** Add a column (metadata-only; existing files read back null for it).
+    * The new field gets a fresh id (last-column-id + 1) — id-based parquet
+    * resolution keeps every existing file readable unchanged. */
+  def addColumn(spark: SparkSession, url: String, name: String,
+      icebergType: String, required: Boolean = false): Unit =
+    evolveSchema(spark, url) { (fields, lastColumnId) =>
+      require(!fields.exists(_.get("name").asText == name), s"column $name exists")
+      val f = mapper.createObjectNode()
+      f.put("id", lastColumnId + 1)
+      f.put("name", name)
+      f.put("required", required)
+      f.put("type", icebergType)
+      (fields :+ f, lastColumnId + 1)
+    }
+
+  /** Rename a column (metadata-only). The field id is unchanged, so data
+    * written under the old name resolves by id — no rewrite, no nulls. */
+  def renameColumn(spark: SparkSession, url: String, from: String, to: String): Unit =
+    evolveSchema(spark, url) { (fields, lastColumnId) =>
+      require(fields.exists(_.get("name").asText == from), s"no column $from")
+      require(!fields.exists(_.get("name").asText == to), s"column $to exists")
+      (fields.map { f =>
+        if (f.get("name").asText == from) { val c = f.deepCopy(); c.put("name", to); c }
+        else f
+      }, lastColumnId)
+    }
+
+  /** Drop a column (metadata-only; files keep the bytes, readers stop
+    * projecting them; time travel to older snapshots still sees it). */
+  def dropColumn(spark: SparkSession, url: String, name: String): Unit =
+    evolveSchema(spark, url) { (fields, lastColumnId) =>
+      require(fields.exists(_.get("name").asText == name), s"no column $name")
+      (fields.filterNot(_.get("name").asText == name), lastColumnId)
+    }
+
+  /** Commit a new schema version: append to `schemas` with a fresh
+    * schema-id, flip current-schema-id — snapshots are untouched, so time
+    * travel keeps each snapshot's own schema. */
+  private def evolveSchema(spark: SparkSession, url: String)(
+      change: (Seq[ObjectNode], Int) => (Seq[ObjectNode], Int)): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      val old = mapper.readTree(
+        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        .asInstanceOf[ObjectNode]
+      val schemas = old.withArray[ArrayNode]("schemas")
+      val currentId = old.get("current-schema-id").asInt
+      val current = (0 until schemas.size).map(schemas.get)
+        .find(_.get("schema-id").asInt == currentId)
+        .getOrElse(throw new IllegalStateException("no current schema"))
+      val fields = current.withArray[ArrayNode]("fields")
+      val lastColumnId = Option(old.get("last-column-id")).map(_.asInt)
+        .getOrElse(fields.size)
+      val (newFields, newLastId) = change(
+        (0 until fields.size).map(i => fields.get(i).asInstanceOf[ObjectNode]),
+        lastColumnId)
+      val newSchemaId = (0 until schemas.size).map(schemas.get(_).get("schema-id").asInt).max + 1
+      val newSchema = mapper.createObjectNode()
+      newSchema.put("type", "struct")
+      newSchema.put("schema-id", newSchemaId)
+      val fieldArr = mapper.createArrayNode()
+      newFields.foreach(fieldArr.add)
+      newSchema.set[ArrayNode]("fields", fieldArr)
+      schemas.add(newSchema)
+      old.put("current-schema-id", newSchemaId)
+      old.put("last-column-id", newLastId)
+      // v1 flat form follows the current schema (ice.py reads it)
+      old.set[ObjectNode]("schema", newSchema.deepCopy())
+      old.put("last-updated-ms", System.currentTimeMillis())
       Some(old.toPrettyString)
     }
   }
@@ -959,7 +1057,7 @@ object IcebergWriter {
     * scope, reference parity).
     *
     * `attempt` returns None to abort without committing (no-op deletes). */
-  private def commitWithRetry(spark: SparkSession, url: String, conf: Configuration,
+  private[iceberg] def commitWithRetry(spark: SparkSession, url: String, conf: Configuration,
       maxAttempts: Int = 10)(attempt: IcebergTable => Option[String]): Unit = {
     var n = 0
     while (true) {

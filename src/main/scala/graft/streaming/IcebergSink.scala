@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+
+/** Structured-Streaming sink into an Iceberg table: each micro-batch
+  * commits one append snapshot via `foreachBatch`.
+  *
+  * Exactly-once across restarts: the epoch/batch id is recorded in the
+  * snapshot summary (`streaming-batch-id`), and a replayed batch (possible
+  * after a crash between commit and checkpoint advance) is skipped when its
+  * id is not greater than the last committed one — the same idempotent-
+  * commit trick Iceberg's own Spark sink uses. Commit concurrency with
+  * batch writers is handled by the writer's optimistic commit loop.
+  */
+object IcebergSink {
+
+  private[streaming] val BatchIdProp = "streaming-batch-id"
+
+  /** Append `batch` as one snapshot unless this batch id already committed. */
+  def appendBatch(url: String, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val last = lastCommittedBatch(url, spark)
+    if (last.forall(batchId > _))
+      IcebergWriter.append(spark, url, batch, Map(BatchIdProp -> batchId.toString))
+  }
+
+  /** Highest streaming batch id recorded in the snapshot history. */
+  private def lastCommittedBatch(url: String,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
+    val t = IcebergTable.load(spark, url)
+    val ids = t.metadata.snapshots.flatMap(_.summary.get(BatchIdProp)).map(_.toLong)
+    ids.maxOption
+  }
+
+  /** Start a streaming append into the table at `url`. */
+  def start(df: DataFrame, url: String, checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, batchId: Long) => appendBatch(url, batch, batchId))
+      .start()
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+
+/** Streaming ingestion into an Iceberg table: one append snapshot per
+  * micro-batch, replay-protected via the batch id in the snapshot summary. */
+class IcebergSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("streaming query appends micro-batches as snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val srcDir = s"$dir/src"
+    val url = s"$dir/tbl"
+    val ckpt = s"$dir/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    IcebergWriter.createTable(spark, url, schema)
+
+    // stage two source files -> the file source reads them as batches
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    Seq((3L, "c")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = IcebergSink.start(stream, url, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 3)
+    assert(t.metadata.snapshots.nonEmpty)
+    assert(t.metadata.snapshots.forall(_.summary.contains(IcebergSink.BatchIdProp)))
+
+    // restart from the same checkpoint: nothing new -> no new snapshots
+    val nSnaps = t.snapshots.size
+    val q2 = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir), url, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(IcebergTable.load(spark, url).snapshots.size == nSnaps)
+
+    // new data arrives -> exactly one more snapshot
+    Seq((4L, "d")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q3 = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir), url, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    val t3 = IcebergTable.load(spark, url)
+    assert(t3.read().count() == 4)
+  }
+
+  test("replayed batch id is skipped (exactly-once)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    val batch = Seq((1L, "a")).toDF("id", "name")
+    IcebergSink.appendBatch(url, batch, batchId = 0L)
+    IcebergSink.appendBatch(url, batch, batchId = 0L) // replay -> skipped
+    IcebergSink.appendBatch(url, batch, batchId = 1L)
+    val t = IcebergTable.load(spark, url)
+    assert(t.snapshots.size == 2)
+    assert(t.read().count() == 2)
+  }
+}
