@@ -4,16 +4,16 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.graftbridge.ScanBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.{IcebergTable, Pruning}
+import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
 
 /** Spark DataSourceV2 connector for Iceberg tables:
   *
@@ -43,11 +43,54 @@ import graft.iceberg.{IcebergTable, Pruning}
   * them row-level after the scan (same contract as Spark's own file
   * sources): metadata pruning only has to be sound, never exact.
   */
-class GraftIcebergSource extends TableProvider with DataSourceRegister {
+class GraftIcebergSource extends TableProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg"
 
   override def supportsExternalMetadata(): Boolean = true
+
+  /** DataFrame WRITE API (`df.write.format("graft-iceberg").save(path)`):
+    * the V2 table exposes no BATCH_WRITE, so Spark falls back here and the
+    * whole battle-tested writer (stats, hidden partitioning, optimistic
+    * commit) is reused. Append creates the table on first write; Overwrite
+    * replaces all rows in one snapshot. Partitioning via
+    * `.option("partition-spec", "cat:identity,k:bucket[4]")` (partitionBy
+    * columns don't flow through the V1 write API). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("path option is required"))
+    val spark = sqlContext.sparkSession
+    val exists = IcebergTable.versionHint(path,
+      spark.sessionState.newHadoopConf()) > 0
+    def create(): Unit = {
+      val partitions = parameters.get("partition-spec").toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)
+        .map { p =>
+          val Array(src, tr) = p.split(':')
+          (src.trim, tr.trim)
+        }
+      IcebergWriter.createTable(spark, path, data.schema, partitions)
+    }
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(s"table already exists: $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite =>
+        if (!exists) create()
+        IcebergWriter.overwrite(spark, path, data)
+      case _ => // Append / first write
+        if (!exists) create()
+        IcebergWriter.append(spark, path, data)
+    }
+    // a relation over the committed table (Spark may introspect its schema)
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = IcebergTable.load(spark, path).schema
+    }
+  }
 
   // inferSchema + getTable receive the same options on one provider
   // instance; cache the metadata load so the table JSON is read once.
@@ -74,7 +117,18 @@ class GraftIcebergSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftIcebergV2Table(loadTable(new CaseInsensitiveStringMap(properties)))
+    try new GraftIcebergV2Table(loadTable(new CaseInsensitiveStringMap(properties)))
+    catch {
+      // the WRITE path probes getTable before the table exists (first
+      // append creates it): hand back a capability-less placeholder so
+      // Spark falls through to the V1 CreatableRelationProvider write
+      case _: java.io.FileNotFoundException => new Table {
+        override def name(): String = "graft-iceberg (uncreated)"
+        override def schema(): StructType = schema
+        override def capabilities(): util.Set[TableCapability] =
+          util.Collections.emptySet()
+      }
+    }
 }
 
 final class GraftIcebergV2Table(val table: IcebergTable) extends Table with SupportsRead {

@@ -72,6 +72,38 @@ class IcebergSourceV2Spec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("DataFrame write API: append creates, appends, overwrites round-trip") {
+    import spark.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_dfw").toString + "/t"
+    // first append creates the table (with a hidden partition spec)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "cat")
+      .write.format("graft-iceberg")
+      .option("partition-spec", "cat:identity")
+      .mode("append").save(url)
+    Seq((3L, "c")).toDF("k", "cat")
+      .write.format("graft-iceberg").mode("append").save(url)
+    val t1 = graft.iceberg.IcebergTable.load(spark, url)
+    assert(t1.read().count() == 3)
+    assert(t1.snapshots.size == 2)
+    assert(t1.partitionSpec.fields.map(_.name).toSeq == Seq("cat"))
+    // read back through the V2 source
+    assert(spark.read.format("graft-iceberg").load(url).count() == 3)
+
+    // overwrite replaces everything in one snapshot
+    Seq((9L, "z")).toDF("k", "cat")
+      .write.format("graft-iceberg").mode("overwrite").save(url)
+    val t2 = graft.iceberg.IcebergTable.load(spark, url)
+    assert(t2.read().as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(t2.summary("operation") == "overwrite")
+    assert(t2.snapshotRelative(-1).read().count() == 3)
+
+    // errorifexists honors existing tables
+    intercept[Exception] {
+      Seq((0L, "x")).toDF("k", "cat")
+        .write.format("graft-iceberg").mode("error").save(url)
+    }
+  }
+
   test("column pruning reaches the parquet read schema") {
     val df = fixtureDf.select("name")
     val formatted = df.queryExecution.explainString(
