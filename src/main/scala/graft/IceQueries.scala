@@ -190,6 +190,30 @@ object IceQueries {
       .toDF("rows_after", "rows_from_stats", "n_delete_files", "rows_before", "operation")
   }
 
+  /** MERGE / upsert keyed on `k`: matched rows superseded via v2 position
+    * deletes, new keys inserted — one snapshot. */
+  def iceWriteMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_mrg").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url,
+      (1L to 50L).map(i => (i, s"old${i % 5}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.merge(s, url,
+      ((40L to 55L).map(i => (i, "upserted"))).toDF("k", "cat"), Seq("k"))
+    val t = IcebergTable.load(s, url)
+    Seq((t.read().count(), t.countFromStats().getOrElse(-1L),
+        t.read().filter(col("cat") === "upserted").count(),
+        t.snapshotRelative(-1).read().count(),
+        t.snapshots.size.toLong,
+        t.summary.getOrElse("added-position-deletes", "")))
+      .toDF("rows_after", "rows_from_stats", "upserted_rows", "rows_before",
+        "n_snapshots", "pos_deletes")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -237,6 +261,7 @@ object IceQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
+    "ice_write_merge"      -> (iceWriteMerge _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),

@@ -209,7 +209,10 @@ object IcebergWriter {
       deletePred: Option[Pruning.IcePredicate], operation: String,
       pinnedDeletes: Option[Seq[Manifests.DataFileInfo]] = None,
       dropDeleteManifests: Boolean = false,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      extraManifests: Seq[NewManifestInfo] = Nil,
+      posDeleteRows: Long = 0L,
+      presetSnapshotId: Option[Long] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -272,7 +275,8 @@ object IcebergWriter {
     // 3-5 run inside the optimistic commit loop: delete resolution, the
     // manifest, the manifest list, and the metadata json all depend on the
     // table state CURRENT at publish time, so each attempt rebuilds them
-    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val snapshotId = presetSnapshotId.getOrElse(
+      math.abs(UUID.randomUUID().getMostSignificantBits))
     commitWithRetry(spark, url, conf) { table =>
       // 3a. (overwrite only) resolve which existing files the predicate
       // deletes; refuse predicates that would split a file. Compaction pins
@@ -342,15 +346,21 @@ object IcebergWriter {
               Some(IcebergTypes.encodeBound(mx, valueType)))
           }
         }
-      writeManifestList(manifestListPath, snapshotId, manifestPath,
-        dataFiles.size, addedRecords, summaries, priorManifests, conf,
-        deletedFiles = deletedFiles.size, deletedRows = deletedRecords)
+      writeManifestLists(manifestListPath, snapshotId,
+        NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
+          dataFiles.size, addedRecords, deletedFiles.size, deletedRecords,
+          summaries) +: extraManifests,
+        priorManifests, conf)
 
       // 5. new metadata version
       val old = mapper.readTree(
         readString(s"$url/metadata/v${table.version}.metadata.json", conf))
         .asInstanceOf[ObjectNode]
       val now = System.currentTimeMillis()
+      // a delete-content manifest in the commit (merge/upsert) makes the
+      // table format-version 2 (position deletes are a v2 feature)
+      if (extraManifests.exists(_.content == Manifests.ManifestContent.Deletes))
+        old.put("format-version", 2)
       val snap = mapper.createObjectNode()
       snap.put("snapshot-id", snapshotId)
       if (table.metadata.currentSnapshotId >= 0)
@@ -364,13 +374,19 @@ object IcebergWriter {
         summary.put("deleted-data-files", deletedFiles.size.toString)
         summary.put("deleted-records", deletedRecords.toString)
       }
+      if (posDeleteRows > 0) {
+        summary.put("added-delete-files", extraManifests.count(
+          _.content == Manifests.ManifestContent.Deletes).toString)
+        summary.put("added-position-deletes", posDeleteRows.toString)
+      }
       extraSummary.foreach { case (k, v) => summary.put(k, v) }
       // deleted file record counts are RAW; rows already removed by applied
       // position deletes (dropped with their manifests) must not be
       // double-subtracted from the running total
       val morAdjust = if (dropDeleteManifests)
         table.positionDeleteFiles.map(_.recordCount).sum else 0L
-      val totalRecords = addedRecords - (deletedRecords - morAdjust) + table.metadata.snapshots
+      val totalRecords = addedRecords - (deletedRecords - morAdjust) - posDeleteRows +
+        table.metadata.snapshots
         .find(_.snapshotId == table.metadata.currentSnapshotId)
         .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
       summary.put("total-records", totalRecords.toString)
@@ -586,37 +602,18 @@ object IcebergWriter {
     }
 
     // 1. position-delete file for split files: distributed position scan
-    var posDeleteCount = 0L
-    val deleteManifest: Option[NewManifestInfo] =
-      if (candidates.isEmpty) None
+    val (deleteManifest, posDeleteCount) =
+      if (candidates.isEmpty) (None, 0L)
       else {
         val predCol = Pruning.toColumn(pred).getOrElse(
           throw new IllegalStateException("row-level delete needs a concrete predicate"))
-        val delDir = s"$url/data/$commitId-deletes"
-        spark.read.schema(table.schema)
+        val positions = spark.read.schema(table.schema)
           .parquet(candidates.map(f => table.resolvePath(f.filePath)): _*)
           .filter(predCol)
           .select(col("_metadata.file_path").as("file_path"),
             col("_metadata.row_index").as("pos"))
-          .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
-          .write.parquet(delDir)
-        val fs = new Path(delDir).getFileSystem(conf)
-        val delFiles = listParquetFiles(fs, new Path(delDir))
-        val entries = delFiles.map { st =>
-          val rows = rowCountOf(st.getPath, conf)
-          posDeleteCount += rows
-          (st.getPath.toUri.getPath, st.getLen,
-            FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
-            specInfo.map(_ => null: Any), Manifests.Status.Added)
-        }.filter(_._3.recordCount > 0)
-        if (entries.isEmpty) None // stats said "might match" but no rows did
-        else {
-          val manifestPath = s"$url/metadata/$commitId-m1.avro"
-          writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
-            fileContent = Manifests.FileContent.PositionDeletes)
-          Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
-            entries.size, posDeleteCount, 0, 0L, Nil))
-        }
+        writePositionDeletes(spark, url, table, commitId, snapshotId,
+          positions, specInfo, conf)
       }
 
     // 2. whole-file DELETED entries for fully matching files
@@ -664,7 +661,8 @@ object IcebergWriter {
       summary.put("deleted-data-files", fully.size.toString)
       summary.put("deleted-records", deletedRecords.toString)
       if (posDeleteCount > 0) {
-        summary.put("added-delete-files", "1")
+        summary.put("added-delete-files",
+          deleteManifest.map(_.addedFiles).getOrElse(0).toString)
         summary.put("added-position-deletes", posDeleteCount.toString)
       }
       val prevTotal = current.currentSnapshot.summary.get("total-records")
@@ -678,6 +676,103 @@ object IcebergWriter {
       old.put("last-updated-ms", now)
       Some(old.toPrettyString)
     }
+  }
+
+  /** Write a `(file_path, pos)` DataFrame as Iceberg v2 position-delete
+    * parquet under `data/<commitId>-deletes/` and register it in a
+    * delete-content manifest. Positions already covered by the table's
+    * EXISTING delete files are excluded (distributed anti-join on the
+    * normalized data-file key): every emitted position then removes exactly
+    * one live row, which keeps `total-records` and `countFromStats` exact
+    * even when row-level operations overlap. Returns the manifest (None when
+    * nothing new matched) and the number of fresh delete rows. */
+  private def writePositionDeletes(spark: SparkSession, url: String,
+      table: IcebergTable, commitId: String, snapshotId: Long,
+      positions: DataFrame,
+      specInfo: Seq[(PartitionField, String, String)],
+      conf: Configuration): (Option[NewManifestInfo], Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    def key(c: org.apache.spark.sql.Column) = regexp_extract(c, "/data/(.*)$", 1)
+    val existing = table.positionDeleteFiles
+    val fresh =
+      if (existing.isEmpty) positions
+      else positions.join(
+        spark.read.parquet(existing.map(f => table.resolvePath(f.filePath)): _*)
+          .select(key(col("file_path")).as("_g_prior_key"), col("pos").as("_g_prior_pos")),
+        key(col("file_path")) === col("_g_prior_key") && col("pos") === col("_g_prior_pos"),
+        "left_anti")
+    val delDir = s"$url/data/$commitId-deletes"
+    // spec: position deletes sorted by (path, pos)
+    fresh.sort("file_path", "pos").write.parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(conf)
+    var posDeleteCount = 0L
+    val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
+      val rows = rowCountOf(st.getPath, conf)
+      posDeleteCount += rows
+      (st.getPath.toUri.getPath, st.getLen,
+        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+        specInfo.map(_ => null: Any), Manifests.Status.Added)
+    }.filter(_._3.recordCount > 0)
+    if (entries.isEmpty) (None, 0L) // stats said "might match" but no rows did
+    else {
+      val manifestPath = s"$url/metadata/$commitId-m1.avro"
+      writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+        fileContent = Manifests.FileContent.PositionDeletes)
+      (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+        entries.size, posDeleteCount, 0, 0L, Nil)), posDeleteCount)
+    }
+  }
+
+  /** MERGE (upsert) keyed on `keyCols`: every target row whose key appears
+    * in `source` is superseded (v2 position delete, merge-on-read) and ALL
+    * source rows are appended — in ONE snapshot, like Iceberg's
+    * `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE *
+    * WHEN NOT MATCHED THEN INSERT *`.
+    *
+    * The matched positions come from a DISTRIBUTED left-semi join of the
+    * live files (with `_metadata.row_index`) against the distinct source
+    * keys — Catalyst broadcasts the key side when it is small, so the
+    * target is read exactly once with no shuffle of the big side. The
+    * position scan runs OUTSIDE the optimistic commit loop: positions
+    * target immutable files and stay valid across a lost commit race
+    * (concurrent appends of the same key are not re-matched — snapshot
+    * isolation, matching what the scan saw).
+    *
+    * On a table with no snapshot this degrades to a plain append. */
+  def merge(spark: SparkSession, url: String, source: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    val live = if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
+    if (live.isEmpty) { append(spark, url, source); return }
+
+    val schema = table.iceSchema
+    keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))
+    val commitId = UUID.randomUUID().toString
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val specInfo: Seq[(PartitionField, String, String)] =
+      table.partitionSpec.fields.map { pf =>
+        val src = schema.fields.find(_.id == pf.sourceId).get
+        (pf, src.icebergTypeString,
+          partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+      }
+
+    val positions = spark.read.schema(table.schema)
+      .parquet(live.map(f => table.resolvePath(f.filePath)): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos")): _*)
+      .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select("file_path", "pos")
+    val (deleteManifest, posDeleteCount) = writePositionDeletes(
+      spark, url, table, commitId, snapshotId, positions, specInfo, conf)
+
+    writeSnapshot(spark, url, source, deletePred = None, operation = "overwrite",
+      extraSummary = Map("graft-merge-keys" -> keyCols.mkString(",")),
+      extraManifests = deleteManifest.toSeq, posDeleteRows = posDeleteCount,
+      presetSnapshotId = Some(snapshotId))
   }
 
   /** Row count straight from the parquet footer (no data read). */
@@ -965,7 +1060,7 @@ object IcebergWriter {
   }
 
   /** A freshly written manifest to be registered in the manifest list. */
-  private final case class NewManifestInfo(path: String, content: Int,
+  private[iceberg] final case class NewManifestInfo(path: String, content: Int,
       addedFiles: Int, addedRows: Long, deletedFiles: Int, deletedRows: Long,
       summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
 
