@@ -214,6 +214,56 @@ object IceQueries {
         "n_snapshots", "pos_deletes")
   }
 
+  /** Storage-partitioned join E2E: orders and customer land in two Iceberg
+    * tables bucketed 8 ways on custkey; with data grouping enabled the join
+    * plans with ZERO shuffles (recorded in the emitted `join_shuffles`
+    * column and checked by the DuckDB oracle's literal 0) and the values
+    * match a plain join over the source parquet. The 100 TB shape: two
+    * co-bucketed fact tables merge locally per bucket, no exchange. */
+  def iceSpjJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.IcebergWriter
+    val base = java.nio.file.Files.createTempDirectory("graft_spj").toString
+    val orders = Queries.t(s, dir, "orders").select("o_custkey", "o_totalprice")
+    val cust = Queries.t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    IcebergWriter.createTable(s, s"$base/o", orders.schema, Seq("o_custkey" -> "bucket[8]"))
+    IcebergWriter.append(s, s"$base/o", orders)
+    IcebergWriter.createTable(s, s"$base/c", cust.schema, Seq("c_custkey" -> "bucket[8]"))
+    IcebergWriter.append(s, s"$base/c", cust)
+
+    // a path catalog over the temp warehouse: SPJ's bucket transform
+    // resolves through the catalog's FunctionCatalog (path-based reads
+    // cannot resolve it, so the join would shuffle)
+    val catName = s"spj${base.hashCode.toHexString}"
+    val confs = Seq(
+      s"spark.sql.catalog.$catName" -> "graft.sources.GraftIcebergPathCatalog",
+      s"spark.sql.catalog.$catName.warehouse" -> base,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.graft.iceberg.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val before = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = s.table(s"$catName.o")
+      val c = s.table(s"$catName.c")
+      val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val agg = joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), Queries.dsum(col("o_totalprice"), 2).as("revenue"))
+        .withColumn("join_shuffles", lit(shuffles))
+        .orderBy("c_mktsegment")
+      // execute NOW, inside the conf scope, so the plan shape is the tested one
+      val rows = agg.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally before.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -262,6 +312,7 @@ object IceQueries {
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
     "ice_write_merge"      -> (iceWriteMerge _),
+    "ice_spj_join"         -> (iceSpjJoin _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),
@@ -279,4 +330,16 @@ object IceQueries {
     "ice_introspect"       -> (iceIntrospect _),
     "ice_schema_evolution" -> (iceSchemaEvolution _),
   )
+
+  /** The one metadata-plane query with a DuckDB oracle: the SPJ join's
+    * VALUES come from relational semantics DuckDB can replay (the literal 0
+    * pins the no-shuffle plan shape). */
+  val oracle: Map[String, String] = Map(
+    "ice_spj_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+        |  CAST(0 AS INTEGER) AS join_shuffles
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

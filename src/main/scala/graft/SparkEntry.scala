@@ -21,7 +21,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.relationalOracle ++ LlmQueries.oracle ++ StreamQueries.oracle
+    Queries.relationalOracle ++ LlmQueries.oracle ++ StreamQueries.oracle ++
+      IceQueries.oracle
 
   /** Subset used by Bench as the headline performance set. */
   def benchQueries: Seq[String] = Seq(

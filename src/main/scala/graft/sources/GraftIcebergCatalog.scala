@@ -31,7 +31,8 @@ import graft.iceberg.{IcebergTable, IcebergWriter}
   * endpoints; `renameTable`/`alterTable` are not in the protocol subset the
   * reference covers and raise.
   */
-class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces {
+class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
+    with IcebergTransformFunctions {
 
   private var catalogName: String = _
   private var rest: IceRestCatalog = _

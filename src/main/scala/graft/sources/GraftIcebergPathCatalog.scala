@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+
+/** Filesystem-warehouse catalog (the HadoopCatalog pattern from the Iceberg
+  * spec): a table named `cat.db.t` lives at `<warehouse>/db/t`, resolved by
+  * `version-hint.text` — no catalog service at all.
+  *
+  * {{{
+  *   spark.sql.catalog.hdw           = graft.sources.GraftIcebergPathCatalog
+  *   spark.sql.catalog.hdw.warehouse = /data/warehouse
+  *   // then:
+  *   spark.sql("CREATE TABLE hdw.db.t (k BIGINT, cat STRING) PARTITIONED BY (bucket(8, k))")
+  *   spark.sql("SELECT * FROM hdw.db.t VERSION AS OF 3")
+  * }}}
+  *
+  * Unlike the REST catalog, DDL here supports hidden-partition transforms
+  * (identity / bucket / year / month / day / hour), mapped onto the
+  * writer's partition-spec strings. As an [[IcebergTransformFunctions]]
+  * catalog it also resolves `bucket` for storage-partitioned joins.
+  */
+class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunctions {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse is required (filesystem root)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def dir(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new Path((warehouse +: namespace).mkString("/"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, "metadata")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    IcebergTable.versionHint(dir(ident), spark.sessionState.newHadoopConf()) > 0
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftIcebergV2Table(IcebergTable.load(spark, dir(ident)))
+
+  /** `VERSION AS OF v` — snapshot id when it matches one, else a metadata
+    * version number (same contract as the REST catalog). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = IcebergTable.load(spark, dir(ident))
+    val resolved = version.toLongOption match {
+      case Some(v) if t.snapshots.contains(v) => t.atSnapshot(v)
+      case Some(v) => t.atVersion(v.toInt)
+      case None => throw new IllegalArgumentException(s"bad version: $version")
+    }
+    new GraftIcebergV2Table(resolved)
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    new GraftIcebergV2Table(
+      IcebergTable.load(spark, dir(ident)).asOfTimestamp(timestamp / 1000L))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val spec: Seq[(String, String)] = partitions.toSeq.map { t =>
+      def srcCol: String = t.references().toList match {
+        case one :: Nil => one.fieldNames.mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"multi-column transform is not supported: ${other.mkString(",")}")
+      }
+      t.name() match {
+        case "identity" => (srcCol, "identity")
+        case "bucket" =>
+          val n = t.arguments().collectFirst { case l: Literal[_] => l.value() }
+            .map(_.toString.toInt).getOrElse(throw new IllegalArgumentException(
+              s"bucket transform needs a literal bucket count: $t"))
+          (srcCol, s"bucket[$n]")
+        case n @ ("years" | "months" | "days" | "hours") =>
+          (srcCol, n.stripSuffix("s")) // years → year, … (Iceberg spec names)
+        case n @ ("year" | "month" | "day" | "hour") => (srcCol, n)
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported transform: $other")
+      }
+    }
+    IcebergWriter.createTable(spark, dir(ident), schema, spec)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(dir(ident))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable is not supported")
+}

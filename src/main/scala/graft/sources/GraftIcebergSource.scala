@@ -2,16 +2,22 @@ package graft.sources
 
 import java.util
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.graftbridge.ScanBridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
 
@@ -122,12 +128,14 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
       // the WRITE path probes getTable before the table exists (first
       // append creates it): hand back a capability-less placeholder so
       // Spark falls through to the V1 CreatableRelationProvider write
-      case _: java.io.FileNotFoundException => new Table {
-        override def name(): String = "graft-iceberg (uncreated)"
-        override def schema(): StructType = schema
-        override def capabilities(): util.Set[TableCapability] =
-          util.Collections.emptySet()
-      }
+      case _: java.io.FileNotFoundException =>
+        val providedSchema = schema
+        new Table {
+          override def name(): String = "graft-iceberg (uncreated)"
+          override def schema(): StructType = providedSchema
+          override def capabilities(): util.Set[TableCapability] =
+            util.Collections.emptySet()
+        }
     }
 }
 
@@ -192,7 +200,7 @@ final class GraftIcebergScan(
     requiredSchema: StructType,
     pushedFilters: Array[Filter],
     options: CaseInsensitiveStringMap)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
@@ -201,13 +209,53 @@ final class GraftIcebergScan(
       table.schema, requiredSchema, pushedFilters, options).toBatch
   }
 
+  /** Key-grouped layout for STORAGE-PARTITIONED JOINS: when enabled and
+    * every partition-spec field is an identity or bucket transform over a
+    * key-comparable type, the scan groups files by partition-value tuple
+    * and reports [[KeyGroupedPartitioning]]. Two tables partitioned the
+    * same way then join with NO shuffle — at 100 TB the difference between
+    * a network-wide exchange of both fact tables and a purely local merge
+    * per bucket.
+    *
+    * Grouping caps scan parallelism at the number of partition values, so
+    * it must be a deliberate choice, not ambient behavior (and Spark's
+    * `spark.sql.sources.v2.bucketing.enabled` defaults to TRUE in 4.x, so
+    * it alone cannot be the switch): it also needs the explicit
+    * `spark.graft.iceberg.preserveDataGrouping=true` — the same opt-in
+    * shape Iceberg's Spark runtime uses for its SPJ support. */
+  private lazy val keyedLayout: Option[GraftIcebergScan.KeyedLayout] = {
+    val conf = SQLConf.get
+    if (!conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
+        !conf.getConfString("spark.graft.iceberg.preserveDataGrouping", "false").toBoolean)
+      None
+    else GraftIcebergScan.keyedLayout(table, files)
+  }
+
   override def readSchema(): StructType = requiredSchema
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = delegate.planInputPartitions()
+  override def outputPartitioning(): Partitioning = keyedLayout match {
+    case Some(l) => new KeyGroupedPartitioning(
+      l.transforms.toArray[org.apache.spark.sql.connector.expressions.Expression],
+      l.groups.size)
+    case None => new UnknownPartitioning(0)
+  }
 
-  override def createReaderFactory(): PartitionReaderFactory = delegate.createReaderFactory()
+  override def planInputPartitions(): Array[InputPartition] = keyedLayout match {
+    case Some(l) =>
+      val spark = SparkSession.active
+      val hconf = spark.sessionState.newHadoopConf()
+      l.groups.zipWithIndex.map { case ((key, group), i) =>
+        ScanBridge.keyedPartition(spark, hconf, i, key,
+          group.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)))
+      }.toArray
+    case None => delegate.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(delegate.createReaderFactory())
+    else delegate.createReaderFactory()
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(_.fileSizeInBytes).sum
@@ -220,5 +268,71 @@ final class GraftIcebergScan(
     val filterStr = pushedFilters.mkString(", ")
     s"graft-iceberg ${table.url} snapshot=${table.currentSnapshot.snapshotId} " +
       s"files=${files.size}, PushedFilters: [$filterStr]"
+  }
+}
+
+object GraftIcebergScan {
+
+  /** The reported transforms plus files grouped by partition-value tuple;
+    * key rows are catalyst-typed so both join sides compare equal. */
+  final case class KeyedLayout(
+      transforms: Seq[Transform],
+      groups: Seq[(InternalRow, Seq[graft.iceberg.Manifests.DataFileInfo])])
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+
+  /** None when any spec field is not identity/bucket, a source column is
+    * missing, a file lacks a partition value (mixed historical specs), or a
+    * value type is not key-comparable — the scan then falls back to plain
+    * sized partitions, which is always correct. */
+  def keyedLayout(table: IcebergTable,
+      files: Seq[graft.iceberg.Manifests.DataFileInfo]): Option[KeyedLayout] = {
+    val spec = table.partitionSpec
+    if (spec.fields.isEmpty || files.isEmpty) return None
+
+    val fields: Seq[(Transform, DataType, String)] = spec.fields.map { pf =>
+      val srcName = table.iceSchema.fields.find(_.id == pf.sourceId)
+        .map(_.name).getOrElse(return None)
+      val sparkType = table.schema.find(_.name == srcName)
+        .map(_.dataType).getOrElse(return None)
+      pf.transform match {
+        case "identity" => sparkType match {
+          case IntegerType | LongType | StringType | DateType | BooleanType |
+               TimestampType => (Expressions.identity(srcName), sparkType, pf.name)
+          case _ => return None
+        }
+        case BucketRe(n) => (Expressions.bucket(n.toInt, srcName), IntegerType, pf.name)
+        case _ => return None
+      }
+    }
+
+    // manifest decode normalizes Int→Long / Float→Double; convert back to
+    // the catalyst representation of the declared key type
+    def keyValue(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+      case (null, _) => Some(null)
+      case (l: Long, LongType | TimestampType) => Some(l)
+      case (l: Long, IntegerType | DateType) => Some(Int.box(l.toInt))
+      case (i: Int, IntegerType | DateType) => Some(Int.box(i))
+      case (i: Int, LongType | TimestampType) => Some(Long.box(i.toLong))
+      case (s: String, StringType) => Some(UTF8String.fromString(s))
+      case (b: Boolean, BooleanType) => Some(b)
+      case _ => None
+    }
+
+    val groups = mutable.LinkedHashMap
+      .empty[Seq[Any], mutable.ArrayBuffer[graft.iceberg.Manifests.DataFileInfo]]
+    for (f <- files) {
+      val key = fields.map { case (_, dt, pname) =>
+        f.partition.get(pname) match {
+          case Some(v) => keyValue(v, dt).getOrElse(return None)
+          case None => return None // written under a different spec
+        }
+      }
+      groups.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += f
+    }
+    Some(KeyedLayout(fields.map(_._1),
+      groups.toSeq.map { case (k, fs) =>
+        (new GenericInternalRow(k.toArray): InternalRow, fs.toSeq)
+      }))
   }
 }

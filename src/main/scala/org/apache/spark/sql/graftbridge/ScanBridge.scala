@@ -5,7 +5,8 @@ import scala.collection.mutable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
@@ -52,6 +53,58 @@ object ScanBridge {
       statuses.groupBy(_.getPath.getParent).map { case (d, fs) => d -> fs.toArray }
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = files.map(_._2).sum
+  }
+
+  /** An input partition pinned to ONE partition-value tuple: all files of
+    * that value, plus the key row Spark's key-grouped join machinery reads
+    * through [[HasPartitionKey]]. No splitting — storage-partitioned joins
+    * need the whole value co-located. */
+  final class KeyedFilePartition(
+      key: InternalRow,
+      private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition)
+    extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+    override def preferredLocations(): Array[String] = underlying.preferredLocations()
+  }
+
+  /** One [[KeyedFilePartition]] over a known file list (no listing). */
+  def keyedPartition(
+      spark: SparkSession,
+      hadoopConf: Configuration,
+      index: Int,
+      key: InternalRow,
+      files: Seq[(String, Long)]): InputPartition = {
+    val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
+    val parts = files.map { case (p, len) =>
+      val raw = new Path(p)
+      val fs = fsCache.getOrElseUpdate(
+        Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
+        0, len, Array.empty, 0L, len)
+    }
+    new KeyedFilePartition(key,
+      org.apache.spark.sql.execution.datasources.FilePartition(index, parts.toArray))
+  }
+
+  /** Reader factory that unwraps [[KeyedFilePartition]] before delegating to
+    * the vectorized parquet factory (which pattern-matches on FilePartition). */
+  def unwrapKeyedFactory(delegate: PartitionReaderFactory): PartitionReaderFactory =
+    new UnwrapKeyedReaderFactory(delegate)
+
+  private final class UnwrapKeyedReaderFactory(delegate: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+    private def u(p: InputPartition): InputPartition = p match {
+      case k: KeyedFilePartition => k.underlying
+      case other => other
+    }
+    override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+      delegate.createReader(u(p))
+    override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      delegate.createColumnarReader(u(p))
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      delegate.supportColumnarReads(u(p))
   }
 
   /** Build Spark's native parquet DSv2 scan (columnar batch reader, filter

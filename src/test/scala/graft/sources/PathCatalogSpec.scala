@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filesystem-warehouse catalog (HadoopCatalog pattern): tables resolve at
+  * `<warehouse>/<ns>/<name>` with no catalog service, DDL supports hidden
+  * partition transforms. */
+class PathCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def withCatalog(f: String => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pathcat").toString
+    val cat = s"pc${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    f(cat)
+  }
+
+  test("CREATE TABLE with transforms, read, time travel, DROP") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, cat STRING) " +
+        "PARTITIONED BY (bucket(4, k), cat)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val url = s"$wh/db/t"
+      val ice = graft.iceberg.IcebergTable.load(spark, url)
+      assert(ice.partitionSpec.fields.map(_.transform).toSet == Set("bucket[4]", "identity"))
+
+      graft.iceberg.IcebergWriter.append(spark, url,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "cat"))
+      graft.iceberg.IcebergWriter.append(spark, url, Seq((3L, "c")).toDF("k", "cat"))
+      assert(spark.table(s"$cat.db.t").count() == 3)
+      assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 2").count() == 2)
+
+      val catalog = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[GraftIcebergPathCatalog]
+      assert(catalog.listTables(Array("db")).map(_.name()).toSeq == Seq("t"))
+      assert(catalog.tableExists(Identifier.of(Array("db"), "t")))
+
+      spark.sql(s"DROP TABLE $cat.db.t")
+      assert(!catalog.tableExists(Identifier.of(Array("db"), "t")))
+    }
+  }
+
+  test("year-transform DDL maps to the Iceberg spec name") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.ts (ev TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (years(ev))")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val ice = graft.iceberg.IcebergTable.load(spark, s"$wh/db/ts")
+      assert(ice.partitionSpec.fields.map(_.transform).toSeq == Seq("year"))
+    }
+  }
+}
