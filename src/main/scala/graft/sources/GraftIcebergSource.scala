@@ -176,12 +176,6 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
   override def build(): Scan = {
-    // a raw batch scan cannot apply v2 merge-on-read; refuse loudly rather
-    // than silently resurrecting deleted rows (table API reads handle MOR)
-    if (tbl.table.positionDeleteFiles.nonEmpty)
-      throw new UnsupportedOperationException(
-        "table has v2 position deletes; read it via IcebergTable.read() " +
-          "(merge-on-read) — the graft-iceberg batch source serves append-only snapshots")
     val pred = pushed.flatMap(Pruning.fromSparkFilter)
       .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
     val files =
@@ -202,11 +196,23 @@ final class GraftIcebergScan(
     options: CaseInsensitiveStringMap)
   extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
+  /** Snapshot position-delete parquets (Iceberg v2 merge-on-read). When
+    * present the scan plans one task per data file, has the parquet reader
+    * materialize the per-file row index, and filters each file's deleted
+    * positions in a wrapping reader — deleted rows never leave the scan. */
+  private lazy val morDeletes: Seq[String] =
+    table.positionDeleteFiles.map(f => table.resolvePath(f.filePath))
+
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
     val paths = files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
+    // merge-on-read appends the row-index column to the read schema; the
+    // wrapping reader projects it back out after filtering
+    val readSchema =
+      if (morDeletes.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields :+ ScanBridge.rowIndexField)
     ScanBridge.parquetScan(spark, spark.sessionState.newHadoopConf(), paths,
-      table.schema, requiredSchema, pushedFilters, options).toBatch
+      table.schema, readSchema, pushedFilters, options).toBatch
   }
 
   /** Key-grouped layout for STORAGE-PARTITIONED JOINS: when enabled and
@@ -225,7 +231,8 @@ final class GraftIcebergScan(
     * shape Iceberg's Spark runtime uses for its SPJ support. */
   private lazy val keyedLayout: Option[GraftIcebergScan.KeyedLayout] = {
     val conf = SQLConf.get
-    if (!conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
+    if (morDeletes.nonEmpty || // MOR needs per-file partitions, not key groups
+        !conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
         !conf.getConfString("spark.graft.iceberg.preserveDataGrouping", "false").toBoolean)
       None
     else GraftIcebergScan.keyedLayout(table, files)
@@ -250,18 +257,30 @@ final class GraftIcebergScan(
         ScanBridge.keyedPartition(spark, hconf, i, key,
           group.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)))
       }.toArray
+    case None if morDeletes.nonEmpty =>
+      val spark = SparkSession.active
+      ScanBridge.perFilePartitions(spark, spark.sessionState.newHadoopConf(),
+        files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)))
     case None => delegate.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(delegate.createReaderFactory())
-    else delegate.createReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.createReaderFactory()
+    if (morDeletes.nonEmpty)
+      ScanBridge.morReaderFactory(inner, morDeletes,
+        SparkSession.active.sessionState.newHadoopConf(), requiredSchema)
+    else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
+    else inner
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(_.fileSizeInBytes).sum
-    private val rows = files.map(_.recordCount).sum
+    // every position delete removes one live row (positions target live
+    // immutable files), so the count stays exact under merge-on-read
+    private val rows = files.map(_.recordCount).sum -
+      table.positionDeleteFiles.map(_.recordCount).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(math.max(0L, rows))
   }
 
   override def description(): String = {

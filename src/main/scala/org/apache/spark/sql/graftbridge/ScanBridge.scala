@@ -107,6 +107,100 @@ object ScanBridge {
       delegate.supportColumnarReads(u(p))
   }
 
+  /** One FilePartition per FILE (no grouping, no splits): merge-on-read
+    * needs each task to know exactly which data file its rows come from, so
+    * it can select that file's deleted positions. */
+  def perFilePartitions(
+      spark: SparkSession,
+      hadoopConf: Configuration,
+      files: Seq[(String, Long)]): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
+    files.zipWithIndex.map { case ((p, len), i) =>
+      val raw = new Path(p)
+      val fs = fsCache.getOrElseUpdate(
+        Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
+      org.apache.spark.sql.execution.datasources.FilePartition(i, Array(
+        org.apache.spark.sql.execution.datasources.PartitionedFile(
+          InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
+          0, len, Array.empty, 0L, len))): org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+  }
+
+  /** MERGE-ON-READ reader factory: wraps the parquet factory so each task
+    * (one WHOLE data file each, see [[perFilePartitions]]) loads the
+    * positions deleted from ITS file out of the snapshot's position-delete
+    * parquets and skips those rows by ordinal. The scan feeds the delegate
+    * NO parquet-level filters, so rows stream in exact file order and the
+    * ordinal IS the Iceberg row position — predicate evaluation happens
+    * above the scan via the residual filters (sound-not-exact contract,
+    * unchanged). Row-based reads only; same cost shape as Iceberg's own MOR
+    * row reader. Delete files are read ONCE PER TASK (executor-side,
+    * parquet-mr): fine while delete files are a small fraction of the
+    * table — compaction folds them away (Maintenance). */
+  def morReaderFactory(
+      delegate: PartitionReaderFactory,
+      deleteFiles: Seq[String],
+      hadoopConf: Configuration): PartitionReaderFactory =
+    new MorReaderFactory(delegate, deleteFiles,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+
+  private def morKey(path: String): String = {
+    val i = path.lastIndexOf("/data/")
+    if (i < 0) "" else path.substring(i + 6)
+  }
+
+  private final class MorReaderFactory(
+      delegate: PartitionReaderFactory,
+      deleteFiles: Seq[String],
+      conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+    override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+    override def createReader(
+        p: org.apache.spark.sql.connector.read.InputPartition): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+      require(fp.files.length == 1, "merge-on-read partitions hold one file")
+      val key = morKey(fp.files.head.toPath.toString)
+      val deleted = loadPositions(key)
+      val inner = delegate.createReader(p)
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        private var pos = -1L // ordinal in file order == Iceberg row position
+        override def next(): Boolean = {
+          while (inner.next()) {
+            pos += 1
+            if (deleted.isEmpty || !deleted.contains(pos)) return true
+          }
+          false
+        }
+        override def get(): InternalRow = inner.get()
+        override def close(): Unit = inner.close()
+      }
+    }
+
+    /** Positions deleted from the data file `key`, read straight from the
+      * snapshot's position-delete parquets with parquet-mr. */
+    private def loadPositions(key: String): java.util.HashSet[java.lang.Long] = {
+      val set = new java.util.HashSet[java.lang.Long]()
+      deleteFiles.foreach { df =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), new Path(df))
+          .withConf(conf.value)
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (morKey(g.getBinary("file_path", 0).toStringUsingUTF8) == key)
+              set.add(g.getLong("pos", 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      set
+    }
+  }
+
   /** Build Spark's native parquet DSv2 scan (columnar batch reader, filter
     * pushdown to row groups/pages, vectorized decode) over a known file list.
     * `dataSchema` is the Iceberg snapshot schema: files missing evolved-in

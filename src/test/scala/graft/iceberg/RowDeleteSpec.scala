@@ -86,18 +86,40 @@ class RowDeleteSpec extends AnyFunSuite {
     assert(t.read(filters = Seq(Seq(("cat", "==", "c1")))).count() == 27)
   }
 
-  test("the raw batch source refuses tables with position deletes") {
+  test("the batch source applies position deletes (merge-on-read)") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
     IcebergWriter.append(spark, url,
       (1L to 20L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
-    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 5))
-    val ex = intercept[Exception] {
-      spark.read.format("graft-iceberg").load(url).collect()
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]),
-      s"expected UnsupportedOperationException, got $ex")
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 5), Pruning.Lt("k", 8)))
+
+    val df = spark.read.format("graft-iceberg").load(url)
+    assert(df.count() == 17)
+    assert(df.select("k").as[Long].collect().sorted.toSeq ==
+      ((1L to 4L) ++ (8L to 20L)))
+    // pushed filters compose with the delete filter
+    assert(df.filter($"k" >= 3 && $"k" <= 10).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 8L, 9L, 10L))
+    // column pruning still works under the appended row-index column
+    assert(df.select("cat").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("merge results read through the SQL path catalog (MOR end-to-end)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_morcat").toString
+    val url = s"$wh/db/t"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 10L).map(i => (i, s"old$i")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.merge(spark, url,
+      Seq((3L, "new3"), (11L, "new11")).toDF("k", "cat"), Seq("k"))
+
+    val cat = s"mor${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val got = spark.sql(s"SELECT k, cat FROM $cat.db.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == ((1L to 10L).filterNot(_ == 3L).map(i => (i, s"old$i")) ++
+      Seq((3L, "new3"), (11L, "new11"))).sortBy(_._1))
   }
 }
