@@ -203,6 +203,37 @@ final class GraftIcebergScan(
   private lazy val morDeletes: Seq[String] =
     table.positionDeleteFiles.map(f => table.resolvePath(f.filePath))
 
+  /** Deleted positions grouped per data file, loaded ONCE per scan by a
+    * distributed Spark read of the delete parquets (each delete file is
+    * read exactly once, not once per task), restricted to the data files
+    * this scan actually covers. Positions travel to tasks inside their own
+    * [[ScanBridge.MorFilePartition]] — a task serializes only its file's
+    * positions. Driver footprint is bounded by the manifest-recorded delete
+    * row count; beyond the cap the scan refuses loudly and points at
+    * compaction (the same escape hatch Iceberg operators reach for). */
+  private lazy val morDeletesByKey: Map[String, Array[Long]] = {
+    if (morDeletes.isEmpty) Map.empty
+    else {
+      val spark = SparkSession.active
+      val totalDeleteRows = table.positionDeleteFiles.map(_.recordCount).sum
+      val cap = SQLConf.get.getConfString(
+        "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
+      require(totalDeleteRows <= cap,
+        s"snapshot carries $totalDeleteRows position-delete rows (> cap $cap); " +
+          "run graft.iceberg.Maintenance.compact to fold deletes into data files, " +
+          "or raise spark.graft.iceberg.morDriverDeleteLimit")
+      val scannedKeys = files.map(f =>
+        ScanBridge.morKey(table.resolvePath(f.filePath))).toSet
+      import org.apache.spark.sql.functions.{col, element_at, split}
+      spark.read.parquet(morDeletes: _*)
+        .select(element_at(split(col("file_path"), "/data/"), -1).as("k"), col("pos"))
+        .filter(col("k").isInCollection(scannedKeys))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+    }
+  }
+
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
     val paths = files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
@@ -259,16 +290,17 @@ final class GraftIcebergScan(
       }.toArray
     case None if morDeletes.nonEmpty =>
       val spark = SparkSession.active
-      ScanBridge.perFilePartitions(spark, spark.sessionState.newHadoopConf(),
-        files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)))
+      ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
+        files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)),
+        morDeletesByKey)
     case None => delegate.planInputPartitions()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
     if (morDeletes.nonEmpty)
-      ScanBridge.morReaderFactory(inner, morDeletes,
-        SparkSession.active.sessionState.newHadoopConf(), requiredSchema)
+      ScanBridge.morReaderFactory(inner, requiredSchema,
+        allDeleteFree = morDeletesByKey.isEmpty)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner
   }

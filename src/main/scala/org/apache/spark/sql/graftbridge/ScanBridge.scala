@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, Par
 import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Bridges to Spark's `private[sql]` scan machinery (same technique as
@@ -107,97 +107,138 @@ object ScanBridge {
       delegate.supportColumnarReads(u(p))
   }
 
-  /** One FilePartition per FILE (no grouping, no splits): merge-on-read
-    * needs each task to know exactly which data file its rows come from, so
-    * it can select that file's deleted positions. */
-  def perFilePartitions(
-      spark: SparkSession,
+  /** The parquet readers' magic row-index column: when a LongType field
+    * with this name appears in the read schema, Spark's parquet readers
+    * (vectorized AND parquet-mr, V2 factory included) populate it with the
+    * row's position within its FILE, computed from row-group metadata — so
+    * it stays correct under predicate pushdown, row-group/page skipping,
+    * column pruning, and file splits. This is what makes merge-on-read
+    * sound with filters; an ordinal counter is not. */
+  val rowIndexField: StructField = StructField(
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+    // nullable like Spark's own generated-metadata field: the parquet
+    // readers treat the (always-absent) column as missing-nullable, then
+    // overwrite the vector with generated row indexes
+    LongType, nullable = true)
+
+  /** Data-file identity key used to match position-delete entries: the path
+    * suffix after the table's `/data/` dir — unique within a table and
+    * stable across relocation (original-url rewrite) and file:/ vs s3a://
+    * qualification differences. */
+  def morKey(path: String): String = {
+    val i = path.lastIndexOf("/data/")
+    if (i < 0) "" else path.substring(i + 6)
+  }
+
+  /** MERGE-ON-READ input partition: one data file plus the sorted row
+    * positions deleted from it. Positions ride in the partition (computed
+    * ONCE on the driver by a distributed read of the delete files), so
+    * tasks never touch delete files and each task serializes only its own
+    * positions. */
+  final class MorFilePartition(
+      private[graftbridge] val deleted: Array[Long],
+      private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition)
+    extends InputPartition {
+    override def preferredLocations(): Array[String] = underlying.preferredLocations()
+  }
+
+  /** One [[MorFilePartition]] per data file. No splits: position-delete
+    * grouping is per file (row index would stay valid under splits, but the
+    * per-file delete arrays would be duplicated across split tasks). */
+  def morPartitions(
       hadoopConf: Configuration,
-      files: Seq[(String, Long)]): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      files: Seq[(String, Long)],
+      deletesByKey: Map[String, Array[Long]]): Array[InputPartition] = {
     val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
     files.zipWithIndex.map { case ((p, len), i) =>
       val raw = new Path(p)
       val fs = fsCache.getOrElseUpdate(
         Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
-      org.apache.spark.sql.execution.datasources.FilePartition(i, Array(
+      val fp = org.apache.spark.sql.execution.datasources.FilePartition(i, Array(
         org.apache.spark.sql.execution.datasources.PartitionedFile(
           InternalRow.empty,
           org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
-          0, len, Array.empty, 0L, len))): org.apache.spark.sql.connector.read.InputPartition
+          0, len, Array.empty, 0L, len)))
+      new MorFilePartition(
+        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), fp): InputPartition
     }.toArray
   }
 
-  /** MERGE-ON-READ reader factory: wraps the parquet factory so each task
-    * (one WHOLE data file each, see [[perFilePartitions]]) loads the
-    * positions deleted from ITS file out of the snapshot's position-delete
-    * parquets and skips those rows by ordinal. The scan feeds the delegate
-    * NO parquet-level filters, so rows stream in exact file order and the
-    * ordinal IS the Iceberg row position — predicate evaluation happens
-    * above the scan via the residual filters (sound-not-exact contract,
-    * unchanged). Row-based reads only; same cost shape as Iceberg's own MOR
-    * row reader. Delete files are read ONCE PER TASK (executor-side,
-    * parquet-mr): fine while delete files are a small fraction of the
-    * table — compaction folds them away (Maintenance). */
+  /** MERGE-ON-READ reader factory. The scan appends [[rowIndexField]] to the
+    * delegate's read schema; this factory filters each partition's deleted
+    * positions against the materialized row index and projects the index
+    * column back out, so deleted rows never leave the scan and downstream
+    * operators see exactly `requiredSchema`. Partitions with no deletes keep
+    * the COLUMNAR batch path (the trailing index vector is dropped from the
+    * batch, zero copy); partitions with deletes read row-based — the same
+    * cost shape as Iceberg's own MOR row reader. */
   def morReaderFactory(
       delegate: PartitionReaderFactory,
-      deleteFiles: Seq[String],
-      hadoopConf: Configuration): PartitionReaderFactory =
-    new MorReaderFactory(delegate, deleteFiles,
-      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
-
-  private def morKey(path: String): String = {
-    val i = path.lastIndexOf("/data/")
-    if (i < 0) "" else path.substring(i + 6)
-  }
+      requiredSchema: StructType,
+      allDeleteFree: Boolean): PartitionReaderFactory =
+    new MorReaderFactory(delegate, requiredSchema, allDeleteFree)
 
   private final class MorReaderFactory(
       delegate: PartitionReaderFactory,
-      deleteFiles: Seq[String],
-      conf: org.apache.spark.util.SerializableConfiguration)
+      requiredSchema: StructType,
+      allDeleteFree: Boolean)
     extends PartitionReaderFactory {
 
-    override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+    private def width = requiredSchema.length
 
-    override def createReader(
-        p: org.apache.spark.sql.connector.read.InputPartition): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-      val fp = p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
-      require(fp.files.length == 1, "merge-on-read partitions hold one file")
-      val key = morKey(fp.files.head.toPath.toString)
-      val deleted = loadPositions(key)
-      val inner = delegate.createReader(p)
-      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-        private var pos = -1L // ordinal in file order == Iceberg row position
-        override def next(): Boolean = {
-          while (inner.next()) {
-            pos += 1
-            if (deleted.isEmpty || !deleted.contains(pos)) return true
-          }
-          false
+    // Spark rejects scans mixing row-based and columnar partitions, so the
+    // columnar path is all-or-nothing: only when NO scanned file has deletes
+    // (e.g. pruning dropped every deleted-from file) does the whole scan
+    // stay columnar.
+    override def supportColumnarReads(p: InputPartition): Boolean = p match {
+      case m: MorFilePartition =>
+        allDeleteFree && delegate.supportColumnarReads(m.underlying)
+      case other => allDeleteFree && delegate.supportColumnarReads(other)
+    }
+
+    override def createColumnarReader(
+        p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      val m = p.asInstanceOf[MorFilePartition]
+      require(m.deleted.isEmpty, "columnar merge-on-read requires a delete-free partition")
+      val inner = delegate.createColumnarReader(m.underlying)
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = inner.next()
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+          val b = inner.get()
+          val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+            Array.tabulate(width)(b.column)
+          new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
         }
-        override def get(): InternalRow = inner.get()
         override def close(): Unit = inner.close()
       }
     }
 
-    /** Positions deleted from the data file `key`, read straight from the
-      * snapshot's position-delete parquets with parquet-mr. */
-    private def loadPositions(key: String): java.util.HashSet[java.lang.Long] = {
-      val set = new java.util.HashSet[java.lang.Long]()
-      deleteFiles.foreach { df =>
-        val reader = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), new Path(df))
-          .withConf(conf.value)
-          .build()
-        try {
-          var g = reader.read()
-          while (g != null) {
-            if (morKey(g.getBinary("file_path", 0).toStringUsingUTF8) == key)
-              set.add(g.getLong("pos", 0))
-            g = reader.read()
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val m = p.asInstanceOf[MorFilePartition]
+      val deleted = m.deleted // sorted
+      val inner = delegate.createReader(m.underlying)
+      // the delegate row is requiredSchema + row-index (appended last);
+      // project the index out — ordinals 0..n-1 are the required fields
+      val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(requiredSchema)
+      val idxOrdinal = width
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            val r = inner.get()
+            if (deleted.isEmpty ||
+                java.util.Arrays.binarySearch(deleted, r.getLong(idxOrdinal)) < 0) {
+              current = project(r)
+              return true
+            }
           }
-        } finally reader.close()
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = inner.close()
       }
-      set
     }
   }
 
