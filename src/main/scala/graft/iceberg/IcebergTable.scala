@@ -2,8 +2,8 @@ package graft.iceberg
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.iceberg.Manifests._
@@ -192,6 +192,15 @@ final class IcebergTable private (
   /** Rewrite a metadata-embedded absolute path to the current table root. */
   def resolvePath(p: String): String = rewrite(p)
 
+  /** Data reads route through the graft-iceberg DataSourceV2 connector (one
+    * read path for everything): vectorized parquet batch scan over the
+    * metadata-known file list, field-ID column resolution scoped to the
+    * scan's own Hadoop conf (the session conf is never touched), and v2
+    * position deletes applied inside the scan via the parquet row index.
+    * The residual predicate re-applies row-level through Catalyst (pushes
+    * to parquet row groups), preserving the sound-not-exact pruning
+    * contract. Time travel state (metadata version / snapshot id /
+    * original-url rewrite) is forwarded as source options. */
   private[graft] def readPred(pred: IcePredicate, columns: Seq[String],
       failOnEmpty: Boolean): DataFrame = {
     val files = prunedFiles(pred)
@@ -199,35 +208,17 @@ final class IcebergTable private (
       throw new IllegalArgumentException("No partitions pass filter(s)") // ice.py:248-249
     val base =
       if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else spark.read.schema(schema).parquet(files.map(f => rewrite(f.filePath)): _*)
-    val merged = if (files.isEmpty) base else applyPositionDeletes(base)
-    val filtered = Pruning.toColumn(pred).map(merged.filter).getOrElse(merged)
+      else {
+        var reader = spark.read.format("graft-iceberg")
+        // version 0 = "loaded from an explicit metadata.json path"; the
+        // version option would not resolve there, so let the source re-hint
+        if (version > 0) reader = reader.option("version", version.toString)
+        if (originalUrl.nonEmpty) reader = reader.option("original-url", originalUrl)
+        selectedSnapshotId.foreach(id => reader = reader.option("snapshot-id", id.toString))
+        reader.load(url)
+      }
+    val filtered = Pruning.toColumn(pred).map(base.filter).getOrElse(base)
     if (columns.nonEmpty) filtered.select(columns.map(col): _*) else filtered
-  }
-
-  /** Merge-on-read for v2 position deletes: anti-join the scan against the
-    * delete files on (data-file key, row position). The key is the path
-    * suffix after the table's `data/` dir (commit UUID + partition dirs +
-    * part name) — unique within a table, and stable across table relocation
-    * (`original_url` prefix rewrites) and file:/ vs s3a:// qualification
-    * differences. The anti-join is broadcast-able; Catalyst/AQE sizes it. */
-  private def applyPositionDeletes(base: DataFrame): DataFrame = {
-    val deletes = positionDeleteFiles
-    if (deletes.isEmpty) base
-    else {
-      import org.apache.spark.sql.functions.regexp_extract
-      def key(c: Column): Column = regexp_extract(c, "/data/(.*)$", 1)
-      val delDf = spark.read.parquet(deletes.map(f => rewrite(f.filePath)): _*)
-        .select(key(col("file_path")).as("_g_del_key"), col("pos").as("_g_del_pos"))
-        .filter(col("_g_del_key") =!= "")
-      val keyed = base
-        .withColumn("_g_key", key(col("_metadata.file_path")))
-        .withColumn("_g_pos", col("_metadata.row_index"))
-      keyed.join(delDf,
-          keyed("_g_key") === delDf("_g_del_key") && keyed("_g_pos") === delDf("_g_del_pos"),
-          "left_anti")
-        .drop("_g_key", "_g_pos")
-    }
   }
 
   // ------------------------------------------------- metadata-only queries
@@ -290,6 +281,17 @@ final class IcebergTable private (
 
 object IcebergTable {
 
+  /** Iceberg resolves columns by FIELD ID, not name: graft scans flip
+    * Spark's parquet reader to id-based resolution by setting this on the
+    * SCAN's own Hadoop conf (schemas from IceSchema.toSpark carry
+    * parquet.field.id metadata; our writer stamps ids into the files).
+    * Renamed columns then read correctly; id-less files fail loudly with
+    * Spark's guidance message instead of silently nulling. Scoped to the
+    * scan — the session conf is never mutated, so unrelated parquet reads
+    * in the same session keep name-based resolution. */
+  private[graft] val FieldIdReadOptions: Map[String, String] =
+    Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+
   /** Open a table directory (or an explicit metadata JSON path).
     * I/O: version-hint read + one metadata JSON read — nothing else
     * (entry point E1 in SURVEY §3). */
@@ -306,12 +308,6 @@ object IcebergTable {
         (url, readString(s"$url/metadata/v$v.metadata.json", conf), v)
       }
     val md = TableMetadata.parse(metaJson)
-    // Iceberg resolves columns by FIELD ID, not name: flip Spark's parquet
-    // reader to id-based resolution (schemas from IceSchema.toSpark carry
-    // parquet.field.id metadata). Renamed columns then read correctly;
-    // id-less files fail loudly with Spark's guidance message instead of
-    // silently nulling (spark.sql.parquet.fieldId.read.ignoreMissing).
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None)
   }
 

@@ -209,6 +209,7 @@ object IcebergWriter {
       deletePred: Option[Pruning.IcePredicate], operation: String,
       pinnedDeletes: Option[Seq[Manifests.DataFileInfo]] = None,
       dropDeleteManifests: Boolean = false,
+      pinnedDeleteFiles: Option[Set[String]] = None,
       extraSummary: Map[String, String] = Map.empty,
       extraManifests: Seq[NewManifestInfo] = Nil,
       posDeleteRows: Long = 0L,
@@ -304,6 +305,28 @@ object IcebergWriter {
           fully
       }
 
+      // 3a'. a compaction (dropDeleteManifests) applied the deletes it saw at
+      // PIN time and then drops every delete manifest — a row-level delete
+      // committed after the pin would be silently lost (its rows
+      // resurrected). Detect and refuse, like Iceberg's RewriteFiles
+      // validation; the caller reruns compaction against the new state.
+      if (dropDeleteManifests) {
+        val nowDeleteFiles = table.positionDeleteFiles
+          .map(f => table.resolvePath(f.filePath)).toSet
+        if (nowDeleteFiles != pinnedDeleteFiles.getOrElse(Set.empty[String]))
+          throw new java.util.ConcurrentModificationException(
+            "row-level deletes committed during compaction would be dropped; " +
+              "rerun compact against the current snapshot")
+      }
+
+      // 3a''. whole-file deletes may remove data files that live position
+      // deletes still target: rewrite the delete state so no delete row
+      // dangles (and no row is double-subtracted from total-records)
+      val deleteRewrite: Option[(Seq[NewManifestInfo], Long)] =
+        if (dropDeleteManifests) None
+        else rewriteDeletesForRemovedFiles(spark, url, table, commitId,
+          snapshotId, deletedFiles, specInfo, conf)
+
       // 3b. ONE manifest holding DELETED entries (if overwriting) + ADDED ones
       val manifestPath = s"$url/metadata/$commitId-m0.avro"
       val deletedEntries = deletedFiles.map { f =>
@@ -324,7 +347,7 @@ object IcebergWriter {
       // file that is being removed, so they are fully applied.
       val priorManifests: Seq[Manifests.ManifestFile] =
         (if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil)
-          .filterNot(m => dropDeleteManifests &&
+          .filterNot(m => (dropDeleteManifests || deleteRewrite.isDefined) &&
             m.content == Manifests.ManifestContent.Deletes)
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
       val addedRecords = dataFiles.map(_._3.recordCount).sum
@@ -349,7 +372,7 @@ object IcebergWriter {
       writeManifestLists(manifestListPath, snapshotId,
         NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
           dataFiles.size, addedRecords, deletedFiles.size, deletedRecords,
-          summaries) +: extraManifests,
+          summaries) +: (extraManifests ++ deleteRewrite.map(_._1).getOrElse(Nil)),
         priorManifests, conf)
 
       // 5. new metadata version
@@ -381,10 +404,11 @@ object IcebergWriter {
       }
       extraSummary.foreach { case (k, v) => summary.put(k, v) }
       // deleted file record counts are RAW; rows already removed by applied
-      // position deletes (dropped with their manifests) must not be
-      // double-subtracted from the running total
+      // position deletes (dropped with their manifests, or dropped by the
+      // delete-state rewrite) must not be double-subtracted from the total
       val morAdjust = if (dropDeleteManifests)
-        table.positionDeleteFiles.map(_.recordCount).sum else 0L
+        table.positionDeleteFiles.map(_.recordCount).sum
+      else deleteRewrite.map(_._2).getOrElse(0L)
       val totalRecords = addedRecords - (deletedRecords - morAdjust) - posDeleteRows +
         table.metadata.snapshots
         .find(_.snapshotId == table.metadata.currentSnapshotId)
@@ -533,11 +557,21 @@ object IcebergWriter {
         writeManifest(manifestPath, snapshotId, deletedEntries, specInfo, conf,
           status = Manifests.Status.Deleted)
 
+        // live position deletes targeting a dropped file must not survive it
+        // (their rows were already subtracted from total-records)
+        val deleteRewrite = rewriteDeletesForRemovedFiles(spark, url, table,
+          commitId, snapshotId, fullyMatching, specInfo, conf)
         val priorManifests = table.manifestList
+          .filterNot(m => deleteRewrite.isDefined &&
+            m.content == Manifests.ManifestContent.Deletes)
         val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
-        val deletedRecords = fullyMatching.map(_.recordCount).sum
-        writeManifestList(manifestListPath, snapshotId, manifestPath,
-          0, 0L, Nil, priorManifests, conf)
+        val deadDeleteRows = deleteRewrite.map(_._2).getOrElse(0L)
+        val deletedRecords = fullyMatching.map(_.recordCount).sum - deadDeleteRows
+        writeManifestLists(manifestListPath, snapshotId,
+          NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
+            0, 0L, fullyMatching.size, fullyMatching.map(_.recordCount).sum,
+            Nil) +: deleteRewrite.map(_._1).getOrElse(Nil),
+          priorManifests, conf)
 
         val old = mapper.readTree(
           readString(s"$url/metadata/v${table.version}.metadata.json", conf))
@@ -562,6 +596,24 @@ object IcebergWriter {
         old.put("last-updated-ms", now)
         Some(old.toPrettyString)
       }
+    }
+  }
+
+  /** Run `body` with field-ID parquet column resolution ON, restoring the
+    * previous session value after. The position scans below need
+    * `_metadata` columns, which only Spark's built-in parquet source
+    * exposes — and that source reads this flag from the session conf at
+    * plan time, so a per-relation option cannot scope it. The write paths
+    * are EAGER (every job they launch runs inside their dynamic extent), so
+    * a set/restore is sound here, unlike on a lazily-consumed DataFrame. */
+  private def withFieldIdRead[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -602,9 +654,11 @@ object IcebergWriter {
     }
 
     // 1. position-delete file for split files: distributed position scan
+    // (field-id resolution scoped to this eager region — the _metadata
+    // columns force Spark's built-in parquet source here)
     val (deleteManifest, posDeleteCount) =
       if (candidates.isEmpty) (None, 0L)
-      else {
+      else withFieldIdRead(spark) {
         val predCol = Pruning.toColumn(pred).getOrElse(
           throw new IllegalStateException("row-level delete needs a concrete predicate"))
         val positions = spark.read.schema(table.schema)
@@ -636,17 +690,28 @@ object IcebergWriter {
 
     if (deleteManifest.isEmpty && dataManifest.isEmpty) return // nothing matched
 
+    // 2b. files dropped whole may still be targeted by PRIOR live position
+    // deletes — rewrite the delete state so those (already-subtracted) rows
+    // don't dangle or double-count
+    val deleteRewrite = rewriteDeletesForRemovedFiles(spark, url, table,
+      commitId, snapshotId, fully, specInfo, conf)
+    val deadDeleteRows = deleteRewrite.map(_._2).getOrElse(0L)
+
     // 3. manifest list + metadata commit (format v2: row-level deletes),
     // re-published against current state via the optimistic commit loop
     // (the position scan above stays outside — positions target immutable
     // files, so they remain valid across a lost race)
     commitWithRetry(spark, url, conf) { current =>
       val priorManifests = current.manifestList
+        .filterNot(m => deleteRewrite.isDefined &&
+          m.content == Manifests.ManifestContent.Deletes)
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
       writeManifestLists(manifestListPath, snapshotId,
-        dataManifest.toSeq ++ deleteManifest.toSeq, priorManifests, conf)
+        dataManifest.toSeq ++ deleteManifest.toSeq ++
+          deleteRewrite.map(_._1).getOrElse(Nil),
+        priorManifests, conf)
 
-      val deletedRecords = fully.map(_.recordCount).sum + posDeleteCount
+      val deletedRecords = fully.map(_.recordCount).sum - deadDeleteRows + posDeleteCount
       val old = mapper.readTree(
         readString(s"$url/metadata/v${current.version}.metadata.json", conf))
         .asInstanceOf[ObjectNode]
@@ -723,6 +788,65 @@ object IcebergWriter {
     }
   }
 
+  /** Whole-file deletes can remove data files that still have LIVE position
+    * deletes pointing at them — those delete rows were already subtracted
+    * from `total-records` when they committed, so leaving them live would
+    * (a) double-count against the running total and `countFromStats`, and
+    * (b) dangle against files no reader scans. This rewrites the delete
+    * state: entries targeting removed files are dropped; surviving entries
+    * move to a fresh sorted delete file. Restores the invariant that every
+    * live position-delete row targets a live data file.
+    *
+    * Returns None when no live delete touches a removed file (keep prior
+    * delete manifests as-is); otherwise Some((replacement delete manifests —
+    * empty when nothing survives, dead-row count)). The caller must then
+    * DROP all prior delete manifests from the new manifest list and subtract
+    * `deadRows` from the records it reports as deleted by this snapshot. */
+  private def rewriteDeletesForRemovedFiles(spark: SparkSession, url: String,
+      table: IcebergTable, commitId: String, snapshotId: Long,
+      removed: Seq[Manifests.DataFileInfo],
+      specInfo: Seq[(PartitionField, String, String)],
+      conf: Configuration): Option[(Seq[NewManifestInfo], Long)] = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    if (removed.isEmpty || table.metadata.currentSnapshotId < 0) return None
+    val existing = table.positionDeleteFiles
+    if (existing.isEmpty) return None
+    def keyOf(p: String): String = {
+      val i = p.lastIndexOf("/data/"); if (i < 0) "" else p.substring(i + 6)
+    }
+    val removedKeys = removed.map(f => keyOf(table.resolvePath(f.filePath)))
+      .filter(_.nonEmpty).toSet
+    if (removedKeys.isEmpty) return None
+    def key(c: org.apache.spark.sql.Column) = regexp_extract(c, "/data/(.*)$", 1)
+    val all = spark.read.parquet(existing.map(f => table.resolvePath(f.filePath)): _*)
+    val deadRows = all.filter(key(col("file_path")).isInCollection(removedKeys)).count()
+    if (deadRows == 0L) return None
+
+    val delDir = s"$url/data/$commitId-rwdel"
+    all.filter(!key(col("file_path")).isInCollection(removedKeys))
+      .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
+      .write.mode("overwrite").parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(conf)
+    var survivorRows = 0L
+    val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
+      val rows = rowCountOf(st.getPath, conf)
+      survivorRows += rows
+      (st.getPath.toUri.getPath, st.getLen,
+        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+        specInfo.map(_ => null: Any), Manifests.Status.Added)
+    }.filter(_._3.recordCount > 0)
+    val manifests =
+      if (entries.isEmpty) Nil
+      else {
+        val manifestPath = s"$url/metadata/$commitId-mrw.avro"
+        writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+          fileContent = Manifests.FileContent.PositionDeletes)
+        Seq(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+          entries.size, survivorRows, 0, 0L, Nil))
+      }
+    Some((manifests, deadRows))
+  }
+
   /** MERGE (upsert) keyed on `keyCols`: every target row whose key appears
     * in `source` is superseded (v2 position delete, merge-on-read) and ALL
     * source rows are appended — in ONE snapshot, like Iceberg's
@@ -759,15 +883,19 @@ object IcebergWriter {
           partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
       }
 
-    val positions = spark.read.schema(table.schema)
-      .parquet(live.map(f => table.resolvePath(f.filePath)): _*)
-      .select(keyCols.map(col) ++ Seq(
-        col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos")): _*)
-      .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .select("file_path", "pos")
-    val (deleteManifest, posDeleteCount) = writePositionDeletes(
-      spark, url, table, commitId, snapshotId, positions, specInfo, conf)
+    // field-id resolution scoped to this eager region (the _metadata
+    // columns force Spark's built-in parquet source here)
+    val (deleteManifest, posDeleteCount) = withFieldIdRead(spark) {
+      val positions = spark.read.schema(table.schema)
+        .parquet(live.map(f => table.resolvePath(f.filePath)): _*)
+        .select(keyCols.map(col) ++ Seq(
+          col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos")): _*)
+        .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .select("file_path", "pos")
+      writePositionDeletes(
+        spark, url, table, commitId, snapshotId, positions, specInfo, conf)
+    }
 
     writeSnapshot(spark, url, source, deletePred = None, operation = "overwrite",
       extraSummary = Map("graft-merge-keys" -> keyCols.mkString(",")),

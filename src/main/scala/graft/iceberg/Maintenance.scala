@@ -19,7 +19,9 @@ object Maintenance {
     *    append's files survive (only the files actually read are DELETED);
     *  - v2 position deletes are APPLIED by the rewrite (merge-on-read fold)
     *    and their manifests dropped — after compaction the table serves
-    *    plain batch scans again;
+    *    plain batch scans again. A row-level delete committed AFTER the pin
+    *    makes the commit refuse (ConcurrentModificationException) instead of
+    *    silently resurrecting the concurrently-deleted rows — rerun compact;
     *  - time travel to pre-compaction snapshots still works (old files stay
     *    on disk until expireSnapshots).
     */
@@ -33,7 +35,12 @@ object Maintenance {
       math.max(1, (pinned.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
     IcebergWriter.writeSnapshot(spark, url, frozen.read().repartition(n),
       deletePred = None, operation = "replace",
-      pinnedDeletes = Some(pinned), dropDeleteManifests = true)
+      pinnedDeletes = Some(pinned), dropDeleteManifests = true,
+      // deletes applied by this rewrite are exactly those live at PIN time;
+      // a delete committed after the pin would be silently lost when the
+      // delete manifests drop — the commit detects the mismatch and refuses
+      pinnedDeleteFiles = Some(frozen.positionDeleteFiles
+        .map(f => frozen.resolvePath(f.filePath)).toSet))
   }
 
   /** Keep only the last `keepLast` snapshots of the current history chain;

@@ -236,13 +236,18 @@ final class GraftIcebergScan(
 
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    // id-based column resolution, scoped to THIS scan's hadoop conf (the
+    // session conf stays untouched): ParquetReadSupport reads the flag from
+    // the task-side configuration
+    IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
     val paths = files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
     // merge-on-read appends the row-index column to the read schema; the
     // wrapping reader projects it back out after filtering
     val readSchema =
       if (morDeletes.isEmpty) requiredSchema
       else StructType(requiredSchema.fields :+ ScanBridge.rowIndexField)
-    ScanBridge.parquetScan(spark, spark.sessionState.newHadoopConf(), paths,
+    ScanBridge.parquetScan(spark, hconf, paths,
       table.schema, readSchema, pushedFilters, options).toBatch
   }
 

@@ -122,4 +122,76 @@ class RowDeleteSpec extends AnyFunSuite {
     assert(got == ((1L to 10L).filterNot(_ == 3L).map(i => (i, s"old$i")) ++
       Seq((3L, "new3"), (11L, "new11"))).sortBy(_._1))
   }
+
+  test("overwrite of a file with live position deletes never double-subtracts") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 21)) // 20 position deletes
+    // full-table overwrite removes the data file those deletes target
+    IcebergWriter.overwrite(spark, url,
+      (201L to 210L).map(i => (i, "b")).toDF("k", "cat").coalesce(1))
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 10)
+    assert(t.countFromStats().contains(10L)) // was -10 when dead deletes lingered
+    assert(t.summary("total-records") == "10")
+    assert(t.positionDeleteFiles.isEmpty, "dead position deletes must not survive their target file")
+  }
+
+  test("whole-file drop via deleteRows discounts rows its prior deletes already removed") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 20)) // 19 position deletes
+    IcebergWriter.deleteRows(spark, url, Pruning.LtEq("k", 100)) // file dropped whole
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 0)
+    assert(t.countFromStats().contains(0L))
+    assert(t.summary("deleted-records") == "81") // 100 minus the 19 already gone
+    assert(t.summary("total-records") == "0")
+    assert(t.positionDeleteFiles.isEmpty)
+  }
+
+  test("partial whole-file drop keeps surviving position deletes intact") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    // two files; position deletes land in both, then file 1 drops whole
+    IcebergWriter.append(spark, url,
+      (1L to 50L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.append(spark, url,
+      (51L to 100L).map(i => (i, "b")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.Or(Pruning.Lt("k", 6), Pruning.And(Pruning.GtEq("k", 51), Pruning.Lt("k", 56))))
+    IcebergWriter.deleteWhere(spark, url, Pruning.Lt("k", 51)) // drops file 1 whole
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().as[(Long, String)].collect().map(_._1).sorted.toSeq == (56L to 100L))
+    assert(t.countFromStats().contains(45L))
+    assert(t.summary("total-records") == "45")
+    // file 2's five deletes survive the rewrite; file 1's five are gone
+    assert(t.positionDeleteFiles.map(_.recordCount).sum == 5L)
+  }
+
+  test("compaction refuses to drop deletes committed after its pin") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, "a")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 11))
+    val frozen = IcebergTable.load(spark, url)
+    val merged = frozen.read()
+    // a delete lands AFTER the pin (simulates a concurrent committer)
+    IcebergWriter.deleteRows(spark, url, Pruning.GtEq("k", 91))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      IcebergWriter.writeSnapshot(spark, url, merged.repartition(1),
+        deletePred = None, operation = "replace",
+        pinnedDeletes = Some(frozen.liveFiles()), dropDeleteManifests = true,
+        pinnedDeleteFiles = Some(frozen.positionDeleteFiles
+          .map(f => frozen.resolvePath(f.filePath)).toSet))
+    }
+    assert(ex.getMessage.contains("rerun compact"))
+    // the table is uncorrupted: the post-pin delete is still applied
+    assert(IcebergTable.load(spark, url).read().count() == 80)
+  }
 }
