@@ -264,6 +264,35 @@ object IceQueries {
     }
   }
 
+  /** SQL DML round-trip through the V2 catalog table: CREATE TABLE, two
+    * `INSERT INTO ... SELECT` commits (each an Iceberg append snapshot
+    * through the writer's optimistic commit loop), then a SQL aggregate
+    * read back through the same catalog — the flow a SQL user runs first.
+    * The DuckDB oracle replays the same dataflow over the source parquet. */
+  def iceSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlins").toString
+    val cat = s"ins${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      Queries.t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .createOrReplaceTempView("g_sqlins_nation")
+      s.sql(s"CREATE TABLE $cat.db.nat (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.nat " +
+        "SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT) " +
+        "FROM g_sqlins_nation")
+      s.sql(s"INSERT INTO $cat.db.nat " +
+        "SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, CAST(n_regionkey AS BIGINT) " +
+        "FROM g_sqlins_nation WHERE n_regionkey = 0")
+      s.sql(s"SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(n_nationkey) AS BIGINT) AS sum_key " +
+        s"FROM $cat.db.nat GROUP BY n_regionkey ORDER BY n_regionkey")
+    } finally {
+      s.catalog.dropTempView("g_sqlins_nation")
+    }
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -313,6 +342,7 @@ object IceQueries {
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
     "ice_write_merge"      -> (iceWriteMerge _),
     "ice_spj_join"         -> (iceSpjJoin _),
+    "ice_sql_insert"       -> (iceSqlInsert _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),
@@ -335,6 +365,17 @@ object IceQueries {
     * VALUES come from relational semantics DuckDB can replay (the literal 0
     * pins the no-shuffle plan shape). */
   val oracle: Map[String, String] = Map(
+    "ice_sql_insert" ->
+      """WITH t AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |  FROM nation WHERE n_regionkey = 0
+        |)
+        |SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM t GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "ice_spj_join" ->
       """SELECT c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -139,14 +139,38 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
     }
 }
 
-final class GraftIcebergV2Table(val table: IcebergTable) extends Table with SupportsRead {
+final class GraftIcebergV2Table(val table: IcebergTable) extends Table
+    with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-iceberg ${table.url}"
 
   override def schema(): StructType = table.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The Iceberg partition spec as Spark V2 transforms — lets the analyzer
+    * accept `INSERT OVERWRITE t PARTITION (col=...)` and SHOW the layout. */
+  override def partitioning(): Array[Transform] = {
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    table.partitionSpec.fields.flatMap { pf =>
+      table.iceSchema.fields.find(_.id == pf.sourceId).map(_.name).flatMap { src =>
+        pf.transform match {
+          case "identity" => Some(Expressions.identity(src))
+          case "year" => Some(Expressions.years(src))
+          case "month" => Some(Expressions.months(src))
+          case "day" => Some(Expressions.days(src))
+          case "hour" => Some(Expressions.hours(src))
+          case BucketRe(n) => Some(Expressions.bucket(n.toInt, src))
+          case TruncRe(n) => Some(Expressions.apply("truncate",
+            Expressions.literal(n.toInt), Expressions.column(src)))
+          case _ => None // void etc: not a routable write transform
+        }
+      }
+    }.toArray
+  }
 
   /** Memoized unfiltered live-file walk: statistics estimation and
     * unfiltered scans share one manifest pass per table instance. */
@@ -154,6 +178,57 @@ final class GraftIcebergV2Table(val table: IcebergTable) extends Table with Supp
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftIcebergScanBuilder(this, options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftIcebergWriteBuilder(table)
+}
+
+/** SQL/DataFrame V2 write path: `INSERT INTO cat.db.t`, `INSERT OVERWRITE`,
+  * and `df.writeTo("cat.db.t").append()/overwrite(...)` all land here and
+  * reuse the full [[IcebergWriter]] commit machinery (executor-side stats
+  * harvest, hidden partitioning, optimistic commit loop) through Spark's
+  * V1 write bridge — the writer is already a whole-DataFrame committer, so
+  * the per-task BatchWrite protocol would only duplicate it.
+  *
+  * Overwrite filters translate to the same whole-file predicate contract
+  * as [[IcebergWriter.overwrite]]: predicates that would split a file
+  * raise rather than silently rewriting rows. */
+final class GraftIcebergWriteBuilder(table: IcebergTable)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+
+  // None = append; Some(pred) = replace the rows matching pred
+  private var overwritePred: Option[Pruning.IcePredicate] = None
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwritePred = Some(Pruning.AlwaysTrue)
+    this
+  }
+
+  override def overwrite(filters: Array[Filter]):
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    val preds = filters.map(f => Pruning.fromSparkFilter(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"overwrite filter not expressible as an Iceberg predicate: $f")))
+    overwritePred = Some(preds.reduceOption(Pruning.And.apply)
+      .getOrElse(Pruning.AlwaysTrue))
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+            overwritePred match {
+              case Some(pred) => IcebergWriter.overwrite(data.sparkSession, table.url, data, pred)
+              case None => IcebergWriter.append(data.sparkSession, table.url, data)
+            }
+        }
+    }
 }
 
 final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,

@@ -49,6 +49,50 @@ class PathCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / writeTo commit through the V2 table") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.w (k BIGINT, cat STRING)")
+      spark.sql(s"INSERT INTO $cat.db.w VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $cat.db.w VALUES (3, 'c')")
+      assert(spark.sql(s"SELECT * FROM $cat.db.w ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // snapshots: create has none; two inserts = two appends
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val ice = graft.iceberg.IcebergTable.load(spark, s"$wh/db/w")
+      assert(ice.snapshots.size == 2)
+      assert(ice.summary("operation") == "append")
+
+      spark.sql(s"INSERT OVERWRITE $cat.db.w VALUES (9, 'z')")
+      assert(spark.sql(s"SELECT * FROM $cat.db.w").as[(Long, String)].collect()
+        .toSeq == Seq((9L, "z")))
+      assert(graft.iceberg.IcebergTable.load(spark, s"$wh/db/w")
+        .summary("operation") == "overwrite")
+
+      // DataFrameWriterV2
+      Seq((10L, "y")).toDF("k", "cat").writeTo(s"$cat.db.w").append()
+      assert(spark.table(s"$cat.db.w").count() == 2)
+      // dynamic partition overwrite is not declared — must refuse, not corrupt
+      intercept[Exception] {
+        Seq((11L, "x")).toDF("k", "cat").writeTo(s"$cat.db.w").overwritePartitions()
+      }
+      assert(spark.table(s"$cat.db.w").count() == 2)
+    }
+  }
+
+  test("static-partition INSERT OVERWRITE replaces only that partition's files") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+      spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+      // OverwriteByExpression with cat='a' → whole-file predicate overwrite:
+      // partition a's files replaced, partition b untouched
+      spark.sql(s"INSERT OVERWRITE $cat.db.p PARTITION (cat='a') VALUES (7)")
+      assert(spark.sql(s"SELECT * FROM $cat.db.p ORDER BY k").as[(Long, String)]
+        .collect().toSeq == Seq((3L, "b"), (7L, "a")))
+    }
+  }
+
   test("year-transform DDL maps to the Iceberg spec name") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.ts (ev TIMESTAMP, v BIGINT) " +
