@@ -293,6 +293,38 @@ object IceQueries {
     }
   }
 
+  /** Iceberg v2 EQUALITY-delete upsert (streaming-CDC shape): every nation
+    * key in the source is superseded WITHOUT reading or rewriting any data
+    * file — the commit writes only the new rows and a key-list delete file;
+    * the merge happens at read time with commit-sequence scoping. The
+    * `old_files_intact` literal (checked by the oracle's 1) pins the
+    * no-rewrite property; the row values replay in DuckDB. */
+  def iceWriteEqDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val url = java.nio.file.Files.createTempDirectory("graft_eqd").toString + "/t"
+    val nation = Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+    IcebergWriter.createTable(s, url, nation.schema)
+    IcebergWriter.append(s, url, nation.coalesce(1))
+    val filesBefore = IcebergTable.load(s, url).liveFiles().map(_.filePath).toSet
+
+    // upsert: rename every nation of region 0 and add a synthetic one
+    val updates = nation.filter(col("n_regionkey") === 0)
+      .withColumn("n_name", concat(lit("NEW_"), col("n_name")))
+      .unionAll(s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(999L, "ATLANTIS", 0L)),
+        nation.schema))
+    IcebergWriter.upsert(s, url, updates.coalesce(1), Seq("n_nationkey"))
+
+    val t = IcebergTable.load(s, url)
+    val intact = filesBefore.subsetOf(t.liveFiles().map(_.filePath).toSet)
+    t.read()
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        (if (intact) lit(1) else lit(0)).as("old_files_intact"))
+      .orderBy("n_nationkey")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -343,6 +375,7 @@ object IceQueries {
     "ice_write_merge"      -> (iceWriteMerge _),
     "ice_spj_join"         -> (iceSpjJoin _),
     "ice_sql_insert"       -> (iceSqlInsert _),
+    "ice_write_eq_delete"  -> (iceWriteEqDelete _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),
@@ -365,6 +398,23 @@ object IceQueries {
     * VALUES come from relational semantics DuckDB can replay (the literal 0
     * pins the no-shuffle plan shape). */
   val oracle: Map[String, String] = Map(
+    "ice_write_eq_delete" ->
+      """WITH updates AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |         'NEW_' || n_name AS n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  FROM nation WHERE n_regionkey = 0
+        |  UNION ALL SELECT 999, 'ATLANTIS', 0
+        |)
+        |SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(1 AS INTEGER) AS old_files_intact
+        |FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  FROM nation
+        |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM updates)
+        |  UNION ALL SELECT * FROM updates
+        |) ORDER BY n_nationkey""".stripMargin,
     "ice_sql_insert" ->
       """WITH t AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

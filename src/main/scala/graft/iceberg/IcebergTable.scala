@@ -126,12 +126,16 @@ final class IcebergTable private (
     val entryLists = Manifests.readManifests(kept.map(m => rewrite(m.path)), c)
     val allFiles = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
     val deleted = scala.collection.mutable.Set.empty[String]
-    for (entries <- entryLists; e <- entries) {
+    for ((mf, entries) <- kept.zip(entryLists); e <- entries) {
       val path = rewrite(e.dataFile.filePath)
       require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET"),
         s"only parquet data files are supported, got ${e.dataFile.fileFormat}") // ice.py:195
       e.status match {
-        case Status.Added | Status.Existing => allFiles(path) = e.dataFile
+        case Status.Added | Status.Existing =>
+          // committing snapshot: entry-level id, else inherited from the
+          // manifest (Iceberg's snapshot-id inheritance)
+          allFiles(path) = e.dataFile.copy(snapshotId =
+            e.dataFile.snapshotId.orElse(mf.addedSnapshotId))
         case Status.Deleted => deleted += path
         case other => throw new IllegalStateException(s"invalid manifest status $other")
       }
@@ -162,17 +166,20 @@ final class IcebergTable private (
     * Positions stay valid for as long as their target data file is live —
     * data files are immutable and this writer never compacts in place — so
     * no sequence-number scoping is needed to apply them. */
-  lazy val positionDeleteFiles: Seq[DataFileInfo] = {
+  /** ALL live delete files of the current snapshot (position + equality). */
+  lazy val liveDeleteFiles: Seq[DataFileInfo] = {
     val deleteManifests = manifestList.filter(_.content == Manifests.ManifestContent.Deletes)
     if (deleteManifests.isEmpty) Seq.empty
     else {
       val entryLists = Manifests.readManifests(deleteManifests.map(m => rewrite(m.path)), conf)
       val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
       val dropped = scala.collection.mutable.Set.empty[String]
-      for (entries <- entryLists; e <- entries) {
+      for ((mf, entries) <- deleteManifests.zip(entryLists); e <- entries) {
         val path = rewrite(e.dataFile.filePath)
         e.status match {
-          case Status.Added | Status.Existing => live(path) = e.dataFile
+          case Status.Added | Status.Existing =>
+            live(path) = e.dataFile.copy(snapshotId =
+              e.dataFile.snapshotId.orElse(mf.addedSnapshotId))
           case Status.Deleted => dropped += path
           case other => throw new IllegalStateException(s"invalid manifest status $other")
         }
@@ -181,6 +188,38 @@ final class IcebergTable private (
       live.values.toSeq
     }
   }
+
+  lazy val positionDeleteFiles: Seq[DataFileInfo] =
+    liveDeleteFiles.filter(_.content != Manifests.FileContent.EqualityDeletes)
+
+  /** Live EQUALITY delete files (Iceberg v2): each matches data rows on its
+    * `equality_ids` columns, scoped to data files committed strictly before
+    * it (see [[sequenceOf]]). */
+  lazy val equalityDeleteFiles: Seq[DataFileInfo] =
+    liveDeleteFiles.filter(_.content == Manifests.FileContent.EqualityDeletes)
+
+  /** Manifest paths (as stored in the manifest list) that hold EQUALITY
+    * delete entries — the delete-state rewrite on whole-file deletes must
+    * keep these (equality deletes reference keys, not files). Our writer
+    * never mixes contents within one manifest. */
+  lazy val equalityDeleteManifestPaths: Set[String] = {
+    val deleteManifests = manifestList.filter(_.content == Manifests.ManifestContent.Deletes)
+    deleteManifests.filter { mf =>
+      Manifests.readManifest(rewrite(mf.path), conf)
+        .exists(_.dataFile.content == Manifests.FileContent.EqualityDeletes)
+    }.map(_.path).toSet
+  }
+
+  /** Linear-history stand-in for the Iceberg data sequence number: a
+    * snapshot's position in the metadata's (append-ordered) snapshot list.
+    * Commit rebasing keeps graft histories linear, so ordering by commit
+    * position matches sequence-number ordering. Unknown snapshots rank
+    * NEWEST, so equality deletes conservatively do not apply to them. */
+  private lazy val snapshotSeq: Map[Long, Int] =
+    metadata.snapshots.zipWithIndex.map { case (s, i) => s.snapshotId -> i }.toMap
+
+  def sequenceOf(snapshotId: Option[Long]): Int =
+    snapshotId.flatMap(snapshotSeq.get).getOrElse(Int.MaxValue)
 
   /** Live files surviving BOTH pruning tiers (manifest summaries + file
     * stats/partition values) — the planning entry point for the DSv2 scan. */
@@ -239,11 +278,18 @@ final class IcebergTable private (
     * README.md:95-96). */
   def countFromStats(pred: IcePredicate = AlwaysTrue): Option[Long] = {
     val files = liveFiles(pred)
-    if (pred == AlwaysTrue)
-      // exact with v2 deletes too: every position-delete row removes exactly
-      // one live data row (positions target live immutable files)
+    if (pred != AlwaysTrue)
+      None // would need residual evaluation; only exact for full scans
+    else if (equalityDeleteFiles.nonEmpty)
+      // an equality-delete row may match zero or many data rows: no exact
+      // count exists in metadata (compaction folds the deletes and restores
+      // stats-only counting)
+      None
+    else
+      // exact with position deletes: every delete row removes exactly one
+      // live data row (positions target live immutable files; whole-file
+      // deletes rewrite the delete state, so no dead entries linger)
       Some(files.map(_.recordCount).sum - positionDeleteFiles.map(_.recordCount).sum)
-    else None // would need residual evaluation; only exact for full scans
   }
 
   // ----------------------------------------------- metadata tables (DFs)

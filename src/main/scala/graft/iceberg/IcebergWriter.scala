@@ -311,7 +311,7 @@ object IcebergWriter {
       // resurrected). Detect and refuse, like Iceberg's RewriteFiles
       // validation; the caller reruns compaction against the new state.
       if (dropDeleteManifests) {
-        val nowDeleteFiles = table.positionDeleteFiles
+        val nowDeleteFiles = table.liveDeleteFiles
           .map(f => table.resolvePath(f.filePath)).toSet
         if (nowDeleteFiles != pinnedDeleteFiles.getOrElse(Set.empty[String]))
           throw new java.util.ConcurrentModificationException(
@@ -347,8 +347,15 @@ object IcebergWriter {
       // file that is being removed, so they are fully applied.
       val priorManifests: Seq[Manifests.ManifestFile] =
         (if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil)
-          .filterNot(m => (dropDeleteManifests || deleteRewrite.isDefined) &&
-            m.content == Manifests.ManifestContent.Deletes)
+          .filterNot { m =>
+            val isDelete = m.content == Manifests.ManifestContent.Deletes
+            // compaction folds ALL deletes; a rewrite replaces only the
+            // position-delete manifests (equality deletes reference keys,
+            // not files — they survive whole-file removal untouched)
+            (dropDeleteManifests && isDelete) ||
+              (deleteRewrite.isDefined && isDelete &&
+                !table.equalityDeleteManifestPaths.contains(m.path))
+          }
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
       val addedRecords = dataFiles.map(_._3.recordCount).sum
       val deletedRecords = deletedFiles.map(_.recordCount).sum
@@ -563,7 +570,8 @@ object IcebergWriter {
           commitId, snapshotId, fullyMatching, specInfo, conf)
         val priorManifests = table.manifestList
           .filterNot(m => deleteRewrite.isDefined &&
-            m.content == Manifests.ManifestContent.Deletes)
+            m.content == Manifests.ManifestContent.Deletes &&
+            !table.equalityDeleteManifestPaths.contains(m.path))
         val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
         val deadDeleteRows = deleteRewrite.map(_._2).getOrElse(0L)
         val deletedRecords = fullyMatching.map(_.recordCount).sum - deadDeleteRows
@@ -704,7 +712,8 @@ object IcebergWriter {
     commitWithRetry(spark, url, conf) { current =>
       val priorManifests = current.manifestList
         .filterNot(m => deleteRewrite.isDefined &&
-          m.content == Manifests.ManifestContent.Deletes)
+          m.content == Manifests.ManifestContent.Deletes &&
+          !current.equalityDeleteManifestPaths.contains(m.path))
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
       writeManifestLists(manifestListPath, snapshotId,
         dataManifest.toSeq ++ deleteManifest.toSeq ++
@@ -785,6 +794,145 @@ object IcebergWriter {
         fileContent = Manifests.FileContent.PositionDeletes)
       (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
         entries.size, posDeleteCount, 0, 0L, Nil)), posDeleteCount)
+    }
+  }
+
+  /** Iceberg v2 EQUALITY DELETE: delete every row whose `keyCols` tuple
+    * appears in `keys`, WITHOUT scanning any data file — the delete file
+    * stores only the key tuples, and readers apply them merge-on-read to
+    * data files committed strictly before this snapshot (sequence scoping
+    * via [[IcebergTable.sequenceOf]]). This is the streaming-CDC shape:
+    * cost is O(keys), not O(table).
+    *
+    * Metadata cannot know how many rows matched, so `total-records` is NOT
+    * adjusted (it becomes an upper bound) and `countFromStats` returns None
+    * while equality deletes are live; compaction folds them away and
+    * restores exact stats. */
+  def equalityDelete(spark: SparkSession, url: String, keys: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    if (table.metadata.currentSnapshotId < 0) return // nothing to delete from
+    val schema = table.iceSchema
+    val commitId = UUID.randomUUID().toString
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val specInfo: Seq[(PartitionField, String, String)] =
+      table.partitionSpec.fields.map { pf =>
+        val src = schema.fields.find(_.id == pf.sourceId).get
+        (pf, src.icebergTypeString,
+          partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+      }
+    val (manifest, nKeys) = writeEqualityDeletes(spark, url, table, commitId,
+      snapshotId, keys, keyCols, specInfo, conf)
+    if (manifest.isEmpty) return
+
+    commitWithRetry(spark, url, conf) { current =>
+      val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+      writeManifestLists(manifestListPath, snapshotId, manifest.toSeq,
+        current.manifestList, conf)
+      val old = mapper.readTree(
+        readString(s"$url/metadata/v${current.version}.metadata.json", conf))
+        .asInstanceOf[ObjectNode]
+      old.put("format-version", 2)
+      val now = System.currentTimeMillis()
+      val snap = mapper.createObjectNode()
+      snap.put("snapshot-id", snapshotId)
+      snap.put("parent-snapshot-id", current.metadata.currentSnapshotId)
+      snap.put("timestamp-ms", now)
+      val summary = mapper.createObjectNode()
+      summary.put("operation", "delete")
+      summary.put("added-delete-files", "1")
+      summary.put("added-equality-deletes", nKeys.toString)
+      // total-records carries forward unadjusted: matched count is unknown
+      // without a scan, which is exactly what equality deletes avoid
+      current.currentSnapshot.summary.get("total-records")
+        .foreach(v => summary.put("total-records", v))
+      snap.set[ObjectNode]("summary", summary)
+      snap.put("manifest-list", manifestListPath)
+      snap.put("schema-id", schema.schemaId)
+      old.withArray[ArrayNode]("snapshots").add(snap)
+      old.put("current-snapshot-id", snapshotId)
+      old.put("last-updated-ms", now)
+      Some(old.toPrettyString)
+    }
+  }
+
+  /** UPSERT via equality deletes, in ONE snapshot: every existing row whose
+    * `keyCols` tuple appears in `source` is equality-deleted and ALL source
+    * rows are appended. Unlike [[merge]] (position deletes), NO existing
+    * data file is read or rewritten — the commit cost is O(source), the
+    * read cost moves to merge-on-read until compaction. Appended files
+    * commit in the SAME snapshot as the delete, so sequence scoping keeps
+    * the new rows alive. */
+  def upsert(spark: SparkSession, url: String, source: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    if (table.metadata.currentSnapshotId < 0 || table.liveFiles().isEmpty) {
+      append(spark, url, source); return
+    }
+    val schema = table.iceSchema
+    keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))
+    val commitId = UUID.randomUUID().toString
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val specInfo: Seq[(PartitionField, String, String)] =
+      table.partitionSpec.fields.map { pf =>
+        val src = schema.fields.find(_.id == pf.sourceId).get
+        (pf, src.icebergTypeString,
+          partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+      }
+    val (manifest, nKeys) = writeEqualityDeletes(spark, url, table, commitId,
+      snapshotId, source, keyCols, specInfo, conf)
+    writeSnapshot(spark, url, source, deletePred = None, operation = "overwrite",
+      extraSummary = Map(
+        "graft-upsert-keys" -> keyCols.mkString(","),
+        "added-equality-deletes" -> nKeys.toString),
+      extraManifests = manifest.toSeq,
+      presetSnapshotId = Some(snapshotId))
+  }
+
+  /** Write the distinct `keyCols` tuples of `keys` as an Iceberg v2
+    * equality-delete parquet (field ids stamped, spec-sorted) under
+    * `data/<commitId>-eqdel/` and register it in a delete-content manifest
+    * with `equality_ids`. Returns the manifest (None when `keys` is empty)
+    * and the key count. */
+  private def writeEqualityDeletes(spark: SparkSession, url: String,
+      table: IcebergTable, commitId: String, snapshotId: Long,
+      keys: DataFrame, keyCols: Seq[String],
+      specInfo: Seq[(PartitionField, String, String)],
+      conf: Configuration): (Option[NewManifestInfo], Long) = {
+    import org.apache.spark.sql.functions.col
+    val schema = table.iceSchema
+    val keyIds = keyCols.map { k =>
+      schema.fields.find(_.name == k)
+        .getOrElse(throw new IllegalArgumentException(s"no key column $k")).id
+    }
+    val delDir = s"$url/data/$commitId-eqdel"
+    val keyDf = keys.select(keyCols.map { k =>
+      val id = schema.fields.find(_.name == k).get.id.toLong
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      col(k).as(k, md)
+    }: _*).distinct()
+    keyDf.sort(keyCols.map(col): _*).coalesce(1).write.mode("overwrite").parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(conf)
+    var nKeys = 0L
+    val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
+      val rows = rowCountOf(st.getPath, conf)
+      nKeys += rows
+      (st.getPath.toUri.getPath, st.getLen,
+        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+        specInfo.map(_ => null: Any), Manifests.Status.Added)
+    }.filter(_._3.recordCount > 0)
+    if (entries.isEmpty) (None, 0L)
+    else {
+      val manifestPath = s"$url/metadata/$commitId-meq.avro"
+      writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+        fileContent = Manifests.FileContent.EqualityDeletes, equalityIds = keyIds)
+      (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+        entries.size, nKeys, 0, 0L, Nil)), nKeys)
     }
   }
 
@@ -1094,7 +1242,9 @@ object IcebergWriter {
           {"type": "record", "name": "k129_v130", "fields": [
             {"name": "key", "type": "int", "field-id": 129},
             {"name": "value", "type": "bytes", "field-id": 130}]},
-          "logicalType": "map"}], "default": null, "field-id": 128}
+          "logicalType": "map"}], "default": null, "field-id": 128},
+        {"name": "equality_ids", "type": ["null", {"type": "array",
+          "items": "int", "element-id": 136}], "default": null, "field-id": 135}
       ]}, "field-id": 2}
     ]}""")
   }
@@ -1148,7 +1298,8 @@ object IcebergWriter {
   private def writeManifestEntries(path: String, snapshotId: Long,
       files: Seq[(String, Long, FileStats, Seq[Any], Int)],
       specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
-      fileContent: Int = Manifests.FileContent.Data): Unit = {
+      fileContent: Int = Manifests.FileContent.Data,
+      equalityIds: Seq[Int] = Nil): Unit = {
     val entrySchema = manifestEntrySchema(specInfo)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
@@ -1178,6 +1329,8 @@ object IcebergWriter {
         df.put("nan_value_counts", kvArray(dataFileSchema, "nan_value_counts", stats.nanCounts))
         df.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds", stats.lowerBounds))
         df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", stats.upperBounds))
+        if (equalityIds.nonEmpty)
+          df.put("equality_ids", equalityIds.map(Int.box).asJava)
         val entry = new GenericData.Record(entrySchema)
         entry.put("status", status)
         entry.put("snapshot_id", snapshotId)

@@ -39,7 +39,7 @@ object Maintenance {
       // deletes applied by this rewrite are exactly those live at PIN time;
       // a delete committed after the pin would be silently lost when the
       // delete manifests drop — the commit detects the mismatch and refuses
-      pinnedDeleteFiles = Some(frozen.positionDeleteFiles
+      pinnedDeleteFiles = Some(frozen.liveDeleteFiles
         .map(f => frozen.resolvePath(f.filePath)).toSet))
   }
 
@@ -98,7 +98,7 @@ object Maintenance {
       liveAvro += name(view.resolvePath(snap.manifestList))
       view.manifestList.foreach(mf => liveAvro += name(view.resolvePath(mf.path)))
       view.liveFiles().foreach(f => liveData += name(view.resolvePath(f.filePath)))
-      view.positionDeleteFiles.foreach(f => liveData += name(view.resolvePath(f.filePath)))
+      view.liveDeleteFiles.foreach(f => liveData += name(view.resolvePath(f.filePath)))
     }
     val fs = new Path(url).getFileSystem(conf)
     def cleanDir(dir: Path, candidate: String => Boolean,

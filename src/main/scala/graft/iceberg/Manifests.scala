@@ -74,7 +74,15 @@ object Manifests {
       nanValueCounts: Map[Int, Long],
       lowerBounds: Map[Int, Array[Byte]],
       upperBounds: Map[Int, Array[Byte]],
-      content: Int = FileContent.Data)
+      content: Int = FileContent.Data,
+      /** Iceberg v2 field 135: the schema field ids an EQUALITY delete file
+        * matches on (empty for data / position-delete files). */
+      equalityIds: Seq[Int] = Nil,
+      /** The snapshot that ADDED this file (from the manifest entry, falling
+        * back to the manifest's added_snapshot_id) — the linear-history
+        * stand-in for the data sequence number: equality deletes apply only
+        * to files committed strictly earlier. */
+      snapshotId: Option[Long] = None)
 
   /** Entry status lifecycle — EXISTING=0, ADDED=1, DELETED=2 (ice.py:12-15). */
   object Status {
@@ -199,6 +207,10 @@ object Manifests {
         nanValueCounts = kvMap(df, "nan_value_counts", _.asInstanceOf[Long]),
         lowerBounds = kvMap(df, "lower_bounds", bytes),
         upperBounds = kvMap(df, "upper_bounds", bytes),
-        content = opt(df, "content", _.asInstanceOf[Int]).getOrElse(FileContent.Data)))
+        content = opt(df, "content", _.asInstanceOf[Int]).getOrElse(FileContent.Data),
+        equalityIds = opt(df, "equality_ids",
+          _.asInstanceOf[java.util.List[_]].asScala
+            .map(_.asInstanceOf[Int]).toSeq).getOrElse(Nil),
+        snapshotId = opt(r, "snapshot_id", _.asInstanceOf[Long])))
   }
 }

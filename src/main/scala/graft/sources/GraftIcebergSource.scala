@@ -278,6 +278,56 @@ final class GraftIcebergScan(
   private lazy val morDeletes: Seq[String] =
     table.positionDeleteFiles.map(f => table.resolvePath(f.filePath))
 
+  /** Live equality-delete files: key-tuple deletes scoped by commit
+    * sequence, applied row-level in the wrapping reader. */
+  private lazy val eqDeleteFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
+    table.equalityDeleteFiles
+
+  /** Merge-on-read engages for position OR equality deletes. */
+  private def morMode: Boolean = morDeletes.nonEmpty || eqDeleteFiles.nonEmpty
+
+  /** Key columns the equality deletes need that column pruning removed:
+    * appended to the read schema (before the row-index column) and
+    * projected back out by the MOR reader. Field-id metadata rides along so
+    * id-based resolution still applies. */
+  private lazy val eqExtraFields: Seq[org.apache.spark.sql.types.StructField] = {
+    val neededIds = eqDeleteFiles.flatMap(_.equalityIds).distinct
+    val idToField = table.iceSchema.fields.map(f => f.id -> f.name).toMap
+    val neededNames = neededIds.flatMap(idToField.get)
+    val present = requiredSchema.fieldNames.toSet
+    neededNames.filterNot(present)
+      .flatMap(n => table.schema.fields.find(_.name == n))
+  }
+
+  /** Equality-delete key sets, loaded once on the driver (delete files are
+    * key lists — small by design; counted against the same driver cap as
+    * position deletes). Ordinals resolve against the widened read schema. */
+  private lazy val eqGroups: Array[ScanBridge.EqDeleteGroup] = {
+    if (eqDeleteFiles.isEmpty) Array.empty
+    else {
+      val spark = SparkSession.active
+      val read = morReadSchema
+      val idToName = table.iceSchema.fields.map(f => f.id -> f.name).toMap
+      val nameToType = table.schema.fields.map(f => f.name -> f.dataType).toMap
+      eqDeleteFiles.map { df =>
+        val names = df.equalityIds.map(id => idToName.getOrElse(id,
+          throw new IllegalStateException(s"equality id $id not in schema")))
+        val ordinals = names.map(read.fieldIndex).toArray
+        val types = names.map(nameToType).toArray
+        val converters = types.map(ScanBridge.toCatalyst)
+        val keys = new java.util.HashSet[Seq[Any]]()
+        // key columns were written in equality_ids order: select by position
+        val rows = spark.read.parquet(table.resolvePath(df.filePath)).collect()
+        rows.foreach { r =>
+          keys.add(Seq.tabulate(names.length)(i =>
+            if (r.isNullAt(i)) null else converters(i)(r.get(i))))
+        }
+        ScanBridge.EqDeleteGroup(ordinals, types,
+          table.sequenceOf(df.snapshotId), keys)
+      }.toArray
+    }
+  }
+
   /** Deleted positions grouped per data file, loaded ONCE per scan by a
     * distributed Spark read of the delete parquets (each delete file is
     * read exactly once, not once per task), restricted to the data files
@@ -290,11 +340,12 @@ final class GraftIcebergScan(
     if (morDeletes.isEmpty) Map.empty
     else {
       val spark = SparkSession.active
-      val totalDeleteRows = table.positionDeleteFiles.map(_.recordCount).sum
+      val totalDeleteRows = table.positionDeleteFiles.map(_.recordCount).sum +
+        eqDeleteFiles.map(_.recordCount).sum
       val cap = SQLConf.get.getConfString(
         "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
       require(totalDeleteRows <= cap,
-        s"snapshot carries $totalDeleteRows position-delete rows (> cap $cap); " +
+        s"snapshot carries $totalDeleteRows delete rows (> cap $cap); " +
           "run graft.iceberg.Maintenance.compact to fold deletes into data files, " +
           "or raise spark.graft.iceberg.morDriverDeleteLimit")
       val scannedKeys = files.map(f =>
@@ -309,6 +360,12 @@ final class GraftIcebergScan(
     }
   }
 
+  /** Merge-on-read widens the read schema: required columns, then any
+    * equality-delete key columns pruning removed, then the row-index
+    * column. The wrapping reader filters and projects the extras out. */
+  private lazy val morReadSchema: StructType =
+    StructType(requiredSchema.fields ++ eqExtraFields :+ ScanBridge.rowIndexField)
+
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
@@ -317,11 +374,7 @@ final class GraftIcebergScan(
     // the task-side configuration
     IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
     val paths = files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
-    // merge-on-read appends the row-index column to the read schema; the
-    // wrapping reader projects it back out after filtering
-    val readSchema =
-      if (morDeletes.isEmpty) requiredSchema
-      else StructType(requiredSchema.fields :+ ScanBridge.rowIndexField)
+    val readSchema = if (!morMode) requiredSchema else morReadSchema
     ScanBridge.parquetScan(spark, hconf, paths,
       table.schema, readSchema, pushedFilters, options).toBatch
   }
@@ -342,7 +395,7 @@ final class GraftIcebergScan(
     * shape Iceberg's Spark runtime uses for its SPJ support. */
   private lazy val keyedLayout: Option[GraftIcebergScan.KeyedLayout] = {
     val conf = SQLConf.get
-    if (morDeletes.nonEmpty || // MOR needs per-file partitions, not key groups
+    if (morMode || // MOR needs per-file partitions, not key groups
         !conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
         !conf.getConfString("spark.graft.iceberg.preserveDataGrouping", "false").toBoolean)
       None
@@ -368,29 +421,33 @@ final class GraftIcebergScan(
         ScanBridge.keyedPartition(spark, hconf, i, key,
           group.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)))
       }.toArray
-    case None if morDeletes.nonEmpty =>
+    case None if morMode =>
       val spark = SparkSession.active
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
-        files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)),
+        files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,
+          table.sequenceOf(f.snapshotId))),
         morDeletesByKey)
     case None => delegate.planInputPartitions()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
-    if (morDeletes.nonEmpty)
-      ScanBridge.morReaderFactory(inner, requiredSchema,
-        allDeleteFree = morDeletesByKey.isEmpty)
+    if (morMode)
+      ScanBridge.morReaderFactory(inner, requiredSchema, morReadSchema.length,
+        allDeleteFree = morDeletesByKey.isEmpty && eqGroups.isEmpty,
+        eqGroups = eqGroups)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(_.fileSizeInBytes).sum
-    // every position delete removes one live row (positions target live
-    // immutable files), so the count stays exact under merge-on-read
+    // position deletes each remove exactly one live row → exact; equality
+    // deletes remove 0..n rows per key → the key count is the best
+    // planning-time estimate (never below 0)
     private val rows = files.map(_.recordCount).sum -
-      table.positionDeleteFiles.map(_.recordCount).sum
+      table.positionDeleteFiles.map(_.recordCount).sum -
+      table.equalityDeleteFiles.map(_.recordCount).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(math.max(0L, rows))
   }

@@ -131,13 +131,31 @@ object ScanBridge {
     if (i < 0) "" else path.substring(i + 6)
   }
 
-  /** MERGE-ON-READ input partition: one data file plus the sorted row
-    * positions deleted from it. Positions ride in the partition (computed
-    * ONCE on the driver by a distributed read of the delete files), so
-    * tasks never touch delete files and each task serializes only its own
-    * positions. */
+  /** One EQUALITY-delete file's keys, catalyst-normalized, plus where its
+    * key columns sit in the (widened) read schema and the commit sequence
+    * that scopes it: rows of data files with `dataSeq < seq` whose key
+    * tuple is in `keys` are deleted. Built once on the driver. */
+  final case class EqDeleteGroup(
+      ordinals: Array[Int],
+      types: Array[org.apache.spark.sql.types.DataType],
+      seq: Int,
+      keys: java.util.HashSet[Seq[Any]]) extends Serializable
+
+  /** Catalyst-normalize one EXTERNAL value (String → UTF8String, Timestamp
+    * → micros, …) so equality-delete keys compare equal to what the parquet
+    * readers produce in InternalRows. */
+  def toCatalyst(dataType: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(dataType)
+
+  /** MERGE-ON-READ input partition: one data file, the sorted row positions
+    * deleted from it, and its commit sequence (for equality-delete
+    * scoping). Positions ride in the partition (computed ONCE on the driver
+    * by a distributed read of the delete files), so tasks never touch
+    * delete files and each task serializes only its own positions. */
   final class MorFilePartition(
       private[graftbridge] val deleted: Array[Long],
+      private[graftbridge] val dataSeq: Int,
       private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
@@ -148,10 +166,10 @@ object ScanBridge {
     * per-file delete arrays would be duplicated across split tasks). */
   def morPartitions(
       hadoopConf: Configuration,
-      files: Seq[(String, Long)],
+      files: Seq[(String, Long, Int)], // (path, size, commit sequence)
       deletesByKey: Map[String, Array[Long]]): Array[InputPartition] = {
     val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
-    files.zipWithIndex.map { case ((p, len), i) =>
+    files.zipWithIndex.map { case ((p, len, seq), i) =>
       val raw = new Path(p)
       val fs = fsCache.getOrElseUpdate(
         Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
@@ -161,7 +179,7 @@ object ScanBridge {
           org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
           0, len, Array.empty, 0L, len)))
       new MorFilePartition(
-        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), fp): InputPartition
+        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), seq, fp): InputPartition
     }.toArray
   }
 
@@ -176,13 +194,17 @@ object ScanBridge {
   def morReaderFactory(
       delegate: PartitionReaderFactory,
       requiredSchema: StructType,
-      allDeleteFree: Boolean): PartitionReaderFactory =
-    new MorReaderFactory(delegate, requiredSchema, allDeleteFree)
+      readWidth: Int, // total columns the delegate produces (incl. extras)
+      allDeleteFree: Boolean,
+      eqGroups: Array[EqDeleteGroup] = Array.empty): PartitionReaderFactory =
+    new MorReaderFactory(delegate, requiredSchema, readWidth, allDeleteFree, eqGroups)
 
   private final class MorReaderFactory(
       delegate: PartitionReaderFactory,
       requiredSchema: StructType,
-      allDeleteFree: Boolean)
+      readWidth: Int,
+      allDeleteFree: Boolean,
+      eqGroups: Array[EqDeleteGroup])
     extends PartitionReaderFactory {
 
     private def width = requiredSchema.length
@@ -217,19 +239,38 @@ object ScanBridge {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val m = p.asInstanceOf[MorFilePartition]
       val deleted = m.deleted // sorted
+      // equality deletes apply only to files committed strictly earlier
+      val applicable = eqGroups.filter(_.seq > m.dataSeq)
       val inner = delegate.createReader(m.underlying)
-      // the delegate row is requiredSchema + row-index (appended last);
-      // project the index out — ordinals 0..n-1 are the required fields
+      // the delegate row is requiredSchema + eq-key columns + row-index
+      // (appended in that order); project the extras out — ordinals
+      // 0..n-1 are the required fields
       val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(requiredSchema)
-      val idxOrdinal = width
+      val idxOrdinal = readWidth - 1
+
+      def eqDeleted(r: InternalRow): Boolean = {
+        var i = 0
+        while (i < applicable.length) {
+          val g = applicable(i)
+          val key = Seq.tabulate(g.ordinals.length) { j =>
+            val o = g.ordinals(j)
+            if (r.isNullAt(o)) null else r.get(o, g.types(j))
+          }
+          if (g.keys.contains(key)) return true
+          i += 1
+        }
+        false
+      }
+
       new PartitionReader[InternalRow] {
         private var current: InternalRow = _
         override def next(): Boolean = {
           while (inner.next()) {
             val r = inner.get()
-            if (deleted.isEmpty ||
-                java.util.Arrays.binarySearch(deleted, r.getLong(idxOrdinal)) < 0) {
+            val posLive = deleted.isEmpty ||
+              java.util.Arrays.binarySearch(deleted, r.getLong(idxOrdinal)) < 0
+            if (posLive && (applicable.isEmpty || !eqDeleted(r))) {
               current = project(r)
               return true
             }
