@@ -325,6 +325,29 @@ object IceQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Snapshot refs E2E: tag the nation snapshot, keep committing, read the
+    * pinned tag vs the moving main branch. The oracle replays both row
+    * counts from the source parquet (tag = nation, main = nation + the
+    * re-appended region-0 rows). */
+  def iceRefs(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_refsq").toString + "/t"
+    val nation = Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+    IcebergWriter.createTable(s, url, nation.schema)
+    IcebergWriter.append(s, url, nation)
+    IcebergWriter.tag(s, url, "baseline")
+    IcebergWriter.append(s, url, nation.filter(col("n_regionkey") === 0))
+    val t = IcebergTable.load(s, url)
+    Seq((t.atTag("baseline").read().count(),
+        t.atBranch("main").read().count(),
+        t.refs.size.toLong,
+        if (t.refs("main").snapshotId == t.currentSnapshot.snapshotId) 1L else 0L))
+      .toDF("rows_at_tag", "rows_at_main", "n_refs", "main_is_current")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -376,6 +399,7 @@ object IceQueries {
     "ice_spj_join"         -> (iceSpjJoin _),
     "ice_sql_insert"       -> (iceSqlInsert _),
     "ice_write_eq_delete"  -> (iceWriteEqDelete _),
+    "ice_refs"             -> (iceRefs _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),
@@ -398,6 +422,13 @@ object IceQueries {
     * VALUES come from relational semantics DuckDB can replay (the literal 0
     * pins the no-shuffle plan shape). */
   val oracle: Map[String, String] = Map(
+    "ice_refs" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows_at_tag,
+        |  CAST(COUNT(*) + (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+        |    AS BIGINT) AS rows_at_main,
+        |  CAST(2 AS BIGINT) AS n_refs,
+        |  CAST(1 AS BIGINT) AS main_is_current
+        |FROM nation""".stripMargin,
     "ice_write_eq_delete" ->
       """WITH updates AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

@@ -80,6 +80,41 @@ final class IcebergTable private (
     atSnapshot(candidates.maxBy(_.timestampMs).snapshotId)
   }
 
+  /** Named snapshot refs (metadata `refs`): branches move with commits,
+    * tags pin snapshots — the fixture's v5 metadata carries `refs.main`. */
+  def refs: Map[String, SnapshotRef] = metadata.refs
+
+  /** Travel to a named ref (branch or tag). */
+  def atRef(name: String): IcebergTable = {
+    val ref = refs.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown ref '$name' (have: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+    atSnapshot(ref.snapshotId)
+  }
+
+  /** Travel to a TAG — refuses branches, so a pinned training-set read
+    * cannot silently follow a moving branch. */
+  def atTag(name: String): IcebergTable = {
+    val ref = refs.getOrElse(name, throw new IllegalArgumentException(s"unknown tag '$name'"))
+    require(ref.refType == "tag", s"ref '$name' is a ${ref.refType}, not a tag")
+    atSnapshot(ref.snapshotId)
+  }
+
+  /** Travel to a BRANCH head. */
+  def atBranch(name: String): IcebergTable = {
+    val ref = refs.getOrElse(name, throw new IllegalArgumentException(s"unknown branch '$name'"))
+    require(ref.refType == "branch", s"ref '$name' is a ${ref.refType}, not a branch")
+    atSnapshot(ref.snapshotId)
+  }
+
+  /** Refs as a DataFrame (like Iceberg's `table$refs`). */
+  def refsDf: DataFrame = {
+    import spark.implicits._
+    refs.values.toSeq.sortBy(_.name)
+      .map(r => (r.name, r.refType, r.snapshotId))
+      .toDF("name", "type", "snapshot_id")
+  }
+
   // -------------------------------------------------------- introspection
 
   def summary: Map[String, String] = currentSnapshot.summary

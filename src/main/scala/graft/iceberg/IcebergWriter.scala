@@ -429,6 +429,7 @@ object IcebergWriter {
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
       old.put("current-snapshot-id", snapshotId)
+      setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
       val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
         else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
@@ -601,6 +602,7 @@ object IcebergWriter {
         snap.put("schema-id", schema.schemaId)
         old.withArray[ArrayNode]("snapshots").add(snap)
         old.put("current-snapshot-id", snapshotId)
+        setMainRef(old, snapshotId)
         old.put("last-updated-ms", now)
         Some(old.toPrettyString)
       }
@@ -747,6 +749,7 @@ object IcebergWriter {
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
       old.put("current-snapshot-id", snapshotId)
+      setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
       Some(old.toPrettyString)
     }
@@ -794,6 +797,68 @@ object IcebergWriter {
         fileContent = Manifests.FileContent.PositionDeletes)
       (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
         entries.size, posDeleteCount, 0, 0L, Nil)), posDeleteCount)
+    }
+  }
+
+  /** Keep `refs.main` tracking the current snapshot on every commit, like
+    * Iceberg's own writers (the golden fixture's v5 metadata has it). */
+  private def setMainRef(old: ObjectNode, snapshotId: Long): Unit = {
+    val refs = Option(old.get("refs")).collect { case o: ObjectNode => o }
+      .getOrElse { val o = mapper.createObjectNode(); old.set[ObjectNode]("refs", o); o }
+    val main = mapper.createObjectNode()
+    main.put("snapshot-id", snapshotId)
+    main.put("type", "branch")
+    refs.set[ObjectNode]("main", main)
+  }
+
+  /** TAG a snapshot (default: the current one): a named, immutable pointer
+    * — the reproducible-training-set primitive. Metadata-only commit;
+    * `expireSnapshots` keeps tagged snapshots alive. */
+  def tag(spark: SparkSession, url: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    setRef(spark, url, name, "tag", snapshotId)
+
+  /** Create/move a named BRANCH pointer (default target: current snapshot). */
+  def branch(spark: SparkSession, url: String, name: String,
+      snapshotId: Option[Long] = None): Unit =
+    setRef(spark, url, name, "branch", snapshotId)
+
+  /** Remove a ref. `main` is managed by commits and cannot be dropped. */
+  def dropRef(spark: SparkSession, url: String, name: String): Unit = {
+    require(name != "main", "the main branch ref is managed by commits")
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      if (!table.refs.contains(name)) None // nothing to do, no new version
+      else {
+        val old = mapper.readTree(
+          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          .asInstanceOf[ObjectNode]
+        Option(old.get("refs")).collect { case o: ObjectNode => o }
+          .foreach(_.remove(name))
+        old.put("last-updated-ms", System.currentTimeMillis())
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
+  private def setRef(spark: SparkSession, url: String, name: String,
+      refType: String, snapshotId: Option[Long]): Unit = {
+    require(name != "main", "the main branch ref is managed by commits")
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      val target = snapshotId.getOrElse(table.metadata.currentSnapshotId)
+      require(table.snapshots.contains(target), s"unknown snapshot $target")
+      val old = mapper.readTree(
+        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        .asInstanceOf[ObjectNode]
+      val refs = Option(old.get("refs")).collect { case o: ObjectNode => o }
+        .getOrElse { val o = mapper.createObjectNode(); old.set[ObjectNode]("refs", o); o }
+      val r = mapper.createObjectNode()
+      r.put("snapshot-id", target)
+      r.put("type", refType)
+      refs.set[ObjectNode](name, r)
+      old.put("last-updated-ms", System.currentTimeMillis())
+      Some(old.toPrettyString)
     }
   }
 
@@ -853,6 +918,7 @@ object IcebergWriter {
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
       old.put("current-snapshot-id", snapshotId)
+      setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
       Some(old.toPrettyString)
     }

@@ -59,7 +59,10 @@ object Maintenance {
       var chain = List(table.latestSnapshot)
       while (chain.size < keepLast && chain.head.parentSnapshotId.exists(table.snapshots.contains))
         chain = table.snapshots(chain.head.parentSnapshotId.get) :: chain
-      val keepIds = chain.map(_.snapshotId).toSet
+      // snapshots a ref points to (tags especially) survive expiration —
+      // a pinned training set must stay reproducible
+      val keepIds = chain.map(_.snapshotId).toSet ++
+        table.refs.values.map(_.snapshotId).filter(table.snapshots.contains)
       if (keepIds.size == table.snapshots.size) None // nothing to expire
       else {
         val old = mapper.readTree(IcebergTableIo.readString(

@@ -38,6 +38,17 @@ final case class Snapshot(
     manifestList: String,
     schemaId: Option[Int])
 
+/** A named snapshot reference (Iceberg `refs`): a BRANCH moves with commits
+  * (`main` is one), a TAG pins a snapshot forever — the reproducible-
+  * training-set primitive. Retention fields are parsed but not enforced
+  * (expireSnapshots keeps anything a ref points to). */
+final case class SnapshotRef(
+    name: String,
+    snapshotId: Long,
+    refType: String, // "branch" | "tag"
+    maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None)
+
 /** Table metadata for one version (`vN.metadata.json`).
   * Field selection mirrors what the reference reads (ice.py:100-163). */
 final case class TableMetadata(
@@ -50,7 +61,8 @@ final case class TableMetadata(
     partitionSpecs: Seq[PartitionSpec],
     currentSnapshotId: Long,
     snapshots: Seq[Snapshot],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    refs: Map[String, SnapshotRef] = Map.empty) {
 
   def snapshotsById: Map[Long, Snapshot] = snapshots.map(s => s.snapshotId -> s).toMap
 
@@ -109,7 +121,18 @@ object TableMetadata {
       currentSnapshotId = optNode("current-snapshot-id").map(_.asLong).getOrElse(-1L),
       snapshots = optNode("snapshots")
         .map(_.elements().asScala.map(parseSnapshot).toSeq).getOrElse(Seq.empty),
-      properties = optNode("properties").map(strMap).getOrElse(Map.empty))
+      properties = optNode("properties").map(strMap).getOrElse(Map.empty),
+      refs = optNode("refs").map { r =>
+        r.properties().asScala.map { e =>
+          val n = e.getValue
+          e.getKey -> SnapshotRef(
+            name = e.getKey,
+            snapshotId = n.get("snapshot-id").asLong,
+            refType = Option(n.get("type")).map(_.asText).getOrElse("branch"),
+            maxRefAgeMs = Option(n.get("max-ref-age-ms")).map(_.asLong),
+            minSnapshotsToKeep = Option(n.get("min-snapshots-to-keep")).map(_.asInt))
+        }.toMap
+      }.getOrElse(Map.empty))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

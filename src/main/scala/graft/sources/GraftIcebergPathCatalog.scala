@@ -66,9 +66,12 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
     * version number (same contract as the REST catalog). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = IcebergTable.load(spark, dir(ident))
+    // `VERSION AS OF x`: snapshot id, metadata version, or a named
+    // branch/tag ref (Iceberg's SQL surface accepts ref names here)
     val resolved = version.toLongOption match {
       case Some(v) if t.snapshots.contains(v) => t.atSnapshot(v)
       case Some(v) => t.atVersion(v.toInt)
+      case None if t.refs.contains(version) => t.atRef(version)
       case None => throw new IllegalArgumentException(s"bad version: $version")
     }
     new GraftIcebergV2Table(resolved)

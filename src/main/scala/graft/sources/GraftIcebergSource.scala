@@ -114,6 +114,8 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
     Option(options.get("snapshot-id")).foreach(id => table = table.atSnapshot(id.toLong))
     Option(options.get("rel")).foreach(r => table = table.snapshotRelative(r.toInt))
     Option(options.get("as-of-ms")).foreach(ts => table = table.asOfTimestamp(ts.toLong))
+    Option(options.get("branch")).foreach(b => table = table.atBranch(b))
+    Option(options.get("tag")).foreach(t => table = table.atTag(t))
     cached = (options, table)
     table
   }
