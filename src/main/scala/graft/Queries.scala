@@ -353,7 +353,31 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** As-of backward join: each event picks the latest purchase (of the same
+    * user) at or before its time. */
+  def ajAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val left = ev.select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("tus"))
+    // right side: purchases, dedup per (user, µs) keeping max event id —
+    // makes the as-of pick deterministic in both engines at equal times
+    val w = Window.partitionBy(col("user_id"), col("tus"))
+      .orderBy(col("purchase_event_id").desc)
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("value").as("purchase_value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    graft.operators.AsOfJoin.asofBackward(left, right, key = "user_id",
+        leftTime = "tus", rightTime = "tus",
+        rightCols = Seq("purchase_event_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_event_id"), col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+
   val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aj_asof" -> (ajAsof _),
     "q26_cube"             -> (q26Cube _),
     "q24_band_join"        -> (q24BandJoin _),
     "q25_approx_distinct"  -> (q25ApproxDistinct _),
@@ -385,6 +409,16 @@ object Queries {
   /** DuckDB-equivalent SQL for each query above; column names and row order
     * must match the Spark results exactly (driver hashes sorted-by-name cols). */
   val relationalOracle: Map[String, String] = Map(
+    "aj_asof" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+      p0 AS (SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS tus, value
+             FROM events WHERE event_type = 'purchase'),
+      p AS (SELECT * FROM p0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, tus
+                                       ORDER BY purchase_event_id DESC) = 1)
+      SELECT e.event_id, e.user_id, p.purchase_event_id, p.value AS purchase_value
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
+      ORDER BY e.event_id""",
     "q26_cube" -> """
       SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
              COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -1,15 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
 import graft.streaming.EventStreams
 
 /** Event-time operators exposed through the driver contract: the streaming
-  * transforms run here in batch mode (same code path as readStream), plus the
-  * as-of join operator with a DuckDB `ASOF JOIN` oracle. */
+  * transforms run here in batch mode (same code path as readStream). */
 object StreamQueries {
   import Queries.t
 
@@ -23,28 +20,6 @@ object StreamQueries {
   def s2Sessionize(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionize(t(s, dir, "events")).toDF()
       .orderBy("user_id")
-
-  /** As-of backward join: each event picks the latest purchase (of the same
-    * user) at or before its time. */
-  def ajAsof(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val left = ev.select(col("event_id"), col("user_id"),
-      expr("ts div 1000").as("tus"))
-    // right side: purchases, dedup per (user, µs) keeping max event id —
-    // makes the as-of pick deterministic in both engines at equal times
-    val w = Window.partitionBy(col("user_id"), col("tus"))
-      .orderBy(col("purchase_event_id").desc)
-    val right = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_event_id"), col("user_id"),
-        expr("ts div 1000").as("tus"), col("value").as("purchase_value"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    AsOfJoin.asofBackward(left, right, key = "user_id",
-        leftTime = "tus", rightTime = "tus",
-        rightCols = Seq("purchase_event_id", "purchase_value"))
-      .select(col("event_id"), col("user_id"),
-        col("purchase_event_id"), col("purchase_value"))
-      .orderBy("event_id")
-  }
 
   /** Streaming ingestion into an Iceberg table: a real readStream over the
     * events parquet, one append snapshot per micro-batch, exactly-once via
@@ -78,7 +53,6 @@ object StreamQueries {
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_iceberg_sink" -> (s3IcebergSink _),
-    "aj_asof"       -> (ajAsof _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,15 +76,5 @@ object StreamQueries {
         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events
       GROUP BY user_id ORDER BY user_id""",
-    "aj_asof" -> """
-      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
-      p0 AS (SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS tus, value
-             FROM events WHERE event_type = 'purchase'),
-      p AS (SELECT * FROM p0
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, tus
-                                       ORDER BY purchase_event_id DESC) = 1)
-      SELECT e.event_id, e.user_id, p.purchase_event_id, p.value AS purchase_value
-      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tus >= p.tus
-      ORDER BY e.event_id""",
   )
 }

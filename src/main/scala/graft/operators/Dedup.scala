@@ -126,10 +126,12 @@ object Dedup {
     * stays ~linear in corpus size instead of quadratic. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, planes: Int = -1, dims: Int = 64,
-      tables: Int = 4, targetBucket: Long = 64L): DataFrame = {
+      tables: Int = 4, targetBucket: Long = 64L,
+      corpusSize: Long = -1L): DataFrame = {
     import graft.functions.VectorFunctions._
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val p = if (planes > 0) planes else autoPlanes(v.count(), targetBucket)
+    val p = if (planes > 0) planes
+      else autoPlanes(if (corpusSize >= 0) corpusSize else rowCountFor(df), targetBucket)
     val tableBuckets = array((0 until tables).map(tb =>
       struct(lit(tb).as("tbl"),
         lshBucket(col("v"), p, dims, seed = 42L + tb * 7919L).as("bucket"))): _*)
@@ -151,4 +153,13 @@ object Dedup {
     val buckets = math.max(1L, n / math.max(1L, targetBucket))
     math.min(20, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets)))
   }
+
+  /** Corpus size for LSH auto-sizing WITHOUT an extra full pass when the
+    * source publishes statistics: Catalyst's plan-level row count (exact
+    * for graft-iceberg scans, whose manifests carry it) — only an
+    * unknown-cardinality source pays a count() job. Callers that already
+    * know the size pass it explicitly. */
+  private[operators] def rowCountFor(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
 }

@@ -37,9 +37,12 @@ object Similarity {
     * corpus grows — the fixed-64-bucket shape does not survive 100×. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      planes: Int = -1, dims: Int = 64, targetBucket: Long = 64L): DataFrame = {
+      planes: Int = -1, dims: Int = 64, targetBucket: Long = 64L,
+      corpusSize: Long = -1L): DataFrame = {
     val p = if (planes > 0) planes
-      else graft.operators.Dedup.autoPlanes(corpus.count(), targetBucket)
+      else graft.operators.Dedup.autoPlanes(
+        if (corpusSize >= 0) corpusSize
+        else graft.operators.Dedup.rowCountFor(corpus), targetBucket)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), p, dims))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
