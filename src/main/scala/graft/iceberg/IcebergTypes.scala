@@ -33,10 +33,19 @@ object IcebergTypes {
           Option(n.get(name)).exists(_.asBoolean(false))
         while (fields.hasNext) {
           val f = fields.next()
+          // nested fields carry their Iceberg ids too: id-based parquet
+          // resolution (and id stamping on write) then works at EVERY
+          // nesting level, so renames inside structs never null data
+          val md = Option(f.get("id")).map(id =>
+            new MetadataBuilder()
+              .putLong("iceberg.field-id", id.asLong)
+              .putLong("parquet.field.id", id.asLong)
+              .build()).getOrElse(Metadata.empty)
           buf += StructField(
             f.get("name").asText,
             toSparkType(f.get("type")),
-            nullable = !flag(f, "required"))
+            nullable = !flag(f, "required"),
+            metadata = md)
         }
         StructType(buf.toArray)
       case "list" =>

@@ -63,8 +63,8 @@ object IcebergWriter {
     meta.put("table-uuid", UUID.randomUUID().toString)
     meta.put("location", url)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    meta.put("last-column-id", schema.fields.length)
-    val schemaNode = schemaToNode(schema)
+    val (schemaNode, lastColumnId) = schemaToNode(schema)
+    meta.put("last-column-id", lastColumnId)
     meta.set[ObjectNode]("schema", schemaNode)
     meta.put("current-schema-id", 0)
     meta.set[ArrayNode]("schemas", mapper.createArrayNode().add(schemaNode))
@@ -72,8 +72,16 @@ object IcebergWriter {
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
     val specFields = mapper.createArrayNode()
+    // nested types consume ids too: resolve partition sources by NAME from
+    // the generated schema, not by positional index
+    val topIds: Map[String, Int] = {
+      val fs = schemaNode.withArray[ArrayNode]("fields")
+      (0 until fs.size).map(i =>
+        fs.get(i).get("name").asText -> fs.get(i).get("id").asInt).toMap
+    }
     partitions.zipWithIndex.foreach { case ((src, transform), i) =>
-      val sourceId = schema.fieldIndex(src) + 1
+      val sourceId = topIds.getOrElse(src,
+        throw new IllegalArgumentException(s"no partition source column $src"))
       val fn = mapper.createObjectNode()
       fn.put("name", partitionFieldName(src, transform))
       fn.put("transform", transform)
@@ -99,21 +107,61 @@ object IcebergWriter {
     writeString(s"$url/metadata/version-hint.text", "1", conf)
   }
 
-  private def schemaToNode(schema: StructType): ObjectNode = {
+  /** Spark schema → Iceberg schema JSON with fresh field ids assigned in
+    * PRE-ORDER (a struct's id, then its children) — unique across every
+    * nesting level, like Iceberg's own TypeUtil.assignFreshIds. Returns the
+    * node and the last id used (→ `last-column-id`). */
+  private def schemaToNode(schema: StructType): (ObjectNode, Int) = {
+    var next = 0
+    def nid(): Int = { next += 1; next }
+    def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
+      case st: StructType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "struct")
+        val fs = mapper.createArrayNode()
+        st.fields.foreach { f =>
+          val fn = mapper.createObjectNode()
+          fn.put("id", nid())
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[com.fasterxml.jackson.databind.JsonNode]("type", typeNode(f.dataType))
+          fs.add(fn)
+        }
+        n.set[ArrayNode]("fields", fs)
+        n
+      case ArrayType(et, containsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", nid())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("element", typeNode(et))
+        n.put("element-required", !containsNull)
+        n
+      case MapType(kt, vt, valueContainsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", nid())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("key", typeNode(kt))
+        n.put("value-id", nid())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("value", typeNode(vt))
+        n.put("value-required", !valueContainsNull)
+        n
+      case other =>
+        com.fasterxml.jackson.databind.node.TextNode.valueOf(sparkToIcebergType(other))
+    }
     val node = mapper.createObjectNode()
     node.put("type", "struct")
     node.put("schema-id", 0)
     val fields = mapper.createArrayNode()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.foreach { f =>
       val fn = mapper.createObjectNode()
-      fn.put("id", i + 1)
+      fn.put("id", nid())
       fn.put("name", f.name)
       fn.put("required", !f.nullable)
-      fn.put("type", sparkToIcebergType(f.dataType))
+      fn.set[com.fasterxml.jackson.databind.JsonNode]("type", typeNode(f.dataType))
       fields.add(fn)
     }
     node.set[ArrayNode]("fields", fields)
-    node
+    (node, next)
   }
 
   def partitionFieldName(src: String, transform: String): String = transform match {
@@ -241,7 +289,15 @@ object IcebergWriter {
     val base = df.select(schema.fields.map { f =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", f.id.toLong).build()
-      col(f.name).as(f.name, md)
+      // nested types: cast to the table's Spark type, whose inner fields
+      // carry their Iceberg ids — the parquet writer then stamps ids at
+      // EVERY level, so nested renames resolve by id like top-level ones
+      val target = IcebergTypes.toSparkType(f.typeNode)
+      val c = target match {
+        case _: StructType | _: ArrayType | _: MapType => col(f.name).cast(target)
+        case _ => col(f.name)
+      }
+      c.as(f.name, md)
     }: _*)
     val withParts = specInfo.foldLeft(base) { case (d, (pf, srcType, _)) =>
       val srcName = schema.fields.find(_.id == pf.sourceId).get.name
@@ -449,34 +505,76 @@ object IcebergWriter {
   def addColumn(spark: SparkSession, url: String, name: String,
       icebergType: String, required: Boolean = false): Unit =
     evolveSchema(spark, url) { (fields, lastColumnId) =>
-      require(!fields.exists(_.get("name").asText == name), s"column $name exists")
+      val parts = name.split('.').toSeq
       val f = mapper.createObjectNode()
       f.put("id", lastColumnId + 1)
-      f.put("name", name)
+      f.put("name", parts.last)
       f.put("required", required)
       f.put("type", icebergType)
-      (fields :+ f, lastColumnId + 1)
+      (mutateStructPath(fields, parts.init, name) { leaf =>
+        require(!leaf.exists(_.get("name").asText == parts.last), s"column $name exists")
+        leaf :+ f
+      }, lastColumnId + 1)
     }
 
   /** Rename a column (metadata-only). The field id is unchanged, so data
-    * written under the old name resolves by id — no rewrite, no nulls. */
+    * written under the old name resolves by id — no rewrite, no nulls.
+    * `from` may be a dotted path into nested structs; `to` is the new LEAF
+    * name. */
   def renameColumn(spark: SparkSession, url: String, from: String, to: String): Unit =
     evolveSchema(spark, url) { (fields, lastColumnId) =>
-      require(fields.exists(_.get("name").asText == from), s"no column $from")
-      require(!fields.exists(_.get("name").asText == to), s"column $to exists")
-      (fields.map { f =>
-        if (f.get("name").asText == from) { val c = f.deepCopy(); c.put("name", to); c }
-        else f
+      val parts = from.split('.').toSeq
+      (mutateStructPath(fields, parts.init, from) { leaf =>
+        require(leaf.exists(_.get("name").asText == parts.last), s"no column $from")
+        require(!leaf.exists(_.get("name").asText == to), s"column $to exists")
+        leaf.map { f =>
+          if (f.get("name").asText == parts.last) { val c = f.deepCopy(); c.put("name", to); c }
+          else f
+        }
       }, lastColumnId)
     }
 
   /** Drop a column (metadata-only; files keep the bytes, readers stop
-    * projecting them; time travel to older snapshots still sees it). */
+    * projecting them; time travel to older snapshots still sees it). Dotted
+    * paths drop inside nested structs. */
   def dropColumn(spark: SparkSession, url: String, name: String): Unit =
     evolveSchema(spark, url) { (fields, lastColumnId) =>
-      require(fields.exists(_.get("name").asText == name), s"no column $name")
-      (fields.filterNot(_.get("name").asText == name), lastColumnId)
+      val parts = name.split('.').toSeq
+      (mutateStructPath(fields, parts.init, name) { leaf =>
+        require(leaf.exists(_.get("name").asText == parts.last), s"no column $name")
+        leaf.filterNot(_.get("name").asText == parts.last)
+      }, lastColumnId)
     }
+
+  /** Apply `op` to the field list at the end of `parents` — a dotted path of
+    * STRUCT columns (empty = top level). Fields along the path are deep-
+    * copied, so the original schema nodes (older schema versions share them)
+    * are never mutated. The reference rejects nested types outright
+    * (conversions.py:46); this evolves inside them. */
+  private def mutateStructPath(fields: Seq[ObjectNode], parents: Seq[String],
+      fullName: String)(op: Seq[ObjectNode] => Seq[ObjectNode]): Seq[ObjectNode] = {
+    if (parents.isEmpty) op(fields)
+    else {
+      require(fields.exists(_.get("name").asText == parents.head),
+        s"no struct column ${parents.head} on path $fullName")
+      fields.map { f =>
+        if (f.get("name").asText != parents.head) f
+        else {
+          val c = f.deepCopy()
+          val t = c.get("type")
+          require(t != null && t.isObject && t.get("type").asText == "struct",
+            s"column ${parents.head} on path $fullName is not a struct")
+          val inner = t.asInstanceOf[ObjectNode].withArray[ArrayNode]("fields")
+          val innerFields = (0 until inner.size)
+            .map(i => inner.get(i).asInstanceOf[ObjectNode])
+          val newInner = mutateStructPath(innerFields, parents.tail, fullName)(op)
+          inner.removeAll()
+          newInner.foreach(inner.add)
+          c
+        }
+      }
+    }
+  }
 
   /** Commit a new schema version: append to `schemas` with a fresh
     * schema-id, flip current-schema-id — snapshots are untouched, so time
