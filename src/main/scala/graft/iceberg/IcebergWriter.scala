@@ -329,6 +329,42 @@ object IcebergWriter {
       (st.getPath.toUri.getPath, st.getLen, stats, partValues)
     }
 
+    commitDataFiles(spark, url, commitId, dataFiles, deletePred, operation,
+      pinnedDeletes, dropDeleteManifests, pinnedDeleteFiles, extraSummary,
+      extraManifests, posDeleteRows, presetSnapshotId)
+  }
+
+  /** Publish already-written data files as one snapshot — the shared commit
+    * core under both write paths: [[writeSnapshot]] (driver-dispatched
+    * DataFrame write) and the native DataSourceV2 BatchWrite (executor
+    * DataWriters stream rows straight into parquet, the driver commits the
+    * reported files). Steps 3-5 run inside the optimistic commit loop:
+    * delete resolution, the manifest, the manifest list, and the metadata
+    * json all depend on the table state CURRENT at publish time, so each
+    * attempt rebuilds them. */
+  private[graft] def commitDataFiles(spark: SparkSession, url: String,
+      commitId: String,
+      dataFiles: Seq[(String, Long, FileStats, Seq[Any])],
+      deletePred: Option[Pruning.IcePredicate], operation: String,
+      pinnedDeletes: Option[Seq[Manifests.DataFileInfo]] = None,
+      dropDeleteManifests: Boolean = false,
+      pinnedDeleteFiles: Option[Set[String]] = None,
+      extraSummary: Map[String, String] = Map.empty,
+      extraManifests: Seq[NewManifestInfo] = Nil,
+      posDeleteRows: Long = 0L,
+      presetSnapshotId: Option[Long] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table0 = IcebergTable.load(spark, url)
+    val schema = table0.metadata.schemas
+      .find(_.schemaId == table0.metadata.currentSchemaId)
+      .getOrElse(throw new IllegalStateException("no current schema"))
+    val spec = table0.partitionSpec
+    val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+      val src = schema.fields.find(_.id == pf.sourceId)
+        .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+      val valueType = partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform))
+      (pf, src.icebergTypeString, valueType)
+    }
     // 3-5 run inside the optimistic commit loop: delete resolution, the
     // manifest, the manifest list, and the metadata json all depend on the
     // table state CURRENT at publish time, so each attempt rebuilds them
@@ -746,10 +782,13 @@ object IcebergWriter {
         f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
       table.partitionSpec)
     val live = table.liveFiles()
-    val fully = live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
-    val candidates = live.filter(f =>
-      Pruning.fileMightMatch(pred, f, ctx) &&
-        Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+    val (fully, candidates) =
+      if (pred == Pruning.AlwaysTrue) (live, Nil) // delete everything, whole files
+      else (
+        live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx)),
+        live.filter(f =>
+          Pruning.fileMightMatch(pred, f, ctx) &&
+            Pruning.fileMightMatch(Pruning.negate(pred), f, ctx)))
     if (fully.isEmpty && candidates.isEmpty) return
 
     val commitId = UUID.randomUUID().toString
@@ -898,6 +937,44 @@ object IcebergWriter {
     }
   }
 
+  /** DYNAMIC partition overwrite: replace exactly the partitions the
+    * incoming data touches, keep every other partition — Hive/Spark
+    * `partitionOverwriteMode=dynamic` semantics on Iceberg metadata. The
+    * touched partition tuples come from one small distinct over the
+    * incoming data's TRANSFORMED partition values (physical repr, matching
+    * manifest partition values), so victim selection is metadata-only and
+    * whole-file by construction: partition boundaries align with files. */
+  def overwriteDynamic(spark: SparkSession, url: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val table = IcebergTable.load(spark, url)
+    val spec = table.partitionSpec
+    // unpartitioned table: dynamic degenerates to full replace (Hive/Spark
+    // dynamic-mode semantics)
+    if (spec.fields.isEmpty) { overwrite(spark, url, df); return }
+    if (table.metadata.currentSnapshotId < 0) { append(spark, url, df); return }
+    val schema = table.iceSchema
+    val partCols = spec.fields.map { pf =>
+      val src = schema.fields.find(_.id == pf.sourceId)
+        .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+      partitionColumn(src.icebergTypeString, Transforms.parse(pf.transform))(col(src.name))
+        .as(pf.name)
+    }
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => other
+    }
+    val touched: Set[Seq[Any]] = df.select(partCols: _*).distinct().collect()
+      .map(r => spec.fields.indices.map(i => norm(r.get(i))): Seq[Any]).toSet
+    val victims = table.liveFiles().filter { f =>
+      touched.contains(spec.fields.map(pf => norm(f.partition.getOrElse(pf.name, null))))
+    }
+    writeSnapshot(spark, url, df, deletePred = None, operation = "overwrite",
+      pinnedDeletes = Some(victims),
+      extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
+  }
+
   /** Keep `refs.main` tracking the current snapshot on every commit, like
     * Iceberg's own writers (the golden fixture's v5 metadata has it). */
   private def setMainRef(old: ObjectNode, snapshotId: Long): Unit = {
@@ -1030,12 +1107,12 @@ object IcebergWriter {
     * commit in the SAME snapshot as the delete, so sequence scoping keeps
     * the new rows alive. */
   def upsert(spark: SparkSession, url: String, source: DataFrame,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String], extraSummary: Map[String, String] = Map.empty): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val table = IcebergTable.load(spark, url)
     if (table.metadata.currentSnapshotId < 0 || table.liveFiles().isEmpty) {
-      append(spark, url, source); return
+      append(spark, url, source, extraSummary); return
     }
     val schema = table.iceSchema
     keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))
@@ -1050,7 +1127,7 @@ object IcebergWriter {
     val (manifest, nKeys) = writeEqualityDeletes(spark, url, table, commitId,
       snapshotId, source, keyCols, specInfo, conf)
     writeSnapshot(spark, url, source, deletePred = None, operation = "overwrite",
-      extraSummary = Map(
+      extraSummary = extraSummary ++ Map(
         "graft-upsert-keys" -> keyCols.mkString(","),
         "added-equality-deletes" -> nKeys.toString),
       extraManifests = manifest.toSeq,
@@ -1237,7 +1314,7 @@ object IcebergWriter {
     * on the driver; larger ones fan the reads out over the cluster so commit
     * latency stays flat as file count grows (the round-1 driver loop
     * serialized on thousands of footers at scale). */
-  private[iceberg] def collectStats(spark: SparkSession,
+  private[graft] def collectStats(spark: SparkSession,
       files: Seq[(String, Long)], schema: IceSchema,
       conf: Configuration): Map[String, FileStats] = {
     if (files.size <= DistributedStatsThreshold) {

@@ -379,4 +379,25 @@ object Pruning {
       case _ => None
     }
   }
+
+  /** EXACT filter conversion: None unless the whole filter translates with
+    * identical semantics. [[fromSparkFilter]] may WIDEN (drop an
+    * unconvertible And-conjunct) — sound for pruning, but a DELETE planned
+    * from a widened predicate would remove rows the user never asked to
+    * delete. Row-selecting operations must use this one. */
+  def fromSparkFilterExact(f: org.apache.spark.sql.sources.Filter): Option[IcePredicate] = {
+    import org.apache.spark.sql.sources
+    f match {
+      case _: sources.AlwaysTrue => Some(AlwaysTrue)
+      case sources.And(l, r) =>
+        for { a <- fromSparkFilterExact(l); b <- fromSparkFilterExact(r) } yield And(a, b)
+      case sources.Or(l, r) =>
+        for { a <- fromSparkFilterExact(l); b <- fromSparkFilterExact(r) } yield Or(a, b)
+      case other => fromSparkFilter(other) match {
+        // the single-node cases in fromSparkFilter are all exact
+        case s @ Some(_) if !other.isInstanceOf[sources.And] => s
+        case _ => None
+      }
+    }
+  }
 }

@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.graftbridge.WriteBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.iceberg.{IcebergTable, IcebergWriter, Pruning, Transforms}
+
+/** How a [[GraftBatchWrite]] commits its files. */
+private[sources] sealed trait WriteMode extends Serializable
+private[sources] object WriteMode {
+  case object Append extends WriteMode
+  /** Replace rows matching the predicate (AlwaysTrue = truncate). */
+  final case class OverwriteByFilter(pred: Pruning.IcePredicate) extends WriteMode
+  /** Replace exactly the partitions the written data touches. */
+  case object OverwriteDynamic extends WriteMode
+}
+
+/** The NATIVE DataSourceV2 write: executor DataWriters stream InternalRows
+  * straight into parquet (one open writer per partition value per task,
+  * Iceberg field ids stamped at every level, transform evaluation via the
+  * shared [[Transforms]] kernels), and the driver commits the reported
+  * files through the same optimistic snapshot machinery as every other
+  * write. Nothing is re-dispatched through a DataFrame on the driver — the
+  * shape a 1000-executor cluster needs.
+  *
+  * Commit cost: one footer-stats harvest (distributed for large commits) +
+  * one metadata publish, independent of row count. */
+final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
+    querySchema: StructType) extends BatchWrite {
+
+  private val commitId = UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = table.spark
+    val ice = table.iceSchema
+    // write in TABLE schema order/types (ids at every nesting level); the
+    // query schema is already resolved positionally against it
+    require(querySchema.length == table.schema.length,
+      s"query writes ${querySchema.length} columns, table has ${table.schema.length}")
+    val spec = table.partitionSpec
+    val partInfo: Seq[GraftBatchWrite.PartField] = spec.fields.map { pf =>
+      val src = ice.fields.find(_.id == pf.sourceId)
+        .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+      val ordinal = ice.fields.indexWhere(_.id == pf.sourceId)
+      GraftBatchWrite.PartField(pf.name, pf.transform, ordinal,
+        src.icebergTypeString, table.schema.fields(ordinal).dataType)
+    }
+    new GraftWriterFactory(table.url, commitId, table.schema, partInfo,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files: Seq[(String, Long, Seq[Any])] = messages.toSeq.flatMap {
+      case m: GraftCommitMessage => m.files
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val statsByPath = IcebergWriter.collectStats(spark,
+      files.map(f => (f._1, f._2)), table.iceSchema, conf)
+    val dataFiles = files.map { case (p, len, partValues) =>
+      (new Path(p).toUri.getPath, len, statsByPath(p), partValues)
+    }
+    mode match {
+      case WriteMode.Append =>
+        IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
+          deletePred = None, operation = "append")
+      case WriteMode.OverwriteByFilter(pred) =>
+        IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
+          deletePred = Some(pred), operation = "overwrite")
+      case WriteMode.OverwriteDynamic =>
+        // victims: live files whose partition tuple appears among the
+        // WRITTEN files' tuples — metadata-only, whole-file by construction
+        val touched = dataFiles.map(f => f._4.map(GraftBatchWrite.norm)).toSet
+        val t = IcebergTable.load(spark, table.url)
+        val spec = t.partitionSpec
+        val victims =
+          if (t.metadata.currentSnapshotId < 0) Nil
+          else t.liveFiles().filter { f =>
+            touched.contains(spec.fields.map(pf =>
+              GraftBatchWrite.norm(f.partition.getOrElse(pf.name, null))))
+          }
+        IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
+          deletePred = None, operation = "overwrite",
+          pinnedDeletes = Some(victims),
+          extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    messages.foreach {
+      case m: GraftCommitMessage => m.files.foreach { case (p, _, _) =>
+        val path = new Path(p)
+        try path.getFileSystem(conf).delete(path, false)
+        catch { case _: Exception => () } // best-effort cleanup
+      }
+      case _ => ()
+    }
+  }
+}
+
+object GraftBatchWrite {
+  /** One partition-spec field, pre-resolved for task-side evaluation. */
+  final case class PartField(name: String, transform: String, ordinal: Int,
+      srcIcebergType: String, srcDataType: DataType) extends Serializable
+
+  /** Normalize for tuple comparison across sources: manifest decode widens
+    * Int→Long, task-side eval may produce either. */
+  private[sources] def norm(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l.longValue()
+    case other => other
+  }
+}
+
+/** Files written by one task: (path, bytes, partition values). */
+final case class GraftCommitMessage(files: Seq[(String, Long, Seq[Any])])
+  extends WriterCommitMessage
+
+private final class GraftWriterFactory(url: String, commitId: String,
+    schema: StructType, partInfo: Seq[GraftBatchWrite.PartField],
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(url, commitId, schema, partInfo, conf, partitionId, taskId)
+}
+
+/** Streams rows into parquet, fanning out one open file per partition
+  * value (clustering upstream keeps the fan-in small — Spark's dynamic
+  * overwrite plan repartitions by partition expressions). Partition values
+  * are computed per row with the SAME [[Transforms]] kernels the metadata
+  * plane prunes with, so write and prune semantics can never diverge. */
+private final class GraftDataWriter(url: String, commitId: String,
+    schema: StructType, partInfo: Seq[GraftBatchWrite.PartField],
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val transforms = partInfo.map(p => Transforms.parse(p.transform))
+  private val writers =
+    mutable.LinkedHashMap.empty[Seq[Any], org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  private val paths = mutable.LinkedHashMap.empty[Seq[Any], Path]
+  private var fileCounter = 0
+
+  /** Catalyst internal value → the Iceberg value domain the [[Transforms]]
+    * kernels evaluate over (Long-widened integrals, JVM strings; date stays
+    * epoch-day, timestamp stays epoch-micros — already the physical repr). */
+  private def iceValue(row: InternalRow, p: GraftBatchWrite.PartField): Any =
+    if (row.isNullAt(p.ordinal)) null
+    else row.get(p.ordinal, p.srcDataType) match {
+      case u: UTF8String => u.toString
+      case i: Int => i.toLong
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => other
+    }
+
+  private def partTuple(row: InternalRow): Seq[Any] =
+    partInfo.zip(transforms).map { case (p, t) =>
+      val v = iceValue(row, p)
+      if (v == null) null
+      else t.apply(v, p.srcIcebergType).getOrElse(
+        throw new UnsupportedOperationException(
+          s"transform ${p.transform} cannot evaluate ${p.srcIcebergType}"))
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (partInfo.isEmpty) Nil else partTuple(row)
+    val w = writers.getOrElseUpdate(key, {
+      val path = new Path(
+        s"$url/data/$commitId/part-$partitionId-$taskId-$fileCounter.parquet")
+      fileCounter += 1
+      paths(key) = path
+      WriteBridge.parquetRowWriter(path, schema, conf.value)
+    })
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = writers.toSeq.map { case (key, w) =>
+      w.close()
+      val p = paths(key)
+      val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
+      (p.toString, len, key)
+    }
+    GraftCommitMessage(files)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => try w.close() catch { case _: Exception => () })
+    paths.values.foreach { p =>
+      try p.getFileSystem(conf.value).delete(p, false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit = ()
+}

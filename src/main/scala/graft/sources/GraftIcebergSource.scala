@@ -142,15 +142,30 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
 }
 
 final class GraftIcebergV2Table(val table: IcebergTable) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM cat.db.t WHERE …`: whole files whose statistics
+    * prove every row matches drop as v1 DELETED entries; split files get
+    * v2 position deletes (merge-on-read) — the same row-level machinery as
+    * [[IcebergWriter.deleteRows]]. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => Pruning.fromSparkFilterExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(Pruning.fromSparkFilterExact)
+      .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
+    IcebergWriter.deleteRows(SparkSession.active, table.url, pred)
+  }
 
   override def name(): String = s"graft-iceberg ${table.url}"
 
   override def schema(): StructType = table.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** The Iceberg partition spec as Spark V2 transforms — lets the analyzer
     * accept `INSERT OVERWRITE t PARTITION (col=...)` and SHOW the layout. */
@@ -184,52 +199,69 @@ final class GraftIcebergV2Table(val table: IcebergTable) extends Table
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftIcebergWriteBuilder(table)
+    new GraftIcebergWriteBuilder(table, partitioning(), info.schema())
 }
 
-/** SQL/DataFrame V2 write path: `INSERT INTO cat.db.t`, `INSERT OVERWRITE`,
-  * and `df.writeTo("cat.db.t").append()/overwrite(...)` all land here and
-  * reuse the full [[IcebergWriter]] commit machinery (executor-side stats
-  * harvest, hidden partitioning, optimistic commit loop) through Spark's
-  * V1 write bridge — the writer is already a whole-DataFrame committer, so
-  * the per-task BatchWrite protocol would only duplicate it.
+/** SQL/DataFrame V2 write path: `INSERT INTO cat.db.t`, `INSERT OVERWRITE`
+  * (truncate, static-partition filter, or dynamic), and
+  * `df.writeTo("cat.db.t")` all land on the NATIVE [[GraftBatchWrite]]:
+  * executor DataWriters stream rows straight into parquet; the driver only
+  * commits the reported files. The write declares a CLUSTERED distribution
+  * on the table's partition transforms, so Spark shuffles rows to
+  * co-locate partition values before writing — bounded open-writer fan-out
+  * per task and no small-files explosion, the same clustering the
+  * DataFrame write path applies via repartition.
   *
-  * Overwrite filters translate to the same whole-file predicate contract
-  * as [[IcebergWriter.overwrite]]: predicates that would split a file
-  * raise rather than silently rewriting rows. */
-final class GraftIcebergWriteBuilder(table: IcebergTable)
+  * Overwrite filters translate EXACTLY or refuse (a widened predicate
+  * would replace rows the user never named); predicates that would split a
+  * file raise rather than silently rewriting rows. */
+final class GraftIcebergWriteBuilder(table: IcebergTable,
+    partitionTransforms: Array[Transform], querySchema: StructType)
   extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  // None = append; Some(pred) = replace the rows matching pred
-  private var overwritePred: Option[Pruning.IcePredicate] = None
+  private var mode: WriteMode = WriteMode.Append
 
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-    overwritePred = Some(Pruning.AlwaysTrue)
+    mode = WriteMode.OverwriteByFilter(Pruning.AlwaysTrue)
+    this
+  }
+
+  override def overwriteDynamicPartitions():
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = WriteMode.OverwriteDynamic
     this
   }
 
   override def overwrite(filters: Array[Filter]):
       org.apache.spark.sql.connector.write.WriteBuilder = {
-    val preds = filters.map(f => Pruning.fromSparkFilter(f).getOrElse(
+    val preds = filters.map(f => Pruning.fromSparkFilterExact(f).getOrElse(
       throw new UnsupportedOperationException(
         s"overwrite filter not expressible as an Iceberg predicate: $f")))
-    overwritePred = Some(preds.reduceOption(Pruning.And.apply)
+    mode = WriteMode.OverwriteByFilter(preds.reduceOption(Pruning.And.apply)
       .getOrElse(Pruning.AlwaysTrue))
     this
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.V1Write {
-      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-        new org.apache.spark.sql.sources.InsertableRelation {
-          override def insert(data: DataFrame, overwrite: Boolean): Unit =
-            overwritePred match {
-              case Some(pred) => IcebergWriter.overwrite(data.sparkSession, table.url, data, pred)
-              case None => IcebergWriter.append(data.sparkSession, table.url, data)
-            }
-        }
+    new org.apache.spark.sql.connector.write.Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+      override def requiredDistribution():
+          org.apache.spark.sql.connector.distributions.Distribution =
+        if (partitionTransforms.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          partitionTransforms
+            .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+
+      override def requiredOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftBatchWrite(table, mode, querySchema)
     }
 }
 

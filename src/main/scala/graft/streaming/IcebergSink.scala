@@ -44,4 +44,30 @@ object IcebergSink {
       .trigger(trigger)
       .foreachBatch((batch: DataFrame, batchId: Long) => appendBatch(url, batch, batchId))
       .start()
+
+  /** UPSERT each micro-batch keyed on `keyCols` (streaming CDC into
+    * Iceberg): existing rows with a batch key are superseded via v2
+    * EQUALITY deletes and the batch appends — one snapshot per batch, no
+    * data file read or rewritten, same idempotent batch-id replay guard as
+    * the append sink. Compact periodically to fold the deletes. */
+  def upsertBatch(url: String, batch: DataFrame, batchId: Long,
+      keyCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val last = lastCommittedBatch(url, spark)
+    if (last.forall(batchId > _))
+      IcebergWriter.upsert(spark, url, batch, keyCols,
+        Map(BatchIdProp -> batchId.toString))
+  }
+
+  /** Start a streaming CDC upsert into the table at `url`. */
+  def startUpsert(df: DataFrame, url: String, checkpointLocation: String,
+      keyCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        upsertBatch(url, batch, batchId, keyCols))
+      .start()
 }

@@ -73,11 +73,23 @@ class PathCatalogSpec extends AnyFunSuite {
       // DataFrameWriterV2
       Seq((10L, "y")).toDF("k", "cat").writeTo(s"$cat.db.w").append()
       assert(spark.table(s"$cat.db.w").count() == 2)
-      // dynamic partition overwrite is not declared — must refuse, not corrupt
-      intercept[Exception] {
-        Seq((11L, "x")).toDF("k", "cat").writeTo(s"$cat.db.w").overwritePartitions()
-      }
-      assert(spark.table(s"$cat.db.w").count() == 2)
+      // dynamic overwrite on an unpartitioned table = full replace
+      Seq((11L, "x")).toDF("k", "cat").writeTo(s"$cat.db.w").overwritePartitions()
+      assert(spark.table(s"$cat.db.w").as[(Long, String)].collect().toSeq ==
+        Seq((11L, "x")))
+    }
+  }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.dyn (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+      spark.sql(s"INSERT INTO $cat.db.dyn VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      // batch touches partitions a and b; c must survive untouched
+      Seq((10L, "a"), (11L, "b")).toDF("k", "cat")
+        .writeTo(s"$cat.db.dyn").overwritePartitions()
+      assert(spark.sql(s"SELECT * FROM $cat.db.dyn ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((3L, "c"), (10L, "a"), (11L, "b")))
     }
   }
 
@@ -90,6 +102,24 @@ class PathCatalogSpec extends AnyFunSuite {
       spark.sql(s"INSERT OVERWRITE $cat.db.p PARTITION (cat='a') VALUES (7)")
       assert(spark.sql(s"SELECT * FROM $cat.db.p ORDER BY k").as[(Long, String)]
         .collect().toSeq == Seq((3L, "b"), (7L, "a")))
+    }
+  }
+
+  test("SQL DELETE FROM: whole files drop, split files delete by position") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.d (k BIGINT, cat STRING)")
+      spark.sql(s"INSERT INTO $cat.db.d SELECT id, 'x' FROM range(1, 101)")
+      // splits the single data file → position deletes
+      spark.sql(s"DELETE FROM $cat.db.d WHERE k >= 40 AND k < 60")
+      assert(spark.table(s"$cat.db.d").count() == 80)
+      assert(spark.sql(s"SELECT MIN(k) AS lo, MAX(k) AS hi FROM $cat.db.d WHERE k BETWEEN 30 AND 70")
+        .as[(Long, Long)].head() == ((30L, 70L)))
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val ice = graft.iceberg.IcebergTable.load(spark, s"$wh/db/d")
+      assert(ice.positionDeleteFiles.nonEmpty)
+      // whole-table delete drops everything without row scans
+      spark.sql(s"DELETE FROM $cat.db.d")
+      assert(spark.table(s"$cat.db.d").count() == 0)
     }
   }
 

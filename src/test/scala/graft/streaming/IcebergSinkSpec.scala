@@ -59,6 +59,38 @@ class IcebergSinkSpec extends AnyFunSuite {
     assert(t3.read().count() == 4)
   }
 
+  test("streaming CDC upsert: later batches supersede earlier keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val srcDir = s"$dir/src"
+    val url = s"$dir/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    IcebergWriter.createTable(spark, url, schema)
+
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q = IcebergSink.startUpsert(
+      spark.readStream.schema(schema).parquet(srcDir), url, s"$dir/ckpt", Seq("id"))
+    try q.processAllAvailable() finally q.stop()
+
+    // a second batch updates id=2 and inserts id=3
+    Seq((2L, "v2"), (3L, "v2")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q2 = IcebergSink.startUpsert(
+      spark.readStream.schema(schema).parquet(srcDir), url, s"$dir/ckpt", Seq("id"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val t = IcebergTable.load(spark, url)
+    val got = t.read().as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "v1"), (2L, "v2"), (3L, "v2")))
+    // CDC commits are O(batch): no data file was rewritten
+    assert(t.equalityDeleteFiles.nonEmpty)
+    // compaction folds the CDC deletes back to plain scans
+    graft.iceberg.Maintenance.compact(spark, url, targetFiles = Some(1))
+    val tc = IcebergTable.load(spark, url)
+    assert(tc.liveDeleteFiles.isEmpty)
+    assert(tc.read().as[(Long, String)].collect().sortBy(_._1).toSeq == got)
+  }
+
   test("replayed batch id is skipped (exactly-once)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     val url = s"$dir/tbl"
