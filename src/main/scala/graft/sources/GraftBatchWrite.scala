@@ -23,6 +23,12 @@ private[sources] object WriteMode {
   final case class OverwriteByFilter(pred: Pruning.IcePredicate) extends WriteMode
   /** Replace exactly the partitions the written data touches. */
   case object OverwriteDynamic extends WriteMode
+  /** Copy-on-write row-level op: replace exactly the files the operation's
+    * scan covered (resolved lazily — the scan plans after the write builds).
+    * `operation` names the snapshot ("delete"/"overwrite"). Driver-only. */
+  final case class ReplaceFiles(
+      files: () => Seq[graft.iceberg.Manifests.DataFileInfo],
+      operation: String) extends WriteMode
 }
 
 /** The NATIVE DataSourceV2 write: executor DataWriters stream InternalRows
@@ -77,6 +83,10 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
       case WriteMode.OverwriteByFilter(pred) =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = Some(pred), operation = "overwrite")
+      case WriteMode.ReplaceFiles(files, operation) =>
+        IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
+          deletePred = None, operation = operation,
+          pinnedDeletes = Some(files()))
       case WriteMode.OverwriteDynamic =>
         // victims: live files whose partition tuple appears among the
         // WRITTEN files' tuples — metadata-only, whole-file by construction
@@ -172,6 +182,11 @@ private final class GraftDataWriter(url: String, commitId: String,
         throw new UnsupportedOperationException(
           s"transform ${p.transform} cannot evaluate ${p.srcIcebergType}"))
     }
+
+  /** Copy-on-write row-level operations hand (metadata, row) pairs; the
+    * metadata (`_partition` provenance) is not needed to place the row —
+    * partition values are recomputed from the row itself. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
     val key = if (partInfo.isEmpty) Nil else partTuple(row)

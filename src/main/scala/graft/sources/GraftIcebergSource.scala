@@ -143,7 +143,34 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
 
 final class GraftIcebergV2Table(val table: IcebergTable) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_partition`: the row's partition tuple rendered as a string — a
+    * per-file constant the scan materializes without touching data. The
+    * copy-on-write protocol requires at least one metadata attribute
+    * (Spark 4's group-based writing task only applies its row projection
+    * on the metadata path), and partition provenance is the useful one. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_partition"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = true
+    })
+
+  /** SQL UPDATE / MERGE INTO / complex DELETE: Spark's group-based
+    * (copy-on-write) protocol. The operation's scan identifies the
+    * candidate files (metadata-pruned by the pushed condition), Spark
+    * computes the full replacement content of those files, and the write
+    * swaps exactly the scanned files for the new ones in one snapshot.
+    * Simple DELETEs still take the cheaper position-delete path — Spark's
+    * OptimizeMetadataOnlyDeleteFromTable folds back to [[deleteWhere]]
+    * when the condition translates. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command())
 
   /** SQL `DELETE FROM cat.db.t WHERE …`: whole files whose statistics
     * prove every row matches drop as v1 DELETED entries; split files get
@@ -265,12 +292,64 @@ final class GraftIcebergWriteBuilder(table: IcebergTable,
     }
 }
 
+/** One copy-on-write DELETE/UPDATE/MERGE execution: remembers the files its
+  * scan planned so the write replaces exactly what was read. */
+final class GraftRowLevelOperation(tbl: GraftIcebergV2Table,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
+  @volatile private var scanned: Seq[graft.iceberg.Manifests.DataFileInfo] = Nil
+
+  override def command(): Command = cmd
+
+  override def description(): String = s"graft copy-on-write $cmd"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftIcebergScanBuilder(tbl, options, onBuild = s => scanned = s.scanFiles)
+
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_partition"))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+          override def requiredDistribution():
+              org.apache.spark.sql.connector.distributions.Distribution = {
+            val t = tbl.partitioning()
+            if (t.isEmpty)
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+            else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              t.map(x => x: org.apache.spark.sql.connector.expressions.Expression))
+          }
+
+          override def requiredOrdering():
+              Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            val op = if (cmd == Command.DELETE) "delete" else "overwrite"
+            new GraftBatchWrite(tbl.table,
+              WriteMode.ReplaceFiles(() => scanned, op), info.schema())
+          }
+        }
+    }
+}
+
 final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    onBuild: GraftIcebergScan => Unit = _ => ())
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tbl.schema()
+  private var wantPartitionCol: Boolean = false
 
   /** Filters convertible to [[Pruning.IcePredicate]] drive metadata pruning
     * and parquet row-group pushdown; ALL filters are returned as residuals
@@ -282,7 +361,15 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+  override def pruneColumns(required: StructType): Unit = {
+    // the `_partition` METADATA column is materialized by the scan itself
+    // (per-file constant), not read from parquet: split it off
+    wantPartitionCol = required.fieldNames.contains("_partition")
+    if (wantPartitionCol)
+      require(required.fieldNames.last == "_partition",
+        "_partition must be the trailing projected column")
+    requiredSchema = StructType(required.fields.filterNot(_.name == "_partition"))
+  }
 
   override def build(): Scan = {
     val pred = pushed.flatMap(Pruning.fromSparkFilter)
@@ -290,7 +377,10 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
     val files =
       if (pred == Pruning.AlwaysTrue) tbl.allLiveFiles
       else tbl.table.prunedFiles(pred)
-    new GraftIcebergScan(tbl.table, files, requiredSchema, pushed, options)
+    val scan = new GraftIcebergScan(tbl.table, files, requiredSchema, pushed,
+      options, wantPartitionCol)
+    onBuild(scan)
+    scan
   }
 }
 
@@ -302,8 +392,20 @@ final class GraftIcebergScan(
     files: Seq[graft.iceberg.Manifests.DataFileInfo],
     requiredSchema: StructType,
     pushedFilters: Array[Filter],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    includePartitionCol: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+
+  /** The metadata-pruned file list this scan covers — the "groups" a
+    * copy-on-write row-level operation replaces. */
+  def scanFiles: Seq[graft.iceberg.Manifests.DataFileInfo] = files
+
+  /** `_partition` metadata value: the file's partition tuple in spec field
+    * order, rendered `name=value/...` ("" for unpartitioned tables). */
+  private def partitionString(f: graft.iceberg.Manifests.DataFileInfo): String =
+    table.partitionSpec.fields
+      .map(pf => s"${pf.name}=${f.partition.getOrElse(pf.name, null)}")
+      .mkString("/")
 
   /** Snapshot position-delete parquets (Iceberg v2 merge-on-read). When
     * present the scan plans one task per data file, has the parquet reader
@@ -318,7 +420,11 @@ final class GraftIcebergScan(
     table.equalityDeleteFiles
 
   /** Merge-on-read engages for position OR equality deletes. */
-  private def morMode: Boolean = morDeletes.nonEmpty || eqDeleteFiles.nonEmpty
+  /** Merge-on-read machinery engages for position/equality deletes AND for
+    * the `_partition` metadata column (its per-file constant rides the same
+    * per-file partitions + projecting reader). */
+  private def morMode: Boolean =
+    morDeletes.nonEmpty || eqDeleteFiles.nonEmpty || includePartitionCol
 
   /** Key columns the equality deletes need that column pruning removed:
     * appended to the read schema (before the row-index column) and
@@ -436,7 +542,11 @@ final class GraftIcebergScan(
     else GraftIcebergScan.keyedLayout(table, files)
   }
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    if (includePartitionCol)
+      StructType(requiredSchema.fields :+
+        org.apache.spark.sql.types.StructField("_partition", StringType))
+    else requiredSchema
 
   override def toBatch: Batch = this
 
@@ -459,7 +569,8 @@ final class GraftIcebergScan(
       val spark = SparkSession.active
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
         files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,
-          table.sequenceOf(f.snapshotId))),
+          table.sequenceOf(f.snapshotId),
+          if (includePartitionCol) partitionString(f) else null)),
         morDeletesByKey)
     case None => delegate.planInputPartitions()
   }
@@ -468,7 +579,8 @@ final class GraftIcebergScan(
     val inner = delegate.createReaderFactory()
     if (morMode)
       ScanBridge.morReaderFactory(inner, requiredSchema, morReadSchema.length,
-        allDeleteFree = morDeletesByKey.isEmpty && eqGroups.isEmpty,
+        allDeleteFree = morDeletesByKey.isEmpty && eqGroups.isEmpty &&
+          !includePartitionCol,
         eqGroups = eqGroups)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner

@@ -156,6 +156,9 @@ object ScanBridge {
   final class MorFilePartition(
       private[graftbridge] val deleted: Array[Long],
       private[graftbridge] val dataSeq: Int,
+      /** Per-file constant for the `_partition` metadata column (null when
+        * the scan does not project it). */
+      private[graftbridge] val constPart: String,
       private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
@@ -166,10 +169,10 @@ object ScanBridge {
     * per-file delete arrays would be duplicated across split tasks). */
   def morPartitions(
       hadoopConf: Configuration,
-      files: Seq[(String, Long, Int)], // (path, size, commit sequence)
+      files: Seq[(String, Long, Int, String)], // (path, size, commit seq, _partition)
       deletesByKey: Map[String, Array[Long]]): Array[InputPartition] = {
     val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
-    files.zipWithIndex.map { case ((p, len, seq), i) =>
+    files.zipWithIndex.map { case ((p, len, seq, partStr), i) =>
       val raw = new Path(p)
       val fs = fsCache.getOrElseUpdate(
         Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
@@ -179,7 +182,8 @@ object ScanBridge {
           org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
           0, len, Array.empty, 0L, len)))
       new MorFilePartition(
-        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), seq, fp): InputPartition
+        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), seq, partStr, fp)
+        : InputPartition
     }.toArray
   }
 
@@ -244,9 +248,19 @@ object ScanBridge {
       val inner = delegate.createReader(m.underlying)
       // the delegate row is requiredSchema + eq-key columns + row-index
       // (appended in that order); project the extras out — ordinals
-      // 0..n-1 are the required fields
+      // 0..n-1 are the required fields. A requested `_partition` metadata
+      // column is appended as a per-file literal.
+      val exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        requiredSchema.fields.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, f.dataType, f.nullable)
+        }.toSeq ++
+          (if (m.constPart == null) Nil
+           else Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+             org.apache.spark.unsafe.types.UTF8String.fromString(m.constPart),
+             org.apache.spark.sql.types.StringType)))
       val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(requiredSchema)
+        .create(exprs)
       val idxOrdinal = readWidth - 1
 
       def eqDeleted(r: InternalRow): Boolean = {

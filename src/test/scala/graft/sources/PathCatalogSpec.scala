@@ -123,6 +123,33 @@ class PathCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL UPDATE and MERGE INTO run copy-on-write through the V2 table") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.u (k BIGINT, cat STRING)")
+      spark.sql(s"INSERT INTO $cat.db.u SELECT id, 'old' FROM range(1, 11)")
+      spark.sql(s"UPDATE $cat.db.u SET cat = 'upd' WHERE k >= 8")
+      assert(spark.sql(s"SELECT * FROM $cat.db.u ORDER BY k").as[(Long, String)]
+        .collect().toSeq ==
+        (1L to 10L).map(i => (i, if (i >= 8) "upd" else "old")))
+
+      spark.sql(s"CREATE TABLE $cat.db.src (k BIGINT, cat STRING)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES (9, 'merged'), (11, 'merged')")
+      spark.sql(
+        s"""MERGE INTO $cat.db.u t USING $cat.db.src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.sql(s"SELECT * FROM $cat.db.u ORDER BY k").as[(Long, String)]
+        .collect().toSeq ==
+        ((1L to 10L).map(i => (i,
+          if (i == 9) "merged" else if (i >= 8) "upd" else "old")) :+ (11L, "merged")))
+
+      // history: every row-level op is one snapshot
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val ice = graft.iceberg.IcebergTable.load(spark, s"$wh/db/u")
+      assert(ice.summary("operation") == "overwrite")
+    }
+  }
+
   test("year-transform DDL maps to the Iceberg spec name") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.ts (ev TIMESTAMP, v BIGINT) " +
