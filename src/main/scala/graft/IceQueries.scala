@@ -348,6 +348,32 @@ object IceQueries {
       .toDF("rows_at_tag", "rows_at_main", "n_refs", "main_is_current")
   }
 
+  /** SQL row-level DML round-trip: UPDATE and MERGE INTO run Spark's
+    * copy-on-write protocol against the V2 catalog table; DELETE takes the
+    * position-delete path. The DuckDB oracle replays the same dataflow
+    * over the source parquet. */
+  def iceSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqldml").toString
+    val cat = s"dml${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      Queries.t(s, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+          "CAST(n_regionkey AS BIGINT) AS r")
+        .createOrReplaceTempView("g_dml_nation")
+      s.sql(s"CREATE TABLE $cat.db.n (k BIGINT, name STRING, r BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.n SELECT k, name, r FROM g_dml_nation")
+      s.sql(s"UPDATE $cat.db.n SET name = concat('U_', name) WHERE r = 1")
+      s.sql(s"DELETE FROM $cat.db.n WHERE r = 4")
+      s.sql(s"MERGE INTO $cat.db.n t " +
+        "USING (SELECT k + 1000 AS k, name, r FROM g_dml_nation WHERE r = 2) s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"SELECT k, name, r FROM $cat.db.n ORDER BY k")
+    } finally s.catalog.dropTempView("g_dml_nation")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -400,6 +426,7 @@ object IceQueries {
     "ice_sql_insert"       -> (iceSqlInsert _),
     "ice_write_eq_delete"  -> (iceWriteEqDelete _),
     "ice_refs"             -> (iceRefs _),
+    "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
     "ice_sql_source"       -> (iceSqlSource _),
@@ -422,6 +449,22 @@ object IceQueries {
     * VALUES come from relational semantics DuckDB can replay (the literal 0
     * pins the no-shuffle plan shape). */
   val oracle: Map[String, String] = Map(
+    "ice_sql_dml" ->
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         CASE WHEN n_regionkey = 1 THEN 'U_' || n_name ELSE n_name END AS name,
+        |         CAST(n_regionkey AS BIGINT) AS r
+        |  FROM nation WHERE n_regionkey <> 4
+        |), merged AS (
+        |  SELECT k FROM base
+        |  INTERSECT
+        |  SELECT CAST(n_nationkey + 1000 AS BIGINT) FROM nation WHERE n_regionkey = 2
+        |)
+        |SELECT k, name, r FROM base WHERE k NOT IN (SELECT k FROM merged)
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey = 2
+        |ORDER BY k""".stripMargin,
     "ice_refs" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS rows_at_tag,
         |  CAST(COUNT(*) + (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
