@@ -150,6 +150,32 @@ class PathCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("copy-on-write UPDATE composes with live position deletes") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, cat STRING)")
+      // one source partition -> one data file: the UPDATE below must then
+      // rewrite the same file the position deletes target
+      spark.sql(s"INSERT INTO $cat.db.m SELECT id, 'a' FROM range(1, 21, 1, 1)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      // position-delete k in [5,8) first (splits the file)
+      graft.iceberg.IcebergWriter.deleteRows(spark, s"$wh/db/m",
+        graft.iceberg.Pruning.And(
+          graft.iceberg.Pruning.GtEq("k", 5), graft.iceberg.Pruning.Lt("k", 8)))
+      // the rewrite must fold the deletes: deleted rows stay gone,
+      // updated rows change, everything else survives byte-for-byte
+      spark.sql(s"UPDATE $cat.db.m SET cat = 'u' WHERE k >= 15")
+      val got = spark.sql(s"SELECT * FROM $cat.db.m ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(got == ((1L to 4L) ++ (8L to 20L)).map(i =>
+        (i, if (i >= 15) "u" else "a")))
+      // the replaced file's position deletes were folded away, stats exact
+      val ice = graft.iceberg.IcebergTable.load(spark, s"$wh/db/m")
+      assert(ice.positionDeleteFiles.isEmpty,
+        "rewriting a file must retire the deletes that targeted it")
+      assert(ice.countFromStats().contains(17L))
+    }
+  }
+
   test("year-transform DDL maps to the Iceberg spec name") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.ts (ev TIMESTAMP, v BIGINT) " +
