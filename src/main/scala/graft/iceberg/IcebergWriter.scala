@@ -397,18 +397,19 @@ object IcebergWriter {
           fully
       }
 
-      // 3a'. a compaction (dropDeleteManifests) applied the deletes it saw at
-      // PIN time and then drops every delete manifest — a row-level delete
-      // committed after the pin would be silently lost (its rows
-      // resurrected). Detect and refuse, like Iceberg's RewriteFiles
-      // validation; the caller reruns compaction against the new state.
-      if (dropDeleteManifests) {
+      // 3a'. any rewrite that derived its output from PIN-time table state
+      // (compaction, copy-on-write UPDATE/MERGE) must refuse when a
+      // row-level delete committed after the pin: the pinned read never saw
+      // it, so committing would silently resurrect the concurrently-deleted
+      // rows. Same shape as Iceberg's RewriteFiles validation; the caller
+      // reruns against the current snapshot.
+      if (pinnedDeleteFiles.isDefined) {
         val nowDeleteFiles = table.liveDeleteFiles
           .map(f => table.resolvePath(f.filePath)).toSet
-        if (nowDeleteFiles != pinnedDeleteFiles.getOrElse(Set.empty[String]))
+        if (nowDeleteFiles != pinnedDeleteFiles.get)
           throw new java.util.ConcurrentModificationException(
-            "row-level deletes committed during compaction would be dropped; " +
-              "rerun compact against the current snapshot")
+            "row-level deletes committed concurrently would be lost by this " +
+              "rewrite; rerun the operation against the current snapshot")
       }
 
       // 3a''. whole-file deletes may remove data files that live position

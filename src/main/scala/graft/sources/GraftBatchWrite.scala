@@ -24,10 +24,13 @@ private[sources] object WriteMode {
   /** Replace exactly the partitions the written data touches. */
   case object OverwriteDynamic extends WriteMode
   /** Copy-on-write row-level op: replace exactly the files the operation's
-    * scan covered (resolved lazily — the scan plans after the write builds).
+    * scan covered (resolved lazily — the scan plans after the write builds)
+    * and the delete files the scan APPLIED (the commit refuses if that set
+    * changed — a post-pin delete would be resurrected by the rewrite).
     * `operation` names the snapshot ("delete"/"overwrite"). Driver-only. */
   final case class ReplaceFiles(
       files: () => Seq[graft.iceberg.Manifests.DataFileInfo],
+      deleteFilesAtPin: () => Set[String],
       operation: String) extends WriteMode
 }
 
@@ -83,10 +86,11 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
       case WriteMode.OverwriteByFilter(pred) =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = Some(pred), operation = "overwrite")
-      case WriteMode.ReplaceFiles(files, operation) =>
+      case WriteMode.ReplaceFiles(files, deleteFilesAtPin, operation) =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = None, operation = operation,
-          pinnedDeletes = Some(files()))
+          pinnedDeletes = Some(files()),
+          pinnedDeleteFiles = Some(deleteFilesAtPin()))
       case WriteMode.OverwriteDynamic =>
         // victims: live files whose partition tuple appears among the
         // WRITTEN files' tuples — metadata-only, whole-file by construction

@@ -335,8 +335,13 @@ final class GraftRowLevelOperation(tbl: GraftIcebergV2Table,
 
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
             val op = if (cmd == Command.DELETE) "delete" else "overwrite"
+            // the delete files the pinned scan APPLIED: the same table
+            // instance served the reads, so this is its consistent view
             new GraftBatchWrite(tbl.table,
-              WriteMode.ReplaceFiles(() => scanned, op), info.schema())
+              WriteMode.ReplaceFiles(() => scanned,
+                () => tbl.table.liveDeleteFiles
+                  .map(f => tbl.table.resolvePath(f.filePath)).toSet,
+                op), info.schema())
           }
         }
     }

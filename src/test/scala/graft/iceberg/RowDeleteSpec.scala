@@ -190,7 +190,7 @@ class RowDeleteSpec extends AnyFunSuite {
         pinnedDeleteFiles = Some(frozen.positionDeleteFiles
           .map(f => frozen.resolvePath(f.filePath)).toSet))
     }
-    assert(ex.getMessage.contains("rerun compact"))
+    assert(ex.getMessage.contains("rerun the operation"))
     // the table is uncorrupted: the post-pin delete is still applied
     assert(IcebergTable.load(spark, url).read().count() == 80)
   }
