@@ -167,10 +167,11 @@ final class IcebergTable private (
         s"only parquet data files are supported, got ${e.dataFile.fileFormat}") // ice.py:195
       e.status match {
         case Status.Added | Status.Existing =>
-          // committing snapshot: entry-level id, else inherited from the
-          // manifest (Iceberg's snapshot-id inheritance)
-          allFiles(path) = e.dataFile.copy(snapshotId =
-            e.dataFile.snapshotId.orElse(mf.addedSnapshotId))
+          // committing snapshot + data sequence: entry-level, else
+          // inherited from the manifest (Iceberg's inheritance rules)
+          allFiles(path) = e.dataFile.copy(
+            snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
+            dataSequence = mf.sequenceNumber)
         case Status.Deleted => deleted += path
         case other => throw new IllegalStateException(s"invalid manifest status $other")
       }
@@ -213,8 +214,9 @@ final class IcebergTable private (
         val path = rewrite(e.dataFile.filePath)
         e.status match {
           case Status.Added | Status.Existing =>
-            live(path) = e.dataFile.copy(snapshotId =
-              e.dataFile.snapshotId.orElse(mf.addedSnapshotId))
+            live(path) = e.dataFile.copy(
+              snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
+              dataSequence = mf.sequenceNumber)
           case Status.Deleted => dropped += path
           case other => throw new IllegalStateException(s"invalid manifest status $other")
         }
@@ -245,16 +247,24 @@ final class IcebergTable private (
     }.map(_.path).toSet
   }
 
-  /** Linear-history stand-in for the Iceberg data sequence number: a
-    * snapshot's position in the metadata's (append-ordered) snapshot list.
-    * Commit rebasing keeps graft histories linear, so ordering by commit
-    * position matches sequence-number ordering. Unknown snapshots rank
-    * NEWEST, so equality deletes conservatively do not apply to them. */
-  private lazy val snapshotSeq: Map[Long, Int] =
-    metadata.snapshots.zipWithIndex.map { case (s, i) => s.snapshotId -> i }.toMap
+  /** Commit order for sequence-scoped (equality) deletes. Snapshots carry a
+    * PERSISTED `sequence-number` (durable across snapshot expiration);
+    * legacy snapshots without one fall back to list position (correct for
+    * linear histories that never expired). Unknown snapshots rank NEWEST,
+    * so equality deletes conservatively do not apply to them. */
+  private lazy val snapshotSeq: Map[Long, Long] =
+    metadata.snapshots.zipWithIndex.map { case (s, i) =>
+      s.snapshotId -> s.sequenceNumber.getOrElse((i + 1).toLong)
+    }.toMap
 
-  def sequenceOf(snapshotId: Option[Long]): Int =
-    snapshotId.flatMap(snapshotSeq.get).getOrElse(Int.MaxValue)
+  def sequenceOf(snapshotId: Option[Long]): Long =
+    snapshotId.flatMap(snapshotSeq.get).getOrElse(Long.MaxValue)
+
+  /** A file's data sequence: the number INHERITED from its manifest when
+    * present — survives expiration of the snapshot that added it — else
+    * the committing snapshot's sequence. */
+  def dataSequenceOf(f: DataFileInfo): Long =
+    f.dataSequence.getOrElse(sequenceOf(f.snapshotId))
 
   /** Live files surviving BOTH pruning tiers (manifest summaries + file
     * stats/partition values) — the planning entry point for the DSv2 scan. */
@@ -277,11 +287,13 @@ final class IcebergTable private (
     * original-url rewrite) is forwarded as source options. */
   private[graft] def readPred(pred: IcePredicate, columns: Seq[String],
       failOnEmpty: Boolean): DataFrame = {
-    val files = prunedFiles(pred)
-    if (files.isEmpty && failOnEmpty)
+    // the empty-prune raise needs its own manifest walk; plain reads skip
+    // it — the source prunes again anyway (one metadata pass, not two)
+    if (failOnEmpty && prunedFiles(pred).isEmpty)
       throw new IllegalArgumentException("No partitions pass filter(s)") // ice.py:248-249
     val base =
-      if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      if (metadata.currentSnapshotId < 0)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else {
         var reader = spark.read.format("graft-iceberg")
         // version 0 = "loaded from an explicit metadata.json path"; the

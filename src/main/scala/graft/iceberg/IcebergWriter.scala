@@ -450,6 +450,7 @@ object IcebergWriter {
                 !table.equalityDeleteManifestPaths.contains(m.path))
           }
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+      val newSeq = table.metadata.lastSequenceNumber + 1
       val addedRecords = dataFiles.map(_._3.recordCount).sum
       val deletedRecords = deletedFiles.map(_.recordCount).sum
       val summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])] =
@@ -473,7 +474,7 @@ object IcebergWriter {
         NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
           dataFiles.size, addedRecords, deletedFiles.size, deletedRecords,
           summaries) +: (extraManifests ++ deleteRewrite.map(_._1).getOrElse(Nil)),
-        priorManifests, conf)
+        priorManifests, conf, sequenceNumber = newSeq)
 
       // 5. new metadata version
       val old = mapper.readTree(
@@ -489,6 +490,7 @@ object IcebergWriter {
       if (table.metadata.currentSnapshotId >= 0)
         snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
       snap.put("timestamp-ms", now)
+      snap.put("sequence-number", newSeq)
       val summary = mapper.createObjectNode()
       summary.put("operation", operation)
       summary.put("added-data-files", dataFiles.size.toString)
@@ -522,6 +524,7 @@ object IcebergWriter {
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
       old.put("current-snapshot-id", snapshotId)
+      old.put("last-sequence-number", newSeq)
       setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
       val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
@@ -709,13 +712,14 @@ object IcebergWriter {
             m.content == Manifests.ManifestContent.Deletes &&
             !table.equalityDeleteManifestPaths.contains(m.path))
         val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+        val newSeq = table.metadata.lastSequenceNumber + 1
         val deadDeleteRows = deleteRewrite.map(_._2).getOrElse(0L)
         val deletedRecords = fullyMatching.map(_.recordCount).sum - deadDeleteRows
         writeManifestLists(manifestListPath, snapshotId,
           NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
             0, 0L, fullyMatching.size, fullyMatching.map(_.recordCount).sum,
             Nil) +: deleteRewrite.map(_._1).getOrElse(Nil),
-          priorManifests, conf)
+          priorManifests, conf, sequenceNumber = newSeq)
 
         val old = mapper.readTree(
           readString(s"$url/metadata/v${table.version}.metadata.json", conf))
@@ -725,6 +729,7 @@ object IcebergWriter {
         snap.put("snapshot-id", snapshotId)
         snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
         snap.put("timestamp-ms", now)
+        snap.put("sequence-number", newSeq)
         val summary = mapper.createObjectNode()
         summary.put("operation", "delete")
         summary.put("deleted-data-files", fullyMatching.size.toString)
@@ -737,6 +742,7 @@ object IcebergWriter {
         snap.put("schema-id", schema.schemaId)
         old.withArray[ArrayNode]("snapshots").add(snap)
         old.put("current-snapshot-id", snapshotId)
+        old.put("last-sequence-number", newSeq)
         setMainRef(old, snapshotId)
         old.put("last-updated-ms", now)
         Some(old.toPrettyString)
@@ -850,15 +856,25 @@ object IcebergWriter {
     // (the position scan above stays outside — positions target immutable
     // files, so they remain valid across a lost race)
     commitWithRetry(spark, url, conf) { current =>
+      // the position scan, the fresh-vs-existing dedup, and the delete-state
+      // rewrite were all computed against PIN-time delete state; a delete
+      // committed since would be clobbered by the manifest replacement below
+      // — refuse and let the caller rerun (same guard as compaction/COW)
+      val pinDeletes = table.liveDeleteFiles.map(f => table.resolvePath(f.filePath)).toSet
+      val nowDeletes = current.liveDeleteFiles.map(f => current.resolvePath(f.filePath)).toSet
+      if (nowDeletes != pinDeletes)
+        throw new java.util.ConcurrentModificationException(
+          "row-level deletes committed concurrently; rerun the delete")
       val priorManifests = current.manifestList
         .filterNot(m => deleteRewrite.isDefined &&
           m.content == Manifests.ManifestContent.Deletes &&
           !current.equalityDeleteManifestPaths.contains(m.path))
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+      val newSeq = current.metadata.lastSequenceNumber + 1
       writeManifestLists(manifestListPath, snapshotId,
         dataManifest.toSeq ++ deleteManifest.toSeq ++
           deleteRewrite.map(_._1).getOrElse(Nil),
-        priorManifests, conf)
+        priorManifests, conf, sequenceNumber = newSeq)
 
       val deletedRecords = fully.map(_.recordCount).sum - deadDeleteRows + posDeleteCount
       val old = mapper.readTree(
@@ -870,6 +886,7 @@ object IcebergWriter {
       snap.put("snapshot-id", snapshotId)
       snap.put("parent-snapshot-id", current.metadata.currentSnapshotId)
       snap.put("timestamp-ms", now)
+      snap.put("sequence-number", newSeq)
       val summary = mapper.createObjectNode()
       summary.put("operation", "delete")
       summary.put("deleted-data-files", fully.size.toString)
@@ -887,6 +904,7 @@ object IcebergWriter {
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
       old.put("current-snapshot-id", snapshotId)
+      old.put("last-sequence-number", newSeq)
       setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
       Some(old.toPrettyString)
@@ -906,8 +924,9 @@ object IcebergWriter {
       positions: DataFrame,
       specInfo: Seq[(PartitionField, String, String)],
       conf: Configuration): (Option[NewManifestInfo], Long) = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
-    def key(c: org.apache.spark.sql.Column) = regexp_extract(c, "/data/(.*)$", 1)
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    // suffix after the LAST '/data/', consistent with ScanBridge.morKey
+    def key(c: org.apache.spark.sql.Column) = element_at(split(c, "/data/"), -1)
     val existing = table.positionDeleteFiles
     val fresh =
       if (existing.isEmpty) positions
@@ -960,20 +979,34 @@ object IcebergWriter {
       partitionColumn(src.icebergTypeString, Transforms.parse(pf.transform))(col(src.name))
         .as(pf.name)
     }
-    def norm(v: Any): Any = v match {
-      case i: Int => i.toLong
-      case i: java.lang.Integer => i.longValue()
-      case l: java.lang.Long => l.longValue()
-      case other => other
-    }
     val touched: Set[Seq[Any]] = df.select(partCols: _*).distinct().collect()
-      .map(r => spec.fields.indices.map(i => norm(r.get(i))): Seq[Any]).toSet
-    val victims = table.liveFiles().filter { f =>
-      touched.contains(spec.fields.map(pf => norm(f.partition.getOrElse(pf.name, null))))
-    }
+      .map(r => spec.fields.indices.map(i => normPartValue(r.get(i))): Seq[Any]).toSet
     writeSnapshot(spark, url, df, deletePred = None, operation = "overwrite",
-      pinnedDeletes = Some(victims),
+      pinnedDeletes = Some(dynamicVictims(table, touched)),
       extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
+  }
+
+  /** Normalize a partition value for tuple comparison across sources:
+    * manifest decode widens Int→Long, transform eval may produce either. */
+  private[graft] def normPartValue(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l.longValue()
+    case other => other
+  }
+
+  /** Live files whose (normalized) partition tuple appears in `touched` —
+    * the victim set of a dynamic-partition overwrite. ONE definition shared
+    * by the driver API and the DSv2 batch write, so both replace identical
+    * partition sets for identical input. */
+  private[graft] def dynamicVictims(table: IcebergTable,
+      touched: Set[Seq[Any]]): Seq[Manifests.DataFileInfo] = {
+    val spec = table.partitionSpec
+    if (table.metadata.currentSnapshotId < 0) Nil
+    else table.liveFiles().filter { f =>
+      touched.contains(spec.fields.map(pf =>
+        normPartValue(f.partition.getOrElse(pf.name, null))))
+    }
   }
 
   /** Keep `refs.main` tracking the current snapshot on every commit, like
@@ -1070,8 +1103,9 @@ object IcebergWriter {
 
     commitWithRetry(spark, url, conf) { current =>
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+      val newSeq = current.metadata.lastSequenceNumber + 1
       writeManifestLists(manifestListPath, snapshotId, manifest.toSeq,
-        current.manifestList, conf)
+        current.manifestList, conf, sequenceNumber = newSeq)
       val old = mapper.readTree(
         readString(s"$url/metadata/v${current.version}.metadata.json", conf))
         .asInstanceOf[ObjectNode]
@@ -1081,6 +1115,7 @@ object IcebergWriter {
       snap.put("snapshot-id", snapshotId)
       snap.put("parent-snapshot-id", current.metadata.currentSnapshotId)
       snap.put("timestamp-ms", now)
+      snap.put("sequence-number", newSeq)
       val summary = mapper.createObjectNode()
       summary.put("operation", "delete")
       summary.put("added-delete-files", "1")
@@ -1094,6 +1129,7 @@ object IcebergWriter {
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
       old.put("current-snapshot-id", snapshotId)
+      old.put("last-sequence-number", newSeq)
       setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
       Some(old.toPrettyString)
@@ -1197,7 +1233,7 @@ object IcebergWriter {
       removed: Seq[Manifests.DataFileInfo],
       specInfo: Seq[(PartitionField, String, String)],
       conf: Configuration): Option[(Seq[NewManifestInfo], Long)] = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.{col, element_at, split}
     if (removed.isEmpty || table.metadata.currentSnapshotId < 0) return None
     val existing = table.positionDeleteFiles
     if (existing.isEmpty) return None
@@ -1207,7 +1243,11 @@ object IcebergWriter {
     val removedKeys = removed.map(f => keyOf(table.resolvePath(f.filePath)))
       .filter(_.nonEmpty).toSet
     if (removedKeys.isEmpty) return None
-    def key(c: org.apache.spark.sql.Column) = regexp_extract(c, "/data/(.*)$", 1)
+    // suffix after the LAST '/data/' — MUST match keyOf/ScanBridge.morKey
+    // (regexp_extract("/data/(.*)$") anchors at the FIRST occurrence and
+    // silently mismatches when the table path itself contains '/data/')
+    def key(c: org.apache.spark.sql.Column) =
+      element_at(split(c, "/data/"), -1)
     val all = spark.read.parquet(existing.map(f => table.resolvePath(f.filePath)): _*)
     val deadRows = all.filter(key(col("file_path")).isInCollection(removedKeys)).count()
     if (deadRows == 0L) return None
@@ -1510,7 +1550,8 @@ object IcebergWriter {
       {"name": "added_rows_count", "type": ["null", "long"], "default": null, "field-id": 512},
       {"name": "existing_rows_count", "type": ["null", "long"], "default": null, "field-id": 513},
       {"name": "deleted_rows_count", "type": ["null", "long"], "default": null, "field-id": 514},
-      {"name": "content", "type": ["null", "int"], "default": null, "field-id": 517}
+      {"name": "content", "type": ["null", "int"], "default": null, "field-id": 517},
+      {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 515}
     ]}""")
 
   private def kvArray(schema: Schema, field: String, m: Map[Int, _]): java.util.List[GenericRecord] = {
@@ -1598,7 +1639,8 @@ object IcebergWriter {
 
   private def writeManifestLists(path: String, snapshotId: Long,
       newManifests: Seq[NewManifestInfo],
-      prior: Seq[Manifests.ManifestFile], conf: Configuration): Unit = {
+      prior: Seq[Manifests.ManifestFile], conf: Configuration,
+      sequenceNumber: Long = 0L): Unit = {
     val summarySchema = ManifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
 
@@ -1629,6 +1671,9 @@ object IcebergWriter {
         rec.put("existing_rows_count", 0L)
         rec.put("deleted_rows_count", nm.deletedRows)
         rec.put("content", nm.content)
+        // the commit's data sequence number — entries inherit it (durable
+        // ordering for sequence-scoped deletes, survives expiration)
+        if (sequenceNumber > 0) rec.put("sequence_number", sequenceNumber)
         w.append(rec)
       }
       prior.foreach { m =>
@@ -1647,6 +1692,8 @@ object IcebergWriter {
         r.put("existing_rows_count", m.existingRowsCount.map(Long.box).orNull)
         r.put("deleted_rows_count", m.deletedRowsCount.map(Long.box).orNull)
         r.put("content", m.content)
+        // prior manifests KEEP their recorded sequence (inheritance)
+        r.put("sequence_number", m.sequenceNumber.map(Long.box).orNull)
         w.append(r)
       }
     }

@@ -59,7 +59,10 @@ object Manifests {
       addedRowsCount: Option[Long],
       existingRowsCount: Option[Long],
       deletedRowsCount: Option[Long],
-      content: Int = ManifestContent.Data)
+      content: Int = ManifestContent.Data,
+      /** Iceberg v2 field 515: the data sequence number of the commit that
+        * added this manifest — entries without their own inherit it. */
+      sequenceNumber: Option[Long] = None)
 
   /** data_file record inside a manifest (Avro field-ids 100-140). */
   final case class DataFileInfo(
@@ -79,10 +82,15 @@ object Manifests {
         * matches on (empty for data / position-delete files). */
       equalityIds: Seq[Int] = Nil,
       /** The snapshot that ADDED this file (from the manifest entry, falling
-        * back to the manifest's added_snapshot_id) — the linear-history
-        * stand-in for the data sequence number: equality deletes apply only
-        * to files committed strictly earlier. */
-      snapshotId: Option[Long] = None)
+        * back to the manifest's added_snapshot_id). */
+      snapshotId: Option[Long] = None,
+      /** The DATA SEQUENCE NUMBER, inherited from the file's manifest
+        * (Iceberg inheritance: prior manifests keep their recorded number,
+        * so ordering SURVIVES snapshot expiration). Equality deletes apply
+        * only to files with a strictly smaller sequence. None on manifests
+        * written before sequence tracking — readers fall back to snapshot
+        * commit order. */
+      dataSequence: Option[Long] = None)
 
   /** Entry status lifecycle — EXISTING=0, ADDED=1, DELETED=2 (ice.py:12-15). */
   object Status {
@@ -174,7 +182,8 @@ object Manifests {
       addedRowsCount = opt(r, "added_rows_count", _.asInstanceOf[Long]),
       existingRowsCount = opt(r, "existing_rows_count", _.asInstanceOf[Long]),
       deletedRowsCount = opt(r, "deleted_rows_count", _.asInstanceOf[Long]),
-      content = opt(r, "content", _.asInstanceOf[Int]).getOrElse(ManifestContent.Data))
+      content = opt(r, "content", _.asInstanceOf[Int]).getOrElse(ManifestContent.Data),
+      sequenceNumber = opt(r, "sequence_number", _.asInstanceOf[Long]))
   }
 
   private def parseEntry(r: GenericRecord): ManifestEntry = {

@@ -36,7 +36,10 @@ final case class Snapshot(
     timestampMs: Long,
     summary: Map[String, String],
     manifestList: String,
-    schemaId: Option[Int])
+    schemaId: Option[Int],
+    /** Iceberg v2 data sequence number — DURABLE commit ordering that
+      * survives snapshot expiration (unlike list position). */
+    sequenceNumber: Option[Long] = None)
 
 /** A named snapshot reference (Iceberg `refs`): a BRANCH moves with commits
   * (`main` is one), a TAG pins a snapshot forever — the reproducible-
@@ -62,7 +65,8 @@ final case class TableMetadata(
     currentSnapshotId: Long,
     snapshots: Seq[Snapshot],
     properties: Map[String, String],
-    refs: Map[String, SnapshotRef] = Map.empty) {
+    refs: Map[String, SnapshotRef] = Map.empty,
+    lastSequenceNumber: Long = 0L) {
 
   def snapshotsById: Map[Long, Snapshot] = snapshots.map(s => s.snapshotId -> s).toMap
 
@@ -132,7 +136,8 @@ object TableMetadata {
             maxRefAgeMs = Option(n.get("max-ref-age-ms")).map(_.asLong),
             minSnapshotsToKeep = Option(n.get("min-snapshots-to-keep")).map(_.asInt))
         }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      lastSequenceNumber = optNode("last-sequence-number").map(_.asLong).getOrElse(0L))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {
@@ -161,7 +166,8 @@ object TableMetadata {
       timestampMs = node.get("timestamp-ms").asLong,
       summary = Option(node.get("summary")).map(strMap).getOrElse(Map.empty),
       manifestList = node.get("manifest-list").asText,
-      schemaId = Option(node.get("schema-id")).map(_.asInt))
+      schemaId = Option(node.get("schema-id")).map(_.asInt),
+      sequenceNumber = Option(node.get("sequence-number")).map(_.asLong))
 
   private def strMap(node: JsonNode): Map[String, String] =
     node.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap

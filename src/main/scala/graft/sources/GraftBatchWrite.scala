@@ -94,15 +94,10 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
       case WriteMode.OverwriteDynamic =>
         // victims: live files whose partition tuple appears among the
         // WRITTEN files' tuples — metadata-only, whole-file by construction
-        val touched = dataFiles.map(f => f._4.map(GraftBatchWrite.norm)).toSet
-        val t = IcebergTable.load(spark, table.url)
-        val spec = t.partitionSpec
-        val victims =
-          if (t.metadata.currentSnapshotId < 0) Nil
-          else t.liveFiles().filter { f =>
-            touched.contains(spec.fields.map(pf =>
-              GraftBatchWrite.norm(f.partition.getOrElse(pf.name, null))))
-          }
+        val touched = dataFiles
+          .map(f => f._4.map(IcebergWriter.normPartValue): Seq[Any]).toSet
+        val victims = IcebergWriter.dynamicVictims(
+          IcebergTable.load(spark, table.url), touched)
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = None, operation = "overwrite",
           pinnedDeletes = Some(victims),
@@ -127,15 +122,6 @@ object GraftBatchWrite {
   /** One partition-spec field, pre-resolved for task-side evaluation. */
   final case class PartField(name: String, transform: String, ordinal: Int,
       srcIcebergType: String, srcDataType: DataType) extends Serializable
-
-  /** Normalize for tuple comparison across sources: manifest decode widens
-    * Int→Long, task-side eval may produce either. */
-  private[sources] def norm(v: Any): Any = v match {
-    case i: Int => i.toLong
-    case i: java.lang.Integer => i.longValue()
-    case l: java.lang.Long => l.longValue()
-    case other => other
-  }
 }
 
 /** Files written by one task: (path, bytes, partition values). */

@@ -444,31 +444,91 @@ final class GraftIcebergScan(
       .flatMap(n => table.schema.fields.find(_.name == n))
   }
 
-  /** Equality-delete key sets, loaded once on the driver (delete files are
-    * key lists — small by design; counted against the same driver cap as
-    * position deletes). Ordinals resolve against the widened read schema. */
+  /** Guard the driver against unbounded delete-state loading: position AND
+    * equality delete rows both count (the manifests record the sizes, so
+    * the refusal costs no I/O). Compaction is the escape hatch. */
+  private lazy val assertDeleteCap: Unit = {
+    val totalDeleteRows = table.positionDeleteFiles.map(_.recordCount).sum +
+      eqDeleteFiles.map(_.recordCount).sum
+    val cap = SQLConf.get.getConfString(
+      "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
+    require(totalDeleteRows <= cap,
+      s"snapshot carries $totalDeleteRows delete rows (> cap $cap); " +
+        "run graft.iceberg.Maintenance.compact to fold deletes into data files, " +
+        "or raise spark.graft.iceberg.morDriverDeleteLimit")
+  }
+
+  /** Equality-delete key sets, loaded once on the driver. Files sharing a
+    * key-column set load in ONE distributed job (a union keyed by source
+    * file), so a CDC table with N upsert commits pays one planning job, not
+    * N — each file still forms its own group (its commit sequence scopes
+    * which data files it applies to). */
   private lazy val eqGroups: Array[ScanBridge.EqDeleteGroup] = {
     if (eqDeleteFiles.isEmpty) Array.empty
     else {
+      assertDeleteCap
       val spark = SparkSession.active
       val read = morReadSchema
       val idToName = table.iceSchema.fields.map(f => f.id -> f.name).toMap
       val nameToType = table.schema.fields.map(f => f.name -> f.dataType).toMap
-      eqDeleteFiles.map { df =>
-        val names = df.equalityIds.map(id => idToName.getOrElse(id,
+      import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
+      eqDeleteFiles.groupBy(_.equalityIds).toSeq.flatMap { case (ids, files) =>
+        val names = ids.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(s"equality id $id not in schema")))
         val ordinals = names.map(read.fieldIndex).toArray
         val types = names.map(nameToType).toArray
         val converters = types.map(ScanBridge.toCatalyst)
-        val keys = new java.util.HashSet[Seq[Any]]()
-        // key columns were written in equality_ids order: select by position
-        val rows = spark.read.parquet(table.resolvePath(df.filePath)).collect()
-        rows.foreach { r =>
-          keys.add(Seq.tabulate(names.length)(i =>
-            if (r.isNullAt(i)) null else converters(i)(r.get(i))))
+        val seqByKey = files.map(f =>
+          ScanBridge.morKey(table.resolvePath(f.filePath)) ->
+            table.dataSequenceOf(f)).toMap
+        // one job over all files of this key set; rows come back tagged
+        // with their source file so each file keeps its own sequence
+        // key columns live in the delete files in equality_ids ORDER, under
+        // the names current at WRITE time. Files whose footer names match
+        // the current schema batch into ONE job; files written before a key
+        // rename fall back to a positional per-file read (correct under
+        // renames, and rare).
+        val hconf = spark.sessionState.newHadoopConf()
+        def footerNames(p: String): Seq[String] = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p), hconf))
+          try {
+            val s = r.getFooter.getFileMetaData.getSchema
+            (0 until s.getFieldCount).map(s.getFieldName)
+          } finally r.close()
         }
-        ScanBridge.EqDeleteGroup(ordinals, types,
-          table.sequenceOf(df.snapshotId), keys)
+        val (current, legacy) = files.partition(f =>
+          footerNames(table.resolvePath(f.filePath)) == names)
+
+        def groupOf(seq: Long, fileRows: Iterable[org.apache.spark.sql.Row]) = {
+          val keys = new java.util.HashSet[Seq[Any]]()
+          fileRows.foreach { r =>
+            keys.add(Seq.tabulate(names.length)(i =>
+              if (r.isNullAt(i)) null else converters(i)(r.get(i))))
+          }
+          ScanBridge.EqDeleteGroup(ordinals, types, seq, keys)
+        }
+
+        val batched: Seq[ScanBridge.EqDeleteGroup] =
+          if (current.isEmpty) Nil
+          else {
+            val srcOrdinal = names.length // _g_src appended after the keys
+            val rows = spark.read
+              .parquet(current.map(f => table.resolvePath(f.filePath)): _*)
+              .select(names.map(col) :+
+                element_at(split(input_file_name(), "/data/"), -1).as("_g_src"): _*)
+              .collect()
+            rows.groupBy(_.getString(srcOrdinal)).toSeq.map { case (srcKey, fileRows) =>
+              groupOf(seqByKey.getOrElse(srcKey, Long.MaxValue), fileRows)
+            }
+          }
+        val perFile: Seq[ScanBridge.EqDeleteGroup] = legacy.map { f =>
+          val df = spark.read.parquet(table.resolvePath(f.filePath))
+          val rows = df.select(df.columns.take(names.length).map(col): _*).collect()
+          groupOf(table.dataSequenceOf(f), rows)
+        }
+        batched ++ perFile
       }.toArray
     }
   }
@@ -574,7 +634,7 @@ final class GraftIcebergScan(
       val spark = SparkSession.active
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
         files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,
-          table.sequenceOf(f.snapshotId),
+          table.dataSequenceOf(f),
           if (includePartitionCol) partitionString(f) else null)),
         morDeletesByKey)
     case None => delegate.planInputPartitions()

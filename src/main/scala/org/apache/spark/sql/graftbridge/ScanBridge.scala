@@ -138,7 +138,7 @@ object ScanBridge {
   final case class EqDeleteGroup(
       ordinals: Array[Int],
       types: Array[org.apache.spark.sql.types.DataType],
-      seq: Int,
+      seq: Long,
       keys: java.util.HashSet[Seq[Any]]) extends Serializable
 
   /** Catalyst-normalize one EXTERNAL value (String → UTF8String, Timestamp
@@ -155,7 +155,7 @@ object ScanBridge {
     * delete files and each task serializes only its own positions. */
   final class MorFilePartition(
       private[graftbridge] val deleted: Array[Long],
-      private[graftbridge] val dataSeq: Int,
+      private[graftbridge] val dataSeq: Long,
       /** Per-file constant for the `_partition` metadata column (null when
         * the scan does not project it). */
       private[graftbridge] val constPart: String,
@@ -169,7 +169,7 @@ object ScanBridge {
     * per-file delete arrays would be duplicated across split tasks). */
   def morPartitions(
       hadoopConf: Configuration,
-      files: Seq[(String, Long, Int, String)], // (path, size, commit seq, _partition)
+      files: Seq[(String, Long, Long, String)], // (path, size, data sequence, _partition)
       deletesByKey: Map[String, Array[Long]]): Array[InputPartition] = {
     val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
     files.zipWithIndex.map { case ((p, len, seq, partStr), i) =>

@@ -106,6 +106,23 @@ class EqualityDeleteSpec extends AnyFunSuite {
       ((11L to 20L).filterNot(_ == 15L)))
   }
 
+  test("sequence scoping survives snapshot expiration") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "old")).toDF("k", "cat")) // snap A
+    IcebergWriter.upsert(spark, url, Seq((1L, "new")).toDF("k", "cat"), Seq("k")) // snap B
+    IcebergWriter.append(spark, url, Seq((2L, "x")).toDF("k", "cat")) // snap C
+    // expire A: its data file stays LIVE (carried by newer manifests) but
+    // the snapshot that added it leaves the metadata — ordering must come
+    // from the persisted sequence numbers, not list position
+    Maintenance.expireSnapshots(spark, url, keepLast = 2)
+    val t = IcebergTable.load(spark, url)
+    assert(t.snapshots.size == 2)
+    val got = t.read().as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "new"), (2L, "x")),
+      "the equality delete must still apply to the expired snapshot's live file")
+  }
+
   test("position and equality deletes compose on the same table") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
