@@ -147,17 +147,22 @@ final class GraftIcebergV2Table(val table: IcebergTable) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_partition`: the row's partition tuple rendered as a string — a
-    * per-file constant the scan materializes without touching data. The
-    * copy-on-write protocol requires at least one metadata attribute
-    * (Spark 4's group-based writing task only applies its row projection
-    * on the metadata path), and partition provenance is the useful one. */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_partition"
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = true
-    })
+  /** Iceberg-parity metadata columns, materialized by the scan without
+    * touching data: `_partition` (the row's partition tuple rendered as a
+    * string — also what the copy-on-write protocol requests: Spark 4's
+    * group-based writing task only applies its row projection on the
+    * metadata path), `_file` (the data file's path), and `_pos` (the row's
+    * position in its file, from the parquet row index). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def c(n: String, dt: org.apache.spark.sql.types.DataType) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = true
+      }
+    Array(c("_partition", StringType), c("_file", StringType),
+      c("_pos", org.apache.spark.sql.types.LongType))
+  }
 
   /** SQL UPDATE / MERGE INTO / complex DELETE: Spark's group-based
     * (copy-on-write) protocol. The operation's scan identifies the
@@ -354,7 +359,7 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tbl.schema()
-  private var wantPartitionCol: Boolean = false
+  private var metaCols: Seq[String] = Nil
 
   /** Filters convertible to [[Pruning.IcePredicate]] drive metadata pruning
     * and parquet row-group pushdown; ALL filters are returned as residuals
@@ -367,13 +372,16 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit = {
-    // the `_partition` METADATA column is materialized by the scan itself
-    // (per-file constant), not read from parquet: split it off
-    wantPartitionCol = required.fieldNames.contains("_partition")
-    if (wantPartitionCol)
-      require(required.fieldNames.last == "_partition",
-        "_partition must be the trailing projected column")
-    requiredSchema = StructType(required.fields.filterNot(_.name == "_partition"))
+    // METADATA columns are materialized by the scan itself (per-file
+    // constants / the parquet row index), not read as data: split them off.
+    // Spark appends metadata attrs after the data columns, so the split is
+    // a clean suffix.
+    val names = Set("_partition", "_file", "_pos")
+    metaCols = required.fields.map(_.name).filter(names)
+    val dataFields = required.fields.filterNot(f => names(f.name))
+    require(required.fields.map(_.name).endsWith(metaCols),
+      "metadata columns must trail the projected data columns")
+    requiredSchema = StructType(dataFields)
   }
 
   override def build(): Scan = {
@@ -383,7 +391,7 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
       if (pred == Pruning.AlwaysTrue) tbl.allLiveFiles
       else tbl.table.prunedFiles(pred)
     val scan = new GraftIcebergScan(tbl.table, files, requiredSchema, pushed,
-      options, wantPartitionCol)
+      options, metaCols)
     onBuild(scan)
     scan
   }
@@ -398,7 +406,7 @@ final class GraftIcebergScan(
     requiredSchema: StructType,
     pushedFilters: Array[Filter],
     options: CaseInsensitiveStringMap,
-    includePartitionCol: Boolean = false)
+    metaCols: Seq[String] = Nil)
   extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   /** The metadata-pruned file list this scan covers — the "groups" a
@@ -426,10 +434,10 @@ final class GraftIcebergScan(
 
   /** Merge-on-read engages for position OR equality deletes. */
   /** Merge-on-read machinery engages for position/equality deletes AND for
-    * the `_partition` metadata column (its per-file constant rides the same
-    * per-file partitions + projecting reader). */
+    * metadata columns (their per-file values ride the same per-file
+    * partitions + projecting reader). */
   private def morMode: Boolean =
-    morDeletes.nonEmpty || eqDeleteFiles.nonEmpty || includePartitionCol
+    morDeletes.nonEmpty || eqDeleteFiles.nonEmpty || metaCols.nonEmpty
 
   /** Key columns the equality deletes need that column pruning removed:
     * appended to the read schema (before the row-index column) and
@@ -608,10 +616,12 @@ final class GraftIcebergScan(
   }
 
   override def readSchema(): StructType =
-    if (includePartitionCol)
-      StructType(requiredSchema.fields :+
-        org.apache.spark.sql.types.StructField("_partition", StringType))
-    else requiredSchema
+    if (metaCols.isEmpty) requiredSchema
+    else StructType(requiredSchema.fields ++ metaCols.map {
+      case "_pos" => org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType)
+      case n => org.apache.spark.sql.types.StructField(n, StringType)
+    })
 
   override def toBatch: Batch = this
 
@@ -635,7 +645,11 @@ final class GraftIcebergScan(
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
         files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,
           table.dataSequenceOf(f),
-          if (includePartitionCol) partitionString(f) else null)),
+          metaCols.map {
+            case "_partition" => ("_partition", partitionString(f))
+            case "_file" => ("_file", table.resolvePath(f.filePath))
+            case "_pos" => ("_pos", null: String)
+          })),
         morDeletesByKey)
     case None => delegate.planInputPartitions()
   }
@@ -645,7 +659,7 @@ final class GraftIcebergScan(
     if (morMode)
       ScanBridge.morReaderFactory(inner, requiredSchema, morReadSchema.length,
         allDeleteFree = morDeletesByKey.isEmpty && eqGroups.isEmpty &&
-          !includePartitionCol,
+          metaCols.isEmpty,
         eqGroups = eqGroups)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner

@@ -156,9 +156,10 @@ object ScanBridge {
   final class MorFilePartition(
       private[graftbridge] val deleted: Array[Long],
       private[graftbridge] val dataSeq: Long,
-      /** Per-file constant for the `_partition` metadata column (null when
-        * the scan does not project it). */
-      private[graftbridge] val constPart: String,
+      /** Requested metadata columns as per-file values, in projection
+        * order: `_partition`/`_file` carry the string constant, `_pos` a
+        * null (the reader wires it to the materialized row index). */
+      private[graftbridge] val metaValues: Seq[(String, String)],
       private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
@@ -169,10 +170,11 @@ object ScanBridge {
     * per-file delete arrays would be duplicated across split tasks). */
   def morPartitions(
       hadoopConf: Configuration,
-      files: Seq[(String, Long, Long, String)], // (path, size, data sequence, _partition)
+      // (path, size, data sequence, metadata column values)
+      files: Seq[(String, Long, Long, Seq[(String, String)])],
       deletesByKey: Map[String, Array[Long]]): Array[InputPartition] = {
     val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
-    files.zipWithIndex.map { case ((p, len, seq, partStr), i) =>
+    files.zipWithIndex.map { case ((p, len, seq, metaValues), i) =>
       val raw = new Path(p)
       val fs = fsCache.getOrElseUpdate(
         Option(raw.toUri.getScheme).getOrElse(""), raw.getFileSystem(hadoopConf))
@@ -182,7 +184,7 @@ object ScanBridge {
           org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
           0, len, Array.empty, 0L, len)))
       new MorFilePartition(
-        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), seq, partStr, fp)
+        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), seq, metaValues, fp)
         : InputPartition
     }.toArray
   }
@@ -248,20 +250,26 @@ object ScanBridge {
       val inner = delegate.createReader(m.underlying)
       // the delegate row is requiredSchema + eq-key columns + row-index
       // (appended in that order); project the extras out — ordinals
-      // 0..n-1 are the required fields. A requested `_partition` metadata
-      // column is appended as a per-file literal.
+      // 0..n-1 are the required fields. Requested metadata columns append
+      // after: string constants per file, `_pos` wired to the row index.
+      val idxOrdinal = readWidth - 1
       val exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         requiredSchema.fields.zipWithIndex.map { case (f, i) =>
           org.apache.spark.sql.catalyst.expressions.BoundReference(
             i, f.dataType, f.nullable)
         }.toSeq ++
-          (if (m.constPart == null) Nil
-           else Seq(org.apache.spark.sql.catalyst.expressions.Literal(
-             org.apache.spark.unsafe.types.UTF8String.fromString(m.constPart),
-             org.apache.spark.sql.types.StringType)))
+          m.metaValues.map {
+            case ("_pos", _) =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                idxOrdinal, LongType, nullable = true)
+            case (_, v) =>
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                if (v == null) null
+                else org.apache.spark.unsafe.types.UTF8String.fromString(v),
+                org.apache.spark.sql.types.StringType)
+          }
       val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(exprs)
-      val idxOrdinal = readWidth - 1
 
       def eqDeleted(r: InternalRow): Boolean = {
         var i = 0

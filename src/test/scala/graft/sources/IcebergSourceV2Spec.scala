@@ -11,6 +11,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * keep filter/column pushdown + time travel semantics. */
 class IcebergSourceV2Spec extends AnyFunSuite {
 
+  test("metadata columns _file, _pos, _partition materialize without data reads") {
+    import spark.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_metacol").toString + "/t"
+    graft.iceberg.IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
+      partitions = Seq("cat" -> "identity"))
+    graft.iceberg.IcebergWriter.append(spark, url,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "cat"))
+    val df = spark.read.format("graft-iceberg").load(url)
+      .select(col("k"), col("_partition"), col("_file"), col("_pos"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("cat=a", "cat=a", "cat=b"))
+    assert(rows.forall(_._3.endsWith(".parquet")))
+    // positions restart per file; rows 1,2 share a file => positions 0,1
+    assert(rows.filter(_._2 == "cat=a").map(_._4).sorted.toSeq == Seq(0L, 1L))
+    assert(rows.find(_._1 == 3L).get._4 == 0L)
+  }
+
   val FixtureDir = "/root/reference/test-data/my_table"
   val FixtureOrig = "/Users/mdurant/temp/warehouse/db/my_table"
 
