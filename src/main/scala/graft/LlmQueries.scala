@@ -28,6 +28,15 @@ object LlmQueries {
     Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id",
       n = 3, k = 64, bands = 16, threshold = 0.5).orderBy("id_a", "id_b")
 
+  /** Near-dup PAIRS resolved into duplicate GROUPS (connected components,
+    * min-id canonical) — the form a dedup pipeline actually consumes:
+    * keep one row per group_id. */
+  def ddGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupGroups(
+      Dedup.minhashDedup(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.5).select("id_a", "id_b"))
+      .orderBy("id")
+
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       n = 3, maxHamming = 16).orderBy("id_a", "id_b")
@@ -106,6 +115,7 @@ object LlmQueries {
     "dd_exact"          -> (ddExact _),
     "dd_ngram_jaccard"  -> (ddNgramJaccard _),
     "dd_minhash_lsh"    -> (ddMinhashLsh _),
+    "dd_groups"         -> (ddGroups _),
     "dd_simhash"        -> (ddSimhash _),
     "dd_embedding"      -> (ddEmbedding _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -151,6 +161,23 @@ object LlmQueries {
     // k=64/bands=16 on this corpus — validated), so the exact-Jaccard SQL
     // is its oracle too.
     "dd_minhash_lsh" -> jaccardPairSql,
+    // duplicate groups: DuckDB replays the transitive closure over the
+    // exact-Jaccard pair graph with a recursive CTE; min reachable id is
+    // the component label (graph is undirected, so min-reachable = min of
+    // the component)
+    "dd_groups" -> (shingleCte.replace("WITH ", "WITH RECURSIVE ") + """
+      , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id, MIN(label) AS group_id FROM reach GROUP BY id ORDER BY id"""),
     "tx_stats" -> """
       SELECT doc_id,
         CAST(length(text) AS DOUBLE) AS n_chars,

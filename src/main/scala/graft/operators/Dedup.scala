@@ -148,6 +148,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+    * components over the pair graph, labeling every member with the
+    * minimum id of its component (the canonical copy a pipeline keeps).
+    *
+    * Label propagation to a fixpoint: each round every node adopts the
+    * minimum label in its neighborhood. Near-dup clusters have tiny
+    * diameters (duplicates of one source document), so convergence takes
+    * a handful of rounds; `maxIter` bounds the worst case and the loop
+    * stops early the first round nothing changes. Each round is one
+    * self-join-free aggregation over the edge list — O(edges) shuffle,
+    * no quadratic stage, the standard MapReduce-CC shape. Checkpointing
+    * truncates the iterative lineage so plans stay bounded. */
+  def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions, plus self-loops so isolated
+    // endpoints keep their own label
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .unionAll(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // every node's new label = min(own, neighbors' labels)
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionAll(neighborMin)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true) // truncate iterative lineage
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** log2(corpus / target bucket size), clamped to [4, 20] planes. */
   private[operators] def autoPlanes(n: Long, targetBucket: Long): Int = {
     val buckets = math.max(1L, n / math.max(1L, targetBucket))
