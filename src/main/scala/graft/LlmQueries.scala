@@ -81,6 +81,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The WHOLE cleaning pipeline composed end-to-end, the way a training
+    * corpus is actually prepared: quality gate → exact-dup canonicalization
+    * → near-dup GROUP canonicalization (MinHash-LSH pairs + connected
+    * components). Every stage is a DataFrame transform already verified on
+    * its own; this query verifies the COMPOSITION against a DuckDB replay.
+    * Output: the surviving clean corpus (one canonical doc per content
+    * group), with quality scores. */
+  def pipeCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // 1. quality gate: keep docs passing >= 2 of 3 heuristics
+    val quality = docs.select(col("doc_id"), col("text"),
+        TF.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= lit(2.0) / lit(3.0))
+    // 2. exact dedup: canonical (min-id) copy per identical text
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val canon = quality
+      .withColumn("_cid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_cid")).drop("_cid")
+    // 3. near-dup groups over the survivors: keep each group's min id
+    val pairs = Dedup.minhashDedup(canon, "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.5).select("id_a", "id_b")
+    val groups = Dedup.dupGroups(pairs)
+    canon.join(groups, canon("doc_id") === groups("id"), "left")
+      .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   def txQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
@@ -116,6 +144,7 @@ object LlmQueries {
     "dd_ngram_jaccard"  -> (ddNgramJaccard _),
     "dd_minhash_lsh"    -> (ddMinhashLsh _),
     "dd_groups"         -> (ddGroups _),
+    "pipe_clean_corpus" -> (pipeCleanCorpus _),
     "dd_simhash"        -> (ddSimhash _),
     "dd_embedding"      -> (ddEmbedding _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -189,6 +218,41 @@ object LlmQueries {
         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS punct_count,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_tokens_bpe
       FROM documents ORDER BY doc_id""",
+    "pipe_clean_corpus" -> """
+      WITH RECURSIVE q AS (
+        SELECT doc_id, text,
+          (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+        FROM documents),
+      qs AS (SELECT * FROM q WHERE quality >= 2.0/3.0),
+      canon AS (
+        SELECT doc_id, text, quality FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS cid FROM qs)
+        WHERE doc_id = cid),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM canon),
+      sh AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      labels AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)
+      SELECT c.doc_id, c.quality
+      FROM canon c LEFT JOIN labels l ON c.doc_id = l.id
+      WHERE l.group_id IS NULL OR l.group_id = c.doc_id
+      ORDER BY c.doc_id""",
     "tx_quality" -> """
       SELECT doc_id,
         (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END

@@ -60,12 +60,13 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
     new GraftIcebergV2Table(rest.loadTable(spark, ns(ident.namespace()), ident.name()))
 
   /** `VERSION AS OF v` — v is a snapshot id when it matches one, else a
-    * metadata version number. */
+    * metadata version number, else a named branch/tag ref. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = rest.loadTable(spark, ns(ident.namespace()), ident.name())
     val resolved = version.toLongOption match {
       case Some(v) if t.snapshots.contains(v) => t.atSnapshot(v)
       case Some(v) => t.atVersion(v.toInt)
+      case None if t.refs.contains(version) => t.atRef(version)
       case None => throw new IllegalArgumentException(s"bad version: $version")
     }
     new GraftIcebergV2Table(resolved)
