@@ -171,7 +171,7 @@ final class IcebergTable private (
           // inherited from the manifest (Iceberg's inheritance rules)
           allFiles(path) = e.dataFile.copy(
             snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-            dataSequence = mf.sequenceNumber)
+            dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber))
         case Status.Deleted => deleted += path
         case other => throw new IllegalStateException(s"invalid manifest status $other")
       }
@@ -216,7 +216,7 @@ final class IcebergTable private (
           case Status.Added | Status.Existing =>
             live(path) = e.dataFile.copy(
               snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-              dataSequence = mf.sequenceNumber)
+              dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber))
           case Status.Deleted => dropped += path
           case other => throw new IllegalStateException(s"invalid manifest status $other")
         }

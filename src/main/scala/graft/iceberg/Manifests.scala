@@ -99,7 +99,12 @@ object Manifests {
     val Deleted = 2
   }
 
-  final case class ManifestEntry(status: Int, snapshotId: Option[Long], dataFile: DataFileInfo)
+  final case class ManifestEntry(status: Int, snapshotId: Option[Long],
+      dataFile: DataFileInfo,
+      /** Explicit per-entry data sequence (Iceberg v2 spec: EXISTING
+        * entries in rewritten manifests carry one; ADDED entries with null
+        * inherit the manifest's). */
+      sequenceNumber: Option[Long] = None)
 
   private val manifestCache = TrieMap.empty[String, Seq[ManifestEntry]]
 
@@ -204,6 +209,7 @@ object Manifests {
     ManifestEntry(
       status = r.get("status").asInstanceOf[Int],
       snapshotId = opt(r, "snapshot_id", _.asInstanceOf[Long]),
+      sequenceNumber = opt(r, "sequence_number", _.asInstanceOf[Long]),
       dataFile = DataFileInfo(
         filePath = str(df.get("file_path")),
         fileFormat = str(df.get("file_format")),

@@ -137,7 +137,12 @@ object TableMetadata {
             minSnapshotsToKeep = Option(n.get("min-snapshots-to-keep")).map(_.asInt))
         }.toMap
       }.getOrElse(Map.empty),
-      lastSequenceNumber = optNode("last-sequence-number").map(_.asLong).getOrElse(0L))
+      lastSequenceNumber = optNode("last-sequence-number").map(_.asLong).getOrElse {
+        // tables written before sequence tracking: align with the legacy
+        // list-position fallback (i+1), so the NEXT commit's number ranks
+        // strictly above every existing snapshot instead of colliding
+        optNode("snapshots").map(_.size.toLong).getOrElse(0L)
+      })
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

@@ -187,6 +187,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    require(changed == 0,
+      s"dupGroups did not converge within $maxIter rounds ($changed labels " +
+        "still moving) — raise maxIter (component diameter exceeds the bound)")
     labels.select(col("id"), col("label").as("group_id"))
   }
 

@@ -65,8 +65,9 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
     val t = rest.loadTable(spark, ns(ident.namespace()), ident.name())
     val resolved = version.toLongOption match {
       case Some(v) if t.snapshots.contains(v) => t.atSnapshot(v)
+      // refs BEFORE metadata versions: a tag named "2024" must resolve
+      case _ if t.refs.contains(version) => t.atRef(version)
       case Some(v) => t.atVersion(v.toInt)
-      case None if t.refs.contains(version) => t.atRef(version)
       case None => throw new IllegalArgumentException(s"bad version: $version")
     }
     new GraftIcebergV2Table(resolved)

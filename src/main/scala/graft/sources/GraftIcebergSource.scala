@@ -375,8 +375,10 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
     // METADATA columns are materialized by the scan itself (per-file
     // constants / the parquet row index), not read as data: split them off.
     // Spark appends metadata attrs after the data columns, so the split is
-    // a clean suffix.
-    val names = Set("_partition", "_file", "_pos")
+    // a clean suffix. A DATA column that happens to share a metadata name
+    // shadows it (SupportsMetadataColumns contract) and stays data.
+    val dataNames = tbl.schema().fieldNames.toSet
+    val names = Set("_partition", "_file", "_pos").diff(dataNames)
     metaCols = required.fields.map(_.name).filter(names)
     val dataFields = required.fields.filterNot(f => names(f.name))
     require(required.fields.map(_.name).endsWith(metaCols),
@@ -528,7 +530,17 @@ final class GraftIcebergScan(
                 element_at(split(input_file_name(), "/data/"), -1).as("_g_src"): _*)
               .collect()
             rows.groupBy(_.getString(srcOrdinal)).toSeq.map { case (srcKey, fileRows) =>
-              groupOf(seqByKey.getOrElse(srcKey, Long.MaxValue), fileRows)
+              // input_file_name() is URI-encoded; seqByKey keys are raw
+              // paths — try both forms, and FAIL LOUDLY on a miss (an
+              // unknown-sequence delete must never default to applying
+              // everywhere, nor to nowhere)
+              val seq = seqByKey.get(srcKey)
+                .orElse(seqByKey.get(
+                  java.net.URLDecoder.decode(srcKey, "UTF-8")))
+                .getOrElse(throw new IllegalStateException(
+                  s"equality-delete file key '$srcKey' does not match any " +
+                    "known delete file"))
+              groupOf(seq, fileRows)
             }
           }
         val perFile: Seq[ScanBridge.EqDeleteGroup] = legacy.map { f =>
@@ -553,14 +565,7 @@ final class GraftIcebergScan(
     if (morDeletes.isEmpty) Map.empty
     else {
       val spark = SparkSession.active
-      val totalDeleteRows = table.positionDeleteFiles.map(_.recordCount).sum +
-        eqDeleteFiles.map(_.recordCount).sum
-      val cap = SQLConf.get.getConfString(
-        "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
-      require(totalDeleteRows <= cap,
-        s"snapshot carries $totalDeleteRows delete rows (> cap $cap); " +
-          "run graft.iceberg.Maintenance.compact to fold deletes into data files, " +
-          "or raise spark.graft.iceberg.morDriverDeleteLimit")
+      assertDeleteCap
       val scannedKeys = files.map(f =>
         ScanBridge.morKey(table.resolvePath(f.filePath))).toSet
       import org.apache.spark.sql.functions.{col, element_at, split}
