@@ -133,6 +133,13 @@ object LlmQueries {
       .select(col("doc_id"), col("media_type"), col("byte_len"))
       .orderBy("doc_id")
 
+  /** Frame sampling over the media table: every 4th frame per video (rows
+    * check — frame counts derive from the stub decode). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+      Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"), step = 4)
+      .orderBy("doc_id", "frame_idx")
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.featureSummary(
       Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
@@ -156,6 +163,7 @@ object LlmQueries {
     "tx_fingerprint"    -> (txFingerprint _),
     "mm_meta"           -> (mmMeta _),
     "mm_features"       -> (mmFeatures _),
+    "mm_frames"         -> (mmFrames _),
   )
 
   private val shingleCte = """

@@ -46,8 +46,19 @@ object Multimodal {
         val hd = h ^ (0x9e3779b97f4a7c15L * (d + 1))
         (Math.floorMod(hd, 2000L) - 1000L) / 1000.0
       }
+      val frames = if (r.media_type == "video")
+        1 + Math.floorMod(h >>> 16, 24L).toInt else 1
       MediaFeatures(r.doc_id, r.media_type, r.byte_len, width, height,
-        n_frames = 1, feature)
+        n_frames = frames, feature)
+    }
+
+    /** STUB resize: a real implementation re-decodes at the target
+      * resolution; the stub rescales the feature vector by the area ratio
+      * (deterministic, plan shape identical). */
+    def resizeStub(f: MediaFeatures, targetW: Int, targetH: Int): MediaFeatures = {
+      val ratio = (targetW.toDouble * targetH) / (f.width.toDouble * f.height)
+      f.copy(width = targetW, height = targetH,
+        feature = f.feature.map(_ * ratio))
     }
   }
 
@@ -69,6 +80,27 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(MediaCodec.decodeStub))
+  }
+
+  /** Resize every decoded record to a target resolution (executor-side,
+    * same typed-batch shape as the decode). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    extractFeatures(media).map(MediaCodec.resizeStub(_, targetW, targetH))
+  }
+
+  /** FRAME SAMPLING: explode each video into every `step`-th frame index —
+    * fully declarative (sequence + explode, no UDF), so Catalyst plans and
+    * codegens it; images/audio pass through as frame 0. The real decoder
+    * would fetch the sampled frames' bytes in the downstream decode. */
+  def frameSample(media: DataFrame, step: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = extractFeatures(media).toDF()
+    feats.withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(step))))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"), col("n_frames"))
   }
 
   /** Per-type feature summary (what a curation pipeline aggregates). */
