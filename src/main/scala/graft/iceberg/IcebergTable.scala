@@ -133,6 +133,12 @@ final class IcebergTable private (
 
   def partitionSpec: PartitionSpec = metadata.specById(metadata.defaultSpecId)
 
+  /** Active sort order resolved to (column name, "asc"|"desc") —
+    * identity-transform fields only (the writer sorts raw values). */
+  def sortOrderColumns: Seq[(String, String)] =
+    metadata.defaultSortOrder.filter(_.transform == "identity").flatMap(sf =>
+      iceSchema.fields.find(_.id == sf.sourceId).map(f => (f.name, sf.direction)))
+
   private def pruningContext(spec: PartitionSpec): Context = Context(
     fieldsByName = iceSchema.fields
       .map(f => f.name -> FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,

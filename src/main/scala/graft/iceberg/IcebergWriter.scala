@@ -56,7 +56,8 @@ object IcebergWriter {
     *                   `("ts", "day")`, `("region", "identity")`.
     */
   def createTable(spark: SparkSession, url: String, schema: StructType,
-      partitions: Seq[(String, String)] = Nil): Unit = {
+      partitions: Seq[(String, String)] = Nil,
+      sortOrder: Seq[(String, String)] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = mapper.createObjectNode()
     meta.put("format-version", 1)
@@ -94,10 +95,27 @@ object IcebergWriter {
     // flat v1 form too (the reference reads this one, ice.py:209)
     meta.set[ArrayNode]("partition-spec", specFields.deepCopy())
     meta.put("last-partition-id", 999)
-    meta.put("default-sort-order-id", 0)
+    // SORT ORDER: written data files keep rows sorted by these columns
+    // (within partitions), so per-file bounds on the sort key are tight and
+    // usually disjoint — a point/range query then prunes to a handful of
+    // files. The scale lever that turns a partition scan into a file read.
+    val orderId = if (sortOrder.isEmpty) 0 else 1
+    meta.put("default-sort-order-id", orderId)
     val order = mapper.createObjectNode()
-    order.put("order-id", 0)
-    order.set[ArrayNode]("fields", mapper.createArrayNode())
+    order.put("order-id", orderId)
+    val orderFields = mapper.createArrayNode()
+    sortOrder.foreach { case (src, direction) =>
+      require(Set("asc", "desc").contains(direction),
+        s"sort direction must be asc|desc, got $direction")
+      val fn = mapper.createObjectNode()
+      fn.put("transform", "identity")
+      fn.put("source-id", topIds.getOrElse(src,
+        throw new IllegalArgumentException(s"no sort column $src")))
+      fn.put("direction", direction)
+      fn.put("null-order", if (direction == "asc") "nulls-first" else "nulls-last")
+      orderFields.add(fn)
+    }
+    order.set[ArrayNode]("fields", orderFields)
     meta.set[ArrayNode]("sort-orders", mapper.createArrayNode().add(order))
     meta.set[ObjectNode]("properties", mapper.createObjectNode())
     meta.put("current-snapshot-id", -1L)
@@ -304,12 +322,26 @@ object IcebergWriter {
       d.withColumn(s"_p_${pf.name}",
         partitionColumn(srcType, Transforms.parse(pf.transform))(col(srcName)))
     }
-    if (specInfo.isEmpty) withParts.write.parquet(dataDir)
-    else {
+    // table sort order: rows sorted WITHIN each output file → tight,
+    // mostly-disjoint per-file bounds on the sort key (file-level pruning)
+    val sortCols = table0.sortOrderColumns.map {
+      case (n, "desc") => col(n).desc
+      case (n, _) => col(n).asc
+    }
+    def sorted(d: DataFrame): DataFrame =
+      if (sortCols.isEmpty) d else d.sortWithinPartitions(sortCols: _*)
+    if (specInfo.isEmpty) {
+      val base0 = if (sortCols.isEmpty) withParts
+        // unpartitioned sorted writes range-partition first, so files cover
+        // DISJOINT sort-key ranges instead of each file spanning everything
+        // (no explicit partition count — AQE coalesces small appends)
+        else withParts.repartitionByRange(sortCols: _*)
+      sorted(base0).write.parquet(dataDir)
+    } else {
       // cluster rows by partition value first: without this every task emits
       // a file per value it happens to hold (small-files explosion at scale)
       val partCols = specInfo.map(s => col(s"_p_${s._1.name}"))
-      withParts.repartition(partCols: _*)
+      sorted(withParts.repartition(partCols: _*))
         .write.partitionBy(specInfo.map(s => s"_p_${s._1.name}"): _*).parquet(dataDir)
     }
 

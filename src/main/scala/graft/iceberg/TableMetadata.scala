@@ -41,6 +41,16 @@ final case class Snapshot(
       * survives snapshot expiration (unlike list position). */
     sequenceNumber: Option[Long] = None)
 
+/** One field of an Iceberg sort order. */
+final case class SortField(sourceId: Int, transform: String,
+    direction: String, nullOrder: String)
+
+/** An Iceberg sort order: data files are written with rows sorted by these
+  * fields (within partitions), which makes per-file column bounds tight and
+  * often DISJOINT — a point/range query on the sort key then prunes to a
+  * handful of files instead of scanning the partition. */
+final case class IceSortOrder(orderId: Int, fields: Seq[SortField])
+
 /** A named snapshot reference (Iceberg `refs`): a BRANCH moves with commits
   * (`main` is one), a TAG pins a snapshot forever — the reproducible-
   * training-set primitive. Retention fields are parsed but not enforced
@@ -66,7 +76,13 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     properties: Map[String, String],
     refs: Map[String, SnapshotRef] = Map.empty,
-    lastSequenceNumber: Long = 0L) {
+    lastSequenceNumber: Long = 0L,
+    sortOrders: Seq[IceSortOrder] = Nil,
+    defaultSortOrderId: Int = 0) {
+
+  /** The table's active sort order (empty = unsorted). */
+  def defaultSortOrder: Seq[SortField] =
+    sortOrders.find(_.orderId == defaultSortOrderId).map(_.fields).getOrElse(Nil)
 
   def snapshotsById: Map[Long, Snapshot] = snapshots.map(s => s.snapshotId -> s).toMap
 
@@ -142,7 +158,19 @@ object TableMetadata {
         // list-position fallback (i+1), so the NEXT commit's number ranks
         // strictly above every existing snapshot instead of colliding
         optNode("snapshots").map(_.size.toLong).getOrElse(0L)
-      })
+      },
+      sortOrders = optNode("sort-orders").map(_.elements().asScala.map { o =>
+        IceSortOrder(
+          orderId = o.get("order-id").asInt,
+          fields = Option(o.get("fields")).map(_.elements().asScala.map { f =>
+            SortField(
+              sourceId = f.get("source-id").asInt,
+              transform = Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+              direction = Option(f.get("direction")).map(_.asText).getOrElse("asc"),
+              nullOrder = Option(f.get("null-order")).map(_.asText).getOrElse("nulls-first"))
+          }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      defaultSortOrderId = optNode("default-sort-order-id").map(_.asInt).getOrElse(0))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

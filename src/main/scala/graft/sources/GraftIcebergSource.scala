@@ -282,19 +282,47 @@ final class GraftIcebergWriteBuilder(table: IcebergTable,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
       override def requiredDistribution():
-          org.apache.spark.sql.connector.distributions.Distribution =
-        if (partitionTransforms.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distribution = {
+        val sortExprs = GraftIcebergWriteBuilder.sortOrderExpressions(table)
+        if (partitionTransforms.nonEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            partitionTransforms
+              .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+        else if (sortExprs.nonEmpty)
+          // unpartitioned sorted table: RANGE distribution on the sort
+          // order, so each writer covers a disjoint key range and the
+          // written files' bounds never overlap — point queries prune to
+          // one file
+          org.apache.spark.sql.connector.distributions.Distributions.ordered(sortExprs)
+        else
           org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-        else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          partitionTransforms
-            .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+      }
 
       override def requiredOrdering():
-          Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        GraftIcebergWriteBuilder.sortOrderExpressions(table)
 
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new GraftBatchWrite(table, mode, querySchema)
     }
+}
+
+object GraftIcebergWriteBuilder {
+  /** The table's sort order as V2 SortOrder expressions: Spark then SORTS
+    * rows before handing them to the DataWriters, so native writes produce
+    * the same tight per-file bounds as the DataFrame path. */
+  private[sources] def sortOrderExpressions(table: IcebergTable):
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    table.sortOrderColumns.map { case (name, dir) =>
+      if (dir == "desc")
+        Expressions.sort(Expressions.column(name),
+          SortDirection.DESCENDING, NullOrdering.NULLS_LAST)
+      else
+        Expressions.sort(Expressions.column(name),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+    }.toArray
+  }
 }
 
 /** One copy-on-write DELETE/UPDATE/MERGE execution: remembers the files its
@@ -336,7 +364,8 @@ final class GraftRowLevelOperation(tbl: GraftIcebergV2Table,
           }
 
           override def requiredOrdering():
-              Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+              Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            GraftIcebergWriteBuilder.sortOrderExpressions(tbl.table)
 
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
             val op = if (cmd == Command.DELETE) "delete" else "overwrite"
