@@ -33,7 +33,13 @@ object Maintenance {
     if (pinned.isEmpty) return
     val n = targetFiles.getOrElse(
       math.max(1, (pinned.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
-    IcebergWriter.writeSnapshot(spark, url, frozen.read().repartition(n),
+    // sorted tables: skip the blind round-robin repartition — the write
+    // path range-partitions on the sort order, which both sizes the files
+    // and restores the disjoint-bounds layout compaction exists to maintain
+    val compacted =
+      if (frozen.sortOrderColumns.nonEmpty) frozen.read()
+      else frozen.read().repartition(n)
+    IcebergWriter.writeSnapshot(spark, url, compacted,
       deletePred = None, operation = "replace",
       pinnedDeletes = Some(pinned), dropDeleteManifests = true,
       // deletes applied by this rewrite are exactly those live at PIN time;

@@ -53,6 +53,30 @@ class SortOrderSpec extends AnyFunSuite {
     assert(t.read(filters = Seq(Seq(("k", "==", 137)))).count() == 1)
   }
 
+  test("compaction restores the sorted disjoint layout") {
+    val url = java.nio.file.Files.createTempDirectory("graft_sortc").toString + "/t"
+    IcebergWriter.createTable(spark, url, schema, sortOrder = Seq("k" -> "asc"))
+    // two interleaved appends: across-file bounds now overlap
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, "a")).toDF("k", "cat"))
+    IcebergWriter.append(spark, url,
+      (50L to 150L).map(i => (i, "b")).toDF("k", "cat"))
+    Maintenance.compact(spark, url)
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 201)
+    val files = t.liveFiles()
+    if (files.size > 1) {
+      val bounds = files.map { f =>
+        (IcebergTypes.decodeBound(f.lowerBounds(1), "long").asInstanceOf[Long],
+          IcebergTypes.decodeBound(f.upperBounds(1), "long").asInstanceOf[Long])
+      }.sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $bounds")
+        case _ => ()
+      }
+    }
+  }
+
   test("the native catalog write honors the sort order too") {
     val wh = java.nio.file.Files.createTempDirectory("graft_sortcat").toString
     val url = s"$wh/db/s"
