@@ -133,11 +133,19 @@ final class IcebergTable private (
 
   def partitionSpec: PartitionSpec = metadata.specById(metadata.defaultSpecId)
 
-  /** Active sort order resolved to (column name, "asc"|"desc") —
-    * identity-transform fields only (the writer sorts raw values). */
-  def sortOrderColumns: Seq[(String, String)] =
-    metadata.defaultSortOrder.filter(_.transform == "identity").flatMap(sf =>
-      iceSchema.fields.find(_.id == sf.sourceId).map(f => (f.name, sf.direction)))
+  /** Active sort order resolved to (column name, "asc"|"desc").
+    * ALL-OR-NOTHING: if any field uses a non-identity transform or an
+    * unknown source id (e.g. externally-written metadata), the order is
+    * treated as unsorted rather than PARTIALLY applied — partially-sorted
+    * files would claim an order their rows do not satisfy. */
+  def sortOrderColumns: Seq[(String, String)] = {
+    val fields = metadata.defaultSortOrder
+    val resolved = fields.flatMap { sf =>
+      if (sf.transform != "identity") None
+      else iceSchema.fields.find(_.id == sf.sourceId).map(f => (f.name, sf.direction))
+    }
+    if (resolved.size == fields.size) resolved else Nil
+  }
 
   private def pruningContext(spec: PartitionSpec): Context = Context(
     fieldsByName = iceSchema.fields

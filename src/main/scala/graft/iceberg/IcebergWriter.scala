@@ -279,7 +279,8 @@ object IcebergWriter {
       extraSummary: Map[String, String] = Map.empty,
       extraManifests: Seq[NewManifestInfo] = Nil,
       posDeleteRows: Long = 0L,
-      presetSnapshotId: Option[Long] = None): Unit = {
+      presetSnapshotId: Option[Long] = None,
+      targetPartitions: Option[Int] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -328,21 +329,32 @@ object IcebergWriter {
       case (n, "desc") => col(n).desc
       case (n, _) => col(n).asc
     }
-    def sorted(d: DataFrame): DataFrame =
-      if (sortCols.isEmpty) d else d.sortWithinPartitions(sortCols: _*)
     if (specInfo.isEmpty) {
-      val base0 = if (sortCols.isEmpty) withParts
+      val base0 =
+        if (sortCols.isEmpty) withParts
         // unpartitioned sorted writes range-partition first, so files cover
         // DISJOINT sort-key ranges instead of each file spanning everything
-        // (no explicit partition count — AQE coalesces small appends)
-        else withParts.repartitionByRange(sortCols: _*)
-      sorted(base0).write.parquet(dataDir)
+        // (without an explicit count AQE coalesces small appends; compaction
+        // passes targetPartitions to control the output file count)
+        else targetPartitions match {
+          case Some(n) => withParts.repartitionByRange(n, sortCols: _*)
+          case None => withParts.repartitionByRange(sortCols: _*)
+        }
+      val base1 = if (sortCols.isEmpty) base0
+        else base0.sortWithinPartitions(sortCols: _*)
+      base1.write.parquet(dataDir)
     } else {
       // cluster rows by partition value first: without this every task emits
-      // a file per value it happens to hold (small-files explosion at scale)
+      // a file per value it happens to hold (small-files explosion at scale).
+      // Sorted tables prepend the partition columns to the sort, satisfying
+      // the dynamic-partition writer's required ordering — it then inserts
+      // NO second sort, so the sort-key order inside each file is guaranteed
+      // (not merely an artifact of sort stability that a spill would break).
       val partCols = specInfo.map(s => col(s"_p_${s._1.name}"))
-      sorted(withParts.repartition(partCols: _*))
-        .write.partitionBy(specInfo.map(s => s"_p_${s._1.name}"): _*).parquet(dataDir)
+      val clustered = withParts.repartition(partCols: _*)
+      val base1 = if (sortCols.isEmpty) clustered
+        else clustered.sortWithinPartitions(partCols.map(_.asc) ++ sortCols: _*)
+      base1.write.partitionBy(specInfo.map(s => s"_p_${s._1.name}"): _*).parquet(dataDir)
     }
 
     val fs = new Path(dataDir).getFileSystem(conf)
@@ -679,6 +691,30 @@ object IcebergWriter {
       schemas.add(newSchema)
       old.put("current-schema-id", newSchemaId)
       old.put("last-column-id", newLastId)
+      // a sort order whose source column left the schema would dangle (real
+      // Iceberg implementations reject such metadata at load): reset the
+      // table to unsorted rather than publish an unsatisfiable order
+      def fieldIds(arr: ArrayNode): Set[Int] = {
+        val b = Set.newBuilder[Int]
+        def walk(fs: ArrayNode): Unit = (0 until fs.size).map(fs.get).foreach { f =>
+          b += f.get("id").asInt
+          val t = f.get("type")
+          if (t != null && t.isObject && t.get("type").asText == "struct")
+            walk(t.asInstanceOf[ObjectNode].withArray[ArrayNode]("fields"))
+        }
+        walk(arr); b.result()
+      }
+      val liveIds = fieldIds(newSchema.withArray[ArrayNode]("fields"))
+      val orderOk = Option(old.get("sort-orders")).forall { so =>
+        val currentOrderId = Option(old.get("default-sort-order-id")).map(_.asInt).getOrElse(0)
+        (0 until so.size).map(so.get).filter(_.get("order-id").asInt == currentOrderId)
+          .forall { o =>
+            val fs = o.get("fields")
+            fs == null || (0 until fs.size).map(fs.get).forall(f =>
+              liveIds.contains(Option(f.get("source-id")).map(_.asInt).getOrElse(-1)))
+          }
+      }
+      if (!orderOk) old.put("default-sort-order-id", 0)
       // v1 flat form follows the current schema (ice.py reads it)
       old.set[ObjectNode]("schema", newSchema.deepCopy())
       old.put("last-updated-ms", System.currentTimeMillis())

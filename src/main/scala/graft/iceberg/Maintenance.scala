@@ -34,13 +34,16 @@ object Maintenance {
     val n = targetFiles.getOrElse(
       math.max(1, (pinned.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
     // sorted tables: skip the blind round-robin repartition — the write
-    // path range-partitions on the sort order, which both sizes the files
-    // and restores the disjoint-bounds layout compaction exists to maintain
+    // path range-partitions on the sort order with targetPartitions output
+    // slices, restoring the disjoint-bounds layout at the requested file
+    // count; unsorted tables round-robin to n as before
+    val sortedTable = frozen.sortOrderColumns.nonEmpty
     val compacted =
-      if (frozen.sortOrderColumns.nonEmpty) frozen.read()
+      if (sortedTable) frozen.read()
       else frozen.read().repartition(n)
     IcebergWriter.writeSnapshot(spark, url, compacted,
       deletePred = None, operation = "replace",
+      targetPartitions = if (sortedTable) Some(n) else None,
       pinnedDeletes = Some(pinned), dropDeleteManifests = true,
       // deletes applied by this rewrite are exactly those live at PIN time;
       // a delete committed after the pin would be silently lost when the

@@ -161,10 +161,10 @@ object TableMetadata {
       },
       sortOrders = optNode("sort-orders").map(_.elements().asScala.map { o =>
         IceSortOrder(
-          orderId = o.get("order-id").asInt,
+          orderId = Option(o.get("order-id")).map(_.asInt).getOrElse(0),
           fields = Option(o.get("fields")).map(_.elements().asScala.map { f =>
             SortField(
-              sourceId = f.get("source-id").asInt,
+              sourceId = Option(f.get("source-id")).map(_.asInt).getOrElse(-1),
               transform = Option(f.get("transform")).map(_.asText).getOrElse("identity"),
               direction = Option(f.get("direction")).map(_.asText).getOrElse("asc"),
               nullOrder = Option(f.get("null-order")).map(_.asText).getOrElse("nulls-first"))

@@ -95,6 +95,7 @@ object Multimodal {
     * codegens it; images/audio pass through as frame 0. The real decoder
     * would fetch the sampled frames' bytes in the downstream decode. */
   def frameSample(media: DataFrame, step: Int): DataFrame = {
+    require(step > 0, s"frame-sample step must be positive, got $step")
     val spark = media.sparkSession
     import spark.implicits._
     val feats = extractFeatures(media).toDF()

@@ -77,7 +77,14 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
           val Array(src, tr) = p.split(':')
           (src.trim, tr.trim)
         }
-      IcebergWriter.createTable(spark, path, data.schema, partitions)
+      // `.option("sort-order", "k:asc,v:desc")` — sorted-table creation
+      val sortOrder = parameters.get("sort-order").toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)
+        .map { p =>
+          val Array(src, dir) = p.split(':')
+          (src.trim, dir.trim)
+        }
+      IcebergWriter.createTable(spark, path, data.schema, partitions, sortOrder)
     }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
@@ -282,21 +289,8 @@ final class GraftIcebergWriteBuilder(table: IcebergTable,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
       override def requiredDistribution():
-          org.apache.spark.sql.connector.distributions.Distribution = {
-        val sortExprs = GraftIcebergWriteBuilder.sortOrderExpressions(table)
-        if (partitionTransforms.nonEmpty)
-          org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partitionTransforms
-              .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
-        else if (sortExprs.nonEmpty)
-          // unpartitioned sorted table: RANGE distribution on the sort
-          // order, so each writer covers a disjoint key range and the
-          // written files' bounds never overlap — point queries prune to
-          // one file
-          org.apache.spark.sql.connector.distributions.Distributions.ordered(sortExprs)
-        else
-          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-      }
+          org.apache.spark.sql.connector.distributions.Distribution =
+        GraftIcebergWriteBuilder.writeDistribution(table, partitionTransforms)
 
       override def requiredOrdering():
           Array[org.apache.spark.sql.connector.expressions.SortOrder] =
@@ -308,6 +302,23 @@ final class GraftIcebergWriteBuilder(table: IcebergTable,
 }
 
 object GraftIcebergWriteBuilder {
+  /** The distribution every graft write wants: cluster on partition
+    * transforms when partitioned; RANGE on the sort order when the table is
+    * unpartitioned-but-sorted (disjoint per-file bounds); else unspecified. */
+  private[sources] def writeDistribution(table: IcebergTable,
+      partitionTransforms: Array[Transform]):
+      org.apache.spark.sql.connector.distributions.Distribution = {
+    val sortExprs = sortOrderExpressions(table)
+    if (partitionTransforms.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        partitionTransforms
+          .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
+    else if (sortExprs.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(sortExprs)
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  }
+
   /** The table's sort order as V2 SortOrder expressions: Spark then SORTS
     * rows before handing them to the DataWriters, so native writes produce
     * the same tight per-file bounds as the DataFrame path. */
@@ -355,13 +366,8 @@ final class GraftRowLevelOperation(tbl: GraftIcebergV2Table,
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
           override def requiredDistribution():
-              org.apache.spark.sql.connector.distributions.Distribution = {
-            val t = tbl.partitioning()
-            if (t.isEmpty)
-              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-            else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              t.map(x => x: org.apache.spark.sql.connector.expressions.Expression))
-          }
+              org.apache.spark.sql.connector.distributions.Distribution =
+            GraftIcebergWriteBuilder.writeDistribution(tbl.table, tbl.partitioning())
 
           override def requiredOrdering():
               Array[org.apache.spark.sql.connector.expressions.SortOrder] =

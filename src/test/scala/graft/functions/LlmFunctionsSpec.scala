@@ -129,6 +129,29 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(f1.map(_.media_type).toSeq == Seq("image", "audio", "video"))
   }
 
+  test("multimodal: resize rescales by area ratio; frame sampling covers videos") {
+    val docs = Seq((0L, "hello world"), (1L, "spark rules"), (2L, "abc"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val orig = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val resized = Multimodal.resize(media, 224, 224).collect().sortBy(_.doc_id)
+    assert(resized.forall(f => f.width == 224 && f.height == 224))
+    orig.zip(resized).foreach { case (o, r) =>
+      val ratio = (224.0 * 224) / (o.width.toDouble * o.height)
+      o.feature.zip(r.feature).foreach { case (a, b) =>
+        assert(math.abs(a * ratio - b) < 1e-12)
+      }
+    }
+    val frames = Multimodal.frameSample(media, step = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    // non-videos emit exactly frame 0; videos emit ceil(n_frames/4) frames
+    assert(frames.filter(_._1 != 2L).forall(f => f._2 == 0 && f._3 == 1))
+    val videoFrames = frames.filter(_._1 == 2L)
+    val n = videoFrames.head._3
+    assert(videoFrames.map(_._2).sorted.toSeq == (0 until n by 4).toSeq)
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, 0))
+  }
+
   test("langId expression matches the composable formulation on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mismatch = docs.select(

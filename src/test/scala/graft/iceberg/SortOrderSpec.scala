@@ -53,6 +53,20 @@ class SortOrderSpec extends AnyFunSuite {
     assert(t.read(filters = Seq(Seq(("k", "==", 137)))).count() == 1)
   }
 
+  test("dropping the sort column resets the table to unsorted") {
+    val url = java.nio.file.Files.createTempDirectory("graft_sortd").toString + "/t"
+    IcebergWriter.createTable(spark, url, schema, sortOrder = Seq("k" -> "asc"))
+    IcebergWriter.dropColumn(spark, url, "k")
+    val t = IcebergTable.load(spark, url)
+    assert(t.metadata.defaultSortOrderId == 0, "dangling sort order must reset")
+    assert(t.sortOrderColumns.isEmpty)
+    // dropping an unrelated column keeps the order
+    val url2 = java.nio.file.Files.createTempDirectory("graft_sortd2").toString + "/t"
+    IcebergWriter.createTable(spark, url2, schema, sortOrder = Seq("k" -> "asc"))
+    IcebergWriter.dropColumn(spark, url2, "cat")
+    assert(IcebergTable.load(spark, url2).sortOrderColumns == Seq("k" -> "asc"))
+  }
+
   test("compaction restores the sorted disjoint layout") {
     val url = java.nio.file.Files.createTempDirectory("graft_sortc").toString + "/t"
     IcebergWriter.createTable(spark, url, schema, sortOrder = Seq("k" -> "asc"))
