@@ -57,12 +57,14 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
   override def supportsExternalMetadata(): Boolean = true
 
   /** DataFrame WRITE API (`df.write.format("graft-iceberg").save(path)`):
-    * the V2 table exposes no BATCH_WRITE, so Spark falls back here and the
-    * whole battle-tested writer (stats, hidden partitioning, optimistic
-    * commit) is reused. Append creates the table on first write; Overwrite
-    * replaces all rows in one snapshot. Partitioning via
-    * `.option("partition-spec", "cat:identity,k:bucket[4]")` (partitionBy
-    * columns don't flow through the V1 write API). */
+    * Spark lands here for CREATE-on-first-write modes (ErrorIfExists /
+    * Ignore, and any mode when the table does not exist yet) — existing
+    * tables take the native BatchWrite through the V2 relation. Append
+    * creates the table on first write; Overwrite replaces all rows in one
+    * snapshot. Partitioning via
+    * `.option("partition-spec", "cat:identity,k:bucket[4]")` and sorting
+    * via `.option("sort-order", "k:asc")` (these don't flow through the V1
+    * write API's partitionBy). */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val path = parameters.getOrElse("path",
