@@ -91,6 +91,23 @@ class NestedEvolutionSpec extends AnyFunSuite {
       .asInstanceOf[StructType].fieldNames.contains("tag"))
   }
 
+  test("nested structs survive the native SQL write path with ids intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_nestedsql").toString
+    val url = s"$wh/db/n"
+    IcebergWriter.createTable(spark, url, nested)
+    val cat = s"ns${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"INSERT INTO $cat.db.n VALUES (1, named_struct('city', 'nyc', 'tag', 'a'))")
+    spark.sql(s"INSERT INTO $cat.db.n VALUES (2, named_struct('city', 'sfo', 'tag', 'b'))")
+    // nested rename resolves by the ids the NATIVE writer stamped
+    IcebergWriter.renameColumn(spark, url, "meta.city", "town")
+    val got = spark.sql(s"SELECT k, meta.town FROM $cat.db.n ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "nyc"), (2L, "sfo")),
+      "nested ids from the native write must survive a rename")
+  }
+
   test("fresh ids never collide after nested adds") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, nested)
