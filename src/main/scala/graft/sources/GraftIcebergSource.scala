@@ -549,10 +549,13 @@ final class GraftIcebergScan(
           footerNames(table.resolvePath(f.filePath)) == names)
 
         def groupOf(seq: Long, fileRows: Iterable[org.apache.spark.sql.Row]) = {
-          val keys = new java.util.HashSet[Seq[Any]]()
+          // UnsafeRow keys (byte-based equals/hashCode): binary key columns
+          // compare by value, and the layout matches the executor probe
+          val keys = new java.util.HashSet[
+            org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
+          val builder = new ScanBridge.EqKeyBuilder(types)
           fileRows.foreach { r =>
-            keys.add(Seq.tabulate(names.length)(i =>
-              if (r.isNullAt(i)) null else converters(i)(r.get(i))))
+            keys.add(builder.build(i => converters(i)(r.get(i)), r.isNullAt))
           }
           ScanBridge.EqDeleteGroup(ordinals, types, seq, keys)
         }

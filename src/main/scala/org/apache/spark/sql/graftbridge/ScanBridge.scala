@@ -134,12 +134,40 @@ object ScanBridge {
   /** One EQUALITY-delete file's keys, catalyst-normalized, plus where its
     * key columns sit in the (widened) read schema and the commit sequence
     * that scopes it: rows of data files with `dataSeq < seq` whose key
-    * tuple is in `keys` are deleted. Built once on the driver. */
+    * tuple is in `keys` are deleted. Built once on the driver.
+    *
+    * Keys are stored as [[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]s
+    * (Externalizable, so the set ships to executors): UnsafeRow equality and
+    * hashCode are byte-based, so BinaryType key components compare by VALUE —
+    * a Seq[Array[Byte]] key would compare by reference and silently never
+    * match — and the executor-side probe projects each data row into one
+    * REUSED buffer, so the per-row hot loop allocates nothing. */
   final case class EqDeleteGroup(
       ordinals: Array[Int],
       types: Array[org.apache.spark.sql.types.DataType],
       seq: Long,
-      keys: java.util.HashSet[Seq[Any]]) extends Serializable
+      keys: java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow])
+    extends Serializable
+
+  /** Driver-side builder for [[EqDeleteGroup.keys]] entries: projects one
+    * catalyst-converted key tuple into a copied UnsafeRow with the same
+    * field order/types the executor probe projection uses, so the byte
+    * layouts (and therefore hashCode/equals) line up exactly. */
+  final class EqKeyBuilder(types: Array[org.apache.spark.sql.types.DataType]) {
+    private val proj =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
+    private val buf = new Array[Any](types.length)
+    def build(values: Int => Any, isNull: Int => Boolean)
+        : org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+      var i = 0
+      while (i < types.length) {
+        buf(i) = if (isNull(i)) null else values(i)
+        i += 1
+      }
+      proj(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(buf))
+        .copy()
+    }
+  }
 
   /** Catalyst-normalize one EXTERNAL value (String → UTF8String, Timestamp
     * → micros, …) so equality-delete keys compare equal to what the parquet
@@ -271,15 +299,22 @@ object ScanBridge {
       val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(exprs)
 
+      // one probe projection per applicable group: bound to the group's key
+      // ordinals in the widened row, writing into a REUSED UnsafeRow buffer —
+      // `keys.contains(probe(r))` hashes/compares raw bytes, so the per-row
+      // loop allocates nothing and BinaryType keys compare by value
+      val probes: Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] =
+        applicable.map { g =>
+          org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+            g.ordinals.zipWithIndex.map { case (o, j) =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                o, g.types(j), nullable = true)
+            }.toSeq)
+        }
       def eqDeleted(r: InternalRow): Boolean = {
         var i = 0
         while (i < applicable.length) {
-          val g = applicable(i)
-          val key = Seq.tabulate(g.ordinals.length) { j =>
-            val o = g.ordinals(j)
-            if (r.isNullAt(o)) null else r.get(o, g.types(j))
-          }
-          if (g.keys.contains(key)) return true
+          if (applicable(i).keys.contains(probes(i)(r))) return true
           i += 1
         }
         false

@@ -123,6 +123,23 @@ class EqualityDeleteSpec extends AnyFunSuite {
       "the equality delete must still apply to the expired snapshot's live file")
   }
 
+  test("binary key columns compare by value, not reference") {
+    val url = freshTable
+    val bschema = StructType(Seq(
+      StructField("bk", BinaryType), StructField("v", LongType)))
+    IcebergWriter.createTable(spark, url, bschema)
+    IcebergWriter.append(spark, url,
+      Seq((Array[Byte](1, 2, 3), 1L), (Array[Byte](4, 5), 2L))
+        .toDF("bk", "v").coalesce(1))
+    // Array[Byte].equals is reference-based: a Seq[Any]-keyed probe would
+    // silently never match and resurrect the deleted row
+    IcebergWriter.equalityDelete(spark, url,
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("bk"), Seq("bk"))
+    val got = IcebergTable.load(spark, url).read()
+      .select("v").as[Long].collect().toSeq
+    assert(got == Seq(2L), "binary-keyed equality delete must remove its row")
+  }
+
   test("position and equality deletes compose on the same table") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
