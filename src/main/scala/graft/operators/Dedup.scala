@@ -93,17 +93,29 @@ object Dedup {
     * Hamming ≤ 3 — pairs differing in all 4 blocks (possible when
     * `maxHamming` ≥ 4) are found only if some block still collides. For a
     * hard guarantee at larger radii, run with rotated copies of the hash or
-    * use [[minhashDedup]], whose banding probability is tunable. */
+    * use [[minhashDedup]], whose banding probability is tunable.
+    *
+    * `maxBucketSize` caps degenerate buckets the same way [[minhashDedup]]
+    * does — SimHash is MORE exposed than MinHash banding (a 64-bit hash of
+    * boilerplate-heavy short docs collides easily, and identical docs
+    * collide in ALL four blocks), so an uncapped band join goes quadratic
+    * on exactly the corpora dedup targets. Capped members still pair up
+    * through their other, more selective blocks; truly identical docs are
+    * [[exactDedup]]'s job, not a pair enumeration's. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, maxHamming: Int = 8): DataFrame = {
+      n: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 2000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         SimHash.simhash64(TF.wordShingles(col(textCol), n)).as("h"))
     // band the 64-bit hash into 4 16-bit blocks for candidate generation
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket")))
-    val banded = sh.withColumn("bb", explode(array(blocks: _*)))
+    val banded0 = sh.withColumn("bb", explode(array(blocks: _*)))
       .select(col("id"), col("h"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = banded0.withColumn("_bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

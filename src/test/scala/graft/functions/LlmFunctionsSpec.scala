@@ -76,6 +76,30 @@ class LlmFunctionsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("simhash bucket cap defuses a degenerate identical-doc corpus") {
+    // 1k identical docs collide in ALL four 16-bit blocks — uncapped, the
+    // band join enumerates ~2M candidate pairs (and at corpus scale goes
+    // quadratic). The cap drops the degenerate buckets entirely; identical
+    // docs are exactDedup's job.
+    val docs = (0L until 1000L).map(i => (i,
+      "same boilerplate text repeated for every document in this corpus " +
+        "over and over again without any variation at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", 3,
+      maxHamming = 16, maxBucketSize = 100)
+    assert(pairs.count() == 0, "capped buckets must produce no candidates")
+    // the cap must not disturb a healthy corpus: near-dup still found
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val healthy = Seq((0L, base), (1L, base + " phi"),
+      (2L, "unrelated totally different content with other words here yes"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(healthy, "text", "doc_id", 3,
+      maxHamming = 16, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+  }
+
   test("exactDedup marks canonical copies") {
     val docs = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
