@@ -70,14 +70,28 @@ object Similarity {
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nlist: Int)
 
   /** Train the coarse quantizer (k-means on a corpus sample) and assign
-    * every vector to a cell. The FAISS IVF-Flat shape on DataFrames. */
+    * every vector to a cell. The FAISS IVF-Flat shape on DataFrames.
+    *
+    * `trainFraction < 0` (the default) auto-sizes the training sample to
+    * ~`trainPointsPerCell × nlist` vectors using plan statistics (the same
+    * `rowCountFor` shape as the LSH auto-sizing) — FAISS trains its coarse
+    * quantizer on ~256 points per centroid; training k-means on a 100 TB
+    * corpus would be the footgun. Pass 1.0 to force full-corpus training. */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      nlist: Int = 64, trainFraction: Double = 1.0, seed: Long = 42L): IvfIndex = {
+      nlist: Int = 64, trainFraction: Double = -1.0, seed: Long = 42L,
+      trainPointsPerCell: Long = 256L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("feat", array_to_vector(col("cv")))
-    val train = if (trainFraction >= 1.0) feats else feats.sample(trainFraction, seed)
+    val fraction =
+      if (trainFraction >= 0) trainFraction
+      else {
+        val n = graft.operators.Dedup.rowCountFor(corpus)
+        if (n <= 0) 1.0
+        else math.min(1.0, trainPointsPerCell.toDouble * nlist / n)
+      }
+    val train = if (fraction >= 1.0) feats else feats.sample(fraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("feat").setPredictionCol("cell").fit(train)
     val assigned = model.transform(feats).select(
