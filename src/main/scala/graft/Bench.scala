@@ -27,17 +27,25 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // Per-query MEDIAN of `reps` runs: wall-clock on a shared VM swings
+    // ±35% on identical code, so a single sample cannot distinguish a real
+    // regression from noise. The median of 3 is robust to one outlier run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      // noop sink executes the FULL plan (a count() would let Spark prune
-      // projections and undercount the real work)
-      val err =
-        try { SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAILURE in $name: $e")
-          Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink executes the FULL plan (a count() would let Spark prune
+        // projections and undercount the real work)
+        val err =
+          try { SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAILURE in $name: $e")
+            Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val median = samples.map(_._1).sorted.apply(samples.length / 2)
+      (name, median, samples.flatMap(_._2).headOption)
     }
     // A failed query must never read as a speedup: report per-query errors
     // and exit non-zero so the driver records the regression.
@@ -47,7 +55,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
