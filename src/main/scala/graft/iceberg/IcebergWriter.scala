@@ -101,22 +101,34 @@ object IcebergWriter {
     // files. The scale lever that turns a partition scan into a file read.
     val orderId = if (sortOrder.isEmpty) 0 else 1
     meta.put("default-sort-order-id", orderId)
-    val order = mapper.createObjectNode()
-    order.put("order-id", orderId)
-    val orderFields = mapper.createArrayNode()
-    sortOrder.foreach { case (src, direction) =>
-      require(Set("asc", "desc").contains(direction),
-        s"sort direction must be asc|desc, got $direction")
-      val fn = mapper.createObjectNode()
-      fn.put("transform", "identity")
-      fn.put("source-id", topIds.getOrElse(src,
-        throw new IllegalArgumentException(s"no sort column $src")))
-      fn.put("direction", direction)
-      fn.put("null-order", if (direction == "asc") "nulls-first" else "nulls-last")
-      orderFields.add(fn)
+    // the unsorted order {order-id: 0, fields: []} is ALWAYS present (as
+    // Iceberg's own metadata builder guarantees): readers resolve the
+    // default order id against this list, and schema evolution may later
+    // reset a sorted table to unsorted — order 0 must exist to resolve
+    val orders = mapper.createArrayNode()
+    val unsorted = mapper.createObjectNode()
+    unsorted.put("order-id", 0)
+    unsorted.set[ArrayNode]("fields", mapper.createArrayNode())
+    orders.add(unsorted)
+    if (sortOrder.nonEmpty) {
+      val order = mapper.createObjectNode()
+      order.put("order-id", orderId)
+      val orderFields = mapper.createArrayNode()
+      sortOrder.foreach { case (src, direction) =>
+        require(Set("asc", "desc").contains(direction),
+          s"sort direction must be asc|desc, got $direction")
+        val fn = mapper.createObjectNode()
+        fn.put("transform", "identity")
+        fn.put("source-id", topIds.getOrElse(src,
+          throw new IllegalArgumentException(s"no sort column $src")))
+        fn.put("direction", direction)
+        fn.put("null-order", if (direction == "asc") "nulls-first" else "nulls-last")
+        orderFields.add(fn)
+      }
+      order.set[ArrayNode]("fields", orderFields)
+      orders.add(order)
     }
-    order.set[ArrayNode]("fields", orderFields)
-    meta.set[ArrayNode]("sort-orders", mapper.createArrayNode().add(order))
+    meta.set[ArrayNode]("sort-orders", orders)
     meta.set[ObjectNode]("properties", mapper.createObjectNode())
     meta.put("current-snapshot-id", -1L)
     meta.set[ArrayNode]("snapshots", mapper.createArrayNode())
@@ -280,7 +292,8 @@ object IcebergWriter {
       extraManifests: Seq[NewManifestInfo] = Nil,
       posDeleteRows: Long = 0L,
       presetSnapshotId: Option[Long] = None,
-      targetPartitions: Option[Int] = None): Unit = {
+      targetPartitions: Option[Int] = None,
+      dynamicTouched: Option[Set[Seq[Any]]] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -375,7 +388,7 @@ object IcebergWriter {
 
     commitDataFiles(spark, url, commitId, dataFiles, deletePred, operation,
       pinnedDeletes, dropDeleteManifests, pinnedDeleteFiles, extraSummary,
-      extraManifests, posDeleteRows, presetSnapshotId)
+      extraManifests, posDeleteRows, presetSnapshotId, dynamicTouched)
   }
 
   /** Publish already-written data files as one snapshot — the shared commit
@@ -396,7 +409,8 @@ object IcebergWriter {
       extraSummary: Map[String, String] = Map.empty,
       extraManifests: Seq[NewManifestInfo] = Nil,
       posDeleteRows: Long = 0L,
-      presetSnapshotId: Option[Long] = None): Unit = {
+      presetSnapshotId: Option[Long] = None,
+      dynamicTouched: Option[Set[Seq[Any]]] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     val schema = table0.metadata.schemas
@@ -418,7 +432,13 @@ object IcebergWriter {
       // 3a. (overwrite only) resolve which existing files the predicate
       // deletes; refuse predicates that would split a file. Compaction pins
       // the EXACT files it read, so a concurrent append's files survive.
-      val deletedFiles: Seq[Manifests.DataFileInfo] = if (pinnedDeletes.isDefined)
+      val deletedFiles: Seq[Manifests.DataFileInfo] = if (dynamicTouched.isDefined)
+        // dynamic-overwrite victims resolve per ATTEMPT against the fresh
+        // table: a concurrent append into a touched partition must be
+        // replaced too, or "replace exactly the touched partitions" silently
+        // weakens to "replace the files that existed when we first looked"
+        dynamicVictims(table, dynamicTouched.get)
+      else if (pinnedDeletes.isDefined)
         pinnedDeletes.get
       else deletePred match {
         case None => Nil
@@ -589,7 +609,17 @@ object IcebergWriter {
   def addColumn(spark: SparkSession, url: String, name: String,
       icebergType: String, required: Boolean = false): Unit =
     evolveSchema(spark, url) { (fields, lastColumnId) =>
-      val parts = name.split('.').toSeq
+      // route into a struct only when the first segment names an existing
+      // top-level STRUCT column; otherwise the whole name is a flat column
+      // (which may legitimately contain a literal '.')
+      val dotted = name.split('.').toSeq
+      val parts =
+        if (dotted.length > 1 && fields.exists(f =>
+          f.get("name").asText == dotted.head && {
+            val t = f.get("type")
+            t != null && t.isObject && t.get("type").asText == "struct"
+          })) dotted
+        else Seq(name)
       val f = mapper.createObjectNode()
       f.put("id", lastColumnId + 1)
       f.put("name", parts.last)
@@ -607,7 +637,7 @@ object IcebergWriter {
     * name. */
   def renameColumn(spark: SparkSession, url: String, from: String, to: String): Unit =
     evolveSchema(spark, url) { (fields, lastColumnId) =>
-      val parts = from.split('.').toSeq
+      val parts = evolutionPath(fields, from)
       (mutateStructPath(fields, parts.init, from) { leaf =>
         require(leaf.exists(_.get("name").asText == parts.last), s"no column $from")
         require(!leaf.exists(_.get("name").asText == to), s"column $to exists")
@@ -623,12 +653,20 @@ object IcebergWriter {
     * paths drop inside nested structs. */
   def dropColumn(spark: SparkSession, url: String, name: String): Unit =
     evolveSchema(spark, url) { (fields, lastColumnId) =>
-      val parts = name.split('.').toSeq
+      val parts = evolutionPath(fields, name)
       (mutateStructPath(fields, parts.init, name) { leaf =>
         require(leaf.exists(_.get("name").asText == parts.last), s"no column $name")
         leaf.filterNot(_.get("name").asText == parts.last)
       }, lastColumnId)
     }
+
+  /** Resolve an evolution target: an EXACT top-level name wins over a
+    * dotted-path reading, so a flat column whose name contains a literal
+    * '.' can still be renamed/dropped (the dot is a legal identifier char;
+    * misreading it as a struct path fails with "no struct column"). */
+  private def evolutionPath(fields: Seq[ObjectNode], name: String): Seq[String] =
+    if (fields.exists(_.get("name").asText == name)) Seq(name)
+    else name.split('.').toSeq
 
   /** Apply `op` to the field list at the end of `parents` — a dotted path of
     * STRUCT columns (empty = top level). Fields along the path are deep-
@@ -714,7 +752,28 @@ object IcebergWriter {
               liveIds.contains(Option(f.get("source-id")).map(_.asInt).getOrElse(-1)))
           }
       }
-      if (!orderOk) old.put("default-sort-order-id", 0)
+      if (!orderOk) {
+        old.put("default-sort-order-id", 0)
+        // resolving order id 0 requires the unsorted entry to exist (legacy
+        // tables may predate its unconditional creation), and the dangling
+        // order — fields referencing the dropped column — must not stay
+        // listed: standard Iceberg readers validate every listed order
+        // against the current schema
+        val so = old.withArray[ArrayNode]("sort-orders")
+        val kept = (0 until so.size).map(so.get).filter { o =>
+          val fs = o.get("fields")
+          fs == null || (0 until fs.size).map(fs.get).forall(f =>
+            liveIds.contains(Option(f.get("source-id")).map(_.asInt).getOrElse(-1)))
+        }
+        so.removeAll()
+        if (!kept.exists(_.get("order-id").asInt == 0)) {
+          val unsorted = mapper.createObjectNode()
+          unsorted.put("order-id", 0)
+          unsorted.set[ArrayNode]("fields", mapper.createArrayNode())
+          so.add(unsorted)
+        }
+        kept.foreach(so.add)
+      }
       // v1 flat form follows the current schema (ice.py reads it)
       old.set[ObjectNode]("schema", newSchema.deepCopy())
       old.put("last-updated-ms", System.currentTimeMillis())
@@ -818,22 +877,20 @@ object IcebergWriter {
     }
   }
 
-  /** Run `body` with field-ID parquet column resolution ON, restoring the
-    * previous session value after. The position scans below need
-    * `_metadata` columns, which only Spark's built-in parquet source
-    * exposes — and that source reads this flag from the session conf at
-    * plan time, so a per-relation option cannot scope it. The write paths
-    * are EAGER (every job they launch runs inside their dynamic extent), so
-    * a set/restore is sound here, unlike on a lazily-consumed DataFrame. */
-  private def withFieldIdRead[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.fieldId.read.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  /** Run `body` against a CLONED session (same SparkContext, own
+    * SessionState) with field-ID parquet column resolution ON. The position
+    * scans below need `_metadata` columns, which only Spark's built-in
+    * parquet source exposes — and that source reads this flag from the
+    * session conf at plan time, so a per-relation option cannot scope it.
+    * A set/restore on the shared session would leak the flag to concurrent
+    * queries on OTHER threads for the duration of the scan (changing their
+    * column resolution on id-less files); the clone's conf is invisible to
+    * them. DataFrames built in `body` must come from the session handed to
+    * it, so their plans resolve under the flag. */
+  private def withFieldIdRead[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    body(scoped)
   }
 
   /** Row-level delete via Iceberg v2 POSITION DELETES (merge-on-read).
@@ -880,15 +937,15 @@ object IcebergWriter {
     // columns force Spark's built-in parquet source here)
     val (deleteManifest, posDeleteCount) =
       if (candidates.isEmpty) (None, 0L)
-      else withFieldIdRead(spark) {
+      else withFieldIdRead(spark) { fidSpark =>
         val predCol = Pruning.toColumn(pred).getOrElse(
           throw new IllegalStateException("row-level delete needs a concrete predicate"))
-        val positions = spark.read.schema(table.schema)
+        val positions = fidSpark.read.schema(table.schema)
           .parquet(candidates.map(f => table.resolvePath(f.filePath)): _*)
           .filter(predCol)
           .select(col("_metadata.file_path").as("file_path"),
             col("_metadata.row_index").as("pos"))
-        writePositionDeletes(spark, url, table, commitId, snapshotId,
+        writePositionDeletes(fidSpark, url, table, commitId, snapshotId,
           positions, specInfo, conf)
       }
 
@@ -1049,8 +1106,10 @@ object IcebergWriter {
     }
     val touched: Set[Seq[Any]] = df.select(partCols: _*).distinct().collect()
       .map(r => spec.fields.indices.map(i => normPartValue(r.get(i))): Seq[Any]).toSet
+    // victim resolution happens INSIDE the commit retry (dynamicTouched):
+    // a concurrent append into a touched partition is replaced too
     writeSnapshot(spark, url, df, deletePred = None, operation = "overwrite",
-      pinnedDeletes = Some(dynamicVictims(table, touched)),
+      dynamicTouched = Some(touched),
       extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
   }
 
@@ -1383,8 +1442,8 @@ object IcebergWriter {
 
     // field-id resolution scoped to this eager region (the _metadata
     // columns force Spark's built-in parquet source here)
-    val (deleteManifest, posDeleteCount) = withFieldIdRead(spark) {
-      val positions = spark.read.schema(table.schema)
+    val (deleteManifest, posDeleteCount) = withFieldIdRead(spark) { fidSpark =>
+      val positions = fidSpark.read.schema(table.schema)
         .parquet(live.map(f => table.resolvePath(f.filePath)): _*)
         .select(keyCols.map(col) ++ Seq(
           col("_metadata.file_path").as("file_path"),
@@ -1392,7 +1451,7 @@ object IcebergWriter {
         .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
         .select("file_path", "pos")
       writePositionDeletes(
-        spark, url, table, commitId, snapshotId, positions, specInfo, conf)
+        fidSpark, url, table, commitId, snapshotId, positions, specInfo, conf)
     }
 
     writeSnapshot(spark, url, source, deletePred = None, operation = "overwrite",

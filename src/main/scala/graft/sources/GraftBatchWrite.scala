@@ -93,14 +93,14 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
           pinnedDeleteFiles = Some(deleteFilesAtPin()))
       case WriteMode.OverwriteDynamic =>
         // victims: live files whose partition tuple appears among the
-        // WRITTEN files' tuples — metadata-only, whole-file by construction
+        // WRITTEN files' tuples — metadata-only, whole-file by construction.
+        // Resolution happens INSIDE the commit retry (dynamicTouched), so a
+        // concurrent append into a touched partition is replaced too.
         val touched = dataFiles
           .map(f => f._4.map(IcebergWriter.normPartValue): Seq[Any]).toSet
-        val victims = IcebergWriter.dynamicVictims(
-          IcebergTable.load(spark, table.url), touched)
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = None, operation = "overwrite",
-          pinnedDeletes = Some(victims),
+          dynamicTouched = Some(touched),
           extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
     }
   }
