@@ -20,6 +20,44 @@ object IceQueries {
   private def table(s: SparkSession): IcebergTable =
     IcebergTable.load(s, FixtureDir, Some(FixtureOrig))
 
+  /** Oracles whose SQL depends on run-time temp paths: each write-path
+    * query registers DuckDB SQL over its FINAL data files after
+    * committing. Verify collects `oracleSql` AFTER all queries run, so
+    * these land in the dump — and the driver's DuckDB then reads the
+    * written bytes back as a FOREIGN engine, the interop proof a summary
+    * tuple can't give. */
+  val dynamicOracle: scala.collection.concurrent.TrieMap[String, String] =
+    scala.collection.concurrent.TrieMap.empty
+
+  private def sqlPaths(paths: Seq[String]): String =
+    paths.map(p => "'" + p.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** DuckDB subquery yielding the LIVE rows of `t` straight from its data
+    * files: read_parquet over the resolved live-file list; when position-
+    * delete files exist, an anti-join on (path suffix after the LAST
+    * '/data/', file_row_number) replays merge-on-read independently of our
+    * reader — the same file key ScanBridge.morKey uses. */
+  private def duckLiveRows(t: IcebergTable, cols: Seq[String]): String = {
+    require(t.equalityDeleteFiles.isEmpty,
+      "duckLiveRows replays position deletes only")
+    val data = sqlPaths(t.liveFiles().map(f => t.resolvePath(f.filePath)))
+    val dels = t.positionDeleteFiles.map(f => t.resolvePath(f.filePath))
+    val colList = cols.mkString(", ")
+    if (dels.isEmpty)
+      s"SELECT $colList FROM read_parquet($data, union_by_name=true)"
+    else
+      s"""SELECT $colList FROM (
+         |  SELECT *, str_split(filename, '/data/')[-1] AS _fkey,
+         |         file_row_number AS _fpos
+         |  FROM read_parquet($data, union_by_name=true, filename=true,
+         |                    file_row_number=true)
+         |) _d WHERE NOT EXISTS (
+         |  SELECT 1 FROM (
+         |    SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
+         |    FROM read_parquet(${sqlPaths(dels)})
+         |  ) _x WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)""".stripMargin
+  }
+
   /** SURVEY §2A #15: full scan of the current snapshot (5 live rows). */
   def iceReadAll(s: SparkSession, dir: String): DataFrame =
     table(s).read().orderBy("name")
@@ -98,9 +136,20 @@ object IceQueries {
     IcebergWriter.append(s, url, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     IcebergWriter.append(s, url, Seq((3L, "c")).toDF("k", "v"))
     val t = IcebergTable.load(s, url)
-    Seq((t.version, t.read().count(), t.countFromStats().getOrElse(-1L),
-        t.snapshotRelative(-1).read().count(), t.snapshots.size))
-      .toDF("version", "rows", "rows_from_stats", "rows_prev_snapshot", "n_snapshots")
+    // the oracle reads the WRITTEN bytes back through DuckDB; the expected
+    // metadata facts are pinned as literals in the SQL text
+    dynamicOracle("ice_write_roundtrip") =
+      s"""SELECT k, v, CAST(3 AS INTEGER) AS version,
+         |  CAST(3 AS BIGINT) AS rows_from_stats,
+         |  CAST(2 AS BIGINT) AS rows_prev_snapshot,
+         |  CAST(2 AS INTEGER) AS n_snapshots
+         |FROM (${duckLiveRows(t, Seq("k", "v"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("version", lit(t.version))
+      .withColumn("rows_from_stats", lit(t.countFromStats().getOrElse(-1L)))
+      .withColumn("rows_prev_snapshot", lit(t.snapshotRelative(-1).read().count()))
+      .withColumn("n_snapshots", lit(t.snapshots.size))
+      .orderBy("k")
   }
 
   /** Hidden-partitioned write → read: bucket partitioning with derived-
@@ -120,8 +169,16 @@ object IceQueries {
     val nFiles = t.liveFiles().size
     val prunedRows = t.read(filters = Seq(Seq(("k", "==", 7)))).count()
     val parts = t.uniquePartitions(Some("cat"))("cat").mkString(",")
-    Seq((t.read().count(), nFiles, prunedRows, parts))
-      .toDF("rows", "n_files", "rows_k_eq_7", "cat_partitions")
+    // 2 identity cats x 4 murmur3 buckets over 1..100 = 8 files expected
+    dynamicOracle("ice_write_partitioned") =
+      s"""SELECT k, cat, CAST(8 AS INTEGER) AS n_files,
+         |  CAST(1 AS BIGINT) AS rows_k_eq_7, 'c0,c1' AS cat_partitions
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("n_files", lit(nFiles))
+      .withColumn("rows_k_eq_7", lit(prunedRows))
+      .withColumn("cat_partitions", lit(parts))
+      .orderBy("k")
   }
 
   /** Full snapshot lifecycle: append → delete partition → read reconciles,
@@ -138,9 +195,15 @@ object IceQueries {
     IcebergWriter.append(s, url, (1L to 60L).map(i => (i, s"c${i % 3}")).toDF("k", "cat"))
     IcebergWriter.deleteWhere(s, url, Pruning.Eq("cat", "c1"))
     val t = IcebergTable.load(s, url)
-    Seq((t.read().count(), t.snapshotRelative(-1).read().count(),
-        t.summary.getOrElse("operation", ""), t.countFromStats().getOrElse(-1L)))
-      .toDF("rows_after_delete", "rows_before_delete", "operation", "rows_from_stats")
+    dynamicOracle("ice_write_delete") =
+      s"""SELECT k, cat, CAST(60 AS BIGINT) AS rows_before_delete,
+         |  'delete' AS operation, CAST(40 AS BIGINT) AS rows_from_stats
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("rows_before_delete", lit(t.snapshotRelative(-1).read().count()))
+      .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
+      .withColumn("rows_from_stats", lit(t.countFromStats().getOrElse(-1L)))
+      .orderBy("k")
   }
 
   /** Single-snapshot overwrite: DELETED + ADDED entries in ONE snapshot with
@@ -160,12 +223,19 @@ object IceQueries {
     IcebergWriter.overwrite(s, url,
       Seq((1001L, "c1"), (1002L, "c1")).toDF("k", "cat"), Pruning.Eq("cat", "c1"))
     val t = IcebergTable.load(s, url)
-    Seq((t.read().count(),
-        t.read(filters = Seq(Seq(("cat", "==", "c1")))).count(),
-        t.snapshotRelative(-1).read().count(),
-        t.summary.getOrElse("operation", ""),
-        t.snapshots.size))
-      .toDF("rows_after", "c1_rows_after", "rows_before", "operation", "n_snapshots")
+    dynamicOracle("ice_write_overwrite") =
+      s"""SELECT k, cat, CAST(2 AS BIGINT) AS c1_rows_after,
+         |  CAST(60 AS BIGINT) AS rows_before, 'overwrite' AS operation,
+         |  CAST(2 AS INTEGER) AS n_snapshots
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      // partition-pruned read: only replaced-partition files feed this scan
+      .withColumn("c1_rows_after", lit(
+        t.read(filters = Seq(Seq(("cat", "==", "c1")))).count()))
+      .withColumn("rows_before", lit(t.snapshotRelative(-1).read().count()))
+      .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
+      .withColumn("n_snapshots", lit(t.snapshots.size))
+      .orderBy("k")
   }
 
   /** Iceberg v2 row-level delete: the predicate splits a file, matching
@@ -183,11 +253,20 @@ object IceQueries {
     IcebergWriter.deleteRows(s, url,
       Pruning.And(Pruning.GtEq("k", 40), Pruning.Lt("k", 60)))
     val t = IcebergTable.load(s, url)
-    Seq((t.read().count(), t.countFromStats().getOrElse(-1L),
-        t.positionDeleteFiles.size.toLong,
-        t.snapshotRelative(-1).read().count(),
-        t.summary.getOrElse("operation", "")))
-      .toDF("rows_after", "rows_from_stats", "n_delete_files", "rows_before", "operation")
+    // DuckDB replays the position deletes itself (file-key + row-number
+    // anti-join) — an independent merge-on-read implementation over the
+    // same written bytes
+    dynamicOracle("ice_write_delete_rows") =
+      s"""SELECT k, cat, CAST(80 AS BIGINT) AS rows_from_stats,
+         |  CAST(1 AS BIGINT) AS n_delete_files,
+         |  CAST(100 AS BIGINT) AS rows_before, 'delete' AS operation
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("rows_from_stats", lit(t.countFromStats().getOrElse(-1L)))
+      .withColumn("n_delete_files", lit(t.positionDeleteFiles.size.toLong))
+      .withColumn("rows_before", lit(t.snapshotRelative(-1).read().count()))
+      .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
+      .orderBy("k")
   }
 
   /** MERGE / upsert keyed on `k`: matched rows superseded via v2 position
@@ -205,13 +284,17 @@ object IceQueries {
     IcebergWriter.merge(s, url,
       ((40L to 55L).map(i => (i, "upserted"))).toDF("k", "cat"), Seq("k"))
     val t = IcebergTable.load(s, url)
-    Seq((t.read().count(), t.countFromStats().getOrElse(-1L),
-        t.read().filter(col("cat") === "upserted").count(),
-        t.snapshotRelative(-1).read().count(),
-        t.snapshots.size.toLong,
-        t.summary.getOrElse("added-position-deletes", "")))
-      .toDF("rows_after", "rows_from_stats", "upserted_rows", "rows_before",
-        "n_snapshots", "pos_deletes")
+    dynamicOracle("ice_write_merge") =
+      s"""SELECT k, cat, CAST(55 AS BIGINT) AS rows_from_stats,
+         |  CAST(50 AS BIGINT) AS rows_before, CAST(2 AS BIGINT) AS n_snapshots,
+         |  '11' AS pos_deletes
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("rows_from_stats", lit(t.countFromStats().getOrElse(-1L)))
+      .withColumn("rows_before", lit(t.snapshotRelative(-1).read().count()))
+      .withColumn("n_snapshots", lit(t.snapshots.size.toLong))
+      .withColumn("pos_deletes", lit(t.summary.getOrElse("added-position-deletes", "")))
+      .orderBy("k")
   }
 
   /** Storage-partitioned join E2E: orders and customer land in two Iceberg
@@ -389,11 +472,18 @@ object IceQueries {
     IcebergWriter.append(s, url, Seq((3L, "c", 0.5)).toDF("k", "cat", "score"))
     IcebergWriter.renameColumn(s, url, "cat", "category")
     val t = IcebergTable.load(s, url)
-    val nonNullCat = t.read().filter(col("category").isNotNull).count()
-    val nullScores = t.read().filter(col("score").isNull).count()
-    Seq((t.schema.fieldNames.mkString(","), t.read().count(), nonNullCat, nullScores,
-        t.snapshotRelative(-1).schema.fieldNames.length.toLong))
-      .toDF("fields", "rows", "category_values", "null_scores", "old_schema_width")
+    // the files still store the PRE-rename name ('cat') — a foreign reader
+    // sees the physical schema, so the oracle aliases it to the renamed
+    // logical name and union_by_name fills the evolved-in 'score' with NULL
+    dynamicOracle("ice_evolution") =
+      s"""SELECT k, cat AS category, score,
+         |  'k,category,score' AS fields, CAST(2 AS BIGINT) AS old_schema_width
+         |FROM (${duckLiveRows(t, Seq("k", "cat", "score"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("fields", lit(t.schema.fieldNames.mkString(",")))
+      .withColumn("old_schema_width",
+        lit(t.snapshotRelative(-1).schema.fieldNames.length.toLong))
+      .orderBy("k")
   }
 
   /** Maintenance: small-file compaction (replace snapshot, MOR folded) and
@@ -413,9 +503,19 @@ object IceQueries {
     Maintenance.compact(s, url, targetFiles = Some(2))
     Maintenance.expireSnapshots(s, url, keepLast = 1)
     val t = IcebergTable.load(s, url)
-    Seq((filesBefore, t.liveFiles().size.toLong, t.read().count(),
-        t.snapshots.size.toLong, t.summary.getOrElse("operation", "")))
-      .toDF("files_before", "files_after", "rows", "n_snapshots", "operation")
+    // post-compaction bytes: the deletes are FOLDED, so a foreign reader
+    // must see k=25 gone from the data files themselves
+    dynamicOracle("ice_maintenance") =
+      s"""SELECT k, cat, CAST(8 AS BIGINT) AS files_before,
+         |  CAST(2 AS BIGINT) AS files_after, CAST(1 AS BIGINT) AS n_snapshots,
+         |  'replace' AS operation
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("files_after", lit(t.liveFiles().size.toLong))
+      .withColumn("n_snapshots", lit(t.snapshots.size.toLong))
+      .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
+      .orderBy("k")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -445,10 +545,87 @@ object IceQueries {
     "ice_schema_evolution" -> (iceSchemaEvolution _),
   )
 
-  /** The one metadata-plane query with a DuckDB oracle: the SPJ join's
-    * VALUES come from relational semantics DuckDB can replay (the literal 0
-    * pins the no-shuffle plan shape). */
+  // Fixture data files by the row each holds — verified against the
+  // reference's own tests (test_basic.py: live names are {Alex, Bob, Roger,
+  // Fiona, John}; only John has an email): the overwrite snapshot replaced
+  // Steve's file with Alex's, the final append added John's. The fixture is
+  // read-only, so these lists are stable golden facts, resolved here
+  // INDEPENDENTLY of the metadata reader under test.
+  private val FBob = s"$FixtureDir/data/00000-0-b5ea8b58-1686-4d25-af1d-9349b2d29fd0-00001.parquet"
+  private val FJohn = s"$FixtureDir/data/00000-206-1427d50c-e5c0-401a-9f54-b37b943b98c3-00001.parquet"
+  private val FSteve = s"$FixtureDir/data/00001-1-b7c7ea31-7ce3-4bd6-9d86-7e96dbffb589-00001.parquet"
+  private val FFiona = s"$FixtureDir/data/00002-2-e5685594-0967-42ad-b306-2128ad35e716-00001.parquet"
+  private val FRoger = s"$FixtureDir/data/00003-3-2a454a5e-dc13-4075-a9ad-91181d5ac450-00001.parquet"
+  private val FAlex = s"$FixtureDir/data/00081-6-db4a5dc9-8fdc-4b1f-b88e-05e954a966f7-00001.parquet"
+  private val liveCurrent = Seq(FBob, FJohn, FFiona, FRoger, FAlex)
+  private val livePrev = Seq(FBob, FFiona, FRoger, FAlex) // snapshot −1
+  private val liveFirst = Seq(FBob, FSteve, FFiona, FRoger) // v2 = snap 1
+
+  private def fixtureScan(files: Seq[String], cols: String): String =
+    s"SELECT $cols FROM read_parquet(${sqlPaths(files)}, union_by_name=true)"
+
+  /** Metadata-plane queries with DuckDB oracles. Fixture reads scan the
+    * KNOWN-live parquet files (golden lists above) so DuckDB produces the
+    * expected rows from the same bytes without trusting our reader;
+    * introspection queries pin the fixture's static metadata facts as
+    * literals. */
   val oracle: Map[String, String] = Map(
+    "ice_read_all" ->
+      s"${fixtureScan(liveCurrent, "name, age, email")} ORDER BY name",
+    "ice_read_filtered" ->
+      s"${fixtureScan(liveCurrent, "name, age, email")} WHERE age > 30 ORDER BY name",
+    "ice_sql_source" ->
+      s"${fixtureScan(liveCurrent, "name, age")} WHERE age > 30 ORDER BY name",
+    "ice_time_travel" ->
+      s"${fixtureScan(livePrev, "name, age")} ORDER BY name",
+    "ice_source_timetravel" ->
+      s"${fixtureScan(livePrev, "name, age")} ORDER BY name",
+    "ice_at_version" ->
+      s"${fixtureScan(liveFirst, "name, age")} ORDER BY name",
+    "ice_schema_evolution" ->
+      s"SELECT name, email IS NULL AS email_missing FROM (${
+        fixtureScan(liveCurrent, "name, email")}) ORDER BY name",
+    "ice_introspect" ->
+      """SELECT CAST(5 AS INTEGER) AS version,
+        |  CAST(8510902189542212372 AS BIGINT) AS snapshot_id,
+        |  'name,age,email' AS schema_fields,
+        |  CAST(5 AS BIGINT) AS row_count_from_stats,
+        |  'append' AS operation""".stripMargin,
+    "ice_snapshots" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(2945427400371479360 AS BIGINT), CAST(NULL AS BIGINT),
+        |   TIMESTAMP '2022-11-02 01:58:21.148', 'append',
+        |   CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (CAST(1311955902847697544 AS BIGINT), CAST(2945427400371479360 AS BIGINT),
+        |   TIMESTAMP '2022-11-02 01:59:00.939', 'overwrite',
+        |   CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (CAST(8510902189542212372 AS BIGINT), CAST(1311955902847697544 AS BIGINT),
+        |   TIMESTAMP '2022-11-02 01:59:16.523', 'append',
+        |   CAST(5 AS BIGINT), CAST(5 AS BIGINT))
+        |) t(snapshot_id, parent_id, committed_at, operation, total_records,
+        |    total_data_files) ORDER BY committed_at""".stripMargin,
+    "ice_files" ->
+      s"""SELECT * FROM (VALUES
+        |  ('$FBob', 'PARQUET', CAST(1 AS BIGINT), CAST(636 AS BIGINT)),
+        |  ('$FJohn', 'PARQUET', CAST(1 AS BIGINT), CAST(970 AS BIGINT)),
+        |  ('$FFiona', 'PARQUET', CAST(1 AS BIGINT), CAST(650 AS BIGINT)),
+        |  ('$FRoger', 'PARQUET', CAST(1 AS BIGINT), CAST(650 AS BIGINT)),
+        |  ('$FAlex', 'PARQUET', CAST(1 AS BIGINT), CAST(656 AS BIGINT))
+        |) t(file_path, file_format, record_count, file_size_in_bytes)
+        |ORDER BY file_path""".stripMargin,
+    "ice_manifests" ->
+      s"""SELECT * FROM (VALUES
+        |  ('$FixtureDir/metadata/844a1c71-3878-41ff-a1dc-677fcf770276-m0.avro',
+        |   CAST(5954 AS BIGINT), CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+        |   CAST(3 AS INTEGER), CAST(1 AS INTEGER)),
+        |  ('$FixtureDir/metadata/844a1c71-3878-41ff-a1dc-677fcf770276-m1.avro',
+        |   CAST(5786 AS BIGINT), CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+        |   CAST(0 AS INTEGER), CAST(0 AS INTEGER)),
+        |  ('$FixtureDir/metadata/b1a0a4f3-c2d8-4a81-97c0-ce967a61a546-m0.avro',
+        |   CAST(5864 AS BIGINT), CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+        |   CAST(0 AS INTEGER), CAST(0 AS INTEGER))
+        |) t(path, length, partition_spec_id, added_files, existing_files,
+        |    deleted_files) ORDER BY path""".stripMargin,
     "ice_sql_dml" ->
       """WITH base AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS k,

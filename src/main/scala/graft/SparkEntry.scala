@@ -19,10 +19,14 @@ object SparkEntry {
     Queries.relational ++ IceQueries.all ++ LlmQueries.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * `IceQueries.dynamicOracle` entries are registered by the write-path
+    * queries at RUN time (their SQL embeds the just-written table's file
+    * paths), so this must be collected after `queries` run — which is the
+    * order Verify already uses. */
   def oracleSql: Map[String, String] =
     Queries.relationalOracle ++ LlmQueries.oracle ++ StreamQueries.oracle ++
-      IceQueries.oracle
+      IceQueries.oracle ++ IceQueries.dynamicOracle
 
   /** Subset used by Bench as the headline performance set. */
   def benchQueries: Seq[String] = Seq(
