@@ -410,7 +410,8 @@ object IcebergWriter {
       extraManifests: Seq[NewManifestInfo] = Nil,
       posDeleteRows: Long = 0L,
       presetSnapshotId: Option[Long] = None,
-      dynamicTouched: Option[Set[Seq[Any]]] = None): Unit = {
+      dynamicTouched: Option[Set[Seq[Any]]] = None,
+      requireLiveKeys: Option[Set[String]] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     val schema = table0.metadata.schemas
@@ -474,6 +475,22 @@ object IcebergWriter {
           throw new java.util.ConcurrentModificationException(
             "row-level deletes committed concurrently would be lost by this " +
               "rewrite; rerun the operation against the current snapshot")
+      }
+
+      // 3a'''. a DELTA commit references scanned data files by (path,
+      // position): if a concurrent commit removed one (compaction,
+      // overwrite), its deletes would dangle AND the op's re-inserted rows
+      // would duplicate rows still present in the replacement files —
+      // refuse, the caller reruns against the current snapshot
+      requireLiveKeys.foreach { keys =>
+        val live = table.liveFiles()
+          .map(f => morKeyOf(table.resolvePath(f.filePath))).toSet
+        val missing = keys.diff(live)
+        if (missing.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"${missing.size} scanned data file(s) were removed by a " +
+              "concurrent commit; rerun the row-level operation against " +
+              "the current snapshot")
       }
 
       // 3a''. whole-file deletes may remove data files that live position
@@ -877,6 +894,66 @@ object IcebergWriter {
     }
   }
 
+  /** Publish a DELTA row-level operation (SQL UPDATE/MERGE/DELETE through
+    * `SupportsDelta`): executor-written data files PLUS executor-written
+    * position-delete files land in ONE snapshot. Unlike copy-on-write, no
+    * data file is rewritten — a 1-row UPDATE on a 10 000-file table commits
+    * one tiny insert file and one tiny delete file, the shape frequent
+    * small DML needs at 100 TB.
+    *
+    * Correctness under concurrency: the commit refuses (and the caller
+    * reruns) when a concurrent commit removed a scanned data file — the
+    * new deletes would dangle and re-inserted rows would duplicate — or
+    * changed the live delete-file set the pinned scan applied (a
+    * concurrently-deleted row would be resurrected by this op's inserts). */
+  private[graft] def commitDelta(spark: SparkSession, url: String,
+      commitId: String,
+      rawDataFiles: Seq[(String, Long, Seq[Any])],
+      deleteFiles: Seq[(String, Long, Long)], // (path, bytes, delete rows)
+      operation: String,
+      scannedKeys: Set[String],
+      deleteFilesAtScan: Set[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table0 = IcebergTable.load(spark, url)
+    val schema = table0.metadata.schemas
+      .find(_.schemaId == table0.metadata.currentSchemaId)
+      .getOrElse(throw new IllegalStateException("no current schema"))
+    val specInfo: Seq[(PartitionField, String, String)] =
+      table0.partitionSpec.fields.map { pf =>
+        val src = schema.fields.find(_.id == pf.sourceId).get
+        (pf, src.icebergTypeString,
+          partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+      }
+    val statsByPath = collectStats(spark,
+      rawDataFiles.map(f => (f._1, f._2)), table0.iceSchema, conf)
+    val dataFiles = rawDataFiles.map { case (p, len, pv) =>
+      (new Path(p).toUri.getPath, len, statsByPath(p), pv)
+    }
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val posDeleteCount = deleteFiles.map(_._3).sum
+    val deleteManifest: Seq[NewManifestInfo] =
+      if (deleteFiles.isEmpty) Nil
+      else {
+        val entries = deleteFiles.map { case (p, len, rows) =>
+          (new Path(p).toUri.getPath, len,
+            FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+            specInfo.map(_ => null: Any), Manifests.Status.Added)
+        }
+        val manifestPath = s"$url/metadata/$commitId-m1.avro"
+        writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+          fileContent = Manifests.FileContent.PositionDeletes)
+        Seq(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+          entries.size, posDeleteCount, 0, 0L, Nil))
+      }
+    commitDataFiles(spark, url, commitId, dataFiles, deletePred = None,
+      operation = operation,
+      pinnedDeleteFiles = Some(deleteFilesAtScan),
+      extraManifests = deleteManifest,
+      posDeleteRows = posDeleteCount,
+      presetSnapshotId = Some(snapshotId),
+      requireLiveKeys = if (deleteFiles.isEmpty) None else Some(scannedKeys))
+  }
+
   /** Run `body` against a CLONED session (same SparkContext, own
     * SessionState) with field-ID parquet column resolution ON. The position
     * scans below need `_metadata` columns, which only Spark's built-in
@@ -1111,6 +1188,13 @@ object IcebergWriter {
     writeSnapshot(spark, url, df, deletePred = None, operation = "overwrite",
       dynamicTouched = Some(touched),
       extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
+  }
+
+  /** Data-file identity key for delete bookkeeping: the path suffix after
+    * the LAST '/data/' — stable across relocation and scheme qualification,
+    * matching ScanBridge.morKey on the read side. */
+  private[graft] def morKeyOf(p: String): String = {
+    val i = p.lastIndexOf("/data/"); if (i < 0) "" else p.substring(i + 6)
   }
 
   /** Normalize a partition value for tuple comparison across sources:
@@ -1364,9 +1448,7 @@ object IcebergWriter {
     if (removed.isEmpty || table.metadata.currentSnapshotId < 0) return None
     val existing = table.positionDeleteFiles
     if (existing.isEmpty) return None
-    def keyOf(p: String): String = {
-      val i = p.lastIndexOf("/data/"); if (i < 0) "" else p.substring(i + 6)
-    }
+    def keyOf(p: String): String = morKeyOf(p)
     val removedKeys = removed.map(f => keyOf(table.resolvePath(f.filePath)))
       .filter(_.nonEmpty).toSet
     if (removedKeys.isEmpty) return None

@@ -141,7 +141,7 @@ private final class GraftWriterFactory(url: String, commitId: String,
   * overwrite plan repartitions by partition expressions). Partition values
   * are computed per row with the SAME [[Transforms]] kernels the metadata
   * plane prunes with, so write and prune semantics can never diverge. */
-private final class GraftDataWriter(url: String, commitId: String,
+private[sources] final class GraftDataWriter(url: String, commitId: String,
     schema: StructType, partInfo: Seq[GraftBatchWrite.PartField],
     conf: SerializableConfiguration, partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {

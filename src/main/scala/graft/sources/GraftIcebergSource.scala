@@ -163,28 +163,48 @@ final class GraftIcebergV2Table(val table: IcebergTable) extends Table
     * metadata path), `_file` (the data file's path), and `_pos` (the row's
     * position in its file, from the parquet row index). */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
-    def c(n: String, dt: org.apache.spark.sql.types.DataType) =
+    // _file/_pos are NON-nullable: the scan materializes a value for every
+    // row, and the delta protocol requires non-null row-id attributes
+    def c(n: String, dt: org.apache.spark.sql.types.DataType, nul: Boolean) =
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = n
         override def dataType(): org.apache.spark.sql.types.DataType = dt
-        override def isNullable: Boolean = true
+        override def isNullable: Boolean = nul
       }
-    Array(c("_partition", StringType), c("_file", StringType),
-      c("_pos", org.apache.spark.sql.types.LongType))
+    Array(c("_partition", StringType, true), c("_file", StringType, false),
+      c("_pos", org.apache.spark.sql.types.LongType, false))
   }
 
-  /** SQL UPDATE / MERGE INTO / complex DELETE: Spark's group-based
-    * (copy-on-write) protocol. The operation's scan identifies the
-    * candidate files (metadata-pruned by the pushed condition), Spark
-    * computes the full replacement content of those files, and the write
-    * swaps exactly the scanned files for the new ones in one snapshot.
-    * Simple DELETEs still take the cheaper position-delete path — Spark's
+  /** SQL UPDATE / MERGE INTO / complex DELETE. Two modes, selected by
+    * `spark.graft.iceberg.dmlMode`:
+    *
+    *  - `merge-on-read` (default): Spark's delta protocol
+    *    ([[GraftDeltaRowLevelOperation]]) — matched rows become position
+    *    deletes, new/updated rows become ordinary data files, one snapshot,
+    *    NO data file rewritten. The scalable shape for frequent small DML
+    *    (a 1-row UPDATE writes two tiny files); compaction folds the deltas
+    *    when read amplification grows.
+    *  - `copy-on-write`: the group-based protocol — the scan pins candidate
+    *    files, Spark computes their full replacement content, the write
+    *    swaps exactly those files. Zero read amplification afterwards;
+    *    right for bulk rewrites of most rows.
+    *
+    * Simple DELETEs still take the cheaper metadata path — Spark's
     * OptimizeMetadataOnlyDeleteFromTable folds back to [[deleteWhere]]
     * when the condition translates. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(this, info.command())
+    () => {
+      val mode = SQLConf.get.getConfString(
+        "spark.graft.iceberg.dmlMode", "merge-on-read")
+      mode match {
+        case "merge-on-read" => new GraftDeltaRowLevelOperation(this, info.command())
+        case "copy-on-write" => new GraftRowLevelOperation(this, info.command())
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.iceberg.dmlMode must be merge-on-read or copy-on-write, got $other")
+      }
+    }
 
   /** SQL `DELETE FROM cat.db.t WHERE …`: whole files whose statistics
     * prove every row matches drop as v1 DELETED entries; split files get
@@ -702,9 +722,11 @@ final class GraftIcebergScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
     if (morMode)
+      // position deletes stay COLUMNAR (per-batch selection view); only
+      // equality deletes (per-row key probe) or metadata columns need the
+      // row-based readers
       ScanBridge.morReaderFactory(inner, requiredSchema, morReadSchema.length,
-        allDeleteFree = morDeletesByKey.isEmpty && eqGroups.isEmpty &&
-          metaCols.isEmpty,
+        columnarCapable = eqGroups.isEmpty && metaCols.isEmpty,
         eqGroups = eqGroups)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner

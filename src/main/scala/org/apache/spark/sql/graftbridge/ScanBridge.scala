@@ -221,50 +221,79 @@ object ScanBridge {
     * delegate's read schema; this factory filters each partition's deleted
     * positions against the materialized row index and projects the index
     * column back out, so deleted rows never leave the scan and downstream
-    * operators see exactly `requiredSchema`. Partitions with no deletes keep
-    * the COLUMNAR batch path (the trailing index vector is dropped from the
-    * batch, zero copy); partitions with deletes read row-based — the same
-    * cost shape as Iceberg's own MOR row reader. */
+    * operators see exactly `requiredSchema`.
+    *
+    * COLUMNAR under position deletes: delete-free partitions pass batches
+    * through (the trailing index vector dropped, zero copy); deleted-from
+    * partitions wrap each batch's vectors in a SELECTION view that skips
+    * deleted row indexes — the whole scan stays vectorized instead of one
+    * deleted file de-vectorizing everything. Only equality deletes (per-row
+    * key probing) or requested metadata columns drop the scan to row-based
+    * readers (`columnarCapable = false`). */
   def morReaderFactory(
       delegate: PartitionReaderFactory,
       requiredSchema: StructType,
       readWidth: Int, // total columns the delegate produces (incl. extras)
-      allDeleteFree: Boolean,
+      columnarCapable: Boolean,
       eqGroups: Array[EqDeleteGroup] = Array.empty): PartitionReaderFactory =
-    new MorReaderFactory(delegate, requiredSchema, readWidth, allDeleteFree, eqGroups)
+    new MorReaderFactory(delegate, requiredSchema, readWidth, columnarCapable, eqGroups)
 
   private final class MorReaderFactory(
       delegate: PartitionReaderFactory,
       requiredSchema: StructType,
       readWidth: Int,
-      allDeleteFree: Boolean,
+      columnarCapable: Boolean,
       eqGroups: Array[EqDeleteGroup])
     extends PartitionReaderFactory {
 
     private def width = requiredSchema.length
 
-    // Spark rejects scans mixing row-based and columnar partitions, so the
-    // columnar path is all-or-nothing: only when NO scanned file has deletes
-    // (e.g. pruning dropped every deleted-from file) does the whole scan
-    // stay columnar.
+    // Spark rejects scans mixing row-based and columnar PARTITIONS, so this
+    // must not depend on the partition's deletes — the selection wrapper
+    // keeps deleted-from partitions on the batch path too.
     override def supportColumnarReads(p: InputPartition): Boolean = p match {
       case m: MorFilePartition =>
-        allDeleteFree && delegate.supportColumnarReads(m.underlying)
-      case other => allDeleteFree && delegate.supportColumnarReads(other)
+        columnarCapable && delegate.supportColumnarReads(m.underlying)
+      case other => columnarCapable && delegate.supportColumnarReads(other)
     }
 
     override def createColumnarReader(
         p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
       val m = p.asInstanceOf[MorFilePartition]
-      require(m.deleted.isEmpty, "columnar merge-on-read requires a delete-free partition")
+      val deleted = m.deleted // sorted
       val inner = delegate.createColumnarReader(m.underlying)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        // deleted positions and batch row indexes are both ascending: one
+        // monotone cursor per partition, never a per-row binary search
+        private var delCursor = 0
         override def next(): Boolean = inner.next()
         override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
           val b = inner.get()
+          val n = b.numRows()
+          if (deleted.isEmpty) {
+            val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+              Array.tabulate(width)(b.column)
+            return new org.apache.spark.sql.vectorized.ColumnarBatch(cols, n)
+          }
+          val idxCol = b.column(readWidth - 1) // materialized file row index
+          val sel = new Array[Int](n)
+          var kept = 0
+          var i = 0
+          while (i < n) {
+            val pos = idxCol.getLong(i)
+            while (delCursor < deleted.length && deleted(delCursor) < pos) delCursor += 1
+            if (delCursor >= deleted.length || deleted(delCursor) != pos) {
+              sel(kept) = i; kept += 1
+            }
+            i += 1
+          }
           val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
-            Array.tabulate(width)(b.column)
-          new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+            if (kept == n) Array.tabulate(width)(b.column)
+            else {
+              val s = java.util.Arrays.copyOf(sel, kept)
+              Array.tabulate(width)(c => new SelectedColumnVector(b.column(c), s))
+            }
+          new org.apache.spark.sql.vectorized.ColumnarBatch(cols, kept)
         }
         override def close(): Unit = inner.close()
       }
@@ -338,6 +367,44 @@ object ScanBridge {
         override def close(): Unit = inner.close()
       }
     }
+  }
+
+  /** A SELECTION view over a column vector: presents only the rows whose
+    * ordinals survive the merge-on-read position filter, without copying
+    * any data — `sel(i)` maps the view's row i to the underlying batch row.
+    * Struct children wrap lazily with the SAME selection (ColumnarRow reads
+    * fields via `getChild(i).getX(rowId)`); array/map contents delegate
+    * unmapped because their offsets live in the parent vector's entry. */
+  private final class SelectedColumnVector(
+      inner: org.apache.spark.sql.vectorized.ColumnVector,
+      sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(inner.dataType()) {
+
+    override def close(): Unit = () // the wrapped batch owns the buffers
+    override def hasNull: Boolean = inner.hasNull
+    override def numNulls(): Int = inner.numNulls() // upper bound; unused by exec
+    override def isNullAt(rowId: Int): Boolean = inner.isNullAt(sel(rowId))
+    override def getBoolean(rowId: Int): Boolean = inner.getBoolean(sel(rowId))
+    override def getByte(rowId: Int): Byte = inner.getByte(sel(rowId))
+    override def getShort(rowId: Int): Short = inner.getShort(sel(rowId))
+    override def getInt(rowId: Int): Int = inner.getInt(sel(rowId))
+    override def getLong(rowId: Int): Long = inner.getLong(sel(rowId))
+    override def getFloat(rowId: Int): Float = inner.getFloat(sel(rowId))
+    override def getDouble(rowId: Int): Double = inner.getDouble(sel(rowId))
+    override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      inner.getArray(sel(rowId))
+    override def getMap(rowId: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      inner.getMap(sel(rowId))
+    override def getDecimal(rowId: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+      inner.getDecimal(sel(rowId), precision, scale)
+    override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+      inner.getUTF8String(sel(rowId))
+    override def getBinary(rowId: Int): Array[Byte] = inner.getBinary(sel(rowId))
+    private lazy val children =
+      new java.util.concurrent.ConcurrentHashMap[Integer, SelectedColumnVector]()
+    override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      children.computeIfAbsent(ordinal,
+        o => new SelectedColumnVector(inner.getChild(o), sel))
   }
 
   /** Build Spark's native parquet DSv2 scan (columnar batch reader, filter

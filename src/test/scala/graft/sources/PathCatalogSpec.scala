@@ -123,7 +123,7 @@ class PathCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("SQL UPDATE and MERGE INTO run copy-on-write through the V2 table") {
+  test("SQL UPDATE and MERGE INTO run through the V2 table (default merge-on-read)") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.u (k BIGINT, cat STRING)")
       spark.sql(s"INSERT INTO $cat.db.u SELECT id, 'old' FROM range(1, 11)")
@@ -152,6 +152,15 @@ class PathCatalogSpec extends AnyFunSuite {
 
   test("copy-on-write UPDATE composes with live position deletes") {
     withCatalog { cat =>
+      // this test pins the COPY-ON-WRITE protocol (merge-on-read is default)
+      spark.conf.set("spark.graft.iceberg.dmlMode", "copy-on-write")
+      try cowUpdateComposes(cat)
+      finally spark.conf.unset("spark.graft.iceberg.dmlMode")
+    }
+  }
+
+  private def cowUpdateComposes(cat: String): Unit = {
+    {
       spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, cat STRING)")
       // one source partition -> one data file: the UPDATE below must then
       // rewrite the same file the position deletes target
