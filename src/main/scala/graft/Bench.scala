@@ -44,7 +44,10 @@ object Bench {
             Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val median = samples.map(_._1).sorted.apply(samples.length / 2)
+      // failed reps return fast — including them would bias the median low,
+      // so only successful runs count toward the timing; 0.0 if none passed
+      val ok = samples.collect { case (t, None) => t }.sorted
+      val median = if (ok.isEmpty) 0.0 else ok(ok.length / 2)
       (name, median, samples.flatMap(_._2).headOption)
     }
     // A failed query must never read as a speedup: report per-query errors

@@ -411,7 +411,9 @@ object IcebergWriter {
       posDeleteRows: Long = 0L,
       presetSnapshotId: Option[Long] = None,
       dynamicTouched: Option[Set[Seq[Any]]] = None,
-      requireLiveKeys: Option[Set[String]] = None): Unit = {
+      requireLiveKeys: Option[Set[String]] = None,
+      requireNoConflictingAdds: Option[(Set[String], Pruning.IcePredicate)] = None)
+      : Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     val schema = table0.metadata.schemas
@@ -491,6 +493,30 @@ object IcebergWriter {
             s"${missing.size} scanned data file(s) were removed by a " +
               "concurrent commit; rerun the row-level operation against " +
               "the current snapshot")
+      }
+
+      // 3a''''. SERIALIZABLE isolation for delta DML (Iceberg's default for
+      // UPDATE/MERGE/DELETE — validateAddedDataFiles): a data file
+      // committed after the scan that might match the operation's condition
+      // invalidates its row selection (e.g. a MERGE can insert a key a
+      // concurrent append also inserted — write skew). Refuse; the caller
+      // reruns against the current snapshot.
+      requireNoConflictingAdds.foreach { case (keysAtScan, pred) =>
+        val ctx = Pruning.Context(
+          table.iceSchema.fields.map(f =>
+            f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
+          table.partitionSpec)
+        val live = if (table.metadata.currentSnapshotId < 0) Nil
+          else table.liveFiles()
+        val conflicting = live.filter { f =>
+          !keysAtScan.contains(morKeyOf(table.resolvePath(f.filePath))) &&
+            Pruning.fileMightMatch(pred, f, ctx)
+        }
+        if (conflicting.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"${conflicting.size} data file(s) added by a concurrent commit " +
+              "may match the row-level operation's condition (serializable " +
+              "isolation); rerun the operation against the current snapshot")
       }
 
       // 3a''. whole-file deletes may remove data files that live position
@@ -912,7 +938,8 @@ object IcebergWriter {
       deleteFiles: Seq[(String, Long, Long)], // (path, bytes, delete rows)
       operation: String,
       scannedKeys: Set[String],
-      deleteFilesAtScan: Set[String]): Unit = {
+      deleteFilesAtScan: Set[String],
+      addValidation: Option[(Set[String], Pruning.IcePredicate)] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     val schema = table0.metadata.schemas
@@ -951,7 +978,8 @@ object IcebergWriter {
       extraManifests = deleteManifest,
       posDeleteRows = posDeleteCount,
       presetSnapshotId = Some(snapshotId),
-      requireLiveKeys = if (deleteFiles.isEmpty) None else Some(scannedKeys))
+      requireLiveKeys = if (deleteFiles.isEmpty) None else Some(scannedKeys),
+      requireNoConflictingAdds = addValidation)
   }
 
   /** Run `body` against a CLONED session (same SparkContext, own
@@ -966,6 +994,15 @@ object IcebergWriter {
     * it, so their plans resolve under the flag. */
   private def withFieldIdRead[T](spark: SparkSession)(body: SparkSession => T): T = {
     val scoped = spark.newSession()
+    // newSession() builds SessionState from the context conf plus builder
+    // options only — runtime confs the caller set later (session timezone,
+    // ANSI mode, case sensitivity, shuffle partitions) would be silently
+    // dropped, changing predicate/merge semantics (e.g. timestamp-string
+    // casts). Mirror every modifiable conf the caller holds.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (scoped.conf.isModifiable(k) && scoped.conf.getOption(k) != Some(v))
+        scoped.conf.set(k, v)
+    }
     scoped.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     body(scoped)
   }
@@ -1126,9 +1163,10 @@ object IcebergWriter {
       positions: DataFrame,
       specInfo: Seq[(PartitionField, String, String)],
       conf: Configuration): (Option[NewManifestInfo], Long) = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
-    // suffix after the LAST '/data/', consistent with ScanBridge.morKey
-    def key(c: org.apache.spark.sql.Column) = element_at(split(c, "/data/"), -1)
+    import org.apache.spark.sql.functions.col
+    // ONE key definition with the read side (ScanBridge.morKey)
+    def key(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
     val existing = table.positionDeleteFiles
     val fresh =
       if (existing.isEmpty) positions
@@ -1191,11 +1229,10 @@ object IcebergWriter {
   }
 
   /** Data-file identity key for delete bookkeeping: the path suffix after
-    * the LAST '/data/' — stable across relocation and scheme qualification,
-    * matching ScanBridge.morKey on the read side. */
-  private[graft] def morKeyOf(p: String): String = {
-    val i = p.lastIndexOf("/data/"); if (i < 0) "" else p.substring(i + 6)
-  }
+    * the LAST '/data/' (full normalized path for externally-located files)
+    * — ONE definition shared with the read side. */
+  private[graft] def morKeyOf(p: String): String =
+    org.apache.spark.sql.graftbridge.ScanBridge.morKey(p)
 
   /** Normalize a partition value for tuple comparison across sources:
     * manifest decode widens Int→Long, transform eval may produce either. */
@@ -1452,11 +1489,11 @@ object IcebergWriter {
     val removedKeys = removed.map(f => keyOf(table.resolvePath(f.filePath)))
       .filter(_.nonEmpty).toSet
     if (removedKeys.isEmpty) return None
-    // suffix after the LAST '/data/' — MUST match keyOf/ScanBridge.morKey
+    // ONE key definition with keyOf/ScanBridge.morKey
     // (regexp_extract("/data/(.*)$") anchors at the FIRST occurrence and
     // silently mismatches when the table path itself contains '/data/')
     def key(c: org.apache.spark.sql.Column) =
-      element_at(split(c, "/data/"), -1)
+      org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
     val all = spark.read.parquet(existing.map(f => table.resolvePath(f.filePath)): _*)
     val deadRows = all.filter(key(col("file_path")).isInCollection(removedKeys)).count()
     if (deadRows == 0L) return None

@@ -40,6 +40,9 @@ final class GraftDeltaRowLevelOperation(tbl: GraftIcebergV2Table,
   import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
   @volatile private var scanned: Seq[graft.iceberg.Manifests.DataFileInfo] = Nil
+  @volatile private var liveKeysAtScan: Set[String] = Set.empty
+  @volatile private var scanPred: graft.iceberg.Pruning.IcePredicate =
+    graft.iceberg.Pruning.AlwaysTrue
 
   override def command(): Command = cmd
 
@@ -47,7 +50,15 @@ final class GraftDeltaRowLevelOperation(tbl: GraftIcebergV2Table,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new GraftIcebergScanBuilder(tbl, options, onBuild = s => scanned = s.scanFiles)
+    new GraftIcebergScanBuilder(tbl, options, onBuild = { s =>
+      scanned = s.scanFiles
+      // serializable-isolation pin: ALL live files at scan time (not just
+      // the pruned ones) plus the operation's pushed condition — at commit,
+      // any file outside this set that might match the condition refuses
+      scanPred = s.scanPredicate
+      liveKeysAtScan = tbl.allLiveFiles.map(f =>
+        IcebergWriter.morKeyOf(tbl.table.resolvePath(f.filePath))).toSet
+    })
 
   /** (file, position) identifies a row; Spark projects these from the
     * scan's metadata columns into every delete/update delta. */
@@ -72,7 +83,8 @@ final class GraftDeltaRowLevelOperation(tbl: GraftIcebergV2Table,
             () => scanned.map(f =>
               IcebergWriter.morKeyOf(tbl.table.resolvePath(f.filePath))).toSet,
             () => tbl.table.liveDeleteFiles
-              .map(f => tbl.table.resolvePath(f.filePath)).toSet)
+              .map(f => tbl.table.resolvePath(f.filePath)).toSet,
+            () => (liveKeysAtScan, scanPred))
         }
       }
     }
@@ -84,7 +96,9 @@ final class GraftDeltaRowLevelOperation(tbl: GraftIcebergV2Table,
 final class GraftDeltaBatchWrite(table: IcebergTable, operation: String,
     querySchema: StructType,
     scannedKeys: () => Set[String],
-    deleteFilesAtScan: () => Set[String]) extends DeltaBatchWrite {
+    deleteFilesAtScan: () => Set[String],
+    addValidation: () => (Set[String], graft.iceberg.Pruning.IcePredicate))
+  extends DeltaBatchWrite {
 
   private val commitId = UUID.randomUUID().toString
 
@@ -115,7 +129,7 @@ final class GraftDeltaBatchWrite(table: IcebergTable, operation: String,
     }
     IcebergWriter.commitDelta(spark, table.url, commitId,
       dataFiles.toSeq, deleteFiles.toSeq, operation,
-      scannedKeys(), deleteFilesAtScan())
+      scannedKeys(), deleteFilesAtScan(), Some(addValidation()))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -49,6 +49,13 @@ import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
   * them row-level after the scan (same contract as Spark's own file
   * sources): metadata pruning only has to be sound, never exact.
   */
+object GraftIcebergSource {
+  /** Driver-side parquet footers opened during equality-delete planning.
+    * Normally ZERO (key names resolve from snapshot schemas); test-visible
+    * so specs can pin the no-footer-probe planning contract. */
+  val footerProbes = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 class GraftIcebergSource extends TableProvider with CreatableRelationProvider
     with DataSourceRegister {
 
@@ -472,6 +479,13 @@ final class GraftIcebergScan(
     * copy-on-write row-level operation replaces. */
   def scanFiles: Seq[graft.iceberg.Manifests.DataFileInfo] = files
 
+  /** The pushed filters as ONE Iceberg predicate — a row-level operation's
+    * conflict-detection filter: a concurrently added file that might match
+    * it invalidates the operation's row selection. */
+  def scanPredicate: Pruning.IcePredicate =
+    pushedFilters.flatMap(Pruning.fromSparkFilter)
+      .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
+
   /** `_partition` metadata value: the file's partition tuple in spec field
     * order, rendered `name=value/...` ("" for unpartitioned tables). */
   private def partitionString(f: graft.iceberg.Manifests.DataFileInfo): String =
@@ -538,7 +552,7 @@ final class GraftIcebergScan(
       val read = morReadSchema
       val idToName = table.iceSchema.fields.map(f => f.id -> f.name).toMap
       val nameToType = table.schema.fields.map(f => f.name -> f.dataType).toMap
-      import org.apache.spark.sql.functions.{col, element_at, input_file_name, split}
+      import org.apache.spark.sql.functions.{col, input_file_name}
       eqDeleteFiles.groupBy(_.equalityIds).toSeq.flatMap { case (ids, files) =>
         val names = ids.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(s"equality id $id not in schema")))
@@ -548,15 +562,17 @@ final class GraftIcebergScan(
         val seqByKey = files.map(f =>
           ScanBridge.morKey(table.resolvePath(f.filePath)) ->
             table.dataSequenceOf(f)).toMap
-        // one job over all files of this key set; rows come back tagged
-        // with their source file so each file keeps its own sequence
-        // key columns live in the delete files in equality_ids ORDER, under
-        // the names current at WRITE time. Files whose footer names match
-        // the current schema batch into ONE job; files written before a key
-        // rename fall back to a positional per-file read (correct under
-        // renames, and rare).
+        // Key columns live in the delete files under the names current at
+        // WRITE time. Those names come from METADATA, not file footers: the
+        // manifest records the snapshot that added each delete file, the
+        // snapshot records its schema-id, and the schema names each
+        // equality id — so planning a CDC table with thousands of delete
+        // files opens ZERO parquet footers on the driver. A footer probe
+        // remains only for files whose snapshot/schema is unresolvable
+        // (foreign manifests without added_snapshot_id).
         val hconf = spark.sessionState.newHadoopConf()
         def footerNames(p: String): Seq[String] = {
+          GraftIcebergSource.footerProbes.incrementAndGet()
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(p), hconf))
@@ -565,8 +581,20 @@ final class GraftIcebergScan(
             (0 until s.getFieldCount).map(s.getFieldName)
           } finally r.close()
         }
-        val (current, legacy) = files.partition(f =>
-          footerNames(table.resolvePath(f.filePath)) == names)
+        def writeNames(f: graft.iceberg.Manifests.DataFileInfo): Seq[String] = {
+          val fromMeta = for {
+            snapId <- f.snapshotId
+            snap <- table.metadata.snapshotsById.get(snapId)
+            sch <- scala.util.Try(table.metadata.schemaFor(snap)).toOption
+            resolved <- {
+              val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
+              if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
+            }
+          } yield resolved
+          fromMeta.getOrElse(
+            footerNames(table.resolvePath(f.filePath)).take(ids.length))
+        }
+        val byWriteNames = files.groupBy(writeNames)
 
         def groupOf(seq: Long, fileRows: Iterable[org.apache.spark.sql.Row]) = {
           // UnsafeRow keys (byte-based equals/hashCode): binary key columns
@@ -580,35 +608,30 @@ final class GraftIcebergScan(
           ScanBridge.EqDeleteGroup(ordinals, types, seq, keys)
         }
 
-        val batched: Seq[ScanBridge.EqDeleteGroup] =
-          if (current.isEmpty) Nil
-          else {
-            val srcOrdinal = names.length // _g_src appended after the keys
-            val rows = spark.read
-              .parquet(current.map(f => table.resolvePath(f.filePath)): _*)
-              .select(names.map(col) :+
-                element_at(split(input_file_name(), "/data/"), -1).as("_g_src"): _*)
-              .collect()
-            rows.groupBy(_.getString(srcOrdinal)).toSeq.map { case (srcKey, fileRows) =>
-              // input_file_name() is URI-encoded; seqByKey keys are raw
-              // paths — try both forms, and FAIL LOUDLY on a miss (an
-              // unknown-sequence delete must never default to applying
-              // everywhere, nor to nowhere)
-              val seq = seqByKey.get(srcKey)
-                .orElse(seqByKey.get(
-                  java.net.URLDecoder.decode(srcKey, "UTF-8")))
-                .getOrElse(throw new IllegalStateException(
-                  s"equality-delete file key '$srcKey' does not match any " +
-                    "known delete file"))
-              groupOf(seq, fileRows)
-            }
+        // one job per distinct write-time name set (almost always one per
+        // table); rows come back tagged with their source file so each
+        // file keeps its own commit sequence
+        byWriteNames.toSeq.flatMap { case (wNames, group) =>
+          val srcOrdinal = wNames.length // _g_src appended after the keys
+          val rows = spark.read
+            .parquet(group.map(f => table.resolvePath(f.filePath)): _*)
+            .select(wNames.map(col) :+
+              ScanBridge.morKeyColumn(input_file_name()).as("_g_src"): _*)
+            .collect()
+          rows.groupBy(_.getString(srcOrdinal)).toSeq.map { case (srcKey, fileRows) =>
+            // input_file_name() is URI-encoded; seqByKey keys are raw
+            // paths — try both forms, and FAIL LOUDLY on a miss (an
+            // unknown-sequence delete must never default to applying
+            // everywhere, nor to nowhere)
+            val seq = seqByKey.get(srcKey)
+              .orElse(seqByKey.get(
+                java.net.URLDecoder.decode(srcKey, "UTF-8")))
+              .getOrElse(throw new IllegalStateException(
+                s"equality-delete file key '$srcKey' does not match any " +
+                  "known delete file"))
+            groupOf(seq, fileRows)
           }
-        val perFile: Seq[ScanBridge.EqDeleteGroup] = legacy.map { f =>
-          val df = spark.read.parquet(table.resolvePath(f.filePath))
-          val rows = df.select(df.columns.take(names.length).map(col): _*).collect()
-          groupOf(table.dataSequenceOf(f), rows)
         }
-        batched ++ perFile
       }.toArray
     }
   }
@@ -628,9 +651,9 @@ final class GraftIcebergScan(
       assertDeleteCap
       val scannedKeys = files.map(f =>
         ScanBridge.morKey(table.resolvePath(f.filePath))).toSet
-      import org.apache.spark.sql.functions.{col, element_at, split}
+      import org.apache.spark.sql.functions.col
       spark.read.parquet(morDeletes: _*)
-        .select(element_at(split(col("file_path"), "/data/"), -1).as("k"), col("pos"))
+        .select(ScanBridge.morKeyColumn(col("file_path")).as("k"), col("pos"))
         .filter(col("k").isInCollection(scannedKeys))
         .collect()
         .groupBy(_.getString(0))

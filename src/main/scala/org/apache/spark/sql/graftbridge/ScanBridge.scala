@@ -125,11 +125,26 @@ object ScanBridge {
   /** Data-file identity key used to match position-delete entries: the path
     * suffix after the table's `/data/` dir — unique within a table and
     * stable across relocation (original-url rewrite) and file:/ vs s3a://
-    * qualification differences. */
+    * qualification differences. Externally-located files (no `/data/`
+    * segment) fall back to their full authority+path — scheme-stripped so
+    * `file:///x`, `file:/x` and `/x` agree — instead of collapsing to one
+    * shared key, which would cross-match deletes between distinct files. */
   def morKey(path: String): String = {
     val i = path.lastIndexOf("/data/")
-    if (i < 0) "" else path.substring(i + 6)
+    if (i >= 0) path.substring(i + 6)
+    else {
+      val u = new org.apache.hadoop.fs.Path(path).toUri
+      val auth = Option(u.getAuthority).getOrElse("")
+      auth + u.getPath
+    }
   }
+
+  /** Column form of [[morKey]] for delete-bookkeeping reads. A UDF, so both
+    * sides of every key comparison share ONE definition — acceptable here
+    * because these scans touch only delete files (bounded by the driver
+    * delete cap), never the data plane. */
+  def morKeyColumn(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udf((p: String) => morKey(p)).apply(c)
 
   /** One EQUALITY-delete file's keys, catalyst-normalized, plus where its
     * key columns sit in the (widened) read schema and the commit sequence

@@ -81,4 +81,38 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("delta DML refuses a concurrent append matching its condition (serializable)") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 10L).map(i => (i, "a")).toDF("k", "src").coalesce(1))
+    // the operation's scan pins table state + its condition (k < 5)
+    val frozen = IcebergTable.load(spark, url)
+    val keysAtScan = frozen.liveFiles()
+      .map(f => IcebergWriter.morKeyOf(frozen.resolvePath(f.filePath))).toSet
+    // a concurrent append lands AFTER the scan with a row INSIDE the
+    // condition — committing would be write skew (Iceberg's
+    // validateAddedDataFiles refuses under serializable isolation)
+    IcebergWriter.append(spark, url, Seq((2L, "late")).toDF("k", "src"))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      IcebergWriter.commitDataFiles(spark, url,
+        java.util.UUID.randomUUID().toString, Nil,
+        deletePred = None, operation = "overwrite",
+        requireNoConflictingAdds = Some((keysAtScan, Pruning.Lt("k", 5))))
+    }
+    assert(ex.getMessage.contains("serializable"))
+
+    // an append whose file statistics PROVE it cannot match the condition
+    // does not conflict: the commit goes through
+    val frozen2 = IcebergTable.load(spark, url)
+    val keys2 = frozen2.liveFiles()
+      .map(f => IcebergWriter.morKeyOf(frozen2.resolvePath(f.filePath))).toSet
+    IcebergWriter.append(spark, url, Seq((100L, "far")).toDF("k", "src"))
+    IcebergWriter.commitDataFiles(spark, url,
+      java.util.UUID.randomUUID().toString, Nil,
+      deletePred = None, operation = "overwrite",
+      requireNoConflictingAdds = Some((keys2, Pruning.Lt("k", 5))))
+    assert(IcebergTable.load(spark, url).read().count() == 12)
+  }
 }

@@ -140,6 +140,45 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(got == Seq(2L), "binary-keyed equality delete must remove its row")
   }
 
+  test("scan planning resolves key names from snapshot schemas: ZERO footer probes") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "cat").coalesce(1))
+    // a CDC-ish chain of upserts → many equality-delete files
+    (1 to 5).foreach { r =>
+      IcebergWriter.upsert(spark, url,
+        Seq((r.toLong, s"r$r"), (30L + r, s"n$r")).toDF("k", "cat").coalesce(1),
+        Seq("k"))
+    }
+    assert(IcebergTable.load(spark, url).equalityDeleteFiles.size >= 5)
+    graft.sources.GraftIcebergSource.footerProbes.set(0)
+    val got = IcebergTable.load(spark, url).read()
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.size == 35)
+    assert(got.filter(_._1 <= 5).map(_._2) == (1 to 5).map(r => s"r$r"))
+    assert(graft.sources.GraftIcebergSource.footerProbes.get() == 0,
+      "equality-delete planning must not open parquet footers on the driver")
+  }
+
+  test("deletes written BEFORE a key rename still apply (write-time names from metadata)") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 10L).map(i => (i, s"old$i")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.upsert(spark, url,
+      Seq((3L, "new3")).toDF("k", "cat").coalesce(1), Seq("k"))
+    // the delete file's column is named "k"; the table's is now "id"
+    IcebergWriter.renameColumn(spark, url, "k", "id")
+    graft.sources.GraftIcebergSource.footerProbes.set(0)
+    val got = IcebergTable.load(spark, url).read()
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == ((1L to 10L).filterNot(_ == 3L).map(i => (i, s"old$i")) :+
+      (3L, "new3")).sortBy(_._1), "pre-rename equality delete must still apply")
+    assert(graft.sources.GraftIcebergSource.footerProbes.get() == 0,
+      "write-time key names resolve from the adding snapshot's schema, not footers")
+  }
+
   test("position and equality deletes compose on the same table") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
