@@ -518,7 +518,34 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** Foreign ORC data files (SURVEY extension): customer rows written as
+    * EXTERNAL ORC files, imported metadata-only via `addFiles` (the
+    * add_files shape — zero data rewritten), then aggregated through the
+    * engine's ORC scan. The oracle aggregates the SAME source parquet in
+    * DuckDB — a hash match proves the ORC read path end to end. */
+  def iceOrcImport(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.IcebergWriter
+    val base = java.nio.file.Files.createTempDirectory("graft_orcimp").toString
+    val url = s"$base/t"
+    val ext = s"$base/ext"
+    val src = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    src.repartition(2).write.orc(ext)
+    IcebergWriter.createTable(s, url, src.schema)
+    val parts = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq.sorted
+    IcebergWriter.addFiles(s, url, parts, "orc")
+    IcebergTable.load(s, url).read()
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(
+          org.apache.spark.sql.types.DecimalType(28, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_orc_import"       -> (iceOrcImport _),
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
     "ice_write_merge"      -> (iceWriteMerge _),
@@ -570,6 +597,10 @@ object IceQueries {
     * introspection queries pin the fixture's static metadata facts as
     * literals. */
   val oracle: Map[String, String] = Map(
+    "ice_orc_import" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "ice_read_all" ->
       s"${fixtureScan(liveCurrent, "name, age, email")} ORDER BY name",
     "ice_read_filtered" ->

@@ -177,8 +177,12 @@ final class IcebergTable private (
     val deleted = scala.collection.mutable.Set.empty[String]
     for ((mf, entries) <- kept.zip(entryLists); e <- entries) {
       val path = rewrite(e.dataFile.filePath)
-      require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET"),
-        s"only parquet data files are supported, got ${e.dataFile.fileFormat}") // ice.py:195
+      // the reference is parquet-only (ice.py:195); this engine also reads
+      // foreign-written ORC data files (Avro data files stay refused — no
+      // vectorized reader available)
+      require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
+          e.dataFile.fileFormat.equalsIgnoreCase("ORC"),
+        s"only parquet and orc data files are supported, got ${e.dataFile.fileFormat}")
       e.status match {
         case Status.Added | Status.Existing =>
           // committing snapshot + data sequence: entry-level, else

@@ -269,6 +269,45 @@ object IcebergWriter {
     writeSnapshot(spark, url, df, deletePred = None, operation = "append",
       extraSummary = extraSummary)
 
+  /** Register EXISTING parquet or ORC files into an unpartitioned table
+    * WITHOUT reading or rewriting their data — Iceberg's `add_files` import
+    * shape, and how a 100-TB corpus already sitting in object storage joins
+    * the table in O(files) metadata work. Row counts come from file footers
+    * (metadata-only reads); column bounds stay unset, so stats pruning
+    * soundly keeps the files. The caller guarantees the file schemas are
+    * read-compatible with the table schema (columns resolve BY NAME for
+    * imported files — they carry no Iceberg field ids). */
+  def addFiles(spark: SparkSession, url: String, paths: Seq[String],
+      format: String = "parquet"): Unit = {
+    if (paths.isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    require(table.partitionSpec.fields.isEmpty,
+      "addFiles imports into unpartitioned tables only " +
+        "(no partition values can be derived for foreign files)")
+    val fmt = format.toUpperCase
+    require(fmt == "PARQUET" || fmt == "ORC",
+      s"addFiles supports parquet and orc, got $format")
+    val files = paths.map { p =>
+      val hp = new Path(p)
+      val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+      val rows = if (fmt == "PARQUET") rowCountOf(hp, conf) else orcRowCountOf(hp, conf)
+      (p, len, FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+        Seq.empty[Any])
+    }
+    commitDataFiles(spark, url, UUID.randomUUID().toString, files,
+      deletePred = None, operation = "append",
+      extraSummary = Map("graft-added-files" -> files.size.toString),
+      dataFileFormat = fmt)
+  }
+
+  /** Row count straight from the ORC file tail (no data read). */
+  private def orcRowCountOf(path: Path, conf: Configuration): Long = {
+    val r = org.apache.orc.OrcFile.createReader(path,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try r.getNumberOfRows finally r.close()
+  }
+
   /** Replace the rows matching `pred` with `df` in ONE snapshot
     * (`operation=overwrite`, DELETED + ADDED entries in the same manifest) —
     * the same single-snapshot shape the golden fixture's own history has
@@ -412,8 +451,8 @@ object IcebergWriter {
       presetSnapshotId: Option[Long] = None,
       dynamicTouched: Option[Set[Seq[Any]]] = None,
       requireLiveKeys: Option[Set[String]] = None,
-      requireNoConflictingAdds: Option[(Set[String], Pruning.IcePredicate)] = None)
-      : Unit = {
+      requireNoConflictingAdds: Option[(Set[String], Pruning.IcePredicate)] = None,
+      dataFileFormat: String = "PARQUET"): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     val schema = table0.metadata.schemas
@@ -539,7 +578,9 @@ object IcebergWriter {
         (p, len, stats, pv, Manifests.Status.Added)
       }
       writeManifestEntries(manifestPath, snapshotId, deletedEntries ++ addedEntries,
-        specInfo, conf)
+        specInfo, conf, fileFormat = dataFileFormat,
+        formatOf = deletedFiles.map(f =>
+          f.filePath -> f.fileFormat.toUpperCase).toMap)
 
       // 4. manifest list = prior snapshot's manifests + the new one; the new
       // manifest gets per-partition-field summaries for manifest-tier pruning.
@@ -1036,6 +1077,9 @@ object IcebergWriter {
           Pruning.fileMightMatch(pred, f, ctx) &&
             Pruning.fileMightMatch(Pruning.negate(pred), f, ctx)))
     if (fully.isEmpty && candidates.isEmpty) return
+    // whole-file drops work for any format; only files a predicate SPLITS
+    // need position deletes, and those require the parquet row index
+    requireParquetForRowLevel(candidates, "row-level DELETE")
 
     val commitId = UUID.randomUUID().toString
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
@@ -1234,6 +1278,18 @@ object IcebergWriter {
   private[graft] def morKeyOf(p: String): String =
     org.apache.spark.sql.graftbridge.ScanBridge.morKey(p)
 
+  /** Row-level deletes need the parquet per-file row index (both to compute
+    * positions at write time and to apply them merge-on-read); foreign ORC
+    * data files have neither, so refuse rather than corrupt. */
+  private def requireParquetForRowLevel(
+      files: Seq[Manifests.DataFileInfo], what: String): Unit = {
+    val bad = files.filterNot(_.fileFormat.equalsIgnoreCase("PARQUET"))
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"$what requires parquet data files; ${bad.size} live file(s) are " +
+        s"${bad.map(_.fileFormat.toUpperCase).distinct.mkString(",")} — " +
+        "rewrite them to parquet with the engine that wrote them first")
+  }
+
   /** Normalize a partition value for tuple comparison across sources:
     * manifest decode widens Int→Long, transform eval may produce either. */
   private[graft] def normPartValue(v: Any): Any = v match {
@@ -1336,6 +1392,9 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val table = IcebergTable.load(spark, url)
     if (table.metadata.currentSnapshotId < 0) return // nothing to delete from
+    // readers apply equality deletes through the merge-on-read machinery,
+    // which ORC data files cannot enter — refuse at write, not read
+    requireParquetForRowLevel(table.liveFiles(), "equality DELETE")
     val schema = table.iceSchema
     val commitId = UUID.randomUUID().toString
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
@@ -1399,6 +1458,7 @@ object IcebergWriter {
     if (table.metadata.currentSnapshotId < 0 || table.liveFiles().isEmpty) {
       append(spark, url, source, extraSummary); return
     }
+    requireParquetForRowLevel(table.liveFiles(), "UPSERT")
     val schema = table.iceSchema
     keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))
     val commitId = UUID.randomUUID().toString
@@ -1547,6 +1607,7 @@ object IcebergWriter {
     val table = IcebergTable.load(spark, url)
     val live = if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
     if (live.isEmpty) { append(spark, url, source); return }
+    requireParquetForRowLevel(live, "MERGE")
 
     val schema = table.iceSchema
     keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))
@@ -1828,7 +1889,11 @@ object IcebergWriter {
       files: Seq[(String, Long, FileStats, Seq[Any], Int)],
       specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
       fileContent: Int = Manifests.FileContent.Data,
-      equalityIds: Seq[Int] = Nil): Unit = {
+      equalityIds: Seq[Int] = Nil,
+      fileFormat: String = "PARQUET",
+      // per-path overrides: DELETED entries of foreign files must keep the
+      // format they were registered with, not this writer's default
+      formatOf: Map[String, String] = Map.empty): Unit = {
     val entrySchema = manifestEntrySchema(specInfo)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
@@ -1837,7 +1902,7 @@ object IcebergWriter {
         val df = new GenericData.Record(dataFileSchema)
         df.put("content", fileContent)
         df.put("file_path", filePath)
-        df.put("file_format", "PARQUET")
+        df.put("file_format", formatOf.getOrElse(filePath, fileFormat))
         val part = new GenericData.Record(partSchema)
         specInfo.zipWithIndex.foreach { case ((pf, _, valueType), i) =>
           val v = partValues(i) match {

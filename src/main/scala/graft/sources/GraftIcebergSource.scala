@@ -667,6 +667,20 @@ final class GraftIcebergScan(
   private lazy val morReadSchema: StructType =
     StructType(requiredSchema.fields ++ eqExtraFields :+ ScanBridge.rowIndexField)
 
+  /** Foreign-written ORC data files in this scan. Row-level deletes and
+    * metadata columns need the per-file row index, which only Spark's
+    * parquet readers materialize — those scans refuse ORC loudly. */
+  private lazy val orcFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
+    files.filter(_.fileFormat.equalsIgnoreCase("ORC"))
+
+  private def requireNoOrcUnderMor(): Unit =
+    if (orcFiles.nonEmpty && morMode)
+      throw new UnsupportedOperationException(
+        s"${orcFiles.size} ORC data file(s) cannot be scanned under " +
+          "row-level deletes or metadata columns (Spark's ORC reader " +
+          "materializes no per-file row index); rewrite the table to " +
+          "parquet with the engine that wrote it")
+
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
@@ -674,10 +688,24 @@ final class GraftIcebergScan(
     // session conf stays untouched): ParquetReadSupport reads the flag from
     // the task-side configuration
     IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
-    val paths = files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
+    requireNoOrcUnderMor()
     val readSchema = if (!morMode) requiredSchema else morReadSchema
-    ScanBridge.parquetScan(spark, hconf, paths,
-      table.schema, readSchema, pushedFilters, options).toBatch
+    def paths(fs: Seq[graft.iceberg.Manifests.DataFileInfo]) =
+      fs.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
+    val parquetFiles = files.filterNot(_.fileFormat.equalsIgnoreCase("ORC"))
+    val batches = Seq(
+      parquetFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
+        spark, hconf, fs, table.schema, readSchema, pushedFilters, options)),
+      orcFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.orcScan(
+        spark, hconf, fs, table.schema, readSchema, pushedFilters, options)))
+      .collect { case (fs, mk) if fs.nonEmpty => mk(paths(fs)).toBatch }
+    batches match {
+      case Seq(one) => one
+      case Seq() => // empty snapshot: an empty parquet scan plans no tasks
+        ScanBridge.parquetScan(spark, hconf, Nil,
+          table.schema, readSchema, pushedFilters, options).toBatch
+      case several => ScanBridge.combinedBatch(several)
+    }
   }
 
   /** Key-grouped layout for STORAGE-PARTITIONED JOINS: when enabled and
@@ -697,6 +725,7 @@ final class GraftIcebergScan(
   private lazy val keyedLayout: Option[GraftIcebergScan.KeyedLayout] = {
     val conf = SQLConf.get
     if (morMode || // MOR needs per-file partitions, not key groups
+        orcFiles.nonEmpty || // keyed partitions assume ONE format's factory
         !conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
         !conf.getConfString("spark.graft.iceberg.preserveDataGrouping", "false").toBoolean)
       None
@@ -729,6 +758,7 @@ final class GraftIcebergScan(
           group.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes)))
       }.toArray
     case None if morMode =>
+      requireNoOrcUnderMor()
       val spark = SparkSession.active
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
         files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,

@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.connector.read.Batch
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcScan
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -437,5 +439,67 @@ object ScanBridge {
     val index = new KnownFilesIndex(spark, files, dataSchema)
     ParquetScan(spark, hadoopConf, index, dataSchema, readDataSchema,
       new StructType(), pushedFilters, options)
+  }
+
+  /** Spark's native ORC DSv2 scan (vectorized, predicate pushdown to
+    * stripes) over a known file list — same zero-listing planning as
+    * [[parquetScan]]. Missing evolved-in columns read back as nulls via
+    * Spark's by-name ORC column resolution. */
+  def orcScan(
+      spark: SparkSession,
+      hadoopConf: Configuration,
+      files: Seq[(String, Long)],
+      dataSchema: StructType,
+      readDataSchema: StructType,
+      pushedFilters: Array[Filter],
+      options: CaseInsensitiveStringMap): Scan = {
+    val index = new KnownFilesIndex(spark, files, dataSchema)
+    OrcScan(spark, hadoopConf, index, dataSchema, readDataSchema,
+      new StructType(), options, None, pushedFilters)
+  }
+
+  /** An input partition of a [[combinedBatch]], remembering which member
+    * batch planned it so the combined factory routes it home. */
+  final class RoutedPartition(
+      private[graftbridge] val which: Int,
+      private[graftbridge] val inner: InputPartition) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  private final class RoutedReaderFactory(
+      factories: Array[PartitionReaderFactory],
+      columnarOK: Boolean) extends PartitionReaderFactory {
+    private def r(p: InputPartition) = p.asInstanceOf[RoutedPartition]
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      factories(r(p).which).createReader(r(p).inner)
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      factories(r(p).which).createColumnarReader(r(p).inner)
+    // Spark rejects mixed columnar/row partitions within one scan: report
+    // columnar only when EVERY partition of every member batch supports it
+    // (precomputed), else force the row path uniformly
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      columnarOK && factories(r(p).which).supportColumnarReads(r(p).inner)
+  }
+
+  /** Concatenate several Batches into one (a mixed parquet+ORC Iceberg
+    * table plans one scan per format, presented to Spark as a single
+    * Batch). Columnar reads survive only if every member partition
+    * supports them — otherwise the whole scan reads row-based, because
+    * Spark refuses heterogeneous partition shapes. */
+  def combinedBatch(batches: Seq[Batch]): Batch = new Batch {
+    private lazy val parts: Array[Array[InputPartition]] =
+      batches.map(_.planInputPartitions()).toArray
+    override def planInputPartitions(): Array[InputPartition] =
+      parts.zipWithIndex.flatMap { case (ps, i) =>
+        ps.map(new RoutedPartition(i, _): InputPartition)
+      }
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val fs = batches.map(_.createReaderFactory()).toArray
+      val columnarOK = parts.zipWithIndex.forall { case (ps, i) =>
+        ps.forall(fs(i).supportColumnarReads)
+      }
+      new RoutedReaderFactory(fs, columnarOK)
+    }
   }
 }
