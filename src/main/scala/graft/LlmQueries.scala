@@ -71,6 +71,19 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** FULL-probe IVF: probing every cell makes IVF exact (nProbe is the
+    * recall/cost dial; nProbe=nlist is its endpoint), so DuckDB's
+    * brute-force cosine top-k is a true oracle — a hash match verifies the
+    * whole index path (k-means build, cell assignment, probe routing,
+    * scoring, tie-breaking) independent of centroid randomness. */
+  def simTopkIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, nProbe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------- text analysis
 
   def txStats(s: SparkSession, dir: String): DataFrame = {
@@ -126,6 +139,13 @@ object LlmQueries {
       .select(col("doc_id"), col("fingerprint"), size(col("sh")).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** The engine-portable rolling fingerprint — same canonicalization as
+    * [[txFingerprint]], but with a DuckDB-replayable hash. */
+  def txFingerprintRolling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- multimodal
 
   def mmMeta(s: SparkSession, dir: String): DataFrame =
@@ -157,6 +177,8 @@ object LlmQueries {
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
+    "sim_topk_ivf_full" -> (simTopkIvfFull _),
+    "tx_fingerprint_rolling" -> (txFingerprintRolling _),
     "tx_stats"          -> (txStats _),
     "tx_quality"        -> (txQuality _),
     "tx_langid"         -> (txLangid _),
@@ -185,6 +207,26 @@ object LlmQueries {
   private val dotSql =
     "list_reduce(list_transform(range(1, 65), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), (a, b) -> a + b)"
   private def dot(a: String, b: String) = dotSql.format(a, b)
+
+  /** DuckDB replay of [[graft.operators.Multimodal.MediaCodec.decodeStub]]'s
+    * payload fold: unsigned 64-bit residue kept in HUGEINT. */
+  private val mediaHashSql = """
+    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      list_transform(regexp_extract_all(text, '[\s\S]'),
+        ch -> CAST(ascii(ch) AS HUGEINT))),
+      (acc, b) -> (acc*31 + b) % CAST(18446744073709551616 AS HUGEINT))"""
+
+  private val bruteTopkSql = s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cos
+        FROM c JOIN q ON query_id != neighbor_id)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> """
@@ -295,16 +337,50 @@ object LlmQueries {
              ELSE 'video' END AS media_type,
         CAST(strlen(text) AS BIGINT) AS byte_len
       FROM documents ORDER BY doc_id""",
-    "sim_topk_brute" -> s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-      scored AS (
-        SELECT query_id, neighbor_id,
-          ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cos
-        FROM c JOIN q ON query_id != neighbor_id)
-      SELECT query_id, rank, neighbor_id, cos FROM (
-        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-        FROM scored)
-      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_topk_brute" -> bruteTopkSql,
+    // full-probe IVF is EXACT by construction (every cell scanned once), so
+    // brute-force cosine top-k is its oracle too — independent of k-means
+    // centroid placement
+    "sim_topk_ivf_full" -> bruteTopkSql,
+    "tx_fingerprint_rolling" -> """
+      WITH canon AS (SELECT doc_id,
+        array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS c
+        FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(c, '[^\n]'),
+            ch -> CAST(ascii(ch) AS BIGINT))),
+          (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
+      FROM canon ORDER BY doc_id""",
+    // the decode STUB is a deterministic byte fold (h = 31h + byte over the
+    // UTF-8 payload, wrapping at 2^64): DuckDB replays it with HUGEINT
+    // arithmetic — ascii(char) equals the payload byte because the corpus
+    // is ASCII, and width/height/frames derive from unsigned residues of h
+    // (floorMod over a power-of-two modulus is scheme-independent)
+    "mm_features" -> s"""
+      WITH f AS (SELECT
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          CAST(strlen(text) AS BIGINT) AS byte_len, $mediaHashSql AS h
+        FROM documents)
+      SELECT media_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        max(64 + CAST(h % 16 AS INT)*32) AS max_width,
+        max(64 + CAST((h // 256) % 9 AS INT)*32) AS max_height
+      FROM f GROUP BY media_type ORDER BY media_type""",
+    "mm_frames" -> s"""
+      WITH f AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          $mediaHashSql AS h
+        FROM documents),
+      v AS (SELECT doc_id, media_type,
+          CASE WHEN media_type = 'video' THEN 1 + CAST((h // 65536) % 24 AS INT)
+               ELSE 1 END AS n_frames
+        FROM f)
+      SELECT doc_id, media_type, CAST(fi AS INT) AS frame_idx, n_frames
+      FROM v, unnest(generate_series(0, n_frames - 1, 4)) AS u(fi)
+      ORDER BY doc_id, frame_idx""",
   )
+
 }

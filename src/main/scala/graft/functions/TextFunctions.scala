@@ -62,6 +62,20 @@ object TextFunctions {
   def tokenFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Rolling polynomial fingerprint over the same canonical token string:
+    * acc = (acc*31 + codepoint) mod 1e9+7, folded left to right. Unlike
+    * xxhash64 this is ENGINE-PORTABLE (the DuckDB oracle replays it with
+    * list_reduce), so the fingerprint path gets a hash-match check; the
+    * char class [^\n] reads identically in Java regex and RE2. */
+  def rollingFingerprint(text: Column): Column = {
+    val canon = concat_ws(" ", array_sort(array_distinct(tokens(text))))
+    aggregate(
+      transform(regexp_extract_all(canon, lit("[^\n]"), lit(0)),
+        c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+  }
+
   // ------------------------------------------------------------ language ID
 
   /** Marker (stop)words per language for the n-gram/stopword heuristic. */
