@@ -19,19 +19,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * without JVM object conversion; eval-mode only (CodegenFallback) — the
   * surrounding plan stays in whole-stage codegen.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression, algo: String = SimHash.AlgoXx)
+    extends UnaryExpression with CodegenFallback {
+  require(algo == SimHash.AlgoXx || algo == SimHash.AlgoPoly31,
+    s"unknown simhash token-hash algo '$algo'")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val poly = algo == SimHash.AlgoPoly31
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h = hash64(s)
+        val h = if (poly) poly31(s) else hash64(s)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -54,6 +58,19 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       s, StringType, 42L)
 
+  /** Engine-portable 64-bit polynomial hash: h = h*31 + byte over the UTF-8
+    * bytes, wrapping mod 2^64 (Java long overflow) — replayable by any engine
+    * with 128-bit integer arithmetic (the DuckDB oracle uses HUGEINT), which
+    * turns the whole SimHash pipeline into a hash-matchable computation.
+    * Weaker avalanche than xxHash64, so the default stays [[hash64]]. */
+  private def poly31(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -61,9 +78,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 object SimHash {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
+  /** Token-hash algorithms for [[SimHash64]]. */
+  val AlgoXx = "xx"
+  val AlgoPoly31 = "poly31"
+
   /** SimHash64 as a Column function. */
-  def simhash64(tokens: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, algo: String = AlgoXx): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), algo))
 
   /** Hamming distance between two 64-bit hashes (codegen'd built-ins). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

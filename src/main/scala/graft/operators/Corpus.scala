@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer: repetition-based quality metrics,
+  * benchmark decontamination, and deterministic stratified mixture sampling.
+  *
+  * Like the [[Dedup]] family, every operator is a pure DataFrame→DataFrame
+  * transform with no driver-side collection; shuffles are keyed on values
+  * whose cardinality grows with the corpus (n-grams, ids), never all-pairs.
+  */
+object Corpus {
+
+  /** Word n-grams WITH multiplicity (unlike [[TF.wordShingles]], which
+    * dedups) — repetition metrics need the raw counts. */
+  private def rawNgrams(text: Column, n: Int): Column = {
+    val toks = TF.tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+  }
+
+  /** Gopher-style repetition metrics per document:
+    *  - `dup_word_frac`: fraction of token occurrences that repeat an
+    *    earlier token (1 − distinct/total);
+    *  - `top_ngram_frac`: share of all word n-grams taken by the single most
+    *    frequent one (boilerplate and templated spam score high).
+    *
+    * The only shuffle is the per-(doc, gram) count — O(tokens) rows keyed by
+    * values of corpus-growing cardinality, with map-side partial
+    * aggregation, so the shape holds at 100 TB. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as(idCol),
+      TF.tokens(col(textCol)).as("_t"), rawNgrams(col(textCol), n).as("_g"))
+    val perDoc = base.select(col(idCol),
+      (lit(1.0) - size(array_distinct(col("_t"))).cast(DoubleType) /
+        size(col("_t"))).as("dup_word_frac"),
+      size(col("_g")).as("_n_grams"))
+    val top = base.select(col(idCol), explode(col("_g")).as("_gram"))
+      .groupBy(col(idCol), col("_gram")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_top"))
+    perDoc.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("dup_word_frac"),
+        when(col("_n_grams") > 0,
+          col("_top").cast(DoubleType) / col("_n_grams"))
+          .otherwise(lit(0.0)).as("top_ngram_frac"))
+  }
+
+  /** Benchmark decontamination: drop every corpus document sharing at least
+    * one word n-gram with the benchmark set — the standard guard against
+    * eval-set leakage into training data (n ≈ 8-13 for real corpora; pick n
+    * below the shortest meaningful overlap).
+    *
+    * Contamination is detected by an equi-join on the n-gram itself, so the
+    * shuffle is O(corpus n-grams) keyed by gram; the benchmark side is tiny
+    * in practice and broadcastable by AQE. The final anti-join removes
+    * flagged ids without moving document bodies. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(TF.wordShingles(col(textCol), n)).as("_g")).distinct()
+    val grams = corpus
+      .select(col(idCol), explode(TF.wordShingles(col(textCol), n)).as("_g"))
+    val contaminated = grams.join(bench, "_g").select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic stratified mixture sampling: keep a row iff its
+    * engine-portable hash-uniform u(key) < rate(stratum) — how a training
+    * mix downsamples over-represented sources/languages. Rehashing the same
+    * key always gives the same decision (reproducible mixes, no RNG state),
+    * and the hash is the poly31 rolling hash so an external engine can
+    * replay the exact sample. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    // poly31 of a SHORT key (like a numeric id) never wraps the modulus, so
+    // the raw fingerprint clusters near 0 — a Fibonacci-style multiplicative
+    // finalizer mod the same prime spreads it uniformly; both steps replay
+    // in 64-bit integer SQL (product < 2^62)
+    val u = ((TF.rollingFingerprint(col(keyCol).cast("string")) *
+      lit(2654435761L)) % lit(1000000007L))
+      .cast(DoubleType) / lit(1000000007.0)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+}

@@ -103,9 +103,10 @@ object Dedup {
     * through their other, more selective blocks; truly identical docs are
     * [[exactDedup]]'s job, not a pair enumeration's. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 2000): DataFrame = {
+      n: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 2000,
+      hashAlgo: String = SimHash.AlgoXx): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        SimHash.simhash64(TF.wordShingles(col(textCol), n)).as("h"))
+        SimHash.simhash64(TF.wordShingles(col(textCol), n), hashAlgo).as("h"))
     // band the 64-bit hash into 4 16-bit blocks for candidate generation
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
