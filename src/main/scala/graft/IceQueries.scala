@@ -518,6 +518,63 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** INCREMENTAL append scan (Iceberg's IncrementalAppendScan shape): read
+    * ONLY the rows appended after a known snapshot — the "process what's
+    * new since the last run" primitive incremental pipelines need; at
+    * 100 TB it reads one day's commits instead of the table. A compaction
+    * inside the range is content-neutral and must be skipped (its output
+    * files would double-count earlier appends); each commit's files come
+    * from that commit's own immutable manifest list. The oracle reads the
+    * resolved appended files straight back in DuckDB. */
+  def iceIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, (1L to 10L).map(j => (j, "a")).toDF("k", "v"))
+    val from = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.append(s, url, (11L to 20L).map(j => (j, "b")).toDF("k", "v"))
+    Maintenance.compact(s, url, targetFiles = Some(1))
+    IcebergWriter.append(s, url, (21L to 25L).map(j => (j, "c")).toDF("k", "v"))
+    val t = IcebergTable.load(s, url)
+    val inc = t.incrementalBetween(from, t.currentSnapshot.snapshotId)
+    dynamicOracle("ice_incremental") =
+      s"""SELECT k, v FROM read_parquet(
+         |${sqlPaths(inc.liveFiles().map(f => inc.resolvePath(f.filePath)))})
+         |ORDER BY k""".stripMargin
+    inc.read().orderBy("k")
+  }
+
+  /** Changelog form of the incremental scan: appended rows annotated with
+    * `_change_type` and the committing snapshot id — what a downstream CDC
+    * consumer ingests. The oracle unions each commit's files with its
+    * snapshot id pinned as a literal. */
+  def iceChangelog(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_chlog").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, (1L to 5L).map(j => (j, "a")).toDF("k", "v"))
+    val from = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.append(s, url, (6L to 10L).map(j => (j, "b")).toDF("k", "v"))
+    IcebergWriter.append(s, url, (11L to 12L).map(j => (j, "c")).toDF("k", "v"))
+    val t = IcebergTable.load(s, url)
+    val inc = t.incrementalBetween(from, t.currentSnapshot.snapshotId)
+    val perSnap = inc.liveFiles().groupBy(_.snapshotId.getOrElse(-1L)).toSeq.sortBy(_._1)
+    dynamicOracle("ice_changelog") = perSnap.map { case (sid, files) =>
+      s"""SELECT k, v, 'insert' AS _change_type,
+         |CAST($sid AS BIGINT) AS _commit_snapshot_id FROM read_parquet(
+         |${sqlPaths(files.map(f => inc.resolvePath(f.filePath)))})""".stripMargin
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY k")
+    t.changelog(from, t.currentSnapshot.snapshotId).orderBy("k")
+  }
+
   /** Foreign ORC data files (SURVEY extension): customer rows written as
     * EXTERNAL ORC files, imported metadata-only via `addFiles` (the
     * add_files shape — zero data rewritten), then aggregated through the
@@ -545,6 +602,8 @@ object IceQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_incremental"      -> (iceIncremental _),
+    "ice_changelog"        -> (iceChangelog _),
     "ice_orc_import"       -> (iceOrcImport _),
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),

@@ -26,7 +26,11 @@ final class IcebergTable private (
     val originalUrl: String,
     val metadata: TableMetadata,
     val version: Int,
-    selectedSnapshotId: Option[Long]) {
+    selectedSnapshotId: Option[Long],
+    /** When set, this view is an INCREMENTAL scan: [[liveFiles]] yields only
+      * the files APPENDED by snapshots in (this, currentSnapshot], not the
+      * whole live set — see [[incrementalBetween]]. */
+    val incrementalFromSnapshotId: Option[Long] = None) {
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
 
@@ -107,6 +111,60 @@ final class IcebergTable private (
     atSnapshot(ref.snapshotId)
   }
 
+  /** INCREMENTAL (changelog-style) view: reading it yields exactly the rows
+    * APPENDED by snapshots after `fromSnapshotId` up to and including
+    * `toSnapshotId` — the standard "process only what's new since the last
+    * run" primitive for incremental pipelines (Iceberg's incremental append
+    * scan). At 100 TB this is the difference between re-scanning the table
+    * and scanning one day's commits.
+    *
+    * Semantics per snapshot in range: `append` contributes its ADDED files;
+    * `replace` (compaction) is skipped — it rewrites existing rows without
+    * changing table content; any other operation (overwrite, delete, row
+    * deltas) cannot be expressed as pure appends, so the scan REFUSES rather
+    * than silently returning wrong changes. `fromSnapshotId` must be an
+    * ancestor of `toSnapshotId` on the parent chain. */
+  def incrementalBetween(fromSnapshotId: Long, toSnapshotId: Long): IcebergTable = {
+    require(snapshots.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
+    require(snapshots.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
+    // walk to's parent chain back to from — validates ancestry and collects
+    // the half-open range (from, to]
+    var cur = snapshots(toSnapshotId)
+    val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cur.snapshotId != fromSnapshotId) {
+      range += cur
+      cur = cur.parentSnapshotId.flatMap(snapshots.get).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId"))
+    }
+    range.foreach { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      require(op == "append" || op == "replace",
+        s"incremental read cannot express snapshot ${s.snapshotId}'s " +
+          s"'$op' operation as appends; read the full table at that point instead")
+    }
+    new IcebergTable(spark, url, originalUrl, metadata, version,
+      Some(toSnapshotId), Some(fromSnapshotId))
+  }
+
+  /** The appended rows of every snapshot in (from, to] with changelog
+    * columns `_change_type` ('insert') and `_commit_snapshot_id` — one
+    * pruned scan per contributing snapshot, unioned (snapshot count is
+    * metadata-bounded; each scan reads only that commit's files). */
+  def changelog(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val inc = incrementalBetween(fromSnapshotId, toSnapshotId)
+    val bySnapshot = inc.liveFiles().groupBy(_.snapshotId)
+    val parts = bySnapshot.toSeq.sortBy(_._1).map { case (sid, files) =>
+      readFiles(files)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_snapshot_id", lit(sid.getOrElse(-1L)))
+    }
+    parts.reduceOption(_ unionAll _)
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](),
+        schema.add("_change_type", StringType).add("_commit_snapshot_id", LongType)))
+  }
+
   /** Refs as a DataFrame (like Iceberg's `table$refs`). */
   def refsDf: DataFrame = {
     import spark.implicits._
@@ -165,6 +223,10 @@ final class IcebergTable private (
     * Delete manifests (v2 content=1) are excluded — their files are
     * position-delete files, applied by [[readPred]] merge-on-read. */
   def liveFiles(pred: IcePredicate = AlwaysTrue): Seq[DataFileInfo] = {
+    incrementalFromSnapshotId match {
+      case Some(from) => return incrementalFiles(from, pred)
+      case None => ()
+    }
     val c = conf
     val kept = manifestList
       .filter(_.content == Manifests.ManifestContent.Data)
@@ -196,6 +258,59 @@ final class IcebergTable private (
     }
     deleted.foreach(allFiles.remove)
     allFiles.values.toSeq
+  }
+
+  /** Files ADDED by the append snapshots in (from, currentSnapshot] — each
+    * snapshot's own (immutable) manifest list is consulted, so a later
+    * compaction in the range cannot hide or double-count a commit's files.
+    * Manifest-tier pruning applies exactly as in the full scan. */
+  private def incrementalFiles(from: Long, pred: IcePredicate): Seq[DataFileInfo] = {
+    val c = conf
+    var cur = snapshots(currentSnapshot.snapshotId)
+    val appends = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cur.snapshotId != from) {
+      if (cur.summary.getOrElse("operation", "append") == "append") appends += cur
+      cur = snapshots(cur.parentSnapshotId.getOrElse(
+        throw new IllegalStateException("snapshot chain broken")))
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
+    appends.reverseIterator.foreach { s =>
+      val kept = Manifests.readManifestList(rewriteManifestList(s.manifestList), c)
+        .filter(mf => mf.content == Manifests.ManifestContent.Data &&
+          mf.addedSnapshotId.contains(s.snapshotId))
+        .filter { mf =>
+          val ctx = pruningContext(metadata.specById(mf.partitionSpecId))
+          manifestMightMatch(pred, mf, ctx)
+        }
+      val entryLists = Manifests.readManifests(kept.map(m => rewrite(m.path)), c)
+      for ((mf, entries) <- kept.zip(entryLists);
+           e <- entries if e.status == Status.Added) {
+        val path = rewrite(e.dataFile.filePath)
+        require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
+            e.dataFile.fileFormat.equalsIgnoreCase("ORC"),
+          s"only parquet and orc data files are supported, got ${e.dataFile.fileFormat}")
+        out(path) = e.dataFile.copy(
+          snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
+          dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber))
+      }
+    }
+    out.values.toSeq
+  }
+
+  /** Direct schema'd read of specific data files (changelog building block:
+    * the rows AS APPENDED, before any later row-level deletes). */
+  private def readFiles(files: Seq[DataFileInfo]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val (orc, parquet) = files.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+    val parts = Seq(
+      if (parquet.nonEmpty)
+        Some(spark.read.schema(schema).parquet(parquet.map(f => rewrite(f.filePath)): _*))
+      else None,
+      if (orc.nonEmpty)
+        Some(spark.read.schema(schema).orc(orc.map(f => rewrite(f.filePath)): _*))
+      else None).flatten
+    parts.reduce(_ unionAll _)
   }
 
   // ---------------------------------------------------------------- read
@@ -319,6 +434,10 @@ final class IcebergTable private (
         if (version > 0) reader = reader.option("version", version.toString)
         if (originalUrl.nonEmpty) reader = reader.option("original-url", originalUrl)
         selectedSnapshotId.foreach(id => reader = reader.option("snapshot-id", id.toString))
+        // incremental views forward their start bound; the end bound is the
+        // selected snapshot forwarded just above
+        incrementalFromSnapshotId.foreach(f =>
+          reader = reader.option("start-snapshot-id", f.toString))
         reader.load(url)
       }
     val filtered = Pruning.toColumn(pred).map(base.filter).getOrElse(base)

@@ -132,6 +132,13 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
     Option(options.get("as-of-ms")).foreach(ts => table = table.asOfTimestamp(ts.toLong))
     Option(options.get("branch")).foreach(b => table = table.atBranch(b))
     Option(options.get("tag")).foreach(t => table = table.atTag(t))
+    // incremental append scan: files added in (start, end]; end defaults to
+    // the snapshot resolved by the travel options above (or latest)
+    Option(options.get("start-snapshot-id")).foreach { from =>
+      val end = Option(options.get("end-snapshot-id")).map(_.toLong)
+        .getOrElse(table.currentSnapshot.snapshotId)
+      table = table.incrementalBetween(from.toLong, end)
+    }
     cached = (options, table)
     table
   }

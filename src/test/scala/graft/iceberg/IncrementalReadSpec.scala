@@ -1,0 +1,139 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental append scans ([[IcebergTable.incrementalBetween]]) and the
+  * changelog view: only rows appended in (from, to] are read; compaction in
+  * the range is skipped; overwrites/deletes refuse. */
+class IncrementalReadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshTable: String =
+    java.nio.file.Files.createTempDirectory("graft_ice_incr").toString + "/tbl"
+
+  val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  test("incremental read returns exactly the appended rows of the range") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v"))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (11L to 20L).map(i => (i, "b")).toDF("k", "v"))
+    val s2 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (21L to 30L).map(i => (i, "c")).toDF("k", "v"))
+
+    val t = IcebergTable.load(spark, url)
+    val head = t.currentSnapshot.snapshotId
+    assert(t.incrementalBetween(s1, head).read()
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == (11L to 30L))
+    // sub-range ending before head
+    assert(t.incrementalBetween(s1, s2).read()
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == (11L to 20L))
+    // empty range
+    assert(t.incrementalBetween(head, head).read().count() == 0)
+  }
+
+  test("compaction inside the range is skipped, not double-counted") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v"))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (11L to 20L).map(i => (i, "b")).toDF("k", "v"))
+    Maintenance.compact(spark, url, targetFiles = Some(1))
+    IcebergWriter.append(spark, url, (21L to 25L).map(i => (i, "c")).toDF("k", "v"))
+
+    val t = IcebergTable.load(spark, url)
+    val inc = t.incrementalBetween(s1, t.currentSnapshot.snapshotId)
+    // the compaction's output file holds 1..20; including it would resurface
+    // 1..10 and double-count 11..20
+    assert(inc.read().as[(Long, String)].collect().map(_._1).sorted.toSeq
+      == (11L to 25L))
+  }
+
+  test("filters prune and push down through the incremental scan") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v"))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (11L to 20L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    IcebergWriter.append(spark, url, (21L to 30L).map(i => (i, "c")).toDF("k", "v").coalesce(1))
+
+    val t = IcebergTable.load(spark, url)
+    val inc = t.incrementalBetween(s1, t.currentSnapshot.snapshotId)
+    // file-level stats pruning applies to the appended set: k>=25 rules out
+    // the 11..20 file entirely
+    assert(inc.prunedFiles(Pruning.GtEq("k", 25L)).size == 1)
+    assert(inc.read(filters = Seq(Seq(("k", ">=", 25))))
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == (25L to 30L))
+  }
+
+  test("non-append operations in range refuse; bad bounds refuse") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v"))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 5L))
+    IcebergWriter.append(spark, url, (11L to 15L).map(i => (i, "b")).toDF("k", "v"))
+
+    val t = IcebergTable.load(spark, url)
+    val head = t.currentSnapshot.snapshotId
+    val e = intercept[IllegalArgumentException] {
+      t.incrementalBetween(s1, head)
+    }
+    assert(e.getMessage.contains("delete"))
+    intercept[IllegalArgumentException] { t.incrementalBetween(999L, head) }
+    // reversed bounds: from is NOT an ancestor of to
+    intercept[IllegalArgumentException] { t.incrementalBetween(head, s1) }
+  }
+
+  test("changelog annotates rows with their committing snapshot") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 5L).map(i => (i, "a")).toDF("k", "v"))
+    val t0 = IcebergTable.load(spark, url)
+    val s1 = t0.currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (6L to 8L).map(i => (i, "b")).toDF("k", "v"))
+    val s2 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (9L to 10L).map(i => (i, "c")).toDF("k", "v"))
+
+    val t = IcebergTable.load(spark, url)
+    val s3 = t.currentSnapshot.snapshotId
+    val rows = t.changelog(s1, s3)
+      .select("k", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (6L to 10L))
+    assert(rows.forall(_._2 == "insert"))
+    assert(rows.filter(_._1 <= 8L).forall(_._3 == s2))
+    assert(rows.filter(_._1 > 8L).forall(_._3 == s3))
+  }
+
+  test("the DSv2 source honours start-snapshot-id/end-snapshot-id options") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v"))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (11L to 20L).map(i => (i, "b")).toDF("k", "v"))
+    val s2 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (21L to 30L).map(i => (i, "c")).toDF("k", "v"))
+
+    val df = spark.read.format("graft-iceberg")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString)
+      .load(url)
+    assert(df.as[(Long, String)].collect().map(_._1).sorted.toSeq == (11L to 20L))
+    val all = spark.read.format("graft-iceberg")
+      .option("start-snapshot-id", s1.toString)
+      .load(url)
+    assert(all.count() == 20)
+  }
+}
