@@ -518,6 +518,85 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** Foreign AVRO data files (the third Iceberg data-file format; no
+    * spark-avro module exists on this classpath, so the engine ships its own
+    * avro-core row reader): customer rows written as an external Avro
+    * container file exactly as a foreign engine would (avro-core
+    * DataFileWriter, nullable-union fields), imported metadata-only via
+    * `addFiles`, then aggregated through the engine's Avro scan. The oracle
+    * aggregates the SAME source parquet in DuckDB — a hash match proves the
+    * Avro read path end to end. */
+  def iceAvroImport(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val base = java.nio.file.Files.createTempDirectory("graft_avroimp").toString
+    val url = s"$base/t"
+    // bounded driver-side collect: this builds the FOREIGN test file (write
+    // scaffolding), not the read path under test
+    val rows = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .filter(col("c_custkey") <= 600).collect()
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"customer","fields":[
+        |{"name":"c_custkey","type":"long"},
+        |{"name":"c_nationkey","type":["null","int"],"default":null},
+        |{"name":"c_acctbal","type":["null","double"],"default":null}]}""".stripMargin)
+    val f = new java.io.File(s"$base/ext.avro")
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, f)
+    rows.foreach { r =>
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("c_custkey", r.getLong(0))
+      rec.put("c_nationkey", r.getInt(1))
+      rec.put("c_acctbal", r.getDouble(2))
+      w.append(rec)
+    }
+    w.close()
+    IcebergWriter.createTable(s, url, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c_nationkey", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("c_acctbal", org.apache.spark.sql.types.DoubleType))))
+    IcebergWriter.addFiles(s, url, Seq(f.getAbsolutePath), "avro")
+    IcebergTable.load(s, url).read()
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(
+          org.apache.spark.sql.types.DecimalType(28, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** PARTITION SPEC EVOLUTION: an identity(cat)-partitioned table respec'd
+    * to bucket[4](k) WITHOUT rewriting a byte — new writes route to the new
+    * layout, old files keep their spec, and reads prune each file under its
+    * own spec. The 100 TB story: repartitioning is a metadata commit, not a
+    * table rewrite. The oracle reads every final data file back in DuckDB. */
+  def iceSpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_pev").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
+      partitions = Seq(("cat", "identity")))
+    IcebergWriter.append(s, url,
+      (1L to 40L).map(i => (i, s"c${i % 2}")).toDF("k", "cat"))
+    IcebergWriter.updatePartitionSpec(s, url, Seq(("k", "bucket[4]")))
+    IcebergWriter.append(s, url,
+      (41L to 80L).map(i => (i, s"c${i % 2}")).toDF("k", "cat"))
+    val t = IcebergTable.load(s, url)
+    dynamicOracle("ice_spec_evolution") =
+      s"""SELECT k, cat, CAST(1 AS INTEGER) AS default_spec_id,
+         |  CAST(2 AS BIGINT) AS n_specs
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("default_spec_id", lit(t.metadata.defaultSpecId))
+      .withColumn("n_specs", lit(t.metadata.partitionSpecs.size.toLong))
+      .orderBy("k")
+  }
+
   /** INCREMENTAL append scan (Iceberg's IncrementalAppendScan shape): read
     * ONLY the rows appended after a known snapshot — the "process what's
     * new since the last run" primitive incremental pipelines need; at
@@ -602,6 +681,8 @@ object IceQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_avro_import"      -> (iceAvroImport _),
+    "ice_spec_evolution"   -> (iceSpecEvolution _),
     "ice_incremental"      -> (iceIncremental _),
     "ice_changelog"        -> (iceChangelog _),
     "ice_orc_import"       -> (iceOrcImport _),
@@ -660,6 +741,11 @@ object IceQueries {
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "ice_avro_import" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey <= 600
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "ice_read_all" ->
       s"${fixtureScan(liveCurrent, "name, age, email")} ORDER BY name",
     "ice_read_filtered" ->

@@ -243,15 +243,17 @@ final class IcebergTable private (
       // foreign-written ORC data files (Avro data files stay refused — no
       // vectorized reader available)
       require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
-          e.dataFile.fileFormat.equalsIgnoreCase("ORC"),
-        s"only parquet and orc data files are supported, got ${e.dataFile.fileFormat}")
+          e.dataFile.fileFormat.equalsIgnoreCase("ORC") ||
+          e.dataFile.fileFormat.equalsIgnoreCase("AVRO"),
+        s"only parquet, orc, and avro data files are supported, got ${e.dataFile.fileFormat}")
       e.status match {
         case Status.Added | Status.Existing =>
           // committing snapshot + data sequence: entry-level, else
           // inherited from the manifest (Iceberg's inheritance rules)
           allFiles(path) = e.dataFile.copy(
             snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-            dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber))
+            dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
+            specId = Some(mf.partitionSpecId))
         case Status.Deleted => deleted += path
         case other => throw new IllegalStateException(s"invalid manifest status $other")
       }
@@ -287,11 +289,13 @@ final class IcebergTable private (
            e <- entries if e.status == Status.Added) {
         val path = rewrite(e.dataFile.filePath)
         require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
-            e.dataFile.fileFormat.equalsIgnoreCase("ORC"),
-          s"only parquet and orc data files are supported, got ${e.dataFile.fileFormat}")
+            e.dataFile.fileFormat.equalsIgnoreCase("ORC") ||
+          e.dataFile.fileFormat.equalsIgnoreCase("AVRO"),
+          s"only parquet, orc, and avro data files are supported, got ${e.dataFile.fileFormat}")
         out(path) = e.dataFile.copy(
           snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-          dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber))
+          dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
+          specId = Some(mf.partitionSpecId))
       }
     }
     out.values.toSeq
@@ -302,6 +306,9 @@ final class IcebergTable private (
   private def readFiles(files: Seq[DataFileInfo]): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    require(!files.exists(_.fileFormat.equalsIgnoreCase("AVRO")),
+      "changelog over imported AVRO data files is not supported; " +
+        "compact the table to parquet first")
     val (orc, parquet) = files.partition(_.fileFormat.equalsIgnoreCase("ORC"))
     val parts = Seq(
       if (parquet.nonEmpty)
@@ -349,7 +356,8 @@ final class IcebergTable private (
           case Status.Added | Status.Existing =>
             live(path) = e.dataFile.copy(
               snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-              dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber))
+              dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
+              specId = Some(mf.partitionSpecId))
           case Status.Deleted => dropped += path
           case other => throw new IllegalStateException(s"invalid manifest status $other")
         }
@@ -399,12 +407,26 @@ final class IcebergTable private (
   def dataSequenceOf(f: DataFileInfo): Long =
     f.dataSequence.getOrElse(sequenceOf(f.snapshotId))
 
+  /** Pruning context for one FILE: its own partition spec (stamped from its
+    * manifest), falling back to the table default. After partition
+    * evolution, files of several specs coexist; evaluating each under its
+    * own spec keeps partition-value pruning sound (a same-named field under
+    * a different transform would otherwise misread the value). Contexts are
+    * memoized per spec id. */
+  private val ctxBySpec = scala.collection.concurrent.TrieMap.empty[Int, Context]
+  def pruningContextFor(f: DataFileInfo): Context = {
+    val id = f.specId.getOrElse(metadata.defaultSpecId)
+    ctxBySpec.getOrElseUpdate(id, pruningContext(metadata.specById(id)))
+  }
+
+  /** File-tier pruning under the file's OWN spec. */
+  def fileMightMatchOwnSpec(pred: IcePredicate, f: DataFileInfo): Boolean =
+    fileMightMatch(pred, f, pruningContextFor(f))
+
   /** Live files surviving BOTH pruning tiers (manifest summaries + file
     * stats/partition values) — the planning entry point for the DSv2 scan. */
-  def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] = {
-    val ctx = pruningContext(partitionSpec)
-    liveFiles(pred).filter(f => fileMightMatch(pred, f, ctx))
-  }
+  def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] =
+    liveFiles(pred).filter(f => fileMightMatchOwnSpec(pred, f))
 
   /** Rewrite a metadata-embedded absolute path to the current table root. */
   def resolvePath(p: String): String = rewrite(p)

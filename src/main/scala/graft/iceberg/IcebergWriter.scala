@@ -94,7 +94,7 @@ object IcebergWriter {
     meta.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
     // flat v1 form too (the reference reads this one, ice.py:209)
     meta.set[ArrayNode]("partition-spec", specFields.deepCopy())
-    meta.put("last-partition-id", 999)
+    meta.put("last-partition-id", 999 + partitions.size)
     // SORT ORDER: written data files keep rows sorted by these columns
     // (within partitions), so per-file bounds on the sort key are tight and
     // usually disjoint — a point/range query then prunes to a handful of
@@ -286,12 +286,16 @@ object IcebergWriter {
       "addFiles imports into unpartitioned tables only " +
         "(no partition values can be derived for foreign files)")
     val fmt = format.toUpperCase
-    require(fmt == "PARQUET" || fmt == "ORC",
-      s"addFiles supports parquet and orc, got $format")
+    require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
+      s"addFiles supports parquet, orc, and avro, got $format")
     val files = paths.map { p =>
       val hp = new Path(p)
       val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
-      val rows = if (fmt == "PARQUET") rowCountOf(hp, conf) else orcRowCountOf(hp, conf)
+      val rows = fmt match {
+        case "PARQUET" => rowCountOf(hp, conf)
+        case "ORC" => orcRowCountOf(hp, conf)
+        case _ => avroRowCountOf(hp, conf)
+      }
       (p, len, FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
         Seq.empty[Any])
     }
@@ -299,6 +303,20 @@ object IcebergWriter {
       deletePred = None, operation = "append",
       extraSummary = Map("graft-added-files" -> files.size.toString),
       dataFileFormat = fmt)
+  }
+
+  /** Row count of an Avro data file: block headers carry per-block record
+    * counts, so the scan skips from sync marker to sync marker without
+    * decoding records. */
+  private def avroRowCountOf(path: Path, conf: Configuration): Long = {
+    val in = new org.apache.avro.mapred.FsInput(path, conf)
+    val r = new org.apache.avro.file.DataFileReader(in,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      var n = 0L
+      while (r.hasNext) { n += r.getBlockCount; r.nextBlock() }
+      n
+    } finally r.close()
   }
 
   /** Row count straight from the ORC file tail (no data read). */
@@ -487,15 +505,14 @@ object IcebergWriter {
         case Some(Pruning.AlwaysTrue) => // full-table replace
           if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
         case Some(pred) =>
-          val ctx = Pruning.Context(
-            table.iceSchema.fields.map(f =>
-              f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
-            spec)
+          // per-file contexts: after partition evolution, each file prunes
+          // under the spec it was written with
           val live = table.liveFiles()
-          val fully = live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+          val fully = live.filter(f =>
+            !table.fileMightMatchOwnSpec(Pruning.negate(pred), f))
           val partial = live.filter(f =>
-            Pruning.fileMightMatch(pred, f, ctx) &&
-              Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+            table.fileMightMatchOwnSpec(pred, f) &&
+              table.fileMightMatchOwnSpec(Pruning.negate(pred), f))
           if (partial.nonEmpty)
             throw new UnsupportedOperationException(
               s"predicate matches only part of ${partial.size} file(s); " +
@@ -541,15 +558,11 @@ object IcebergWriter {
       // concurrent append also inserted — write skew). Refuse; the caller
       // reruns against the current snapshot.
       requireNoConflictingAdds.foreach { case (keysAtScan, pred) =>
-        val ctx = Pruning.Context(
-          table.iceSchema.fields.map(f =>
-            f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
-          table.partitionSpec)
         val live = if (table.metadata.currentSnapshotId < 0) Nil
           else table.liveFiles()
         val conflicting = live.filter { f =>
           !keysAtScan.contains(morKeyOf(table.resolvePath(f.filePath))) &&
-            Pruning.fileMightMatch(pred, f, ctx)
+            table.fileMightMatchOwnSpec(pred, f)
         }
         if (conflicting.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -622,7 +635,8 @@ object IcebergWriter {
         NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
           dataFiles.size, addedRecords, deletedFiles.size, deletedRecords,
           summaries) +: (extraManifests ++ deleteRewrite.map(_._1).getOrElse(Nil)),
-        priorManifests, conf, sequenceNumber = newSeq)
+        priorManifests, conf, sequenceNumber = newSeq,
+        specId = table0.metadata.defaultSpecId)
 
       // 5. new metadata version
       val old = mapper.readTree(
@@ -743,6 +757,74 @@ object IcebergWriter {
         leaf.filterNot(_.get("name").asText == parts.last)
       }, lastColumnId)
     }
+
+  // ---------------------------------------------------- partition evolution
+
+  /** PARTITION SPEC EVOLUTION (metadata-only): register `partitions` (the
+    * FULL new spec, (source column, transform) pairs like [[createTable]])
+    * as a new spec with a fresh spec-id and make it the default for FUTURE
+    * writes — the Iceberg answer to "repartition a 100 TB table": zero data
+    * rewritten. Old files keep their spec; both pruning tiers evaluate each
+    * manifest/file under its OWN spec (see `IcebergTable.pruningContextFor`).
+    * A field identical to one in an existing spec (same source-id,
+    * transform, and name) reuses its field-id, per the Iceberg spec. */
+  def updatePartitionSpec(spark: SparkSession, url: String,
+      partitions: Seq[(String, String)]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      val old = mapper.readTree(
+        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        .asInstanceOf[ObjectNode]
+      val schema = table.iceSchema
+      val specs = old.withArray[ArrayNode]("partition-specs")
+      val existing: Seq[ObjectNode] =
+        (0 until specs.size).map(specs.get(_).asInstanceOf[ObjectNode])
+      val newSpecId = existing.map(_.get("spec-id").asInt).max + 1
+      // defensive floor at the max assigned field-id: legacy metadata (incl.
+      // tables this writer created before it tracked the counter) may carry
+      // a stale last-partition-id, and a fresh id colliding with an existing
+      // field's would alias two different transforms
+      var lastPartId = (Option(old.get("last-partition-id")).map(_.asInt)
+        .getOrElse(999) +: existing.flatMap { sp =>
+          val fs = sp.withArray[ArrayNode]("fields")
+          (0 until fs.size).map(fs.get(_).get("field-id").asInt)
+        }).max
+      def reusableFieldId(sourceId: Int, tr: String, name: String): Option[Int] =
+        existing.iterator.map { sp =>
+          val fs = sp.withArray[ArrayNode]("fields")
+          (0 until fs.size).map(fs.get).find(f =>
+            f.get("source-id").asInt == sourceId &&
+              f.get("transform").asText == tr &&
+              f.get("name").asText == name).map(_.get("field-id").asInt)
+        }.collectFirst { case Some(id) => id }
+      val spec = mapper.createObjectNode()
+      spec.put("spec-id", newSpecId)
+      val specFields = mapper.createArrayNode()
+      partitions.foreach { case (src, tr) =>
+        Transforms.parse(tr) // refuse unknown transform strings up front
+        val sourceId = schema.fields.find(_.name == src).getOrElse(
+          throw new IllegalArgumentException(s"no partition source column $src")).id
+        val name = partitionFieldName(src, tr)
+        val fid = reusableFieldId(sourceId, tr, name).getOrElse {
+          lastPartId += 1; lastPartId
+        }
+        val fn = mapper.createObjectNode()
+        fn.put("name", name)
+        fn.put("transform", tr)
+        fn.put("source-id", sourceId)
+        fn.put("field-id", fid)
+        specFields.add(fn)
+      }
+      spec.set[ArrayNode]("fields", specFields)
+      specs.add(spec)
+      old.put("default-spec-id", newSpecId)
+      old.put("last-partition-id", lastPartId)
+      // keep the flat v1 mirror on the DEFAULT spec (the reference reads it)
+      old.set[ArrayNode]("partition-spec", specFields.deepCopy())
+      old.put("last-updated-ms", System.currentTimeMillis())
+      Some(old.toPrettyString)
+    }
+  }
 
   /** Resolve an evolution target: an EXACT top-level name wins over a
     * dotted-path reading, so a flat column whose name contains a literal
@@ -879,16 +961,12 @@ object IcebergWriter {
     // attempt, so a concurrent append/delete is re-validated after reload
     commitWithRetry(spark, url, conf) { table =>
       val schema = table.iceSchema
-      val ctx = Pruning.Context(
-        schema.fields.map(f =>
-          f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
-        table.partitionSpec)
       val live = table.liveFiles()
       val fullyMatching = live.filter(f =>
-        !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+        !table.fileMightMatchOwnSpec(Pruning.negate(pred), f))
       val partial = live.filter(f =>
-        Pruning.fileMightMatch(pred, f, ctx) &&
-          Pruning.fileMightMatch(Pruning.negate(pred), f, ctx))
+        table.fileMightMatchOwnSpec(pred, f) &&
+          table.fileMightMatchOwnSpec(Pruning.negate(pred), f))
       if (partial.nonEmpty)
         throw new UnsupportedOperationException(
           s"predicate matches only part of ${partial.size} file(s); " +
@@ -930,7 +1008,8 @@ object IcebergWriter {
           NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
             0, 0L, fullyMatching.size, fullyMatching.map(_.recordCount).sum,
             Nil) +: deleteRewrite.map(_._1).getOrElse(Nil),
-          priorManifests, conf, sequenceNumber = newSeq)
+          priorManifests, conf, sequenceNumber = newSeq,
+          specId = table.metadata.defaultSpecId)
 
         val old = mapper.readTree(
           readString(s"$url/metadata/v${table.version}.metadata.json", conf))
@@ -1064,18 +1143,14 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val table = IcebergTable.load(spark, url)
     val schema = table.iceSchema
-    val ctx = Pruning.Context(
-      schema.fields.map(f =>
-        f.name -> Pruning.FieldInfo(f.id, f.name, f.icebergTypeString)).toMap,
-      table.partitionSpec)
     val live = table.liveFiles()
     val (fully, candidates) =
       if (pred == Pruning.AlwaysTrue) (live, Nil) // delete everything, whole files
       else (
-        live.filter(f => !Pruning.fileMightMatch(Pruning.negate(pred), f, ctx)),
+        live.filter(f => !table.fileMightMatchOwnSpec(Pruning.negate(pred), f)),
         live.filter(f =>
-          Pruning.fileMightMatch(pred, f, ctx) &&
-            Pruning.fileMightMatch(Pruning.negate(pred), f, ctx)))
+          table.fileMightMatchOwnSpec(pred, f) &&
+            table.fileMightMatchOwnSpec(Pruning.negate(pred), f)))
     if (fully.isEmpty && candidates.isEmpty) return
     // whole-file drops work for any format; only files a predicate SPLITS
     // need position deletes, and those require the parquet row index
@@ -1157,7 +1232,8 @@ object IcebergWriter {
       writeManifestLists(manifestListPath, snapshotId,
         dataManifest.toSeq ++ deleteManifest.toSeq ++
           deleteRewrite.map(_._1).getOrElse(Nil),
-        priorManifests, conf, sequenceNumber = newSeq)
+        priorManifests, conf, sequenceNumber = newSeq,
+        specId = current.metadata.defaultSpecId)
 
       val deletedRecords = fully.map(_.recordCount).sum - deadDeleteRows + posDeleteCount
       val old = mapper.readTree(
@@ -1307,9 +1383,23 @@ object IcebergWriter {
       touched: Set[Seq[Any]]): Seq[Manifests.DataFileInfo] = {
     val spec = table.partitionSpec
     if (table.metadata.currentSnapshotId < 0) Nil
-    else table.liveFiles().filter { f =>
-      touched.contains(spec.fields.map(pf =>
-        normPartValue(f.partition.getOrElse(pf.name, null))))
+    else {
+      val live = table.liveFiles()
+      // "replace the touched partitions" is only well-defined when every
+      // live file's partition tuple speaks the DEFAULT spec's language; a
+      // file from an older spec (partition evolution) may belong to a
+      // touched logical partition without matching its tuple — silently
+      // keeping it would corrupt the overwrite, so refuse and point at
+      // compaction (which rewrites everything under the current spec)
+      val foreign = live.filter(f =>
+        !f.specId.forall(_ == table.metadata.defaultSpecId))
+      if (foreign.nonEmpty) throw new UnsupportedOperationException(
+        s"dynamic partition overwrite on a mixed-spec table: ${foreign.size} " +
+          "live file(s) use an older partition spec; compact the table first")
+      live.filter { f =>
+        touched.contains(spec.fields.map(pf =>
+          normPartValue(f.partition.getOrElse(pf.name, null))))
+      }
     }
   }
 
@@ -1412,7 +1502,8 @@ object IcebergWriter {
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
       val newSeq = current.metadata.lastSequenceNumber + 1
       writeManifestLists(manifestListPath, snapshotId, manifest.toSeq,
-        current.manifestList, conf, sequenceNumber = newSeq)
+        current.manifestList, conf, sequenceNumber = newSeq,
+        specId = current.metadata.defaultSpecId)
       val old = mapper.readTree(
         readString(s"$url/metadata/v${current.version}.metadata.json", conf))
         .asInstanceOf[ObjectNode]
@@ -1951,7 +2042,11 @@ object IcebergWriter {
   private def writeManifestLists(path: String, snapshotId: Long,
       newManifests: Seq[NewManifestInfo],
       prior: Seq[Manifests.ManifestFile], conf: Configuration,
-      sequenceNumber: Long = 0L): Unit = {
+      sequenceNumber: Long = 0L,
+      /** spec the new manifests' partition values/summaries were computed
+        * under (the committing operation's default spec) — readers resolve
+        * each manifest's summaries and file partition tuples by this id. */
+      specId: Int = 0): Unit = {
     val summarySchema = ManifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
 
@@ -1972,7 +2067,7 @@ object IcebergWriter {
         val rec = new GenericData.Record(ManifestFileSchema)
         rec.put("manifest_path", nm.path)
         rec.put("manifest_length", fs.getFileStatus(new Path(nm.path)).getLen)
-        rec.put("partition_spec_id", 0)
+        rec.put("partition_spec_id", specId)
         rec.put("added_snapshot_id", snapshotId)
         rec.put("added_data_files_count", nm.addedFiles)
         rec.put("existing_data_files_count", 0)

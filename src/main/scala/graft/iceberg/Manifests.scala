@@ -84,6 +84,12 @@ object Manifests {
       /** The snapshot that ADDED this file (from the manifest entry, falling
         * back to the manifest's added_snapshot_id). */
       snapshotId: Option[Long] = None,
+      /** The PARTITION SPEC the file was written under (its manifest's
+        * partition_spec_id) — after partition evolution a table holds files
+        * of several specs, and file-tier pruning must evaluate each file
+        * under its OWN spec (a same-named field under a different transform
+        * would otherwise misread the partition value). */
+      specId: Option[Int] = None,
       /** The DATA SEQUENCE NUMBER, inherited from the file's manifest
         * (Iceberg inheritance: prior manifests keep their recorded number,
         * so ordering SURVIVES snapshot expiration). Equality deletes apply

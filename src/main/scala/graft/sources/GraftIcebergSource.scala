@@ -674,19 +674,26 @@ final class GraftIcebergScan(
   private lazy val morReadSchema: StructType =
     StructType(requiredSchema.fields ++ eqExtraFields :+ ScanBridge.rowIndexField)
 
+  /** Foreign-written AVRO data files in this scan (same interop contract
+    * as ORC: no row-level deletes / metadata columns over them). */
+  private lazy val avroFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
+    files.filter(_.fileFormat.equalsIgnoreCase("AVRO"))
+
   /** Foreign-written ORC data files in this scan. Row-level deletes and
     * metadata columns need the per-file row index, which only Spark's
     * parquet readers materialize — those scans refuse ORC loudly. */
   private lazy val orcFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
     files.filter(_.fileFormat.equalsIgnoreCase("ORC"))
 
-  private def requireNoOrcUnderMor(): Unit =
-    if (orcFiles.nonEmpty && morMode)
+  private def requireNoOrcUnderMor(): Unit = {
+    val foreign = orcFiles ++ avroFiles
+    if (foreign.nonEmpty && morMode)
       throw new UnsupportedOperationException(
-        s"${orcFiles.size} ORC data file(s) cannot be scanned under " +
-          "row-level deletes or metadata columns (Spark's ORC reader " +
-          "materializes no per-file row index); rewrite the table to " +
+        s"${foreign.size} ORC/AVRO data file(s) cannot be scanned under " +
+          "row-level deletes or metadata columns (their readers " +
+          "materialize no per-file row index); rewrite the table to " +
           "parquet with the engine that wrote it")
+  }
 
   private lazy val delegate: Batch = {
     val spark = SparkSession.active
@@ -699,13 +706,17 @@ final class GraftIcebergScan(
     val readSchema = if (!morMode) requiredSchema else morReadSchema
     def paths(fs: Seq[graft.iceberg.Manifests.DataFileInfo]) =
       fs.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
-    val parquetFiles = files.filterNot(_.fileFormat.equalsIgnoreCase("ORC"))
+    val parquetFiles = files.filterNot(f =>
+      f.fileFormat.equalsIgnoreCase("ORC") || f.fileFormat.equalsIgnoreCase("AVRO"))
     val batches = Seq(
       parquetFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
-        spark, hconf, fs, table.schema, readSchema, pushedFilters, options)),
+        spark, hconf, fs, table.schema, readSchema, pushedFilters, options).toBatch),
       orcFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.orcScan(
-        spark, hconf, fs, table.schema, readSchema, pushedFilters, options)))
-      .collect { case (fs, mk) if fs.nonEmpty => mk(paths(fs)).toBatch }
+        spark, hconf, fs, table.schema, readSchema, pushedFilters, options).toBatch),
+      avroFiles -> ((fs: Seq[(String, Long)]) =>
+        org.apache.spark.sql.graftbridge.AvroScanBridge.avroBatch(
+          spark, hconf, fs, readSchema)))
+      .collect { case (fs, mk) if fs.nonEmpty => mk(paths(fs)) }
     batches match {
       case Seq(one) => one
       case Seq() => // empty snapshot: an empty parquet scan plans no tasks
@@ -732,7 +743,7 @@ final class GraftIcebergScan(
   private lazy val keyedLayout: Option[GraftIcebergScan.KeyedLayout] = {
     val conf = SQLConf.get
     if (morMode || // MOR needs per-file partitions, not key groups
-        orcFiles.nonEmpty || // keyed partitions assume ONE format's factory
+        orcFiles.nonEmpty || avroFiles.nonEmpty || // keyed partitions assume ONE format's factory
         !conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
         !conf.getConfString("spark.graft.iceberg.preserveDataGrouping", "false").toBoolean)
       None
