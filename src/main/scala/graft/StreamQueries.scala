@@ -49,10 +49,41 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming SOURCE over an Iceberg table: events append in three
+    * snapshot batches, then a real readStream tails the table from
+    * earliest — each micro-batch is one incremental snapshot range.
+    * Losing/duplicating any snapshot's rows breaks the hash match against
+    * the same aggregation over the raw events. */
+  def s4IcebergSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.IcebergWriter
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s4src").toString
+    val url = s"$tmp/tbl"
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+    (0 until 3).foreach(i =>
+      IcebergWriter.append(s, url, events.filter(col("event_id") % 3 === i)))
+    val q = s.readStream.format("graft-iceberg")
+      .option("stream-from-earliest", "true")
+      .load(url)
+      .writeStream.format("memory").queryName("s4_ice_source")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("s4_ice_source").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_iceberg_sink" -> (s3IcebergSink _),
+    "s4_iceberg_source" -> (s4IcebergSource _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,6 +91,12 @@ object StreamQueries {
     // the same aggregation over the source — losing or duplicating ANY
     // micro-batch row breaks the hash match
     "s3_iceberg_sink" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    // the source round-trips events OUT of an Iceberg table as a stream;
+    // same oracle shape as the sink: the aggregation over the raw events
+    "s4_iceberg_source" -> """
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type""",

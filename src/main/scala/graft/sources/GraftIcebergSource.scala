@@ -239,6 +239,7 @@ final class GraftIcebergV2Table(val table: IcebergTable) extends Table
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
 
@@ -485,6 +486,17 @@ final class GraftIcebergScan(
   /** The metadata-pruned file list this scan covers — the "groups" a
     * copy-on-write row-level operation replaces. */
   def scanFiles: Seq[graft.iceberg.Manifests.DataFileInfo] = files
+
+  /** STREAMING read: `spark.readStream.format("graft-iceberg")` tails the
+    * table's append snapshots — each micro-batch is one incremental range
+    * (the same machinery as `IcebergTable.incrementalBetween`), so a table
+    * written by the streaming SINK round-trips back out as a stream. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(metaCols.isEmpty,
+      "metadata columns are not supported in streaming reads")
+    new GraftIcebergMicroBatchStream(table, requiredSchema, pushedFilters, options)
+  }
 
   /** The pushed filters as ONE Iceberg predicate — a row-level operation's
     * conflict-detection filter: a concurrently added file that might match
@@ -885,5 +897,96 @@ object GraftIcebergScan {
       groups.toSeq.map { case (k, fs) =>
         (new GenericInternalRow(k.toArray): InternalRow, fs.toSeq)
       }))
+  }
+}
+
+/** Stream offset: the last PROCESSED snapshot id (-1 = before the table's
+  * first snapshot, i.e. the whole table is still pending). */
+final case class SnapshotOffset(snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+}
+
+object SnapshotOffset {
+  def from(json: String): SnapshotOffset =
+    SnapshotOffset("""-?\d+""".r.findFirstIn(json).get.toLong)
+}
+
+/** Micro-batch STREAMING SOURCE over an Iceberg table: tails append
+  * snapshots, one incremental range per micro-batch.
+  *
+  *  - Offsets are snapshot ids — exactly-once via the streaming engine's
+  *    offset log; a restarted query resumes from its checkpoint.
+  *  - By default the stream starts at the CURRENT snapshot (tail semantics:
+  *    only new appends flow). `stream-from-earliest=true` makes the first
+  *    batch carry the whole table; `starting-snapshot-id` pins an explicit
+  *    (exclusive) start.
+  *  - A non-append snapshot in a batch's range (overwrite, delete, row
+  *    deltas) REFUSES loudly — an append tail cannot express row removal;
+  *    compaction (`replace`) is content-neutral and skipped, matching
+  *    `IcebergTable.incrementalBetween`.
+  *  - Rows stream AS APPENDED (later row-level deletes are not applied),
+  *    the same contract as `IcebergTable.changelog`.
+  *
+  * Each batch plans a normal vectorized parquet scan over the range's
+  * files, so projection pushdown works; residual filters re-apply above
+  * the scan as in batch reads. */
+final class GraftIcebergMicroBatchStream(
+    table: IcebergTable,
+    readSchema: StructType,
+    pushedFilters: Array[Filter],
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def freshTable(): IcebergTable =
+    IcebergTable.load(SparkSession.active, table.url,
+      if (table.originalUrl.nonEmpty) Some(table.originalUrl) else None)
+
+  private lazy val initial: Long =
+    Option(options.get("starting-snapshot-id")).map(_.toLong).getOrElse {
+      if (Option(options.get("stream-from-earliest")).exists(_.toBoolean)) -1L
+      else freshTable().metadata.currentSnapshotId
+    }
+
+  override def initialOffset(): Offset = SnapshotOffset(initial)
+
+  override def latestOffset(): Offset =
+    SnapshotOffset(freshTable().metadata.currentSnapshotId)
+
+  override def deserializeOffset(json: String): Offset = SnapshotOffset.from(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].snapshotId
+    val e = end.asInstanceOf[SnapshotOffset].snapshotId
+    if (e < 0 || s == e) return Array.empty
+    val t = freshTable()
+    val files =
+      if (s < 0) t.atSnapshot(e).liveFiles()
+      else t.incrementalBetween(s, e).liveFiles()
+    require(files.forall(_.fileFormat.equalsIgnoreCase("PARQUET")),
+      "streaming reads support parquet data files only; compact the table " +
+        "to fold foreign ORC/AVRO imports first")
+    val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
+    ScanBridge.parquetScan(spark, hconf,
+      files.map(f => (t.resolvePath(f.filePath), f.fileSizeInBytes)),
+      t.schema, readSchema, pushedFilters, options).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
+    // the parquet reader factory is independent of the planned file list:
+    // an empty template scan yields the factory every batch reuses
+    ScanBridge.parquetScan(spark, hconf, Nil, table.schema, readSchema,
+      pushedFilters, options).toBatch.createReaderFactory()
   }
 }

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+
+/** Streaming SOURCE over an Iceberg table
+  * ([[GraftIcebergMicroBatchStream]]): `spark.readStream` tails append
+  * snapshots, offsets checkpoint as snapshot ids, and non-append history
+  * refuses loudly. */
+class IcebergStreamSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("stream-from-earliest delivers the table, then tails new appends") {
+    val dir = fresh("graft_src_stream")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 5L).map(i => (i, "a")).toDF("k", "v"))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-from-earliest", "true")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_tail")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM ice_tail").as[Long].collect().sorted.toSeq
+        == (1L to 5L))
+      // two more appends arrive while the stream runs
+      IcebergWriter.append(spark, url, (6L to 8L).map(i => (i, "b")).toDF("k", "v"))
+      IcebergWriter.append(spark, url, (9L to 10L).map(i => (i, "c")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM ice_tail").as[Long].collect().sorted.toSeq
+        == (1L to 10L))
+    } finally q.stop()
+  }
+
+  test("default start is the current snapshot: only NEW appends flow") {
+    val dir = fresh("graft_src_stream2")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 5L).map(i => (i, "old")).toDF("k", "v"))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_tail2")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ice_tail2").as[Long].head() == 0L)
+      IcebergWriter.append(spark, url, (6L to 7L).map(i => (i, "new")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM ice_tail2").as[Long].collect().sorted.toSeq
+        == Seq(6L, 7L))
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed snapshot offset") {
+    val dir = fresh("graft_src_stream3")
+    val url = s"$dir/tbl"
+    val ckpt = s"$dir/ckpt"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 3L).map(i => (i, "a")).toDF("k", "v"))
+
+    val out = s"$dir/out"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("stream-from-earliest", "true")
+        .load(url)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 3L)
+    IcebergWriter.append(spark, url, (4L to 6L).map(i => (i, "b")).toDF("k", "v"))
+    // second run, same checkpoint: resumes at the recorded snapshot — the
+    // exactly-once file sink ends with each row once, no batch-0 replay
+    run()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().map(_._1)
+      .sorted.toSeq == (1L to 6L))
+  }
+
+  test("a delete snapshot in the pending range refuses") {
+    val dir = fresh("graft_src_stream4")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 5L).map(i => (i, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft-iceberg")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_tail4")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 2L))
+      IcebergWriter.append(spark, url, Seq((6L, "b")).toDF("k", "v"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage != null)
+      ()
+    } finally q.stop()
+
+    val t = IcebergTable.load(spark, url)
+    assert(t.snapshots.size >= 3) // table itself is fine; only the tail broke
+  }
+}
