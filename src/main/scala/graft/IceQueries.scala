@@ -518,6 +518,37 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** Z-ORDER clustering: a 64x64 grid written in random order (every file
+    * spans both full ranges — zero skipping) is re-laid-out along the
+    * Morton curve; afterwards a point query on EITHER dimension prunes at
+    * least half the files from per-file bounds alone. The pruning facts are
+    * computed from the metadata plane and pinned as literals; the oracle
+    * re-reads every final data file, proving the rewrite lost nothing. */
+  def iceZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_zq").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType))))
+    IcebergWriter.append(s, url,
+      (0L until 4096L).map(k => (k % 64, k / 64)).toDF("x", "y")
+        .orderBy(org.apache.spark.sql.functions.rand(7)).repartition(8))
+    Maintenance.zorder(s, url, Seq("x", "y"), targetFiles = Some(16))
+    val t = IcebergTable.load(s, url)
+    val total = t.liveFiles().size
+    val xPrunes = t.prunedFiles(Pruning.Eq("x", 10L)).size <= total / 2
+    val yPrunes = t.prunedFiles(Pruning.Eq("y", 10L)).size <= total / 2
+    dynamicOracle("ice_zorder") =
+      s"""SELECT x, y, true AS x_prunes, true AS y_prunes
+         |FROM (${duckLiveRows(t, Seq("x", "y"))}) ORDER BY x, y""".stripMargin
+    t.read()
+      .withColumn("x_prunes", lit(xPrunes))
+      .withColumn("y_prunes", lit(yPrunes))
+      .orderBy("x", "y")
+  }
+
   /** Foreign AVRO data files (the third Iceberg data-file format; no
     * spark-avro module exists on this classpath, so the engine ships its own
     * avro-core row reader): customer rows written as an external Avro
@@ -681,6 +712,7 @@ object IceQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_zorder"           -> (iceZorder _),
     "ice_avro_import"      -> (iceAvroImport _),
     "ice_spec_evolution"   -> (iceSpecEvolution _),
     "ice_incremental"      -> (iceIncremental _),

@@ -52,6 +52,93 @@ object Maintenance {
         .map(f => frozen.resolvePath(f.filePath)).toSet))
   }
 
+  /** Z-ORDER clustering rewrite: relayout the table's live rows along a
+    * Morton curve over `cols`, so per-file min/max bounds become tight
+    * hyper-rectangles on EVERY clustered column at once — a point/range
+    * query on any of them prunes to ~n^((d-1)/d) of the files instead of
+    * scanning all of them. The multi-column answer to a single-column sort
+    * order, and the standard data-skipping lever for 100 TB tables queried
+    * on more than one dimension.
+    *
+    * Mechanics: each column's values are range-scaled to a 16-bit code
+    * using one min/max aggregation over the live rows, the codes' bits are
+    * interleaved into the z-value (a codegen'd bit expression — no UDF),
+    * and the rows are range-partitioned + sorted by it, producing
+    * `targetFiles` files each covering one contiguous z-range. Commits as
+    * the same pinned `replace` snapshot as [[compact]] (concurrent appends
+    * survive; post-pin row-level deletes refuse).
+    *
+    * Restrictions: numeric/date/timestamp columns only (strings have no
+    * meaningful linear scale), and the table must not declare a sort order
+    * (the write path would re-sort by it, undoing the clustering). */
+  def zorder(spark: SparkSession, url: String, cols: Seq[String],
+      targetFiles: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorder takes 2-4 columns, got ${cols.size}")
+    val t0 = IcebergTable.load(spark, url)
+    if (t0.metadata.currentSnapshotId < 0) return
+    require(t0.sortOrderColumns.isEmpty,
+      "zorder conflicts with the table's sort order (sorted writes would " +
+        "re-sort by it); clear the sort order first or use compact")
+    require(t0.partitionSpec.fields.isEmpty,
+      "zorder currently supports unpartitioned tables (a partitioned write " +
+        "re-clusters rows by partition value, undoing the z-layout)")
+    cols.foreach { c =>
+      val f = t0.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column $c"))
+      require(f.dataType.isInstanceOf[NumericType] ||
+          f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType,
+        s"zorder needs a linearly scalable column; $c is ${f.dataType}")
+    }
+    val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
+    val pinned = frozen.liveFiles()
+    if (pinned.isEmpty) return
+    val n = targetFiles.getOrElse(
+      math.max(1, (pinned.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
+
+    val df = frozen.read()
+    def linear(c: String): Column =
+      df.schema(c).dataType match {
+        case DateType => datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast(DoubleType)
+        case TimestampType | TimestampNTZType =>
+          unix_timestamp(col(c)).cast(DoubleType)
+        case _ => col(c).cast(DoubleType)
+      }
+    // one pass for every column's (min, max)
+    val minMaxCols = cols.flatMap(c => Seq(min(linear(c)), max(linear(c))))
+    val mm = df.agg(minMaxCols.head, minMaxCols.tail: _*).head()
+    // 16-bit range-scaled code per column (nulls sort first at code 0)
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      val lo = mm.getDouble(2 * i)
+      val span = math.max(mm.getDouble(2 * i + 1) - lo, Double.MinPositiveValue)
+      coalesce(least(lit(65535L), greatest(lit(0L),
+        floor((linear(c) - lit(lo)) / lit(span) * lit(65535.0)).cast(LongType))),
+        lit(0L))
+    }
+    // Morton interleave: z bit (b*d + c) = code_c bit b — pure codegen'd
+    // shift/mask/or terms, no UDF
+    val d = cols.size
+    val z = (for (b <- 0 until 16; c <- 0 until d) yield
+        shiftleft(shiftrightunsigned(codes(c), b).bitwiseAND(lit(1L)), b * d + c))
+      .reduce[Column](_ bitwiseOR _)
+
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    IcebergWriter.writeSnapshot(spark, url, clustered,
+      deletePred = None, operation = "replace",
+      pinnedDeletes = Some(pinned), dropDeleteManifests = true,
+      pinnedDeleteFiles = Some(frozen.liveDeleteFiles
+        .map(f => frozen.resolvePath(f.filePath)).toSet),
+      extraSummary = Map("graft-zorder-by" -> cols.mkString(",")))
+  }
+
   /** Keep only the last `keepLast` snapshots of the current history chain;
     * older snapshots leave the metadata and their no-longer-referenced data
     * files, manifests, and manifest lists are physically deleted. Time

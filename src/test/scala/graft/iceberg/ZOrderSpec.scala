@@ -1,0 +1,97 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.rand
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering ([[Maintenance.zorder]]): after the rewrite, point
+  * queries on EITHER clustered column prune most files via per-file bounds
+  * — the multi-dimensional data-skipping property a single-column sort
+  * cannot give. */
+class ZOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshTable: String =
+    java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/tbl"
+
+  val schema = StructType(Seq(
+    StructField("x", LongType), StructField("y", LongType),
+    StructField("payload", StringType)))
+
+  test("zorder tightens per-file bounds on both columns; data is unchanged") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    // a 64x64 grid written in RANDOM order across 8 files: every file spans
+    // nearly the full range of both x and y, so nothing prunes
+    val grid = (0L until 4096L).map(k => (k % 64, k / 64, s"p$k"))
+    IcebergWriter.append(spark, url,
+      grid.toDF("x", "y", "payload").orderBy(rand(7)).repartition(8))
+
+    val before = IcebergTable.load(spark, url)
+    val totalBefore = before.liveFiles().size
+    assert(totalBefore == 8)
+    assert(before.prunedFiles(Pruning.Eq("x", 10L)).size == totalBefore,
+      "random layout: a point query scans every file")
+
+    Maintenance.zorder(spark, url, Seq("x", "y"), targetFiles = Some(16))
+
+    val after = IcebergTable.load(spark, url)
+    assert(after.summary("operation") == "replace")
+    assert(after.summary.get("graft-zorder-by").contains("x,y"))
+    val total = after.liveFiles().size
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    // the z-curve gives locality on BOTH dimensions: a point query on
+    // either column now skips at least half the files
+    val prunedX = after.prunedFiles(Pruning.Eq("x", 10L)).size
+    val prunedY = after.prunedFiles(Pruning.Eq("y", 10L)).size
+    assert(prunedX <= total / 2, s"x=10 kept $prunedX of $total files")
+    assert(prunedY <= total / 2, s"y=10 kept $prunedY of $total files")
+    // content identical
+    assert(after.read().as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      == grid.sortBy(r => (r._1, r._2)))
+    // and the result is still correct through the pruned scan
+    assert(after.read(filters = Seq(Seq(("x", "==", 10))))
+      .as[(Long, Long, String)].collect().map(_._2).sorted.toSeq == (0L until 64L))
+  }
+
+  test("zorder folds row-level deletes like compact") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (0L until 100L).map(k => (k % 10, k / 10, s"p$k")).toDF("x", "y", "payload"))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("payload", "p42"))
+    Maintenance.zorder(spark, url, Seq("x", "y"), targetFiles = Some(4))
+    val t = IcebergTable.load(spark, url)
+    assert(t.positionDeleteFiles.isEmpty, "deletes folded into the rewrite")
+    assert(t.read().count() == 99)
+  }
+
+  test("guards: sorted tables, partitioned tables, bad columns refuse") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, 2L, "a")).toDF("x", "y", "payload"))
+    intercept[IllegalArgumentException] {
+      Maintenance.zorder(spark, url, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.zorder(spark, url, Seq("x", "payload"))
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.zorder(spark, url, Seq("x", "nope"))
+    }
+    val sortedUrl = freshTable
+    IcebergWriter.createTable(spark, sortedUrl, schema, sortOrder = Seq(("x", "asc")))
+    IcebergWriter.append(spark, sortedUrl, Seq((1L, 2L, "a")).toDF("x", "y", "payload"))
+    intercept[IllegalArgumentException] {
+      Maintenance.zorder(spark, sortedUrl, Seq("x", "y"))
+    }
+  }
+}
