@@ -936,13 +936,45 @@ final class GraftIcebergMicroBatchStream(
     readSchema: StructType,
     pushedFilters: Array[Filter],
     options: CaseInsensitiveStringMap)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def freshTable(): IcebergTable =
     IcebergTable.load(SparkSession.active, table.url,
       if (table.originalUrl.nonEmpty) Some(table.originalUrl) else None)
+
+  /** ADMISSION CONTROL: `max-snapshots-per-trigger` caps how many snapshots
+    * one micro-batch may cover. Without a cap, a long backlog (stream
+    * started with `stream-from-earliest` on a month of commits) lands as
+    * ONE giant batch — bounded batches keep executor memory and commit
+    * latency flat while the stream catches up. */
+  private val maxSnapshotsPerTrigger: Option[Int] =
+    Option(options.get("max-snapshots-per-trigger")).map(_.toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = freshTable()
+    val headId = head.metadata.currentSnapshotId
+    val startId = start.asInstanceOf[SnapshotOffset].snapshotId
+    maxSnapshotsPerTrigger match {
+      case None => SnapshotOffset(headId)
+      case Some(max) if headId < 0 || startId == headId => SnapshotOffset(headId)
+      case Some(max) =>
+        // walk head's parent chain back to start; if more than `max`
+        // snapshots are pending, stop the batch `max` steps after start
+        var chain = List(head.snapshots(headId))
+        while (chain.head.snapshotId != startId &&
+            chain.head.parentSnapshotId.exists(head.snapshots.contains))
+          chain = head.snapshots(chain.head.parentSnapshotId.get) :: chain
+        val pending = if (chain.head.snapshotId == startId) chain.tail else chain
+        SnapshotOffset(pending.take(max).lastOption.map(_.snapshotId).getOrElse(headId))
+    }
+  }
 
   private lazy val initial: Long =
     Option(options.get("starting-snapshot-id")).map(_.toLong).getOrElse {

@@ -100,6 +100,33 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
       .sorted.toSeq == (1L to 6L))
   }
 
+  test("max-snapshots-per-trigger splits the backlog into bounded batches") {
+    val dir = fresh("graft_src_stream5")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    (1 to 4).foreach(i =>
+      IcebergWriter.append(spark, url,
+        Seq((i.toLong, s"b$i")).toDF("k", "v")))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-from-earliest", "true")
+      .option("max-snapshots-per-trigger", "1")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_tail5")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM ice_tail5").as[Long].collect().sorted.toSeq
+        == (1L to 4L))
+      // the backlog of 4 snapshots drained as (at least) 4 bounded batches,
+      // not one giant catch-up batch
+      val nonEmptyBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmptyBatches >= 4,
+        s"expected >=4 rate-limited batches, saw $nonEmptyBatches")
+    } finally q.stop()
+  }
+
   test("a delete snapshot in the pending range refuses") {
     val dir = fresh("graft_src_stream4")
     val url = s"$dir/tbl"
