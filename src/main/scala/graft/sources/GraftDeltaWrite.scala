@@ -50,7 +50,7 @@ final class GraftDeltaRowLevelOperation(tbl: GraftIcebergV2Table,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new GraftIcebergScanBuilder(tbl, options, onBuild = { s =>
+    new GraftIcebergScanBuilder(tbl, options, dmlScan = true, onBuild = { s =>
       scanned = s.scanFiles
       // serializable-isolation pin: ALL live files at scan time (not just
       // the pruned ones) plus the operation's pushed condition — at commit,

@@ -388,7 +388,8 @@ final class GraftRowLevelOperation(tbl: GraftIcebergV2Table,
   override def description(): String = s"graft copy-on-write $cmd"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftIcebergScanBuilder(tbl, options, onBuild = s => scanned = s.scanFiles)
+    new GraftIcebergScanBuilder(tbl, options, onBuild = s => scanned = s.scanFiles,
+      dmlScan = true)
 
   override def requiredMetadataAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -426,7 +427,11 @@ final class GraftRowLevelOperation(tbl: GraftIcebergV2Table,
 
 final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
     options: CaseInsensitiveStringMap,
-    onBuild: GraftIcebergScan => Unit = _ => ())
+    onBuild: GraftIcebergScan => Unit = _ => (),
+    /** True when this scan feeds a row-level operation (its file set is
+      * pinned as the rewrite's replacement groups — see
+      * GraftIcebergScan.runtimeFilterable). */
+    dmlScan: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -465,7 +470,7 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
       if (pred == Pruning.AlwaysTrue) tbl.allLiveFiles
       else tbl.table.prunedFiles(pred)
     val scan = new GraftIcebergScan(tbl.table, files, requiredSchema, pushed,
-      options, metaCols)
+      options, metaCols, runtimeFilterable = !dmlScan)
     onBuild(scan)
     scan
   }
@@ -476,16 +481,53 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   * exact manifest statistics (rows + bytes) to the optimizer. */
 final class GraftIcebergScan(
     table: IcebergTable,
-    files: Seq[graft.iceberg.Manifests.DataFileInfo],
+    initialFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
     requiredSchema: StructType,
     pushedFilters: Array[Filter],
     options: CaseInsensitiveStringMap,
-    metaCols: Seq[String] = Nil)
-  extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+    metaCols: Seq[String] = Nil,
+    /** Runtime (DPP) filtering is enabled for plain reads only: a row-level
+      * operation's scan pins the exact file set its rewrite replaces, and a
+      * runtime-narrowed read with an unfiltered replacement set would delete
+      * files the operation never read. */
+    runtimeFilterable: Boolean = true)
+  extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** The file list this scan covers — narrowed in place by [[filter]] before
+    * partition planning. */
+  private var files: Seq[graft.iceberg.Manifests.DataFileInfo] = initialFiles
 
   /** The metadata-pruned file list this scan covers — the "groups" a
     * copy-on-write row-level operation replaces. */
   def scanFiles: Seq[graft.iceberg.Manifests.DataFileInfo] = files
+
+  /** DYNAMIC PARTITION PRUNING, file-granular: Spark materializes the small
+    * side of a join on these attributes, turns its keys into an In filter,
+    * and calls [[filter]] before execution — the fact scan then skips every
+    * file whose partition tuple / column bounds cannot match. At 100 TB
+    * this turns "scan the fact table" into "scan the joined slice".
+    * Attributes follow Iceberg's contract: source columns of every
+    * partition spec (where skipping is structurally effective), plus the
+    * sort-order columns (disjoint per-file bounds make them equally
+    * skippable). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!runtimeFilterable) Array.empty
+    else {
+      val specCols = table.metadata.partitionSpecs.flatMap(_.fields)
+        .flatMap(pf => table.iceSchema.fields.find(_.id == pf.sourceId)).map(_.name)
+      val sortCols = table.sortOrderColumns.map(_._1)
+      (specCols ++ sortCols).distinct
+        .map(Expressions.column)
+        .toArray[org.apache.spark.sql.connector.expressions.NamedReference]
+    }
+
+  override def filter(runtimeFilters: Array[Filter]): Unit = {
+    val pred = runtimeFilters.flatMap(Pruning.fromSparkFilter)
+      .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
+    if (pred != Pruning.AlwaysTrue)
+      files = files.filter(f => table.fileMightMatchOwnSpec(pred, f))
+  }
 
   /** STREAMING read: `spark.readStream.format("graft-iceberg")` tails the
     * table's append snapshots — each micro-batch is one incremental range
