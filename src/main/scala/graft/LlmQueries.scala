@@ -162,6 +162,17 @@ object LlmQueries {
 
   // ------------------------------------------------------ corpus preparation
 
+  /** PII scrub: redact email/SSN/phone/IP-shaped spans to typed tokens and
+    * report per-rule hit counts. Some rules fire on this synthetic corpus
+    * (numbers/dots collide with the IP/phone shapes) — exactly what the
+    * hash-compare needs to prove the rewrite itself. */
+  def txRedact(s: SparkSession, dir: String): DataFrame = {
+    val counts = TF.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    t(s, dir, "documents")
+      .select(col("doc_id") +: TF.redactPii(col("text")).as("clean") +: counts: _*)
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition metrics (dup-word fraction + top-2-gram
     * share) — the quality signal that catches templated/boilerplate spam
     * which per-token heuristics miss. */
@@ -217,6 +228,7 @@ object LlmQueries {
     "dd_simhash_rolling" -> (ddSimhashRolling _),
     "dd_embedding"      -> (ddEmbedding _),
     "tx_repetition"     -> (txRepetition _),
+    "tx_redact"         -> (txRedact _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_sample_mix"   -> (pipeSampleMix _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -415,6 +427,20 @@ object LlmQueries {
           OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
         AND bit_count(xor(a.sh, b.sh)) <= 16
       ORDER BY id_a, id_b"""),
+    // byte-for-byte replay of the redaction chain (same RE2-compatible
+    // patterns, same order); counts come from the PRE-redaction text
+    "tx_redact" -> """
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+        CAST(len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) AS INT) AS n_phone,
+        CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip
+      FROM documents ORDER BY doc_id""",
     "tx_repetition" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       g AS (SELECT doc_id, t,

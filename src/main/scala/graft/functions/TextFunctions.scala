@@ -76,6 +76,32 @@ object TextFunctions {
       (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
   }
 
+  // ------------------------------------------------------------ PII scrub
+
+  /** (label, pattern) redaction rules, applied in order (more-specific
+    * first: an SSN must not be half-eaten by the phone rule). Patterns are
+    * valid and IDENTICAL in Java regex and RE2, so the DuckDB oracle
+    * replays the scrub byte-for-byte. */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "SSN" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "PHONE" -> "\\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\\b",
+    "IP" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Redact PII-shaped spans (emails, SSNs, phone numbers, IPv4 addresses)
+    * to `<LABEL>` tokens — the scrub pass a training corpus runs before
+    * anything else sees the text. Pure codegen'd regexp_replace chain. */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (acc, (label, pattern)) =>
+      regexp_replace(acc, pattern, s"<$label>")
+    }
+
+  /** Count of PII-shaped spans per rule (diagnostics / corpus reporting). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiRules.map { case (label, pattern) =>
+      s"n_${label.toLowerCase}" -> regexp_count(text, lit(pattern))
+    }
+
   // ------------------------------------------------------------ language ID
 
   /** Marker (stop)words per language for the n-gram/stopword heuristic. */

@@ -486,6 +486,12 @@ final class IcebergTable private (
     val files = liveFiles(pred)
     if (pred != AlwaysTrue)
       None // would need residual evaluation; only exact for full scans
+    else if (incrementalFromSnapshotId.isDefined)
+      // a valid incremental range holds only appends; delete files that
+      // predate the range target pre-range data (their sequence numbers are
+      // strictly lower than the appended files'), so the appended record
+      // counts are already exact
+      Some(files.map(_.recordCount).sum)
     else if (equalityDeleteFiles.nonEmpty)
       // an equality-delete row may match zero or many data rows: no exact
       // count exists in metadata (compaction folds the deletes and restores

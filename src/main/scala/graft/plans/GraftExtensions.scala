@@ -1,24 +1,36 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
 
+import graft.iceberg.IcebergTypes
 import graft.sources.GraftIcebergV2Table
 
-/** Catalyst optimizer rule: answer `count(*)` over an Iceberg table from
-  * manifest statistics — zero data I/O.
+/** Catalyst optimizer rule: answer global `count(*)` / `min(col)` /
+  * `max(col)` over an Iceberg table from manifest statistics — zero data
+  * I/O.
   *
   * The reference exposes the raw material (`total-records` in snapshot
-  * summaries, per-file record counts) but never optimizes with it
-  * (README.md:95-96); Iceberg-java does this inside its scan. Here it is a
-  * proper `Rule[LogicalPlan]`: a global ungrouped `count(*)` (alone or with
-  * other count(*)s) over an un-filtered `graft-iceberg` relation collapses to
-  * a pre-computed `LocalRelation` row.
+  * summaries, per-file record counts and column bounds) but never optimizes
+  * with it (README.md:95-96); Iceberg-java does this inside its scan. Here
+  * it is a proper `Rule[LogicalPlan]`: a global ungrouped aggregate whose
+  * every expression is answerable from metadata, over an un-filtered
+  * `graft-iceberg` relation, collapses to a pre-computed `LocalRelation`
+  * row.
+  *
+  * min/max soundness rules (bail → normal scan):
+  *  - exact-bounds types only: int/long/date/time/timestamps. Strings can
+  *    carry TRUNCATED bounds, float/double bounds ignore NaN (which SQL
+  *    `max` must surface) unless the nan counts prove none exist;
+  *  - no live row-level deletes (a delete may have removed the extreme row);
+  *  - every live file must either record bounds for the column or hold only
+  *    nulls for it.
   *
   * Register with:
   * {{{
@@ -47,24 +59,86 @@ object CountFromIcebergStats extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** min/max from file bounds. Some(x) = answer (x may be null: zero files
+    * or all-null column); None = not answerable from metadata. */
+  private def minMaxFromStats(t: GraftIcebergV2Table, colName: String,
+      wantMin: Boolean, dt: DataType): Option[Any] = {
+    val table = t.table
+    val field = table.iceSchema.fields.find(_.name == colName)
+      .getOrElse(return None)
+    val ity = field.icebergTypeString
+    val floating = ity == "float" || ity == "double"
+    ity match {
+      case "int" | "long" | "date" | "time" | "timestamp" | "timestamptz" |
+           "timestampz" | "float" | "double" => ()
+      case _ => return None // string/binary bounds may be truncated
+    }
+    if (table.metadata.currentSnapshotId < 0) return Some(null)
+    if (table.liveDeleteFiles.nonEmpty) return None
+    var acc: Any = null
+    var seen = false
+    for (f <- table.liveFiles()) {
+      if (floating && !f.nanValueCounts.get(field.id).contains(0L))
+        return None // a NaN (or unknown NaN count) breaks bound ordering
+      val allNull = (f.valueCounts.get(field.id), f.nullValueCounts.get(field.id)) match {
+        case (Some(v), Some(n)) => v == n
+        case _ => false
+      }
+      if (!allNull) {
+        val bytes = (if (wantMin) f.lowerBounds else f.upperBounds)
+          .getOrElse(field.id, return None) // values exist but no bounds
+        val v = IcebergTypes.decodeBound(bytes, ity)
+        if (!seen) { acc = v; seen = true }
+        else {
+          val c = IcebergTypes.compare(acc, v).getOrElse(return None)
+          if (wantMin != (c <= 0)) acc = v
+        }
+      }
+    }
+    if (!seen) Some(null)
+    else toCatalyst(acc, dt)
+  }
+
+  /** decodeBound widens (int/date → Long, float → Double); narrow back to
+    * the column's catalyst representation. */
+  private def toCatalyst(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (l: java.lang.Long, IntegerType | DateType) => Some(l.toInt)
+    case (l: java.lang.Long, LongType | TimestampType | TimestampNTZType) => Some(l)
+    case (l: Long, IntegerType | DateType) => Some(l.toInt)
+    case (l: Long, LongType | TimestampType | TimestampNTZType) => Some(l)
+    case (d: Double, FloatType) => Some(d.toFloat)
+    case (d: Double, DoubleType) => Some(d)
+    case _ => None
+  }
+
+  /** One aggregate expression's metadata answer, or None if it needs data. */
+  private def answer(ae: AggregateExpression, t: GraftIcebergV2Table): Option[Any] = {
+    if (ae.isDistinct || ae.filter.nonEmpty) return None
+    ae.aggregateFunction match {
+      case Count(Seq(Literal(1, _))) | Count(Nil) =>
+        t.table.countFromStats().map(n => n: Any)
+      case Min(a: AttributeReference) => minMaxFromStats(t, a.name, wantMin = true, a.dataType)
+      case Max(a: AttributeReference) => minMaxFromStats(t, a.name, wantMin = false, a.dataType)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.forall {
-          case Alias(ae: AggregateExpression, _) => isCountStar(ae)
-          case ae: AggregateExpression => isCountStar(ae)
-          case _ => false
-        } =>
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
       unwrap(child) match {
         // runs before V2ScanRelationPushDown, so the DSv2 relation is intact
         case rel: DataSourceV2Relation =>
           rel.table match {
             case t: GraftIcebergV2Table =>
-              t.table.countFromStats() match {
-                case Some(n) =>
-                  val row = InternalRow.fromSeq(aggExprs.map(_ => n))
-                  LocalRelation(agg.output.map(_.toAttribute), Seq(row))
-                case None => agg
+              val answers = aggExprs.map {
+                case Alias(ae: AggregateExpression, _) => answer(ae, t)
+                case ae: AggregateExpression => answer(ae, t)
+                case _ => None
               }
+              if (answers.forall(_.isDefined))
+                LocalRelation(agg.output.map(_.toAttribute),
+                  Seq(InternalRow.fromSeq(answers.map(_.get))))
+              else agg
             case _ => agg
           }
         case _ => agg

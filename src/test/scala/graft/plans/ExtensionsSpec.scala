@@ -44,4 +44,44 @@ class ExtensionsSpec extends AnyFunSuite {
     val df = icebergDf.filter("age > 30").groupBy().count()
     assert(df.collect().head.getLong(0) == 2L) // correct, via real scan
   }
+
+  test("min/max over exact-bounds columns answer from file bounds") {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mmx").toString + "/t"
+    import graft.iceberg.IcebergWriter
+    import spark.implicits._
+    IcebergWriter.createTable(spark, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(spark, tmp, (10L to 50L).map(i => (i, s"v$i")).toDF("k", "s"))
+    IcebergWriter.append(spark, tmp, (51L to 99L).map(i => (i, s"v$i")).toDF("k", "s"))
+    val df = spark.read.format("graft-iceberg").load(tmp)
+      .agg(min("k"), max("k"), count(org.apache.spark.sql.functions.lit(1)))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LocalRelation"), s"expected LocalRelation:\n$optimized")
+    assert(df.collect().head.toSeq == Seq(10L, 99L, 90L))
+
+    // a STRING min/max must scan (bounds may be truncated)
+    val s = spark.read.format("graft-iceberg").load(tmp).agg(max("s"))
+    assert(!s.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(s.collect().head.getString(0) == "v99")
+  }
+
+  test("min/max bail under row-level deletes (the extreme row may be gone)") {
+    import org.apache.spark.sql.functions.max
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mmx2").toString + "/t"
+    import graft.iceberg.{IcebergWriter, Pruning}
+    import spark.implicits._
+    IcebergWriter.createTable(spark, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(spark, tmp,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1))
+    IcebergWriter.deleteRows(spark, tmp, Pruning.Eq("k", 100L))
+    val df = spark.read.format("graft-iceberg").load(tmp).agg(max("k"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(df.collect().head.getLong(0) == 99L) // correct, via the MOR scan
+  }
 }
