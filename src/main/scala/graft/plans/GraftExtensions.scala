@@ -111,12 +111,31 @@ object CountFromIcebergStats extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** `count(col)` = Σ(value_count − null_count) over live files — exact
+    * when every file records both counts for the column and no row-level
+    * delete could have removed a counted row. */
+  private def countColFromStats(t: GraftIcebergV2Table, colName: String): Option[Any] = {
+    val table = t.table
+    val field = table.iceSchema.fields.find(_.name == colName).getOrElse(return None)
+    if (table.metadata.currentSnapshotId < 0) return Some(0L)
+    if (table.liveDeleteFiles.nonEmpty) return None
+    var total = 0L
+    for (f <- table.liveFiles()) {
+      (f.valueCounts.get(field.id), f.nullValueCounts.get(field.id)) match {
+        case (Some(v), Some(n)) => total += v - n
+        case _ => return None // a file without counts needs a scan
+      }
+    }
+    Some(total)
+  }
+
   /** One aggregate expression's metadata answer, or None if it needs data. */
   private def answer(ae: AggregateExpression, t: GraftIcebergV2Table): Option[Any] = {
     if (ae.isDistinct || ae.filter.nonEmpty) return None
     ae.aggregateFunction match {
       case Count(Seq(Literal(1, _))) | Count(Nil) =>
         t.table.countFromStats().map(n => n: Any)
+      case Count(Seq(a: AttributeReference)) => countColFromStats(t, a.name)
       case Min(a: AttributeReference) => minMaxFromStats(t, a.name, wantMin = true, a.dataType)
       case Max(a: AttributeReference) => minMaxFromStats(t, a.name, wantMin = false, a.dataType)
       case _ => None

@@ -68,6 +68,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.collect().head.getString(0) == "v99")
   }
 
+  test("count(col) answers non-null counts from value/null statistics") {
+    import org.apache.spark.sql.functions.count
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString + "/t"
+    import graft.iceberg.IcebergWriter
+    import spark.implicits._
+    IcebergWriter.createTable(spark, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(spark, tmp,
+      (1L to 20L).map(i => (i, if (i % 4 == 0) null else s"v$i")).toDF("k", "s"))
+    IcebergWriter.append(spark, tmp,
+      (21L to 30L).map(i => (i, null: String)).toDF("k", "s"))
+    val df = spark.read.format("graft-iceberg").load(tmp).agg(count("s"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LocalRelation"), s"expected LocalRelation:\n$optimized")
+    assert(df.collect().head.getLong(0) == 15L) // 20 - 5 nulls, second file all null
+  }
+
   test("min/max bail under row-level deletes (the extreme row may be gone)") {
     import org.apache.spark.sql.functions.max
     val tmp = java.nio.file.Files.createTempDirectory("graft_mmx2").toString + "/t"
