@@ -432,11 +432,22 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
       * pinned as the rewrite's replacement groups — see
       * GraftIcebergScan.runtimeFilterable). */
     dmlScan: Boolean = false)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tbl.schema()
   private var metaCols: Seq[String] = Nil
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, file-granular: `LIMIT n` needs only enough files to
+    * cover n rows, so planning truncates the file list at the cumulative
+    * manifest record count — a LIMIT 10 over a 100k-file table plans one
+    * task. PARTIAL pushdown (Spark keeps its exact limit on top); Catalyst
+    * only pushes a limit here when no residual filter sits between, so
+    * every scanned row counts toward n. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
 
   /** Filters convertible to [[Pruning.IcePredicate]] drive metadata pruning
     * and parquet row-group pushdown; ALL filters are returned as residuals
@@ -466,9 +477,24 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   override def build(): Scan = {
     val pred = pushed.flatMap(Pruning.fromSparkFilter)
       .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
-    val files =
+    val files0 =
       if (pred == Pruning.AlwaysTrue) tbl.allLiveFiles
       else tbl.table.prunedFiles(pred)
+    // limit truncation is sound only when every scanned row survives to the
+    // limit: no pushed predicate (it would be re-applied above the scan,
+    // discarding rows) and no row-level deletes (per-file live counts would
+    // be below record_count)
+    val files = limit match {
+      case Some(n) if pred == Pruning.AlwaysTrue &&
+          tbl.table.liveDeleteFiles.isEmpty =>
+        var remaining = n.toLong
+        files0.takeWhile { f =>
+          val need = remaining > 0
+          remaining -= f.recordCount
+          need
+        }
+      case _ => files0
+    }
     val scan = new GraftIcebergScan(tbl.table, files, requiredSchema, pushed,
       options, metaCols, runtimeFilterable = !dmlScan)
     onBuild(scan)

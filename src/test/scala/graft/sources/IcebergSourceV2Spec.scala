@@ -125,6 +125,34 @@ class IcebergSourceV2Spec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT truncates the planned file list at cumulative record counts") {
+    import spark.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_limit").toString + "/t"
+    graft.iceberg.IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    // 10 files of 10 rows
+    (0 until 10).foreach(i => graft.iceberg.IcebergWriter.append(spark, url,
+      ((i * 10L) until (i * 10L + 10)).map(Tuple1(_)).toDF("k").coalesce(1)))
+
+    val limited = spark.read.format("graft-iceberg").load(url).limit(5)
+    assert(limited.collect().length == 5)
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    val graftScan = scans.collectFirst { case s: GraftIcebergScan => s }
+    assert(graftScan.isDefined)
+    assert(graftScan.get.scanFiles.size == 1,
+      s"LIMIT 5 planned ${graftScan.get.scanFiles.size} files, expected 1")
+
+    // a filtered limit must NOT truncate blindly (the residual filter
+    // discards rows): it still yields 5 MATCHING rows
+    val filtered = spark.read.format("graft-iceberg").load(url)
+      .filter($"k" >= 42L).limit(5)
+    val got = filtered.collect().map(_.getLong(0))
+    assert(got.length == 5 && got.forall(_ >= 42L), got.mkString(","))
+  }
+
   test("column pruning reaches the parquet read schema") {
     val df = fixtureDf.select("name")
     val formatted = df.queryExecution.explainString(
