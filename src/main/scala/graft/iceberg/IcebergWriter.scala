@@ -758,6 +758,46 @@ object IcebergWriter {
       }, lastColumnId)
     }
 
+  // -------------------------------------------------------------- rollback
+
+  /** ROLL BACK the table to an earlier snapshot (undo a bad commit):
+    * metadata-only — `current-snapshot-id` and `refs.main` move back, the
+    * bad snapshots stay in metadata (still time-travelable, physically
+    * reclaimed later by expireSnapshots), and the next commit chains off
+    * the restored snapshot. The target must be an ANCESTOR of the current
+    * snapshot — rolling "back" to an unrelated branch would silently
+    * splice histories. */
+  def rollbackTo(spark: SparkSession, url: String, snapshotId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      require(table.snapshots.contains(snapshotId), s"unknown snapshot $snapshotId")
+      var cur = table.currentSnapshot
+      while (cur.snapshotId != snapshotId)
+        cur = cur.parentSnapshotId.flatMap(table.snapshots.get).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot $snapshotId is not an ancestor of the current snapshot; " +
+              "rollback only rewinds the current history"))
+      if (table.currentSnapshot.snapshotId == snapshotId) None // no-op
+      else {
+        val old = mapper.readTree(
+          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          .asInstanceOf[ObjectNode]
+        old.put("current-snapshot-id", snapshotId)
+        setMainRef(old, snapshotId)
+        val now = System.currentTimeMillis()
+        old.put("last-updated-ms", now)
+        // the rollback is itself a history event
+        val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
+          else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
+        val entry = mapper.createObjectNode()
+        entry.put("timestamp-ms", now)
+        entry.put("snapshot-id", snapshotId)
+        log.add(entry)
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
   // ---------------------------------------------------- partition evolution
 
   /** PARTITION SPEC EVOLUTION (metadata-only): register `partitions` (the

@@ -1,0 +1,68 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot rollback ([[IcebergWriter.rollbackTo]]): metadata-only undo of
+  * bad commits, with the rolled-back history still time-travelable and
+  * later commits chaining off the restored snapshot. */
+class RollbackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  test("rollback rewinds current state; history stays; commits chain on") {
+    val url = java.nio.file.Files.createTempDirectory("graft_rb").toString + "/t"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 5L).map(i => (i, "good")).toDF("k", "v"))
+    val good = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (6L to 9L).map(i => (i, "bad")).toDF("k", "v"))
+    val bad = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+
+    IcebergWriter.rollbackTo(spark, url, good)
+    val t = IcebergTable.load(spark, url)
+    assert(t.currentSnapshot.snapshotId == good)
+    assert(t.refs("main").snapshotId == good)
+    assert(t.read().as[(Long, String)].collect().map(_._1).sorted.toSeq == (1L to 5L))
+    // the bad snapshot remains time-travelable until expiration
+    assert(t.atSnapshot(bad).read().count() == 9)
+
+    // the next commit chains off the RESTORED snapshot
+    IcebergWriter.append(spark, url, Seq((10L, "after")).toDF("k", "v"))
+    val t2 = IcebergTable.load(spark, url)
+    assert(t2.currentSnapshot.parentSnapshotId.contains(good))
+    assert(t2.read().as[(Long, String)].collect().map(_._1).sorted.toSeq
+      == ((1L to 5L) :+ 10L))
+  }
+
+  test("rollback refuses non-ancestors and unknown snapshots") {
+    val url = java.nio.file.Files.createTempDirectory("graft_rb2").toString + "/t"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "v"))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, Seq((2L, "b")).toDF("k", "v"))
+    val s2 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+
+    intercept[IllegalArgumentException] {
+      IcebergWriter.rollbackTo(spark, url, 424242L)
+    }
+    // roll back to s1, then s2 (still in metadata) is NOT an ancestor
+    IcebergWriter.rollbackTo(spark, url, s1)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.rollbackTo(spark, url, s2)
+    }
+    // no-op rollback to the current snapshot commits nothing
+    val vBefore = IcebergTable.load(spark, url).version
+    IcebergWriter.rollbackTo(spark, url, s1)
+    assert(IcebergTable.load(spark, url).version == vBefore)
+  }
+}
