@@ -1067,8 +1067,16 @@ final class GraftIcebergMicroBatchStream(
     if (e < 0 || s == e) return Array.empty
     val t = freshTable()
     val files =
-      if (s < 0) t.atSnapshot(e).liveFiles()
-      else t.incrementalBetween(s, e).liveFiles()
+      if (s < 0) {
+        // the catch-up batch reads whole files; live row-level deletes
+        // would silently resurrect deleted rows — refuse loudly (the
+        // incremental path already refuses delete snapshots IN range)
+        val view = t.atSnapshot(e)
+        require(view.liveDeleteFiles.isEmpty,
+          "stream-from-earliest on a table with live row-level deletes " +
+            "would resurrect deleted rows; compact the table first")
+        view.liveFiles()
+      } else t.incrementalBetween(s, e).liveFiles()
     require(files.forall(_.fileFormat.equalsIgnoreCase("PARQUET")),
       "streaming reads support parquet data files only; compact the table " +
         "to fold foreign ORC/AVRO imports first")

@@ -127,6 +127,32 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-from-earliest refuses live row-level deletes; compaction unblocks") {
+    val dir = fresh("graft_src_stream6")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v"))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 3L))
+
+    def run(ckpt: String): Seq[Long] = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("stream-from-earliest", "true")
+        .load(url)
+        .writeStream.format("memory").queryName("ice_tail6")
+        .option("checkpointLocation", s"$dir/$ckpt")
+        .start()
+      try { q.processAllAvailable();
+        spark.sql("SELECT k FROM ice_tail6").as[Long].collect().sorted.toSeq }
+      finally q.stop()
+    }
+    // whole-file catch-up over a deleted-from table would resurrect k=3
+    val e = intercept[Exception] { run("ckpt1") }
+    assert(e.getMessage != null)
+    // compaction folds the deletes; the stream then delivers the LIVE rows
+    graft.iceberg.Maintenance.compact(spark, url, targetFiles = Some(1))
+    assert(run("ckpt2") == (1L to 10L).filterNot(_ == 3L))
+  }
+
   test("a delete snapshot in the pending range refuses") {
     val dir = fresh("graft_src_stream4")
     val url = s"$dir/tbl"
