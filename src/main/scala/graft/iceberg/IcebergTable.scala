@@ -544,9 +544,11 @@ object IcebergTable {
     * SCAN's own Hadoop conf (schemas from IceSchema.toSpark carry
     * parquet.field.id metadata; our writer stamps ids into the files).
     * Renamed columns then read correctly; id-less files fail loudly with
-    * Spark's guidance message instead of silently nulling. Scoped to the
-    * scan — the session conf is never mutated, so unrelated parquet reads
-    * in the same session keep name-based resolution. */
+    * Spark's guidance message instead of silently nulling. (Foreign
+    * id-less parquet imported via addFiles is scanned in its own BY-NAME
+    * batch — see GraftIcebergScan — never under these options.) Scoped to
+    * the scan — the session conf is never mutated, so unrelated parquet
+    * reads in the same session keep name-based resolution. */
   private[graft] val FieldIdReadOptions: Map[String, String] =
     Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
 

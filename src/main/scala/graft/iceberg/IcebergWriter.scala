@@ -288,21 +288,47 @@ object IcebergWriter {
     val fmt = format.toUpperCase
     require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
       s"addFiles supports parquet, orc, and avro, got $format")
-    val files = paths.map { p =>
+    val withLen = paths.map { p =>
       val hp = new Path(p)
-      val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
-      val rows = fmt match {
-        case "PARQUET" => rowCountOf(hp, conf)
-        case "ORC" => orcRowCountOf(hp, conf)
-        case _ => avroRowCountOf(hp, conf)
-      }
-      (p, len, FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
-        Seq.empty[Any])
+      (p, hp.getFileSystem(conf).getFileStatus(hp).getLen)
     }
+    val files =
+      if (fmt == "PARQUET") {
+        // full footer-stats harvest (by-NAME column resolution — foreign
+        // files carry no field ids), so imported files get column bounds
+        // and prune exactly like natively written ones; fans out over the
+        // cluster past the small-commit threshold
+        val stats = collectStats(spark, withLen, table.iceSchema, conf)
+        withLen.map { case (p, len) => (p, len, stats(p), Seq.empty[Any]) }
+      } else withLen.map { case (p, len) =>
+        val hp = new Path(p)
+        val rows = if (fmt == "ORC") orcRowCountOf(hp, conf) else avroRowCountOf(hp, conf)
+        (p, len, FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+          Seq.empty[Any])
+      }
     commitDataFiles(spark, url, UUID.randomUUID().toString, files,
       deletePred = None, operation = "append",
       extraSummary = Map("graft-added-files" -> files.size.toString),
       dataFileFormat = fmt)
+  }
+
+  /** MIGRATE a plain parquet directory into a NEW Iceberg table: schema
+    * inferred from the files, registration + footer-stats harvest via
+    * [[addFiles]] — zero data rewritten (the `migrate`/`add_files` shape
+    * that onboards an existing 100 TB dataset as one metadata commit). */
+  def importParquetDir(spark: SparkSession, url: String, dir: String): Unit = {
+    val schema = spark.read.parquet(dir).schema
+    createTable(spark, url, schema)
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(d, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) parts += st.getPath.toString
+    }
+    addFiles(spark, url, parts.toSeq.sorted, "parquet")
   }
 
   /** Row count of an Avro data file: block headers carry per-block record

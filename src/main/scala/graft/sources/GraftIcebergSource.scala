@@ -759,6 +759,19 @@ final class GraftIcebergScan(
   private lazy val avroFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
     files.filter(_.fileFormat.equalsIgnoreCase("AVRO"))
 
+  /** FOREIGN parquet: imported via addFiles from an external writer, so the
+    * files carry no Iceberg field ids and must resolve columns BY NAME —
+    * natively written files always live under the table's `/data/`
+    * directory (the same marker morKey relies on). They scan in their own
+    * batch without the field-id read options; under MOR / keyed layouts
+    * they are refused like the other foreign formats. */
+  private def isForeignParquet(f: graft.iceberg.Manifests.DataFileInfo): Boolean =
+    !f.fileFormat.equalsIgnoreCase("ORC") && !f.fileFormat.equalsIgnoreCase("AVRO") &&
+      !table.resolvePath(f.filePath).contains("/data/")
+
+  private lazy val foreignParquetFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
+    files.filter(isForeignParquet)
+
   /** Foreign-written ORC data files in this scan. Row-level deletes and
     * metadata columns need the per-file row index, which only Spark's
     * parquet readers materialize — those scans refuse ORC loudly. */
@@ -766,13 +779,12 @@ final class GraftIcebergScan(
     files.filter(_.fileFormat.equalsIgnoreCase("ORC"))
 
   private def requireNoOrcUnderMor(): Unit = {
-    val foreign = orcFiles ++ avroFiles
+    val foreign = orcFiles ++ avroFiles ++ foreignParquetFiles
     if (foreign.nonEmpty && morMode)
       throw new UnsupportedOperationException(
-        s"${foreign.size} ORC/AVRO data file(s) cannot be scanned under " +
-          "row-level deletes or metadata columns (their readers " +
-          "materialize no per-file row index); rewrite the table to " +
-          "parquet with the engine that wrote it")
+        s"${foreign.size} foreign data file(s) (ORC/AVRO/imported parquet) " +
+          "cannot be scanned under row-level deletes or metadata columns; " +
+          "compact the table first")
   }
 
   private lazy val delegate: Batch = {
@@ -786,11 +798,24 @@ final class GraftIcebergScan(
     val readSchema = if (!morMode) requiredSchema else morReadSchema
     def paths(fs: Seq[graft.iceberg.Manifests.DataFileInfo]) =
       fs.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes))
-    val parquetFiles = files.filterNot(f =>
-      f.fileFormat.equalsIgnoreCase("ORC") || f.fileFormat.equalsIgnoreCase("AVRO"))
+    val nativeParquet = files.filterNot(f =>
+      f.fileFormat.equalsIgnoreCase("ORC") || f.fileFormat.equalsIgnoreCase("AVRO") ||
+        isForeignParquet(f))
+    // foreign parquet has NO field ids: its batch reads under a schema
+    // STRIPPED of field-id metadata (plus a conf with the flag off), so
+    // Spark's parquet reader resolves its columns by name — matching how
+    // the files' footer stats were harvested at import — instead of
+    // refusing id-less files
+    val plainConf = spark.sessionState.newHadoopConf()
+    plainConf.set("spark.sql.parquet.fieldId.read.enabled", "false")
     val batches = Seq(
-      parquetFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
+      nativeParquet -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
         spark, hconf, fs, table.schema, readSchema, pushedFilters, options).toBatch),
+      foreignParquetFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
+        spark, plainConf, fs,
+        GraftIcebergScan.stripFieldIds(table.schema),
+        GraftIcebergScan.stripFieldIds(readSchema),
+        pushedFilters, options).toBatch),
       orcFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.orcScan(
         spark, hconf, fs, table.schema, readSchema, pushedFilters, options).toBatch),
       avroFiles -> ((fs: Seq[(String, Long)]) =>
@@ -823,7 +848,8 @@ final class GraftIcebergScan(
   private lazy val keyedLayout: Option[GraftIcebergScan.KeyedLayout] = {
     val conf = SQLConf.get
     if (morMode || // MOR needs per-file partitions, not key groups
-        orcFiles.nonEmpty || avroFiles.nonEmpty || // keyed partitions assume ONE format's factory
+        // keyed partitions assume ONE format's (and one conf's) factory
+        orcFiles.nonEmpty || avroFiles.nonEmpty || foreignParquetFiles.nonEmpty ||
         !conf.getConf(SQLConf.V2_BUCKETING_ENABLED) ||
         !conf.getConfString("spark.graft.iceberg.preserveDataGrouping", "false").toBoolean)
       None
@@ -903,6 +929,21 @@ final class GraftIcebergScan(
 }
 
 object GraftIcebergScan {
+
+  /** Drop ALL field metadata (incl. parquet.field.id) recursively — the
+    * foreign-parquet batch must present an id-free schema so the reader
+    * resolves by name rather than refusing id-less files. */
+  private[sources] def stripFieldIds(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      StructField(f.name, stripType(f.dataType), f.nullable, Metadata.empty)))
+
+  private def stripType(dt: DataType): DataType = dt match {
+    case s: StructType => stripFieldIds(s)
+    case a: ArrayType => a.copy(elementType = stripType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = stripType(m.keyType), valueType = stripType(m.valueType))
+    case other => other
+  }
 
   /** The reported transforms plus files grouped by partition-value tuple;
     * key rows are catalyst-typed so both join sides compare equal. */
@@ -1077,9 +1118,10 @@ final class GraftIcebergMicroBatchStream(
             "would resurrect deleted rows; compact the table first")
         view.liveFiles()
       } else t.incrementalBetween(s, e).liveFiles()
-    require(files.forall(_.fileFormat.equalsIgnoreCase("PARQUET")),
-      "streaming reads support parquet data files only; compact the table " +
-        "to fold foreign ORC/AVRO imports first")
+    require(files.forall(f => f.fileFormat.equalsIgnoreCase("PARQUET") &&
+        t.resolvePath(f.filePath).contains("/data/")),
+      "streaming reads support natively written parquet data files only; " +
+        "compact the table to fold foreign ORC/AVRO/imported-parquet files first")
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
     IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
