@@ -139,6 +139,53 @@ object Maintenance {
       extraSummary = Map("graft-zorder-by" -> cols.mkString(",")))
   }
 
+  /** Delete ORPHAN files: bytes under the table's `data/` and `metadata/`
+    * directories that NO snapshot references — the leftovers of failed or
+    * aborted commits (a crashed writer's data files, a lost-race manifest
+    * list). At scale these silently accumulate real storage cost.
+    *
+    * Only files older than `olderThanMs` (default 3 days, Iceberg's own
+    * default) are considered: an IN-FLIGHT commit has already written its
+    * files but not yet published the metadata referencing them, and
+    * deleting those would corrupt it. Version-metadata JSONs and the hint
+    * file are never touched. Returns the number of files deleted. */
+  def removeOrphans(spark: SparkSession, url: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergTable.load(spark, url)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced = scala.collection.mutable.Set.empty[String]
+    table.metadata.snapshots.foreach { snap =>
+      val view = table.atSnapshot(snap.snapshotId)
+      referenced += name(view.resolvePath(snap.manifestList))
+      view.manifestList.foreach(mf => referenced += name(view.resolvePath(mf.path)))
+      // DELETED entries' files are referenced too (older snapshots may
+      // still read them; expireSnapshots owns their lifecycle)
+      view.manifestList.foreach { mf =>
+        Manifests.readManifest(view.resolvePath(mf.path), conf)
+          .foreach(e => referenced += name(view.resolvePath(e.dataFile.filePath)))
+      }
+    }
+    val fs = new Path(url).getFileSystem(conf)
+    var deleted = 0
+    def clean(dir: Path, candidate: String => Boolean): Unit =
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (candidate(st.getPath.getName) && st.getModificationTime < cutoff &&
+              !referenced.contains(st.getPath.getName))
+            doomed += st.getPath
+        }
+        doomed.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+      }
+    clean(new Path(s"$url/data"),
+      n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro"))
+    clean(new Path(s"$url/metadata"), _.endsWith(".avro"))
+    deleted
+  }
+
   /** Keep only the last `keepLast` snapshots of the current history chain;
     * older snapshots leave the metadata and their no-longer-referenced data
     * files, manifests, and manifest lists are physically deleted. Time
