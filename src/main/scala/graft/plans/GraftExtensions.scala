@@ -129,15 +129,27 @@ object CountFromIcebergStats extends Rule[LogicalPlan] {
     Some(total)
   }
 
-  /** One aggregate expression's metadata answer, or None if it needs data. */
-  private def answer(ae: AggregateExpression, t: GraftIcebergV2Table): Option[Any] = {
+  /** One aggregate expression's metadata answer, or None if it needs data.
+    *
+    * Attribute-based aggregates answer ONLY when the attribute resolves to
+    * the relation's own output by exprId — a name-only match would let
+    * `df.withColumn("a", b+c).agg(min("a"))` over a table with a base
+    * column `a` answer from the base column's file bounds (an intermediate
+    * Project's alias mints a NEW exprId, so the check is exact). */
+  private def answer(ae: AggregateExpression, t: GraftIcebergV2Table,
+      rel: DataSourceV2Relation): Option[Any] = {
     if (ae.isDistinct || ae.filter.nonEmpty) return None
+    def isBase(a: AttributeReference): Boolean =
+      rel.output.exists(_.exprId == a.exprId)
     ae.aggregateFunction match {
       case Count(Seq(Literal(1, _))) | Count(Nil) =>
         t.table.countFromStats().map(n => n: Any)
-      case Count(Seq(a: AttributeReference)) => countColFromStats(t, a.name)
-      case Min(a: AttributeReference) => minMaxFromStats(t, a.name, wantMin = true, a.dataType)
-      case Max(a: AttributeReference) => minMaxFromStats(t, a.name, wantMin = false, a.dataType)
+      case Count(Seq(a: AttributeReference)) if isBase(a) =>
+        countColFromStats(t, a.name)
+      case Min(a: AttributeReference) if isBase(a) =>
+        minMaxFromStats(t, a.name, wantMin = true, a.dataType)
+      case Max(a: AttributeReference) if isBase(a) =>
+        minMaxFromStats(t, a.name, wantMin = false, a.dataType)
       case _ => None
     }
   }
@@ -150,8 +162,8 @@ object CountFromIcebergStats extends Rule[LogicalPlan] {
           rel.table match {
             case t: GraftIcebergV2Table =>
               val answers = aggExprs.map {
-                case Alias(ae: AggregateExpression, _) => answer(ae, t)
-                case ae: AggregateExpression => answer(ae, t)
+                case Alias(ae: AggregateExpression, _) => answer(ae, t, rel)
+                case ae: AggregateExpression => answer(ae, t, rel)
                 case _ => None
               }
               if (answers.forall(_.isDefined))

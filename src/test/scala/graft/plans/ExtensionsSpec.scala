@@ -87,6 +87,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 15L) // 20 - 5 nulls, second file all null
   }
 
+  test("aliased computed column shadowing a base column bails to a real scan") {
+    import org.apache.spark.sql.functions.{col, lit, max, min, pmod}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mmx3").toString + "/t"
+    import graft.iceberg.IcebergWriter
+    import spark.implicits._
+    IcebergWriter.createTable(spark, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+    IcebergWriter.append(spark, tmp, (10L to 50L).map(i => Tuple1(i)).toDF("k"))
+    // "k" now names a Project alias (new exprId) over k % 7 — answering
+    // min/max from the BASE column's file bounds (10/50) would be wrong
+    val df = spark.read.format("graft-iceberg").load(tmp)
+      .withColumn("k", pmod(col("k"), lit(7L)))
+      .agg(min("k"), max("k"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LocalRelation"), s"rule fired on a shadowed alias:\n$optimized")
+    assert(df.collect().head.toSeq == Seq(0L, 6L))
+
+    // sanity: the same aggregate over the genuine base column still
+    // answers from metadata
+    val base = spark.read.format("graft-iceberg").load(tmp).agg(min("k"), max("k"))
+    assert(base.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(base.collect().head.toSeq == Seq(10L, 50L))
+  }
+
   test("min/max bail under row-level deletes (the extreme row may be gone)") {
     import org.apache.spark.sql.functions.max
     val tmp = java.nio.file.Files.createTempDirectory("graft_mmx2").toString + "/t"
