@@ -738,6 +738,78 @@ object IceQueries {
     }
   }
 
+  /** CDC-COMPLETE changelog: a snapshot range holding an append, a
+    * position-delete commit, and an equality-delete upsert (with a column
+    * RENAME mid-range) replays as insert AND delete rows — an UPDATE
+    * appears as delete+insert, and rows from pre-rename files come back
+    * under the current column name via field-id resolution. The DuckDB
+    * oracle replays every part independently from the written bytes:
+    * inserts from the added files, position-deleted rows by (file,pos)
+    * semi-join, equality-deleted rows by key semi-join over the
+    * parent-visible rows of strictly-older files. */
+  def iceChangelogCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val from = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.renameColumn(s, url, "v", "val")
+    IcebergWriter.append(s, url, (11L to 15L).map(i => (i, "b")).toDF("k", "val").coalesce(1))
+    val snapB = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 4L), Pruning.Lt("k", 7L)))
+    val snapC = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.upsert(s, url,
+      Seq((2L, "u2"), (12L, "u12"), (99L, "u99")).toDF("k", "val").coalesce(1), Seq("k"))
+    val t = IcebergTable.load(s, url)
+    val snapD = t.currentSnapshot.snapshotId
+
+    // golden file lists straight from per-snapshot metadata
+    def live(id: Long) = t.atSnapshot(id).liveFiles()
+      .map(f => t.resolvePath(f.filePath))
+    val fileA = live(from)
+    val fileB = live(snapB).filterNot(fileA.toSet)
+    val addedD = live(snapD).filterNot(live(snapC).toSet)
+    val posFiles = t.atSnapshot(snapC).positionDeleteFiles
+      .map(f => t.resolvePath(f.filePath))
+    val eqFiles = t.equalityDeleteFiles.map(f => t.resolvePath(f.filePath))
+    dynamicOracle("ice_changelog_cdc") =
+      s"""SELECT * FROM (
+         |SELECT k, val, 'insert' AS _change_type,
+         |  CAST($snapB AS BIGINT) AS _commit_snapshot_id
+         |FROM read_parquet(${sqlPaths(fileB)})
+         |UNION ALL
+         |SELECT k, v AS val, 'delete', CAST($snapC AS BIGINT) FROM (
+         |  SELECT *, file_row_number AS _fpos,
+         |         str_split(filename, '/data/')[-1] AS _fkey
+         |  FROM read_parquet(${sqlPaths(fileA)}, filename=true, file_row_number=true)
+         |) _d WHERE EXISTS (SELECT 1 FROM (
+         |  SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
+         |  FROM read_parquet(${sqlPaths(posFiles)})) _x
+         |  WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)
+         |UNION ALL
+         |SELECT k, val, 'insert', CAST($snapD AS BIGINT)
+         |FROM read_parquet(${sqlPaths(addedD)})
+         |UNION ALL
+         |SELECT k, COALESCE(v, val) AS val, 'delete', CAST($snapD AS BIGINT) FROM (
+         |  SELECT *, file_row_number AS _fpos,
+         |         str_split(filename, '/data/')[-1] AS _fkey
+         |  FROM read_parquet(${sqlPaths(fileA ++ fileB)}, union_by_name=true,
+         |                    filename=true, file_row_number=true)
+         |) _d WHERE NOT EXISTS (SELECT 1 FROM (
+         |  SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
+         |  FROM read_parquet(${sqlPaths(posFiles)})) _x
+         |  WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)
+         |  AND k IN (SELECT k FROM read_parquet(${sqlPaths(eqFiles)}))
+         |) ORDER BY _commit_snapshot_id, _change_type, k""".stripMargin
+    t.changelog(from, snapD)
+      .orderBy("_commit_snapshot_id", "_change_type", "k")
+  }
+
   /** Foreign ORC data files (SURVEY extension): customer rows written as
     * EXTERNAL ORC files, imported metadata-only via `addFiles` (the
     * add_files shape — zero data rewritten), then aggregated through the
@@ -771,6 +843,7 @@ object IceQueries {
     "ice_spec_evolution"   -> (iceSpecEvolution _),
     "ice_incremental"      -> (iceIncremental _),
     "ice_changelog"        -> (iceChangelog _),
+    "ice_changelog_cdc"    -> (iceChangelogCdc _),
     "ice_orc_import"       -> (iceOrcImport _),
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),

@@ -26,6 +26,14 @@ object QuerySmoke {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.show(20, truncate = false)
         SparkEntry.oracleSql.get(name).foreach(sql => println(s"--- oracle ---\n$sql"))
+        // SMOKE_DUMP=<dir>: write result parquet + oracle SQL for a
+        // targeted DuckDB replay without a full Verify pass
+        sys.env.get("SMOKE_DUMP").foreach { out =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+          SparkEntry.oracleSql.get(name).foreach(sql =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$out/$name.sql"), sql))
+        }
       } catch {
         case e: Throwable =>
           failed = true

@@ -79,11 +79,91 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** CDC STREAMING SOURCE (`stream-mode=cdc`): a snapshot range holding an
+    * append, a position-delete commit, and an equality-delete upsert
+    * streams out as a changelog — one snapshot per micro-batch
+    * (`max-snapshots-per-trigger=1`), delete rows included. The DuckDB
+    * oracle replays every part from the written bytes: inserts from each
+    * commit's added files, position-deleted rows by (file,pos) semi-join,
+    * equality-deleted rows by key semi-join over parent-visible rows. */
+  def s5CdcSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s5cdc").toString
+    val url = s"$tmp/tbl"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, (1L to 8L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val from = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.append(s, url, (9L to 12L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    val snapB = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 2L), Pruning.Lt("k", 4L)))
+    val snapC = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.upsert(s, url,
+      Seq((4L, "u4"), (20L, "u20")).toDF("k", "v").coalesce(1), Seq("k"))
+    val t = IcebergTable.load(s, url)
+    val snapD = t.currentSnapshot.snapshotId
+
+    def live(id: Long) = t.atSnapshot(id).liveFiles().map(f => t.resolvePath(f.filePath))
+    def paths(ps: Seq[String]) =
+      ps.map(p => "'" + p.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val fileA = live(from)
+    val fileB = live(snapB).filterNot(fileA.toSet)
+    val addedD = live(snapD).filterNot(live(snapC).toSet)
+    val posFiles = t.atSnapshot(snapC).positionDeleteFiles.map(f => t.resolvePath(f.filePath))
+    val eqFiles = t.equalityDeleteFiles.map(f => t.resolvePath(f.filePath))
+    graft.IceQueries.dynamicOracle("s5_cdc_source") =
+      s"""SELECT * FROM (
+         |SELECT k, v, 'insert' AS _change_type,
+         |  CAST($snapB AS BIGINT) AS _commit_snapshot_id
+         |FROM read_parquet(${paths(fileB)})
+         |UNION ALL
+         |SELECT k, v, 'delete', CAST($snapC AS BIGINT) FROM (
+         |  SELECT *, file_row_number AS _fpos,
+         |         str_split(filename, '/data/')[-1] AS _fkey
+         |  FROM read_parquet(${paths(fileA)}, filename=true, file_row_number=true)
+         |) _d WHERE EXISTS (SELECT 1 FROM (
+         |  SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
+         |  FROM read_parquet(${paths(posFiles)})) _x
+         |  WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)
+         |UNION ALL
+         |SELECT k, v, 'insert', CAST($snapD AS BIGINT)
+         |FROM read_parquet(${paths(addedD)})
+         |UNION ALL
+         |SELECT k, v, 'delete', CAST($snapD AS BIGINT) FROM (
+         |  SELECT *, file_row_number AS _fpos,
+         |         str_split(filename, '/data/')[-1] AS _fkey
+         |  FROM read_parquet(${paths(fileA ++ fileB)},
+         |                    filename=true, file_row_number=true)
+         |) _d WHERE NOT EXISTS (SELECT 1 FROM (
+         |  SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
+         |  FROM read_parquet(${paths(posFiles)})) _x
+         |  WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)
+         |  AND k IN (SELECT k FROM read_parquet(${paths(eqFiles)}))
+         |) ORDER BY _commit_snapshot_id, _change_type, k""".stripMargin
+
+    val q = s.readStream.format("graft-iceberg")
+      .option("stream-mode", "cdc")
+      .option("starting-snapshot-id", from.toString)
+      .option("max-snapshots-per-trigger", "1")
+      .load(url)
+      .writeStream.format("memory").queryName("s5_cdc_source")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("s5_cdc_source")
+      .orderBy("_commit_snapshot_id", "_change_type", "k")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_iceberg_sink" -> (s3IcebergSink _),
     "s4_iceberg_source" -> (s4IcebergSource _),
+    "s5_cdc_source" -> (s5CdcSource _),
   )
 
   val oracle: Map[String, String] = Map(

@@ -147,22 +147,153 @@ final class IcebergTable private (
       Some(toSnapshotId), Some(fromSnapshotId))
   }
 
-  /** The appended rows of every snapshot in (from, to] with changelog
-    * columns `_change_type` ('insert') and `_commit_snapshot_id` — one
-    * pruned scan per contributing snapshot, unioned (snapshot count is
-    * metadata-bounded; each scan reads only that commit's files). */
+  /** CDC-complete changelog of every snapshot in (from, to]: each row is a
+    * change annotated with `_change_type` ('insert' | 'delete') and
+    * `_commit_snapshot_id`.
+    *
+    * Per snapshot: files it ADDED contribute inserts; files it REMOVED
+    * contribute deletes (their rows as visible at the parent, so rows
+    * already dead before the commit are not re-emitted); POSITION-delete
+    * files it added contribute deletes for exactly the rows they target in
+    * surviving files; EQUALITY-delete files it added contribute deletes for
+    * the parent-visible rows of strictly-older surviving files matching
+    * their key tuples. `replace` (compaction) snapshots are content-neutral
+    * and contribute nothing. An UPDATE therefore appears as delete+insert —
+    * the standard changelog encoding.
+    *
+    * Every data read is a file-subset scan at the relevant snapshot, so it
+    * touches only the files each commit changed (not the table), with
+    * field-id column resolution and merge-on-read applied like any other
+    * read — at 100 TB the cost is proportional to the churn in the range. */
   def changelog(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val inc = incrementalBetween(fromSnapshotId, toSnapshotId)
-    val bySnapshot = inc.liveFiles().groupBy(_.snapshotId)
-    val parts = bySnapshot.toSeq.sortBy(_._1).map { case (sid, files) =>
-      readFiles(files)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_snapshot_id", lit(sid.getOrElse(-1L)))
+    require(snapshots.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
+    require(snapshots.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
+    var cur = snapshots(toSnapshotId)
+    val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cur.snapshotId != fromSnapshotId) {
+      range += cur
+      cur = cur.parentSnapshotId.flatMap(snapshots.get).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId"))
     }
-    parts.reduceOption(_ unionAll _)
+    range.reverseIterator.flatMap(snapshotChanges).toSeq
+      .reduceOption(_ unionAll _)
       .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](),
         schema.add("_change_type", StringType).add("_commit_snapshot_id", LongType)))
+  }
+
+  /** The FILE-level diff one snapshot committed against its parent: data
+    * files added/removed, and position/equality delete files added. None
+    * for content-neutral `replace` (compaction) snapshots. Shared by the
+    * batch [[changelog]] and the CDC streaming source. */
+  private[graft] def snapshotFileChanges(s: Snapshot)
+      : Option[IcebergTable.SnapshotFileChanges] = {
+    if (s.summary.getOrElse("operation", "append") == "replace") return None
+    val cur = atSnapshot(s.snapshotId)
+    val prev = s.parentSnapshotId.flatMap(snapshots.get)
+      .map(p => atSnapshot(p.snapshotId))
+    val curFiles = cur.liveFiles()
+    val prevFiles = prev.map(_.liveFiles()).getOrElse(Nil)
+    val curPaths = curFiles.map(f => rewrite(f.filePath)).toSet
+    val prevPaths = prevFiles.map(f => rewrite(f.filePath)).toSet
+    val added = curFiles.filterNot(f => prevPaths(rewrite(f.filePath)))
+    val removed = prevFiles.filterNot(f => curPaths(rewrite(f.filePath)))
+    val prevDelPaths = prev.map(_.liveDeleteFiles.map(f => rewrite(f.filePath)).toSet)
+      .getOrElse(Set.empty[String])
+    val addedDeletes = cur.liveDeleteFiles
+      .filterNot(f => prevDelPaths(rewrite(f.filePath)))
+    Some(IcebergTable.SnapshotFileChanges(s, cur, prev, curPaths, prevFiles,
+      added, removed,
+      addedDeletes.filter(_.content != Manifests.FileContent.EqualityDeletes),
+      addedDeletes.filter(_.content == Manifests.FileContent.EqualityDeletes)))
+  }
+
+  /** One snapshot's row-level changes — see [[changelog]]. */
+  private def snapshotChanges(s: Snapshot): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val ch = snapshotFileChanges(s).getOrElse(return Nil)
+    val cur = ch.current
+    val prev = ch.parent
+    val prevFiles = ch.parentFiles
+    val curPaths = ch.currentPaths
+    val added = ch.added
+    val removed = ch.removed
+
+    def tag(df: DataFrame, changeType: String): DataFrame =
+      df.select(schema.fieldNames.map(col).toSeq
+        :+ lit(changeType).as("_change_type")
+        :+ lit(s.snapshotId).as("_commit_snapshot_id"): _*)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (added.nonEmpty) out += tag(cur.readSubset(added), "insert")
+    prev.foreach { p =>
+      if (removed.nonEmpty) out += tag(p.readSubset(removed), "delete")
+
+      // rows newly POSITION-deleted from files that survive this snapshot
+      // (removed files already emitted all their live rows above)
+      val posDels = ch.addedPosDeletes
+      if (posDels.nonEmpty) {
+        val delDf = spark.read
+          .parquet(posDels.map(f => rewrite(f.filePath)): _*)
+          .select(substring_index(col("file_path"), "/data/", -1).as("_g_key"),
+            col("pos").as("_g_pos"))
+        val targetKeys = delDf.select("_g_key").distinct()
+          .collect().map(_.getString(0)).toSet
+        val targets = prevFiles.filter { f =>
+          val path = rewrite(f.filePath)
+          curPaths(path) && targetKeys(
+            org.apache.spark.sql.graftbridge.ScanBridge.morKey(path))
+        }
+        if (targets.nonEmpty) {
+          val rows = p.readSubset(targets, withMeta = true)
+            .withColumn("_g_key", substring_index(col("_file"), "/data/", -1))
+          out += tag(rows.join(delDf,
+            rows("_g_key") === delDf("_g_key") && rows("_pos") === delDf("_g_pos"),
+            "left_semi"), "delete")
+        }
+      }
+
+      // rows newly EQUALITY-deleted: parent-visible rows of strictly-older
+      // surviving files whose key tuple appears in the delete file
+      ch.addedEqDeletes.foreach { ed =>
+          val edSeq = dataSequenceOf(ed)
+          val targets = prevFiles.filter { f =>
+            curPaths(rewrite(f.filePath)) && dataSequenceOf(f) < edSeq
+          }
+          if (targets.nonEmpty) {
+            val (keyNames, keyDf) = eqDeleteKeys(ed)
+            val rows = p.readSubset(targets)
+            val cond = keyNames.map(n => rows(n) <=> keyDf(n)).reduce(_ && _)
+            out += tag(rows.join(keyDf, cond, "left_semi"), "delete")
+          }
+        }
+    }
+    out.toSeq
+  }
+
+  /** One equality-delete file's key tuples as a DataFrame under CURRENT
+    * column names. Key columns are stored under their WRITE-time names;
+    * they resolve through the committing snapshot's schema by field id
+    * (zero footer probes), falling back to current names. */
+  private def eqDeleteKeys(f: DataFileInfo): (Seq[String], DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val ids = f.equalityIds
+    require(ids.nonEmpty, s"equality-delete file ${f.filePath} lists no equality ids")
+    val idToCur = iceSchema.fields.map(fl => fl.id -> fl.name).toMap
+    val curNames = ids.map(id => idToCur.getOrElse(id,
+      throw new IllegalStateException(s"equality id $id not in current schema")))
+    val writeNames = (for {
+      snapId <- f.snapshotId
+      snap <- metadata.snapshotsById.get(snapId)
+      sch <- scala.util.Try(metadata.schemaFor(snap)).toOption
+      resolved <- {
+        val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
+        if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
+      }
+    } yield resolved).getOrElse(curNames)
+    val df = spark.read.parquet(rewrite(f.filePath))
+      .select(writeNames.zip(curNames).map { case (w, c) => col(w).as(c) }: _*)
+    (curNames, df)
   }
 
   /** Refs as a DataFrame (like Iceberg's `table$refs`). */
@@ -301,23 +432,28 @@ final class IcebergTable private (
     out.values.toSeq
   }
 
-  /** Direct schema'd read of specific data files (changelog building block:
-    * the rows AS APPENDED, before any later row-level deletes). */
-  private def readFiles(files: Seq[DataFileInfo]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    require(!files.exists(_.fileFormat.equalsIgnoreCase("AVRO")),
-      "changelog over imported AVRO data files is not supported; " +
-        "compact the table to parquet first")
-    val (orc, parquet) = files.partition(_.fileFormat.equalsIgnoreCase("ORC"))
-    val parts = Seq(
-      if (parquet.nonEmpty)
-        Some(spark.read.schema(schema).parquet(parquet.map(f => rewrite(f.filePath)): _*))
-      else None,
-      if (orc.nonEmpty)
-        Some(spark.read.schema(schema).orc(orc.map(f => rewrite(f.filePath)): _*))
-      else None).flatten
-    parts.reduce(_ unionAll _)
+  /** Rows of SPECIFIC live data files as visible at THIS view's snapshot:
+    * the DSv2 scan restricted by the `file-subset` option — field-id column
+    * resolution, position/equality deletes, and columnar reads apply exactly
+    * as in a full read. With `withMeta`, appends the `_file`/`_pos` metadata
+    * columns (per-row provenance for changelog delete matching). */
+  private[graft] def readSubset(files: Seq[DataFileInfo],
+      withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (files.isEmpty) {
+      val sch = if (!withMeta) schema
+        else schema.add("_file", StringType).add("_pos", LongType)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+    }
+    val keys = files.map(f =>
+      org.apache.spark.sql.graftbridge.ScanBridge.morKey(rewrite(f.filePath)))
+    var reader = spark.read.format("graft-iceberg")
+    if (version > 0) reader = reader.option("version", version.toString)
+    if (originalUrl.nonEmpty) reader = reader.option("original-url", originalUrl)
+    reader = reader.option("snapshot-id", currentSnapshot.snapshotId.toString)
+    reader = reader.option("file-subset", keys.mkString("\n"))
+    val df = reader.load(url)
+    if (withMeta) df.select(col("*"), col("_file"), col("_pos")) else df
   }
 
   // ---------------------------------------------------------------- read
@@ -538,6 +674,22 @@ final class IcebergTable private (
 }
 
 object IcebergTable {
+
+  /** The file-level diff one snapshot committed against its parent — see
+    * [[IcebergTable.snapshotFileChanges]]. `current`/`parent` are table
+    * views AT the snapshot and its parent (visibility anchors for reading
+    * the changed rows); `currentPaths`/`parentFiles` are the surviving-file
+    * bookkeeping both consumers need. */
+  private[graft] final case class SnapshotFileChanges(
+      snapshot: Snapshot,
+      current: IcebergTable,
+      parent: Option[IcebergTable],
+      currentPaths: Set[String],
+      parentFiles: Seq[Manifests.DataFileInfo],
+      added: Seq[Manifests.DataFileInfo],
+      removed: Seq[Manifests.DataFileInfo],
+      addedPosDeletes: Seq[Manifests.DataFileInfo],
+      addedEqDeletes: Seq[Manifests.DataFileInfo])
 
   /** Iceberg resolves columns by FIELD ID, not name: graft scans flip
     * Spark's parquet reader to id-based resolution by setting this on the

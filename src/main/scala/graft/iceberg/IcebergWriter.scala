@@ -298,7 +298,7 @@ object IcebergWriter {
         // files carry no field ids), so imported files get column bounds
         // and prune exactly like natively written ones; fans out over the
         // cluster past the small-commit threshold
-        val stats = collectStats(spark, withLen, table.iceSchema, conf)
+        val stats = collectStats(spark, withLen, table.iceSchema, conf, foreign = true)
         withLen.map { case (p, len) => (p, len, stats(p), Seq.empty[Any]) }
       } else withLen.map { case (p, len) =>
         val hp = new Path(p)
@@ -1821,21 +1821,25 @@ object IcebergWriter {
     * serialized on thousands of footers at scale). */
   private[graft] def collectStats(spark: SparkSession,
       files: Seq[(String, Long)], schema: IceSchema,
-      conf: Configuration): Map[String, FileStats] = {
+      conf: Configuration,
+      /** True for files from a FOREIGN writer (addFiles import): their
+        * stats discipline is unknown, so no NaN-free claim is derived. */
+      foreign: Boolean = false): Map[String, FileStats] = {
     if (files.size <= DistributedStatsThreshold) {
-      files.map { case (p, _) => p -> footerStats(new Path(p), conf, schema) }.toMap
+      files.map { case (p, _) => p -> footerStats(new Path(p), conf, schema, foreign) }.toMap
     } else {
       val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
       val parallelism = math.min(files.size, spark.sparkContext.defaultParallelism)
       spark.sparkContext.parallelize(files.map(_._1), parallelism)
-        .map(p => p -> footerStats(new Path(p), serConf.value, schema))
+        .map(p => p -> footerStats(new Path(p), serConf.value, schema, foreign))
         .collect().toMap
     }
   }
 
   /** Harvest record count + per-column min/max from the parquet footer and
     * encode as Iceberg bound bytes. */
-  private def footerStats(path: Path, conf: Configuration, schema: IceSchema): FileStats = {
+  private def footerStats(path: Path, conf: Configuration, schema: IceSchema,
+      foreign: Boolean): FileStats = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
@@ -1879,13 +1883,21 @@ object IcebergWriter {
       }
       lower = lower.removedAll(incomplete)
       upper = upper.removedAll(incomplete)
-      // float/double columns with complete bounds are PROVEN NaN-free
-      // (parquet-mr drops min/max on NaN) — record it so the NaN-aware
-      // pruning tier can use these bounds (Pruning.nanSensitive)
-      val nanCounts = byName.values.collect {
-        case f if (f.icebergTypeString == "float" || f.icebergTypeString == "double") &&
-            lower.contains(f.id) => f.id -> 0L
-      }.toMap
+      // NATIVE files: float/double columns with complete bounds are PROVEN
+      // NaN-free (parquet-mr drops min/max on NaN) — recorded so the
+      // NaN-aware pruning tier can use these bounds (Pruning.nanSensitive).
+      // FOREIGN (imported) files: NO claim — "complete bounds ⇒ NaN-free"
+      // is a parquet-mr behavior; a foreign writer may stamp bounds with
+      // NaNs present, and a nanCount=0 claim would license wrong
+      // metadata-only min/max answers and unsound NaN-aware pruning. The
+      // float/double bounds then stay inert (every consumer requires a
+      // proven-zero nan count before trusting them).
+      val nanCounts =
+        if (foreign) Map.empty[Int, Long]
+        else byName.values.collect {
+          case f if (f.icebergTypeString == "float" || f.icebergTypeString == "double") &&
+              lower.contains(f.id) => f.id -> 0L
+        }.toMap
       FileStats(recordCount,
         lower.map { case (id, v) =>
           id -> IcebergTypes.encodeBound(v, byName.values.find(_.id == id).get.icebergTypeString) },

@@ -143,12 +143,18 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
     table
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    loadTable(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = loadTable(options).schema
+    if (GraftIcebergV2Table.isCdc(options)) GraftIcebergV2Table.withCdcColumns(base)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    try new GraftIcebergV2Table(loadTable(new CaseInsensitiveStringMap(properties)))
+    try {
+      val opts = new CaseInsensitiveStringMap(properties)
+      new GraftIcebergV2Table(loadTable(opts), GraftIcebergV2Table.isCdc(opts))
+    }
     catch {
       // the WRITE path probes getTable before the table exists (first
       // append creates it): hand back a capability-less placeholder so
@@ -164,7 +170,24 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
     }
 }
 
-final class GraftIcebergV2Table(val table: IcebergTable) extends Table
+object GraftIcebergV2Table {
+  /** `stream-mode=cdc`: the streaming source emits a CHANGELOG — every
+    * micro-batch carries the row-level changes of its snapshot range, with
+    * `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`
+    * appended to the schema. Batch reads of a CDC relation refuse. */
+  def isCdc(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("stream-mode")).contains("cdc")
+
+  val CdcColumns: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false))
+
+  def withCdcColumns(base: StructType): StructType =
+    StructType(base.fields ++ CdcColumns)
+}
+
+final class GraftIcebergV2Table(val table: IcebergTable,
+    val cdcMode: Boolean = false) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -235,7 +258,8 @@ final class GraftIcebergV2Table(val table: IcebergTable) extends Table
 
   override def name(): String = s"graft-iceberg ${table.url}"
 
-  override def schema(): StructType = table.schema
+  override def schema(): StructType =
+    if (cdcMode) GraftIcebergV2Table.withCdcColumns(table.schema) else table.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -477,9 +501,19 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   override def build(): Scan = {
     val pred = pushed.flatMap(Pruning.fromSparkFilter)
       .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
-    val files0 =
+    val base =
       if (pred == Pruning.AlwaysTrue) tbl.allLiveFiles
       else tbl.table.prunedFiles(pred)
+    // `file-subset`: restrict the scan to named live files (newline-joined
+    // morKeys) — the changelog/CDC building block: "the rows of exactly
+    // these files, as visible at this snapshot", with field-id resolution
+    // and position/equality deletes applied like any other read
+    val files0 = Option(options.get("file-subset")) match {
+      case Some(subset) =>
+        val keys = subset.split('\n').filter(_.nonEmpty).toSet
+        base.filter(f => keys(ScanBridge.morKey(tbl.table.resolvePath(f.filePath))))
+      case None => base
+    }
     // limit truncation is sound only when every scanned row survives to the
     // limit: no pushed predicate (it would be re-applied above the scan,
     // discarding rows) and no row-level deletes (per-file live counts would
@@ -496,7 +530,7 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
       case _ => files0
     }
     val scan = new GraftIcebergScan(tbl.table, files, requiredSchema, pushed,
-      options, metaCols, runtimeFilterable = !dmlScan)
+      options, metaCols, runtimeFilterable = !dmlScan, cdcMode = tbl.cdcMode)
     onBuild(scan)
     scan
   }
@@ -516,7 +550,10 @@ final class GraftIcebergScan(
       * operation's scan pins the exact file set its rewrite replaces, and a
       * runtime-narrowed read with an unfiltered replacement set would delete
       * files the operation never read. */
-    runtimeFilterable: Boolean = true)
+    runtimeFilterable: Boolean = true,
+    /** `stream-mode=cdc`: streaming changelog reads only — see
+      * [[GraftIcebergV2Table.isCdc]]. */
+    cdcMode: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -563,7 +600,8 @@ final class GraftIcebergScan(
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(metaCols.isEmpty,
       "metadata columns are not supported in streaming reads")
-    new GraftIcebergMicroBatchStream(table, requiredSchema, pushedFilters, options)
+    new GraftIcebergMicroBatchStream(table, requiredSchema, pushedFilters,
+      options, cdcMode)
   }
 
   /** The pushed filters as ONE Iceberg predicate — a row-level operation's
@@ -635,91 +673,7 @@ final class GraftIcebergScan(
     if (eqDeleteFiles.isEmpty) Array.empty
     else {
       assertDeleteCap
-      val spark = SparkSession.active
-      val read = morReadSchema
-      val idToName = table.iceSchema.fields.map(f => f.id -> f.name).toMap
-      val nameToType = table.schema.fields.map(f => f.name -> f.dataType).toMap
-      import org.apache.spark.sql.functions.{col, input_file_name}
-      eqDeleteFiles.groupBy(_.equalityIds).toSeq.flatMap { case (ids, files) =>
-        val names = ids.map(id => idToName.getOrElse(id,
-          throw new IllegalStateException(s"equality id $id not in schema")))
-        val ordinals = names.map(read.fieldIndex).toArray
-        val types = names.map(nameToType).toArray
-        val converters = types.map(ScanBridge.toCatalyst)
-        val seqByKey = files.map(f =>
-          ScanBridge.morKey(table.resolvePath(f.filePath)) ->
-            table.dataSequenceOf(f)).toMap
-        // Key columns live in the delete files under the names current at
-        // WRITE time. Those names come from METADATA, not file footers: the
-        // manifest records the snapshot that added each delete file, the
-        // snapshot records its schema-id, and the schema names each
-        // equality id — so planning a CDC table with thousands of delete
-        // files opens ZERO parquet footers on the driver. A footer probe
-        // remains only for files whose snapshot/schema is unresolvable
-        // (foreign manifests without added_snapshot_id).
-        val hconf = spark.sessionState.newHadoopConf()
-        def footerNames(p: String): Seq[String] = {
-          GraftIcebergSource.footerProbes.incrementAndGet()
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(p), hconf))
-          try {
-            val s = r.getFooter.getFileMetaData.getSchema
-            (0 until s.getFieldCount).map(s.getFieldName)
-          } finally r.close()
-        }
-        def writeNames(f: graft.iceberg.Manifests.DataFileInfo): Seq[String] = {
-          val fromMeta = for {
-            snapId <- f.snapshotId
-            snap <- table.metadata.snapshotsById.get(snapId)
-            sch <- scala.util.Try(table.metadata.schemaFor(snap)).toOption
-            resolved <- {
-              val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
-              if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
-            }
-          } yield resolved
-          fromMeta.getOrElse(
-            footerNames(table.resolvePath(f.filePath)).take(ids.length))
-        }
-        val byWriteNames = files.groupBy(writeNames)
-
-        def groupOf(seq: Long, fileRows: Iterable[org.apache.spark.sql.Row]) = {
-          // UnsafeRow keys (byte-based equals/hashCode): binary key columns
-          // compare by value, and the layout matches the executor probe
-          val keys = new java.util.HashSet[
-            org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
-          val builder = new ScanBridge.EqKeyBuilder(types)
-          fileRows.foreach { r =>
-            keys.add(builder.build(i => converters(i)(r.get(i)), r.isNullAt))
-          }
-          ScanBridge.EqDeleteGroup(ordinals, types, seq, keys)
-        }
-
-        // one job per distinct write-time name set (almost always one per
-        // table); rows come back tagged with their source file so each
-        // file keeps its own commit sequence
-        byWriteNames.toSeq.flatMap { case (wNames, group) =>
-          val srcOrdinal = wNames.length // _g_src appended after the keys
-          val rows = spark.read
-            .parquet(group.map(f => table.resolvePath(f.filePath)): _*)
-            .select(wNames.map(col) :+
-              ScanBridge.morKeyColumn(input_file_name()).as("_g_src"): _*)
-            .collect()
-          rows.groupBy(_.getString(srcOrdinal)).toSeq.map { case (srcKey, fileRows) =>
-            // input_file_name() is URI-encoded; seqByKey keys are raw
-            // paths — try both forms, and FAIL LOUDLY on a miss (an
-            // unknown-sequence delete must never default to applying
-            // everywhere, nor to nowhere)
-            val seq = seqByKey.get(srcKey)
-              .orElse(seqByKey.get(
-                java.net.URLDecoder.decode(srcKey, "UTF-8")))
-              .getOrElse(throw new IllegalStateException(
-                s"equality-delete file key '$srcKey' does not match any " +
-                  "known delete file"))
-            groupOf(seq, fileRows)
-          }
-        }
-      }.toArray
+      GraftIcebergScan.buildEqGroups(table, morReadSchema, eqDeleteFiles)
     }
   }
 
@@ -759,15 +713,25 @@ final class GraftIcebergScan(
   private lazy val avroFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
     files.filter(_.fileFormat.equalsIgnoreCase("AVRO"))
 
+  /** Snapshots that imported foreign files (addFiles/importParquetDir stamp
+    * `graft-added-files` in their summaries) — the EXPLICIT import marker. */
+  private lazy val importSnapshotIds: Set[Long] =
+    table.metadata.snapshots
+      .filter(_.summary.contains("graft-added-files")).map(_.snapshotId).toSet
+
   /** FOREIGN parquet: imported via addFiles from an external writer, so the
-    * files carry no Iceberg field ids and must resolve columns BY NAME —
+    * files carry no Iceberg field ids and must resolve columns BY NAME.
+    * Primary signal: the file's committing snapshot carries the explicit
+    * import marker (correct even when a foreign path happens to contain
+    * `/data/`). Fallback for files whose import snapshot has been expired:
     * natively written files always live under the table's `/data/`
-    * directory (the same marker morKey relies on). They scan in their own
-    * batch without the field-id read options; under MOR / keyed layouts
-    * they are refused like the other foreign formats. */
+    * directory. Foreign files scan in their own batch without the field-id
+    * read options; under MOR / keyed layouts they are refused like the
+    * other foreign formats. */
   private def isForeignParquet(f: graft.iceberg.Manifests.DataFileInfo): Boolean =
     !f.fileFormat.equalsIgnoreCase("ORC") && !f.fileFormat.equalsIgnoreCase("AVRO") &&
-      !table.resolvePath(f.filePath).contains("/data/")
+      (f.snapshotId.exists(importSnapshotIds) ||
+        !table.resolvePath(f.filePath).contains("/data/"))
 
   private lazy val foreignParquetFiles: Seq[graft.iceberg.Manifests.DataFileInfo] =
     files.filter(isForeignParquet)
@@ -864,7 +828,12 @@ final class GraftIcebergScan(
       case n => org.apache.spark.sql.types.StructField(n, StringType)
     })
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (cdcMode) throw new UnsupportedOperationException(
+      "stream-mode=cdc supports streaming reads only; " +
+        "use IcebergTable.changelog for a batch changelog")
+    this
+  }
 
   override def outputPartitioning(): Partitioning = keyedLayout match {
     case Some(l) => new KeyGroupedPartitioning(
@@ -929,6 +898,99 @@ final class GraftIcebergScan(
 }
 
 object GraftIcebergScan {
+
+  /** Load the key sets of EQUALITY-delete files into executor-shippable
+    * [[ScanBridge.EqDeleteGroup]]s. Key ordinals/types resolve against
+    * `read` (the delegate's read schema); rows of data files with
+    * `dataSeq < group.seq` whose key tuple is in the set are deleted.
+    *
+    * Key columns live in the delete files under the names current at
+    * WRITE time. Those names come from METADATA, not file footers: the
+    * manifest records the snapshot that added each delete file, the
+    * snapshot records its schema-id, and the schema names each equality
+    * id — so planning a CDC table with thousands of delete files opens
+    * ZERO parquet footers on the driver. A footer probe remains only for
+    * files whose snapshot/schema is unresolvable (foreign manifests
+    * without added_snapshot_id). Files sharing a key-column set load in
+    * ONE distributed job (a union keyed by source file), so a table with
+    * N upsert commits pays one planning job, not N. */
+  private[sources] def buildEqGroups(table: IcebergTable, read: StructType,
+      eqDeleteFiles: Seq[graft.iceberg.Manifests.DataFileInfo])
+      : Array[ScanBridge.EqDeleteGroup] = {
+    val spark = SparkSession.active
+    val idToName = table.iceSchema.fields.map(f => f.id -> f.name).toMap
+    val nameToType = table.schema.fields.map(f => f.name -> f.dataType).toMap
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    eqDeleteFiles.groupBy(_.equalityIds).toSeq.flatMap { case (ids, files) =>
+      val names = ids.map(id => idToName.getOrElse(id,
+        throw new IllegalStateException(s"equality id $id not in schema")))
+      val ordinals = names.map(read.fieldIndex).toArray
+      val types = names.map(nameToType).toArray
+      val converters = types.map(ScanBridge.toCatalyst)
+      val seqByKey = files.map(f =>
+        ScanBridge.morKey(table.resolvePath(f.filePath)) ->
+          table.dataSequenceOf(f)).toMap
+      val hconf = spark.sessionState.newHadoopConf()
+      def footerNames(p: String): Seq[String] = {
+        GraftIcebergSource.footerProbes.incrementAndGet()
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), hconf))
+        try {
+          val s = r.getFooter.getFileMetaData.getSchema
+          (0 until s.getFieldCount).map(s.getFieldName)
+        } finally r.close()
+      }
+      def writeNames(f: graft.iceberg.Manifests.DataFileInfo): Seq[String] = {
+        val fromMeta = for {
+          snapId <- f.snapshotId
+          snap <- table.metadata.snapshotsById.get(snapId)
+          sch <- scala.util.Try(table.metadata.schemaFor(snap)).toOption
+          resolved <- {
+            val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
+            if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
+          }
+        } yield resolved
+        fromMeta.getOrElse(
+          footerNames(table.resolvePath(f.filePath)).take(ids.length))
+      }
+      val byWriteNames = files.groupBy(writeNames)
+
+      def groupOf(seq: Long, fileRows: Iterable[org.apache.spark.sql.Row]) = {
+        // UnsafeRow keys (byte-based equals/hashCode): binary key columns
+        // compare by value, and the layout matches the executor probe
+        val keys = new java.util.HashSet[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
+        val builder = new ScanBridge.EqKeyBuilder(types)
+        fileRows.foreach { r =>
+          keys.add(builder.build(i => converters(i)(r.get(i)), r.isNullAt))
+        }
+        ScanBridge.EqDeleteGroup(ordinals, types, seq, keys)
+      }
+
+      byWriteNames.toSeq.flatMap { case (wNames, group) =>
+        val srcOrdinal = wNames.length // _g_src appended after the keys
+        val rows = spark.read
+          .parquet(group.map(f => table.resolvePath(f.filePath)): _*)
+          .select(wNames.map(col) :+
+            ScanBridge.morKeyColumn(input_file_name()).as("_g_src"): _*)
+          .collect()
+        rows.groupBy(_.getString(srcOrdinal)).toSeq.map { case (srcKey, fileRows) =>
+          // input_file_name() is URI-encoded; seqByKey keys are raw
+          // paths — try both forms, and FAIL LOUDLY on a miss (an
+          // unknown-sequence delete must never default to applying
+          // everywhere, nor to nowhere)
+          val seq = seqByKey.get(srcKey)
+            .orElse(seqByKey.get(
+              java.net.URLDecoder.decode(srcKey, "UTF-8")))
+            .getOrElse(throw new IllegalStateException(
+              s"equality-delete file key '$srcKey' does not match any " +
+                "known delete file"))
+          groupOf(seq, fileRows)
+        }
+      }
+    }.toArray
+  }
 
   /** Drop ALL field metadata (incl. parquet.field.id) recursively — the
     * foreign-parquet batch must present an id-free schema so the reader
@@ -1030,12 +1092,16 @@ object SnapshotOffset {
   *    only new appends flow). `stream-from-earliest=true` makes the first
   *    batch carry the whole table; `starting-snapshot-id` pins an explicit
   *    (exclusive) start.
-  *  - A non-append snapshot in a batch's range (overwrite, delete, row
-  *    deltas) REFUSES loudly — an append tail cannot express row removal;
-  *    compaction (`replace`) is content-neutral and skipped, matching
-  *    `IcebergTable.incrementalBetween`.
-  *  - Rows stream AS APPENDED (later row-level deletes are not applied),
-  *    the same contract as `IcebergTable.changelog`.
+  *  - In the default (append-tail) mode a non-append snapshot in a batch's
+  *    range (overwrite, delete, row deltas) REFUSES loudly — an append tail
+  *    cannot express row removal; compaction (`replace`) is content-neutral
+  *    and skipped, matching `IcebergTable.incrementalBetween`. Rows stream
+  *    AS APPENDED (later row-level deletes are not applied).
+  *  - `stream-mode=cdc` lifts the refusal: every micro-batch carries the
+  *    CHANGELOG of its snapshot range — `_change_type`
+  *    ('insert' | 'delete') and `_commit_snapshot_id` columns appended,
+  *    delete commits (whole-file, position, equality) emitting the rows
+  *    they removed, matching `IcebergTable.changelog` batch semantics.
   *
   * Each batch plans a normal vectorized parquet scan over the range's
   * files, so projection pushdown works; residual filters re-apply above
@@ -1044,7 +1110,8 @@ final class GraftIcebergMicroBatchStream(
     table: IcebergTable,
     readSchema: StructType,
     pushedFilters: Array[Filter],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    cdcMode: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -1066,23 +1133,54 @@ final class GraftIcebergMicroBatchStream(
     maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** The pending snapshots (start, head], oldest first. */
+  private def pendingChain(head: IcebergTable, headId: Long,
+      startId: Long): List[graft.iceberg.Snapshot] = {
+    var chain = List(head.snapshots(headId))
+    while (chain.head.snapshotId != startId &&
+        chain.head.parentSnapshotId.exists(head.snapshots.contains))
+      chain = head.snapshots(chain.head.parentSnapshotId.get) :: chain
+    if (chain.head.snapshotId == startId) chain.tail else chain
+  }
+
+  /** Honors the ENGINE-SUPPLIED ReadLimit (Trigger.AvailableNow composes
+    * max-files/max-rows limits): max-files caps the snapshot count (same
+    * unit as `getDefaultReadLimit`), max-rows caps the batch at the first
+    * snapshot whose cumulative `added-records` crosses the bound (always
+    * admitting at least one so the stream advances), min-rows defers the
+    * batch while fewer rows are pending. Composite limits take the
+    * tightest cap. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows, ReadMinRows}
     val head = freshTable()
     val headId = head.metadata.currentSnapshotId
     val startId = start.asInstanceOf[SnapshotOffset].snapshotId
-    maxSnapshotsPerTrigger match {
-      case None => SnapshotOffset(headId)
-      case Some(max) if headId < 0 || startId == headId => SnapshotOffset(headId)
-      case Some(max) =>
-        // walk head's parent chain back to start; if more than `max`
-        // snapshots are pending, stop the batch `max` steps after start
-        var chain = List(head.snapshots(headId))
-        while (chain.head.snapshotId != startId &&
-            chain.head.parentSnapshotId.exists(head.snapshots.contains))
-          chain = head.snapshots(chain.head.parentSnapshotId.get) :: chain
-        val pending = if (chain.head.snapshotId == startId) chain.tail else chain
-        SnapshotOffset(pending.take(max).lastOption.map(_.snapshotId).getOrElse(headId))
+    if (headId < 0 || startId == headId) return SnapshotOffset(headId)
+    val pending = pendingChain(head, headId, startId)
+    def addedRows(s: graft.iceberg.Snapshot): Long =
+      s.summary.get("added-records").flatMap(_.toLongOption).getOrElse(0L)
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
     }
+    val limits = flatten(limit)
+    // min-rows admission gate: not enough pending rows → no batch yet
+    val pendingRows = pending.map(addedRows).sum
+    if (limits.exists {
+      case m: ReadMinRows => pendingRows < m.minRows
+      case _ => false
+    }) return SnapshotOffset(startId)
+    val caps = limits.map {
+      case _: ReadAllAvailable => Int.MaxValue
+      case f: ReadMaxFiles => f.maxFiles()
+      case r: ReadMaxRows =>
+        var cum = 0L
+        val n = pending.segmentLength { s => cum += addedRows(s); cum <= r.maxRows() }
+        math.max(1, n)
+      case _ => Int.MaxValue
+    }
+    val cap = math.max(1, caps.min)
+    SnapshotOffset(pending.take(cap).lastOption.map(_.snapshotId).getOrElse(headId))
   }
 
   private lazy val initial: Long =
@@ -1102,11 +1200,160 @@ final class GraftIcebergMicroBatchStream(
 
   override def stop(): Unit = ()
 
+  // ------------------------------------------------------------ CDC mode
+
+  private val cdcNames = GraftIcebergV2Table.CdcColumns.map(_.name)
+
+  /** The projected DATA columns (CDC columns excluded) — what the
+    * projecting reader emits before appending the change annotations. */
+  private lazy val cdcDataSchema: StructType = {
+    require(readSchema.fieldNames.endsWith(
+      readSchema.fieldNames.filter(cdcNames.contains)),
+      "CDC columns must trail the projected data columns")
+    StructType(readSchema.fields.filterNot(f => cdcNames.contains(f.name)))
+  }
+
+  /** CDC reads load the FULL table schema (+ row index): equality-delete
+    * keys may need any column, and the reader factory is built once per
+    * stream while key sets change per batch. */
+  private lazy val cdcFullSchema: StructType = StructType(table.schema.fields)
+
+  /** The trailing CDC columns actually requested, as metaValue templates. */
+  private def cdcMetaValues(changeType: String, snapshotId: Long): Seq[(String, String)] =
+    readSchema.fieldNames.filter(cdcNames.contains).toSeq.map {
+      case "_change_type" => ("_change_type", changeType)
+      case "_commit_snapshot_id" => ("_commit_snapshot_id", snapshotId.toString)
+    }
+
+  /** Deleted positions per data-file morKey, loaded once per delete-file
+    * set by a distributed read (same shape as the batch scan's loader). */
+  private def posByKey(delFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
+      t: IcebergTable): Map[String, Array[Long]] = {
+    if (delFiles.isEmpty) return Map.empty
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(delFiles.map(f => t.resolvePath(f.filePath)): _*)
+      .select(ScanBridge.morKeyColumn(col("file_path")).as("k"), col("pos"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+  }
+
+  /** a \ b over sorted position arrays. */
+  private def subtractSorted(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (b.isEmpty) a
+    else a.filter(x => java.util.Arrays.binarySearch(b, x) < 0)
+
+  /** CHANGELOG partition planning: per snapshot in (start, end], inserts
+    * from added files, deletes from removed files (parent-visible), and
+    * deletes for the rows newly targeted by position/equality delete files
+    * — each partition carries its own visibility (exclusions) and
+    * selection, so one batch mixes snapshots safely. Cost is proportional
+    * to the CHANGED files of the range, never the table. */
+  private def planCdcPartitions(s: Long, e: Long, t: IcebergTable,
+      hconf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var idx = 0
+    def add(f: graft.iceberg.Manifests.DataFileInfo, changeType: String,
+        sid: Long, deleted: Array[Long], selectPos: Array[Long],
+        ownEq: Array[ScanBridge.EqDeleteGroup],
+        selectEq: Array[ScanBridge.EqDeleteGroup]): Unit = {
+      require(f.fileFormat.equalsIgnoreCase("PARQUET") &&
+          t.resolvePath(f.filePath).contains("/data/"),
+        "CDC streaming supports natively written parquet data files only; " +
+          "compact the table to fold foreign ORC/AVRO/imported-parquet files first")
+      parts += ScanBridge.cdcPartition(hconf, idx, t.resolvePath(f.filePath),
+        f.fileSizeInBytes, t.dataSequenceOf(f), cdcMetaValues(changeType, sid),
+        deleted, selectPos, ownEq, selectEq)
+      idx += 1
+    }
+    def key(f: graft.iceberg.Manifests.DataFileInfo): String =
+      ScanBridge.morKey(t.resolvePath(f.filePath))
+
+    if (s < 0) {
+      // catch-up batch: the whole table's live rows at `e` as inserts
+      val view = t.atSnapshot(e)
+      val pos = posByKey(view.positionDeleteFiles, t)
+      val eq = if (view.equalityDeleteFiles.isEmpty)
+        Array.empty[ScanBridge.EqDeleteGroup]
+      else GraftIcebergScan.buildEqGroups(view, cdcFullSchema, view.equalityDeleteFiles)
+      view.liveFiles().foreach { f =>
+        add(f, "insert", e, pos.getOrElse(key(f), Array.emptyLongArray),
+          null, eq, null)
+      }
+      return parts.toArray
+    }
+
+    // memoized per-parent visibility (a long range revisits parents)
+    val posCache = scala.collection.mutable.Map.empty[Long, Map[String, Array[Long]]]
+    val eqCache = scala.collection.mutable.Map.empty[Long, Array[ScanBridge.EqDeleteGroup]]
+    def parentPos(p: IcebergTable): Map[String, Array[Long]] =
+      posCache.getOrElseUpdate(p.currentSnapshot.snapshotId,
+        posByKey(p.positionDeleteFiles, t))
+    def parentEq(p: IcebergTable): Array[ScanBridge.EqDeleteGroup] =
+      eqCache.getOrElseUpdate(p.currentSnapshot.snapshotId,
+        if (p.equalityDeleteFiles.isEmpty) Array.empty
+        else GraftIcebergScan.buildEqGroups(p, cdcFullSchema, p.equalityDeleteFiles))
+
+    pendingChain(t, e, s).foreach { snap =>
+      t.atSnapshot(snap.snapshotId) // validates the id
+      t.snapshotFileChanges(snap).foreach { ch =>
+        val sid = snap.snapshotId
+        val newPos = posByKey(ch.addedPosDeletes, t)
+        // inserts: rows of added files as at THIS snapshot (same-commit
+        // position deletes excluded; same-sequence eq deletes are exempt)
+        ch.added.foreach { f =>
+          add(f, "insert", sid,
+            newPos.getOrElse(key(f), Array.emptyLongArray), null, null, null)
+        }
+        ch.parent.foreach { p =>
+          // whole-file removals: every parent-visible row is a delete
+          ch.removed.foreach { f =>
+            add(f, "delete", sid,
+              parentPos(p).getOrElse(key(f), Array.emptyLongArray),
+              null, parentEq(p), null)
+          }
+          // newly position-deleted rows in surviving files
+          if (ch.addedPosDeletes.nonEmpty) {
+            ch.parentFiles.foreach { f =>
+              if (ch.currentPaths(t.resolvePath(f.filePath)) &&
+                  newPos.contains(key(f))) {
+                val sel = subtractSorted(newPos(key(f)),
+                  parentPos(p).getOrElse(key(f), Array.emptyLongArray))
+                if (sel.nonEmpty)
+                  add(f, "delete", sid, Array.emptyLongArray, sel, parentEq(p), null)
+              }
+            }
+          }
+          // newly equality-deleted rows in strictly-older surviving files
+          ch.addedEqDeletes.foreach { ed =>
+            val edSeq = t.dataSequenceOf(ed)
+            val sel = GraftIcebergScan.buildEqGroups(ch.current, cdcFullSchema, Seq(ed))
+            ch.parentFiles.foreach { f =>
+              if (ch.currentPaths(t.resolvePath(f.filePath)) &&
+                  t.dataSequenceOf(f) < edSeq)
+                add(f, "delete", sid,
+                  parentPos(p).getOrElse(key(f), Array.emptyLongArray),
+                  null, parentEq(p), sel)
+            }
+          }
+        }
+      }
+    }
+    parts.toArray
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapshotOffset].snapshotId
     val e = end.asInstanceOf[SnapshotOffset].snapshotId
     if (e < 0 || s == e) return Array.empty
     val t = freshTable()
+    if (cdcMode) {
+      val spark = SparkSession.active
+      val hconf = spark.sessionState.newHadoopConf()
+      IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
+      return planCdcPartitions(s, e, t, hconf)
+    }
     val files =
       if (s < 0) {
         // the catch-up batch reads whole files; live row-level deletes
@@ -1136,7 +1383,17 @@ final class GraftIcebergMicroBatchStream(
     IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
     // the parquet reader factory is independent of the planned file list:
     // an empty template scan yields the factory every batch reuses
-    ScanBridge.parquetScan(spark, hconf, Nil, table.schema, readSchema,
-      pushedFilters, options).toBatch.createReaderFactory()
+    if (!cdcMode)
+      return ScanBridge.parquetScan(spark, hconf, Nil, table.schema, readSchema,
+        pushedFilters, options).toBatch.createReaderFactory()
+    // CDC: read the full schema + row index; project the requested data
+    // columns through the ordinal map and let each partition append its
+    // change annotations and apply its visibility/selection filters
+    val fullRead = StructType(cdcFullSchema.fields :+ ScanBridge.rowIndexField)
+    val delegate = ScanBridge.parquetScan(spark, hconf, Nil, table.schema,
+      fullRead, pushedFilters, options).toBatch.createReaderFactory()
+    ScanBridge.morReaderFactory(delegate, cdcDataSchema, fullRead.length,
+      columnarCapable = false, eqGroups = Array.empty,
+      ordinalMap = cdcDataSchema.fieldNames.map(cdcFullSchema.fieldIndex))
   }
 }

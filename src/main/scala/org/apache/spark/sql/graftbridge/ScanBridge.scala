@@ -197,17 +197,53 @@ object ScanBridge {
     * deleted from it, and its commit sequence (for equality-delete
     * scoping). Positions ride in the partition (computed ONCE on the driver
     * by a distributed read of the delete files), so tasks never touch
-    * delete files and each task serializes only its own positions. */
+    * delete files and each task serializes only its own positions.
+    *
+    * CDC extensions (all default-off, used by the changelog stream):
+    * `selectPositions` INVERTS the position filter — emit ONLY rows at
+    * these positions (the rows a position-delete commit removed);
+    * `selectEqGroups` emits only rows matching at least one group (the rows
+    * an equality-delete commit removed); `ownEqGroups` overrides the
+    * factory-level exclusion groups so each partition can carry its own
+    * parent-snapshot visibility. */
   final class MorFilePartition(
       private[graftbridge] val deleted: Array[Long],
       private[graftbridge] val dataSeq: Long,
       /** Requested metadata columns as per-file values, in projection
         * order: `_partition`/`_file` carry the string constant, `_pos` a
-        * null (the reader wires it to the materialized row index). */
+        * null (the reader wires it to the materialized row index), and
+        * `_commit_snapshot_id` a long rendered as a string. */
       private[graftbridge] val metaValues: Seq[(String, String)],
-      private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition)
+      private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition,
+      private[graftbridge] val selectPositions: Array[Long] = null,
+      private[graftbridge] val ownEqGroups: Array[EqDeleteGroup] = null,
+      private[graftbridge] val selectEqGroups: Array[EqDeleteGroup] = null)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
+  }
+
+  /** One CDC partition over one data file — see [[MorFilePartition]]'s CDC
+    * extensions for the semantics of the three optional filters. */
+  def cdcPartition(
+      hadoopConf: Configuration,
+      index: Int,
+      path: String,
+      len: Long,
+      dataSeq: Long,
+      metaValues: Seq[(String, String)],
+      deleted: Array[Long],
+      selectPositions: Array[Long],
+      ownEqGroups: Array[EqDeleteGroup],
+      selectEqGroups: Array[EqDeleteGroup]): InputPartition = {
+    val raw = new Path(path)
+    val fs = raw.getFileSystem(hadoopConf)
+    val fp = org.apache.spark.sql.execution.datasources.FilePartition(index, Array(
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
+        0, len, Array.empty, 0L, len)))
+    new MorFilePartition(deleted, dataSeq, metaValues, fp,
+      selectPositions, ownEqGroups, selectEqGroups)
   }
 
   /** One [[MorFilePartition]] per data file. No splits: position-delete
@@ -252,15 +288,22 @@ object ScanBridge {
       requiredSchema: StructType,
       readWidth: Int, // total columns the delegate produces (incl. extras)
       columnarCapable: Boolean,
-      eqGroups: Array[EqDeleteGroup] = Array.empty): PartitionReaderFactory =
-    new MorReaderFactory(delegate, requiredSchema, readWidth, columnarCapable, eqGroups)
+      eqGroups: Array[EqDeleteGroup] = Array.empty,
+      /** Maps each `requiredSchema` field to its ordinal in the delegate
+        * row; null = identity prefix (the batch-scan layout). The CDC
+        * stream reads the FULL table schema and projects the requested
+        * subset out through this map. */
+      ordinalMap: Array[Int] = null): PartitionReaderFactory =
+    new MorReaderFactory(delegate, requiredSchema, readWidth, columnarCapable,
+      eqGroups, ordinalMap)
 
   private final class MorReaderFactory(
       delegate: PartitionReaderFactory,
       requiredSchema: StructType,
       readWidth: Int,
       columnarCapable: Boolean,
-      eqGroups: Array[EqDeleteGroup])
+      eqGroups: Array[EqDeleteGroup],
+      ordinalMap: Array[Int])
     extends PartitionReaderFactory {
 
     private def width = requiredSchema.length
@@ -319,23 +362,32 @@ object ScanBridge {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val m = p.asInstanceOf[MorFilePartition]
       val deleted = m.deleted // sorted
-      // equality deletes apply only to files committed strictly earlier
-      val applicable = eqGroups.filter(_.seq > m.dataSeq)
+      // equality deletes apply only to files committed strictly earlier;
+      // CDC partitions may carry their own (parent-visibility) groups
+      val exclGroups = if (m.ownEqGroups != null) m.ownEqGroups else eqGroups
+      val applicable = exclGroups.filter(_.seq > m.dataSeq)
+      val selecting = if (m.selectEqGroups != null)
+        m.selectEqGroups.filter(_.seq > m.dataSeq) else null
+      val selectPos = m.selectPositions // sorted, or null
       val inner = delegate.createReader(m.underlying)
       // the delegate row is requiredSchema + eq-key columns + row-index
       // (appended in that order); project the extras out — ordinals
-      // 0..n-1 are the required fields. Requested metadata columns append
-      // after: string constants per file, `_pos` wired to the row index.
+      // 0..n-1 are the required fields unless an ordinalMap repositions
+      // them. Requested metadata columns append after: string constants
+      // per file, `_pos` wired to the row index, `_commit_snapshot_id`
+      // as a long.
       val idxOrdinal = readWidth - 1
       val exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         requiredSchema.fields.zipWithIndex.map { case (f, i) =>
           org.apache.spark.sql.catalyst.expressions.BoundReference(
-            i, f.dataType, f.nullable)
+            if (ordinalMap == null) i else ordinalMap(i), f.dataType, f.nullable)
         }.toSeq ++
           m.metaValues.map {
             case ("_pos", _) =>
               org.apache.spark.sql.catalyst.expressions.BoundReference(
                 idxOrdinal, LongType, nullable = true)
+            case ("_commit_snapshot_id", v) =>
+              org.apache.spark.sql.catalyst.expressions.Literal(v.toLong, LongType)
             case (_, v) =>
               org.apache.spark.sql.catalyst.expressions.Literal(
                 if (v == null) null
@@ -345,22 +397,27 @@ object ScanBridge {
       val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(exprs)
 
-      // one probe projection per applicable group: bound to the group's key
-      // ordinals in the widened row, writing into a REUSED UnsafeRow buffer —
+      // one probe projection per group: bound to the group's key ordinals
+      // in the widened row, writing into a REUSED UnsafeRow buffer —
       // `keys.contains(probe(r))` hashes/compares raw bytes, so the per-row
       // loop allocates nothing and BinaryType keys compare by value
-      val probes: Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] =
-        applicable.map { g =>
+      def probesOf(groups: Array[EqDeleteGroup])
+          : Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] =
+        groups.map { g =>
           org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
             g.ordinals.zipWithIndex.map { case (o, j) =>
               org.apache.spark.sql.catalyst.expressions.BoundReference(
                 o, g.types(j), nullable = true)
             }.toSeq)
         }
-      def eqDeleted(r: InternalRow): Boolean = {
+      val exclProbes = probesOf(applicable)
+      val selProbes = if (selecting == null) null else probesOf(selecting)
+      def matchesAny(groups: Array[EqDeleteGroup],
+          probes: Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection],
+          r: InternalRow): Boolean = {
         var i = 0
-        while (i < applicable.length) {
-          if (applicable(i).keys.contains(probes(i)(r))) return true
+        while (i < groups.length) {
+          if (groups(i).keys.contains(probes(i)(r))) return true
           i += 1
         }
         false
@@ -371,9 +428,15 @@ object ScanBridge {
         override def next(): Boolean = {
           while (inner.next()) {
             val r = inner.get()
+            val pos = if (deleted.isEmpty && selectPos == null) -1L
+              else r.getLong(idxOrdinal)
             val posLive = deleted.isEmpty ||
-              java.util.Arrays.binarySearch(deleted, r.getLong(idxOrdinal)) < 0
-            if (posLive && (applicable.isEmpty || !eqDeleted(r))) {
+              java.util.Arrays.binarySearch(deleted, pos) < 0
+            val posSelected = selectPos == null ||
+              java.util.Arrays.binarySearch(selectPos, pos) >= 0
+            val eqLive = applicable.isEmpty || !matchesAny(applicable, exclProbes, r)
+            val eqSelected = selecting == null || matchesAny(selecting, selProbes, r)
+            if (posLive && posSelected && eqLive && eqSelected) {
               current = project(r)
               return true
             }

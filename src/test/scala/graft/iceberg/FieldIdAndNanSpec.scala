@@ -92,6 +92,43 @@ class FieldIdAndNanSpec extends AnyFunSuite {
     assert(t.read(filters = Seq(Seq(("x", "<", 0.5)))).count() == 1)
   }
 
+  test("imported foreign parquet carries NO nan-count claim") {
+    val base = java.nio.file.Files.createTempDirectory("graft_impnan").toString
+    val url = s"$base/tbl"
+    // a foreign float file (written by Spark here, but the import path must
+    // not assume any writer's NaN/stats discipline)
+    val ext = s"$base/ext"
+    Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)).toDF("k", "x").coalesce(1).write.parquet(ext)
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("k", LongType), StructField("x", DoubleType))))
+    val parts = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    IcebergWriter.addFiles(spark, url, parts)
+    val f = IcebergTable.load(spark, url).liveFiles().head
+    assert(f.nanValueCounts.isEmpty,
+      s"imported file must not claim nan counts, got ${f.nanValueCounts}")
+    // bounds for the long column are still harvested and usable
+    assert(f.lowerBounds.nonEmpty)
+  }
+
+  test("foreign parquet under a /data/ path is detected via the import marker") {
+    val base = java.nio.file.Files.createTempDirectory("graft_impmark").toString
+    val url = s"$base/tbl"
+    // adversarial layout: the FOREIGN file's own path contains '/data/' —
+    // the old path heuristic would misread it as native and the field-id
+    // read would refuse the id-less file
+    val ext = s"$base/data"
+    Seq((10L, "x"), (20L, "y")).toDF("k", "v").coalesce(1).write.parquet(ext)
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    val parts = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    IcebergWriter.addFiles(spark, url, parts)
+    val got = spark.read.format("graft-iceberg").load(url)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((10L, "x"), (20L, "y")))
+  }
+
   test("nanSensitive truth table") {
     import Pruning._
     assert(nanSensitive(Gt("x", 1.0), "double"))

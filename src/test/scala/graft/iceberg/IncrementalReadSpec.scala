@@ -117,6 +117,77 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(rows.filter(_._1 > 8L).forall(_._3 == s3))
   }
 
+  test("changelog emits delete rows for position-delete commits") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 4L), Pruning.Lt("k", 7L)))
+    val t = IcebergTable.load(spark, url)
+    val rows = t.changelog(s1, t.currentSnapshot.snapshotId)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((4L, "a", "delete"), (5L, "a", "delete"), (6L, "a", "delete")))
+  }
+
+  test("changelog emits delete+insert for an equality-delete upsert") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 5L).map(i => (i, "old")).toDF("k", "v").coalesce(1))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.upsert(spark, url,
+      Seq((2L, "new2"), (9L, "new9")).toDF("k", "v").coalesce(1), Seq("k"))
+    val t = IcebergTable.load(spark, url)
+    val rows = t.changelog(s1, t.currentSnapshot.snapshotId)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._1, r._3))
+    // the update of k=2 is delete+insert; k=9 is a pure insert
+    assert(rows.toSeq == Seq(
+      (2L, "old", "delete"), (2L, "new2", "insert"), (9L, "new9", "insert")))
+  }
+
+  test("changelog emits delete rows for whole-file removal, parent-visible only") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // kill k=3 first (position delete), THEN drop the whole table content:
+    // the removal must NOT re-emit the already-dead row 3
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 3L))
+    val s2 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteWhere(spark, url, Pruning.LtEq("k", 10L))
+    val t = IcebergTable.load(spark, url)
+    val rows = t.changelog(s2, t.currentSnapshot.snapshotId)
+      .select("k", "_change_type").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    assert(rows.forall(_._2 == "delete"))
+    // and the full range sees 3 deleted by its own commit
+    val full = t.changelog(s1, t.currentSnapshot.snapshotId)
+      .select("k", "_change_type").as[(Long, String)].collect()
+    assert(full.count(_._2 == "delete") == 10)
+  }
+
+  test("changelog over a mixed range: compaction neutral, deletes emitted") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 10L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val s1 = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (11L to 15L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 12L))
+    Maintenance.compact(spark, url, targetFiles = Some(1))
+    IcebergWriter.append(spark, url, (21L to 22L).map(i => (i, "c")).toDF("k", "v").coalesce(1))
+    val t = IcebergTable.load(spark, url)
+    val rows = t.changelog(s1, t.currentSnapshot.snapshotId)
+      .select("k", "_change_type").as[(Long, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    val inserts = rows.filter(_._2 == "insert").map(_._1).toSeq
+    val deletes = rows.filter(_._2 == "delete").map(_._1).toSeq
+    assert(inserts == Seq(11L, 12L, 13L, 14L, 15L, 21L, 22L),
+      s"compaction must be content-neutral, got inserts $inserts")
+    assert(deletes == Seq(12L))
+  }
+
   test("the DSv2 source honours start-snapshot-id/end-snapshot-id options") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)

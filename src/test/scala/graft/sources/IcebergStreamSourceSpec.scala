@@ -153,6 +153,88 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
     assert(run("ckpt2") == (1L to 10L).filterNot(_ == 3L))
   }
 
+  test("Trigger.AvailableNow honours the engine-supplied ReadLimit and terminates") {
+    val dir = fresh("graft_src_avnow")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    (1 to 4).foreach(i => IcebergWriter.append(spark, url,
+      ((i * 10L) until (i * 10L + 5)).map(j => (j, s"b$i")).toDF("k", "v")))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-from-earliest", "true")
+      .option("max-snapshots-per-trigger", "1")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_avnow")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    } finally q.stop()
+    assert(spark.sql("SELECT k FROM ice_avnow").as[Long].collect().sorted.toSeq
+      == (1 to 4).flatMap(i => (i * 10L) until (i * 10L + 5)))
+  }
+
+  test("stream-mode=cdc matches the batch changelog, delete rows included") {
+    val dir = fresh("graft_src_cdc")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 8L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val from = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, (9L to 12L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 2L), Pruning.Lt("k", 4L)))
+    IcebergWriter.upsert(spark, url,
+      Seq((4L, "u4"), (20L, "u20")).toDF("k", "v").coalesce(1), Seq("k"))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-mode", "cdc")
+      .option("starting-snapshot-id", from.toString)
+      .option("max-snapshots-per-trigger", "1") // one snapshot per batch
+      .load(url)
+      .writeStream.format("memory").queryName("ice_cdc")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val t = IcebergTable.load(spark, url)
+    val streamed = spark.table("ice_cdc")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    val batch = t.changelog(from, t.currentSnapshot.snapshotId)
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(streamed == batch)
+    // spot-check the semantics, not just self-consistency
+    val byType = streamed.groupBy(_._3)
+    assert(byType("delete").map(r => (r._1, r._2)).sorted
+      == Seq((2L, "a"), (3L, "a"), (4L, "a")))
+    assert(byType("insert").map(_._1).sorted == Seq(4L, 9L, 10L, 11L, 12L, 20L))
+  }
+
+  test("cdc catch-up batch emits current live rows as inserts") {
+    val dir = fresh("graft_src_cdc2")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 6L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 5L))
+    IcebergWriter.upsert(spark, url,
+      Seq((1L, "u1")).toDF("k", "v").coalesce(1), Seq("k"))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-mode", "cdc")
+      .option("stream-from-earliest", "true")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_cdc2")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ice_cdc2")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // live rows only (5 pos-deleted, 1 superseded by the upsert), all inserts
+    assert(rows.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, "u1", "insert"), (2L, "a", "insert"), (3L, "a", "insert"),
+      (4L, "a", "insert"), (6L, "a", "insert")))
+  }
+
   test("a delete snapshot in the pending range refuses") {
     val dir = fresh("graft_src_stream4")
     val url = s"$dir/tbl"
