@@ -402,9 +402,16 @@ object IceQueries {
 
     val t = IcebergTable.load(s, url)
     val intact = filesBefore.subsetOf(t.liveFiles().map(_.filePath).toSet)
-    t.read()
+    val read = t.read()
+    // the merge-on-read scan must stay COLUMNAR under equality deletes
+    // (key-probe selection view) — pinned via the oracle's literal 1
+    val columnar = read.queryExecution.executedPlan.collectFirst {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.isDefined
+    read
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
-        (if (intact) lit(1) else lit(0)).as("old_files_intact"))
+        (if (intact) lit(1) else lit(0)).as("old_files_intact"),
+        (if (columnar) lit(1) else lit(0)).as("scan_columnar"))
       .orderBy("n_nationkey")
   }
 
@@ -500,6 +507,14 @@ object IceQueries {
       ((i * 10L) until (i * 10L + 10)).map(j => (j, s"c$i")).toDF("k", "cat").repartition(2)))
     IcebergWriter.deleteRows(s, url, Pruning.Eq("k", 25L))
     val filesBefore = IcebergTable.load(s, url).liveFiles().size.toLong
+    // manifest compaction first: 4 append manifests cluster into ONE
+    // metadata-only replace snapshot (no data file moves), then file
+    // compaction folds the position delete into rewritten data
+    def dataManifests(t: graft.iceberg.IcebergTable): Long = t.manifestList
+      .count(_.content == graft.iceberg.Manifests.ManifestContent.Data).toLong
+    val manifestsBefore = dataManifests(IcebergTable.load(s, url))
+    Maintenance.rewriteManifests(s, url, targetManifests = 1)
+    val manifestsAfter = dataManifests(IcebergTable.load(s, url))
     Maintenance.compact(s, url, targetFiles = Some(2))
     Maintenance.expireSnapshots(s, url, keepLast = 1)
     val t = IcebergTable.load(s, url)
@@ -508,13 +523,17 @@ object IceQueries {
     dynamicOracle("ice_maintenance") =
       s"""SELECT k, cat, CAST(8 AS BIGINT) AS files_before,
          |  CAST(2 AS BIGINT) AS files_after, CAST(1 AS BIGINT) AS n_snapshots,
-         |  'replace' AS operation
+         |  'replace' AS operation,
+         |  CAST(4 AS BIGINT) AS manifests_before,
+         |  CAST(1 AS BIGINT) AS manifests_after_rewrite
          |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
     t.read()
       .withColumn("files_before", lit(filesBefore))
       .withColumn("files_after", lit(t.liveFiles().size.toLong))
       .withColumn("n_snapshots", lit(t.snapshots.size.toLong))
       .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
+      .withColumn("manifests_before", lit(manifestsBefore))
+      .withColumn("manifests_after_rewrite", lit(manifestsAfter))
       .orderBy("k")
   }
 
@@ -547,6 +566,45 @@ object IceQueries {
       .withColumn("x_prunes", lit(xPrunes))
       .withColumn("y_prunes", lit(yPrunes))
       .orderBy("x", "y")
+  }
+
+  /** Z-ORDER on a PARTITIONED table: each identity partition's rows
+    * re-layout along the Morton curve WITHIN the partition, so partition
+    * pruning composes with z-skipping — a (partition, point) query prunes
+    * to a handful of files. The skipping facts are computed from the
+    * metadata plane and pinned as literals; the oracle re-reads every
+    * final data file, proving the rewrite lost nothing. */
+  def iceZorderPart(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_zqp").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
+      partitions = Seq(("cat", "identity")))
+    val grid = for (c <- Seq("a", "b"); k <- 0L until 1024L)
+      yield (k % 32, k / 32, c)
+    IcebergWriter.append(s, url, grid.toDF("x", "y", "cat")
+      .orderBy(org.apache.spark.sql.functions.rand(11)).repartition(8))
+    Maintenance.zorder(s, url, Seq("x", "y"), targetFiles = Some(16))
+    val t = IcebergTable.load(s, url)
+    val inA = t.prunedFiles(Pruning.Eq("cat", "a")).size
+    val xPrunes = t.prunedFiles(
+      Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("x", 5L))).size <= inA / 2
+    val yPrunes = t.prunedFiles(
+      Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("y", 5L))).size <= inA / 2
+    val partPrunes = inA < t.liveFiles().size
+    dynamicOracle("ice_zorder_part") =
+      s"""SELECT x, y, cat, true AS x_prunes, true AS y_prunes,
+         |  true AS part_prunes
+         |FROM (${duckLiveRows(t, Seq("x", "y", "cat"))}) ORDER BY cat, x, y""".stripMargin
+    t.read()
+      .withColumn("x_prunes", lit(xPrunes))
+      .withColumn("y_prunes", lit(yPrunes))
+      .withColumn("part_prunes", lit(partPrunes))
+      .orderBy("cat", "x", "y")
   }
 
   /** Foreign AVRO data files (the third Iceberg data-file format; no
@@ -839,6 +897,7 @@ object IceQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_stats_agg"        -> (iceStatsAgg _),
     "ice_zorder"           -> (iceZorder _),
+    "ice_zorder_part"      -> (iceZorderPart _),
     "ice_avro_import"      -> (iceAvroImport _),
     "ice_spec_evolution"   -> (iceSpecEvolution _),
     "ice_incremental"      -> (iceIncremental _),
@@ -993,7 +1052,8 @@ object IceQueries {
         |  UNION ALL SELECT 999, 'ATLANTIS', 0
         |)
         |SELECT n_nationkey, n_name, n_regionkey,
-        |  CAST(1 AS INTEGER) AS old_files_intact
+        |  CAST(1 AS INTEGER) AS old_files_intact,
+        |  CAST(1 AS INTEGER) AS scan_columnar
         |FROM (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |         CAST(n_regionkey AS BIGINT) AS n_regionkey

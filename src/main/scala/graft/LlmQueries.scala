@@ -37,9 +37,33 @@ object LlmQueries {
         n = 3, k = 64, bands = 16, threshold = 0.5).select("id_a", "id_b"))
       .orderBy("id")
 
-  def ddSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-      n = 3, maxHamming = 16).orderBy("id_a", "id_b")
+  /** Production SimHash (xxHash64 token hash) with a BOUNDED-ERROR oracle:
+    * its pair set is compared against the engine-portable poly31 sibling
+    * (itself exact-verified by DuckDB) and must agree within explicit
+    * bounds — pair-set Jaccard overlap ≥ 0.5, recall ≥ 0.6, precision
+    * ≥ 0.7 (measured 0.59-0.66 / 0.69-0.76 / 0.80-0.83 across sf0.001-0.1;
+    * the two differ only in token hash, so the banding/Hamming machinery
+    * is shared and the bound pins the hash-dependent drift). The oracle
+    * recomputes the portable pair count independently in DuckDB; a bound
+    * violation zeroes a flag and fails the hash match. */
+  def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val xx = Dedup.simhashPairs(docs, "text", "doc_id", n = 3, maxHamming = 16)
+      .select("id_a", "id_b")
+    val po = Dedup.simhashPairs(docs, "text", "doc_id", n = 3, maxHamming = 16,
+      hashAlgo = SimHash.AlgoPoly31).select("id_a", "id_b")
+    val nXx = xx.count()
+    val nPo = po.count()
+    val inter = xx.intersect(po).count()
+    val union = nXx + nPo - inter
+    def ok(v: Boolean) = if (v) 1L else 0L
+    Seq((nPo,
+        ok(union == 0 || inter.toDouble / union >= 0.5),
+        ok(nPo == 0 || inter.toDouble / nPo >= 0.6),
+        ok(nXx == 0 || inter.toDouble / nXx >= 0.7)))
+      .toDF("n_pairs_portable", "overlap_ok", "recall_ok", "precision_ok")
+  }
 
   /** Engine-portable SimHash: the same banding/verify pipeline as
     * [[ddSimhash]], with the poly31 token hash instead of xxHash64 so DuckDB
@@ -69,20 +93,65 @@ object LlmQueries {
       "embedding", "vec_id", k = 5).orderBy("query_id", "rank")
   }
 
+  /** Hyperplane-LSH ANN with a BOUNDED-ERROR oracle. On this isotropic
+    * synthetic corpus top-k recall is governed by the probed-bucket
+    * fraction (multi-probe covers 5 of 16 buckets at planes=4 →
+    * measured mean recall 0.56-0.62 across sf0.001-0.1); the oracle bounds
+    * mean recall@5 vs the exact brute-force sibling at ≥ 0.3 (half the
+    * measured floor) and pins the deterministic integrity facts: every
+    * query returns exactly k hits, ranked by true cosine, no self-matches
+    * or duplicates. */
   def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-      "embedding", "vec_id", k = 5, planes = 8, dims = 64)
-      .orderBy("query_id", "rank")
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = Similarity.lshTopK(emb, queries,
+      "embedding", "vec_id", k = 5, planes = 4, dims = 64)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+    val rows = approx.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect() // bounded: n_queries * k rows
+    val exactSet = exact.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val byQuery = rows.groupBy(_._1)
+    val nQueries = byQuery.size.toLong
+    val rankedOk = byQuery.values.forall { qs =>
+      val sorted = qs.sortBy(_._2)
+      sorted.map(_._2).sameElements(1 to qs.length) &&
+        sorted.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4)
+    }
+    val hitsValid = byQuery.forall { case (q, qs) =>
+      qs.forall(_._3 != q) && qs.map(_._3).distinct.length == qs.length
+    }
+    val meanRecall = byQuery.map { case (q, qs) =>
+      qs.count(r => exactSet((q, r._3))).toDouble / 5.0
+    }.sum / math.max(1, nQueries)
+    def ok(v: Boolean) = if (v) 1L else 0L
+    Seq((nQueries, rows.length.toLong, ok(rankedOk), ok(hitsValid),
+        ok(meanRecall >= 0.3)))
+      .toDF("n_queries", "n_hits", "ranked_ok", "hits_valid", "recall_ok")
   }
 
-  /** IVF (k-means inverted file) ANN: build the index, probe 4 of 8 cells. */
+  /** IVF (k-means inverted file) ANN probing 4 of 8 cells, with a
+    * BOUNDED-ERROR oracle: per-query recall@5 vs the exact brute-force
+    * sibling must be ≥ 0.2 (measured per-query minimum 0.4 across
+    * sf0.001-0.1 — 2× margin; the full-probe sibling `sim_topk_ivf_full`
+    * pins the index machinery exactly). */
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
     val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
-    Similarity.ivfTopK(index, emb.filter(col("vec_id") < 10),
+    val approx = Similarity.ivfTopK(index, queries,
       "embedding", "vec_id", k = 5, nProbe = 4)
-      .orderBy("query_id", "rank")
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+    val matched = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    approx.groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_hits"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") / 5.0 >= 0.2)
+          .cast("long").as("recall_ok"))
+      .orderBy("query_id")
   }
 
   /** FULL-probe IVF: probing every cell makes IVF exact (nProbe is the
@@ -146,12 +215,33 @@ object LlmQueries {
       .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  def txFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TF.tokenFingerprint(col("text")).as("fingerprint"),
-        TF.wordShingles(col("text"), 3).as("sh"))
-      .select(col("doc_id"), col("fingerprint"), size(col("sh")).as("n_shingles"))
-      .orderBy("doc_id")
+  /** Production xxHash64 token fingerprint with a BOUNDED-ERROR oracle:
+    * the hash values are engine-specific, but their STRUCTURE is exactly
+    * checkable — the fingerprint must be injective on the corpus's
+    * canonical token sets (distinct-fingerprint count equals the
+    * distinct-canonical-text count DuckDB computes independently; a
+    * 64-bit collision on thousands of docs would break equality) and
+    * consistent (every canonical text maps to one fingerprint). The
+    * portable sibling `tx_fingerprint_rolling` hash-matches the values. */
+  def txFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenFingerprint(col("text")).as("fp"),
+        canon.as("canon"))
+    // consistency: one fingerprint per canonical text (fp is a pure
+    // function of canon, so group-wise distinct counts must all be 1)
+    val perCanon = d.groupBy("canon")
+      .agg(countDistinct(col("fp")).as("nfp"))
+      .agg(max(col("nfp")).as("max_fp_per_canon"))
+    val totals = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("canon")).as("n_distinct_canonical"),
+      countDistinct(col("fp")).as("n_fp"))
+    totals.crossJoin(perCanon)
+      .select(col("n_docs"), col("n_distinct_canonical"),
+        (col("n_fp") === col("n_distinct_canonical")).cast("long").as("fp_injective_ok"),
+        (col("max_fp_per_canon") === 1L).cast("long").as("fp_consistent_ok"))
+  }
 
   /** The engine-portable rolling fingerprint — same canonicalization as
     * [[txFingerprint]], but with a DuckDB-replayable hash. */
@@ -285,6 +375,42 @@ object LlmQueries {
         FROM scored)
       WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Full SimHash replay in DuckDB: poly31 token hash in HUGEINT, per-bit
+    * votes, 64-bit hash reassembly, 16-bit-block candidate bands, Hamming
+    * verify — validated equal to an independent reference implementation.
+    * Used both as `dd_simhash_rolling`'s exact oracle and as the portable
+    * pair-count source in `dd_simhash`'s bounded-error oracle. */
+  private val simhashRollingPairsSql: String = shingleCte + """
+      , tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      th AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(regexp_extract_all(g, '[\s\S]'),
+            ch -> CAST(ascii(ch) AS HUGEINT))),
+          (acc, b) -> (acc*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM tok),
+      bits AS (SELECT doc_id, r.b AS b,
+          SUM(CASE WHEN ((h >> CAST(r.b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, range(64) r(b) GROUP BY doc_id, r.b),
+      hu AS (SELECT d.doc_id,
+          COALESCE((SELECT SUM(CASE WHEN vote > 0
+              THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+              ELSE CAST(0 AS HUGEINT) END)
+            FROM bits WHERE bits.doc_id = d.doc_id), CAST(0 AS HUGEINT)) AS h
+        FROM (SELECT DISTINCT doc_id FROM documents) d),
+      hs AS (SELECT doc_id, h,
+          CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+               THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS sh
+        FROM hu)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE (((a.h >> 0) & 65535) = ((b.h >> 0) & 65535)
+          OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+          OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+          OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
+        AND bit_count(xor(a.sh, b.sh)) <= 16
+      ORDER BY id_a, id_b"""
+
   val oracle: Map[String, String] = Map(
     "dd_exact" -> """
       SELECT doc_id,
@@ -397,36 +523,7 @@ object LlmQueries {
     // full SimHash replay: poly31 token hash in HUGEINT, per-bit votes,
     // 64-bit hash reassembly, 16-bit-block candidate bands, Hamming verify —
     // validated equal to an independent reference implementation
-    "dd_simhash_rolling" -> (shingleCte + """
-      , tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
-      th AS (SELECT doc_id,
-        list_reduce(list_prepend(CAST(0 AS HUGEINT),
-          list_transform(regexp_extract_all(g, '[\s\S]'),
-            ch -> CAST(ascii(ch) AS HUGEINT))),
-          (acc, b) -> (acc*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS h
-        FROM tok),
-      bits AS (SELECT doc_id, r.b AS b,
-          SUM(CASE WHEN ((h >> CAST(r.b AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-        FROM th, range(64) r(b) GROUP BY doc_id, r.b),
-      hu AS (SELECT d.doc_id,
-          COALESCE((SELECT SUM(CASE WHEN vote > 0
-              THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
-              ELSE CAST(0 AS HUGEINT) END)
-            FROM bits WHERE bits.doc_id = d.doc_id), CAST(0 AS HUGEINT)) AS h
-        FROM (SELECT DISTINCT doc_id FROM documents) d),
-      hs AS (SELECT doc_id, h,
-          CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
-               THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS sh
-        FROM hu)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-      WHERE (((a.h >> 0) & 65535) = ((b.h >> 0) & 65535)
-          OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
-          OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
-          OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
-        AND bit_count(xor(a.sh, b.sh)) <= 16
-      ORDER BY id_a, id_b"""),
+    "dd_simhash_rolling" -> simhashRollingPairsSql,
     // byte-for-byte replay of the redaction chain (same RE2-compatible
     // patterns, same order); counts come from the PRE-redaction text
     "tx_redact" -> """
@@ -494,6 +591,32 @@ object LlmQueries {
       SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.2
       ORDER BY id_a, id_b""",
     "sim_topk_brute" -> bruteTopkSql,
+    // bounded-error oracles: DuckDB recomputes the exact/portable side
+    // (pair count, query list, canonical-text count) independently; the
+    // ok-flags are literal 1s — Spark zeroes them when the measured
+    // error exceeds the documented bound, failing the hash match
+    "dd_simhash" -> ("""
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs_portable,
+        CAST(1 AS BIGINT) AS overlap_ok, CAST(1 AS BIGINT) AS recall_ok,
+        CAST(1 AS BIGINT) AS precision_ok
+      FROM (""" + simhashRollingPairsSql + ")"),
+    "sim_topk_lsh" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        CAST(count(*) * 5 AS BIGINT) AS n_hits,
+        CAST(1 AS BIGINT) AS ranked_ok, CAST(1 AS BIGINT) AS hits_valid,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id < 10""",
+    "sim_topk_ivf" -> """
+      SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_hits,
+        CAST(1 AS BIGINT) AS recall_ok
+      FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""",
+    "tx_fingerprint" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT array_to_string(list_sort(list_distinct(
+          string_split(text, ' '))), ' ')) AS BIGINT) AS n_distinct_canonical,
+        CAST(1 AS BIGINT) AS fp_injective_ok,
+        CAST(1 AS BIGINT) AS fp_consistent_ok
+      FROM documents""",
     // full-probe IVF is EXACT by construction (every cell scanned once), so
     // brute-force cosine top-k is its oracle too — independent of k-means
     // centroid placement

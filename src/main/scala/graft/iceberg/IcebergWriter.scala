@@ -376,7 +376,13 @@ object IcebergWriter {
       posDeleteRows: Long = 0L,
       presetSnapshotId: Option[Long] = None,
       targetPartitions: Option[Int] = None,
-      dynamicTouched: Option[Set[Seq[Any]]] = None): Unit = {
+      dynamicTouched: Option[Set[Seq[Any]]] = None,
+      /** Z-ORDER clustering expression for PARTITIONED rewrites: rows
+        * range-partition + sort on (partition cols, z) so each partition's
+        * files cover contiguous z-ranges — the partitioned write path's
+        * usual value-clustering would otherwise undo the z-layout.
+        * (Unpartitioned z-order pre-arranges the DataFrame instead.) */
+      zorderBy: Option[org.apache.spark.sql.Column] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -447,9 +453,21 @@ object IcebergWriter {
       // NO second sort, so the sort-key order inside each file is guaranteed
       // (not merely an artifact of sort stability that a spill would break).
       val partCols = specInfo.map(s => col(s"_p_${s._1.name}"))
-      val clustered = withParts.repartition(partCols: _*)
-      val base1 = if (sortCols.isEmpty) clustered
-        else clustered.sortWithinPartitions(partCols.map(_.asc) ++ sortCols: _*)
+      val base1 = zorderBy match {
+        case Some(z) =>
+          // z-order within partitions: contiguous (partition, z) slices,
+          // each sorted — files then carry tight per-partition z-ranges
+          val keys = partCols.map(_.asc) :+ z.asc
+          val ranged = targetPartitions match {
+            case Some(n) => withParts.repartitionByRange(n, keys: _*)
+            case None => withParts.repartitionByRange(keys: _*)
+          }
+          ranged.sortWithinPartitions(keys: _*)
+        case None =>
+          val clustered = withParts.repartition(partCols: _*)
+          if (sortCols.isEmpty) clustered
+          else clustered.sortWithinPartitions(partCols.map(_.asc) ++ sortCols: _*)
+      }
       base1.write.partitionBy(specInfo.map(s => s"_p_${s._1.name}"): _*).parquet(dataDir)
     }
 
@@ -1968,6 +1986,7 @@ object IcebergWriter {
     {"type": "record", "name": "manifest_entry", "fields": [
       {"name": "status", "type": "int", "field-id": 0},
       {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
+      {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 3},
       {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
         {"name": "content", "type": ["null", "int"], "default": null, "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
@@ -2103,19 +2122,170 @@ object IcebergWriter {
     }
   }
 
+  /** Write one REWRITTEN manifest: every entry EXISTING, carrying its
+    * file's ORIGINAL committing snapshot id and an EXPLICIT data sequence
+    * number (Iceberg v2 rule: existing entries must not inherit the new
+    * manifest's sequence — inheritance would re-date every file and break
+    * equality-delete scoping and changelog provenance). */
+  private def writeExistingManifest(path: String, files: Seq[Manifests.DataFileInfo],
+      resolvePath: String => String, seqOf: Manifests.DataFileInfo => Long,
+      specInfo: Seq[(PartitionField, String, String)], conf: Configuration): Unit = {
+    val entrySchema = manifestEntrySchema(specInfo)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    writeAvro(path, entrySchema, conf) { w =>
+      files.foreach { f =>
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", f.content)
+        df.put("file_path", resolvePath(f.filePath))
+        df.put("file_format", f.fileFormat.toUpperCase)
+        val part = new GenericData.Record(partSchema)
+        specInfo.foreach { case (pf, _, valueType) =>
+          val v = f.partition.getOrElse(pf.name, null) match {
+            case null => null
+            case l: Long if avroPartType(valueType) == "int" => Int.box(l.toInt)
+            case l: Long => Long.box(l)
+            case i: Int if avroPartType(valueType) == "long" => Long.box(i.toLong)
+            case other => other
+          }
+          part.put(pf.name, v)
+        }
+        df.put("partition", part)
+        df.put("record_count", f.recordCount)
+        df.put("file_size_in_bytes", f.fileSizeInBytes)
+        df.put("block_size_in_bytes", 67108864L)
+        df.put("value_counts", kvArray(dataFileSchema, "value_counts", f.valueCounts))
+        df.put("null_value_counts", kvArray(dataFileSchema, "null_value_counts", f.nullValueCounts))
+        df.put("nan_value_counts", kvArray(dataFileSchema, "nan_value_counts", f.nanValueCounts))
+        df.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds", f.lowerBounds))
+        df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", f.upperBounds))
+        if (f.equalityIds.nonEmpty)
+          df.put("equality_ids", f.equalityIds.map(Int.box).asJava)
+        val entry = new GenericData.Record(entrySchema)
+        entry.put("status", Manifests.Status.Existing)
+        f.snapshotId.foreach(id => entry.put("snapshot_id", id))
+        entry.put("sequence_number", seqOf(f))
+        entry.put("data_file", df)
+        w.append(entry)
+      }
+    }
+  }
+
+  /** REWRITE MANIFESTS — compact the metadata plane itself. Streaming
+    * ingestion and frequent small commits each add a manifest; planning
+    * then reads hundreds of tiny Avro files per query. This clusters the
+    * live DATA entries into `targetManifests` manifests (grouped by
+    * partition spec, sorted by partition tuple so each manifest's
+    * summaries stay tight for manifest-tier pruning) in ONE metadata-only
+    * `replace` snapshot: no data file is read or moved, delete manifests
+    * carry over untouched, and every entry keeps its original snapshot id
+    * and data sequence. Concurrent commits are safe: the whole rewrite
+    * runs inside the optimistic loop against the CURRENT snapshot. */
+  def rewriteManifests(spark: SparkSession, url: String,
+      targetManifests: Int = 1): Unit = {
+    require(targetManifests >= 1, "need at least one target manifest")
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { current =>
+      val dataManifests =
+        if (current.metadata.currentSnapshotId < 0) Nil
+        else current.manifestList.filter(_.content == Manifests.ManifestContent.Data)
+      if (dataManifests.size <= targetManifests) None
+      else {
+        val commitId = UUID.randomUUID().toString
+        val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+        val files = current.liveFiles()
+        val schema = current.iceSchema
+        val newSeq = current.metadata.lastSequenceNumber + 1
+        val perManifest = math.max(1,
+          math.ceil(files.size.toDouble / targetManifests).toInt)
+        val bySpec = files.groupBy(_.specId.getOrElse(current.metadata.defaultSpecId))
+        val newManifests = bySpec.toSeq.sortBy(_._1).flatMap { case (specId, specFiles) =>
+          val spec = current.metadata.specById(specId)
+          val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+            val src = schema.fields.find(_.id == pf.sourceId).getOrElse(
+              throw new IllegalStateException(s"spec source ${pf.sourceId} not in schema"))
+            (pf, src.icebergTypeString,
+              partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+          }
+          // cluster by partition tuple so each manifest covers a tight range
+          val clustered = specFiles.sortBy(f =>
+            specInfo.map { case (pf, _, _) =>
+              String.valueOf(f.partition.getOrElse(pf.name, null))
+            }.mkString(" "))
+          clustered.grouped(perManifest).zipWithIndex.map { case (chunk, i) =>
+            val path = s"$url/metadata/$commitId-rw$specId-$i.avro"
+            writeExistingManifest(path, chunk, current.resolvePath,
+              current.dataSequenceOf, specInfo, conf)
+            val summaries = specInfo.zipWithIndex.map { case ((pf, _, valueType), _) =>
+              val values = chunk.map(f => f.partition.getOrElse(pf.name, null))
+              val nonNull = values.filter(_ != null)
+              val containsNull = values.exists(_ == null)
+              if (nonNull.isEmpty) (containsNull, None, None)
+              else {
+                val mn = nonNull.reduce((a, b) =>
+                  if (IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
+                val mx = nonNull.reduce((a, b) =>
+                  if (IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
+                (containsNull, Some(IcebergTypes.encodeBound(mn, valueType)),
+                  Some(IcebergTypes.encodeBound(mx, valueType)))
+              }
+            }
+            NewManifestInfo(path, Manifests.ManifestContent.Data,
+              addedFiles = 0, addedRows = 0L, deletedFiles = 0, deletedRows = 0L,
+              summaries, existingFiles = chunk.size,
+              existingRows = chunk.map(_.recordCount).sum,
+              specIdOverride = Some(specId))
+          }
+        }
+        val deleteManifests = current.manifestList
+          .filter(_.content == Manifests.ManifestContent.Deletes)
+        val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
+        writeManifestLists(manifestListPath, snapshotId, newManifests,
+          deleteManifests, conf, sequenceNumber = newSeq,
+          specId = current.metadata.defaultSpecId)
+        val old = mapper.readTree(
+          readString(s"$url/metadata/v${current.version}.metadata.json", conf))
+          .asInstanceOf[ObjectNode]
+        // explicit per-entry sequence numbers are a v2 manifest feature
+        old.put("format-version", 2)
+        val now = System.currentTimeMillis()
+        val snap = mapper.createObjectNode()
+        snap.put("snapshot-id", snapshotId)
+        snap.put("parent-snapshot-id", current.metadata.currentSnapshotId)
+        snap.put("timestamp-ms", now)
+        snap.put("sequence-number", newSeq)
+        val summary = mapper.createObjectNode()
+        summary.put("operation", "replace")
+        summary.put("manifests-replaced", dataManifests.size.toString)
+        summary.put("manifests-created", newManifests.size.toString)
+        summary.put("manifests-kept", deleteManifests.size.toString)
+        current.currentSnapshot.summary.get("total-records")
+          .foreach(v => summary.put("total-records", v))
+        current.currentSnapshot.summary.get("total-data-files")
+          .foreach(v => summary.put("total-data-files", v))
+        snap.set[ObjectNode]("summary", summary)
+        snap.put("manifest-list", manifestListPath)
+        snap.put("schema-id", schema.schemaId)
+        old.withArray[ArrayNode]("snapshots").add(snap)
+        old.put("current-snapshot-id", snapshotId)
+        old.put("last-sequence-number", newSeq)
+        setMainRef(old, snapshotId)
+        old.put("last-updated-ms", now)
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
   /** A freshly written manifest to be registered in the manifest list. */
   private[iceberg] final case class NewManifestInfo(path: String, content: Int,
       addedFiles: Int, addedRows: Long, deletedFiles: Int, deletedRows: Long,
-      summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])])
-
-  private def writeManifestList(path: String, snapshotId: Long, newManifest: String,
-      addedFiles: Int, addedRows: Long,
       summaries: Seq[(Boolean, Option[Array[Byte]], Option[Array[Byte]])],
-      prior: Seq[Manifests.ManifestFile], conf: Configuration,
-      deletedFiles: Int = 0, deletedRows: Long = 0L): Unit =
-    writeManifestLists(path, snapshotId,
-      Seq(NewManifestInfo(newManifest, Manifests.ManifestContent.Data,
-        addedFiles, addedRows, deletedFiles, deletedRows, summaries)), prior, conf)
+      /** EXISTING entry counts — non-zero only for rewritten manifests. */
+      existingFiles: Int = 0, existingRows: Long = 0L,
+      /** Spec the manifest's partition tuples/summaries use when it differs
+        * from the commit default (manifest rewrite preserves each file's
+        * original spec). */
+      specIdOverride: Option[Int] = None)
 
   private def writeManifestLists(path: String, snapshotId: Long,
       newManifests: Seq[NewManifestInfo],
@@ -2145,14 +2315,14 @@ object IcebergWriter {
         val rec = new GenericData.Record(ManifestFileSchema)
         rec.put("manifest_path", nm.path)
         rec.put("manifest_length", fs.getFileStatus(new Path(nm.path)).getLen)
-        rec.put("partition_spec_id", specId)
+        rec.put("partition_spec_id", nm.specIdOverride.getOrElse(specId))
         rec.put("added_snapshot_id", snapshotId)
         rec.put("added_data_files_count", nm.addedFiles)
-        rec.put("existing_data_files_count", 0)
+        rec.put("existing_data_files_count", nm.existingFiles)
         rec.put("deleted_data_files_count", nm.deletedFiles)
         if (nm.summaries.nonEmpty) rec.put("partitions", summaryArray(nm.summaries))
         rec.put("added_rows_count", nm.addedRows)
-        rec.put("existing_rows_count", 0L)
+        rec.put("existing_rows_count", nm.existingRows)
         rec.put("deleted_rows_count", nm.deletedRows)
         rec.put("content", nm.content)
         // the commit's data sequence number — entries inherit it (durable

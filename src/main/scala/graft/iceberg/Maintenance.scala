@@ -68,6 +68,10 @@ object Maintenance {
     * the same pinned `replace` snapshot as [[compact]] (concurrent appends
     * survive; post-pin row-level deletes refuse).
     *
+    * PARTITIONED tables z-order WITHIN each partition: rows range-partition
+    * and sort on (partition values, z), so every partition's files cover
+    * contiguous z-ranges — partition pruning composes with z-skipping.
+    *
     * Restrictions: numeric/date/timestamp columns only (strings have no
     * meaningful linear scale), and the table must not declare a sort order
     * (the write path would re-sort by it, undoing the clustering). */
@@ -83,9 +87,6 @@ object Maintenance {
     require(t0.sortOrderColumns.isEmpty,
       "zorder conflicts with the table's sort order (sorted writes would " +
         "re-sort by it); clear the sort order first or use compact")
-    require(t0.partitionSpec.fields.isEmpty,
-      "zorder currently supports unpartitioned tables (a partitioned write " +
-        "re-clusters rows by partition value, undoing the z-layout)")
     cols.foreach { c =>
       val f = t0.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no column $c"))
@@ -127,17 +128,40 @@ object Maintenance {
         shiftleft(shiftrightunsigned(codes(c), b).bitwiseAND(lit(1L)), b * d + c))
       .reduce[Column](_ bitwiseOR _)
 
-    val clustered = df.withColumn("__z", z)
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    IcebergWriter.writeSnapshot(spark, url, clustered,
-      deletePred = None, operation = "replace",
-      pinnedDeletes = Some(pinned), dropDeleteManifests = true,
-      pinnedDeleteFiles = Some(frozen.liveDeleteFiles
-        .map(f => frozen.resolvePath(f.filePath)).toSet),
-      extraSummary = Map("graft-zorder-by" -> cols.mkString(",")))
+    if (frozen.partitionSpec.fields.isEmpty) {
+      val clustered = df.withColumn("__z", z)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+      IcebergWriter.writeSnapshot(spark, url, clustered,
+        deletePred = None, operation = "replace",
+        pinnedDeletes = Some(pinned), dropDeleteManifests = true,
+        pinnedDeleteFiles = Some(frozen.liveDeleteFiles
+          .map(f => frozen.resolvePath(f.filePath)).toSet),
+        extraSummary = Map("graft-zorder-by" -> cols.mkString(",")))
+    } else {
+      // partitioned: the write path range-partitions + sorts on
+      // (partition values, z) so the z-layout survives value clustering
+      IcebergWriter.writeSnapshot(spark, url, df,
+        deletePred = None, operation = "replace",
+        pinnedDeletes = Some(pinned), dropDeleteManifests = true,
+        pinnedDeleteFiles = Some(frozen.liveDeleteFiles
+          .map(f => frozen.resolvePath(f.filePath)).toSet),
+        extraSummary = Map("graft-zorder-by" -> cols.mkString(",")),
+        targetPartitions = Some(n), zorderBy = Some(z))
+    }
   }
+
+  /** REWRITE MANIFESTS — compact the metadata plane without touching data:
+    * cluster the live data entries into `targetManifests` manifests (per
+    * spec, sorted by partition tuple) in one metadata-only `replace`
+    * snapshot. Every entry keeps its original snapshot id and data
+    * sequence; delete manifests carry over untouched. The maintenance op
+    * for streaming-ingested tables whose planning reads hundreds of tiny
+    * manifest files. */
+  def rewriteManifests(spark: SparkSession, url: String,
+      targetManifests: Int = 1): Unit =
+    IcebergWriter.rewriteManifests(spark, url, targetManifests)
 
   /** Delete ORPHAN files: bytes under the table's `data/` and `metadata/`
     * directories that NO snapshot references — the leftovers of failed or

@@ -868,11 +868,12 @@ final class GraftIcebergScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
     if (morMode)
-      // position deletes stay COLUMNAR (per-batch selection view); only
-      // equality deletes (per-row key probe) or metadata columns need the
-      // row-based readers
+      // position AND equality deletes stay COLUMNAR (per-batch selection
+      // view; the eq-key probe computes the selection per row but copies
+      // no vectors) — only metadata columns (per-row projection of
+      // constants) need the row-based readers
       ScanBridge.morReaderFactory(inner, requiredSchema, morReadSchema.length,
-        columnarCapable = eqGroups.isEmpty && metaCols.isEmpty,
+        columnarCapable = metaCols.isEmpty,
         eqGroups = eqGroups)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner

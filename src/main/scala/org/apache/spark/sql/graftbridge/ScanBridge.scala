@@ -308,6 +308,31 @@ object ScanBridge {
 
     private def width = requiredSchema.length
 
+    // one probe projection per group: bound to the group's key ordinals
+    // in the widened row, writing into a REUSED UnsafeRow buffer —
+    // `keys.contains(probe(r))` hashes/compares raw bytes, so the per-row
+    // loop allocates nothing and BinaryType keys compare by value
+    private def probesOf(groups: Array[EqDeleteGroup])
+        : Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] =
+      groups.map { g =>
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          g.ordinals.zipWithIndex.map { case (o, j) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              o, g.types(j), nullable = true)
+          }.toSeq)
+      }
+
+    private def matchesAny(groups: Array[EqDeleteGroup],
+        probes: Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection],
+        r: InternalRow): Boolean = {
+      var i = 0
+      while (i < groups.length) {
+        if (groups(i).keys.contains(probes(i)(r))) return true
+        i += 1
+      }
+      false
+    }
+
     // Spark rejects scans mixing row-based and columnar PARTITIONS, so this
     // must not depend on the partition's deletes — the selection wrapper
     // keeps deleted-from partitions on the batch path too.
@@ -321,6 +346,13 @@ object ScanBridge {
         p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
       val m = p.asInstanceOf[MorFilePartition]
       val deleted = m.deleted // sorted
+      // EQUALITY deletes stay columnar too: the key probe is inherently
+      // per-row (a hash-set lookup), but it only computes a SELECTION —
+      // the batch's vectors are never copied, and downstream operators
+      // keep the vectorized path
+      val exclGroups = if (m.ownEqGroups != null) m.ownEqGroups else eqGroups
+      val applicable = exclGroups.filter(_.seq > m.dataSeq)
+      val probes = probesOf(applicable)
       val inner = delegate.createColumnarReader(m.underlying)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         // deleted positions and batch row indexes are both ascending: one
@@ -330,21 +362,25 @@ object ScanBridge {
         override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
           val b = inner.get()
           val n = b.numRows()
-          if (deleted.isEmpty) {
+          if (deleted.isEmpty && applicable.isEmpty) {
             val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
               Array.tabulate(width)(b.column)
             return new org.apache.spark.sql.vectorized.ColumnarBatch(cols, n)
           }
-          val idxCol = b.column(readWidth - 1) // materialized file row index
+          val idxCol = if (deleted.isEmpty) null else b.column(readWidth - 1)
           val sel = new Array[Int](n)
           var kept = 0
           var i = 0
           while (i < n) {
-            val pos = idxCol.getLong(i)
-            while (delCursor < deleted.length && deleted(delCursor) < pos) delCursor += 1
-            if (delCursor >= deleted.length || deleted(delCursor) != pos) {
-              sel(kept) = i; kept += 1
+            var keep = true
+            if (idxCol != null) {
+              val pos = idxCol.getLong(i)
+              while (delCursor < deleted.length && deleted(delCursor) < pos) delCursor += 1
+              keep = delCursor >= deleted.length || deleted(delCursor) != pos
             }
+            if (keep && applicable.nonEmpty)
+              keep = !matchesAny(applicable, probes, b.getRow(i))
+            if (keep) { sel(kept) = i; kept += 1 }
             i += 1
           }
           val cols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
@@ -397,31 +433,8 @@ object ScanBridge {
       val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(exprs)
 
-      // one probe projection per group: bound to the group's key ordinals
-      // in the widened row, writing into a REUSED UnsafeRow buffer —
-      // `keys.contains(probe(r))` hashes/compares raw bytes, so the per-row
-      // loop allocates nothing and BinaryType keys compare by value
-      def probesOf(groups: Array[EqDeleteGroup])
-          : Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection] =
-        groups.map { g =>
-          org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-            g.ordinals.zipWithIndex.map { case (o, j) =>
-              org.apache.spark.sql.catalyst.expressions.BoundReference(
-                o, g.types(j), nullable = true)
-            }.toSeq)
-        }
       val exclProbes = probesOf(applicable)
       val selProbes = if (selecting == null) null else probesOf(selecting)
-      def matchesAny(groups: Array[EqDeleteGroup],
-          probes: Array[org.apache.spark.sql.catalyst.expressions.UnsafeProjection],
-          r: InternalRow): Boolean = {
-        var i = 0
-        while (i < groups.length) {
-          if (groups(i).keys.contains(probes(i)(r))) return true
-          i += 1
-        }
-        false
-      }
 
       new PartitionReader[InternalRow] {
         private var current: InternalRow = _

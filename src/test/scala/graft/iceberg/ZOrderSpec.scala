@@ -74,7 +74,39 @@ class ZOrderSpec extends AnyFunSuite {
     assert(t.read().count() == 99)
   }
 
-  test("guards: sorted tables, partitioned tables, bad columns refuse") {
+  test("partitioned table z-orders WITHIN partitions; pruning composes") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("cat", StringType))),
+      partitions = Seq(("cat", "identity")))
+    // two partitions, each a 32x32 grid in random order
+    val grid = for (c <- Seq("a", "b"); k <- 0L until 1024L)
+      yield (k % 32, k / 32, c)
+    IcebergWriter.append(spark, url,
+      grid.toDF("x", "y", "cat").orderBy(rand(11)).repartition(8))
+
+    Maintenance.zorder(spark, url, Seq("x", "y"), targetFiles = Some(16))
+    val t = IcebergTable.load(spark, url)
+    assert(t.summary("operation") == "replace")
+    val total = t.liveFiles().size
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    // partition pruning still engages (partition values intact)
+    val inA = t.prunedFiles(Pruning.Eq("cat", "a"))
+    assert(inA.nonEmpty && inA.size < total)
+    // z-skipping works inside a partition: a point query on either
+    // dimension combined with the partition filter prunes most files
+    val px = t.prunedFiles(Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("x", 5L))).size
+    val py = t.prunedFiles(Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("y", 5L))).size
+    assert(px <= inA.size / 2, s"x=5 kept $px of ${inA.size} files in partition a")
+    assert(py <= inA.size / 2, s"y=5 kept $py of ${inA.size} files in partition a")
+    // content identical and exact through the pruned scan
+    assert(t.read().count() == 2048)
+    assert(t.read(filters = Seq(Seq(("cat", "==", "b"), ("x", "==", 5))))
+      .as[(Long, Long, String)].collect().map(_._2).sorted.toSeq == (0L until 32L))
+  }
+
+  test("guards: sorted tables and bad columns refuse") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
     IcebergWriter.append(spark, url, Seq((1L, 2L, "a")).toDF("x", "y", "payload"))

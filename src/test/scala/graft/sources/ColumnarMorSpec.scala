@@ -68,7 +68,7 @@ class ColumnarMorSpec extends AnyFunSuite {
     assert(proj.count() == 39)
   }
 
-  test("equality deletes still read row-based (and correct)") {
+  test("equality deletes read COLUMNAR via per-batch key-probe selection") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, StructType(Seq(
       StructField("k", LongType), StructField("cat", StringType))))
@@ -77,9 +77,29 @@ class ColumnarMorSpec extends AnyFunSuite {
     IcebergWriter.equalityDelete(spark, url,
       Seq(Tuple1(5L), Tuple1(6L)).toDF("k"), Seq("k"))
     val df = spark.read.format("graft-iceberg").load(url)
-    assert(!isColumnar(df), "per-row key probing requires the row path")
+    assert(isColumnar(df),
+      "equality deletes must stay columnar (selection view, no vector copy)")
     assert(df.select("k").as[Long].collect().sorted.toSeq ==
       ((1L to 4L) ++ (7L to 20L)))
+    // a pruned projection NOT containing the key column still applies the
+    // deletes (key columns ride the widened read schema)
+    assert(spark.read.format("graft-iceberg").load(url)
+      .select("cat").count() == 18)
+  }
+
+  test("position + equality deletes together stay columnar and exact") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("k", LongType), StructField("cat", StringType))))
+    IcebergWriter.append(spark, url,
+      (1L to 30L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, graft.iceberg.Pruning.Eq("k", 10L))
+    IcebergWriter.equalityDelete(spark, url,
+      Seq(Tuple1(20L), Tuple1(21L)).toDF("k"), Seq("k"))
+    val df = spark.read.format("graft-iceberg").load(url)
+    assert(isColumnar(df))
+    assert(df.select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 30L).filterNot(Set(10L, 20L, 21L)))
   }
 
   test("delta UPDATE output reads columnar end-to-end") {
