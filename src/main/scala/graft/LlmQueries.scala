@@ -49,20 +49,33 @@ object LlmQueries {
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val xx = Dedup.simhashPairs(docs, "text", "doc_id", n = 3, maxHamming = 16)
-      .select("id_a", "id_b")
-    val po = Dedup.simhashPairs(docs, "text", "doc_id", n = 3, maxHamming = 16,
-      hashAlgo = SimHash.AlgoPoly31).select("id_a", "id_b")
-    val nXx = xx.count()
-    val nPo = po.count()
-    val inter = xx.intersect(po).count()
-    val union = nXx + nPo - inter
-    def ok(v: Boolean) = if (v) 1L else 0L
-    Seq((nPo,
-        ok(union == 0 || inter.toDouble / union >= 0.5),
-        ok(nPo == 0 || inter.toDouble / nPo >= 0.6),
-        ok(nXx == 0 || inter.toDouble / nXx >= 0.7)))
-      .toDF("n_pairs_portable", "overlap_ok", "recall_ok", "precision_ok")
+    // ONE pass computes both signatures (the text scan + shingling
+    // dominates); the banding/verify tails run off the persisted hashes
+    val shingles = TF.wordShingles(col("text"), 3)
+    val sh = docs.select(col("doc_id").as("id"),
+        SimHash.simhash64(shingles, SimHash.AlgoXx).as("hx"),
+        SimHash.simhash64(shingles, SimHash.AlgoPoly31).as("hp"))
+      .persist()
+    try {
+      val xx = Dedup.simhashPairsFromHashes(
+        sh.select(col("id"), col("hx").as("h")), maxHamming = 16)
+        .select("id_a", "id_b").persist()
+      val po = Dedup.simhashPairsFromHashes(
+        sh.select(col("id"), col("hp").as("h")), maxHamming = 16)
+        .select("id_a", "id_b").persist()
+      val nXx = xx.count()
+      val nPo = po.count()
+      val inter = xx.intersect(po).count()
+      val union = nXx + nPo - inter
+      xx.unpersist()
+      po.unpersist()
+      def ok(v: Boolean) = if (v) 1L else 0L
+      Seq((nPo,
+          ok(union == 0 || inter.toDouble / union >= 0.5),
+          ok(nPo == 0 || inter.toDouble / nPo >= 0.6),
+          ok(nXx == 0 || inter.toDouble / nXx >= 0.7)))
+        .toDF("n_pairs_portable", "overlap_ok", "recall_ok", "precision_ok")
+    } finally sh.unpersist()
   }
 
   /** Engine-portable SimHash: the same banding/verify pipeline as

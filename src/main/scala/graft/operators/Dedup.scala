@@ -104,9 +104,18 @@ object Dedup {
     * [[exactDedup]]'s job, not a pair enumeration's. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 2000,
-      hashAlgo: String = SimHash.AlgoXx): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        SimHash.simhash64(TF.wordShingles(col(textCol), n), hashAlgo).as("h"))
+      hashAlgo: String = SimHash.AlgoXx): DataFrame =
+    simhashPairsFromHashes(
+      df.select(col(idCol).as("id"),
+        SimHash.simhash64(TF.wordShingles(col(textCol), n), hashAlgo).as("h")),
+      maxHamming, maxBucketSize)
+
+  /** The banding/verify tail of [[simhashPairs]] over pre-computed
+    * signatures `(id, h)` — lets a caller compute several hash variants in
+    * ONE pass over the corpus (the text scan + shingling dominates) and
+    * band each separately. */
+  def simhashPairsFromHashes(sh: DataFrame, maxHamming: Int,
+      maxBucketSize: Int = 2000): DataFrame = {
     // band the 64-bit hash into 4 16-bit blocks for candidate generation
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
