@@ -1130,9 +1130,22 @@ final class GraftIcebergMicroBatchStream(
   private val maxSnapshotsPerTrigger: Option[Int] =
     Option(options.get("max-snapshots-per-trigger")).map(_.toInt)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+  /** Row-based admission control: a batch stops at the first snapshot whose
+    * cumulative `added-records` crosses the bound (at least one snapshot
+    * always admits, so the stream advances). Composes with
+    * `max-snapshots-per-trigger` — the tighter cap wins. */
+  private val maxRowsPerTrigger: Option[Long] =
+    Option(options.get("max-rows-per-trigger")).map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case several => ReadLimit.compositeLimit(several.toArray)
+    }
+  }
 
   /** The pending snapshots (start, head], oldest first. */
   private def pendingChain(head: IcebergTable, headId: Long,

@@ -153,6 +153,32 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
     assert(run("ckpt2") == (1L to 10L).filterNot(_ == 3L))
   }
 
+  test("max-rows-per-trigger bounds each micro-batch by added-records") {
+    val dir = fresh("graft_src_maxrows")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    (1 to 4).foreach(i => IcebergWriter.append(spark, url,
+      ((i * 10L) until (i * 10L + 5)).map(j => (j, s"b$i")).toDF("k", "v")))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-from-earliest", "true")
+      .option("max-rows-per-trigger", "6")
+      .load(url)
+      .writeStream.format("memory").queryName("ice_maxrows")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // 4 snapshots of 5 rows with a 6-row cap → one snapshot per batch
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4, s"expected 4 bounded batches, got ${
+        batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.forall(_.numInputRows == 5))
+    } finally q.stop()
+    assert(spark.sql("SELECT k FROM ice_maxrows").as[Long].collect().sorted.toSeq
+      == (1 to 4).flatMap(i => (i * 10L) until (i * 10L + 5)))
+  }
+
   test("Trigger.AvailableNow honours the engine-supplied ReadLimit and terminates") {
     val dir = fresh("graft_src_avnow")
     val url = s"$dir/tbl"
