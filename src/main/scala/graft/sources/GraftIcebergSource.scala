@@ -1147,14 +1147,23 @@ final class GraftIcebergMicroBatchStream(
     }
   }
 
-  /** The pending snapshots (start, head], oldest first. */
+  /** The pending snapshots (start, head], oldest first. A checkpointed
+    * start snapshot that has been EXPIRED from metadata refuses loudly —
+    * silently treating the whole reachable chain as pending would replay
+    * already-processed snapshots (and in CDC mode re-emit the entire table
+    * as inserts). startId = -1 is the explicit from-the-beginning marker. */
   private def pendingChain(head: IcebergTable, headId: Long,
       startId: Long): List[graft.iceberg.Snapshot] = {
     var chain = List(head.snapshots(headId))
     while (chain.head.snapshotId != startId &&
         chain.head.parentSnapshotId.exists(head.snapshots.contains))
       chain = head.snapshots(chain.head.parentSnapshotId.get) :: chain
-    if (chain.head.snapshotId == startId) chain.tail else chain
+    if (chain.head.snapshotId == startId) chain.tail
+    else if (startId < 0) chain
+    else throw new IllegalStateException(
+      s"checkpointed start snapshot $startId is no longer in table metadata " +
+        "(expired?); restart the stream from an explicit starting-snapshot-id " +
+        "or stream-from-earliest")
   }
 
   /** Honors the ENGINE-SUPPLIED ReadLimit (Trigger.AvailableNow composes

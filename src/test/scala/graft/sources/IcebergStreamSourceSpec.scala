@@ -283,4 +283,42 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
     val t = IcebergTable.load(spark, url)
     assert(t.snapshots.size >= 3) // table itself is fine; only the tail broke
   }
+
+  test("an expired checkpointed start snapshot refuses instead of replaying") {
+    val dir = fresh("graft_src_expired")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, (1L to 3L).map(i => (i, "a")).toDF("k", "v"))
+    IcebergWriter.append(spark, url, (4L to 6L).map(i => (i, "b")).toDF("k", "v"))
+
+    // memory sink can't recover from a checkpoint, so use a file sink
+    def start() = spark.readStream.format("graft-iceberg")
+      .option("stream-from-earliest", "true")
+      .load(url)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out").select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 6L))
+
+    // the checkpointed offset (snapshot 2) gets expired out of metadata
+    IcebergWriter.append(spark, url, (7L to 9L).map(i => (i, "c")).toDF("k", "v"))
+    graft.iceberg.Maintenance.expireSnapshots(spark, url, keepLast = 1)
+
+    // a restart must NOT silently treat the whole reachable chain as pending
+    // (that would re-emit rows 1..6); it refuses with a actionable message
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("no longer in table metadata")),
+      s"unexpected failure chain: ${messages(e).mkString(" | ")}")
+  }
 }
