@@ -571,9 +571,12 @@ object IceQueries {
   /** Z-ORDER on a PARTITIONED table: each identity partition's rows
     * re-layout along the Morton curve WITHIN the partition, so partition
     * pruning composes with z-skipping — a (partition, point) query prunes
-    * to a handful of files. The skipping facts are computed from the
-    * metadata plane and pinned as literals; the oracle re-reads every
-    * final data file, proving the rewrite lost nothing. */
+    * to a handful of files. The partitions occupy value ranges a MILLION
+    * apart, pinning the PER-PARTITION code scaling (global min/max would
+    * collapse each partition's grid into a couple of z-codes and skip
+    * nothing). The skipping facts are computed from the metadata plane and
+    * pinned as literals; the oracle re-reads every final data file, proving
+    * the rewrite lost nothing. */
   def iceZorderPart(s: SparkSession, dir: String): DataFrame = {
     import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, Pruning}
     import s.implicits._
@@ -584,25 +587,30 @@ object IceQueries {
         org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))),
       partitions = Seq(("cat", "identity")))
-    val grid = for (c <- Seq("a", "b"); k <- 0L until 1024L)
-      yield (k % 32, k / 32, c)
+    val grid = for ((c, off) <- Seq(("a", 0L), ("b", 1000000L)); k <- 0L until 1024L)
+      yield (off + k % 32, off + k / 32, c)
     IcebergWriter.append(s, url, grid.toDF("x", "y", "cat")
       .orderBy(org.apache.spark.sql.functions.rand(11)).repartition(8))
     Maintenance.zorder(s, url, Seq("x", "y"), targetFiles = Some(16))
     val t = IcebergTable.load(s, url)
     val inA = t.prunedFiles(Pruning.Eq("cat", "a")).size
+    val inB = t.prunedFiles(Pruning.Eq("cat", "b")).size
     val xPrunes = t.prunedFiles(
       Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("x", 5L))).size <= inA / 2
     val yPrunes = t.prunedFiles(
       Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("y", 5L))).size <= inA / 2
+    // partition b's own range: per-partition scaling keeps skipping alive
+    val xPrunesB = t.prunedFiles(
+      Pruning.And(Pruning.Eq("cat", "b"), Pruning.Eq("x", 1000005L))).size <= inB / 2
     val partPrunes = inA < t.liveFiles().size
     dynamicOracle("ice_zorder_part") =
       s"""SELECT x, y, cat, true AS x_prunes, true AS y_prunes,
-         |  true AS part_prunes
+         |  true AS x_prunes_b, true AS part_prunes
          |FROM (${duckLiveRows(t, Seq("x", "y", "cat"))}) ORDER BY cat, x, y""".stripMargin
     t.read()
       .withColumn("x_prunes", lit(xPrunes))
       .withColumn("y_prunes", lit(yPrunes))
+      .withColumn("x_prunes_b", lit(xPrunesB))
       .withColumn("part_prunes", lit(partPrunes))
       .orderBy("cat", "x", "y")
   }

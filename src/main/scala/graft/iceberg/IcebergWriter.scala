@@ -204,7 +204,7 @@ object IcebergWriter {
   /** Hidden-partition column in Iceberg PHYSICAL representation (date →
     * epoch-day int, timestamp → µs long, bucket/day → int) so partitionBy
     * dir names parse back unambiguously. */
-  private def partitionColumn(srcType: String, tr0: Transforms.Transform)
+  private[iceberg] def partitionColumn(srcType: String, tr0: Transforms.Transform)
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val tr = tr0
@@ -382,7 +382,11 @@ object IcebergWriter {
         * files cover contiguous z-ranges — the partitioned write path's
         * usual value-clustering would otherwise undo the z-layout.
         * (Unpartitioned z-order pre-arranges the DataFrame instead.) */
-      zorderBy: Option[org.apache.spark.sql.Column] = None): Unit = {
+      zorderBy: Option[org.apache.spark.sql.Column] = None,
+      /** Per-partition z-scaling stats, keyed by the `_p_<name>` partition
+        * columns: broadcast-joined onto the rows so `zorderBy` can reference
+        * per-partition bounds; all stats columns are dropped before write. */
+      zorderStats: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -456,13 +460,27 @@ object IcebergWriter {
       val base1 = zorderBy match {
         case Some(z) =>
           // z-order within partitions: contiguous (partition, z) slices,
-          // each sorted — files then carry tight per-partition z-ranges
+          // each sorted — files then carry tight per-partition z-ranges.
+          // Optional per-partition scaling stats broadcast-join in (null-safe
+          // on the partition key) and are projected away after the sort.
+          import org.apache.spark.sql.functions.broadcast
+          val (zin, helperCols) = zorderStats match {
+            case Some(stats) =>
+              val keyNames = specInfo.map(s => s"_p_${s._1.name}")
+              val renamed = keyNames.foldLeft(stats)(
+                (d, k) => d.withColumnRenamed(k, s"__zk_$k"))
+              val cond = keyNames.map(k => withParts(k) <=> renamed(s"__zk_$k"))
+                .reduce(_ && _)
+              (withParts.join(broadcast(renamed), cond, "left"),
+                renamed.columns.toSeq)
+            case None => (withParts, Nil)
+          }
           val keys = partCols.map(_.asc) :+ z.asc
           val ranged = targetPartitions match {
-            case Some(n) => withParts.repartitionByRange(n, keys: _*)
-            case None => withParts.repartitionByRange(keys: _*)
+            case Some(n) => zin.repartitionByRange(n, keys: _*)
+            case None => zin.repartitionByRange(keys: _*)
           }
-          ranged.sortWithinPartitions(keys: _*)
+          ranged.sortWithinPartitions(keys: _*).drop(helperCols: _*)
         case None =>
           val clustered = withParts.repartition(partCols: _*)
           if (sortCols.isEmpty) clustered

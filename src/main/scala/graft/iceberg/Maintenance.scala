@@ -110,25 +110,30 @@ object Maintenance {
           unix_timestamp(col(c)).cast(DoubleType)
         case _ => col(c).cast(DoubleType)
       }
-    // one pass for every column's (min, max)
-    val minMaxCols = cols.flatMap(c => Seq(min(linear(c)), max(linear(c))))
-    val mm = df.agg(minMaxCols.head, minMaxCols.tail: _*).head()
-    // 16-bit range-scaled code per column (nulls sort first at code 0)
-    val codes = cols.zipWithIndex.map { case (c, i) =>
-      val lo = mm.getDouble(2 * i)
-      val span = math.max(mm.getDouble(2 * i + 1) - lo, Double.MinPositiveValue)
+    // 16-bit range-scaled code (nulls sort first at code 0); lo/span are
+    // per-column expressions — literals for the global (unpartitioned) case,
+    // joined stat columns for the per-partition case
+    def code(c: String, lo: Column, span: Column): Column =
       coalesce(least(lit(65535L), greatest(lit(0L),
-        floor((linear(c) - lit(lo)) / lit(span) * lit(65535.0)).cast(LongType))),
+        floor((linear(c) - lo) / span * lit(65535.0)).cast(LongType))),
         lit(0L))
-    }
     // Morton interleave: z bit (b*d + c) = code_c bit b — pure codegen'd
     // shift/mask/or terms, no UDF
     val d = cols.size
-    val z = (for (b <- 0 until 16; c <- 0 until d) yield
-        shiftleft(shiftrightunsigned(codes(c), b).bitwiseAND(lit(1L)), b * d + c))
-      .reduce[Column](_ bitwiseOR _)
+    def morton(codes: Seq[Column]): Column =
+      (for (b <- 0 until 16; c <- 0 until d) yield
+          shiftleft(shiftrightunsigned(codes(c), b).bitwiseAND(lit(1L)), b * d + c))
+        .reduce[Column](_ bitwiseOR _)
 
     if (frozen.partitionSpec.fields.isEmpty) {
+      // one pass for every column's global (min, max)
+      val minMaxCols = cols.flatMap(c => Seq(min(linear(c)), max(linear(c))))
+      val mm = df.agg(minMaxCols.head, minMaxCols.tail: _*).head()
+      val z = morton(cols.zipWithIndex.map { case (c, i) =>
+        val lo = mm.getDouble(2 * i)
+        val span = math.max(mm.getDouble(2 * i + 1) - lo, Double.MinPositiveValue)
+        code(c, lit(lo), lit(span))
+      })
       val clustered = df.withColumn("__z", z)
         .repartitionByRange(n, col("__z"))
         .sortWithinPartitions(col("__z"))
@@ -141,14 +146,36 @@ object Maintenance {
         extraSummary = Map("graft-zorder-by" -> cols.mkString(",")))
     } else {
       // partitioned: the write path range-partitions + sorts on
-      // (partition values, z) so the z-layout survives value clustering
+      // (partition values, z) so the z-layout survives value clustering.
+      // Scaling is PER PARTITION — each partition's codes span its OWN
+      // min/max: a clustered column correlated with the partition value
+      // (event time under a daily partition, say) would under global
+      // scaling collapse every partition's rows into a sliver of the
+      // 16-bit code space and stop skipping. One row of bounds per
+      // partition, broadcast-joined in the write path.
+      val iceSchema = frozen.iceSchema
+      val partKeys: Seq[(String, Column)] = frozen.partitionSpec.fields.map { pf =>
+        val src = iceSchema.fields.find(_.id == pf.sourceId)
+          .getOrElse(throw new IllegalStateException(s"no source field ${pf.sourceId}"))
+        (s"_p_${pf.name}", IcebergWriter.partitionColumn(
+          src.icebergTypeString, Transforms.parse(pf.transform))(col(src.name)))
+      }
+      val aggExprs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(linear(c)).as(s"__zlo_$i"),
+        greatest(max(linear(c)) - min(linear(c)),
+          lit(Double.MinPositiveValue)).as(s"__zspan_$i")) }
+      val stats = df.groupBy(partKeys.map { case (nm, e) => e.as(nm) }: _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      val z = morton(cols.zipWithIndex.map { case (c, i) =>
+        code(c, col(s"__zlo_$i"), col(s"__zspan_$i")) })
       IcebergWriter.writeSnapshot(spark, url, df,
         deletePred = None, operation = "replace",
         pinnedDeletes = Some(pinned), dropDeleteManifests = true,
         pinnedDeleteFiles = Some(frozen.liveDeleteFiles
           .map(f => frozen.resolvePath(f.filePath)).toSet),
         extraSummary = Map("graft-zorder-by" -> cols.mkString(",")),
-        targetPartitions = Some(n), zorderBy = Some(z))
+        targetPartitions = Some(n), zorderBy = Some(z),
+        zorderStats = Some(stats))
     }
   }
 

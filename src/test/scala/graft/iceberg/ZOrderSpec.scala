@@ -106,6 +106,37 @@ class ZOrderSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().map(_._2).sorted.toSeq == (0L until 32L))
   }
 
+  test("per-partition scaling: disjoint-range partitions still skip inside each") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType),
+      StructField("cat", StringType))),
+      partitions = Seq(("cat", "identity")))
+    // partitions live a MILLION apart: under global min/max scaling each
+    // partition's 32x32 grid collapses into one or two z-codes and a point
+    // query inside a partition skips nothing
+    val grid = for ((c, off) <- Seq(("a", 0L), ("b", 1000000L)); k <- 0L until 1024L)
+      yield (off + k % 32, off + k / 32, c)
+    IcebergWriter.append(spark, url,
+      grid.toDF("x", "y", "cat").orderBy(rand(13)).repartition(8))
+
+    Maintenance.zorder(spark, url, Seq("x", "y"), targetFiles = Some(16))
+    val t = IcebergTable.load(spark, url)
+    val inA = t.prunedFiles(Pruning.Eq("cat", "a"))
+    val inB = t.prunedFiles(Pruning.Eq("cat", "b"))
+    assert(inA.nonEmpty && inB.nonEmpty)
+    val pa = t.prunedFiles(Pruning.And(Pruning.Eq("cat", "a"), Pruning.Eq("x", 5L))).size
+    val pb = t.prunedFiles(Pruning.And(Pruning.Eq("cat", "b"), Pruning.Eq("x", 1000005L))).size
+    assert(pa <= inA.size / 2, s"x=5 kept $pa of ${inA.size} files in partition a")
+    assert(pb <= inB.size / 2, s"x=1000005 kept $pb of ${inB.size} files in partition b")
+    // content identical and exact through the pruned scan
+    assert(t.read().as[(Long, Long, String)].collect().sortBy(r => (r._3, r._1, r._2)).toSeq
+      == grid.sortBy(r => (r._3, r._1, r._2)))
+    assert(t.read(filters = Seq(Seq(("cat", "==", "b"), ("x", "==", 1000005))))
+      .as[(Long, Long, String)].collect().map(_._2).sorted.toSeq
+      == (1000000L until 1000032L))
+  }
+
   test("guards: sorted tables and bad columns refuse") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
