@@ -350,6 +350,30 @@ object Queries {
           col("exact_orders") <= 0.05).cast("long").as("within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q27
+  /** Sketch aggregation: approximate MEDIAN (percentile_approx's
+    * Greenwald-Khanna-style sketch — the scale path for quantiles, one
+    * mergeable sketch per partition instead of a global sort), with a
+    * BOUNDED-ERROR oracle: accuracy=2000 bounds the rank error to
+    * n/2000 (0.05 % of ranks), so the estimate must land inside the exact
+    * [p49, p51] value band — verified Spark-side, flag hashed; DuckDB
+    * independently recomputes the group count and the exact DISCRETE
+    * median (an actual data value, same rank rule in both engines, so the
+    * hash compare is bit-exact with no float interpolation). */
+  def q27ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("approx"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("exact_median"))
+      .select(col("l_returnflag"), col("n_items"), col("exact_median"),
+        (col("approx") >= col("lo") && col("approx") <= col("hi"))
+          .cast("long").as("within_rank_band"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- q26
   /** CUBE — all grouping combinations in one pass. */
   def q26Cube(s: SparkSession, dir: String): DataFrame =
@@ -388,6 +412,7 @@ object Queries {
     "q26_cube"             -> (q26Cube _),
     "q24_band_join"        -> (q24BandJoin _),
     "q25_approx_distinct"  -> (q25ApproxDistinct _),
+    "q27_approx_quantile"  -> (q27ApproxQuantile _),
     "q21_percentile"       -> (q21Percentile _),
     "q22_grouping_sets"    -> (q22GroupingSets _),
     "q23_weighted_avg"     -> (q23WeightedAvg _),
@@ -422,6 +447,14 @@ object Queries {
     "q25_approx_distinct" -> """
       SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         CAST(1 AS BIGINT) AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // bounded-error oracle: exact discrete median + count recomputed by
+    // DuckDB; within_rank_band is a literal 1 that Spark zeroes when the
+    // sketch estimate leaves the exact [p49, p51] band
+    "q27_approx_quantile" -> """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        quantile_disc(l_extendedprice, 0.5) AS exact_median,
+        CAST(1 AS BIGINT) AS within_rank_band
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "aj_asof" -> """
       WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
