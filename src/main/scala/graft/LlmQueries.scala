@@ -301,6 +301,17 @@ object LlmQueries {
         Map("en" -> 0.5, "fr" -> 0.75, "es" -> 0.75), defaultRate = 1.0)
       .select(col("doc_id"), col("lang")).orderBy("doc_id")
 
+  /** Deterministic global shuffle: the reproducible corpus permutation a
+    * training run reads. Every row gets a dense rank in md5(key || salt)
+    * order WITHOUT a global sort (fixed-width hash buckets + per-bucket
+    * offsets — one shuffle); the oracle replays the exact permutation with
+    * DuckDB's md5 over the same key. */
+  def pipeShuffle(s: SparkSession, dir: String): DataFrame =
+    Corpus.globalShuffle(t(s, dir, "documents"), "doc_id", salt = "ep1",
+        buckets = 64)
+      .select(col("doc_id"), col("shuffle_rank"))
+      .orderBy("shuffle_rank")
+
   // -------------------------------------------------------------- multimodal
 
   def mmMeta(s: SparkSession, dir: String): DataFrame =
@@ -334,6 +345,7 @@ object LlmQueries {
     "tx_redact"         -> (txRedact _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_sample_mix"   -> (pipeSampleMix _),
+    "pipe_shuffle"      -> (pipeShuffle _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
@@ -591,6 +603,13 @@ object LlmQueries {
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
       ORDER BY doc_id""",
+    // the same md5 permutation replayed directly — a hash match proves the
+    // bucketed rank assignment equals the global sort it avoids
+    "pipe_shuffle" -> """
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || 'ep1'),
+                           doc_id) - 1 AS shuffle_rank
+      FROM documents ORDER BY shuffle_rank""",
     // banded multi-table hyperplane LSH with an exact-cosine verify step:
     // candidate recall is exactly 1.0 on this corpus (validated against the
     // quadratic ground truth) and verification admits no false positives,

@@ -70,6 +70,48 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic GLOBAL SHUFFLE: assign every row a dense rank
+    * `0..n-1` in the order of an engine-portable hash — the reproducible
+    * corpus permutation a training run reads, replayable by any engine
+    * that has md5 (`ORDER BY md5(key || salt)`).
+    *
+    * Scale shape: NO global sort. The md5 domain is uniform, so fixed-width
+    * prefix buckets are balanced WITHOUT a sampling pass (unlike
+    * repartitionByRange); rows shuffle ONCE keyed by bucket, sort locally
+    * within their bucket, and the global rank is the bucket's offset (an
+    * O(buckets) driver-side cumulative sum — metadata scale, like any
+    * range-partitioner's bounds) plus the local rank. Salt rotation gives a
+    * fresh permutation per epoch with zero RNG state. */
+  def globalShuffle(df: DataFrame, keyCol: String, salt: String = "",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    // first 48 bits of the hash → bucket; width chosen so bucket ids cover
+    // [0, buckets) exactly
+    val domain = 1L << 48
+    val width = math.max(1L, domain / buckets)
+    val hashed = df.withColumn("_h", h)
+      .withColumn("_b", least(lit(buckets - 1),
+        (conv(substring(col("_h"), 1, 12), 16, 10).cast("long") / lit(width))
+          .cast("int")))
+    // per-bucket offsets: cumulative counts, tiny (O(buckets)) driver pass
+    val counts = hashed.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_b")).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("_b", "_off")
+    // md5 collisions are negligible; the key tie-break makes EQUAL
+    // (key, salt) duplicates deterministic too
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_h"), col(keyCol))
+    hashed.join(broadcast(offDf), "_b")
+      .withColumn("shuffle_rank", row_number().over(w) - 1 + col("_off"))
+      .drop("_h", "_b", "_off")
+  }
+
   /** Deterministic stratified mixture sampling: keep a row iff its
     * engine-portable hash-uniform u(key) < rate(stratum) — how a training
     * mix downsamples over-represented sources/languages. Rehashing the same
