@@ -438,6 +438,34 @@ object IceQueries {
       .toDF("rows_at_tag", "rows_at_main", "n_refs", "main_is_current")
   }
 
+  /** WRITE-AUDIT-PUBLISH round-trip: region-0 rows stage on an `audit`
+    * branch (main readers see nothing), the staged state is audited through
+    * the branch read, then `fastForward` publishes atomically. The isolation
+    * facts are pinned as literals; the oracle recomputes the final published
+    * state from the source parquet. */
+  def iceWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val url = java.nio.file.Files.createTempDirectory("graft_wapq").toString + "/t"
+    val nation = Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+    IcebergWriter.createTable(s, url, nation.schema)
+    IcebergWriter.append(s, url, nation)
+    IcebergWriter.appendToBranch(s, url,
+      nation.filter(col("n_regionkey") === 0), "audit")
+    val staged = IcebergTable.load(s, url)
+    val nBase = nation.count()
+    val nStagedRows = nation.filter(col("n_regionkey") === 0).count()
+    val mainUnchanged = staged.read().count() == nBase
+    val auditSaw = staged.atBranch("audit").read().count() == nBase + nStagedRows
+    IcebergWriter.fastForward(s, url, "audit")
+    val t = IcebergTable.load(s, url)
+    t.read()
+      .withColumn("main_unchanged_while_staged", lit(if (mainUnchanged) 1L else 0L))
+      .withColumn("audit_saw_staged", lit(if (auditSaw) 1L else 0L))
+      .orderBy("n_nationkey")
+  }
+
   /** SQL row-level DML round-trip: UPDATE and MERGE INTO run Spark's
     * copy-on-write protocol against the V2 catalog table; DELETE takes the
     * position-delete path. The DuckDB oracle replays the same dataflow
@@ -919,6 +947,7 @@ object IceQueries {
     "ice_sql_insert"       -> (iceSqlInsert _),
     "ice_write_eq_delete"  -> (iceWriteEqDelete _),
     "ice_refs"             -> (iceRefs _),
+    "ice_wap"              -> (iceWap _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
@@ -1051,6 +1080,14 @@ object IceQueries {
         |  CAST(2 AS BIGINT) AS n_refs,
         |  CAST(1 AS BIGINT) AS main_is_current
         |FROM nation""".stripMargin,
+    "ice_wap" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(1 AS BIGINT) AS main_unchanged_while_staged,
+        |  CAST(1 AS BIGINT) AS audit_saw_staged
+        |FROM (SELECT * FROM nation
+        |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
+        |ORDER BY n_nationkey""".stripMargin,
     "ice_write_eq_delete" ->
       """WITH updates AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

@@ -583,7 +583,9 @@ final class IcebergTable private (
     if (failOnEmpty && prunedFiles(pred).isEmpty)
       throw new IllegalArgumentException("No partitions pass filter(s)") // ice.py:248-249
     val base =
-      if (metadata.currentSnapshotId < 0)
+      // empty only when NO snapshot is in play: a branch/tag view over a
+      // table whose main has never committed still has data to read
+      if (metadata.currentSnapshotId < 0 && selectedSnapshotId.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else {
         var reader = spark.read.format("graft-iceberg")

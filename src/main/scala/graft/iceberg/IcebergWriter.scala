@@ -386,7 +386,9 @@ object IcebergWriter {
       /** Per-partition z-scaling stats, keyed by the `_p_<name>` partition
         * columns: broadcast-joined onto the rows so `zorderBy` can reference
         * per-partition bounds; all stats columns are dropped before write. */
-      zorderStats: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+      zorderStats: Option[org.apache.spark.sql.DataFrame] = None,
+      /** Stage on a branch instead of main (write-audit-publish). */
+      toBranch: Option[String] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -507,7 +509,8 @@ object IcebergWriter {
 
     commitDataFiles(spark, url, commitId, dataFiles, deletePred, operation,
       pinnedDeletes, dropDeleteManifests, pinnedDeleteFiles, extraSummary,
-      extraManifests, posDeleteRows, presetSnapshotId, dynamicTouched)
+      extraManifests, posDeleteRows, presetSnapshotId, dynamicTouched,
+      toBranch = toBranch)
   }
 
   /** Publish already-written data files as one snapshot — the shared commit
@@ -532,7 +535,20 @@ object IcebergWriter {
       dynamicTouched: Option[Set[Seq[Any]]] = None,
       requireLiveKeys: Option[Set[String]] = None,
       requireNoConflictingAdds: Option[(Set[String], Pruning.IcePredicate)] = None,
-      dataFileFormat: String = "PARQUET"): Unit = {
+      dataFileFormat: String = "PARQUET",
+      /** STAGE the commit on a named branch (write-audit-publish): the new
+        * snapshot's parent is the branch head (or the current head when the
+        * branch is new), `refs.<branch>` moves, and `current-snapshot-id` /
+        * `refs.main` / `snapshot-log` stay untouched — readers of main never
+        * see the staged rows until [[fastForward]] publishes them. */
+      toBranch: Option[String] = None): Unit = {
+    toBranch.foreach { b =>
+      require(b != "main", "main is written by normal commits")
+      require(operation == "append" && deletePred.isEmpty &&
+          pinnedDeletes.isEmpty && dynamicTouched.isEmpty &&
+          pinnedDeleteFiles.isEmpty && extraManifests.isEmpty,
+        "branch-staged commits support append only (audit then publish)")
+    }
     val conf = spark.sessionState.newHadoopConf()
     val table0 = IcebergTable.load(spark, url)
     val schema = table0.metadata.schemas
@@ -551,6 +567,11 @@ object IcebergWriter {
     val snapshotId = presetSnapshotId.getOrElse(
       math.abs(UUID.randomUUID().getMostSignificantBits))
     commitWithRetry(spark, url, conf) { table =>
+      // the snapshot this commit extends: main's head, or for a staged
+      // branch commit the branch's head (a new branch forks from main)
+      val baseSnapId: Long = toBranch.flatMap(table.refs.get)
+        .map(_.snapshotId).getOrElse(table.metadata.currentSnapshotId)
+      val baseView = if (baseSnapId >= 0) table.atSnapshot(baseSnapId) else table
       // 3a. (overwrite only) resolve which existing files the predicate
       // deletes; refuse predicates that would split a file. Compaction pins
       // the EXACT files it read, so a concurrent append's files survive.
@@ -662,7 +683,7 @@ object IcebergWriter {
       // Compaction drops delete manifests: every position delete targeted a
       // file that is being removed, so they are fully applied.
       val priorManifests: Seq[Manifests.ManifestFile] =
-        (if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil)
+        (if (baseSnapId >= 0) baseView.manifestList else Nil)
           .filterNot { m =>
             val isDelete = m.content == Manifests.ManifestContent.Deletes
             // compaction folds ALL deletes; a rewrite replaces only the
@@ -711,8 +732,8 @@ object IcebergWriter {
         old.put("format-version", 2)
       val snap = mapper.createObjectNode()
       snap.put("snapshot-id", snapshotId)
-      if (table.metadata.currentSnapshotId >= 0)
-        snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
+      if (baseSnapId >= 0)
+        snap.put("parent-snapshot-id", baseSnapId)
       snap.put("timestamp-ms", now)
       snap.put("sequence-number", newSeq)
       val summary = mapper.createObjectNode()
@@ -737,7 +758,7 @@ object IcebergWriter {
       else deleteRewrite.map(_._2).getOrElse(0L)
       val totalRecords = addedRecords - (deletedRecords - morAdjust) - posDeleteRows +
         table.metadata.snapshots
-        .find(_.snapshotId == table.metadata.currentSnapshotId)
+        .find(_.snapshotId == baseSnapId)
         .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
       summary.put("total-records", totalRecords.toString)
       summary.put("total-data-files",
@@ -747,16 +768,28 @@ object IcebergWriter {
       snap.put("manifest-list", manifestListPath)
       snap.put("schema-id", schema.schemaId)
       old.withArray[ArrayNode]("snapshots").add(snap)
-      old.put("current-snapshot-id", snapshotId)
       old.put("last-sequence-number", newSeq)
-      setMainRef(old, snapshotId)
       old.put("last-updated-ms", now)
-      val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
-        else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
-      val logEntry = mapper.createObjectNode()
-      logEntry.put("timestamp-ms", now)
-      logEntry.put("snapshot-id", snapshotId)
-      log.add(logEntry)
+      toBranch match {
+        case Some(b) =>
+          // staged: only the branch ref moves; main readers (and the
+          // snapshot-log main's history is made of) never see it
+          val refs = Option(old.get("refs")).collect { case o: ObjectNode => o }
+            .getOrElse { val o = mapper.createObjectNode(); old.set[ObjectNode]("refs", o); o }
+          val r = mapper.createObjectNode()
+          r.put("snapshot-id", snapshotId)
+          r.put("type", "branch")
+          refs.set[ObjectNode](b, r)
+        case None =>
+          old.put("current-snapshot-id", snapshotId)
+          setMainRef(old, snapshotId)
+          val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
+            else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
+          val logEntry = mapper.createObjectNode()
+          logEntry.put("timestamp-ms", now)
+          logEntry.put("snapshot-id", snapshotId)
+          log.add(logEntry)
+      }
       Some(old.toPrettyString)
     }
   }
@@ -1527,6 +1560,60 @@ object IcebergWriter {
   def branch(spark: SparkSession, url: String, name: String,
       snapshotId: Option[Long] = None): Unit =
     setRef(spark, url, name, "branch", snapshotId)
+
+  /** WRITE-AUDIT-PUBLISH, step 1: append rows as a snapshot STAGED on
+    * `branchName` — main readers see nothing. The branch forks from main's
+    * head on first use and stacks further staged appends. Audit the staged
+    * state with `IcebergTable.load(...).atBranch(branchName).read()`, then
+    * publish with [[fastForward]] (or abandon with [[dropRef]] +
+    * snapshot expiration). */
+  def appendToBranch(spark: SparkSession, url: String, df: DataFrame,
+      branchName: String): Unit =
+    writeSnapshot(spark, url, df, deletePred = None, operation = "append",
+      toBranch = Some(branchName))
+
+  /** WRITE-AUDIT-PUBLISH, step 2: publish a staged branch by fast-forwarding
+    * main to its head. Metadata-only and atomic (optimistic commit loop);
+    * refuses unless main's current snapshot is an ANCESTOR of the branch
+    * head — if main moved past the fork point, publishing would silently
+    * drop main's new commits; rebase by re-staging instead. */
+  def fastForward(spark: SparkSession, url: String, branchName: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      val ref = table.refs.getOrElse(branchName,
+        throw new IllegalArgumentException(s"unknown branch '$branchName'"))
+      require(ref.refType == "branch",
+        s"ref '$branchName' is a ${ref.refType}, not a branch")
+      val target = ref.snapshotId
+      if (target == table.metadata.currentSnapshotId) None // already published
+      else {
+        var cur = table.snapshots.get(target)
+        var ancestor = table.metadata.currentSnapshotId < 0
+        while (!ancestor && cur.isDefined) {
+          if (cur.get.snapshotId == table.metadata.currentSnapshotId) ancestor = true
+          else cur = cur.get.parentSnapshotId.flatMap(table.snapshots.get)
+        }
+        require(ancestor,
+          s"main is not an ancestor of '$branchName' — it advanced past the " +
+            "fork point; re-stage the branch from the current head")
+        val old = mapper.readTree(
+          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          .asInstanceOf[ObjectNode]
+        val now = System.currentTimeMillis()
+        old.put("current-snapshot-id", target)
+        setMainRef(old, target)
+        // published snapshots enter main's history log
+        val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
+          else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
+        val logEntry = mapper.createObjectNode()
+        logEntry.put("timestamp-ms", now)
+        logEntry.put("snapshot-id", target)
+        log.add(logEntry)
+        old.put("last-updated-ms", now)
+        Some(old.toPrettyString)
+      }
+    }
+  }
 
   /** Remove a ref. `main` is managed by commits and cannot be dropped. */
   def dropRef(spark: SparkSession, url: String, name: String): Unit = {
