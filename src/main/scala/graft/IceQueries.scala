@@ -776,7 +776,9 @@ object IceQueries {
          |CAST($sid AS BIGINT) AS _commit_snapshot_id FROM read_parquet(
          |${sqlPaths(files.map(f => inc.resolvePath(f.filePath)))})""".stripMargin
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY k")
-    t.changelog(from, t.currentSnapshot.snapshotId).orderBy("k")
+    t.changelog(from, t.currentSnapshot.snapshotId)
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
+      .orderBy("k")
   }
 
   /** Metadata-aggregate rewrite regression (the round-6 judge's HIGH
@@ -901,6 +903,7 @@ object IceQueries {
          |  AND k IN (SELECT k FROM read_parquet(${sqlPaths(eqFiles)}))
          |) ORDER BY _commit_snapshot_id, _change_type, k""".stripMargin
     t.changelog(from, snapD)
+      .select("k", "val", "_change_type", "_commit_snapshot_id")
       .orderBy("_commit_snapshot_id", "_change_type", "k")
   }
 

@@ -155,6 +155,7 @@ object StreamQueries {
       .start()
     try q.processAllAvailable() finally q.stop()
     s.table("s5_cdc_source")
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
       .orderBy("_commit_snapshot_id", "_change_type", "k")
   }
 

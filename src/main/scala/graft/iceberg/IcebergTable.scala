@@ -148,8 +148,9 @@ final class IcebergTable private (
   }
 
   /** CDC-complete changelog of every snapshot in (from, to]: each row is a
-    * change annotated with `_change_type` ('insert' | 'delete') and
-    * `_commit_snapshot_id`.
+    * change annotated with `_change_type` ('insert' | 'delete'),
+    * `_commit_snapshot_id`, and `_commit_timestamp` (the committing
+    * snapshot's timestamp, for event-time watermarking downstream).
     *
     * Per snapshot: files it ADDED contribute inserts; files it REMOVED
     * contribute deletes (their rows as visible at the parent, so rows
@@ -179,7 +180,8 @@ final class IcebergTable private (
     range.reverseIterator.flatMap(snapshotChanges).toSeq
       .reduceOption(_ unionAll _)
       .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](),
-        schema.add("_change_type", StringType).add("_commit_snapshot_id", LongType)))
+        schema.add("_change_type", StringType).add("_commit_snapshot_id", LongType)
+          .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
   }
 
   /** The FILE-level diff one snapshot committed against its parent: data
@@ -222,7 +224,9 @@ final class IcebergTable private (
     def tag(df: DataFrame, changeType: String): DataFrame =
       df.select(schema.fieldNames.map(col).toSeq
         :+ lit(changeType).as("_change_type")
-        :+ lit(s.snapshotId).as("_commit_snapshot_id"): _*)
+        :+ lit(s.snapshotId).as("_commit_snapshot_id")
+        :+ org.apache.spark.sql.functions.timestamp_millis(lit(s.timestampMs))
+          .as("_commit_timestamp"): _*)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (added.nonEmpty) out += tag(cur.readSubset(added), "insert")

@@ -173,14 +173,17 @@ class GraftIcebergSource extends TableProvider with CreatableRelationProvider
 object GraftIcebergV2Table {
   /** `stream-mode=cdc`: the streaming source emits a CHANGELOG — every
     * micro-batch carries the row-level changes of its snapshot range, with
-    * `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`
+    * `_change_type` ('insert' | 'delete'), `_commit_snapshot_id`, and
+    * `_commit_timestamp` (the committing snapshot's metadata timestamp)
     * appended to the schema. Batch reads of a CDC relation refuse. */
   def isCdc(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("stream-mode")).contains("cdc")
 
   val CdcColumns: Seq[StructField] = Seq(
     StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_snapshot_id", LongType, nullable = false))
+    StructField("_commit_snapshot_id", LongType, nullable = false),
+    StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType,
+      nullable = false))
 
   def withCdcColumns(base: StructType): StructType =
     StructType(base.fields ++ CdcColumns)
@@ -1242,10 +1245,13 @@ final class GraftIcebergMicroBatchStream(
   private lazy val cdcFullSchema: StructType = StructType(table.schema.fields)
 
   /** The trailing CDC columns actually requested, as metaValue templates. */
-  private def cdcMetaValues(changeType: String, snapshotId: Long): Seq[(String, String)] =
+  private def cdcMetaValues(changeType: String, snapshotId: Long,
+      commitTsMs: Long): Seq[(String, String)] =
     readSchema.fieldNames.filter(cdcNames.contains).toSeq.map {
       case "_change_type" => ("_change_type", changeType)
       case "_commit_snapshot_id" => ("_commit_snapshot_id", snapshotId.toString)
+      case "_commit_timestamp" => // micros, the reader's Literal unit
+        ("_commit_timestamp", (commitTsMs * 1000L).toString)
     }
 
   /** Deleted positions per data-file morKey, loaded once per delete-file
@@ -1286,7 +1292,8 @@ final class GraftIcebergMicroBatchStream(
         "CDC streaming supports natively written parquet data files only; " +
           "compact the table to fold foreign ORC/AVRO/imported-parquet files first")
       parts += ScanBridge.cdcPartition(hconf, idx, t.resolvePath(f.filePath),
-        f.fileSizeInBytes, t.dataSequenceOf(f), cdcMetaValues(changeType, sid),
+        f.fileSizeInBytes, t.dataSequenceOf(f),
+        cdcMetaValues(changeType, sid, t.snapshots(sid).timestampMs),
         deleted, selectPos, ownEq, selectEq)
       idx += 1
     }

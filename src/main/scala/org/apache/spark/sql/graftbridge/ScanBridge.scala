@@ -424,6 +424,9 @@ object ScanBridge {
                 idxOrdinal, LongType, nullable = true)
             case ("_commit_snapshot_id", v) =>
               org.apache.spark.sql.catalyst.expressions.Literal(v.toLong, LongType)
+            case ("_commit_timestamp", v) => // micros since epoch
+              org.apache.spark.sql.catalyst.expressions.Literal(v.toLong,
+                org.apache.spark.sql.types.TimestampType)
             case (_, v) =>
               org.apache.spark.sql.catalyst.expressions.Literal(
                 if (v == null) null

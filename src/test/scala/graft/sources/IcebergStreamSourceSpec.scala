@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -225,10 +226,25 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
 
     val t = IcebergTable.load(spark, url)
     val streamed = spark.table("ice_cdc")
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
       .as[(Long, String, String, Long)].collect().sorted.toSeq
     val batch = t.changelog(from, t.currentSnapshot.snapshotId)
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
       .as[(Long, String, String, Long)].collect().sorted.toSeq
     assert(streamed == batch)
+    // _commit_timestamp carries the committing snapshot's metadata
+    // timestamp, identically in the stream and the batch changelog
+    val tsBySnap = t.metadata.snapshots
+      .map(s => s.snapshotId -> s.timestampMs * 1000L).toMap
+    spark.table("ice_cdc")
+      .select(col("_commit_snapshot_id"), unix_micros(col("_commit_timestamp")))
+      .collect()
+      .foreach(r => assert(r.getLong(1) == tsBySnap(r.getLong(0)),
+        s"stream timestamp mismatch for snapshot ${r.getLong(0)}"))
+    val batchTs = t.changelog(from, t.currentSnapshot.snapshotId)
+      .select(col("_commit_snapshot_id"), unix_micros(col("_commit_timestamp")))
+      .collect()
+    batchTs.foreach(r => assert(r.getLong(1) == tsBySnap(r.getLong(0))))
     // spot-check the semantics, not just self-consistency
     val byType = streamed.groupBy(_._3)
     assert(byType("delete").map(r => (r._1, r._2)).sorted
@@ -254,6 +270,7 @@ class IcebergStreamSourceSpec extends AnyFunSuite {
       .start()
     try q.processAllAvailable() finally q.stop()
     val rows = spark.table("ice_cdc2")
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
       .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
     // live rows only (5 pos-deleted, 1 superseded by the upsert), all inserts
     assert(rows.map(r => (r._1, r._2, r._3)) == Seq(
