@@ -181,6 +181,29 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** Metadata-only PARTITION STATS (Iceberg's `partitions` metadata table):
+    * per-partition file/record/byte counts straight from manifest entries,
+    * zero data I/O — how an operator spots partition skew on a 100 TB
+    * table. The DuckDB oracle recomputes record counts by actually grouping
+    * the data; file counts pin the one-file-per-partition clustering of the
+    * partitioned write path. */
+  def icePartitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val url = java.nio.file.Files.createTempDirectory("graft_pmeta").toString + "/t"
+    val nation = Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+        "CAST(n_regionkey AS BIGINT) AS r")
+    IcebergWriter.createTable(s, url, nation.schema,
+      partitions = Seq("r" -> "identity"))
+    IcebergWriter.append(s, url, nation)
+    val t = IcebergTable.load(s, url)
+    t.partitionStats()
+      .select(col("r"), col("n_files"), col("n_records"),
+        (col("total_bytes") > 0L).cast("long").as("bytes_positive"),
+        col("has_live_deletes").cast("long").as("has_deletes"))
+      .orderBy("r")
+  }
+
   /** Full snapshot lifecycle: append → delete partition → read reconciles,
     * time travel restores (the fixture's overwrite semantics, writer-side). */
   def iceWriteDelete(s: SparkSession, dir: String): DataFrame = {
@@ -951,6 +974,7 @@ object IceQueries {
     "ice_write_eq_delete"  -> (iceWriteEqDelete _),
     "ice_refs"             -> (iceRefs _),
     "ice_wap"              -> (iceWap _),
+    "ice_partitions_meta"  -> (icePartitionsMeta _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
@@ -1083,6 +1107,13 @@ object IceQueries {
         |  CAST(2 AS BIGINT) AS n_refs,
         |  CAST(1 AS BIGINT) AS main_is_current
         |FROM nation""".stripMargin,
+    "ice_partitions_meta" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS r,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(1 AS BIGINT) AS bytes_positive,
+        |  CAST(0 AS BIGINT) AS has_deletes
+        |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
     "ice_wap" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey,

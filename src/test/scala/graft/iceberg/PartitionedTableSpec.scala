@@ -158,6 +158,31 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.uniquePartitions(Some("ts_month"))("ts_month").size == 4)
   }
 
+  test("partitionStats: metadata-only per-partition file/record/byte counts") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("k", LongType), StructField("cat", StringType))),
+      partitions = Seq("cat" -> "identity"))
+    IcebergWriter.append(spark, url,
+      ((1L to 6L).map(i => (i, "a")) ++ (7L to 9L).map(i => (i, "b")))
+        .toDF("k", "cat"))
+    val t = IcebergTable.load(spark, url)
+    val stats = t.partitionStats().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(stats.map(s => (s._1, s._2, s._3)).toSeq
+      == Seq(("a", 1L, 6L), ("b", 1L, 3L)))
+    assert(stats.forall(s => s._4 > 0L && !s._5))
+
+    // live row-level deletes flip the upper-bound flag; raw counts persist
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 2L))
+    val t2 = IcebergTable.load(spark, url)
+    val after = t2.partitionStats().collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(4))).sortBy(_._1)
+    assert(after.toSeq == Seq(("a", 6L, true), ("b", 3L, true)),
+      "raw manifest counts with has_live_deletes = true (MOR upper bound)")
+  }
+
   test("year-partitioned table: E2E write, read, and range pruning") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema, Seq("ts" -> "year"))
