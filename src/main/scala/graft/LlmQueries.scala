@@ -301,6 +301,15 @@ object LlmQueries {
         Map("en" -> 0.5, "fr" -> 0.75, "es" -> 0.75), defaultRate = 1.0)
       .select(col("doc_id"), col("lang")).orderBy("doc_id")
 
+  /** Source-level filtering: drop every document from sources where 40 %
+    * or more of the docs are short (< 40 tokens) — the wholesale
+    * domain-level cut per-document filters miss. The share test is integer
+    * cross-multiplied, so the oracle replays it bit-exactly. */
+  def pipeSourceFilter(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceFilter(t(s, dir, "documents"), "source",
+        TF.tokenCount(col("text")) < 40, num = 4, den = 10)
+      .select(col("doc_id"), col("source")).orderBy("doc_id")
+
   /** Deterministic global shuffle: the reproducible corpus permutation a
     * training run reads. Every row gets a dense rank in md5(key || salt)
     * order WITHOUT a global sort (fixed-width hash buckets + per-bucket
@@ -346,6 +355,7 @@ object LlmQueries {
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_sample_mix"   -> (pipeSampleMix _),
     "pipe_shuffle"      -> (pipeShuffle _),
+    "pipe_source_filter" -> (pipeSourceFilter _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
@@ -602,6 +612,16 @@ object LlmQueries {
       SELECT doc_id, lang FROM u
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
+      ORDER BY doc_id""",
+    // integer cross-multiplied share test: bit-exact replay, no float
+    // threshold boundary
+    "pipe_source_filter" -> """
+      WITH keep AS (
+        SELECT source FROM documents GROUP BY source
+        HAVING SUM(CASE WHEN len(string_split(text, ' ')) < 40
+                        THEN 1 ELSE 0 END) * 10 < COUNT(*) * 4)
+      SELECT doc_id, source FROM documents
+      WHERE source IN (SELECT source FROM keep)
       ORDER BY doc_id""",
     // the same md5 permutation replayed directly — a hash match proves the
     // bucketed rank assignment equals the global sort it avoids

@@ -70,6 +70,27 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** SOURCE-LEVEL filtering (RefinedWeb/CCNet-style): aggregate a per-doc
+    * boolean signal by source and drop every document from sources where
+    * the flagged share reaches `num/den` — boilerplate farms, spam domains,
+    * and log dumps are removed WHOLESALE, which per-document filters miss
+    * (their individual pages often look fine). The share test is integer
+    * cross-multiplied (`flagged * den < n * num`), so the keep/drop decision
+    * replays bit-exactly in any engine — no float threshold boundary.
+    *
+    * Shape: one O(docs) aggregation keyed by source (map-side partial
+    * combine absorbs hot sources) + a broadcast semi-join of the tiny
+    * source verdict list. Nothing quadratic, no document bodies shuffled. */
+  def sourceFilter(df: DataFrame, sourceCol: String, flagged: Column,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, "threshold must be a positive fraction")
+    val verdicts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_n"), sum(flagged.cast("long")).as("_flagged"))
+      .filter(col("_flagged") * den < col("_n") * num)
+      .select(col(sourceCol))
+    df.join(broadcast(verdicts), Seq(sourceCol), "left_semi")
+  }
+
   /** Deterministic GLOBAL SHUFFLE: assign every row a dense rank
     * `0..n-1` in the order of an engine-portable hash — the reproducible
     * corpus permutation a training run reads, replayable by any engine
