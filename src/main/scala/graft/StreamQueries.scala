@@ -159,12 +159,61 @@ object StreamQueries {
       .orderBy("_commit_snapshot_id", "_change_type", "k")
   }
 
+  /** EVENT-TIME CDC CONSUMPTION: the CDC stream's `_commit_timestamp`
+    * column drives a real watermarked window aggregation — the shape a
+    * downstream materializer uses to batch changes by commit time. Window
+    * boundaries depend on wall-clock commit times, so the contract
+    * re-aggregates ACROSS windows (deterministic) while the stream itself
+    * exercises watermark + window + complete-mode state; per-change-type
+    * totals must survive the two-level aggregation exactly. */
+  def s6CdcWindowed(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s6cdc").toString
+    val url = s"$tmp/tbl"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, (1L to 8L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val from = IcebergTable.load(s, url).currentSnapshot.snapshotId
+    IcebergWriter.append(s, url, (9L to 14L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 3L), Pruning.Lt("k", 6L)))
+    IcebergWriter.upsert(s, url,
+      Seq((6L, "u6"), (30L, "u30")).toDF("k", "v").coalesce(1), Seq("k"))
+
+    // inserts: 6 (snapB) + 2 (upsert); deletes: 3 (position) + 1 (eq k=6)
+    graft.IceQueries.dynamicOracle("s6_cdc_windowed") =
+      """SELECT 'delete' AS _change_type, CAST(4 AS BIGINT) AS n_changes
+        |UNION ALL SELECT 'insert', CAST(8 AS BIGINT)
+        |ORDER BY _change_type""".stripMargin
+
+    val q = s.readStream.format("graft-iceberg")
+      .option("stream-mode", "cdc")
+      .option("starting-snapshot-id", from.toString)
+      .option("max-snapshots-per-trigger", "1")
+      .load(url)
+      .withWatermark("_commit_timestamp", "10 seconds")
+      .groupBy(window(col("_commit_timestamp"), "1 minute"), col("_change_type"))
+      .count()
+      .writeStream.format("memory").queryName("s6_cdc_windowed")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("s6_cdc_windowed")
+      .groupBy("_change_type").agg(sum("count").as("n_changes"))
+      .orderBy("_change_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_iceberg_sink" -> (s3IcebergSink _),
     "s4_iceberg_source" -> (s4IcebergSource _),
     "s5_cdc_source" -> (s5CdcSource _),
+    "s6_cdc_windowed" -> (s6CdcWindowed _),
   )
 
   val oracle: Map[String, String] = Map(
