@@ -181,6 +181,38 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** POSITION-DELETE CONSOLIDATION: three row-delete commits leave three
+    * small delete files (the CDC-upsert accumulation problem); the rewrite
+    * merges them into ONE sorted file in a metadata `replace` snapshot that
+    * swaps only the position-delete manifests. The file counts pin the
+    * consolidation; the oracle re-reads the final data files and re-applies
+    * the CONSOLIDATED delete file from the written bytes. */
+  def iceRewriteDeletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, Pruning}
+    val url = java.nio.file.Files.createTempDirectory("graft_rwdq").toString + "/t"
+    val nation = Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+        "CAST(n_regionkey AS BIGINT) AS r")
+    IcebergWriter.createTable(s, url, nation.schema)
+    IcebergWriter.append(s, url, nation.coalesce(1))
+    Seq(2L, 9L, 17L).foreach(k =>
+      IcebergWriter.deleteRows(s, url, Pruning.Eq("k", k)))
+    val posBefore = IcebergTable.load(s, url).positionDeleteFiles.size
+    Maintenance.rewritePositionDeletes(s, url)
+    val t = IcebergTable.load(s, url)
+    val posAfter = t.positionDeleteFiles.size
+    // literal pins: a rewrite that failed to consolidate (or lost a delete)
+    // hash-mismatches the oracle, which also replays the surviving deletes
+    dynamicOracle("ice_rewrite_deletes") =
+      s"""SELECT k, name, r, CAST(3 AS BIGINT) AS pos_files_before,
+         |  CAST(1 AS BIGINT) AS pos_files_after
+         |FROM (${duckLiveRows(t, Seq("k", "name", "r"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("pos_files_before", lit(posBefore.toLong))
+      .withColumn("pos_files_after", lit(posAfter.toLong))
+      .orderBy("k")
+  }
+
   /** Metadata-only PARTITION STATS (Iceberg's `partitions` metadata table):
     * per-partition file/record/byte counts straight from manifest entries,
     * zero data I/O — how an operator spots partition skew on a 100 TB
@@ -975,6 +1007,7 @@ object IceQueries {
     "ice_refs"             -> (iceRefs _),
     "ice_wap"              -> (iceWap _),
     "ice_partitions_meta"  -> (icePartitionsMeta _),
+    "ice_rewrite_deletes"  -> (iceRewriteDeletes _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),

@@ -536,6 +536,10 @@ object IcebergWriter {
       requireLiveKeys: Option[Set[String]] = None,
       requireNoConflictingAdds: Option[(Set[String], Pruning.IcePredicate)] = None,
       dataFileFormat: String = "PARQUET",
+      /** Replace the POSITION-delete manifests (equality manifests survive):
+        * the delete-file consolidation commit — `extraManifests` carries the
+        * consolidated replacement. */
+      dropPosDeleteManifests: Boolean = false,
       /** STAGE the commit on a named branch (write-audit-publish): the new
         * snapshot's parent is the branch head (or the current head when the
         * branch is new), `refs.<branch>` moves, and `current-snapshot-id` /
@@ -686,11 +690,12 @@ object IcebergWriter {
         (if (baseSnapId >= 0) baseView.manifestList else Nil)
           .filterNot { m =>
             val isDelete = m.content == Manifests.ManifestContent.Deletes
-            // compaction folds ALL deletes; a rewrite replaces only the
+            // compaction folds ALL deletes; a rewrite (file-removal cleanup
+            // or explicit delete-file consolidation) replaces only the
             // position-delete manifests (equality deletes reference keys,
             // not files — they survive whole-file removal untouched)
             (dropDeleteManifests && isDelete) ||
-              (deleteRewrite.isDefined && isDelete &&
+              ((deleteRewrite.isDefined || dropPosDeleteManifests) && isDelete &&
                 !table.equalityDeleteManifestPaths.contains(m.path))
           }
       val manifestListPath = s"$url/metadata/snap-$snapshotId-1-$commitId.avro"
@@ -1413,6 +1418,78 @@ object IcebergWriter {
     * one live row, which keeps `total-records` and `countFromStats` exact
     * even when row-level operations overlap. Returns the manifest (None when
     * nothing new matched) and the number of fresh delete rows. */
+  /** CONSOLIDATE position-delete files: CDC-upsert and row-delete
+    * workloads accumulate one small delete file (and manifest) per commit,
+    * and every scan's merge-on-read loader reads all of them. This rewrite
+    * merges the live position deletes into `targetFiles` sorted files —
+    * dropping rows whose target data file is no longer live — in one
+    * metadata `replace` snapshot that swaps only the position-delete
+    * manifests (data and equality-delete manifests untouched, so nothing
+    * re-sequences). Refuses (optimistic-loop style) if the delete state
+    * changed concurrently; rerun against the new snapshot. */
+  def rewritePositionDeletes(spark: SparkSession, url: String,
+      targetFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(targetFiles >= 1, "targetFiles must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val t0 = IcebergTable.load(spark, url)
+    if (t0.metadata.currentSnapshotId < 0) return
+    val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
+    val delFiles = frozen.positionDeleteFiles
+    if (delFiles.size <= targetFiles) return // already consolidated
+    val pinnedDeleteSet = frozen.liveDeleteFiles
+      .map(f => frozen.resolvePath(f.filePath)).toSet
+    val schema = frozen.iceSchema
+    val spec = frozen.partitionSpec
+    val specInfo: Seq[(PartitionField, String, String)] = spec.fields.map { pf =>
+      val src = schema.fields.find(_.id == pf.sourceId).get
+      (pf, src.icebergTypeString,
+        partitionValueType(src.icebergTypeString, Transforms.parse(pf.transform)))
+    }
+    val commitId = UUID.randomUUID().toString
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+
+    // live data files by morKey: rows targeting dead files are dropped
+    val liveKeys = frozen.liveFiles()
+      .map(f => morKeyOf(frozen.resolvePath(f.filePath))).filter(_.nonEmpty).toSet
+    def key(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
+    val kept = spark.read
+      .parquet(delFiles.map(f => frozen.resolvePath(f.filePath)): _*)
+      .filter(key(col("file_path")).isInCollection(liveKeys))
+    val delDir = s"$url/data/$commitId-pdc"
+    // spec: position deletes sorted by (path, pos); range-partitioned so
+    // each output file covers a contiguous slice of target files
+    kept.repartitionByRange(targetFiles, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(conf)
+    var keptRows = 0L
+    val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
+      val rows = rowCountOf(st.getPath, conf)
+      keptRows += rows
+      (st.getPath.toUri.getPath, st.getLen,
+        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+        specInfo.map(_ => null: Any), Manifests.Status.Added)
+    }.filter(_._3.recordCount > 0)
+    val extra =
+      if (entries.isEmpty) Nil // every delete row targeted a dead file
+      else {
+        val manifestPath = s"$url/metadata/$commitId-mpdc.avro"
+        writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+          fileContent = Manifests.FileContent.PositionDeletes)
+        Seq(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+          entries.size, keptRows, 0, 0L, Nil))
+      }
+    commitDataFiles(spark, url, commitId, Nil, deletePred = None,
+      operation = "replace",
+      pinnedDeleteFiles = Some(pinnedDeleteSet),
+      extraSummary = Map("graft-rewrite" -> "position-deletes"),
+      extraManifests = extra,
+      presetSnapshotId = Some(snapshotId),
+      dropPosDeleteManifests = true)
+  }
+
   private def writePositionDeletes(spark: SparkSession, url: String,
       table: IcebergTable, commitId: String, snapshotId: Long,
       positions: DataFrame,

@@ -190,6 +190,14 @@ object Maintenance {
       targetManifests: Int = 1): Unit =
     IcebergWriter.rewriteManifests(spark, url, targetManifests)
 
+  /** CONSOLIDATE position-delete files — see
+    * [[IcebergWriter.rewritePositionDeletes]]: merges the per-commit delete
+    * files CDC-upsert workloads accumulate into `targetFiles` sorted files
+    * (dangling rows dropped) without touching data or equality manifests. */
+  def rewritePositionDeletes(spark: SparkSession, url: String,
+      targetFiles: Int = 1): Unit =
+    IcebergWriter.rewritePositionDeletes(spark, url, targetFiles)
+
   /** Delete ORPHAN files: bytes under the table's `data/` and `metadata/`
     * directories that NO snapshot references — the leftovers of failed or
     * aborted commits (a crashed writer's data files, a lost-race manifest
