@@ -310,6 +310,14 @@ object LlmQueries {
         TF.tokenCount(col("text")) < 40, num = 4, den = 10)
       .select(col("doc_id"), col("source")).orderBy("doc_id")
 
+  /** Context-window chunking: 64-token chunks advancing by 48 (16-token
+    * overlap), the split-long-documents step before tokenization. Fully
+    * deterministic slicing, so DuckDB replays the exact chunks. */
+  def pipeChunk(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(t(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Deterministic global shuffle: the reproducible corpus permutation a
     * training run reads. Every row gets a dense rank in md5(key || salt)
     * order WITHOUT a global sort (fixed-width hash buckets + per-bucket
@@ -356,6 +364,7 @@ object LlmQueries {
     "pipe_sample_mix"   -> (pipeSampleMix _),
     "pipe_shuffle"      -> (pipeShuffle _),
     "pipe_source_filter" -> (pipeSourceFilter _),
+    "pipe_chunk"        -> (pipeChunk _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
@@ -613,6 +622,20 @@ object LlmQueries {
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
       ORDER BY doc_id""",
+    // the same deterministic slicing replayed: chunks advance by 48 with
+    // ceil(max(n-64,0)/48)+1 chunks per doc, last chunk keeps the tail
+    "pipe_chunk" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      c AS (SELECT doc_id, tk,
+        unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS BIGINT) + 1))
+          AS chunk_idx
+        FROM t)
+      SELECT doc_id, chunk_idx,
+        array_to_string(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ')
+          AS chunk_text,
+        CAST(len(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+          AS n_tokens
+      FROM c ORDER BY doc_id, chunk_idx""",
     // integer cross-multiplied share test: bit-exact replay, no float
     // threshold boundary
     "pipe_source_filter" -> """

@@ -1645,9 +1645,9 @@ object IcebergWriter {
     * publish with [[fastForward]] (or abandon with [[dropRef]] +
     * snapshot expiration). */
   def appendToBranch(spark: SparkSession, url: String, df: DataFrame,
-      branchName: String): Unit =
+      branchName: String, extraSummary: Map[String, String] = Map.empty): Unit =
     writeSnapshot(spark, url, df, deletePred = None, operation = "append",
-      toBranch = Some(branchName))
+      extraSummary = extraSummary, toBranch = Some(branchName))
 
   /** WRITE-AUDIT-PUBLISH, step 2: publish a staged branch by fast-forwarding
     * main to its head. Metadata-only and atomic (optimistic commit loop);

@@ -70,6 +70,37 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** CHUNK documents into overlapping fixed-size token windows — the
+    * context-window preparation step between cleaning and tokenization:
+    * long documents split into `chunkTokens`-token pieces that advance by
+    * `chunkTokens - overlap`, so no chunk boundary loses context. Every
+    * document yields at least one chunk; the last chunk keeps whatever
+    * remains past the final stride.
+    *
+    * Pure codegen'd expressions (split/sequence/explode/slice) — no UDF,
+    * and the explode is the only row-multiplying step: output rows =
+    * total chunks, shuffled nowhere. Deterministic, so an external engine
+    * can replay the exact chunking. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "need chunkTokens > overlap >= 0 (the stride must advance)")
+    val stride = chunkTokens - overlap
+    val toks = TF.tokens(col(textCol))
+    // chunks = ceil(max(n - chunkTokens, 0) / stride) + 1, in integer math
+    val nChunks = ((greatest(size(toks) - lit(chunkTokens), lit(0))
+      + lit(stride - 1)) / lit(stride)).cast("int") + lit(1)
+    df.select(col(idCol), toks.as("_t"), nChunks.as("_nc"))
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_t"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        size(slice(col("_t"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** SOURCE-LEVEL filtering (RefinedWeb/CCNet-style): aggregate a per-doc
     * boolean signal by source and drop every document from sources where
     * the flagged share reaches `num/den` — boilerplate farms, spam domains,

@@ -19,12 +19,22 @@ object IcebergSink {
 
   private[streaming] val BatchIdProp = "streaming-batch-id"
 
-  /** Append `batch` as one snapshot unless this batch id already committed. */
-  def appendBatch(url: String, batch: DataFrame, batchId: Long): Unit = {
+  /** Append `batch` as one snapshot unless this batch id already committed.
+    * With `branch` set, the snapshot STAGES on that branch (streaming
+    * write-audit-publish: main readers see nothing until
+    * [[IcebergWriter.fastForward]] publishes the audited batches); the
+    * batch-id replay guard covers staged snapshots too — ids live in the
+    * global snapshot list, not just main's chain. */
+  def appendBatch(url: String, batch: DataFrame, batchId: Long,
+      branch: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val last = lastCommittedBatch(url, spark)
-    if (last.forall(batchId > _))
-      IcebergWriter.append(spark, url, batch, Map(BatchIdProp -> batchId.toString))
+    if (last.forall(batchId > _)) branch match {
+      case Some(b) => IcebergWriter.appendToBranch(spark, url, batch, b,
+        Map(BatchIdProp -> batchId.toString))
+      case None => IcebergWriter.append(spark, url, batch,
+        Map(BatchIdProp -> batchId.toString))
+    }
   }
 
   /** Highest streaming batch id recorded in the snapshot history. */
@@ -35,14 +45,17 @@ object IcebergSink {
     ids.maxOption
   }
 
-  /** Start a streaming append into the table at `url`. */
+  /** Start a streaming append into the table at `url` — optionally staged
+    * on `branch` (streaming WAP: audit, then fastForward to publish). */
   def start(df: DataFrame, url: String, checkpointLocation: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      branch: Option[String] = None): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)
-      .foreachBatch((batch: DataFrame, batchId: Long) => appendBatch(url, batch, batchId))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        appendBatch(url, batch, batchId, branch))
       .start()
 
   /** UPSERT each micro-batch keyed on `keyCols` (streaming CDC into

@@ -59,6 +59,36 @@ class IcebergSinkSpec extends AnyFunSuite {
     assert(t3.read().count() == 4)
   }
 
+  test("streaming WAP: batches stage on a branch, publish via fastForward") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_wap").toString
+    val srcDir = s"$dir/src"
+    val url = s"$dir/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "base")).toDF("id", "name"))
+
+    Seq((2L, "s2")).toDF("id", "name").coalesce(1).write.mode("append").parquet(srcDir)
+    Seq((3L, "s3")).toDF("id", "name").coalesce(1).write.mode("append").parquet(srcDir)
+    val q = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir),
+      url, s"$dir/ckpt", branch = Some("audit"))
+    try q.processAllAvailable() finally q.stop()
+
+    val t = IcebergTable.load(spark, url)
+    // main sees only the base row; every staged batch is on the branch
+    assert(t.read().as[(Long, String)].collect().map(_._1).toSeq == Seq(1L))
+    assert(t.atBranch("audit").read().as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    // replay guard holds across staged snapshots: restart ingests nothing
+    val nSnaps = t.snapshots.size
+    val q2 = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir),
+      url, s"$dir/ckpt", branch = Some("audit"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(IcebergTable.load(spark, url).snapshots.size == nSnaps)
+
+    IcebergWriter.fastForward(spark, url, "audit")
+    assert(IcebergTable.load(spark, url).read().count() == 3)
+  }
+
   test("streaming CDC upsert: later batches supersede earlier keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsink").toString
     val srcDir = s"$dir/src"
