@@ -318,6 +318,20 @@ object LlmQueries {
         chunkTokens = 64, overlap = 16)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Sequence PACKING over the chunk stream: concat-and-cut into 256-token
+    * training sequences in (doc_id, chunk_idx) order — each chunk learns
+    * which sequence it starts in and at what offset. Chained directly on
+    * [[pipeChunk]]'s output; the oracle replays the cut points with a
+    * plain windowed SUM (integer-exact). */
+  def pipePack(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(
+        Corpus.chunk(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 64, overlap = 16),
+        "doc_id", "chunk_idx", "n_tokens", seqLen = 256, buckets = 64)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Deterministic global shuffle: the reproducible corpus permutation a
     * training run reads. Every row gets a dense rank in md5(key || salt)
     * order WITHOUT a global sort (fixed-width hash buckets + per-bucket
@@ -365,6 +379,7 @@ object LlmQueries {
     "pipe_shuffle"      -> (pipeShuffle _),
     "pipe_source_filter" -> (pipeSourceFilter _),
     "pipe_chunk"        -> (pipeChunk _),
+    "pipe_pack"         -> (pipePack _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
@@ -636,6 +651,25 @@ object LlmQueries {
         CAST(len(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
           AS n_tokens
       FROM c ORDER BY doc_id, chunk_idx""",
+    // the packing replayed as ONE windowed running sum over the same chunk
+    // stream — integer cut points, bit-exact in any engine
+    "pipe_pack" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      c AS (SELECT doc_id, tk,
+        unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS BIGINT) + 1))
+          AS chunk_idx
+        FROM t),
+      ch AS (SELECT doc_id, chunk_idx,
+        CAST(len(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+          AS n_tokens
+        FROM c),
+      p AS (SELECT doc_id, chunk_idx, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM ch)
+      SELECT doc_id, chunk_idx, n_tokens,
+        s // 256 AS seq_id, s % 256 AS seq_offset
+      FROM p ORDER BY doc_id, chunk_idx""",
     // integer cross-multiplied share test: bit-exact replay, no float
     // threshold boundary
     "pipe_source_filter" -> """

@@ -101,6 +101,51 @@ object Corpus {
           .cast("long").as("n_tokens"))
   }
 
+  /** PACK chunks into fixed-length training sequences — GPT-style
+    * concat-and-cut: in deterministic (`idCol`, `subOrderCol`) order, token
+    * counts accumulate and every `seqLen`-token boundary starts a new
+    * training sequence. Each row learns the sequence it STARTS in
+    * (`seq_id`) and its offset inside it (`seq_offset`); a row whose tokens
+    * straddle a boundary spills into the next sequence, exactly like the
+    * concatenated-token-stream cut it models.
+    *
+    * NO global sort: ids bucket by fixed-width ranges (one max() pass),
+    * prefix sums compute per bucket and chain through an O(buckets)
+    * driver-side offset table — same two-pass shape as [[globalShuffle]].
+    * All integer arithmetic, so any engine replays the assignment exactly
+    * (a plain windowed SUM in SQL). Assumes ids spread roughly uniformly
+    * over [0, max] (dense ids — the usual case; skewed ids only unbalance
+    * bucket sizes, never change the result). */
+  def packSequences(df: DataFrame, idCol: String, subOrderCol: String,
+      nTokensCol: String, seqLen: Int, buckets: Int = 1024): DataFrame = {
+    require(seqLen >= 1 && buckets >= 1, "seqLen and buckets must be positive")
+    val maxId = df.agg(max(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        df.schema.add("seq_id", "long").add("seq_offset", "long"))
+      case r => r.getLong(0)
+    }
+    val width = math.max(1L, (maxId + buckets) / buckets)
+    val bucketed = df.withColumn("_b",
+      (col(idCol).cast("long") / lit(width)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col(idCol), col(subOrderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("_before",
+      coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+    // per-bucket token totals → cumulative start offsets (driver, O(buckets))
+    val totals = bucketed.groupBy(col("_b"))
+      .agg(sum(col(nTokensCol)).as("_t")).orderBy(col("_b")).collect()
+    var acc = 0L
+    val offsets = totals.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF("_b", "_off")
+    local.join(broadcast(offDf), "_b")
+      .withColumn("_start", col("_off") + col("_before"))
+      .withColumn("seq_id", (col("_start") / lit(seqLen.toLong)).cast("long"))
+      .withColumn("seq_offset", col("_start") % lit(seqLen.toLong))
+      .drop("_b", "_before", "_off", "_start")
+  }
+
   /** SOURCE-LEVEL filtering (RefinedWeb/CCNet-style): aggregate a per-doc
     * boolean signal by source and drop every document from sources where
     * the flagged share reaches `num/den` — boilerplate farms, spam domains,

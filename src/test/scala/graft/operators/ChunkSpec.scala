@@ -57,4 +57,22 @@ class ChunkSpec extends AnyFunSuite {
       Corpus.chunk(df, "text", "id", chunkTokens = 8, overlap = 8)
     }
   }
+
+  test("packSequences: concat-and-cut boundaries, bucket-count invariant") {
+    // rows of 60 tokens each in id order: starts 0,60,120,180,240,300 →
+    // with seqLen=128: seq ids 0,0,0,1,1,2
+    val rows = (1L to 6L).map(i => (i, 0L, 60L)).toDF("id", "sub", "n")
+    val got = Corpus.packSequences(rows, "id", "sub", "n", seqLen = 128,
+        buckets = 4)
+      .select("id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 60L), (3L, 0L, 120L),
+      (4L, 1L, 52L), (5L, 1L, 112L), (6L, 2L, 44L)))
+    // bucketing is an implementation knob: one bucket gives the same cut
+    val one = Corpus.packSequences(rows, "id", "sub", "n", seqLen = 128,
+        buckets = 1)
+      .select("id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(one == got)
+  }
 }
