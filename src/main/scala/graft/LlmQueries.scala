@@ -332,6 +332,31 @@ object LlmQueries {
         col("seq_id"), col("seq_offset"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** The MODERN TRAINING-DATA PIPELINE composed end-to-end: source-level
+    * filter → benchmark decontamination → exact-dup canonicalization →
+    * context-window chunking → sequence packing. Every stage is an
+    * operator already verified on its own; this query verifies the
+    * COMPOSITION — the DuckDB oracle replays all five stages and the
+    * final integer cut points must match exactly. */
+  def pipeE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val srcKept = Corpus.sourceFilter(docs, "source",
+      TF.tokenCount(col("text")) < 40, num = 4, den = 10)
+    val decon = Corpus.decontaminate(srcKept,
+      docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 5)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val canon = decon
+      .withColumn("_cid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_cid")).drop("_cid")
+    val chunks = Corpus.chunk(canon, "text", "doc_id",
+      chunkTokens = 64, overlap = 16)
+    Corpus.packSequences(chunks, "doc_id", "chunk_idx", "n_tokens",
+        seqLen = 256, buckets = 64)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Deterministic global shuffle: the reproducible corpus permutation a
     * training run reads. Every row gets a dense rank in md5(key || salt)
     * order WITHOUT a global sort (fixed-width hash buckets + per-bucket
@@ -380,6 +405,7 @@ object LlmQueries {
     "pipe_source_filter" -> (pipeSourceFilter _),
     "pipe_chunk"        -> (pipeChunk _),
     "pipe_pack"         -> (pipePack _),
+    "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
@@ -651,6 +677,43 @@ object LlmQueries {
         CAST(len(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
           AS n_tokens
       FROM c ORDER BY doc_id, chunk_idx""",
+    // all five pipeline stages replayed: source share test, 5-gram
+    // decontamination, exact-dup canon, chunk slicing, packing cut points
+    "pipe_e2e" -> """
+      WITH keep AS (
+        SELECT source FROM documents GROUP BY source
+        HAVING SUM(CASE WHEN len(string_split(text, ' ')) < 40
+                        THEN 1 ELSE 0 END) * 10 < COUNT(*) * 4),
+      sf AS (SELECT * FROM documents WHERE source IN (SELECT source FROM keep)),
+      btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bsh AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]))) AS s
+        FROM btoks),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM bsh WHERE doc_id % 17 = 0),
+      cg AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+      contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bench USING (g)),
+      dc AS (SELECT * FROM sf
+             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      canon AS (SELECT doc_id, text FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS cid FROM dc)
+        WHERE doc_id = cid),
+      tt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM canon),
+      c AS (SELECT doc_id, tk,
+        unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS BIGINT) + 1))
+          AS chunk_idx
+        FROM tt),
+      ch AS (SELECT doc_id, chunk_idx,
+        CAST(len(list_slice(tk, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+          AS n_tokens
+        FROM c),
+      p AS (SELECT doc_id, chunk_idx, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s2
+        FROM ch)
+      SELECT doc_id, chunk_idx, n_tokens,
+        s2 // 256 AS seq_id, s2 % 256 AS seq_offset
+      FROM p ORDER BY doc_id, chunk_idx""",
     // the packing replayed as ONE windowed running sum over the same chunk
     // stream — integer cut points, bit-exact in any engine
     "pipe_pack" -> """
