@@ -547,6 +547,31 @@ object IceQueries {
     } finally s.catalog.dropTempView("g_dml_nation")
   }
 
+  /** SQL METADATA TABLES (`cat.db.t.snapshots|files|manifests|partitions`):
+    * the Iceberg introspection surface through plain SQL, served by
+    * driver-side LocalScans over manifest state (zero data I/O). Two
+    * partition-touching inserts pin per-partition file/record counts and
+    * the snapshot count; the oracle recomputes records from the source. */
+  def iceSqlMeta(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlmeta").toString
+    val cat = s"meta${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      Queries.t(s, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+          "CAST(n_regionkey AS BIGINT) AS r")
+        .createOrReplaceTempView("g_meta_nation")
+      s.sql(s"CREATE TABLE $cat.db.n (k BIGINT, name STRING, r BIGINT) " +
+        "PARTITIONED BY (r)")
+      s.sql(s"INSERT INTO $cat.db.n SELECT k, name, r FROM g_meta_nation WHERE r < 2")
+      s.sql(s"INSERT INTO $cat.db.n SELECT k, name, r FROM g_meta_nation WHERE r >= 2")
+      val nSnaps = s.sql(s"SELECT * FROM $cat.db.n.snapshots").count()
+      s.sql(s"SELECT r, n_files, n_records FROM $cat.db.n.partitions ORDER BY r")
+        .withColumn("n_snapshots", lit(nSnaps))
+    } finally s.catalog.dropTempView("g_meta_nation")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -1008,6 +1033,7 @@ object IceQueries {
     "ice_wap"              -> (iceWap _),
     "ice_partitions_meta"  -> (icePartitionsMeta _),
     "ice_rewrite_deletes"  -> (iceRewriteDeletes _),
+    "ice_sql_meta"         -> (iceSqlMeta _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
@@ -1140,6 +1166,12 @@ object IceQueries {
         |  CAST(2 AS BIGINT) AS n_refs,
         |  CAST(1 AS BIGINT) AS main_is_current
         |FROM nation""".stripMargin,
+    "ice_sql_meta" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS r,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(2 AS BIGINT) AS n_snapshots
+        |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
     "ice_partitions_meta" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS r,
         |  CAST(1 AS BIGINT) AS n_files,

@@ -59,8 +59,29 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
   override def tableExists(ident: Identifier): Boolean =
     IcebergTable.versionHint(dir(ident), spark.sessionState.newHadoopConf()) > 0
 
-  override def loadTable(ident: Identifier): Table =
+  /** Iceberg-style METADATA tables: `cat.db.tbl.snapshots` etc. resolve
+    * when `db.tbl` is a real table and no actual table shadows the name. */
+  private val metaTables: Map[String, IcebergTable => org.apache.spark.sql.DataFrame] =
+    Map(
+      "snapshots" -> (_.snapshotsDf),
+      "files" -> (_.filesDf),
+      "manifests" -> (_.manifestsDf),
+      "partitions" -> (_.partitionStats()))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        metaTables.contains(ident.name())) {
+      val ns = ident.namespace()
+      val base = Identifier.of(ns.dropRight(1), ns.last)
+      if (tableExists(base)) {
+        val fn = metaTables(ident.name())
+        return new GraftMetadataTable(
+          () => fn(IcebergTable.load(spark, dir(base))),
+          (ns :+ ident.name()).mkString("."))
+      }
+    }
     new GraftIcebergV2Table(IcebergTable.load(spark, dir(ident)))
+  }
 
   /** `VERSION AS OF v` — snapshot id when it matches one, else a metadata
     * version number (same contract as the REST catalog). */

@@ -194,4 +194,30 @@ class PathCatalogSpec extends AnyFunSuite {
       assert(ice.partitionSpec.fields.map(_.transform).toSeq == Seq("year"))
     }
   }
+
+  test("SQL metadata tables: snapshots, files, manifests, partitions") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, c STRING) " +
+        "PARTITIONED BY (c)")
+      spark.sql(s"INSERT INTO $cat.db.m VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+      spark.sql(s"INSERT INTO $cat.db.m VALUES (4, 'b')")
+
+      val snaps = spark.sql(
+        s"SELECT operation, total_records FROM $cat.db.m.snapshots ORDER BY committed_at")
+        .as[(String, Long)].collect().toSeq
+      assert(snaps == Seq(("append", 3L), ("append", 4L)))
+      assert(spark.sql(s"SELECT * FROM $cat.db.m.files").count() == 3) // a + 2×b
+      assert(spark.sql(s"SELECT * FROM $cat.db.m.manifests").count() == 2)
+      val parts = spark.sql(
+        s"SELECT c, n_files, n_records FROM $cat.db.m.partitions ORDER BY c")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(parts == Seq(("a", 1L, 2L), ("b", 2L, 2L)))
+      // projections and filters work through the LocalScan
+      assert(spark.sql(
+        s"SELECT record_count FROM $cat.db.m.files WHERE record_count > 1").count() == 1)
+      // metadata tables reflect CURRENT state after more commits
+      spark.sql(s"INSERT INTO $cat.db.m VALUES (5, 'a')")
+      assert(spark.sql(s"SELECT * FROM $cat.db.m.snapshots").count() == 3)
+    }
+  }
 }
