@@ -209,6 +209,31 @@ object Corpus {
       .drop("_h", "_b", "_off")
   }
 
+  /** INCREMENTAL dedup: deduplicate a newly-ingested increment against an
+    * already-deduplicated historical corpus — the per-ingest shape of
+    * [[Dedup.exactDedup]]. The increment first collapses internally
+    * (minimum-id canonical per content fingerprint), then anti-joins the
+    * history's fingerprints; surviving rows are genuinely new content.
+    *
+    * Scale shape: the history side projects to its 128-bit fingerprint
+    * BEFORE the join, so each ingest costs O(|increment|) plus a 16-byte-
+    * per-row scan of history fingerprints (in practice a fingerprint
+    * column/table maintained alongside the corpus) — NOT a re-dedup of the
+    * full corpus. At 100 TB the anti-join shuffles 16 B/row of history vs
+    * re-shuffling the corpus itself; paired with an Iceberg incremental
+    * snapshot scan the whole ingest path is O(new data). */
+  def incrementalDedup(increment: DataFrame, history: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    def fp(c: Column) =
+      struct(xxhash64(c).as("h1"), xxhash64(lit(0x9747b28c), c).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+    val canon = increment.withColumn("_fp", fp(col(textCol)))
+      .withColumn("_canon", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_canon"))
+    val seen = history.select(fp(col(textCol)).as("_fp")).distinct()
+    canon.join(seen, Seq("_fp"), "left_anti").drop("_fp", "_canon")
+  }
+
   /** Deterministic stratified mixture sampling: keep a row iff its
     * engine-portable hash-uniform u(key) < rate(stratum) — how a training
     * mix downsamples over-represented sources/languages. Rehashing the same

@@ -92,9 +92,12 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
   def getTable(namespace: String, name: String): JsonNode =
     request("GET", s"/namespaces/$namespace/tables/$name")
 
-  /** rest_client.py:90-95 */
-  def deleteTable(namespace: String, name: String): Unit =
-    request("DELETE", s"/namespaces/$namespace/tables/$name")
+  /** rest_client.py:90-95 — `purge` asks the server to also drop data
+    * files, carried as the REST spec's `purgeRequested` query parameter. */
+  def deleteTable(namespace: String, name: String, purge: Boolean = false): Unit = {
+    val q = if (purge) "?purgeRequested=true" else ""
+    request("DELETE", s"/namespaces/$namespace/tables/$name$q")
+  }
 
   /** Open a catalog table as an [[IcebergTable]] via its metadata-location. */
   def loadTable(spark: SparkSession, namespace: String, name: String): IcebergTable = {
@@ -105,4 +108,73 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
 
   private def levels(name: String): String =
     name.split('.').map(p => s""""$p"""").mkString("[", ",", "]")
+}
+
+/** Dev helpers to examine the published Iceberg REST OpenAPI document —
+  * the reference's utility tail (rest_client.py:103-132): parse the spec
+  * once, memoize it, and look entity definitions up by their `\$ref`
+  * fragment path.
+  *
+  * The reference downloads
+  * `apache/iceberg/open-api/rest-catalog-open-api.yaml` from GitHub at
+  * first use; this environment is egress-free, so the document (YAML or
+  * JSON — the published spec is YAML) is supplied by the caller as text
+  * or a local file. Navigation semantics are identical: strip the `#`,
+  * walk each `/`-separated key from the document root.
+  */
+object IceRestApi {
+
+  private val yaml = new ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  /** Module-level memo, as the reference's `api = [None]` cell
+    * (rest_client.py:115). */
+  @volatile private var cached: Option[JsonNode] = None
+
+  /** Parse an OpenAPI document and memoize it for subsequent
+    * [[definition]] calls (rest_client.py:103-112's `_get_api`). */
+  def load(specText: String): JsonNode = {
+    val node = yaml.readTree(specText)
+    cached = Some(node)
+    node
+  }
+
+  /** [[load]] from a local file path. */
+  def loadFile(path: String): JsonNode =
+    load(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), StandardCharsets.UTF_8))
+
+  /** Drop the memoized spec (test isolation). */
+  def reset(): Unit = cached = None
+
+  /** Find the definition of a REST API entity by `\$ref` path, e.g.
+    * `#/components/schemas/AddSnapshotUpdate` (rest_client.py:119-132's
+    * `_get_def`): resolves against the memoized spec unless one is passed
+    * explicitly. */
+  def definition(path: String, spec: JsonNode = null): JsonNode = {
+    val root = Option(spec).orElse(cached).getOrElse(
+      throw new IllegalStateException("no API spec loaded; call load()/loadFile() first"))
+    path.stripPrefix("#").split('/').filter(_.nonEmpty).foldLeft(root) { (node, part) =>
+      val next = node.get(part)
+      if (next == null)
+        throw new NoSuchElementException(s"'$part' not found resolving $path")
+      next
+    }
+  }
+
+  /** All `\$ref` targets reachable under a node — handy for walking a
+    * definition's dependencies the way the reference's doctest chains
+    * `_get_def` calls. */
+  def refsIn(node: JsonNode): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(n: JsonNode): Unit = {
+      if (n.isObject) {
+        val r = n.get("$ref")
+        if (r != null && r.isTextual) out += r.asText()
+        n.properties().asScala.foreach(e => walk(e.getValue))
+      } else if (n.isArray) n.elements().asScala.foreach(walk)
+    }
+    walk(node)
+    out.toSeq
+  }
 }

@@ -152,4 +152,64 @@ class RestCatalogSpec extends AnyFunSuite {
         .head().getLong(0) == 3L)
     }
   }
+
+  // ---- IceRestApi: the reference's OpenAPI examination helpers
+  // (rest_client.py:103-132), offline: spec text supplied by the caller.
+
+  // Shaped like apache/iceberg's rest-catalog-open-api.yaml (the reference's
+  // doctest target AddSnapshotUpdate included verbatim in structure).
+  private val openApiYaml =
+    """openapi: 3.0.3
+      |info:
+      |  title: Apache Iceberg REST Catalog API
+      |components:
+      |  schemas:
+      |    BaseUpdate:
+      |      type: object
+      |      required: [action]
+      |      properties:
+      |        action:
+      |          type: string
+      |    Snapshot:
+      |      type: object
+      |      properties:
+      |        snapshot-id:
+      |          type: integer
+      |    AddSnapshotUpdate:
+      |      allOf:
+      |        - $ref: '#/components/schemas/BaseUpdate'
+      |        - type: object
+      |          required: [snapshot]
+      |          properties:
+      |            snapshot:
+      |              $ref: '#/components/schemas/Snapshot'
+      |""".stripMargin
+
+  test("IceRestApi.definition navigates $ref fragment paths (rest_client.py:119-132)") {
+    IceRestApi.reset()
+    IceRestApi.load(openApiYaml)
+    val d = IceRestApi.definition("#/components/schemas/AddSnapshotUpdate")
+    // the reference doctest's shape: allOf = [BaseUpdate ref, inline object]
+    val allOf = d.get("allOf")
+    assert(allOf != null && allOf.size() == 2)
+    assert(allOf.get(0).get("$ref").asText == "#/components/schemas/BaseUpdate")
+    assert(allOf.get(1).get("required").get(0).asText == "snapshot")
+    // memoized spec reused across calls (the reference's api=[None] cell)
+    assert(IceRestApi.definition("#/components/schemas/Snapshot")
+      .get("properties").has("snapshot-id"))
+  }
+
+  test("IceRestApi: refs walkable, explicit spec wins, errors are specific") {
+    IceRestApi.reset()
+    assert(intercept[IllegalStateException](
+      IceRestApi.definition("#/components")).getMessage.contains("load"))
+    val spec = IceRestApi.load(openApiYaml)
+    val refs = IceRestApi.refsIn(IceRestApi.definition("#/components/schemas/AddSnapshotUpdate"))
+    assert(refs == Seq("#/components/schemas/BaseUpdate", "#/components/schemas/Snapshot"))
+    // chase each ref back through definition() — the doctest's usage pattern
+    refs.foreach(r => assert(IceRestApi.definition(r, spec).isObject))
+    val e = intercept[NoSuchElementException](
+      IceRestApi.definition("#/components/schemas/Nope"))
+    assert(e.getMessage.contains("Nope"))
+  }
 }
