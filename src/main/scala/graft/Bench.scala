@@ -17,14 +17,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // contract queries plus bench-only raw-operator bodies (_op entries)
+    val benchable = SparkEntry.queries ++ SparkEntry.benchOnly
     val names = {
-      val h = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      val h = SparkEntry.benchQueries.filter(benchable.contains)
       if (h.nonEmpty) h else SparkEntry.queries.keys.toSeq.sorted
     }
     // JVM/codegen warm-up on the smallest SF so measured times reflect
     // steady-state execution, not first-query classloading.
     names.headOption.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try benchable(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
     // Per-query MEDIAN of `reps` runs: wall-clock on a shared VM swings
@@ -37,7 +39,7 @@ object Bench {
         // noop sink executes the FULL plan (a count() would let Spark prune
         // projections and undercount the real work)
         val err =
-          try { SparkEntry.queries(name)(spark, sfDir)
+          try { benchable(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable =>
             System.err.println(s"BENCH FAILURE in $name: $e")

@@ -89,6 +89,21 @@ object LlmQueries {
       n = 3, maxHamming = 16, hashAlgo = SimHash.AlgoPoly31)
       .orderBy("id_a", "id_b")
 
+  /** INCREMENTAL dedup gate: a deterministic split of the corpus
+    * (doc_id % 5 == 0 plays the newly-ingested increment, the rest the
+    * already-deduplicated history) exercises [[Corpus.incrementalDedup]]
+    * end-to-end. The operator's 128-bit fingerprint anti-join means CONTENT
+    * equality, so DuckDB replays it with text equality directly — the same
+    * collision-freedom argument `dd_exact` rests on. */
+  def ddIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Corpus.incrementalDedup(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      .select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
     // (planes=2, tables=24) tuned to the low 0.2 threshold: LSH-theory miss
     // probability (1-p^2)^24 ≈ 1e-4 per pair at cos=0.2, and the exact-cosine
@@ -115,33 +130,44 @@ object LlmQueries {
     * query returns exactly k hits, ranked by true cosine, no self-matches
     * or duplicates. */
   def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val approx = Similarity.lshTopK(emb, queries,
       "embedding", "vec_id", k = 5, planes = 4, dims = 64)
     val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
-    val rows = approx.select("query_id", "rank", "neighbor_id", "cos")
-      .as[(Long, Int, Long, Double)].collect() // bounded: n_queries * k rows
-    val exactSet = exact.select("query_id", "neighbor_id")
-      .as[(Long, Long)].collect().toSet
-    val byQuery = rows.groupBy(_._1)
-    val nQueries = byQuery.size.toLong
-    val rankedOk = byQuery.values.forall { qs =>
-      val sorted = qs.sortBy(_._2)
-      sorted.map(_._2).sameElements(1 to qs.length) &&
-        sorted.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4)
-    }
-    val hitsValid = byQuery.forall { case (q, qs) =>
-      qs.forall(_._3 != q) && qs.map(_._3).distinct.length == qs.length
-    }
-    val meanRecall = byQuery.map { case (q, qs) =>
-      qs.count(r => exactSet((q, r._3))).toDouble / 5.0
-    }.sum / math.max(1, nQueries)
-    def ok(v: Boolean) = if (v) 1L else 0L
-    Seq((nQueries, rows.length.toLong, ok(rankedOk), ok(hitsValid),
-        ok(meanRecall >= 0.3)))
-      .toDF("n_queries", "n_hits", "ranked_ok", "hits_valid", "recall_ok")
+    // Verdicts computed as distributed joins/aggs (same shape as
+    // [[simTopkIvf]]) — nothing collects to the driver, so the audit scales
+    // with n_queries like the operator itself.
+    val matched = approx.join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("_matched"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQuery = approx
+      .withColumn("_prev_cos", lag(col("cos"), 1).over(wq))
+      .groupBy(col("query_id")).agg(
+        count(lit(1)).as("_hits"),
+        min(col("rank")).as("_rmin"),
+        max(col("rank")).as("_rmax"),
+        countDistinct(col("rank")).as("_rdis"),
+        countDistinct(col("neighbor_id")).as("_ndis"),
+        max((col("neighbor_id") === col("query_id")).cast("long")).as("_self"),
+        max(coalesce((col("_prev_cos") < col("cos")).cast("long"), lit(0L)))
+          .as("_unsorted"))
+    val per = perQuery.join(matched, Seq("query_id"), "left")
+      .select(col("_hits"),
+        (col("_rmin") === 1 && col("_rmax") === col("_hits") &&
+          col("_rdis") === col("_hits") && col("_unsorted") === 0L)
+          .cast("long").as("_ranked"),
+        (col("_ndis") === col("_hits") && col("_self") === 0L)
+          .cast("long").as("_valid"),
+        (coalesce(col("_matched"), lit(0L)).cast("double") / 5.0).as("_recall"))
+    per.agg(
+      count(lit(1)).as("n_queries"),
+      sum(col("_hits")).as("n_hits"),
+      min(col("_ranked")).as("ranked_ok"),
+      min(col("_valid")).as("hits_valid"),
+      (avg(col("_recall")) >= 0.3).cast("long").as("recall_ok"))
   }
 
   /** IVF (k-means inverted file) ANN probing 4 of 8 cells, with a
@@ -397,6 +423,7 @@ object LlmQueries {
     "dd_simhash"        -> (ddSimhash _),
     "dd_simhash_rolling" -> (ddSimhashRolling _),
     "dd_embedding"      -> (ddEmbedding _),
+    "dd_incremental"    -> (ddIncremental _),
     "tx_repetition"     -> (txRepetition _),
     "tx_redact"         -> (txRedact _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
@@ -418,6 +445,25 @@ object LlmQueries {
     "mm_meta"           -> (mmMeta _),
     "mm_features"       -> (mmFeatures _),
     "mm_frames"         -> (mmFrames _),
+  )
+
+  /** Bench-only raw-operator bodies (NOT driver-contract queries): the
+    * contract entries `dd_simhash` / `sim_topk_lsh` are audit harnesses —
+    * they run the operator AND its bounded-error validation (a second full
+    * hash pipeline, a brute-force recall sibling), so timing them measures
+    * the audit, not the operator. These time the production operator alone.
+    * Named with an `_op` suffix so BENCH_r08+ numbers are not misread as
+    * comparable to the r6/r7 audit-inclusive `dd_simhash`/`sim_topk_lsh`
+    * timings. */
+  val benchOps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_simhash_op" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, maxHamming = 16, hashAlgo = SimHash.AlgoXx)),
+    "sim_topk_lsh_op" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, planes = 4, dims = 64)
+    }),
   )
 
   private val shingleCte = """
@@ -503,6 +549,18 @@ object LlmQueries {
         MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
         doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_canonical
       FROM documents ORDER BY doc_id""",
+    // the increment collapses to min-id canonicals, then drops anything
+    // whose content already exists in history — replayed with plain text
+    // equality (the operator's fingerprint equality means exactly this)
+    "dd_incremental" -> """
+      WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+      canon AS (SELECT doc_id, text, lang, source FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS cid FROM inc)
+        WHERE doc_id = cid)
+      SELECT doc_id, text, lang, source FROM canon
+      WHERE text NOT IN (SELECT text FROM hist)
+      ORDER BY doc_id""",
     "dd_ngram_jaccard" -> jaccardPairSql,
     // MinHash-LSH detects the same pair set (recall ≈ 1 at J ≥ 0.5 with
     // k=64/bands=16 on this corpus — validated), so the exact-Jaccard SQL
@@ -712,7 +770,8 @@ object LlmQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s2
         FROM ch)
       SELECT doc_id, chunk_idx, n_tokens,
-        s2 // 256 AS seq_id, s2 % 256 AS seq_offset
+        CAST(s2 // 256 AS BIGINT) AS seq_id,
+        CAST(s2 % 256 AS BIGINT) AS seq_offset
       FROM p ORDER BY doc_id, chunk_idx""",
     // the packing replayed as ONE windowed running sum over the same chunk
     // stream — integer cut points, bit-exact in any engine
@@ -731,7 +790,8 @@ object LlmQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
         FROM ch)
       SELECT doc_id, chunk_idx, n_tokens,
-        s // 256 AS seq_id, s % 256 AS seq_offset
+        CAST(s // 256 AS BIGINT) AS seq_id,
+        CAST(s % 256 AS BIGINT) AS seq_offset
       FROM p ORDER BY doc_id, chunk_idx""",
     // integer cross-multiplied share test: bit-exact replay, no float
     // threshold boundary

@@ -28,11 +28,23 @@ object SparkEntry {
     Queries.relationalOracle ++ LlmQueries.oracle ++ StreamQueries.oracle ++
       IceQueries.oracle ++ IceQueries.dynamicOracle
 
-  /** Subset used by Bench as the headline performance set. */
+  /** Bench-only raw-operator bodies (see [[LlmQueries.benchOps]]) — timed by
+    * Bench but NOT part of the driver correctness contract. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    LlmQueries.benchOps
+
+  /** Subset used by Bench as the headline performance set.
+    *
+    * NAME BREAK (round 8): `dd_simhash` → `dd_simhash_op` and
+    * `sim_topk_lsh` → `sim_topk_lsh_op`. The old entries benched the audit
+    * harness (dual hash pipelines / brute-force recall sibling) added in
+    * round 7, which made r6→r7 totals compare different work; the `_op`
+    * entries time the raw operator alone. r7 bench numbers for those two
+    * names are NOT comparable to r8's. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_top_revenue", "q05_nation_revenue",
     "q06_forecast_revenue", "q08_returned_items", "q09_window_orders",
     "q13_rollup", "q20_supplier_scorecard",
-    "dd_exact", "dd_minhash_lsh", "dd_simhash", "sim_topk_brute",
-    "sim_topk_lsh", "tx_stats", "tx_langid", "mm_features")
+    "dd_exact", "dd_minhash_lsh", "dd_simhash_op", "sim_topk_brute",
+    "sim_topk_lsh_op", "tx_stats", "tx_langid", "mm_features")
 }

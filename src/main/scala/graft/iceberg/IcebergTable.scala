@@ -634,7 +634,7 @@ final class IcebergTable private (
     val files = liveFiles()
     val hasDeletes = liveDeleteFiles.nonEmpty
     val grouped = files.groupBy(f => fields.map(n => f.partition.getOrElse(n, null)))
-      .toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     // column type per partition field: inferred from the stored physical
     // values (identity keeps the source type; bucket/truncate/day store
     // ints/longs) — this is a driver-side table of one row per partition

@@ -2393,7 +2393,7 @@ object IcebergWriter {
           val clustered = specFiles.sortBy(f =>
             specInfo.map { case (pf, _, _) =>
               String.valueOf(f.partition.getOrElse(pf.name, null))
-            }.mkString(" "))
+            }.mkString("\u0000"))
           clustered.grouped(perManifest).zipWithIndex.map { case (chunk, i) =>
             val path = s"$url/metadata/$commitId-rw$specId-$i.avro"
             writeExistingManifest(path, chunk, current.resolvePath,

@@ -263,8 +263,27 @@ object Maintenance {
         chain = table.snapshots(chain.head.parentSnapshotId.get) :: chain
       // snapshots a ref points to (tags especially) survive expiration —
       // a pinned training set must stay reproducible
-      val keepIds = chain.map(_.snapshotId).toSet ++
-        table.refs.values.map(_.snapshotId).filter(table.snapshots.contains)
+      val keepIds = scala.collection.mutable.Set.empty[Long]
+      keepIds ++= chain.map(_.snapshotId)
+      keepIds ++= table.refs.values.map(_.snapshotId).filter(table.snapshots.contains)
+      // a BRANCH also keeps its ANCESTRY (Iceberg's retained-ref ancestor
+      // rule): a WAP branch with stacked staged appends needs its
+      // intermediate snapshots for fastForward's ancestor walk, so follow
+      // each branch's parent chain until it meets an already-kept snapshot
+      // (main's trimmed chain at the fork point, typically). `main` itself
+      // is excluded — its retention IS the keepLast chain above.
+      table.refs.values
+        .filter(r => r.refType == "branch" && r.name != "main")
+        .foreach { ref =>
+          var cur = table.snapshots.get(ref.snapshotId)
+          var next = cur.flatMap(_.parentSnapshotId)
+          while (next.exists(p => !keepIds.contains(p) &&
+              table.snapshots.contains(p))) {
+            keepIds += next.get
+            cur = table.snapshots.get(next.get)
+            next = cur.flatMap(_.parentSnapshotId)
+          }
+        }
       if (keepIds.size == table.snapshots.size) None // nothing to expire
       else {
         val old = mapper.readTree(IcebergTableIo.readString(

@@ -119,14 +119,25 @@ object Corpus {
   def packSequences(df: DataFrame, idCol: String, subOrderCol: String,
       nTokensCol: String, seqLen: Int, buckets: Int = 1024): DataFrame = {
     require(seqLen >= 1 && buckets >= 1, "seqLen and buckets must be positive")
-    val maxId = df.agg(max(col(idCol).cast("long"))).head() match {
-      case r if r.isNullAt(0) => return df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        df.schema.add("seq_id", "long").add("seq_offset", "long"))
+    // Materialize the (possibly expensive) upstream plan ONCE: the two
+    // metadata actions below (max id, per-bucket totals) and the output job
+    // itself all read this cache instead of re-executing the input pipeline
+    // three times — for a composed corpus pipeline the input subtree is the
+    // dominant cost. MEMORY_AND_DISK spills at scale; the blocks are
+    // reclaimed by the ContextCleaner once the result goes out of scope,
+    // and callers holding `df` can `unpersist()` it deterministically after
+    // consuming the result.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxId = in.agg(max(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) =>
+        in.unpersist()
+        return df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          df.schema.add("seq_id", "long").add("seq_offset", "long"))
       case r => r.getLong(0)
     }
     val width = math.max(1L, (maxId + buckets) / buckets)
-    val bucketed = df.withColumn("_b",
+    val bucketed = in.withColumn("_b",
       (col(idCol).cast("long") / lit(width)).cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_b")).orderBy(col(idCol), col(subOrderCol))

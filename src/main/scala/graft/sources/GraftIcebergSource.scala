@@ -1169,12 +1169,18 @@ final class GraftIcebergMicroBatchStream(
         "or stream-from-earliest")
   }
 
+  /** Last wall-clock time this stream ADMITTED a batch — the reference
+    * point for ReadMinRows.maxTriggerDelayMs (a min-rows gate must not
+    * defer forever; the engine contract gives it a time escape hatch). */
+  @volatile private var lastAdmittedMs: Long = System.currentTimeMillis()
+
   /** Honors the ENGINE-SUPPLIED ReadLimit (Trigger.AvailableNow composes
     * max-files/max-rows limits): max-files caps the snapshot count (same
     * unit as `getDefaultReadLimit`), max-rows caps the batch at the first
     * snapshot whose cumulative `added-records` crosses the bound (always
     * admitting at least one so the stream advances), min-rows defers the
-    * batch while fewer rows are pending. Composite limits take the
+    * batch while fewer rows are pending UNTIL its maxTriggerDelayMs has
+    * elapsed since the last admitted batch. Composite limits take the
     * tightest cap. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows, ReadMinRows}
@@ -1190,12 +1196,16 @@ final class GraftIcebergMicroBatchStream(
       case other => Seq(other)
     }
     val limits = flatten(limit)
-    // min-rows admission gate: not enough pending rows → no batch yet
+    // min-rows admission gate: not enough pending rows → no batch yet,
+    // unless the limit's max trigger delay has already elapsed (then the
+    // undersized batch fires anyway so the gate cannot starve the stream)
     val pendingRows = pending.map(addedRows).sum
     if (limits.exists {
-      case m: ReadMinRows => pendingRows < m.minRows
+      case m: ReadMinRows => pendingRows < m.minRows &&
+        System.currentTimeMillis() - lastAdmittedMs < m.maxTriggerDelayMs
       case _ => false
     }) return SnapshotOffset(startId)
+    lastAdmittedMs = System.currentTimeMillis()
     val caps = limits.map {
       case _: ReadAllAvailable => Int.MaxValue
       case f: ReadMaxFiles => f.maxFiles()

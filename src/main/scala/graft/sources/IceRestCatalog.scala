@@ -127,33 +127,24 @@ object IceRestApi {
   private val yaml = new ObjectMapper(
     new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
 
-  /** Module-level memo, as the reference's `api = [None]` cell
-    * (rest_client.py:115). */
-  @volatile private var cached: Option[JsonNode] = None
-
-  /** Parse an OpenAPI document and memoize it for subsequent
-    * [[definition]] calls (rest_client.py:103-112's `_get_api`). */
-  def load(specText: String): JsonNode = {
-    val node = yaml.readTree(specText)
-    cached = Some(node)
-    node
-  }
+  /** Parse an OpenAPI document into the handle [[definition]] resolves
+    * against (rest_client.py:103-112's `_get_api`). The parsed node IS the
+    * memo — callers hold it; a process-global cell (the reference's
+    * `api = [None]`) would let two callers loading different specs race
+    * and silently resolve against whichever loaded last. */
+  def load(specText: String): JsonNode = yaml.readTree(specText)
 
   /** [[load]] from a local file path. */
   def loadFile(path: String): JsonNode =
     load(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), StandardCharsets.UTF_8))
 
-  /** Drop the memoized spec (test isolation). */
-  def reset(): Unit = cached = None
-
   /** Find the definition of a REST API entity by `\$ref` path, e.g.
     * `#/components/schemas/AddSnapshotUpdate` (rest_client.py:119-132's
-    * `_get_def`): resolves against the memoized spec unless one is passed
-    * explicitly. */
-  def definition(path: String, spec: JsonNode = null): JsonNode = {
-    val root = Option(spec).orElse(cached).getOrElse(
-      throw new IllegalStateException("no API spec loaded; call load()/loadFile() first"))
+    * `_get_def`), resolved against the spec handle [[load]] returned. */
+  def definition(path: String, spec: JsonNode): JsonNode = {
+    val root = Option(spec).getOrElse(
+      throw new IllegalStateException("no API spec supplied; pass load()/loadFile()'s result"))
     path.stripPrefix("#").split('/').filter(_.nonEmpty).foldLeft(root) { (node, part) =>
       val next = node.get(part)
       if (next == null)

@@ -82,6 +82,31 @@ class WapSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, url).read().count() == 1)
   }
 
+  test("expireSnapshots keeps a staged branch's ancestry so it stays publishable") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "cat"))
+    IcebergWriter.append(spark, url, Seq((2L, "b")).toDF("k", "cat"))
+    // two STACKED staged appends: audit's head chains through an
+    // intermediate staged snapshot that no ref points to directly
+    IcebergWriter.appendToBranch(spark, url, Seq((3L, "s")).toDF("k", "cat"), "audit")
+    IcebergWriter.appendToBranch(spark, url, Seq((4L, "s")).toDF("k", "cat"), "audit")
+
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    val t = IcebergTable.load(spark, url)
+    // main's first append expired; the branch chain (fork head + both
+    // staged snapshots) survived via the branch-ancestry rule
+    assert(t.snapshots.size == 3,
+      s"expected {main head, 2 staged}, got ${t.snapshots.keys}")
+    assert(t.atBranch("audit").read().count() == 4)
+
+    // the audited work is still publishable — the ancestor walk must not
+    // hit a hole where the intermediate staged snapshot used to be
+    IcebergWriter.fastForward(spark, url, "audit")
+    assert(IcebergTable.load(spark, url).read()
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("guards: tags cannot fast-forward; branch commits are append-only") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)

@@ -186,30 +186,34 @@ class RestCatalogSpec extends AnyFunSuite {
       |""".stripMargin
 
   test("IceRestApi.definition navigates $ref fragment paths (rest_client.py:119-132)") {
-    IceRestApi.reset()
-    IceRestApi.load(openApiYaml)
-    val d = IceRestApi.definition("#/components/schemas/AddSnapshotUpdate")
+    val spec = IceRestApi.load(openApiYaml)
+    val d = IceRestApi.definition("#/components/schemas/AddSnapshotUpdate", spec)
     // the reference doctest's shape: allOf = [BaseUpdate ref, inline object]
     val allOf = d.get("allOf")
     assert(allOf != null && allOf.size() == 2)
     assert(allOf.get(0).get("$ref").asText == "#/components/schemas/BaseUpdate")
     assert(allOf.get(1).get("required").get(0).asText == "snapshot")
-    // memoized spec reused across calls (the reference's api=[None] cell)
-    assert(IceRestApi.definition("#/components/schemas/Snapshot")
+    // the spec handle is reusable across calls (no process-global state)
+    assert(IceRestApi.definition("#/components/schemas/Snapshot", spec)
       .get("properties").has("snapshot-id"))
   }
 
-  test("IceRestApi: refs walkable, explicit spec wins, errors are specific") {
-    IceRestApi.reset()
+  test("IceRestApi: refs walkable, spec handles are independent, errors specific") {
     assert(intercept[IllegalStateException](
-      IceRestApi.definition("#/components")).getMessage.contains("load"))
+      IceRestApi.definition("#/components", null)).getMessage.contains("load"))
     val spec = IceRestApi.load(openApiYaml)
-    val refs = IceRestApi.refsIn(IceRestApi.definition("#/components/schemas/AddSnapshotUpdate"))
+    val refs = IceRestApi.refsIn(
+      IceRestApi.definition("#/components/schemas/AddSnapshotUpdate", spec))
     assert(refs == Seq("#/components/schemas/BaseUpdate", "#/components/schemas/Snapshot"))
     // chase each ref back through definition() — the doctest's usage pattern
     refs.foreach(r => assert(IceRestApi.definition(r, spec).isObject))
+    // two callers with DIFFERENT specs never see each other's definitions
+    val other = IceRestApi.load("components:\n  schemas:\n    OnlyHere:\n      type: object\n")
+    assert(IceRestApi.definition("#/components/schemas/OnlyHere", other).isObject)
+    intercept[NoSuchElementException](
+      IceRestApi.definition("#/components/schemas/OnlyHere", spec))
     val e = intercept[NoSuchElementException](
-      IceRestApi.definition("#/components/schemas/Nope"))
+      IceRestApi.definition("#/components/schemas/Nope", spec))
     assert(e.getMessage.contains("Nope"))
   }
 }
