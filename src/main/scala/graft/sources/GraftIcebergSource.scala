@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.graftbridge.ScanBridge
+import org.apache.spark.sql.graftbridge.{DeleteLoader, ScanBridge}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -653,19 +653,29 @@ final class GraftIcebergScan(
       .flatMap(n => table.schema.fields.find(_.name == n))
   }
 
-  /** Guard the driver against unbounded delete-state loading: position AND
-    * equality delete rows both count (the manifests record the sizes, so
-    * the refusal costs no I/O). Compaction is the escape hatch. */
-  private lazy val assertDeleteCap: Unit = {
+  /** Delete-state placement decision: BELOW the cap, delete state loads on
+    * the driver once and ships inside each partition (minimal task
+    * payloads, one distributed read of every delete file). ABOVE the cap —
+    * position AND equality delete rows both count, and the manifests
+    * record the sizes, so the decision costs no I/O — that materialization
+    * would not fit a driver, so the scan switches to DISTRIBUTED per-task
+    * delete reads: each task loads the delete files overlapping its own
+    * data file through a per-JVM byte-bounded cache ([[DeleteLoader]], the
+    * Iceberg-java `DeleteFilter` shape). A 100 TB CDC table with hundreds
+    * of millions of deleted rows scans normally instead of refusing;
+    * compaction remains the way to make it cheap again. */
+  private lazy val perTaskDeletes: Boolean = {
     val totalDeleteRows = table.positionDeleteFiles.map(_.recordCount).sum +
       eqDeleteFiles.map(_.recordCount).sum
     val cap = SQLConf.get.getConfString(
       "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
-    require(totalDeleteRows <= cap,
-      s"snapshot carries $totalDeleteRows delete rows (> cap $cap); " +
-        "run graft.iceberg.Maintenance.compact to fold deletes into data files, " +
-        "or raise spark.graft.iceberg.morDriverDeleteLimit")
+    totalDeleteRows > cap
   }
+
+  /** Byte budget of the per-JVM decoded-delete-file cache (distributed
+    * delete mode only). */
+  private lazy val deleteCacheBytes: Long = SQLConf.get.getConfString(
+    "spark.graft.iceberg.deleteCacheBytes", (256L * 1024 * 1024).toString).toLong
 
   /** Equality-delete key sets, loaded once on the driver. Files sharing a
     * key-column set load in ONE distributed job (a union keyed by source
@@ -673,12 +683,16 @@ final class GraftIcebergScan(
     * N — each file still forms its own group (its commit sequence scopes
     * which data files it applies to). */
   private lazy val eqGroups: Array[ScanBridge.EqDeleteGroup] = {
-    if (eqDeleteFiles.isEmpty) Array.empty
-    else {
-      assertDeleteCap
-      GraftIcebergScan.buildEqGroups(table, morReadSchema, eqDeleteFiles)
-    }
+    if (eqDeleteFiles.isEmpty || perTaskDeletes) Array.empty
+    else GraftIcebergScan.buildEqGroups(table, morReadSchema, eqDeleteFiles)
   }
+
+  /** Distributed-mode equality deletes: metadata-only descriptors (path,
+    * write-time key names, read ordinals/types, commit sequence) — each
+    * task loads the key sets itself, JVM-cached. */
+  private lazy val eqDeleteSpecs: Array[DeleteLoader.EqDeleteFileSpec] =
+    if (eqDeleteFiles.isEmpty || !perTaskDeletes) Array.empty
+    else GraftIcebergScan.buildEqSpecs(table, morReadSchema, eqDeleteFiles)
 
   /** Deleted positions grouped per data file, loaded ONCE per scan by a
     * distributed Spark read of the delete parquets (each delete file is
@@ -686,13 +700,12 @@ final class GraftIcebergScan(
     * this scan actually covers. Positions travel to tasks inside their own
     * [[ScanBridge.MorFilePartition]] — a task serializes only its file's
     * positions. Driver footprint is bounded by the manifest-recorded delete
-    * row count; beyond the cap the scan refuses loudly and points at
-    * compaction (the same escape hatch Iceberg operators reach for). */
+    * row count; beyond the cap ([[perTaskDeletes]]) this map stays empty
+    * and tasks load their own delete state instead. */
   private lazy val morDeletesByKey: Map[String, Array[Long]] = {
-    if (morDeletes.isEmpty) Map.empty
+    if (morDeletes.isEmpty || perTaskDeletes) Map.empty
     else {
       val spark = SparkSession.active
-      assertDeleteCap
       val scannedKeys = files.map(f =>
         ScanBridge.morKey(table.resolvePath(f.filePath))).toSet
       import org.apache.spark.sql.functions.col
@@ -856,6 +869,18 @@ final class GraftIcebergScan(
     case None if morMode =>
       requireNoOrcUnderMor()
       val spark = SparkSession.active
+      // distributed delete mode: each partition carries the PATHS of the
+      // position-delete files that may overlap its data file (pruned by
+      // commit sequence and partition tuple — both provable from manifest
+      // metadata alone; anything unprovable is conservatively included,
+      // the task-side morKey match keeps correctness)
+      val perTaskFiles: Seq[Array[String]] =
+        if (!perTaskDeletes || morDeletes.isEmpty) null
+        else {
+          val posDel = table.positionDeleteFiles
+          files.map(f => posDel.filter(d => deleteMayApply(d, f))
+            .map(d => table.resolvePath(d.filePath)).toArray)
+        }
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
         files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,
           table.dataSequenceOf(f),
@@ -864,9 +889,37 @@ final class GraftIcebergScan(
             case "_file" => ("_file", table.resolvePath(f.filePath))
             case "_pos" => ("_pos", null: String)
           })),
-        morDeletesByKey)
+        morDeletesByKey, perTaskFiles)
     case None => delegate.planInputPartitions()
   }
+
+  /** Can position-delete file `d` hold deletes against data file `f`?
+    * Provable non-overlap (from manifest metadata alone) prunes; anything
+    * uncertain is included — the task-side morKey match keeps correctness.
+    * Sequence: a delete committed at sequence S can only reference paths
+    * that existed at S, and data-file names are unique, so `dataSeq(f) >
+    * dataSeq(d)` proves non-overlap. Partition: a partition-scoped delete
+    * (fully non-null tuple under the SAME spec) applies only to its tuple;
+    * a delete file with any null partition value spans partitions (the
+    * writer's cross-partition delete files carry a null tuple) and is
+    * never pruned. */
+  private def deleteMayApply(d: graft.iceberg.Manifests.DataFileInfo,
+      f: graft.iceberg.Manifests.DataFileInfo): Boolean = {
+    val seqOk = table.dataSequenceOf(d) >= table.dataSequenceOf(f)
+    val partOk = d.partition.isEmpty || d.partition.values.exists(_ == null) ||
+      d.specId != f.specId || partitionTupleEq(d.partition, f.partition)
+    seqOk && partOk
+  }
+
+  /** Partition-tuple equality that compares byte-array values by CONTENT
+    * (a false negative here would wrongly prune an applicable delete). */
+  private def partitionTupleEq(a: Map[String, Any], b: Map[String, Any]): Boolean =
+    a.keySet == b.keySet && a.forall { case (k, va) =>
+      (va, b(k)) match {
+        case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+        case (x, y) => x == y
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.createReaderFactory()
@@ -877,7 +930,12 @@ final class GraftIcebergScan(
       // constants) need the row-based readers
       ScanBridge.morReaderFactory(inner, requiredSchema, morReadSchema.length,
         columnarCapable = metaCols.isEmpty,
-        eqGroups = eqGroups)
+        eqGroups = eqGroups,
+        eqSpecs = eqDeleteSpecs,
+        conf = if (!perTaskDeletes) null
+          else new org.apache.spark.util.SerializableConfiguration(
+            SparkSession.active.sessionState.newHadoopConf()),
+        deleteCacheBytes = deleteCacheBytes)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner
   }
@@ -935,30 +993,7 @@ object GraftIcebergScan {
         ScanBridge.morKey(table.resolvePath(f.filePath)) ->
           table.dataSequenceOf(f)).toMap
       val hconf = spark.sessionState.newHadoopConf()
-      def footerNames(p: String): Seq[String] = {
-        GraftIcebergSource.footerProbes.incrementAndGet()
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p), hconf))
-        try {
-          val s = r.getFooter.getFileMetaData.getSchema
-          (0 until s.getFieldCount).map(s.getFieldName)
-        } finally r.close()
-      }
-      def writeNames(f: graft.iceberg.Manifests.DataFileInfo): Seq[String] = {
-        val fromMeta = for {
-          snapId <- f.snapshotId
-          snap <- table.metadata.snapshotsById.get(snapId)
-          sch <- scala.util.Try(table.metadata.schemaFor(snap)).toOption
-          resolved <- {
-            val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
-            if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
-          }
-        } yield resolved
-        fromMeta.getOrElse(
-          footerNames(table.resolvePath(f.filePath)).take(ids.length))
-      }
-      val byWriteNames = files.groupBy(writeNames)
+      val byWriteNames = files.groupBy(f => eqWriteNames(table, ids, f, hconf))
 
       def groupOf(seq: Long, fileRows: Iterable[org.apache.spark.sql.Row]) = {
         // UnsafeRow keys (byte-based equals/hashCode): binary key columns
@@ -993,6 +1028,62 @@ object GraftIcebergScan {
           groupOf(seq, fileRows)
         }
       }
+    }.toArray
+  }
+
+  /** Resolve the key column names of one equality-delete file AS WRITTEN:
+    * from metadata (the adding snapshot's schema names each equality id —
+    * zero parquet footers opened), falling back to a footer probe for
+    * files whose snapshot/schema is unresolvable. */
+  private def eqWriteNames(table: IcebergTable, ids: Seq[Int],
+      f: graft.iceberg.Manifests.DataFileInfo,
+      hconf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    def footerNames(p: String): Seq[String] = {
+      GraftIcebergSource.footerProbes.incrementAndGet()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), hconf))
+      try {
+        val s = r.getFooter.getFileMetaData.getSchema
+        (0 until s.getFieldCount).map(s.getFieldName)
+      } finally r.close()
+    }
+    val fromMeta = for {
+      snapId <- f.snapshotId
+      snap <- table.metadata.snapshotsById.get(snapId)
+      sch <- scala.util.Try(table.metadata.schemaFor(snap)).toOption
+      resolved <- {
+        val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
+        if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
+      }
+    } yield resolved
+    fromMeta.getOrElse(
+      footerNames(table.resolvePath(f.filePath)).take(ids.length))
+  }
+
+  /** DISTRIBUTED-mode equality-delete planning: one metadata-only
+    * descriptor per delete FILE (no data I/O on the driver) — tasks load
+    * the key sets themselves through [[DeleteLoader]]. The driver-side
+    * [[buildEqGroups]] loads the same state eagerly below the delete cap;
+    * this path exists so a CDC table whose delete rows exceed driver
+    * memory still scans. */
+  private[sources] def buildEqSpecs(table: IcebergTable, read: StructType,
+      eqDeleteFiles: Seq[graft.iceberg.Manifests.DataFileInfo])
+      : Array[DeleteLoader.EqDeleteFileSpec] = {
+    val spark = SparkSession.active
+    val idToName = table.iceSchema.fields.map(f => f.id -> f.name).toMap
+    val nameToType = table.schema.fields.map(f => f.name -> f.dataType).toMap
+    val hconf = spark.sessionState.newHadoopConf()
+    eqDeleteFiles.map { f =>
+      val ids = f.equalityIds
+      val names = ids.map(id => idToName.getOrElse(id,
+        throw new IllegalStateException(s"equality id $id not in schema")))
+      DeleteLoader.EqDeleteFileSpec(
+        table.resolvePath(f.filePath),
+        eqWriteNames(table, ids, f, hconf).toArray,
+        names.map(read.fieldIndex).toArray,
+        names.map(nameToType).toArray,
+        table.dataSequenceOf(f))
     }.toArray
   }
 

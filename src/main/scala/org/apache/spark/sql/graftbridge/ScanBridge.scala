@@ -217,7 +217,13 @@ object ScanBridge {
       private[graftbridge] val underlying: org.apache.spark.sql.execution.datasources.FilePartition,
       private[graftbridge] val selectPositions: Array[Long] = null,
       private[graftbridge] val ownEqGroups: Array[EqDeleteGroup] = null,
-      private[graftbridge] val selectEqGroups: Array[EqDeleteGroup] = null)
+      private[graftbridge] val selectEqGroups: Array[EqDeleteGroup] = null,
+      /** Non-null = DISTRIBUTED delete mode: the position-delete files that
+        * may overlap this data file; the TASK loads its own positions via
+        * [[DeleteLoader]] and `deleted` is ignored. Engaged above the
+        * driver delete cap, where shipping positions from the driver would
+        * not fit. */
+      private[graftbridge] val posDeleteFiles: Array[String] = null)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
   }
@@ -253,7 +259,11 @@ object ScanBridge {
       hadoopConf: Configuration,
       // (path, size, data sequence, metadata column values)
       files: Seq[(String, Long, Long, Seq[(String, String)])],
-      deletesByKey: Map[String, Array[Long]]): Array[InputPartition] = {
+      deletesByKey: Map[String, Array[Long]],
+      /** Non-null = distributed delete mode: per data file, the overlapping
+        * position-delete files each TASK should read (see
+        * [[MorFilePartition.posDeleteFiles]]); `deletesByKey` is unused. */
+      perTaskDeleteFiles: Seq[Array[String]] = null): Array[InputPartition] = {
     val fsCache = mutable.Map.empty[String, org.apache.hadoop.fs.FileSystem]
     files.zipWithIndex.map { case ((p, len, seq, metaValues), i) =>
       val raw = new Path(p)
@@ -265,7 +275,10 @@ object ScanBridge {
           org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
           0, len, Array.empty, 0L, len)))
       new MorFilePartition(
-        deletesByKey.getOrElse(morKey(p), Array.emptyLongArray), seq, metaValues, fp)
+        if (perTaskDeleteFiles != null) Array.emptyLongArray
+        else deletesByKey.getOrElse(morKey(p), Array.emptyLongArray),
+        seq, metaValues, fp,
+        posDeleteFiles = if (perTaskDeleteFiles == null) null else perTaskDeleteFiles(i))
         : InputPartition
     }.toArray
   }
@@ -293,9 +306,15 @@ object ScanBridge {
         * row; null = identity prefix (the batch-scan layout). The CDC
         * stream reads the FULL table schema and projects the requested
         * subset out through this map. */
-      ordinalMap: Array[Int] = null): PartitionReaderFactory =
+      ordinalMap: Array[Int] = null,
+      /** DISTRIBUTED delete mode (above the driver cap): equality-delete
+        * files each task loads itself via [[DeleteLoader]], plus the
+        * hadoop conf and cache budget the loads need. */
+      eqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = Array.empty,
+      conf: org.apache.spark.util.SerializableConfiguration = null,
+      deleteCacheBytes: Long = 256L * 1024 * 1024): PartitionReaderFactory =
     new MorReaderFactory(delegate, requiredSchema, readWidth, columnarCapable,
-      eqGroups, ordinalMap)
+      eqGroups, ordinalMap, eqSpecs, conf, deleteCacheBytes)
 
   private final class MorReaderFactory(
       delegate: PartitionReaderFactory,
@@ -303,10 +322,30 @@ object ScanBridge {
       readWidth: Int,
       columnarCapable: Boolean,
       eqGroups: Array[EqDeleteGroup],
-      ordinalMap: Array[Int])
+      ordinalMap: Array[Int],
+      eqSpecs: Array[DeleteLoader.EqDeleteFileSpec],
+      conf: org.apache.spark.util.SerializableConfiguration,
+      deleteCacheBytes: Long)
     extends PartitionReaderFactory {
 
     private def width = requiredSchema.length
+
+    /** Task-side deleted positions for one partition: loaded from the
+      * partition's overlapping delete files (distributed mode, JVM-cached)
+      * or taken from the driver-shipped array. */
+    private def deletedOf(m: MorFilePartition): Array[Long] =
+      if (m.posDeleteFiles == null) m.deleted
+      else DeleteLoader.positionsFor(m.posDeleteFiles,
+        morKey(m.underlying.files.head.filePath.toPath.toString),
+        conf.value, deleteCacheBytes)
+
+    /** Exclusion groups for one partition: CDC partitions carry their own;
+      * otherwise driver-built groups plus any task-loaded spec files. */
+    private def exclGroupsOf(m: MorFilePartition): Array[EqDeleteGroup] =
+      if (m.ownEqGroups != null) m.ownEqGroups
+      else if (eqSpecs.isEmpty) eqGroups
+      else eqGroups ++ eqSpecs.map(s =>
+        DeleteLoader.eqGroupFor(s, conf.value, deleteCacheBytes))
 
     // one probe projection per group: bound to the group's key ordinals
     // in the widened row, writing into a REUSED UnsafeRow buffer —
@@ -345,12 +384,12 @@ object ScanBridge {
     override def createColumnarReader(
         p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
       val m = p.asInstanceOf[MorFilePartition]
-      val deleted = m.deleted // sorted
+      val deleted = deletedOf(m) // sorted
       // EQUALITY deletes stay columnar too: the key probe is inherently
       // per-row (a hash-set lookup), but it only computes a SELECTION —
       // the batch's vectors are never copied, and downstream operators
       // keep the vectorized path
-      val exclGroups = if (m.ownEqGroups != null) m.ownEqGroups else eqGroups
+      val exclGroups = exclGroupsOf(m)
       val applicable = exclGroups.filter(_.seq > m.dataSeq)
       val probes = probesOf(applicable)
       val inner = delegate.createColumnarReader(m.underlying)
@@ -397,10 +436,10 @@ object ScanBridge {
 
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val m = p.asInstanceOf[MorFilePartition]
-      val deleted = m.deleted // sorted
+      val deleted = deletedOf(m) // sorted
       // equality deletes apply only to files committed strictly earlier;
       // CDC partitions may carry their own (parent-visibility) groups
-      val exclGroups = if (m.ownEqGroups != null) m.ownEqGroups else eqGroups
+      val exclGroups = exclGroupsOf(m)
       val applicable = exclGroups.filter(_.seq > m.dataSeq)
       val selecting = if (m.selectEqGroups != null)
         m.selectEqGroups.filter(_.seq > m.dataSeq) else null
