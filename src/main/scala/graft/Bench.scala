@@ -29,10 +29,12 @@ object Bench {
       try benchable(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Per-query MEDIAN of `reps` runs: wall-clock on a shared VM swings
+    // Per-query stats over `reps` runs: wall-clock on a shared VM swings
     // ±35% on identical code, so a single sample cannot distinguish a real
-    // regression from noise. The median of 3 is robust to one outlier run.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // regression from noise. 5 reps; MEDIAN is the headline number, and the
+    // per-query MIN + IQR ship alongside so a reader can separate a genuine
+    // slowdown (min moved) from dispersion (IQR wide, min stable).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = names.map { name =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -46,21 +48,54 @@ object Bench {
             Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      // failed reps return fast — including them would bias the median low,
+      // failed reps return fast — including them would bias the stats low,
       // so only successful runs count toward the timing; 0.0 if none passed
       val ok = samples.collect { case (t, None) => t }.sorted
-      val median = if (ok.isEmpty) 0.0 else ok(ok.length / 2)
-      (name, median, samples.flatMap(_._2).headOption)
+      def q(f: Double) = if (ok.isEmpty) 0.0
+        else ok(math.min(ok.length - 1, (f * ok.length).toInt))
+      val median = q(0.5)
+      val minT = if (ok.isEmpty) 0.0 else ok.head
+      val iqr = if (ok.length < 2) 0.0 else q(0.75) - q(0.25)
+      (name, median, minT, iqr, samples.flatMap(_._2).headOption)
+    }
+    // REGRESSION detection compares MINS (the least noisy statistic: the
+    // best-of-N run is the closest observable to the true cost on an idle
+    // machine) against the newest prior BENCH_r*.json when one is present.
+    val baseline: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
+        val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        prior.lastOption.map(_.getPath)
+      }
+      path.flatMap { p =>
+        scala.util.Try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(p))
+          val node = if (root.has("queries_min")) root.get("queries_min")
+            else root.get("queries") // older rounds published medians only
+          val m = Map.newBuilder[String, Double]
+          node.properties().forEach(e => m += e.getKey -> e.getValue.asDouble)
+          m.result()
+        }.toOption
+      }.getOrElse(Map.empty)
+    }
+    val regressions = results.collect {
+      case (k, _, minT, _, None)
+        if baseline.get(k).exists(b => b > 0 && minT > b * 1.5) => k
     }
     // A failed query must never read as a speedup: report per-query errors
     // and exit non-zero so the driver records the regression.
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    def obj(f: ((String, Double, Double, Double, Option[String])) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qs = obj { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val mins = obj { case (k, _, m, _, _) => "\"" + k + "\":" + m }
+    val iqrs = obj { case (k, _, _, i, _) => "\"" + k + "\":" + f"$i%.3f" }
+    val errs = results.collect { case (k, _, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failed = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    val failed = results.count(_._5.nonEmpty)
+    val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -162,12 +162,16 @@ object LlmQueries {
         (col("_ndis") === col("_hits") && col("_self") === 0L)
           .cast("long").as("_valid"),
         (coalesce(col("_matched"), lit(0L)).cast("double") / 5.0).as("_recall"))
+    // coalesce keeps the documented 0/1 flag encoding when `approx` is
+    // EMPTY (min/avg over zero rows are null): a totally-broken operator
+    // must surface as explicit 0 flags, not nulls, in the oracle compare
     per.agg(
       count(lit(1)).as("n_queries"),
-      sum(col("_hits")).as("n_hits"),
-      min(col("_ranked")).as("ranked_ok"),
-      min(col("_valid")).as("hits_valid"),
-      (avg(col("_recall")) >= 0.3).cast("long").as("recall_ok"))
+      coalesce(sum(col("_hits")), lit(0L)).as("n_hits"),
+      coalesce(min(col("_ranked")), lit(0L)).as("ranked_ok"),
+      coalesce(min(col("_valid")), lit(0L)).as("hits_valid"),
+      coalesce((avg(col("_recall")) >= 0.3).cast("long"), lit(0L))
+        .as("recall_ok"))
   }
 
   /** IVF (k-means inverted file) ANN probing 4 of 8 cells, with a
@@ -559,7 +563,7 @@ object LlmQueries {
           SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS cid FROM inc)
         WHERE doc_id = cid)
       SELECT doc_id, text, lang, source FROM canon
-      WHERE text NOT IN (SELECT text FROM hist)
+      WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text = canon.text)
       ORDER BY doc_id""",
     "dd_ngram_jaccard" -> jaccardPairSql,
     // MinHash-LSH detects the same pair set (recall ≈ 1 at J ≥ 0.5 with

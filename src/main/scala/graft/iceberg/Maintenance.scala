@@ -268,16 +268,20 @@ object Maintenance {
       keepIds ++= table.refs.values.map(_.snapshotId).filter(table.snapshots.contains)
       // a BRANCH also keeps its ANCESTRY (Iceberg's retained-ref ancestor
       // rule): a WAP branch with stacked staged appends needs its
-      // intermediate snapshots for fastForward's ancestor walk, so follow
-      // each branch's parent chain until it meets an already-kept snapshot
-      // (main's trimmed chain at the fork point, typically). `main` itself
-      // is excluded — its retention IS the keepLast chain above.
+      // intermediate snapshots for fastForward's ancestor walk. The walk
+      // terminates ONLY at main's retained keepLast chain (the fork point)
+      // or a snapshot that is already gone — NOT at any kept snapshot: a
+      // TAG pinning an intermediate snapshot of the chain must not stop
+      // the walk, or the snapshots between the tag and main's chain would
+      // expire and fastForward's ancestor walk would hit a hole. `main`
+      // itself is excluded — its retention IS the keepLast chain above.
+      val mainChain = chain.map(_.snapshotId).toSet
       table.refs.values
         .filter(r => r.refType == "branch" && r.name != "main")
         .foreach { ref =>
           var cur = table.snapshots.get(ref.snapshotId)
           var next = cur.flatMap(_.parentSnapshotId)
-          while (next.exists(p => !keepIds.contains(p) &&
+          while (next.exists(p => !mainChain.contains(p) &&
               table.snapshots.contains(p))) {
             keepIds += next.get
             cur = table.snapshots.get(next.get)

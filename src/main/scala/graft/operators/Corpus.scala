@@ -119,37 +119,42 @@ object Corpus {
   def packSequences(df: DataFrame, idCol: String, subOrderCol: String,
       nTokensCol: String, seqLen: Int, buckets: Int = 1024): DataFrame = {
     require(seqLen >= 1 && buckets >= 1, "seqLen and buckets must be positive")
-    // Materialize the (possibly expensive) upstream plan ONCE: the two
-    // metadata actions below (max id, per-bucket totals) and the output job
-    // itself all read this cache instead of re-executing the input pipeline
-    // three times — for a composed corpus pipeline the input subtree is the
-    // dominant cost. MEMORY_AND_DISK spills at scale; the blocks are
-    // reclaimed by the ContextCleaner once the result goes out of scope,
-    // and callers holding `df` can `unpersist()` it deterministically after
-    // consuming the result.
-    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxId = in.agg(max(col(idCol).cast("long"))).head() match {
-      case r if r.isNullAt(0) =>
-        in.unpersist()
-        return df.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          df.schema.add("seq_id", "long").add("seq_offset", "long"))
-      case r => r.getLong(0)
-    }
-    val width = math.max(1L, (maxId + buckets) / buckets)
-    val bucketed = in.withColumn("_b",
+    // The two metadata passes (max id, per-bucket token totals) read a SLIM
+    // 16-byte-per-row projection, persisted so the upstream plan executes
+    // once for both and the cache footprint stays O(rows × 16 B) — never the
+    // full corpus (document bodies stay out of executor storage; a 100 TB
+    // input caches ~GBs of ids+counts). The output job below then runs the
+    // full plan exactly once, uncached. The slim cache is unpersisted
+    // EAGERLY on every exit path rather than left to the ContextCleaner.
+    val slim = df.select(col(idCol).cast("long").as("_id"),
+        col(nTokensCol).cast("long").as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = try {
+      val maxId = slim.agg(max(col("_id"))).head() match {
+        case r if r.isNullAt(0) =>
+          return df.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            df.schema.add("seq_id", "long").add("seq_offset", "long"))
+        case r => r.getLong(0)
+      }
+      val width = math.max(1L, (maxId + buckets) / buckets)
+      // per-bucket token totals → cumulative start offsets (driver, O(buckets))
+      val totals = slim
+        .groupBy((col("_id") / lit(width)).cast("int").as("_b"))
+        .agg(sum(col("_n")).as("_t")).orderBy(col("_b")).collect()
+      var acc = 0L
+      (math.max(1L, width),
+        totals.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o })
+    } finally slim.unpersist()
+    val (width, offs) = offsets
+    val bucketed = df.withColumn("_b",
       (col(idCol).cast("long") / lit(width)).cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_b")).orderBy(col(idCol), col(subOrderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("_before",
       coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
-    // per-bucket token totals → cumulative start offsets (driver, O(buckets))
-    val totals = bucketed.groupBy(col("_b"))
-      .agg(sum(col(nTokensCol)).as("_t")).orderBy(col("_b")).collect()
-    var acc = 0L
-    val offsets = totals.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o }
-    val offDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF("_b", "_off")
+    val offDf = df.sparkSession.createDataFrame(offs.toSeq).toDF("_b", "_off")
     local.join(broadcast(offDf), "_b")
       .withColumn("_start", col("_off") + col("_before"))
       .withColumn("seq_id", (col("_start") / lit(seqLen.toLong)).cast("long"))

@@ -107,6 +107,60 @@ class WapSpec extends AnyFunSuite {
       .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("expiration: a TAG on an intermediate staged snapshot must not cut the branch chain") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "cat"))
+    // three STACKED staged appends; tag the MIDDLE one — the ancestry walk
+    // must continue THROUGH the kept tag snapshot down to main's chain,
+    // or the first staged snapshot expires and publish hits a hole
+    IcebergWriter.appendToBranch(spark, url, Seq((2L, "s")).toDF("k", "cat"), "audit")
+    IcebergWriter.appendToBranch(spark, url, Seq((3L, "s")).toDF("k", "cat"), "audit")
+    IcebergWriter.appendToBranch(spark, url, Seq((4L, "s")).toDF("k", "cat"), "audit")
+    val mid = {
+      val t = IcebergTable.load(spark, url)
+      t.snapshots(t.atBranch("audit").currentSnapshot.parentSnapshotId.get)
+    }
+    IcebergWriter.tag(spark, url, "mid-pin", Some(mid.snapshotId))
+
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    val t = IcebergTable.load(spark, url)
+    assert(t.snapshots.size == 4,
+      s"expected {main head, 3 staged}, got ${t.snapshots.keys}")
+    assert(t.atSnapshot(mid.snapshotId).read().count() == 3, "tag readable")
+
+    IcebergWriter.fastForward(spark, url, "audit")
+    assert(IcebergTable.load(spark, url).read()
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("expiration: a DIVERGED branch keeps its full ancestry below main's retained chain") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "cat"))
+    IcebergWriter.append(spark, url, Seq((2L, "b")).toDF("k", "cat"))
+    // branch forks at main's head (snapshot of "b"), then main moves on —
+    // the fork point is now BELOW main's keepLast=1 chain
+    IcebergWriter.appendToBranch(spark, url, Seq((3L, "s")).toDF("k", "cat"), "dev")
+    IcebergWriter.append(spark, url, Seq((9L, "m")).toDF("k", "cat"))
+
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    val t = IcebergTable.load(spark, url)
+    // dev's ancestry (fork point AND its parent) survives in full: the
+    // branch must stay readable even though none of its chain is on main's
+    // retained chain
+    assert(t.atBranch("dev").read().as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.read().as[(Long, String)].collect().map(_._1).sorted.toSeq
+      == Seq(1L, 2L, 9L), "main unaffected")
+    // diverged: publish still refuses (nothing expired out from under the
+    // refusal check)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(spark, url, "dev")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+  }
+
   test("guards: tags cannot fast-forward; branch commits are append-only") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
