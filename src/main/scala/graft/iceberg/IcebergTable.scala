@@ -30,7 +30,16 @@ final class IcebergTable private (
     /** When set, this view is an INCREMENTAL scan: [[liveFiles]] yields only
       * the files APPENDED by snapshots in (this, currentSnapshot], not the
       * whole live set — see [[incrementalBetween]]. */
-    val incrementalFromSnapshotId: Option[Long] = None) {
+    val incrementalFromSnapshotId: Option[Long] = None,
+    /** The exact metadata JSON this table was loaded from — the mutation
+      * base for commits (re-reading `v{version}` instead would break for
+      * catalog-loaded tables, whose metadata path is not version-derived). */
+    private[graft] val rawMetadataJson: String = "",
+    /** The path this table's metadata was loaded from. Version-0 views
+      * (explicit metadata path — how catalog-loaded tables arrive) read
+      * through the V2 source by THIS path: the filesystem version hint
+      * knows nothing about catalog-committed versions. */
+    private[graft] val loadedFrom: String = "") {
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
 
@@ -61,7 +70,7 @@ final class IcebergTable private (
   /** Travel to an absolute snapshot id (`open_snapshot(snapshot_id=)`). */
   def atSnapshot(snapshotId: Long): IcebergTable = {
     require(snapshots.contains(snapshotId), s"unknown snapshot $snapshotId")
-    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snapshotId))
+    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom)
   }
 
   /** Travel relative to latest: 0 = latest, −k walks k parents
@@ -73,7 +82,7 @@ final class IcebergTable private (
     for (_ <- 0 until -rel)
       snap = snapshots(snap.parentSnapshotId.getOrElse(
         throw new IllegalStateException("snapshot chain broken")))
-    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snap.snapshotId))
+    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snap.snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom)
   }
 
   /** Travel to the latest snapshot at or before a timestamp (extension —
@@ -144,7 +153,7 @@ final class IcebergTable private (
           s"'$op' operation as appends; read the full table at that point instead")
     }
     new IcebergTable(spark, url, originalUrl, metadata, version,
-      Some(toSnapshotId), Some(fromSnapshotId))
+      Some(toSnapshotId), Some(fromSnapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom)
   }
 
   /** CDC-complete changelog of every snapshot in (from, to]: each row is a
@@ -602,7 +611,10 @@ final class IcebergTable private (
         // selected snapshot forwarded just above
         incrementalFromSnapshotId.foreach(f =>
           reader = reader.option("start-snapshot-id", f.toString))
-        reader.load(url)
+        // version 0 = catalog-loaded (explicit metadata path): the source
+        // must resolve THAT path, not the filesystem version hint, or a
+        // catalog-committed version would silently read stale
+        reader.load(if (version > 0 || loadedFrom.isEmpty) url else loadedFrom)
       }
     val filtered = Pruning.toColumn(pred).map(base.filter).getOrElse(base)
     if (columns.nonEmpty) filtered.select(columns.map(col): _*) else filtered
@@ -757,17 +769,18 @@ object IcebergTable {
   def load(spark: SparkSession, url0: String, originalUrl: Option[String] = None,
       version: Option[Int] = None): IcebergTable = {
     val conf = spark.sessionState.newHadoopConf()
-    val (url, metaJson, ver) =
+    val (url, metaJson, ver, fromPath) =
       if (url0.endsWith(".json")) {
         val tableUrl = url0.replaceAll("/metadata/[^/]+$", "")
-        (tableUrl, readString(url0, conf), version.getOrElse(0))
+        (tableUrl, readString(url0, conf), version.getOrElse(0), url0)
       } else {
         val url = url0.stripSuffix("/")
         val v = version.getOrElse(versionHint(url, conf))
-        (url, readString(s"$url/metadata/v$v.metadata.json", conf), v)
+        (url, readString(s"$url/metadata/v$v.metadata.json", conf), v,
+          s"$url/metadata/v$v.metadata.json")
       }
     val md = TableMetadata.parse(metaJson)
-    new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None)
+    new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None, rawMetadataJson = metaJson, loadedFrom = fromPath)
   }
 
   /** Latest version per `version-hint.text`; falls back to scanning the

@@ -281,7 +281,7 @@ object IcebergWriter {
       format: String = "parquet"): Unit = {
     if (paths.isEmpty) return
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table = resolveCurrent(spark, url)
     require(table.partitionSpec.fields.isEmpty,
       "addFiles imports into unpartitioned tables only " +
         "(no partition values can be derived for foreign files)")
@@ -390,7 +390,7 @@ object IcebergWriter {
       /** Stage on a branch instead of main (write-audit-publish). */
       toBranch: Option[String] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val table0 = IcebergTable.load(spark, url)
+    val table0 = resolveCurrent(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
     // (IcebergTable.iceSchema raises there, reference parity)
     val schema = table0.metadata.schemas
@@ -554,7 +554,7 @@ object IcebergWriter {
         "branch-staged commits support append only (audit then publish)")
     }
     val conf = spark.sessionState.newHadoopConf()
-    val table0 = IcebergTable.load(spark, url)
+    val table0 = resolveCurrent(spark, url)
     val schema = table0.metadata.schemas
       .find(_.schemaId == table0.metadata.currentSchemaId)
       .getOrElse(throw new IllegalStateException("no current schema"))
@@ -728,7 +728,7 @@ object IcebergWriter {
 
       // 5. new metadata version
       val old = mapper.readTree(
-        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        metadataBaseJson(table, url, conf))
         .asInstanceOf[ObjectNode]
       val now = System.currentTimeMillis()
       // a delete-content manifest in the commit (merge/upsert) makes the
@@ -880,7 +880,7 @@ object IcebergWriter {
       if (table.currentSnapshot.snapshotId == snapshotId) None // no-op
       else {
         val old = mapper.readTree(
-          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          metadataBaseJson(table, url, conf))
           .asInstanceOf[ObjectNode]
         old.put("current-snapshot-id", snapshotId)
         setMainRef(old, snapshotId)
@@ -913,7 +913,7 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     commitWithRetry(spark, url, conf) { table =>
       val old = mapper.readTree(
-        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        metadataBaseJson(table, url, conf))
         .asInstanceOf[ObjectNode]
       val schema = table.iceSchema
       val specs = old.withArray[ArrayNode]("partition-specs")
@@ -1012,7 +1012,7 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     commitWithRetry(spark, url, conf) { table =>
       val old = mapper.readTree(
-        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        metadataBaseJson(table, url, conf))
         .asInstanceOf[ObjectNode]
       val schemas = old.withArray[ArrayNode]("schemas")
       val currentId = old.get("current-schema-id").asInt
@@ -1152,7 +1152,7 @@ object IcebergWriter {
           specId = table.metadata.defaultSpecId)
 
         val old = mapper.readTree(
-          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          metadataBaseJson(table, url, conf))
           .asInstanceOf[ObjectNode]
         val now = System.currentTimeMillis()
         val snap = mapper.createObjectNode()
@@ -1201,7 +1201,7 @@ object IcebergWriter {
       deleteFilesAtScan: Set[String],
       addValidation: Option[(Set[String], Pruning.IcePredicate)] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val table0 = IcebergTable.load(spark, url)
+    val table0 = resolveCurrent(spark, url)
     val schema = table0.metadata.schemas
       .find(_.schemaId == table0.metadata.currentSchemaId)
       .getOrElse(throw new IllegalStateException("no current schema"))
@@ -1281,7 +1281,7 @@ object IcebergWriter {
   def deleteRows(spark: SparkSession, url: String, pred: Pruning.IcePredicate): Unit = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table = resolveCurrent(spark, url)
     val schema = table.iceSchema
     val live = table.liveFiles()
     val (fully, candidates) =
@@ -1432,7 +1432,7 @@ object IcebergWriter {
     import org.apache.spark.sql.functions.col
     require(targetFiles >= 1, "targetFiles must be positive")
     val conf = spark.sessionState.newHadoopConf()
-    val t0 = IcebergTable.load(spark, url)
+    val t0 = resolveCurrent(spark, url)
     if (t0.metadata.currentSnapshotId < 0) return
     val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
     val delFiles = frozen.positionDeleteFiles
@@ -1538,7 +1538,7 @@ object IcebergWriter {
     * whole-file by construction: partition boundaries align with files. */
   def overwriteDynamic(spark: SparkSession, url: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
-    val table = IcebergTable.load(spark, url)
+    val table = resolveCurrent(spark, url)
     val spec = table.partitionSpec
     // unpartitioned table: dynamic degenerates to full replace (Hive/Spark
     // dynamic-mode semantics)
@@ -1674,7 +1674,7 @@ object IcebergWriter {
           s"main is not an ancestor of '$branchName' — it advanced past the " +
             "fork point; re-stage the branch from the current head")
         val old = mapper.readTree(
-          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          metadataBaseJson(table, url, conf))
           .asInstanceOf[ObjectNode]
         val now = System.currentTimeMillis()
         old.put("current-snapshot-id", target)
@@ -1700,7 +1700,7 @@ object IcebergWriter {
       if (!table.refs.contains(name)) None // nothing to do, no new version
       else {
         val old = mapper.readTree(
-          readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+          metadataBaseJson(table, url, conf))
           .asInstanceOf[ObjectNode]
         Option(old.get("refs")).collect { case o: ObjectNode => o }
           .foreach(_.remove(name))
@@ -1718,7 +1718,7 @@ object IcebergWriter {
       val target = snapshotId.getOrElse(table.metadata.currentSnapshotId)
       require(table.snapshots.contains(target), s"unknown snapshot $target")
       val old = mapper.readTree(
-        readString(s"$url/metadata/v${table.version}.metadata.json", conf))
+        metadataBaseJson(table, url, conf))
         .asInstanceOf[ObjectNode]
       val refs = Option(old.get("refs")).collect { case o: ObjectNode => o }
         .getOrElse { val o = mapper.createObjectNode(); old.set[ObjectNode]("refs", o); o }
@@ -1746,7 +1746,7 @@ object IcebergWriter {
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table = resolveCurrent(spark, url)
     if (table.metadata.currentSnapshotId < 0) return // nothing to delete from
     // readers apply equality deletes through the merge-on-read machinery,
     // which ORC data files cannot enter — refuse at write, not read
@@ -1811,7 +1811,7 @@ object IcebergWriter {
       keyCols: Seq[String], extraSummary: Map[String, String] = Map.empty): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table = resolveCurrent(spark, url)
     if (table.metadata.currentSnapshotId < 0 || table.liveFiles().isEmpty) {
       append(spark, url, source, extraSummary); return
     }
@@ -1961,7 +1961,7 @@ object IcebergWriter {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table = resolveCurrent(spark, url)
     val live = if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
     if (live.isEmpty) { append(spark, url, source); return }
     requireParquetForRowLevel(live, "MERGE")
@@ -2547,6 +2547,39 @@ object IcebergWriter {
 
   // ------------------------------------------------------- commit protocol
 
+  /** Thrown by a catalog publisher when the catalog refused the commit
+    * because its requirements no longer hold (HTTP 409 in the REST
+    * protocol) — the commit loop reloads the fresh state and rebuilds,
+    * exactly like losing the filesystem exclusive-create race. */
+  final class CommitConflictException(message: String)
+    extends RuntimeException(message)
+
+  /** CATALOG-owned commit, scoped by [[withCatalogCommit]]: `resolve`
+    * supplies the CURRENT table state (a REST catalog's metadata-location,
+    * re-fetched per attempt) and `publish` receives (state-before,
+    * new-metadata-json) and must commit atomically — data files and
+    * manifests still write to the table's storage location; only the
+    * metadata swap routes through the catalog. */
+  private val catalogCommit = new ThreadLocal[
+    (SparkSession => IcebergTable, (IcebergTable, String) => Unit)]
+
+  /** Route every commit inside `body` through a catalog instead of the
+    * filesystem version-hint swap (see [[catalogCommit]]). */
+  def withCatalogCommit[T](resolve: SparkSession => IcebergTable)(
+      publish: (IcebergTable, String) => Unit)(body: => T): T = {
+    require(catalogCommit.get == null, "catalog commit scopes do not nest")
+    catalogCommit.set((resolve, publish))
+    try body finally catalogCommit.remove()
+  }
+
+  /** The table state commits must build against: the catalog's view inside
+    * a [[withCatalogCommit]] scope, the filesystem's otherwise. */
+  private[iceberg] def resolveCurrent(spark: SparkSession, url: String): IcebergTable =
+    catalogCommit.get match {
+      case null => IcebergTable.load(spark, url)
+      case (resolve, _) => resolve(spark)
+    }
+
   /** Optimistic-concurrency commit loop (the shape of Iceberg's own
     * protocol): each attempt re-resolves the CURRENT table state, rebuilds
     * the snapshot's manifests/metadata against it, and publishes the new
@@ -2554,29 +2587,39 @@ object IcebergWriter {
     * winning the version makes the create fail → reload and retry, so no
     * committed snapshot is ever lost (last-writer-wins overwrite was the
     * round-1 behavior). Atomicity relies on the store's exclusive-create
-    * (atomic on HDFS/local; object stores need a catalog lock — out of
-    * scope, reference parity).
+    * (atomic on HDFS/local; object stores need a catalog lock — use
+    * [[withCatalogCommit]] there, which delegates the swap to a catalog's
+    * own atomicity and retries on [[CommitConflictException]]).
     *
     * `attempt` returns None to abort without committing (no-op deletes). */
   private[iceberg] def commitWithRetry(spark: SparkSession, url: String, conf: Configuration,
       maxAttempts: Int = 10)(attempt: IcebergTable => Option[String]): Unit = {
     var n = 0
     while (true) {
-      val table = IcebergTable.load(spark, url)
+      val table = resolveCurrent(spark, url)
       val json = attempt(table) match {
         case None => return
         case Some(j) => j
       }
-      val newVersion = table.version + 1
-      try {
-        writeStringExclusive(s"$url/metadata/v$newVersion.metadata.json", json, conf)
-        writeHint(url, newVersion, conf)
-        return
-      } catch {
-        case e: java.io.IOException
-            if n < maxAttempts && (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
-              || e.getMessage != null && e.getMessage.toLowerCase.contains("exist")) =>
-          n += 1 // lost the race — reload the new state and retry
+      catalogCommit.get match {
+        case null =>
+          val newVersion = table.version + 1
+          try {
+            writeStringExclusive(s"$url/metadata/v$newVersion.metadata.json", json, conf)
+            writeHint(url, newVersion, conf)
+            return
+          } catch {
+            case e: java.io.IOException
+                if n < maxAttempts && (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+                  || e.getMessage != null && e.getMessage.toLowerCase.contains("exist")) =>
+              n += 1 // lost the race — reload the new state and retry
+          }
+        case (_, publish) =>
+          try { publish(table, json); return }
+          catch {
+            case _: CommitConflictException if n < maxAttempts =>
+              n += 1 // catalog requirements failed — rebuild on fresh state
+          }
       }
     }
   }
@@ -2621,6 +2664,14 @@ object IcebergWriter {
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** The metadata JSON a commit mutates: the exact bytes `table` was
+    * loaded from when available (catalog-loaded tables have no
+    * version-derived path), else the filesystem's v{version} file. */
+  private def metadataBaseJson(table: IcebergTable, url: String,
+      conf: Configuration): String =
+    if (table.rawMetadataJson.nonEmpty) table.rawMetadataJson
+    else readString(s"$url/metadata/v${table.version}.metadata.json", conf)
 
   private def readString(path: String, conf: Configuration): String = {
     val p = new Path(path)

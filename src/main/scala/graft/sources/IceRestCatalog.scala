@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
 
-import graft.iceberg.IcebergTable
+import graft.iceberg.{IcebergTable, IcebergWriter}
 
 /** Iceberg REST catalog client — namespace/table CRUD against the open REST
   * catalog protocol, mirroring the reference's `rest_client.py:4-95`
@@ -104,6 +104,69 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     val meta = getTable(namespace, name)
     val loc = meta.get("metadata-location").asText
     IcebergTable.load(spark, loc)
+  }
+
+  // ----------------------------------------------------- commit protocol
+
+  /** The Iceberg REST COMMIT endpoint: POST the table's update list guarded
+    * by its requirement list (`CommitTableRequest` in the REST spec). The
+    * server applies the updates to ITS copy of the metadata atomically —
+    * refusing with 409 when a requirement no longer holds — so commits
+    * through a REST catalog get catalog atomicity instead of relying on a
+    * filesystem exclusive-create (which object stores cannot provide).
+    * `requirements`/`updates` are JSON object strings, e.g.
+    * `{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":42}` and
+    * `{"action":"add-snapshot","snapshot":{...}}`. */
+  def commitTable(namespace: String, name: String,
+      requirements: Seq[String], updates: Seq[String]): JsonNode =
+    request("POST", s"/namespaces/$namespace/tables/$name", Some(
+      s"""{"requirements": [${requirements.mkString(",")}],
+           "updates": [${updates.mkString(",")}]}"""))
+
+  /** APPEND through catalog atomicity: data files and manifests write to
+    * the table's storage location as usual, but the metadata swap is a REST
+    * commit — `add-snapshot` + `set-snapshot-ref main` updates guarded by
+    * an `assert-ref-snapshot-id` requirement on main's snapshot at build
+    * time. A concurrent committer moves main, the server refuses with 409,
+    * and the optimistic loop rebuilds against the catalog's FRESH
+    * metadata-location (re-fetched per attempt — the filesystem
+    * version-hint is never consulted, so the catalog stays the single
+    * source of truth). */
+  def commitAppend(spark: SparkSession, namespace: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val url = loadTable(spark, namespace, name).url
+    IcebergWriter.withCatalogCommit(s => loadTable(s, namespace, name)) {
+      (before, json) =>
+        val (requirement, updates) = appendDiff(before, json)
+        try commitTable(namespace, name, Seq(requirement), updates)
+        catch {
+          case e: RuntimeException if e.getMessage.contains("HTTP 409") =>
+            throw new IcebergWriter.CommitConflictException(e.getMessage)
+        }
+    } { IcebergWriter.append(spark, url, df) }
+  }
+
+  /** Translate a locally-built metadata JSON into the REST commit's
+    * update/requirement lists by DIFFING it against the state it was built
+    * from: every snapshot not present before becomes `add-snapshot`, the
+    * new current snapshot becomes `set-snapshot-ref main`, and the
+    * requirement pins main to the snapshot the build saw (null = the build
+    * saw an empty table, so main must still not exist). */
+  private def appendDiff(before: IcebergTable, json: String): (String, Seq[String]) = {
+    val newMeta = mapper.readTree(json)
+    val oldIds = before.metadata.snapshots.map(_.snapshotId).toSet
+    val updates = Seq.newBuilder[String]
+    newMeta.get("snapshots").elements().asScala
+      .filterNot(s => oldIds.contains(s.get("snapshot-id").asLong))
+      .foreach(s => updates += s"""{"action": "add-snapshot", "snapshot": $s}""")
+    val newCur = newMeta.get("current-snapshot-id").asLong
+    updates += s"""{"action": "set-snapshot-ref", "ref-name": "main",
+      "type": "branch", "snapshot-id": $newCur}"""
+    val oldCur = before.metadata.currentSnapshotId
+    val requirement =
+      s"""{"type": "assert-ref-snapshot-id", "ref": "main",
+           "snapshot-id": ${if (oldCur >= 0) oldCur.toString else "null"}}"""
+    (requirement, updates.result())
   }
 
   private def levels(name: String): String =
