@@ -416,6 +416,52 @@ object LlmQueries {
     Multimodal.featureSummary(
       Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
 
+  /** END-TO-END media decode over REAL bytes (no stub anywhere): each
+    * document synthesizes a BMP image and a PCM WAV clip whose dimensions,
+    * pixels, and samples are pure integer functions of doc_id; the
+    * byte-level codecs ([[Multimodal.MediaCodec]]) encode then decode them,
+    * and the oracle recomputes every decoded fact — width, height, pixel
+    * checksum, sample rate/count/sum — in plain SQL arithmetic. A decoder
+    * that mis-reads any header field, row padding, bottom-up pixel order,
+    * or sample byte breaks the hash match. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+      val w = (4 + d % 5).toInt; val h = (3 + d % 7).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          rgb(p) = ((x * 7 + y * 13 + d) % 256).toByte
+          rgb(p + 1) = ((x * 3 + y * 5 + d * 11) % 256).toByte
+          rgb(p + 2) = ((x + y + d) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val (dw, dh, dpx) = Multimodal.MediaCodec.decodeBmp(
+        Multimodal.MediaCodec.encodeBmp(w, h, rgb))
+      var pixSum = 0L
+      var i = 0
+      while (i < dpx.length) {
+        pixSum += (dpx(i) & 0xff) + 2L * (dpx(i + 1) & 0xff) +
+          3L * (dpx(i + 2) & 0xff)
+        i += 3
+      }
+      val n = (20 + d % 13).toInt
+      val rate = (8000 + (d % 4) * 4000).toInt
+      val samples = Array.tabulate(n)(k =>
+        ((k * 31 + d * 17) % 65536 - 32768).toShort)
+      val (drate, _, dsamp) = Multimodal.MediaCodec.decodeWav(
+        Multimodal.MediaCodec.encodeWav(rate, 1, samples))
+      (d, dw.toLong, dh.toLong, pixSum, drate.toLong, dsamp.length.toLong,
+        dsamp.map(_.toLong).sum)
+    }.toDF("doc_id", "img_w", "img_h", "pix_sum", "wav_rate", "wav_n",
+      "sample_sum").orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -449,6 +495,7 @@ object LlmQueries {
     "mm_meta"           -> (mmMeta _),
     "mm_features"       -> (mmFeatures _),
     "mm_frames"         -> (mmFrames _),
+    "mm_decode"         -> (mmDecode _),
   )
 
   /** Bench-only raw-operator bodies (NOT driver-contract queries): the
@@ -896,6 +943,30 @@ object LlmQueries {
       SELECT doc_id, media_type, CAST(fi AS INT) AS frame_idx, n_frames
       FROM v, unnest(generate_series(0, n_frames - 1, 4)) AS u(fi)
       ORDER BY doc_id, frame_idx""",
+    // the REAL decode round-trip: the engine encodes then byte-decodes a
+    // BMP and a WAV per document; the oracle recomputes the decoded facts
+    // (dimensions, pixel checksum, sample sum) from the same integer
+    // generators in SQL — no codec on the DuckDB side, just arithmetic
+    "mm_decode" -> """
+      WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h,
+                        20 + doc_id % 13 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+                 FROM documents),
+      xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM d),
+      xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      img AS (SELECT doc_id,
+               SUM((x*7 + y*13 + doc_id) % 256
+                 + 2*((x*3 + y*5 + doc_id*11) % 256)
+                 + 3*((x + y + doc_id) % 256)) AS pix_sum
+              FROM xy GROUP BY doc_id),
+      si AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
+      wav AS (SELECT doc_id, SUM((i*31 + doc_id*17) % 65536 - 32768) AS sample_sum
+              FROM si GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.w AS BIGINT) AS img_w, CAST(d.h AS BIGINT) AS img_h,
+             CAST(img.pix_sum AS BIGINT) AS pix_sum,
+             CAST(d.rate AS BIGINT) AS wav_rate, CAST(d.n AS BIGINT) AS wav_n,
+             CAST(wav.sample_sum AS BIGINT) AS sample_sum
+      FROM d JOIN img USING (doc_id) JOIN wav USING (doc_id)
+      ORDER BY doc_id""",
   )
 
 }
