@@ -54,6 +54,16 @@ final class IcebergTable private (
   private def rewriteManifestList(p: String): String =
     s"$url/metadata/${p.split('/').last}"
 
+  /** Manifest decode with the DISTRIBUTED fallback: past
+    * `spark.graft.iceberg.distributedManifestThreshold` uncached manifests
+    * the Avro decode shards across executors (the driver keeps only the
+    * decoded entries) — scan planning on a 100×-grown table stops
+    * serializing on driver-side manifest reads. */
+  private def readManifestsScaled(paths: Seq[String],
+      c: Configuration): Seq[Seq[ManifestEntry]] =
+    Manifests.readManifestsScaled(spark, paths, c,
+      spark.conf.get("spark.graft.iceberg.distributedManifestThreshold", "64").toInt)
+
   // ---------------------------------------------------------- time travel
 
   def snapshots: Map[Long, Snapshot] = metadata.snapshotsById
@@ -378,7 +388,7 @@ final class IcebergTable private (
         val ctx = pruningContext(metadata.specById(mf.partitionSpecId))
         manifestMightMatch(pred, mf, ctx)
       }
-    val entryLists = Manifests.readManifests(kept.map(m => rewrite(m.path)), c)
+    val entryLists = readManifestsScaled(kept.map(m => rewrite(m.path)), c)
     val allFiles = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
     val deleted = scala.collection.mutable.Set.empty[String]
     for ((mf, entries) <- kept.zip(entryLists); e <- entries) {
@@ -403,7 +413,32 @@ final class IcebergTable private (
       }
     }
     deleted.foreach(allFiles.remove)
-    allFiles.values.toSeq
+    val result = allFiles.values.toSeq
+    // planning telemetry + guard: the live-file list (and its decoded
+    // bounds) is DRIVER-resident state proportional to table metadata, not
+    // data. Surface its size so an operator watches metadata growth, and
+    // fail LOUDLY at a configurable ceiling instead of OOMing the driver —
+    // the fixes are coarser partitioning, manifest compaction
+    // (rewriteManifests), or tighter scan predicates.
+    var statsBytes = 0L
+    result.foreach { f =>
+      statsBytes += 2L * f.filePath.length + 160 +
+        48L * (f.columnSizes.size + f.valueCounts.size +
+          f.nullValueCounts.size + f.nanValueCounts.size) +
+        f.lowerBounds.valuesIterator.map(_.length + 24L).sum +
+        f.upperBounds.valuesIterator.map(_.length + 24L).sum
+    }
+    IcebergTable.lastPlanningFiles.set(result.size)
+    IcebergTable.lastPlanningStatsBytes.set(statsBytes)
+    val cap = spark.conf.get(
+      "spark.graft.iceberg.maxPlanningFiles", "10000000").toLong
+    require(result.size <= cap,
+      s"scan planning resolved ${result.size} live files (> cap $cap, " +
+        s"~${statsBytes >> 20} MiB decoded stats) — driver metadata would " +
+        "not fit at this rate. Compact small files " +
+        "(graft.iceberg.Maintenance.compact), rewrite manifests, tighten " +
+        "partition predicates, or raise spark.graft.iceberg.maxPlanningFiles")
+    result
   }
 
   /** Files ADDED by the append snapshots in (from, currentSnapshot] — each
@@ -428,7 +463,7 @@ final class IcebergTable private (
           val ctx = pruningContext(metadata.specById(mf.partitionSpecId))
           manifestMightMatch(pred, mf, ctx)
         }
-      val entryLists = Manifests.readManifests(kept.map(m => rewrite(m.path)), c)
+      val entryLists = readManifestsScaled(kept.map(m => rewrite(m.path)), c)
       for ((mf, entries) <- kept.zip(entryLists);
            e <- entries if e.status == Status.Added) {
         val path = rewrite(e.dataFile.filePath)
@@ -496,7 +531,7 @@ final class IcebergTable private (
     val deleteManifests = manifestList.filter(_.content == Manifests.ManifestContent.Deletes)
     if (deleteManifests.isEmpty) Seq.empty
     else {
-      val entryLists = Manifests.readManifests(deleteManifests.map(m => rewrite(m.path)), conf)
+      val entryLists = readManifestsScaled(deleteManifests.map(m => rewrite(m.path)), conf)
       val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
       val dropped = scala.collection.mutable.Set.empty[String]
       for ((mf, entries) <- deleteManifests.zip(entryLists); e <- entries) {
@@ -762,6 +797,13 @@ object IcebergTable {
     * reads in the same session keep name-based resolution. */
   private[graft] val FieldIdReadOptions: Map[String, String] =
     Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
+
+  /** Planning-telemetry gauges (driver-wide, last completed scan plan):
+    * live-file count and estimated decoded-stats bytes. At 100 TB the
+    * metadata plane is its own capacity problem — these make it observable
+    * before [[liveFiles]]' planning cap turns it into a loud failure. */
+  val lastPlanningFiles = new java.util.concurrent.atomic.AtomicLong
+  val lastPlanningStatsBytes = new java.util.concurrent.atomic.AtomicLong
 
   /** Open a table directory (or an explicit metadata JSON path).
     * I/O: version-hint read + one metadata JSON read — nothing else

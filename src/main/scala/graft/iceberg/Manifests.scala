@@ -136,6 +136,32 @@ object Manifests {
     Await.result(Future.sequence(futures), Duration.Inf)
   }
 
+  /** Telemetry/spec hook: number of distributed manifest-decode jobs this
+    * JVM has launched. */
+  val distributedDecodeJobs = new java.util.concurrent.atomic.AtomicLong
+
+  /** [[readManifests]] that SHARDS the Avro decode across executors once
+    * the uncached manifest count passes `threshold` — the same pattern as
+    * the writer's distributed footer-stats harvest. A 100×-grown table's
+    * scan planning is manifest decode: thousands of driver-side Avro reads
+    * serialize there, while the entries themselves (the decoded stats the
+    * driver DOES need) are a fraction of the raw bytes. Decoded lists land
+    * in the driver cache afterwards, so repeat plans stay warm either way. */
+  def readManifestsScaled(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], conf: Configuration, threshold: Int): Seq[Seq[ManifestEntry]] = {
+    val missing = paths.distinct.filterNot(manifestCache.contains)
+    if (missing.size > threshold) {
+      distributedDecodeJobs.incrementAndGet()
+      val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+      val par = math.min(missing.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(missing, par)
+        .map(p => p -> readAvro(p, ser.value).map(parseEntry))
+        .collect()
+        .foreach { case (p, entries) => manifestCache.putIfAbsent(p, entries) }
+    }
+    readManifests(paths, conf)
+  }
+
   // ---------------------------------------------------------------- decode
 
   private def str(v: Any): String = v match {

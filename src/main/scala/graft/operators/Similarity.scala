@@ -15,6 +15,19 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Broadcast-or-shuffle decision for an ANN probe side. A top-k SERVING
+    * batch (the common case) is small, and broadcasting it scans the corpus
+    * with zero shuffle; but a corpus-sized query set — the
+    * join-everyone-to-everyone workload — must never be FORCED into every
+    * executor's memory: beyond `limitBytes` (plan statistics; no extra job)
+    * the hint drops and Catalyst/AQE plan a shuffle join keyed on the
+    * bucket/cell, free to re-broadcast at runtime if the actual size turns
+    * out small. */
+  private def probeSide(df: DataFrame, limitBytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limitBytes)
+      broadcast(df)
+    else df
+
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
@@ -38,7 +51,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
       planes: Int = -1, dims: Int = 64, targetBucket: Long = 64L,
-      corpusSize: Long = -1L): DataFrame = {
+      corpusSize: Long = -1L,
+      /** Probe-side broadcast ceiling (see [[probeSide]]). */
+      broadcastProbeBytes: Long = 64L << 20): DataFrame = {
     val p = if (planes > 0) planes
       else graft.operators.Dedup.autoPlanes(
         if (corpusSize >= 0) corpusSize
@@ -51,7 +66,7 @@ object Similarity {
     val probes = array((lit(0L) +: (0 until p).map(pp => shiftleft(lit(1L), pp))): _*)
     val q = q0.withColumn("probe", explode(probes))
       .withColumn("bucket", col("qbucket").bitwiseXOR(col("probe")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(probeSide(q, broadcastProbeBytes), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -107,10 +122,12 @@ object Similarity {
   /** ANN top-k through an IVF index: each query ranks only the vectors in
     * its `nProbe` nearest cells (euclidean to centroid — the k-means
     * metric), final ranking by exact cosine. Scored pairs drop from
-    * |corpus|·|queries| to ~nProbe/nlist of that; the probe side is
-    * broadcast (queries × nlist is small). */
+    * |corpus|·|queries| to ~nProbe/nlist of that; the probe side broadcasts
+    * only while it is provably small (see [[probeSide]]). */
   def ivfTopK(index: IvfIndex, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, nProbe: Int = 8): DataFrame = {
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 8,
+      /** Probe-side broadcast ceiling (see [[probeSide]]). */
+      broadcastProbeBytes: Long = 64L << 20): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // nearest nProbe cells per query: cross join against the (tiny) centroid
     // table, codegen'd distance, window rank — no UDF in the query path
@@ -121,7 +138,7 @@ object Similarity {
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
+    val scored = index.assigned.join(probeSide(probes, broadcastProbeBytes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

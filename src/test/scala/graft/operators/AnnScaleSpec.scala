@@ -124,4 +124,37 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(counts.size == 5 && counts.values.forall(_ == 5L),
       s"per-query neighbor counts: $counts")
   }
+
+  test("corpus-sized query batches shuffle-join instead of forced broadcast, same top-k") {
+    // queries == corpus: the join-everyone workload. Forcing the probe side
+    // into every executor's memory is the 100TB OOM; past the byte ceiling
+    // the hint must drop (shuffle join on the bucket/cell) with IDENTICAL
+    // output, since the hint changes only the plan, never the semantics.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Similarity.lshTopK(emb, emb, "embedding", "vec_id",
+        k = 3, planes = 3, broadcastProbeBytes = 1L)
+      assert(!shuffled.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "probe side must not be broadcast above the ceiling")
+      val viaShuffle = shuffled.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val viaBroadcast = Similarity.lshTopK(emb, emb, "embedding", "vec_id",
+          k = 3, planes = 3, broadcastProbeBytes = Long.MaxValue)
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(viaShuffle.sameElements(viaBroadcast))
+
+      val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+      val ivfShuffled = Similarity.ivfTopK(index, emb, "embedding", "vec_id",
+        k = 3, nProbe = 8, broadcastProbeBytes = 1L)
+      val ivfS = ivfShuffled.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val ivfB = Similarity.ivfTopK(index, emb, "embedding", "vec_id",
+          k = 3, nProbe = 8, broadcastProbeBytes = Long.MaxValue)
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(ivfS.sameElements(ivfB))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
