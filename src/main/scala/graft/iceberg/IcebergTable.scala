@@ -39,7 +39,26 @@ final class IcebergTable private (
       * (explicit metadata path — how catalog-loaded tables arrive) read
       * through the V2 source by THIS path: the filesystem version hint
       * knows nothing about catalog-committed versions. */
-    private[graft] val loadedFrom: String = "") {
+    private[graft] val loadedFrom: String = "",
+    /** When set (tables opened through a CATALOG), every write commit
+      * against this table instance must run inside this wrapper — it
+      * routes the metadata publish through the catalog's atomic commit
+      * (e.g. the REST updates/requirements protocol) instead of the
+      * filesystem version-hint swap. See [[IcebergWriter.withCatalogCommit]]. */
+    private[graft] val commitScope: Option[(() => Unit) => Unit] = None) {
+
+  /** Run a write-commit body under this table's catalog-commit scope (a
+    * no-op pass-through for filesystem-cataloged tables). */
+  private[graft] def runCommit(body: => Unit): Unit = commitScope match {
+    case Some(f) => f(() => body)
+    case None => body
+  }
+
+  /** This table with commits routed through a catalog (see [[commitScope]]). */
+  private[graft] def withCommitScope(f: (() => Unit) => Unit): IcebergTable =
+    new IcebergTable(spark, url, originalUrl, metadata, version,
+      selectedSnapshotId, incrementalFromSnapshotId, rawMetadataJson,
+      loadedFrom, Some(f))
 
   private def conf: Configuration = spark.sessionState.newHadoopConf()
 
@@ -80,7 +99,7 @@ final class IcebergTable private (
   /** Travel to an absolute snapshot id (`open_snapshot(snapshot_id=)`). */
   def atSnapshot(snapshotId: Long): IcebergTable = {
     require(snapshots.contains(snapshotId), s"unknown snapshot $snapshotId")
-    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom)
+    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom, commitScope = commitScope)
   }
 
   /** Travel relative to latest: 0 = latest, −k walks k parents
@@ -92,7 +111,7 @@ final class IcebergTable private (
     for (_ <- 0 until -rel)
       snap = snapshots(snap.parentSnapshotId.getOrElse(
         throw new IllegalStateException("snapshot chain broken")))
-    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snap.snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom)
+    new IcebergTable(spark, url, originalUrl, metadata, version, Some(snap.snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom, commitScope = commitScope)
   }
 
   /** Travel to the latest snapshot at or before a timestamp (extension —
@@ -163,7 +182,7 @@ final class IcebergTable private (
           s"'$op' operation as appends; read the full table at that point instead")
     }
     new IcebergTable(spark, url, originalUrl, metadata, version,
-      Some(toSnapshotId), Some(fromSnapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom)
+      Some(toSnapshotId), Some(fromSnapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom, commitScope = commitScope)
   }
 
   /** CDC-complete changelog of every snapshot in (from, to]: each row is a

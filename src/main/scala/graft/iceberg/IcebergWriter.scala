@@ -1377,7 +1377,7 @@ object IcebergWriter {
 
       val deletedRecords = fully.map(_.recordCount).sum - deadDeleteRows + posDeleteCount
       val old = mapper.readTree(
-        readString(s"$url/metadata/v${current.version}.metadata.json", conf))
+        metadataBaseJson(current, url, conf))
         .asInstanceOf[ObjectNode]
       old.put("format-version", 2)
       val now = System.currentTimeMillis()
@@ -1771,7 +1771,7 @@ object IcebergWriter {
         current.manifestList, conf, sequenceNumber = newSeq,
         specId = current.metadata.defaultSpecId)
       val old = mapper.readTree(
-        readString(s"$url/metadata/v${current.version}.metadata.json", conf))
+        metadataBaseJson(current, url, conf))
         .asInstanceOf[ObjectNode]
       old.put("format-version", 2)
       val now = System.currentTimeMillis()
@@ -2426,7 +2426,7 @@ object IcebergWriter {
           deleteManifests, conf, sequenceNumber = newSeq,
           specId = current.metadata.defaultSpecId)
         val old = mapper.readTree(
-          readString(s"$url/metadata/v${current.version}.metadata.json", conf))
+          metadataBaseJson(current, url, conf))
           .asInstanceOf[ObjectNode]
         // explicit per-entry sequence numbers are a v2 manifest feature
         old.put("format-version", 2)

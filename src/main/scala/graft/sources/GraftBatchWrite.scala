@@ -79,7 +79,9 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
     val dataFiles = files.map { case (p, len, partValues) =>
       (new Path(p).toUri.getPath, len, statsByPath(p), partValues)
     }
-    mode match {
+    // catalog-opened tables publish through the catalog's atomic commit
+    // (REST updates/requirements); filesystem tables run the body as-is
+    table.runCommit(mode match {
       case WriteMode.Append =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = None, operation = "append")
@@ -102,7 +104,7 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
           deletePred = None, operation = "overwrite",
           dynamicTouched = Some(touched),
           extraSummary = Map("graft-overwrite-mode" -> "dynamic"))
-    }
+    })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -127,9 +127,10 @@ final class GraftDeltaBatchWrite(table: IcebergTable, operation: String,
         deleteFiles ++= m.deleteFiles
       case _ => ()
     }
-    IcebergWriter.commitDelta(spark, table.url, commitId,
+    // catalog-opened tables publish through the catalog's atomic commit
+    table.runCommit(IcebergWriter.commitDelta(spark, table.url, commitId,
       dataFiles.toSeq, deleteFiles.toSeq, operation,
-      scannedKeys(), deleteFilesAtScan(), Some(addValidation()))
+      scannedKeys(), deleteFilesAtScan(), Some(addValidation())))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

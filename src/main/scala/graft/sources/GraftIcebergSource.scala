@@ -256,7 +256,8 @@ final class GraftIcebergV2Table(val table: IcebergTable,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val pred = filters.flatMap(Pruning.fromSparkFilterExact)
       .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
-    IcebergWriter.deleteRows(SparkSession.active, table.url, pred)
+    // catalog-opened tables publish through the catalog's atomic commit
+    table.runCommit(IcebergWriter.deleteRows(SparkSession.active, table.url, pred))
   }
 
   override def name(): String = s"graft-iceberg ${table.url}"

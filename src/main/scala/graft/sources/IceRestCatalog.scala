@@ -99,11 +99,16 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     request("DELETE", s"/namespaces/$namespace/tables/$name$q")
   }
 
-  /** Open a catalog table as an [[IcebergTable]] via its metadata-location. */
+  /** Open a catalog table as an [[IcebergTable]] via its metadata-location.
+    * The returned instance carries a CATALOG COMMIT SCOPE: every write
+    * committed against it (DataFrame API, SQL DML through the
+    * CatalogPlugin, deleteWhere…) publishes through the REST commit
+    * protocol — never the filesystem version-hint swap. */
   def loadTable(spark: SparkSession, namespace: String, name: String): IcebergTable = {
     val meta = getTable(namespace, name)
     val loc = meta.get("metadata-location").asText
     IcebergTable.load(spark, loc)
+      .withCommitScope(body => withCatalogAtomicity(spark, namespace, name)(body()))
   }
 
   // ----------------------------------------------------- commit protocol
@@ -123,27 +128,44 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
       s"""{"requirements": [${requirements.mkString(",")}],
            "updates": [${updates.mkString(",")}]}"""))
 
-  /** APPEND through catalog atomicity: data files and manifests write to
-    * the table's storage location as usual, but the metadata swap is a REST
-    * commit — `add-snapshot` + `set-snapshot-ref main` updates guarded by
-    * an `assert-ref-snapshot-id` requirement on main's snapshot at build
-    * time. A concurrent committer moves main, the server refuses with 409,
-    * and the optimistic loop rebuilds against the catalog's FRESH
-    * metadata-location (re-fetched per attempt — the filesystem
-    * version-hint is never consulted, so the catalog stays the single
-    * source of truth). */
-  def commitAppend(spark: SparkSession, namespace: String, name: String,
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    val url = loadTable(spark, namespace, name).url
-    IcebergWriter.withCatalogCommit(s => loadTable(s, namespace, name)) {
+  /** Run `body` — any single-snapshot write against this table's storage
+    * location — with its metadata publish routed through CATALOG ATOMICITY:
+    * the locally-built metadata diffs into `add-snapshot` +
+    * `set-snapshot-ref main` updates guarded by an `assert-ref-snapshot-id`
+    * requirement on main's snapshot at build time. A concurrent committer
+    * moves main, the server refuses with 409, and the optimistic loop
+    * rebuilds against the catalog's FRESH metadata-location (re-fetched per
+    * attempt — the filesystem version-hint is never consulted, so the
+    * catalog stays the single source of truth). Covers append / overwrite /
+    * row-level DML (all add one snapshot); schema-evolution DDL is not
+    * expressible by this diff and stays filesystem-cataloged. */
+  def withCatalogAtomicity[T](spark: SparkSession, namespace: String,
+      name: String)(body: => T): T =
+    IcebergWriter.withCatalogCommit(s => loadTableNoScope(s, namespace, name)) {
       (before, json) =>
-        val (requirement, updates) = appendDiff(before, json)
+        val (requirement, updates) = snapshotDiff(before, json)
         try commitTable(namespace, name, Seq(requirement), updates)
         catch {
           case e: RuntimeException if e.getMessage.contains("HTTP 409") =>
             throw new IcebergWriter.CommitConflictException(e.getMessage)
         }
-    } { IcebergWriter.append(spark, url, df) }
+    }(body)
+
+  /** [[loadTable]] without the commit scope — the resolve side of
+    * [[withCatalogAtomicity]] (a scoped instance there would try to nest
+    * scopes on retry). */
+  private def loadTableNoScope(spark: SparkSession, namespace: String,
+      name: String): IcebergTable =
+    IcebergTable.load(spark,
+      getTable(namespace, name).get("metadata-location").asText)
+
+  /** APPEND through catalog atomicity (see [[withCatalogAtomicity]]). */
+  def commitAppend(spark: SparkSession, namespace: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val url = loadTableNoScope(spark, namespace, name).url
+    withCatalogAtomicity(spark, namespace, name) {
+      IcebergWriter.append(spark, url, df)
+    }
   }
 
   /** Translate a locally-built metadata JSON into the REST commit's
@@ -152,7 +174,7 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     * new current snapshot becomes `set-snapshot-ref main`, and the
     * requirement pins main to the snapshot the build saw (null = the build
     * saw an empty table, so main must still not exist). */
-  private def appendDiff(before: IcebergTable, json: String): (String, Seq[String]) = {
+  private def snapshotDiff(before: IcebergTable, json: String): (String, Seq[String]) = {
     val newMeta = mapper.readTree(json)
     val oldIds = before.metadata.snapshots.map(_.snapshotId).toSet
     val updates = Seq.newBuilder[String]

@@ -220,6 +220,21 @@ class RestCatalogSpec extends AnyFunSuite {
       val snapId = graft.iceberg.IcebergTable.load(spark, url).currentSnapshot.snapshotId
       assert(spark.sql(s"SELECT count(*) FROM $catName.db.events VERSION AS OF $snapId")
         .head().getLong(0) == 3L)
+
+      // SQL DML through the CatalogPlugin commits via CATALOG ATOMICITY:
+      // the REST commit endpoint advances the metadata, the filesystem
+      // version-hint does NOT move — the hint swap is bypassed entirely
+      val hintBefore = scala.io.Source
+        .fromFile(s"$url/metadata/version-hint.text").mkString.trim
+      spark.sql(s"INSERT INTO $catName.db.events VALUES (4, 'd'), (5, 'e')")
+      spark.sql(s"DELETE FROM $catName.db.events WHERE id = 2")
+      assert(spark.sql(s"SELECT name FROM $catName.db.events ORDER BY name")
+        .as[String].collect().toSeq == Seq("a", "c", "d", "e"))
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == hintBefore,
+        "SQL DML must commit through the catalog, not the version-hint swap")
+      // a reader trusting only the filesystem hint sees the pre-DML state
+      assert(graft.iceberg.IcebergTable.load(spark, url).read().count() == 3)
     }
   }
 
