@@ -143,8 +143,8 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
       name: String)(body: => T): T =
     IcebergWriter.withCatalogCommit(s => loadTableNoScope(s, namespace, name)) {
       (before, json) =>
-        val (requirement, updates) = snapshotDiff(before, json)
-        try commitTable(namespace, name, Seq(requirement), updates)
+        val (requirements, updates) = snapshotDiff(before, json)
+        try commitTable(namespace, name, requirements, updates)
         catch {
           case e: RuntimeException if e.getMessage.contains("HTTP 409") =>
             throw new IcebergWriter.CommitConflictException(e.getMessage)
@@ -174,21 +174,43 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     * new current snapshot becomes `set-snapshot-ref main`, and the
     * requirement pins main to the snapshot the build saw (null = the build
     * saw an empty table, so main must still not exist). */
-  private def snapshotDiff(before: IcebergTable, json: String): (String, Seq[String]) = {
+  private def snapshotDiff(before: IcebergTable, json: String): (Seq[String], Seq[String]) = {
     val newMeta = mapper.readTree(json)
     val oldIds = before.metadata.snapshots.map(_.snapshotId).toSet
     val updates = Seq.newBuilder[String]
     newMeta.get("snapshots").elements().asScala
       .filterNot(s => oldIds.contains(s.get("snapshot-id").asLong))
       .foreach(s => updates += s"""{"action": "add-snapshot", "snapshot": $s}""")
-    val newCur = newMeta.get("current-snapshot-id").asLong
-    updates += s"""{"action": "set-snapshot-ref", "ref-name": "main",
-      "type": "branch", "snapshot-id": $newCur}"""
-    val oldCur = before.metadata.currentSnapshotId
-    val requirement =
-      s"""{"type": "assert-ref-snapshot-id", "ref": "main",
-           "snapshot-id": ${if (oldCur >= 0) oldCur.toString else "null"}}"""
-    (requirement, updates.result())
+    // EVERY ref the commit creates or moves (main for normal commits, a
+    // staging branch for write-audit-publish, tags) becomes its own
+    // set-snapshot-ref update, guarded by an assert-ref-snapshot-id pinning
+    // the ref where the build saw it (null = ref must not exist yet) — so a
+    // concurrent committer moving ANY ref this commit touches forces a
+    // rebuild, branch and tag commits included.
+    val requirements = Seq.newBuilder[String]
+    val oldRefs: Map[String, Long] =
+      before.metadata.refs.map { case (n, r) => n -> r.snapshotId } ++
+        (if (before.metadata.currentSnapshotId >= 0)
+           Map("main" -> before.metadata.currentSnapshotId)
+         else Map.empty)
+    val newRefs: Map[String, (Long, String)] = {
+      val fromRefs = Option(newMeta.get("refs")).toSeq
+        .flatMap(_.properties().asScala)
+        .map(e => e.getKey -> (e.getValue.get("snapshot-id").asLong,
+          e.getValue.get("type").asText)).toMap
+      val newCur = newMeta.get("current-snapshot-id").asLong
+      if (newCur >= 0) fromRefs.updated("main",
+        (newCur, "branch")) else fromRefs
+    }
+    newRefs.foreach { case (name, (id, refType)) =>
+      if (!oldRefs.get(name).contains(id)) {
+        updates += s"""{"action": "set-snapshot-ref", "ref-name": "$name",
+          "type": "$refType", "snapshot-id": $id}"""
+        requirements += s"""{"type": "assert-ref-snapshot-id", "ref": "$name",
+          "snapshot-id": ${oldRefs.get(name).map(_.toString).getOrElse("null")}}"""
+      }
+    }
+    (requirements.result(), updates.result())
   }
 
   private def levels(name: String): String =

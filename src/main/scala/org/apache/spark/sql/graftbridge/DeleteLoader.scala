@@ -60,7 +60,8 @@ object DeleteLoader {
 
   /** Test/diagnostic hook: number of resident delete-file entries. */
   def residentEntries: Int = cache.synchronized(cache.size())
-  private[graftbridge] def clearForTest(): Unit = cache.synchronized {
+  /** Test hook: reset the cache between eviction assertions. */
+  def clearForTest(): Unit = cache.synchronized {
     cache.clear(); totalBytes = 0L
   }
 

@@ -122,6 +122,28 @@ class DistributedMorSpec extends AnyFunSuite {
     }
   }
 
+  test("delete cache evicts LRU under a byte budget but never the entry in use") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    // three commits -> three separate position-delete files
+    IcebergWriter.append(spark, url,
+      (1L to 300L).map(i => (i, "x")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 51L))
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 51L), Pruning.Lt("k", 101L)))
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 101L), Pruning.Lt("k", 151L)))
+    DeleteLoader.clearForTest()
+    spark.conf.set("spark.graft.iceberg.deleteCacheBytes", "1") // evict ~everything
+    try withCap(10) {
+      // scan stays CORRECT while the cache thrashes down to ~one entry
+      assert(IcebergTable.load(spark, url).read().count() == 150)
+      assert(DeleteLoader.residentEntries <= 1,
+        s"byte budget must bound the cache, ${DeleteLoader.residentEntries} resident")
+    } finally spark.conf.unset("spark.graft.iceberg.deleteCacheBytes")
+    DeleteLoader.clearForTest()
+  }
+
   test("per-JVM delete cache is populated by distributed scans") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)

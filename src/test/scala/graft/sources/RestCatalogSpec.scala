@@ -86,13 +86,19 @@ class RestCatalogSpec extends AnyFunSuite {
                 .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
               val curId = if (meta.hasNonNull("current-snapshot-id"))
                 meta.get("current-snapshot-id").asLong else -1L
+              def refAt(name: String): Long =
+                if (name == "main") curId
+                else Option(meta.get("refs")).flatMap(r => Option(r.get(name)))
+                  .map(_.get("snapshot-id").asLong).getOrElse(-1L)
               val failed = Option(req.get("requirements")).toSeq
                 .flatMap(_.elements().asScala).flatMap { r =>
                   r.get("type").asText match {
-                    case "assert-ref-snapshot-id" if r.get("ref").asText == "main" =>
+                    case "assert-ref-snapshot-id" =>
+                      val ref = r.get("ref").asText
                       val want = if (r.hasNonNull("snapshot-id"))
                         r.get("snapshot-id").asLong else -1L
-                      if (want != curId) Some(s"main is at $curId, not $want")
+                      if (want != refAt(ref))
+                        Some(s"$ref is at ${refAt(ref)}, not $want")
                       else None
                     case other => Some(s"unsupported requirement $other")
                   }
@@ -111,16 +117,20 @@ class RestCatalogSpec extends AnyFunSuite {
                       if (!meta.hasNonNull("last-sequence-number") ||
                           meta.get("last-sequence-number").asLong < seq)
                         meta.put("last-sequence-number", seq)
-                    case "set-snapshot-ref" if u.get("ref-name").asText == "main" =>
+                    case "set-snapshot-ref" =>
+                      val refName = u.get("ref-name").asText
                       val id = u.get("snapshot-id").asLong
-                      meta.put("current-snapshot-id", id)
-                      val refs = meta.withObject("/refs")
-                      refs.set("main", mapper.readTree(
-                        s"""{"snapshot-id": $id, "type": "branch"}"""))
-                      meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
-                        "snapshot-log").add(mapper.readTree(
-                          s"""{"timestamp-ms": ${System.currentTimeMillis()},
-                               "snapshot-id": $id}"""))
+                      val refType = Option(u.get("type"))
+                        .map(_.asText).getOrElse("branch")
+                      meta.withObject("/refs").set(refName, mapper.readTree(
+                        s"""{"snapshot-id": $id, "type": "$refType"}"""))
+                      if (refName == "main") {
+                        meta.put("current-snapshot-id", id)
+                        meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+                          "snapshot-log").add(mapper.readTree(
+                            s"""{"timestamp-ms": ${System.currentTimeMillis()},
+                                 "snapshot-id": $id}"""))
+                      }
                     case other =>
                       throw new IllegalArgumentException(s"unsupported update $other")
                   }
@@ -299,6 +309,48 @@ class RestCatalogSpec extends AnyFunSuite {
                "type": "branch", "snapshot-id": $freshId}"""))
       cat.commitAppend(spark, "db", "t", Seq((4L, "d")).toDF("id", "name"))
       assert(cat.loadTable(spark, "db", "t").read().count() == 4)
+    }
+  }
+
+  test("write-audit-publish through REST: branch commits and fast-forward are catalog-atomic") {
+    withServer { (cat, _) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+
+      val url = java.nio.file.Files.createTempDirectory("graft_restwap").toString + "/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+      cat.createNamespace("db")
+      cat.createTable("db", "t", Seq("id" -> "long", "name" -> "string"),
+        location = Some(url))
+      cat.commitAppend(spark, "db", "t", Seq((1L, "base")).toDF("id", "name"))
+
+      // STAGE on a branch through catalog atomicity: the diff carries
+      // set-snapshot-ref audit (assert: ref must not exist yet), main stays
+      cat.withCatalogAtomicity(spark, "db", "t") {
+        graft.iceberg.IcebergWriter.appendToBranch(spark, url,
+          Seq((2L, "staged")).toDF("id", "name"), "audit")
+      }
+      val staged = cat.loadTable(spark, "db", "t")
+      assert(staged.read().count() == 1, "main must not see the staged append")
+      assert(staged.atBranch("audit").read().count() == 2, "audit sees base + staged")
+
+      // PUBLISH through catalog atomicity: fast-forward moves main only
+      cat.withCatalogAtomicity(spark, "db", "t") {
+        graft.iceberg.IcebergWriter.fastForward(spark, url, "audit")
+      }
+      val published = cat.loadTable(spark, "db", "t")
+      assert(published.read().as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "base"), (2L, "staged")))
+      // the whole stage+publish flow never touched the filesystem hint
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == "1")
     }
   }
 
