@@ -177,6 +177,24 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
   private def snapshotDiff(before: IcebergTable, json: String): (Seq[String], Seq[String]) = {
     val newMeta = mapper.readTree(json)
     val oldIds = before.metadata.snapshots.map(_.snapshotId).toSet
+    // REFUSE what add-snapshot/set-snapshot-ref cannot express, rather than
+    // silently committing a PARTIAL change: snapshot removal (expiration)
+    // and schema/spec evolution need their own REST update actions.
+    val newIds = newMeta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).toSet
+    if (!oldIds.subsetOf(newIds))
+      throw new UnsupportedOperationException(
+        "this commit REMOVES snapshots (expiration?); only snapshot-adding " +
+          "commits route through the REST catalog scope")
+    val beforeMeta = mapper.readTree(before.rawMetadataJson)
+    Seq("schemas", "current-schema-id", "partition-specs", "default-spec-id")
+      .foreach { f =>
+        if (Option(newMeta.get(f)) != Option(beforeMeta.get(f)))
+          throw new UnsupportedOperationException(
+            s"this commit changes '$f'; schema/spec evolution through the " +
+              "REST catalog needs dedicated update actions and stays " +
+              "filesystem-cataloged for now")
+      }
     val updates = Seq.newBuilder[String]
     newMeta.get("snapshots").elements().asScala
       .filterNot(s => oldIds.contains(s.get("snapshot-id").asLong))
