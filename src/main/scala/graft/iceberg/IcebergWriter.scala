@@ -2668,7 +2668,7 @@ object IcebergWriter {
   /** The metadata JSON a commit mutates: the exact bytes `table` was
     * loaded from when available (catalog-loaded tables have no
     * version-derived path), else the filesystem's v{version} file. */
-  private def metadataBaseJson(table: IcebergTable, url: String,
+  private[iceberg] def metadataBaseJson(table: IcebergTable, url: String,
       conf: Configuration): String =
     if (table.rawMetadataJson.nonEmpty) table.rawMetadataJson
     else readString(s"$url/metadata/v${table.version}.metadata.json", conf)

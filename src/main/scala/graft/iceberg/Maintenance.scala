@@ -26,7 +26,7 @@ object Maintenance {
     *    on disk until expireSnapshots).
     */
   def compact(spark: SparkSession, url: String, targetFiles: Option[Int] = None): Unit = {
-    val t0 = IcebergTable.load(spark, url)
+    val t0 = IcebergWriter.resolveCurrent(spark, url)
     if (t0.metadata.currentSnapshotId < 0) return
     val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
     val pinned = frozen.liveFiles()
@@ -82,7 +82,7 @@ object Maintenance {
     import org.apache.spark.sql.types._
     require(cols.size >= 2 && cols.size <= 4,
       s"zorder takes 2-4 columns, got ${cols.size}")
-    val t0 = IcebergTable.load(spark, url)
+    val t0 = IcebergWriter.resolveCurrent(spark, url)
     if (t0.metadata.currentSnapshotId < 0) return
     require(t0.sortOrderColumns.isEmpty,
       "zorder conflicts with the table's sort order (sorted writes would " +
@@ -211,7 +211,7 @@ object Maintenance {
   def removeOrphans(spark: SparkSession, url: String,
       olderThanMs: Long = 3L * 24 * 3600 * 1000): Int = {
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergTable.load(spark, url)
+    val table = IcebergWriter.resolveCurrent(spark, url)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val referenced = scala.collection.mutable.Set.empty[String]
     table.metadata.snapshots.foreach { snap =>
@@ -253,7 +253,7 @@ object Maintenance {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val conf = spark.sessionState.newHadoopConf()
     val mapper = new ObjectMapper()
-    val before = IcebergTable.load(spark, url)
+    val before = IcebergWriter.resolveCurrent(spark, url)
     if (before.metadata.currentSnapshotId < 0) return
 
     // 1. trim metadata through the optimistic commit loop
@@ -290,8 +290,8 @@ object Maintenance {
         }
       if (keepIds.size == table.snapshots.size) None // nothing to expire
       else {
-        val old = mapper.readTree(IcebergTableIo.readString(
-          s"$url/metadata/v${table.version}.metadata.json", conf)).asInstanceOf[ObjectNode]
+        val old = mapper.readTree(
+          IcebergWriter.metadataBaseJson(table, url, conf)).asInstanceOf[ObjectNode]
         def filterArray(name: String): Unit = if (old.has(name)) {
           val arr = old.withArray[ArrayNode](name)
           val kept = (0 until arr.size).map(arr.get)
@@ -318,7 +318,7 @@ object Maintenance {
     // solely by DELETED entries are unreachable bytes. Manifests and
     // manifest lists of remaining snapshots are all kept (reconciliation
     // reads them, including pure-DELETED ones).
-    val after = IcebergTable.load(spark, url)
+    val after = IcebergWriter.resolveCurrent(spark, url)
     val liveData = scala.collection.mutable.Set.empty[String]
     val liveAvro = scala.collection.mutable.Set.empty[String]
     after.metadata.snapshots.foreach { snap =>

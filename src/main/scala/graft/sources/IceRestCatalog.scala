@@ -137,8 +137,10 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     * rebuilds against the catalog's FRESH metadata-location (re-fetched per
     * attempt — the filesystem version-hint is never consulted, so the
     * catalog stays the single source of truth). Covers append / overwrite /
-    * row-level DML (all add one snapshot); schema-evolution DDL is not
-    * expressible by this diff and stays filesystem-cataloged. */
+    * row-level DML (snapshot-adding commits), schema and partition-spec
+    * evolution (add-schema/set-current-schema, add-spec/set-default-spec),
+    * and sort orders; snapshot REMOVAL (expiration) is refused — it needs
+    * the remove-snapshots action this client does not send. */
   def withCatalogAtomicity[T](spark: SparkSession, namespace: String,
       name: String)(body: => T): T =
     IcebergWriter.withCatalogCommit(s => loadTableNoScope(s, namespace, name)) {
@@ -177,9 +179,9 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
   private def snapshotDiff(before: IcebergTable, json: String): (Seq[String], Seq[String]) = {
     val newMeta = mapper.readTree(json)
     val oldIds = before.metadata.snapshots.map(_.snapshotId).toSet
-    // REFUSE what add-snapshot/set-snapshot-ref cannot express, rather than
-    // silently committing a PARTIAL change: snapshot removal (expiration)
-    // and schema/spec evolution need their own REST update actions.
+    // REFUSE what the REST update vocabulary used here cannot express,
+    // rather than silently committing a PARTIAL change: snapshot removal
+    // (expiration) needs remove-snapshots, which this client does not send.
     val newIds = newMeta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).toSet
     if (!oldIds.subsetOf(newIds))
@@ -187,15 +189,50 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
         "this commit REMOVES snapshots (expiration?); only snapshot-adding " +
           "commits route through the REST catalog scope")
     val beforeMeta = mapper.readTree(before.rawMetadataJson)
-    Seq("schemas", "current-schema-id", "partition-specs", "default-spec-id")
-      .foreach { f =>
-        if (Option(newMeta.get(f)) != Option(beforeMeta.get(f)))
-          throw new UnsupportedOperationException(
-            s"this commit changes '$f'; schema/spec evolution through the " +
-              "REST catalog needs dedicated update actions and stays " +
-              "filesystem-cataloged for now")
-      }
     val updates = Seq.newBuilder[String]
+    val requirements = Seq.newBuilder[String]
+
+    // SCHEMA EVOLUTION → add-schema + set-current-schema, guarded by
+    // assert-current-schema-id (a concurrent evolution forces a rebuild)
+    def idSet(node: JsonNode, arr: String, id: String): Set[Int] =
+      Option(node.get(arr)).toSeq.flatMap(_.elements().asScala)
+        .map(_.get(id).asInt).toSet
+    def intOf(node: JsonNode, f: String, dflt: Int): Int =
+      Option(node.get(f)).map(_.asInt).getOrElse(dflt)
+    val oldSchemaIds = idSet(beforeMeta, "schemas", "schema-id")
+    Option(newMeta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+      .filterNot(sc => oldSchemaIds.contains(sc.get("schema-id").asInt))
+      .foreach { sc =>
+        updates += s"""{"action": "add-schema", "schema": $sc,
+          "last-column-id": ${intOf(newMeta, "last-column-id", -1)}}"""
+      }
+    if (intOf(newMeta, "current-schema-id", -1) != intOf(beforeMeta, "current-schema-id", -1)) {
+      updates += s"""{"action": "set-current-schema",
+        "schema-id": ${intOf(newMeta, "current-schema-id", -1)}}"""
+      requirements += s"""{"type": "assert-current-schema-id",
+        "current-schema-id": ${intOf(beforeMeta, "current-schema-id", -1)}}"""
+    }
+
+    // PARTITION-SPEC EVOLUTION → add-spec + set-default-spec
+    val oldSpecIds = idSet(beforeMeta, "partition-specs", "spec-id")
+    Option(newMeta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
+      .filterNot(sp => oldSpecIds.contains(sp.get("spec-id").asInt))
+      .foreach(sp => updates += s"""{"action": "add-spec", "spec": $sp}""")
+    if (intOf(newMeta, "default-spec-id", 0) != intOf(beforeMeta, "default-spec-id", 0)) {
+      updates += s"""{"action": "set-default-spec",
+        "spec-id": ${intOf(newMeta, "default-spec-id", 0)}}"""
+      requirements += s"""{"type": "assert-default-spec-id",
+        "default-spec-id": ${intOf(beforeMeta, "default-spec-id", 0)}}"""
+    }
+
+    // SORT-ORDER changes → add-sort-order + set-default-sort-order
+    val oldOrderIds = idSet(beforeMeta, "sort-orders", "order-id")
+    Option(newMeta.get("sort-orders")).toSeq.flatMap(_.elements().asScala)
+      .filterNot(so => oldOrderIds.contains(so.get("order-id").asInt))
+      .foreach(so => updates += s"""{"action": "add-sort-order", "sort-order": $so}""")
+    if (intOf(newMeta, "default-sort-order-id", 0) != intOf(beforeMeta, "default-sort-order-id", 0))
+      updates += s"""{"action": "set-default-sort-order",
+        "sort-order-id": ${intOf(newMeta, "default-sort-order-id", 0)}}"""
     newMeta.get("snapshots").elements().asScala
       .filterNot(s => oldIds.contains(s.get("snapshot-id").asLong))
       .foreach(s => updates += s"""{"action": "add-snapshot", "snapshot": $s}""")
@@ -205,7 +242,6 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     // the ref where the build saw it (null = ref must not exist yet) — so a
     // concurrent committer moving ANY ref this commit touches forces a
     // rebuild, branch and tag commits included.
-    val requirements = Seq.newBuilder[String]
     val oldRefs: Map[String, Long] =
       before.metadata.refs.map { case (n, r) => n -> r.snapshotId } ++
         (if (before.metadata.currentSnapshotId >= 0)

@@ -340,11 +340,14 @@ object ScanBridge {
         conf.value, deleteCacheBytes)
 
     /** Exclusion groups for one partition: CDC partitions carry their own;
-      * otherwise driver-built groups plus any task-loaded spec files. */
+      * otherwise driver-built groups plus any task-loaded spec files.
+      * Specs prune by COMMIT SEQUENCE before loading — an equality-delete
+      * file at or below this data file's sequence can never apply, so the
+      * task never pays its decode or cache space. */
     private def exclGroupsOf(m: MorFilePartition): Array[EqDeleteGroup] =
       if (m.ownEqGroups != null) m.ownEqGroups
       else if (eqSpecs.isEmpty) eqGroups
-      else eqGroups ++ eqSpecs.map(s =>
+      else eqGroups ++ eqSpecs.filter(_.seq > m.dataSeq).map(s =>
         DeleteLoader.eqGroupFor(s, conf.value, deleteCacheBytes))
 
     // one probe projection per group: bound to the group's key ordinals

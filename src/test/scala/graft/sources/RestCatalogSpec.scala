@@ -100,6 +100,15 @@ class RestCatalogSpec extends AnyFunSuite {
                       if (want != refAt(ref))
                         Some(s"$ref is at ${refAt(ref)}, not $want")
                       else None
+                    case "assert-current-schema-id" =>
+                      val want = r.get("current-schema-id").asInt
+                      val cur = meta.get("current-schema-id").asInt
+                      if (want != cur) Some(s"schema is $cur, not $want") else None
+                    case "assert-default-spec-id" =>
+                      val want = r.get("default-spec-id").asInt
+                      val cur = Option(meta.get("default-spec-id"))
+                        .map(_.asInt).getOrElse(0)
+                      if (want != cur) Some(s"spec is $cur, not $want") else None
                     case other => Some(s"unsupported requirement $other")
                   }
                 }
@@ -131,6 +140,23 @@ class RestCatalogSpec extends AnyFunSuite {
                             s"""{"timestamp-ms": ${System.currentTimeMillis()},
                                  "snapshot-id": $id}"""))
                       }
+                    case "add-schema" =>
+                      meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+                        "schemas").add(u.get("schema"))
+                      if (u.hasNonNull("last-column-id"))
+                        meta.put("last-column-id", u.get("last-column-id").asInt)
+                    case "set-current-schema" =>
+                      meta.put("current-schema-id", u.get("schema-id").asInt)
+                    case "add-spec" =>
+                      meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+                        "partition-specs").add(u.get("spec"))
+                    case "set-default-spec" =>
+                      meta.put("default-spec-id", u.get("spec-id").asInt)
+                    case "add-sort-order" =>
+                      meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+                        "sort-orders").add(u.get("sort-order"))
+                    case "set-default-sort-order" =>
+                      meta.put("default-sort-order-id", u.get("sort-order-id").asInt)
                     case other =>
                       throw new IllegalArgumentException(s"unsupported update $other")
                   }
@@ -399,6 +425,60 @@ class RestCatalogSpec extends AnyFunSuite {
       // the whole stage+publish flow never touched the filesystem hint
       assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
         .mkString.trim == "1")
+    }
+  }
+
+  test("schema and spec evolution commit through REST; expiration refuses the scope") {
+    withServer { (cat, _) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+
+      val url = java.nio.file.Files.createTempDirectory("graft_restddl").toString + "/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+      cat.createNamespace("db")
+      cat.createTable("db", "t", Seq("id" -> "long", "name" -> "string"),
+        location = Some(url))
+      cat.commitAppend(spark, "db", "t", Seq((1L, "a")).toDF("id", "name"))
+
+      // SCHEMA EVOLUTION through the catalog: add-schema + set-current-schema
+      cat.withCatalogAtomicity(spark, "db", "t") {
+        graft.iceberg.IcebergWriter.addColumn(spark, url, "score", "double")
+      }
+      val evolved = cat.loadTable(spark, "db", "t")
+      assert(evolved.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+      // pre-evolution rows read null for the new column, through the catalog
+      assert(evolved.read().select("score").collect().map(_.isNullAt(0)).toSeq == Seq(true))
+      // writes against the evolved schema land through the catalog too
+      cat.commitAppend(spark, "db", "t",
+        Seq((2L, "b", 0.5)).toDF("id", "name", "score"))
+      assert(cat.loadTable(spark, "db", "t").read().count() == 2)
+
+      // PARTITION-SPEC EVOLUTION: add-spec + set-default-spec
+      cat.withCatalogAtomicity(spark, "db", "t") {
+        graft.iceberg.IcebergWriter.updatePartitionSpec(spark, url,
+          Seq("name" -> "identity"))
+      }
+      assert(cat.loadTable(spark, "db", "t").partitionSpec.fields
+        .map(_.name).toSeq == Seq("name"))
+
+      // the hint NEVER moved: every DDL/DML above was catalog-committed
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == "1")
+
+      // snapshot REMOVAL cannot express as add-snapshot diffs: refuse
+      val e = intercept[UnsupportedOperationException] {
+        cat.withCatalogAtomicity(spark, "db", "t") {
+          graft.iceberg.Maintenance.expireSnapshots(spark, url, keepLast = 1)
+        }
+      }
+      assert(e.getMessage.contains("REMOVES snapshots"))
     }
   }
 
