@@ -210,6 +210,19 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-SQ8 + exact re-rank, probing every cell: with a full probe and a
+    * 4× re-rank margin the int8 candidate ranking recovers the exact
+    * top-5 (the quantized scan only PRESELECTS; the final cosine runs on
+    * full-precision vectors), so DuckDB's brute-force top-k is a true
+    * hash-exact oracle for the whole quantize→rank→refine path. */
+  def simTopkSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+    Similarity.ivfSqTopK(index, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, nProbe = 8, rerankFactor = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------- text analysis
 
   def txStats(s: SparkSession, dir: String): DataFrame = {
@@ -339,6 +352,22 @@ object LlmQueries {
     Corpus.sourceFilter(t(s, dir, "documents"), "source",
         TF.tokenCount(col("text")) < 40, num = 4, den = 10)
       .select(col("doc_id"), col("source")).orderBy("doc_id")
+
+  /** Corpus-wide repeated-line removal: the documents table has no
+    * newlines, so the query first RE-LINES each text deterministically
+    * (3-token lines) and then strips every line whose distinct-document
+    * frequency is ≥ 2 — the C4-style boilerplate cut. The oracle replays
+    * both the re-lining and the removal, so the surviving text (order
+    * preserved), line counts, and empty-doc handling are all hash-checked. */
+  def pipeLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val nLines = greatest(((size(toks) + 2) / 3).cast("int"), lit(1))
+    val lined = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))).as("text"))
+    Corpus.lineDedup(lined, "text", "doc_id", "\n", minDocFreq = 2)
+      .orderBy("doc_id")
+  }
 
   /** Context-window chunking: 64-token chunks advancing by 48 (16-token
     * overlap), the split-long-documents step before tokenization. Fully
@@ -481,12 +510,14 @@ object LlmQueries {
     "pipe_shuffle"      -> (pipeShuffle _),
     "pipe_source_filter" -> (pipeSourceFilter _),
     "pipe_chunk"        -> (pipeChunk _),
+    "pipe_line_dedup"   -> (pipeLineDedup _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
     "sim_topk_lsh"      -> (simTopkLsh _),
     "sim_topk_ivf"      -> (simTopkIvf _),
     "sim_topk_ivf_full" -> (simTopkIvfFull _),
+    "sim_topk_sq"       -> (simTopkSq _),
     "tx_fingerprint_rolling" -> (txFingerprintRolling _),
     "tx_stats"          -> (txStats _),
     "tx_quality"        -> (txQuality _),
@@ -772,6 +803,26 @@ object LlmQueries {
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
       ORDER BY doc_id""",
+    // re-lining + boilerplate cut replayed: 3-token lines, lines present in
+    // ≥2 distinct docs dropped everywhere, survivors rejoined in order
+    "pipe_line_dedup" -> """
+      WITH lined AS (
+        SELECT doc_id, array_to_string(list_transform(
+            range(0, greatest(CAST(ceil(len(t)/3.0) AS INT), 1)),
+            i -> array_to_string(t[i*3+1:i*3+3], ' ')), chr(10)) AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      freq AS (SELECT line FROM (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM lined)
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      bl AS (SELECT coalesce(list(line), []) AS b FROM freq)
+      SELECT doc_id,
+        coalesce(array_to_string(list_filter(string_split(text, chr(10)),
+          l -> NOT list_contains(b, l)), chr(10)), '') AS clean_text,
+        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(string_split(text, chr(10)),
+          l -> NOT list_contains(b, l))) AS BIGINT) AS n_lines_kept
+      FROM lined, bl ORDER BY doc_id""",
     // the same deterministic slicing replayed: chunks advance by 48 with
     // ceil(max(n-64,0)/48)+1 chunks per doc, last chunk keeps the tail
     "pipe_chunk" -> """
@@ -904,6 +955,7 @@ object LlmQueries {
     // brute-force cosine top-k is its oracle too — independent of k-means
     // centroid placement
     "sim_topk_ivf_full" -> bruteTopkSql,
+    "sim_topk_sq" -> bruteTopkSql,
     "tx_fingerprint_rolling" -> """
       WITH canon AS (SELECT doc_id,
         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS c

@@ -46,5 +46,6 @@ object SparkEntry {
     "q06_forecast_revenue", "q08_returned_items", "q09_window_orders",
     "q13_rollup", "q20_supplier_scorecard",
     "dd_exact", "dd_minhash_lsh", "dd_simhash_op", "sim_topk_brute",
-    "sim_topk_lsh_op", "tx_stats", "tx_langid", "mm_features")
+    "sim_topk_lsh_op", "sim_topk_sq", "tx_stats", "tx_langid",
+    "mm_features", "pipe_line_dedup")
 }

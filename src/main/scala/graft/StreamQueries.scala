@@ -207,6 +207,29 @@ object StreamQueries {
       .orderBy("_change_type")
   }
 
+  /** STREAM-STREAM interval join: two real readStreams over the staged
+    * events (views and clicks), watermarked on both sides, joined on
+    * user_id within a 60-minute event-time window — the bounded-state
+    * attribution join. The oracle replays the interval join as plain SQL
+    * in µs arithmetic (lossless: the synthetic timestamps have no
+    * sub-µs component). */
+  def s7StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s7join").toString
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    events.write.parquet(s"$tmp/src")
+    def side(tpe: String) = s.readStream.schema(events.schema)
+      .parquet(s"$tmp/src").filter(col("event_type") === tpe)
+    val q = EventStreams.viewClickJoin(side("view"), side("click"),
+        withinMinutes = 60, watermark = true)
+      .writeStream.format("memory").queryName("s7_stream_join")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("s7_stream_join")
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -214,6 +237,7 @@ object StreamQueries {
     "s4_iceberg_source" -> (s4IcebergSource _),
     "s5_cdc_source" -> (s5CdcSource _),
     "s6_cdc_windowed" -> (s6CdcWindowed _),
+    "s7_stream_join" -> (s7StreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -237,6 +261,15 @@ object StreamQueries {
       FROM events
       GROUP BY date_trunc('hour', ts), event_type
       ORDER BY window_start, event_type""",
+    // the interval join replayed in µs arithmetic (Spark floors ns→µs;
+    // the synthetic timestamps are µs-aligned so the floor is lossless)
+    "s7_stream_join" -> """
+      SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      FROM events v JOIN events c ON v.user_id = c.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(v.ts)
+        AND epoch_us(c.ts) - epoch_us(v.ts) < CAST(3600000000 AS BIGINT)
+      ORDER BY v.user_id, view_id, click_id""",
     "s2_sessionize" -> """
       SELECT user_id, COUNT(*) AS n_events,
         MIN(event_id) AS first_event, MAX(event_id) AS last_event,

@@ -44,4 +44,19 @@ object VectorFunctions {
   /** Squared L2 distance (codegen'd zip_with fold — no UDF). */
   def l2Squared(a: Column, b: Column): Column =
     fsum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
+
+  /** Per-vector symmetric int8 scalar quantization (the FAISS SQ8 shape):
+    * `q[i] = round(v[i] · 127 / max|v|)` ∈ [−127, 127]. A vector's codes
+    * are 1/4 the bytes of its floats, and cosine is SCALE-INVARIANT, so
+    * ranking on the codes needs no dequantization — the per-vector scale
+    * cancels out of `cos(q_a, q_b)`. A zero vector quantizes to zeros
+    * (its cosine is undefined either way). Deterministic round-half-up in
+    * double, so an external engine replays the exact codes. */
+  def quantizeInt8(v: Column): Column = {
+    val vd = toDouble(v)
+    val maxAbs = array_max(transform(vd, x => abs(x)))
+    transform(vd, x =>
+      when(maxAbs > 0, round(x * lit(127.0) / maxAbs))
+        .otherwise(lit(0.0)).cast(IntegerType))
+  }
 }

@@ -101,6 +101,48 @@ object Corpus {
           .cast("long").as("n_tokens"))
   }
 
+  /** Corpus-wide REPEATED-LINE removal (C4/RefinedWeb-style boilerplate
+    * stripping): a line whose distinct-document frequency reaches
+    * `minDocFreq` is navigation chrome, a cookie banner, a license header —
+    * not content — and every occurrence is dropped; each document's
+    * surviving lines are reassembled IN ORDER. Documents whose lines are
+    * all boilerplate survive with empty text (the caller decides whether an
+    * empty doc is then dropped — that's a length filter's job, not this
+    * operator's).
+    *
+    * Scale shape: one O(total lines) aggregation keyed by line content
+    * (map-side partial `countDistinct` absorbs hot lines), one anti-join of
+    * lines against the boilerplate set (AQE broadcasts it when small — the
+    * usual case: boilerplate sets are millions of lines, not billions), and
+    * one reassembly shuffle keyed by document id. The corpus body moves
+    * through each shuffle once — the same O(corpus) floor as any transform
+    * that rewrites text — and nothing is quadratic or driver-side.
+    * Deterministic, so an external engine replays the exact removal. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), qsep)).as(Seq("_pos", "_line")))
+    val boiler = lines.groupBy(col("_line"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocFreq).select(col("_line"))
+    val rebuilt = lines.join(boiler, Seq("_line"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line"))).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol).as("_id"),
+        size(split(col(textCol), qsep)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   /** PACK chunks into fixed-length training sequences — GPT-style
     * concat-and-cut: in deterministic (`idCol`, `subOrderCol`) order, token
     * counts accumulate and every `seqLen`-token boundary starts a new

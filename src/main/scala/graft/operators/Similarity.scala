@@ -119,6 +119,55 @@ object Similarity {
     IvfIndex(assigned, centroids, nlist)
   }
 
+  /** IVF-SQ8 with exact re-rank (the FAISS `IVF,SQ8` + refine shape): the
+    * probed cells are ranked on int8 scalar-quantized codes — cosine is
+    * scale-invariant, so the codes rank WITHOUT dequantization — and only
+    * the top `k · rerankFactor` candidates per query fetch their
+    * full-precision vectors (an id equi-join) for the exact final cosine.
+    *
+    * This is the 100 TB memory-bandwidth path: the candidate scan reads
+    * 1/4 the bytes (int8 codes instead of floats; at scale the codes live
+    * in their own column/table so the float vectors are never scanned),
+    * and full vectors move only for O(k · rerankFactor · |queries|) rows.
+    * With `nProbe = nlist` and an adequate re-rank margin the result is
+    * EXACT (the contract query pins it to the brute-force oracle); lower
+    * nProbe trades recall for probe cost exactly as in [[ivfTopK]]. */
+  def ivfSqTopK(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int = 8,
+      rerankFactor: Int = 4,
+      broadcastProbeBytes: Long = 64L << 20): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val codes = index.assigned.select(col("neighbor_id"), col("cell"),
+      quantizeInt8(col("cv")).as("cq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("d2", l2Squared(col("qv"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), quantizeInt8(col("qv")).as("qq"),
+        col("cell"))
+    // stage 1: rank candidates on the codes alone (no float vectors read)
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val cands = codes.join(probeSide(probes, broadcastProbeBytes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", cosine(col("qq"), col("cq")))
+      .withColumn("cand_rank", row_number().over(cw))
+      .filter(col("cand_rank") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"), col("qv"))
+    // stage 2: exact cosine over full vectors, candidates only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(index.assigned.select(col("neighbor_id"), col("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** ANN top-k through an IVF index: each query ranks only the vectors in
     * its `nProbe` nearest cells (euclidean to centroid — the k-means
     * metric), final ranking by exact cosine. Scored pairs drop from

@@ -33,6 +33,40 @@ object EventStreams {
         col("n"), col("total_value"))
   }
 
+  /** Stream-stream INNER interval join: each `click` matched to the same
+    * user's `view`s at most `withinMinutes` earlier — the attribution shape
+    * (view → later click) every event pipeline needs. Both sides carry
+    * event-time watermarks so the join STATE IS BOUNDED: a buffered view
+    * is evictable once the click-side watermark passes
+    * `view_time + within`; without the time bound in the join condition
+    * (or the watermarks) stream-stream join state grows without limit. In
+    * batch mode the same transform is a plain interval join, so the oracle
+    * replays it as SQL.
+    *
+    * Scale shape: the join shuffles both streams by user_id; state per key
+    * is O(events inside the interval), trimmed every micro-batch by the
+    * watermark — the standard bounded-state interval join. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      withinMinutes: Int = 60, watermark: Boolean = false): DataFrame = {
+    val v = withEventTime(views)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+    val c = withEventTime(clicks)
+      .select(col("user_id").as("_cuid"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+    val (vw, cw) =
+      if (watermark)
+        (v.withWatermark("view_time", "30 minutes"),
+          c.withWatermark("click_time", "30 minutes"))
+      else (v, c)
+    vw.join(cw,
+        col("user_id") === col("_cuid") &&
+          col("click_time") >= col("view_time") &&
+          col("click_time") < col("view_time") +
+            expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   final case class EventIn(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   final case class SessionOut(user_id: Long, n_events: Long, first_event: Long,
       last_event: Long, total_cents: Long)

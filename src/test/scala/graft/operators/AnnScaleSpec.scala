@@ -116,6 +116,36 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(full == exact, "full-probe IVF must equal brute force")
   }
 
+  test("int8 quantization codes are exact round-half-up, zero-safe") {
+    import graft.functions.VectorFunctions.quantizeInt8
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val got = df.select(col("id"), quantizeInt8(col("v")).as("q"))
+      .orderBy("id").as[(Long, Array[Int])].collect()
+    assert(got(0)._2.toSeq == Seq(127, -64, 32, 0)) // round(-63.5) half-up
+    assert(got(1)._2.toSeq == Seq(0, 0, 0, 0))
+  }
+
+  test("IVF-SQ8 full probe + 4x re-rank equals brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val index = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+    val sq = Similarity.ivfSqTopK(index, queries, "embedding", "vec_id",
+        k = 5, nProbe = 8, rerankFactor = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(sq == exact, "full-probe SQ8 with re-rank must recover the exact top-k")
+    // tight re-rank margin (factor 1) degrades but never exceeds k per query
+    val tight = Similarity.ivfSqTopK(index, queries, "embedding", "vec_id",
+      k = 5, nProbe = 8, rerankFactor = 1)
+    val counts = tight.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L))
+  }
+
   test("lshTopK with auto planes returns k ranked neighbors per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),

@@ -79,4 +79,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("e2") == 150.0)     // latest at/before 20
     assert(out("x") == null)       // key 2 has no right rows
   }
+
+  test("stream-stream interval join matches batch, bounds included/excluded") {
+    val t0 = 1700000000000000000L // ns
+    def ns(min: Long) = t0 + min * 60L * 1000000000L
+    val views = Seq(
+      (10L, 1L, ns(0)), (11L, 1L, ns(120)), (12L, 2L, ns(0)))
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (20L, 1L, ns(10)),  // inside view 10's hour
+      (21L, 1L, ns(70)),  // past view 10's hour, before view 11 → no match
+      (22L, 2L, ns(60)),  // exactly at the exclusive bound → no match
+      (23L, 2L, ns(30)))  // inside view 12's hour
+      .toDF("event_id", "user_id", "ts")
+    val expected = Set((1L, 10L, 20L), (2L, 12L, 23L))
+
+    val batch = EventStreams.viewClickJoin(views, clicks)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == expected)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    views.write.parquet(s"$dir/views")
+    clicks.write.parquet(s"$dir/clicks")
+    def stream(sub: String) = spark.readStream
+      .schema(views.schema).parquet(s"$dir/$sub")
+    val q = EventStreams.viewClickJoin(
+        stream("views"), stream("clicks"), watermark = true)
+      .writeStream.format("memory").queryName("graft_ssj_test")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ssj_test")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
 }
