@@ -230,6 +230,30 @@ object StreamQueries {
       .orderBy("user_id", "view_id", "click_id")
   }
 
+  /** STREAMING DEDUPLICATION: the staged source delivers every fifth event
+    * TWICE (a second parquet drop simulating a producer retry / replayed
+    * offset range); `dropDuplicatesWithinWatermark` on event_id repairs the
+    * stream back to exactly-once with bounded state. The oracle is the raw
+    * events table itself — emitting a duplicate (or dropping a distinct
+    * event) breaks the row-hash match. */
+  def s8StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s8dedup").toString
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    events.write.parquet(s"$tmp/src")
+    // the retry batch: identical copies of a fifth of the events
+    events.filter(col("event_id") % 5 === 0).write.mode("append").parquet(s"$tmp/src")
+    val stream = s.readStream.schema(events.schema).parquet(s"$tmp/src")
+    val q = EventStreams.dedupEvents(stream, watermark = true)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream.format("memory").queryName("s8_stream_dedup")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("s8_stream_dedup").orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_window_agg" -> (s1WindowAgg _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -238,6 +262,7 @@ object StreamQueries {
     "s5_cdc_source" -> (s5CdcSource _),
     "s6_cdc_windowed" -> (s6CdcWindowed _),
     "s7_stream_join" -> (s7StreamJoin _),
+    "s8_stream_dedup" -> (s8StreamDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,6 +295,11 @@ object StreamQueries {
         AND epoch_us(c.ts) >= epoch_us(v.ts)
         AND epoch_us(c.ts) - epoch_us(v.ts) < CAST(3600000000 AS BIGINT)
       ORDER BY v.user_id, view_id, click_id""",
+    // the dedup stream saw every fifth event twice; exactly-once repair
+    // means the output IS the raw events table
+    "s8_stream_dedup" -> """
+      SELECT event_id, user_id, event_type, value
+      FROM events ORDER BY event_id""",
     "s2_sessionize" -> """
       SELECT user_id, COUNT(*) AS n_events,
         MIN(event_id) AS first_event, MAX(event_id) AS last_event,

@@ -67,6 +67,29 @@ object EventStreams {
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** Streaming DEDUPLICATION on event id — the at-least-once → exactly-once
+    * repair every ingestion pipeline needs (retried producers and replayed
+    * kafka offsets deliver the same event twice). Streaming mode uses
+    * `dropDuplicatesWithinWatermark`, so dedup STATE IS BOUNDED: a seen-key
+    * entry is evictable once the watermark passes its event time plus the
+    * delay — the contract is "duplicates arrive within the watermark
+    * window", which is exactly the retry/replay window. Batch mode is plain
+    * `dropDuplicates` (idempotent on identical duplicate rows, so
+    * keep-"first" costs no determinism).
+    *
+    * Scale shape: one shuffle by key into the state store, O(keys inside
+    * the watermark window) state per partition, appends flow through
+    * without waiting for the watermark. */
+  def dedupEvents(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val base = withEventTime(events)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("event_time"))
+    if (watermark)
+      base.withWatermark("event_time", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+    else base.dropDuplicates("event_id")
+  }
+
   final case class EventIn(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   final case class SessionOut(user_id: Long, n_events: Long, first_event: Long,
       last_event: Long, total_cents: Long)
