@@ -58,9 +58,33 @@ object IceQueries {
          |  ) _x WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)""".stripMargin
   }
 
-  /** SURVEY §2A #15: full scan of the current snapshot (5 live rows). */
-  def iceReadAll(s: SparkSession, dir: String): DataFrame =
-    table(s).read().orderBy("name")
+  /** SURVEY §2A #15: full scan of the current snapshot (5 live rows).
+    *
+    * ALSO pins the scan-planning SCALE path under the oracle: with the
+    * distributed-manifest threshold forced to 0 and the decode cache
+    * cleared, planning this read must shard the Avro manifest decode
+    * across executors ([[graft.iceberg.Manifests.readManifestsScaled]] —
+    * the 100 TB shape, where thousands of driver-side manifest reads would
+    * serialize scan planning). The query THROWS if the distributed job did
+    * not run, so the correctness gate goes red if the scale path ever
+    * silently stops executing. */
+  def iceReadAll(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.graft.iceberg.distributedManifestThreshold"
+    val prev = s.conf.getOption(key)
+    val before = graft.iceberg.Manifests.distributedDecodeJobs.get()
+    try {
+      s.conf.set(key, "0")
+      graft.iceberg.Manifests.clearCache()
+      val df = table(s).read().orderBy("name")
+      val after = graft.iceberg.Manifests.distributedDecodeJobs.get()
+      require(after > before,
+        "distributed manifest decode did not run under threshold=0")
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   /** SURVEY §2A #9/#10: stats-pruned filtered read. */
   def iceReadFiltered(s: SparkSession, dir: String): DataFrame =

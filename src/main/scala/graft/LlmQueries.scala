@@ -537,6 +537,26 @@ object LlmQueries {
     * Named with an `_op` suffix so BENCH_r08+ numbers are not misread as
     * comparable to the r6/r7 audit-inclusive `dd_simhash`/`sim_topk_lsh`
     * timings. */
+  /** Memoized, MATERIALIZED IVF index per sf dir, for the probe-only bench
+    * entry: build-once-search-many is the operator's own contract
+    * ([[graft.operators.Similarity.buildIvfIndex]] Scaladoc) — at scale the
+    * assignment is a persisted table, so timing k-means training inside
+    * every probe (as the contract query `sim_topk_sq` necessarily does for
+    * the oracle) measures the build, not the search. The cached `assigned`
+    * frame is persisted and counted here so the first access pays the whole
+    * build exactly once; min/median/IQR over 5 bench reps then reflect the
+    * probe alone. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+  private def prebuiltIvf(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfIndexCache.getOrElseUpdate(dir, {
+      val idx = Similarity.buildIvfIndex(
+        t(s, dir, "embeddings"), "embedding", "vec_id", nlist = 8)
+      val assigned = idx.assigned.persist()
+      assigned.count()
+      idx.copy(assigned = assigned)
+    })
+
   val benchOps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_simhash_op" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
@@ -546,6 +566,15 @@ object LlmQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, planes = 4, dims = 64)
     }),
+    // NAME BREAK (round 10): replaces `sim_topk_sq` in the headline bench
+    // set — r9's entry re-trained the coarse quantizer every rep (3.71 s
+    // median, 2.04 s IQR, all build noise); this times the IVF-SQ8 probe +
+    // exact re-rank against the prebuilt index. r9's `sim_topk_sq` number
+    // is NOT comparable to this one.
+    "sim_topk_sq_op" -> ((s, dir) =>
+      Similarity.ivfSqTopK(prebuiltIvf(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nProbe = 8, rerankFactor = 4)),
   )
 
   private val shingleCte = """

@@ -20,13 +20,11 @@ import org.apache.spark.sql.types._
   */
 object Queries {
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos timestamp —
-    // read it as LongType (ns since epoch) and convert where needed.
-    if (name == "events")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos timestamp
+    // and reads it as TIMESTAMP_NTZ (µs, nanos floored) — event-time queries
+    // normalize via graft.streaming.EventStreams.tsMicros.
     s.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** Exact order-independent sum of a double column via decimal, as double. */
   def dsum(c: Column, scale: Int = 4): Column =
@@ -388,15 +386,15 @@ object Queries {
     * user) at or before its time. */
   def ajAsof(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val left = ev.select(col("event_id"), col("user_id"),
-      expr("ts div 1000").as("tus"))
+    val tus = graft.streaming.EventStreams.tsMicros(ev)
+    val left = ev.select(col("event_id"), col("user_id"), tus.as("tus"))
     // right side: purchases, dedup per (user, µs) keeping max event id —
     // makes the as-of pick deterministic in both engines at equal times
     val w = Window.partitionBy(col("user_id"), col("tus"))
       .orderBy(col("purchase_event_id").desc)
     val right = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_event_id"), col("user_id"),
-        expr("ts div 1000").as("tus"), col("value").as("purchase_value"))
+        tus.as("tus"), col("value").as("purchase_value"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     graft.operators.AsOfJoin.asofBackward(left, right, key = "user_id",
         leftTime = "tus", rightTime = "tus",

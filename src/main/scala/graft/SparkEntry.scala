@@ -40,12 +40,18 @@ object SparkEntry {
     * harness (dual hash pipelines / brute-force recall sibling) added in
     * round 7, which made r6→r7 totals compare different work; the `_op`
     * entries time the raw operator alone. r7 bench numbers for those two
-    * names are NOT comparable to r8's. */
+    * names are NOT comparable to r8's.
+    *
+    * NAME BREAK (round 10): `sim_topk_sq` → `sim_topk_sq_op` — the r9
+    * entry re-trained the k-means coarse quantizer inside the timed body;
+    * the `_op` entry probes a prebuilt index (build-once-search-many, the
+    * operator's documented contract). r9's `sim_topk_sq` timing is NOT
+    * comparable. */
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_top_revenue", "q05_nation_revenue",
     "q06_forecast_revenue", "q08_returned_items", "q09_window_orders",
     "q13_rollup", "q20_supplier_scorecard",
     "dd_exact", "dd_minhash_lsh", "dd_simhash_op", "sim_topk_brute",
-    "sim_topk_lsh_op", "sim_topk_sq", "tx_stats", "tx_langid",
+    "sim_topk_lsh_op", "sim_topk_sq_op", "tx_stats", "tx_langid",
     "mm_features", "pipe_line_dedup")
 }

@@ -17,13 +17,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be IMPOSSIBLE to mistake for an unregistered one:
+    // each failure leaves a per-query `<name>._FAILED` marker and lands in
+    // errors.json (written even when empty) next to oracle_sql.json, so a
+    // gate that reads "all green" provably ran every registered query.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg.take(2000)
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // loud, but exit 0: the driver must still consume the green results +
+    // oracle_sql.json — the markers/errors.json are the tamper-proof record
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} QUERIES FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Structured-Streaming operators over the events table.
   *
@@ -11,15 +12,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`readStream` → transform → `writeStream`); the streaming spec drives it
   * through a file source + memory sink.
   *
-  * events.parquet carries TIMESTAMP(NANOS) which Spark reads as a long (ns)
-  * under `spark.sql.legacy.parquet.nanosAsLong`; [[withEventTime]] converts
-  * to a proper timestamp column for watermarks/windows.
+  * events.parquet carries TIMESTAMP(NANOS). Spark has no nanos timestamp:
+  * depending on the engine version/config the column surfaces as a ns-long
+  * OR as TIMESTAMP_NTZ (µs, nanos floored); synthetic test frames pass ns
+  * longs directly. [[tsMicros]] normalizes every shape to µs-since-epoch so
+  * all event-time operators are schema-adaptive instead of pinned to one
+  * engine behavior.
   */
 object EventStreams {
 
-  /** ns-since-epoch long → timestamp (µs precision, floor division). */
+  /** µs-since-epoch from the `ts` column, whatever type the engine read it
+    * as. The NTZ branch interprets the wall-clock value as UTC — every
+    * session in this repo (Verify/Bench/specs) pins
+    * `spark.sql.session.timeZone=UTC`, matching DuckDB's `epoch_us` on the
+    * same bytes. */
+  def tsMicros(events: DataFrame): Column = events.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000") // ns → µs, floor
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: expected ns-long or timestamp, got $other")
+  }
+
+  /** Normalized event-time column (TimestampType, µs precision) for
+    * watermarks/windows — identical output type for every input shape. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("event_time", timestamp_micros(tsMicros(events)))
 
   /** Tumbling-window per-type aggregation; with a watermark this is an
     * append-able streaming aggregation, in batch it is a plain groupBy. */
@@ -102,9 +120,9 @@ object EventStreams {
   def sessionize(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = withEventTime(events)
+    val typed = events
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsMicros"), col("value"))
+        tsMicros(events).as("tsMicros"), col("value"))
       .as[EventIn]
     typed.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {

@@ -12,7 +12,6 @@ class StreamingSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   import spark.implicits._
@@ -117,6 +116,58 @@ class StreamingSpec extends AnyFunSuite {
     val ids = EventStreams.dedupEvents(batch1.union(batch2))
       .select("event_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("stream-stream interval join over the staged events fixture matches batch") {
+    // the same bytes the driver's s7_stream_join runs on — a ts-typing or
+    // watermark regression on the REAL fixture fails here, not only in the
+    // synthetic-frame test below
+    val events = spark.read.parquet(eventsPath)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val batch = EventStreams.viewClickJoin(
+        events.filter($"event_type" === "view"),
+        events.filter($"event_type" === "click"), withinMinutes = 60)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    def side(tpe: String) = spark.readStream.schema(events.schema)
+      .parquet(eventsDir).filter($"event_type" === tpe)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s7fix").toString
+    val q = EventStreams.viewClickJoin(side("view"), side("click"),
+        withinMinutes = 60, watermark = true)
+      .writeStream.format("memory").queryName("graft_s7_fixture")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_s7_fixture")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup over the staged events fixture repairs a replayed batch") {
+    val events = spark.read.parquet(eventsPath)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s8fix").toString
+    events.coalesce(1).write.parquet(s"$dir/src")
+    // the retry batch: a fifth of the events delivered a second time, in a
+    // separate file so one-file-per-trigger forces CROSS-batch state dedup
+    events.filter($"event_id" % 5 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$dir/src")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = EventStreams.dedupEvents(stream, watermark = true)
+      .writeStream.format("memory").queryName("graft_s8_fixture")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("graft_s8_fixture")
+        .select("event_id").distinct().count()
+      val total = spark.table("graft_s8_fixture").count()
+      assert(total == events.count()) // exactly-once: no dup, no loss
+      assert(n == total)
+    } finally q.stop()
   }
 
   test("stream-stream interval join matches batch, bounds included/excluded") {
