@@ -36,6 +36,14 @@ object Bench {
     // slowdown (min moved) from dispersion (IQR wide, min stable).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = names.map { name =>
+      // untimed setup on the MEASURED sf (e.g. the IVF index build) so
+      // rep 1 never pays one-off construction; teardown after the reps
+      // releases any executor storage the setup pinned
+      SparkEntry.benchSetup.get(name).foreach { f =>
+        try f(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH SETUP FAILURE in $name: $e") }
+      }
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan (a count() would let Spark prune
@@ -47,6 +55,9 @@ object Bench {
             System.err.println(s"BENCH FAILURE in $name: $e")
             Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
+      }
+      SparkEntry.benchTeardown.get(name).foreach { f =>
+        try f(spark, sfDir) catch { case _: Throwable => () }
       }
       // failed reps return fast — including them would bias the stats low,
       // so only successful runs count toward the timing; 0.0 if none passed

@@ -36,26 +36,55 @@ object IceQueries {
     * files: read_parquet over the resolved live-file list; when position-
     * delete files exist, an anti-join on (path suffix after the LAST
     * '/data/', file_row_number) replays merge-on-read independently of our
-    * reader — the same file key ScanBridge.morKey uses. */
+    * reader — the same file key ScanBridge.morKey uses. EQUALITY deletes
+    * replay too: each delete file contributes a key anti-join scoped by
+    * commit sequence (a data file's rows die only if the data file's
+    * sequence is strictly BELOW the delete file's — the Iceberg v2 rule),
+    * with per-data-file sequences shipped as a VALUES table. */
   private def duckLiveRows(t: IcebergTable, cols: Seq[String]): String = {
-    require(t.equalityDeleteFiles.isEmpty,
-      "duckLiveRows replays position deletes only")
-    val data = sqlPaths(t.liveFiles().map(f => t.resolvePath(f.filePath)))
+    val dataFiles = t.liveFiles()
+    val data = sqlPaths(dataFiles.map(f => t.resolvePath(f.filePath)))
     val dels = t.positionDeleteFiles.map(f => t.resolvePath(f.filePath))
+    val eqs = t.equalityDeleteFiles
     val colList = cols.mkString(", ")
-    if (dels.isEmpty)
-      s"SELECT $colList FROM read_parquet($data, union_by_name=true)"
-    else
-      s"""SELECT $colList FROM (
-         |  SELECT *, str_split(filename, '/data/')[-1] AS _fkey,
+    if (dels.isEmpty && eqs.isEmpty)
+      return s"SELECT $colList FROM read_parquet($data, union_by_name=true)"
+    def fkey(p: String): String = p.split("/data/").last
+    val inner =
+      s"""SELECT *, str_split(filename, '/data/')[-1] AS _fkey,
          |         file_row_number AS _fpos
          |  FROM read_parquet($data, union_by_name=true, filename=true,
-         |                    file_row_number=true)
-         |) _d WHERE NOT EXISTS (
+         |                    file_row_number=true)""".stripMargin
+    // eq replay needs each data file's commit sequence alongside its rows
+    val src = if (eqs.isEmpty) s"(\n  $inner\n) _d"
+      else {
+        val seqValues = dataFiles.map(f =>
+          s"('${fkey(t.resolvePath(f.filePath))}', ${t.dataSequenceOf(f)})")
+          .mkString(", ")
+        s"""(
+           |  SELECT _r.*, _s.seq AS _dseq FROM (
+           |  $inner
+           |  ) _r JOIN (VALUES $seqValues) _s(fkey, seq) ON _s.fkey = _r._fkey
+           |) _d""".stripMargin
+      }
+    val posClause = if (dels.isEmpty) Nil else Seq(
+      s"""NOT EXISTS (
          |  SELECT 1 FROM (
          |    SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
          |    FROM read_parquet(${sqlPaths(dels)})
-         |  ) _x WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)""".stripMargin
+         |  ) _x WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)""".stripMargin)
+    val idToName = t.iceSchema.fields.map(f => f.id -> f.name).toMap
+    val eqClauses = eqs.map { ed =>
+      val keys = ed.equalityIds.flatMap(idToName.get)
+      require(keys.nonEmpty, s"equality-delete file without key ids: ${ed.filePath}")
+      val matchKeys = keys.map(k => s"_e.$k IS NOT DISTINCT FROM _d.$k")
+        .mkString(" AND ")
+      s"""NOT EXISTS (
+         |  SELECT 1 FROM read_parquet(${sqlPaths(Seq(t.resolvePath(ed.filePath)))}) _e
+         |  WHERE _d._dseq < ${t.dataSequenceOf(ed)} AND $matchKeys)""".stripMargin
+    }
+    s"SELECT $colList FROM $src WHERE " +
+      (posClause ++ eqClauses).mkString("\n  AND ")
   }
 
   /** SURVEY §2A #15: full scan of the current snapshot (5 live rows).
@@ -75,11 +104,17 @@ object IceQueries {
     try {
       s.conf.set(key, "0")
       graft.iceberg.Manifests.clearCache()
-      val df = table(s).read().orderBy("name")
+      val t = table(s)
+      // liveFiles() decodes manifests EAGERLY inside the conf scope; the
+      // DSv2 read() below is lazy (decode happens at scan-planning time,
+      // after the finally restores the threshold), so probing via the read
+      // alone would assert before any decode ran. The decoded entries land
+      // in the manifest cache, so the subsequent plan stays warm.
+      t.liveFiles()
       val after = graft.iceberg.Manifests.distributedDecodeJobs.get()
       require(after > before,
         "distributed manifest decode did not run under threshold=0")
-      df
+      t.read().orderBy("name")
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
@@ -487,6 +522,17 @@ object IceQueries {
     val columnar = read.queryExecution.executedPlan.collectFirst {
       case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
     }.isDefined
+    // FOREIGN replay: DuckDB reads the WRITTEN files back and re-applies
+    // the equality deletes itself (sequence-scoped key anti-join in
+    // duckLiveRows) — an independent-reader proof, not a re-derivation
+    // from the source table. The literal 1s stay CONSTANT in the SQL so a
+    // rewritten file or a de-vectorized scan still hash-mismatches.
+    dynamicOracle("ice_write_eq_delete") =
+      s"""SELECT n_nationkey, n_name, n_regionkey,
+         |  CAST(1 AS INTEGER) AS old_files_intact,
+         |  CAST(1 AS INTEGER) AS scan_columnar
+         |FROM (${duckLiveRows(t, Seq("n_nationkey", "n_name", "n_regionkey"))})
+         |ORDER BY n_nationkey""".stripMargin
     read
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
         (if (intact) lit(1) else lit(0)).as("old_files_intact"),
@@ -1211,24 +1257,8 @@ object IceQueries {
         |FROM (SELECT * FROM nation
         |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
         |ORDER BY n_nationkey""".stripMargin,
-    "ice_write_eq_delete" ->
-      """WITH updates AS (
-        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-        |         'NEW_' || n_name AS n_name,
-        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |  FROM nation WHERE n_regionkey = 0
-        |  UNION ALL SELECT 999, 'ATLANTIS', 0
-        |)
-        |SELECT n_nationkey, n_name, n_regionkey,
-        |  CAST(1 AS INTEGER) AS old_files_intact,
-        |  CAST(1 AS INTEGER) AS scan_columnar
-        |FROM (
-        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |  FROM nation
-        |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM updates)
-        |  UNION ALL SELECT * FROM updates
-        |) ORDER BY n_nationkey""".stripMargin,
+    // ice_write_eq_delete registers DYNAMICALLY (duckLiveRows replays the
+    // written files' equality deletes in DuckDB — see iceWriteEqDelete)
     "ice_sql_insert" ->
       """WITH t AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

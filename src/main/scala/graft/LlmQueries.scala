@@ -537,25 +537,38 @@ object LlmQueries {
     * Named with an `_op` suffix so BENCH_r08+ numbers are not misread as
     * comparable to the r6/r7 audit-inclusive `dd_simhash`/`sim_topk_lsh`
     * timings. */
-  /** Memoized, MATERIALIZED IVF index per sf dir, for the probe-only bench
-    * entry: build-once-search-many is the operator's own contract
-    * ([[graft.operators.Similarity.buildIvfIndex]] Scaladoc) — at scale the
-    * assignment is a persisted table, so timing k-means training inside
-    * every probe (as the contract query `sim_topk_sq` necessarily does for
-    * the oracle) measures the build, not the search. The cached `assigned`
-    * frame is persisted and counted here so the first access pays the whole
-    * build exactly once; min/median/IQR over 5 bench reps then reflect the
-    * probe alone. */
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+  /** Memoized, MATERIALIZED IVF index per (session, sf dir), for the
+    * probe-only bench entry: build-once-search-many is the operator's own
+    * contract ([[graft.operators.Similarity.buildIvfIndex]] Scaladoc) — at
+    * scale the assignment is a persisted table, so timing k-means training
+    * inside every probe (as the contract query `sim_topk_sq` necessarily
+    * does for the oracle) measures the build, not the search. The cached
+    * `assigned` frame is persisted and counted so the first access pays the
+    * whole build exactly once; keying by SESSION too means a stopped-and-
+    * recreated SparkSession in the same JVM never serves a dead plan.
+    * Bench builds it via [[benchSetup]] (untimed) and drops the pinned
+    * executor storage via [[benchTeardown]] right after the entry's reps,
+    * so the persist cannot evict other queries' scan cache. */
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Similarity.IvfIndex]
   private def prebuiltIvf(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfIndexCache.getOrElseUpdate(dir, {
+    ivfIndexCache.getOrElseUpdate((s, dir), {
       val idx = Similarity.buildIvfIndex(
-        t(s, dir, "embeddings"), "embedding", "vec_id", nlist = 8)
+        t(s, dir, "embeddings"), "embedding", "vec_id", nlist = 64)
       val assigned = idx.assigned.persist()
       assigned.count()
       idx.copy(assigned = assigned)
     })
+  private def releaseIvf(s: SparkSession, dir: String): Unit =
+    ivfIndexCache.remove((s, dir)).foreach(_.assigned.unpersist())
+
+  /** Untimed per-entry hooks for Bench: setup runs before an entry's timed
+    * reps (index build on the MEASURED sf, not inside rep 1), teardown
+    * right after (storage memory back to flat for the remaining entries). */
+  val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "sim_topk_sq_ann" -> ((s, dir) => { prebuiltIvf(s, dir); () }))
+  val benchTeardown: Map[String, (SparkSession, String) => Unit] = Map(
+    "sim_topk_sq_ann" -> releaseIvf)
 
   val benchOps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_simhash_op" -> ((s, dir) =>
@@ -566,12 +579,13 @@ object LlmQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, planes = 4, dims = 64)
     }),
-    // NAME BREAK (round 10): replaces `sim_topk_sq` in the headline bench
-    // set — r9's entry re-trained the coarse quantizer every rep (3.71 s
-    // median, 2.04 s IQR, all build noise); this times the IVF-SQ8 probe +
-    // exact re-rank against the prebuilt index. r9's `sim_topk_sq` number
-    // is NOT comparable to this one.
-    "sim_topk_sq_op" -> ((s, dir) =>
+    // NAME BREAK (round 11): replaces r10's `sim_topk_sq_op`, which probed
+    // ALL 8 cells of an nlist=8 index — a full int8 scan + re-rank that
+    // measured no ANN pruning (1.68 s median, 0.52 s IQR). This probes 8 of
+    // 64 cells, the operator's real scale shape (the full-probe recall
+    // contract lives in `sim_topk_sq`/`sim_topk_ivf_full`). r10's
+    // `sim_topk_sq_op` number is NOT comparable to this one.
+    "sim_topk_sq_ann" -> ((s, dir) =>
       Similarity.ivfSqTopK(prebuiltIvf(s, dir),
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, nProbe = 8, rerankFactor = 4)),

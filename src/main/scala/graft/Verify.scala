@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** One query attempt: clears any stale `<name>._FAILED` marker, writes
+    * the result parquet, and on ANY throw writes a fresh marker and returns
+    * the failure message. Factored out of [[main]] so the marker contract
+    * is unit-testable (VerifySpec). */
+  def runOne(spark: SparkSession, sfDir: String, outDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] = {
+    // a marker from a PREVIOUS run into the same outDir must not survive
+    // a now-green query — delete before the attempt, rewrite on failure
+    Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+      Files.writeString(Paths.get(s"$outDir/$name._FAILED"), msg)
+      Some(msg)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args: run only these query names (local iteration)
@@ -25,15 +45,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
-        System.err.println(s"[verify] $name FAILED: $msg")
-        failures(name) = msg.take(2000)
-        Files.writeString(Paths.get(s"$outDir/$name._FAILED"), msg)
+        runOne(spark, sfDir, outDir, name, fn).foreach { msg =>
+          System.err.println(s"[verify] $name FAILED: $msg")
+          failures(name) = msg.take(2000)
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -52,10 +68,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // loud, but exit 0: the driver must still consume the green results +
-    // oracle_sql.json — the markers/errors.json are the tamper-proof record
-    if (failures.nonEmpty)
-      System.err.println(s"[verify] ${failures.size} QUERIES FAILED: " +
-        failures.keys.mkString(", "))
+    // oracle_sql.json — the markers/errors.json are the tamper-proof record.
+    // Printed on BOTH streams: the driver's tail capture reads stdout.
+    val tally = s"[verify] ${failures.size} of " +
+      s"${SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }}" +
+      s" queries failed" +
+      (if (failures.nonEmpty) ": " + failures.keys.mkString(", ") else "")
+    println(tally)
+    if (failures.nonEmpty) System.err.println(tally)
     spark.stop()
   }
 }

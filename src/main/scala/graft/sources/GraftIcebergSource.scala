@@ -1370,6 +1370,35 @@ final class GraftIcebergMicroBatchStream(
       .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
   }
 
+  /** Position-delete state for one delete-file set, gated by the SAME
+    * driver ceiling as the batch scan (`morDriverDeleteLimit`): below it,
+    * positions materialize driver-side once ([[posByKey]]) and ship inside
+    * each partition; above it — one heavy-churn commit on a 100 TB CDC
+    * table — only the delete-file PATHS ship and each task loads its own
+    * positions via the per-JVM [[DeleteLoader]] cache, so the stream's
+    * driver footprint stays O(files), never O(deleted rows). */
+  private final case class PosDeletes(byKey: Map[String, Array[Long]],
+      files: Array[String]) {
+    def driver: Boolean = byKey != null
+    def arr(k: String): Array[Long] =
+      if (driver) byKey.getOrElse(k, Array.emptyLongArray) else Array.emptyLongArray
+    /** Task files to ship, or null when driver-materialized (or empty). */
+    def taskFiles: Array[String] = if (driver || files.isEmpty) null else files
+    /** May this data-file key have deleted positions? Driver mode answers
+      * exactly; task mode conservatively yes (the task's load resolves it). */
+    def mightHave(k: String): Boolean = if (driver) byKey.contains(k) else true
+  }
+
+  private def loadPos(delFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
+      t: IcebergTable): PosDeletes = {
+    val cap = SQLConf.get.getConfString(
+      "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
+    val paths = delFiles.map(f => t.resolvePath(f.filePath)).toArray
+    if (delFiles.nonEmpty && delFiles.map(_.recordCount).sum > cap)
+      PosDeletes(null, paths)
+    else PosDeletes(posByKey(delFiles, t), paths)
+  }
+
   /** a \ b over sorted position arrays. */
   private def subtractSorted(a: Array[Long], b: Array[Long]): Array[Long] =
     if (b.isEmpty) a
@@ -1388,7 +1417,10 @@ final class GraftIcebergMicroBatchStream(
     def add(f: graft.iceberg.Manifests.DataFileInfo, changeType: String,
         sid: Long, deleted: Array[Long], selectPos: Array[Long],
         ownEq: Array[ScanBridge.EqDeleteGroup],
-        selectEq: Array[ScanBridge.EqDeleteGroup]): Unit = {
+        selectEq: Array[ScanBridge.EqDeleteGroup],
+        posFiles: Array[String] = null,
+        selFiles: Array[String] = null,
+        selMinus: Array[String] = null): Unit = {
       require(f.fileFormat.equalsIgnoreCase("PARQUET") &&
           t.resolvePath(f.filePath).contains("/data/"),
         "CDC streaming supports natively written parquet data files only; " +
@@ -1396,7 +1428,7 @@ final class GraftIcebergMicroBatchStream(
       parts += ScanBridge.cdcPartition(hconf, idx, t.resolvePath(f.filePath),
         f.fileSizeInBytes, t.dataSequenceOf(f),
         cdcMetaValues(changeType, sid, t.snapshots(sid).timestampMs),
-        deleted, selectPos, ownEq, selectEq)
+        deleted, selectPos, ownEq, selectEq, posFiles, selFiles, selMinus)
       idx += 1
     }
     def key(f: graft.iceberg.Manifests.DataFileInfo): String =
@@ -1405,23 +1437,23 @@ final class GraftIcebergMicroBatchStream(
     if (s < 0) {
       // catch-up batch: the whole table's live rows at `e` as inserts
       val view = t.atSnapshot(e)
-      val pos = posByKey(view.positionDeleteFiles, t)
+      val pos = loadPos(view.positionDeleteFiles, t)
       val eq = if (view.equalityDeleteFiles.isEmpty)
         Array.empty[ScanBridge.EqDeleteGroup]
       else GraftIcebergScan.buildEqGroups(view, cdcFullSchema, view.equalityDeleteFiles)
       view.liveFiles().foreach { f =>
-        add(f, "insert", e, pos.getOrElse(key(f), Array.emptyLongArray),
-          null, eq, null)
+        add(f, "insert", e, pos.arr(key(f)), null, eq, null,
+          posFiles = pos.taskFiles)
       }
       return parts.toArray
     }
 
     // memoized per-parent visibility (a long range revisits parents)
-    val posCache = scala.collection.mutable.Map.empty[Long, Map[String, Array[Long]]]
+    val posCache = scala.collection.mutable.Map.empty[Long, PosDeletes]
     val eqCache = scala.collection.mutable.Map.empty[Long, Array[ScanBridge.EqDeleteGroup]]
-    def parentPos(p: IcebergTable): Map[String, Array[Long]] =
+    def parentPos(p: IcebergTable): PosDeletes =
       posCache.getOrElseUpdate(p.currentSnapshot.snapshotId,
-        posByKey(p.positionDeleteFiles, t))
+        loadPos(p.positionDeleteFiles, t))
     def parentEq(p: IcebergTable): Array[ScanBridge.EqDeleteGroup] =
       eqCache.getOrElseUpdate(p.currentSnapshot.snapshotId,
         if (p.equalityDeleteFiles.isEmpty) Array.empty
@@ -1431,29 +1463,37 @@ final class GraftIcebergMicroBatchStream(
       t.atSnapshot(snap.snapshotId) // validates the id
       t.snapshotFileChanges(snap).foreach { ch =>
         val sid = snap.snapshotId
-        val newPos = posByKey(ch.addedPosDeletes, t)
+        val newPos = loadPos(ch.addedPosDeletes, t)
         // inserts: rows of added files as at THIS snapshot (same-commit
         // position deletes excluded; same-sequence eq deletes are exempt)
         ch.added.foreach { f =>
-          add(f, "insert", sid,
-            newPos.getOrElse(key(f), Array.emptyLongArray), null, null, null)
+          add(f, "insert", sid, newPos.arr(key(f)), null, null, null,
+            posFiles = newPos.taskFiles)
         }
         ch.parent.foreach { p =>
           // whole-file removals: every parent-visible row is a delete
           ch.removed.foreach { f =>
-            add(f, "delete", sid,
-              parentPos(p).getOrElse(key(f), Array.emptyLongArray),
-              null, parentEq(p), null)
+            add(f, "delete", sid, parentPos(p).arr(key(f)),
+              null, parentEq(p), null, posFiles = parentPos(p).taskFiles)
           }
           // newly position-deleted rows in surviving files
           if (ch.addedPosDeletes.nonEmpty) {
+            val pp = parentPos(p)
             ch.parentFiles.foreach { f =>
               if (ch.currentPaths(t.resolvePath(f.filePath)) &&
-                  newPos.contains(key(f))) {
-                val sel = subtractSorted(newPos(key(f)),
-                  parentPos(p).getOrElse(key(f), Array.emptyLongArray))
-                if (sel.nonEmpty)
-                  add(f, "delete", sid, Array.emptyLongArray, sel, parentEq(p), null)
+                  newPos.mightHave(key(f))) {
+                if (newPos.driver && pp.driver) {
+                  val sel = subtractSorted(newPos.arr(key(f)), pp.arr(key(f)))
+                  if (sel.nonEmpty)
+                    add(f, "delete", sid, Array.emptyLongArray, sel, parentEq(p), null)
+                } else {
+                  // above the driver cap: ship delete-file paths; the TASK
+                  // computes new-minus-parent positions for its own file
+                  // (an empty selection just emits nothing)
+                  add(f, "delete", sid, Array.emptyLongArray, null,
+                    parentEq(p), null, selFiles = newPos.files,
+                    selMinus = if (pp.files.isEmpty) null else pp.files)
+                }
               }
             }
           }
@@ -1464,9 +1504,8 @@ final class GraftIcebergMicroBatchStream(
             ch.parentFiles.foreach { f =>
               if (ch.currentPaths(t.resolvePath(f.filePath)) &&
                   t.dataSequenceOf(f) < edSeq)
-                add(f, "delete", sid,
-                  parentPos(p).getOrElse(key(f), Array.emptyLongArray),
-                  null, parentEq(p), sel)
+                add(f, "delete", sid, parentPos(p).arr(key(f)),
+                  null, parentEq(p), sel, posFiles = parentPos(p).taskFiles)
             }
           }
         }
@@ -1524,8 +1563,14 @@ final class GraftIcebergMicroBatchStream(
     val fullRead = StructType(cdcFullSchema.fields :+ ScanBridge.rowIndexField)
     val delegate = ScanBridge.parquetScan(spark, hconf, Nil, table.schema,
       fullRead, pushedFilters, options).toBatch.createReaderFactory()
+    // conf + cache budget ride along for the above-cap partitions that
+    // load their own delete positions task-side (PosDeletes.taskFiles)
     ScanBridge.morReaderFactory(delegate, cdcDataSchema, fullRead.length,
       columnarCapable = false, eqGroups = Array.empty,
-      ordinalMap = cdcDataSchema.fieldNames.map(cdcFullSchema.fieldIndex))
+      ordinalMap = cdcDataSchema.fieldNames.map(cdcFullSchema.fieldIndex),
+      conf = new org.apache.spark.util.SerializableConfiguration(hconf),
+      deleteCacheBytes = SQLConf.get.getConfString(
+        "spark.graft.iceberg.deleteCacheBytes",
+        (256L * 1024 * 1024).toString).toLong)
   }
 }

@@ -223,7 +223,15 @@ object ScanBridge {
         * [[DeleteLoader]] and `deleted` is ignored. Engaged above the
         * driver delete cap, where shipping positions from the driver would
         * not fit. */
-      private[graftbridge] val posDeleteFiles: Array[String] = null)
+      private[graftbridge] val posDeleteFiles: Array[String] = null,
+      /** Non-null = distributed SELECTION mode (CDC above the driver cap):
+        * the task computes `selectPositions` itself as the positions in
+        * these delete files minus those in [[selectMinusDeleteFiles]]
+        * (the parent-visible ones) — the same subtract the driver would
+        * have shipped, without materializing a heavy-churn commit's
+        * positions driver-side. */
+      private[graftbridge] val selectPosDeleteFiles: Array[String] = null,
+      private[graftbridge] val selectMinusDeleteFiles: Array[String] = null)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
   }
@@ -240,7 +248,10 @@ object ScanBridge {
       deleted: Array[Long],
       selectPositions: Array[Long],
       ownEqGroups: Array[EqDeleteGroup],
-      selectEqGroups: Array[EqDeleteGroup]): InputPartition = {
+      selectEqGroups: Array[EqDeleteGroup],
+      posDeleteFiles: Array[String] = null,
+      selectPosDeleteFiles: Array[String] = null,
+      selectMinusDeleteFiles: Array[String] = null): InputPartition = {
     val raw = new Path(path)
     val fs = raw.getFileSystem(hadoopConf)
     val fp = org.apache.spark.sql.execution.datasources.FilePartition(index, Array(
@@ -249,7 +260,8 @@ object ScanBridge {
         org.apache.spark.paths.SparkPath.fromPath(fs.makeQualified(raw)),
         0, len, Array.empty, 0L, len)))
     new MorFilePartition(deleted, dataSeq, metaValues, fp,
-      selectPositions, ownEqGroups, selectEqGroups)
+      selectPositions, ownEqGroups, selectEqGroups,
+      posDeleteFiles, selectPosDeleteFiles, selectMinusDeleteFiles)
   }
 
   /** One [[MorFilePartition]] per data file. No splits: position-delete
@@ -338,6 +350,23 @@ object ScanBridge {
       else DeleteLoader.positionsFor(m.posDeleteFiles,
         morKey(m.underlying.files.head.filePath.toPath.toString),
         conf.value, deleteCacheBytes)
+
+    /** Selection positions for one CDC partition: driver-shipped, or
+      * (distributed selection mode) task-computed as new-commit positions
+      * minus the parent-visible ones — see
+      * [[MorFilePartition.selectPosDeleteFiles]]. */
+    private def selectOf(m: MorFilePartition): Array[Long] =
+      if (m.selectPosDeleteFiles == null) m.selectPositions
+      else {
+        val k = morKey(m.underlying.files.head.filePath.toPath.toString)
+        val sel = DeleteLoader.positionsFor(m.selectPosDeleteFiles, k,
+          conf.value, deleteCacheBytes)
+        val minus = if (m.selectMinusDeleteFiles == null) Array.emptyLongArray
+          else DeleteLoader.positionsFor(m.selectMinusDeleteFiles, k,
+            conf.value, deleteCacheBytes)
+        if (minus.isEmpty) sel
+        else sel.filter(x => java.util.Arrays.binarySearch(minus, x) < 0)
+      }
 
     /** Exclusion groups for one partition: CDC partitions carry their own;
       * otherwise driver-built groups plus any task-loaded spec files.
@@ -446,7 +475,7 @@ object ScanBridge {
       val applicable = exclGroups.filter(_.seq > m.dataSeq)
       val selecting = if (m.selectEqGroups != null)
         m.selectEqGroups.filter(_.seq > m.dataSeq) else null
-      val selectPos = m.selectPositions // sorted, or null
+      val selectPos = selectOf(m) // sorted, or null
       val inner = delegate.createReader(m.underlying)
       // the delegate row is requiredSchema + eq-key columns + row-index
       // (appended in that order); project the extras out — ordinals

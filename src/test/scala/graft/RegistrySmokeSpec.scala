@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide batch smoke: EVERY `SparkEntry.queries` entry runs on the
+  * driver's sf0.001 fixture — no skip list.
+  *
+  * Why this exists: the driver's correctness gate OMITS queries whose body
+  * throws at Verify time instead of recording `err`, so a broken
+  * registration silently shrinks the round's query count ("all green" ≠
+  * "all ran"). Round 9 lost five queries to a `ts`-typing drift and round
+  * 10 lost `ice_read_all` to a lazy-plan assertion, both invisible in
+  * CORRECTNESS_r{N}.json. This spec makes any throwing or empty registered
+  * query fail `sbt test` loudly, BEFORE the driver runs.
+  *
+  * Each test builds the contract body and executes one row (`limit(1)
+  * .collect()`) — enough to force analysis, scan planning, and the body's
+  * own embedded assertions (e.g. `ice_read_all`'s distributed-decode
+  * require, `ice_spj_join`'s shuffle pin) without paying a full sf0.001
+  * materialization per query twice per round.
+  */
+class RegistrySmokeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("every registered query has an oracle or a documented rows-only check") {
+    val q = SparkEntry.queries.keySet
+    val dangling = SparkEntry.oracleSql.keySet.diff(q)
+    assert(dangling.isEmpty, s"oracleSql keys without a query: $dangling")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: body runs, schema non-empty, ≥1 row on sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
+      assert(df.limit(1).collect().nonEmpty, s"$name returned no rows")
+    }
+  }
+}
