@@ -557,10 +557,17 @@ object LlmQueries {
         t(s, dir, "embeddings"), "embedding", "vec_id", nlist = 64)
       val assigned = idx.assigned.persist()
       assigned.count()
-      idx.copy(assigned = assigned)
+      // the SQ8 code table is part of the index at scale — materialize it
+      // too, so the probe's candidate stage scans int8 codes, not floats
+      val codes = Similarity.sq8Codes(idx.copy(assigned = assigned)).persist()
+      codes.count()
+      idx.copy(assigned = assigned, codes = Some(codes))
     })
   private def releaseIvf(s: SparkSession, dir: String): Unit =
-    ivfIndexCache.remove((s, dir)).foreach(_.assigned.unpersist())
+    ivfIndexCache.remove((s, dir)).foreach { idx =>
+      idx.assigned.unpersist()
+      idx.codes.foreach(_.unpersist())
+    }
 
   /** Untimed per-entry hooks for Bench: setup runs before an entry's timed
     * reps (index build on the MEASURED sf, not inside rep 1), teardown

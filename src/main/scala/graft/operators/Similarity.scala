@@ -82,7 +82,19 @@ object Similarity {
     * scale the assignment is a table you persist (e.g. an Iceberg table
     * partitioned by `cell`), so a probe reads only nProbe/nlist of the
     * corpus. */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nlist: Int)
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nlist: Int,
+      /** Pre-materialized SQ8 code table (`neighbor_id`, `cell`, `cq`) — at
+        * scale the int8 codes are PART of the index (their own table), so
+        * the candidate scan never touches the float vectors. When absent,
+        * [[ivfSqTopK]] quantizes inline from `assigned` (the build-per-call
+        * contract-query shape). Produce one with [[sq8Codes]]. */
+      codes: Option[DataFrame] = None)
+
+  /** The SQ8 code table of an index — what a production deployment would
+    * materialize alongside the assignment (1/4 the bytes of the floats). */
+  def sq8Codes(index: IvfIndex): DataFrame =
+    index.assigned.select(col("neighbor_id"), col("cell"),
+      quantizeInt8(col("cv")).as("cq"))
 
   /** Train the coarse quantizer (k-means on a corpus sample) and assign
     * every vector to a cell. The FAISS IVF-Flat shape on DataFrames.
@@ -137,8 +149,7 @@ object Similarity {
       rerankFactor: Int = 4,
       broadcastProbeBytes: Long = 64L << 20): DataFrame = {
     require(rerankFactor >= 1, "rerankFactor must be >= 1")
-    val codes = index.assigned.select(col("neighbor_id"), col("cell"),
-      quantizeInt8(col("cv")).as("cq"))
+    val codes = index.codes.getOrElse(sq8Codes(index))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("cell"))
