@@ -1389,15 +1389,32 @@ final class GraftIcebergMicroBatchStream(
     def mightHave(k: String): Boolean = if (driver) byKey.contains(k) else true
   }
 
+  private def driverDeleteCap: Long = SQLConf.get.getConfString(
+    "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
+
   private def loadPos(delFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
       t: IcebergTable): PosDeletes = {
-    val cap = SQLConf.get.getConfString(
-      "spark.graft.iceberg.morDriverDeleteLimit", "50000000").toLong
     val paths = delFiles.map(f => t.resolvePath(f.filePath)).toArray
-    if (delFiles.nonEmpty && delFiles.map(_.recordCount).sum > cap)
+    if (delFiles.nonEmpty && delFiles.map(_.recordCount).sum > driverDeleteCap)
       PosDeletes(null, paths)
     else PosDeletes(posByKey(delFiles, t), paths)
   }
+
+  /** Equality-delete state under the same ceiling: key sets materialize on
+    * the driver below the cap ([[GraftIcebergScan.buildEqGroups]], one
+    * distributed job per key-column set); above it only metadata-only
+    * SPECS ship and each task loads its own key sets
+    * ([[DeleteLoader.eqGroupFor]], per-JVM cached) — an upsert-heavy CDC
+    * stream can no longer balloon the driver with key sets either. */
+  private final case class EqState(groups: Array[ScanBridge.EqDeleteGroup],
+      specs: Array[DeleteLoader.EqDeleteFileSpec])
+
+  private def loadEq(t: IcebergTable,
+      delFiles: Seq[graft.iceberg.Manifests.DataFileInfo]): EqState =
+    if (delFiles.isEmpty) EqState(Array.empty, null)
+    else if (delFiles.map(_.recordCount).sum > driverDeleteCap)
+      EqState(null, GraftIcebergScan.buildEqSpecs(t, cdcFullSchema, delFiles))
+    else EqState(GraftIcebergScan.buildEqGroups(t, cdcFullSchema, delFiles), null)
 
   /** a \ b over sorted position arrays. */
   private def subtractSorted(a: Array[Long], b: Array[Long]): Array[Long] =
@@ -1420,7 +1437,9 @@ final class GraftIcebergMicroBatchStream(
         selectEq: Array[ScanBridge.EqDeleteGroup],
         posFiles: Array[String] = null,
         selFiles: Array[String] = null,
-        selMinus: Array[String] = null): Unit = {
+        selMinus: Array[String] = null,
+        ownEqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = null,
+        selEqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = null): Unit = {
       require(f.fileFormat.equalsIgnoreCase("PARQUET") &&
           t.resolvePath(f.filePath).contains("/data/"),
         "CDC streaming supports natively written parquet data files only; " +
@@ -1428,7 +1447,8 @@ final class GraftIcebergMicroBatchStream(
       parts += ScanBridge.cdcPartition(hconf, idx, t.resolvePath(f.filePath),
         f.fileSizeInBytes, t.dataSequenceOf(f),
         cdcMetaValues(changeType, sid, t.snapshots(sid).timestampMs),
-        deleted, selectPos, ownEq, selectEq, posFiles, selFiles, selMinus)
+        deleted, selectPos, ownEq, selectEq, posFiles, selFiles, selMinus,
+        ownEqSpecs, selEqSpecs)
       idx += 1
     }
     def key(f: graft.iceberg.Manifests.DataFileInfo): String =
@@ -1438,26 +1458,23 @@ final class GraftIcebergMicroBatchStream(
       // catch-up batch: the whole table's live rows at `e` as inserts
       val view = t.atSnapshot(e)
       val pos = loadPos(view.positionDeleteFiles, t)
-      val eq = if (view.equalityDeleteFiles.isEmpty)
-        Array.empty[ScanBridge.EqDeleteGroup]
-      else GraftIcebergScan.buildEqGroups(view, cdcFullSchema, view.equalityDeleteFiles)
+      val eq = loadEq(view, view.equalityDeleteFiles)
       view.liveFiles().foreach { f =>
-        add(f, "insert", e, pos.arr(key(f)), null, eq, null,
-          posFiles = pos.taskFiles)
+        add(f, "insert", e, pos.arr(key(f)), null, eq.groups, null,
+          posFiles = pos.taskFiles, ownEqSpecs = eq.specs)
       }
       return parts.toArray
     }
 
     // memoized per-parent visibility (a long range revisits parents)
     val posCache = scala.collection.mutable.Map.empty[Long, PosDeletes]
-    val eqCache = scala.collection.mutable.Map.empty[Long, Array[ScanBridge.EqDeleteGroup]]
+    val eqCache = scala.collection.mutable.Map.empty[Long, EqState]
     def parentPos(p: IcebergTable): PosDeletes =
       posCache.getOrElseUpdate(p.currentSnapshot.snapshotId,
         loadPos(p.positionDeleteFiles, t))
-    def parentEq(p: IcebergTable): Array[ScanBridge.EqDeleteGroup] =
+    def parentEq(p: IcebergTable): EqState =
       eqCache.getOrElseUpdate(p.currentSnapshot.snapshotId,
-        if (p.equalityDeleteFiles.isEmpty) Array.empty
-        else GraftIcebergScan.buildEqGroups(p, cdcFullSchema, p.equalityDeleteFiles))
+        loadEq(p, p.equalityDeleteFiles))
 
     pendingChain(t, e, s).foreach { snap =>
       t.atSnapshot(snap.snapshotId) // validates the id
@@ -1474,7 +1491,9 @@ final class GraftIcebergMicroBatchStream(
           // whole-file removals: every parent-visible row is a delete
           ch.removed.foreach { f =>
             add(f, "delete", sid, parentPos(p).arr(key(f)),
-              null, parentEq(p), null, posFiles = parentPos(p).taskFiles)
+              null, parentEq(p).groups, null,
+              posFiles = parentPos(p).taskFiles,
+              ownEqSpecs = parentEq(p).specs)
           }
           // newly position-deleted rows in surviving files
           if (ch.addedPosDeletes.nonEmpty) {
@@ -1485,14 +1504,17 @@ final class GraftIcebergMicroBatchStream(
                 if (newPos.driver && pp.driver) {
                   val sel = subtractSorted(newPos.arr(key(f)), pp.arr(key(f)))
                   if (sel.nonEmpty)
-                    add(f, "delete", sid, Array.emptyLongArray, sel, parentEq(p), null)
+                    add(f, "delete", sid, Array.emptyLongArray, sel,
+                      parentEq(p).groups, null,
+                      ownEqSpecs = parentEq(p).specs)
                 } else {
                   // above the driver cap: ship delete-file paths; the TASK
                   // computes new-minus-parent positions for its own file
                   // (an empty selection just emits nothing)
                   add(f, "delete", sid, Array.emptyLongArray, null,
-                    parentEq(p), null, selFiles = newPos.files,
-                    selMinus = if (pp.files.isEmpty) null else pp.files)
+                    parentEq(p).groups, null, selFiles = newPos.files,
+                    selMinus = if (pp.files.isEmpty) null else pp.files,
+                    ownEqSpecs = parentEq(p).specs)
                 }
               }
             }
@@ -1500,12 +1522,14 @@ final class GraftIcebergMicroBatchStream(
           // newly equality-deleted rows in strictly-older surviving files
           ch.addedEqDeletes.foreach { ed =>
             val edSeq = t.dataSequenceOf(ed)
-            val sel = GraftIcebergScan.buildEqGroups(ch.current, cdcFullSchema, Seq(ed))
+            val sel = loadEq(ch.current, Seq(ed))
             ch.parentFiles.foreach { f =>
               if (ch.currentPaths(t.resolvePath(f.filePath)) &&
                   t.dataSequenceOf(f) < edSeq)
                 add(f, "delete", sid, parentPos(p).arr(key(f)),
-                  null, parentEq(p), sel, posFiles = parentPos(p).taskFiles)
+                  null, parentEq(p).groups, sel.groups,
+                  posFiles = parentPos(p).taskFiles,
+                  ownEqSpecs = parentEq(p).specs, selEqSpecs = sel.specs)
             }
           }
         }

@@ -231,7 +231,13 @@ object ScanBridge {
         * have shipped, without materializing a heavy-churn commit's
         * positions driver-side. */
       private[graftbridge] val selectPosDeleteFiles: Array[String] = null,
-      private[graftbridge] val selectMinusDeleteFiles: Array[String] = null)
+      private[graftbridge] val selectMinusDeleteFiles: Array[String] = null,
+      /** Non-null = distributed EQUALITY state (CDC above the driver cap):
+        * metadata-only specs whose key sets each TASK loads itself via
+        * [[DeleteLoader.eqGroupFor]] — exclusion (visibility) and selection
+        * counterparts of [[ownEqGroups]] / [[selectEqGroups]]. */
+      private[graftbridge] val ownEqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = null,
+      private[graftbridge] val selectEqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = null)
     extends InputPartition {
     override def preferredLocations(): Array[String] = underlying.preferredLocations()
   }
@@ -251,7 +257,9 @@ object ScanBridge {
       selectEqGroups: Array[EqDeleteGroup],
       posDeleteFiles: Array[String] = null,
       selectPosDeleteFiles: Array[String] = null,
-      selectMinusDeleteFiles: Array[String] = null): InputPartition = {
+      selectMinusDeleteFiles: Array[String] = null,
+      ownEqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = null,
+      selectEqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = null): InputPartition = {
     val raw = new Path(path)
     val fs = raw.getFileSystem(hadoopConf)
     val fp = org.apache.spark.sql.execution.datasources.FilePartition(index, Array(
@@ -261,7 +269,8 @@ object ScanBridge {
         0, len, Array.empty, 0L, len)))
     new MorFilePartition(deleted, dataSeq, metaValues, fp,
       selectPositions, ownEqGroups, selectEqGroups,
-      posDeleteFiles, selectPosDeleteFiles, selectMinusDeleteFiles)
+      posDeleteFiles, selectPosDeleteFiles, selectMinusDeleteFiles,
+      ownEqSpecs, selectEqSpecs)
   }
 
   /** One [[MorFilePartition]] per data file. No splits: position-delete
@@ -374,7 +383,15 @@ object ScanBridge {
       * file at or below this data file's sequence can never apply, so the
       * task never pays its decode or cache space. */
     private def exclGroupsOf(m: MorFilePartition): Array[EqDeleteGroup] =
-      if (m.ownEqGroups != null) m.ownEqGroups
+      if (m.ownEqGroups != null || m.ownEqSpecs != null) {
+        // CDC partitions carry their OWN visibility: driver-built groups
+        // below the cap, task-loaded specs above it (never factory state)
+        val g = if (m.ownEqGroups != null) m.ownEqGroups
+          else Array.empty[EqDeleteGroup]
+        if (m.ownEqSpecs == null) g
+        else g ++ m.ownEqSpecs.filter(_.seq > m.dataSeq).map(s =>
+          DeleteLoader.eqGroupFor(s, conf.value, deleteCacheBytes))
+      }
       else if (eqSpecs.isEmpty) eqGroups
       else eqGroups ++ eqSpecs.filter(_.seq > m.dataSeq).map(s =>
         DeleteLoader.eqGroupFor(s, conf.value, deleteCacheBytes))
@@ -473,8 +490,13 @@ object ScanBridge {
       // CDC partitions may carry their own (parent-visibility) groups
       val exclGroups = exclGroupsOf(m)
       val applicable = exclGroups.filter(_.seq > m.dataSeq)
-      val selecting = if (m.selectEqGroups != null)
-        m.selectEqGroups.filter(_.seq > m.dataSeq) else null
+      val selecting =
+        if (m.selectEqSpecs != null)
+          m.selectEqSpecs.filter(_.seq > m.dataSeq).map(s =>
+            DeleteLoader.eqGroupFor(s, conf.value, deleteCacheBytes))
+        else if (m.selectEqGroups != null)
+          m.selectEqGroups.filter(_.seq > m.dataSeq)
+        else null
       val selectPos = selectOf(m) // sorted, or null
       val inner = delegate.createReader(m.underlying)
       // the delegate row is requiredSchema + eq-key columns + row-index

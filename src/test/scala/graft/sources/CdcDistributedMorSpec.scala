@@ -91,6 +91,32 @@ class CdcDistributedMorSpec extends AnyFunSuite {
       "above-cap CDC must load delete positions task-side via DeleteLoader")
   }
 
+  test("equality-delete key sets load task-side above the cap") {
+    val dir = fresh("graft_cdc_dist_eq")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 30L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    val from = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // eq-only churn: two upserts, no position deletes at all
+    IcebergWriter.upsert(spark, url,
+      (5L to 12L).map(i => (i, s"u$i")).toDF("k", "v").coalesce(1), Seq("k"))
+    IcebergWriter.upsert(spark, url,
+      Seq((5L, "u5b"), (40L, "n40")).toDF("k", "v").coalesce(1), Seq("k"))
+
+    val driverMode = streamCdc(url, Some(from), s"$dir/ckpt_drv", "cdc_eq_drv")
+    DeleteLoader.clearForTest()
+    val distributed = withCap(0) {
+      streamCdc(url, Some(from), s"$dir/ckpt_dist", "cdc_eq_dist")
+    }
+    assert(distributed == driverMode,
+      "above-cap eq-delete CDC stream must match driver mode")
+    assert(DeleteLoader.residentEntries > 0,
+      "above-cap CDC must load equality key sets task-side via DeleteLoader")
+    // the second upsert supersedes k=5 again: exactly two delete rows for it
+    assert(driverMode.count(r => r._1 == 5L && r._3 == "delete") == 2)
+  }
+
   test("CDC catch-up batch above the cap emits the same live rows") {
     val dir = fresh("graft_cdc_dist2")
     val url = s"$dir/tbl"
