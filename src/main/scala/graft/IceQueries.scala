@@ -540,6 +540,51 @@ object IceQueries {
       .orderBy("n_nationkey")
   }
 
+  /** COMPOSITE-KEY equality deletes across TWO upsert commits: key =
+    * (n_nationkey, n_regionkey), so each delete file carries a two-column
+    * key list and a distinct commit sequence. The second upsert supersedes
+    * one of the first upsert's own rows — sequence scoping must let the
+    * later row win while the first commit's other rows survive. The oracle
+    * is the FOREIGN replay: DuckDB re-applies both delete files from the
+    * written bytes (multi-column IS NOT DISTINCT FROM anti-joins in
+    * [[duckLiveRows]]), proving the replay generalizes past single-key
+    * deletes. */
+  def iceWriteEqDeleteMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val url = java.nio.file.Files.createTempDirectory("graft_eqm").toString + "/t"
+    val nation = Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+    IcebergWriter.createTable(s, url, nation.schema)
+    IcebergWriter.append(s, url, nation.coalesce(1))
+    // first upsert: rename every region-1 nation (composite key)
+    val up1 = nation.filter(col("n_regionkey") === 1)
+      .withColumn("n_name", concat(lit("V1_"), col("n_name")))
+    IcebergWriter.upsert(s, url, up1.coalesce(1),
+      Seq("n_nationkey", "n_regionkey"))
+    // second upsert: supersede ONE of those again + add a synthetic row
+    val minKey = up1.agg(min(col("n_nationkey"))).head().getLong(0)
+    val up2 = up1.filter(col("n_nationkey") === minKey)
+      .withColumn("n_name", concat(lit("V2_"), col("n_name")))
+      .unionAll(s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(998L, "LEMURIA", 1L)),
+        nation.schema))
+    IcebergWriter.upsert(s, url, up2.coalesce(1),
+      Seq("n_nationkey", "n_regionkey"))
+
+    val t = IcebergTable.load(s, url)
+    val nEqFiles = t.equalityDeleteFiles.size.toLong
+    dynamicOracle("ice_write_eq_multi") =
+      s"""SELECT n_nationkey, n_name, n_regionkey,
+         |  CAST(2 AS BIGINT) AS n_eq_delete_files
+         |FROM (${duckLiveRows(t, Seq("n_nationkey", "n_name", "n_regionkey"))})
+         |ORDER BY n_nationkey""".stripMargin
+    t.read()
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        lit(nEqFiles).as("n_eq_delete_files"))
+      .orderBy("n_nationkey")
+  }
+
   /** Snapshot refs E2E: tag the nation snapshot, keep committing, read the
     * pinned tag vs the moving main branch. The oracle replays both row
     * counts from the source parquet (tag = nation, main = nation + the
@@ -1099,6 +1144,7 @@ object IceQueries {
     "ice_spj_join"         -> (iceSpjJoin _),
     "ice_sql_insert"       -> (iceSqlInsert _),
     "ice_write_eq_delete"  -> (iceWriteEqDelete _),
+    "ice_write_eq_multi"   -> (iceWriteEqDeleteMulti _),
     "ice_refs"             -> (iceRefs _),
     "ice_wap"              -> (iceWap _),
     "ice_partitions_meta"  -> (icePartitionsMeta _),
