@@ -1466,10 +1466,9 @@ object IcebergWriter {
     val fs = new Path(delDir).getFileSystem(conf)
     var keptRows = 0L
     val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
-      val rows = rowCountOf(st.getPath, conf)
-      keptRows += rows
-      (st.getPath.toUri.getPath, st.getLen,
-        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+      val stats = posDeleteFileStats(st.getPath, conf)
+      keptRows += stats.recordCount
+      (st.getPath.toUri.getPath, st.getLen, stats,
         specInfo.map(_ => null: Any), Manifests.Status.Added)
     }.filter(_._3.recordCount > 0)
     val extra =
@@ -1513,10 +1512,9 @@ object IcebergWriter {
     val fs = new Path(delDir).getFileSystem(conf)
     var posDeleteCount = 0L
     val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
-      val rows = rowCountOf(st.getPath, conf)
-      posDeleteCount += rows
-      (st.getPath.toUri.getPath, st.getLen,
-        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+      val stats = posDeleteFileStats(st.getPath, conf)
+      posDeleteCount += stats.recordCount
+      (st.getPath.toUri.getPath, st.getLen, stats,
         specInfo.map(_ => null: Any), Manifests.Status.Added)
     }.filter(_._3.recordCount > 0)
     if (entries.isEmpty) (None, 0L) // stats said "might match" but no rows did
@@ -1922,10 +1920,9 @@ object IcebergWriter {
     val fs = new Path(delDir).getFileSystem(conf)
     var survivorRows = 0L
     val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
-      val rows = rowCountOf(st.getPath, conf)
-      survivorRows += rows
-      (st.getPath.toUri.getPath, st.getLen,
-        FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
+      val stats = posDeleteFileStats(st.getPath, conf)
+      survivorRows += stats.recordCount
+      (st.getPath.toUri.getPath, st.getLen, stats,
         specInfo.map(_ => null: Any), Manifests.Status.Added)
     }.filter(_._3.recordCount > 0)
     val manifests =
@@ -2002,6 +1999,56 @@ object IcebergWriter {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     finally reader.close()
+  }
+
+  /** Stats of one written POSITION-DELETE parquet from ONE footer read:
+    * row count plus the `file_path` column's min/max, recorded under the
+    * spec's reserved field id ([[Manifests.PosDeletePathFieldId]]). When
+    * min == max the delete file provably references a single data file —
+    * Iceberg's "referenced data file" property — and planners can skip
+    * every other file without opening the delete parquet. Bounds are
+    * omitted (never guessed) when any block lacks binary stats. */
+  private def posDeleteFileStats(path: Path, conf: Configuration): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      var lo: Array[Byte] = null
+      var hi: Array[Byte] = null
+      var sound = rows > 0
+      blocks.filter(_.getRowCount > 0).foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "file_path") match {
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) sound = false
+            else {
+              val mn = st.getMinBytes
+              val mx = st.getMaxBytes
+              if (lo == null || unsignedCompare(mn, lo) < 0) lo = mn
+              if (hi == null || unsignedCompare(mx, hi) > 0) hi = mx
+            }
+          case None => sound = false
+        }
+      }
+      if (sound && lo != null)
+        FileStats(rows,
+          Map(Manifests.PosDeletePathFieldId -> lo),
+          Map(Manifests.PosDeletePathFieldId -> hi), Map.empty, Map.empty)
+      else FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty)
+    } finally reader.close()
+  }
+
+  /** Lexicographic compare of UTF-8 bytes — same order as the string values
+    * (parquet BINARY/UTF8 min-max are unsigned-byte ordered). */
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 
   // ------------------------------------------------------------- stats

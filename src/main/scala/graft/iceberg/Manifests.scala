@@ -47,6 +47,12 @@ object Manifests {
     val EqualityDeletes = 2
   }
 
+  /** Reserved field id of the `file_path` column inside a position-delete
+    * file (Iceberg v2 spec, "Position Delete Files": 2147483546). Bounds
+    * recorded under this id let planners prove which data files a delete
+    * file can reference without opening it. */
+  val PosDeletePathFieldId: Int = 2147483546
+
   final case class ManifestFile(
       path: String,
       length: Long,

@@ -54,6 +54,17 @@ object GraftIcebergSource {
     * Normally ZERO (key names resolve from snapshot schemas); test-visible
     * so specs can pin the no-footer-probe planning contract. */
   val footerProbes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** CDC planning telemetry (driver-wide, LAST plan that considered any
+    * position-delete selection; Spark may re-plan one microbatch several
+    * times, so cumulative counts would be re-plan-dependent): surviving
+    * parent files considered vs "delete" partitions actually planned for
+    * them. They diverge when delete-file `file_path` bounds
+    * ([[graft.iceberg.Manifests.PosDeletePathFieldId]]) prove a delete
+    * file irrelevant to a data file — specs pin that above-cap planning
+    * prunes instead of fanning one task out per live file. */
+  val cdcSelectionCandidates = new java.util.concurrent.atomic.AtomicLong(0)
+  val cdcSelectionPartitions = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 class GraftIcebergSource extends TableProvider with CreatableRelationProvider
@@ -1378,15 +1389,26 @@ final class GraftIcebergMicroBatchStream(
     * positions via the per-JVM [[DeleteLoader]] cache, so the stream's
     * driver footprint stays O(files), never O(deleted rows). */
   private final case class PosDeletes(byKey: Map[String, Array[Long]],
-      files: Array[String]) {
+      files: Array[String],
+      /** Task mode only: morKey of the SINGLE data file each delete file
+        * provably references (manifest `file_path` bounds with min == max,
+        * the Iceberg referenced-data-file property), null when unproven.
+        * When every delete file is proven, [[mightHave]] answers exactly
+        * from metadata — no fan-out, no delete-parquet open. */
+      referenced: Array[String] = null) {
     def driver: Boolean = byKey != null
     def arr(k: String): Array[Long] =
       if (driver) byKey.getOrElse(k, Array.emptyLongArray) else Array.emptyLongArray
     /** Task files to ship, or null when driver-materialized (or empty). */
     def taskFiles: Array[String] = if (driver || files.isEmpty) null else files
     /** May this data-file key have deleted positions? Driver mode answers
-      * exactly; task mode conservatively yes (the task's load resolves it). */
-    def mightHave(k: String): Boolean = if (driver) byKey.contains(k) else true
+      * exactly; task mode answers from referenced-file bounds when every
+      * delete file carries them, else conservatively yes (the task's load
+      * resolves it to an empty selection). */
+    def mightHave(k: String): Boolean =
+      if (driver) byKey.contains(k)
+      else if (referenced != null && !referenced.contains(null)) referenced.contains(k)
+      else true
   }
 
   private def driverDeleteCap: Long = SQLConf.get.getConfString(
@@ -1395,9 +1417,18 @@ final class GraftIcebergMicroBatchStream(
   private def loadPos(delFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
       t: IcebergTable): PosDeletes = {
     val paths = delFiles.map(f => t.resolvePath(f.filePath)).toArray
-    if (delFiles.nonEmpty && delFiles.map(_.recordCount).sum > driverDeleteCap)
-      PosDeletes(null, paths)
-    else PosDeletes(posByKey(delFiles, t), paths)
+    if (delFiles.nonEmpty && delFiles.map(_.recordCount).sum > driverDeleteCap) {
+      val refs = delFiles.map { f =>
+        (f.lowerBounds.get(graft.iceberg.Manifests.PosDeletePathFieldId),
+         f.upperBounds.get(graft.iceberg.Manifests.PosDeletePathFieldId)) match {
+          case (Some(lo), Some(hi)) if java.util.Arrays.equals(lo, hi) =>
+            ScanBridge.morKey(
+              new String(lo, java.nio.charset.StandardCharsets.UTF_8))
+          case _ => null
+        }
+      }.toArray
+      PosDeletes(null, paths, refs)
+    } else PosDeletes(posByKey(delFiles, t), paths)
   }
 
   /** Equality-delete state under the same ceiling: key sets materialize on
@@ -1431,6 +1462,8 @@ final class GraftIcebergMicroBatchStream(
       hconf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     var idx = 0
+    var selCandidates = 0L
+    var selPartitions = 0L
     def add(f: graft.iceberg.Manifests.DataFileInfo, changeType: String,
         sid: Long, deleted: Array[Long], selectPos: Array[Long],
         ownEq: Array[ScanBridge.EqDeleteGroup],
@@ -1495,26 +1528,32 @@ final class GraftIcebergMicroBatchStream(
               posFiles = parentPos(p).taskFiles,
               ownEqSpecs = parentEq(p).specs)
           }
-          // newly position-deleted rows in surviving files
+          // newly position-deleted rows in surviving files (above the cap,
+          // referenced-file bounds prune files no delete file can touch —
+          // mightHave answers from metadata, so one churn commit no longer
+          // fans a task out per live file)
           if (ch.addedPosDeletes.nonEmpty) {
             val pp = parentPos(p)
             ch.parentFiles.foreach { f =>
-              if (ch.currentPaths(t.resolvePath(f.filePath)) &&
-                  newPos.mightHave(key(f))) {
-                if (newPos.driver && pp.driver) {
-                  val sel = subtractSorted(newPos.arr(key(f)), pp.arr(key(f)))
-                  if (sel.nonEmpty)
-                    add(f, "delete", sid, Array.emptyLongArray, sel,
-                      parentEq(p).groups, null,
+              if (ch.currentPaths(t.resolvePath(f.filePath))) {
+                selCandidates += 1
+                if (newPos.mightHave(key(f))) {
+                  selPartitions += 1
+                  if (newPos.driver && pp.driver) {
+                    val sel = subtractSorted(newPos.arr(key(f)), pp.arr(key(f)))
+                    if (sel.nonEmpty)
+                      add(f, "delete", sid, Array.emptyLongArray, sel,
+                        parentEq(p).groups, null,
+                        ownEqSpecs = parentEq(p).specs)
+                  } else {
+                    // above the driver cap: ship delete-file paths; the TASK
+                    // computes new-minus-parent positions for its own file
+                    // (an empty selection just emits nothing)
+                    add(f, "delete", sid, Array.emptyLongArray, null,
+                      parentEq(p).groups, null, selFiles = newPos.files,
+                      selMinus = if (pp.files.isEmpty) null else pp.files,
                       ownEqSpecs = parentEq(p).specs)
-                } else {
-                  // above the driver cap: ship delete-file paths; the TASK
-                  // computes new-minus-parent positions for its own file
-                  // (an empty selection just emits nothing)
-                  add(f, "delete", sid, Array.emptyLongArray, null,
-                    parentEq(p).groups, null, selFiles = newPos.files,
-                    selMinus = if (pp.files.isEmpty) null else pp.files,
-                    ownEqSpecs = parentEq(p).specs)
+                  }
                 }
               }
             }
@@ -1534,6 +1573,10 @@ final class GraftIcebergMicroBatchStream(
           }
         }
       }
+    }
+    if (selCandidates > 0) {
+      GraftIcebergSource.cdcSelectionCandidates.set(selCandidates)
+      GraftIcebergSource.cdcSelectionPartitions.set(selPartitions)
     }
     parts.toArray
   }

@@ -131,6 +131,14 @@ object ScanBridge {
     * segment) fall back to their full authority+path — scheme-stripped so
     * `file:///x`, `file:/x` and `/x` agree — instead of collapsing to one
     * shared key, which would cross-match deletes between distinct files. */
+  /** Task-side MOR telemetry (per-JVM, cumulative): data-parquet reader
+    * opens vs partitions answered EMPTY from delete metadata alone. A
+    * fanned-out CDC selection partition whose computed selection is empty
+    * must cost one cached delete-file read, never a data-file open —
+    * specs pin the skip by watching these counters. */
+  val morDataFileOpens = new java.util.concurrent.atomic.AtomicLong(0)
+  val morEmptySelectionSkips = new java.util.concurrent.atomic.AtomicLong(0)
+
   def morKey(path: String): String = {
     val i = path.lastIndexOf("/data/")
     if (i >= 0) path.substring(i + 6)
@@ -441,6 +449,7 @@ object ScanBridge {
       val exclGroups = exclGroupsOf(m)
       val applicable = exclGroups.filter(_.seq > m.dataSeq)
       val probes = probesOf(applicable)
+      ScanBridge.morDataFileOpens.incrementAndGet()
       val inner = delegate.createColumnarReader(m.underlying)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         // deleted positions and batch row indexes are both ascending: one
@@ -498,6 +507,21 @@ object ScanBridge {
           m.selectEqGroups.filter(_.seq > m.dataSeq)
         else null
       val selectPos = selectOf(m) // sorted, or null
+      // a selection partition whose selection resolved EMPTY emits nothing:
+      // answer from the (cached) delete-file reads alone and never open the
+      // data parquet — the task half of the above-cap fan-out defense
+      // (plan-time referenced-file bounds prune what metadata can prove;
+      // any partition planned conservatively costs only this)
+      if ((selectPos != null && selectPos.isEmpty) ||
+          (selecting != null && selecting.forall(_.keys.isEmpty))) {
+        ScanBridge.morEmptySelectionSkips.incrementAndGet()
+        return new PartitionReader[InternalRow] {
+          override def next(): Boolean = false
+          override def get(): InternalRow = throw new java.util.NoSuchElementException
+          override def close(): Unit = ()
+        }
+      }
+      ScanBridge.morDataFileOpens.incrementAndGet()
       val inner = delegate.createReader(m.underlying)
       // the delegate row is requiredSchema + eq-key columns + row-index
       // (appended in that order); project the extras out — ordinals

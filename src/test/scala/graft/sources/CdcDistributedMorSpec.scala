@@ -117,6 +117,79 @@ class CdcDistributedMorSpec extends AnyFunSuite {
     assert(driverMode.count(r => r._1 == 5L && r._3 == "delete") == 2)
   }
 
+  test("above-cap fan-out is pruned by referenced-file bounds") {
+    val dir = fresh("graft_cdc_prune")
+    val url = s"$dir/tbl"
+    val from = writeHistory(url)
+    val driverMode = streamCdc(url, Some(from), s"$dir/ckpt_drv", "cdc_pr_drv")
+    GraftIcebergSource.cdcSelectionCandidates.set(-1)
+    GraftIcebergSource.cdcSelectionPartitions.set(-1)
+    val distributed = withCap(0) {
+      streamCdc(url, Some(from), s"$dir/ckpt_dist", "cdc_pr_dist")
+    }
+    assert(distributed == driverMode)
+    // gauges hold the LAST plan that considered a position-delete
+    // selection: the second delete commit (k=50, one file referenced)
+    // over a table with THREE surviving files. The delete parquet's
+    // file_path bounds (min == max in the manifest) prove it references
+    // ONE data file, so above-cap planning must emit one selection
+    // partition, strictly fewer than the surviving files it would
+    // otherwise fan out to.
+    val cand = GraftIcebergSource.cdcSelectionCandidates.get()
+    val part = GraftIcebergSource.cdcSelectionPartitions.get()
+    assert(cand == 3, s"surviving candidates considered: $cand")
+    assert(part == 1,
+      s"selection partitions planned: $part — referenced-file pruning not engaged")
+    assert(part < cand)
+  }
+
+  test("empty task-side selection never opens the data parquet") {
+    import org.apache.spark.sql.graftbridge.ScanBridge
+    val dir = fresh("graft_cdc_skip")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.append(spark, url,
+      (21L to 40L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 5L)) // file A only
+    val t = IcebergTable.load(spark, url)
+    val delFiles = t.positionDeleteFiles.map(f => t.resolvePath(f.filePath)).toArray
+    assert(delFiles.nonEmpty)
+    // the file the delete does NOT reference
+    val other = t.liveFiles()
+      .map(f => (t.resolvePath(f.filePath), f.fileSizeInBytes))
+      .find { case (p, _) => !spark.read.parquet(delFiles: _*)
+        .select("file_path").as[String].collect()
+        .map(ScanBridge.morKey).contains(ScanBridge.morKey(p)) }
+      .get
+
+    val hconf = spark.sessionState.newHadoopConf()
+    IcebergTable.FieldIdReadOptions.foreach { case (k, v) => hconf.set(k, v) }
+    val fullRead = StructType(schema.fields :+ ScanBridge.rowIndexField)
+    val delegate = ScanBridge.parquetScan(spark, hconf, Nil, schema, fullRead,
+      Array.empty, new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).toBatch.createReaderFactory()
+    val factory = ScanBridge.morReaderFactory(delegate, schema, fullRead.length,
+      columnarCapable = false, eqGroups = Array.empty,
+      ordinalMap = schema.fieldNames.map(n => schema.fieldIndex(n)),
+      conf = new org.apache.spark.util.SerializableConfiguration(hconf))
+    // distributed-selection partition over the UNREFERENCED file: its
+    // task-computed selection is empty, so the reader must answer from the
+    // cached delete-file read alone — zero data-parquet opens
+    val p = ScanBridge.cdcPartition(hconf, 0, other._1, other._2, 0L, Nil,
+      Array.emptyLongArray, null, null, null,
+      selectPosDeleteFiles = delFiles)
+    val opensBefore = ScanBridge.morDataFileOpens.get()
+    val skipsBefore = ScanBridge.morEmptySelectionSkips.get()
+    val reader = factory.createReader(p)
+    assert(!reader.next(), "unreferenced file must yield an empty selection")
+    reader.close()
+    assert(ScanBridge.morEmptySelectionSkips.get() == skipsBefore + 1)
+    assert(ScanBridge.morDataFileOpens.get() == opensBefore,
+      "empty selection must not open the data parquet")
+  }
+
   test("CDC catch-up batch above the cap emits the same live rows") {
     val dir = fresh("graft_cdc_dist2")
     val url = s"$dir/tbl"
