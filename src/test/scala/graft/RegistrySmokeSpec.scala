@@ -56,7 +56,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
   private val crossJoinAllowed = Set(
     "dd_ngram_jaccard",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_full",
-    "sim_topk_sq", "q24_band_join", "tx_fingerprint")
+    "sim_topk_sq", "sim_topk_sq_pruned", "q24_band_join", "tx_fingerprint")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: body runs, schema non-empty, ≥1 row on sf0.001") {
