@@ -24,9 +24,16 @@ object Bench {
       if (h.nonEmpty) h else SparkEntry.queries.keys.toSeq.sorted
     }
     // JVM/codegen warm-up on the smallest SF so measured times reflect
-    // steady-state execution, not first-query classloading.
+    // steady-state execution, not first-query classloading — then ONE
+    // untimed rep of the first entry on the MEASURED sf: JIT tiering,
+    // shuffle machinery and page-cache warm-up otherwise land in that
+    // entry's samples (r11 saw q01's IQR jump 0.073 → 0.585 from exactly
+    // this while its median and min stayed flat).
     names.headOption.foreach { n =>
       try benchable(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      try benchable(n)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // Per-query stats over `reps` runs: wall-clock on a shared VM swings
@@ -38,24 +45,31 @@ object Bench {
     val results = names.map { name =>
       // untimed setup on the MEASURED sf (e.g. the IVF index build) so
       // rep 1 never pays one-off construction; teardown after the reps
-      // releases any executor storage the setup pinned
-      SparkEntry.benchSetup.get(name).foreach { f =>
-        try f(spark, sfDir)
+      // releases any executor storage the setup pinned. A setup FAILURE
+      // is the entry's failure: recording it (and skipping the reps)
+      // keeps rep 1 from silently paying the build inside the timed body
+      // with nothing in the JSON flagging it.
+      val setupErr = SparkEntry.benchSetup.get(name).flatMap { f =>
+        try { f(spark, sfDir); None }
         catch { case e: Throwable =>
-          System.err.println(s"BENCH SETUP FAILURE in $name: $e") }
+          System.err.println(s"BENCH SETUP FAILURE in $name: $e")
+          Some(("setup: " + e.toString).replaceAll("[\"\\\\\n]", " ").take(200))
+        }
       }
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink executes the FULL plan (a count() would let Spark prune
-        // projections and undercount the real work)
-        val err =
-          try { benchable(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"BENCH FAILURE in $name: $e")
-            Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
+      val samples =
+        if (setupErr.isDefined) Vector.empty[(Double, Option[String])]
+        else (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink executes the FULL plan (a count() would let Spark
+          // prune projections and undercount the real work)
+          val err =
+            try { benchable(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save(); None }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH FAILURE in $name: $e")
+              Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
       SparkEntry.benchTeardown.get(name).foreach { f =>
         try f(spark, sfDir) catch { case _: Throwable => () }
       }
@@ -67,7 +81,8 @@ object Bench {
       val median = q(0.5)
       val minT = if (ok.isEmpty) 0.0 else ok.head
       val iqr = if (ok.length < 2) 0.0 else q(0.75) - q(0.25)
-      (name, median, minT, iqr, samples.flatMap(_._2).headOption)
+      (name, median, minT, iqr,
+        setupErr.orElse(samples.flatMap(_._2).headOption))
     }
     // REGRESSION detection compares MINS (the least noisy statistic: the
     // best-of-N run is the closest observable to the true cost on an idle

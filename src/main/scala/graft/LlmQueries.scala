@@ -579,7 +579,14 @@ object LlmQueries {
     * so the persist cannot evict other queries' scan cache. */
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Similarity.IvfIndex]
-  private def prebuiltIvf(s: SparkSession, dir: String): Similarity.IvfIndex =
+  private def prebuiltIvf(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    // purge entries owned by STOPPED sessions: if a teardown never ran
+    // (setup threw, bench aborted, non-bench caller), the dead session and
+    // its persisted frames must not stay strongly reachable for the JVM
+    // lifetime — the storage itself died with the session, only the refs
+    // linger
+    ivfIndexCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(ivfIndexCache.remove)
     ivfIndexCache.getOrElseUpdate((s, dir), {
       val idx = Similarity.buildIvfIndex(
         t(s, dir, "embeddings"), "embedding", "vec_id", nlist = 64)
@@ -591,6 +598,7 @@ object LlmQueries {
       codes.count()
       idx.copy(assigned = assigned, codes = Some(codes))
     })
+  }
   private def releaseIvf(s: SparkSession, dir: String): Unit =
     ivfIndexCache.remove((s, dir)).foreach { idx =>
       idx.assigned.unpersist()

@@ -392,8 +392,12 @@ object ScanBridge {
       * task never pays its decode or cache space. */
     private def exclGroupsOf(m: MorFilePartition): Array[EqDeleteGroup] =
       if (m.ownEqGroups != null || m.ownEqSpecs != null) {
-        // CDC partitions carry their OWN visibility: driver-built groups
-        // below the cap, task-loaded specs above it (never factory state)
+        // CDC DELETE partitions carry their OWN visibility: driver-built
+        // groups below the cap, task-loaded specs above it. CDC INSERT
+        // partitions (both null) DO fall through to the factory branch
+        // below — inert today only because the CDC reader factory ships
+        // empty eqGroups/eqSpecs; a future CDC factory must keep them
+        // empty or inserts would silently inherit batch-scan exclusions.
         val g = if (m.ownEqGroups != null) m.ownEqGroups
           else Array.empty[EqDeleteGroup]
         if (m.ownEqSpecs == null) g
