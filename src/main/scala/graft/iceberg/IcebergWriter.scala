@@ -2302,7 +2302,7 @@ object IcebergWriter {
     * overwrite interleaves DELETED and ADDED entries in the same file.
     * `fileContent` marks every data_file as data (0) or position deletes (1,
     * Iceberg v2 field 134). */
-  private def writeManifestEntries(path: String, snapshotId: Long,
+  private[iceberg] def writeManifestEntries(path: String, snapshotId: Long,
       files: Seq[(String, Long, FileStats, Seq[Any], Int)],
       specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
       fileContent: Int = Manifests.FileContent.Data,
