@@ -44,10 +44,11 @@ object IceQueries {
   private def duckLiveRows(t: IcebergTable, cols: Seq[String]): String = {
     val dataFiles = t.liveFiles()
     val data = sqlPaths(dataFiles.map(f => t.resolvePath(f.filePath)))
-    val dels = t.positionDeleteFiles.map(f => t.resolvePath(f.filePath))
+    val (dvDels, pqDels) = t.positionDeleteFiles.partition(_.isDv)
+    val dels = pqDels.map(f => t.resolvePath(f.filePath))
     val eqs = t.equalityDeleteFiles
     val colList = cols.mkString(", ")
-    if (dels.isEmpty && eqs.isEmpty)
+    if (dels.isEmpty && eqs.isEmpty && dvDels.isEmpty)
       return s"SELECT $colList FROM read_parquet($data, union_by_name=true)"
     def fkey(p: String): String = p.split("/data/").last
     val inner =
@@ -73,10 +74,37 @@ object IceQueries {
          |    SELECT str_split(file_path, '/data/')[-1] AS _fkey, pos AS _fpos
          |    FROM read_parquet(${sqlPaths(dels)})
          |  ) _x WHERE _x._fkey = _d._fkey AND _x._fpos = _d._fpos)""".stripMargin)
+    // DELETION VECTORS (v3): DuckDB cannot parse puffin, so the oracle
+    // replays each blob from the WRITTEN BYTES through the from-scratch
+    // standalone roaring decoder (no RoaringBitmap-library involvement —
+    // a library-writes / hand-reads spec-conformance round trip) and ships
+    // the (file, pos) pairs as a VALUES table.
+    val dvClause = if (dvDels.isEmpty) Nil else {
+      val pairs = dvDels.flatMap { d =>
+        val raw = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(t.resolvePath(d.filePath)))
+        val off = d.contentOffset.getOrElse(
+          sys.error(s"DV without offset: ${d.filePath}")).toInt
+        val len = d.contentSizeInBytes.getOrElse(
+          sys.error(s"DV without size: ${d.filePath}")).toInt
+        val ref = fkey(d.referencedDataFile.getOrElse(
+          sys.error(s"DV without referenced file: ${d.filePath}")))
+        graft.iceberg.DeletionVectors
+          .decodePositionsStandalone(raw.slice(off, off + len))
+          .map(p => s"('${ref.replace("'", "''")}', $p)")
+      }
+      Seq(s"""NOT EXISTS (
+         |  SELECT 1 FROM (VALUES ${pairs.mkString(", ")}) _dv(fkey, fpos)
+         |  WHERE _dv.fkey = _d._fkey AND _dv.fpos = _d._fpos)""".stripMargin)
+    }
     val idToName = t.iceSchema.fields.map(f => f.id -> f.name).toMap
     val eqClauses = eqs.map { ed =>
       val keys = ed.equalityIds.flatMap(idToName.get)
-      require(keys.nonEmpty, s"equality-delete file without key ids: ${ed.filePath}")
+      // A partially-mapped composite key would silently anti-join on a
+      // subset and delete too many rows — fail loudly instead.
+      require(keys.length == ed.equalityIds.length && keys.nonEmpty,
+        s"equality-delete ids ${ed.equalityIds.mkString(",")} do not all map " +
+          s"to schema fields (got ${keys.mkString(",")}): ${ed.filePath}")
       val matchKeys = keys.map(k => s"_e.$k IS NOT DISTINCT FROM _d.$k")
         .mkString(" AND ")
       s"""NOT EXISTS (
@@ -84,7 +112,7 @@ object IceQueries {
          |  WHERE _d._dseq < ${t.dataSequenceOf(ed)} AND $matchKeys)""".stripMargin
     }
     s"SELECT $colList FROM $src WHERE " +
-      (posClause ++ eqClauses).mkString("\n  AND ")
+      (posClause ++ dvClause ++ eqClauses).mkString("\n  AND ")
   }
 
   /** SURVEY §2A #15: full scan of the current snapshot (5 live rows).
@@ -380,6 +408,92 @@ object IceQueries {
       .withColumn("n_delete_files", lit(t.positionDeleteFiles.size.toLong))
       .withColumn("rows_before", lit(t.snapshotRelative(-1).read().count()))
       .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
+      .orderBy("k")
+  }
+
+  /** Iceberg v3 DELETION VECTORS: two overlapping row-level deletes on a
+    * v3 table — the second supersedes the first file's DV with a MERGED
+    * roaring bitmap (prior ∪ fresh), leaving exactly one live DV. The
+    * oracle replays the puffin blob from the WRITTEN BYTES through the
+    * standalone (non-library) roaring decoder into a DuckDB VALUES
+    * anti-join — an independent merge-on-read of the v3 carrier. */
+  def iceWriteDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_wdv").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url,
+      (1L to 100L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 40L), Pruning.Lt("k", 60L))) // 20 rows
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 50L), Pruning.Lt("k", 70L))) // +10 net-new
+    val t = IcebergTable.load(s, url)
+    val dvs = t.positionDeleteFiles.filter(_.isDv)
+    require(dvs.size == 1 && t.positionDeleteFiles.size == 1,
+      s"v3 supersede must leave exactly one live DV, got ${t.positionDeleteFiles}")
+    require(dvs.head.recordCount == 30L,
+      s"merged DV must hold prior ∪ fresh (30), got ${dvs.head.recordCount}")
+    dynamicOracle("ice_write_dv") =
+      s"""SELECT k, cat, CAST(70 AS BIGINT) AS rows_from_stats,
+         |  CAST(1 AS BIGINT) AS n_dv_blobs, CAST(30 AS BIGINT) AS dv_rows,
+         |  CAST(3 AS INTEGER) AS format_version, CAST(10 AS BIGINT) AS net_new
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("rows_from_stats", lit(t.countFromStats().getOrElse(-1L)))
+      .withColumn("n_dv_blobs", lit(dvs.size.toLong))
+      .withColumn("dv_rows", lit(dvs.map(_.recordCount).sum))
+      .withColumn("format_version", lit(t.metadata.formatVersion))
+      .withColumn("net_new",
+        lit(t.summary.getOrElse("added-position-deletes", "-1").toLong))
+      .orderBy("k")
+  }
+
+  /** v3 delete-state CONSOLIDATION across carriers: a v2 parquet position
+    * delete survives the format upgrade, fresh deletes land as DVs, then
+    * `rewritePositionDeletes` folds BOTH carriers into ONE puffin (one
+    * merged blob per surviving data file — the v3 rule that rewritten
+    * position deletes become DVs). The oracle replays the post-rewrite
+    * state from the written puffin bytes. */
+  def iceDvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_dvrw").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    // two data files so the consolidated puffin holds two blobs
+    IcebergWriter.append(s, url,
+      (1L to 50L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.append(s, url,
+      (51L to 100L).map(i => (i, s"d${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(s, url, Pruning.Lt("k", 6L)) // v2 parquet carrier
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.deleteRows(s, url, Pruning.In("k", Seq(10L, 60L, 61L))) // DVs
+    val mixed = IcebergTable.load(s, url)
+    require(mixed.positionDeleteFiles.count(_.isDv) == 2 &&
+      mixed.positionDeleteFiles.count(!_.isDv) == 1,
+      s"expected 2 DV blobs + 1 parquet carrier, got ${mixed.positionDeleteFiles}")
+    IcebergWriter.rewritePositionDeletes(s, url)
+    val t = IcebergTable.load(s, url)
+    val dels = t.positionDeleteFiles
+    require(dels.forall(_.isDv) && dels.map(_.filePath).distinct.size == 1,
+      s"rewrite must leave one all-DV puffin, got $dels")
+    dynamicOracle("ice_dv_rewrite") =
+      s"""SELECT k, cat, CAST(92 AS BIGINT) AS rows_from_stats,
+         |  CAST(2 AS BIGINT) AS n_dv_blobs, CAST(1 AS BIGINT) AS n_carriers,
+         |  CAST(8 AS BIGINT) AS dv_rows
+         |FROM (${duckLiveRows(t, Seq("k", "cat"))}) ORDER BY k""".stripMargin
+    t.read()
+      .withColumn("rows_from_stats", lit(t.countFromStats().getOrElse(-1L)))
+      .withColumn("n_dv_blobs", lit(dels.size.toLong))
+      .withColumn("n_carriers", lit(dels.map(_.filePath).distinct.size.toLong))
+      .withColumn("dv_rows", lit(dels.map(_.recordCount).sum))
       .orderBy("k")
   }
 
@@ -1140,6 +1254,8 @@ object IceQueries {
     "ice_orc_import"       -> (iceOrcImport _),
     "ice_write_overwrite"  -> (iceWriteOverwrite _),
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
+    "ice_write_dv"         -> (iceWriteDv _),
+    "ice_dv_rewrite"       -> (iceDvRewrite _),
     "ice_write_merge"      -> (iceWriteMerge _),
     "ice_spj_join"         -> (iceSpjJoin _),
     "ice_sql_insert"       -> (iceSqlInsert _),

@@ -275,10 +275,38 @@ final class IcebergTable private (
       // (removed files already emitted all their live rows above)
       val posDels = ch.addedPosDeletes
       if (posDels.nonEmpty) {
-        val delDf = spark.read
-          .parquet(posDels.map(f => rewrite(f.filePath)): _*)
-          .select(substring_index(col("file_path"), "/data/", -1).as("_g_key"),
-            col("pos").as("_g_pos"))
+        // (file key, pos) pairs of a delete-file set, either carrier:
+        // parquet scanned by Spark, v3 DV blobs decoded by manifest offset
+        def pairsOf(dels: Seq[DataFileInfo]): DataFrame = {
+          val (dvs, pqs) = dels.partition(_.isDv)
+          val pq = if (pqs.isEmpty) None else Some(spark.read
+            .parquet(pqs.map(f => rewrite(f.filePath)).distinct: _*)
+            .select(substring_index(col("file_path"), "/data/", -1).as("_g_key"),
+              col("pos").as("_g_pos")))
+          val dv = if (dvs.isEmpty) None else {
+            val hconf = spark.sessionState.newHadoopConf()
+            val pairs = dvs.flatMap { d =>
+              DeletionVectors.readBlobAt(rewrite(d.filePath), hconf,
+                d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+                d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}")))
+                .map(pos => (org.apache.spark.sql.graftbridge.ScanBridge.morKey(
+                  d.referencedDataFile.getOrElse(
+                    sys.error(s"DV without referenced file: ${d.filePath}"))), pos))
+            }
+            import spark.implicits._
+            Some(pairs.toDF("_g_key", "_g_pos"))
+          }
+          (pq.toSeq ++ dv.toSeq).reduce(_ unionByName _)
+        }
+        // a MERGED deletion vector re-carries every prior position of its
+        // file — the changelog must emit only NET-new deletes, so parent-
+        // visible positions are subtracted (same rule as the CDC stream)
+        val delDf = {
+          val addedPairs = pairsOf(posDels)
+          val parentDels = p.positionDeleteFiles
+          if (!posDels.exists(_.isDv) || parentDels.isEmpty) addedPairs
+          else addedPairs.except(pairsOf(parentDels))
+        }
         val targetKeys = delDf.select("_g_key").distinct()
           .collect().map(_.getString(0)).toSet
         val targets = prevFiles.filter { f =>
@@ -554,7 +582,11 @@ final class IcebergTable private (
       val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
       val dropped = scala.collection.mutable.Set.empty[String]
       for ((mf, entries) <- deleteManifests.zip(entryLists); e <- entries) {
-        val path = rewrite(e.dataFile.filePath)
+        // entryKey, not path: several DELETION-VECTOR entries share one
+        // puffin file, distinguished by blob offset — a path key would let
+        // one commit's DV overwrite (or a supersede drop) a sibling blob
+        val path = rewrite(e.dataFile.filePath) +
+          e.dataFile.contentOffset.map(o => s"#$o").getOrElse("")
         e.status match {
           case Status.Added | Status.Existing =>
             live(path) = e.dataFile.copy(

@@ -734,7 +734,7 @@ object IcebergWriter {
       // a delete-content manifest in the commit (merge/upsert) makes the
       // table format-version 2 (position deletes are a v2 feature)
       if (extraManifests.exists(_.content == Manifests.ManifestContent.Deletes))
-        old.put("format-version", 2)
+        ensureFormatVersion(old, 2)
       val snap = mapper.createObjectNode()
       snap.put("snapshot-id", snapshotId)
       if (baseSnapId >= 0)
@@ -1379,7 +1379,7 @@ object IcebergWriter {
       val old = mapper.readTree(
         metadataBaseJson(current, url, conf))
         .asInstanceOf[ObjectNode]
-      old.put("format-version", 2)
+      ensureFormatVersion(old, 2)
       val now = System.currentTimeMillis()
       val snap = mapper.createObjectNode()
       snap.put("snapshot-id", snapshotId)
@@ -1436,7 +1436,9 @@ object IcebergWriter {
     if (t0.metadata.currentSnapshotId < 0) return
     val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
     val delFiles = frozen.positionDeleteFiles
-    if (delFiles.size <= targetFiles) return // already consolidated
+    // entries count blobs for DV tables — consolidation is about PHYSICAL
+    // files (one puffin holds many blobs), so gate on distinct paths
+    if (delFiles.map(_.filePath).distinct.size <= targetFiles) return // already consolidated
     val pinnedDeleteSet = frozen.liveDeleteFiles
       .map(f => frozen.resolvePath(f.filePath)).toSet
     val schema = frozen.iceSchema
@@ -1452,6 +1454,84 @@ object IcebergWriter {
     // live data files by morKey: rows targeting dead files are dropped
     val liveKeys = frozen.liveFiles()
       .map(f => morKeyOf(frozen.resolvePath(f.filePath))).filter(_.nonEmpty).toSet
+
+    // v3 / DELETION-VECTOR tables: consolidate BOTH carriers into ONE
+    // puffin file — one merged blob per surviving data file (the v3 rule:
+    // rewritten position deletes become DVs). Decode is distributed: DV
+    // blobs ranged-read in executors, parquet carriers scanned by Spark;
+    // only compressed bitmap bytes return to the driver.
+    if (frozen.metadata.formatVersion >= 3 || delFiles.exists(_.isDv)) {
+      import spark.implicits._
+      val (dvs, parquets) = delFiles.partition(_.isDv)
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val dvRefs = dvs.map(d => (frozen.resolvePath(d.filePath),
+        d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+        d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}")),
+        d.referencedDataFile.getOrElse(sys.error(s"DV without ref: ${d.filePath}"))))
+      val dvPositions =
+        if (dvRefs.isEmpty) spark.emptyDataset[(String, Long)]
+        else spark.createDataset(dvRefs).flatMap { case (p, off, len, ref) =>
+          DeletionVectors.readBlobAt(p, sconf.value, off, len).map(pos => (ref, pos))
+        }
+      val pqPositions =
+        if (parquets.isEmpty) spark.emptyDataset[(String, Long)]
+        else spark.read.parquet(parquets.map(f => frozen.resolvePath(f.filePath)): _*)
+          .select(col("file_path").cast(org.apache.spark.sql.types.StringType),
+            col("pos")).as[(String, Long)]
+      val bLive = spark.sparkContext.broadcast(liveKeys)
+      val mergedBitmaps = dvPositions.union(pqPositions)
+        .groupByKey { case (raw, _) =>
+          org.apache.spark.sql.graftbridge.ScanBridge.morKey(raw) }
+        .flatMapGroups { (k, it) =>
+          if (!bLive.value.contains(k)) Iterator.empty
+          else {
+            var raw: String = null
+            val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+            it.foreach { case (r, p) => raw = r; buf += p }
+            val arr = buf.result().distinct
+            java.util.Arrays.sort(arr)
+            Iterator.single(
+              (raw, DeletionVectors.serializePositions(arr), arr.length.toLong))
+          }
+        }
+        .collect().sortBy(_._1).toSeq
+      val extra =
+        if (mergedBitmaps.isEmpty) Nil // every delete row targeted a dead file
+        else {
+          val puffinPath = s"$url/data/${DeletionVectors.puffinName(commitId)}"
+          val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath, conf,
+            mergedBitmaps, snapshotId, frozen.metadata.lastSequenceNumber + 1)
+          val pathUtf8 = (v: String) => v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val entries = blobs.map { b =>
+            Manifests.DataFileInfo(
+              filePath = new Path(puffinPath).toUri.getPath,
+              fileFormat = "PUFFIN", partition = Map.empty,
+              recordCount = b.cardinality, fileSizeInBytes = puffinLen,
+              columnSizes = Map.empty, valueCounts = Map.empty,
+              nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+              lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+              upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+              content = Manifests.FileContent.PositionDeletes,
+              referencedDataFile = Some(b.referencedDataFile),
+              contentOffset = Some(b.offset),
+              contentSizeInBytes = Some(b.length))
+          }
+          val manifestPath = s"$url/metadata/$commitId-mpdc.avro"
+          writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
+            entries.map(e => (e, Manifests.Status.Added, None: Option[Long])))
+          Seq(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+            entries.size, entries.map(_.recordCount).sum, 0, 0L, Nil))
+        }
+      commitDataFiles(spark, url, commitId, Nil, deletePred = None,
+        operation = "replace",
+        pinnedDeleteFiles = Some(pinnedDeleteSet),
+        extraSummary = Map("graft-rewrite" -> "position-deletes"),
+        extraManifests = extra,
+        presetSnapshotId = Some(snapshotId),
+        dropPosDeleteManifests = true)
+      return
+    }
+
     def key(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
     val kept = spark.read
@@ -1495,6 +1575,10 @@ object IcebergWriter {
       specInfo: Seq[(PartitionField, String, String)],
       conf: Configuration): (Option[NewManifestInfo], Long) = {
     import org.apache.spark.sql.functions.col
+    // Iceberg v3: position deletes MUST travel as deletion vectors
+    if (table.metadata.formatVersion >= 3)
+      return writeDeletionVectors(spark, url, table, commitId, snapshotId,
+        positions, specInfo, conf)
     // ONE key definition with the read side (ScanBridge.morKey)
     def key(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
@@ -1525,6 +1609,179 @@ object IcebergWriter {
       (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
         entries.size, posDeleteCount, 0, 0L, Nil)), posDeleteCount)
     }
+  }
+
+  /** Iceberg v3 DELETION VECTORS: the `(file_path, pos)` DataFrame becomes
+    * one roaring-bitmap blob per targeted data file, all in ONE puffin file
+    * for the commit ([[DeletionVectors]]). Bitmaps build EXECUTOR-side (the
+    * groupByKey shuffle is the same O(deleted rows) the parquet carrier
+    * pays); only compressed bitmap bytes reach the driver.
+    *
+    * v3 invariant — at most one live DV per data file: a file that already
+    * has a DV gets a MERGED replacement (prior ∪ fresh positions) and the
+    * prior blob's entry is marked DELETED in the same manifest. Legacy v2
+    * parquet position deletes surviving an upgrade stay live as-is; fresh
+    * positions anti-join against them so accounting stays exact. Returns
+    * the delete manifest and the NET-new deleted-row count. */
+  private def writeDeletionVectors(spark: SparkSession, url: String,
+      table: IcebergTable, commitId: String, snapshotId: Long,
+      positions: DataFrame,
+      specInfo: Seq[(PartitionField, String, String)],
+      conf: Configuration): (Option[NewManifestInfo], Long) = {
+    import org.apache.spark.sql.functions.col
+    def key(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
+    val (priorDvs, parquetDels) = table.positionDeleteFiles.partition(_.isDv)
+    // fresh = positions not already deleted by a LEGACY parquet carrier
+    // (prior DV positions dedupe in the union below — no join needed)
+    val fresh =
+      if (parquetDels.isEmpty) positions
+      else positions.join(
+        spark.read.parquet(parquetDels.map(f => table.resolvePath(f.filePath)): _*)
+          .select(key(col("file_path")).as("_g_prior_key"), col("pos").as("_g_prior_pos")),
+        key(col("file_path")) === col("_g_prior_key") && col("pos") === col("_g_prior_pos"),
+        "left_anti")
+
+    // one serialized bitmap per data file, built where the positions are
+    import spark.implicits._
+    val freshBitmaps: Seq[(String, Array[Byte], Long)] = fresh
+      .select(col("file_path").cast(org.apache.spark.sql.types.StringType),
+        col("pos"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val arr = it.map(_._2).toArray.distinct
+        java.util.Arrays.sort(arr)
+        (file, DeletionVectors.serializePositions(arr), arr.length.toLong)
+      }
+      .collect().toSeq.sortBy(_._1)
+    if (freshBitmaps.isEmpty) return (None, 0L)
+
+    // supersede: merge with each file's existing DV (decoded by direct
+    // content_offset seek — the manifest-driven read path)
+    val priorByKey: Map[String, Manifests.DataFileInfo] = priorDvs.flatMap(d =>
+      d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
+    var netNew = 0L
+    var supersededRows = 0L
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[Manifests.DataFileInfo]
+    val merged = freshBitmaps.map { case (file, vec, card) =>
+      priorByKey.get(morKeyOf(file)) match {
+        case Some(prior) =>
+          val priorPositions = DeletionVectors.readBlobAt(
+            table.resolvePath(prior.filePath), conf,
+            prior.contentOffset.getOrElse(sys.error(s"DV without offset: ${prior.filePath}")),
+            prior.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${prior.filePath}")))
+          val freshPositions = DeletionVectors.deserializePositions(vec)
+          val union = (priorPositions ++ freshPositions).distinct.sorted
+          superseded += prior
+          supersededRows += prior.recordCount
+          netNew += union.length - priorPositions.length
+          (file, DeletionVectors.serializePositions(union), union.length.toLong)
+        case None =>
+          netNew += card
+          (file, vec, card)
+      }
+    }
+
+    val puffinPath = s"$url/data/${DeletionVectors.puffinName(commitId)}"
+    val commitSeq = table.metadata.lastSequenceNumber + 1
+    val (blobs, puffinLen) = DeletionVectors.writePuffin(
+      puffinPath, conf, merged, snapshotId, commitSeq)
+
+    val pathUtf8 = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val addedEntries = blobs.map { b =>
+      Manifests.DataFileInfo(
+        filePath = new Path(puffinPath).toUri.getPath,
+        fileFormat = "PUFFIN",
+        partition = Map.empty,
+        recordCount = b.cardinality,
+        fileSizeInBytes = puffinLen,
+        columnSizes = Map.empty, valueCounts = Map.empty,
+        nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+        // referenced-file bounds under the reserved id: the EXISTING
+        // pruning machinery (deleteMayApply, CDC mightHave) reads these
+        lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+        upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+        content = Manifests.FileContent.PositionDeletes,
+        referencedDataFile = Some(b.referencedDataFile),
+        contentOffset = Some(b.offset),
+        contentSizeInBytes = Some(b.length))
+    }
+    val manifestPath = s"$url/metadata/$commitId-mdv.avro"
+    writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
+      addedEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
+        superseded.map(e => (e, Manifests.Status.Deleted, e.dataSequence)))
+    (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+      addedEntries.size, addedEntries.map(_.recordCount).sum,
+      superseded.size, supersededRows, Nil)), netNew)
+  }
+
+  /** Write one delete manifest of DELETION-VECTOR entries (plus DELETED /
+    * EXISTING markers for superseded or surviving blobs). Entries carry the
+    * v3 fields 143-145; DELETED/EXISTING entries keep their ORIGINAL data
+    * sequence so scoping survives the rewrite. */
+  private def writeDvManifestEntries(path: String, snapshotId: Long,
+      specInfo: Seq[(PartitionField, String, String)], conf: Configuration,
+      entries: Seq[(Manifests.DataFileInfo, Int, Option[Long])]): Unit = {
+    val entrySchema = manifestEntrySchema(specInfo)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    writeAvro(path, entrySchema, conf) { w =>
+      entries.foreach { case (f, status, explicitSeq) =>
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", f.content)
+        df.put("file_path", f.filePath)
+        df.put("file_format", f.fileFormat)
+        df.put("partition", new GenericData.Record(partSchema)) // DVs span partitions
+        df.put("record_count", f.recordCount)
+        df.put("file_size_in_bytes", f.fileSizeInBytes)
+        df.put("block_size_in_bytes", 67108864L)
+        df.put("value_counts", kvArray(dataFileSchema, "value_counts", f.valueCounts))
+        df.put("null_value_counts", kvArray(dataFileSchema, "null_value_counts", f.nullValueCounts))
+        df.put("nan_value_counts", kvArray(dataFileSchema, "nan_value_counts", f.nanValueCounts))
+        df.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds", f.lowerBounds))
+        df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", f.upperBounds))
+        f.referencedDataFile.foreach(df.put("referenced_data_file", _))
+        f.contentOffset.foreach(o => df.put("content_offset", Long.box(o)))
+        f.contentSizeInBytes.foreach(n => df.put("content_size_in_bytes", Long.box(n)))
+        val entry = new GenericData.Record(entrySchema)
+        entry.put("status", status)
+        entry.put("snapshot_id",
+          if (status == Manifests.Status.Added) snapshotId
+          else f.snapshotId.getOrElse(snapshotId))
+        explicitSeq.foreach(s => entry.put("sequence_number", s))
+        entry.put("data_file", df)
+        w.append(entry)
+      }
+    }
+  }
+
+  /** Upgrade the table's format version (metadata-only commit). v3 turns
+    * every subsequent row-level delete into DELETION VECTORS; downgrades
+    * are refused (older readers could not see v3 delete state). */
+  def upgradeFormatVersion(spark: SparkSession, url: String, version: Int): Unit = {
+    require(version >= 1 && version <= 3, s"unsupported format version $version")
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { current =>
+      val cur = current.metadata.formatVersion
+      require(version >= cur,
+        s"cannot downgrade format version $cur -> $version")
+      if (version == cur) None
+      else {
+        val old = mapper.readTree(metadataBaseJson(current, url, conf))
+          .asInstanceOf[ObjectNode]
+        old.put("format-version", version)
+        old.put("last-updated-ms", System.currentTimeMillis())
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
+  /** Raise `format-version` to at least `atLeast`, never lowering it (a
+    * v3 table keeps v3 across v2-feature commits). */
+  private def ensureFormatVersion(old: ObjectNode, atLeast: Int): Unit = {
+    val cur = Option(old.get("format-version")).map(_.asInt).getOrElse(1)
+    if (cur < atLeast) old.put("format-version", atLeast)
   }
 
   /** DYNAMIC partition overwrite: replace exactly the partitions the
@@ -1771,7 +2028,7 @@ object IcebergWriter {
       val old = mapper.readTree(
         metadataBaseJson(current, url, conf))
         .asInstanceOf[ObjectNode]
-      old.put("format-version", 2)
+      ensureFormatVersion(old, 2)
       val now = System.currentTimeMillis()
       val snap = mapper.createObjectNode()
       snap.put("snapshot-id", snapshotId)
@@ -1896,7 +2153,7 @@ object IcebergWriter {
       removed: Seq[Manifests.DataFileInfo],
       specInfo: Seq[(PartitionField, String, String)],
       conf: Configuration): Option[(Seq[NewManifestInfo], Long)] = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.col
     if (removed.isEmpty || table.metadata.currentSnapshotId < 0) return None
     val existing = table.positionDeleteFiles
     if (existing.isEmpty) return None
@@ -1904,36 +2161,67 @@ object IcebergWriter {
     val removedKeys = removed.map(f => keyOf(table.resolvePath(f.filePath)))
       .filter(_.nonEmpty).toSet
     if (removedKeys.isEmpty) return None
+    // DELETION VECTORS reconcile on metadata alone: a blob whose referenced
+    // file is removed dies whole; every other blob survives as an EXISTING
+    // entry keeping its original sequence. Only legacy parquet carriers
+    // (cross-file row sets) need the distributed row-level rewrite.
+    val (dvs, parquets) = existing.partition(_.isDv)
+    val (deadDvs, liveDvs) = dvs.partition(
+      _.referencedDataFile.exists(r => removedKeys(morKeyOf(r))))
+    val dvDeadRows = deadDvs.map(_.recordCount).sum
     // ONE key definition with keyOf/ScanBridge.morKey
     // (regexp_extract("/data/(.*)$") anchors at the FIRST occurrence and
     // silently mismatches when the table path itself contains '/data/')
     def key(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.graftbridge.ScanBridge.morKeyColumn(c)
-    val all = spark.read.parquet(existing.map(f => table.resolvePath(f.filePath)): _*)
-    val deadRows = all.filter(key(col("file_path")).isInCollection(removedKeys)).count()
+    val all =
+      if (parquets.isEmpty) null
+      else spark.read.parquet(parquets.map(f => table.resolvePath(f.filePath)): _*)
+    val parquetDeadRows =
+      if (all == null) 0L
+      else all.filter(key(col("file_path")).isInCollection(removedKeys)).count()
+    val deadRows = parquetDeadRows + dvDeadRows
     if (deadRows == 0L) return None
 
-    val delDir = s"$url/data/$commitId-rwdel"
-    all.filter(!key(col("file_path")).isInCollection(removedKeys))
-      .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
-      .write.mode("overwrite").parquet(delDir)
-    val fs = new Path(delDir).getFileSystem(conf)
     var survivorRows = 0L
-    val entries = listParquetFiles(fs, new Path(delDir)).map { st =>
-      val stats = posDeleteFileStats(st.getPath, conf)
-      survivorRows += stats.recordCount
-      (st.getPath.toUri.getPath, st.getLen, stats,
-        specInfo.map(_ => null: Any), Manifests.Status.Added)
-    }.filter(_._3.recordCount > 0)
-    val manifests =
-      if (entries.isEmpty) Nil
+    val entries =
+      if (all == null || parquetDeadRows == 0L) Nil
       else {
-        val manifestPath = s"$url/metadata/$commitId-mrw.avro"
-        writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
-          fileContent = Manifests.FileContent.PositionDeletes)
-        Seq(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
-          entries.size, survivorRows, 0, 0L, Nil))
+        val delDir = s"$url/data/$commitId-rwdel"
+        all.filter(!key(col("file_path")).isInCollection(removedKeys))
+          .sort("file_path", "pos") // spec: position deletes sorted by (path, pos)
+          .write.mode("overwrite").parquet(delDir)
+        val fs = new Path(delDir).getFileSystem(conf)
+        listParquetFiles(fs, new Path(delDir)).map { st =>
+          val stats = posDeleteFileStats(st.getPath, conf)
+          survivorRows += stats.recordCount
+          (st.getPath.toUri.getPath, st.getLen, stats,
+            specInfo.map(_ => null: Any), Manifests.Status.Added)
+        }.filter(_._3.recordCount > 0)
       }
+    // parquet carriers untouched by the removal survive file-level too
+    val untouchedParquet =
+      if (all == null || parquetDeadRows > 0L) Nil
+      else parquets
+    var manifests = List.empty[NewManifestInfo]
+    if (entries.nonEmpty) {
+      val manifestPath = s"$url/metadata/$commitId-mrw.avro"
+      writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,
+        fileContent = Manifests.FileContent.PositionDeletes)
+      manifests ::= NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+        entries.size, survivorRows, 0, 0L, Nil)
+    }
+    val carried = liveDvs ++ untouchedParquet
+    if (carried.nonEmpty) {
+      val manifestPath = s"$url/metadata/$commitId-mrwdv.avro"
+      writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
+        carried.map(e => (e.copy(filePath = table.resolvePath(e.filePath)),
+          Manifests.Status.Existing,
+          Some(e.dataSequence.getOrElse(0L)): Option[Long])))
+      manifests ::= NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+        0, 0L, 0, 0L, Nil,
+        existingFiles = carried.size, existingRows = carried.map(_.recordCount).sum)
+    }
     Some((manifests, deadRows))
   }
 
@@ -2250,7 +2538,10 @@ object IcebergWriter {
             {"name": "value", "type": "bytes", "field-id": 130}]},
           "logicalType": "map"}], "default": null, "field-id": 128},
         {"name": "equality_ids", "type": ["null", {"type": "array",
-          "items": "int", "element-id": 136}], "default": null, "field-id": 135}
+          "items": "int", "element-id": 136}], "default": null, "field-id": 135},
+        {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"], "default": null, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 145}
       ]}, "field-id": 2}
     ]}""")
   }
@@ -2390,6 +2681,9 @@ object IcebergWriter {
         df.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds", f.upperBounds))
         if (f.equalityIds.nonEmpty)
           df.put("equality_ids", f.equalityIds.map(Int.box).asJava)
+        f.referencedDataFile.foreach(df.put("referenced_data_file", _))
+        f.contentOffset.foreach(o => df.put("content_offset", Long.box(o)))
+        f.contentSizeInBytes.foreach(n => df.put("content_size_in_bytes", Long.box(n)))
         val entry = new GenericData.Record(entrySchema)
         entry.put("status", Manifests.Status.Existing)
         f.snapshotId.foreach(id => entry.put("snapshot_id", id))
@@ -2476,7 +2770,7 @@ object IcebergWriter {
           metadataBaseJson(current, url, conf))
           .asInstanceOf[ObjectNode]
         // explicit per-entry sequence numbers are a v2 manifest feature
-        old.put("format-version", 2)
+        ensureFormatVersion(old, 2)
         val now = System.currentTimeMillis()
         val snap = mapper.createObjectNode()
         snap.put("snapshot-id", snapshotId)

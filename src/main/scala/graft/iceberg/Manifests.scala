@@ -102,7 +102,26 @@ object Manifests {
         * only to files with a strictly smaller sequence. None on manifests
         * written before sequence tracking — readers fall back to snapshot
         * commit order. */
-      dataSequence: Option[Long] = None)
+      dataSequence: Option[Long] = None,
+      /** Iceberg v3 field 143: for DELETION VECTORS, the single data file
+        * this entry's positions apply to. `filePath` then names the PUFFIN
+        * file carrying the blob, shared by every DV of the commit. */
+      referencedDataFile: Option[String] = None,
+      /** Iceberg v3 field 144: byte offset of the DV blob inside the
+        * puffin file. Part of the entry's IDENTITY — several DV entries
+        * share one puffin path. */
+      contentOffset: Option[Long] = None,
+      /** Iceberg v3 field 145: byte length of the DV blob. */
+      contentSizeInBytes: Option[Long] = None) {
+
+    /** Liveness/supersede key: puffin files hold many DV blobs, so a DV
+      * entry is identified by (path, blob offset), a plain file by path. */
+    def entryKey: String =
+      contentOffset.map(o => s"$filePath#$o").getOrElse(filePath)
+
+    /** True when this delete entry is a v3 deletion vector. */
+    def isDv: Boolean = fileFormat.equalsIgnoreCase("PUFFIN")
+  }
 
   /** Entry status lifecycle — EXISTING=0, ADDED=1, DELETED=2 (ice.py:12-15). */
   object Status {
@@ -264,6 +283,9 @@ object Manifests {
         equalityIds = opt(df, "equality_ids",
           _.asInstanceOf[java.util.List[_]].asScala
             .map(_.asInstanceOf[Int]).toSeq).getOrElse(Nil),
-        snapshotId = opt(r, "snapshot_id", _.asInstanceOf[Long])))
+        snapshotId = opt(r, "snapshot_id", _.asInstanceOf[Long]),
+        referencedDataFile = opt(df, "referenced_data_file", str),
+        contentOffset = opt(df, "content_offset", _.asInstanceOf[Long]),
+        contentSizeInBytes = opt(df, "content_size_in_bytes", _.asInstanceOf[Long])))
   }
 }

@@ -721,12 +721,34 @@ final class GraftIcebergScan(
       val scannedKeys = files.map(f =>
         ScanBridge.morKey(table.resolvePath(f.filePath))).toSet
       import org.apache.spark.sql.functions.col
-      spark.read.parquet(morDeletes: _*)
-        .select(ScanBridge.morKeyColumn(col("file_path")).as("k"), col("pos"))
-        .filter(col("k").isInCollection(scannedKeys))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+      val (dvs, parquets) = table.positionDeleteFiles.partition(_.isDv)
+      val fromParquet: Map[String, Array[Long]] =
+        if (parquets.isEmpty) Map.empty
+        else spark.read.parquet(
+            parquets.map(f => table.resolvePath(f.filePath)): _*)
+          .select(ScanBridge.morKeyColumn(col("file_path")).as("k"), col("pos"))
+          .filter(col("k").isInCollection(scannedKeys))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+      // DELETION VECTORS (v3): one blob per data file, located by the
+      // manifest's content_offset/size — a bounded ranged read per scanned
+      // blob, no footer parse, no distributed job
+      val fromDvs: Seq[(String, Array[Long])] = {
+        val hconf = spark.sessionState.newHadoopConf()
+        dvs.flatMap { d =>
+          val k = ScanBridge.morKey(d.referencedDataFile.getOrElse(""))
+          if (!scannedKeys(k)) None
+          else Some(k -> graft.iceberg.DeletionVectors.readBlobAt(
+            table.resolvePath(d.filePath), hconf,
+            d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+            d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}"))))
+        }
+      }
+      if (fromDvs.isEmpty) fromParquet
+      else (fromParquet.toSeq ++ fromDvs).groupBy(_._1).map { case (k, vs) =>
+        k -> vs.flatMap(_._2).distinct.sorted.toArray
+      }
     }
   }
 
@@ -890,8 +912,10 @@ final class GraftIcebergScan(
         if (!perTaskDeletes || morDeletes.isEmpty) null
         else {
           val posDel = table.positionDeleteFiles
+          // distinct guards the multi-blob-per-puffin case (DV entries
+          // share a path): a doubled path would double the merged positions
           files.map(f => posDel.filter(d => deleteMayApply(d, f))
-            .map(d => table.resolvePath(d.filePath)).toArray)
+            .map(d => table.resolvePath(d.filePath)).distinct.toArray)
         }
       ScanBridge.morPartitions(spark.sessionState.newHadoopConf(),
         files.map(f => (table.resolvePath(f.filePath), f.fileSizeInBytes,
@@ -917,6 +941,10 @@ final class GraftIcebergScan(
     * never pruned. */
   private def deleteMayApply(d: graft.iceberg.Manifests.DataFileInfo,
       f: graft.iceberg.Manifests.DataFileInfo): Boolean = {
+    // a DELETION VECTOR names its single data file outright — exact answer
+    if (d.referencedDataFile.isDefined)
+      return ScanBridge.morKey(d.referencedDataFile.get) ==
+        ScanBridge.morKey(table.resolvePath(f.filePath))
     val seqOk = table.dataSequenceOf(d) >= table.dataSequenceOf(f)
     val partOk = d.partition.isEmpty || d.partition.values.exists(_ == null) ||
       d.specId != f.specId || partitionTupleEq(d.partition, f.partition)
@@ -1372,6 +1400,23 @@ final class GraftIcebergMicroBatchStream(
   private def posByKey(delFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
       t: IcebergTable): Map[String, Array[Long]] = {
     if (delFiles.isEmpty) return Map.empty
+    val (dvs, parquets) = delFiles.partition(_.isDv)
+    if (dvs.nonEmpty) {
+      // v3 DELETION VECTORS: bounded ranged reads by manifest offset
+      val hconf = SparkSession.active.sessionState.newHadoopConf()
+      val fromDvs = dvs.map { d =>
+        ScanBridge.morKey(d.referencedDataFile.getOrElse(
+          sys.error(s"DV without referenced file: ${d.filePath}"))) ->
+          graft.iceberg.DeletionVectors.readBlobAt(
+            t.resolvePath(d.filePath), hconf,
+            d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+            d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}")))
+      }
+      val fromParquet = posByKey(parquets, t)
+      return (fromParquet.toSeq ++ fromDvs).groupBy(_._1).map { case (k, vs) =>
+        k -> vs.flatMap(_._2).distinct.sorted.toArray
+      }
+    }
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.col
     spark.read.parquet(delFiles.map(f => t.resolvePath(f.filePath)): _*)
@@ -1416,15 +1461,22 @@ final class GraftIcebergMicroBatchStream(
 
   private def loadPos(delFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
       t: IcebergTable): PosDeletes = {
-    val paths = delFiles.map(f => t.resolvePath(f.filePath)).toArray
+    // distinct: a multi-blob DV commit lists the SAME puffin path once per
+    // blob entry — shipping it twice would make the task-side merge
+    // duplicate every position (and CDC selections double-emit)
+    val paths = delFiles.map(f => t.resolvePath(f.filePath)).distinct.toArray
     if (delFiles.nonEmpty && delFiles.map(_.recordCount).sum > driverDeleteCap) {
       val refs = delFiles.map { f =>
-        (f.lowerBounds.get(graft.iceberg.Manifests.PosDeletePathFieldId),
-         f.upperBounds.get(graft.iceberg.Manifests.PosDeletePathFieldId)) match {
-          case (Some(lo), Some(hi)) if java.util.Arrays.equals(lo, hi) =>
-            ScanBridge.morKey(
-              new String(lo, java.nio.charset.StandardCharsets.UTF_8))
-          case _ => null
+        // v3 DELETION VECTORS carry their referenced file first-class;
+        // parquet carriers fall back to the recorded file_path bounds
+        f.referencedDataFile.map(ScanBridge.morKey).getOrElse {
+          (f.lowerBounds.get(graft.iceberg.Manifests.PosDeletePathFieldId),
+           f.upperBounds.get(graft.iceberg.Manifests.PosDeletePathFieldId)) match {
+            case (Some(lo), Some(hi)) if java.util.Arrays.equals(lo, hi) =>
+              ScanBridge.morKey(
+                new String(lo, java.nio.charset.StandardCharsets.UTF_8))
+            case _ => null
+          }
         }
       }.toArray
       PosDeletes(null, paths, refs)

@@ -78,29 +78,47 @@ object DeleteLoader {
   private def positionsOf(path: String, conf: Configuration,
       capBytes: Long): Map[String, Array[Long]] =
     cached(s"pos:$path", capBytes) {
-      val out = new java.util.HashMap[String, java.util.ArrayList[Long]]()
-      val r = openGroups(path, conf)
-      try {
-        var g = r.read()
-        while (g != null) {
-          val key = ScanBridge.morKey(g.getBinary("file_path", 0).toStringUsingUTF8)
-          var l = out.get(key)
-          if (l == null) { l = new java.util.ArrayList[Long](); out.put(key, l) }
-          l.add(g.getLong("pos", 0))
-          g = r.read()
+      // DELETION VECTORS (Iceberg v3): one puffin file per commit, one
+      // roaring-bitmap blob per data file — decode the whole file once via
+      // its footer and share it JVM-wide like any other delete carrier.
+      // (Dispatch is by the carrier's own suffix: partitions ship bare
+      // paths, and every known DV writer — ours and iceberg-java — names
+      // the files `*.puffin`.)
+      if (path.endsWith(".puffin")) {
+        val decoded = graft.iceberg.DeletionVectors.readPuffin(path, conf)
+        var bytes = 0L
+        val m = Map.newBuilder[String, Array[Long]]
+        decoded.foreach { case (blob, positions) =>
+          val k = ScanBridge.morKey(blob.referencedDataFile)
+          bytes += 8L * positions.length + 2L * k.length + 64
+          m += k -> positions
         }
-      } finally r.close()
-      var bytes = 0L
-      val m = Map.newBuilder[String, Array[Long]]
-      out.forEach { (k, v) =>
-        val arr = new Array[Long](v.size())
-        var i = 0
-        while (i < arr.length) { arr(i) = v.get(i); i += 1 }
-        java.util.Arrays.sort(arr)
-        bytes += 8L * arr.length + 2L * k.length + 64
-        m += k -> arr
+        (m.result(), bytes)
+      } else {
+        val out = new java.util.HashMap[String, java.util.ArrayList[Long]]()
+        val r = openGroups(path, conf)
+        try {
+          var g = r.read()
+          while (g != null) {
+            val key = ScanBridge.morKey(g.getBinary("file_path", 0).toStringUsingUTF8)
+            var l = out.get(key)
+            if (l == null) { l = new java.util.ArrayList[Long](); out.put(key, l) }
+            l.add(g.getLong("pos", 0))
+            g = r.read()
+          }
+        } finally r.close()
+        var bytes = 0L
+        val m = Map.newBuilder[String, Array[Long]]
+        out.forEach { (k, v) =>
+          val arr = new Array[Long](v.size())
+          var i = 0
+          while (i < arr.length) { arr(i) = v.get(i); i += 1 }
+          java.util.Arrays.sort(arr)
+          bytes += 8L * arr.length + 2L * k.length + 64
+          m += k -> arr
+        }
+        (m.result(), bytes)
       }
-      (m.result(), bytes)
     }
 
   /** The sorted deleted positions of ONE data file, loaded from the delete

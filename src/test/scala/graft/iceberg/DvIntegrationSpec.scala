@@ -1,0 +1,271 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.DeleteLoader
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Iceberg v3 deletion-vector lifecycle: upgrade, DV writes,
+  * the one-live-DV-per-file supersede invariant, mixed v2-parquet + DV
+  * state, whole-file drops, task-side loading above the driver cap,
+  * consolidation, compaction, and CDC emitting net-new deletes only. */
+class DvIntegrationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  private def newV3Table(url: String, n: Long = 100L): Unit = {
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to n).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+  }
+
+  private def liveKeys(url: String): Seq[Long] =
+    IcebergTable.load(spark, url).read().select("k").as[Long].collect().sorted.toSeq
+
+  test("v3 deleteRows writes a puffin DV, reads merge-on-read") {
+    val url = fresh("graft_dv_basic")
+    newV3Table(url)
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 40L), Pruning.Lt("k", 60L)))
+    val t = IcebergTable.load(spark, url)
+    assert(t.metadata.formatVersion == 3)
+    val dels = t.positionDeleteFiles
+    assert(dels.nonEmpty && dels.forall(_.isDv), s"expected DVs, got $dels")
+    assert(dels.forall(d => d.referencedDataFile.isDefined &&
+      d.contentOffset.isDefined && d.contentSizeInBytes.isDefined))
+    assert(dels.map(_.recordCount).sum == 20L)
+    assert(liveKeys(url) == ((1L to 39L) ++ (60L to 100L)))
+    assert(t.countFromStats() == Some(80L))
+    // the summary recorded net-new deletes
+    assert(t.summary.get("added-position-deletes") == Some("20"))
+  }
+
+  test("second delete supersedes: one live DV per file, merged positions") {
+    val url = fresh("graft_dv_supersede")
+    newV3Table(url)
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 40L), Pruning.Lt("k", 60L))) // 20 rows
+    // overlapping second delete: 50..69 -> only 10 net-new
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 50L), Pruning.Lt("k", 70L)))
+    val t = IcebergTable.load(spark, url)
+    val dels = t.positionDeleteFiles
+    // exactly one live DV per referenced data file
+    assert(dels.size == 1 && dels.head.isDv, s"one merged DV expected: $dels")
+    assert(dels.head.recordCount == 30L, "merged DV must hold prior ∪ fresh")
+    assert(t.summary.get("added-position-deletes") == Some("10"), "net-new only")
+    assert(liveKeys(url) == ((1L to 39L) ++ (70L to 100L)))
+    assert(t.countFromStats() == Some(70L))
+    // the superseded blob's puffin file is no longer referenced live
+    val livePaths = dels.map(_.filePath).toSet
+    assert(livePaths.size == 1)
+  }
+
+  test("v2 parquet deletes survive the upgrade; fresh deletes land as DVs") {
+    val url = fresh("graft_dv_mixed")
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 11L)) // v2 parquet, 10 rows
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    // overlap the parquet carrier (k in [5,20)): only 10 rows are net-new
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 5L), Pruning.Lt("k", 21L)))
+    val t = IcebergTable.load(spark, url)
+    val (dvs, parquets) = t.positionDeleteFiles.partition(_.isDv)
+    assert(parquets.size == 1 && dvs.size == 1, "both carriers live")
+    assert(parquets.head.recordCount == 10L)
+    assert(dvs.head.recordCount == 10L, "fresh DV holds only net-new positions")
+    assert(liveKeys(url) == (21L to 100L))
+    assert(t.countFromStats() == Some(80L))
+  }
+
+  test("whole-file drop reconciles DV state on metadata alone") {
+    val url = fresh("graft_dv_wholefile")
+    IcebergWriter.createTable(spark, url, schema)
+    // two files: k 1..50 and 51..100
+    IcebergWriter.append(spark, url,
+      (1L to 50L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.append(spark, url,
+      (51L to 100L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    // DVs into both files
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(10L, 60L)))
+    assert(IcebergTable.load(spark, url).positionDeleteFiles.size == 2)
+    // drop file 1 whole (plus a split of file 2): file 1's DV must die,
+    // file 2's DV must survive the delete-state rewrite
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 56L))
+    val t = IcebergTable.load(spark, url)
+    val dels = t.positionDeleteFiles
+    assert(dels.forall(_.isDv))
+    // one merged DV for file 2 (60 from before, 51..55 fresh)
+    assert(dels.size == 1, s"only file 2's merged DV should live: $dels")
+    assert(dels.head.recordCount == 6L)
+    assert(liveKeys(url) == (56L to 100L).filterNot(_ == 60L))
+    assert(t.countFromStats() == Some(44L))
+  }
+
+  test("merge (upsert by position) writes DVs on a v3 table") {
+    val url = fresh("graft_dv_merge")
+    newV3Table(url, n = 20L)
+    IcebergWriter.merge(spark, url,
+      Seq((5L, "u5"), (21L, "u21")).toDF("k", "v").coalesce(1), Seq("k"))
+    val t = IcebergTable.load(spark, url)
+    assert(t.positionDeleteFiles.forall(_.isDv))
+    val rows = t.read().as[(Long, String)].collect().toMap
+    assert(rows(5L) == "u5" && rows(21L) == "u21" && rows.size == 21)
+  }
+
+  test("above the driver cap, DV positions load task-side via DeleteLoader") {
+    val url = fresh("graft_dv_taskmode")
+    newV3Table(url)
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 10L), Pruning.Lt("k", 30L)))
+    val expected = liveKeys(url) // driver mode
+    DeleteLoader.clearForTest()
+    spark.conf.set("spark.graft.iceberg.morDriverDeleteLimit", "0")
+    try {
+      assert(liveKeys(url) == expected, "task-mode DV read must equal driver mode")
+      assert(DeleteLoader.residentEntries > 0,
+        "puffin DV must decode through the per-JVM DeleteLoader cache")
+    } finally spark.conf.unset("spark.graft.iceberg.morDriverDeleteLimit")
+  }
+
+  test("multi-blob puffin in task mode: no position duplication, CDC parity") {
+    val url = fresh("graft_dv_multiblob")
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 50L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.append(spark, url,
+      (51L to 100L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    val from = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // ONE commit, TWO blobs (both files hit) in ONE puffin — its path used
+    // to ship once per blob, doubling every task-side merged position
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(10L, 60L)))
+    assert(IcebergTable.load(spark, url)
+      .positionDeleteFiles.map(_.filePath).distinct.size == 1)
+    val expected = liveKeys(url)
+    def withCap[T](body: => T): T = {
+      spark.conf.set("spark.graft.iceberg.morDriverDeleteLimit", "0")
+      try body
+      finally spark.conf.unset("spark.graft.iceberg.morDriverDeleteLimit")
+    }
+    withCap { assert(liveKeys(url) == expected) }
+    // CDC stream above the cap: each deleted row emitted exactly once
+    def cdc(ckpt: String, sink: String): Seq[(Long, String)] = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("stream-mode", "cdc")
+        .option("starting-snapshot-id", from.toString)
+        .load(url)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sink).select("k", "_change_type")
+        .as[(Long, String)].collect().toSeq.sorted
+    }
+    val dir = url.stripSuffix("/t")
+    val driver = cdc(s"$dir/ck1", "dv_mb_drv")
+    val task = withCap { cdc(s"$dir/ck2", "dv_mb_task") }
+    assert(task == driver, "above-cap CDC must equal driver mode")
+    assert(driver.filter(_._2 == "delete").map(_._1) == Seq(10L, 60L),
+      "each DV position must be emitted as deleted exactly once")
+  }
+
+  test("rewritePositionDeletes consolidates many puffins into one, idempotently") {
+    val url = fresh("graft_dv_consolidate")
+    newV3Table(url)
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(1L, 2L)))
+    // a DELETE touching only a SECOND file leaves file 1's DV in commit
+    // 1's puffin and file 2's in commit 2's — two live physical carriers
+    // (a delete re-touching file 1 would have superseded-consolidated)
+    IcebergWriter.append(spark, url,
+      (101L to 150L).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(110L, 111L)))
+    val before = IcebergTable.load(spark, url)
+    assert(before.positionDeleteFiles.map(_.filePath).distinct.size == 2)
+    val expected = liveKeys(url)
+    IcebergWriter.rewritePositionDeletes(spark, url)
+    val after = IcebergTable.load(spark, url)
+    assert(after.positionDeleteFiles.map(_.filePath).distinct.size == 1,
+      "all DVs consolidated into one puffin")
+    assert(after.positionDeleteFiles.forall(_.isDv))
+    assert(after.positionDeleteFiles.map(_.recordCount).sum == 4L)
+    assert(liveKeys(url) == expected)
+    // idempotent: a second call must not commit another snapshot
+    val v = after.currentSnapshot.snapshotId
+    IcebergWriter.rewritePositionDeletes(spark, url)
+    assert(IcebergTable.load(spark, url).currentSnapshot.snapshotId == v)
+  }
+
+  test("compaction folds DVs back into plain data files") {
+    val url = fresh("graft_dv_compact")
+    newV3Table(url)
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 90L), Pruning.Lt("k", 96L)))
+    val expected = liveKeys(url)
+    Maintenance.compact(spark, url, targetFiles = Some(1))
+    val t = IcebergTable.load(spark, url)
+    assert(t.positionDeleteFiles.isEmpty, "compaction folds delete state away")
+    assert(t.metadata.formatVersion == 3, "compaction must not downgrade v3")
+    assert(liveKeys(url) == expected)
+    assert(t.countFromStats() == Some(94L))
+  }
+
+  test("BATCH changelog over merged DVs emits net-new deletes only") {
+    val url = fresh("graft_dv_chlog")
+    newV3Table(url, n = 40L)
+    val from = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 10L), Pruning.Lt("k", 20L)))
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 15L), Pruning.Lt("k", 25L))) // merged DV
+    val t = IcebergTable.load(spark, url)
+    val changes = t.changelog(from, t.currentSnapshot.snapshotId)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    val deletes = changes.filter(_._2 == "delete").map(_._1).sorted
+    assert(deletes == (10L until 25L).toSeq,
+      s"batch changelog must not re-emit the merged DV's prior positions: $deletes")
+  }
+
+  test("CDC changelog over merged DVs emits net-new deletes only") {
+    val url = fresh("graft_dv_cdc")
+    newV3Table(url, n = 40L)
+    val from = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 10L), Pruning.Lt("k", 20L))) // 10 deletes
+    // second commit merges 15..24 into the DV: net-new = 15..24 \ 10..19 = 5
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 15L), Pruning.Lt("k", 25L)))
+    val dir = url.stripSuffix("/t")
+    val q = spark.readStream.format("graft-iceberg")
+      .option("stream-mode", "cdc")
+      .option("starting-snapshot-id", from.toString)
+      .option("max-snapshots-per-trigger", "1")
+      .load(url)
+      .writeStream.format("memory").queryName("dv_cdc")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val changes = spark.table("dv_cdc").select("k", "_change_type")
+      .as[(Long, String)].collect().toSeq
+    val deletes = changes.filter(_._2 == "delete").map(_._1).sorted
+    assert(deletes == (10L until 25L).toSeq,
+      s"each position must be emitted as deleted exactly once, got $deletes")
+    assert(changes.count(_._2 == "delete") == 15, "no re-emission from the merged DV")
+  }
+}
