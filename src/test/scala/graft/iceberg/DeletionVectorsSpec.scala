@@ -46,6 +46,50 @@ class DeletionVectorsSpec extends AnyFunSuite {
     roundTrip(runs ++ dense ++ sparse ++ high)
   }
 
+  test("golden bytes: the serialized form is pinned to the published spec") {
+    // hand-derived from the published RoaringFormatSpec: positions {1,2,3}
+    // under high-key 0 -> LE64 key count, LE32 key, then one 32-bit
+    // portable bitmap with cookie 12346 (no runs — 3 array values beat a
+    // run container), one container, descriptive header, offset header,
+    // and the sorted u16 values
+    val vec = DeletionVectors.serializePositions(Array(1L, 2L, 3L))
+    val expect = Array[Int](
+      0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // LE64 one high key
+      0x00, 0x00, 0x00, 0x00, // LE32 key 0
+      0x3A, 0x30, 0x00, 0x00, // cookie 12346 (SERIAL_COOKIE_NO_RUNCONTAINER)
+      0x01, 0x00, 0x00, 0x00, // one container
+      0x00, 0x00, 0x02, 0x00, // key=0, cardinality-1=2
+      0x10, 0x00, 0x00, 0x00, // offset of container 0: byte 16
+      0x01, 0x00, 0x02, 0x00, 0x03, 0x00 // array container {1,2,3}
+    ).map(_.toByte)
+    assert(vec.toSeq == expect.toSeq,
+      s"byte layout drifted: ${vec.map("%02X".format(_)).mkString(" ")}")
+    // and the framed blob's trailer fields are exactly length+magic+crc
+    val blob = DeletionVectors.frameBlob(vec)
+    assert(blob.length == 4 + 4 + vec.length + 4)
+    assert(java.nio.ByteBuffer.wrap(blob).getInt() == vec.length + 4)
+  }
+
+  test("scale: a 5M-position DV stays compact and decodes fast") {
+    // 5M positions over 10 files' worth of one bitmap: dense ranges + spray
+    val positions = (0L until 4000000L).toArray ++
+      Array.tabulate(1000000)(i => 4000000L + 7L * i)
+    val t0 = System.nanoTime()
+    val vec = DeletionVectors.serializePositions(positions)
+    val blob = DeletionVectors.frameBlob(vec)
+    val encodeMs = (System.nanoTime() - t0) / 1e6
+    // run container for the dense range + bitmaps for the spray: far below
+    // the 40 MB a parquet carrier's 8-byte positions would weigh
+    assert(vec.length < 2 * 1024 * 1024, s"DV too large: ${vec.length} bytes")
+    val t1 = System.nanoTime()
+    val decoded = DeletionVectors.decodeBlob(blob)
+    val decodeMs = (System.nanoTime() - t1) / 1e6
+    assert(decoded.length == positions.length)
+    assert(decoded(0) == 0L && decoded.last == positions.last)
+    assert(encodeMs < 5000 && decodeMs < 5000,
+      s"DV codec too slow: encode ${encodeMs}ms decode ${decodeMs}ms")
+  }
+
   test("corrupted bytes fail the CRC loudly") {
     val blob = DeletionVectors.frameBlob(
       DeletionVectors.serializePositions(Array(1L, 2L, 3L)))
