@@ -807,6 +807,26 @@ final class IcebergTable private (
         "file_size_in_bytes")
   }
 
+  /** Live DELETE files as a DataFrame — Iceberg's `delete_files` metadata
+    * table: carrier format, kind (position/equality), row count, and for
+    * v3 DELETION VECTORS the referenced data file + blob offset/size, so
+    * ops can see exactly which data files carry deletes without any data
+    * I/O. */
+  def deleteFilesDf: DataFrame = {
+    import spark.implicits._
+    liveDeleteFiles.map { f =>
+      (rewrite(f.filePath), f.fileFormat,
+        if (f.content == Manifests.FileContent.EqualityDeletes) "equality"
+        else "position",
+        f.recordCount, f.fileSizeInBytes,
+        f.referencedDataFile.orNull,
+        f.contentOffset.map(Long.box).orNull,
+        f.contentSizeInBytes.map(Long.box).orNull)
+    }.toDF("file_path", "file_format", "delete_kind", "record_count",
+      "file_size_in_bytes", "referenced_data_file", "content_offset",
+      "content_size_in_bytes")
+  }
+
   /** Manifests of the current snapshot as a DataFrame. */
   def manifestsDf: DataFrame = {
     import spark.implicits._

@@ -65,6 +65,7 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
     Map(
       "snapshots" -> (_.snapshotsDf),
       "files" -> (_.filesDf),
+      "delete_files" -> (_.deleteFilesDf),
       "manifests" -> (_.manifestsDf),
       "partitions" -> (_.partitionStats()))
 

@@ -51,6 +51,15 @@ class DvIntegrationSpec extends AnyFunSuite {
     assert(t.countFromStats() == Some(80L))
     // the summary recorded net-new deletes
     assert(t.summary.get("added-position-deletes") == Some("20"))
+    // delete_files metadata table surfaces the DV anatomy, zero data I/O
+    val meta = t.deleteFilesDf.collect()
+    assert(meta.length == 1)
+    val r = meta.head
+    assert(r.getAs[String]("file_format") == "PUFFIN" &&
+      r.getAs[String]("delete_kind") == "position" &&
+      r.getAs[Long]("record_count") == 20L &&
+      r.getAs[String]("referenced_data_file") != null &&
+      r.getAs[Long]("content_offset") == 4L)
   }
 
   test("second delete supersedes: one live DV per file, merged positions") {
