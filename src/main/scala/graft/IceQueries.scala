@@ -497,6 +497,50 @@ object IceQueries {
       .orderBy("k")
   }
 
+  /** Iceberg v3 DEFAULT VALUES: `initial-default` (pre-add files read the
+    * default — Spark existence-default fill, zero per-row cost in new
+    * files), actual values and EXPLICIT NULLS in post-add files untouched,
+    * and `write-default` (a writer omitting the column gets it stamped
+    * physically). The oracle replays the semantics independently: DuckDB
+    * reads the raw files and applies the default per FILE, with the
+    * pre-add file set derived from manifest value-counts alone. */
+  def iceDefaults(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_dflt").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, // pre-add file: reads must yield defaults
+      (1L to 40L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.addColumn(s, url, "score", "long", default = Some(7L))
+    IcebergWriter.addColumn(s, url, "label", "string", default = Some("base"))
+    IcebergWriter.append(s, url, // post-add file: actual values + explicit null
+      Seq((41L, "c1", Some(99L), "tagged"), (42L, "c2", None: Option[Long], "tagged"))
+        .toDF("k", "cat", "score", "label").coalesce(1))
+    IcebergWriter.append(s, url, // writer omits both columns: write-default
+      Seq((43L, "c0")).toDF("k", "cat").coalesce(1))
+    val t = IcebergTable.load(s, url)
+    val scoreId = t.iceSchema.fields.find(_.name == "score").get.id
+    // pre-add files from MANIFEST STATS alone: no value count for the id
+    val preAdd = t.liveFiles().filter(f => !f.valueCounts.contains(scoreId))
+      .map(f => t.resolvePath(f.filePath).split("/data/").last)
+    require(preAdd.size == 1, s"expected one pre-add file, got $preAdd")
+    val all = sqlPaths(t.liveFiles().map(f => t.resolvePath(f.filePath)))
+    val inList = preAdd.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    dynamicOracle("ice_defaults") =
+      s"""SELECT k, cat,
+         |  CASE WHEN str_split(filename, '/data/')[-1] IN ($inList)
+         |       THEN CAST(7 AS BIGINT) ELSE score END AS score,
+         |  CASE WHEN str_split(filename, '/data/')[-1] IN ($inList)
+         |       THEN 'base' ELSE label END AS label
+         |FROM read_parquet($all, union_by_name=true, filename=true)
+         |ORDER BY k""".stripMargin
+    t.read().select("k", "cat", "score", "label").orderBy("k")
+  }
+
   /** MERGE / upsert keyed on `k`: matched rows superseded via v2 position
     * deletes, new keys inserted — one snapshot. */
   def iceWriteMerge(s: SparkSession, dir: String): DataFrame = {
@@ -1256,6 +1300,7 @@ object IceQueries {
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
     "ice_write_dv"         -> (iceWriteDv _),
     "ice_dv_rewrite"       -> (iceDvRewrite _),
+    "ice_defaults"         -> (iceDefaults _),
     "ice_write_merge"      -> (iceWriteMerge _),
     "ice_spj_join"         -> (iceSpjJoin _),
     "ice_sql_insert"       -> (iceSqlInsert _),

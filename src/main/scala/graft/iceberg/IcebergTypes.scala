@@ -79,6 +79,52 @@ object IcebergTypes {
     case other => throw new IllegalArgumentException(s"unknown iceberg primitive: $other")
   }
 
+  /** Iceberg v3 default value (spec "single-value serialization", JSON
+    * form) → a Spark SQL LITERAL string for `EXISTS_DEFAULT` metadata.
+    * Spark parses and constant-folds this once per scan; the literal must
+    * therefore be self-typed (DATE/TIMESTAMP keywords, decimal cast). */
+  def defaultToSqlLiteral(v: JsonNode, typeNode: JsonNode): String = {
+    require(typeNode.isTextual,
+      s"default values supported for primitive types only, got $typeNode")
+    val t = typeNode.asText
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    t match {
+      case "boolean" => v.asBoolean().toString
+      case "int" | "long" => v.asLong().toString
+      case "float" => s"CAST(${v.asDouble()} AS FLOAT)"
+      case "double" => v.asDouble().toString + "D"
+      case "string" => q(v.asText())
+      case "date" => s"DATE ${q(v.asText())}" // spec: ISO-8601 string
+      case "timestamp" => s"TIMESTAMP_NTZ ${q(v.asText())}"
+      case "timestamptz" | "timestampz" => s"TIMESTAMP ${q(v.asText())}"
+      case DecimalRe(p, s) => s"CAST(${q(v.asText())} AS DECIMAL($p, $s))"
+      case other => throw new IllegalArgumentException(
+        s"no default-value support for iceberg type $other")
+    }
+  }
+
+  /** Scala value → the spec's JSON single-value form for a default. */
+  def defaultToJson(value: Any, icebergType: String,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): JsonNode = {
+    val f = mapper.getNodeFactory
+    (icebergType, value) match {
+      case ("boolean", b: Boolean) => f.booleanNode(b)
+      case ("int", n: Int) => f.numberNode(n)
+      case ("int", n: Long) => f.numberNode(n.toInt)
+      case ("long", n: Long) => f.numberNode(n)
+      case ("long", n: Int) => f.numberNode(n.toLong)
+      case ("float", n: Float) => f.numberNode(n)
+      case ("double", n: Double) => f.numberNode(n)
+      case ("string", s: String) => f.textNode(s)
+      case ("date" | "timestamp" | "timestamptz" | "timestampz", s: String) =>
+        f.textNode(s) // ISO-8601 strings per the spec
+      case (DecimalRe(_, _), s: String) => f.textNode(s)
+      case (DecimalRe(_, _), d: java.math.BigDecimal) => f.textNode(d.toPlainString)
+      case (t, other) => throw new IllegalArgumentException(
+        s"cannot encode default ${other} (${other.getClass.getSimpleName}) for iceberg type $t")
+    }
+  }
+
   /** Decode a bound value (manifest lower/upper bound bytes) to a normalized
     * comparable: Boolean | Long | Double | String | BigDecimal | Array[Byte].
     * int/long/date/time/timestamp all normalize to Long so comparisons and

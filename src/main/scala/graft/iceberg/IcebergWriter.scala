@@ -413,6 +413,7 @@ object IcebergWriter {
     val dataDir = s"$url/data/$commitId"
     // carry iceberg field ids into the written parquet (parquet.field.id →
     // `= N` ids in the file schema): readers resolve by id like real Iceberg
+    val dfCols = df.columns.toSet
     val base = df.select(schema.fields.map { f =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", f.id.toLong).build()
@@ -420,10 +421,18 @@ object IcebergWriter {
       // carry their Iceberg ids — the parquet writer then stamps ids at
       // EVERY level, so nested renames resolve by id like top-level ones
       val target = IcebergTypes.toSparkType(f.typeNode)
-      val c = target match {
-        case _: StructType | _: ArrayType | _: MapType => col(f.name).cast(target)
-        case _ => col(f.name)
-      }
+      val c =
+        // Iceberg v3 WRITE-DEFAULT: a column the incoming frame omits is
+        // filled with the field's current write-default (constant-folded
+        // literal, stamped into the file like any other value)
+        if (!dfCols.contains(f.name) && f.writeDefault.isDefined)
+          org.apache.spark.sql.functions.expr(
+            IcebergTypes.defaultToSqlLiteral(f.writeDefault.get, f.typeNode))
+            .cast(target)
+        else target match {
+          case _: StructType | _: ArrayType | _: MapType => col(f.name).cast(target)
+          case _ => col(f.name)
+        }
       c.as(f.name, md)
     }: _*)
     val withParts = specInfo.foldLeft(base) { case (d, (pf, srcType, _)) =>
@@ -805,7 +814,22 @@ object IcebergWriter {
     * The new field gets a fresh id (last-column-id + 1) — id-based parquet
     * resolution keeps every existing file readable unchanged. */
   def addColumn(spark: SparkSession, url: String, name: String,
-      icebergType: String, required: Boolean = false): Unit =
+      icebergType: String, required: Boolean = false,
+      /** Iceberg v3 DEFAULT VALUE: recorded as the field's immutable
+        * `initial-default` (reads of pre-add files yield it instead of
+        * null — wired into Spark's existence-default machinery) and as its
+        * starting `write-default`. v3 only; REQUIRED adds demand one (the
+        * pre-add files otherwise hold an impossible null). */
+      default: Option[Any] = None): Unit = {
+    if (default.isDefined || required) {
+      val t = resolveCurrent(spark, url)
+      require(default.isDefined || !required,
+        s"adding REQUIRED column $name needs a default value: rows in " +
+          "pre-add files have no value for it (Iceberg v3 rule)")
+      require(t.metadata.formatVersion >= 3,
+        s"default values are an Iceberg v3 feature; run upgradeFormatVersion" +
+          s"(url, 3) first (table is v${t.metadata.formatVersion})")
+    }
     evolveSchema(spark, url) { (fields, lastColumnId) =>
       // route into a struct only when the first segment names an existing
       // top-level STRUCT column; otherwise the whole name is a flat column
@@ -823,11 +847,19 @@ object IcebergWriter {
       f.put("name", parts.last)
       f.put("required", required)
       f.put("type", icebergType)
+      default.foreach { d =>
+        require(parts.length == 1,
+          s"default values on nested struct fields not supported: $name")
+        val node = IcebergTypes.defaultToJson(d, icebergType, mapper)
+        f.set[ObjectNode]("initial-default", node)
+        f.set[ObjectNode]("write-default", node)
+      }
       (mutateStructPath(fields, parts.init, name) { leaf =>
         require(!leaf.exists(_.get("name").asText == parts.last), s"column $name exists")
         leaf :+ f
       }, lastColumnId + 1)
     }
+  }
 
   /** Rename a column (metadata-only). The field id is unchanged, so data
     * written under the old name resolves by id — no rewrite, no nulls.

@@ -7,7 +7,12 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, Struc
 
 /** Parsed `vN.metadata.json` — the reference's `self._metadata` dict
   * (`ice.py:74-93`) as typed case classes. */
-final case class SchemaField(id: Int, name: String, required: Boolean, typeNode: JsonNode) {
+final case class SchemaField(id: Int, name: String, required: Boolean, typeNode: JsonNode,
+    /** Iceberg v3 default values (spec "Default values", JSON single-value
+      * form): `initial-default` fills reads of files written BEFORE the
+      * field existed; `write-default` fills writes that omit the column. */
+    initialDefault: Option[JsonNode] = None,
+    writeDefault: Option[JsonNode] = None) {
   def icebergTypeString: String = if (typeNode.isTextual) typeNode.asText else typeNode.toString
 }
 
@@ -16,13 +21,29 @@ final case class IceSchema(schemaId: Int, fields: Seq[SchemaField]) {
     * `parquet.field.id` makes Spark's parquet reader resolve columns BY ID
     * (with `spark.sql.parquet.fieldId.read.enabled`), so Iceberg column
     * renames — legal, id-resolved — read correctly instead of silently
-    * nulling out; the writer propagates the same ids into new files. */
+    * nulling out; the writer propagates the same ids into new files.
+    *
+    * `initial-default` maps onto Spark's own EXISTENCE DEFAULT machinery
+    * (`EXISTS_DEFAULT` field metadata, SPARK-38334): the parquet readers
+    * fill a requested column that is ABSENT from a file with the folded
+    * default instead of null — exactly the v3 rule "applies to files
+    * written before the field existed", since id-resolved post-add files
+    * always carry the field. Zero per-row cost in new files, constant
+    * vector fill in old ones. */
   def toSpark: StructType = StructType(fields.map { f =>
-    StructField(f.name, IcebergTypes.toSparkType(f.typeNode), nullable = !f.required,
-      metadata = new MetadataBuilder()
-        .putLong("iceberg.field-id", f.id.toLong)
-        .putLong("parquet.field.id", f.id.toLong)
-        .build())
+    val mb = new MetadataBuilder()
+      .putLong("iceberg.field-id", f.id.toLong)
+      .putLong("parquet.field.id", f.id.toLong)
+    f.initialDefault.foreach(d =>
+      mb.putString("EXISTS_DEFAULT", IcebergTypes.defaultToSqlLiteral(d, f.typeNode)))
+    // a REQUIRED field with an initial-default must read as NULLABLE:
+    // Spark's vectorized reader refuses a non-nullable column that is
+    // absent from a (pre-add) file before consulting the default. The
+    // relaxation is sound — the default fill guarantees non-null values —
+    // and the Iceberg schema (`iceSchema`) still records required=true.
+    StructField(f.name, IcebergTypes.toSparkType(f.typeNode),
+      nullable = !f.required || f.initialDefault.isDefined,
+      metadata = mb.build())
   })
 }
 
@@ -176,7 +197,9 @@ object TableMetadata {
   private def parseSchema(node: JsonNode): IceSchema = {
     val fields = node.get("fields").elements().asScala.map { f =>
       SchemaField(f.get("id").asInt, f.get("name").asText,
-        f.get("required").asBoolean(false), f.get("type"))
+        f.get("required").asBoolean(false), f.get("type"),
+        initialDefault = Option(f.get("initial-default")),
+        writeDefault = Option(f.get("write-default")))
     }.toSeq
     IceSchema(Option(node.get("schema-id")).map(_.asInt).getOrElse(0), fields)
   }
