@@ -541,6 +541,54 @@ object IceQueries {
     t.read().select("k", "cat", "score", "label").orderBy("k")
   }
 
+  /** Iceberg v3 ROW LINEAGE: `_row_id` / `_last_updated_sequence_number`
+    * over a history of pre-lineage append → upgrade → appends → DV delete
+    * → compaction (ids carried as MATERIALIZED columns) → post-compaction
+    * append (ids inherited from the manifest base). The oracle replays the
+    * whole rule set in DuckDB: COALESCE(materialized column, per-file
+    * first_row_id + file_row_number) with the bases shipped as a VALUES
+    * table from manifest metadata alone. */
+  def iceRowLineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, Pruning}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_rlq").toString + "/t"
+    IcebergWriter.createTable(s, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(s, url, // pre-lineage rows: ids assigned on rewrite
+      (1L to 10L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.append(s, url,
+      (11L to 40L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    IcebergWriter.deleteRows(s, url,
+      Pruning.And(Pruning.GtEq("k", 20L), Pruning.Lt("k", 25L))) // DV
+    Maintenance.compact(s, url, targetFiles = Some(1)) // materializes lineage
+    IcebergWriter.append(s, url, // inherited ids after the rewrite
+      (41L to 50L).map(i => (i, s"c${i % 3}")).toDF("k", "cat").coalesce(1))
+    val t = IcebergTable.load(s, url)
+    require(t.positionDeleteFiles.isEmpty, "compaction folded the DV")
+    def fkey(p: String): String = p.split("/data/").last
+    val bases = t.liveFiles().map { f =>
+      val first = f.firstRowId.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+      s"('${fkey(t.resolvePath(f.filePath)).replace("'", "''")}', $first, " +
+        s"${t.dataSequenceOf(f)})"
+    }.mkString(", ")
+    val all = sqlPaths(t.liveFiles().map(f => t.resolvePath(f.filePath)))
+    dynamicOracle("ice_row_lineage") =
+      s"""SELECT k, cat,
+         |  COALESCE(_row_id, _v.first + file_row_number) AS _row_id,
+         |  COALESCE(_last_updated_sequence_number, _v.seq)
+         |    AS _last_updated_sequence_number
+         |FROM read_parquet($all, union_by_name=true, filename=true,
+         |                  file_row_number=true) _d
+         |JOIN (VALUES $bases) _v(fkey, first, seq)
+         |  ON _v.fkey = str_split(_d.filename, '/data/')[-1]
+         |ORDER BY k""".stripMargin
+    t.read().select(col("k"), col("cat"), col("_row_id"),
+      col("_last_updated_sequence_number")).orderBy("k")
+  }
+
   /** MERGE / upsert keyed on `k`: matched rows superseded via v2 position
     * deletes, new keys inserted — one snapshot. */
   def iceWriteMerge(s: SparkSession, dir: String): DataFrame = {
@@ -1301,6 +1349,7 @@ object IceQueries {
     "ice_write_dv"         -> (iceWriteDv _),
     "ice_dv_rewrite"       -> (iceDvRewrite _),
     "ice_defaults"         -> (iceDefaults _),
+    "ice_row_lineage"      -> (iceRowLineage _),
     "ice_write_merge"      -> (iceWriteMerge _),
     "ice_spj_join"         -> (iceSpjJoin _),
     "ice_sql_insert"       -> (iceSqlInsert _),

@@ -438,25 +438,40 @@ final class IcebergTable private (
     val entryLists = readManifestsScaled(kept.map(m => rewrite(m.path)), c)
     val allFiles = scala.collection.mutable.LinkedHashMap.empty[String, DataFileInfo]
     val deleted = scala.collection.mutable.Set.empty[String]
-    for ((mf, entries) <- kept.zip(entryLists); e <- entries) {
-      val path = rewrite(e.dataFile.filePath)
-      // the reference is parquet-only (ice.py:195); this engine also reads
-      // foreign-written ORC data files (Avro data files stay refused — no
-      // vectorized reader available)
-      require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
-          e.dataFile.fileFormat.equalsIgnoreCase("ORC") ||
-          e.dataFile.fileFormat.equalsIgnoreCase("AVRO"),
-        s"only parquet, orc, and avro data files are supported, got ${e.dataFile.fileFormat}")
-      e.status match {
-        case Status.Added | Status.Existing =>
-          // committing snapshot + data sequence: entry-level, else
-          // inherited from the manifest (Iceberg's inheritance rules)
-          allFiles(path) = e.dataFile.copy(
-            snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-            dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
-            specId = Some(mf.partitionSpecId))
-        case Status.Deleted => deleted += path
-        case other => throw new IllegalStateException(s"invalid manifest status $other")
+    for ((mf, entries) <- kept.zip(entryLists)) {
+      // v3 ROW-LINEAGE inheritance: ADDED entries without an explicit
+      // first_row_id take cumulative slices of the manifest's base, in
+      // entry order (EXISTING entries carry theirs explicitly; entries of
+      // pre-lineage manifests read None → null row ids, per the spec)
+      var rowIdCursor = mf.firstRowId
+      for (e <- entries) {
+        val path = rewrite(e.dataFile.filePath)
+        // the reference is parquet-only (ice.py:195); this engine also reads
+        // foreign-written ORC data files (Avro data files stay refused — no
+        // vectorized reader available)
+        require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
+            e.dataFile.fileFormat.equalsIgnoreCase("ORC") ||
+            e.dataFile.fileFormat.equalsIgnoreCase("AVRO"),
+          s"only parquet, orc, and avro data files are supported, got ${e.dataFile.fileFormat}")
+        e.status match {
+          case Status.Added | Status.Existing =>
+            val firstRowId = e.dataFile.firstRowId.orElse {
+              if (e.status == Status.Added) {
+                val v = rowIdCursor
+                rowIdCursor = rowIdCursor.map(_ + e.dataFile.recordCount)
+                v
+              } else None
+            }
+            // committing snapshot + data sequence: entry-level, else
+            // inherited from the manifest (Iceberg's inheritance rules)
+            allFiles(path) = e.dataFile.copy(
+              snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
+              dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
+              specId = Some(mf.partitionSpecId),
+              firstRowId = firstRowId)
+          case Status.Deleted => deleted += path
+          case other => throw new IllegalStateException(s"invalid manifest status $other")
+        }
       }
     }
     deleted.foreach(allFiles.remove)
@@ -511,17 +526,27 @@ final class IcebergTable private (
           manifestMightMatch(pred, mf, ctx)
         }
       val entryLists = readManifestsScaled(kept.map(m => rewrite(m.path)), c)
-      for ((mf, entries) <- kept.zip(entryLists);
-           e <- entries if e.status == Status.Added) {
-        val path = rewrite(e.dataFile.filePath)
-        require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
-            e.dataFile.fileFormat.equalsIgnoreCase("ORC") ||
-          e.dataFile.fileFormat.equalsIgnoreCase("AVRO"),
-          s"only parquet, orc, and avro data files are supported, got ${e.dataFile.fileFormat}")
-        out(path) = e.dataFile.copy(
-          snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
-          dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
-          specId = Some(mf.partitionSpecId))
+      for ((mf, entries) <- kept.zip(entryLists)) {
+        // same v3 row-lineage inheritance as liveFiles: ADDED entries take
+        // cumulative slices of the manifest base in entry order
+        var rowIdCursor = mf.firstRowId
+        for (e <- entries if e.status == Status.Added) {
+          val path = rewrite(e.dataFile.filePath)
+          require(e.dataFile.fileFormat.equalsIgnoreCase("PARQUET") ||
+              e.dataFile.fileFormat.equalsIgnoreCase("ORC") ||
+            e.dataFile.fileFormat.equalsIgnoreCase("AVRO"),
+            s"only parquet, orc, and avro data files are supported, got ${e.dataFile.fileFormat}")
+          val firstRowId = e.dataFile.firstRowId.orElse {
+            val v = rowIdCursor
+            rowIdCursor = rowIdCursor.map(_ + e.dataFile.recordCount)
+            v
+          }
+          out(path) = e.dataFile.copy(
+            snapshotId = e.dataFile.snapshotId.orElse(mf.addedSnapshotId),
+            dataSequence = e.sequenceNumber.orElse(mf.sequenceNumber),
+            specId = Some(mf.partitionSpecId),
+            firstRowId = firstRowId)
+        }
       }
     }
     out.values.toSeq

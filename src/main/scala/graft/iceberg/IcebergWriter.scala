@@ -388,7 +388,13 @@ object IcebergWriter {
         * per-partition bounds; all stats columns are dropped before write. */
       zorderStats: Option[org.apache.spark.sql.DataFrame] = None,
       /** Stage on a branch instead of main (write-audit-publish). */
-      toBranch: Option[String] = None): Unit = {
+      toBranch: Option[String] = None,
+      /** Iceberg v3 ROW LINEAGE carry-through for REWRITES: the incoming
+        * frame holds `_row_id`/`_last_updated_sequence_number` columns
+        * (read as metadata from the old files) and they are written as
+        * PHYSICAL columns under the reserved field ids — row identity
+        * survives compaction; readers prefer the materialized values. */
+      carryLineage: Boolean = false): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val table0 = resolveCurrent(spark, url)
     // current schema straight from metadata — an empty table has no snapshot
@@ -434,7 +440,13 @@ object IcebergWriter {
           case _ => col(f.name)
         }
       c.as(f.name, md)
-    }: _*)
+    } ++ (if (!carryLineage) Nil else Seq(
+      ("_row_id", Manifests.RowIdFieldId),
+      ("_last_updated_sequence_number", Manifests.LastUpdatedSeqFieldId)).map {
+      case (n, id) =>
+        col(n).as(n, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build())
+    }): _*)
     val withParts = specInfo.foldLeft(base) { case (d, (pf, srcType, _)) =>
       val srcName = schema.fields.find(_.id == pf.sourceId).get.name
       d.withColumn(s"_p_${pf.name}",
@@ -728,12 +740,21 @@ object IcebergWriter {
               Some(IcebergTypes.encodeBound(mx, valueType)))
           }
         }
+      // Iceberg v3 ROW LINEAGE: allocate [next-row-id, next-row-id+added)
+      // to this commit's data manifests. Computed INSIDE the retry loop —
+      // a lost race re-reads next-row-id from fresh state, so ranges from
+      // concurrent committers never overlap.
+      val rowIdBase =
+        if (table.metadata.formatVersion >= 3)
+          Some(table.metadata.nextRowId.getOrElse(0L))
+        else None
       writeManifestLists(manifestListPath, snapshotId,
         NewManifestInfo(manifestPath, Manifests.ManifestContent.Data,
           dataFiles.size, addedRecords, deletedFiles.size, deletedRecords,
           summaries) +: (extraManifests ++ deleteRewrite.map(_._1).getOrElse(Nil)),
         priorManifests, conf, sequenceNumber = newSeq,
-        specId = table0.metadata.defaultSpecId)
+        specId = table0.metadata.defaultSpecId,
+        firstRowIdBase = rowIdBase)
 
       // 5. new metadata version
       val old = mapper.readTree(
@@ -750,6 +771,10 @@ object IcebergWriter {
         snap.put("parent-snapshot-id", baseSnapId)
       snap.put("timestamp-ms", now)
       snap.put("sequence-number", newSeq)
+      rowIdBase.foreach { base =>
+        snap.put("first-row-id", base)
+        old.put("next-row-id", base + addedRecords)
+      }
       val summary = mapper.createObjectNode()
       summary.put("operation", operation)
       summary.put("added-data-files", dataFiles.size.toString)
@@ -2308,10 +2333,34 @@ object IcebergWriter {
         fidSpark, url, table, commitId, snapshotId, positions, specInfo, conf)
     }
 
-    writeSnapshot(spark, url, source, deletePred = None, operation = "overwrite",
+    // Iceberg v3 ROW LINEAGE through MERGE: an UPDATE preserves `_row_id`
+    // (the spec's identity rule) while `_last_updated_sequence_number`
+    // moves to this commit. Matched source rows take their target row's id
+    // (MOR-visible read; one id per key if several targets die) and carry
+    // it as a materialized column; unmatched rows stay null and inherit a
+    // fresh id from the commit's allocation.
+    val carry = table.metadata.formatVersion >= 3
+    val sourceWithLineage =
+      if (!carry) source
+      else {
+        import org.apache.spark.sql.functions.{lit, min}
+        val priorIds = table.read()
+          .select(keyCols.map(col) :+ col("_row_id").as("_g_prior_row_id"): _*)
+          .groupBy(keyCols.map(col): _*)
+          .agg(min(col("_g_prior_row_id")).as("_g_prior_row_id"))
+        source.join(priorIds, keyCols, "left_outer")
+          .withColumn("_row_id", col("_g_prior_row_id"))
+          .withColumn("_last_updated_sequence_number",
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+          .drop("_g_prior_row_id")
+      }
+
+    writeSnapshot(spark, url, sourceWithLineage, deletePred = None,
+      operation = "overwrite",
       extraSummary = Map("graft-merge-keys" -> keyCols.mkString(",")),
       extraManifests = deleteManifest.toSeq, posDeleteRows = posDeleteCount,
-      presetSnapshotId = Some(snapshotId))
+      presetSnapshotId = Some(snapshotId),
+      carryLineage = carry)
   }
 
   /** Row count straight from the parquet footer (no data read). */
@@ -2573,7 +2622,8 @@ object IcebergWriter {
           "items": "int", "element-id": 136}], "default": null, "field-id": 135},
         {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143},
         {"name": "content_offset", "type": ["null", "long"], "default": null, "field-id": 144},
-        {"name": "content_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 145}
+        {"name": "content_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 145},
+        {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 142}
       ]}, "field-id": 2}
     ]}""")
   }
@@ -2598,7 +2648,8 @@ object IcebergWriter {
       {"name": "existing_rows_count", "type": ["null", "long"], "default": null, "field-id": 513},
       {"name": "deleted_rows_count", "type": ["null", "long"], "default": null, "field-id": 514},
       {"name": "content", "type": ["null", "int"], "default": null, "field-id": 517},
-      {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 515}
+      {"name": "sequence_number", "type": ["null", "long"], "default": null, "field-id": 515},
+      {"name": "first_row_id", "type": ["null", "long"], "default": null, "field-id": 521}
     ]}""")
 
   private def kvArray(schema: Schema, field: String, m: Map[Int, _]): java.util.List[GenericRecord] = {
@@ -2716,6 +2767,9 @@ object IcebergWriter {
         f.referencedDataFile.foreach(df.put("referenced_data_file", _))
         f.contentOffset.foreach(o => df.put("content_offset", Long.box(o)))
         f.contentSizeInBytes.foreach(n => df.put("content_size_in_bytes", Long.box(n)))
+        // ROW LINEAGE: rewritten entries materialize their (possibly
+        // inherited) first row id explicitly — ids survive manifest rewrites
+        f.firstRowId.foreach(v => df.put("first_row_id", Long.box(v)))
         val entry = new GenericData.Record(entrySchema)
         entry.put("status", Manifests.Status.Existing)
         f.snapshotId.foreach(id => entry.put("snapshot_id", id))
@@ -2849,7 +2903,14 @@ object IcebergWriter {
       /** spec the new manifests' partition values/summaries were computed
         * under (the committing operation's default spec) — readers resolve
         * each manifest's summaries and file partition tuples by this id. */
-      specId: Int = 0): Unit = {
+      specId: Int = 0,
+      /** Iceberg v3 ROW LINEAGE: the commit's first allocatable row id
+        * (the table's `next-row-id` at commit time). New DATA manifests
+        * with added rows receive cumulative `first_row_id` bases; their
+        * files inherit at read time. Computed INSIDE the optimistic commit
+        * loop, so a lost race reallocates from fresh state — concurrent
+        * commits never overlap id ranges. */
+      firstRowIdBase: Option[Long] = None): Unit = {
     val summarySchema = ManifestFileSchema.getField("partitions").schema()
       .getTypes.get(1).getElementType
 
@@ -2865,6 +2926,7 @@ object IcebergWriter {
     }
 
     writeAvro(path, ManifestFileSchema, conf) { w =>
+      var rowIdCursor = firstRowIdBase
       newManifests.foreach { nm =>
         val fs = new Path(nm.path).getFileSystem(conf)
         val rec = new GenericData.Record(ManifestFileSchema)
@@ -2883,6 +2945,12 @@ object IcebergWriter {
         // the commit's data sequence number — entries inherit it (durable
         // ordering for sequence-scoped deletes, survives expiration)
         if (sequenceNumber > 0) rec.put("sequence_number", sequenceNumber)
+        // row-lineage base for this manifest's ADDED files
+        if (nm.content == Manifests.ManifestContent.Data && nm.addedRows > 0)
+          rowIdCursor.foreach { base =>
+            rec.put("first_row_id", Long.box(base))
+            rowIdCursor = Some(base + nm.addedRows)
+          }
         w.append(rec)
       }
       prior.foreach { m =>
@@ -2903,6 +2971,8 @@ object IcebergWriter {
         r.put("content", m.content)
         // prior manifests KEEP their recorded sequence (inheritance)
         r.put("sequence_number", m.sequenceNumber.map(Long.box).orNull)
+        // ...and their row-lineage base
+        r.put("first_row_id", m.firstRowId.map(Long.box).orNull)
         w.append(r)
       }
     }

@@ -38,9 +38,19 @@ object Maintenance {
     // slices, restoring the disjoint-bounds layout at the requested file
     // count; unsorted tables round-robin to n as before
     val sortedTable = frozen.sortOrderColumns.nonEmpty
-    val compacted =
-      if (sortedTable) frozen.read()
-      else frozen.read().repartition(n)
+    // v3 ROW LINEAGE: the rewrite carries each row's id and last-updated
+    // sequence as MATERIALIZED columns, so identity survives compaction
+    // (rows that never had an id get one from the new file's allocation —
+    // the spec's lazy-assignment rule)
+    val carryLineage = frozen.metadata.formatVersion >= 3
+    val base =
+      if (!carryLineage) frozen.read()
+      else {
+        import org.apache.spark.sql.functions.col
+        frozen.read().select(col("*"),
+          col("_row_id"), col("_last_updated_sequence_number"))
+      }
+    val compacted = if (sortedTable) base else base.repartition(n)
     IcebergWriter.writeSnapshot(spark, url, compacted,
       deletePred = None, operation = "replace",
       targetPartitions = if (sortedTable) Some(n) else None,
@@ -49,7 +59,8 @@ object Maintenance {
       // a delete committed after the pin would be silently lost when the
       // delete manifests drop — the commit detects the mismatch and refuses
       pinnedDeleteFiles = Some(frozen.liveDeleteFiles
-        .map(f => frozen.resolvePath(f.filePath)).toSet))
+        .map(f => frozen.resolvePath(f.filePath)).toSet),
+      carryLineage = carryLineage)
   }
 
   /** Z-ORDER clustering rewrite: relayout the table's live rows along a

@@ -53,6 +53,14 @@ object Manifests {
     * file can reference without opening it. */
   val PosDeletePathFieldId: Int = 2147483546
 
+  /** Reserved field ids of the MATERIALIZED row-lineage columns (Iceberg
+    * v3 spec, "Row lineage"): file rewrites stamp `_row_id` and
+    * `_last_updated_sequence_number` as physical columns under these ids
+    * so identity survives compaction; readers prefer the materialized
+    * value and fall back to inherited first_row_id + position. */
+  val RowIdFieldId: Int = 2147483540
+  val LastUpdatedSeqFieldId: Int = 2147483539
+
   final case class ManifestFile(
       path: String,
       length: Long,
@@ -68,7 +76,14 @@ object Manifests {
       content: Int = ManifestContent.Data,
       /** Iceberg v2 field 515: the data sequence number of the commit that
         * added this manifest — entries without their own inherit it. */
-      sequenceNumber: Option[Long] = None)
+      sequenceNumber: Option[Long] = None,
+      /** Iceberg v3 ROW LINEAGE: the first row id allotted to this
+        * manifest's ADDED data files. Files without an explicit
+        * `first_row_id` inherit cumulatively in entry order (base + running
+        * record counts) — assignment lives in the manifest LIST, which is
+        * written inside the optimistic commit loop, so concurrent commits
+        * can never allocate overlapping id ranges. */
+      firstRowId: Option[Long] = None)
 
   /** data_file record inside a manifest (Avro field-ids 100-140). */
   final case class DataFileInfo(
@@ -112,7 +127,14 @@ object Manifests {
         * share one puffin path. */
       contentOffset: Option[Long] = None,
       /** Iceberg v3 field 145: byte length of the DV blob. */
-      contentSizeInBytes: Option[Long] = None) {
+      contentSizeInBytes: Option[Long] = None,
+      /** Iceberg v3 field 142, ROW LINEAGE: the row id of this file's first
+        * row — `_row_id` of row N is `firstRowId + N`. Explicit on
+        * rewritten (EXISTING) entries; ADDED entries usually inherit from
+        * the manifest's [[ManifestFile.firstRowId]] at read time. None on
+        * files written before the table tracked lineage (reads yield null
+        * row ids for them, per the spec). */
+      firstRowId: Option[Long] = None) {
 
     /** Liveness/supersede key: puffin files hold many DV blobs, so a DV
       * entry is identified by (path, blob offset), a plain file by path. */
@@ -245,7 +267,8 @@ object Manifests {
       existingRowsCount = opt(r, "existing_rows_count", _.asInstanceOf[Long]),
       deletedRowsCount = opt(r, "deleted_rows_count", _.asInstanceOf[Long]),
       content = opt(r, "content", _.asInstanceOf[Int]).getOrElse(ManifestContent.Data),
-      sequenceNumber = opt(r, "sequence_number", _.asInstanceOf[Long]))
+      sequenceNumber = opt(r, "sequence_number", _.asInstanceOf[Long]),
+      firstRowId = opt(r, "first_row_id", _.asInstanceOf[Long]))
   }
 
   private def parseEntry(r: GenericRecord): ManifestEntry = {
@@ -286,6 +309,7 @@ object Manifests {
         snapshotId = opt(r, "snapshot_id", _.asInstanceOf[Long]),
         referencedDataFile = opt(df, "referenced_data_file", str),
         contentOffset = opt(df, "content_offset", _.asInstanceOf[Long]),
-        contentSizeInBytes = opt(df, "content_size_in_bytes", _.asInstanceOf[Long])))
+        contentSizeInBytes = opt(df, "content_size_in_bytes", _.asInstanceOf[Long]),
+        firstRowId = opt(df, "first_row_id", _.asInstanceOf[Long])))
   }
 }

@@ -99,7 +99,11 @@ final case class TableMetadata(
     refs: Map[String, SnapshotRef] = Map.empty,
     lastSequenceNumber: Long = 0L,
     sortOrders: Seq[IceSortOrder] = Nil,
-    defaultSortOrderId: Int = 0) {
+    defaultSortOrderId: Int = 0,
+    /** Iceberg v3 ROW LINEAGE: the next unallocated row id. Commits that
+      * add data rows allocate [next-row-id, next-row-id + added) to their
+      * manifests and advance it. None on pre-lineage metadata. */
+    nextRowId: Option[Long] = None) {
 
   /** The table's active sort order (empty = unsorted). */
   def defaultSortOrder: Seq[SortField] =
@@ -191,7 +195,8 @@ object TableMetadata {
               nullOrder = Option(f.get("null-order")).map(_.asText).getOrElse("nulls-first"))
           }.toSeq).getOrElse(Nil))
       }.toSeq).getOrElse(Nil),
-      defaultSortOrderId = optNode("default-sort-order-id").map(_.asInt).getOrElse(0))
+      defaultSortOrderId = optNode("default-sort-order-id").map(_.asInt).getOrElse(0),
+      nextRowId = optNode("next-row-id").map(_.asLong))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

@@ -223,7 +223,13 @@ final class GraftIcebergV2Table(val table: IcebergTable,
         override def isNullable: Boolean = nul
       }
     Array(c("_partition", StringType, true), c("_file", StringType, false),
-      c("_pos", org.apache.spark.sql.types.LongType, false))
+      c("_pos", org.apache.spark.sql.types.LongType, false),
+      // Iceberg v3 ROW LINEAGE: `_row_id` = the file's first_row_id + row
+      // position (null for files written before the table tracked
+      // lineage), `_last_updated_sequence_number` = the commit sequence
+      // that last produced the row's file. Both nullable per the spec.
+      c("_row_id", org.apache.spark.sql.types.LongType, true),
+      c("_last_updated_sequence_number", org.apache.spark.sql.types.LongType, true))
   }
 
   /** SQL UPDATE / MERGE INTO / complex DELETE. Two modes, selected by
@@ -505,7 +511,8 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
     // a clean suffix. A DATA column that happens to share a metadata name
     // shadows it (SupportsMetadataColumns contract) and stays data.
     val dataNames = tbl.schema().fieldNames.toSet
-    val names = Set("_partition", "_file", "_pos").diff(dataNames)
+    val names = Set("_partition", "_file", "_pos",
+      "_row_id", "_last_updated_sequence_number").diff(dataNames)
     metaCols = required.fields.map(_.name).filter(names)
     val dataFields = required.fields.filterNot(f => names(f.name))
     require(required.fields.map(_.name).endsWith(metaCols),
@@ -752,11 +759,30 @@ final class GraftIcebergScan(
     }
   }
 
+  /** Row-lineage metadata requested? Then the read also asks the parquet
+    * delegate for the MATERIALIZED lineage columns (reserved field ids —
+    * present only in rewritten/compacted files, null-filled elsewhere):
+    * the reader prefers them and falls back to first_row_id + position. */
+  private lazy val lineagePhysical: Seq[org.apache.spark.sql.types.StructField] =
+    if (!metaCols.contains("_row_id") &&
+        !metaCols.contains("_last_updated_sequence_number")) Nil
+    else {
+      def f(n: String, id: Int) = org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.LongType, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build())
+      Seq(f("_row_id", graft.iceberg.Manifests.RowIdFieldId),
+        f("_last_updated_sequence_number", graft.iceberg.Manifests.LastUpdatedSeqFieldId))
+    }
+
   /** Merge-on-read widens the read schema: required columns, then any
-    * equality-delete key columns pruning removed, then the row-index
-    * column. The wrapping reader filters and projects the extras out. */
+    * equality-delete key columns pruning removed, then materialized
+    * lineage columns (when lineage metadata is requested), then the
+    * row-index column. The wrapping reader filters and projects the
+    * extras out. */
   private lazy val morReadSchema: StructType =
-    StructType(requiredSchema.fields ++ eqExtraFields :+ ScanBridge.rowIndexField)
+    StructType(requiredSchema.fields ++ eqExtraFields ++ lineagePhysical
+      :+ ScanBridge.rowIndexField)
 
   /** Foreign-written AVRO data files in this scan (same interop contract
     * as ORC: no row-level deletes / metadata columns over them). */
@@ -875,6 +901,9 @@ final class GraftIcebergScan(
     else StructType(requiredSchema.fields ++ metaCols.map {
       case "_pos" => org.apache.spark.sql.types.StructField("_pos",
         org.apache.spark.sql.types.LongType)
+      case n @ ("_row_id" | "_last_updated_sequence_number") =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)
       case n => org.apache.spark.sql.types.StructField(n, StringType)
     })
 
@@ -924,6 +953,12 @@ final class GraftIcebergScan(
             case "_partition" => ("_partition", partitionString(f))
             case "_file" => ("_file", table.resolvePath(f.filePath))
             case "_pos" => ("_pos", null: String)
+            // ROW LINEAGE: first_row_id constant per file (null when the
+            // file predates lineage) — the reader adds the row index
+            case "_row_id" =>
+              ("_row_id", f.firstRowId.map(_.toString).orNull)
+            case "_last_updated_sequence_number" =>
+              ("_last_updated_sequence_number", table.dataSequenceOf(f).toString)
           })),
         morDeletesByKey, perTaskFiles)
     case None => delegate.planInputPartitions()
@@ -975,7 +1010,8 @@ final class GraftIcebergScan(
         conf = if (!perTaskDeletes) null
           else new org.apache.spark.util.SerializableConfiguration(
             SparkSession.active.sessionState.newHadoopConf()),
-        deleteCacheBytes = deleteCacheBytes)
+        deleteCacheBytes = deleteCacheBytes,
+        lineageCols = lineagePhysical.length)
     else if (keyedLayout.isDefined) ScanBridge.unwrapKeyedFactory(inner)
     else inner
   }

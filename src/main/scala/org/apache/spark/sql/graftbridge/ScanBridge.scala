@@ -341,9 +341,15 @@ object ScanBridge {
         * hadoop conf and cache budget the loads need. */
       eqSpecs: Array[DeleteLoader.EqDeleteFileSpec] = Array.empty,
       conf: org.apache.spark.util.SerializableConfiguration = null,
-      deleteCacheBytes: Long = 256L * 1024 * 1024): PartitionReaderFactory =
+      deleteCacheBytes: Long = 256L * 1024 * 1024,
+      /** Number of MATERIALIZED row-lineage columns the delegate reads
+        * (0 or 2), sitting immediately before the trailing row-index
+        * column: `_row_id` then `_last_updated_sequence_number`. Readers
+        * prefer their (per-row) values over the inherited computation —
+        * identity survives compaction. */
+      lineageCols: Int = 0): PartitionReaderFactory =
     new MorReaderFactory(delegate, requiredSchema, readWidth, columnarCapable,
-      eqGroups, ordinalMap, eqSpecs, conf, deleteCacheBytes)
+      eqGroups, ordinalMap, eqSpecs, conf, deleteCacheBytes, lineageCols)
 
   private final class MorReaderFactory(
       delegate: PartitionReaderFactory,
@@ -354,7 +360,8 @@ object ScanBridge {
       ordinalMap: Array[Int],
       eqSpecs: Array[DeleteLoader.EqDeleteFileSpec],
       conf: org.apache.spark.util.SerializableConfiguration,
-      deleteCacheBytes: Long)
+      deleteCacheBytes: Long,
+      lineageCols: Int = 0)
     extends PartitionReaderFactory {
 
     private def width = requiredSchema.length
@@ -543,6 +550,33 @@ object ScanBridge {
             case ("_pos", _) =>
               org.apache.spark.sql.catalyst.expressions.BoundReference(
                 idxOrdinal, LongType, nullable = true)
+            // ROW LINEAGE: prefer the file's MATERIALIZED per-row value
+            // (compacted files carry one under the reserved field id);
+            // fall back to first_row_id + row index — which ASSIGNS ids to
+            // rewritten rows that never had one, the spec's lazy rule.
+            // Null constant for pre-lineage files with nothing to inherit.
+            case ("_row_id", v) =>
+              val inherited: org.apache.spark.sql.catalyst.expressions.Expression =
+                if (v == null)
+                  org.apache.spark.sql.catalyst.expressions.Literal(null, LongType)
+                else org.apache.spark.sql.catalyst.expressions.Add(
+                  org.apache.spark.sql.catalyst.expressions.Literal(v.toLong, LongType),
+                  org.apache.spark.sql.catalyst.expressions.BoundReference(
+                    idxOrdinal, LongType, nullable = true))
+              if (lineageCols == 0) inherited
+              else org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  readWidth - 1 - lineageCols, LongType, nullable = true),
+                inherited))
+            case ("_last_updated_sequence_number", v) =>
+              val inherited: org.apache.spark.sql.catalyst.expressions.Expression =
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  if (v == null) null else v.toLong, LongType)
+              if (lineageCols == 0) inherited
+              else org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  readWidth - lineageCols, LongType, nullable = true),
+                inherited))
             case ("_commit_snapshot_id", v) =>
               org.apache.spark.sql.catalyst.expressions.Literal(v.toLong, LongType)
             case ("_commit_timestamp", v) => // micros since epoch
