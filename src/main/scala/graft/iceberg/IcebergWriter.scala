@@ -1274,9 +1274,25 @@ object IcebergWriter {
       (new Path(p).toUri.getPath, len, statsByPath(p), pv)
     }
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-    val posDeleteCount = deleteFiles.map(_._3).sum
+    var posDeleteCount = deleteFiles.map(_._3).sum
     val deleteManifest: Seq[NewManifestInfo] =
       if (deleteFiles.isEmpty) Nil
+      else if (table0.metadata.formatVersion >= 3) {
+        // v3: position deletes MUST travel as DELETION VECTORS — convert
+        // the delta protocol's task-written parquet carriers at commit
+        // (same bitmap build + supersede as deleteRows; the parquets are
+        // a staging artifact and are removed once converted)
+        val positions = spark.read.parquet(deleteFiles.map(_._1): _*)
+          .select("file_path", "pos")
+        val (m, netNew) = writeDeletionVectors(spark, url, table0, commitId,
+          snapshotId, positions, specInfo, conf)
+        posDeleteCount = netNew
+        deleteFiles.foreach { case (p, _, _) =>
+          val hp = new Path(p)
+          hp.getFileSystem(conf).delete(hp, false)
+        }
+        m.toSeq
+      }
       else {
         val entries = deleteFiles.map { case (p, len, rows) =>
           (new Path(p).toUri.getPath, len,

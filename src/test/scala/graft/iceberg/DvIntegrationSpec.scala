@@ -235,6 +235,35 @@ class DvIntegrationSpec extends AnyFunSuite {
     assert(t.countFromStats() == Some(94L))
   }
 
+  test("SQL MOR DML on a v3 table commits DVs, never parquet carriers") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv_sql").toString
+    val cat = s"dv${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, 'a' FROM range(1, 101)")
+    IcebergWriter.upgradeFormatVersion(spark, s"$wh/db/t", 3)
+    spark.sql(s"UPDATE $cat.db.t SET v = 'upd' WHERE k = 7")
+    spark.sql(s"MERGE INTO $cat.db.t t USING (SELECT 8L AS k, 'merged' AS v) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val t = IcebergTable.load(spark, s"$wh/db/t")
+    val dels = t.positionDeleteFiles
+    assert(dels.nonEmpty && dels.forall(_.isDv),
+      s"v3 SQL DML must commit deletion vectors, got $dels")
+    // second DML superseded the first file's DV: one live blob, 2 positions
+    assert(dels.size == 1 && dels.head.recordCount == 2L, s"supersede: $dels")
+    val rows = spark.sql(s"SELECT k, v FROM $cat.db.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == (1L to 100L).map(i => (i,
+      if (i == 7) "upd" else if (i == 8) "merged" else "a")))
+    assert(t.countFromStats().contains(100L))
+    // the staged parquet carriers were removed after conversion
+    val staged = new java.io.File(s"$wh/db/t/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".parquet") && f.getName.contains("delete"))
+    assert(staged.isEmpty, s"leftover staged delete parquets: ${staged.toSeq}")
+  }
+
   test("BATCH changelog over merged DVs emits net-new deletes only") {
     val url = fresh("graft_dv_chlog")
     newV3Table(url, n = 40L)

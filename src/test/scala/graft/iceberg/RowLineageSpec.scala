@@ -134,6 +134,34 @@ class RowLineageSpec extends AnyFunSuite {
     assert(ids.distinct.size == ids.size, "post-compaction ids stay unique")
   }
 
+  test("CONCURRENT appends allocate disjoint id ranges through the retry loop") {
+    val url = fresh("graft_rl_conc")
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val futures = (1 to 4).map { w =>
+        Future {
+          IcebergWriter.append(spark, url,
+            (1L to 25L).map(i => (w * 100L + i, s"w$w")).toDF("k", "v").coalesce(1))
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+    } finally pool.shutdown()
+    val t = IcebergTable.load(spark, url)
+    assert(t.snapshots.size == 4)
+    assert(t.metadata.nextRowId == Some(100L),
+      s"4 x 25 rows must advance next-row-id to 100, got ${t.metadata.nextRowId}")
+    val ids = lineage(url).flatMap(_._2)
+    assert(ids.size == 100 && ids.distinct.size == 100,
+      "racing committers must never allocate overlapping id ranges")
+    assert(ids.min == 0L && ids.max == 99L, "allocation is dense across the race")
+  }
+
   test("merge: updates PRESERVE _row_id and advance the sequence; inserts get fresh ids") {
     val url = fresh("graft_rl_merge")
     IcebergWriter.createTable(spark, url, schema)
