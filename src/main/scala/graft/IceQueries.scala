@@ -1334,6 +1334,54 @@ object IceQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  // ------------------------------------------------------------ bench-only
+
+  private def dvBenchPath(dir: String): String =
+    s"/tmp/graft_bench_dv_${Integer.toHexString(dir.hashCode)}/t"
+
+  /** Bench-only body: full merge-on-read scan of the v3 lineitem table the
+    * setup built — measures the DELETION-VECTOR read path (blob-offset
+    * ranged reads + columnar selection views) at the benchmark SF, the
+    * number the round's headline feature answers to. Timed work is the
+    * scan alone; table build + DV delete happen in [[benchSetup]]. */
+  val benchOps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ice_mor_dv_read" -> ((s, dir) =>
+      graft.iceberg.IcebergTable.load(s, dvBenchPath(dir)).read()))
+
+  val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "ice_mor_dv_read" -> ((s, dir) => {
+      import graft.iceberg.{IcebergWriter, Pruning}
+      val url = dvBenchPath(dir)
+      val root = new java.io.File(url).getParentFile
+      if (root.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(root)
+      }
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus")
+      IcebergWriter.createTable(s, url, li.schema)
+      IcebergWriter.append(s, url, li.repartition(8)) // multi-file MOR
+      IcebergWriter.upgradeFormatVersion(s, url, 3)
+      // ~2% of rows spread across every file -> one DV blob per file
+      IcebergWriter.deleteRows(s, url, Pruning.Lt("l_quantity", 2.0))
+      val t = graft.iceberg.IcebergTable.load(s, url)
+      require(t.positionDeleteFiles.nonEmpty && t.positionDeleteFiles.forall(_.isDv),
+        "DV bench setup must leave deletion vectors to measure")
+    }))
+
+  val benchTeardown: Map[String, (SparkSession, String) => Unit] = Map(
+    "ice_mor_dv_read" -> ((s, dir) => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dvBenchPath(dir)).getParentFile)
+    }))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_stats_agg"        -> (iceStatsAgg _),
     "ice_zorder"           -> (iceZorder _),

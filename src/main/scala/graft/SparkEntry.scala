@@ -31,15 +31,15 @@ object SparkEntry {
   /** Bench-only raw-operator bodies (see [[LlmQueries.benchOps]]) — timed by
     * Bench but NOT part of the driver correctness contract. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    LlmQueries.benchOps
+    LlmQueries.benchOps ++ IceQueries.benchOps
 
   /** Untimed per-entry Bench hooks: setup before an entry's reps (e.g. the
     * IVF index build on the measured SF), teardown right after (release
     * pinned executor storage). */
   def benchSetup: Map[String, (SparkSession, String) => Unit] =
-    LlmQueries.benchSetup
+    LlmQueries.benchSetup ++ IceQueries.benchSetup
   def benchTeardown: Map[String, (SparkSession, String) => Unit] =
-    LlmQueries.benchTeardown
+    LlmQueries.benchTeardown ++ IceQueries.benchTeardown
 
   /** Subset used by Bench as the headline performance set.
     *
@@ -68,5 +68,9 @@ object SparkEntry {
     "q13_rollup", "q20_supplier_scorecard",
     "dd_exact", "dd_minhash_lsh", "dd_simhash_op", "sim_topk_brute",
     "sim_topk_lsh_op", "tx_stats", "tx_langid",
-    "mm_features", "pipe_line_dedup", "sim_topk_sq_ann")
+    "mm_features", "pipe_line_dedup",
+    // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
+    // built + deleted in untimed setup; body is the DV-filtered read).
+    // Placed before sim_topk_sq_ann, which stays LAST by design.
+    "ice_mor_dv_read", "sim_topk_sq_ann")
 }
