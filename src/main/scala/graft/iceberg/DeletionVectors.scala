@@ -229,6 +229,8 @@ object DeletionVectors {
         parseFooter(payload)
       }
       blobs.map { b =>
+        require(b.length > 0 && b.length <= Int.MaxValue,
+          s"DV blob size out of range (${b.length} bytes) in $path")
         val bytes = new Array[Byte](b.length.toInt)
         in.readFully(b.offset, bytes)
         val positions = decodeBlob(bytes)
@@ -244,6 +246,8 @@ object DeletionVectors {
     * (content_offset/content_size_in_bytes, no footer parse). */
   def readBlobAt(path: String, conf: Configuration,
       offset: Long, length: Long): Array[Long] = {
+    require(length > 0 && length <= Int.MaxValue,
+      s"DV blob size out of range ($length bytes) in $path")
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     try {
