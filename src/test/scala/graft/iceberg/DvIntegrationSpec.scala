@@ -127,6 +127,34 @@ class DvIntegrationSpec extends AnyFunSuite {
     assert(t.countFromStats() == Some(44L))
   }
 
+  test("whole-file drop with MIXED carriers: parquet rows rewritten, DVs carried") {
+    val url = fresh("graft_dv_mixed_drop")
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 50L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1)) // file 1
+    IcebergWriter.append(spark, url,
+      (51L to 100L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1)) // file 2
+    // v2 parquet carrier touching BOTH files (k=10 in file 1, k=60 in file 2)
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(10L, 60L)))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    // DV on file 2 only
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 70L))
+    val mixed = IcebergTable.load(spark, url)
+    assert(mixed.positionDeleteFiles.count(_.isDv) == 1 &&
+      mixed.positionDeleteFiles.count(!_.isDv) == 1)
+    // drop file 1 whole: the parquet carrier's k=10 row is DEAD and must be
+    // rewritten away (k=60 row survives); file 2's DV must carry through
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 51L))
+    val t = IcebergTable.load(spark, url)
+    val (dvs, parquets) = t.positionDeleteFiles.partition(_.isDv)
+    assert(dvs.size == 1 && dvs.head.recordCount == 1L,
+      s"file 2's DV must survive the rewrite: ${t.positionDeleteFiles}")
+    assert(parquets.size == 1 && parquets.head.recordCount == 1L,
+      s"parquet carrier must be rewritten to the surviving k=60 row: $parquets")
+    assert(liveKeys(url) == (51L to 100L).filterNot(k => k == 60L || k == 70L))
+    assert(t.countFromStats() == Some(48L))
+  }
+
   test("merge (upsert by position) writes DVs on a v3 table") {
     val url = fresh("graft_dv_merge")
     newV3Table(url, n = 20L)
