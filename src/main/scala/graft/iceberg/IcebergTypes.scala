@@ -87,7 +87,11 @@ object IcebergTypes {
     require(typeNode.isTextual,
       s"default values supported for primitive types only, got $typeNode")
     val t = typeNode.asText
-    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    // Spark's SQL parser treats backslash as an escape inside string
+    // literals, so both the backslash AND the quote must be escaped — a
+    // default of "C:\new" would otherwise parse as "C:" + newline + "ew"
+    def q(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     t match {
       case "boolean" => v.asBoolean().toString
       case "int" | "long" => v.asLong().toString

@@ -1567,7 +1567,15 @@ object IcebergWriter {
               (raw, DeletionVectors.serializePositions(arr), arr.length.toLong))
           }
         }
-        .collect().sortBy(_._1).toSeq
+        .collect().toSeq
+        // `raw` is whatever path form the LAST row of the group carried (a
+        // DV's referenced_data_file vs a parquet carrier's file_path can
+        // differ in prefix after a table move) — normalize to the SAME
+        // canonical form the data manifests record, so exact-path external
+        // readers and the written blob agree deterministically
+        .map { case (raw, vec, card) =>
+          (new Path(frozen.resolvePath(raw)).toUri.getPath, vec, card) }
+        .sortBy(_._1)
       val extra =
         if (mergedBitmaps.isEmpty) Nil // every delete row targeted a dead file
         else {
@@ -1819,9 +1827,11 @@ object IcebergWriter {
         f.contentSizeInBytes.foreach(n => df.put("content_size_in_bytes", Long.box(n)))
         val entry = new GenericData.Record(entrySchema)
         entry.put("status", status)
+        // spec: ADDED and DELETED entries record the snapshot that added /
+        // REMOVED the blob (this commit); only EXISTING keeps the original
         entry.put("snapshot_id",
-          if (status == Manifests.Status.Added) snapshotId
-          else f.snapshotId.getOrElse(snapshotId))
+          if (status == Manifests.Status.Existing) f.snapshotId.getOrElse(snapshotId)
+          else snapshotId)
         explicitSeq.foreach(s => entry.put("sequence_number", s))
         entry.put("data_file", df)
         w.append(entry)
@@ -1844,6 +1854,13 @@ object IcebergWriter {
         val old = mapper.readTree(metadataBaseJson(current, url, conf))
           .asInstanceOf[ObjectNode]
         old.put("format-version", version)
+        // v3 REQUIRES next-row-id from the moment the version is raised —
+        // strict external readers reject v3 metadata without it. Initialize
+        // in the SAME commit (0 = the value the first row-adding commit
+        // previously assumed) rather than leaving a window where the table
+        // claims v3 but lacks a v3-required field.
+        if (version >= 3 && !old.has("next-row-id"))
+          old.put("next-row-id", current.metadata.nextRowId.getOrElse(0L))
         old.put("last-updated-ms", System.currentTimeMillis())
         Some(old.toPrettyString)
       }
@@ -2256,6 +2273,97 @@ object IcebergWriter {
     val deadRows = parquetDeadRows + dvDeadRows
     if (deadRows == 0L) return None
 
+    var manifests = List.empty[NewManifestInfo]
+    if (table.metadata.formatVersion >= 3 && all != null && parquetDeadRows > 0L) {
+      // v3 rule: REWRITTEN position deletes must be written as DELETION
+      // VECTORS, never new parquet carriers. Surviving rows of every legacy
+      // parquet carrier become one DV blob per data file; a file that
+      // already has a live DV gets a MERGED blob and the prior blob is
+      // marked DELETED (the ≤1-live-DV-per-file invariant holds through
+      // the rewrite). Bitmaps build executor-side; only compressed bytes
+      // reach the driver.
+      import spark.implicits._
+      val survivorBitmaps = all
+        .filter(!key(col("file_path")).isInCollection(removedKeys))
+        .select(col("file_path").cast(org.apache.spark.sql.types.StringType),
+          col("pos"))
+        .as[(String, Long)]
+        .groupByKey { case (p, _) =>
+          org.apache.spark.sql.graftbridge.ScanBridge.morKey(p) }
+        .mapGroups { (_, it) =>
+          var raw: String = null
+          val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { case (r, p) => raw = r; buf += p }
+          val arr = buf.result().distinct
+          java.util.Arrays.sort(arr)
+          (raw, DeletionVectors.serializePositions(arr), arr.length.toLong)
+        }
+        .collect().toSeq
+        .map { case (raw, vec, card) => // canonical form — see consolidation
+          (new Path(table.resolvePath(raw)).toUri.getPath, vec, card) }
+        .sortBy(_._1)
+      val liveByKey: Map[String, Manifests.DataFileInfo] = liveDvs.flatMap(d =>
+        d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
+      val superseded = scala.collection.mutable.ArrayBuffer.empty[Manifests.DataFileInfo]
+      val mergedBlobs = survivorBitmaps.map { case (file, vec, card) =>
+        liveByKey.get(morKeyOf(file)) match {
+          case Some(prior) =>
+            val priorPositions = DeletionVectors.readBlobAt(
+              table.resolvePath(prior.filePath), conf,
+              prior.contentOffset.getOrElse(sys.error(s"DV without offset: ${prior.filePath}")),
+              prior.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${prior.filePath}")))
+            val union = (priorPositions ++ DeletionVectors.deserializePositions(vec))
+              .distinct.sorted
+            superseded += prior
+            (file, DeletionVectors.serializePositions(union), union.length.toLong)
+          case None => (file, vec, card)
+        }
+      }
+      val supersededKeys = superseded.flatMap(_.referencedDataFile.map(morKeyOf)).toSet
+      val untouchedDvs = liveDvs.filterNot(d =>
+        d.referencedDataFile.exists(r => supersededKeys(morKeyOf(r))))
+      val dvEntries =
+        if (mergedBlobs.isEmpty) Nil
+        else {
+          // distinct name: a mixed-carrier delete commit can ALSO write
+          // fresh DVs under puffinName(commitId) in the same commit
+          val puffinPath = s"$url/data/$commitId-rwdel.puffin"
+          val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath, conf,
+            mergedBlobs, snapshotId, table.metadata.lastSequenceNumber + 1)
+          val pathUtf8 = (v: String) => v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          blobs.map { b =>
+            Manifests.DataFileInfo(
+              filePath = new Path(puffinPath).toUri.getPath,
+              fileFormat = "PUFFIN", partition = Map.empty,
+              recordCount = b.cardinality, fileSizeInBytes = puffinLen,
+              columnSizes = Map.empty, valueCounts = Map.empty,
+              nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+              lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+              upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+              content = Manifests.FileContent.PositionDeletes,
+              referencedDataFile = Some(b.referencedDataFile),
+              contentOffset = Some(b.offset),
+              contentSizeInBytes = Some(b.length))
+          }
+        }
+      val allEntries =
+        dvEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
+          superseded.map(e => (e.copy(filePath = table.resolvePath(e.filePath)),
+            Manifests.Status.Deleted, e.dataSequence)) ++
+          untouchedDvs.map(e => (e.copy(filePath = table.resolvePath(e.filePath)),
+            Manifests.Status.Existing,
+            Some(e.dataSequence.getOrElse(0L)): Option[Long]))
+      if (allEntries.nonEmpty) {
+        val manifestPath = s"$url/metadata/$commitId-mrwdv.avro"
+        writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf, allEntries)
+        manifests ::= NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+          dvEntries.size, dvEntries.map(_.recordCount).sum,
+          superseded.size, superseded.map(_.recordCount).sum, Nil,
+          existingFiles = untouchedDvs.size,
+          existingRows = untouchedDvs.map(_.recordCount).sum)
+      }
+      return Some((manifests, deadRows))
+    }
     var survivorRows = 0L
     val entries =
       if (all == null || parquetDeadRows == 0L) Nil
@@ -2276,7 +2384,6 @@ object IcebergWriter {
     val untouchedParquet =
       if (all == null || parquetDeadRows > 0L) Nil
       else parquets
-    var manifests = List.empty[NewManifestInfo]
     if (entries.nonEmpty) {
       val manifestPath = s"$url/metadata/$commitId-mrw.avro"
       writeManifestEntries(manifestPath, snapshotId, entries, specInfo, conf,

@@ -1482,13 +1482,21 @@ final class GraftIcebergMicroBatchStream(
       if (driver) byKey.getOrElse(k, Array.emptyLongArray) else Array.emptyLongArray
     /** Task files to ship, or null when driver-materialized (or empty). */
     def taskFiles: Array[String] = if (driver || files.isEmpty) null else files
+    /** O(1) probe state, built ONCE: [[mightHave]] runs per LIVE data file
+      * during planning, so an Array.contains there would make above-cap CDC
+      * planning O(live × deletes) — a heavy-churn commit on a wide table
+      * would quadratically stall the driver. Set + flag keep it
+      * O(live + deletes). */
+    private val refSet: Set[String] =
+      if (referenced == null) null else referenced.toSet
+    private val allProven: Boolean = refSet != null && !refSet.contains(null)
     /** May this data-file key have deleted positions? Driver mode answers
       * exactly; task mode answers from referenced-file bounds when every
       * delete file carries them, else conservatively yes (the task's load
       * resolves it to an empty selection). */
     def mightHave(k: String): Boolean =
       if (driver) byKey.contains(k)
-      else if (referenced != null && !referenced.contains(null)) referenced.contains(k)
+      else if (allProven) refSet.contains(k)
       else true
   }
 

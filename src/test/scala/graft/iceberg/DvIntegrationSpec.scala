@@ -127,7 +127,7 @@ class DvIntegrationSpec extends AnyFunSuite {
     assert(t.countFromStats() == Some(44L))
   }
 
-  test("whole-file drop with MIXED carriers: parquet rows rewritten, DVs carried") {
+  test("whole-file drop with MIXED carriers: parquet survivors become DVs") {
     val url = fresh("graft_dv_mixed_drop")
     IcebergWriter.createTable(spark, url, schema)
     IcebergWriter.append(spark, url,
@@ -143,14 +143,17 @@ class DvIntegrationSpec extends AnyFunSuite {
     assert(mixed.positionDeleteFiles.count(_.isDv) == 1 &&
       mixed.positionDeleteFiles.count(!_.isDv) == 1)
     // drop file 1 whole: the parquet carrier's k=10 row is DEAD and must be
-    // rewritten away (k=60 row survives); file 2's DV must carry through
+    // rewritten away. v3 rule (round-13 fix): the surviving k=60 row is
+    // rewritten as a DELETION VECTOR, not a new parquet carrier — and it
+    // MERGES into file 2's existing DV (k=70), keeping the ≤1-live-DV-per-
+    // file invariant through the rewrite.
     IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 51L))
     val t = IcebergTable.load(spark, url)
     val (dvs, parquets) = t.positionDeleteFiles.partition(_.isDv)
-    assert(dvs.size == 1 && dvs.head.recordCount == 1L,
-      s"file 2's DV must survive the rewrite: ${t.positionDeleteFiles}")
-    assert(parquets.size == 1 && parquets.head.recordCount == 1L,
-      s"parquet carrier must be rewritten to the surviving k=60 row: $parquets")
+    assert(parquets.isEmpty,
+      s"a v3 rewrite must not emit new parquet position deletes: $parquets")
+    assert(dvs.size == 1 && dvs.head.recordCount == 2L,
+      s"surviving k=60 must merge into file 2's DV (k=60 + k=70): $dvs")
     assert(liveKeys(url) == (51L to 100L).filterNot(k => k == 60L || k == 70L))
     assert(t.countFromStats() == Some(48L))
   }

@@ -190,6 +190,42 @@ class CdcDistributedMorSpec extends AnyFunSuite {
       "empty selection must not open the data parquet")
   }
 
+  test("many-DV commit: proven referenced-file set prunes above-cap planning") {
+    // One delete commit touching SEVERAL files (v3 → one DV blob per file,
+    // each carrying referenced_data_file). Above-cap planning must answer
+    // mightHave from the prebuilt referenced SET — O(live + deletes), the
+    // round-13 ask — and still plan exactly the referenced files.
+    val dir = fresh("graft_cdc_manydv")
+    val url = s"$dir/tbl"
+    IcebergWriter.createTable(spark, url, schema)
+    for (lo <- Seq(1L, 11L, 21L, 31L))
+      IcebergWriter.append(spark, url,
+        (lo until lo + 10).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    val from = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // spans files 1 and 2 only -> two DV blobs in one commit
+    IcebergWriter.deleteRows(spark, url,
+      Pruning.And(Pruning.GtEq("k", 5L), Pruning.Lt("k", 15L)))
+    val t = IcebergTable.load(spark, url)
+    assert(t.positionDeleteFiles.count(_.isDv) == 2,
+      "expected one DV blob per touched file")
+    assert(t.positionDeleteFiles.forall(_.referencedDataFile.isDefined))
+
+    val driverMode = streamCdc(url, Some(from), s"$dir/ckpt_drv", "cdc_mdv_drv")
+    GraftIcebergSource.cdcSelectionCandidates.set(-1)
+    GraftIcebergSource.cdcSelectionPartitions.set(-1)
+    val distributed = withCap(0) {
+      streamCdc(url, Some(from), s"$dir/ckpt_dist", "cdc_mdv_dist")
+    }
+    assert(distributed == driverMode,
+      "above-cap many-DV CDC stream must match driver mode")
+    val cand = GraftIcebergSource.cdcSelectionCandidates.get()
+    val part = GraftIcebergSource.cdcSelectionPartitions.get()
+    assert(cand == 4, s"surviving candidates considered: $cand")
+    assert(part == 2,
+      s"selection partitions planned: $part — referenced-set pruning not engaged")
+  }
+
   test("CDC catch-up batch above the cap emits the same live rows") {
     val dir = fresh("graft_cdc_dist2")
     val url = s"$dir/tbl"
