@@ -87,28 +87,16 @@ object Bench {
     // REGRESSION detection compares MINS (the least noisy statistic: the
     // best-of-N run is the closest observable to the true cost on an idle
     // machine) against the newest prior BENCH_r*.json when one is present.
-    val baseline: Map[String, Double] = {
-      val path = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
-        val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-        prior.lastOption.map(_.getPath)
-      }
-      path.flatMap { p =>
-        scala.util.Try {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(new java.io.File(p))
-          val node = if (root.has("queries_min")) root.get("queries_min")
-            else root.get("queries") // older rounds published medians only
-          val m = Map.newBuilder[String, Double]
-          node.properties().forEach(e => m += e.getKey -> e.getValue.asDouble)
-          m.result()
-        }.toOption
-      }.getOrElse(Map.empty)
-    }
-    val regressions = results.collect {
-      case (k, _, minT, _, None)
-        if baseline.get(k).exists(b => b > 0 && minT > b * 1.5) => k
-    }
+    // The RESOLVED baseline path ships in the JSON line ("baseline") so a
+    // reader can audit what was compared — BENCH_r12 recorded a >1.5× min
+    // with "regressions":[] and nothing in the artifact explained why (the
+    // runner's cwd held no BENCH_r*.json, so detection silently compared
+    // against nothing). The repo dir is now a fallback search root.
+    val (baselinePath, baseline) = loadBaseline(
+      Seq(new java.io.File("."), new java.io.File("/root/repo")),
+      sys.env.get("SPARK_GRAFT_BENCH_BASELINE"))
+    val regressions = detectRegressions(
+      results.collect { case (k, _, minT, _, None) => (k, minT) }, baseline)
     // A failed query must never read as a speedup: report per-query errors
     // and exit non-zero so the driver records the regression.
     def obj(f: ((String, Double, Double, Double, Option[String])) => String) =
@@ -121,8 +109,48 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.count(_._5.nonEmpty)
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    val baseJson = baselinePath
+      .map(p => "\"" + p.replaceAll("[\"\\\\]", "_") + "\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"baseline":$baseJson,"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
+
+  /** Resolve the regression baseline: an explicit path wins; otherwise the
+    * newest `BENCH_r*.json` found across `searchDirs` (first dir with any
+    * hit wins — the runner's cwd, then the repo home). Returns the RESOLVED
+    * path (None = nothing to compare against, which the JSON line records
+    * explicitly) and the per-query min seconds parsed from it. Factored out
+    * of main so a spec can prove detection fires on a pinned baseline. */
+  def loadBaseline(searchDirs: Seq[java.io.File], explicit: Option[String])
+      : (Option[String], Map[String, Double]) = {
+    val path = explicit.orElse {
+      searchDirs.iterator.map { d =>
+        Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption.map(_.getPath)
+      }.collectFirst { case Some(p) => p }
+    }
+    val mins = path.flatMap { p =>
+      scala.util.Try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        val node = if (root.has("queries_min")) root.get("queries_min")
+          else root.get("queries") // older rounds published medians only
+        val m = Map.newBuilder[String, Double]
+        node.properties().forEach(e => m += e.getKey -> e.getValue.asDouble)
+        m.result()
+      }.toOption
+    }.getOrElse(Map.empty)
+    (path, mins)
+  }
+
+  /** Queries whose successful-run MIN exceeds `factor`× the baseline min.
+    * A zero/negative baseline entry never flags (a failed baseline run must
+    * not read as "everything regressed"). */
+  def detectRegressions(mins: Seq[(String, Double)],
+      baseline: Map[String, Double], factor: Double = 1.5): Seq[String] =
+    mins.collect {
+      case (k, minT) if baseline.get(k).exists(b => b > 0 && minT > b * factor) => k
+    }
 }

@@ -154,11 +154,14 @@ object DeletionVectors {
     * lengths for the manifest) and the total file length. */
   def writePuffin(path: String, conf: Configuration,
       dvs: Seq[(String, Array[Byte], Long)],
-      snapshotId: Long, sequenceNumber: Long): (Seq[DvBlob], Long) = {
+      snapshotId: Long, sequenceNumber: Long,
+      /** Executor-side writers pass true: a retried task re-creates the SAME
+        * per-partition path, and only the attempt that returns is committed. */
+      overwrite: Boolean = false): (Seq[DvBlob], Long) = {
     require(dvs.nonEmpty, "writePuffin needs at least one DV")
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val out = fs.create(p, false)
+    val out = fs.create(p, overwrite)
     try {
       out.write(PuffinMagic)
       var offset = 4L

@@ -1332,8 +1332,13 @@ object IcebergWriter {
     // ANSI mode, case sensitivity, shuffle partitions) would be silently
     // dropped, changing predicate/merge semantics (e.g. timestamp-string
     // casts). Mirror every modifiable conf the caller holds.
+    // graft's own spark.graft.* knobs are not registered SQL confs, so
+    // isModifiable says false for them — yet they steer the write path
+    // (e.g. dvDriverBytesLimit picks the executor-side puffin mode) and
+    // MUST survive into the scoped session
     spark.conf.getAll.foreach { case (k, v) =>
-      if (scoped.conf.isModifiable(k) && scoped.conf.getOption(k) != Some(v))
+      if ((k.startsWith("spark.graft.") || scoped.conf.isModifiable(k)) &&
+          scoped.conf.getOption(k) != Some(v))
         scoped.conf.set(k, v)
     }
     scoped.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -1725,7 +1730,7 @@ object IcebergWriter {
 
     // one serialized bitmap per data file, built where the positions are
     import spark.implicits._
-    val freshBitmaps: Seq[(String, Array[Byte], Long)] = fresh
+    val bitmaps = fresh
       .select(col("file_path").cast(org.apache.spark.sql.types.StringType),
         col("pos"))
       .as[(String, Long)]
@@ -1735,66 +1740,130 @@ object IcebergWriter {
         java.util.Arrays.sort(arr)
         (file, DeletionVectors.serializePositions(arr), arr.length.toLong)
       }
-      .collect().toSeq.sortBy(_._1)
-    if (freshBitmaps.isEmpty) return (None, 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // decide the WRITE MODE from per-file metadata only (key + compressed
+      // size + cardinality — a few dozen bytes per file): below the byte cap
+      // the bitmaps collect and one puffin appends sequentially on the
+      // driver; above it — one giant-churn commit on a 100 TB table — each
+      // shuffle partition writes its OWN puffin executor-side and only
+      // (path, offset, length, cardinality) tuples return, removing the last
+      // driver-memory term proportional to a commit's deleted-row count.
+      val blobMeta = bitmaps.map { case (f, v, c) => (f, v.length.toLong, c) }.collect()
+      if (blobMeta.isEmpty) return (None, 0L)
+      val totalBytes = blobMeta.map(_._2).sum
+      val driverBytesCap = spark.conf.get(
+        "spark.graft.iceberg.dvDriverBytesLimit", (128L * 1024 * 1024).toString).toLong
 
-    // supersede: merge with each file's existing DV (decoded by direct
-    // content_offset seek — the manifest-driven read path)
-    val priorByKey: Map[String, Manifests.DataFileInfo] = priorDvs.flatMap(d =>
-      d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
-    var netNew = 0L
-    var supersededRows = 0L
-    val superseded = scala.collection.mutable.ArrayBuffer.empty[Manifests.DataFileInfo]
-    val merged = freshBitmaps.map { case (file, vec, card) =>
-      priorByKey.get(morKeyOf(file)) match {
-        case Some(prior) =>
-          val priorPositions = DeletionVectors.readBlobAt(
-            table.resolvePath(prior.filePath), conf,
-            prior.contentOffset.getOrElse(sys.error(s"DV without offset: ${prior.filePath}")),
-            prior.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${prior.filePath}")))
-          val freshPositions = DeletionVectors.deserializePositions(vec)
-          val union = (priorPositions ++ freshPositions).distinct.sorted
-          superseded += prior
-          supersededRows += prior.recordCount
-          netNew += union.length - priorPositions.length
-          (file, DeletionVectors.serializePositions(union), union.length.toLong)
-        case None =>
-          netNew += card
-          (file, vec, card)
+      val priorByKey: Map[String, Manifests.DataFileInfo] = priorDvs.flatMap(d =>
+        d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
+      val commitSeq = table.metadata.lastSequenceNumber + 1
+
+      // (puffinPath, puffinLen, referencedFile, offset, blobLen, cardinality,
+      //  netNewDelta, supersededPriorKey|null) — one row per written blob,
+      // identical shape from both write modes
+      val written: Seq[(String, Long, String, Long, Long, Long, Long, String)] =
+        if (totalBytes <= driverBytesCap) {
+          val freshBitmaps = bitmaps.collect().toSeq.sortBy(_._1)
+          // supersede: merge with each file's existing DV (decoded by direct
+          // content_offset seek — the manifest-driven read path)
+          val merged = freshBitmaps.map { case (file, vec, card) =>
+            priorByKey.get(morKeyOf(file)) match {
+              case Some(prior) =>
+                val priorPositions = DeletionVectors.readBlobAt(
+                  table.resolvePath(prior.filePath), conf,
+                  prior.contentOffset.getOrElse(sys.error(s"DV without offset: ${prior.filePath}")),
+                  prior.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${prior.filePath}")))
+                val union = (priorPositions ++ DeletionVectors.deserializePositions(vec))
+                  .distinct.sorted
+                (file, DeletionVectors.serializePositions(union), union.length.toLong,
+                  (union.length - priorPositions.length).toLong, morKeyOf(file))
+              case None => (file, vec, card, card, null: String)
+            }
+          }
+          val puffinPath = s"$url/data/${DeletionVectors.puffinName(commitId)}"
+          val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath, conf,
+            merged.map(m => (m._1, m._2, m._3)), snapshotId, commitSeq)
+          blobs.zip(merged).map { case (b, m) =>
+            (puffinPath, puffinLen, b.referencedDataFile, b.offset, b.length,
+              b.cardinality, m._4, m._5)
+          }
+        } else {
+          val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+          // prior-DV locators ship as metadata; tasks seek-read and merge
+          // where their bitmaps live (grouping puts each file's bitmap in
+          // exactly ONE partition, so ≤1 live DV per file still holds)
+          val priorLoc: Map[String, (String, Long, Long)] = priorByKey.map {
+            case (k, d) => k -> ((table.resolvePath(d.filePath),
+              d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+              d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}"))))
+          }
+          val bPrior = spark.sparkContext.broadcast(priorLoc)
+          val (u, cid, sid) = (url, commitId, snapshotId)
+          bitmaps.mapPartitions { it =>
+            val local = it.toArray.sortBy(_._1)
+            if (local.isEmpty) Iterator.empty
+            else {
+              val cfg = sconf.value
+              val merged = local.map { case (file, vec, card) =>
+                val k = org.apache.spark.sql.graftbridge.ScanBridge.morKey(file)
+                bPrior.value.get(k) match {
+                  case Some((pp, off, len)) =>
+                    val prior = DeletionVectors.readBlobAt(pp, cfg, off, len)
+                    val union = (prior ++ DeletionVectors.deserializePositions(vec))
+                      .distinct.sorted
+                    (file, DeletionVectors.serializePositions(union),
+                      union.length.toLong, (union.length - prior.length).toLong, k)
+                  case None => (file, vec, card, card, null: String)
+                }
+              }
+              // overwrite = idempotent across task retries (same partition id
+              // → same path; the commit only references the attempt that
+              // returned)
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val puffinPath = s"$u/data/$cid-p$pid-deletes.puffin"
+              val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath,
+                cfg, merged.map(m => (m._1, m._2, m._3)).toSeq, sid, commitSeq,
+                overwrite = true)
+              blobs.zip(merged).iterator.map { case (b, m) =>
+                (puffinPath, puffinLen, b.referencedDataFile, b.offset, b.length,
+                  b.cardinality, m._4, m._5)
+              }
+            }
+          }.collect().toSeq.sortBy(_._3)
+        }
+
+      val netNew = written.map(_._7).sum
+      val superseded = written.flatMap(r => Option(r._8)).distinct
+        .flatMap(priorByKey.get)
+      val supersededRows = superseded.map(_.recordCount).sum
+      val pathUtf8 = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val addedEntries = written.map { case (ppath, plen, ref, off, blen, card, _, _) =>
+        Manifests.DataFileInfo(
+          filePath = new Path(ppath).toUri.getPath,
+          fileFormat = "PUFFIN",
+          partition = Map.empty,
+          recordCount = card,
+          fileSizeInBytes = plen,
+          columnSizes = Map.empty, valueCounts = Map.empty,
+          nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+          // referenced-file bounds under the reserved id: the EXISTING
+          // pruning machinery (deleteMayApply, CDC mightHave) reads these
+          lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(ref)),
+          upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(ref)),
+          content = Manifests.FileContent.PositionDeletes,
+          referencedDataFile = Some(ref),
+          contentOffset = Some(off),
+          contentSizeInBytes = Some(blen))
       }
-    }
-
-    val puffinPath = s"$url/data/${DeletionVectors.puffinName(commitId)}"
-    val commitSeq = table.metadata.lastSequenceNumber + 1
-    val (blobs, puffinLen) = DeletionVectors.writePuffin(
-      puffinPath, conf, merged, snapshotId, commitSeq)
-
-    val pathUtf8 = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val addedEntries = blobs.map { b =>
-      Manifests.DataFileInfo(
-        filePath = new Path(puffinPath).toUri.getPath,
-        fileFormat = "PUFFIN",
-        partition = Map.empty,
-        recordCount = b.cardinality,
-        fileSizeInBytes = puffinLen,
-        columnSizes = Map.empty, valueCounts = Map.empty,
-        nullValueCounts = Map.empty, nanValueCounts = Map.empty,
-        // referenced-file bounds under the reserved id: the EXISTING
-        // pruning machinery (deleteMayApply, CDC mightHave) reads these
-        lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
-        upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
-        content = Manifests.FileContent.PositionDeletes,
-        referencedDataFile = Some(b.referencedDataFile),
-        contentOffset = Some(b.offset),
-        contentSizeInBytes = Some(b.length))
-    }
-    val manifestPath = s"$url/metadata/$commitId-mdv.avro"
-    writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
-      addedEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
-        superseded.map(e => (e, Manifests.Status.Deleted, e.dataSequence)))
-    (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
-      addedEntries.size, addedEntries.map(_.recordCount).sum,
-      superseded.size, supersededRows, Nil)), netNew)
+      val manifestPath = s"$url/metadata/$commitId-mdv.avro"
+      writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
+        addedEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
+          superseded.map(e => (e, Manifests.Status.Deleted, e.dataSequence)))
+      (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
+        addedEntries.size, addedEntries.map(_.recordCount).sum,
+        superseded.size, supersededRows, Nil)), netNew)
+    } finally bitmaps.unpersist()
   }
 
   /** Write one delete manifest of DELETION-VECTOR entries (plus DELETED /

@@ -251,7 +251,8 @@ object Maintenance {
         doomed.foreach { p => if (fs.delete(p, false)) deleted += 1 }
       }
     clean(new Path(s"$url/data"),
-      n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro"))
+      n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro") ||
+        n.endsWith(".puffin")) // DV carriers: a crashed commit orphans these too
     clean(new Path(s"$url/metadata"), _.endsWith(".avro"))
     deleted
   }
@@ -352,7 +353,14 @@ object Maintenance {
         }
         doomed.foreach(p => fs.delete(p, false))
       }
-    cleanDir(new Path(s"$url/data"), _.endsWith(".parquet"), liveData)
+    // candidates cover every data-carrier format the writer can register:
+    // parquet data/deletes, imported orc/avro, and v3 DV puffins — a
+    // superseded puffin referenced only by DELETED entries of remaining
+    // snapshots is unreachable bytes and must be collected here (orphan
+    // removal keeps it: DELETED entries still name it)
+    cleanDir(new Path(s"$url/data"),
+      n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro") ||
+        n.endsWith(".puffin"), liveData)
     cleanDir(new Path(s"$url/metadata"), _.endsWith(".avro"), liveAvro)
   }
 

@@ -44,4 +44,41 @@ class VerifySpec extends AnyFunSuite {
     assert(Verify.runOne(spark, "unused", out, "p", ok).isEmpty)
     assert(!Files.exists(Paths.get(s"$out/p._FAILED")))
   }
+
+  test("bench regression detector fires on a pinned 2x-slower baseline") {
+    // Round-13 ask: BENCH_r12 recorded a min 1.65x over the r11 baseline
+    // yet reported "regressions":[] because baseline resolution silently
+    // found nothing. This pins the whole chain: a baseline FILE resolves
+    // (explicitly and by dir scan), parses, and a synthetic 2x slowdown
+    // produces a non-empty regressions list.
+    val dir = Files.createTempDirectory("benchspec")
+    val f = dir.resolve("BENCH_r98.json")
+    Files.writeString(f,
+      """{"metric":"total","queries":{"q_a":0.3,"q_b":0.3},""" +
+        """"queries_min":{"q_a":0.20,"q_b":0.30}}""")
+
+    // explicit path wins
+    val (pExp, mExp) = Bench.loadBaseline(Nil, Some(f.toString))
+    assert(pExp.contains(f.toString) && mExp == Map("q_a" -> 0.20, "q_b" -> 0.30))
+    // dir scan resolves the NEWEST BENCH_r*.json
+    Files.writeString(dir.resolve("BENCH_r97.json"),
+      """{"queries_min":{"q_a":9.9}}""")
+    val (pScan, mScan) = Bench.loadBaseline(Seq(dir.toFile), None)
+    assert(pScan.exists(_.endsWith("BENCH_r98.json")), s"resolved: $pScan")
+    assert(mScan("q_a") == 0.20)
+    // nothing to compare against is EXPLICIT (ships as "baseline":null)
+    val (pNone, mNone) = Bench.loadBaseline(
+      Seq(Files.createTempDirectory("benchspec_empty").toFile), None)
+    assert(pNone.isEmpty && mNone.isEmpty)
+
+    // synthetic 2x slowdown on q_a fires; q_b at baseline stays quiet
+    val regs = Bench.detectRegressions(
+      Seq("q_a" -> 0.40, "q_b" -> 0.31), mScan)
+    assert(regs == Seq("q_a"), s"detector must flag the 2x entry: $regs")
+    // at exactly the 1.5x threshold nothing fires (strict >)
+    assert(Bench.detectRegressions(Seq("q_a" -> 0.30), mScan).isEmpty)
+    // a zero baseline min (failed baseline run) never flags
+    assert(Bench.detectRegressions(
+      Seq("q_z" -> 5.0), Map("q_z" -> 0.0)).isEmpty)
+  }
 }

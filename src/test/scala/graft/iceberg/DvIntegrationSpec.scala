@@ -158,6 +158,84 @@ class DvIntegrationSpec extends AnyFunSuite {
     assert(t.countFromStats() == Some(48L))
   }
 
+  test("above the byte cap, puffins write executor-side, one per partition") {
+    // Round-13 ask: the last driver-memory term proportional to a commit's
+    // deleted-row count (the compressed bitmaps) moves executor-side past
+    // `dvDriverBytesLimit` — each shuffle partition writes its own puffin
+    // and only (path, offset, length, cardinality) tuples return.
+    val url = fresh("graft_dv_exec")
+    IcebergWriter.createTable(spark, url, schema)
+    for (lo <- 0L until 8L) // 8 files of 10 keys each
+      IcebergWriter.append(spark, url,
+        (lo * 10 + 1 to lo * 10 + 10).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    spark.conf.set("spark.graft.iceberg.dvDriverBytesLimit", "0")
+    try {
+      val hit1 = (0L until 8L).map(_ * 10 + 5) // one position in EVERY file
+      IcebergWriter.deleteRows(spark, url, Pruning.In("k", hit1))
+      val t = IcebergTable.load(spark, url)
+      val dels = t.positionDeleteFiles
+      assert(dels.size == 8 && dels.forall(_.isDv), s"one DV blob per file: $dels")
+      assert(dels.flatMap(_.referencedDataFile).distinct.size == 8)
+      val puffins = dels.map(f => t.resolvePath(f.filePath)).distinct
+      assert(puffins.size >= 2,
+        s"executor mode must write one puffin per non-empty partition: $puffins")
+      assert(puffins.forall(_.matches(".*-p\\d+-deletes\\.puffin$")), s"$puffins")
+      assert(t.countFromStats() == Some(72L))
+      assert(liveKeys(url) == (1L to 80L).filterNot(hit1.contains))
+
+      // supersede under the same cap: files 0 and 1 get MERGED blobs, the
+      // other six carry through — still ≤1 live DV per data file
+      IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(6L, 16L)))
+      val t2 = IcebergTable.load(spark, url)
+      val dels2 = t2.positionDeleteFiles
+      assert(dels2.size == 8 && dels2.forall(_.isDv))
+      val perFile = dels2.groupBy(_.referencedDataFile.get)
+      assert(perFile.values.forall(_.size == 1), "≤1 live DV per data file")
+      assert(dels2.map(_.recordCount).sum == 10L)
+      assert(t2.countFromStats() == Some(70L))
+      assert(liveKeys(url) ==
+        (1L to 80L).filterNot(k => hit1.contains(k) || k == 6L || k == 16L))
+    } finally spark.conf.unset("spark.graft.iceberg.dvDriverBytesLimit")
+  }
+
+  test("expire + orphan removal: live puffin survives, superseded one is collected") {
+    val url = fresh("graft_dv_expire")
+    newV3Table(url) // snapshot 1: k = 1..100, one file
+    IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 5L)) // snapshot 2: P1
+    val t1 = IcebergTable.load(spark, url)
+    val p1 = t1.positionDeleteFiles.filter(_.isDv)
+      .map(f => t1.resolvePath(f.filePath)).distinct
+    assert(p1.size == 1)
+    IcebergWriter.deleteRows(spark, url, Pruning.GtEq("k", 95L)) // snapshot 3: P2 supersedes P1
+    val t2 = IcebergTable.load(spark, url)
+    val p2 = t2.positionDeleteFiles.filter(_.isDv)
+      .map(f => t2.resolvePath(f.filePath)).distinct
+    assert(p2.size == 1 && p2 != p1, "supersede must move to a fresh puffin")
+
+    // ORPHAN removal: P1 is still named by snapshot 2 (Added) and by the
+    // head's DELETED entry — referenced, kept. A stray puffin from a
+    // crashed commit is referenced by nothing — collected (pre-round-13,
+    // .puffin was not even a candidate and leaked forever).
+    val stray = new java.io.File(s"$url/data/00000-dead-crashed.puffin")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](0x50, 0x46, 0x41, 0x31))
+    stray.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    Maintenance.removeOrphans(spark, url)
+    assert(!stray.exists, "unreferenced orphan puffin must be collected")
+    assert(new java.io.File(p1.head).exists && new java.io.File(p2.head).exists,
+      "referenced puffins must survive orphan removal")
+
+    // EXPIRE to the head: P1 is then referenced only by the head's DELETED
+    // entry — unreachable bytes, physically collected; the live P2 survives
+    // and the merged read stays exact.
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    assert(!new java.io.File(p1.head).exists,
+      "superseded puffin from an expired snapshot must be collected")
+    assert(new java.io.File(p2.head).exists, "live puffin must survive expiry")
+    assert(liveKeys(url) == (5L to 94L))
+    assert(IcebergTable.load(spark, url).countFromStats() == Some(90L))
+  }
+
   test("merge (upsert by position) writes DVs on a v3 table") {
     val url = fresh("graft_dv_merge")
     newV3Table(url, n = 20L)
