@@ -138,11 +138,25 @@ object IceQueries {
       // after the finally restores the threshold), so probing via the read
       // alone would assert before any decode ran. The decoded entries land
       // in the manifest cache, so the subsequent plan stays warm.
+      val t0 = System.nanoTime()
       t.liveFiles()
+      val planningMs = (System.nanoTime() - t0) / 1e6
       val after = graft.iceberg.Manifests.distributedDecodeJobs.get()
       require(after > before,
         "distributed manifest decode did not run under threshold=0")
+      // metadata-plane TELEMETRY surfaces through the contract output
+      // (round-13 ask): live-file count and decoded-stats footprint pin as
+      // oracle columns, the wall-time only as a generous ceiling (a tight
+      // one would flake on a loaded VM; a blown one means planning fell off
+      // a scalability cliff and the correctness gate SHOULD go red).
+      val liveFiles = graft.iceberg.IcebergTable.lastPlanningFiles.get()
+      val statsBytes = graft.iceberg.IcebergTable.lastPlanningStatsBytes.get()
+      require(planningMs < 60000,
+        f"fixture scan planning took $planningMs%.0f ms — metadata-plane regression")
       t.read().orderBy("name")
+        .withColumn("live_files", lit(liveFiles))
+        .withColumn("stats_bytes_positive", lit(statsBytes > 0))
+        .withColumn("decode_jobs_ran", lit(after > before))
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
@@ -409,6 +423,54 @@ object IceQueries {
       .withColumn("rows_before", lit(t.snapshotRelative(-1).read().count()))
       .withColumn("operation", lit(t.summary.getOrElse("operation", "")))
       .orderBy("k")
+  }
+
+  /** Iceberg v3 READ TOLERANCE (round-13): a v3 table whose schema grows
+    * an `unknown` column and nanosecond-timestamp columns AFTER data was
+    * written must keep reading — `unknown` is the v3 always-null
+    * placeholder (NullType), ns timestamps surface as raw int64 nanos
+    * (and read null from pre-add files) — and v4 metadata is REFUSED
+    * instead of misread. The oracle reads the written parquet back and
+    * pins the tolerance facts as literals. */
+  def iceV3Types(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, TableMetadata}
+    val url = java.nio.file.Files.createTempDirectory("graft_v3t").toString + "/t"
+    val src = s.read.parquet(s"$dir/region.parquet")
+      .select("r_regionkey", "r_name")
+    IcebergWriter.createTable(s, url, src.schema)
+    IcebergWriter.append(s, url, src.coalesce(1))
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.addColumn(s, url, "u", "unknown")
+    IcebergWriter.addColumn(s, url, "ts_ns", "timestamp_ns")
+    IcebergWriter.addColumn(s, url, "tstz_ns", "timestamptz_ns")
+    val t = IcebergTable.load(s, url)
+    val st = t.schema
+    require(st("u").dataType == org.apache.spark.sql.types.NullType &&
+      st("ts_ns").dataType == org.apache.spark.sql.types.LongType &&
+      st("tstz_ns").dataType == org.apache.spark.sql.types.LongType,
+      s"v3 tolerance mapping broke: $st")
+    // a v4 doctoring of the SAME metadata must refuse, not misread
+    val metaJson = {
+      val p = java.nio.file.Paths.get(s"$url/metadata/v${t.version}.metadata.json")
+      java.nio.file.Files.readString(p)
+    }
+    val v4Refused = scala.util.Try(TableMetadata.parse(
+      metaJson.replaceFirst("\"format-version\"\\s*:\\s*3", "\"format-version\": 4")))
+      .failed.toOption.exists(_.getMessage.contains("format-version 4"))
+    val dataFiles = t.liveFiles().map(f => t.resolvePath(f.filePath))
+    dynamicOracle("ice_v3_types") =
+      s"""SELECT r_regionkey, r_name, TRUE AS u_null, TRUE AS ts_ns_null,
+         |  TRUE AS tstz_ns_null, TRUE AS v4_refused,
+         |  CAST(3 AS INTEGER) AS format_version
+         |FROM read_parquet(${sqlPaths(dataFiles)}) ORDER BY r_regionkey""".stripMargin
+    t.read()
+      .select(col("r_regionkey"), col("r_name"),
+        col("u").isNull.as("u_null"),
+        col("ts_ns").isNull.as("ts_ns_null"),
+        col("tstz_ns").isNull.as("tstz_ns_null"))
+      .withColumn("v4_refused", lit(v4Refused))
+      .withColumn("format_version", lit(t.metadata.formatVersion))
+      .orderBy("r_regionkey")
   }
 
   /** Iceberg v3 DELETION VECTORS: two overlapping row-level deletes on a
@@ -1339,6 +1401,14 @@ object IceQueries {
   private def dvBenchPath(dir: String): String =
     s"/tmp/graft_bench_dv_${Integer.toHexString(dir.hashCode)}/t"
 
+  private def cdcBenchPath(dir: String): String =
+    s"/tmp/graft_bench_cdc_${Integer.toHexString(dir.hashCode)}/t"
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
   /** Bench-only body: full merge-on-read scan of the v3 lineitem table the
     * setup built — measures the DELETION-VECTOR read path (blob-offset
     * ranged reads + columnar selection views) at the benchmark SF, the
@@ -1346,7 +1416,16 @@ object IceQueries {
     * scan alone; table build + DV delete happen in [[benchSetup]]. */
   val benchOps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_mor_dv_read" -> ((s, dir) =>
-      graft.iceberg.IcebergTable.load(s, dvBenchPath(dir)).read()))
+      graft.iceberg.IcebergTable.load(s, dvBenchPath(dir)).read()),
+    // Full-history CDC changelog over a multi-commit table with BOTH delete
+    // kinds (parquet position deletes + equality deletes) — the number the
+    // rounds-10..12 CDC planning work answers to. Timed work is changelog
+    // planning + emission alone; the table builds in benchSetup.
+    "ice_cdc_read" -> ((s, dir) => {
+      val t = graft.iceberg.IcebergTable.load(s, cdcBenchPath(dir))
+      t.changelog(t.metadata.snapshots.head.snapshotId,
+        t.currentSnapshot.snapshotId)
+    }))
 
   val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
     "ice_mor_dv_read" -> ((s, dir) => {
@@ -1371,16 +1450,36 @@ object IceQueries {
       val t = graft.iceberg.IcebergTable.load(s, url)
       require(t.positionDeleteFiles.nonEmpty && t.positionDeleteFiles.forall(_.isDv),
         "DV bench setup must leave deletion vectors to measure")
+    }),
+    "ice_cdc_read" -> ((s, dir) => {
+      import graft.iceberg.{IcebergWriter, Pruning}
+      val url = cdcBenchPath(dir)
+      val root = new java.io.File(url).getParentFile
+      if (root.exists()) rmTree(root)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      IcebergWriter.createTable(s, url, o.schema)
+      IcebergWriter.append(s, url, o.repartition(8)) // commit 1: inserts
+      // commit 2: position deletes splitting files across the table
+      IcebergWriter.deleteRows(s, url, Pruning.Lt("o_totalprice", 5000.0))
+      // commit 3: equality-delete upsert of ~1% of keys
+      IcebergWriter.upsert(s, url,
+        o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderstatus", lit("U")), Seq("o_orderkey"))
+      // commit 4: a second position-delete commit (per-commit delete files)
+      IcebergWriter.deleteRows(s, url,
+        Pruning.And(Pruning.GtEq("o_totalprice", 5000.0),
+          Pruning.Lt("o_totalprice", 8000.0)))
+      val t = graft.iceberg.IcebergTable.load(s, url)
+      require(t.positionDeleteFiles.nonEmpty && t.equalityDeleteFiles.nonEmpty,
+        "CDC bench setup must leave both delete kinds to measure")
     }))
 
   val benchTeardown: Map[String, (SparkSession, String) => Unit] = Map(
-    "ice_mor_dv_read" -> ((s, dir) => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(dvBenchPath(dir)).getParentFile)
-    }))
+    "ice_mor_dv_read" -> ((s, dir) =>
+      rmTree(new java.io.File(dvBenchPath(dir)).getParentFile)),
+    "ice_cdc_read" -> ((s, dir) =>
+      rmTree(new java.io.File(cdcBenchPath(dir)).getParentFile)))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_stats_agg"        -> (iceStatsAgg _),
@@ -1396,6 +1495,7 @@ object IceQueries {
     "ice_write_delete_rows" -> (iceWriteDeleteRows _),
     "ice_write_dv"         -> (iceWriteDv _),
     "ice_dv_rewrite"       -> (iceDvRewrite _),
+    "ice_v3_types"         -> (iceV3Types _),
     "ice_defaults"         -> (iceDefaults _),
     "ice_row_lineage"      -> (iceRowLineage _),
     "ice_write_merge"      -> (iceWriteMerge _),
@@ -1462,7 +1562,9 @@ object IceQueries {
         |FROM customer WHERE c_custkey <= 600
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "ice_read_all" ->
-      s"${fixtureScan(liveCurrent, "name, age, email")} ORDER BY name",
+      s"""SELECT name, age, email, CAST(5 AS BIGINT) AS live_files,
+         |TRUE AS stats_bytes_positive, TRUE AS decode_jobs_ran
+         |FROM (${fixtureScan(liveCurrent, "name, age, email")}) ORDER BY name""".stripMargin,
     "ice_read_filtered" ->
       s"${fixtureScan(liveCurrent, "name, age, email")} WHERE age > 30 ORDER BY name",
     "ice_sql_source" ->

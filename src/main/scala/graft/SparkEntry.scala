@@ -71,6 +71,8 @@ object SparkEntry {
     "mm_features", "pipe_line_dedup",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
-    // Placed before sim_topk_sq_ann, which stays LAST by design.
-    "ice_mor_dv_read", "sim_topk_sq_ann")
+    // NEW in round 13: ice_cdc_read — full-history CDC changelog over a
+    // multi-commit table with position + equality deletes (untimed build).
+    // Both placed before sim_topk_sq_ann, which stays LAST by design.
+    "ice_mor_dv_read", "ice_cdc_read", "sim_topk_sq_ann")
 }

@@ -71,6 +71,16 @@ object IcebergTypes {
     case "timestamp"           => TimestampNTZType
     case "timestamptz"         => TimestampType
     case "timestampz"          => TimestampType // reference's spelling, conversions.py:38
+    // v3 READ TOLERANCE: `unknown` is the always-null placeholder type (v3
+    // spec "Primitive Types") — NullType reads as null everywhere and no
+    // file ever materializes the column. Nanosecond timestamps exceed
+    // Spark's µs timestamp range, so they surface HONESTLY as raw
+    // nanos-since-epoch longs (the spec's physical representation) rather
+    // than silently truncating; writes of these types are refused by
+    // encodeBound/defaults.
+    case "unknown"             => NullType
+    case "timestamp_ns"        => LongType
+    case "timestamptz_ns"      => LongType
     case "string"              => StringType
     case "uuid"                => StringType
     case "binary"              => BinaryType
@@ -138,7 +148,8 @@ object IcebergTypes {
     icebergType match {
       case "boolean" => bytes.nonEmpty && bytes(0) != 0
       case "int" | "date" => le.getInt.toLong
-      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" => le.getLong
+      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz"
+         | "timestamp_ns" | "timestamptz_ns" => le.getLong // ns: raw int64 nanos
       case "float" => le.getFloat.toDouble
       case "double" => le.getDouble
       case "string" => new String(bytes, StandardCharsets.UTF_8)

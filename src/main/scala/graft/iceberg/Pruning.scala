@@ -116,10 +116,12 @@ object Pruning {
               .forall { pf =>
                 file.partition.get(pf.name).filter(_ != null) match {
                   case Some(pv) =>
-                    val transform = Transforms.parse(pf.transform)
-                    val boundType = transform.resultType(f.icebergType)
-                    transformedRangeMightMatch(other, pv, pv,
-                      f.icebergType, boundType, transform)
+                    // unknown transform (v3 multi-arg etc.): keep — sound
+                    Transforms.parseOption(pf.transform).forall { transform =>
+                      val boundType = transform.resultType(f.icebergType)
+                      transformedRangeMightMatch(other, pv, pv,
+                        f.icebergType, boundType, transform)
+                    }
                   case None => true
                 }
               }
@@ -169,7 +171,8 @@ object Pruning {
             // exclude NaN; prune only when contains_nan is known false
             if (nanSensitive(other, srcType) && !summary.containsNan.contains(false))
               return true
-            val transform = Transforms.parse(pf.transform)
+            // unknown transform (v3 multi-arg etc.): keep the manifest — sound
+            val transform = Transforms.parseOption(pf.transform).getOrElse(return true)
             val boundType = transform.resultType(srcType)
             (summary.lowerBound, summary.upperBound) match {
               case (Some(lo), Some(hi)) =>

@@ -47,7 +47,14 @@ final case class IceSchema(schemaId: Int, fields: Seq[SchemaField]) {
   })
 }
 
-final case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: String)
+final case class PartitionField(sourceId: Int, fieldId: Int, name: String,
+    transform: String,
+    /** v3 multi-argument transforms list their sources as `source-ids`;
+      * non-empty only when the metadata carried that form. A true
+      * multi-source field parses with sourceId = -1: no schema field
+      * matches it, so pruning never rewrites predicates through it (sound
+      * read tolerance) and writer spec resolution refuses loudly. */
+    sourceIds: Seq[Int] = Nil)
 
 final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
 
@@ -138,6 +145,14 @@ object TableMetadata {
   def fromNode(root: JsonNode): TableMetadata = {
     def optNode(name: String): Option[JsonNode] = Option(root.get(name)).filterNot(_.isNull)
 
+    // refuse format versions beyond what this reader implements INSTEAD of
+    // misreading them — a v4 table's metadata may demand semantics (new
+    // manifest fields, new delete carriers) that silently parsing as v3
+    // would corrupt
+    val fv = root.get("format-version").asInt
+    require(fv >= 1 && fv <= 3,
+      s"unsupported iceberg format-version $fv (this reader implements 1-3)")
+
     val schemas: Seq[IceSchema] = optNode("schemas") match {
       case Some(arr) => arr.elements().asScala.map(parseSchema).toSeq
       case None => // v1 metadata may carry only a single "schema"
@@ -213,12 +228,20 @@ object TableMetadata {
     PartitionSpec(node.get("spec-id").asInt,
       node.get("fields").elements().asScala.map(parsePartitionField).toSeq)
 
-  private def parsePartitionField(f: JsonNode): PartitionField =
+  private def parsePartitionField(f: JsonNode): PartitionField = {
+    val multi = Option(f.get("source-ids"))
+      .map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil)
     PartitionField(
-      sourceId = f.get("source-id").asInt,
+      // v3 multi-argument transforms replace `source-id` with `source-ids`;
+      // a single-element list degrades to that source, a genuine
+      // multi-source field gets -1 (see PartitionField doc)
+      sourceId = Option(f.get("source-id")).map(_.asInt).getOrElse(
+        if (multi.size == 1) multi.head else -1),
       fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(-1),
       name = f.get("name").asText,
-      transform = f.get("transform").asText)
+      transform = f.get("transform").asText,
+      sourceIds = multi)
+  }
 
   private def parseSnapshot(node: JsonNode): Snapshot =
     Snapshot(

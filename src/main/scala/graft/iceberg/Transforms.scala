@@ -137,6 +137,13 @@ object Transforms {
     case other => throw new IllegalArgumentException(s"unknown transform: $other")
   }
 
+  /** Read-tolerant parse: None for transform names this engine cannot
+    * evaluate (e.g. a v3 multi-argument transform). Pruning then keeps the
+    * file — sound — instead of failing the whole scan; WRITE paths keep
+    * using [[parse]] so they refuse loudly. */
+  def parseOption(name: String): Option[Transform] =
+    scala.util.Try(parse(name)).toOption
+
   /** Murmur3_x86_32, seed 0 — the hash the Iceberg spec mandates for bucket
     * transforms. Implemented from the public algorithm description. */
   object Murmur3 {

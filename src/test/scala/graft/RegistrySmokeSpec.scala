@@ -37,6 +37,20 @@ class RegistrySmokeSpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracleSql keys without a query: $dangling")
   }
 
+  test("README's published query count matches the registry") {
+    // the count appears as a literal in prose; the registry is the truth —
+    // r12 shipped a three-line drift (107 vs 112), so the doc is now pinned
+    val n = SparkEntry.queries.size
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val claims = """\((\d+) operators\)|ALL (\d+) value-checked|The (\d+)-query contract""".r
+      .findAllMatchIn(readme)
+      .flatMap(m => Seq(m.group(1), m.group(2), m.group(3)).filter(_ != null))
+      .map(_.toInt).toSeq
+    assert(claims.nonEmpty, "README no longer states the query count — update this spec")
+    assert(claims.forall(_ == n),
+      s"README claims query counts $claims but the registry holds $n — update README.md")
+  }
+
   /** The ONLY queries allowed to plan a cartesian/nested-loop join, each
     * for a documented reason — everything else planning one fails the
     * suite (at 100 TB an accidental cross join is a cluster-killer, so the

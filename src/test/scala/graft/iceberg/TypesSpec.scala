@@ -82,4 +82,53 @@ class TypesSpec extends AnyFunSuite {
     assert(st("tags").dataType == ArrayType(StringType, containsNull = true))
     assert(st("props").dataType == MapType(StringType, LongType, valueContainsNull = true))
   }
+
+  test("v3 read tolerance: unknown + nanosecond timestamps; hard types still refuse") {
+    // `unknown` is the v3 always-null placeholder — reads as NullType
+    assert(primitiveToSpark("unknown") == NullType)
+    // ns timestamps exceed Spark's µs range: surface raw int64 nanos
+    assert(primitiveToSpark("timestamp_ns") == LongType)
+    assert(primitiveToSpark("timestamptz_ns") == LongType)
+    val ns = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(1510871468123456789L).array()
+    assert(decodeBound(ns, "timestamp_ns") == 1510871468123456789L)
+    assert(decodeBound(ns, "timestamptz_ns") == 1510871468123456789L)
+    // genuinely unsupported types keep refusing loudly, not misreading
+    intercept[IllegalArgumentException](primitiveToSpark("geometry"))
+    intercept[IllegalArgumentException](encodeBound(1L, "unknown"))
+  }
+
+  test("v3 metadata tolerance: multi-arg transforms parse, v4 is refused") {
+    val meta = TableMetadata.parse(
+      """{"format-version":3,"location":"/tmp/x","last-updated-ms":0,
+         "current-schema-id":0,
+         "schemas":[{"schema-id":0,"fields":[
+           {"id":1,"name":"a","required":false,"type":"string"},
+           {"id":2,"name":"b","required":false,"type":"long"},
+           {"id":3,"name":"u","required":false,"type":"unknown"},
+           {"id":4,"name":"t","required":false,"type":"timestamp_ns"}]}],
+         "default-spec-id":0,
+         "partition-specs":[{"spec-id":0,"fields":[
+           {"source-ids":[1,2],"field-id":1000,"name":"z","transform":"zorder"},
+           {"source-ids":[2],"field-id":1001,"name":"b1","transform":"identity"},
+           {"source-id":1,"field-id":1002,"name":"a1","transform":"identity"}]}],
+         "current-snapshot-id":-1,"snapshots":[],"properties":{},
+         "next-row-id":0}""")
+    val pf = meta.partitionSpecs.head.fields
+    // multi-source: no single schema field matches -> pruning/writes skip it
+    assert(pf(0).sourceId == -1 && pf(0).sourceIds == Seq(1, 2))
+    // single-element source-ids degrades to that source
+    assert(pf(1).sourceId == 2 && pf(1).sourceIds == Seq(2))
+    assert(pf(2).sourceId == 1 && pf(2).sourceIds.isEmpty)
+    // unknown transform names parse read-tolerantly, never evaluate
+    assert(Transforms.parseOption("zorder").isEmpty)
+    assert(Transforms.parseOption("bucket[4]").isDefined)
+    // the schema with v3 types converts
+    val st = meta.schemas.head.toSpark
+    assert(st("u").dataType == NullType && st("t").dataType == LongType)
+    // a format version past this reader REFUSES instead of misreading
+    val v4 = intercept[IllegalArgumentException](TableMetadata.parse(
+      """{"format-version":4,"location":"/tmp/x"}"""))
+    assert(v4.getMessage.contains("format-version 4"))
+  }
 }
