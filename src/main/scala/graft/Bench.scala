@@ -92,11 +92,20 @@ object Bench {
     // with "regressions":[] and nothing in the artifact explained why (the
     // runner's cwd held no BENCH_r*.json, so detection silently compared
     // against nothing). The repo dir is now a fallback search root.
-    val (baselinePath, baseline) = loadBaseline(
+    val (baselinePath, baseline, baselineSf) = loadBaseline(
       Seq(new java.io.File("."), new java.io.File("/root/repo")),
       sys.env.get("SPARK_GRAFT_BENCH_BASELINE"))
-    val regressions = detectRegressions(
-      results.collect { case (k, _, minT, _, None) => (k, minT) }, baseline)
+    // an SF-mismatched baseline (a local sf0.001 iteration run against the
+    // driver's sf0.1 artifact) would flag EVERY query — compare same-SF only
+    val curSf = sfNumber(sfDir)
+    val comparable = (baselineSf, curSf) match {
+      case (Some(b), Some(c)) => math.abs(b - c) < 1e-9
+      case _ => true // unknown on either side: compare (legacy artifacts)
+    }
+    val regressions =
+      if (!comparable) Nil
+      else detectRegressions(
+        results.collect { case (k, _, minT, _, None) => (k, minT) }, baseline)
     // A failed query must never read as a speedup: report per-query errors
     // and exit non-zero so the driver records the regression.
     def obj(f: ((String, Double, Double, Double, Option[String])) => String) =
@@ -116,14 +125,20 @@ object Bench {
     if (failed > 0) sys.exit(1)
   }
 
+  /** "sf0.1" etc. from a path or metric string → Some(0.1). */
+  def sfNumber(s: String): Option[Double] =
+    "sf([0-9.]+[0-9])".r.findFirstMatchIn(s)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+
   /** Resolve the regression baseline: an explicit path wins; otherwise the
     * newest `BENCH_r*.json` found across `searchDirs` (first dir with any
     * hit wins — the runner's cwd, then the repo home). Returns the RESOLVED
     * path (None = nothing to compare against, which the JSON line records
-    * explicitly) and the per-query min seconds parsed from it. Factored out
-    * of main so a spec can prove detection fires on a pinned baseline. */
+    * explicitly), the per-query min seconds parsed from it, and the
+    * baseline's scale factor when recorded. Factored out of main so a spec
+    * can prove detection fires on a pinned baseline. */
   def loadBaseline(searchDirs: Seq[java.io.File], explicit: Option[String])
-      : (Option[String], Map[String, Double]) = {
+      : (Option[String], Map[String, Double], Option[Double]) = {
     val path = explicit.orElse {
       searchDirs.iterator.map { d =>
         Option(d.listFiles()).toSeq.flatten
@@ -131,18 +146,38 @@ object Bench {
           .sortBy(_.getName).lastOption.map(_.getPath)
       }.collectFirst { case Some(p) => p }
     }
-    val mins = path.flatMap { p =>
+    val parsed = path.flatMap { p =>
       scala.util.Try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(p))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val raw = mapper.readTree(new java.io.File(p))
+        // the DRIVER's BENCH_r*.json wraps our line as {"n","rc",...,
+        // "parsed":{...}} — r12's silent non-detection was exactly this:
+        // queries_min is absent at the top level, so the baseline parsed
+        // to an EMPTY map and detection compared against nothing. And when
+        // stderr noise breaks the driver's own parse, "parsed" is null and
+        // the line only survives inside the "tail" string — recover it.
+        val root =
+          if (raw.has("queries_min") || raw.has("queries")) raw
+          else if (raw.has("parsed") && raw.get("parsed").isObject) raw.get("parsed")
+          else if (raw.has("tail")) {
+            val t = raw.get("tail").asText
+            val i = t.indexOf("{\"metric\"")
+            require(i >= 0, "no bench line in tail")
+            mapper.readTree(t.substring(i, t.lastIndexOf('}') + 1))
+          } else raw
         val node = if (root.has("queries_min")) root.get("queries_min")
           else root.get("queries") // older rounds published medians only
         val m = Map.newBuilder[String, Double]
         node.properties().forEach(e => m += e.getKey -> e.getValue.asDouble)
-        m.result()
+        // sf: our line records a path string ("/root/testdata/sf0.1"),
+        // the driver wrapper a bare number (0.1)
+        val sf = Option(raw.get("sf")).orElse(Option(root.get("sf"))).flatMap { n =>
+          if (n.isNumber) Some(n.asDouble) else sfNumber(n.asText)
+        }
+        (m.result(), sf)
       }.toOption
-    }.getOrElse(Map.empty)
-    (path, mins)
+    }
+    (path, parsed.map(_._1).getOrElse(Map.empty), parsed.flatMap(_._2))
   }
 
   /** Queries whose successful-run MIN exceeds `factor`× the baseline min.

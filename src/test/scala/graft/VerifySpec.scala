@@ -58,18 +58,42 @@ class VerifySpec extends AnyFunSuite {
         """"queries_min":{"q_a":0.20,"q_b":0.30}}""")
 
     // explicit path wins
-    val (pExp, mExp) = Bench.loadBaseline(Nil, Some(f.toString))
+    val (pExp, mExp, _) = Bench.loadBaseline(Nil, Some(f.toString))
     assert(pExp.contains(f.toString) && mExp == Map("q_a" -> 0.20, "q_b" -> 0.30))
     // dir scan resolves the NEWEST BENCH_r*.json
     Files.writeString(dir.resolve("BENCH_r97.json"),
       """{"queries_min":{"q_a":9.9}}""")
-    val (pScan, mScan) = Bench.loadBaseline(Seq(dir.toFile), None)
+    val (pScan, mScan, _) = Bench.loadBaseline(Seq(dir.toFile), None)
     assert(pScan.exists(_.endsWith("BENCH_r98.json")), s"resolved: $pScan")
     assert(mScan("q_a") == 0.20)
     // nothing to compare against is EXPLICIT (ships as "baseline":null)
-    val (pNone, mNone) = Bench.loadBaseline(
+    val (pNone, mNone, _) = Bench.loadBaseline(
       Seq(Files.createTempDirectory("benchspec_empty").toFile), None)
     assert(pNone.isEmpty && mNone.isEmpty)
+
+    // the DRIVER's wrapper shape {"n","rc",...,"parsed":{...}} must parse
+    // too — r12's silent non-detection was queries_min hiding under
+    // "parsed" while the loader looked only at the top level
+    val wrapped = dir.resolve("BENCH_r99.json")
+    Files.writeString(wrapped,
+      """{"n":12,"rc":0,"cpus":32,"sf":0.1,"tail":"...","parsed":{""" +
+        """"queries_min":{"q_a":0.20,"q_b":0.30}}}""")
+    val (pWrap, mWrap, sfWrap) = Bench.loadBaseline(Seq(dir.toFile), None)
+    assert(pWrap.exists(_.endsWith("BENCH_r99.json")))
+    assert(mWrap == Map("q_a" -> 0.20, "q_b" -> 0.30),
+      s"driver-wrapped baseline must parse: $mWrap")
+    // sf travels out so main can refuse cross-SF comparison
+    assert(sfWrap.contains(0.1), s"baseline sf must parse: $sfWrap")
+    assert(Bench.sfNumber("/root/testdata/sf0.001").contains(0.001))
+    // ...and the driver's PARSE-FAILED shape ("parsed":null, line buried in
+    // "tail" behind stderr noise) — the actual on-disk form of BENCH_r12
+    val tailOnly = dir.resolve("BENCH_r99.json") // overwrite newest
+    Files.writeString(tailOnly,
+      """{"n":12,"rc":0,"parsed":null,"tail":"WARN blas noise\n[info] """ +
+        """{\"metric\":\"total\",\"queries_min\":{\"q_a\":0.20,\"q_b\":0.30}}"}""")
+    val (_, mTail, _) = Bench.loadBaseline(Seq(dir.toFile), None)
+    assert(mTail == Map("q_a" -> 0.20, "q_b" -> 0.30),
+      s"tail-buried baseline must parse: $mTail")
 
     // synthetic 2x slowdown on q_a fires; q_b at baseline stays quiet
     val regs = Bench.detectRegressions(
