@@ -473,6 +473,42 @@ object IceQueries {
       .orderBy("r_regionkey")
   }
 
+  /** Iceberg v3 VARIANT type: semi-structured payloads as a first-class
+    * column. `createTable` auto-raises the table to format v3 (variant is
+    * a v3-only type, and v3 metadata gets next-row-id from birth); Spark's
+    * parquet variant group writes field-id-stamped and reads back through
+    * the DSv2 scan; typed access via `variant_get`, full JSON via
+    * `to_json`. The oracle recomputes every output — including the JSON
+    * text, byte for byte — from the SOURCE parquet in DuckDB. */
+  def iceVariant(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val url = java.nio.file.Files.createTempDirectory("graft_var").toString + "/t"
+    val withVar = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        expr("parse_json(to_json(struct(doc_id, lang, n_chars)))").as("payload"))
+    IcebergWriter.createTable(s, url, withVar.schema)
+    val t0 = IcebergTable.load(s, url)
+    require(t0.metadata.formatVersion == 3 && t0.metadata.nextRowId.isDefined,
+      s"variant schema must birth a v3 table with next-row-id, got v${t0.metadata.formatVersion}")
+    IcebergWriter.append(s, url, withVar.coalesce(2))
+    val t = IcebergTable.load(s, url)
+    require(t.schema("payload").dataType == org.apache.spark.sql.types.VariantType,
+      s"variant must read back as VariantType: ${t.schema("payload").dataType}")
+    dynamicOracle("ice_variant") =
+      """SELECT doc_id, lang, n_chars,
+        |  '{"doc_id":' || doc_id || ',"lang":"' || lang ||
+        |  '","n_chars":' || n_chars || '}' AS js,
+        |  CAST(3 AS INTEGER) AS format_version
+        |FROM documents ORDER BY doc_id""".stripMargin
+    t.read()
+      .select(col("doc_id"),
+        expr("variant_get(payload, '$.lang', 'string')").as("lang"),
+        expr("variant_get(payload, '$.n_chars', 'long')").as("n_chars"),
+        to_json(col("payload")).as("js"))
+      .withColumn("format_version", lit(t.metadata.formatVersion))
+      .orderBy("doc_id")
+  }
+
   /** Iceberg v3 DELETION VECTORS: two overlapping row-level deletes on a
     * v3 table — the second supersedes the first file's DV with a MERGED
     * roaring bitmap (prior ∪ fresh), leaving exactly one live DV. The
@@ -1496,6 +1532,7 @@ object IceQueries {
     "ice_write_dv"         -> (iceWriteDv _),
     "ice_dv_rewrite"       -> (iceDvRewrite _),
     "ice_v3_types"         -> (iceV3Types _),
+    "ice_variant"          -> (iceVariant _),
     "ice_defaults"         -> (iceDefaults _),
     "ice_row_lineage"      -> (iceRowLineage _),
     "ice_write_merge"      -> (iceWriteMerge _),

@@ -81,6 +81,9 @@ object IcebergTypes {
     case "unknown"             => NullType
     case "timestamp_ns"        => LongType
     case "timestamptz_ns"      => LongType
+    // v3 VARIANT: first-class — Spark's VariantType shares the same parquet
+    // group encoding (metadata/value), so writes and reads round-trip
+    case "variant"             => VariantType
     case "string"              => StringType
     case "uuid"                => StringType
     case "binary"              => BinaryType

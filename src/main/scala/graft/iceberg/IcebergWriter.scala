@@ -46,7 +46,21 @@ object IcebergWriter {
     case TimestampType => "timestamptz"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case BinaryType => "binary"
+    // Iceberg v3 VARIANT ↔ Spark VariantType: Spark's parquet writer emits
+    // the variant group (metadata/value), field-id-stamped at the column
+    // root, which is exactly the v3 storage shape; createTable raises the
+    // table to format v3 when the schema demands it
+    case VariantType => "variant"
     case other => throw new IllegalArgumentException(s"unsupported write type: $other")
+  }
+
+  /** Does the type (recursively) demand Iceberg format v3? */
+  private def needsV3(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case s: StructType => s.fields.exists(f => needsV3(f.dataType))
+    case a: ArrayType => needsV3(a.elementType)
+    case m: MapType => needsV3(m.keyType) || needsV3(m.valueType)
+    case _ => false
   }
 
   /** Create an empty table (no snapshot; current-snapshot-id = -1).
@@ -60,7 +74,15 @@ object IcebergWriter {
       sortOrder: Seq[(String, String)] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
+    // VARIANT columns demand format v3 from birth (v3-only type); v3
+    // metadata must then carry next-row-id (row lineage) and the sequence
+    // counter from the first byte, or strict external readers reject it
+    val v3Schema = schema.fields.exists(f => needsV3(f.dataType))
+    meta.put("format-version", if (v3Schema) 3 else 1)
+    if (v3Schema) {
+      meta.put("next-row-id", 0L)
+      meta.put("last-sequence-number", 0L)
+    }
     meta.put("table-uuid", UUID.randomUUID().toString)
     meta.put("location", url)
     meta.put("last-updated-ms", System.currentTimeMillis())
@@ -846,13 +868,18 @@ object IcebergWriter {
         * starting `write-default`. v3 only; REQUIRED adds demand one (the
         * pre-add files otherwise hold an impossible null). */
       default: Option[Any] = None): Unit = {
-    if (default.isDefined || required) {
+    // v3-ONLY types may not land in v1/v2 metadata (external readers would
+    // reject or misread the whole table)
+    val v3OnlyType = Set("variant", "unknown", "timestamp_ns", "timestamptz_ns")
+    if (default.isDefined || required || v3OnlyType(icebergType)) {
       val t = resolveCurrent(spark, url)
       require(default.isDefined || !required,
         s"adding REQUIRED column $name needs a default value: rows in " +
           "pre-add files have no value for it (Iceberg v3 rule)")
       require(t.metadata.formatVersion >= 3,
-        s"default values are an Iceberg v3 feature; run upgradeFormatVersion" +
+        (if (v3OnlyType(icebergType)) s"type $icebergType is" else
+          "default values are") +
+          " an Iceberg v3 feature; run upgradeFormatVersion" +
           s"(url, 3) first (table is v${t.metadata.formatVersion})")
     }
     evolveSchema(spark, url) { (fields, lastColumnId) =>
