@@ -220,4 +220,28 @@ class PathCatalogSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT * FROM $cat.db.m.snapshots").count() == 3)
     }
   }
+
+  test("VARIANT through SQL DDL + DML: create births v3, insert + variant_get") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.vt (k BIGINT, v VARIANT)")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val ice = graft.iceberg.IcebergTable.load(spark, s"$wh/db/vt")
+      assert(ice.metadata.formatVersion == 3,
+        "SQL DDL with a VARIANT column must birth a v3 table")
+      assert(ice.iceSchema.fields.find(_.name == "v").get.icebergTypeString == "variant")
+      spark.sql(s"INSERT INTO $cat.db.vt " +
+        """SELECT 1L, parse_json('{"a":7,"b":"x"}') """ +
+        """UNION ALL SELECT 2L, parse_json('[1,2]')""")
+      val got = spark.sql(
+        s"SELECT k, to_json(v), variant_get(v, '$$.a', 'long') FROM $cat.db.vt ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(got == Seq((1L, """{"a":7,"b":"x"}""", 7L), (2L, "[1,2]", -1L)), got)
+      // row-level SQL DML composes: v3 table -> deletion vectors
+      spark.sql(s"DELETE FROM $cat.db.vt WHERE k = 2")
+      assert(spark.table(s"$cat.db.vt").count() == 1)
+      val after = graft.iceberg.IcebergTable.load(spark, s"$wh/db/vt")
+      assert(after.positionDeleteFiles.forall(_.isDv))
+    }
+  }
 }
