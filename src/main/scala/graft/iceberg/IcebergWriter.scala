@@ -102,7 +102,14 @@ object IcebergWriter {
       (0 until fs.size).map(i =>
         fs.get(i).get("name").asText -> fs.get(i).get("id").asInt).toMap
     }
+    // variant has no defined ordering or single-value form: the spec allows
+    // it neither as a partition source nor a sort key — refuse at create
+    val variantCols = schema.fields.collect {
+      case f if needsV3(f.dataType) => f.name
+    }.toSet
     partitions.zipWithIndex.foreach { case ((src, transform), i) =>
+      require(!variantCols(src),
+        s"variant column $src cannot be a partition source (not orderable/hashable per spec)")
       val sourceId = topIds.getOrElse(src,
         throw new IllegalArgumentException(s"no partition source column $src"))
       val fn = mapper.createObjectNode()
@@ -139,6 +146,8 @@ object IcebergWriter {
       sortOrder.foreach { case (src, direction) =>
         require(Set("asc", "desc").contains(direction),
           s"sort direction must be asc|desc, got $direction")
+        require(!variantCols(src),
+          s"variant column $src cannot be a sort key (no defined ordering)")
         val fn = mapper.createObjectNode()
         fn.put("transform", "identity")
         fn.put("source-id", topIds.getOrElse(src,
@@ -2290,8 +2299,13 @@ object IcebergWriter {
     import org.apache.spark.sql.functions.col
     val schema = table.iceSchema
     val keyIds = keyCols.map { k =>
-      schema.fields.find(_.name == k)
-        .getOrElse(throw new IllegalArgumentException(s"no key column $k")).id
+      val f = schema.fields.find(_.name == k)
+        .getOrElse(throw new IllegalArgumentException(s"no key column $k"))
+      // variant defines no equality — a variant eq-key would compare raw
+      // encodings and silently miss semantically-equal payloads
+      require(f.icebergTypeString != "variant",
+        s"variant column $k cannot be an equality-delete/upsert key")
+      f.id
     }
     val delDir = s"$url/data/$commitId-eqdel"
     val keyDf = keys.select(keyCols.map { k =>

@@ -80,6 +80,22 @@ class VariantSpec extends AnyFunSuite {
     assert(t.read().select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("variant refuses as partition source, sort key, and equality key") {
+    val sch = StructType(Seq(
+      StructField("k", LongType), StructField("v", VariantType)))
+    val p = intercept[IllegalArgumentException](IcebergWriter.createTable(
+      spark, fresh("graft_var_part"), sch, partitions = Seq(("v", "identity"))))
+    assert(p.getMessage.contains("partition source"), p.getMessage)
+    val s = intercept[IllegalArgumentException](IcebergWriter.createTable(
+      spark, fresh("graft_var_sort"), sch, sortOrder = Seq(("v", "asc"))))
+    assert(s.getMessage.contains("sort key"), s.getMessage)
+    val url = fresh("graft_var_eq")
+    varTable(url)
+    val e = intercept[IllegalArgumentException](IcebergWriter.upsert(
+      spark, url, spark.sql("SELECT 1L AS k, parse_json('1') AS v"), Seq("v")))
+    assert(e.getMessage.contains("equality"), e.getMessage)
+  }
+
   test("v1/v2 tables refuse the variant type; v3 accepts it via addColumn") {
     val url = fresh("graft_variant_v2")
     val plain = StructType(Seq(StructField("k", LongType)))
