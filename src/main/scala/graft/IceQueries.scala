@@ -473,6 +473,48 @@ object IceQueries {
       .orderBy("r_regionkey")
   }
 
+  /** Iceberg TABLE STATISTICS: per-column NDV theta sketches
+    * (`apache-datasketches-theta-v1`, the spec's sketch family) written to
+    * a puffin statistics file, registered in metadata, and surfaced to the
+    * CBO as DSv2 column stats. BOUNDED-ERROR oracle: the exact NDVs are
+    * recomputed independently by DuckDB; the sketch estimates must land
+    * within 5% (default theta lgK → ~1.6%), with the flags zeroed (and the
+    * hash broken) on violation. */
+  def iceStatsNdv(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, TableStatistics}
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_ndv").toString + "/t"
+    val src = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    IcebergWriter.createTable(s, url, src.schema)
+    IcebergWriter.append(s, url, src.repartition(4))
+    val ndvs = Maintenance.computeStatistics(s, url)
+    val t = IcebergTable.load(s, url)
+    val entry = t.metadata.statistics.head
+    require(entry.snapshotId == t.currentSnapshot.snapshotId)
+    val byName = t.iceSchema.fields.map(f => f.name -> f.id).toMap
+    val exact = src.select(
+      countDistinct(col("c_custkey")), countDistinct(col("c_nationkey")),
+      countDistinct(col("c_mktsegment"))).head()
+    val rows = Seq("c_custkey", "c_nationkey", "c_mktsegment").zipWithIndex.map {
+      case (c, i) =>
+        val e = exact.getLong(i)
+        val ndv = ndvs(byName(c))
+        (c, e, math.abs(ndv - e).toDouble / e <= 0.05,
+          entry.blobs.find(_.fields.headOption.contains(byName(c)))
+            .map(_.blobType).getOrElse("MISSING"))
+    }
+    dynamicOracle("ice_stats_ndv") = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+      .map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS exact_ndv,
+           |  TRUE AS ndv_within_5pct,
+           |  '${TableStatistics.ThetaBlobType}' AS blob_type FROM customer""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    rows.toDF("col_name", "exact_ndv", "ndv_within_5pct", "blob_type")
+      .orderBy("col_name")
+  }
+
   /** Iceberg v3 VARIANT type: semi-structured payloads as a first-class
     * column. `createTable` auto-raises the table to format v3 (variant is
     * a v3-only type, and v3 metadata gets next-row-id from birth); Spark's
@@ -1533,6 +1575,7 @@ object IceQueries {
     "ice_dv_rewrite"       -> (iceDvRewrite _),
     "ice_v3_types"         -> (iceV3Types _),
     "ice_variant"          -> (iceVariant _),
+    "ice_stats_ndv"        -> (iceStatsNdv _),
     "ice_defaults"         -> (iceDefaults _),
     "ice_row_lineage"      -> (iceRowLineage _),
     "ice_write_merge"      -> (iceWriteMerge _),

@@ -209,6 +209,12 @@ object Maintenance {
       targetFiles: Int = 1): Unit =
     IcebergWriter.rewritePositionDeletes(spark, url, targetFiles)
 
+  /** Compute + register per-column NDV statistics for the current snapshot
+    * (theta sketches in a puffin statistics file — see [[TableStatistics]]);
+    * the DSv2 scan then feeds them to Spark's CBO as column stats. */
+  def computeStatistics(spark: SparkSession, url: String): Map[Int, Long] =
+    TableStatistics.compute(spark, url)
+
   /** Delete ORPHAN files: bytes under the table's `data/` and `metadata/`
     * directories that NO snapshot references — the leftovers of failed or
     * aborted commits (a crashed writer's data files, a lost-race manifest
@@ -250,10 +256,15 @@ object Maintenance {
         }
         doomed.foreach { p => if (fs.delete(p, false)) deleted += 1 }
       }
+    // registered statistics files are referenced; a crashed
+    // computeStatistics leaves an unregistered one — orphaned
+    table.metadata.statistics.foreach(s =>
+      referenced += name(table.resolvePath(s.path)))
     clean(new Path(s"$url/data"),
       n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro") ||
         n.endsWith(".puffin")) // DV carriers: a crashed commit orphans these too
-    clean(new Path(s"$url/metadata"), _.endsWith(".avro"))
+    clean(new Path(s"$url/metadata"),
+      n => n.endsWith(".avro") || n.endsWith(".puffin"))
     deleted
   }
 
@@ -313,6 +324,7 @@ object Maintenance {
         }
         filterArray("snapshots")
         filterArray("snapshot-log")
+        filterArray("statistics") // stats entries die with their snapshot
         // oldest kept snapshot becomes the chain root
         val snaps = old.withArray[ArrayNode]("snapshots")
         (0 until snaps.size).map(snaps.get(_).asInstanceOf[ObjectNode])
@@ -362,6 +374,12 @@ object Maintenance {
       n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro") ||
         n.endsWith(".puffin"), liveData)
     cleanDir(new Path(s"$url/metadata"), _.endsWith(".avro"), liveAvro)
+    // statistics puffins of EXPIRED snapshots (their metadata entries were
+    // filtered above) are unreachable — collect them; remaining entries'
+    // files are referenced
+    val liveStats = after.metadata.statistics
+      .map(s => name(after.resolvePath(s.path))).toSet
+    cleanDir(new Path(s"$url/metadata"), _.endsWith(".puffin"), liveStats)
   }
 
   private def name(p: String): String = p.split('/').last

@@ -90,6 +90,16 @@ final case class SnapshotRef(
     maxRefAgeMs: Option[Long] = None,
     minSnapshotsToKeep: Option[Int] = None)
 
+/** One blob's registration inside a table-statistics entry. */
+final case class StatsBlobMeta(blobType: String, snapshotId: Long,
+    sequenceNumber: Long, fields: Seq[Int], properties: Map[String, String])
+
+/** One `statistics` list entry: a puffin statistics file bound to a
+  * snapshot (spec "Table statistics"). Engines use the entry whose
+  * snapshot-id matches the snapshot they scan. */
+final case class StatisticsFile(snapshotId: Long, path: String,
+    fileSizeInBytes: Long, blobs: Seq[StatsBlobMeta])
+
 /** Table metadata for one version (`vN.metadata.json`).
   * Field selection mirrors what the reference reads (ice.py:100-163). */
 final case class TableMetadata(
@@ -110,7 +120,9 @@ final case class TableMetadata(
     /** Iceberg v3 ROW LINEAGE: the next unallocated row id. Commits that
       * add data rows allocate [next-row-id, next-row-id + added) to their
       * manifests and advance it. None on pre-lineage metadata. */
-    nextRowId: Option[Long] = None) {
+    nextRowId: Option[Long] = None,
+    /** Registered table-statistics files (NDV sketches etc.). */
+    statistics: Seq[StatisticsFile] = Nil) {
 
   /** The table's active sort order (empty = unsorted). */
   def defaultSortOrder: Seq[SortField] =
@@ -211,7 +223,24 @@ object TableMetadata {
           }.toSeq).getOrElse(Nil))
       }.toSeq).getOrElse(Nil),
       defaultSortOrderId = optNode("default-sort-order-id").map(_.asInt).getOrElse(0),
-      nextRowId = optNode("next-row-id").map(_.asLong))
+      nextRowId = optNode("next-row-id").map(_.asLong),
+      statistics = optNode("statistics").map(_.elements().asScala.map { s =>
+        StatisticsFile(
+          snapshotId = s.get("snapshot-id").asLong,
+          path = s.get("statistics-path").asText,
+          fileSizeInBytes = Option(s.get("file-size-in-bytes"))
+            .map(_.asLong).getOrElse(0L),
+          blobs = Option(s.get("blob-metadata"))
+            .map(_.elements().asScala.map { b =>
+              StatsBlobMeta(
+                blobType = b.get("type").asText,
+                snapshotId = Option(b.get("snapshot-id")).map(_.asLong).getOrElse(-1L),
+                sequenceNumber = Option(b.get("sequence-number")).map(_.asLong).getOrElse(0L),
+                fields = Option(b.get("fields"))
+                  .map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil),
+                properties = Option(b.get("properties")).map(strMap).getOrElse(Map.empty))
+            }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

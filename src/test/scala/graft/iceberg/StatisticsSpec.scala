@@ -1,0 +1,135 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg TABLE STATISTICS files: per-column NDV as theta sketches in a
+  * puffin statistics file, registered in metadata, surfaced to Spark's CBO
+  * through DSv2 column stats, and lifecycle-managed by maintenance. */
+class StatisticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("cat", StringType),
+    StructField("score", DoubleType)))
+
+  /** 1000 rows: k unique, cat has 7 values (50 nulls), score has 100. */
+  private def build(url: String): Unit = {
+    IcebergWriter.createTable(spark, url, schema)
+    val df = (1L to 1000L).map(i =>
+      (i, if (i % 20 == 0) null else s"c${i % 7}", (i % 100).toDouble))
+      .toDF("k", "cat", "score")
+    IcebergWriter.append(spark, url, df.repartition(4))
+  }
+
+  test("computed NDVs land within theta error of exact; file round-trips") {
+    val url = fresh("graft_stats")
+    build(url)
+    val ndvs = Maintenance.computeStatistics(spark, url)
+    val t = IcebergTable.load(spark, url)
+    val byName = t.iceSchema.fields.map(f => f.name -> f.id).toMap
+    def ndv(c: String): Long = ndvs(byName(c))
+    // default theta lgK=12 → ~1.6% error at these cardinalities
+    assert(math.abs(ndv("k") - 1000) <= 50, s"k ndv=${ndv("k")}")
+    assert(ndv("cat") == 7, s"cat ndv=${ndv("cat")}")
+    assert(ndv("score") == 100, s"score ndv=${ndv("score")}")
+
+    // metadata registration: one entry, bound to the current snapshot,
+    // spec blob type, ndv property == decoded sketch estimate
+    val entry = t.metadata.statistics match {
+      case Seq(e) => e
+      case other => fail(s"expected one statistics entry, got $other")
+    }
+    assert(entry.snapshotId == t.currentSnapshot.snapshotId)
+    assert(entry.blobs.forall(_.blobType == TableStatistics.ThetaBlobType))
+    val conf = spark.sessionState.newHadoopConf()
+    val decoded = TableStatistics.readSketches(t.resolvePath(entry.path), conf)
+    assert(decoded.map(b => b.fieldId -> b.ndv).toMap == ndvs,
+      "registered ndv properties must equal the decoded sketch estimates")
+    // fast path used by the scan
+    assert(TableStatistics.ndvFor(t, t.currentSnapshot.snapshotId) == ndvs)
+    // stale snapshot -> no stats served
+    assert(TableStatistics.ndvFor(t, 12345L).isEmpty)
+  }
+
+  test("NDV counts LIVE rows only (merge-on-read applied)") {
+    val url = fresh("graft_stats_mor")
+    build(url)
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    IcebergWriter.deleteRows(spark, url, Pruning.GtEq("k", 501L)) // halve
+    val ndvs = Maintenance.computeStatistics(spark, url)
+    val t = IcebergTable.load(spark, url)
+    val kId = t.iceSchema.fields.find(_.name == "k").get.id
+    assert(math.abs(ndvs(kId) - 500) <= 25, s"post-delete k ndv=${ndvs(kId)}")
+  }
+
+  test("CBO sees distinctCount + nullCount through the DSv2 scan") {
+    val url = fresh("graft_stats_cbo")
+    build(url)
+    Maintenance.computeStatistics(spark, url)
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val df = spark.read.format("graft-iceberg").load(url)
+      val stats = df.queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("cat"), s"no column stats surfaced: $byName")
+      val cat = byName("cat")
+      assert(cat.distinctCount.exists(_.toLong == 7L), s"cat: $cat")
+      assert(cat.nullCount.exists(_.toLong == 50L), s"cat: $cat")
+      val k = byName("k")
+      assert(k.distinctCount.exists(dc => math.abs(dc.toLong - 1000L) <= 50), s"k: $k")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("recompute replaces the snapshot's entry; expire collects stale files") {
+    val url = fresh("graft_stats_life")
+    build(url)
+    Maintenance.computeStatistics(spark, url)
+    Maintenance.computeStatistics(spark, url) // same snapshot: replace
+    val t1 = IcebergTable.load(spark, url)
+    assert(t1.metadata.statistics.size == 1, "recompute must replace, not stack")
+    val stalePath = t1.resolvePath(t1.metadata.statistics.head.path)
+
+    // new snapshot + fresh stats: two entries (one per snapshot)
+    IcebergWriter.append(spark, url, Seq((2000L, "z", 1.0)).toDF("k", "cat", "score"))
+    Maintenance.computeStatistics(spark, url)
+    val t2 = IcebergTable.load(spark, url)
+    assert(t2.metadata.statistics.size == 2)
+    val livePath = t2.resolvePath(t2.metadata.statistics
+      .find(_.snapshotId == t2.currentSnapshot.snapshotId).get.path)
+
+    // expire to head: stale entry AND its puffin die; live one survives
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    val t3 = IcebergTable.load(spark, url)
+    assert(t3.metadata.statistics.map(_.snapshotId) ==
+      Seq(t3.currentSnapshot.snapshotId))
+    assert(!new java.io.File(stalePath).exists,
+      "expired snapshot's statistics file must be collected")
+    assert(new java.io.File(livePath).exists,
+      "current snapshot's statistics file must survive")
+
+    // a crashed compute's UNREGISTERED stats puffin is an orphan
+    val stray = new java.io.File(s"$url/metadata/00000-dead-stats.puffin")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](0x50, 0x46, 0x41, 0x31))
+    stray.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    Maintenance.removeOrphans(spark, url)
+    assert(!stray.exists, "unregistered stats puffin must be collected")
+    assert(new java.io.File(livePath).exists,
+      "registered stats puffin must survive orphan removal")
+  }
+}
