@@ -65,17 +65,77 @@ object TableStatistics {
     val table = IcebergWriter.resolveCurrent(spark, url)
     require(table.metadata.currentSnapshotId >= 0,
       "cannot compute statistics: table has no snapshot")
-    val snapshotId = table.metadata.currentSnapshotId
-    val seq = table.currentSnapshot.sequenceNumber.getOrElse(0L)
     val cols = table.iceSchema.fields.filter(f => statable(f.icebergTypeString))
     if (cols.isEmpty) return Map.empty
-
-    val names = cols.map(_.name)
-    val types = cols.map(_.icebergTypeString).toArray
-    val n = cols.length
     // one distributed pass over the live rows (merge-on-read applied: rows
     // deleted by DVs/eq-deletes must not count), all columns at once
-    val merged: Array[Array[Byte]] = table.read(columns = names).rdd
+    val merged = sketchColumns(table.read(columns = cols.map(_.name)),
+      cols.map(_.icebergTypeString).toArray)
+    writeAndRegister(spark, url, conf, table, cols, merged)
+  }
+
+  /** Telemetry/spec hook: incremental computations that avoided the
+    * full-table pass via a sketch UNION. */
+  val incrementalUnions = new java.util.concurrent.atomic.AtomicLong
+
+  /** INCREMENTAL statistics — the 100 TB path: when a registered entry
+    * exists for an ANCESTOR snapshot and every snapshot since is
+    * append/replace (compaction is content-neutral), sketch only the rows
+    * appended in `(ancestor, current]` and theta-UNION them with the prior
+    * file's sketches. Cost is proportional to the NEW data, not the table.
+    * Deletes in the range (theta cannot subtract), schema drift, or a
+    * missing ancestor entry fall back to the full pass. */
+  def computeIncremental(spark: SparkSession, url: String): Map[Int, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = IcebergWriter.resolveCurrent(spark, url)
+    require(table.metadata.currentSnapshotId >= 0,
+      "cannot compute statistics: table has no snapshot")
+    val snapshotId = table.metadata.currentSnapshotId
+    val cols = table.iceSchema.fields.filter(f => statable(f.icebergTypeString))
+    if (cols.isEmpty) return Map.empty
+    val registered = table.metadata.statistics.map(s => s.snapshotId -> s).toMap
+    if (registered.contains(snapshotId)) return ndvFor(table, snapshotId)
+    // nearest registered ancestor (walk the parent chain from current)
+    val snaps = table.metadata.snapshotsById
+    var cur = snaps.get(snapshotId).flatMap(_.parentSnapshotId)
+    var prior: Option[StatisticsFile] = None
+    while (prior.isEmpty && cur.isDefined) {
+      prior = registered.get(cur.get)
+      cur = cur.flatMap(snaps.get).flatMap(_.parentSnapshotId)
+    }
+    prior match {
+      case None => compute(spark, url)
+      case Some(e) =>
+        val incremental = scala.util.Try {
+          val inc = table.incrementalBetween(e.snapshotId, snapshotId)
+          val priorSketches = readSketches(table.resolvePath(e.path), conf)
+            .map(b => b.fieldId -> b.sketch).toMap
+          require(cols.forall(c => priorSketches.contains(c.id)),
+            "schema drift: new statable columns need a full pass")
+          val fresh = sketchColumns(inc.read(columns = cols.map(_.name)),
+            cols.map(_.icebergTypeString).toArray)
+          cols.map(_.id).zip(fresh).map { case (id, f) =>
+            val u: Union = SetOperation.builder().buildUnion()
+            u.union(CompactSketch.wrap(Memory.wrap(priorSketches(id))))
+            u.union(CompactSketch.wrap(Memory.wrap(f)))
+            u.getResult.toByteArray
+          }.toArray
+        }
+        incremental match {
+          case scala.util.Success(merged) =>
+            incrementalUnions.incrementAndGet()
+            writeAndRegister(spark, url, conf, table, cols, merged)
+          case scala.util.Failure(_) => compute(spark, url) // deletes/drift
+        }
+    }
+  }
+
+  /** Per-partition UpdateSketch for every column at once, reduced by theta
+    * Union — driver state is K entries per column, independent of rows. */
+  private def sketchColumns(df: org.apache.spark.sql.DataFrame,
+      types: Array[String]): Array[Array[Byte]] = {
+    val n = types.length
+    df.rdd
       .mapPartitions { it =>
         val sketches = Array.fill(n)(UpdateSketch.builder().build())
         it.foreach { row =>
@@ -99,16 +159,20 @@ object TableStatistics {
             u.getResult.toByteArray
           }
       }
+  }
 
+  /** Write the puffin + REPLACE this snapshot's metadata entry (keep other
+    * snapshots' entries — the spec's list form; engines match snapshot-id). */
+  private def writeAndRegister(spark: SparkSession, url: String,
+      conf: Configuration, table: IcebergTable,
+      cols: Seq[SchemaField], merged: Array[Array[Byte]]): Map[Int, Long] = {
+    val snapshotId = table.metadata.currentSnapshotId
+    val seq = table.currentSnapshot.sequenceNumber.getOrElse(0L)
     val ndvs = merged.map(b =>
       math.round(CompactSketch.wrap(Memory.wrap(b)).getEstimate))
     val statsPath = s"$url/metadata/${java.util.UUID.randomUUID()}-stats.puffin"
-    val (blobOffsets, fileLen, footerLen) =
+    val (_, fileLen, footerLen) =
       writeStatsPuffin(statsPath, conf, cols.map(_.id).zip(merged), snapshotId, seq)
-
-    // register under metadata.statistics — REPLACE any prior entry for this
-    // snapshot (recompute), keep entries for other snapshots (the spec's
-    // list form; engines match on snapshot-id)
     IcebergWriter.commitWithRetry(spark, url, conf) { current =>
       val old = mapper.readTree(
         IcebergWriter.metadataBaseJson(current, url, conf)).asInstanceOf[ObjectNode]
@@ -136,7 +200,6 @@ object TableStatistics {
       old.put("last-updated-ms", System.currentTimeMillis())
       Some(old.toPrettyString)
     }
-    blobOffsets // force evaluation ordering; offsets unused beyond the file
     cols.map(_.id).zip(ndvs).toMap
   }
 

@@ -96,6 +96,34 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental compute unions appended sketches; deletes fall back to full") {
+    val url = fresh("graft_stats_inc")
+    build(url) // k 1..1000
+    Maintenance.computeStatistics(spark, url)
+    IcebergWriter.append(spark, url, (1001L to 1500L).map(i =>
+      (i, s"c${i % 7}", (i % 100).toDouble)).toDF("k", "cat", "score").coalesce(1))
+    val before = TableStatistics.incrementalUnions.get()
+    val ndvs = TableStatistics.computeIncremental(spark, url)
+    assert(TableStatistics.incrementalUnions.get() == before + 1,
+      "appends since the prior entry must take the sketch-union path")
+    val t = IcebergTable.load(spark, url)
+    val kId = t.iceSchema.fields.find(_.name == "k").get.id
+    assert(math.abs(ndvs(kId) - 1500) <= 75, s"k ndv=${ndvs(kId)}")
+
+    // a DELETE in the range cannot be subtracted from a theta sketch:
+    // incremental must FALL BACK to the full pass and stay correct
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    IcebergWriter.deleteRows(spark, url, Pruning.GtEq("k", 1001L))
+    val before2 = TableStatistics.incrementalUnions.get()
+    val ndvs2 = TableStatistics.computeIncremental(spark, url)
+    assert(TableStatistics.incrementalUnions.get() == before2,
+      "a delete in the range must not take the union path")
+    assert(math.abs(ndvs2(kId) - 1000) <= 50, s"post-delete k ndv=${ndvs2(kId)}")
+
+    // already-registered head snapshot: no-op, serves the registered map
+    assert(TableStatistics.computeIncremental(spark, url) == ndvs2)
+  }
+
   test("recompute replaces the snapshot's entry; expire collects stale files") {
     val url = fresh("graft_stats_life")
     build(url)
