@@ -515,6 +515,51 @@ object IceQueries {
       .orderBy("col_name")
   }
 
+  /** Iceberg PARTITION STATISTICS file (spec): per-partition counts from
+    * manifests alone, persisted as the spec's sorted parquet and
+    * registered under `partition-statistics`. The oracle replays
+    * per-partition record counts from the SOURCE rows in DuckDB and pins
+    * the consistency facts (file-count agreement with the `partitions`
+    * metadata table, spec binding) as flags the Spark side zeroes on
+    * violation. */
+  def icePartitionStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, PartitionStatistics}
+    val url = java.nio.file.Files.createTempDirectory("graft_pst").toString + "/t"
+    val src = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IcebergWriter.createTable(s, url, src.schema,
+      partitions = Seq(("o_orderstatus", "identity")))
+    IcebergWriter.append(s, url, src.repartition(2))
+    Maintenance.computePartitionStatistics(s, url)
+    val t = IcebergTable.load(s, url)
+    val stats = PartitionStatistics.read(s, t, t.currentSnapshot.snapshotId)
+      .getOrElse(sys.error("partition statistics not registered"))
+    // file counts must agree with the partitions metadata table — the
+    // independent manifest consumer
+    val metaCounts = t.partitionStats()
+      .selectExpr("o_orderstatus", "n_files", "n_records").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    stats.selectExpr("partition.o_orderstatus AS o_orderstatus",
+        "data_record_count", "data_file_count", "spec_id")
+      .collect().toSeq.map { r =>
+        val k = r.getString(0)
+        (k, r.getLong(1),
+          metaCounts.get(k).exists(m =>
+            m._1 == r.getInt(2).toLong && m._2 == r.getLong(1)),
+          r.getInt(3) == t.metadata.defaultSpecId)
+      }
+      .sortBy(_._1) match { case rows =>
+        import s.implicits._
+        dynamicOracle("ice_partition_stats") =
+          """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS data_record_count,
+            |  TRUE AS matches_partitions_table, TRUE AS spec_bound
+            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        rows.toDF("o_orderstatus", "data_record_count",
+          "matches_partitions_table", "spec_bound")
+          .orderBy("o_orderstatus")
+      }
+  }
+
   /** Iceberg v3 VARIANT type: semi-structured payloads as a first-class
     * column. `createTable` auto-raises the table to format v3 (variant is
     * a v3-only type, and v3 metadata gets next-row-id from birth); Spark's
@@ -1576,6 +1621,7 @@ object IceQueries {
     "ice_v3_types"         -> (iceV3Types _),
     "ice_variant"          -> (iceVariant _),
     "ice_stats_ndv"        -> (iceStatsNdv _),
+    "ice_partition_stats"  -> (icePartitionStats _),
     "ice_defaults"         -> (iceDefaults _),
     "ice_row_lineage"      -> (iceRowLineage _),
     "ice_write_merge"      -> (iceWriteMerge _),

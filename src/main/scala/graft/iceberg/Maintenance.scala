@@ -215,6 +215,12 @@ object Maintenance {
   def computeStatistics(spark: SparkSession, url: String): Map[Int, Long] =
     TableStatistics.compute(spark, url)
 
+  /** Compute + register the spec's PARTITION STATISTICS file for the
+    * current snapshot (per-partition counts from manifests, zero data I/O
+    * — see [[PartitionStatistics]]). Returns the written file path. */
+  def computePartitionStatistics(spark: SparkSession, url: String): String =
+    PartitionStatistics.compute(spark, url)
+
   /** Delete ORPHAN files: bytes under the table's `data/` and `metadata/`
     * directories that NO snapshot references — the leftovers of failed or
     * aborted commits (a crashed writer's data files, a lost-race manifest
@@ -260,11 +266,14 @@ object Maintenance {
     // computeStatistics leaves an unregistered one — orphaned
     table.metadata.statistics.foreach(s =>
       referenced += name(table.resolvePath(s.path)))
+    table.metadata.partitionStatistics.foreach(s =>
+      referenced += name(table.resolvePath(s.path)))
     clean(new Path(s"$url/data"),
       n => n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".avro") ||
         n.endsWith(".puffin")) // DV carriers: a crashed commit orphans these too
     clean(new Path(s"$url/metadata"),
-      n => n.endsWith(".avro") || n.endsWith(".puffin"))
+      n => n.endsWith(".avro") || n.endsWith(".puffin") ||
+        n.endsWith("-partition-stats.parquet"))
     deleted
   }
 
@@ -325,6 +334,7 @@ object Maintenance {
         filterArray("snapshots")
         filterArray("snapshot-log")
         filterArray("statistics") // stats entries die with their snapshot
+        filterArray("partition-statistics")
         // oldest kept snapshot becomes the chain root
         val snaps = old.withArray[ArrayNode]("snapshots")
         (0 until snaps.size).map(snaps.get(_).asInstanceOf[ObjectNode])
@@ -380,6 +390,10 @@ object Maintenance {
     val liveStats = after.metadata.statistics
       .map(s => name(after.resolvePath(s.path))).toSet
     cleanDir(new Path(s"$url/metadata"), _.endsWith(".puffin"), liveStats)
+    val livePartStats = after.metadata.partitionStatistics
+      .map(s => name(after.resolvePath(s.path))).toSet
+    cleanDir(new Path(s"$url/metadata"),
+      _.endsWith("-partition-stats.parquet"), livePartStats)
   }
 
   private def name(p: String): String = p.split('/').last

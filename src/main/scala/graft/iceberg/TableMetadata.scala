@@ -100,6 +100,11 @@ final case class StatsBlobMeta(blobType: String, snapshotId: Long,
 final case class StatisticsFile(snapshotId: Long, path: String,
     fileSizeInBytes: Long, blobs: Seq[StatsBlobMeta])
 
+/** One `partition-statistics` list entry (spec "Partition statistics"):
+  * a sorted parquet of per-partition counts bound to a snapshot. */
+final case class PartitionStatisticsFile(snapshotId: Long, path: String,
+    fileSizeInBytes: Long)
+
 /** Table metadata for one version (`vN.metadata.json`).
   * Field selection mirrors what the reference reads (ice.py:100-163). */
 final case class TableMetadata(
@@ -122,7 +127,9 @@ final case class TableMetadata(
       * manifests and advance it. None on pre-lineage metadata. */
     nextRowId: Option[Long] = None,
     /** Registered table-statistics files (NDV sketches etc.). */
-    statistics: Seq[StatisticsFile] = Nil) {
+    statistics: Seq[StatisticsFile] = Nil,
+    /** Registered partition-statistics files (per-partition counts). */
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil) {
 
   /** The table's active sort order (empty = unsorted). */
   def defaultSortOrder: Seq[SortField] =
@@ -240,7 +247,15 @@ object TableMetadata {
                   .map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil),
                 properties = Option(b.get("properties")).map(strMap).getOrElse(Map.empty))
             }.toSeq).getOrElse(Nil))
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      partitionStatistics = optNode("partition-statistics")
+        .map(_.elements().asScala.map { s =>
+          PartitionStatisticsFile(
+            snapshotId = s.get("snapshot-id").asLong,
+            path = s.get("statistics-path").asText,
+            fileSizeInBytes = Option(s.get("file-size-in-bytes"))
+              .map(_.asLong).getOrElse(0L))
+        }.toSeq).getOrElse(Nil))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

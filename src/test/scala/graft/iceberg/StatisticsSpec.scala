@@ -124,6 +124,53 @@ class StatisticsSpec extends AnyFunSuite {
     assert(TableStatistics.computeIncremental(spark, url) == ndvs2)
   }
 
+  test("partition statistics file: spec schema, counts from manifests, lifecycle") {
+    val url = fresh("graft_pstats")
+    IcebergWriter.createTable(spark, url, schema,
+      partitions = Seq(("cat", "identity")))
+    val df = (1L to 300L).map(i => (i, s"c${i % 3}", (i % 10).toDouble))
+      .toDF("k", "cat", "score")
+    IcebergWriter.append(spark, url, df.repartition(2))
+    val path = Maintenance.computePartitionStatistics(spark, url)
+    assert(new java.io.File(path).isFile, "registered path must be a FILE")
+    val t = IcebergTable.load(spark, url)
+    assert(t.metadata.partitionStatistics.size == 1)
+
+    val stats = PartitionStatistics.read(spark, t, t.currentSnapshot.snapshotId).get
+    // spec schema: partition struct + counts, spec field names
+    assert(stats.schema.fieldNames.toSeq == Seq("partition", "spec_id",
+      "data_record_count", "data_file_count", "total_data_file_size_in_bytes",
+      "position_delete_record_count", "position_delete_file_count",
+      "equality_delete_record_count", "equality_delete_file_count",
+      "total_record_count", "last_updated_at", "last_updated_snapshot_id"))
+    val counts = stats
+      .selectExpr("partition.cat", "data_record_count", "data_file_count")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(counts.keySet == Set("c0", "c1", "c2"))
+    assert(counts.values.map(_._1).sum == 300L)
+    assert(counts("c0")._1 == 100L)
+    // agrees with the partitions metadata table (the other consumer)
+    val metaCounts = t.partitionStats().selectExpr("cat", "n_records")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.view.mapValues(_._1).toMap == metaCounts)
+
+    // new snapshot + recompute -> 2 entries; expire drops the stale one
+    IcebergWriter.append(spark, url,
+      Seq((301L, "c0", 1.0)).toDF("k", "cat", "score"))
+    Maintenance.computePartitionStatistics(spark, url)
+    val t2 = IcebergTable.load(spark, url)
+    assert(t2.metadata.partitionStatistics.size == 2)
+    val stale = t2.resolvePath(t2.metadata.partitionStatistics
+      .find(_.snapshotId != t2.currentSnapshot.snapshotId).get.path)
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    val t3 = IcebergTable.load(spark, url)
+    assert(t3.metadata.partitionStatistics.map(_.snapshotId) ==
+      Seq(t3.currentSnapshot.snapshotId))
+    val live = t3.resolvePath(t3.metadata.partitionStatistics.head.path)
+    assert(!new java.io.File(stale).exists, "stale partition-stats file must die")
+    assert(new java.io.File(live).exists, "live partition-stats file must survive")
+  }
+
   test("recompute replaces the snapshot's entry; expire collects stale files") {
     val url = fresh("graft_stats_life")
     build(url)
