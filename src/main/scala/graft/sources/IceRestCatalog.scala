@@ -233,6 +233,25 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     if (intOf(newMeta, "default-sort-order-id", 0) != intOf(beforeMeta, "default-sort-order-id", 0))
       updates += s"""{"action": "set-default-sort-order",
         "sort-order-id": ${intOf(newMeta, "default-sort-order-id", 0)}}"""
+    // TABLE + PARTITION STATISTICS → set-/remove- updates (the spec's REST
+    // update types); a same-snapshot recompute diffs to one full-replace
+    // set-statistics. Without this, a stats commit on a catalog-scoped
+    // table would silently publish NOTHING.
+    def statsBySnap(node: JsonNode, field: String): Map[Long, JsonNode] =
+      Option(node.get(field)).toSeq.flatMap(_.elements().asScala)
+        .map(e => e.get("snapshot-id").asLong -> e).toMap
+    Seq(("statistics", "set-statistics", "remove-statistics"),
+      ("partition-statistics", "set-partition-statistics",
+        "remove-partition-statistics")).foreach { case (field, setA, removeA) =>
+      val oldS = statsBySnap(beforeMeta, field)
+      val newS = statsBySnap(newMeta, field)
+      newS.foreach { case (sid, e) =>
+        if (!oldS.get(sid).contains(e))
+          updates += s"""{"action": "$setA", "snapshot-id": $sid, "$field": $e}"""
+      }
+      oldS.keySet.diff(newS.keySet).foreach(sid =>
+        updates += s"""{"action": "$removeA", "snapshot-id": $sid}""")
+    }
     newMeta.get("snapshots").elements().asScala
       .filterNot(s => oldIds.contains(s.get("snapshot-id").asLong))
       .foreach(s => updates += s"""{"action": "add-snapshot", "snapshot": $s}""")

@@ -157,6 +157,27 @@ class RestCatalogSpec extends AnyFunSuite {
                         "sort-orders").add(u.get("sort-order"))
                     case "set-default-sort-order" =>
                       meta.put("default-sort-order-id", u.get("sort-order-id").asInt)
+                    case a @ ("set-statistics" | "set-partition-statistics") =>
+                      val field = if (a == "set-statistics") "statistics"
+                        else "partition-statistics"
+                      val sid = u.get("snapshot-id").asLong
+                      val arr = meta.withArray[
+                        com.fasterxml.jackson.databind.node.ArrayNode](field)
+                      val kept = (0 until arr.size).map(arr.get)
+                        .filterNot(_.get("snapshot-id").asLong == sid)
+                      arr.removeAll()
+                      kept.foreach(arr.add)
+                      arr.add(u.get(field))
+                    case a @ ("remove-statistics" | "remove-partition-statistics") =>
+                      val field = if (a == "remove-statistics") "statistics"
+                        else "partition-statistics"
+                      val sid = u.get("snapshot-id").asLong
+                      val arr = meta.withArray[
+                        com.fasterxml.jackson.databind.node.ArrayNode](field)
+                      val kept = (0 until arr.size).map(arr.get)
+                        .filterNot(_.get("snapshot-id").asLong == sid)
+                      arr.removeAll()
+                      kept.foreach(arr.add)
                     case other =>
                       throw new IllegalArgumentException(s"unsupported update $other")
                   }
@@ -423,6 +444,51 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(published.read().as[(Long, String)].collect().sortBy(_._1).toSeq ==
         Seq((1L, "base"), (2L, "staged")))
       // the whole stage+publish flow never touched the filesystem hint
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == "1")
+    }
+  }
+
+  test("statistics commit through REST as set-statistics updates") {
+    withServer { (cat, _) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      val url = java.nio.file.Files.createTempDirectory("graft_reststats").toString + "/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))),
+        partitions = Seq(("name", "identity")))
+      cat.createNamespace("db")
+      cat.createTable("db", "t", Seq("id" -> "long", "name" -> "string"),
+        location = Some(url))
+      cat.commitAppend(spark, "db", "t",
+        (1L to 50L).map(i => (i, s"n${i % 5}")).toDF("id", "name"))
+
+      // NDV + partition statistics publish through the catalog commit
+      // protocol (set-statistics / set-partition-statistics updates) — the
+      // catalog copy of the metadata, not the filesystem hint, carries them
+      val ndvs = cat.withCatalogAtomicity(spark, "db", "t") {
+        graft.iceberg.Maintenance.computeStatistics(spark, url)
+      }
+      cat.withCatalogAtomicity(spark, "db", "t") {
+        graft.iceberg.Maintenance.computePartitionStatistics(spark, url)
+      }
+      val t = cat.loadTable(spark, "db", "t")
+      assert(t.metadata.statistics.size == 1,
+        s"stats entry must round-trip through REST: ${t.metadata.statistics}")
+      assert(t.metadata.statistics.head.snapshotId == t.currentSnapshot.snapshotId)
+      assert(graft.iceberg.TableStatistics.ndvFor(t,
+        t.currentSnapshot.snapshotId) == ndvs)
+      val idField = t.iceSchema.fields.find(_.name == "id").get.id
+      assert(math.abs(ndvs(idField) - 50L) <= 3)
+      assert(t.metadata.partitionStatistics.size == 1,
+        "partition-stats entry must round-trip through REST")
+      // the filesystem hint NEVER advanced — catalog atomicity carried it
       assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
         .mkString.trim == "1")
     }
