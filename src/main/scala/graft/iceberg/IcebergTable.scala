@@ -812,6 +812,28 @@ final class IcebergTable private (
 
   // ----------------------------------------------- metadata tables (DFs)
 
+  /** `statistics` metadata table: one row per registered statistics blob
+    * (snapshot binding, file, column, NDV) plus one `partition-statistics`
+    * row per registered partition-stats file — all from table metadata,
+    * zero file I/O. */
+  def statisticsDf: DataFrame = {
+    import spark.implicits._
+    val idToName = iceSchema.fields.map(f => f.id -> f.name).toMap
+    val ndvRows = metadata.statistics.flatMap { e =>
+      e.blobs.map { b =>
+        (e.snapshotId, resolvePath(e.path), e.fileSizeInBytes, b.blobType,
+          b.fields.headOption.getOrElse(-1),
+          b.fields.headOption.flatMap(idToName.get).getOrElse(""),
+          b.properties.get("ndv").map(_.toLong).getOrElse(-1L))
+      }
+    }
+    val partRows = metadata.partitionStatistics.map(e =>
+      (e.snapshotId, resolvePath(e.path), e.fileSizeInBytes,
+        "partition-statistics", -1, "", -1L))
+    (ndvRows ++ partRows).toDF("snapshot_id", "path", "file_size_in_bytes",
+      "blob_type", "field_id", "field_name", "ndv")
+  }
+
   /** snapshots as a DataFrame (like Iceberg's `table$snapshots`). */
   def snapshotsDf: DataFrame = {
     import spark.implicits._

@@ -67,7 +67,8 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
       "files" -> (_.filesDf),
       "delete_files" -> (_.deleteFilesDf),
       "manifests" -> (_.manifestsDf),
-      "partitions" -> (_.partitionStats()))
+      "partitions" -> (_.partitionStats()),
+      "statistics" -> (_.statisticsDf))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident) && ident.namespace().nonEmpty &&

@@ -218,6 +218,20 @@ class PathCatalogSpec extends AnyFunSuite {
       // metadata tables reflect CURRENT state after more commits
       spark.sql(s"INSERT INTO $cat.db.m VALUES (5, 'a')")
       assert(spark.sql(s"SELECT * FROM $cat.db.m.snapshots").count() == 3)
+
+      // the `statistics` metadata table: empty before compute, one row per
+      // NDV blob + one per partition-stats file after
+      assert(spark.sql(s"SELECT * FROM $cat.db.m.statistics").count() == 0)
+      val wh2 = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      graft.iceberg.Maintenance.computeStatistics(spark, s"$wh2/db/m")
+      graft.iceberg.Maintenance.computePartitionStatistics(spark, s"$wh2/db/m")
+      val statRows = spark.sql(
+        s"SELECT blob_type, field_name, ndv FROM $cat.db.m.statistics ORDER BY field_name")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(statRows.count(_._1 == "apache-datasketches-theta-v1") == 2)
+      assert(statRows.count(_._1 == "partition-statistics") == 1)
+      assert(statRows.find(_._2 == "k").exists(_._3 == 5L), s"$statRows")
+      assert(statRows.find(_._2 == "c").exists(_._3 == 2L), s"$statRows")
     }
   }
 
