@@ -1073,8 +1073,19 @@ object IceQueries {
       s.sql(s"INSERT INTO $cat.db.n SELECT k, name, r FROM g_meta_nation WHERE r < 2")
       s.sql(s"INSERT INTO $cat.db.n SELECT k, name, r FROM g_meta_nation WHERE r >= 2")
       val nSnaps = s.sql(s"SELECT * FROM $cat.db.n.snapshots").count()
+      // round-13: registered statistics surface through the same SQL
+      // metadata family — at 25 rows the theta sketch is EXACT, so the
+      // NDV pins as a hard oracle value, not a bounded flag
+      graft.iceberg.Maintenance.computeStatistics(s, s"$wh/db/n")
+      graft.iceberg.Maintenance.computePartitionStatistics(s, s"$wh/db/n")
+      val kNdv = s.sql(
+        s"SELECT ndv FROM $cat.db.n.statistics WHERE field_name = 'k'")
+        .head().getLong(0)
+      val statRows = s.sql(s"SELECT * FROM $cat.db.n.statistics").count()
       s.sql(s"SELECT r, n_files, n_records FROM $cat.db.n.partitions ORDER BY r")
         .withColumn("n_snapshots", lit(nSnaps))
+        .withColumn("k_ndv", lit(kNdv))
+        .withColumn("stat_rows", lit(statRows))
     } finally s.catalog.dropTempView("g_meta_nation")
   }
 
@@ -1772,7 +1783,9 @@ object IceQueries {
       """SELECT CAST(n_regionkey AS BIGINT) AS r,
         |  CAST(1 AS BIGINT) AS n_files,
         |  CAST(COUNT(*) AS BIGINT) AS n_records,
-        |  CAST(2 AS BIGINT) AS n_snapshots
+        |  CAST(2 AS BIGINT) AS n_snapshots,
+        |  (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS k_ndv,
+        |  CAST(4 AS BIGINT) AS stat_rows
         |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
     "ice_partitions_meta" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS r,
