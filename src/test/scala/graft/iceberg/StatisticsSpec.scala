@@ -171,6 +171,34 @@ class StatisticsSpec extends AnyFunSuite {
     assert(new java.io.File(live).exists, "live partition-stats file must survive")
   }
 
+  test("stats commit racing appends: entry binds to the computed snapshot, no commit lost") {
+    val url = fresh("graft_stats_race")
+    build(url)
+    val computedSnap = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // race: 2 appends and a stats compute land concurrently through the
+    // optimistic commit loop; the stats entry must register against the
+    // snapshot it was COMPUTED on (not whatever is current when its commit
+    // finally lands) and no append snapshot may be lost
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val fs = Seq(
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { Maintenance.computeStatistics(spark, url); () }
+        })) ++ (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = IcebergWriter.append(spark, url,
+            Seq((10000L + i, "x", 0.0)).toDF("k", "cat", "score").coalesce(1))
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val t = IcebergTable.load(spark, url)
+    assert(t.metadata.snapshots.size == 3, "no append snapshot may be lost")
+    assert(t.metadata.statistics.map(_.snapshotId) == Seq(computedSnap),
+      s"stats must bind to the computed snapshot: ${t.metadata.statistics}")
+    assert(t.read().count() == 1002)
+  }
+
   test("recompute replaces the snapshot's entry; expire collects stale files") {
     val url = fresh("graft_stats_life")
     build(url)
