@@ -1538,6 +1538,9 @@ object IceQueries {
   private def cdcBenchPath(dir: String): String =
     s"/tmp/graft_bench_cdc_${Integer.toHexString(dir.hashCode)}/t"
 
+  private def statsBenchPath(dir: String): String =
+    s"/tmp/graft_bench_stats_${Integer.toHexString(dir.hashCode)}/t"
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete()
@@ -1559,6 +1562,14 @@ object IceQueries {
       val t = graft.iceberg.IcebergTable.load(s, cdcBenchPath(dir))
       t.changelog(t.metadata.snapshots.head.snapshotId,
         t.currentSnapshot.snapshotId)
+    }),
+    // NDV statistics build over the bench SF: one distributed pass sketches
+    // every column + the puffin write + the registration commit — the
+    // timed body IS the compute (the returned frame is its tiny result).
+    "ice_stats_build" -> ((s, dir) => {
+      import s.implicits._
+      graft.iceberg.TableStatistics.compute(s, statsBenchPath(dir))
+        .toSeq.toDF("field_id", "ndv")
     }))
 
   val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
@@ -1607,13 +1618,25 @@ object IceQueries {
       val t = graft.iceberg.IcebergTable.load(s, url)
       require(t.positionDeleteFiles.nonEmpty && t.equalityDeleteFiles.nonEmpty,
         "CDC bench setup must leave both delete kinds to measure")
+    }),
+    "ice_stats_build" -> ((s, dir) => {
+      import graft.iceberg.IcebergWriter
+      val url = statsBenchPath(dir)
+      val root = new java.io.File(url).getParentFile
+      if (root.exists()) rmTree(root)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      IcebergWriter.createTable(s, url, o.schema)
+      IcebergWriter.append(s, url, o.repartition(8))
     }))
 
   val benchTeardown: Map[String, (SparkSession, String) => Unit] = Map(
     "ice_mor_dv_read" -> ((s, dir) =>
       rmTree(new java.io.File(dvBenchPath(dir)).getParentFile)),
     "ice_cdc_read" -> ((s, dir) =>
-      rmTree(new java.io.File(cdcBenchPath(dir)).getParentFile)))
+      rmTree(new java.io.File(cdcBenchPath(dir)).getParentFile)),
+    "ice_stats_build" -> ((s, dir) =>
+      rmTree(new java.io.File(statsBenchPath(dir)).getParentFile)))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_stats_agg"        -> (iceStatsAgg _),

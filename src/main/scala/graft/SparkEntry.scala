@@ -72,7 +72,9 @@ object SparkEntry {
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a
-    // multi-commit table with position + equality deletes (untimed build).
-    // Both placed before sim_topk_sq_ann, which stays LAST by design.
-    "ice_mor_dv_read", "ice_cdc_read", "sim_topk_sq_ann")
+    // multi-commit table with position + equality deletes (untimed build) —
+    // and ice_stats_build — the NDV-statistics distributed sketch pass +
+    // puffin write + registration commit (table built untimed).
+    // All placed before sim_topk_sq_ann, which stays LAST by design.
+    "ice_mor_dv_read", "ice_cdc_read", "ice_stats_build", "sim_topk_sq_ann")
 }
