@@ -49,13 +49,25 @@ object IcebergSink {
     * on `branch` (streaming WAP: audit, then fastForward to publish). */
   def start(df: DataFrame, url: String, checkpointLocation: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      branch: Option[String] = None): StreamingQuery =
+      branch: Option[String] = None,
+      /** Every N committed batches, refresh the table's NDV statistics via
+        * [[graft.iceberg.TableStatistics.computeIncremental]] — a streamed
+        * table's append-only history is exactly the sketch-UNION fast path
+        * (cost proportional to the new batches, not the table), so CBO
+        * stats stay fresh without a maintenance job. 0 = off. */
+      statsEveryBatches: Int = 0): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)
-      .foreachBatch((batch: DataFrame, batchId: Long) =>
-        appendBatch(url, batch, batchId, branch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(url, batch, batchId, branch)
+        if (statsEveryBatches > 0 && branch.isEmpty &&
+            batchId % statsEveryBatches == 0) {
+          graft.iceberg.TableStatistics.computeIncremental(batch.sparkSession, url)
+          ()
+        }
+      }
       .start()
 
   /** UPSERT each micro-batch keyed on `keyCols` (streaming CDC into

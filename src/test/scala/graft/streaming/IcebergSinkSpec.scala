@@ -59,6 +59,39 @@ class IcebergSinkSpec extends AnyFunSuite {
     assert(t3.read().count() == 4)
   }
 
+  test("statsEveryBatches keeps NDV statistics fresh via the incremental path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_stats").toString
+    val srcDir = s"$dir/src"
+    val url = s"$dir/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    IcebergWriter.createTable(spark, url, schema)
+    (1L to 200L).map(i => (i, s"n${i % 9}")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+
+    val q = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir),
+      url, s"$dir/ckpt", statsEveryBatches = 1)
+    try q.processAllAvailable() finally q.stop()
+    val t = IcebergTable.load(spark, url)
+    val ndvs = graft.iceberg.TableStatistics.ndvFor(t, t.currentSnapshot.snapshotId)
+    val idField = t.iceSchema.fields.find(_.name == "id").get.id
+    assert(ndvs.nonEmpty, "streaming sink must register statistics")
+    assert(math.abs(ndvs(idField) - 200L) <= 10, s"id ndv=${ndvs.get(idField)}")
+
+    // a later batch refreshes them INCREMENTALLY (sketch union, not a
+    // full-table pass)
+    (201L to 300L).map(i => (i, s"n${i % 9}")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val before = graft.iceberg.TableStatistics.incrementalUnions.get()
+    val q2 = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir),
+      url, s"$dir/ckpt", statsEveryBatches = 1)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.iceberg.TableStatistics.incrementalUnions.get() > before,
+      "the follow-up refresh must take the sketch-union path")
+    val t2 = IcebergTable.load(spark, url)
+    val ndvs2 = graft.iceberg.TableStatistics.ndvFor(t2, t2.currentSnapshot.snapshotId)
+    assert(math.abs(ndvs2(idField) - 300L) <= 15, s"id ndv=${ndvs2.get(idField)}")
+  }
+
   test("streaming WAP: batches stage on a branch, publish via fastForward") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_wap").toString
     val srcDir = s"$dir/src"
