@@ -153,21 +153,40 @@ class StatisticsSpec extends AnyFunSuite {
     val metaCounts = t.partitionStats().selectExpr("cat", "n_records")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.view.mapValues(_._1).toMap == metaCounts)
+    // no deletes: total_record_count is exact and equals data_record_count
+    assert(stats.selectExpr("total_record_count", "data_record_count")
+      .collect().forall(r => !r.isNullAt(0) && r.getLong(0) == r.getLong(1)))
 
-    // new snapshot + recompute -> 2 entries; expire drops the stale one
+    // with CROSS-PARTITION delete carriers (this writer's row-level delete
+    // files carry a null partition tuple) the accurate post-delete count is
+    // not derivable from metadata — the spec-optional field must go NULL,
+    // never silently wrong
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 7L))
+    Maintenance.computePartitionStatistics(spark, url)
+    val t2b = IcebergTable.load(spark, url)
+    val stats2 = PartitionStatistics.read(spark, t2b,
+      t2b.currentSnapshot.snapshotId).get
+    assert(stats2.selectExpr("total_record_count")
+      .collect().forall(_.isNullAt(0)),
+      "inexact total_record_count must be null, not wrong")
+
+    // new snapshot + recompute -> one entry per computed snapshot (3 now);
+    // expire to the head drops every stale one and collects their files
     IcebergWriter.append(spark, url,
       Seq((301L, "c0", 1.0)).toDF("k", "cat", "score"))
     Maintenance.computePartitionStatistics(spark, url)
     val t2 = IcebergTable.load(spark, url)
-    assert(t2.metadata.partitionStatistics.size == 2)
-    val stale = t2.resolvePath(t2.metadata.partitionStatistics
-      .find(_.snapshotId != t2.currentSnapshot.snapshotId).get.path)
+    assert(t2.metadata.partitionStatistics.size == 3)
+    val stale = t2.metadata.partitionStatistics
+      .filter(_.snapshotId != t2.currentSnapshot.snapshotId)
+      .map(e => t2.resolvePath(e.path))
     Maintenance.expireSnapshots(spark, url, keepLast = 1)
     val t3 = IcebergTable.load(spark, url)
     assert(t3.metadata.partitionStatistics.map(_.snapshotId) ==
       Seq(t3.currentSnapshot.snapshotId))
     val live = t3.resolvePath(t3.metadata.partitionStatistics.head.path)
-    assert(!new java.io.File(stale).exists, "stale partition-stats file must die")
+    stale.foreach(p => assert(!new java.io.File(p).exists,
+      "stale partition-stats file must die"))
     assert(new java.io.File(live).exists, "live partition-stats file must survive")
   }
 
