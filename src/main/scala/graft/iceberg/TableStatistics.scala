@@ -130,12 +130,17 @@ object TableStatistics {
     }
   }
 
-  /** Per-partition UpdateSketch for every column at once, reduced by theta
-    * Union — driver state is K entries per column, independent of rows. */
+  /** Per-partition UpdateSketch for every column at once, merged by theta
+    * Union in an EXECUTOR-side tree (`treeReduce`): the driver receives ONE
+    * K-entry sketch per column regardless of partition count — a plain fold
+    * would stream every partition's sketch array through the driver, a
+    * partitions × columns × sketch-size term that breaks at 10k-partition
+    * scale. */
   private def sketchColumns(df: org.apache.spark.sql.DataFrame,
       types: Array[String]): Array[Array[Byte]] = {
     val n = types.length
-    df.rdd
+    val empty = Array.fill(n)(UpdateSketch.builder().build().compact().toByteArray)
+    val parts = df.rdd
       .mapPartitions { it =>
         val sketches = Array.fill(n)(UpdateSketch.builder().build())
         it.foreach { row =>
@@ -150,15 +155,15 @@ object TableStatistics {
         }
         Iterator.single(sketches.map(_.compact().toByteArray))
       }
-      .fold(Array.fill(n)(UpdateSketch.builder().build().compact().toByteArray)) {
-        (a, b) =>
-          a.zip(b).map { case (x, y) =>
-            val u: Union = SetOperation.builder().buildUnion()
-            u.union(CompactSketch.wrap(Memory.wrap(x)))
-            u.union(CompactSketch.wrap(Memory.wrap(y)))
-            u.getResult.toByteArray
-          }
+    def merge(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] =
+      a.zip(b).map { case (x, y) =>
+        val u: Union = SetOperation.builder().buildUnion()
+        u.union(CompactSketch.wrap(Memory.wrap(x)))
+        u.union(CompactSketch.wrap(Memory.wrap(y)))
+        u.getResult.toByteArray
       }
+    if (parts.getNumPartitions == 0) empty
+    else parts.treeReduce(merge, depth = 2)
   }
 
   /** Write the puffin + REPLACE this snapshot's metadata entry (keep other
