@@ -1592,51 +1592,54 @@ object IcebergWriter {
         else spark.read.parquet(parquets.map(f => frozen.resolvePath(f.filePath)): _*)
           .select(col("file_path").cast(org.apache.spark.sql.types.StringType),
             col("pos")).as[(String, Long)]
-      val bLive = spark.sparkContext.broadcast(liveKeys)
+      // canonical paths SHIP: groups form on morKey, but the recorded
+      // referenced file must be the data manifests' exact path form (a DV's
+      // referenced_data_file vs a parquet carrier's file_path can differ in
+      // prefix after a table move) — and the map doubles as the live filter
+      val bCanon = spark.sparkContext.broadcast(frozen.liveFiles().map { f =>
+        val rp = frozen.resolvePath(f.filePath)
+        org.apache.spark.sql.graftbridge.ScanBridge.morKey(rp) ->
+          new Path(rp).toUri.getPath
+      }.toMap)
       val mergedBitmaps = dvPositions.union(pqPositions)
         .groupByKey { case (raw, _) =>
           org.apache.spark.sql.graftbridge.ScanBridge.morKey(raw) }
         .flatMapGroups { (k, it) =>
-          if (!bLive.value.contains(k)) Iterator.empty
-          else {
-            var raw: String = null
-            val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-            it.foreach { case (r, p) => raw = r; buf += p }
-            val arr = buf.result().distinct
-            java.util.Arrays.sort(arr)
-            Iterator.single(
-              (raw, DeletionVectors.serializePositions(arr), arr.length.toLong))
+          bCanon.value.get(k) match {
+            case None => Iterator.empty // dead file
+            case Some(canon) =>
+              val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+              it.foreach { case (_, p) => buf += p }
+              val arr = buf.result().distinct
+              java.util.Arrays.sort(arr)
+              Iterator.single(
+                (canon, DeletionVectors.serializePositions(arr), arr.length.toLong))
           }
         }
-        .collect().toSeq
-        // `raw` is whatever path form the LAST row of the group carried (a
-        // DV's referenced_data_file vs a parquet carrier's file_path can
-        // differ in prefix after a table move) — normalize to the SAME
-        // canonical form the data manifests record, so exact-path external
-        // readers and the written blob agree deterministically
-        .map { case (raw, vec, card) =>
-          (new Path(frozen.resolvePath(raw)).toUri.getPath, vec, card) }
-        .sortBy(_._1)
+      // two-mode write: past the byte cap each partition writes its own
+      // puffin executor-side — the consolidation of a 100 TB table's delete
+      // state never funnels bitmap bytes through the driver either
+      val written = writeDvBlobsTwoMode(spark, conf, mergedBitmaps,
+        s"$url/data/${DeletionVectors.puffinName(commitId)}",
+        pid => s"$url/data/$commitId-p$pid-pdc.puffin",
+        snapshotId, frozen.metadata.lastSequenceNumber + 1, Map.empty)
       val extra =
-        if (mergedBitmaps.isEmpty) Nil // every delete row targeted a dead file
+        if (written.isEmpty) Nil // every delete row targeted a dead file
         else {
-          val puffinPath = s"$url/data/${DeletionVectors.puffinName(commitId)}"
-          val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath, conf,
-            mergedBitmaps, snapshotId, frozen.metadata.lastSequenceNumber + 1)
           val pathUtf8 = (v: String) => v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val entries = blobs.map { b =>
+          val entries = written.map { case (ppath, plen, ref, off, blen, card, _, _) =>
             Manifests.DataFileInfo(
-              filePath = new Path(puffinPath).toUri.getPath,
+              filePath = new Path(ppath).toUri.getPath,
               fileFormat = "PUFFIN", partition = Map.empty,
-              recordCount = b.cardinality, fileSizeInBytes = puffinLen,
+              recordCount = card, fileSizeInBytes = plen,
               columnSizes = Map.empty, valueCounts = Map.empty,
               nullValueCounts = Map.empty, nanValueCounts = Map.empty,
-              lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
-              upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
+              lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(ref)),
+              upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(ref)),
               content = Manifests.FileContent.PositionDeletes,
-              referencedDataFile = Some(b.referencedDataFile),
-              contentOffset = Some(b.offset),
-              contentSizeInBytes = Some(b.length))
+              referencedDataFile = Some(ref),
+              contentOffset = Some(off),
+              contentSizeInBytes = Some(blen))
           }
           val manifestPath = s"$url/metadata/$commitId-mpdc.avro"
           writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
@@ -1776,98 +1779,14 @@ object IcebergWriter {
         java.util.Arrays.sort(arr)
         (file, DeletionVectors.serializePositions(arr), arr.length.toLong)
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // decide the WRITE MODE from per-file metadata only (key + compressed
-      // size + cardinality — a few dozen bytes per file): below the byte cap
-      // the bitmaps collect and one puffin appends sequentially on the
-      // driver; above it — one giant-churn commit on a 100 TB table — each
-      // shuffle partition writes its OWN puffin executor-side and only
-      // (path, offset, length, cardinality) tuples return, removing the last
-      // driver-memory term proportional to a commit's deleted-row count.
-      val blobMeta = bitmaps.map { case (f, v, c) => (f, v.length.toLong, c) }.collect()
-      if (blobMeta.isEmpty) return (None, 0L)
-      val totalBytes = blobMeta.map(_._2).sum
-      val driverBytesCap = spark.conf.get(
-        "spark.graft.iceberg.dvDriverBytesLimit", (128L * 1024 * 1024).toString).toLong
-
-      val priorByKey: Map[String, Manifests.DataFileInfo] = priorDvs.flatMap(d =>
+    val priorByKey: Map[String, Manifests.DataFileInfo] = priorDvs.flatMap(d =>
         d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
       val commitSeq = table.metadata.lastSequenceNumber + 1
-
-      // (puffinPath, puffinLen, referencedFile, offset, blobLen, cardinality,
-      //  netNewDelta, supersededPriorKey|null) — one row per written blob,
-      // identical shape from both write modes
-      val written: Seq[(String, Long, String, Long, Long, Long, Long, String)] =
-        if (totalBytes <= driverBytesCap) {
-          val freshBitmaps = bitmaps.collect().toSeq.sortBy(_._1)
-          // supersede: merge with each file's existing DV (decoded by direct
-          // content_offset seek — the manifest-driven read path)
-          val merged = freshBitmaps.map { case (file, vec, card) =>
-            priorByKey.get(morKeyOf(file)) match {
-              case Some(prior) =>
-                val priorPositions = DeletionVectors.readBlobAt(
-                  table.resolvePath(prior.filePath), conf,
-                  prior.contentOffset.getOrElse(sys.error(s"DV without offset: ${prior.filePath}")),
-                  prior.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${prior.filePath}")))
-                val union = (priorPositions ++ DeletionVectors.deserializePositions(vec))
-                  .distinct.sorted
-                (file, DeletionVectors.serializePositions(union), union.length.toLong,
-                  (union.length - priorPositions.length).toLong, morKeyOf(file))
-              case None => (file, vec, card, card, null: String)
-            }
-          }
-          val puffinPath = s"$url/data/${DeletionVectors.puffinName(commitId)}"
-          val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath, conf,
-            merged.map(m => (m._1, m._2, m._3)), snapshotId, commitSeq)
-          blobs.zip(merged).map { case (b, m) =>
-            (puffinPath, puffinLen, b.referencedDataFile, b.offset, b.length,
-              b.cardinality, m._4, m._5)
-          }
-        } else {
-          val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
-          // prior-DV locators ship as metadata; tasks seek-read and merge
-          // where their bitmaps live (grouping puts each file's bitmap in
-          // exactly ONE partition, so ≤1 live DV per file still holds)
-          val priorLoc: Map[String, (String, Long, Long)] = priorByKey.map {
-            case (k, d) => k -> ((table.resolvePath(d.filePath),
-              d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
-              d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}"))))
-          }
-          val bPrior = spark.sparkContext.broadcast(priorLoc)
-          val (u, cid, sid) = (url, commitId, snapshotId)
-          bitmaps.mapPartitions { it =>
-            val local = it.toArray.sortBy(_._1)
-            if (local.isEmpty) Iterator.empty
-            else {
-              val cfg = sconf.value
-              val merged = local.map { case (file, vec, card) =>
-                val k = org.apache.spark.sql.graftbridge.ScanBridge.morKey(file)
-                bPrior.value.get(k) match {
-                  case Some((pp, off, len)) =>
-                    val prior = DeletionVectors.readBlobAt(pp, cfg, off, len)
-                    val union = (prior ++ DeletionVectors.deserializePositions(vec))
-                      .distinct.sorted
-                    (file, DeletionVectors.serializePositions(union),
-                      union.length.toLong, (union.length - prior.length).toLong, k)
-                  case None => (file, vec, card, card, null: String)
-                }
-              }
-              // overwrite = idempotent across task retries (same partition id
-              // → same path; the commit only references the attempt that
-              // returned)
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              val puffinPath = s"$u/data/$cid-p$pid-deletes.puffin"
-              val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath,
-                cfg, merged.map(m => (m._1, m._2, m._3)).toSeq, sid, commitSeq,
-                overwrite = true)
-              blobs.zip(merged).iterator.map { case (b, m) =>
-                (puffinPath, puffinLen, b.referencedDataFile, b.offset, b.length,
-                  b.cardinality, m._4, m._5)
-              }
-            }
-          }.collect().toSeq.sortBy(_._3)
-        }
+      val written = writeDvBlobsTwoMode(spark, conf, bitmaps,
+        s"$url/data/${DeletionVectors.puffinName(commitId)}",
+        pid => s"$url/data/$commitId-p$pid-deletes.puffin",
+        snapshotId, commitSeq, dvLocators(table, priorByKey))
+      if (written.isEmpty) return (None, 0L)
 
       val netNew = written.map(_._7).sum
       val superseded = written.flatMap(r => Option(r._8)).distinct
@@ -1899,7 +1818,95 @@ object IcebergWriter {
       (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
         addedEntries.size, addedEntries.map(_.recordCount).sum,
         superseded.size, supersededRows, Nil)), netNew)
-    } finally bitmaps.unpersist()
+  }
+
+  /** morKey → (resolved path, content offset, size) locators for existing
+    * DV blobs, the shippable form task-side merges need. */
+  private def dvLocators(table: IcebergTable,
+      priorByKey: Map[String, Manifests.DataFileInfo]): Map[String, (String, Long, Long)] =
+    priorByKey.map { case (k, d) =>
+      k -> ((table.resolvePath(d.filePath),
+        d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+        d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}"))))
+    }
+
+  /** TWO-MODE deletion-vector puffin write, shared by the fresh-delete,
+    * consolidation, and removed-file-rewrite paths. The write mode is
+    * decided from per-file metadata only (key + compressed size — a few
+    * dozen bytes per file): below `spark.graft.iceberg.dvDriverBytesLimit`
+    * the bitmaps collect and ONE puffin appends sequentially on the
+    * driver; above it — one giant-churn commit on a 100 TB table — each
+    * shuffle partition writes its OWN puffin executor-side and only
+    * (path, offset, length, cardinality) tuples return, so no driver-memory
+    * term proportional to a commit's deleted-row count exists on ANY path.
+    *
+    * `priorLoc` maps morKeys to existing-DV locators: a bitmap whose key
+    * has one merges (prior ∪ fresh) where it lives — grouping put each
+    * file's bitmap in exactly ONE place, so ≤1 live DV per file holds in
+    * both modes. Returns one row per written blob, ordered by referenced
+    * file: (puffinPath, puffinLen, ref, offset, blobLen, cardinality,
+    * netNewDelta, supersededPriorKey|null). Empty when `bitmaps` is. */
+  private def writeDvBlobsTwoMode(spark: SparkSession, conf: Configuration,
+      bitmaps: org.apache.spark.sql.Dataset[(String, Array[Byte], Long)],
+      singlePuffinPath: String, partPuffinPath: Int => String,
+      snapshotId: Long, commitSeq: Long,
+      priorLoc: Map[String, (String, Long, Long)])
+      : Seq[(String, Long, String, Long, Long, Long, Long, String)] = {
+    import spark.implicits._
+    val cached = bitmaps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val blobMeta = cached.map { case (f, v, c) => (f, v.length.toLong, c) }.collect()
+      if (blobMeta.isEmpty) return Nil
+      val totalBytes = blobMeta.map(_._2).sum
+      val driverBytesCap = spark.conf.get(
+        "spark.graft.iceberg.dvDriverBytesLimit", (128L * 1024 * 1024).toString).toLong
+      def mergeOne(cfg: Configuration, file: String, vec: Array[Byte], card: Long)
+          : (String, Array[Byte], Long, Long, String) = {
+        val k = org.apache.spark.sql.graftbridge.ScanBridge.morKey(file)
+        priorLoc.get(k) match {
+          case Some((pp, off, len)) =>
+            val prior = DeletionVectors.readBlobAt(pp, cfg, off, len)
+            val union = (prior ++ DeletionVectors.deserializePositions(vec))
+              .distinct.sorted
+            (file, DeletionVectors.serializePositions(union),
+              union.length.toLong, (union.length - prior.length).toLong, k)
+          case None => (file, vec, card, card, null: String)
+        }
+      }
+      if (totalBytes <= driverBytesCap) {
+        val merged = cached.collect().toSeq.sortBy(_._1)
+          .map { case (f, v, c) => mergeOne(conf, f, v, c) }
+        val (blobs, puffinLen) = DeletionVectors.writePuffin(singlePuffinPath,
+          conf, merged.map(m => (m._1, m._2, m._3)), snapshotId, commitSeq)
+        blobs.zip(merged).map { case (b, m) =>
+          (singlePuffinPath, puffinLen, b.referencedDataFile, b.offset, b.length,
+            b.cardinality, m._4, m._5)
+        }
+      } else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val (sid, seq) = (snapshotId, commitSeq)
+        cached.mapPartitions { it =>
+          val local = it.toArray.sortBy(_._1)
+          if (local.isEmpty) Iterator.empty
+          else {
+            val cfg = sconf.value
+            val merged = local.map { case (f, v, c) => mergeOne(cfg, f, v, c) }
+            // overwrite = idempotent across task retries (same partition id
+            // → same path; the commit only references the attempt that
+            // returned)
+            val puffinPath =
+              partPuffinPath(org.apache.spark.TaskContext.getPartitionId())
+            val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath,
+              cfg, merged.map(m => (m._1, m._2, m._3)).toSeq, sid, seq,
+              overwrite = true)
+            blobs.zip(merged).iterator.map { case (b, m) =>
+              (puffinPath, puffinLen, b.referencedDataFile, b.offset, b.length,
+                b.cardinality, m._4, m._5)
+            }
+          }
+        }.collect().toSeq.sortBy(_._3)
+      }
+    } finally cached.unpersist()
   }
 
   /** Write one delete manifest of DELETION-VECTOR entries (plus DELETED /
@@ -2393,6 +2400,13 @@ object IcebergWriter {
       // the rewrite). Bitmaps build executor-side; only compressed bytes
       // reach the driver.
       import spark.implicits._
+      // canonical paths ship into the groups (see consolidation); survivors
+      // reference LIVE files only, so the live-file canon map covers them
+      val bCanon = spark.sparkContext.broadcast(table.liveFiles().map { f =>
+        val rp = table.resolvePath(f.filePath)
+        org.apache.spark.sql.graftbridge.ScanBridge.morKey(rp) ->
+          new Path(rp).toUri.getPath
+      }.toMap)
       val survivorBitmaps = all
         .filter(!key(col("file_path")).isInCollection(removedKeys))
         .select(col("file_path").cast(org.apache.spark.sql.types.StringType),
@@ -2400,62 +2414,49 @@ object IcebergWriter {
         .as[(String, Long)]
         .groupByKey { case (p, _) =>
           org.apache.spark.sql.graftbridge.ScanBridge.morKey(p) }
-        .mapGroups { (_, it) =>
-          var raw: String = null
-          val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-          it.foreach { case (r, p) => raw = r; buf += p }
-          val arr = buf.result().distinct
-          java.util.Arrays.sort(arr)
-          (raw, DeletionVectors.serializePositions(arr), arr.length.toLong)
-        }
-        .collect().toSeq
-        .map { case (raw, vec, card) => // canonical form — see consolidation
-          (new Path(table.resolvePath(raw)).toUri.getPath, vec, card) }
-        .sortBy(_._1)
-      val liveByKey: Map[String, Manifests.DataFileInfo] = liveDvs.flatMap(d =>
-        d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
-      val superseded = scala.collection.mutable.ArrayBuffer.empty[Manifests.DataFileInfo]
-      val mergedBlobs = survivorBitmaps.map { case (file, vec, card) =>
-        liveByKey.get(morKeyOf(file)) match {
-          case Some(prior) =>
-            val priorPositions = DeletionVectors.readBlobAt(
-              table.resolvePath(prior.filePath), conf,
-              prior.contentOffset.getOrElse(sys.error(s"DV without offset: ${prior.filePath}")),
-              prior.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${prior.filePath}")))
-            val union = (priorPositions ++ DeletionVectors.deserializePositions(vec))
-              .distinct.sorted
-            superseded += prior
-            (file, DeletionVectors.serializePositions(union), union.length.toLong)
-          case None => (file, vec, card)
-        }
-      }
-      val supersededKeys = superseded.flatMap(_.referencedDataFile.map(morKeyOf)).toSet
-      val untouchedDvs = liveDvs.filterNot(d =>
-        d.referencedDataFile.exists(r => supersededKeys(morKeyOf(r))))
-      val dvEntries =
-        if (mergedBlobs.isEmpty) Nil
-        else {
-          // distinct name: a mixed-carrier delete commit can ALSO write
-          // fresh DVs under puffinName(commitId) in the same commit
-          val puffinPath = s"$url/data/$commitId-rwdel.puffin"
-          val (blobs, puffinLen) = DeletionVectors.writePuffin(puffinPath, conf,
-            mergedBlobs, snapshotId, table.metadata.lastSequenceNumber + 1)
-          val pathUtf8 = (v: String) => v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          blobs.map { b =>
-            Manifests.DataFileInfo(
-              filePath = new Path(puffinPath).toUri.getPath,
-              fileFormat = "PUFFIN", partition = Map.empty,
-              recordCount = b.cardinality, fileSizeInBytes = puffinLen,
-              columnSizes = Map.empty, valueCounts = Map.empty,
-              nullValueCounts = Map.empty, nanValueCounts = Map.empty,
-              lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
-              upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(b.referencedDataFile)),
-              content = Manifests.FileContent.PositionDeletes,
-              referencedDataFile = Some(b.referencedDataFile),
-              contentOffset = Some(b.offset),
-              contentSizeInBytes = Some(b.length))
+        .flatMapGroups { (k, it) =>
+          bCanon.value.get(k) match {
+            case None => Iterator.empty // defensive: not a live file
+            case Some(canon) =>
+              val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+              it.foreach { case (_, p) => buf += p }
+              val arr = buf.result().distinct
+              java.util.Arrays.sort(arr)
+              Iterator.single(
+                (canon, DeletionVectors.serializePositions(arr), arr.length.toLong))
           }
         }
+      val liveByKey: Map[String, Manifests.DataFileInfo] = liveDvs.flatMap(d =>
+        d.referencedDataFile.map(r => morKeyOf(r) -> d)).toMap
+      // two-mode write with executor-side prior merge — the survivor rewrite
+      // of a 100 TB table's delete state has no driver bitmap term either.
+      // Distinct name: a mixed-carrier delete commit can ALSO write fresh
+      // DVs under puffinName(commitId) in the same commit.
+      val written = writeDvBlobsTwoMode(spark, conf, survivorBitmaps,
+        s"$url/data/$commitId-rwdel.puffin",
+        pid => s"$url/data/$commitId-rwdel-p$pid.puffin",
+        snapshotId, table.metadata.lastSequenceNumber + 1,
+        dvLocators(table, liveByKey))
+      val supersededKeys = written.flatMap(r => Option(r._8)).toSet
+      val superseded = liveDvs.filter(d =>
+        d.referencedDataFile.exists(r => supersededKeys(morKeyOf(r))))
+      val untouchedDvs = liveDvs.filterNot(d =>
+        d.referencedDataFile.exists(r => supersededKeys(morKeyOf(r))))
+      val pathUtf8 = (v: String) => v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val dvEntries = written.map { case (ppath, plen, ref, off, blen, card, _, _) =>
+        Manifests.DataFileInfo(
+          filePath = new Path(ppath).toUri.getPath,
+          fileFormat = "PUFFIN", partition = Map.empty,
+          recordCount = card, fileSizeInBytes = plen,
+          columnSizes = Map.empty, valueCounts = Map.empty,
+          nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+          lowerBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(ref)),
+          upperBounds = Map(Manifests.PosDeletePathFieldId -> pathUtf8(ref)),
+          content = Manifests.FileContent.PositionDeletes,
+          referencedDataFile = Some(ref),
+          contentOffset = Some(off),
+          contentSizeInBytes = Some(blen))
+      }
       val allEntries =
         dvEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
           superseded.map(e => (e.copy(filePath = table.resolvePath(e.filePath)),

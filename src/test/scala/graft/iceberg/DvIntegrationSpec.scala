@@ -199,6 +199,59 @@ class DvIntegrationSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.iceberg.dvDriverBytesLimit")
   }
 
+  test("consolidation and survivor rewrites honor the byte cap executor-side") {
+    val url = fresh("graft_dv_exec2")
+    IcebergWriter.createTable(spark, url, schema)
+    for (lo <- 0L until 4L)
+      IcebergWriter.append(spark, url,
+        (lo * 10 + 1 to lo * 10 + 10).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    // v2 parquet carrier first, then v3 DVs — mixed carriers
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(2L, 12L, 22L, 32L)))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    IcebergWriter.deleteRows(spark, url, Pruning.In("k", Seq(3L, 13L, 23L, 33L)))
+    spark.conf.set("spark.graft.iceberg.dvDriverBytesLimit", "0")
+    try {
+      // CONSOLIDATION above the cap: per-partition -pN-pdc puffins
+      IcebergWriter.rewritePositionDeletes(spark, url)
+      val t = IcebergTable.load(spark, url)
+      assert(t.positionDeleteFiles.forall(_.isDv))
+      val puffins = t.positionDeleteFiles.map(f => t.resolvePath(f.filePath)).distinct
+      assert(puffins.forall(_.matches(".*-p\\d+-pdc\\.puffin$")), s"$puffins")
+      assert(t.positionDeleteFiles.map(_.recordCount).sum == 8L)
+      assert(liveKeys(url) ==
+        (1L to 40L).filterNot(k => k % 10 == 2 || k % 10 == 3))
+
+      // an all-DV drop reconciles on METADATA alone: blobs of surviving
+      // files carry through file-level, no rewrite, no new puffin
+      IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 11L))
+      val t2 = IcebergTable.load(spark, url)
+      assert(t2.positionDeleteFiles.forall(f => f.isDv &&
+        t2.resolvePath(f.filePath).matches(".*-p\\d+-pdc\\.puffin$")))
+      assert(liveKeys(url) ==
+        (11L to 40L).filterNot(k => k % 10 == 2 || k % 10 == 3))
+
+      // the SURVIVOR REWRITE (legacy parquet carrier + whole-file drop)
+      // above the cap writes per-partition -rwdel-pN puffins
+      val url2 = fresh("graft_dv_exec_rw")
+      IcebergWriter.createTable(spark, url2, schema)
+      for (lo <- 0L until 4L)
+        IcebergWriter.append(spark, url2,
+          (lo * 10 + 1 to lo * 10 + 10).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+      IcebergWriter.deleteRows(spark, url2,
+        Pruning.In("k", Seq(2L, 12L, 22L, 32L))) // v2 parquet carrier
+      IcebergWriter.upgradeFormatVersion(spark, url2, 3)
+      IcebergWriter.deleteRows(spark, url2, Pruning.Lt("k", 11L)) // drop file 1
+      val t3 = IcebergTable.load(spark, url2)
+      assert(t3.positionDeleteFiles.forall(_.isDv))
+      val puffins3 = t3.positionDeleteFiles.map(f => t3.resolvePath(f.filePath)).distinct
+      assert(puffins3.forall(_.matches(".*-rwdel-p\\d+\\.puffin$")), s"$puffins3")
+      assert(t3.positionDeleteFiles.map(_.recordCount).sum == 3L) // 12,22,32
+      assert(liveKeys(url2) ==
+        (11L to 40L).filterNot(k => k % 10 == 2))
+      assert(t3.countFromStats() == Some(27L))
+    } finally spark.conf.unset("spark.graft.iceberg.dvDriverBytesLimit")
+  }
+
   test("expire + orphan removal: live puffin survives, superseded one is collected") {
     val url = fresh("graft_dv_expire")
     newV3Table(url) // snapshot 1: k = 1..100, one file
