@@ -56,8 +56,33 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] =
     rest.listTables(ns(namespace)).map(t => Identifier.of(namespace, t)).toArray
 
+  /** Iceberg-style METADATA tables, same family the path catalog serves:
+    * `cat.db.t.snapshots|files|delete_files|manifests|partitions|statistics`
+    * resolve when `db.t` is a real REST table and no actual table shadows
+    * the name. */
+  private val metaTables: Map[String, graft.iceberg.IcebergTable =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "snapshots" -> (_.snapshotsDf),
+    "files" -> (_.filesDf),
+    "delete_files" -> (_.deleteFilesDf),
+    "manifests" -> (_.manifestsDf),
+    "partitions" -> (_.partitionStats()),
+    "statistics" -> (_.statisticsDf))
+
   override def loadTable(ident: Identifier): Table =
-    new GraftIcebergV2Table(rest.loadTable(spark, ns(ident.namespace()), ident.name()))
+    try new GraftIcebergV2Table(rest.loadTable(spark, ns(ident.namespace()), ident.name()))
+    catch {
+      case e: Exception if ident.namespace().nonEmpty &&
+          metaTables.contains(ident.name()) =>
+        val nsArr = ident.namespace()
+        val (baseNs, baseName) = (ns(nsArr.dropRight(1)), nsArr.last)
+        try {
+          rest.loadTable(spark, baseNs, baseName) // existence probe
+          new GraftMetadataTable(
+            () => metaTables(ident.name())(rest.loadTable(spark, baseNs, baseName)),
+            (nsArr :+ ident.name()).mkString("."))
+        } catch { case _: Exception => throw e }
+    }
 
   /** `VERSION AS OF v` — v is a snapshot id when it matches one, else a
     * metadata version number, else a named branch/tag ref. */

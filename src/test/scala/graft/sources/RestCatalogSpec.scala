@@ -292,6 +292,19 @@ class RestCatalogSpec extends AnyFunSuite {
         "SQL DML must commit through the catalog, not the version-hint swap")
       // a reader trusting only the filesystem hint sees the pre-DML state
       assert(graft.iceberg.IcebergTable.load(spark, url).read().count() == 3)
+
+      // METADATA tables resolve through the REST CatalogPlugin too — same
+      // family as the path catalog, including the statistics table
+      assert(spark.sql(s"SELECT * FROM $catName.db.events.snapshots").count() >= 3)
+      assert(spark.sql(s"SELECT * FROM $catName.db.events.files").count() >= 1)
+      assert(spark.sql(s"SELECT * FROM $catName.db.events.statistics").count() == 0)
+      cat.withCatalogAtomicity(spark, "db", "events") {
+        graft.iceberg.Maintenance.computeStatistics(spark, url)
+      }
+      val ndvRows = spark.sql(
+        s"SELECT field_name, ndv FROM $catName.db.events.statistics ORDER BY field_name")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ndvRows.get("id").contains(4L), s"$ndvRows") // live ids 1,3,4,5
     }
   }
 
