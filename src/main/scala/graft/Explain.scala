@@ -14,9 +14,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries
+    val bodies = SparkEntry.queries ++ SparkEntry.benchOnly
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      bodies.get(n) match {
+        case Some(q) => q(spark, sfDir).explain("formatted")
+        case None => println(s"(unknown query $n)")
+      }
     }
     spark.stop()
   }
