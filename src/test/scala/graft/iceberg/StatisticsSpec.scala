@@ -124,6 +124,28 @@ class StatisticsSpec extends AnyFunSuite {
     assert(TableStatistics.computeIncremental(spark, url) == ndvs2)
   }
 
+  test("compaction is content-neutral to incremental stats") {
+    val url = fresh("graft_stats_compact")
+    IcebergWriter.createTable(spark, url, schema)
+    for (_ <- 1 to 3) // small files -> something to compact
+      IcebergWriter.append(spark, url,
+        (1L to 100L).map(i => (i, s"c${i % 7}", 0.0)).toDF("k", "cat", "score")
+          .coalesce(1))
+    Maintenance.computeStatistics(spark, url)
+    Maintenance.compact(spark, url)
+    // the replace snapshot changed no rows: the refresh takes the cheap
+    // union path (incremental scan of a replace range is empty) and the
+    // estimates stay put
+    val before = TableStatistics.incrementalUnions.get()
+    val ndvs = TableStatistics.computeIncremental(spark, url)
+    assert(TableStatistics.incrementalUnions.get() == before + 1,
+      "a replace-only range must take the union path")
+    val t = IcebergTable.load(spark, url)
+    val kId = t.iceSchema.fields.find(_.name == "k").get.id
+    assert(ndvs(kId) == 100L, s"compaction must not change NDV: ${ndvs(kId)}")
+    assert(t.metadata.statistics.exists(_.snapshotId == t.currentSnapshot.snapshotId))
+  }
+
   test("partition statistics file: spec schema, counts from manifests, lifecycle") {
     val url = fresh("graft_pstats")
     IcebergWriter.createTable(spark, url, schema,
