@@ -91,9 +91,16 @@ object Bench {
     // reader can audit what was compared — BENCH_r12 recorded a >1.5× min
     // with "regressions":[] and nothing in the artifact explained why (the
     // runner's cwd held no BENCH_r*.json, so detection silently compared
-    // against nothing). The repo dir is now a fallback search root.
+    // against nothing). Fallback search roots: the repo root discovered by
+    // walking up from cwd to the nearest .git, plus SPARK_GRAFT_REPO when
+    // set — no machine-specific absolute path baked in.
+    val repoRoot = Iterator.iterate(new java.io.File(".").getAbsoluteFile
+        .getCanonicalFile)(_.getParentFile)
+      .takeWhile(_ != null)
+      .find(d => new java.io.File(d, ".git").exists())
     val (baselinePath, baseline, baselineSf) = loadBaseline(
-      Seq(new java.io.File("."), new java.io.File("/root/repo")),
+      (Seq(new java.io.File(".")) ++ repoRoot ++
+        sys.env.get("SPARK_GRAFT_REPO").map(new java.io.File(_))).distinct,
       sys.env.get("SPARK_GRAFT_BENCH_BASELINE"))
     // an SF-mismatched baseline (a local sf0.001 iteration run against the
     // driver's sf0.1 artifact) would flag EVERY query — compare same-SF only

@@ -184,6 +184,17 @@ object IcebergTypes {
         value.asInstanceOf[BigDecimal].setScale(s.toInt).underlying
           .unscaledValue.toByteArray // big-endian two's complement
       case "binary" | FixedRe(_) => value.asInstanceOf[Array[Byte]]
+      case "uuid" => value match {
+        // spec single-value form: 16-byte big-endian (msb then lsb)
+        case s: String =>
+          val u = java.util.UUID.fromString(s)
+          ByteBuffer.allocate(16)
+            .putLong(u.getMostSignificantBits)
+            .putLong(u.getLeastSignificantBits).array()
+        case b: Array[Byte] if b.length == 16 => b
+        case other => throw new IllegalArgumentException(
+          s"cannot encode $other as a uuid bound")
+      }
       case other => throw new IllegalArgumentException(s"cannot encode bound of type $other")
     }
   }

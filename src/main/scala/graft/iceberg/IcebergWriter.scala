@@ -1022,13 +1022,17 @@ object IcebergWriter {
           val fs = sp.withArray[ArrayNode]("fields")
           (0 until fs.size).map(fs.get(_).get("field-id").asInt)
         }).max
-      def reusableFieldId(sourceId: Int, tr: String, name: String): Option[Int] =
+      // reuse by (source, transform) ONLY — the spec's rule: a partition
+      // field keeps its id across specs even when its NAME changes (e.g.
+      // the source column was renamed and the derived name moved with it).
+      // Keying on the name would mint a fresh id for the same conceptual
+      // field, splitting its history in the unified partition tuple.
+      def reusableFieldId(sourceId: Int, tr: String): Option[Int] =
         existing.iterator.map { sp =>
           val fs = sp.withArray[ArrayNode]("fields")
           (0 until fs.size).map(fs.get).find(f =>
             f.get("source-id").asInt == sourceId &&
-              f.get("transform").asText == tr &&
-              f.get("name").asText == name).map(_.get("field-id").asInt)
+              f.get("transform").asText == tr).map(_.get("field-id").asInt)
         }.collectFirst { case Some(id) => id }
       val spec = mapper.createObjectNode()
       spec.put("spec-id", newSpecId)
@@ -1038,7 +1042,7 @@ object IcebergWriter {
         val sourceId = schema.fields.find(_.name == src).getOrElse(
           throw new IllegalArgumentException(s"no partition source column $src")).id
         val name = partitionFieldName(src, tr)
-        val fid = reusableFieldId(sourceId, tr, name).getOrElse {
+        val fid = reusableFieldId(sourceId, tr).getOrElse {
           lastPartId += 1; lastPartId
         }
         val fn = mapper.createObjectNode()

@@ -64,8 +64,19 @@ object IcebergSink {
         appendBatch(url, batch, batchId, branch)
         if (statsEveryBatches > 0 && branch.isEmpty &&
             batchId % statsEveryBatches == 0) {
-          graft.iceberg.TableStatistics.computeIncremental(batch.sparkSession, url)
-          ()
+          // stats are advisory optimizer input, not part of the batch's
+          // exactly-once contract: a refresh failure (commit-retry
+          // exhaustion racing another writer, unencodable column) must not
+          // fail a streaming query whose data batch already committed
+          scala.util.Try(
+            graft.iceberg.TableStatistics.computeIncremental(
+              batch.sparkSession, url)) match {
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"graft: statistics refresh failed for $url at batch " +
+                  s"$batchId (ingestion continues): ${e.getMessage}")
+            case _ => ()
+          }
         }
       }
       .start()

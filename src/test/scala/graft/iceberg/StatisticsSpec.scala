@@ -212,6 +212,56 @@ class StatisticsSpec extends AnyFunSuite {
     assert(new java.io.File(live).exists, "live partition-stats file must survive")
   }
 
+  test("uuid columns sketch via the spec's 16-byte form instead of crashing") {
+    val url = fresh("graft_stats_uuid")
+    IcebergWriter.createTable(spark, url, StructType(Seq(StructField("k", LongType))))
+    IcebergWriter.addColumn(spark, url, "u", "uuid")
+    // 200 rows, 100 distinct uuids (spark surfaces uuid as string)
+    val df = (1L to 200L).map(i =>
+      (i, new java.util.UUID(0L, i % 100).toString)).toDF("k", "u")
+    IcebergWriter.append(spark, url, df.repartition(2))
+    val ndvs = Maintenance.computeStatistics(spark, url)
+    val t = IcebergTable.load(spark, url)
+    val uId = t.iceSchema.fields.find(_.name == "u").get.id
+    assert(ndvs.contains(uId), "uuid column must be statable")
+    assert(math.abs(ndvs(uId) - 100) <= 5, s"u ndv=${ndvs(uId)}")
+  }
+
+  test("partition stats attribute old-spec files through their own spec") {
+    val url = fresh("graft_pstats_evo")
+    IcebergWriter.createTable(spark, url, schema,
+      partitions = Seq(("cat", "identity")))
+    val a = (1L to 90L).map(i => (i, s"c${i % 3}", 0.0)).toDF("k", "cat", "score")
+    IcebergWriter.append(spark, url, a.repartition(2))
+    // rename the source column: the NEW default spec derives field name
+    // "category", but the field ID is REUSED (same source + transform), so
+    // old files' {"cat": ...} values coerce into the unified tuple
+    IcebergWriter.renameColumn(spark, url, "cat", "category")
+    IcebergWriter.updatePartitionSpec(spark, url, Seq(("category", "identity")))
+    val b = (91L to 120L).map(i => (i, "c0", 0.0)).toDF("k", "category", "score")
+    IcebergWriter.append(spark, url, b.coalesce(1))
+
+    val t = IcebergTable.load(spark, url)
+    val oldFid = t.metadata.specById(0).fields.head.fieldId
+    assert(t.partitionSpec.fields.head.fieldId == oldFid,
+      "rename must not mint a new partition field id")
+
+    Maintenance.computePartitionStatistics(spark, url)
+    val t2 = IcebergTable.load(spark, url)
+    val stats = PartitionStatistics.read(spark, t2,
+      t2.currentSnapshot.snapshotId).get
+    val rows = stats.selectExpr("partition.category", "data_record_count", "spec_id")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getInt(2))).toMap
+    // old-spec files must NOT lump into a null partition row
+    assert(!rows.contains(None), s"null-partition row present: $rows")
+    assert(rows(Some("c0"))._1 == 60L, s"c0 merges both specs' files: $rows")
+    assert(rows(Some("c1"))._1 == 30L && rows(Some("c2"))._1 == 30L)
+    // spec_id records the newest spec represented in each partition
+    assert(rows(Some("c0"))._2 == t2.metadata.defaultSpecId)
+    assert(rows(Some("c1"))._2 == 0 && rows(Some("c2"))._2 == 0)
+  }
+
   test("stats commit racing appends: entry binds to the computed snapshot, no commit lost") {
     val url = fresh("graft_stats_race")
     build(url)
