@@ -44,7 +44,7 @@ import org.roaringbitmap.RoaringBitmap
   */
 object DeletionVectors {
 
-  val PuffinMagic: Array[Byte] = Array(0x50, 0x46, 0x41, 0x31).map(_.toByte) // "PFA1"
+  val PuffinMagic: Array[Byte] = Puffin.Magic // "PFA1" — envelope shared via [[Puffin]]
   val DvMagic: Array[Byte] = Array(0xD1, 0xD3, 0x3D, 0xD3).map(_.toByte)
   val BlobType = "deletion-vector-v1"
 
@@ -159,30 +159,14 @@ object DeletionVectors {
         * per-partition path, and only the attempt that returns is committed. */
       overwrite: Boolean = false): (Seq[DvBlob], Long) = {
     require(dvs.nonEmpty, "writePuffin needs at least one DV")
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, overwrite)
-    try {
-      out.write(PuffinMagic)
-      var offset = 4L
-      val blobs = dvs.map { case (file, vec, card) =>
-        val framed = frameBlob(vec)
-        out.write(framed)
-        val b = DvBlob(file, offset, framed.length.toLong, card,
-          snapshotId, sequenceNumber)
-        offset += framed.length
-        b
+    def blobsFor(located: Seq[(Long, Long)]): Seq[DvBlob] =
+      dvs.zip(located).map { case ((file, _, card), (off, len)) =>
+        DvBlob(file, off, len, card, snapshotId, sequenceNumber)
       }
-      val payload = footerPayload(blobs)
-      out.write(PuffinMagic)
-      out.write(payload)
-      val tail = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-      tail.putInt(payload.length)
-      tail.putInt(0) // flags: payload uncompressed
-      tail.put(PuffinMagic)
-      out.write(tail.array())
-      (blobs, offset + 4 + payload.length + 12)
-    } finally out.close()
+    val (located, fileLen, _) = Puffin.write(path, conf,
+      dvs.map(d => frameBlob(d._2)),
+      payloadFor = locs => footerPayload(blobsFor(locs)), overwrite)
+    (blobsFor(located), fileLen)
   }
 
   private def footerPayload(blobs: Seq[DvBlob]): Array[Byte] = {

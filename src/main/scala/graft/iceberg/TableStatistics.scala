@@ -78,13 +78,26 @@ object TableStatistics {
     * full-table pass via a sketch UNION. */
   val incrementalUnions = new java.util.concurrent.atomic.AtomicLong
 
+  /** Telemetry: incremental computations that fell back to the FULL pass
+    * for one of the two expected causes (deletes in range, schema drift).
+    * At 100 TB a "cheap" refresh that quietly costs a full pass needs a
+    * signal; anything UNEXPECTED (IO error, corrupt puffin) throws instead
+    * of masking as a fallback. */
+  val fullFallbacks = new java.util.concurrent.atomic.AtomicLong
+
   /** INCREMENTAL statistics — the 100 TB path: when a registered entry
     * exists for an ANCESTOR snapshot and every snapshot since is
     * append/replace (compaction is content-neutral), sketch only the rows
     * appended in `(ancestor, current]` and theta-UNION them with the prior
     * file's sketches. Cost is proportional to the NEW data, not the table.
-    * Deletes in the range (theta cannot subtract), schema drift, or a
-    * missing ancestor entry fall back to the full pass. */
+    *
+    * Exactly two conditions fall back to the full pass, each checked
+    * EXPLICITLY and counted in [[fullFallbacks]]: a non-append/replace
+    * snapshot in the range (theta cannot subtract deleted rows) and schema
+    * drift (a statable column with no prior sketch). A missing ancestor
+    * entry also runs the full pass (nothing to union). Any other failure —
+    * an unreadable or corrupt prior puffin, an IO error — THROWS: silently
+    * recomputing would hide a real fault behind a quietly-full-cost run. */
   def computeIncremental(spark: SparkSession, url: String): Map[Int, Long] = {
     val conf = spark.sessionState.newHadoopConf()
     val table = IcebergWriter.resolveCurrent(spark, url)
@@ -103,30 +116,42 @@ object TableStatistics {
       prior = registered.get(cur.get)
       cur = cur.flatMap(snaps.get).flatMap(_.parentSnapshotId)
     }
+    def fullPass(): Map[Int, Long] = {
+      fullFallbacks.incrementAndGet()
+      compute(spark, url)
+    }
     prior match {
-      case None => compute(spark, url)
+      case None => compute(spark, url) // nothing registered: not a fallback
       case Some(e) =>
-        val incremental = scala.util.Try {
-          val inc = table.incrementalBetween(e.snapshotId, snapshotId)
-          val priorSketches = readSketches(table.resolvePath(e.path), conf)
-            .map(b => b.fieldId -> b.sketch).toMap
-          require(cols.forall(c => priorSketches.contains(c.id)),
-            "schema drift: new statable columns need a full pass")
-          val fresh = sketchColumns(inc.read(columns = cols.map(_.name)),
-            cols.map(_.icebergTypeString).toArray)
-          cols.map(_.id).zip(fresh).map { case (id, f) =>
-            val u: Union = SetOperation.builder().buildUnion()
-            u.union(CompactSketch.wrap(Memory.wrap(priorSketches(id))))
-            u.union(CompactSketch.wrap(Memory.wrap(f)))
-            u.getResult.toByteArray
-          }.toArray
+        // expected fallback 1: a snapshot in (ancestor, current] whose
+        // operation cannot be expressed as appends (delete/overwrite/
+        // row-delta) — theta sketches cannot subtract
+        var c = Option(snapshotId)
+        var appendOnly = true
+        while (appendOnly && c.isDefined && c.get != e.snapshotId) {
+          val s = snaps(c.get)
+          val op = s.summary.getOrElse("operation", "append")
+          appendOnly = op == "append" || op == "replace"
+          c = s.parentSnapshotId
         }
-        incremental match {
-          case scala.util.Success(merged) =>
-            incrementalUnions.incrementAndGet()
-            writeAndRegister(spark, url, conf, table, cols, merged)
-          case scala.util.Failure(_) => compute(spark, url) // deletes/drift
-        }
+        if (!appendOnly) return fullPass()
+        // an unreadable/corrupt prior puffin THROWS here — not a fallback
+        val priorSketches = readSketches(table.resolvePath(e.path), conf)
+          .map(b => b.fieldId -> b.sketch).toMap
+        // expected fallback 2: schema drift — a statable column added since
+        // the prior entry has no sketch to union into
+        if (!cols.forall(c => priorSketches.contains(c.id))) return fullPass()
+        val inc = table.incrementalBetween(e.snapshotId, snapshotId)
+        val fresh = sketchColumns(inc.read(columns = cols.map(_.name)),
+          cols.map(_.icebergTypeString).toArray)
+        val merged = cols.map(_.id).zip(fresh).map { case (id, f) =>
+          val u: Union = SetOperation.builder().buildUnion()
+          u.union(CompactSketch.wrap(Memory.wrap(priorSketches(id))))
+          u.union(CompactSketch.wrap(Memory.wrap(f)))
+          u.getResult.toByteArray
+        }.toArray
+        incrementalUnions.incrementAndGet()
+        writeAndRegister(spark, url, conf, table, cols, merged)
     }
   }
 
@@ -208,6 +233,22 @@ object TableStatistics {
     cols.map(_.id).zip(ndvs).toMap
   }
 
+  /** NDV map from the NEAREST REGISTERED entry at-or-above `snapshotId` on
+    * the parent chain — Iceberg-java's serving rule, used by the scan's
+    * `columnStats()`: an append since the last stats run must not blind
+    * the CBO; bounded staleness (the ancestor's estimates) beats falling
+    * back to size-only heuristics on any actively-written table. Zero file
+    * I/O — walks metadata only. */
+  def ndvForNearestAncestor(table: IcebergTable, snapshotId: Long): Map[Int, Long] = {
+    val registered = table.metadata.statistics.map(_.snapshotId).toSet
+    if (registered.isEmpty) return Map.empty
+    val snaps = table.metadata.snapshotsById
+    var cur = Option(snapshotId)
+    while (cur.isDefined && !registered.contains(cur.get))
+      cur = snaps.get(cur.get).flatMap(_.parentSnapshotId)
+    cur.map(ndvFor(table, _)).getOrElse(Map.empty)
+  }
+
   /** NDV per field id for `snapshotId`, from the registered blob
     * PROPERTIES (zero file I/O — the fast path the scan uses). */
   def ndvFor(table: IcebergTable, snapshotId: Long): Map[Int, Long] =
@@ -247,23 +288,13 @@ object TableStatistics {
     } finally in.close()
   }
 
-  /** Puffin layout shared with [[DeletionVectors.writePuffin]] but with RAW
-    * sketch bytes per blob (theta blobs are unframed per the puffin spec —
-    * the DV magic/CRC framing is specific to deletion vectors). */
+  /** Statistics puffin: the shared [[Puffin]] envelope around RAW sketch
+    * bytes per blob (theta blobs are unframed per the puffin spec — the DV
+    * magic/CRC framing is specific to deletion vectors). */
   private def writeStatsPuffin(path: String, conf: Configuration,
       blobs: Seq[(Int, Array[Byte])], snapshotId: Long, seq: Long)
-      : (Seq[(Long, Long)], Long, Long) = {
-    val p = new Path(path)
-    val out = p.getFileSystem(conf).create(p, false)
-    try {
-      out.write(DeletionVectors.PuffinMagic)
-      var offset = 4L
-      val located = blobs.map { case (_, bytes) =>
-        out.write(bytes)
-        val loc = (offset, bytes.length.toLong)
-        offset += bytes.length
-        loc
-      }
+      : (Seq[(Long, Long)], Long, Long) =
+    Puffin.write(path, conf, blobs.map(_._2), payloadFor = located => {
       val root = mapper.createObjectNode()
       val arr = root.withArray[ArrayNode]("blobs")
       blobs.zip(located).foreach { case ((fieldId, bytes), (off, blen)) =>
@@ -279,16 +310,6 @@ object TableStatistics {
         arr.add(n)
       }
       root.withObject("/properties").put("created-by", "graft")
-      val payload = root.toString.getBytes(StandardCharsets.UTF_8)
-      out.write(DeletionVectors.PuffinMagic)
-      out.write(payload)
-      val tail = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-      tail.putInt(payload.length)
-      tail.putInt(0)
-      tail.put(DeletionVectors.PuffinMagic)
-      out.write(tail.array())
-      val footerLen = 4L + payload.length + 12
-      (located, offset + footerLen, footerLen)
-    } finally out.close()
-  }
+      root.toString.getBytes(StandardCharsets.UTF_8)
+    })
 }

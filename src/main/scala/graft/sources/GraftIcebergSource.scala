@@ -1037,7 +1037,10 @@ final class GraftIcebergScan(
       val snapId =
         if (table.metadata.currentSnapshotId >= 0) table.currentSnapshot.snapshotId
         else return java.util.Collections.emptyMap()
-      val ndvs = graft.iceberg.TableStatistics.ndvFor(table, snapId)
+      // nearest REGISTERED entry on the parent chain, not just the exact
+      // snapshot: one append after a stats run must not blind the CBO —
+      // bounded staleness beats size-only heuristics (Iceberg-java's rule)
+      val ndvs = graft.iceberg.TableStatistics.ndvForNearestAncestor(table, snapId)
       val nulls: Map[Int, Long] = files.flatMap(_.nullValueCounts.toSeq)
         .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).sum }
       val out = new java.util.HashMap[

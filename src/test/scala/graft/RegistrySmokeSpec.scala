@@ -72,6 +72,22 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_full",
     "sim_topk_sq", "sim_topk_sq_pruned", "q24_band_join", "tx_fingerprint")
 
+  /** BENCH-ONLY bodies get the same guard: they are outside the driver's
+    * correctness gate entirely, so a silent break surfaces only as a bench
+    * crash (the r13 `Explain` crash on `ice_mor_dv_read` was exactly this
+    * class). Setup/teardown hooks run untimed around the body, as Bench
+    * does. */
+  SparkEntry.benchOnly.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"benchOnly $name: setup + body run, ≥1 row on sf0.001") {
+      SparkEntry.benchSetup.get(name).foreach(_(spark, sfDir))
+      try {
+        val df = fn(spark, sfDir)
+        assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
+        assert(df.limit(1).collect().nonEmpty, s"$name returned no rows")
+      } finally SparkEntry.benchTeardown.get(name).foreach(_(spark, sfDir))
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: body runs, schema non-empty, ≥1 row on sf0.001") {
       val df = fn(spark, sfDir)

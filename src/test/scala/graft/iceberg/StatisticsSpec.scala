@@ -212,6 +212,123 @@ class StatisticsSpec extends AnyFunSuite {
     assert(new java.io.File(live).exists, "live partition-stats file must survive")
   }
 
+  test("NDVs survive table advancement: nearest-ancestor entry serves the CBO") {
+    val url = fresh("graft_stats_anc")
+    build(url)
+    Maintenance.computeStatistics(spark, url)
+    // advance the table WITHOUT recomputing: the scan must serve the
+    // ancestor's (bounded-stale) NDVs, not go CBO-blind
+    IcebergWriter.append(spark, url,
+      Seq((5000L, "c1", 1.0)).toDF("k", "cat", "score").coalesce(1))
+    val t = IcebergTable.load(spark, url)
+    val head = t.currentSnapshot.snapshotId
+    assert(TableStatistics.ndvFor(t, head).isEmpty, "no entry at the head")
+    val served = TableStatistics.ndvForNearestAncestor(t, head)
+    val catId = t.iceSchema.fields.find(_.name == "cat").get.id
+    assert(served(catId) == 7L, s"ancestor NDVs must serve: $served")
+
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.read.format("graft-iceberg").load(url)
+        .queryExecution.optimizedPlan.stats
+      val cat = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "cat" => s
+      }
+      assert(cat.exists(_.distinctCount.exists(_.toLong == 7L)),
+        s"CBO must still see ancestor NDVs after an append: $cat")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
+  test("registered NDVs flip a join to broadcast under CBO") {
+    val url = fresh("graft_stats_flip")
+    build(url)
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // threshold below the scan size: neither raw side can broadcast, so
+      // only a small AGGREGATE-output estimate (which needs the group
+      // column's NDV) can flip the build side
+      val scanSize = spark.read.format("graft-iceberg").load(url)
+        .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (scanSize / 2).toString)
+      def planned() = {
+        val fact = spark.read.format("graft-iceberg").load(url)
+        val agg = spark.read.format("graft-iceberg").load(url)
+          .groupBy("cat").agg(org.apache.spark.sql.functions.sum("score").as("s"))
+        fact.join(agg, "cat").queryExecution.sparkPlan
+      }
+      def broadcasts(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts(planned()).isEmpty,
+        "without NDV stats the aggregate side must not broadcast (size-only " +
+          "estimate = the whole scan)")
+      Maintenance.computeStatistics(spark, url)
+      assert(broadcasts(planned()).nonEmpty,
+        "with cat NDV=7 registered, CBO must estimate the aggregate at ~7 " +
+          "rows and broadcast it — the stats' reason to exist")
+    } finally {
+      prevCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      prevThr match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("corrupt prior puffin THROWS from incremental; expected causes tick fullFallbacks") {
+    val url = fresh("graft_stats_hard")
+    build(url)
+    Maintenance.computeStatistics(spark, url)
+    val t = IcebergTable.load(spark, url)
+    val puffin = t.resolvePath(t.metadata.statistics.head.path)
+    IcebergWriter.append(spark, url,
+      Seq((9999L, "c0", 0.0)).toDF("k", "cat", "score").coalesce(1))
+    // corrupt the registered puffin: valid envelope shape, garbage payload
+    val junk = "PFA1".getBytes ++ "PFA1".getBytes ++ "junk".getBytes ++
+      java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4).putInt(0).put("PFA1".getBytes).array()
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(puffin))
+    java.nio.file.Files.write(java.nio.file.Paths.get(puffin), junk)
+    val fb0 = TableStatistics.fullFallbacks.get()
+    intercept[Exception] {
+      TableStatistics.computeIncremental(spark, url)
+    }
+    assert(TableStatistics.fullFallbacks.get() == fb0,
+      "a corrupt puffin is a FAULT, not a fallback — it must not mask as " +
+        "a silent full recompute")
+    java.nio.file.Files.write(java.nio.file.Paths.get(puffin), good)
+
+    // schema drift IS an expected fallback: new statable column since the
+    // prior entry — full pass runs and the gauge ticks
+    IcebergWriter.addColumn(spark, url, "extra", "long")
+    IcebergWriter.append(spark, url,
+      Seq((10000L, "c0", 0.0, 42L)).toDF("k", "cat", "score", "extra").coalesce(1))
+    val fb1 = TableStatistics.fullFallbacks.get()
+    val ndvs = TableStatistics.computeIncremental(spark, url)
+    assert(TableStatistics.fullFallbacks.get() == fb1 + 1,
+      "schema drift must fall back to the full pass and count itself")
+    val t2 = IcebergTable.load(spark, url)
+    val extraId = t2.iceSchema.fields.find(_.name == "extra").get.id
+    assert(ndvs.contains(extraId), "full pass must cover the new column")
+
+    // a delete in the range is the other expected fallback
+    IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 10000L))
+    val fb2 = TableStatistics.fullFallbacks.get()
+    TableStatistics.computeIncremental(spark, url)
+    assert(TableStatistics.fullFallbacks.get() == fb2 + 1,
+      "a delete in the range must fall back to the full pass and count itself")
+  }
+
   test("uuid columns sketch via the spec's 16-byte form instead of crashing") {
     val url = fresh("graft_stats_uuid")
     IcebergWriter.createTable(spark, url, StructType(Seq(StructField("k", LongType))))
