@@ -1541,6 +1541,9 @@ object IceQueries {
   private def statsBenchPath(dir: String): String =
     s"/tmp/graft_bench_stats_${Integer.toHexString(dir.hashCode)}/t"
 
+  private def statsIncrBenchPath(dir: String): String =
+    s"/tmp/graft_bench_statsincr_${Integer.toHexString(dir.hashCode)}/t"
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete()
@@ -1570,6 +1573,27 @@ object IceQueries {
       import s.implicits._
       graft.iceberg.TableStatistics.compute(s, statsBenchPath(dir))
         .toSeq.toDF("field_id", "ndv")
+    }),
+    // INCREMENTAL statistics refresh — the 100 TB path the feature's scale
+    // claim rests on: append ~10% of orders, then theta-UNION only the new
+    // rows into the setup-registered sketches. The require pins that the
+    // union path actually ran (a silent full recompute would bench the
+    // wrong thing). Each rep appends the same batch again, so per-rep cost
+    // stays ∝ the appended data while the table grows — exactly the
+    // steady-state refresh cadence. Compare to ice_stats_build: that is
+    // this table's full-rebuild cost.
+    "ice_stats_incr" -> ((s, dir) => {
+      import s.implicits._
+      val url = statsIncrBenchPath(dir)
+      val batch = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderkey") % 10 === 0)
+      graft.iceberg.IcebergWriter.append(s, url, batch.repartition(2))
+      val before = graft.iceberg.TableStatistics.incrementalUnions.get()
+      val ndvs = graft.iceberg.TableStatistics.computeIncremental(s, url)
+      require(graft.iceberg.TableStatistics.incrementalUnions.get() == before + 1,
+        "ice_stats_incr must take the sketch-union path, not a full rebuild")
+      ndvs.toSeq.toDF("field_id", "ndv")
     }))
 
   val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
@@ -1628,6 +1652,21 @@ object IceQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       IcebergWriter.createTable(s, url, o.schema)
       IcebergWriter.append(s, url, o.repartition(8))
+    }),
+    "ice_stats_incr" -> ((s, dir) => {
+      import graft.iceberg.IcebergWriter
+      val url = statsIncrBenchPath(dir)
+      val root = new java.io.File(url).getParentFile
+      if (root.exists()) rmTree(root)
+      // 90% of orders + a FULL stats registration: the timed body appends
+      // the other 10% and unions it in
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderkey") % 10 =!= 0)
+      IcebergWriter.createTable(s, url, o.schema)
+      IcebergWriter.append(s, url, o.repartition(8))
+      graft.iceberg.TableStatistics.compute(s, url)
+      ()
     }))
 
   val benchTeardown: Map[String, (SparkSession, String) => Unit] = Map(
@@ -1636,7 +1675,9 @@ object IceQueries {
     "ice_cdc_read" -> ((s, dir) =>
       rmTree(new java.io.File(cdcBenchPath(dir)).getParentFile)),
     "ice_stats_build" -> ((s, dir) =>
-      rmTree(new java.io.File(statsBenchPath(dir)).getParentFile)))
+      rmTree(new java.io.File(statsBenchPath(dir)).getParentFile)),
+    "ice_stats_incr" -> ((s, dir) =>
+      rmTree(new java.io.File(statsIncrBenchPath(dir)).getParentFile)))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_stats_agg"        -> (iceStatsAgg _),

@@ -75,6 +75,10 @@ object SparkEntry {
     // multi-commit table with position + equality deletes (untimed build) —
     // and ice_stats_build — the NDV-statistics distributed sketch pass +
     // puffin write + registration commit (table built untimed).
-    // All placed before sim_topk_sq_ann, which stays LAST by design.
-    "ice_mor_dv_read", "ice_cdc_read", "ice_stats_build", "sim_topk_sq_ann")
+    // NEW in round 14: ice_stats_incr — the INCREMENTAL refresh (append
+    // ~10% of orders + theta-union into the setup-registered sketches);
+    // read next to ice_stats_build, which is the same table's full-rebuild
+    // cost. All placed before sim_topk_sq_ann, which stays LAST by design.
+    "ice_mor_dv_read", "ice_cdc_read", "ice_stats_build", "ice_stats_incr",
+    "sim_topk_sq_ann")
 }

@@ -284,6 +284,32 @@ class StatisticsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental refresh costs well under the full rebuild (∝ new data)") {
+    val url = fresh("graft_stats_speed")
+    IcebergWriter.createTable(spark, url, schema)
+    val big = spark.range(400000).selectExpr("id as k",
+      "concat('c', id % 1000) as cat", "cast(id % 5000 as double) as score")
+    IcebergWriter.append(spark, url, big.repartition(8))
+    TableStatistics.compute(spark, url) // warm-up: JIT + classloading
+    val t0 = System.nanoTime()
+    TableStatistics.compute(spark, url)
+    val full = System.nanoTime() - t0
+    // append 1% and refresh: the union path must run and cost a fraction
+    // of the rebuild — the 100 TB claim in miniature
+    IcebergWriter.append(spark, url, spark.range(400000, 404000).selectExpr(
+      "id as k", "concat('c', id % 1000) as cat",
+      "cast(id % 5000 as double) as score").coalesce(1))
+    val before = TableStatistics.incrementalUnions.get()
+    val t1 = System.nanoTime()
+    TableStatistics.computeIncremental(spark, url)
+    val incr = System.nanoTime() - t1
+    assert(TableStatistics.incrementalUnions.get() == before + 1,
+      "the refresh must take the sketch-union path")
+    assert(incr < full * 0.6,
+      f"incremental (${incr / 1e9}%.2fs) must be well under the full " +
+        f"rebuild (${full / 1e9}%.2fs)")
+  }
+
   test("corrupt prior puffin THROWS from incremental; expected causes tick fullFallbacks") {
     val url = fresh("graft_stats_hard")
     build(url)
