@@ -523,15 +523,23 @@ object IceQueries {
     * metadata table, spec binding) as flags the Spark side zeroes on
     * violation. */
   def icePartitionStats(s: SparkSession, dir: String): DataFrame = {
-    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, PartitionStatistics}
+    import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance, PartitionStatistics, Pruning}
     val url = java.nio.file.Files.createTempDirectory("graft_pst").toString + "/t"
     val src = s.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     IcebergWriter.createTable(s, url, src.schema,
       partitions = Seq(("o_orderstatus", "identity")))
     IcebergWriter.append(s, url, src.repartition(2))
+    // a v3 DV delete commit: every deletion vector references ONE data
+    // file, so the writer stamps each entry with that file's partition —
+    // per-partition delete counts (and the exact post-delete total)
+    // attribute instead of being excluded as cross-partition
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.deleteRows(s, url, Pruning.Lt("o_totalprice", 30000.0))
     Maintenance.computePartitionStatistics(s, url)
     val t = IcebergTable.load(s, url)
+    require(t.positionDeleteFiles.nonEmpty && t.positionDeleteFiles.forall(_.isDv),
+      "partition-stats contract expects DV delete carriers")
     val stats = PartitionStatistics.read(s, t, t.currentSnapshot.snapshotId)
       .getOrElse(sys.error("partition statistics not registered"))
     // file counts must agree with the partitions metadata table — the
@@ -540,10 +548,14 @@ object IceQueries {
       .selectExpr("o_orderstatus", "n_files", "n_records").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     stats.selectExpr("partition.o_orderstatus AS o_orderstatus",
-        "data_record_count", "data_file_count", "spec_id")
+        "data_record_count", "data_file_count", "spec_id",
+        "position_delete_record_count", "total_record_count")
       .collect().toSeq.map { r =>
         val k = r.getString(0)
-        (k, r.getLong(1),
+        require(!r.isNullAt(4) && !r.isNullAt(5),
+          "partition-scoped DV deletes must yield non-null delete and " +
+            s"total counts for partition $k")
+        (k, r.getLong(1), r.getLong(4), r.getLong(5),
           metaCounts.get(k).exists(m =>
             m._1 == r.getInt(2).toLong && m._2 == r.getLong(1)),
           r.getInt(3) == t.metadata.defaultSpecId)
@@ -552,9 +564,14 @@ object IceQueries {
         import s.implicits._
         dynamicOracle("ice_partition_stats") =
           """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS data_record_count,
+            |  CAST(SUM(CASE WHEN o_totalprice < 30000 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS position_delete_record_count,
+            |  CAST(SUM(CASE WHEN o_totalprice < 30000 THEN 0 ELSE 1 END) AS BIGINT)
+            |    AS total_record_count,
             |  TRUE AS matches_partitions_table, TRUE AS spec_bound
             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
         rows.toDF("o_orderstatus", "data_record_count",
+          "position_delete_record_count", "total_record_count",
           "matches_partitions_table", "spec_bound")
           .orderBy("o_orderstatus")
       }

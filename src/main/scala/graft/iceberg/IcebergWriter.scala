@@ -1647,7 +1647,8 @@ object IcebergWriter {
           }
           val manifestPath = s"$url/metadata/$commitId-mpdc.avro"
           writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
-            entries.map(e => (e, Manifests.Status.Added, None: Option[Long])))
+            stampDvPartitions(frozen, specInfo, entries)
+              .map(e => (e, Manifests.Status.Added, None: Option[Long])))
           Seq(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
             entries.size, entries.map(_.recordCount).sum, 0, 0L, Nil))
         }
@@ -1817,11 +1818,36 @@ object IcebergWriter {
       }
       val manifestPath = s"$url/metadata/$commitId-mdv.avro"
       writeDvManifestEntries(manifestPath, snapshotId, specInfo, conf,
-        addedEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
+        stampDvPartitions(table, specInfo, addedEntries)
+          .map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
           superseded.map(e => (e, Manifests.Status.Deleted, e.dataSequence)))
       (Some(NewManifestInfo(manifestPath, Manifests.ManifestContent.Deletes,
         addedEntries.size, addedEntries.map(_.recordCount).sum,
         superseded.size, supersededRows, Nil)), netNew)
+  }
+
+  /** Stamp each ADDED DV entry with its referenced data file's partition
+    * tuple: a deletion vector references exactly ONE data file, so its
+    * deletes are partition-scoped BY CONSTRUCTION — recording the tuple
+    * makes them attributable in partition statistics and visible to
+    * partition-level delete pruning, instead of reading as cross-partition.
+    * Only files whose tuple is expressible under the DEFAULT spec (the
+    * delete manifest's partition schema) stamp; older-spec files keep the
+    * empty tuple, which consumers already treat soundly as unscoped. */
+  private def stampDvPartitions(table: IcebergTable,
+      specInfo: Seq[(PartitionField, String, String)],
+      entries: Seq[Manifests.DataFileInfo]): Seq[Manifests.DataFileInfo] = {
+    if (specInfo.isEmpty) return entries
+    val partByKey: Map[String, Map[String, Any]] =
+      table.liveFiles().map(f => morKeyOf(f.filePath) -> f.partition).toMap
+    entries.map { e =>
+      e.referencedDataFile.flatMap(r => partByKey.get(morKeyOf(r))) match {
+        case Some(src) if specInfo.forall { case (pf, _, _) => src.contains(pf.name) } =>
+          e.copy(partition =
+            specInfo.map { case (pf, _, _) => pf.name -> src(pf.name) }.toMap)
+        case _ => e
+      }
+    }
   }
 
   /** morKey → (resolved path, content offset, size) locators for existing
@@ -1929,7 +1955,20 @@ object IcebergWriter {
         df.put("content", f.content)
         df.put("file_path", f.filePath)
         df.put("file_format", f.fileFormat)
-        df.put("partition", new GenericData.Record(partSchema)) // DVs span partitions
+        // partition-scoped when the entry carries its referenced file's
+        // tuple (stampDvPartitions); empty = cross-partition (sound)
+        val part = new GenericData.Record(partSchema)
+        specInfo.foreach { case (pf, _, valueType) =>
+          val v = f.partition.getOrElse(pf.name, null) match {
+            case null => null
+            case l: Long if avroPartType(valueType) == "int" => Int.box(l.toInt)
+            case l: Long => Long.box(l)
+            case i: Int if avroPartType(valueType) == "long" => Long.box(i.toLong)
+            case other => other
+          }
+          part.put(pf.name, v)
+        }
+        df.put("partition", part)
         df.put("record_count", f.recordCount)
         df.put("file_size_in_bytes", f.fileSizeInBytes)
         df.put("block_size_in_bytes", 67108864L)
@@ -2462,7 +2501,8 @@ object IcebergWriter {
           contentSizeInBytes = Some(blen))
       }
       val allEntries =
-        dvEntries.map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
+        stampDvPartitions(table, specInfo, dvEntries)
+          .map(e => (e, Manifests.Status.Added, None: Option[Long])) ++
           superseded.map(e => (e.copy(filePath = table.resolvePath(e.filePath)),
             Manifests.Status.Deleted, e.dataSequence)) ++
           untouchedDvs.map(e => (e.copy(filePath = table.resolvePath(e.filePath)),

@@ -18,10 +18,11 @@ import org.apache.spark.sql.types._
   * `partitions` metadata table, persisted in the cross-engine format so
   * external planners (Trino, Iceberg-java consumers) get per-partition
   * cardinality without a scan. Delete files that span partitions (null
-  * partition tuple — this writer's cross-partition position deletes and
-  * DVs aggregated per commit) cannot be attributed to one partition and
-  * are left out of per-partition delete counts; partition-scoped delete
-  * files attribute exactly.
+  * partition tuple — this writer's cross-partition parquet position-delete
+  * carriers) cannot be attributed to one partition and are left out of
+  * per-partition delete counts; partition-scoped delete files — including
+  * every DELETION VECTOR this writer stamps with its referenced file's
+  * tuple (IcebergWriter.stampDvPartitions) — attribute exactly.
   *
   * The reference has no statistics machinery (ice.py) — extension. */
 object PartitionStatistics {

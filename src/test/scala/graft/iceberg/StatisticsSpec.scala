@@ -405,6 +405,36 @@ class StatisticsSpec extends AnyFunSuite {
     assert(rows(Some("c1"))._2 == 0 && rows(Some("c2"))._2 == 0)
   }
 
+  test("DV entries carry their referenced file's partition; delete counts attribute") {
+    val url = fresh("graft_pstats_dv")
+    IcebergWriter.createTable(spark, url, schema,
+      partitions = Seq(("cat", "identity")))
+    val df = (1L to 300L).map(i => (i, s"c${i % 3}", 0.0)).toDF("k", "cat", "score")
+    IcebergWriter.append(spark, url, df.repartition(2))
+    IcebergWriter.upgradeFormatVersion(spark, url, 3)
+    // delete 10 rows, all in partition c0 (k % 3 == 0 ↔ cat == c0)
+    IcebergWriter.deleteRows(spark, url, Pruning.LtEq("k", 30L))
+    val t = IcebergTable.load(spark, url)
+    val dvs = t.positionDeleteFiles.filter(_.isDv)
+    assert(dvs.nonEmpty, "expected DV carriers")
+    assert(dvs.forall(d => d.partition.get("cat").exists(_ != null)),
+      s"every DV must carry its referenced file's partition tuple: $dvs")
+
+    Maintenance.computePartitionStatistics(spark, url)
+    val t2 = IcebergTable.load(spark, url)
+    val stats = PartitionStatistics.read(spark, t2,
+      t2.currentSnapshot.snapshotId).get
+    val rows = stats.selectExpr("partition.cat", "data_record_count",
+        "position_delete_record_count", "total_record_count")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // k ≤ 30: 10 rows per cat value — every partition attributes exactly
+    rows.foreach { case (cat, (data, del, total)) =>
+      assert(data == 100L && del == 10L && total == 90L,
+        s"$cat: data=$data del=$del total=$total")
+    }
+  }
+
   test("stats commit racing appends: entry binds to the computed snapshot, no commit lost") {
     val url = fresh("graft_stats_race")
     build(url)
