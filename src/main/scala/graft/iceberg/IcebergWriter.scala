@@ -319,6 +319,34 @@ object IcebergWriter {
     val fmt = format.toUpperCase
     require(fmt == "PARQUET" || fmt == "ORC" || fmt == "AVRO",
       s"addFiles supports parquet, orc, and avro, got $format")
+    // record schema.name-mapping.default (spec): imported id-less files
+    // resolve columns by the names CURRENT AT IMPORT TIME — persisting the
+    // id→name table keeps them resolving after a later rename. A field
+    // already mapped under a DIFFERENT name means a rename happened between
+    // imports; one by-name batch cannot serve files written under two
+    // names, so refuse loudly rather than misread either generation.
+    val existingMapping = table.metadata.properties.get(NameMapping.Prop)
+      .map(NameMapping.parse).getOrElse(Map.empty[Int, Seq[String]])
+    val mergedMapping = table.iceSchema.fields.foldLeft(existingMapping) { (m, f) =>
+      m.get(f.id) match {
+        case Some(names) =>
+          require(names.contains(f.name),
+            s"column '${f.name}' (field id ${f.id}) was renamed since an " +
+              s"earlier import recorded it as ${names.mkString("/")}; compact " +
+              "the table to fold the already-imported files before importing more")
+          m
+        case None => m + (f.id -> Seq(f.name))
+      }
+    }
+    if (mergedMapping != existingMapping)
+      commitWithRetry(spark, url, conf) { current =>
+        val old = mapper.readTree(
+          metadataBaseJson(current, url, conf)).asInstanceOf[ObjectNode]
+        old.withObject("/properties")
+          .put(NameMapping.Prop, NameMapping.render(mergedMapping))
+        old.put("last-updated-ms", System.currentTimeMillis())
+        Some(old.toPrettyString)
+      }
     val withLen = paths.map { p =>
       val hp = new Path(p)
       (p, hp.getFileSystem(conf).getFileStatus(hp).getLen)
@@ -926,7 +954,8 @@ object IcebergWriter {
     * written under the old name resolves by id — no rewrite, no nulls.
     * `from` may be a dotted path into nested structs; `to` is the new LEAF
     * name. */
-  def renameColumn(spark: SparkSession, url: String, from: String, to: String): Unit =
+  def renameColumn(spark: SparkSession, url: String, from: String, to: String): Unit = {
+    requireImportSafeEvolution(spark, url, from, "renameColumn")
     evolveSchema(spark, url) { (fields, lastColumnId) =>
       val parts = evolutionPath(fields, from)
       (mutateStructPath(fields, parts.init, from) { leaf =>
@@ -938,11 +967,13 @@ object IcebergWriter {
         }
       }, lastColumnId)
     }
+  }
 
   /** Drop a column (metadata-only; files keep the bytes, readers stop
     * projecting them; time travel to older snapshots still sees it). Dotted
     * paths drop inside nested structs. */
-  def dropColumn(spark: SparkSession, url: String, name: String): Unit =
+  def dropColumn(spark: SparkSession, url: String, name: String): Unit = {
+    requireImportSafeEvolution(spark, url, name, "dropColumn")
     evolveSchema(spark, url) { (fields, lastColumnId) =>
       val parts = evolutionPath(fields, name)
       (mutateStructPath(fields, parts.init, name) { leaf =>
@@ -950,6 +981,40 @@ object IcebergWriter {
         leaf.filterNot(_.get("name").asText == parts.last)
       }, lastColumnId)
     }
+  }
+
+  /** Rename/drop over a table holding live IMPORTED ID-LESS files is safe
+    * only when `schema.name-mapping.default` covers them (the scan's
+    * foreign batch then resolves by import-time names). Two loud refusals
+    * close the silent-misread corners: a legacy import that predates the
+    * mapping, and NESTED renames (the recorded mapping covers top-level
+    * fields — imported files resolve nested leaves by name, which a nested
+    * rename would break). Costs one planning pass; schema evolution is a
+    * rare metadata op. */
+  private def requireImportSafeEvolution(spark: SparkSession, url: String,
+      column: String, op: String): Unit = {
+    val t = resolveCurrent(spark, url)
+    val importIds = t.metadata.snapshots
+      .filter(_.summary.contains("graft-added-files")).map(_.snapshotId).toSet
+    if (t.metadata.currentSnapshotId < 0) return
+    val hasForeign = t.liveFiles().exists(f =>
+      !f.fileFormat.equalsIgnoreCase("PARQUET") ||
+        f.snapshotId.exists(importIds) ||
+        !t.resolvePath(f.filePath).contains("/data/"))
+    if (!hasForeign) return
+    if (column.split('.').length > 1 &&
+        t.iceSchema.fields.exists(f => f.name == column.split('.').head &&
+          f.icebergTypeString == "struct"))
+      throw new UnsupportedOperationException(
+        s"$op on nested field $column: the table holds imported id-less " +
+          "files and name mapping covers top-level fields only; compact " +
+          "the table to fold imported files first")
+    if (!t.metadata.properties.contains(NameMapping.Prop))
+      throw new UnsupportedOperationException(
+        s"$op would silently misresolve imported id-less files registered " +
+          "before name mapping existed (no schema.name-mapping.default); " +
+          "compact the table to fold imported files first")
+  }
 
   // -------------------------------------------------------------- rollback
 

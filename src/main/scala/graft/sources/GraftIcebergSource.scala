@@ -848,19 +848,28 @@ final class GraftIcebergScan(
     // refusing id-less files
     val plainConf = spark.sessionState.newHadoopConf()
     plainConf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    // imported id-less files resolve by the names CURRENT AT IMPORT TIME
+    // (schema.name-mapping.default) so a later rename cannot misresolve
+    // them; pushed filters pass through unrenamed — they are residuals
+    // re-evaluated exactly by Spark, so a name miss only costs row-group
+    // skipping on the (small) foreign batch
+    val nameMapping = table.metadata.properties.get(graft.iceberg.NameMapping.Prop)
+      .map(graft.iceberg.NameMapping.parse)
+    def mapped(st: StructType) = GraftIcebergScan.applyNameMapping(st, nameMapping)
     val batches = Seq(
       nativeParquet -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
         spark, hconf, fs, table.schema, readSchema, pushedFilters, options).toBatch),
       foreignParquetFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.parquetScan(
         spark, plainConf, fs,
-        GraftIcebergScan.stripFieldIds(table.schema),
-        GraftIcebergScan.stripFieldIds(readSchema),
+        GraftIcebergScan.stripFieldIds(mapped(table.schema)),
+        GraftIcebergScan.stripFieldIds(mapped(readSchema)),
         pushedFilters, options).toBatch),
       orcFiles -> ((fs: Seq[(String, Long)]) => ScanBridge.orcScan(
-        spark, hconf, fs, table.schema, readSchema, pushedFilters, options).toBatch),
+        spark, hconf, fs, mapped(table.schema), mapped(readSchema),
+        pushedFilters, options).toBatch),
       avroFiles -> ((fs: Seq[(String, Long)]) =>
         org.apache.spark.sql.graftbridge.AvroScanBridge.avroBatch(
-          spark, hconf, fs, readSchema)))
+          spark, hconf, fs, mapped(readSchema))))
       .collect { case (fs, mk) if fs.nonEmpty => mk(paths(fs)) }
     batches match {
       case Seq(one) => one
@@ -1205,6 +1214,24 @@ object GraftIcebergScan {
   private[sources] def stripFieldIds(st: StructType): StructType =
     StructType(st.fields.map(f =>
       StructField(f.name, stripType(f.dataType), f.nullable, Metadata.empty)))
+
+  /** Rename a foreign batch's top-level fields to the names the imported
+    * id-less files were WRITTEN under (`schema.name-mapping.default`,
+    * keyed by field id): after a rename, the files still resolve; fields
+    * added after the import map to a reserved absent name and read null.
+    * Output rows bind positionally, so the current schema's names are
+    * untouched downstream. No mapping (legacy import) → names pass
+    * through, today's behavior. */
+  private[sources] def applyNameMapping(st: StructType,
+      mapping: Option[Map[Int, Seq[String]]]): StructType = mapping match {
+    case None => st
+    case Some(m) => StructType(st.fields.map { f =>
+      if (f.metadata.contains("parquet.field.id"))
+        f.copy(name = graft.iceberg.NameMapping.resolvedName(
+          m, f.metadata.getLong("parquet.field.id").toInt))
+      else f
+    })
+  }
 
   private def stripType(dt: DataType): DataType = dt match {
     case s: StructType => stripFieldIds(s)
