@@ -425,13 +425,15 @@ object IceQueries {
       .orderBy("k")
   }
 
-  /** Iceberg v3 READ TOLERANCE (round-13): a v3 table whose schema grows
-    * an `unknown` column and nanosecond-timestamp columns AFTER data was
-    * written must keep reading — `unknown` is the v3 always-null
-    * placeholder (NullType), ns timestamps surface as raw int64 nanos
-    * (and read null from pre-add files) — and v4 metadata is REFUSED
-    * instead of misread. The oracle reads the written parquet back and
-    * pins the tolerance facts as literals. */
+  /** Iceberg v3 READ TOLERANCE + ns WRITE (rounds 13-14): a v3 table whose
+    * schema grows an `unknown` column and nanosecond-timestamp columns
+    * AFTER data was written must keep reading — `unknown` is the v3
+    * always-null placeholder (NullType), ns timestamps surface as raw
+    * int64 nanos (and read null from pre-add files) — v4 metadata is
+    * REFUSED instead of misread, and WRITTEN ns values (beyond the µs
+    * range a truncating path would corrupt) round-trip verbatim with
+    * harvested bounds. The oracle replays the written parquet in DuckDB
+    * (union_by_name nulls the pre-add rows' ns columns). */
   def iceV3Types(s: SparkSession, dir: String): DataFrame = {
     import graft.iceberg.{IcebergTable, IcebergWriter, TableMetadata}
     val url = java.nio.file.Files.createTempDirectory("graft_v3t").toString + "/t"
@@ -443,12 +445,22 @@ object IceQueries {
     IcebergWriter.addColumn(s, url, "u", "unknown")
     IcebergWriter.addColumn(s, url, "ts_ns", "timestamp_ns")
     IcebergWriter.addColumn(s, url, "tstz_ns", "timestamptz_ns")
+    // WRITE nanosecond values (round-14): int64 nanos beyond the µs range
+    // a µs-truncating path would corrupt — written, bounds-harvested, and
+    // read back verbatim (pre-add rows keep reading null)
+    import s.implicits._
+    IcebergWriter.append(s, url, (5 to 8).map(i =>
+        (i, s"extra$i", i * 1000000000L + 123L, -(i * 1000000000L) - 456L))
+      .toDF("r_regionkey", "r_name", "ts_ns", "tstz_ns").coalesce(1))
     val t = IcebergTable.load(s, url)
     val st = t.schema
     require(st("u").dataType == org.apache.spark.sql.types.NullType &&
       st("ts_ns").dataType == org.apache.spark.sql.types.LongType &&
       st("tstz_ns").dataType == org.apache.spark.sql.types.LongType,
       s"v3 tolerance mapping broke: $st")
+    val tsId = t.iceSchema.fields.find(_.name == "ts_ns").get.id
+    require(t.liveFiles().exists(_.lowerBounds.contains(tsId)),
+      "written ns-timestamp column must carry harvested bounds")
     // a v4 doctoring of the SAME metadata must refuse, not misread
     val metaJson = {
       val p = java.nio.file.Paths.get(s"$url/metadata/v${t.version}.metadata.json")
@@ -458,16 +470,18 @@ object IceQueries {
       metaJson.replaceFirst("\"format-version\"\\s*:\\s*3", "\"format-version\": 4")))
       .failed.toOption.exists(_.getMessage.contains("format-version 4"))
     val dataFiles = t.liveFiles().map(f => t.resolvePath(f.filePath))
+    // union_by_name: the pre-add file lacks the ns columns entirely, so
+    // DuckDB yields NULL for its rows — exactly the tolerance contract —
+    // while the written file's int64 nanos replay verbatim
     dynamicOracle("ice_v3_types") =
-      s"""SELECT r_regionkey, r_name, TRUE AS u_null, TRUE AS ts_ns_null,
-         |  TRUE AS tstz_ns_null, TRUE AS v4_refused,
-         |  CAST(3 AS INTEGER) AS format_version
-         |FROM read_parquet(${sqlPaths(dataFiles)}) ORDER BY r_regionkey""".stripMargin
+      s"""SELECT r_regionkey, r_name, TRUE AS u_null, ts_ns, tstz_ns,
+         |  TRUE AS v4_refused, CAST(3 AS INTEGER) AS format_version
+         |FROM read_parquet(${sqlPaths(dataFiles)}, union_by_name=true)
+         |ORDER BY r_regionkey""".stripMargin
     t.read()
       .select(col("r_regionkey"), col("r_name"),
         col("u").isNull.as("u_null"),
-        col("ts_ns").isNull.as("ts_ns_null"),
-        col("tstz_ns").isNull.as("tstz_ns_null"))
+        col("ts_ns"), col("tstz_ns"))
       .withColumn("v4_refused", lit(v4Refused))
       .withColumn("format_version", lit(t.metadata.formatVersion))
       .orderBy("r_regionkey")

@@ -76,8 +76,8 @@ object IcebergTypes {
     // file ever materializes the column. Nanosecond timestamps exceed
     // Spark's µs timestamp range, so they surface HONESTLY as raw
     // nanos-since-epoch longs (the spec's physical representation) rather
-    // than silently truncating; writes of these types are refused by
-    // encodeBound/defaults.
+    // than silently truncating; writes round-trip the same int64 nanos
+    // (encodeBound), while `unknown` stays write-refused.
     case "unknown"             => NullType
     case "timestamp_ns"        => LongType
     case "timestamptz_ns"      => LongType
@@ -175,7 +175,8 @@ object IcebergTypes {
     icebergType match {
       case "boolean" => Array(if (value.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
       case "int" | "date" => le(4).putInt(value.asInstanceOf[Long].toInt).array()
-      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" =>
+      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz"
+         | "timestamp_ns" | "timestamptz_ns" => // ns: raw int64 nanos (v3)
         le(8).putLong(value.asInstanceOf[Long]).array()
       case "float" => le(4).putFloat(value.asInstanceOf[Double].toFloat).array()
       case "double" => le(8).putDouble(value.asInstanceOf[Double]).array()

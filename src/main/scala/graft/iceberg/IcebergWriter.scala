@@ -479,7 +479,11 @@ object IcebergWriter {
     // carry iceberg field ids into the written parquet (parquet.field.id →
     // `= N` ids in the file schema): readers resolve by id like real Iceberg
     val dfCols = df.columns.toSet
-    val base = df.select(schema.fields.map { f =>
+    val base = df.select(schema.fields.filter(
+      // v3 `unknown` columns are NEVER materialized in data files (spec:
+      // the always-null placeholder type) — skip them from the write
+      // projection so frames need not carry an unwritable NullType column
+      _.icebergTypeString != "unknown").map { f =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", f.id.toLong).build()
       // nested types: cast to the table's Spark type, whose inner fields

@@ -49,11 +49,11 @@ object TableStatistics {
     * equality well-defined). */
   private[iceberg] def statable(t: String): Boolean = t match {
     case "boolean" | "int" | "long" | "float" | "double" | "date" | "time" |
-         "timestamp" | "timestamptz" | "timestampz" | "string" | "uuid" |
-         "binary" => true
+         "timestamp" | "timestamptz" | "timestampz" | "timestamp_ns" |
+         "timestamptz_ns" | "string" | "uuid" | "binary" => true
     case t if t.startsWith("decimal(") => true
     case t if t.startsWith("fixed[") => true
-    case _ => false // variant/unknown/ns/nested: no spec'd sketch form
+    case _ => false // variant/unknown/nested: no spec'd sketch form
   }
 
   /** Compute per-column theta sketches for the CURRENT snapshot, write the

@@ -93,6 +93,11 @@ class TypesSpec extends AnyFunSuite {
       .putLong(1510871468123456789L).array()
     assert(decodeBound(ns, "timestamp_ns") == 1510871468123456789L)
     assert(decodeBound(ns, "timestamptz_ns") == 1510871468123456789L)
+    // ns WRITES (round 14): encodeBound round-trips the raw int64 nanos
+    assert(decodeBound(encodeBound(1510871468123456789L, "timestamp_ns"),
+      "timestamp_ns") == 1510871468123456789L)
+    assert(decodeBound(encodeBound(-7L, "timestamptz_ns"),
+      "timestamptz_ns") == -7L)
     // genuinely unsupported types keep refusing loudly, not misreading
     intercept[IllegalArgumentException](primitiveToSpark("geometry"))
     intercept[IllegalArgumentException](encodeBound(1L, "unknown"))
