@@ -92,6 +92,42 @@ class IcebergSinkSpec extends AnyFunSuite {
     assert(math.abs(ndvs2(idField) - 300L) <= 15, s"id ndv=${ndvs2.get(idField)}")
   }
 
+  test("a failed advisory stats refresh never fails the streaming query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_statsfail").toString
+    val srcDir = s"$dir/src"
+    val url = s"$dir/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    graft.iceberg.Maintenance.computeStatistics(spark, url)
+    // corrupt the registered puffin: the refresh will THROW (by design —
+    // a corrupt prior is a fault, not a fallback), but stats are advisory
+    // optimizer input, so ingestion must continue and the batch stays
+    // committed
+    val t0 = IcebergTable.load(spark, url)
+    val puffin = t0.resolvePath(t0.metadata.statistics.head.path)
+    java.nio.file.Files.write(java.nio.file.Paths.get(puffin),
+      "PFA1PFA1junk".getBytes ++ java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4).putInt(0).put("PFA1".getBytes).array())
+    // local-fs checksum sidecar would fail the read even earlier with a
+    // different exception; either way the refresh throws inside the sink
+    val crc = new java.io.File(new java.io.File(puffin).getParent,
+      "." + new java.io.File(puffin).getName + ".crc")
+    if (crc.exists) crc.delete()
+
+    (51L to 80L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q = IcebergSink.start(spark.readStream.schema(schema).parquet(srcDir),
+      url, s"$dir/ckpt", statsEveryBatches = 1)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.exception.isEmpty,
+      s"stats-refresh failure must not fail the query: ${q.exception}")
+    assert(IcebergTable.load(spark, url).read().count() == 80,
+      "the data batch must stay committed")
+  }
+
   test("streaming WAP: batches stage on a branch, publish via fastForward") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_wap").toString
     val srcDir = s"$dir/src"
