@@ -1120,6 +1120,50 @@ object IceQueries {
     } finally s.catalog.dropTempView("g_meta_nation")
   }
 
+  /** SQL `CALL` maintenance procedures (Spark 4 DSv2 ProcedureCatalog —
+    * the `CALL cat.system.*` surface Iceberg's Spark runtime popularized):
+    * a v3 DV delete, then compact → expire_snapshots →
+    * compute_table_stats, every step pure SQL through the path catalog
+    * with named arguments. The oracle recomputes the post-delete exact
+    * NDVs and row count in DuckDB; the sketch estimates must land within
+    * 5% and the procedures' RESULT ROWS (live files after compaction,
+    * remaining history after expiration) pin as hard values. */
+  def iceSqlCall(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergWriter, Pruning}
+    val wh = java.nio.file.Files.createTempDirectory("graft_call").toString
+    val cat = s"call${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/c"
+    val src = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    IcebergWriter.createTable(s, url, src.schema)
+    IcebergWriter.append(s, url, src.repartition(4))
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.deleteRows(s, url, Pruning.Lt("c_custkey", 100L))
+
+    val compacted = s.sql(s"CALL $cat.system.compact(table => 'db.c')")
+      .collect().head
+    val expired = s.sql(s"CALL $cat.system.expire_snapshots(" +
+      "table => 'db.c', keep_last => 1)").collect().head
+    val ndvs = s.sql(s"CALL $cat.system.compute_table_stats(table => 'db.c')")
+      .collect().map(r => r.getAs[String]("column_name") ->
+        r.getAs[Long]("ndv")).toMap
+    val exact = s.table(s"$cat.db.c").select(
+      countDistinct(col("c_custkey")), countDistinct(col("c_nationkey")),
+      countDistinct(col("c_mktsegment")), count(lit(1))).head()
+    val rows = Seq("c_custkey", "c_nationkey", "c_mktsegment").zipWithIndex
+      .map { case (c, i) =>
+        val e = exact.getLong(i)
+        (c, e, math.abs(ndvs(c) - e).toDouble / e <= 0.05,
+          compacted.getAs[Int]("live_files"),
+          expired.getAs[Int]("remaining_snapshots"), exact.getLong(3))
+      }
+    import s.implicits._
+    rows.toDF("col_name", "exact_ndv", "ndv_within_5pct", "live_files",
+      "remaining_snapshots", "row_count").orderBy("col_name")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -1740,6 +1784,7 @@ object IceQueries {
     "ice_partitions_meta"  -> (icePartitionsMeta _),
     "ice_rewrite_deletes"  -> (iceRewriteDeletes _),
     "ice_sql_meta"         -> (iceSqlMeta _),
+    "ice_sql_call"         -> (iceSqlCall _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
@@ -1882,6 +1927,21 @@ object IceQueries {
         |  (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS k_ndv,
         |  CAST(4 AS BIGINT) AS stat_rows
         |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+    "ice_sql_call" ->
+      """SELECT col_name, exact_ndv, TRUE AS ndv_within_5pct,
+        |  1 AS live_files, 1 AS remaining_snapshots, row_count
+        |FROM (
+        |  SELECT 'c_custkey' AS col_name,
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_ndv,
+        |    CAST(COUNT(*) AS BIGINT) AS row_count
+        |  FROM customer WHERE c_custkey >= 100
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey >= 100
+        |  UNION ALL
+        |  SELECT 'c_nationkey', CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey >= 100
+        |) ORDER BY col_name""".stripMargin,
     "ice_partitions_meta" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS r,
         |  CAST(1 AS BIGINT) AS n_files,

@@ -32,7 +32,22 @@ import graft.iceberg.{IcebergTable, IcebergWriter}
   * reference covers and raise.
   */
 class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
-    with IcebergTransformFunctions {
+    with IcebergTransformFunctions
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** SQL `CALL cat.system.<proc>(table => 'db.t', ...)` — the shared
+    * maintenance registry ([[GraftProcedures]]). Tables resolve through
+    * the REST catalog WITH its commit scope, so a maintenance commit gets
+    * the same catalog atomicity as DML. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, tbl => {
+      val parts = tbl.split('.')
+      rest.loadTable(spark, parts.init.mkString("."), parts.last)
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   private var catalogName: String = _
   private var rest: IceRestCatalog = _

@@ -28,7 +28,8 @@ import graft.iceberg.{IcebergTable, IcebergWriter}
   * writer's partition-spec strings. As an [[IcebergTransformFunctions]]
   * catalog it also resolves `bucket` for storage-partitioned joins.
   */
-class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunctions {
+class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunctions
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -58,6 +59,21 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
 
   override def tableExists(ident: Identifier): Boolean =
     IcebergTable.versionHint(dir(ident), spark.sessionState.newHadoopConf()) > 0
+
+  // ------------------------------------------------------------ procedures
+
+  /** SQL `CALL cat.system.<proc>(table => 'db.t', ...)` — the shared
+    * maintenance registry ([[GraftProcedures]]); the `table` argument
+    * resolves through THIS catalog's warehouse layout. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, tbl => {
+      val parts = tbl.split('.')
+      IcebergTable.load(spark, dir(Identifier.of(parts.init, parts.last)))
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   /** Iceberg-style METADATA tables: `cat.db.tbl.snapshots` etc. resolve
     * when `db.tbl` is a real table and no actual table shadows the name. */

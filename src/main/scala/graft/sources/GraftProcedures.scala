@@ -1,0 +1,290 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.iceberg.{IcebergTable, IcebergWriter, Maintenance}
+
+/** SQL `CALL` procedures for table maintenance — Spark 4's DSv2
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]] surface,
+  * the same shape Iceberg's Spark runtime exposes (`CALL cat.system
+  * .rewrite_data_files(...)`). Both graft catalogs (path + REST) serve the
+  * SAME registry under the `system` namespace, so every maintenance
+  * operation is reachable from pure SQL:
+  *
+  * {{{
+  *   CALL cat.system.compact(table => 'db.t')
+  *   CALL cat.system.expire_snapshots(table => 'db.t', keep_last => 3)
+  *   CALL cat.system.compute_table_stats(table => 'db.t', incremental => true)
+  *   CALL cat.system.rollback_to_snapshot(table => 'db.t', snapshot_id => 123)
+  * }}}
+  *
+  * Each procedure resolves the `table` argument THROUGH ITS OWN CATALOG
+  * (the path catalog's warehouse layout, the REST catalog's metadata
+  * location) and runs commits under that catalog's commit scope, so a REST
+  * table's maintenance commit gets the same catalog atomicity as its DML.
+  * Results come back as rows (a driver-side [[LocalScan]] — maintenance
+  * results are metadata-scale).
+  *
+  * The reference has no write or maintenance surface at all (README.md:94)
+  * — this is an extension, exercised by ProceduresSpec. */
+object GraftProcedures {
+
+  final case class ParamDef(name: String, dt: DataType,
+      defaultSql: Option[String] = None, comment: String = "")
+
+  /** One procedure: SQL parameters (first is always `table`) + the body.
+    * `run` receives the catalog's resolver so it can re-resolve the table
+    * AFTER the operation for result reporting. */
+  final case class ProcDef(name: String, description: String,
+      params: Seq[ParamDef],
+      run: (SparkSession, String => IcebergTable, IndexedSeq[Any]) => DataFrame)
+
+  private val tableParam =
+    ParamDef("table", StringType, comment = "table identifier, e.g. 'db.t'")
+
+  private def oneRow(spark: SparkSession, schema: StructType, values: Any*): DataFrame =
+    spark.createDataFrame(util.Arrays.asList(Row.fromSeq(values)), schema)
+
+  private def longField(n: String) = StructField(n, LongType, nullable = false)
+  private def intField(n: String) = StructField(n, IntegerType, nullable = false)
+
+  private def intArg(a: Any): Option[Int] = Option(a).map {
+    case i: Integer => i.intValue
+    case l: java.lang.Long => l.intValue
+  }
+
+  val all: Seq[ProcDef] = Seq(
+    ProcDef("compact",
+      "Rewrite small data files into targets, folding row-level deletes",
+      Seq(tableParam, ParamDef("target_files", IntegerType, Some("NULL"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val before = t.currentSnapshot.snapshotId
+        t.runCommit(Maintenance.compact(s, t.url, intArg(a(1))))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
+          longField("current_snapshot_id"), intField("live_files"))),
+          before, after.currentSnapshot.snapshotId, after.liveFiles().size)
+      }),
+    ProcDef("zorder",
+      "Rewrite the table clustered on a Morton curve over 2-4 columns",
+      Seq(tableParam,
+        ParamDef("columns", StringType, comment = "comma-separated, 2-4 columns"),
+        ParamDef("target_files", IntegerType, Some("NULL"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val cols = a(1).asInstanceOf[String].split(',').map(_.trim).toSeq
+        t.runCommit(Maintenance.zorder(s, t.url, cols, intArg(a(2))))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("current_snapshot_id"),
+          intField("live_files"))),
+          after.currentSnapshot.snapshotId, after.liveFiles().size)
+      }),
+    ProcDef("expire_snapshots",
+      "Drop history beyond keep_last snapshots and collect their files",
+      Seq(tableParam, ParamDef("keep_last", IntegerType, Some("1"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val before = t.metadata.snapshots.size
+        t.runCommit(Maintenance.expireSnapshots(s, t.url,
+          intArg(a(1)).getOrElse(1)))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(intField("expired_snapshots"),
+          intField("remaining_snapshots"))),
+          before - after.metadata.snapshots.size, after.metadata.snapshots.size)
+      }),
+    ProcDef("remove_orphan_files",
+      "Delete data/metadata bytes no snapshot references (failed commits)",
+      Seq(tableParam, ParamDef("older_than_ms", LongType,
+        Some((3L * 24 * 3600 * 1000).toString),
+        comment = "only files older than this are candidates")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val n = Maintenance.removeOrphans(s, t.url,
+          Option(a(1)).map(_.asInstanceOf[java.lang.Long].longValue)
+            .getOrElse(3L * 24 * 3600 * 1000))
+        oneRow(s, StructType(Seq(intField("deleted_files"))), n)
+      }),
+    ProcDef("rewrite_manifests",
+      "Consolidate manifest files (metadata-only, provenance-preserving)",
+      Seq(tableParam, ParamDef("target_manifests", IntegerType, Some("1"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(Maintenance.rewriteManifests(s, t.url,
+          intArg(a(1)).getOrElse(1)))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(intField("manifests"))),
+          after.manifestList.size)
+      }),
+    ProcDef("rewrite_position_deletes",
+      "Consolidate position-delete carriers (parquet + deletion vectors)",
+      Seq(tableParam, ParamDef("target_files", IntegerType, Some("1"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(Maintenance.rewritePositionDeletes(s, t.url,
+          intArg(a(1)).getOrElse(1)))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(intField("position_delete_files"))),
+          after.positionDeleteFiles.size)
+      }),
+    ProcDef("rollback_to_snapshot",
+      "Move the table back to an ancestor snapshot (metadata-only undo)",
+      Seq(tableParam, ParamDef("snapshot_id", LongType)),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val before = t.currentSnapshot.snapshotId
+        t.runCommit(IcebergWriter.rollbackTo(s, t.url,
+          a(1).asInstanceOf[java.lang.Long].longValue))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
+          longField("current_snapshot_id"))),
+          before, after.currentSnapshot.snapshotId)
+      }),
+    ProcDef("fast_forward",
+      "Publish a staged branch by fast-forwarding main to its head (WAP)",
+      Seq(tableParam, ParamDef("branch", StringType)),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(IcebergWriter.fastForward(s, t.url,
+          a(1).asInstanceOf[String]))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("current_snapshot_id"))),
+          after.currentSnapshot.snapshotId)
+      }),
+    ProcDef("create_tag",
+      "Tag a snapshot (default: current) — an immutable named pointer",
+      Seq(tableParam, ParamDef("tag", StringType),
+        ParamDef("snapshot_id", LongType, Some("NULL"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(IcebergWriter.tag(s, t.url, a(1).asInstanceOf[String],
+          Option(a(2)).map(_.asInstanceOf[java.lang.Long].longValue)))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("snapshot_id"))),
+          after.refs(a(1).asInstanceOf[String]).snapshotId)
+      }),
+    ProcDef("create_branch",
+      "Create or move a named branch pointer (default target: current)",
+      Seq(tableParam, ParamDef("branch", StringType),
+        ParamDef("snapshot_id", LongType, Some("NULL"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(IcebergWriter.branch(s, t.url, a(1).asInstanceOf[String],
+          Option(a(2)).map(_.asInstanceOf[java.lang.Long].longValue)))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("snapshot_id"))),
+          after.refs(a(1).asInstanceOf[String]).snapshotId)
+      }),
+    ProcDef("drop_ref",
+      "Drop a named tag or branch",
+      Seq(tableParam, ParamDef("ref", StringType)),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(IcebergWriter.dropRef(s, t.url, a(1).asInstanceOf[String]))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(intField("remaining_refs"))),
+          after.refs.size)
+      }),
+    ProcDef("compute_table_stats",
+      "Build + register per-column NDV theta sketches (puffin statistics)",
+      Seq(tableParam, ParamDef("incremental", BooleanType, Some("false"),
+        comment = "theta-union only the rows appended since the prior entry")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        var ndvs: Map[Int, Long] = Map.empty
+        val incremental = Option(a(1))
+          .exists(_.asInstanceOf[java.lang.Boolean].booleanValue)
+        t.runCommit {
+          ndvs =
+            if (incremental)
+              graft.iceberg.TableStatistics.computeIncremental(s, t.url)
+            else Maintenance.computeStatistics(s, t.url)
+        }
+        val nameById = resolve(a(0).asInstanceOf[String])
+          .iceSchema.fields.map(f => f.id -> f.name).toMap
+        val schema = StructType(Seq(intField("field_id"),
+          StructField("column_name", StringType, nullable = true),
+          longField("ndv")))
+        s.createDataFrame(
+          util.Arrays.asList(ndvs.toSeq.sortBy(_._1).map { case (id, ndv) =>
+            Row(id, nameById.getOrElse(id, null), ndv)
+          }: _*), schema)
+      }),
+    ProcDef("compute_partition_stats",
+      "Write + register the spec's partition statistics file (metadata-only)",
+      Seq(tableParam),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        var path: String = null
+        t.runCommit { path = Maintenance.computePartitionStatistics(s, t.url) }
+        oneRow(s, StructType(Seq(
+          StructField("statistics_path", StringType, nullable = false))), path)
+      }))
+
+  private val byName: Map[String, ProcDef] = all.map(p => p.name -> p).toMap
+
+  val Namespace: Array[String] = Array("system")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Namespace) || namespace.isEmpty)
+      all.map(p => Identifier.of(Namespace, p.name)).toArray
+    else Array.empty
+
+  def load(ident: Identifier, resolve: String => IcebergTable): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    val d = byName.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"unknown procedure ${ident.name()}; available: ${all.map(_.name).sorted.mkString(", ")}"))
+    new GraftUnboundProcedure(d, resolve)
+  }
+}
+
+/** A procedure bound to its catalog's table resolver. Binding is trivial —
+  * Spark coerces the CALL's (named or positional) arguments to the declared
+  * parameter types before `call`, so the input row is read back by declared
+  * position/type. */
+final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
+    resolve: String => IcebergTable)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = d.name
+  override def description(): String = d.description
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  override def parameters(): Array[ProcedureParameter] =
+    d.params.map { p =>
+      val b = ProcedureParameter.in(p.name, p.dt)
+      p.defaultSql.foreach(b.defaultValue)
+      if (p.comment.nonEmpty) b.comment(p.comment)
+      b.build()
+    }.toArray
+
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val args: IndexedSeq[Any] = d.params.zipWithIndex.map { case (p, i) =>
+      if (input.isNullAt(i)) null
+      else input.get(i, p.dt) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other
+      }
+    }.toIndexedSeq
+    val df = d.run(spark, resolve, args)
+    val out = df.queryExecution.executedPlan.executeCollect()
+      .map(_.copy(): InternalRow)
+    val schema = df.schema
+    util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = out
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}

@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+
+/** SQL `CALL` maintenance procedures (Spark 4 DSv2 ProcedureCatalog):
+  * every maintenance operation reachable from pure SQL through both graft
+  * catalogs, with named arguments, defaults, and result rows. */
+class ProceduresSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def withCatalog(f: (String, String) => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_proc").toString
+    val cat = s"pr${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    f(cat, wh)
+  }
+
+  private def build(url: String, files: Int = 3): Unit = {
+    IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cat",
+          org.apache.spark.sql.types.StringType))))
+    for (i <- 1 to files)
+      IcebergWriter.append(spark, url,
+        (1L to 50L).map(j => (i * 100L + j, s"c${j % 5}"))
+          .toDF("k", "cat").coalesce(1))
+  }
+
+  test("CALL compact folds files; result reports snapshots + live files") {
+    withCatalog { (cat, wh) =>
+      build(s"$wh/db/t")
+      val before = IcebergTable.load(spark, s"$wh/db/t")
+      assert(before.liveFiles().size == 3)
+      val row = spark.sql(
+        s"CALL $cat.system.compact(table => 'db.t')").collect().head
+      assert(row.getAs[Long]("previous_snapshot_id") ==
+        before.currentSnapshot.snapshotId)
+      assert(row.getAs[Int]("live_files") == 1)
+      assert(spark.table(s"$cat.db.t").count() == 150)
+    }
+  }
+
+  test("CALL expire_snapshots with keep_last default and named arg") {
+    withCatalog { (cat, wh) =>
+      build(s"$wh/db/t")
+      val r = spark.sql(
+        s"CALL $cat.system.expire_snapshots(table => 'db.t', keep_last => 2)")
+        .collect().head
+      assert(r.getAs[Int]("expired_snapshots") == 1)
+      assert(r.getAs[Int]("remaining_snapshots") == 2)
+      // default keep_last = 1
+      val r2 = spark.sql(
+        s"CALL $cat.system.expire_snapshots('db.t')").collect().head
+      assert(r2.getAs[Int]("remaining_snapshots") == 1)
+    }
+  }
+
+  test("CALL rollback_to_snapshot + create_tag + drop_ref") {
+    withCatalog { (cat, wh) =>
+      build(s"$wh/db/t")
+      val t = IcebergTable.load(spark, s"$wh/db/t")
+      val first = t.metadata.snapshots.head.snapshotId
+      spark.sql(s"CALL $cat.system.create_tag(table => 'db.t', tag => 'v1')")
+      assert(IcebergTable.load(spark, s"$wh/db/t").refs.contains("v1"))
+      val r = spark.sql("CALL " + cat +
+        s".system.rollback_to_snapshot(table => 'db.t', snapshot_id => $first)")
+        .collect().head
+      assert(r.getAs[Long]("current_snapshot_id") == first)
+      assert(spark.table(s"$cat.db.t").count() == 50)
+      val r2 = spark.sql(
+        s"CALL $cat.system.drop_ref(table => 'db.t', ref => 'v1')").collect().head
+      assert(!IcebergTable.load(spark, s"$wh/db/t").refs.contains("v1"))
+    }
+  }
+
+  test("CALL compute_table_stats (full + incremental) returns per-column NDVs") {
+    withCatalog { (cat, wh) =>
+      build(s"$wh/db/t")
+      val rows = spark.sql(
+        s"CALL $cat.system.compute_table_stats(table => 'db.t')")
+        .collect().map(r => r.getAs[String]("column_name") ->
+          r.getAs[Long]("ndv")).toMap
+      assert(rows("cat") == 5L, s"ndvs: $rows")
+      assert(math.abs(rows("k") - 150L) <= 8)
+      // incremental after an append takes the union path
+      IcebergWriter.append(spark, s"$wh/db/t",
+        Seq((9999L, "z")).toDF("k", "cat").coalesce(1))
+      val before = graft.iceberg.TableStatistics.incrementalUnions.get()
+      val rows2 = spark.sql(s"CALL $cat.system.compute_table_stats(" +
+        "table => 'db.t', incremental => true)")
+        .collect().map(r => r.getAs[String]("column_name") ->
+          r.getAs[Long]("ndv")).toMap
+      assert(graft.iceberg.TableStatistics.incrementalUnions.get() == before + 1)
+      assert(rows2("cat") == 6L, s"ndvs: $rows2")
+    }
+  }
+
+  test("CALL rewrite_position_deletes + compute_partition_stats + zorder") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/t"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cat",
+            org.apache.spark.sql.types.StringType))),
+        partitions = Seq(("cat", "identity")))
+      IcebergWriter.append(spark, url,
+        (1L to 100L).map(j => (j, j * 7 % 100, s"c${j % 2}"))
+          .toDF("k", "v", "cat").repartition(2))
+      IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 3L))
+      IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", 7L))
+      val r = spark.sql(
+        s"CALL $cat.system.rewrite_position_deletes(table => 'db.t')")
+        .collect().head
+      assert(r.getAs[Int]("position_delete_files") == 1)
+      val p = spark.sql(
+        s"CALL $cat.system.compute_partition_stats(table => 'db.t')")
+        .collect().head.getAs[String]("statistics_path")
+      assert(new java.io.File(p).isFile)
+      val z = spark.sql(s"CALL $cat.system.zorder(" +
+        "table => 'db.t', columns => 'k, v')").collect().head
+      assert(z.getAs[Int]("live_files") >= 1)
+      assert(spark.table(s"$cat.db.t").count() == 98)
+    }
+  }
+
+  test("CALL fast_forward publishes a staged branch (WAP via SQL)") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/t"
+      build(url, files = 1)
+      IcebergWriter.appendToBranch(spark, url,
+        Seq((777L, "staged")).toDF("k", "cat"), "audit")
+      assert(spark.table(s"$cat.db.t").count() == 50, "staged rows invisible")
+      spark.sql(s"CALL $cat.system.fast_forward(table => 'db.t', branch => 'audit')")
+      assert(spark.table(s"$cat.db.t").count() == 51, "published after CALL")
+    }
+  }
+
+  test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
+    withCatalog { (cat, _) =>
+      val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+        .collect().map(_.getAs[String]("procedure_name")).toSet
+      assert(listed.contains("compact") && listed.contains("expire_snapshots") &&
+        listed.contains("compute_table_stats"), s"listed: $listed")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.no_such_proc('db.t')").collect()
+      }
+      assert(e.getMessage.contains("no_such_proc") ||
+        e.getMessage.toLowerCase.contains("procedure"))
+    }
+  }
+}

@@ -305,6 +305,18 @@ class RestCatalogSpec extends AnyFunSuite {
         s"SELECT field_name, ndv FROM $catName.db.events.statistics ORDER BY field_name")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(ndvRows.get("id").contains(4L), s"$ndvRows") // live ids 1,3,4,5
+
+      // SQL CALL procedures through the REST CatalogPlugin: the compaction
+      // commit routes through CATALOG ATOMICITY like DML — the filesystem
+      // hint still does not move
+      val compacted = spark.sql(
+        s"CALL $catName.system.compact(table => 'db.events')").collect().head
+      assert(compacted.getAs[Int]("live_files") == 1)
+      assert(spark.sql(s"SELECT count(*) FROM $catName.db.events")
+        .head().getLong(0) == 4L)
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == hintBefore,
+        "CALL must commit through the catalog, not the version-hint swap")
     }
   }
 
