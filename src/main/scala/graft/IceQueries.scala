@@ -1113,10 +1113,19 @@ object IceQueries {
         s"SELECT ndv FROM $cat.db.n.statistics WHERE field_name = 'k'")
         .head().getLong(0)
       val statRows = s.sql(s"SELECT * FROM $cat.db.n.statistics").count()
+      // round-14: refs + history complete the metadata-table family —
+      // refs holds main; history logs both commits, all current ancestors
+      val nRefs = s.sql(s"SELECT * FROM $cat.db.n.refs WHERE type = 'branch'").count()
+      val histRows = s.sql(s"SELECT * FROM $cat.db.n.history").count()
+      val histAncestors = s.sql(
+        s"SELECT * FROM $cat.db.n.history WHERE is_current_ancestor").count()
       s.sql(s"SELECT r, n_files, n_records FROM $cat.db.n.partitions ORDER BY r")
         .withColumn("n_snapshots", lit(nSnaps))
         .withColumn("k_ndv", lit(kNdv))
         .withColumn("stat_rows", lit(statRows))
+        .withColumn("n_refs", lit(nRefs))
+        .withColumn("history_rows", lit(histRows))
+        .withColumn("history_ancestors", lit(histAncestors))
     } finally s.catalog.dropTempView("g_meta_nation")
   }
 
@@ -1925,7 +1934,10 @@ object IceQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_records,
         |  CAST(2 AS BIGINT) AS n_snapshots,
         |  (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS k_ndv,
-        |  CAST(4 AS BIGINT) AS stat_rows
+        |  CAST(4 AS BIGINT) AS stat_rows,
+        |  CAST(1 AS BIGINT) AS n_refs,
+        |  CAST(2 AS BIGINT) AS history_rows,
+        |  CAST(2 AS BIGINT) AS history_ancestors
         |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
     "ice_sql_call" ->
       """SELECT col_name, exact_ndv, TRUE AS ndv_within_5pct,

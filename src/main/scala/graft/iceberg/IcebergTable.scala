@@ -374,6 +374,32 @@ final class IcebergTable private (
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** Table history as a DataFrame (Iceberg's `table$history`): one row per
+    * change of the CURRENT snapshot from the metadata `snapshot-log`.
+    * `is_current_ancestor` walks the parent chain from the current
+    * snapshot — false marks entries rolled back off the main line (the
+    * audit signal the table exists for). Metadata-only. */
+  def historyDf: DataFrame = {
+    import spark.implicits._
+    val ancestors = {
+      val b = scala.collection.mutable.Set.empty[Long]
+      var cur = snapshots.get(metadata.currentSnapshotId)
+      while (cur.isDefined) {
+        b += cur.get.snapshotId
+        cur = cur.get.parentSnapshotId.flatMap(snapshots.get)
+      }
+      b.toSet
+    }
+    metadata.snapshotLog
+      .map { case (ts, id) =>
+        (new java.sql.Timestamp(ts), id,
+          snapshots.get(id).flatMap(_.parentSnapshotId),
+          ancestors.contains(id))
+      }
+      .toDF("made_current_at", "snapshot_id", "parent_id",
+        "is_current_ancestor")
+  }
+
   // -------------------------------------------------------- introspection
 
   def summary: Map[String, String] = currentSnapshot.summary

@@ -129,7 +129,12 @@ final case class TableMetadata(
     /** Registered table-statistics files (NDV sketches etc.). */
     statistics: Seq[StatisticsFile] = Nil,
     /** Registered partition-statistics files (per-partition counts). */
-    partitionStatistics: Seq[PartitionStatisticsFile] = Nil) {
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
+    /** The `snapshot-log`: (timestamp-ms, snapshot-id) entries, one per
+      * change of the CURRENT snapshot — main's lineage over time, the
+      * source of the `history` metadata table (rollbacks append too, so
+      * the log can revisit ids the parent chain no longer reaches). */
+    snapshotLog: Seq[(Long, Long)] = Nil) {
 
   /** The table's active sort order (empty = unsorted). */
   def defaultSortOrder: Seq[SortField] =
@@ -255,7 +260,11 @@ object TableMetadata {
             path = s.get("statistics-path").asText,
             fileSizeInBytes = Option(s.get("file-size-in-bytes"))
               .map(_.asLong).getOrElse(0L))
-        }.toSeq).getOrElse(Nil))
+        }.toSeq).getOrElse(Nil),
+      snapshotLog = optNode("snapshot-log")
+        .map(_.elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong, e.get("snapshot-id").asLong)).toSeq)
+        .getOrElse(Nil))
   }
 
   private def parseSchema(node: JsonNode): IceSchema = {

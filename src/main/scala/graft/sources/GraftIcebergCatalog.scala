@@ -82,7 +82,9 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
     "delete_files" -> (_.deleteFilesDf),
     "manifests" -> (_.manifestsDf),
     "partitions" -> (_.partitionStats()),
-    "statistics" -> (_.statisticsDf))
+    "statistics" -> (_.statisticsDf),
+    "refs" -> (_.refsDf),
+    "history" -> (_.historyDf))
 
   override def loadTable(ident: Identifier): Table =
     try new GraftIcebergV2Table(rest.loadTable(spark, ns(ident.namespace()), ident.name()))

@@ -84,7 +84,9 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
       "delete_files" -> (_.deleteFilesDf),
       "manifests" -> (_.manifestsDf),
       "partitions" -> (_.partitionStats()),
-      "statistics" -> (_.statisticsDf))
+      "statistics" -> (_.statisticsDf),
+      "refs" -> (_.refsDf),
+      "history" -> (_.historyDf))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident) && ident.namespace().nonEmpty &&

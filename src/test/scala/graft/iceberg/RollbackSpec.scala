@@ -44,6 +44,29 @@ class RollbackSpec extends AnyFunSuite {
       == ((1L to 5L) :+ 10L))
   }
 
+  test("history table: rolled-back entries read is_current_ancestor = false") {
+    val url = java.nio.file.Files.createTempDirectory("graft_rbh").toString + "/t"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "v"))
+    val good = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url, Seq((2L, "bad")).toDF("k", "v"))
+    val bad = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.rollbackTo(spark, url, good)
+    IcebergWriter.append(spark, url, Seq((3L, "after")).toDF("k", "v"))
+
+    val hist = IcebergTable.load(spark, url).historyDf
+      .select("snapshot_id", "is_current_ancestor")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    // log: good, bad, good-again (rollback), after — in made-current order
+    assert(hist.map(_._1).toSeq.take(2) == Seq(good, bad))
+    assert(hist.count(_._1 == good) == 2, "rollback re-logs the target")
+    val byId = hist.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byId(good) == Set(true), "restored snapshot is a current ancestor")
+    assert(byId(bad) == Set(false),
+      "the rolled-back snapshot must read is_current_ancestor = false — " +
+        "the audit signal the history table exists for")
+  }
+
   test("rollback refuses non-ancestors and unknown snapshots") {
     val url = java.nio.file.Files.createTempDirectory("graft_rb2").toString + "/t"
     IcebergWriter.createTable(spark, url, schema)
