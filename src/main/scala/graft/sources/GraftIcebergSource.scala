@@ -1052,13 +1052,59 @@ final class GraftIcebergScan(
       val ndvs = graft.iceberg.TableStatistics.ndvForNearestAncestor(table, snapId)
       val nulls: Map[Int, Long] = files.flatMap(_.nullValueCounts.toSeq)
         .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).sum }
+      // MIN/MAX for the CBO's range-filter selectivity, aggregated from
+      // manifest bounds over THIS scan's (pruned) file set — zero data
+      // I/O. Served only for orderable fixed-domain types and only when
+      // EVERY file holding values for the column carries both bounds
+      // (partial bounds would narrow the domain and skew estimates).
+      // Values are converted to each attribute's CATALYST-internal form
+      // (DataSourceV2Relation passes them through verbatim into
+      // ColumnStat, where FilterEstimation consumes them raw).
+      def catalystBound(v: Any, iceType: String): Option[Any] = iceType match {
+        case "int" => Some(Int.box(v.asInstanceOf[Long].toInt))
+        case "date" => Some(Int.box(v.asInstanceOf[Long].toInt))
+        case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" |
+             "timestamp_ns" | "timestamptz_ns" =>
+          Some(Long.box(v.asInstanceOf[Long]))
+        case "float" => Some(Float.box(v.asInstanceOf[Double].toFloat))
+        case "double" => Some(Double.box(v.asInstanceOf[Double]))
+        case "boolean" => Some(Boolean.box(v.asInstanceOf[Boolean]))
+        case t if t.startsWith("decimal(") =>
+          Some(org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal]))
+        case _ => None // string/binary/uuid: unused by estimation
+      }
+      def minMax(f: graft.iceberg.SchemaField): Option[(Any, Any)] = {
+        val withValues = files.filter(df =>
+          df.valueCounts.get(f.id).exists(vc =>
+            vc > df.nullValueCounts.getOrElse(f.id, 0L)))
+        if (withValues.isEmpty) return None
+        if (!withValues.forall(df => df.lowerBounds.contains(f.id) &&
+            df.upperBounds.contains(f.id))) return None
+        val t = f.icebergTypeString
+        // float/double bounds describe every row only when the file is
+        // PROVEN NaN-free (same rule as the pruning tier)
+        if ((t == "float" || t == "double") &&
+            !withValues.forall(_.nanValueCounts.get(f.id).contains(0L)))
+          return None
+        val los = withValues.map(df =>
+          graft.iceberg.IcebergTypes.decodeBound(df.lowerBounds(f.id), t))
+        val his = withValues.map(df =>
+          graft.iceberg.IcebergTypes.decodeBound(df.upperBounds(f.id), t))
+        val lo = los.reduce((a, b) =>
+          if (graft.iceberg.IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
+        val hi = his.reduce((a, b) =>
+          if (graft.iceberg.IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
+        for (cl <- catalystBound(lo, t); ch <- catalystBound(hi, t))
+          yield (cl, ch)
+      }
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       table.iceSchema.fields.foreach { f =>
         val ndv = ndvs.get(f.id)
         val nc = nulls.get(f.id)
-        if (ndv.isDefined || nc.isDefined) {
+        val mm = scala.util.Try(minMax(f)).toOption.flatten
+        if (ndv.isDefined || nc.isDefined || mm.isDefined) {
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1066,6 +1112,12 @@ final class GraftIcebergScan(
                 ndv.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
               override def nullCount(): util.OptionalLong =
                 nc.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+              override def min(): util.Optional[Object] =
+                mm.map(p => util.Optional.of(p._1.asInstanceOf[Object]))
+                  .getOrElse(util.Optional.empty())
+              override def max(): util.Optional[Object] =
+                mm.map(p => util.Optional.of(p._2.asInstanceOf[Object]))
+                  .getOrElse(util.Optional.empty())
             })
         }
       }

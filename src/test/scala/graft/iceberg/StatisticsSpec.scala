@@ -74,7 +74,7 @@ class StatisticsSpec extends AnyFunSuite {
     assert(math.abs(ndvs(kId) - 500) <= 25, s"post-delete k ndv=${ndvs(kId)}")
   }
 
-  test("CBO sees distinctCount + nullCount through the DSv2 scan") {
+  test("CBO sees distinctCount + nullCount + manifest min/max through the DSv2 scan") {
     val url = fresh("graft_stats_cbo")
     build(url)
     Maintenance.computeStatistics(spark, url)
@@ -90,6 +90,24 @@ class StatisticsSpec extends AnyFunSuite {
       assert(cat.nullCount.exists(_.toLong == 50L), s"cat: $cat")
       val k = byName("k")
       assert(k.distinctCount.exists(dc => math.abs(dc.toLong - 1000L) <= 50), s"k: $k")
+      // manifest-bounds min/max reach the CBO in catalyst form, zero I/O
+      assert(k.min.contains(1L) && k.max.contains(1000L), s"k: $k")
+      val score = byName("score")
+      assert(score.min.contains(0.0) && score.max.contains(99.0), s"score: $score")
+
+      // ...and FilterEstimation consumes them: a range predicate covering
+      // ~10% of [1,1000] must estimate well under the full row count,
+      // an out-of-range predicate near zero — the bounds' reason to exist
+      val full = spark.read.format("graft-iceberg").load(url)
+        .queryExecution.optimizedPlan.stats.rowCount
+      val tenth = spark.read.format("graft-iceberg").load(url)
+        .filter("k <= 100").queryExecution.optimizedPlan.stats.rowCount
+      val none = spark.read.format("graft-iceberg").load(url)
+        .filter("k > 5000").queryExecution.optimizedPlan.stats.rowCount
+      assert(full.exists(_ == BigInt(1000)), s"full: $full")
+      assert(tenth.exists(t => t >= 50 && t <= 200),
+        s"k <= 100 over [1,1000] must estimate ~10%, got $tenth")
+      assert(none.exists(_ <= 1), s"out-of-range must estimate ~0, got $none")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
       case None => spark.conf.unset("spark.sql.cbo.enabled")
