@@ -2199,13 +2199,17 @@ object IcebergWriter {
     * — the reproducible-training-set primitive. Metadata-only commit;
     * `expireSnapshots` keeps tagged snapshots alive. */
   def tag(spark: SparkSession, url: String, name: String,
-      snapshotId: Option[Long] = None): Unit =
-    setRef(spark, url, name, "tag", snapshotId)
+      snapshotId: Option[Long] = None,
+      /** Spec retention: drop the tag (and its pin on history) once its
+        * snapshot is older than this at expire time. None = forever. */
+      maxRefAgeMs: Option[Long] = None): Unit =
+    setRef(spark, url, name, "tag", snapshotId, maxRefAgeMs)
 
   /** Create/move a named BRANCH pointer (default target: current snapshot). */
   def branch(spark: SparkSession, url: String, name: String,
-      snapshotId: Option[Long] = None): Unit =
-    setRef(spark, url, name, "branch", snapshotId)
+      snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit =
+    setRef(spark, url, name, "branch", snapshotId, maxRefAgeMs)
 
   /** WRITE-AUDIT-PUBLISH, step 1: append rows as a snapshot STAGED on
     * `branchName` — main readers see nothing. The branch forks from main's
@@ -2280,7 +2284,8 @@ object IcebergWriter {
   }
 
   private def setRef(spark: SparkSession, url: String, name: String,
-      refType: String, snapshotId: Option[Long]): Unit = {
+      refType: String, snapshotId: Option[Long],
+      maxRefAgeMs: Option[Long] = None): Unit = {
     require(name != "main", "the main branch ref is managed by commits")
     val conf = spark.sessionState.newHadoopConf()
     commitWithRetry(spark, url, conf) { table =>
@@ -2294,6 +2299,9 @@ object IcebergWriter {
       val r = mapper.createObjectNode()
       r.put("snapshot-id", target)
       r.put("type", refType)
+      // spec ref retention: refs whose snapshot outlives this age are
+      // dropped (and stop pinning history) at the next expireSnapshots
+      maxRefAgeMs.foreach(r.put("max-ref-age-ms", _))
       refs.set[ObjectNode](name, r)
       old.put("last-updated-ms", System.currentTimeMillis())
       Some(old.toPrettyString)

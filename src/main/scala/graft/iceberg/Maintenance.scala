@@ -281,7 +281,12 @@ object Maintenance {
     * older snapshots leave the metadata and their no-longer-referenced data
     * files, manifests, and manifest lists are physically deleted. Time
     * travel to an expired snapshot then fails (by design). */
-  def expireSnapshots(spark: SparkSession, url: String, keepLast: Int = 1): Unit = {
+  def expireSnapshots(spark: SparkSession, url: String, keepLast: Int = 1,
+      /** Spec `older_than` cutoff (epoch ms): main-chain snapshots at or
+        * after this timestamp are RETAINED beyond `keepLast` — the
+        * time-based retention policy production tables run on ("keep 7
+        * days"). None = keepLast alone decides. */
+      olderThan: Option[Long] = None): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val conf = spark.sessionState.newHadoopConf()
     val mapper = new ObjectMapper()
@@ -290,14 +295,27 @@ object Maintenance {
 
     // 1. trim metadata through the optimistic commit loop
     IcebergWriter.commitWithRetry(spark, url, conf) { table =>
+      // spec ref retention: a ref whose snapshot is older than its
+      // max-ref-age-ms RETIRES here — it stops pinning history and is
+      // dropped from metadata in the same commit (main never retires)
+      val now = System.currentTimeMillis()
+      val retiredRefs: Set[String] = table.refs.values.collect {
+        case r if r.name != "main" && r.maxRefAgeMs.exists(age =>
+          table.snapshots.get(r.snapshotId)
+            .exists(s => now - s.timestampMs > age)) => r.name
+      }.toSet
+      val liveRefs = table.refs.filterNot { case (n, _) => retiredRefs(n) }
       var chain = List(table.latestSnapshot)
-      while (chain.size < keepLast && chain.head.parentSnapshotId.exists(table.snapshots.contains))
+      while ((chain.size < keepLast ||
+          olderThan.exists(cut => chain.head.parentSnapshotId
+            .flatMap(table.snapshots.get).exists(_.timestampMs >= cut))) &&
+          chain.head.parentSnapshotId.exists(table.snapshots.contains))
         chain = table.snapshots(chain.head.parentSnapshotId.get) :: chain
       // snapshots a ref points to (tags especially) survive expiration —
       // a pinned training set must stay reproducible
       val keepIds = scala.collection.mutable.Set.empty[Long]
       keepIds ++= chain.map(_.snapshotId)
-      keepIds ++= table.refs.values.map(_.snapshotId).filter(table.snapshots.contains)
+      keepIds ++= liveRefs.values.map(_.snapshotId).filter(table.snapshots.contains)
       // a BRANCH also keeps its ANCESTRY (Iceberg's retained-ref ancestor
       // rule): a WAP branch with stacked staged appends needs its
       // intermediate snapshots for fastForward's ancestor walk. The walk
@@ -308,7 +326,7 @@ object Maintenance {
       // expire and fastForward's ancestor walk would hit a hole. `main`
       // itself is excluded — its retention IS the keepLast chain above.
       val mainChain = chain.map(_.snapshotId).toSet
-      table.refs.values
+      liveRefs.values
         .filter(r => r.refType == "branch" && r.name != "main")
         .foreach { ref =>
           var cur = table.snapshots.get(ref.snapshotId)
@@ -320,10 +338,16 @@ object Maintenance {
             next = cur.flatMap(_.parentSnapshotId)
           }
         }
-      if (keepIds.size == table.snapshots.size) None // nothing to expire
+      if (keepIds.size == table.snapshots.size && retiredRefs.isEmpty)
+        None // nothing to expire, no ref to retire
       else {
         val old = mapper.readTree(
           IcebergWriter.metadataBaseJson(table, url, conf)).asInstanceOf[ObjectNode]
+        // drop retired refs from metadata in the same commit
+        if (retiredRefs.nonEmpty && old.has("refs")) {
+          val refsNode = old.withObject("/refs")
+          retiredRefs.foreach(refsNode.remove)
+        }
         def filterArray(name: String): Unit = if (old.has(name)) {
           val arr = old.withArray[ArrayNode](name)
           val kept = (0 until arr.size).map(arr.get)

@@ -88,13 +88,18 @@ object GraftProcedures {
           after.currentSnapshot.snapshotId, after.liveFiles().size)
       }),
     ProcDef("expire_snapshots",
-      "Drop history beyond keep_last snapshots and collect their files",
-      Seq(tableParam, ParamDef("keep_last", IntegerType, Some("1"))),
+      "Drop history beyond keep_last snapshots and collect their files; " +
+        "refs past their max-ref-age-ms retire in the same commit",
+      Seq(tableParam, ParamDef("keep_last", IntegerType, Some("1")),
+        ParamDef("older_than_ms", LongType, Some("NULL"),
+          comment = "absolute epoch-ms cutoff: snapshots at/after it are " +
+            "retained beyond keep_last (time-based retention)")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val before = t.metadata.snapshots.size
         t.runCommit(Maintenance.expireSnapshots(s, t.url,
-          intArg(a(1)).getOrElse(1)))
+          intArg(a(1)).getOrElse(1),
+          olderThan = Option(a(2)).map(_.asInstanceOf[java.lang.Long].longValue)))
         val after = resolve(a(0).asInstanceOf[String])
         oneRow(s, StructType(Seq(intField("expired_snapshots"),
           intField("remaining_snapshots"))),

@@ -29,6 +29,46 @@ class RefsSpec extends AnyFunSuite {
     assert(t.atBranch("main").currentSnapshot.snapshotId == t.refs("main").snapshotId)
   }
 
+  test("expire retains by older_than cutoff; aged refs retire and unpin") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "cat"))
+    IcebergWriter.append(spark, url, Seq((2L, "b")).toDF("k", "cat"))
+    IcebergWriter.append(spark, url, Seq((3L, "c")).toDF("k", "cat"))
+
+    // cutoff before every snapshot: time-based retention keeps the whole
+    // chain even though keep_last alone would trim to 1
+    Maintenance.expireSnapshots(spark, url, keepLast = 1,
+      olderThan = Some(System.currentTimeMillis() - 3600L * 1000))
+    assert(IcebergTable.load(spark, url).metadata.snapshots.size == 3,
+      "snapshots newer than the cutoff must be retained beyond keep_last")
+
+    // tag the OLDEST snapshot twice: one tag already past its
+    // max-ref-age-ms (its snapshot predates now-by-age), one ageless
+    val t0 = IcebergTable.load(spark, url)
+    val oldest = t0.metadata.snapshots.head.snapshotId
+    IcebergWriter.tag(spark, url, "aged", Some(oldest), maxRefAgeMs = Some(1L))
+    IcebergWriter.tag(spark, url, "forever", Some(oldest))
+    Thread.sleep(10)
+
+    // cutoff in the future: keep_last=1 decides; the aged tag RETIRES in
+    // the same commit and stops pinning, while "forever" keeps the oldest
+    // snapshot alive
+    Maintenance.expireSnapshots(spark, url, keepLast = 1,
+      olderThan = Some(System.currentTimeMillis() + 1000))
+    val t1 = IcebergTable.load(spark, url)
+    assert(!t1.refs.contains("aged"), "aged ref must retire at expiration")
+    assert(t1.refs.contains("forever") && t1.refs.contains("main"))
+    assert(t1.metadata.snapshots.map(_.snapshotId).toSet ==
+      Set(oldest, t1.currentSnapshot.snapshotId),
+      "head + the ageless tag's pin survive; the middle snapshot expires")
+
+    // drop the last pin: the oldest snapshot now expires too
+    IcebergWriter.dropRef(spark, url, "forever")
+    Maintenance.expireSnapshots(spark, url, keepLast = 1)
+    assert(IcebergTable.load(spark, url).metadata.snapshots.size == 1)
+  }
+
   test("tags pin a snapshot; main moves with commits") {
     val url = freshTable
     IcebergWriter.createTable(spark, url, schema)
