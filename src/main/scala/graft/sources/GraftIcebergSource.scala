@@ -1073,7 +1073,15 @@ final class GraftIcebergScan(
           Some(org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal]))
         case _ => None // string/binary/uuid: unused by estimation
       }
+      // per-field bound decode is O(files) DRIVER work at plan time: fine
+      // for any table the driver already plans file-by-file, but capped so
+      // a near-limit scan (millions of live files) does not pay millions
+      // of byte-buffer decodes per column for an ESTIMATE — ndv/null
+      // stats (cheap sums) still serve above the cap
+      val minMaxFileCap = SparkSession.active.conf
+        .get("spark.graft.iceberg.statsMinMaxFileLimit", "100000").toInt
       def minMax(f: graft.iceberg.SchemaField): Option[(Any, Any)] = {
+        if (files.size > minMaxFileCap) return None
         val withValues = files.filter(df =>
           df.valueCounts.get(f.id).exists(vc =>
             vc > df.nullValueCounts.getOrElse(f.id, 0L)))
