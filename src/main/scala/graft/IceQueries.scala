@@ -1173,6 +1173,41 @@ object IceQueries {
       "remaining_snapshots", "row_count").orderBy("col_name")
   }
 
+  /** DSv2 AGGREGATE PUSHDOWN: plain catalog `SELECT count/min/max` answered
+    * from manifest metadata (LocalTableScan, zero data files opened, no
+    * session extension) — min/max before a delete, count(*) after a v3 DV
+    * delete (position deletes subtract exactly, so the count keeps
+    * pushing). The body REQUIRES the plans to be LocalTableScan with no
+    * BatchScan; the oracle recomputes every value from the source rows. */
+  def iceAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergWriter, Pruning}
+    val wh = java.nio.file.Files.createTempDirectory("graft_aggq").toString
+    val cat = s"agg${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/o"
+    val src = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    IcebergWriter.createTable(s, url, src.schema)
+    IcebergWriter.append(s, url, src.repartition(3))
+    def pushedRow(sql: String): org.apache.spark.sql.Row = {
+      val df = s.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"aggregate must answer from metadata without a scan:\n$plan")
+      df.head()
+    }
+    val mm = pushedRow(s"SELECT min(o_orderkey), max(o_orderkey), " +
+      s"min(o_totalprice), max(o_totalprice) FROM $cat.db.o")
+    IcebergWriter.upgradeFormatVersion(s, url, 3)
+    IcebergWriter.deleteRows(s, url, Pruning.Lt("o_totalprice", 10000.0))
+    val cnt = pushedRow(s"SELECT count(*) FROM $cat.db.o")
+    import s.implicits._
+    Seq((mm.getLong(0), mm.getLong(1), mm.getDouble(2), mm.getDouble(3),
+      cnt.getLong(0)))
+      .toDF("min_key", "max_key", "min_price", "max_price", "post_delete_rows")
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -1794,6 +1829,7 @@ object IceQueries {
     "ice_rewrite_deletes"  -> (iceRewriteDeletes _),
     "ice_sql_meta"         -> (iceSqlMeta _),
     "ice_sql_call"         -> (iceSqlCall _),
+    "ice_agg_pushdown"     -> (iceAggPushdown _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
@@ -1954,6 +1990,13 @@ object IceQueries {
         |  SELECT 'c_nationkey', CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
         |    CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey >= 100
         |) ORDER BY col_name""".stripMargin,
+    "ice_agg_pushdown" ->
+      """SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_totalprice >= 10000) AS post_delete_rows
+        |FROM orders""".stripMargin,
     "ice_partitions_meta" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS r,
         |  CAST(1 AS BIGINT) AS n_files,

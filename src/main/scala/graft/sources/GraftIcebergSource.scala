@@ -478,12 +478,98 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
       * GraftIcebergScan.runtimeFilterable). */
     dmlScan: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tbl.schema()
   private var metaCols: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  /** METADATA-ANSWERED aggregates through the standard DSv2 contract —
+    * `SELECT count(*)|count(c)|min(c)|max(c) FROM cat.db.t` never touches
+    * a data file, with NO session extension required (the Catalyst-rule
+    * path in GraftExtensions serves the non-catalog API; this serves every
+    * plain catalog reader). COMPLETE pushdown only — the answer must be
+    * EXACT or the aggregation is refused and Spark scans:
+    *  - count(*): [[IcebergTable.countFromStats]]'s soundness rules
+    *    (position deletes subtract exactly; equality deletes refuse);
+    *  - count(c): Σ value_counts − Σ null_counts, requiring every file to
+    *    carry both for the column and NO row-level deletes;
+    *  - min/max(c): [[GraftIcebergScan.manifestMinMax]]'s rules (complete
+    *    bounds, NaN-proven floats, orderable fixed-domain types) and NO
+    *    row-level deletes (a delete could remove the extremum).
+    * Spark only offers aggregates here when every filter was fully pushed;
+    * this scan reports all filters as residuals, so any WHERE clause
+    * blocks the offer — exactly the sound-not-exact contract. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerFromMetadata(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerFromMetadata(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  private def answerFromMetadata(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = scala.util.Try {
+    answerFromMetadata0(agg)
+  }.toOption.flatten // snapshot-less tables etc.: refuse, Spark scans
+
+  private def answerFromMetadata0(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || tbl.cdcMode ||
+        options.containsKey("file-subset")) return None
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[graft.iceberg.SchemaField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tbl.table.iceSchema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    val files = tbl.allLiveFiles
+    lazy val noDeletes = tbl.table.liveDeleteFiles.isEmpty
+    val answered: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          tbl.table.countFromStats().map(n =>
+            (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
+              nullable = false), Long.box(n)))
+        case (c: Count, i) if !c.isDistinct =>
+          for {
+            f <- field(c.column)
+            if noDeletes
+            if files.forall(df => df.valueCounts.contains(f.id) &&
+              df.nullValueCounts.contains(f.id))
+          } yield (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
+            nullable = false),
+            Long.box(files.map(df => df.valueCounts(f.id) -
+              df.nullValueCounts(f.id)).sum))
+        case (m: Min, i) =>
+          for {
+            f <- field(m.column); if noDeletes
+            mm <- GraftIcebergScan.manifestMinMax(files, f)
+          } yield (StructField(s"agg_$i",
+            graft.iceberg.IcebergTypes.primitiveToSpark(f.icebergTypeString)),
+            mm._1)
+        case (m: Max, i) =>
+          for {
+            f <- field(m.column); if noDeletes
+            mm <- GraftIcebergScan.manifestMinMax(files, f)
+          } yield (StructField(s"agg_$i",
+            graft.iceberg.IcebergTypes.primitiveToSpark(f.icebergTypeString)),
+            mm._2)
+        case _ => None // sum/avg/distinct/udaf: not metadata-answerable
+      }
+    if (answered.exists(_.isEmpty)) None
+    else Some((StructType(answered.map(_.get._1)), answered.map(_.get._2)))
+  }
 
   /** LIMIT pushdown, file-granular: `LIMIT n` needs only enough files to
     * cover n rows, so planning truncates the file list at the cumulative
@@ -521,6 +607,18 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   }
 
   override def build(): Scan = {
+    aggResult match {
+      case Some((schema, values)) =>
+        // pushed aggregate: ONE metadata-computed row, no file ever opened
+        return new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))
+          override def readSchema(): StructType = schema
+          override def description(): String =
+            s"graft-iceberg metadata-aggregate ${tbl.table.url}"
+        }
+      case None => ()
+    }
     val pred = pushed.flatMap(Pruning.fromSparkFilter)
       .reduceOption(Pruning.And.apply).getOrElse(Pruning.AlwaysTrue)
     val base =
@@ -1054,57 +1152,17 @@ final class GraftIcebergScan(
         .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).sum }
       // MIN/MAX for the CBO's range-filter selectivity, aggregated from
       // manifest bounds over THIS scan's (pruned) file set — zero data
-      // I/O. Served only for orderable fixed-domain types and only when
-      // EVERY file holding values for the column carries both bounds
-      // (partial bounds would narrow the domain and skew estimates).
-      // Values are converted to each attribute's CATALYST-internal form
-      // (DataSourceV2Relation passes them through verbatim into
-      // ColumnStat, where FilterEstimation consumes them raw).
-      def catalystBound(v: Any, iceType: String): Option[Any] = iceType match {
-        case "int" => Some(Int.box(v.asInstanceOf[Long].toInt))
-        case "date" => Some(Int.box(v.asInstanceOf[Long].toInt))
-        case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" |
-             "timestamp_ns" | "timestamptz_ns" =>
-          Some(Long.box(v.asInstanceOf[Long]))
-        case "float" => Some(Float.box(v.asInstanceOf[Double].toFloat))
-        case "double" => Some(Double.box(v.asInstanceOf[Double]))
-        case "boolean" => Some(Boolean.box(v.asInstanceOf[Boolean]))
-        case t if t.startsWith("decimal(") =>
-          Some(org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal]))
-        case _ => None // string/binary/uuid: unused by estimation
-      }
-      // per-field bound decode is O(files) DRIVER work at plan time: fine
+      // I/O, catalyst-internal form (see [[GraftIcebergScan.manifestMinMax]]).
+      // Per-field bound decode is O(files) DRIVER work at plan time: fine
       // for any table the driver already plans file-by-file, but capped so
       // a near-limit scan (millions of live files) does not pay millions
       // of byte-buffer decodes per column for an ESTIMATE — ndv/null
       // stats (cheap sums) still serve above the cap
       val minMaxFileCap = SparkSession.active.conf
         .get("spark.graft.iceberg.statsMinMaxFileLimit", "100000").toInt
-      def minMax(f: graft.iceberg.SchemaField): Option[(Any, Any)] = {
-        if (files.size > minMaxFileCap) return None
-        val withValues = files.filter(df =>
-          df.valueCounts.get(f.id).exists(vc =>
-            vc > df.nullValueCounts.getOrElse(f.id, 0L)))
-        if (withValues.isEmpty) return None
-        if (!withValues.forall(df => df.lowerBounds.contains(f.id) &&
-            df.upperBounds.contains(f.id))) return None
-        val t = f.icebergTypeString
-        // float/double bounds describe every row only when the file is
-        // PROVEN NaN-free (same rule as the pruning tier)
-        if ((t == "float" || t == "double") &&
-            !withValues.forall(_.nanValueCounts.get(f.id).contains(0L)))
-          return None
-        val los = withValues.map(df =>
-          graft.iceberg.IcebergTypes.decodeBound(df.lowerBounds(f.id), t))
-        val his = withValues.map(df =>
-          graft.iceberg.IcebergTypes.decodeBound(df.upperBounds(f.id), t))
-        val lo = los.reduce((a, b) =>
-          if (graft.iceberg.IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
-        val hi = his.reduce((a, b) =>
-          if (graft.iceberg.IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
-        for (cl <- catalystBound(lo, t); ch <- catalystBound(hi, t))
-          yield (cl, ch)
-      }
+      def minMax(f: graft.iceberg.SchemaField): Option[(Any, Any)] =
+        if (files.size > minMaxFileCap) None
+        else GraftIcebergScan.manifestMinMax(files, f)
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
@@ -1266,6 +1324,52 @@ object GraftIcebergScan {
         names.map(nameToType).toArray,
         table.dataSequenceOf(f))
     }.toArray
+  }
+
+  /** A column's exact (min, max) over `files` from MANIFEST BOUNDS alone,
+    * in CATALYST-INTERNAL form for the column's type. None unless every
+    * value-holding file carries both bounds (a partial set would narrow
+    * the domain) and, for float/double, is PROVEN NaN-free (the pruning
+    * tier's rule — NaN-polluted parquet stats drop min/max, and a foreign
+    * writer's claim is not trusted). Orderable fixed-domain types only —
+    * string/binary bounds may be writer-truncated, so no exact claim.
+    * Shared by the CBO column statistics and DSv2 aggregate pushdown. */
+  private[sources] def manifestMinMax(
+      files: Seq[graft.iceberg.Manifests.DataFileInfo],
+      f: graft.iceberg.SchemaField): Option[(Any, Any)] = {
+    def catalystBound(v: Any, iceType: String): Option[Any] = iceType match {
+      case "int" => Some(Int.box(v.asInstanceOf[Long].toInt))
+      case "date" => Some(Int.box(v.asInstanceOf[Long].toInt))
+      case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" |
+           "timestamp_ns" | "timestamptz_ns" =>
+        Some(Long.box(v.asInstanceOf[Long]))
+      case "float" => Some(Float.box(v.asInstanceOf[Double].toFloat))
+      case "double" => Some(Double.box(v.asInstanceOf[Double]))
+      case "boolean" => Some(Boolean.box(v.asInstanceOf[Boolean]))
+      case t if t.startsWith("decimal(") =>
+        Some(org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal]))
+      case _ => None
+    }
+    val withValues = files.filter(df =>
+      df.valueCounts.get(f.id).exists(vc =>
+        vc > df.nullValueCounts.getOrElse(f.id, 0L)))
+    if (withValues.isEmpty) return None
+    if (!withValues.forall(df => df.lowerBounds.contains(f.id) &&
+        df.upperBounds.contains(f.id))) return None
+    val t = f.icebergTypeString
+    if ((t == "float" || t == "double") &&
+        !withValues.forall(_.nanValueCounts.get(f.id).contains(0L)))
+      return None
+    val los = withValues.map(df =>
+      graft.iceberg.IcebergTypes.decodeBound(df.lowerBounds(f.id), t))
+    val his = withValues.map(df =>
+      graft.iceberg.IcebergTypes.decodeBound(df.upperBounds(f.id), t))
+    val lo = los.reduce((a, b) =>
+      if (graft.iceberg.IcebergTypes.compare(a, b).exists(_ <= 0)) a else b)
+    val hi = his.reduce((a, b) =>
+      if (graft.iceberg.IcebergTypes.compare(a, b).exists(_ >= 0)) a else b)
+    for (cl <- catalystBound(lo, t); ch <- catalystBound(hi, t))
+      yield (cl, ch)
   }
 
   /** Drop ALL field metadata (incl. parquet.field.id) recursively — the
