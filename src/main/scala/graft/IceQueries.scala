@@ -1208,6 +1208,32 @@ object IceQueries {
       .toDF("min_key", "max_key", "min_price", "max_price", "post_delete_rows")
   }
 
+  /** GROUP BY pushed down to manifest metadata: a per-partition rollup
+    * over an identity-partitioned table plans as a LocalTableScan — zero
+    * data files opened for `SELECT status, count(*), min, max ... GROUP BY
+    * status`. The oracle recomputes every group from the raw rows. */
+  def iceAggGroupBy(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.IcebergWriter
+    val wh = java.nio.file.Files.createTempDirectory("graft_agggb").toString
+    val cat = s"agb${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/o"
+    val src = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IcebergWriter.createTable(s, url, src.schema,
+      partitions = Seq("o_orderstatus" -> "identity"))
+    IcebergWriter.append(s, url, src.repartition(3))
+    val q = s.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+      s"min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
+      s"min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price " +
+      s"FROM $cat.db.o GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"identity-partition GROUP BY must answer from metadata:\n$plan")
+    q
+  }
+
   /** Write-side schema evolution: add → rename → drop, all metadata-only,
     * with id-resolved reads keeping every file readable. */
   def iceEvolution(s: SparkSession, dir: String): DataFrame = {
@@ -1830,6 +1856,7 @@ object IceQueries {
     "ice_sql_meta"         -> (iceSqlMeta _),
     "ice_sql_call"         -> (iceSqlCall _),
     "ice_agg_pushdown"     -> (iceAggPushdown _),
+    "ice_agg_groupby"      -> (iceAggGroupBy _),
     "ice_sql_dml"          -> (iceSqlDml _),
     "ice_evolution"        -> (iceEvolution _),
     "ice_maintenance"      -> (iceMaintenance _),
@@ -1997,6 +2024,12 @@ object IceQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
         |   WHERE o_totalprice >= 10000) AS post_delete_rows
         |FROM orders""".stripMargin,
+    "ice_agg_groupby" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS hi,
+        |  MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "ice_partitions_meta" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS r,
         |  CAST(1 AS BIGINT) AS n_files,

@@ -485,7 +485,7 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
   private var requiredSchema: StructType = tbl.schema()
   private var metaCols: Seq[String] = Nil
   private var limit: Option[Int] = None
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** METADATA-ANSWERED aggregates through the standard DSv2 contract —
     * `SELECT count(*)|count(c)|min(c)|max(c) FROM cat.db.t` never touches
@@ -502,7 +502,15 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
     *    row-level deletes (a delete could remove the extremum).
     * Spark only offers aggregates here when every filter was fully pushed;
     * this scan reports all filters as residuals, so any WHERE clause
-    * blocks the offer — exactly the sound-not-exact contract. */
+    * blocks the offer — exactly the sound-not-exact contract.
+    *
+    * GROUP BY pushes down too when every grouping expression is a column
+    * IDENTITY-partitioned under every live file's own spec: the groups are
+    * then exactly the distinct partition tuples and each group's
+    * count/min/max answers from its files' manifest stats — a per-partition
+    * rollup over a 100k-file table plans zero data I/O. Any non-identity
+    * transform, pre-spec-evolution file, row-level delete, or
+    * non-restorable key type (decimal/uuid/fixed/binary) refuses. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     answerFromMetadata(agg).isDefined
@@ -516,16 +524,16 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
 
   private def answerFromMetadata(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = scala.util.Try {
+      : Option[(StructType, Seq[Seq[Any]])] = scala.util.Try {
     answerFromMetadata0(agg)
   }.toOption.flatten // snapshot-less tables etc.: refuse, Spark scans
 
   private def answerFromMetadata0(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || tbl.cdcMode ||
+    if (pushed.nonEmpty || tbl.cdcMode ||
         options.containsKey("file-subset")) return None
     def field(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[graft.iceberg.SchemaField] = e match {
@@ -535,40 +543,120 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
     }
     val files = tbl.allLiveFiles
     lazy val noDeletes = tbl.table.liveDeleteFiles.isEmpty
-    val answered: Seq[Option[(StructField, Any)]] =
-      agg.aggregateExpressions.toSeq.zipWithIndex.map {
-        case (_: CountStar, i) =>
-          tbl.table.countFromStats().map(n =>
-            (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
-              nullable = false), Long.box(n)))
-        case (c: Count, i) if !c.isDistinct =>
-          for {
-            f <- field(c.column)
-            if noDeletes
-            if files.forall(df => df.valueCounts.contains(f.id) &&
-              df.nullValueCounts.contains(f.id))
-          } yield (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
-            nullable = false),
-            Long.box(files.map(df => df.valueCounts(f.id) -
-              df.nullValueCounts(f.id)).sum))
-        case (m: Min, i) =>
-          for {
-            f <- field(m.column); if noDeletes
-            mm <- GraftIcebergScan.manifestMinMax(files, f)
-          } yield (StructField(s"agg_$i",
-            graft.iceberg.IcebergTypes.primitiveToSpark(f.icebergTypeString)),
-            mm._1)
-        case (m: Max, i) =>
-          for {
-            f <- field(m.column); if noDeletes
-            mm <- GraftIcebergScan.manifestMinMax(files, f)
-          } yield (StructField(s"agg_$i",
-            graft.iceberg.IcebergTypes.primitiveToSpark(f.icebergTypeString)),
-            mm._2)
-        case _ => None // sum/avg/distinct/udaf: not metadata-answerable
+
+    /** One group's aggregate answers under the exactness rules, or None —
+      * any unanswerable function refuses the WHOLE pushdown. `countStar`
+      * differs by mode: the global row subtracts position deletes via
+      * countFromStats; grouped rows run under the no-deletes gate, so a
+      * plain record-count sum is exact. */
+    def answerAggs(groupFiles: Seq[graft.iceberg.Manifests.DataFileInfo],
+        countStar: () => Option[Long]): Option[Seq[(StructField, Any)]] = {
+      val answered: Seq[Option[(StructField, Any)]] =
+        agg.aggregateExpressions.toSeq.zipWithIndex.map {
+          case (_: CountStar, i) =>
+            countStar().map(n =>
+              (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
+                nullable = false), Long.box(n)))
+          case (c: Count, i) if !c.isDistinct =>
+            for {
+              f <- field(c.column)
+              if noDeletes
+              if groupFiles.forall(df => df.valueCounts.contains(f.id) &&
+                df.nullValueCounts.contains(f.id))
+            } yield (StructField(s"agg_$i", org.apache.spark.sql.types.LongType,
+              nullable = false),
+              Long.box(groupFiles.map(df => df.valueCounts(f.id) -
+                df.nullValueCounts(f.id)).sum))
+          case (m: Min, i) =>
+            for {
+              f <- field(m.column); if noDeletes
+              mm <- GraftIcebergScan.manifestMinMax(groupFiles, f)
+            } yield (StructField(s"agg_$i",
+              graft.iceberg.IcebergTypes.primitiveToSpark(f.icebergTypeString)),
+              mm._1)
+          case (m: Max, i) =>
+            for {
+              f <- field(m.column); if noDeletes
+              mm <- GraftIcebergScan.manifestMinMax(groupFiles, f)
+            } yield (StructField(s"agg_$i",
+              graft.iceberg.IcebergTypes.primitiveToSpark(f.icebergTypeString)),
+              mm._2)
+          case _ => None // sum/avg/distinct/udaf: not metadata-answerable
+        }
+      if (answered.exists(_.isEmpty)) None else Some(answered.map(_.get))
+    }
+
+    if (agg.groupByExpressions.isEmpty) {
+      answerAggs(files, () => tbl.table.countFromStats()).map { cells =>
+        (StructType(cells.map(_._1)), Seq(cells.map(_._2)))
       }
-    if (answered.exists(_.isEmpty)) None
-    else Some((StructType(answered.map(_.get._1)), answered.map(_.get._2)))
+    } else {
+      // GROUP BY over IDENTITY-partitioned columns: every row of a file
+      // carries exactly the file's partition value for such a column, so
+      // the groups ARE the distinct partition tuples and each group's
+      // aggregates answer from its files' manifest stats alone. Sound only
+      // when EVERY live file's own spec identity-partitions EVERY group
+      // column (a file written before the partition field existed, or under
+      // bucket/truncate/day, mixes values and refuses) and no row-level
+      // delete exists (it could remove rows from any group).
+      val groupCols: Seq[graft.iceberg.SchemaField] =
+        agg.groupByExpressions.toSeq.map(field) match {
+          case gs if gs.forall(_.isDefined) => gs.map(_.get)
+          case _ => return None
+        }
+      if (groupCols.isEmpty || !noDeletes) return None
+      // manifest partition values arrive domain-normalized (int→long,
+      // float→double): restore the source column's catalyst form
+      def keyToCatalyst(iceType: String): Option[Any => Any] = iceType match {
+        case "int" | "date" => Some(v => Int.box(v.asInstanceOf[Long].toInt))
+        case "long" | "time" | "timestamp" | "timestamptz" | "timestampz" |
+             "timestamp_ns" | "timestamptz_ns" =>
+          Some(v => Long.box(v.asInstanceOf[Long]))
+        case "string" => Some(v =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String]))
+        case "boolean" => Some(v => Boolean.box(v.asInstanceOf[Boolean]))
+        case "float" => Some(v => Float.box(v.asInstanceOf[Double].toFloat))
+        case "double" => Some(v => Double.box(v.asInstanceOf[Double]))
+        case _ => None // decimal/uuid/fixed/binary: not restorable here
+      }
+      val converters = groupCols.map(c => keyToCatalyst(c.icebergTypeString)
+        .getOrElse(return None))
+      val specFieldName = // (specId, sourceId) -> identity partition field name
+        scala.collection.mutable.Map.empty[(Int, Int), Option[String]]
+      def identityName(specId: Int, sourceId: Int): Option[String] =
+        specFieldName.getOrElseUpdate((specId, sourceId),
+          tbl.table.metadata.specById(specId).fields.find(pf =>
+            pf.transform == "identity" && pf.sourceId == sourceId &&
+              pf.sourceIds.isEmpty).map(_.name))
+      // raw (normalized-domain) group key per file; None = not derivable
+      def keyOf(df: graft.iceberg.Manifests.DataFileInfo): Option[Seq[Any]] = {
+        val specId = df.specId.getOrElse(tbl.table.metadata.defaultSpecId)
+        val vals = groupCols.map { c =>
+          identityName(specId, c.id) match {
+            case Some(name) if df.partition.contains(name) =>
+              df.partition(name) // may be null: a valid all-null group
+            case _ => return None
+          }
+        }
+        Some(vals)
+      }
+      val keyed = files.map(df => keyOf(df).map(_ -> df).getOrElse(return None))
+      val rows = keyed.groupBy(_._1).toSeq.map { case (key, fs) =>
+        val groupFiles = fs.map(_._2)
+        answerAggs(groupFiles,
+          () => Some(groupFiles.map(_.recordCount).sum)) match {
+          case Some(cells) =>
+            (key.zip(converters).map { case (v, conv) =>
+              if (v == null) null else conv(v)
+            } ++ cells.map(_._2), cells.map(_._1))
+          case None => return None
+        }
+      }
+      val aggFields = rows.headOption.map(_._2).getOrElse(return None)
+      val keySchema = groupCols.map(c => StructField(c.name,
+        graft.iceberg.IcebergTypes.primitiveToSpark(c.icebergTypeString)))
+      Some((StructType(keySchema ++ aggFields), rows.map(_._1)))
+    }
   }
 
   /** LIMIT pushdown, file-granular: `LIMIT n` needs only enough files to
@@ -608,11 +696,12 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
 
   override def build(): Scan = {
     aggResult match {
-      case Some((schema, values)) =>
-        // pushed aggregate: ONE metadata-computed row, no file ever opened
+      case Some((schema, aggRows)) =>
+        // pushed aggregate: metadata-computed rows (one per group; one
+        // total for the global form), no file ever opened
         return new org.apache.spark.sql.connector.read.LocalScan {
           override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-            Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))
+            aggRows.map(org.apache.spark.sql.catalyst.InternalRow.fromSeq).toArray
           override def readSchema(): StructType = schema
           override def description(): String =
             s"graft-iceberg metadata-aggregate ${tbl.table.url}"

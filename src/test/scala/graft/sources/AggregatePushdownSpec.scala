@@ -98,6 +98,93 @@ class AggregatePushdownSpec extends AnyFunSuite {
     }
   }
 
+  /** An identity-partitioned two-level table: region (string, with a null
+    * partition) × bucket(4, k) — group-by pushdown must serve `region`
+    * and refuse `k`. */
+  private def withPartitioned(f: (String, String) => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_aggpdp").toString
+    val cat = s"app${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/p"
+    IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("region",
+          org.apache.spark.sql.types.StringType))),
+      partitions = Seq("region" -> "identity", "k" -> "bucket[4]"))
+    IcebergWriter.append(spark, url,
+      (1L to 300L).map(i => (i, i / 10.0,
+        if (i % 3 == 0) null else s"r${i % 2}"))
+        .toDF("k", "score", "region").repartition(3))
+    f(cat, url)
+  }
+
+  test("GROUP BY identity partition column answers from metadata per group") {
+    withPartitioned { (cat, _) =>
+      val q = s"SELECT region, count(*) AS n, count(score) AS ns, " +
+        s"min(k) AS lo, max(k) AS hi FROM $cat.db.p GROUP BY region"
+      val plan = planOf(q)
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"identity-partition group-by must answer without a data scan:\n$plan")
+      val got = spark.sql(q).collect()
+        .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+      // recompute from the raw rows (nulls every i%3==0; r0/r1 alternate)
+      val rows = (1L to 300L).map(i =>
+        (if (i % 3 == 0) "∅" else s"r${i % 2}", i))
+      val want = rows.groupBy(_._1).toSeq.map { case (g, vs) =>
+        (g, vs.size.toLong, vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max)
+      }.sortBy(_._1)
+      assert(got.toSeq == want, s"got ${got.mkString(",")}")
+    }
+  }
+
+  test("GROUP BY non-identity (bucket) or non-partition columns refuses") {
+    withPartitioned { (cat, _) =>
+      assert(planOf(s"SELECT k, count(*) FROM $cat.db.p GROUP BY k")
+        .contains("BatchScan"), "bucket-partitioned key mixes values — scan")
+      assert(planOf(s"SELECT score, count(*) FROM $cat.db.p GROUP BY score")
+        .contains("BatchScan"), "non-partition key — scan")
+    }
+  }
+
+  test("GROUP BY with row-level deletes refuses; result stays exact") {
+    withPartitioned { (cat, url) =>
+      IcebergWriter.deleteRows(spark, url, Pruning.LtEq("k", 30L))
+      val q = s"SELECT region, count(*) AS n FROM $cat.db.p GROUP BY region"
+      assert(planOf(q).contains("BatchScan"),
+        "a delete can remove rows from any group — must scan")
+      assert(spark.sql(q).collect().map(_.getLong(1)).sum == 270L)
+    }
+  }
+
+  test("files predating the partition field (spec evolution) refuse the group-by") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_aggpde").toString
+    val cat = s"ape${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/e"
+    IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("region",
+          org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(spark, url,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "region"))
+    IcebergWriter.updatePartitionSpec(spark, url, Seq("region" -> "identity"))
+    IcebergWriter.append(spark, url,
+      Seq((3L, "a"), (4L, "c")).toDF("k", "region"))
+    val q = s"SELECT region, count(*) FROM $cat.db.e GROUP BY region"
+    assert(planOf(q).contains("BatchScan"),
+      "pre-spec files have no partition value for the group key — scan")
+    assert(spark.sql(q).collect().map(_.getLong(1)).sum == 4L)
+  }
+
   test("sum/avg/distinct are not metadata-answerable: full scan, exact") {
     withTable { (cat, _) =>
       val q = s"SELECT sum(k), count(DISTINCT cat) FROM $cat.db.t"

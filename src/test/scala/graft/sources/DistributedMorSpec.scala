@@ -137,7 +137,9 @@ class DistributedMorSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.iceberg.deleteCacheBytes", "1") // evict ~everything
     try withCap(10) {
       // scan stays CORRECT while the cache thrashes down to ~one entry
-      assert(IcebergTable.load(spark, url).read().count() == 150)
+      // (the tautological filter blocks aggregate pushdown — count(*)
+      // would otherwise answer from metadata and never run a task)
+      assert(IcebergTable.load(spark, url).read().where("k > 0").count() == 150)
       assert(DeleteLoader.residentEntries <= 1,
         s"byte budget must bound the cache, ${DeleteLoader.residentEntries} resident")
     } finally spark.conf.unset("spark.graft.iceberg.deleteCacheBytes")
@@ -152,7 +154,9 @@ class DistributedMorSpec extends AnyFunSuite {
     IcebergWriter.deleteRows(spark, url, Pruning.Lt("k", 101L))
     withCap(10) {
       val before = DeleteLoader.residentEntries
-      assert(IcebergTable.load(spark, url).read().count() == 100)
+      // filter blocks the metadata-answered count(*): the cache only
+      // populates when tasks actually scan and load their own deletes
+      assert(IcebergTable.load(spark, url).read().where("k > 0").count() == 100)
       assert(DeleteLoader.residentEntries > before ||
         before > 0, "task-side loads should populate the JVM cache")
     }
