@@ -111,36 +111,42 @@ object Corpus {
     * operator's).
     *
     * Scale shape: one O(total lines) aggregation keyed by line content
-    * (map-side partial `countDistinct` absorbs hot lines), one anti-join of
+    * (map-side partial `countDistinct` absorbs hot lines), one LEFT join of
     * lines against the boilerplate set (AQE broadcasts it when small — the
     * usual case: boilerplate sets are millions of lines, not billions), and
-    * one reassembly shuffle keyed by document id. The corpus body moves
-    * through each shuffle once — the same O(corpus) floor as any transform
-    * that rewrites text — and nothing is quadratic or driver-side.
-    * Deterministic, so an external engine replays the exact removal. */
+    * one reassembly shuffle keyed by document id that computes total AND
+    * surviving line counts in the SAME aggregation (the marker join keeps
+    * every line, so no separate corpus pass — and no second by-id shuffle —
+    * is needed just to count a document's original lines; an earlier shape
+    * paid both). The corpus body moves through each shuffle once — the
+    * O(corpus) floor of any transform that rewrites text — and nothing is
+    * quadratic or driver-side. Deterministic, so an external engine
+    * replays the exact removal. */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n", minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
     val qsep = java.util.regex.Pattern.quote(sep)
+    // null text coalesces to "" so the doc still yields its one (empty)
+    // line — posexplode of a null array would silently DROP the document
     val lines = df.select(col(idCol).as("_id"),
-      posexplode(split(col(textCol), qsep)).as(Seq("_pos", "_line")))
+      posexplode(split(coalesce(col(textCol), lit("")), qsep))
+        .as(Seq("_pos", "_line")))
     val boiler = lines.groupBy(col("_line"))
       .agg(countDistinct(col("_id")).as("_df"))
-      .filter(col("_df") >= minDocFreq).select(col("_line"))
-    val rebuilt = lines.join(boiler, Seq("_line"), "left_anti")
+      .filter(col("_df") >= minDocFreq).select(col("_line"), lit(true).as("_boiler"))
+    lines.join(boiler, Seq("_line"), "left")
       .groupBy(col("_id"))
       .agg(
         concat_ws(sep, transform(
-          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          filter(
+            array_sort(collect_list(struct(col("_pos"), col("_line"),
+              col("_boiler").isNull.as("_keep")))),
+            x => x.getField("_keep")),
           x => x.getField("_line"))).as("clean_text"),
-        count(lit(1)).as("n_lines_kept"))
-    df.select(col(idCol).as("_id"),
-        size(split(col(textCol), qsep)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("_id"), "left")
-      .select(col("_id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_lines"),
-        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+        count(lit(1)).as("n_lines"),
+        count(when(col("_boiler").isNull, 1)).as("n_lines_kept"))
+      .select(col("_id").as(idCol), col("clean_text"), col("n_lines"),
+        col("n_lines_kept"))
   }
 
   /** PACK chunks into fixed-length training sequences — GPT-style
