@@ -210,10 +210,11 @@ object DeletionVectors {
         val magic = new Array[Byte](4)
         tb.get(magic)
         require(java.util.Arrays.equals(magic, PuffinMagic), s"not a puffin file: $path")
-        require((flags & 1) == 0, s"compressed puffin footers not supported: $path")
-        val payload = new Array[Byte](payloadSize)
-        in.readFully(len - 12 - payloadSize, payload)
-        parseFooter(payload)
+        val stored = new Array[Byte](payloadSize)
+        in.readFully(len - 12 - payloadSize, stored)
+        // spec flag bit 0: LZ4-frame-compressed footer payload (tolerated
+        // on read; this writer emits uncompressed)
+        parseFooter(if ((flags & 1) != 0) Puffin.lz4Decompress(stored) else stored)
       }
       blobs.map { b =>
         require(b.length > 0 && b.length <= Int.MaxValue,
@@ -250,6 +251,11 @@ object DeletionVectors {
     require(blobs != null && blobs.isArray, "puffin footer without blobs array")
     (0 until blobs.size()).map(blobs.get).filter(
       _.get("type").asText() == BlobType).map { n =>
+      // spec "Deletion vectors": DV blobs MUST NOT be compressed — a codec
+      // here means a non-conformant writer; refuse rather than misdecode
+      require(n.get("compression-codec") == null ||
+        n.get("compression-codec").isNull,
+        "deletion-vector-v1 blobs must not be compressed (puffin spec)")
       val props = n.get("properties")
       DvBlob(
         referencedDataFile = props.get("referenced-data-file").asText(),

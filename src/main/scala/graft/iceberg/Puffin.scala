@@ -49,4 +49,44 @@ private[iceberg] object Puffin {
       (located, offset + footerLen, footerLen)
     } finally out.close()
   }
+
+  /** Decode a blob per its footer `compression-codec` property (spec
+    * "Compression codecs": absent = uncompressed, `lz4` = LZ4 frame,
+    * `zstd` = Zstandard frame). Both codecs ship on Spark's own classpath
+    * (lz4-java / zstd-jni back shuffle compression), so puffins written by
+    * other engines — iceberg-java compresses statistics blobs with zstd by
+    * default — read without extra dependencies. Unknown codecs refuse
+    * loudly instead of yielding garbage bytes. */
+  def decompress(codec: Option[String], bytes: Array[Byte]): Array[Byte] =
+    codec.map(_.toLowerCase) match {
+      case None => bytes
+      case Some("zstd") =>
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        require(size > 0 && size <= Int.MaxValue,
+          s"zstd blob without a usable frame content size ($size)")
+        com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+      case Some("lz4") => lz4Decompress(bytes)
+      case Some(other) =>
+        throw new UnsupportedOperationException(
+          s"unsupported puffin compression-codec '$other' (lz4|zstd)")
+    }
+
+  /** Zstd-compress a blob for writing (level 3 — zstd-jni's sweet spot for
+    * sketch-sized payloads). */
+  def compressZstd(bytes: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(bytes, 3)
+
+  /** LZ4 FRAME decompression — also the footer-payload codec the spec's
+    * flag bit 0 selects (readers must at least tolerate it). */
+  def lz4Decompress(bytes: Array[Byte]): Array[Byte] = {
+    val in = new net.jpountz.lz4.LZ4FrameInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
 }

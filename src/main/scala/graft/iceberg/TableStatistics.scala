@@ -201,8 +201,15 @@ object TableStatistics {
     val ndvs = merged.map(b =>
       math.round(CompactSketch.wrap(Memory.wrap(b)).getEstimate))
     val statsPath = s"$url/metadata/${java.util.UUID.randomUUID()}-stats.puffin"
-    val (_, fileLen, footerLen) =
-      writeStatsPuffin(statsPath, conf, cols.map(_.id).zip(merged), snapshotId, seq)
+    // opt-in blob compression (engine property, settable via ALTER TABLE
+    // SET TBLPROPERTIES): iceberg-java zstd-compresses statistics blobs by
+    // default, so writing the same form proves cross-engine symmetry
+    val codec = table.metadata.properties.get("write.stats.compression-codec")
+      .map(_.toLowerCase).filterNot(_ == "none")
+    codec.foreach(c => require(c == "zstd",
+      s"unsupported write.stats.compression-codec '$c' (zstd|none)"))
+    val (_, fileLen, footerLen) = writeStatsPuffin(statsPath, conf,
+      cols.map(_.id).zip(merged), snapshotId, seq, codec)
     IcebergWriter.commitWithRetry(spark, url, conf) { current =>
       val old = mapper.readTree(
         IcebergWriter.metadataBaseJson(current, url, conf)).asInstanceOf[ObjectNode]
@@ -273,13 +280,21 @@ object TableStatistics {
       in.readFully(len - 12, tail)
       val tb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
       val payloadSize = tb.getInt()
-      require((tb.getInt() & 1) == 0, s"compressed puffin footer: $path")
-      val payload = new Array[Byte](payloadSize)
-      in.readFully(len - 12 - payloadSize, payload)
+      // spec flag bit 0: footer payload LZ4-FRAME-compressed (readers must
+      // tolerate; our writer emits uncompressed)
+      val footerCompressed = (tb.getInt() & 1) != 0
+      val stored = new Array[Byte](payloadSize)
+      in.readFully(len - 12 - payloadSize, stored)
+      val payload =
+        if (footerCompressed) Puffin.lz4Decompress(stored) else stored
       val root = mapper.readTree(new String(payload, StandardCharsets.UTF_8))
       root.withArray[ArrayNode]("blobs").asScala.toSeq.map { b =>
-        val bytes = new Array[Byte](b.get("length").asInt)
-        in.readFully(b.get("offset").asLong, bytes)
+        val stored = new Array[Byte](b.get("length").asInt)
+        in.readFully(b.get("offset").asLong, stored)
+        // per-blob codec (iceberg-java zstd-compresses theta blobs by
+        // default — decoding it is the cross-engine interop contract)
+        val bytes = Puffin.decompress(
+          Option(b.get("compression-codec")).map(_.asText), stored)
         NdvBlob(
           fieldId = b.withArray[ArrayNode]("fields").get(0).asInt,
           ndv = math.round(CompactSketch.wrap(Memory.wrap(bytes)).getEstimate),
@@ -290,14 +305,23 @@ object TableStatistics {
 
   /** Statistics puffin: the shared [[Puffin]] envelope around RAW sketch
     * bytes per blob (theta blobs are unframed per the puffin spec — the DV
-    * magic/CRC framing is specific to deletion vectors). */
+    * magic/CRC framing is specific to deletion vectors). `codec` optionally
+    * compresses each blob (footer records `compression-codec` per blob, the
+    * spec's opt-in form; offsets/lengths then describe the COMPRESSED
+    * bytes). */
   private def writeStatsPuffin(path: String, conf: Configuration,
-      blobs: Seq[(Int, Array[Byte])], snapshotId: Long, seq: Long)
-      : (Seq[(Long, Long)], Long, Long) =
+      blobs0: Seq[(Int, Array[Byte])], snapshotId: Long, seq: Long,
+      codec: Option[String] = None): (Seq[(Long, Long)], Long, Long) = {
+    val blobs = codec match {
+      case Some("zstd") => blobs0.map { case (id, b) => (id, Puffin.compressZstd(b)) }
+      case _ => blobs0
+    }
     Puffin.write(path, conf, blobs.map(_._2), payloadFor = located => {
       val root = mapper.createObjectNode()
       val arr = root.withArray[ArrayNode]("blobs")
-      blobs.zip(located).foreach { case ((fieldId, bytes), (off, blen)) =>
+      // ndv estimates read the RAW sketches (blobs0); offsets/lengths
+      // describe the on-disk (possibly compressed) bytes
+      blobs0.zip(located).foreach { case ((fieldId, raw), (off, blen)) =>
         val n = mapper.createObjectNode()
         n.put("type", ThetaBlobType)
         n.withArray[ArrayNode]("fields").add(fieldId)
@@ -305,11 +329,13 @@ object TableStatistics {
         n.put("sequence-number", seq)
         n.put("offset", off)
         n.put("length", blen)
+        codec.foreach(n.put("compression-codec", _))
         n.withObject("/properties").put("ndv",
-          math.round(CompactSketch.wrap(Memory.wrap(bytes)).getEstimate).toString)
+          math.round(CompactSketch.wrap(Memory.wrap(raw)).getEstimate).toString)
         arr.add(n)
       }
       root.withObject("/properties").put("created-by", "graft")
       root.toString.getBytes(StandardCharsets.UTF_8)
     })
+  }
 }
