@@ -1084,6 +1084,121 @@ object IceQueries {
     } finally s.catalog.dropTempView("g_dml_nation")
   }
 
+  /** CHERRY-PICK / publish_changes (round 14): the WAP publish path that
+    * still works after main MOVED past the staging fork. Stage an audit
+    * append under a wap.id, advance main so fast_forward soundly REFUSES
+    * (pinned), then `CALL system.publish_changes(wap_id)` — the staged
+    * manifests splice onto main under a NEW snapshot recording
+    * source-snapshot-id + published-wap-id. The oracle replays the final
+    * row set (main's rows ∪ staged rows — nothing lost on either line) and
+    * pins the audit trail + main-line ancestry length as literals. */
+  def iceCherryPick(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val wh = java.nio.file.Files.createTempDirectory("graft_cherry").toString
+    val cat = s"ch${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/c"
+    try {
+      Queries.t(s, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+          "CAST(n_regionkey AS BIGINT) AS r")
+        .createOrReplaceTempView("g_ch_nation")
+      s.sql(s"CREATE TABLE $cat.db.c (k BIGINT, name STRING, r BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.c SELECT k, name, r FROM g_ch_nation")
+      // STAGE on the audit branch under a wap.id — invisible to main
+      IcebergWriter.appendToBranch(s, url,
+        s.sql("SELECT k + 1000 AS k, name, r FROM g_ch_nation WHERE r = 0"),
+        "audit", extraSummary = Map("wap.id" -> "w1"))
+      // main ADVANCES past the fork
+      s.sql(s"INSERT INTO $cat.db.c SELECT k + 2000, name, r FROM g_ch_nation WHERE r = 1")
+      // fast-forward must now refuse (publishing would drop main's commit)
+      val ffRefused =
+        try { IcebergWriter.fastForward(s, url, "audit"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val published = s.sql(
+        s"CALL $cat.system.publish_changes(table => 'db.c', wap_id => 'w1')")
+        .head().getLong(0)
+      val head = IcebergTable.load(s, url).currentSnapshot
+      val auditOk =
+        if (head.snapshotId == published &&
+          head.summary.contains("source-snapshot-id") &&
+          head.summary.get("published-wap-id").contains("w1")) 1L else 0L
+      val ancestors = s.sql(
+        s"CALL $cat.system.ancestors_of(table => 'db.c')").count()
+      s.sql(s"SELECT k, name, r FROM $cat.db.c ORDER BY k")
+        .withColumn("ff_refused", lit(ffRefused))
+        .withColumn("audit_ok", lit(auditOk))
+        .withColumn("ancestors", lit(ancestors))
+    } finally s.catalog.dropTempView("g_ch_nation")
+  }
+
+  /** The EXTENDED metadata-table family + the ALTER TABLE property surface
+    * (round 14): `entries` / `all_manifests` / `all_data_files` /
+    * `metadata_log_entries` / `position_deletes` through SQL, the spec
+    * `metadata-log` maintained by every commit (create, SET/UNSET
+    * TBLPROPERTIES, inserts, format upgrade, DV delete), and
+    * `position_deletes` serving v3 deletion-vector CONTENT as rows through
+    * the distributed V1Scan bridge. Data columns replay from nation in the
+    * oracle; deleted-position geometry derives from the data (one DV per
+    * touched partition file, all sharing one puffin carrier), and the
+    * metadata-file count pins the one-commit-per-statement contract
+    * (7 versions: create, SET, 2 inserts, upgrade, delete, UNSET). */
+  def iceMetaFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val wh = java.nio.file.Files.createTempDirectory("graft_metafam").toString
+    val cat = s"mf${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      Queries.t(s, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+          "CAST(n_regionkey AS BIGINT) AS r")
+        .createOrReplaceTempView("g_mf_nation")
+      s.sql(s"CREATE TABLE $cat.db.m (k BIGINT, name STRING, r BIGINT) " +
+        "PARTITIONED BY (r)")                                        // v1
+      s.sql(s"ALTER TABLE $cat.db.m SET TBLPROPERTIES " +
+        "('commit.retry.num-retries'='5', 'x'='drop-me')")           // v2
+      s.sql(s"INSERT INTO $cat.db.m SELECT k, name, r FROM g_mf_nation WHERE r < 2")  // v3
+      s.sql(s"INSERT INTO $cat.db.m SELECT k, name, r FROM g_mf_nation WHERE r >= 2") // v4
+      graft.iceberg.IcebergWriter.upgradeFormatVersion(s, s"$wh/db/m", 3)             // v5
+      s.sql(s"DELETE FROM $cat.db.m WHERE k < 5")                    // v6: 3 DVs
+      s.sql(s"ALTER TABLE $cat.db.m UNSET TBLPROPERTIES ('x')")      // v7
+
+      val pd = s.sql(s"SELECT * FROM $cat.db.m.position_deletes").collect()
+      val pdRows = pd.length.toLong
+      val pdFiles = pd.map(_.getString(0)).distinct.length.toLong
+      val pdCarriers = pd.map(_.getString(2)).distinct.length.toLong
+      val entryRows = s.sql(s"SELECT * FROM $cat.db.m.entries").count()
+      val tombstones = s.sql(
+        s"SELECT * FROM $cat.db.m.entries WHERE status = 2").count()
+      val allDataFiles = s.sql(
+        s"SELECT * FROM $cat.db.m.all_data_files").count()
+      val mlogRows = s.sql(
+        s"SELECT * FROM $cat.db.m.metadata_log_entries").count()
+      val snapsSpanned = s.sql(
+        "SELECT COUNT(DISTINCT reference_snapshot_id) AS c " +
+          s"FROM $cat.db.m.all_manifests").head().getLong(0)
+      val props = graft.iceberg.IcebergTable.load(s, s"$wh/db/m")
+        .metadata.properties
+      val propOk =
+        if (props.get("commit.retry.num-retries").contains("5") &&
+          !props.contains("x")) 1L else 0L
+
+      s.sql(s"SELECT k, name, r FROM $cat.db.m ORDER BY k")
+        .withColumn("pd_rows", lit(pdRows))
+        .withColumn("pd_files", lit(pdFiles))
+        .withColumn("pd_carriers", lit(pdCarriers))
+        .withColumn("entry_rows", lit(entryRows))
+        .withColumn("tombstones", lit(tombstones))
+        .withColumn("all_data_files", lit(allDataFiles))
+        .withColumn("mlog_rows", lit(mlogRows))
+        .withColumn("snapshots_spanned", lit(snapsSpanned))
+        .withColumn("props_ok", lit(propOk))
+    } finally s.catalog.dropTempView("g_mf_nation")
+  }
+
   /** SQL METADATA TABLES (`cat.db.t.snapshots|files|manifests|partitions`):
     * the Iceberg introspection surface through plain SQL, served by
     * driver-side LocalScans over manifest state (zero data I/O). Two
@@ -1854,6 +1969,8 @@ object IceQueries {
     "ice_partitions_meta"  -> (icePartitionsMeta _),
     "ice_rewrite_deletes"  -> (iceRewriteDeletes _),
     "ice_sql_meta"         -> (iceSqlMeta _),
+    "ice_meta_family"      -> (iceMetaFamily _),
+    "ice_cherry_pick"      -> (iceCherryPick _),
     "ice_sql_call"         -> (iceSqlCall _),
     "ice_agg_pushdown"     -> (iceAggPushdown _),
     "ice_agg_groupby"      -> (iceAggGroupBy _),
@@ -2002,6 +2119,39 @@ object IceQueries {
         |  CAST(2 AS BIGINT) AS history_rows,
         |  CAST(2 AS BIGINT) AS history_ancestors
         |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+    "ice_cherry_pick" ->
+      """SELECT k, name, r,
+        |  CAST(1 AS BIGINT) AS ff_refused,
+        |  CAST(1 AS BIGINT) AS audit_ok,
+        |  CAST(3 AS BIGINT) AS ancestors
+        |FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+        |    CAST(n_regionkey AS BIGINT) AS r FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name,
+        |    CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 2000 AS BIGINT), n_name,
+        |    CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 1
+        |) ORDER BY k""".stripMargin,
+    "ice_meta_family" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS r,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+        |   WHERE n_nationkey < 5) AS pd_rows,
+        |  (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
+        |   WHERE n_nationkey < 5) AS pd_files,
+        |  CAST(1 AS BIGINT) AS pd_carriers,
+        |  (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation)
+        |    + (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
+        |       WHERE n_nationkey < 5) AS entry_rows,
+        |  CAST(0 AS BIGINT) AS tombstones,
+        |  (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation)
+        |    AS all_data_files,
+        |  CAST(7 AS BIGINT) AS mlog_rows,
+        |  CAST(3 AS BIGINT) AS snapshots_spanned,
+        |  CAST(1 AS BIGINT) AS props_ok
+        |FROM nation WHERE n_nationkey >= 5 ORDER BY k""".stripMargin,
     "ice_sql_call" ->
       """SELECT col_name, exact_ndv, TRUE AS ndv_within_5pct,
         |  1 AS live_files, 1 AS remaining_snapshots, row_count

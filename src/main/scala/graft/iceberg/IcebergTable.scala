@@ -909,6 +909,177 @@ final class IcebergTable private (
       .toDF("path", "length", "partition_spec_id", "added_files",
         "existing_files", "deleted_files")
   }
+
+  /** Manifest ENTRIES of the current snapshot (Iceberg's `entries` table):
+    * one row per entry with its lifecycle status (0=EXISTING 1=ADDED
+    * 2=DELETED), committing snapshot, data sequence, and the file record —
+    * the raw bookkeeping [[liveFiles]] folds, exposed for audit. Unlike
+    * `files`, DELETED entries are VISIBLE here (that is the table's point:
+    * seeing what a commit removed). */
+  def entriesDf: DataFrame = entriesFor(manifestList)
+
+  /** `all_entries`: manifest entries across EVERY snapshot still in the
+    * metadata. Manifests are immutable and shared between snapshots, so the
+    * union is deduplicated BY MANIFEST (each read once) — entry rows can
+    * still legitimately repeat when a manifest rewrite re-recorded a file
+    * (Iceberg documents the same for its `all_*` family). */
+  def allEntriesDf: DataFrame = entriesFor(allManifestMetas)
+
+  private def entriesFor(manifests: Seq[Manifests.ManifestFile]): DataFrame = {
+    import spark.implicits._
+    val entryLists = readManifestsScaled(manifests.map(m => rewrite(m.path)), conf)
+    val rows = for ((mf, entries) <- manifests.zip(entryLists); e <- entries) yield
+      IcebergTable.MetaEntryRow(
+        status = e.status,
+        snapshot_id = e.snapshotId.orElse(mf.addedSnapshotId),
+        sequence_number = e.sequenceNumber.orElse(mf.sequenceNumber),
+        data_file = IcebergTable.MetaFileRow(
+          content = e.dataFile.content,
+          file_path = rewrite(e.dataFile.filePath),
+          file_format = e.dataFile.fileFormat,
+          spec_id = mf.partitionSpecId,
+          record_count = e.dataFile.recordCount,
+          file_size_in_bytes = e.dataFile.fileSizeInBytes))
+    rows.toDF()
+  }
+
+  /** Every snapshot's manifest list, deduplicated by manifest path —
+    * manifest files are immutable, so one read serves each snapshot that
+    * references it. Driver I/O is one manifest-list read per RETAINED
+    * snapshot (bounded by snapshot expiration), the same cost envelope as
+    * iceberg-java's `all_*` planning. */
+  private lazy val allManifestMetas: Seq[Manifests.ManifestFile] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Manifests.ManifestFile]
+    metadata.snapshots.foreach { s =>
+      Manifests.readManifestList(rewriteManifestList(s.manifestList), conf)
+        .foreach(m => if (!seen.contains(m.path)) seen(m.path) = m)
+    }
+    seen.values.toSeq
+  }
+
+  /** `all_manifests`: one row per (manifest, referencing snapshot) — the
+    * Iceberg shape, where a manifest shared by N snapshots appears N times
+    * with each `reference_snapshot_id`. */
+  def allManifestsDf: DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      s <- metadata.snapshots
+      m <- Manifests.readManifestList(rewriteManifestList(s.manifestList), conf)
+    } yield (rewrite(m.path), m.length, m.partitionSpecId, m.content,
+        m.addedSnapshotId, m.addedFilesCount.getOrElse(0),
+        m.existingFilesCount.getOrElse(0), m.deletedFilesCount.getOrElse(0),
+        s.snapshotId)
+    rows.toDF("path", "length", "partition_spec_id", "content",
+      "added_snapshot_id", "added_data_files_count",
+      "existing_data_files_count", "deleted_data_files_count",
+      "reference_snapshot_id")
+  }
+
+  /** `all_files` / `all_data_files` / `all_delete_files`: ADDED+EXISTING
+    * file records across every retained snapshot's manifests (DELETED
+    * entries are tombstones, not files — excluded, as in Iceberg). */
+  def allFilesDf: DataFrame = allFilesWhere(_ => true)
+  def allDataFilesDf: DataFrame =
+    allFilesWhere(_ == Manifests.FileContent.Data)
+  def allDeleteFilesDf: DataFrame =
+    allFilesWhere(_ != Manifests.FileContent.Data)
+
+  private def allFilesWhere(keep: Int => Boolean): DataFrame = {
+    import spark.implicits._
+    val entryLists = readManifestsScaled(allManifestMetas.map(m => rewrite(m.path)), conf)
+    val rows = for {
+      (mf, entries) <- allManifestMetas.zip(entryLists)
+      e <- entries
+      if e.status != Manifests.Status.Deleted && keep(e.dataFile.content)
+    } yield (e.dataFile.content, rewrite(e.dataFile.filePath),
+        e.dataFile.fileFormat, mf.partitionSpecId, e.dataFile.recordCount,
+        e.dataFile.fileSizeInBytes)
+    rows.toDF("content", "file_path", "file_format", "spec_id",
+      "record_count", "file_size_in_bytes")
+  }
+
+  /** `metadata_log_entries`: the spec `metadata-log` (each commit records
+    * the metadata file it replaced) plus the CURRENT file as the last row.
+    * Prior files are re-parsed for their snapshot/schema/sequence heads;
+    * files already cleaned away yield null detail columns instead of
+    * failing the whole table (their log row is still real history). */
+  def metadataLogDf: DataFrame = {
+    import spark.implicits._
+    def detail(m: TableMetadata): (Option[Long], Option[Int], Option[Long]) =
+      (Some(m.currentSnapshotId).filter(_ >= 0), Some(m.currentSchemaId),
+        Some(m.lastSequenceNumber))
+    val prior = metadata.metadataLog.map { case (ts, file) =>
+      val d = scala.util.Try(
+        TableMetadata.parse(IcebergTable.readString(resolvePath(file), conf)))
+        .toOption.map(detail).getOrElse((None, None, None))
+      (new java.sql.Timestamp(ts), file, d._1, d._2, d._3)
+    }
+    val curFile = if (loadedFrom.nonEmpty) loadedFrom
+      else s"$url/metadata/v$version.metadata.json"
+    val cur = {
+      val d = detail(metadata)
+      (new java.sql.Timestamp(metadata.lastUpdatedMs), curFile, d._1, d._2, d._3)
+    }
+    (prior :+ cur).toDF("timestamp", "file", "latest_snapshot_id",
+      "latest_schema_id", "latest_sequence_number")
+  }
+
+  /** `position_deletes`: the live position-delete CONTENT as rows —
+    * (deleted data file, position, carrier path). Parquet carriers are read
+    * by Spark's distributed parquet scan; v3 deletion-vector blobs are
+    * decoded task-side (one task per blob, driver holds only coordinates) —
+    * both paths stay distributed at 100 TB delete volume. */
+  def positionDeletesDf: DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = StructType(Seq(
+      StructField("file_path", org.apache.spark.sql.types.StringType, nullable = true),
+      StructField("pos", org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("delete_file_path", org.apache.spark.sql.types.StringType, nullable = true)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pds = positionDeleteFiles
+    // output `file_path` in the MANIFEST-recorDED canonical form, not the
+    // scheme-qualified variant carriers may store (`file:/x` vs `/x`) — the
+    // same morKey normalization every MOR apply uses, via a broadcast
+    // live-file map (delete-plane bounded, like the scan's own delete
+    // bookkeeping)
+    val keyToPath = spark.sparkContext.broadcast(liveFiles().map { f =>
+      val p = rewrite(f.filePath)
+      org.apache.spark.sql.graftbridge.ScanBridge.morKey(p) -> p
+    }.toMap)
+    val canon = org.apache.spark.sql.functions.udf((p: String) =>
+      keyToPath.value.getOrElse(
+        org.apache.spark.sql.graftbridge.ScanBridge.morKey(p), p))
+    val parquetPart = pds.filterNot(_.isDv).map { f =>
+      val p = rewrite(f.filePath)
+      spark.read.parquet(p)
+        .select(canon(col("file_path").cast("string")).as("file_path"),
+          col("pos").cast("long"))
+        .withColumn("delete_file_path", lit(p))
+    }.reduceOption(_ unionByName _)
+    val dvPart = {
+      val coords = pds.filter(_.isDv).flatMap { f =>
+        for (off <- f.contentOffset; len <- f.contentSizeInBytes;
+             ref <- f.referencedDataFile)
+          yield (rewrite(f.filePath), off, len, rewrite(ref))
+      }
+      if (coords.isEmpty) None
+      else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        Some(coords.toDF("puffin", "off", "len", "ref")
+          .repartition(math.min(coords.size, 32))
+          .flatMap { r =>
+            DeletionVectors.readBlobAt(r.getString(0), sconf.value,
+                r.getLong(1), r.getLong(2))
+              .map(pos => (r.getString(3), pos, r.getString(0)))
+          }.toDF("file_path", "pos", "delete_file_path")
+          .withColumn("file_path", canon(col("file_path"))))
+      }
+    }
+    (parquetPart.toSeq ++ dvPart.toSeq)
+      .foldLeft(empty)(_ unionByName _)
+  }
 }
 
 object IcebergTable {
@@ -928,6 +1099,15 @@ object IcebergTable {
       removed: Seq[Manifests.DataFileInfo],
       addedPosDeletes: Seq[Manifests.DataFileInfo],
       addedEqDeletes: Seq[Manifests.DataFileInfo])
+
+  /** Row shapes of the `entries`/`all_entries` metadata tables — the
+    * nested `data_file` struct mirrors Iceberg's (subset: the identity and
+    * size fields ops queries actually touch). */
+  final case class MetaFileRow(content: Int, file_path: String,
+      file_format: String, spec_id: Int, record_count: Long,
+      file_size_in_bytes: Long)
+  final case class MetaEntryRow(status: Int, snapshot_id: Option[Long],
+      sequence_number: Option[Long], data_file: MetaFileRow)
 
   /** Iceberg resolves columns by FIELD ID, not name: graft scans flip
     * Spark's parquet reader to id-based resolution by setting this on the

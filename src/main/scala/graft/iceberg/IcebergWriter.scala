@@ -1060,6 +1060,156 @@ object IcebergWriter {
     }
   }
 
+  /** Move the table head to ANY snapshot still in metadata — Iceberg's
+    * `set_current_snapshot`: unlike [[rollbackTo]] there is NO ancestry
+    * requirement, so this can jump onto a side branch's history (the
+    * operator's explicit splice, e.g. adopting a staged WAP snapshot
+    * in place). Metadata-only; the move is itself a history event. */
+  def setCurrentSnapshot(spark: SparkSession, url: String, snapshotId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      require(table.snapshots.contains(snapshotId), s"unknown snapshot $snapshotId")
+      if (table.metadata.currentSnapshotId == snapshotId) None // no-op
+      else {
+        val old = mapper.readTree(metadataBaseJson(table, url, conf))
+          .asInstanceOf[ObjectNode]
+        old.put("current-snapshot-id", snapshotId)
+        setMainRef(old, snapshotId)
+        val now = System.currentTimeMillis()
+        old.put("last-updated-ms", now)
+        val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
+          else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
+        val entry = mapper.createObjectNode()
+        entry.put("timestamp-ms", now)
+        entry.put("snapshot-id", snapshotId)
+        log.add(entry)
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
+  /** CHERRY-PICK one APPEND snapshot onto the current main head — the
+    * publish half of audit workflows when main has MOVED past the staging
+    * fork (where [[fastForward]] refuses). Metadata-only and O(manifest
+    * count): the source commit's NEW manifests (its list minus its
+    * parent's) are spliced onto main's manifest list under a NEW snapshot
+    * — data files are immutable and never copied. The new snapshot records
+    * `source-snapshot-id` (Iceberg's audit trail). Appends only, like
+    * Iceberg's cherrypick: replaying a delete/overwrite against a moved
+    * main could silently target rows the operator never audited.
+    *
+    * Row lineage and sequence numbers stay sound BY CONSTRUCTION: the
+    * staged commit allocated its row-id range and sequence from the same
+    * metadata counters inside the optimistic loop, so its manifests'
+    * recorded `first_row_id`/`sequence_number` never collide with ranges
+    * main allocated after the fork, and the splice preserves them.
+    *
+    * @return the new snapshot id on main */
+  def cherryPick(spark: SparkSession, url: String, sourceSnapshotId: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var resultId = -1L
+    commitWithRetry(spark, url, conf) { table =>
+      val src = table.snapshots.getOrElse(sourceSnapshotId,
+        throw new IllegalArgumentException(s"unknown snapshot $sourceSnapshotId"))
+      require(src.summary.get("operation").contains("append"),
+        s"cherry-pick supports append snapshots only; $sourceSnapshotId is " +
+          s"'${src.summary.getOrElse("operation", "?")}'")
+      // already on main's history → publishing again would duplicate rows
+      var cur = table.snapshots.get(table.metadata.currentSnapshotId)
+      while (cur.isDefined) {
+        if (cur.get.snapshotId == sourceSnapshotId)
+          throw new IllegalArgumentException(
+            s"snapshot $sourceSnapshotId is already an ancestor of main")
+        cur = cur.get.parentSnapshotId.flatMap(table.snapshots.get)
+      }
+
+      val srcView = table.atSnapshot(sourceSnapshotId)
+      val parentManifests: Set[String] = src.parentSnapshotId
+        .map(p => table.atSnapshot(p).manifestList.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      val picked = srcView.manifestList.filterNot(m => parentManifests(m.path))
+      require(picked.forall(_.content == Manifests.ManifestContent.Data),
+        "cherry-pick source carries delete manifests — not an append")
+
+      val mainManifests =
+        if (table.metadata.currentSnapshotId >= 0) table.manifestList else Nil
+      // picking the same files twice (double publish via different ids)
+      // would duplicate rows — refuse on any path overlap
+      val mainPaths = mainManifests.map(_.path).toSet
+      require(!picked.exists(m => mainPaths(m.path)),
+        "cherry-picked manifests already present on main")
+
+      val newSnapId = math.abs(UUID.randomUUID().getMostSignificantBits)
+      resultId = newSnapId
+      val commitId = UUID.randomUUID().toString
+      val manifestListPath = s"$url/metadata/snap-$newSnapId-1-$commitId.avro"
+      val newSeq = table.metadata.lastSequenceNumber + 1
+      writeManifestLists(manifestListPath, newSnapId, Nil,
+        picked ++ mainManifests, conf, sequenceNumber = newSeq)
+
+      val old = mapper.readTree(metadataBaseJson(table, url, conf))
+        .asInstanceOf[ObjectNode]
+      val now = System.currentTimeMillis()
+      val addedFiles = picked.map(_.addedFilesCount.getOrElse(0)).sum
+      val addedRecords = picked.map(_.addedRowsCount.getOrElse(0L)).sum
+      val baseSummary =
+        if (table.metadata.currentSnapshotId >= 0) table.currentSnapshot.summary
+        else Map.empty[String, String]
+      val snap = mapper.createObjectNode()
+      snap.put("snapshot-id", newSnapId)
+      if (table.metadata.currentSnapshotId >= 0)
+        snap.put("parent-snapshot-id", table.metadata.currentSnapshotId)
+      snap.put("timestamp-ms", now)
+      snap.put("sequence-number", newSeq)
+      val summary = mapper.createObjectNode()
+      summary.put("operation", "append")
+      summary.put("source-snapshot-id", sourceSnapshotId.toString)
+      src.summary.get("wap.id").foreach(summary.put("published-wap-id", _))
+      summary.put("added-data-files", addedFiles.toString)
+      summary.put("added-records", addedRecords.toString)
+      summary.put("total-records",
+        (baseSummary.get("total-records").map(_.toLong).getOrElse(0L) +
+          addedRecords).toString)
+      summary.put("total-data-files",
+        (baseSummary.get("total-data-files").map(_.toLong).getOrElse(0L) +
+          addedFiles).toString)
+      snap.set[ObjectNode]("summary", summary)
+      snap.put("manifest-list", manifestListPath)
+      snap.put("schema-id", table.metadata.currentSchemaId)
+      old.withArray[ArrayNode]("snapshots").add(snap)
+      old.put("last-sequence-number", newSeq)
+      old.put("current-snapshot-id", newSnapId)
+      setMainRef(old, newSnapId)
+      old.put("last-updated-ms", now)
+      val log = if (old.has("snapshot-log")) old.withArray[ArrayNode]("snapshot-log")
+        else { val a = mapper.createArrayNode(); old.set[ArrayNode]("snapshot-log", a); a }
+      val entry = mapper.createObjectNode()
+      entry.put("timestamp-ms", now)
+      entry.put("snapshot-id", newSnapId)
+      log.add(entry)
+      Some(old.toPrettyString)
+    }
+    resultId
+  }
+
+  /** PUBLISH a write-audit-publish commit BY ITS `wap.id` (Iceberg's
+    * `publish_changes`): finds the snapshot stamped with the id (staged via
+    * `appendToBranch(..., extraSummary = Map("wap.id" -> …))`) and
+    * cherry-picks it onto main — works whether or not main advanced past
+    * the staging fork. Refuses unknown or ambiguous ids.
+    *
+    * @return the new snapshot id on main */
+  def publishChanges(spark: SparkSession, url: String, wapId: String): Long = {
+    val table = resolveCurrent(spark, url)
+    val matches = table.metadata.snapshots
+      .filter(_.summary.get("wap.id").contains(wapId))
+    require(matches.nonEmpty, s"no snapshot carries wap.id '$wapId'")
+    require(matches.size == 1,
+      s"wap.id '$wapId' is ambiguous (${matches.size} snapshots) — " +
+        "publish by snapshot id with cherryPick instead")
+    cherryPick(spark, url, matches.head.snapshotId)
+  }
+
   // ---------------------------------------------------- partition evolution
 
   /** PARTITION SPEC EVOLUTION (metadata-only): register `partitions` (the
@@ -2308,6 +2458,52 @@ object IcebergWriter {
     }
   }
 
+  /** Set/overwrite table properties (spec `properties` map) — the SQL
+    * `ALTER TABLE … SET TBLPROPERTIES` surface. Metadata-only commit
+    * through the optimistic loop; a no-op (every key already at its
+    * requested value) publishes no new version. Engine-reserved keys that
+    * name STATE rather than configuration are refused — Iceberg-java's
+    * reserved-property rule. */
+  def setProperties(spark: SparkSession, url: String,
+      props: Map[String, String]): Unit = {
+    val reserved = Set("format-version", "uuid", "current-snapshot-id")
+    props.keys.find(reserved).foreach(k => throw new IllegalArgumentException(
+      s"property '$k' is reserved table STATE — use the dedicated API " +
+        "(upgradeFormatVersion / rollback), not a property write"))
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      if (props.forall { case (k, v) => table.metadata.properties.get(k).contains(v) }) None
+      else {
+        val old = mapper.readTree(metadataBaseJson(table, url, conf))
+          .asInstanceOf[ObjectNode]
+        val p = Option(old.get("properties")).collect { case o: ObjectNode => o }
+          .getOrElse { val o = mapper.createObjectNode(); old.set[ObjectNode]("properties", o); o }
+        props.foreach { case (k, v) => p.put(k, v) }
+        old.put("last-updated-ms", System.currentTimeMillis())
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
+  /** Remove table properties (`ALTER TABLE … UNSET TBLPROPERTIES`).
+    * Absent keys are ignored (SQL UNSET semantics); removing every
+    * requested key that exists is one metadata-only commit. */
+  def removeProperties(spark: SparkSession, url: String,
+      keys: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      if (!keys.exists(table.metadata.properties.contains)) None
+      else {
+        val old = mapper.readTree(metadataBaseJson(table, url, conf))
+          .asInstanceOf[ObjectNode]
+        Option(old.get("properties")).collect { case o: ObjectNode => o }
+          .foreach(p => keys.foreach(p.remove))
+        old.put("last-updated-ms", System.currentTimeMillis())
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
   /** Iceberg v2 EQUALITY DELETE: delete every row whose `keyCols` tuple
     * appears in `keys`, WITHOUT scanning any data file — the delete file
     * stores only the key tuples, and readers apply them merge-on-read to
@@ -3397,7 +3593,7 @@ object IcebergWriter {
       val table = resolveCurrent(spark, url)
       val json = attempt(table) match {
         case None => return
-        case Some(j) => j
+        case Some(j) => withMetadataLog(table, j)
       }
       catalogCommit.get match {
         case null =>
@@ -3420,6 +3616,35 @@ object IcebergWriter {
           }
       }
     }
+  }
+
+  /** Spec `metadata-log` maintenance, applied to EVERY commit in one place:
+    * the new metadata file records the file it replaced as
+    * `{timestamp-ms: previous last-updated-ms, metadata-file: previous
+    * path}`, appended after whatever log the previous file carried and
+    * trimmed to the newest `write.metadata.previous-versions-max` entries
+    * (spec default 100). The log is what `metadata_log_entries` serves and
+    * what bounds metadata-file cleanup; trimming keeps the METADATA FILE
+    * ITSELF O(1) in commit count — without it every commit would grow every
+    * successor by one entry forever. Skipped when the base state has no
+    * on-disk file to point at (first commit, or a catalog-staged create). */
+  private def withMetadataLog(table: IcebergTable, json: String): String = {
+    if (table.loadedFrom.isEmpty) return json
+    val root = mapper.readTree(json) match {
+      case o: ObjectNode => o
+      case _ => return json
+    }
+    val log = if (root.has("metadata-log")) root.withArray[ArrayNode]("metadata-log")
+      else { val a = mapper.createArrayNode(); root.set[ArrayNode]("metadata-log", a); a }
+    val entry = mapper.createObjectNode()
+    entry.put("timestamp-ms", table.metadata.lastUpdatedMs)
+    entry.put("metadata-file", table.loadedFrom)
+    log.add(entry)
+    val keep = Option(root.get("properties"))
+      .flatMap(p => Option(p.get("write.metadata.previous-versions-max")))
+      .map(_.asText.trim.toInt).getOrElse(100)
+    while (log.size > math.max(1, keep)) log.remove(0)
+    root.toPrettyString
   }
 
   /** Serializes same-JVM committers (local FS create(overwrite=false) has a

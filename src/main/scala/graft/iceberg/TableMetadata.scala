@@ -134,7 +134,13 @@ final case class TableMetadata(
       * change of the CURRENT snapshot — main's lineage over time, the
       * source of the `history` metadata table (rollbacks append too, so
       * the log can revisit ids the parent chain no longer reaches). */
-    snapshotLog: Seq[(Long, Long)] = Nil) {
+    snapshotLog: Seq[(Long, Long)] = Nil,
+    /** The `metadata-log`: (timestamp-ms, metadata-file) entries naming the
+      * PREVIOUS metadata files this one descends from, oldest first (spec
+      * "Table Metadata Fields"). Commits append the file they replaced and
+      * trim to `write.metadata.previous-versions-max` — the source of the
+      * `metadata_log_entries` metadata table and of metadata-file cleanup. */
+    metadataLog: Seq[(Long, String)] = Nil) {
 
   /** The table's active sort order (empty = unsorted). */
   def defaultSortOrder: Seq[SortField] =
@@ -264,6 +270,10 @@ object TableMetadata {
       snapshotLog = optNode("snapshot-log")
         .map(_.elements().asScala.map(e =>
           (e.get("timestamp-ms").asLong, e.get("snapshot-id").asLong)).toSeq)
+        .getOrElse(Nil),
+      metadataLog = optNode("metadata-log")
+        .map(_.elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong, e.get("metadata-file").asText)).toSeq)
         .getOrElse(Nil))
   }
 

@@ -84,7 +84,15 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
     "partitions" -> (_.partitionStats()),
     "statistics" -> (_.statisticsDf),
     "refs" -> (_.refsDf),
-    "history" -> (_.historyDf))
+    "history" -> (_.historyDf),
+    "entries" -> (_.entriesDf),
+    "all_entries" -> (_.allEntriesDf),
+    "all_manifests" -> (_.allManifestsDf),
+    "all_files" -> (_.allFilesDf),
+    "all_data_files" -> (_.allDataFilesDf),
+    "all_delete_files" -> (_.allDeleteFilesDf),
+    "metadata_log_entries" -> (_.metadataLogDf),
+    "position_deletes" -> (_.positionDeletesDf))
 
   override def loadTable(ident: Identifier): Table =
     try new GraftIcebergV2Table(rest.loadTable(spark, ns(ident.namespace()), ident.name()))
@@ -97,7 +105,8 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
           rest.loadTable(spark, baseNs, baseName) // existence probe
           new GraftMetadataTable(
             () => metaTables(ident.name())(rest.loadTable(spark, baseNs, baseName)),
-            (nsArr :+ ident.name()).mkString("."))
+            (nsArr :+ ident.name()).mkString("."),
+            distributed = ident.name() == "position_deletes")
         } catch { case _: Exception => throw e }
     }
 
@@ -133,8 +142,49 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
     new GraftIcebergV2Table(IcebergTable.load(spark, loc))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable is not supported")
+  /** `ALTER TABLE` under CATALOG ATOMICITY: each change set commits through
+    * the REST protocol (the writer's metadata edit diffs to
+    * `set-properties`/`remove-properties`/`add-schema` updates, guarded by
+    * the catalog's requirements — same route as DML). Property changes
+    * batch to one commit per statement, like the path catalog. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    def resolved = rest.loadTable(spark, ns(ident.namespace()), ident.name())
+    val sets = changes.collect { case p: TableChange.SetProperty =>
+      p.property -> p.value }
+    if (sets.nonEmpty) {
+      val t = resolved
+      t.runCommit(IcebergWriter.setProperties(spark, t.url, sets.toMap))
+    }
+    val removes = changes.collect { case p: TableChange.RemoveProperty =>
+      p.property }
+    if (removes.nonEmpty) {
+      val t = resolved
+      t.runCommit(IcebergWriter.removeProperties(spark, t.url, removes))
+    }
+    changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }.foreach {
+      case a: TableChange.AddColumn =>
+        val t = resolved
+        t.runCommit(IcebergWriter.addColumn(spark, t.url,
+          a.fieldNames.mkString("."),
+          IcebergWriter.sparkToIcebergType(a.dataType),
+          required = !a.isNullable))
+      case r: TableChange.RenameColumn =>
+        val t = resolved
+        t.runCommit(IcebergWriter.renameColumn(spark, t.url,
+          r.fieldNames.mkString("."), r.newName))
+      case d: TableChange.DeleteColumn =>
+        val t = resolved
+        t.runCommit(IcebergWriter.dropColumn(spark, t.url,
+          d.fieldNames.mkString(".")))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     try { rest.deleteTable(ns(ident.namespace()), ident.name()); true }

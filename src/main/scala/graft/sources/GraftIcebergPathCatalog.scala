@@ -86,7 +86,15 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
       "partitions" -> (_.partitionStats()),
       "statistics" -> (_.statisticsDf),
       "refs" -> (_.refsDf),
-      "history" -> (_.historyDf))
+      "history" -> (_.historyDf),
+      "entries" -> (_.entriesDf),
+      "all_entries" -> (_.allEntriesDf),
+      "all_manifests" -> (_.allManifestsDf),
+      "all_files" -> (_.allFilesDf),
+      "all_data_files" -> (_.allDataFilesDf),
+      "all_delete_files" -> (_.allDeleteFilesDf),
+      "metadata_log_entries" -> (_.metadataLogDf),
+      "position_deletes" -> (_.positionDeletesDf))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident) && ident.namespace().nonEmpty &&
@@ -97,7 +105,8 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
         val fn = metaTables(ident.name())
         return new GraftMetadataTable(
           () => fn(IcebergTable.load(spark, dir(base))),
-          (ns :+ ident.name()).mkString("."))
+          (ns :+ ident.name()).mkString("."),
+          distributed = ident.name() == "position_deletes")
       }
     }
     new GraftIcebergV2Table(IcebergTable.load(spark, dir(ident)))
@@ -150,8 +159,42 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable is not supported")
+  /** `ALTER TABLE` → the writer's metadata-only commit API, one commit per
+    * change (each is its own optimistic metadata swap, like Iceberg's
+    * Spark integration). Covers the property surface (SET/UNSET
+    * TBLPROPERTIES) and single-name column evolution (ADD/RENAME/DROP
+    * COLUMN); nested paths join with '.' — the writer's evolution API
+    * resolves them. Anything else refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val url = dir(ident)
+    // Spark splits `SET TBLPROPERTIES ('a'='1','b'='2')` into one
+    // SetProperty change per key — batch them back into ONE commit (one
+    // metadata version per statement, like Iceberg's Spark integration)
+    val sets = changes.collect { case p: TableChange.SetProperty =>
+      p.property -> p.value }
+    if (sets.nonEmpty) IcebergWriter.setProperties(spark, url, sets.toMap)
+    val removes = changes.collect { case p: TableChange.RemoveProperty =>
+      p.property }
+    if (removes.nonEmpty) IcebergWriter.removeProperties(spark, url, removes)
+    changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }.foreach {
+      case a: TableChange.AddColumn =>
+        IcebergWriter.addColumn(spark, url, a.fieldNames.mkString("."),
+          IcebergWriter.sparkToIcebergType(a.dataType),
+          required = !a.isNullable)
+      case r: TableChange.RenameColumn =>
+        IcebergWriter.renameColumn(spark, url, r.fieldNames.mkString("."),
+          r.newName)
+      case d: TableChange.DeleteColumn =>
+        IcebergWriter.dropColumn(spark, url, d.fieldNames.mkString("."))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dir(ident))

@@ -163,6 +163,62 @@ object GraftProcedures {
         oneRow(s, StructType(Seq(longField("current_snapshot_id"))),
           after.currentSnapshot.snapshotId)
       }),
+    ProcDef("cherrypick_snapshot",
+      "Splice one staged APPEND snapshot onto main — the publish path when " +
+        "main moved past the staging fork and fast_forward refuses",
+      Seq(tableParam, ParamDef("snapshot_id", LongType)),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val srcId = a(1).asInstanceOf[java.lang.Long].longValue
+        t.runCommit(IcebergWriter.cherryPick(s, t.url, srcId))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("source_snapshot_id"),
+          longField("current_snapshot_id"))),
+          srcId, after.currentSnapshot.snapshotId)
+      }),
+    ProcDef("publish_changes",
+      "Publish a staged write-audit-publish commit by its wap.id " +
+        "(cherry-picks onto main; works after main advanced)",
+      Seq(tableParam, ParamDef("wap_id", StringType)),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        t.runCommit(IcebergWriter.publishChanges(s, t.url,
+          a(1).asInstanceOf[String]))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("current_snapshot_id"))),
+          after.currentSnapshot.snapshotId)
+      }),
+    ProcDef("set_current_snapshot",
+      "Move the head to ANY snapshot in metadata (no ancestry requirement " +
+        "— the explicit splice rollback_to_snapshot refuses)",
+      Seq(tableParam, ParamDef("snapshot_id", LongType)),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val before = t.currentSnapshot.snapshotId
+        t.runCommit(IcebergWriter.setCurrentSnapshot(s, t.url,
+          a(1).asInstanceOf[java.lang.Long].longValue))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
+          longField("current_snapshot_id"))),
+          before, after.currentSnapshot.snapshotId)
+      }),
+    ProcDef("ancestors_of",
+      "Main-line ancestry of a snapshot (default: current), newest first",
+      Seq(tableParam, ParamDef("snapshot_id", LongType, Some("NULL"))),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val start = Option(a(1)).map(_.asInstanceOf[java.lang.Long].longValue)
+          .getOrElse(t.currentSnapshot.snapshotId)
+        require(t.metadata.snapshotsById.contains(start),
+          s"unknown snapshot $start")
+        val chain = Iterator.iterate(t.metadata.snapshotsById.get(start))(
+            _.flatMap(_.parentSnapshotId).flatMap(t.metadata.snapshotsById.get))
+          .takeWhile(_.isDefined).map(_.get).toSeq
+        s.createDataFrame(
+          util.Arrays.asList(chain.map(sn =>
+            Row(sn.snapshotId, sn.timestampMs)): _*),
+          StructType(Seq(longField("snapshot_id"), longField("timestamp_ms"))))
+      }),
     ProcDef("create_tag",
       "Tag a snapshot (default: current) — an immutable named pointer",
       Seq(tableParam, ParamDef("tag", StringType),

@@ -252,6 +252,27 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
       oldS.keySet.diff(newS.keySet).foreach(sid =>
         updates += s"""{"action": "$removeA", "snapshot-id": $sid}""")
     }
+    // TABLE PROPERTIES → set-properties / remove-properties (REST spec
+    // update types). Without this, an ALTER TABLE SET/UNSET TBLPROPERTIES
+    // commit in a catalog scope would diff to ZERO updates and silently
+    // publish nothing.
+    def propsOf(node: JsonNode): Map[String, String] =
+      Option(node.get("properties")).toSeq.flatMap(_.properties().asScala)
+        .map(e => e.getKey -> e.getValue.asText).toMap
+    val oldProps = propsOf(beforeMeta)
+    val newProps = propsOf(newMeta)
+    val changedProps = newProps.filter { case (k, v) => !oldProps.get(k).contains(v) }
+    if (changedProps.nonEmpty) {
+      val obj = mapper.createObjectNode()
+      changedProps.foreach { case (k, v) => obj.put(k, v) }
+      updates += s"""{"action": "set-properties", "updates": $obj}"""
+    }
+    val removedProps = oldProps.keySet.diff(newProps.keySet)
+    if (removedProps.nonEmpty) {
+      val arr = mapper.createArrayNode()
+      removedProps.toSeq.sorted.foreach(arr.add)
+      updates += s"""{"action": "remove-properties", "removals": $arr}"""
+    }
     newMeta.get("snapshots").elements().asScala
       .filterNot(s => oldIds.contains(s.get("snapshot-id").asLong))
       .foreach(s => updates += s"""{"action": "add-snapshot", "snapshot": $s}""")

@@ -168,6 +168,15 @@ class RestCatalogSpec extends AnyFunSuite {
                       arr.removeAll()
                       kept.foreach(arr.add)
                       arr.add(u.get(field))
+                    case "set-properties" =>
+                      val obj = meta.withObject("/properties")
+                      u.get("updates").properties().asScala.foreach(e =>
+                        obj.set[com.fasterxml.jackson.databind.JsonNode](
+                          e.getKey, e.getValue))
+                    case "remove-properties" =>
+                      val obj = meta.withObject("/properties")
+                      u.get("removals").elements().asScala.foreach(r =>
+                        obj.remove(r.asText))
                     case a @ ("remove-statistics" | "remove-partition-statistics") =>
                       val field = if (a == "remove-statistics") "statistics"
                         else "partition-statistics"
@@ -604,6 +613,43 @@ class RestCatalogSpec extends AnyFunSuite {
       |            snapshot:
       |              $ref: '#/components/schemas/Snapshot'
       |""".stripMargin
+
+  test("ALTER TABLE properties commit through REST as set-/remove-properties") {
+    withServer { (cat, server) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val url = java.nio.file.Files.createTempDirectory("graft_alter_rest")
+        .toString + "/p"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      cat.createNamespace("db")
+      cat.createTable("db", "p", Seq("id" -> "long"), location = Some(url))
+      val catName = s"alttest${server.getAddress.getPort}"
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.sources.GraftIcebergCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.uri",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+
+      spark.sql(s"ALTER TABLE $catName.db.p SET TBLPROPERTIES " +
+        "('commit.retry.num-retries'='9', 'x'='tmp')")
+      // the SERVER's copy (the source of truth) carries both — the commit
+      // crossed the wire as a set-properties update, not a silent no-op
+      val p1 = cat.loadTable(spark, "db", "p").metadata.properties
+      assert(p1.get("commit.retry.num-retries").contains("9") &&
+        p1.get("x").contains("tmp"))
+
+      spark.sql(s"ALTER TABLE $catName.db.p UNSET TBLPROPERTIES ('x')")
+      val p2 = cat.loadTable(spark, "db", "p").metadata.properties
+      assert(!p2.contains("x") &&
+        p2.get("commit.retry.num-retries").contains("9"),
+        "remove-properties must drop ONLY the unset key")
+    }
+  }
 
   test("IceRestApi.definition navigates $ref fragment paths (rest_client.py:119-132)") {
     val spec = IceRestApi.load(openApiYaml)
