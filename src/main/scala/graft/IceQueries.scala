@@ -1084,6 +1084,78 @@ object IceQueries {
     } finally s.catalog.dropTempView("g_dml_nation")
   }
 
+  /** ICEBERG VIEWS (round 14, view spec v1): the full SQL lifecycle under
+    * a session carrying [[graft.plans.GraftExtensions]] (the view DDL
+    * surface lives there — vanilla Spark parses but cannot execute
+    * V2-catalog view commands). CREATE VIEW → SELECT through it →
+    * CREATE OR REPLACE with a changed definition (a NEW version appends to
+    * the spec's `versions`/`version-log`; v1 stays auditable) → SELECT the
+    * replaced definition. The oracle replays both definitions' rows from
+    * nation and pins the version bookkeeping as literals. */
+  def iceViews(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val wh = java.nio.file.Files.createTempDirectory("graft_viewq").toString
+    val cat = s"vq${wh.hashCode.toHexString}"
+    Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS k", "n_name AS name",
+        "CAST(n_regionkey AS BIGINT) AS r")
+      .write.mode("overwrite").parquet(s"$wh/nation_src")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      ext.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+      ext.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ext.read.parquet(s"$wh/nation_src").createOrReplaceTempView("g_vq_nation")
+      ext.sql(s"CREATE TABLE $cat.db.n (k BIGINT, name STRING, r BIGINT)")
+      ext.sql(s"INSERT INTO $cat.db.n SELECT k, name, r FROM g_vq_nation")
+      ext.sql(s"CREATE VIEW $cat.db.high AS " +
+        s"SELECT k, name, r FROM $cat.db.n WHERE r >= 2")
+      val firstRows = ext.sql(s"SELECT count(*) FROM $cat.db.high").head().getLong(0)
+      ext.sql(s"CREATE OR REPLACE VIEW $cat.db.high AS " +
+        s"SELECT k, name, r, r * 10 AS r10 FROM $cat.db.n WHERE r < 2")
+      val vm = graft.iceberg.IcebergViews.load(ext, s"$wh/db/high")
+      val versionsOk =
+        if (vm.currentVersionId == 2 && vm.versions.map(_.versionId) == Seq(1, 2) &&
+          vm.versionAt(1).sql.contains("r >= 2") && vm.schemas.size == 2) 1L else 0L
+      val shown = ext.sql(s"SHOW VIEWS IN $cat.db").count()
+      ext.sql(s"SELECT k, name, r, CAST(r10 AS BIGINT) AS r10 " +
+          s"FROM $cat.db.high ORDER BY k")
+        .withColumn("first_def_rows", lit(firstRows))
+        .withColumn("versions_ok", lit(versionsOk))
+        .withColumn("views_shown", lit(shown))
+    } finally {
+      SparkSession.setActiveSession(s)
+      SparkSession.setDefaultSession(s)
+    }
+  }
+
+  /** The SQL TRANSFORM-FUNCTION family (round 14): Iceberg's
+    * `bucket/truncate/years/months/days/hours` resolved from the catalog's
+    * FunctionCatalog and applied to orders columns. truncate and the time
+    * transforms replay EXACTLY in DuckDB (floored arithmetic, 1970
+    * offsets); bucket is Iceberg-specific murmur3, so the oracle pins its
+    * RANGE (0 ≤ b < 8) and that the SQL values agree with the engine's own
+    * write-path kernel is TransformFunctionsSpec's job. */
+  def iceTransforms(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_fnq").toString
+    val cat = s"fq${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    Queries.t(s, dir, "orders").createOrReplaceTempView("g_fn_orders")
+    s.sql(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS k,
+        CAST($cat.truncate(1000, CAST(o_orderkey AS BIGINT)) AS BIGINT) AS trunc_key,
+        $cat.truncate(3, o_orderpriority) AS trunc_pri,
+        CAST($cat.years(o_orderdate) AS BIGINT) AS y,
+        CAST($cat.months(o_orderdate) AS BIGINT) AS m,
+        CAST($cat.days(o_orderdate) AS STRING) AS d,
+        CAST(CASE WHEN $cat.bucket(8, CAST(o_orderkey AS BIGINT)) BETWEEN 0 AND 7
+          THEN 1 ELSE 0 END AS BIGINT) AS bucket_in_range
+      FROM g_fn_orders ORDER BY k LIMIT 2000""")
+  }
+
   /** CHERRY-PICK / publish_changes (round 14): the WAP publish path that
     * still works after main MOVED past the staging fork. Stage an audit
     * append under a wap.id, advance main so fast_forward soundly REFUSES
@@ -1117,18 +1189,38 @@ object IceQueries {
       val ffRefused =
         try { IcebergWriter.fastForward(s, url, "audit"); 0L }
         catch { case _: IllegalArgumentException => 1L }
+      // a SECOND staged commit via the SESSION-CONF form (Iceberg's
+      // spark.wap.id): with write.wap.enabled, a plain SQL INSERT stages a
+      // REF-LESS snapshot stamped with the id — main must not move
+      IcebergWriter.setProperties(s, url, Map("write.wap.enabled" -> "true"))
+      val headBefore = IcebergTable.load(s, url).currentSnapshot.snapshotId
+      s.conf.set("spark.wap.id", "w2")
+      try s.sql(s"INSERT INTO $cat.db.c SELECT k + 3000, name, r FROM g_ch_nation WHERE r = 2")
+      finally s.conf.unset("spark.wap.id")
+      val afterStage = IcebergTable.load(s, url)
+      val confStagedOk =
+        if (afterStage.currentSnapshot.snapshotId == headBefore &&
+          afterStage.metadata.snapshots.exists(sn =>
+            sn.summary.get("wap.id").contains("w2") &&
+              !afterStage.refs.values.exists(_.snapshotId == sn.snapshotId)))
+          1L else 0L
       val published = s.sql(
         s"CALL $cat.system.publish_changes(table => 'db.c', wap_id => 'w1')")
         .head().getLong(0)
-      val head = IcebergTable.load(s, url).currentSnapshot
+      s.sql(s"CALL $cat.system.publish_changes(table => 'db.c', wap_id => 'w2')")
+      val head = IcebergTable.load(s, url)
       val auditOk =
-        if (head.snapshotId == published &&
-          head.summary.contains("source-snapshot-id") &&
-          head.summary.get("published-wap-id").contains("w1")) 1L else 0L
+        if (head.metadata.snapshots.exists(sn =>
+            sn.snapshotId == published &&
+            sn.summary.contains("source-snapshot-id") &&
+            sn.summary.get("published-wap-id").contains("w1")) &&
+          head.currentSnapshot.summary.get("published-wap-id").contains("w2"))
+          1L else 0L
       val ancestors = s.sql(
         s"CALL $cat.system.ancestors_of(table => 'db.c')").count()
       s.sql(s"SELECT k, name, r FROM $cat.db.c ORDER BY k")
         .withColumn("ff_refused", lit(ffRefused))
+        .withColumn("conf_staged_ok", lit(confStagedOk))
         .withColumn("audit_ok", lit(auditOk))
         .withColumn("ancestors", lit(ancestors))
     } finally s.catalog.dropTempView("g_ch_nation")
@@ -1971,6 +2063,8 @@ object IceQueries {
     "ice_sql_meta"         -> (iceSqlMeta _),
     "ice_meta_family"      -> (iceMetaFamily _),
     "ice_cherry_pick"      -> (iceCherryPick _),
+    "ice_transforms"       -> (iceTransforms _),
+    "ice_views"            -> (iceViews _),
     "ice_sql_call"         -> (iceSqlCall _),
     "ice_agg_pushdown"     -> (iceAggPushdown _),
     "ice_agg_groupby"      -> (iceAggGroupBy _),
@@ -2119,11 +2213,32 @@ object IceQueries {
         |  CAST(2 AS BIGINT) AS history_rows,
         |  CAST(2 AS BIGINT) AS history_ancestors
         |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+    "ice_views" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS r,
+        |  CAST(n_regionkey * 10 AS BIGINT) AS r10,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+        |   WHERE n_regionkey >= 2) AS first_def_rows,
+        |  CAST(1 AS BIGINT) AS versions_ok,
+        |  CAST(1 AS BIGINT) AS views_shown
+        |FROM nation WHERE n_regionkey < 2 ORDER BY k""".stripMargin,
+    "ice_transforms" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |  CAST(o_orderkey - (((o_orderkey % 1000) + 1000) % 1000) AS BIGINT)
+        |    AS trunc_key,
+        |  substr(o_orderpriority, 1, 3) AS trunc_pri,
+        |  CAST(year(o_orderdate) - 1970 AS BIGINT) AS y,
+        |  CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+        |    AS BIGINT) AS m,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  CAST(1 AS BIGINT) AS bucket_in_range
+        |FROM orders ORDER BY k LIMIT 2000""".stripMargin,
     "ice_cherry_pick" ->
       """SELECT k, name, r,
         |  CAST(1 AS BIGINT) AS ff_refused,
+        |  CAST(1 AS BIGINT) AS conf_staged_ok,
         |  CAST(1 AS BIGINT) AS audit_ok,
-        |  CAST(3 AS BIGINT) AS ancestors
+        |  CAST(4 AS BIGINT) AS ancestors
         |FROM (
         |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
         |    CAST(n_regionkey AS BIGINT) AS r FROM nation
@@ -2133,6 +2248,9 @@ object IceQueries {
         |  UNION ALL
         |  SELECT CAST(n_nationkey + 2000 AS BIGINT), n_name,
         |    CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 3000 AS BIGINT), n_name,
+        |    CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2
         |) ORDER BY k""".stripMargin,
     "ice_meta_family" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,

@@ -172,7 +172,7 @@ object IcebergWriter {
     * PRE-ORDER (a struct's id, then its children) — unique across every
     * nesting level, like Iceberg's own TypeUtil.assignFreshIds. Returns the
     * node and the last id used (→ `last-column-id`). */
-  private def schemaToNode(schema: StructType): (ObjectNode, Int) = {
+  private[iceberg] def schemaToNode(schema: StructType): (ObjectNode, Int) = {
     var next = 0
     def nid(): Int = { next += 1; next }
     def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
@@ -629,13 +629,24 @@ object IcebergWriter {
         * branch is new), `refs.<branch>` moves, and `current-snapshot-id` /
         * `refs.main` / `snapshot-log` stay untouched — readers of main never
         * see the staged rows until [[fastForward]] publishes them. */
-      toBranch: Option[String] = None): Unit = {
+      toBranch: Option[String] = None,
+      /** STAGE the snapshot with NO ref at all (Iceberg's `spark.wap.id`
+        * form): it enters the snapshots list with main's head as parent,
+        * but `current-snapshot-id`/refs/snapshot-log never move — publish
+        * later by wap.id ([[publishChanges]]) or abandon to expiration. */
+      stageOnly: Boolean = false): Unit = {
     toBranch.foreach { b =>
       require(b != "main", "main is written by normal commits")
       require(operation == "append" && deletePred.isEmpty &&
           pinnedDeletes.isEmpty && dynamicTouched.isEmpty &&
           pinnedDeleteFiles.isEmpty && extraManifests.isEmpty,
         "branch-staged commits support append only (audit then publish)")
+    }
+    if (stageOnly) {
+      require(toBranch.isEmpty, "stageOnly and toBranch are exclusive")
+      require(operation == "append" && deletePred.isEmpty &&
+          pinnedDeletes.isEmpty && dynamicTouched.isEmpty,
+        "staged (wap.id) commits support append only (audit then publish)")
     }
     val conf = spark.sessionState.newHadoopConf()
     val table0 = resolveCurrent(spark, url)
@@ -659,6 +670,14 @@ object IcebergWriter {
       // branch commit the branch's head (a new branch forks from main)
       val baseSnapId: Long = toBranch.flatMap(table.refs.get)
         .map(_.snapshotId).getOrElse(table.metadata.currentSnapshotId)
+      // a wap.id names ONE auditable commit: re-using one (a retried job
+      // resubmitting, two writers sharing an id) must refuse, or a later
+      // publish-by-id would be ambiguous (Iceberg's duplicate-WAP rule)
+      extraSummary.get("wap.id").foreach { id =>
+        require(!table.metadata.snapshots.exists(
+            _.summary.get("wap.id").contains(id)),
+          s"duplicate wap.id '$id': a snapshot already carries it")
+      }
       val baseView = if (baseSnapId >= 0) table.atSnapshot(baseSnapId) else table
       // 3a. (overwrite only) resolve which existing files the predicate
       // deletes; refuse predicates that would split a file. Compaction pins
@@ -882,6 +901,10 @@ object IcebergWriter {
           r.put("snapshot-id", snapshotId)
           r.put("type", "branch")
           refs.set[ObjectNode](b, r)
+        case None if stageOnly =>
+          // wap.id staging: the snapshot is in the list (auditable via
+          // time travel by id, publishable by wap.id) but NO pointer moves
+          ()
         case None =>
           old.put("current-snapshot-id", snapshotId)
           setMainRef(old, snapshotId)
@@ -3665,6 +3688,15 @@ object IcebergWriter {
       fs.delete(target, false)
       fs.rename(tmp, target)
     }
+  }
+
+  /** View-metadata publish: the same exclusive-create + hint swap the
+    * table commit loop's filesystem branch uses, reused by
+    * [[IcebergViews]] so views get identical concurrency semantics. */
+  private[iceberg] def writeViewJson(url: String, version: Int,
+      json: String, conf: Configuration): Unit = {
+    writeStringExclusive(s"$url/metadata/v$version.metadata.json", json, conf)
+    writeHint(url, version, conf)
   }
 
   private def writeStringExclusive(path: String, content: String, conf: Configuration): Unit =

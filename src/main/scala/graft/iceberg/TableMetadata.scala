@@ -179,6 +179,12 @@ object TableMetadata {
     // misreading them — a v4 table's metadata may demand semantics (new
     // manifest fields, new delete carriers) that silently parsing as v3
     // would corrupt
+    // a VIEW metadata file would otherwise parse as an empty v1 table
+    // (same format-version/location fields, no snapshots) — a silent wrong
+    // answer for any SELECT that resolved the view through the table path
+    require(!root.has("view-uuid"),
+      "this metadata file describes an Iceberg VIEW, not a table " +
+        "(resolve it through the catalog's view surface)")
     val fv = root.get("format-version").asInt
     require(fv >= 1 && fv <= 3,
       s"unsupported iceberg format-version $fv (this reader implements 1-3)")

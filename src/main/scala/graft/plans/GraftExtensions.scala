@@ -39,8 +39,14 @@ import graft.sources.GraftIcebergV2Table
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CountFromIcebergStats)
+    // Iceberg VIEW SQL surface: DDL rewrites at PARSE time (the session-
+    // catalog rule rejects V2-view DDL before any resolution rule could
+    // run), read expansion as a resolution rule; see [[GraftViewRules]]
+    e.injectParser((spark, delegate) => new GraftViewSqlParser(spark, delegate))
+    e.injectResolutionRule(spark => GraftViewRules(spark))
+  }
 }
 
 object CountFromIcebergStats extends Rule[LogicalPlan] {

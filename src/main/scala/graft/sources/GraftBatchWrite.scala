@@ -81,10 +81,24 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
     }
     // catalog-opened tables publish through the catalog's atomic commit
     // (REST updates/requirements); filesystem tables run the body as-is
+    // WRITE-AUDIT-PUBLISH session controls (Iceberg's conf names), honored
+    // when the table opts in via `write.wap.enabled`: `spark.wap.branch`
+    // stages appends on a named branch; `spark.wap.id` (without a branch)
+    // stages a REF-LESS snapshot stamped with the id — main readers see
+    // nothing until `CALL system.publish_changes(wap_id)` splices it in.
+    val wapEnabled = table.metadata.properties
+      .get("write.wap.enabled").exists(_.equalsIgnoreCase("true"))
+    val wapBranch = spark.conf.getOption("spark.wap.branch")
+      .filter(_.nonEmpty).filter(_ => wapEnabled)
+    val wapId = spark.conf.getOption("spark.wap.id")
+      .filter(_.nonEmpty).filter(_ => wapEnabled)
     table.runCommit(mode match {
       case WriteMode.Append =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
-          deletePred = None, operation = "append")
+          deletePred = None, operation = "append",
+          extraSummary = wapId.map("wap.id" -> _).toMap,
+          toBranch = wapBranch,
+          stageOnly = wapBranch.isEmpty && wapId.isDefined)
       case WriteMode.OverwriteByFilter(pred) =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,
           deletePred = Some(pred), operation = "overwrite")

@@ -29,7 +29,8 @@ import graft.iceberg.{IcebergTable, IcebergWriter}
   * catalog it also resolves `bucket` for storage-partitioned joins.
   */
 class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunctions
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -54,11 +55,15 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root).filter(_.isDirectory)
       .filter(st => fs.exists(new Path(st.getPath, "metadata")))
+      // views share the warehouse layout; SHOW TABLES must not list them
+      .filterNot(st =>
+        graft.iceberg.IcebergViews.exists(spark, st.getPath.toString))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    IcebergTable.versionHint(dir(ident), spark.sessionState.newHadoopConf()) > 0
+    IcebergTable.versionHint(dir(ident), spark.sessionState.newHadoopConf()) > 0 &&
+      !graft.iceberg.IcebergViews.exists(spark, dir(ident))
 
   // ------------------------------------------------------------ procedures
 
@@ -109,6 +114,12 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
           distributed = ident.name() == "position_deletes")
       }
     }
+    // a VIEW is not a table: signal "no such table" so the analyzer leaves
+    // the relation unresolved for the view-expansion rule (throwing
+    // anything else would abort resolution mid-rule)
+    if (graft.iceberg.IcebergViews.exists(spark, dir(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
     new GraftIcebergV2Table(IcebergTable.load(spark, dir(ident)))
   }
 
@@ -135,6 +146,11 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // a view occupies the name: creating a table would CLOBBER its
+    // versioned metadata (tableExists alone says false for views)
+    if (graft.iceberg.IcebergViews.exists(spark, dir(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
     val spec: Seq[(String, String)] = partitions.toSeq.map { t =>
       def srcCol: String = t.references().toList match {
         case one :: Nil => one.fieldNames.mkString(".")
@@ -156,6 +172,23 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
       }
     }
     IcebergWriter.createTable(spark, dir(ident), schema, spec)
+    // CREATE ... TBLPROPERTIES: `format-version` picks the table's format
+    // at birth (Iceberg's own create-time property) and the remaining user
+    // keys persist to metadata `properties`; Spark's engine-internal keys
+    // (provider/location/owner/...) are not table state
+    val sparkInternal = Set("provider", "location", "owner", "comment",
+      "external", "format-version")
+    val it = properties.entrySet().iterator()
+    Option(properties.get("format-version")).map(_.trim.toInt)
+      .filter(_ > 1)
+      .foreach(v => IcebergWriter.upgradeFormatVersion(spark, dir(ident), v))
+    val user = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      if (!sparkInternal(e.getKey)) user(e.getKey) = e.getValue
+    }
+    if (user.nonEmpty)
+      IcebergWriter.setProperties(spark, dir(ident), user.toMap)
     loadTable(ident)
   }
 
@@ -194,6 +227,98 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
           s"ALTER TABLE change not supported: $other")
     }
     loadTable(ident)
+  }
+
+  // ------------------------------------------------------------- views
+
+  /** Warehouse location for a view identifier (the view DDL commands in
+    * [[graft.plans.GraftViewRules]] write metadata there directly). */
+  def viewLocation(ident: Identifier): String = dir(ident)
+
+  /** Iceberg VIEW SPEC (v1) under the warehouse layout: a view named
+    * `cat.db.v` stores versioned view metadata at `<warehouse>/db/v` —
+    * CREATE VIEW / CREATE OR REPLACE VIEW / ALTER VIEW / DROP VIEW / SHOW
+    * VIEWS all work through Spark's ViewCatalog, with REPLACE appending a
+    * new version to the spec's `versions` + `version-log` (prior
+    * definitions stay auditable, [[graft.iceberg.ViewMetadata.versionAt]]).
+    * Spark round-trip state (query column names / aliases / comments)
+    * persists as view properties. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val root = new Path((warehouse +: namespace).mkString("/"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .filter(st => graft.iceberg.IcebergViews.exists(spark, st.getPath.toString))
+      .map(st => Identifier.of(namespace.toArray, st.getPath.getName))
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    graft.iceberg.IcebergViews.exists(spark, dir(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    new GraftIcebergView(ident.name,
+      graft.iceberg.IcebergViews.load(spark, dir(ident)))
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (tableExists(info.ident) || viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    graft.iceberg.IcebergViews.create(spark, dir(info.ident), info.sql,
+      info.schema, Option(info.currentCatalog),
+      Option(info.currentNamespace).map(_.toSeq).getOrElse(Nil),
+      GraftIcebergView.roundTripProps(info))
+    loadView(info.ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    if (viewExists(info.ident))
+      graft.iceberg.IcebergViews.replace(spark, dir(info.ident), info.sql,
+        info.schema, Option(info.currentCatalog),
+        Option(info.currentNamespace).map(_.toSeq).getOrElse(Nil),
+        GraftIcebergView.roundTripProps(info))
+    else if (orCreate) return createView(info)
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchViewException(info.ident)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val sets = changes.collect { case p: ViewChange.SetProperty =>
+      p.property -> p.value }.toMap
+    val removes = changes.collect { case p: ViewChange.RemoveProperty =>
+      p.property }
+    graft.iceberg.IcebergViews.updateProperties(spark, dir(ident), sets, removes)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    if (!viewExists(ident)) return false
+    val p = new Path(dir(ident))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (tableExists(to) || viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    val fs = new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(new Path(dir(from)), new Path(dir(to))),
+      s"rename $from -> $to failed")
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -232,6 +232,19 @@ final class GraftIcebergV2Table(val table: IcebergTable,
       c("_last_updated_sequence_number", org.apache.spark.sql.types.LongType, true))
   }
 
+  /** `SHOW TBLPROPERTIES` / DESCRIBE surface: the metadata `properties`
+    * map plus the engine-state facts Iceberg's own SparkTable reports
+    * (format, format-version, current snapshot). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    table.metadata.properties.foreach { case (k, v) => m.put(k, v) }
+    m.put("format", "iceberg/parquet")
+    m.put("format-version", table.metadata.formatVersion.toString)
+    if (table.metadata.currentSnapshotId >= 0)
+      m.put("current-snapshot-id", table.metadata.currentSnapshotId.toString)
+    m
+  }
+
   /** SQL UPDATE / MERGE INTO / complex DELETE. Two modes, selected by
     * `spark.graft.iceberg.dmlMode`:
     *

@@ -163,6 +163,28 @@ object GraftProcedures {
         oneRow(s, StructType(Seq(longField("current_snapshot_id"))),
           after.currentSnapshot.snapshotId)
       }),
+    ProcDef("create_changelog_view",
+      "Register a session temp view over the table's CDC changelog " +
+        "(insert/delete rows per commit) between two snapshots",
+      Seq(tableParam,
+        ParamDef("changelog_view", StringType, Some("NULL"),
+          "view name (default: <table>_changes)"),
+        ParamDef("start_snapshot_id", LongType, Some("NULL"),
+          "exclusive range start (default: the oldest snapshot)"),
+        ParamDef("end_snapshot_id", LongType, Some("NULL"),
+          "inclusive range end (default: the current snapshot)")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val name = Option(a(1)).map(_.asInstanceOf[String]).getOrElse(
+          a(0).asInstanceOf[String].split('.').last + "_changes")
+        val from = Option(a(2)).map(_.asInstanceOf[java.lang.Long].longValue)
+          .getOrElse(t.metadata.snapshots.head.snapshotId)
+        val end = Option(a(3)).map(_.asInstanceOf[java.lang.Long].longValue)
+          .getOrElse(t.currentSnapshot.snapshotId)
+        t.changelog(from, end).createOrReplaceTempView(name)
+        oneRow(s, StructType(Seq(
+          StructField("changelog_view", StringType, nullable = false))), name)
+      }),
     ProcDef("cherrypick_snapshot",
       "Splice one staged APPEND snapshot onto main — the publish path when " +
         "main moved past the staging fork and fast_forward refuses",

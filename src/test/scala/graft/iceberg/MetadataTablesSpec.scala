@@ -190,6 +190,12 @@ class MetadataTablesSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE $cat.db.t UNSET TBLPROPERTIES ('x')")
     assert(!IcebergTable.load(spark, url).metadata.properties.contains("x"))
 
+    // the property surface round-trips through SHOW TBLPROPERTIES too
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("commit.retry.num-retries").contains("7"))
+    assert(shown.get("format-version").contains("1"))
+
     spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMN note STRING")
     spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN note TO comment_text")
     val withCol = IcebergTable.load(spark, url)

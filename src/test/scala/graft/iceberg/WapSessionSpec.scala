@@ -1,0 +1,101 @@
+package graft.iceberg
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-conf write-audit-publish (Iceberg's `spark.wap.id` /
+  * `spark.wap.branch` controls): with `write.wap.enabled` on the table,
+  * plain SQL INSERTs stage instead of publishing — a ref-less snapshot
+  * stamped with the wap.id, or a branch commit — and main moves only at
+  * publish. Without the table opt-in the confs are inert. */
+class WapSessionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withCatalog(f: (String, String) => Unit): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wapsess").toString
+    val cat = s"ws${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try f(cat, wh)
+    finally {
+      spark.conf.unset("spark.wap.id")
+      spark.conf.unset("spark.wap.branch")
+    }
+  }
+
+  test("spark.wap.id stages a ref-less snapshot; publish_changes lands it") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.w (k BIGINT) " +
+        "TBLPROPERTIES ('write.wap.enabled'='true')")
+      spark.sql(s"INSERT INTO $cat.db.w VALUES (1), (2)")
+      val mainHead = IcebergTable.load(spark, s"$wh/db/w")
+        .currentSnapshot.snapshotId
+
+      spark.conf.set("spark.wap.id", "job-77")
+      spark.sql(s"INSERT INTO $cat.db.w VALUES (100), (200)")
+
+      val t = IcebergTable.load(spark, s"$wh/db/w")
+      // main NEVER moved; the staged snapshot exists ref-less with the id
+      assert(t.currentSnapshot.snapshotId == mainHead)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.w").head.getLong(0) == 2)
+      val staged = t.metadata.snapshots
+        .find(_.summary.get("wap.id").contains("job-77")).get
+      assert(staged.parentSnapshotId.contains(mainHead))
+      assert(!t.refs.values.exists(_.snapshotId == staged.snapshotId),
+        "wap.id staging must not create any ref")
+      // audit: the staged state is time-travelable by snapshot id
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.w " +
+        s"VERSION AS OF ${staged.snapshotId}").head.getLong(0) == 4)
+
+      // duplicate wap.id refuses — one id names one auditable commit
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.w VALUES (300)")
+      }
+      spark.conf.unset("spark.wap.id")
+
+      spark.sql(s"CALL $cat.system.publish_changes(table => 'db.w', " +
+        "wap_id => 'job-77')")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.w").head.getLong(0) == 4)
+      val head = IcebergTable.load(spark, s"$wh/db/w").currentSnapshot
+      assert(head.summary.get("published-wap-id").contains("job-77"))
+    }
+  }
+
+  test("spark.wap.branch stages on a branch; fast_forward publishes") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.b (k BIGINT) " +
+        "TBLPROPERTIES ('write.wap.enabled'='true')")
+      spark.sql(s"INSERT INTO $cat.db.b VALUES (1)")
+
+      spark.conf.set("spark.wap.branch", "audit")
+      spark.sql(s"INSERT INTO $cat.db.b VALUES (10), (11)")
+      spark.conf.unset("spark.wap.branch")
+
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.b").head.getLong(0) == 1)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.b VERSION AS OF 'audit'")
+        .head.getLong(0) == 3, "the branch sees fork + staged rows")
+
+      spark.sql(s"CALL $cat.system.fast_forward(table => 'db.b', " +
+        "branch => 'audit')")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.b").head.getLong(0) == 3)
+    }
+  }
+
+  test("wap confs are inert without the table's write.wap.enabled opt-in") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.n (k BIGINT)")
+      spark.conf.set("spark.wap.id", "ignored")
+      spark.sql(s"INSERT INTO $cat.db.n VALUES (1), (2)")
+      spark.conf.unset("spark.wap.id")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.n").head.getLong(0) == 2,
+        "a normal publish — the conf must not stage without table opt-in")
+      assert(IcebergTable.load(spark, s"$wh/db/n").metadata.snapshots
+        .forall(!_.summary.contains("wap.id")))
+    }
+  }
+}

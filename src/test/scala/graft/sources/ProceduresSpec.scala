@@ -151,6 +151,33 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL create_changelog_view: CDC rows queryable as a temp view") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/cl"
+      build(url, files = 2) // 2 append commits, 50 rows each
+      IcebergWriter.deleteWhere(spark, url, Pruning.Gt("k", 200L)) // drop file 2
+      val name = spark.sql(
+        s"CALL $cat.system.create_changelog_view(table => 'db.cl')")
+        .head().getString(0)
+      assert(name == "cl_changes")
+      // default range starts EXCLUSIVE at the oldest snapshot: commit 2's
+      // 50 inserts and the delete commit's 50 deletes
+      assert(spark.sql(
+        s"SELECT count(*) FROM $name WHERE _change_type = 'insert'")
+        .head().getLong(0) == 50)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $name WHERE _change_type = 'delete'")
+        .head().getLong(0) == 50)
+      // explicit name + explicit end mid-history: only commit 2's inserts
+      val midEnd = IcebergTable.load(spark, url).metadata.snapshots(1).snapshotId
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl', " +
+        s"changelog_view => 'cl_mid', end_snapshot_id => ${midEnd}L)")
+      assert(spark.sql("SELECT count(*) FROM cl_mid").head().getLong(0) == 50)
+      spark.catalog.dropTempView(name)
+      spark.catalog.dropTempView("cl_mid")
+    }
+  }
+
   test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
     withCatalog { (cat, _) =>
       val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
