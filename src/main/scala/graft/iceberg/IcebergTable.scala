@@ -215,11 +215,25 @@ final class IcebergTable private (
         throw new IllegalArgumentException(
           s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId"))
     }
-    range.reverseIterator.flatMap(snapshotChanges).toSeq
+    // _change_ordinal: the commit's index among the range's CHANGE-EMITTING
+    // commits, oldest first (Iceberg's changelog ordering column — lets a
+    // consumer replay multi-commit changes in commit order without joining
+    // back to the snapshot log)
+    var ordinal = -1
+    range.reverseIterator.flatMap { s =>
+      val frames = snapshotChanges(s)
+      if (frames.isEmpty) frames
+      else {
+        ordinal += 1
+        frames.map(_.withColumn("_change_ordinal",
+          org.apache.spark.sql.functions.lit(ordinal)))
+      }
+    }.toSeq
       .reduceOption(_ unionAll _)
       .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](),
         schema.add("_change_type", StringType).add("_commit_snapshot_id", LongType)
-          .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
+          .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+          .add("_change_ordinal", org.apache.spark.sql.types.IntegerType)))
   }
 
   /** The FILE-level diff one snapshot committed against its parent: data

@@ -352,16 +352,20 @@ object IcebergWriter {
       (p, hp.getFileSystem(conf).getFileStatus(hp).getLen)
     }
     val files =
-      if (fmt == "PARQUET") {
+      if (fmt == "PARQUET" || fmt == "ORC") {
         // full footer-stats harvest (by-NAME column resolution — foreign
         // files carry no field ids), so imported files get column bounds
         // and prune exactly like natively written ones; fans out over the
-        // cluster past the small-commit threshold
-        val stats = collectStats(spark, withLen, table.iceSchema, conf, foreign = true)
+        // cluster past the small-commit threshold. ORC footers carry
+        // per-column min/max/non-null counts just like parquet's.
+        val stats = collectStats(spark, withLen, table.iceSchema, conf,
+          foreign = true, format = fmt)
         withLen.map { case (p, len) => (p, len, stats(p), Seq.empty[Any]) }
       } else withLen.map { case (p, len) =>
-        val hp = new Path(p)
-        val rows = if (fmt == "ORC") orcRowCountOf(hp, conf) else avroRowCountOf(hp, conf)
+        // Avro files carry NO footer statistics — counts stay ABSENT
+        // (unknown, not zero), and every stats consumer must refuse
+        // exact claims over such files (manifestMinMax, metadata aggs).
+        val rows = avroRowCountOf(new Path(p), conf)
         (p, len, FileStats(rows, Map.empty, Map.empty, Map.empty, Map.empty),
           Seq.empty[Any])
       }
@@ -1121,11 +1125,14 @@ object IcebergWriter {
     * Iceberg's cherrypick: replaying a delete/overwrite against a moved
     * main could silently target rows the operator never audited.
     *
-    * Row lineage and sequence numbers stay sound BY CONSTRUCTION: the
-    * staged commit allocated its row-id range and sequence from the same
-    * metadata counters inside the optimistic loop, so its manifests'
-    * recorded `first_row_id`/`sequence_number` never collide with ranges
-    * main allocated after the fork, and the splice preserves them.
+    * Row lineage stays sound BY CONSTRUCTION: the staged commit allocated
+    * its row-id range from the same metadata counter inside the optimistic
+    * loop, so its manifests' `first_row_id` never collides with ranges main
+    * allocated after the fork, and the splice preserves it. Sequence
+    * numbers are RE-ASSIGNED at publish (the new snapshot's sequence, as
+    * Iceberg's cherrypick does): keeping the stage-time sequence would let
+    * an equality delete committed on main between stage and publish apply
+    * to the just-published rows.
     *
     * @return the new snapshot id on main */
   def cherryPick(spark: SparkSession, url: String, sourceSnapshotId: Long): Long = {
@@ -1167,8 +1174,16 @@ object IcebergWriter {
       val commitId = UUID.randomUUID().toString
       val manifestListPath = s"$url/metadata/snap-$newSnapId-1-$commitId.avro"
       val newSeq = table.metadata.lastSequenceNumber + 1
+      // RE-SEQUENCE the picked manifests under the NEW snapshot's sequence
+      // (append entries carry no explicit per-entry sequence, so they
+      // inherit the manifest-list row's) — Iceberg's cherrypick commits the
+      // files at the publish-time sequence, not the stage-time one. Keeping
+      // the old number would let an equality delete committed on main
+      // BETWEEN stage and publish (higher sequence) silently MOR-delete the
+      // just-published rows.
+      val resequenced = picked.map(_.copy(sequenceNumber = Some(newSeq)))
       writeManifestLists(manifestListPath, newSnapId, Nil,
-        picked ++ mainManifests, conf, sequenceNumber = newSeq)
+        resequenced ++ mainManifests, conf, sequenceNumber = newSeq)
 
       val old = mapper.readTree(metadataBaseJson(table, url, conf))
         .asInstanceOf[ObjectNode]
@@ -3014,16 +3029,87 @@ object IcebergWriter {
       conf: Configuration,
       /** True for files from a FOREIGN writer (addFiles import): their
         * stats discipline is unknown, so no NaN-free claim is derived. */
-      foreign: Boolean = false): Map[String, FileStats] = {
+      foreign: Boolean = false,
+      format: String = "PARQUET"): Map[String, FileStats] = {
+    val isOrc = format == "ORC"
     if (files.size <= DistributedStatsThreshold) {
-      files.map { case (p, _) => p -> footerStats(new Path(p), conf, schema, foreign) }.toMap
+      files.map { case (p, _) => p ->
+        (if (isOrc) orcFooterStats(new Path(p), conf, schema)
+         else footerStats(new Path(p), conf, schema, foreign)) }.toMap
     } else {
       val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
       val parallelism = math.min(files.size, spark.sparkContext.defaultParallelism)
       spark.sparkContext.parallelize(files.map(_._1), parallelism)
-        .map(p => p -> footerStats(new Path(p), serConf.value, schema, foreign))
+        .map(p => p ->
+          (if (isOrc) orcFooterStats(new Path(p), serConf.value, schema)
+           else footerStats(new Path(p), serConf.value, schema, foreign)))
         .collect().toMap
     }
+  }
+
+  /** Harvest record count + per-column statistics from an ORC file TAIL
+    * (no data read) — the ORC analogue of [[footerStats]], so imported ORC
+    * files carry column bounds and prune / metadata-aggregate exactly like
+    * native parquet writes. ORC file statistics record the NON-NULL count
+    * per column; Iceberg's `value_counts` is the TOTAL (nulls included),
+    * which for a top-level column is the file's row count — exactly the
+    * flat shape addFiles imports. Foreign-writer discipline applies
+    * throughout: float/double bounds get NO NaN-free claim (ORC min/max
+    * comparisons skip NaN, so bounds can silently exclude NaN rows — every
+    * NaN-sensitive consumer already requires a proven-zero nan count), and
+    * a truncated string statistic (exact `getMinimum` null while the
+    * `lowerBound` estimate is set) records no bounds at all rather than an
+    * unsound exact claim. */
+  private def orcFooterStats(path: Path, conf: Configuration,
+      schema: IceSchema): FileStats = {
+    import org.apache.orc.{BooleanColumnStatistics, DateColumnStatistics,
+      DoubleColumnStatistics, IntegerColumnStatistics, StringColumnStatistics}
+    val r = org.apache.orc.OrcFile.createReader(path,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val rows = r.getNumberOfRows
+      val colStats = r.getStatistics
+      val byName = schema.fields.map(f => f.name -> f).toMap
+      var lower = Map.empty[Int, Array[Byte]]
+      var upper = Map.empty[Int, Array[Byte]]
+      var valueCounts = Map.empty[Int, Long]
+      var nullCounts = Map.empty[Int, Long]
+      val names = r.getSchema.getFieldNames.asScala.toSeq
+      val children = r.getSchema.getChildren.asScala.toSeq
+      names.zip(children).foreach { case (name, child) =>
+        byName.get(name).foreach { field =>
+          val s = colStats(child.getId)
+          val nonNull = s.getNumberOfValues
+          valueCounts = valueCounts.updated(field.id, rows)
+          nullCounts = nullCounts.updated(field.id, rows - nonNull)
+          val t = field.icebergTypeString
+          val mm: (Any, Any) =
+            if (nonNull == 0L) (null, null)
+            else (s, t) match {
+              case (i: IntegerColumnStatistics, "int" | "long") =>
+                (i.getMinimum, i.getMaximum)
+              case (d: DoubleColumnStatistics, "float" | "double")
+                  if !d.getMinimum.isNaN && !d.getMaximum.isNaN =>
+                (d.getMinimum, d.getMaximum)
+              case (st: StringColumnStatistics, "string")
+                  if st.getMinimum != null && st.getMaximum != null =>
+                (st.getMinimum, st.getMaximum)
+              case (b: BooleanColumnStatistics, "boolean") =>
+                (b.getFalseCount == 0L, b.getTrueCount > 0L)
+              case (dt: DateColumnStatistics, "date") =>
+                (dt.getMinimumDayOfEpoch, dt.getMaximumDayOfEpoch)
+              case _ => (null, null) // type without a sound exact bound
+            }
+          if (mm._1 != null) {
+            lower = lower.updated(field.id, IcebergTypes.encodeBound(mm._1, t))
+            upper = upper.updated(field.id, IcebergTypes.encodeBound(mm._2, t))
+          }
+        }
+      }
+      // foreign file: no nanCounts claim — bounds stay inert for every
+      // NaN-sensitive consumer, same contract as imported parquet
+      FileStats(rows, lower, upper, valueCounts, nullCounts, Map.empty)
+    } finally r.close()
   }
 
   /** Harvest record count + per-column min/max from the parquet footer and

@@ -62,9 +62,22 @@ private[iceberg] object Puffin {
       case None => bytes
       case Some("zstd") =>
         val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
-        require(size > 0 && size <= Int.MaxValue,
-          s"zstd blob without a usable frame content size ($size)")
-        com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+        if (size > 0 && size <= Int.MaxValue)
+          com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+        else {
+          // streaming zstd writers emit frames with NO content size in the
+          // header (getFrameContentSize reports 0/unknown) — spec-valid, so
+          // fall back to streaming decompression instead of refusing
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        }
       case Some("lz4") => lz4Decompress(bytes)
       case Some(other) =>
         throw new UnsupportedOperationException(

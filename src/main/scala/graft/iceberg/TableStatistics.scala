@@ -293,8 +293,10 @@ object TableStatistics {
         in.readFully(b.get("offset").asLong, stored)
         // per-blob codec (iceberg-java zstd-compresses theta blobs by
         // default — decoding it is the cross-engine interop contract)
+        // an explicit JSON null codec means uncompressed (same as absent)
         val bytes = Puffin.decompress(
-          Option(b.get("compression-codec")).map(_.asText), stored)
+          Option(b.get("compression-codec")).filterNot(_.isNull).map(_.asText),
+          stored)
         NdvBlob(
           fieldId = b.withArray[ArrayNode]("fields").get(0).asInt,
           ndv = math.round(CompactSketch.wrap(Memory.wrap(bytes)).getEstimate),

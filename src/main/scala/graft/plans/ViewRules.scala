@@ -269,13 +269,17 @@ final case class GraftShowViewsCommand(cat: GraftIcebergPathCatalog,
     namespace: Seq[String], pattern: Option[String],
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    val re = pattern.map(p =>
-      java.util.regex.Pattern.compile(p.replace("*", ".*"),
-        java.util.regex.Pattern.CASE_INSENSITIVE))
-    cat.listViews(namespace: _*).toSeq
-      .filter(id => re.forall(_.matcher(id.name).matches()))
-      .sortBy(_.name)
-      .map(id => Row(namespace.mkString("."), id.name, false))
+    // Spark's own SHOW-command matcher: '*' wildcards, '|'-separated
+    // alternatives, every other character LITERAL (a pattern like 'v[' must
+    // not throw or over-match as a regex would)
+    val names = cat.listViews(namespace: _*).toSeq.map(_.name)
+    val kept = pattern match {
+      case Some(p) => org.apache.spark.sql.catalyst.util.StringUtils
+        .filterPattern(names, p).toSet
+      case None => names.toSet
+    }
+    names.filter(kept).sorted
+      .map(n => Row(namespace.mkString("."), n, false))
   }
 }
 

@@ -92,6 +92,17 @@ final class GraftBatchWrite(table: IcebergTable, mode: WriteMode,
       .filter(_.nonEmpty).filter(_ => wapEnabled)
     val wapId = spark.conf.getOption("spark.wap.id")
       .filter(_.nonEmpty).filter(_ => wapEnabled)
+    // WAP stages APPENDS only. Any other mode committing straight to main
+    // while a branch/id is active would silently defeat the audit gate the
+    // user thinks is on — refuse loudly instead (the append-only staging
+    // contract commitDataFiles enforces).
+    if ((wapBranch.isDefined || wapId.isDefined) && mode != WriteMode.Append)
+      throw new IllegalStateException(
+        s"write-audit-publish session is active (${wapBranch.map("spark.wap.branch=" + _)
+          .orElse(wapId.map("spark.wap.id=" + _)).get}) but the write mode is " +
+          s"not an append — staging overwrite/replace commits is not supported, " +
+          "and publishing them straight to main would bypass the audit gate. " +
+          "Unset the WAP conf to write to main directly.")
     table.runCommit(mode match {
       case WriteMode.Append =>
         IcebergWriter.commitDataFiles(spark, table.url, commitId, dataFiles,

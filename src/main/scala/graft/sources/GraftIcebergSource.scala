@@ -49,6 +49,16 @@ import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
   * them row-level after the scan (same contract as Spark's own file
   * sources): metadata pruning only has to be sound, never exact.
   */
+/** Test gauge: how many times ONE plan computed the metadata aggregate
+  * answer. Spark probes `supportCompletePushDown` then immediately calls
+  * `pushAggregation` with the same Aggregation; the builder memoizes so the
+  * O(files) bound decode runs once (on a 100k-file table the second pass
+  * would double plan-time metadata work for nothing). */
+object GraftIcebergScanBuilderProbe {
+  @volatile var lastDecodeRuns: Int = 0
+  def reset(): Unit = lastDecodeRuns = 0
+}
+
 object GraftIcebergSource {
   /** Driver-side parquet footers opened during equality-delete planning.
     * Normally ZERO (key names resolve from snapshot schemas); test-visible
@@ -535,11 +545,27 @@ final class GraftIcebergScanBuilder(tbl: GraftIcebergV2Table,
       case None => false
     }
 
+  // Spark probes supportCompletePushDown then immediately calls
+  // pushAggregation with the SAME Aggregation — memoize the computed
+  // answer so the O(files) bound decode runs once per plan, not twice
+  // (on a 100k-file table that halves plan-time metadata work).
+  private var aggMemo:
+    Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      Option[(StructType, Seq[Seq[Any]])])] = None
+
   private def answerFromMetadata(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Seq[Any]])] = scala.util.Try {
-    answerFromMetadata0(agg)
-  }.toOption.flatten // snapshot-less tables etc.: refuse, Spark scans
+      : Option[(StructType, Seq[Seq[Any]])] =
+    aggMemo match {
+      case Some((cached, ans)) if cached eq agg => ans
+      case _ =>
+        GraftIcebergScanBuilderProbe.lastDecodeRuns += 1
+        val ans = scala.util.Try {
+          answerFromMetadata0(agg)
+        }.toOption.flatten // snapshot-less tables etc.: refuse, Spark scans
+        aggMemo = Some((agg, ans))
+        ans
+    }
 
   private def answerFromMetadata0(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -1452,6 +1478,16 @@ object GraftIcebergScan {
         Some(org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal]))
       case _ => None
     }
+    // Absence of stats means UNKNOWN, not empty: an imported ORC/Avro
+    // file registers with valueCounts = Map.empty yet holds real rows —
+    // if it held the extremum, excluding it would answer a narrower
+    // min/max than the data's, with a LocalTableScan plan that never
+    // touches the file to notice. A row-bearing file with no value count
+    // for the column therefore refuses the whole claim (matching the
+    // Catalyst metadata-agg rule in GraftExtensions, which has required
+    // counts-or-proven-all-null per file from the start).
+    if (files.exists(df => df.recordCount > 0L &&
+        !df.valueCounts.contains(f.id))) return None
     val withValues = files.filter(df =>
       df.valueCounts.get(f.id).exists(vc =>
         vc > df.nullValueCounts.getOrElse(f.id, 0L)))

@@ -329,10 +329,17 @@ object GraftProcedures {
   }
 }
 
-/** A procedure bound to its catalog's table resolver. Binding is trivial —
-  * Spark coerces the CALL's (named or positional) arguments to the declared
-  * parameter types before `call`, so the input row is read back by declared
-  * position/type. */
+/** A procedure bound to its catalog's table resolver. `bind` RECORDS the
+  * analyzer's input type: Spark 4.1's `BindProcedures` + `defaultRearrange`
+  * normally deliver `call` a row in FULL DECLARED parameter order (named
+  * args reordered, omitted optionals filled from their declared defaults),
+  * but the contract only promises a row matching SOME announced layout — so
+  * `call` reads by declared position when the arity matches the declared
+  * list, and otherwise resolves each declared parameter BY NAME against the
+  * bind-time input type (missing optionals evaluate their default SQL).
+  * Positional guessing against a mismatched layout is never sound: named
+  * args with a skipped middle optional would land values in the wrong
+  * slots. */
 final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
     resolve: String => IcebergTable)
   extends UnboundProcedure with BoundProcedure {
@@ -340,7 +347,12 @@ final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
   override def name(): String = d.name
   override def description(): String = d.description
 
-  override def bind(inputType: StructType): BoundProcedure = this
+  private var boundInput: Option[StructType] = None
+
+  override def bind(inputType: StructType): BoundProcedure = {
+    boundInput = Option(inputType)
+    this
+  }
 
   override def parameters(): Array[ProcedureParameter] =
     d.params.map { p =>
@@ -352,15 +364,41 @@ final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
 
   override def isDeterministic: Boolean = false
 
+  /** Evaluate a declared default (literal SQL: `NULL`, `1`, …). */
+  private def defaultValue(p: GraftProcedures.ParamDef): Any =
+    p.defaultSql match {
+      case None => throw new IllegalArgumentException(
+        s"procedure ${d.name}: required parameter '${p.name}' was not supplied")
+      case Some(sql) if sql.equalsIgnoreCase("NULL") => null
+      case Some(sql) =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql).eval(InternalRow.empty)
+    }
+
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val spark = SparkSession.active
-    val args: IndexedSeq[Any] = d.params.zipWithIndex.map { case (p, i) =>
+    def read(i: Int, p: GraftProcedures.ParamDef): Any =
       if (input.isNullAt(i)) null
       else input.get(i, p.dt) match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case other => other
       }
-    }.toIndexedSeq
+    val args: IndexedSeq[Any] =
+      if (input.numFields == d.params.size)
+        d.params.zipWithIndex.map { case (p, i) => read(i, p) }.toIndexedSeq
+      else boundInput match {
+        case Some(st) if st.length == input.numFields =>
+          d.params.map { p =>
+            st.fieldNames.indexOf(p.name) match {
+              case -1 => defaultValue(p)
+              case i => read(i, p)
+            }
+          }.toIndexedSeq
+        case _ => throw new IllegalStateException(
+          s"procedure ${d.name}: input row has ${input.numFields} fields but " +
+            s"${d.params.size} parameters are declared and no matching bound " +
+            "input type was recorded")
+      }
     val df = d.run(spark, resolve, args)
     val out = df.queryExecution.executedPlan.executeCollect()
       .map(_.copy(): InternalRow)

@@ -194,4 +194,57 @@ class AggregatePushdownSpec extends AnyFunSuite {
       assert(r.getLong(1) == 490L)
     }
   }
+
+  test("a row-bearing imported file with NO column stats forces refusal: " +
+      "absence is unknown, not empty (the r14 wrong-answer path)") {
+    withTable { (cat, url) =>
+      // write an Avro data file holding the TRUE min of k — Avro has no
+      // footer statistics, so the file registers with valueCounts = empty
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"t","fields":[
+          |{"name":"k","type":"long"},
+          |{"name":"score","type":["null","double"],"default":null},
+          |{"name":"cat","type":["null","string"],"default":null}]}"""
+          .stripMargin)
+      val wh = new java.io.File(url).getParentFile.getParent
+      val af = new java.io.File(s"$wh/ext.avro")
+      val w = new org.apache.avro.file.DataFileWriter[
+        org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](avroSchema))
+      w.create(avroSchema, af)
+      val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      rec.put("k", -5L)
+      rec.put("score", -1.5)
+      rec.put("cat", "zzz")
+      w.append(rec)
+      w.close()
+      IcebergWriter.addFiles(spark, url, Seq(af.getAbsolutePath), "avro")
+      // min/max and count(col) must all REFUSE (scan) — excluding the
+      // stats-less file would answer min(k)=1, silently dropping -5
+      val mq = s"SELECT min(k), max(k), min(score) FROM $cat.db.t"
+      assert(planOf(mq).contains("BatchScan"),
+        "min/max over a stats-less file must scan")
+      val r = spark.sql(mq).head()
+      assert(r.getLong(0) == -5L && r.getLong(1) == 500L &&
+        r.getDouble(2) == -1.5)
+      assert(planOf(s"SELECT count(cat) FROM $cat.db.t").contains("BatchScan"),
+        "count(col) over a file without value_counts must scan")
+      // count(*) still pushes: record counts are always present
+      val cq = s"SELECT count(*) FROM $cat.db.t"
+      assert(planOf(cq).contains("LocalTableScan"))
+      assert(spark.sql(cq).head().getLong(0) == 501L)
+    }
+  }
+
+  test("answerFromMetadata memoizes between supportCompletePushDown and " +
+      "pushAggregation: the O(files) bound decode runs once per plan") {
+    withTable { (cat, _) =>
+      GraftIcebergScanBuilderProbe.reset()
+      val q = s"SELECT min(k), max(k), count(*) FROM $cat.db.t"
+      assert(planOf(q).contains("LocalTableScan"))
+      val runs = GraftIcebergScanBuilderProbe.lastDecodeRuns
+      assert(runs == 1, s"metadata answer computed $runs times for one plan")
+    }
+  }
 }

@@ -168,6 +168,12 @@ class ProceduresSpec extends AnyFunSuite {
       assert(spark.sql(
         s"SELECT count(*) FROM $name WHERE _change_type = 'delete'")
         .head().getLong(0) == 50)
+      // _change_ordinal: commit index among the range's change-emitting
+      // commits, oldest first — inserts from commit 2 are ordinal 0, the
+      // delete commit is ordinal 1 (replay order without a snapshot join)
+      assert(spark.sql(s"SELECT DISTINCT _change_type, _change_ordinal " +
+        s"FROM $name ORDER BY _change_ordinal").collect().map(r =>
+        (r.getString(0), r.getInt(1))).toSeq == Seq(("insert", 0), ("delete", 1)))
       // explicit name + explicit end mid-history: only commit 2's inserts
       val midEnd = IcebergTable.load(spark, url).metadata.snapshots(1).snapshotId
       spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl', " +
@@ -175,6 +181,76 @@ class ProceduresSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM cl_mid").head().getLong(0) == 50)
       spark.catalog.dropTempView(name)
       spark.catalog.dropTempView("cl_mid")
+    }
+  }
+
+  test("named arguments with omitted middle optionals bind by declared " +
+      "name across every multi-optional procedure") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/m"
+      build(url, files = 2)
+      IcebergWriter.deleteWhere(spark, url, Pruning.Gt("k", 200L))
+      val t = IcebergTable.load(spark, url)
+      val midEnd = t.metadata.snapshots(1).snapshotId
+      // create_changelog_view(table, changelog_view, start_snapshot_id,
+      // end_snapshot_id): every subset of the three optionals, middle
+      // omissions included — each names the view so results are separable
+      def count(view: String, tpe: String): Long = spark.sql(
+        s"SELECT count(*) FROM $view WHERE _change_type = '$tpe'").head().getLong(0)
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+        s"changelog_view => 'm_a', end_snapshot_id => ${midEnd}L)")
+      assert(count("m_a", "insert") == 50 && count("m_a", "delete") == 0,
+        "explicit end with OMITTED middle start must stop at the mid snapshot")
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+        s"end_snapshot_id => ${midEnd}L)")
+      assert(count("m_changes", "insert") == 50 && count("m_changes", "delete") == 0,
+        "end-only (view name AND start omitted) must still bind end by name")
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+        s"changelog_view => 'm_b', start_snapshot_id => ${midEnd}L)")
+      assert(count("m_b", "insert") == 0 && count("m_b", "delete") == 50,
+        "start-only past the appends must see just the delete commit")
+      // expire_snapshots(table, keep_last, older_than_ms): skip the middle
+      // keep_last — a cutoff of YESTERDAY retains every snapshot committed
+      // today beyond keep_last (time-based retention), so nothing expires.
+      // A positional misbind would land the epoch-ms long in keep_last
+      // (wrong slot) and the retention conf would read null → expire 2.
+      val r = spark.sql(s"CALL $cat.system.expire_snapshots(table => 'db.m', " +
+        s"older_than_ms => ${System.currentTimeMillis() - 86400000L}L)")
+        .collect().head
+      assert(r.getAs[Int]("remaining_snapshots") == 3 &&
+        r.getAs[Int]("expired_snapshots") == 0,
+        "older_than_ms bound by name must retain all of today's snapshots")
+      Seq("m_a", "m_changes", "m_b").foreach(spark.catalog.dropTempView)
+    }
+  }
+
+  test("bind(inputType) drives call-row layout: a subset row reads by " +
+      "name, never by declared position") {
+    // drive the DSv2 surface DIRECTLY: bind with (table, end_snapshot_id)
+    // — skipping the two middle optionals — then call with a row in THAT
+    // layout. A positional reader would land end_snapshot_id in the
+    // changelog_view slot and read end as null (the round-14 failure).
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/b"
+      build(url, files = 2)
+      val t = IcebergTable.load(spark, url)
+      val midEnd = t.metadata.snapshots(1).snapshotId
+      val unbound = GraftProcedures.load(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("system"), "create_changelog_view"),
+        name => IcebergTable.load(spark, s"$wh/${name.replace('.', '/')}"))
+      val inputType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("table",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("end_snapshot_id",
+          org.apache.spark.sql.types.LongType)))
+      val bound = unbound.bind(inputType)
+      bound.call(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("db.b"),
+        midEnd))
+      assert(spark.sql("SELECT count(*) FROM b_changes").head().getLong(0) == 50,
+        "subset-layout row must bind end_snapshot_id by name")
+      spark.catalog.dropTempView("b_changes")
     }
   }
 
