@@ -1996,6 +1996,11 @@ object IceQueries {
   private def statsIncrBenchPath(dir: String): String =
     s"/tmp/graft_bench_statsincr_${Integer.toHexString(dir.hashCode)}/t"
 
+  private def aggMetaBenchWh(dir: String): String =
+    s"/tmp/graft_bench_aggmeta_${Integer.toHexString(dir.hashCode)}"
+  private def aggMetaBenchCat(dir: String): String =
+    s"agm${Integer.toHexString(dir.hashCode)}"
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete()
@@ -2046,6 +2051,23 @@ object IceQueries {
       require(graft.iceberg.TableStatistics.incrementalUnions.get() == before + 1,
         "ice_stats_incr must take the sketch-union path, not a full rebuild")
       ndvs.toSeq.toDF("field_id", "ndv")
+    }),
+    // METADATA-ONLY GROUP BY aggregate (round-15): the per-partition rollup
+    // over the setup-built many-file identity-partitioned table. The body
+    // REQUIREs the LocalTableScan plan — zero data I/O — so this number IS
+    // planning cost: at 100 TB the same query over a 100k-file table costs
+    // a manifest pass, never a scan. Compare any BatchScan-shaped rollup
+    // at the same SF to see what the pushdown buys.
+    "ice_agg_meta" -> ((s, dir) => {
+      val cat = aggMetaBenchCat(dir)
+      val q = s.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+        s"min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
+        s"min(o_totalprice) AS lo_price, max(o_totalprice) AS hi_price " +
+        s"FROM $cat.db.am GROUP BY o_orderstatus")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"ice_agg_meta must answer from metadata:\n$plan")
+      q
     }))
 
   val benchSetup: Map[String, (SparkSession, String) => Unit] = Map(
@@ -2119,6 +2141,24 @@ object IceQueries {
       IcebergWriter.append(s, url, o.repartition(8))
       graft.iceberg.TableStatistics.compute(s, url)
       ()
+    }),
+    "ice_agg_meta" -> ((s, dir) => {
+      import graft.iceberg.IcebergWriter
+      val wh = aggMetaBenchWh(dir)
+      val root = new java.io.File(wh)
+      if (root.exists()) rmTree(root)
+      val cat = aggMetaBenchCat(dir)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftIcebergPathCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // identity-partitioned by status, many files per partition — the
+      // timed body's GROUP BY answers from the manifests alone
+      val url = s"$wh/db/am"
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      IcebergWriter.createTable(s, url, o.schema,
+        partitions = Seq("o_orderstatus" -> "identity"))
+      IcebergWriter.append(s, url, o.repartition(16))
     }))
 
   val benchTeardown: Map[String, (SparkSession, String) => Unit] = Map(
@@ -2129,7 +2169,9 @@ object IceQueries {
     "ice_stats_build" -> ((s, dir) =>
       rmTree(new java.io.File(statsBenchPath(dir)).getParentFile)),
     "ice_stats_incr" -> ((s, dir) =>
-      rmTree(new java.io.File(statsIncrBenchPath(dir)).getParentFile)))
+      rmTree(new java.io.File(statsIncrBenchPath(dir)).getParentFile)),
+    "ice_agg_meta" -> ((s, dir) =>
+      rmTree(new java.io.File(aggMetaBenchWh(dir)))))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ice_stats_agg"        -> (iceStatsAgg _),

@@ -78,7 +78,13 @@ object SparkEntry {
     // NEW in round 14: ice_stats_incr — the INCREMENTAL refresh (append
     // ~10% of orders + theta-union into the setup-registered sketches);
     // read next to ice_stats_build, which is the same table's full-rebuild
-    // cost. All placed before sim_topk_sq_ann, which stays LAST by design.
+    // cost.
+    // NEW in round 15: ice_agg_meta — the metadata-answered GROUP BY
+    // rollup over a prebuilt identity-partitioned multi-file table (the
+    // body REQUIREs a LocalTableScan plan, so the number is pure planning
+    // cost — the zero-I/O claim as a tracked number). All placed before
+    // sim_topk_sq_ann, which stays LAST by design.
     "ice_mor_dv_read", "ice_cdc_read", "ice_stats_build", "ice_stats_incr",
+    "ice_agg_meta",
     "sim_topk_sq_ann")
 }

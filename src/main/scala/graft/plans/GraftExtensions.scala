@@ -160,13 +160,29 @@ object CountFromIcebergStats extends Rule[LogicalPlan] {
     }
   }
 
+  /** Scan-scoping options that narrow a read below the table's full live
+    * state WITHOUT being baked into the table instance (file-subset reads
+    * inside the changelog, incremental ranges, streaming offsets). A
+    * relation carrying any of them must NOT answer aggregates from the
+    * table's full metadata — `count(*)` over a changelog frame scanning
+    * one commit's files would silently return the whole table's count.
+    * Snapshot pinning (snapshot-id/branch/tag/as-of) is SAFE: those
+    * resolve into the table instance itself, so its metadata IS the
+    * pinned view's. Mirrors the DSv2 pushdown's refusal in
+    * `answerFromMetadata0`. */
+  private val scanScopingKeys = Seq("file-subset", "start-snapshot-id",
+    "end-snapshot-id", "starting-snapshot-id", "stream-mode",
+    "stream-from-earliest")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
       unwrap(child) match {
         // runs before V2ScanRelationPushDown, so the DSv2 relation is intact
         case rel: DataSourceV2Relation =>
           rel.table match {
-            case t: GraftIcebergV2Table =>
+            case t: GraftIcebergV2Table
+                if !t.cdcMode &&
+                  !scanScopingKeys.exists(rel.options.containsKey) =>
               val answers = aggExprs.map {
                 case Alias(ae: AggregateExpression, _) => answer(ae, t, rel)
                 case ae: AggregateExpression => answer(ae, t, rel)

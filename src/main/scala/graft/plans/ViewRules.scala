@@ -76,6 +76,19 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => c
         }
 
+      case a @ AlterViewAs(v: UnresolvedView, originalText, query) =>
+        // ALTER VIEW … AS is CREATE OR REPLACE's second SQL spelling:
+        // append a new view version (the old one stays auditable via
+        // versionAt), but only for a view that already exists
+        viewTarget(v.multipartIdentifier) match {
+          case Some((cat, ident)) =>
+            GraftCreateViewCommand(cat, ident,
+              catalogNameOf(v.multipartIdentifier), originalText,
+              query, Nil, None, Map.empty,
+              allowExisting = false, replace = true, mustExist = true)
+          case None => a
+        }
+
       case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
         viewTarget(parts) match {
           case Some((cat, ident)) if cat.viewExists(ident) || !ifExists =>
@@ -213,13 +226,18 @@ class GraftViewSqlParser(spark: SparkSession,
 final case class GraftCreateViewCommand(cat: GraftIcebergPathCatalog,
     ident: Identifier, catalogName: String, sql: String, query: LogicalPlan,
     userCols: Seq[String], comment: Option[String],
-    props: Map[String, String], allowExisting: Boolean, replace: Boolean)
+    props: Map[String, String], allowExisting: Boolean, replace: Boolean,
+    /** ALTER VIEW … AS: redefinition of an EXISTING view only. */
+    mustExist: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(session: SparkSession): Seq[Row] = {
     val exists = cat.viewExists(ident)
+    if (mustExist && !exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
     if (exists && allowExisting) return Nil
     if (exists && !replace)
       throw new org.apache.spark.sql.catalyst.analysis

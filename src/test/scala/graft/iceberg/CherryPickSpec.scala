@@ -115,6 +115,37 @@ class CherryPickSpec extends AnyFunSuite {
     assert(ids.distinct.size == 20, s"row ids must stay disjoint: $ids")
   }
 
+  test("cherry-pick re-sequences at publish: an equality delete committed " +
+      "between stage and publish cannot MOR-delete the published rows") {
+    val url = fresh("graft_cp_reseq")
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.upgradeFormatVersion(spark, url, 2)
+    IcebergWriter.append(spark, url,
+      (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.appendToBranch(spark, url,
+      (101L to 105L).map(i => (i, s"s$i")).toDF("k", "v").coalesce(1),
+      "audit", extraSummary = Map("wap.id" -> "w1"))
+    val staged = IcebergTable.load(spark, url).refs("audit").snapshotId
+    // main gains an equality delete for the STAGED keys AFTER the fork —
+    // its sequence is higher than the stage-time sequence, so splicing the
+    // staged manifests unchanged would let it delete the published rows
+    IcebergWriter.equalityDelete(spark, url,
+      (101L to 105L).map(i => Tuple1(i)).toDF("k"), Seq("k"))
+    IcebergWriter.cherryPick(spark, url, staged)
+    val t = IcebergTable.load(spark, url)
+    assert(keys(url) == ((1L to 10L) ++ (101L to 105L)),
+      "published rows commit at the PUBLISH sequence — the earlier " +
+        "equality delete must not apply to them")
+    // the spliced manifests carry the new snapshot's sequence
+    val eqSeq = t.liveDeleteFiles.map(t.dataSequenceOf).max
+    val stagedPaths = t.atSnapshot(staged).liveFiles()
+      .filter(_.snapshotId.contains(staged)).map(_.filePath).toSet
+    val published = t.liveFiles().filter(f => stagedPaths(f.filePath))
+    assert(published.nonEmpty &&
+      published.forall(f => t.dataSequenceOf(f) > eqSeq),
+      "published data files must sequence AFTER the intervening delete")
+  }
+
   test("set_current_snapshot jumps to a non-ancestor; rollback refuses it") {
     val url = fresh("graft_setcur")
     val staged = diverged(url)

@@ -105,6 +105,57 @@ class PuffinCodecSpec extends AnyFunSuite {
     assert(got.map(b => b.fieldId -> b.ndv) == Seq(1 -> 123L))
   }
 
+  test("streaming zstd blob (no frame content size) and explicit JSON " +
+      "null codec both read") {
+    def theta(n: Long): Array[Byte] = {
+      val sk = org.apache.datasketches.theta.UpdateSketch.builder().build()
+      (1L to n).foreach(sk.update)
+      sk.compact().toByteArray
+    }
+    val raw1 = theta(77)
+    // STREAMING zstd: ZstdOutputStream writes frames with NO content size
+    // in the header (spec-valid) — the reader must fall back to streaming
+    // decompression instead of refusing
+    val z1 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new com.github.luben.zstd.ZstdOutputStream(bos)
+      out.write(raw1); out.close()
+      bos.toByteArray
+    }
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(z1) <= 0,
+      "precondition: the streamed frame must carry no content size")
+    val raw2 = theta(55)
+    val payload =
+      (s"""{"blobs":[{"type":"${TableStatistics.ThetaBlobType}",""" +
+        s""""fields":[1],"snapshot-id":7,"sequence-number":1,""" +
+        s""""offset":4,"length":${z1.length},""" +
+        s""""compression-codec":"zstd","properties":{}},""" +
+        s"""{"type":"${TableStatistics.ThetaBlobType}",""" +
+        s""""fields":[2],"snapshot-id":7,"sequence-number":1,""" +
+        s""""offset":${4 + z1.length},"length":${raw2.length},""" +
+        s""""compression-codec":null,"properties":{}}],"properties":{}}""")
+        .getBytes(StandardCharsets.UTF_8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstream")
+    val path = s"$dir/stream.puffin"
+    val fos = new java.io.FileOutputStream(path)
+    fos.write(Puffin.Magic)
+    fos.write(z1)
+    fos.write(raw2)
+    fos.write(Puffin.Magic)
+    fos.write(payload)
+    val tail = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length)
+    tail.putInt(0)
+    tail.put(Puffin.Magic)
+    fos.write(tail.array()); fos.close()
+
+    val got = TableStatistics.readSketches(path,
+      spark.sessionState.newHadoopConf())
+    assert(got.map(b => b.fieldId -> b.ndv).sortBy(_._1) ==
+      Seq(1 -> 77L, 2 -> 55L),
+      "streamed-zstd and null-codec blobs must both decode")
+  }
+
   test("compressed deletion-vector blobs refuse (spec forbids)") {
     val vec = DeletionVectors.frameBlob(
       DeletionVectors.serializePositions(Array(0L, 5L, 9L)))

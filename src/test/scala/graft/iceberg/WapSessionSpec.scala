@@ -86,6 +86,28 @@ class WapSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("non-append writes REFUSE while a WAP session is active: staging " +
+      "is append-only, publishing to main would bypass the audit gate") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.r (k BIGINT) " +
+        "TBLPROPERTIES ('write.wap.enabled'='true')")
+      spark.sql(s"INSERT INTO $cat.db.r VALUES (1), (2)")
+      spark.conf.set("spark.wap.branch", "audit")
+      // INSERT OVERWRITE is not an append — it must throw, not silently
+      // publish straight to main while the user believes writes stage
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.db.r VALUES (9)")
+      }
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      assert(rootMsg(e).contains("write-audit-publish"))
+      spark.conf.unset("spark.wap.branch")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.r").head.getLong(0) == 2,
+        "main must be untouched after the refused overwrite")
+    }
+  }
+
   test("wap confs are inert without the table's write.wap.enabled opt-in") {
     withCatalog { (cat, wh) =>
       spark.sql(s"CREATE TABLE $cat.db.n (k BIGINT)")

@@ -128,4 +128,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!df.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
     assert(df.collect().head.getLong(0) == 99L) // correct, via the MOR scan
   }
+
+  test("scan-scoped relations never answer from full-table metadata: " +
+      "count(*) over a changelog frame counts the COMMIT's rows") {
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scoped").toString + "/t"
+    IcebergWriter.createTable(spark, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    IcebergWriter.append(spark, tmp,
+      (1L to 50L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    val from = IcebergTable.load(spark, tmp).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, tmp,
+      (51L to 100L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    val t = IcebergTable.load(spark, tmp)
+    // the changelog frame scans ONLY commit 2's file (a file-subset read);
+    // before the round-15 guard the rule answered the full table's 100
+    val n = t.changelog(from, t.currentSnapshot.snapshotId)
+      .filter("_change_type = 'insert'").count()
+    assert(n == 50L,
+      s"file-subset count must come from the subset's rows, got $n")
+    // incremental-range reads are scan-scoped the same way
+    val inc = t.incrementalBetween(from, t.currentSnapshot.snapshotId)
+    assert(inc.read().count() == 50L)
+  }
 }

@@ -12,11 +12,18 @@ import graft.iceberg.{IcebergWriter, Pruning}
   * Spark scans. */
 class AggregatePushdownSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // own the session: an earlier suite may have left an EXTENSIONS-bearing
+    // session as the default, whose Catalyst metadata-agg rule would answer
+    // the aggregates this spec asserts the DSv2 path must answer (or refuse)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
   import spark.implicits._
 
   private def withTable(f: (String, String) => Unit): Unit = {

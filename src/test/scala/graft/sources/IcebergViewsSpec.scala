@@ -85,6 +85,28 @@ class IcebergViewsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.p2").collect() }
   }
 
+  test("ALTER VIEW ... AS appends a version like CREATE OR REPLACE; " +
+      "refuses a missing view; SHOW VIEWS LIKE treats metachars literally") {
+    spark.sql(s"CREATE VIEW $cat.db.av AS SELECT k FROM $cat.db.base WHERE k = 1")
+    spark.sql(s"ALTER VIEW $cat.db.av AS SELECT k, v FROM $cat.db.base WHERE k = 3")
+    val got = spark.sql(s"SELECT * FROM $cat.db.av").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 3L)
+    val m = IcebergViews.load(spark, s"$wh/db/av")
+    assert(m.currentVersionId == 2)
+    assert(m.versions.map(_.versionId) == Seq(1, 2), "ALTER-AS must APPEND")
+    assert(m.versionAt(1).sql.contains("k = 1"), "v1 stays auditable")
+    // redefining a view that does not exist refuses (ALTER, not CREATE)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER VIEW $cat.db.no_such AS SELECT 1 AS one")
+    }
+    assert(e.getMessage.toLowerCase.contains("view"))
+    // SHOW VIEWS LIKE: '*' wildcards; '[' and '.' are literal, not regex
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db LIKE 'a*'").collect()
+      .map(_.getString(1)).contains("av"))
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db LIKE 'v['").collect().isEmpty,
+      "a regex metacharacter pattern must not throw or over-match")
+  }
+
   test("views and tables never cross-resolve") {
     spark.sql(s"CREATE VIEW $cat.db.vx AS SELECT k FROM $cat.db.base")
     // the table path must refuse a view loudly, not read it as empty

@@ -10,11 +10,17 @@ import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
   * catalogs, with named arguments, defaults, and result rows. */
 class ProceduresSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // own the session (an earlier suite may have left an extensions-bearing
+    // default whose rules change the plans this spec asserts on)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
   import spark.implicits._
 
   private def withCatalog(f: (String, String) => Unit): Unit = {

@@ -528,6 +528,87 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL compute_table_stats through REST: registration is " +
+      "catalog-atomic and the result rows report per-column NDVs") {
+    withServer { (cat, server) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      val url = java.nio.file.Files.createTempDirectory("graft_rest_cts").toString + "/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+      cat.createNamespace("db")
+      cat.createTable("db", "t", Seq("id" -> "long", "name" -> "string"),
+        location = Some(url))
+      cat.commitAppend(spark, "db", "t",
+        (1L to 60L).map(i => (i, s"n${i % 6}")).toDF("id", "name"))
+      val catName = s"icecst${server.getAddress.getPort}"
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.sources.GraftIcebergCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.uri",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val rows = spark.sql(
+        s"CALL $catName.system.compute_table_stats(table => 'db.t')")
+        .collect().map(r => r.getAs[String]("column_name") ->
+          r.getAs[Long]("ndv")).toMap
+      assert(math.abs(rows("id") - 60L) <= 3)
+      assert(rows("name") == 6L)
+      // the CATALOG copy of the metadata carries the registration (the
+      // filesystem hint never advanced — the CALL committed through the
+      // REST set-statistics update under the 409-retry loop)
+      val t = cat.loadTable(spark, "db", "t")
+      assert(t.metadata.statistics.size == 1)
+      assert(t.metadata.statistics.head.snapshotId ==
+        t.currentSnapshot.snapshotId)
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == "1")
+    }
+  }
+
+  test("CALL compute_partition_stats through REST: the stats file " +
+      "registers catalog-atomically and the result row carries its path") {
+    withServer { (cat, server) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      val url = java.nio.file.Files.createTempDirectory("graft_rest_cps").toString + "/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))),
+        partitions = Seq(("name", "identity")))
+      cat.createNamespace("db")
+      cat.createTable("db", "t", Seq("id" -> "long", "name" -> "string"),
+        location = Some(url))
+      cat.commitAppend(spark, "db", "t",
+        (1L to 40L).map(i => (i, s"n${i % 4}")).toDF("id", "name"))
+      val catName = s"icecps${server.getAddress.getPort}"
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.sources.GraftIcebergCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.uri",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val path = spark.sql(
+        s"CALL $catName.system.compute_partition_stats(table => 'db.t')")
+        .head().getAs[String]("statistics_path")
+      assert(new java.io.File(path).isFile)
+      val t = cat.loadTable(spark, "db", "t")
+      assert(t.metadata.partitionStatistics.size == 1,
+        "partition-stats entry must live in the CATALOG metadata")
+      assert(t.metadata.partitionStatistics.head.snapshotId ==
+        t.currentSnapshot.snapshotId)
+      assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
+        .mkString.trim == "1")
+    }
+  }
+
   test("schema and spec evolution commit through REST; expiration refuses the scope") {
     withServer { (cat, _) =>
       val spark = org.apache.spark.sql.SparkSession.builder()
