@@ -1793,24 +1793,47 @@ object IceQueries {
     val snap2 = t.atSnapshot(midEnd)
     val file2 = snap2.liveFiles().filter(_.snapshotId.contains(midEnd))
       .map(f => snap2.resolvePath(f.filePath))
+    // an OVERWRITE commit rewriting the surviving keys (same k, new v):
+    // with identifier_columns each key's delete+insert pair in this commit
+    // is an UPDATE — update_before reads the old file, update_after the new
+    IcebergWriter.overwrite(s, url,
+      (101L to 150L).map(j => (j, "z")).toDF("k", "v").coalesce(1))
+    val t2 = IcebergTable.load(s, url)
+    val overwriteSnap = t2.currentSnapshot.snapshotId
+    val file1 = t2.atSnapshot(midEnd).liveFiles()
+      .filterNot(f => file2.contains(t2.resolvePath(f.filePath)))
+      .map(f => t2.resolvePath(f.filePath))
+    val newFile = t2.liveFiles().filter(_.snapshotId.contains(overwriteSnap))
+      .map(f => t2.resolvePath(f.filePath))
     // named args, middle optional (start_snapshot_id) OMITTED
     s.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl')")
     s.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl', " +
       s"changelog_view => 'clv_mid', end_snapshot_id => ${midEnd}L)")
-    def part(rng: String, tpe: String, ord: Int) =
+    s.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl', " +
+      s"changelog_view => 'clv_upd', identifier_columns => 'k')")
+    def part(rng: String, tpe: String, ord: Int, files: Seq[String]) =
       s"""SELECT '$rng' AS rng, '$tpe' AS _change_type,
          |CAST($ord AS INTEGER) AS _change_ordinal,
          |CAST(count(*) AS BIGINT) AS n
-         |FROM read_parquet(${sqlPaths(file2)})""".stripMargin
+         |FROM read_parquet(${sqlPaths(files)})""".stripMargin
     dynamicOracle("ice_changelog_view") = Seq(
-      part("full", "insert", 0), part("full", "delete", 1),
-      part("mid", "insert", 0))
-      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rng, _change_ordinal")
+      part("full", "insert", 0, file2), part("full", "delete", 1, file2),
+      part("full", "delete", 2, file1), // plain view: overwrite stays D+I
+      part("full", "insert", 2, newFile),
+      part("mid", "insert", 0, file2),
+      part("upd", "insert", 0, file2), part("upd", "delete", 1, file2),
+      part("upd", "update_before", 2, file1),
+      part("upd", "update_after", 2, newFile))
+      .mkString("SELECT * FROM (",
+        " UNION ALL ", ") ORDER BY rng, _change_ordinal, _change_type")
     def agg(rng: String, view: String) = s.sql(
       s"SELECT '$rng' AS rng, _change_type, _change_ordinal, " +
         s"count(*) AS n FROM $view GROUP BY _change_type, _change_ordinal")
+    // the plain views keep delete+insert; the identifier-keyed view
+    // relabels the overwrite commit's pairs to update_before/update_after
     val out = agg("full", "cl_changes").unionAll(agg("mid", "clv_mid"))
-      .orderBy("rng", "_change_ordinal")
+      .unionAll(agg("upd", "clv_upd"))
+      .orderBy("rng", "_change_ordinal", "_change_type")
     out
   }
 

@@ -204,6 +204,40 @@ final class IcebergTable private (
     * touches only the files each commit changed (not the table), with
     * field-id column resolution and merge-on-read applied like any other
     * read — at 100 TB the cost is proportional to the churn in the range. */
+  /** [[changelog]] with UPDATE IMAGES computed from identifier columns
+    * (Iceberg's `create_changelog_view(identifier_columns => …)` parity):
+    * within one commit, a key that was deleted AND re-inserted is an
+    * update — its delete row relabels to `update_before` and its insert
+    * row to `update_after`. Pairing is by KEY PRESENCE, relabeling only
+    * when the commit holds EXACTLY ONE delete and ONE insert for the key
+    * (the primary-key CDC case); keys with any other multiplicity keep
+    * their plain delete/insert rows — deterministic, no positional
+    * pairing ambiguity. One hash shuffle on (commit, key): each group is
+    * a handful of rows, so the window state is trivial at any scale. */
+  def changelogWithUpdates(fromSnapshotId: Long, toSnapshotId: Long,
+      identifierCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum, when, lit}
+    require(identifierCols.nonEmpty, "identifier columns must be non-empty")
+    val cl = changelog(fromSnapshotId, toSnapshotId)
+    identifierCols.foreach(c => require(cl.columns.contains(c),
+      s"identifier column '$c' is not in the table schema"))
+    val w = Window.partitionBy(
+      (Seq("_commit_snapshot_id") ++ identifierCols).map(col): _*)
+    val nDel = sum(when(col("_change_type") === "delete", 1L)
+      .otherwise(0L)).over(w)
+    val nIns = sum(when(col("_change_type") === "insert", 1L)
+      .otherwise(0L)).over(w)
+    cl.withColumn("_nd", nDel).withColumn("_ni", nIns)
+      .withColumn("_change_type",
+        when(col("_nd") === 1L && col("_ni") === 1L &&
+          col("_change_type") === "delete", lit("update_before"))
+        .when(col("_nd") === 1L && col("_ni") === 1L &&
+          col("_change_type") === "insert", lit("update_after"))
+        .otherwise(col("_change_type")))
+      .drop("_nd", "_ni")
+  }
+
   def changelog(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     require(snapshots.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
     require(snapshots.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")

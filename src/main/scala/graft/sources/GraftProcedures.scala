@@ -165,14 +165,19 @@ object GraftProcedures {
       }),
     ProcDef("create_changelog_view",
       "Register a session temp view over the table's CDC changelog " +
-        "(insert/delete rows per commit) between two snapshots",
+        "(insert/delete rows per commit) between two snapshots; with " +
+        "identifier_columns, same-key delete+insert pairs within a commit " +
+        "relabel to update_before/update_after",
       Seq(tableParam,
         ParamDef("changelog_view", StringType, Some("NULL"),
           "view name (default: <table>_changes)"),
         ParamDef("start_snapshot_id", LongType, Some("NULL"),
           "exclusive range start (default: the oldest snapshot)"),
         ParamDef("end_snapshot_id", LongType, Some("NULL"),
-          "inclusive range end (default: the current snapshot)")),
+          "inclusive range end (default: the current snapshot)"),
+        ParamDef("identifier_columns", StringType, Some("NULL"),
+          "comma-separated key columns; when set, a key deleted AND " +
+            "re-inserted in one commit becomes update_before/update_after")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val name = Option(a(1)).map(_.asInstanceOf[String]).getOrElse(
@@ -181,7 +186,12 @@ object GraftProcedures {
           .getOrElse(t.metadata.snapshots.head.snapshotId)
         val end = Option(a(3)).map(_.asInstanceOf[java.lang.Long].longValue)
           .getOrElse(t.currentSnapshot.snapshotId)
-        t.changelog(from, end).createOrReplaceTempView(name)
+        val df = Option(a(4)).map(_.asInstanceOf[String]) match {
+          case Some(keys) => t.changelogWithUpdates(from, end,
+            keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          case None => t.changelog(from, end)
+        }
+        df.createOrReplaceTempView(name)
         oneRow(s, StructType(Seq(
           StructField("changelog_view", StringType, nullable = false))), name)
       }),
