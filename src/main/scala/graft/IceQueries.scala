@@ -1811,6 +1811,8 @@ object IceQueries {
       s"changelog_view => 'clv_mid', end_snapshot_id => ${midEnd}L)")
     s.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl', " +
       s"changelog_view => 'clv_upd', identifier_columns => 'k')")
+    s.sql(s"CALL $cat.system.create_changelog_view(table => 'db.cl', " +
+      s"changelog_view => 'clv_net', net_changes => true)")
     def part(rng: String, tpe: String, ord: Int, files: Seq[String]) =
       s"""SELECT '$rng' AS rng, '$tpe' AS _change_type,
          |CAST($ord AS INTEGER) AS _change_ordinal,
@@ -1823,16 +1825,21 @@ object IceQueries {
       part("mid", "insert", 0, file2),
       part("upd", "insert", 0, file2), part("upd", "delete", 1, file2),
       part("upd", "update_before", 2, file1),
-      part("upd", "update_after", 2, newFile))
+      part("upd", "update_after", 2, newFile),
+      // NET changes: commit-2's inserts cancel against commit-3's deletes
+      // (same row content), leaving only the overwrite's effect — the old
+      // file-1 content net-deleted, the rewritten rows net-inserted
+      part("net", "delete", 2, file1), part("net", "insert", 2, newFile))
       .mkString("SELECT * FROM (",
         " UNION ALL ", ") ORDER BY rng, _change_ordinal, _change_type")
     def agg(rng: String, view: String) = s.sql(
       s"SELECT '$rng' AS rng, _change_type, _change_ordinal, " +
         s"count(*) AS n FROM $view GROUP BY _change_type, _change_ordinal")
     // the plain views keep delete+insert; the identifier-keyed view
-    // relabels the overwrite commit's pairs to update_before/update_after
+    // relabels the overwrite commit's pairs to update_before/update_after;
+    // the net view cancels the insert-then-delete carry-over entirely
     val out = agg("full", "cl_changes").unionAll(agg("mid", "clv_mid"))
-      .unionAll(agg("upd", "clv_upd"))
+      .unionAll(agg("upd", "clv_upd")).unionAll(agg("net", "clv_net"))
       .orderBy("rng", "_change_ordinal", "_change_type")
     out
   }

@@ -238,6 +238,38 @@ final class IcebergTable private (
       .drop("_nd", "_ni")
   }
 
+  /** NET changes across the whole range (Iceberg's `net_changes` changelog
+    * option): carry-overs cancel — a row content inserted then deleted
+    * (or deleted then re-inserted identically) contributes nothing; what
+    * remains is each distinct row content's NET effect, stamped with the
+    * LAST commit that touched it. Duplicate physical rows are handled by
+    * signed counting: |net| copies emit as inserts (net > 0) or deletes
+    * (net < 0). One hash aggregation keyed on the full row content —
+    * group state is a count and one struct, so the shuffle is the
+    * changelog itself, nothing driver-side. */
+  def changelogNet(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cl = changelog(fromSnapshotId, toSnapshotId)
+    val dataCols = cl.columns.filterNot(_.startsWith("_")).toSeq
+    require(dataCols.nonEmpty, "changelog has no data columns")
+    val signed = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val lastMeta = max_by(
+      struct(col("_commit_snapshot_id"), col("_commit_timestamp"),
+        col("_change_ordinal")),
+      col("_change_ordinal"))
+    cl.groupBy(dataCols.map(col): _*)
+      .agg(sum(signed).as("_net"), lastMeta.as("_last"))
+      .where(col("_net") =!= 0L)
+      .select((dataCols.map(col) ++ Seq(
+        when(col("_net") > 0L, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type"),
+        col("_last._commit_snapshot_id").as("_commit_snapshot_id"),
+        col("_last._commit_timestamp").as("_commit_timestamp"),
+        col("_last._change_ordinal").as("_change_ordinal"),
+        explode(sequence(lit(1L), abs(col("_net")))).as("_copy"))): _*)
+      .drop("_copy")
+  }
+
   def changelog(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     require(snapshots.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
     require(snapshots.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")

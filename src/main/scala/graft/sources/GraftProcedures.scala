@@ -177,7 +177,10 @@ object GraftProcedures {
           "inclusive range end (default: the current snapshot)"),
         ParamDef("identifier_columns", StringType, Some("NULL"),
           "comma-separated key columns; when set, a key deleted AND " +
-            "re-inserted in one commit becomes update_before/update_after")),
+            "re-inserted in one commit becomes update_before/update_after"),
+        ParamDef("net_changes", BooleanType, Some("false"),
+          "collapse carry-overs: each distinct row content's NET effect " +
+            "across the range (mutually exclusive with identifier_columns)")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val name = Option(a(1)).map(_.asInstanceOf[String]).getOrElse(
@@ -186,11 +189,18 @@ object GraftProcedures {
           .getOrElse(t.metadata.snapshots.head.snapshotId)
         val end = Option(a(3)).map(_.asInstanceOf[java.lang.Long].longValue)
           .getOrElse(t.currentSnapshot.snapshotId)
-        val df = Option(a(4)).map(_.asInstanceOf[String]) match {
-          case Some(keys) => t.changelogWithUpdates(from, end,
-            keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-          case None => t.changelog(from, end)
-        }
+        val keys = Option(a(4)).map(_.asInstanceOf[String])
+        val net = Option(a(5)).exists(_.asInstanceOf[Boolean])
+        require(!(net && keys.isDefined),
+          "net_changes and identifier_columns cannot combine (net effects " +
+            "collapse the per-commit pairs update images are computed from)")
+        val df =
+          if (net) t.changelogNet(from, end)
+          else keys match {
+            case Some(k) => t.changelogWithUpdates(from, end,
+              k.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            case None => t.changelog(from, end)
+          }
         df.createOrReplaceTempView(name)
         oneRow(s, StructType(Seq(
           StructField("changelog_view", StringType, nullable = false))), name)

@@ -226,7 +226,23 @@ class ProceduresSpec extends AnyFunSuite {
       assert(r.getAs[Int]("remaining_snapshots") == 3 &&
         r.getAs[Int]("expired_snapshots") == 0,
         "older_than_ms bound by name must retain all of today's snapshots")
-      Seq("m_a", "m_changes", "m_b").foreach(spark.catalog.dropTempView)
+      // net_changes: commit-2's inserts cancel against the delete commit —
+      // the full-range net over this table is EMPTY past commit 1
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+        s"changelog_view => 'm_net', net_changes => true)")
+      assert(spark.sql("SELECT count(*) FROM m_net").head().getLong(0) == 0,
+        "insert-then-delete carry-overs must cancel to an empty net")
+      // net_changes and identifier_columns are mutually exclusive
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+          s"changelog_view => 'm_x', identifier_columns => 'k', " +
+          s"net_changes => true)").collect()
+      }
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      assert(msgs(e).contains("cannot combine"))
+      Seq("m_a", "m_changes", "m_b", "m_net").foreach(spark.catalog.dropTempView)
     }
   }
 
