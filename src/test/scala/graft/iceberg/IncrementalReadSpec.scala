@@ -207,4 +207,68 @@ class IncrementalReadSpec extends AnyFunSuite {
       .load(url)
     assert(all.count() == 20)
   }
+
+  test("REPLAY INVARIANT: base state + net changelog = head state, across " +
+      "a randomized append/delete/overwrite history") {
+    // the property that makes the whole changelog machinery trustworthy:
+    // for ANY commit history, applying changelogNet(base, head) to the
+    // base snapshot's rows reproduces the head's rows as a multiset
+    val rnd = new scala.util.Random(4217)
+    for (trial <- 1 to 3) {
+      val url = freshTable
+      IcebergWriter.createTable(spark, url, schema)
+      IcebergWriter.append(spark, url,
+        (1L to 20L).map(i => (i, s"t$trial-a")).toDF("k", "v").coalesce(1))
+      val base = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+      var next = 21L
+      for (_ <- 1 to 4) rnd.nextInt(3) match {
+        case 0 => // append a fresh file
+          IcebergWriter.append(spark, url,
+            (next until next + 10).map(i => (i, s"t$trial-n")).toDF("k", "v")
+              .coalesce(1))
+          next += 10
+        case 1 => // whole-file delete of the highest surviving range
+          val t = IcebergTable.load(spark, url)
+          val hi = t.read().agg(org.apache.spark.sql.functions.max("k"))
+            .head().getLong(0)
+          // file-aligned: every append is one 10-key (or the base 20-key)
+          // file, so cutting at a multiple-of-10 boundary drops whole files
+          val cut = math.max(20L, (hi / 10) * 10 - 10)
+          try IcebergWriter.deleteWhere(spark, url, Pruning.Gt("k", cut))
+          catch { case _: Exception => () } // nothing above the cut: skip
+        case 2 => // overwrite everything with a rewritten state
+          val t = IcebergTable.load(spark, url)
+          val keys = t.read().select("k").as[Long].collect().toSeq.sorted
+          if (keys.nonEmpty)
+            IcebergWriter.overwrite(spark, url,
+              keys.map(i => (i, s"t$trial-w$next")).toDF("k", "v").coalesce(1))
+      }
+      val t = IcebergTable.load(spark, url)
+      val head = t.currentSnapshot.snapshotId
+      if (head != base) {
+        val baseRows = t.atSnapshot(base).read()
+          .as[(Long, String)].collect().toSeq
+        val net = t.changelogNet(base, head)
+          .select("k", "v", "_change_type").collect()
+          .map(r => ((r.getLong(0), r.getString(1)), r.getString(2)))
+        val deletes = net.filter(_._2 == "delete").map(_._1)
+        val inserts = net.filter(_._2 == "insert").map(_._1)
+        def multiset(xs: Seq[(Long, String)]) =
+          xs.groupBy(identity).view.mapValues(_.size).toMap
+        val replayed = {
+          val m = scala.collection.mutable.Map(multiset(baseRows).toSeq: _*)
+          deletes.foreach { r =>
+            val n = m.getOrElse(r, 0)
+            assert(n > 0, s"net delete of a row not in base: $r")
+            if (n == 1) m.remove(r) else m.update(r, n - 1)
+          }
+          inserts.foreach(r => m.update(r, m.getOrElse(r, 0) + 1))
+          m.toMap
+        }
+        val headRows = multiset(t.read().as[(Long, String)].collect().toSeq)
+        assert(replayed == headRows,
+          s"trial $trial: base+net must equal head")
+      }
+    }
+  }
 }
