@@ -126,6 +126,26 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
           case None => u
         }
 
+      case sc @ ShowCreateTable(
+          v: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          _, output) =>
+        viewTarget(v.multipartIdentifier) match {
+          case Some((cat, ident)) if cat.viewExists(ident) =>
+            GraftShowCreateViewCommand(cat, ident,
+              v.multipartIdentifier, output)
+          case _ => sc
+        }
+
+      case de @ DescribeRelation(
+          v: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          partitionSpec, isExtended, output) =>
+        viewTarget(v.multipartIdentifier) match {
+          case Some((cat, ident))
+              if cat.viewExists(ident) && partitionSpec.isEmpty =>
+            GraftDescribeViewCommand(cat, ident, isExtended, output)
+          case _ => de
+        }
+
       case r @ RenameTable(child, newName, true) =>
         // ALTER VIEW … RENAME TO parses with an UnresolvedTableOrView child
         val parts = child match {
@@ -298,6 +318,68 @@ final case class GraftShowViewsCommand(cat: GraftIcebergPathCatalog,
     }
     names.filter(kept).sorted
       .map(n => Row(namespace.mkString("."), n, false))
+  }
+}
+
+/** SHOW CREATE TABLE on a view: reconstruct the CREATE VIEW statement
+  * from the current version (column list from the stored view schema, the
+  * original body SQL, user properties — internal round-trip keys and
+  * reserved metadata excluded). */
+final case class GraftShowCreateViewCommand(cat: GraftIcebergPathCatalog,
+    ident: Identifier, parts: Seq[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val view = cat.loadView(ident)
+    val cols = view.schema().fields
+      .map(f => s"  ${quote(f.name)} ${f.dataType.sql}").mkString(",\n")
+    val hidden = Set(GraftIcebergView.QueryColumnNames,
+      GraftIcebergView.ColumnAliases, GraftIcebergView.ColumnComments,
+      "format-version", "view-uuid", "current-version-id",
+      org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT)
+    import scala.jdk.CollectionConverters._
+    val props = view.properties().asScala.toSeq
+      .filterNot { case (k, _) => hidden(k) }.sortBy(_._1)
+    val comment = Option(view.properties().get(
+      org.apache.spark.sql.connector.catalog.ViewCatalog.PROP_COMMENT))
+      .map(c => s"COMMENT '${c.replace("'", "''")}'\n").getOrElse("")
+    val tbl = if (props.isEmpty) "" else
+      props.map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString("TBLPROPERTIES (\n  ", ",\n  ", ")\n")
+    val stmt = s"CREATE VIEW ${parts.map(quote).mkString(".")} (\n$cols)\n" +
+      comment + tbl + s"AS\n${view.query}\n"
+    Seq(Row(stmt))
+  }
+  private def quote(n: String): String =
+    if (n.matches("[a-zA-Z_][a-zA-Z0-9_]*")) n
+    else "`" + n.replace("`", "``") + "`"
+}
+
+/** DESCRIBE [EXTENDED] on a view: the schema rows, plus the detailed view
+  * section (text, definition context, properties) when extended. */
+final case class GraftDescribeViewCommand(cat: GraftIcebergPathCatalog,
+    ident: Identifier, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val view = cat.loadView(ident)
+    val schemaRows = view.schema().fields.toSeq
+      .map(f => Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) schemaRows
+    else {
+      import scala.jdk.CollectionConverters._
+      val ctx = (Option(view.currentCatalog()).toSeq ++
+        view.currentNamespace().toSeq).mkString(".")
+      schemaRows ++ Seq(
+        Row("", "", ""),
+        Row("# Detailed View Information", "", ""),
+        Row("Name", view.name(), ""),
+        Row("View Text", view.query(), ""),
+        Row("View Catalog and Namespace", ctx, ""),
+        Row("View Query Output Columns",
+          view.queryColumnNames().mkString("[", ", ", "]"), ""),
+        Row("View Properties",
+          view.properties().asScala.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("[", ", ", "]"), ""))
+    }
   }
 }
 

@@ -244,6 +244,44 @@ class AggregatePushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC imports carry harvested footer stats: min/max/count push down " +
+      "over a table of foreign ORC files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_aggorc").toString
+    val cat = s"ao${wh.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val url = s"$wh/db/o"
+    val ext = s"$wh/ext"
+    (1L to 300L).map(i => (i, i / 4.0, s"s$i")).toDF("k", "score", "name")
+      .repartition(2).write.orc(ext)
+    IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))))
+    val parts = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq.sorted
+    IcebergWriter.addFiles(spark, url, parts, "orc")
+    // int/long bounds harvested from ORC tails are exact → min/max and
+    // count(col) answer from metadata like natively written parquet
+    val q = s"SELECT min(k), max(k), count(k), count(*) FROM $cat.db.o"
+    val plan = planOf(q)
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"ORC-import stats must serve the metadata answer:\n$plan")
+    val r = spark.sql(q).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 300L &&
+      r.getLong(2) == 300L && r.getLong(3) == 300L)
+    // float/double bounds from a FOREIGN writer carry no NaN-free claim —
+    // min(score) must refuse (scan) yet stay correct
+    val fq = s"SELECT min(score) FROM $cat.db.o"
+    assert(planOf(fq).contains("BatchScan"),
+      "foreign double bounds are inert without a NaN-free proof")
+    assert(spark.sql(fq).head().getDouble(0) == 0.25)
+  }
+
   test("answerFromMetadata memoizes between supportCompletePushDown and " +
       "pushAggregation: the O(files) bound decode runs once per plan") {
     withTable { (cat, _) =>

@@ -107,6 +107,24 @@ class IcebergViewsSpec extends AnyFunSuite {
       "a regex metacharacter pattern must not throw or over-match")
   }
 
+  test("DESCRIBE and SHOW CREATE TABLE work on views") {
+    spark.sql(s"CREATE VIEW $cat.db.dv AS SELECT k, v FROM $cat.db.base WHERE k > 1")
+    spark.sql(s"ALTER VIEW $cat.db.dv SET TBLPROPERTIES ('team'='data')")
+    val desc = spark.sql(s"DESCRIBE $cat.db.dv").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("k", "bigint"), ("v", "string")))
+    val ext = spark.sql(s"DESCRIBE EXTENDED $cat.db.dv").collect()
+      .map(_.getString(0))
+    assert(ext.contains("# Detailed View Information") &&
+      ext.contains("View Text"))
+    val stmt = spark.sql(s"SHOW CREATE TABLE $cat.db.dv")
+      .head().getString(0)
+    assert(stmt.startsWith("CREATE VIEW") && stmt.contains("k BIGINT") &&
+      stmt.contains("WHERE k > 1") && stmt.contains("'team' = 'data'"),
+      s"reconstructed DDL incomplete:\n$stmt")
+    spark.sql(s"DROP VIEW $cat.db.dv")
+  }
+
   test("views and tables never cross-resolve") {
     spark.sql(s"CREATE VIEW $cat.db.vx AS SELECT k FROM $cat.db.base")
     // the table path must refuse a view loudly, not read it as empty
