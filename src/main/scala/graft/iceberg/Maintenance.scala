@@ -63,6 +63,49 @@ object Maintenance {
       carryLineage = carryLineage)
   }
 
+  /** SCOPED compaction: rewrite ONLY the live files `pred` selects (both
+    * pruning tiers — partition values, then file bounds), leaving the rest
+    * of the table untouched — the "compact one day's partition of a 100 TB
+    * table" shape, where a full-table rewrite would be absurd. The
+    * predicate is a FILE selector: every row of a matched file rewrites
+    * (whole-file granularity, like all replace commits). Matched files'
+    * row-level deletes fold into the rewrite; delete manifests are KEPT
+    * (they may reference unmatched files) — their entries for the removed
+    * files dangle harmlessly (reconciliation joins on live paths) and the
+    * commit refuses if any delete committed after the pin (the fold would
+    * silently lose it). Returns the number of files rewritten; fewer than
+    * two matched files with no row-level deletes is a no-op.
+    */
+  def compactWhere(spark: SparkSession, url: String,
+      pred: Pruning.IcePredicate, targetFiles: Option[Int] = None): Int = {
+    val t0 = IcebergWriter.resolveCurrent(spark, url)
+    if (t0.metadata.currentSnapshotId < 0) return 0
+    val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
+    val matched = frozen.prunedFiles(pred)
+    val matchedPaths = matched.map(f => frozen.resolvePath(f.filePath)).toSet
+    val hasDeletes = frozen.liveDeleteFiles.nonEmpty
+    if (matched.isEmpty || (matched.size < 2 && !hasDeletes)) return 0
+    val n = targetFiles.getOrElse(math.max(1,
+      (matched.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
+    val carryLineage = frozen.metadata.formatVersion >= 3
+    val base = {
+      import org.apache.spark.sql.functions.col
+      val sub = frozen.readSubset(matched)
+      if (!carryLineage) sub
+      else sub.select(col("*"),
+        col("_row_id"), col("_last_updated_sequence_number"))
+    }
+    IcebergWriter.writeSnapshot(spark, url, base.repartition(n),
+      deletePred = None, operation = "replace",
+      pinnedDeletes = Some(matched),
+      dropDeleteManifests = false,
+      pinnedDeleteFiles = Some(frozen.liveDeleteFiles
+        .map(f => frozen.resolvePath(f.filePath)).toSet),
+      extraSummary = Map("graft-compact-scope" -> matchedPaths.size.toString),
+      carryLineage = carryLineage)
+    matched.size
+  }
+
   /** Z-ORDER clustering rewrite: relayout the table's live rows along a
     * Morton curve over `cols`, so per-file min/max bounds become tight
     * hyper-rectangles on EVERY clustered column at once — a point/range
@@ -232,7 +275,10 @@ object Maintenance {
     * deleting those would corrupt it. Version-metadata JSONs and the hint
     * file are never touched. Returns the number of files deleted. */
   def removeOrphans(spark: SparkSession, url: String,
-      olderThanMs: Long = 3L * 24 * 3600 * 1000): Int = {
+      olderThanMs: Long = 3L * 24 * 3600 * 1000,
+      /** Report the would-be-deleted count WITHOUT deleting — the audit
+        * pass operators run before trusting a destructive sweep. */
+      dryRun: Boolean = false): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val table = IcebergWriter.resolveCurrent(spark, url)
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -260,7 +306,8 @@ object Maintenance {
               !referenced.contains(st.getPath.getName))
             doomed += st.getPath
         }
-        doomed.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+        if (dryRun) deleted += doomed.size
+        else doomed.foreach { p => if (fs.delete(p, false)) deleted += 1 }
       }
     // registered statistics files are referenced; a crashed
     // computeStatistics leaves an unregistered one — orphaned

@@ -60,18 +60,71 @@ object GraftProcedures {
     case l: java.lang.Long => l.intValue
   }
 
+  /** Parse the `where` file-selector grammar: AND-joined simple
+    * comparisons (`col op literal` with = != <> < <= > >=, `col IS
+    * [NOT] NULL`); literals are numbers, 'single-quoted' strings, or
+    * true/false. Deliberately small — the predicate selects FILES via the
+    * pruning tiers, so the same grammar every pruning consumer speaks. */
+  private[sources] def parseWhere(s: String): graft.iceberg.Pruning.IcePredicate = {
+    import graft.iceberg.Pruning._
+    val IsNullRe = "(?i)^([\\w.]+)\\s+IS\\s+NULL$".r
+    val NotNullRe = "(?i)^([\\w.]+)\\s+IS\\s+NOT\\s+NULL$".r
+    val CmpRe = "^([\\w.]+)\\s*(!=|<>|<=|>=|=|<|>)\\s*(.+)$".r
+    def lit(raw: String): Any = {
+      val v = raw.trim
+      if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+        v.substring(1, v.length - 1).replace("''", "'")
+      else if (v.equalsIgnoreCase("true")) true
+      else if (v.equalsIgnoreCase("false")) false
+      else if (v.matches("[+-]?\\d+")) v.toLong
+      else if (v.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) v.toDouble
+      else throw new IllegalArgumentException(
+        s"cannot parse literal '$v' (number, 'string', or true/false)")
+    }
+    def cmp(part: String): IcePredicate = part.trim match {
+      case IsNullRe(c) => IsNull(c)
+      case NotNullRe(c) => NotNull(c)
+      case CmpRe(c, op, raw) => op match {
+        case "=" => Eq(c, lit(raw))
+        case "!=" | "<>" => NotEq(c, lit(raw))
+        case "<" => Lt(c, lit(raw))
+        case "<=" => LtEq(c, lit(raw))
+        case ">" => Gt(c, lit(raw))
+        case ">=" => GtEq(c, lit(raw))
+      }
+      case other => throw new IllegalArgumentException(
+        s"cannot parse predicate '$other' (col op literal | col IS [NOT] NULL)")
+    }
+    val parts = s.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "empty where predicate")
+    parts.map(cmp).reduceLeft(And(_, _))
+  }
+
   val all: Seq[ProcDef] = Seq(
     ProcDef("compact",
-      "Rewrite small data files into targets, folding row-level deletes",
-      Seq(tableParam, ParamDef("target_files", IntegerType, Some("NULL"))),
+      "Rewrite small data files into targets, folding row-level deletes; " +
+        "with `where`, rewrite ONLY the files the predicate selects " +
+        "(partition-scoped compaction)",
+      Seq(tableParam, ParamDef("target_files", IntegerType, Some("NULL")),
+        ParamDef("where", StringType, Some("NULL"),
+          "file selector: AND-joined `col op literal` / `col IS [NOT] " +
+            "NULL` — rewrites only matching files")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val before = t.currentSnapshot.snapshotId
-        t.runCommit(Maintenance.compact(s, t.url, intArg(a(1))))
+        var rewritten = -1
+        t.runCommit(Option(a(2)).map(_.asInstanceOf[String]) match {
+          case Some(where) =>
+            rewritten = Maintenance.compactWhere(s, t.url,
+              parseWhere(where), intArg(a(1)))
+          case None => Maintenance.compact(s, t.url, intArg(a(1)))
+        })
         val after = resolve(a(0).asInstanceOf[String])
         oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
-          longField("current_snapshot_id"), intField("live_files"))),
-          before, after.currentSnapshot.snapshotId, after.liveFiles().size)
+          longField("current_snapshot_id"), intField("live_files"),
+          intField("rewritten_files"))),
+          before, after.currentSnapshot.snapshotId, after.liveFiles().size,
+          rewritten)
       }),
     ProcDef("zorder",
       "Rewrite the table clustered on a Morton curve over 2-4 columns",
@@ -106,15 +159,19 @@ object GraftProcedures {
           before - after.metadata.snapshots.size, after.metadata.snapshots.size)
       }),
     ProcDef("remove_orphan_files",
-      "Delete data/metadata bytes no snapshot references (failed commits)",
+      "Delete data/metadata bytes no snapshot references (failed commits); " +
+        "dry_run reports the count without deleting",
       Seq(tableParam, ParamDef("older_than_ms", LongType,
         Some((3L * 24 * 3600 * 1000).toString),
-        comment = "only files older than this are candidates")),
+        comment = "only files older than this are candidates"),
+        ParamDef("dry_run", BooleanType, Some("false"),
+          comment = "audit pass: report would-be-deleted count, delete nothing")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val n = Maintenance.removeOrphans(s, t.url,
           Option(a(1)).map(_.asInstanceOf[java.lang.Long].longValue)
-            .getOrElse(3L * 24 * 3600 * 1000))
+            .getOrElse(3L * 24 * 3600 * 1000),
+          dryRun = Option(a(2)).exists(_.asInstanceOf[Boolean]))
         oneRow(s, StructType(Seq(intField("deleted_files"))), n)
       }),
     ProcDef("rewrite_manifests",

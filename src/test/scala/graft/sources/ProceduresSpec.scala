@@ -276,6 +276,41 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("scoped compaction: CALL compact(where) rewrites only the matching " +
+      "files; remove_orphan_files(dry_run) audits without deleting") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/s"
+      build(url, files = 3) // 3 single-file appends: k in 1xx / 2xx / 3xx
+      val t0 = IcebergTable.load(spark, url)
+      assert(t0.liveFiles().size == 3)
+      // select the two lower-range files by bounds; the 3xx file survives
+      val r = spark.sql(s"CALL $cat.system.compact(table => 'db.s', " +
+        "`where` => 'k < 280')").collect().head
+      assert(r.getAs[Int]("rewritten_files") == 2)
+      assert(r.getAs[Int]("live_files") == 2,
+        "two matched files fold to one; the unmatched file survives")
+      val t1 = IcebergTable.load(spark, url)
+      val untouched = t1.liveFiles().map(_.filePath).toSet
+        .intersect(t0.liveFiles().map(_.filePath).toSet)
+      assert(untouched.size == 1, "exactly the unmatched file is untouched")
+      assert(spark.table(s"$cat.db.s").count() == 150, "rows preserved")
+
+      // an orphan byte in data/: dry_run counts it, the file survives;
+      // the real pass then deletes it
+      val orphan = new java.io.File(s"$url/data/orphan.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      orphan.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+      val dry = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+        "table => 'db.s', older_than_ms => 1000L, dry_run => true)")
+        .head().getAs[Int]("deleted_files")
+      assert(dry >= 1 && orphan.isFile, "dry run must count but not delete")
+      val real = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+        "table => 'db.s', older_than_ms => 1000L)")
+        .head().getAs[Int]("deleted_files")
+      assert(real == dry && !orphan.isFile, "the real pass deletes the audit's count")
+    }
+  }
+
   test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
     withCatalog { (cat, _) =>
       val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
