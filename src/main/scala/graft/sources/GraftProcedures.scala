@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -376,6 +377,38 @@ object GraftProcedures {
           util.Arrays.asList(ndvs.toSeq.sortBy(_._1).map { case (id, ndv) =>
             Row(id, nameById.getOrElse(id, null), ndv)
           }: _*), schema)
+      }),
+    ProcDef("add_files",
+      "Register EXISTING parquet/orc/avro files into the table WITHOUT " +
+        "rewriting their data (metadata-only import; parquet/orc harvest " +
+        "footer statistics)",
+      Seq(tableParam,
+        ParamDef("source_dir", StringType,
+          comment = "directory holding the foreign files (recursive)"),
+        ParamDef("format", StringType, Some("'parquet'"),
+          comment = "parquet | orc | avro")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val fmt = Option(a(2)).map(_.asInstanceOf[String])
+          .getOrElse("parquet").toLowerCase
+        val suffix = s".$fmt"
+        val dir = new Path(a(1).asInstanceOf[String])
+        val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+        val found = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (fs.exists(dir)) {
+          val it = fs.listFiles(dir, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(suffix)) found += st.getPath.toString
+          }
+        }
+        require(found.nonEmpty,
+          s"no *$suffix files under ${a(1)} — nothing to import")
+        t.runCommit(IcebergWriter.addFiles(s, t.url, found.toSeq.sorted, fmt))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(intField("added_files_count"),
+          longField("total_records"))),
+          found.size, after.countFromStats().getOrElse(-1L))
       }),
     ProcDef("compute_partition_stats",
       "Write + register the spec's partition statistics file (metadata-only)",

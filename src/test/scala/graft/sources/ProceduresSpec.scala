@@ -311,6 +311,35 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL add_files imports foreign ORC metadata-only; the rows read " +
+      "back and count answers from harvested stats") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/i"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cat",
+            org.apache.spark.sql.types.StringType))))
+      val ext = s"$wh/ext_orc"
+      (1L to 120L).map(i => (i, s"c${i % 4}")).toDF("k", "cat")
+        .repartition(2).write.orc(ext)
+      val r = spark.sql(s"CALL $cat.system.add_files(table => 'db.i', " +
+        s"source_dir => '$ext', format => 'orc')").collect().head
+      assert(r.getAs[Int]("added_files_count") == 2)
+      assert(r.getAs[Long]("total_records") == 120L)
+      assert(spark.table(s"$cat.db.i").count() == 120)
+      // empty import refuses loudly
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.add_files(table => 'db.i', " +
+          s"source_dir => '$wh/nowhere')").collect()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+        .contains("nothing to import"))
+    }
+  }
+
   test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
     withCatalog { (cat, _) =>
       val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
