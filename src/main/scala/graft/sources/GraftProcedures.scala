@@ -238,14 +238,36 @@ object GraftProcedures {
             "re-inserted in one commit becomes update_before/update_after"),
         ParamDef("net_changes", BooleanType, Some("false"),
           "collapse carry-overs: each distinct row content's NET effect " +
-            "across the range (mutually exclusive with identifier_columns)")),
+            "across the range (mutually exclusive with identifier_columns)"),
+        ParamDef("start_timestamp_ms", LongType, Some("NULL"),
+          "time form of start_snapshot_id: the LATEST snapshot committed " +
+            "at/before this epoch-ms (changes AFTER this time)"),
+        ParamDef("end_timestamp_ms", LongType, Some("NULL"),
+          "time form of end_snapshot_id: the latest snapshot at/before " +
+            "this epoch-ms")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val name = Option(a(1)).map(_.asInstanceOf[String]).getOrElse(
           a(0).asInstanceOf[String].split('.').last + "_changes")
+        def atOrBefore(ms: Long, what: String): Long = {
+          // ties (same-ms commits) break by metadata order: the snapshots
+          // list is append-ordered, so the last fitting entry IS latest
+          val fits = t.metadata.snapshots.zipWithIndex
+            .filter(_._1.timestampMs <= ms)
+          require(fits.nonEmpty,
+            s"$what=$ms predates every snapshot of ${a(0)}")
+          fits.maxBy { case (s2, i) => (s2.timestampMs, i) }._1.snapshotId
+        }
+        val startTs = Option(a(6)).map(_.asInstanceOf[java.lang.Long].longValue)
+        val endTs = Option(a(7)).map(_.asInstanceOf[java.lang.Long].longValue)
+        require(!(startTs.isDefined && a(2) != null) &&
+          !(endTs.isDefined && a(3) != null),
+          "give each range bound as a snapshot id OR a timestamp, not both")
         val from = Option(a(2)).map(_.asInstanceOf[java.lang.Long].longValue)
+          .orElse(startTs.map(atOrBefore(_, "start_timestamp_ms")))
           .getOrElse(t.metadata.snapshots.head.snapshotId)
         val end = Option(a(3)).map(_.asInstanceOf[java.lang.Long].longValue)
+          .orElse(endTs.map(atOrBefore(_, "end_timestamp_ms")))
           .getOrElse(t.currentSnapshot.snapshotId)
         val keys = Option(a(4)).map(_.asInstanceOf[String])
         val net = Option(a(5)).exists(_.asInstanceOf[Boolean])

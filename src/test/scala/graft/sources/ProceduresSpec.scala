@@ -195,6 +195,7 @@ class ProceduresSpec extends AnyFunSuite {
     withCatalog { (cat, wh) =>
       val url = s"$wh/db/m"
       build(url, files = 2)
+      Thread.sleep(5) // distinct commit timestamps for the ts-bound case
       IcebergWriter.deleteWhere(spark, url, Pruning.Gt("k", 200L))
       val t = IcebergTable.load(spark, url)
       val midEnd = t.metadata.snapshots(1).snapshotId
@@ -226,6 +227,20 @@ class ProceduresSpec extends AnyFunSuite {
       assert(r.getAs[Int]("remaining_snapshots") == 3 &&
         r.getAs[Int]("expired_snapshots") == 0,
         "older_than_ms bound by name must retain all of today's snapshots")
+      // timestamp-form range bounds: end at the mid snapshot's commit time
+      // must land on the same snapshot the id names; mixing both forms for
+      // one bound refuses
+      val midTs = t.metadata.snapshots(1).timestampMs
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+        s"changelog_view => 'm_ts', end_timestamp_ms => ${midTs}L)")
+      assert(count("m_ts", "insert") == 50 && count("m_ts", "delete") == 0,
+        "end_timestamp_ms must resolve to the latest snapshot at/before it")
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
+          s"end_snapshot_id => ${midEnd}L, end_timestamp_ms => ${midTs}L)")
+          .collect()
+      }
+      spark.catalog.dropTempView("m_ts")
       // net_changes: commit-2's inserts cancel against the delete commit —
       // the full-range net over this table is EMPTY past commit 1
       spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.m', " +
