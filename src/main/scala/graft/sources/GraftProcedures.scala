@@ -210,6 +210,26 @@ object GraftProcedures {
           longField("current_snapshot_id"))),
           before, after.currentSnapshot.snapshotId)
       }),
+    ProcDef("rollback_to_timestamp",
+      "Move the table back to the latest ancestor snapshot committed " +
+        "at/before the given time (metadata-only undo by wall clock)",
+      Seq(tableParam, ParamDef("timestamp_ms", LongType,
+        comment = "epoch-ms; resolves to the latest snapshot at/before it")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val ms = a(1).asInstanceOf[java.lang.Long].longValue
+        val fits = t.metadata.snapshots.zipWithIndex
+          .filter(_._1.timestampMs <= ms)
+        require(fits.nonEmpty,
+          s"timestamp_ms=$ms predates every snapshot of ${a(0)}")
+        val target = fits.maxBy { case (s2, i) => (s2.timestampMs, i) }._1
+        val before = t.currentSnapshot.snapshotId
+        t.runCommit(IcebergWriter.rollbackTo(s, t.url, target.snapshotId))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
+          longField("current_snapshot_id"))),
+          before, after.currentSnapshot.snapshotId)
+      }),
     ProcDef("fast_forward",
       "Publish a staged branch by fast-forwarding main to its head (WAP)",
       Seq(tableParam, ParamDef("branch", StringType)),

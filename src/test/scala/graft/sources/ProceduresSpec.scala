@@ -91,6 +91,33 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL rollback_to_timestamp resolves the wall-clock undo target") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/rt"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      for (i <- 1 to 3) { // distinct commit timestamps
+        IcebergWriter.append(spark, url,
+          (1L to 10L).map(j => Tuple1(i * 100L + j)).toDF("k").coalesce(1))
+        Thread.sleep(5)
+      }
+      val t = IcebergTable.load(spark, url)
+      val mid = t.metadata.snapshots(1)
+      val r = spark.sql(s"CALL $cat.system.rollback_to_timestamp(" +
+        s"table => 'db.rt', timestamp_ms => ${mid.timestampMs}L)")
+        .collect().head
+      assert(r.getAs[Long]("current_snapshot_id") == mid.snapshotId)
+      assert(spark.table(s"$cat.db.rt").count() == 20)
+      // a time before every commit refuses
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.rollback_to_timestamp(" +
+          s"table => 'db.rt', timestamp_ms => 1000L)").collect()
+      }
+    }
+  }
+
   test("CALL compute_table_stats (full + incremental) returns per-column NDVs") {
     withCatalog { (cat, wh) =>
       build(s"$wh/db/t")
