@@ -21,6 +21,15 @@ object StreamQueries {
     EventStreams.sessionize(t(s, dir, "events")).toDF()
       .orderBy("user_id")
 
+  /** SESSION WINDOWS (Spark's dynamic gap-merged windows): per-user
+    * sessions closed by 30 min of inactivity — the declarative sibling of
+    * s2's explicit state machine, and streaming-append-able under a
+    * watermark. The oracle replays the gap semantics as gaps-and-islands
+    * SQL (new session exactly when the inactivity gap is REACHED). */
+  def s9SessionWindow(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionWindows(t(s, dir, "events"))
+      .orderBy("user_id", "session_start")
+
   /** Streaming ingestion into an Iceberg table: a real readStream over the
     * events parquet, one append snapshot per micro-batch, exactly-once via
     * the batch id recorded in snapshot summaries. */
@@ -263,6 +272,7 @@ object StreamQueries {
     "s6_cdc_windowed" -> (s6CdcWindowed _),
     "s7_stream_join" -> (s7StreamJoin _),
     "s8_stream_dedup" -> (s8StreamDedup _),
+    "s9_session_window" -> (s9SessionWindow _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,5 +316,26 @@ object StreamQueries {
         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM events
       GROUP BY user_id ORDER BY user_id""",
+    // session_window gap semantics as gaps-and-islands: a NEW session
+    // starts exactly when the inactivity gap is REACHED (Spark merges
+    // sessions only on strict overlap, so diff == gap opens a new one)
+    "s9_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts)) >= CAST(1800000000 AS BIGINT)
+          THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, MIN(ts) AS session_start,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
   )
 }

@@ -39,6 +39,25 @@ object EventStreams {
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("event_time", timestamp_micros(tsMicros(events)))
 
+  /** SESSION WINDOWS: per-user activity sessions closed by 30 minutes of
+    * inactivity — Spark's `session_window` (dynamic windows that MERGE on
+    * overlap: an event within the gap of the previous one extends the
+    * session; at or past the gap it opens a new one). With a watermark
+    * this is the canonical streaming sessionization (append mode emits a
+    * session once the watermark passes its close); in batch the same
+    * expression is a plain aggregation, so the oracle replays it as
+    * gaps-and-islands SQL. State per key is one open session — bounded. */
+  def sessionWindows(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val base = withEventTime(events)
+    val wm = if (watermark) base.withWatermark("event_time", "10 minutes") else base
+    wm.groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+  }
+
   /** Tumbling-window per-type aggregation; with a watermark this is an
     * append-able streaming aggregation, in batch it is a plain groupBy. */
   def windowedCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {

@@ -49,6 +49,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows run as an append-mode streaming query; closed " +
+      "sessions match the batch result") {
+    val schema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.sessionWindows(stream, watermark = true).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_sesswin_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sesswin_test")
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val batch = EventStreams.sessionWindows(spark.read.parquet(eventsPath))
+        .select("user_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && streamed.nonEmpty)
+      // append mode emits only watermark-closed sessions; every emitted
+      // session must be exactly a batch session (no partial/merged drift)
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions must match batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionize runs as streaming with update mode") {
     val schema = spark.read.parquet(eventsPath).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
