@@ -104,6 +104,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered incremental dedup: same exact result as
+    * [[ddIncremental]]'s shape (different split so both run), with the
+    * history membership test routed through a driver-held bloom filter —
+    * certainly-novel docs skip the anti-join, only suspects probe it. The
+    * REQUIREs pin the mechanism: the filter must route most of the novel
+    * increment around the join, and every true duplicate must land in the
+    * suspect set (no false negatives). */
+  def ddBloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // increment = the new %7 slice PLUS a small RE-CRAWLED slice of history
+    // docs (same text, same id — the duplicate shape an incremental crawl
+    // produces); the bloom must route the re-crawls into the suspect set
+    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    val recrawled = hist.filter(col("doc_id") % 97 === 3)
+    val (out, nNovel, nSuspect) = Corpus.incrementalDedupBloom(
+      docs.filter(col("doc_id") % 7 === 0).unionAll(recrawled),
+      hist, "text", "doc_id")
+    require(nNovel > 0 && nSuspect > 0,
+      s"bloom must split the increment (novel=$nNovel suspects=$nSuspect)")
+    require(nNovel > nSuspect,
+      s"most of this corpus's increment is novel — the bloom must route " +
+        s"it around the join (novel=$nNovel suspects=$nSuspect)")
+    out.select("doc_id", "text", "lang", "source").orderBy("doc_id")
+  }
+
   def ddEmbedding(s: SparkSession, dir: String): DataFrame =
     // (planes=2, tables=24) tuned to the low 0.2 threshold: LSH-theory miss
     // probability (1-p^2)^24 ≈ 1e-4 per pair at cos=0.2, and the exact-cosine
@@ -530,6 +555,7 @@ object LlmQueries {
     "dd_simhash_rolling" -> (ddSimhashRolling _),
     "dd_embedding"      -> (ddEmbedding _),
     "dd_incremental"    -> (ddIncremental _),
+    "dd_bloom_incremental" -> (ddBloomIncremental _),
     "tx_repetition"     -> (txRepetition _),
     "tx_redact"         -> (txRedact _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
@@ -723,6 +749,16 @@ object LlmQueries {
     "dd_incremental" -> """
       WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
       hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+      canon AS (SELECT doc_id, text, lang, source FROM (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS cid FROM inc)
+        WHERE doc_id = cid)
+      SELECT doc_id, text, lang, source FROM canon
+      WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text = canon.text)
+      ORDER BY doc_id""",
+    "dd_bloom_incremental" -> """
+      WITH inc AS (SELECT * FROM documents
+        WHERE doc_id % 7 = 0 OR (doc_id % 7 <> 0 AND doc_id % 97 = 3)),
+      hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 7 <> 0),
       canon AS (SELECT doc_id, text, lang, source FROM (
           SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS cid FROM inc)
         WHERE doc_id = cid)

@@ -298,6 +298,53 @@ object Corpus {
     canon.join(seen, Seq("_fp"), "left_anti").drop("_fp", "_canon")
   }
 
+  /** [[incrementalDedup]] with a BLOOM PRE-FILTER — the 100 TB shape when
+    * the history's key set no longer fits a broadcast but a bitset does:
+    * ONE aggregation folds the history's 64-bit text hashes into a bloom
+    * filter (driver-held, MBs for billions of keys at ~1% fpp), and each
+    * increment doc probes it as a codegen'd expression. No false
+    * negatives, so a doc the filter rejects is CERTAINLY novel and skips
+    * the anti-join entirely; only the "might contain" suspects (true
+    * duplicates + the small fpp slice) reach the exact anti-join, whose
+    * probe side shrinks from the whole increment to the suspect set. The
+    * result is EXACT — identical to [[incrementalDedup]] — because the
+    * bloom only ROUTES rows, never decides membership.
+    *
+    * Returns (deduped, certainNovelCount, suspectCount) so callers can pin
+    * that the filter actually pruned. */
+  def incrementalDedupBloom(increment: DataFrame, history: DataFrame,
+      textCol: String, idCol: String,
+      expectedHistoryItems: Long = 1L << 20): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    def fp(c: Column) =
+      struct(xxhash64(c).as("h1"), xxhash64(lit(0x9747b28c), c).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+    val canon = increment.withColumn("_fp", fp(col(textCol)))
+      .withColumn("_canon", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_canon"))
+    val bloomBytes = history.select(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(textCol))), expectedHistoryItems)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col(textCol)))))
+    val certainNovel = canon.filter(!mightContain)
+    val suspects = canon.filter(mightContain)
+    val nNovel = certainNovel.count()
+    val nSuspect = suspects.count()
+    val seen = history.select(fp(col(textCol)).as("_fp")).distinct()
+    // USING-column joins move _fp to the front — union by NAME
+    val out = certainNovel
+      .unionByName(suspects.join(seen, Seq("_fp"), "left_anti"))
+      .drop("_fp", "_canon")
+    (out, nNovel, nSuspect)
+  }
+
   /** Deterministic stratified mixture sampling: keep a row iff its
     * engine-portable hash-uniform u(key) < rate(stratum) — how a training
     * mix downsamples over-represented sources/languages. Rehashing the same

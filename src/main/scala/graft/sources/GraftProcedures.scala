@@ -113,12 +113,14 @@ object GraftProcedures {
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val before = t.currentSnapshot.snapshotId
-        var rewritten = -1
+        var rewritten = 0
         t.runCommit(Option(a(2)).map(_.asInstanceOf[String]) match {
           case Some(where) =>
             rewritten = Maintenance.compactWhere(s, t.url,
               parseWhere(where), intArg(a(1)))
-          case None => Maintenance.compact(s, t.url, intArg(a(1)))
+          case None =>
+            rewritten = t.liveFiles().size // full compaction rewrites all
+            Maintenance.compact(s, t.url, intArg(a(1)))
         })
         val after = resolve(a(0).asInstanceOf[String])
         oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
