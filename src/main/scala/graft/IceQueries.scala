@@ -41,7 +41,7 @@ object IceQueries {
     * commit sequence (a data file's rows die only if the data file's
     * sequence is strictly BELOW the delete file's — the Iceberg v2 rule),
     * with per-data-file sequences shipped as a VALUES table. */
-  private def duckLiveRows(t: IcebergTable, cols: Seq[String]): String = {
+  private[graft] def duckLiveRows(t: IcebergTable, cols: Seq[String]): String = {
     val dataFiles = t.liveFiles()
     val data = sqlPaths(dataFiles.map(f => t.resolvePath(f.filePath)))
     val (dvDels, pqDels) = t.positionDeleteFiles.partition(_.isDv)

@@ -30,6 +30,58 @@ object StreamQueries {
     EventStreams.sessionWindows(t(s, dir, "events"))
       .orderBy("user_id", "session_start")
 
+  /** CDC MIRROR round trip — the flagship change-data-capture composition:
+    * a source Iceberg table evolves through appends, position deletes, and
+    * an equality-delete upsert; a real readStream tails its CDC changelog
+    * one commit per micro-batch; foreachBatch APPLIES each batch to a
+    * mirror table (upsert the inserts, equality-delete the delete-only
+    * keys — within a one-commit batch a key with both is an update, which
+    * the upsert replaces). The mirror must END UP byte-equal to the
+    * source's live state, which the oracle replays from the source's own
+    * files (position/equality deletes included). At 100 TB this is the
+    * replication topology: per-commit batches, per-batch cost ∝ churn. */
+  def s10CdcMirror(s: SparkSession, dir: String): DataFrame = {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Pruning}
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s10").toString
+    val src = s"$tmp/src"
+    val dst = s"$tmp/dst"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    IcebergWriter.createTable(s, src, schema)
+    IcebergWriter.createTable(s, dst, schema)
+    IcebergWriter.append(s, src, (1L to 8L).map(i => (i, "a")).toDF("k", "v").coalesce(1))
+    IcebergWriter.append(s, src, (9L to 12L).map(i => (i, "b")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(s, src,
+      Pruning.And(Pruning.GtEq("k", 2L), Pruning.Lt("k", 4L)))
+    IcebergWriter.upsert(s, src,
+      Seq((4L, "u4"), (20L, "u20")).toDF("k", "v").coalesce(1), Seq("k"))
+
+    val stream = s.readStream.format("graft-iceberg")
+      .option("stream-mode", "cdc")
+      .option("stream-from-earliest", "true")
+      .option("max-snapshots-per-trigger", "1")
+      .load(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ins = batch.filter(col("_change_type") === "insert")
+          .select("k", "v")
+        val delOnly = batch.filter(col("_change_type") === "delete")
+          .select("k").except(ins.select("k"))
+        if (!ins.isEmpty) IcebergWriter.upsert(s, dst, ins, Seq("k"))
+        if (!delOnly.isEmpty) IcebergWriter.equalityDelete(s, dst, delOnly, Seq("k"))
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    IceQueries.dynamicOracle("s10_cdc_mirror") =
+      s"SELECT k, v FROM (${IceQueries.duckLiveRows(
+        IcebergTable.load(s, src), Seq("k", "v"))}) ORDER BY k"
+    IcebergTable.load(s, dst).read().select("k", "v").orderBy("k")
+  }
+
   /** Streaming ingestion into an Iceberg table: a real readStream over the
     * events parquet, one append snapshot per micro-batch, exactly-once via
     * the batch id recorded in snapshot summaries. */
@@ -273,6 +325,7 @@ object StreamQueries {
     "s7_stream_join" -> (s7StreamJoin _),
     "s8_stream_dedup" -> (s8StreamDedup _),
     "s9_session_window" -> (s9SessionWindow _),
+    "s10_cdc_mirror" -> (s10CdcMirror _),
   )
 
   val oracle: Map[String, String] = Map(
