@@ -330,6 +330,10 @@ object Corpus {
         ColumnBridge.expression(xxhash64(col(textCol))), expectedHistoryItems)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // empty history aggregates to a NULL filter: nothing was ever seen,
+    // so the whole canon batch is certainly novel
+    if (bloomBytes == null)
+      return (canon.drop("_fp", "_canon"), canon.count(), 0L)
     val mightContain = ColumnBridge.column(new BloomFilterMightContain(
       Literal(bloomBytes, BinaryType),
       ColumnBridge.expression(xxhash64(col(textCol)))))
