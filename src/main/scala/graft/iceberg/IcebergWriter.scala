@@ -1258,6 +1258,73 @@ object IcebergWriter {
     * manifest/file under its OWN spec (see `IcebergTable.pruningContextFor`).
     * A field identical to one in an existing spec (same source-id,
     * transform, and name) reuses its field-id, per the Iceberg spec. */
+  /** SET (or CLEAR) the table's default SORT ORDER — metadata-only, like
+    * partition-spec evolution: FUTURE writes range-partition + sort on the
+    * new order (tight, usually disjoint per-file bounds on the sort key);
+    * existing files keep their layout until a compact rewrites them under
+    * the new order. An identical existing order is REUSED by id; otherwise
+    * the new order appends with a fresh order-id (orders are immutable and
+    * id-referenced, per the spec). Empty `order` resets to unsorted
+    * (order 0) — the prerequisite for [[Maintenance.zorder]], which
+    * refuses sorted tables. */
+  def setSortOrder(spark: SparkSession, url: String,
+      order: Seq[(String, String)]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    commitWithRetry(spark, url, conf) { table =>
+      val old = mapper.readTree(metadataBaseJson(table, url, conf))
+        .asInstanceOf[ObjectNode]
+      val orders =
+        if (old.has("sort-orders")) old.withArray[ArrayNode]("sort-orders")
+        else { val a = mapper.createArrayNode(); old.set[ArrayNode]("sort-orders", a); a }
+      // order 0 (unsorted) must exist to resolve (legacy metadata may lack it)
+      if (!(0 until orders.size).exists(orders.get(_).get("order-id").asInt == 0)) {
+        val unsorted = mapper.createObjectNode()
+        unsorted.put("order-id", 0)
+        unsorted.set[ArrayNode]("fields", mapper.createArrayNode())
+        orders.insert(0, unsorted)
+      }
+      val targetId: Int =
+        if (order.isEmpty) 0
+        else {
+          val schema = table.iceSchema
+          val topIds = schema.fields.map(f => f.name -> f.id).toMap
+          val fieldsJson = mapper.createArrayNode()
+          order.foreach { case (src, direction) =>
+            require(Set("asc", "desc").contains(direction),
+              s"sort direction must be asc|desc, got $direction")
+            val f = schema.fields.find(_.name == src).getOrElse(
+              throw new IllegalArgumentException(s"no sort column $src"))
+            require(f.icebergTypeString != "variant",
+              s"variant column $src cannot be a sort key (no defined ordering)")
+            val fn = mapper.createObjectNode()
+            fn.put("transform", "identity")
+            fn.put("source-id", topIds(src))
+            fn.put("direction", direction)
+            fn.put("null-order", if (direction == "asc") "nulls-first" else "nulls-last")
+            fieldsJson.add(fn)
+          }
+          val same = (0 until orders.size).map(orders.get).find(o =>
+            o.get("fields") == fieldsJson)
+          same.map(_.get("order-id").asInt).getOrElse {
+            val next = (0 until orders.size)
+              .map(orders.get(_).get("order-id").asInt).max + 1
+            val o = mapper.createObjectNode()
+            o.put("order-id", next)
+            o.set[ArrayNode]("fields", fieldsJson)
+            orders.add(o)
+            next
+          }
+        }
+      if (Option(old.get("default-sort-order-id")).map(_.asInt).contains(targetId))
+        None // no-op
+      else {
+        old.put("default-sort-order-id", targetId)
+        old.put("last-updated-ms", System.currentTimeMillis())
+        Some(old.toPrettyString)
+      }
+    }
+  }
+
   def updatePartitionSpec(spark: SparkSession, url: String,
       partitions: Seq[(String, String)]): Unit = {
     val conf = spark.sessionState.newHadoopConf()

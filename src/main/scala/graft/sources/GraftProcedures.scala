@@ -422,6 +422,33 @@ object GraftProcedures {
             Row(id, nameById.getOrElse(id, null), ndv)
           }: _*), schema)
       }),
+    ProcDef("set_sort_order",
+      "Set (or clear) the table's default write sort order — metadata-only; " +
+        "future writes sort, compact rewrites old files under the new order",
+      Seq(tableParam, ParamDef("order", StringType, Some("NULL"),
+        comment = "comma-separated 'col [asc|desc]' list; NULL or 'none' " +
+          "resets to unsorted")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val parsed: Seq[(String, String)] =
+          Option(a(1)).map(_.asInstanceOf[String].trim)
+            .filterNot(v => v.isEmpty || v.equalsIgnoreCase("none"))
+            .map(_.split(',').toSeq.map { part =>
+              part.trim.split("\\s+") match {
+                case Array(c) => (c, "asc")
+                case Array(c, d) => (c, d.toLowerCase)
+                case _ => throw new IllegalArgumentException(
+                  s"cannot parse sort field '$part' (col [asc|desc])")
+              }
+            }).getOrElse(Nil)
+        t.runCommit(IcebergWriter.setSortOrder(s, t.url, parsed))
+        val after = resolve(a(0).asInstanceOf[String])
+        oneRow(s, StructType(Seq(
+          StructField("sort_order", StringType, nullable = false))),
+          if (after.sortOrderColumns.isEmpty) "unsorted"
+          else after.sortOrderColumns.map { case (c, d) => s"$c $d" }
+            .mkString(", "))
+      }),
     ProcDef("add_files",
       "Register EXISTING parquet/orc/avro files into the table WITHOUT " +
         "rewriting their data (metadata-only import; parquet/orc harvest " +

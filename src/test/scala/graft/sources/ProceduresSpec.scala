@@ -353,6 +353,52 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL set_sort_order: future writes sort with disjoint bounds; " +
+      "clearing unlocks zorder") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/so"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+      val r = spark.sql(s"CALL $cat.system.set_sort_order(" +
+        "table => 'db.so', order => 'k asc')").collect().head
+      assert(r.getAs[String]("sort_order") == "k asc")
+      // sorted write: files carry DISJOINT k ranges (AQE coalescing off so
+      // this tiny append still produces several range slices to compare)
+      val rnd = new scala.util.Random(7)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try IcebergWriter.append(spark, url,
+        rnd.shuffle((1L to 400L).toList).map(i => (i, i * 2))
+          .toDF("k", "v").repartition(4))
+      finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      val t = IcebergTable.load(spark, url)
+      assert(t.liveFiles().size > 1)
+      val ranges = t.liveFiles().map { f =>
+        (graft.iceberg.IcebergTypes.decodeBound(f.lowerBounds(1), "long")
+          .asInstanceOf[Long],
+         graft.iceberg.IcebergTypes.decodeBound(f.upperBounds(1), "long")
+          .asInstanceOf[Long])
+      }.sortBy(_._1)
+      assert(ranges.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }, s"sorted write must produce disjoint per-file k ranges: $ranges")
+      // an identical re-set is a no-op (order id reused, no new version churn)
+      spark.sql(s"CALL $cat.system.set_sort_order(table => 'db.so', " +
+        "order => 'k')").collect()
+      // clear: zorder refuses sorted tables, so the reset must unlock it
+      val r2 = spark.sql(s"CALL $cat.system.set_sort_order(" +
+        "table => 'db.so', order => 'none')").collect().head
+      assert(r2.getAs[String]("sort_order") == "unsorted")
+      spark.sql(s"CALL $cat.system.zorder(table => 'db.so', " +
+        "columns => 'k, v')").collect()
+      assert(spark.table(s"$cat.db.so").count() == 400)
+    }
+  }
+
   test("CALL add_files imports foreign ORC metadata-only; the rows read " +
       "back and count answers from harvested stats") {
     withCatalog { (cat, wh) =>
