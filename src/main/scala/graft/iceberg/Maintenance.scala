@@ -88,6 +88,7 @@ object Maintenance {
     val n = targetFiles.getOrElse(math.max(1,
       (matched.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
     val carryLineage = frozen.metadata.formatVersion >= 3
+    val sortedTable = frozen.sortOrderColumns.nonEmpty
     val base = {
       import org.apache.spark.sql.functions.col
       val sub = frozen.readSubset(matched)
@@ -95,8 +96,12 @@ object Maintenance {
       else sub.select(col("*"),
         col("_row_id"), col("_last_updated_sequence_number"))
     }
-    IcebergWriter.writeSnapshot(spark, url, base.repartition(n),
+    // sorted tables: the write path range-partitions on the sort order with
+    // targetPartitions output slices (a blind round-robin would fight it)
+    IcebergWriter.writeSnapshot(spark, url,
+      if (sortedTable) base else base.repartition(n),
       deletePred = None, operation = "replace",
+      targetPartitions = if (sortedTable) Some(n) else None,
       pinnedDeletes = Some(matched),
       dropDeleteManifests = false,
       pinnedDeleteFiles = Some(frozen.liveDeleteFiles
