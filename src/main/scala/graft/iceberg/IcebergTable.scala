@@ -1222,8 +1222,13 @@ object IcebergTable {
       } else {
         val url = url0.stripSuffix("/")
         val v = version.getOrElse(versionHint(url, conf))
-        (url, readString(s"$url/metadata/v$v.metadata.json", conf), v,
-          s"$url/metadata/v$v.metadata.json")
+        // foreign writers under `write.metadata.compression-codec=gzip`
+        // name the file v{N}.gzip.metadata.json (readString inflates it)
+        val plain = s"$url/metadata/v$v.metadata.json"
+        val path =
+          if (new Path(plain).getFileSystem(conf).exists(new Path(plain))) plain
+          else s"$url/metadata/v$v.gzip.metadata.json"
+        (url, readString(path, conf), v, path)
       }
     val md = TableMetadata.parse(metaJson)
     new IcebergTable(spark, url, originalUrl.getOrElse(md.location), md, ver, None, rawMetadataJson = metaJson, loadedFrom = fromPath)
@@ -1242,7 +1247,7 @@ object IcebergTable {
     else {
       val dir = new Path(s"$url/metadata")
       val fs = dir.getFileSystem(conf)
-      val V = """v(\d+)\.metadata\.json""".r
+      val V = """v(\d+)(?:\.gzip)?\.metadata\.json""".r
       try fs.listStatus(dir).flatMap(_.getPath.getName match {
         case V(n) => Some(n.toInt)
         case _ => None
@@ -1260,7 +1265,23 @@ object IcebergTable {
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      val bytes = out.toByteArray
+      // gzip-compressed metadata (foreign `write.metadata.compression-codec
+      // =gzip` tables): sniff the magic rather than trusting the name —
+      // catalogs hand us metadata-locations with either naming
+      val inflated =
+        if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val o2 = new java.io.ByteArrayOutputStream(bytes.length * 4)
+            val b2 = new Array[Byte](8192)
+            var m = gz.read(b2)
+            while (m >= 0) { o2.write(b2, 0, m); m = gz.read(b2) }
+            o2.toByteArray
+          } finally gz.close()
+        } else bytes
+      new String(inflated, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
 }

@@ -120,4 +120,33 @@ class IcebergTableSpec extends AnyFunSuite {
   test("unpartitioned table has no unique partitions") {
     assert(table.uniquePartitions().isEmpty)
   }
+
+  test("gzip-compressed metadata reads: v{N}.gzip.metadata.json naming " +
+      "and magic-sniffed payloads (foreign compression-codec=gzip tables)") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val url = java.nio.file.Files.createTempDirectory("graft_gzmeta").toString + "/t"
+    IcebergWriter.createTable(spark, url,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    IcebergWriter.append(spark, url,
+      (1L to 30L).map(Tuple1(_)).toDF("k").coalesce(1))
+    // rewrite the current metadata json the way a gzip-codec writer names
+    // and encodes it, dropping the plain file
+    val v = IcebergTable.versionHint(url,
+      spark.sessionState.newHadoopConf())
+    val plain = new java.io.File(s"$url/metadata/v$v.metadata.json")
+    val bytes = java.nio.file.Files.readAllBytes(plain.toPath)
+    val gz = new java.io.File(s"$url/metadata/v$v.gzip.metadata.json")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    out.write(bytes); out.close()
+    assert(plain.delete())
+    val t = IcebergTable.load(spark, url)
+    assert(t.read().count() == 30)
+    // explicit-path load sniffs the magic too
+    assert(IcebergTable.load(spark, gz.getAbsolutePath).read().count() == 30)
+  }
 }
