@@ -235,6 +235,37 @@ class PathCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS and RTAS: CREATE TABLE AS SELECT with hidden partitioning, " +
+      "REPLACE TABLE AS SELECT swaps schema and rows") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.db.src (k BIGINT, grp STRING)")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES " +
+        "(1,'a'),(2,'b'),(3,'a'),(4,'b'),(5,'a')")
+      spark.sql(s"CREATE TABLE $cat.db.ct PARTITIONED BY (grp) " +
+        s"AS SELECT k, grp FROM $cat.db.src WHERE k > 1")
+      assert(spark.table(s"$cat.db.ct").count() == 4)
+      // the CTAS table is a REAL partitioned Iceberg table: identity
+      // transform recorded, one file per value, partition pruning works
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      val t = graft.iceberg.IcebergTable.load(spark, s"$wh/db/ct")
+      assert(t.partitionSpec.fields.map(_.transform) == Seq("identity"))
+      assert(t.prunedFiles(graft.iceberg.Pruning.Eq("grp", "a")).size <
+        t.liveFiles().size)
+      // CTAS over an existing table refuses; IF NOT EXISTS is a no-op
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.db.ct AS SELECT 1L AS one")
+      }
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.ct AS SELECT 1L AS one")
+      assert(spark.table(s"$cat.db.ct").count() == 4)
+      // RTAS: new schema, new rows, same identifier
+      spark.sql(s"REPLACE TABLE $cat.db.ct AS " +
+        s"SELECT grp, count(*) AS n FROM $cat.db.src GROUP BY grp")
+      val got = spark.sql(s"SELECT grp, n FROM $cat.db.ct ORDER BY grp")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a", 3L), ("b", 2L)))
+    }
+  }
+
   test("VARIANT through SQL DDL + DML: create births v3, insert + variant_get") {
     withCatalog { cat =>
       spark.sql(s"CREATE TABLE $cat.db.vt (k BIGINT, v VARIANT)")
