@@ -1113,12 +1113,16 @@ object IceQueries {
       ext.sql(s"CREATE VIEW $cat.db.high AS " +
         s"SELECT k, name, r FROM $cat.db.n WHERE r >= 2")
       val firstRows = ext.sql(s"SELECT count(*) FROM $cat.db.high").head().getLong(0)
-      ext.sql(s"CREATE OR REPLACE VIEW $cat.db.high AS " +
+      // ALTER VIEW ... AS is the second redefinition spelling: appends
+      // version 2 exactly like CREATE OR REPLACE would
+      ext.sql(s"ALTER VIEW $cat.db.high AS " +
         s"SELECT k, name, r, r * 10 AS r10 FROM $cat.db.n WHERE r < 2")
       val vm = graft.iceberg.IcebergViews.load(ext, s"$wh/db/high")
+      val stmt = ext.sql(s"SHOW CREATE TABLE $cat.db.high").head().getString(0)
       val versionsOk =
         if (vm.currentVersionId == 2 && vm.versions.map(_.versionId) == Seq(1, 2) &&
-          vm.versionAt(1).sql.contains("r >= 2") && vm.schemas.size == 2) 1L else 0L
+          vm.versionAt(1).sql.contains("r >= 2") && vm.schemas.size == 2 &&
+          stmt.startsWith("CREATE VIEW") && stmt.contains("r < 2")) 1L else 0L
       val shown = ext.sql(s"SHOW VIEWS IN $cat.db").count()
       ext.sql(s"SELECT k, name, r, CAST(r10 AS BIGINT) AS r10 " +
           s"FROM $cat.db.high ORDER BY k")
