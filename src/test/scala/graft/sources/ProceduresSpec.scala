@@ -399,6 +399,38 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("set_sort_order then compact = sort-rewrite: pre-existing unsorted " +
+      "files come out range-sliced on the new order") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/sr"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      val rnd = new scala.util.Random(11)
+      // two unsorted files, each spanning the WHOLE key domain
+      for (_ <- 1 to 2) IcebergWriter.append(spark, url,
+        rnd.shuffle((1L to 300L).toList).map(Tuple1(_)).toDF("k").coalesce(1))
+      spark.sql(s"CALL $cat.system.set_sort_order(table => 'db.sr', " +
+        "order => 'k')").collect()
+      spark.sql(s"CALL $cat.system.compact(table => 'db.sr', " +
+        "target_files => 3)").collect()
+      val t = IcebergTable.load(spark, url)
+      assert(t.liveFiles().size == 3, "compact honors target on sorted tables")
+      val ranges = t.liveFiles().map { f =>
+        (graft.iceberg.IcebergTypes.decodeBound(f.lowerBounds(1), "long")
+          .asInstanceOf[Long],
+         graft.iceberg.IcebergTypes.decodeBound(f.upperBounds(1), "long")
+          .asInstanceOf[Long])
+      }.sortBy(_._1)
+      assert(ranges.sliding(2).forall {
+        case Seq((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }, s"sort-rewrite must produce disjoint ranges: $ranges")
+      assert(spark.table(s"$cat.db.sr").count() == 600)
+    }
+  }
+
   test("CALL add_files imports foreign ORC metadata-only; the rows read " +
       "back and count answers from harvested stats") {
     withCatalog { (cat, wh) =>
