@@ -311,10 +311,14 @@ object Corpus {
     * bloom only ROUTES rows, never decides membership.
     *
     * Returns (deduped, certainNovelCount, suspectCount) so callers can pin
-    * that the filter actually pruned. */
+    * that the filter actually pruned. The two counts are GAUGES costing one
+    * extra pass each over the increment (the small side) — production
+    * callers that don't audit the routing pass `withCounts = false` and
+    * get (-1, -1) with zero extra jobs. */
   def incrementalDedupBloom(increment: DataFrame, history: DataFrame,
       textCol: String, idCol: String,
-      expectedHistoryItems: Long = 1L << 20): (DataFrame, Long, Long) = {
+      expectedHistoryItems: Long = 1L << 20,
+      withCounts: Boolean = true): (DataFrame, Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -333,14 +337,15 @@ object Corpus {
     // empty history aggregates to a NULL filter: nothing was ever seen,
     // so the whole canon batch is certainly novel
     if (bloomBytes == null)
-      return (canon.drop("_fp", "_canon"), canon.count(), 0L)
+      return (canon.drop("_fp", "_canon"),
+        if (withCounts) canon.count() else -1L, if (withCounts) 0L else -1L)
     val mightContain = ColumnBridge.column(new BloomFilterMightContain(
       Literal(bloomBytes, BinaryType),
       ColumnBridge.expression(xxhash64(col(textCol)))))
     val certainNovel = canon.filter(!mightContain)
     val suspects = canon.filter(mightContain)
-    val nNovel = certainNovel.count()
-    val nSuspect = suspects.count()
+    val nNovel = if (withCounts) certainNovel.count() else -1L
+    val nSuspect = if (withCounts) suspects.count() else -1L
     val seen = history.select(fp(col(textCol)).as("_fp")).distinct()
     // USING-column joins move _fp to the front — union by NAME
     val out = certainNovel
