@@ -250,7 +250,11 @@ final class IcebergTable private (
   def changelogNet(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val cl = changelog(fromSnapshotId, toSnapshotId)
-    val dataCols = cl.columns.filterNot(_.startsWith("_")).toSeq
+    // data columns come from the TABLE SCHEMA, not a name-prefix filter:
+    // a user column legitimately named with a leading underscore must stay
+    // in the net-change key, or distinct rows silently merge
+    val schemaNames = schema.fieldNames.toSet
+    val dataCols = cl.columns.filter(schemaNames.contains).toSeq
     require(dataCols.nonEmpty, "changelog has no data columns")
     val signed = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val lastMeta = max_by(

@@ -25,12 +25,16 @@ object Maintenance {
     *  - time travel to pre-compaction snapshots still works (old files stay
     *    on disk until expireSnapshots).
     */
-  def compact(spark: SparkSession, url: String, targetFiles: Option[Int] = None): Unit = {
+  def compact(spark: SparkSession, url: String, targetFiles: Option[Int] = None): Int = {
     val t0 = IcebergWriter.resolveCurrent(spark, url)
-    if (t0.metadata.currentSnapshotId < 0) return
+    if (t0.metadata.currentSnapshotId < 0) return 0
     val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
     val pinned = frozen.liveFiles()
-    if (pinned.isEmpty) return
+    if (pinned.isEmpty) return 0
+    // same no-op guard as compactWhere: one file and no deletes to fold is
+    // already compact — rewriting it would burn I/O and a snapshot for
+    // nothing, and the caller's rewritten_files count must say 0
+    if (pinned.size < 2 && frozen.liveDeleteFiles.isEmpty) return 0
     val n = targetFiles.getOrElse(
       math.max(1, (pinned.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
     // sorted tables: skip the blind round-robin repartition — the write
@@ -61,6 +65,7 @@ object Maintenance {
       pinnedDeleteFiles = Some(frozen.liveDeleteFiles
         .map(f => frozen.resolvePath(f.filePath)).toSet),
       carryLineage = carryLineage)
+    pinned.size
   }
 
   /** SCOPED compaction: rewrite ONLY the live files `pred` selects (both

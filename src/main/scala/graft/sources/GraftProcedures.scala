@@ -96,7 +96,25 @@ object GraftProcedures {
       case other => throw new IllegalArgumentException(
         s"cannot parse predicate '$other' (col op literal | col IS [NOT] NULL)")
     }
-    val parts = s.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+    // split on AND only OUTSIDE single-quoted literals, so a valid
+    // predicate like name = 'rock and roll' survives ('' is the escape)
+    val parts = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var i = 0
+      var inQuote = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') { inQuote = !inQuote; cur.append(c); i += 1 }
+        else if (!inQuote && (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            s.regionMatches(true, i, "AND", 0, 3) &&
+            (i + 3 >= s.length || s.charAt(i + 3).isWhitespace)) {
+          out += cur.toString; cur.clear(); i += 3
+        } else { cur.append(c); i += 1 }
+      }
+      out += cur.toString
+      out.map(_.trim).filter(_.nonEmpty).toSeq
+    }
     require(parts.nonEmpty, "empty where predicate")
     parts.map(cmp).reduceLeft(And(_, _))
   }
@@ -119,8 +137,9 @@ object GraftProcedures {
             rewritten = Maintenance.compactWhere(s, t.url,
               parseWhere(where), intArg(a(1)))
           case None =>
-            rewritten = t.liveFiles().size // full compaction rewrites all
-            Maintenance.compact(s, t.url, intArg(a(1)))
+            // compact reports what it ACTUALLY rewrote — 0 when the
+            // no-op guard fires, not a pre-claimed liveFiles().size
+            rewritten = Maintenance.compact(s, t.url, intArg(a(1)))
         })
         val after = resolve(a(0).asInstanceOf[String])
         oneRow(s, StructType(Seq(longField("previous_snapshot_id"),
@@ -220,10 +239,24 @@ object GraftProcedures {
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val ms = a(1).asInstanceOf[java.lang.Long].longValue
+        // candidates are ANCESTORS of the current main snapshot only:
+        // metadata.snapshots also holds WAP/branch-staged non-ancestors,
+        // and resolving onto one would make rollbackTo refuse instead of
+        // picking the latest main-line snapshot at/before the timestamp
+        val ancestors = {
+          val b = scala.collection.mutable.Set.empty[Long]
+          var cur = t.snapshots.get(t.metadata.currentSnapshotId)
+          while (cur.isDefined) {
+            b += cur.get.snapshotId
+            cur = cur.get.parentSnapshotId.flatMap(t.snapshots.get)
+          }
+          b.toSet
+        }
         val fits = t.metadata.snapshots.zipWithIndex
-          .filter(_._1.timestampMs <= ms)
+          .filter { case (s2, _) =>
+            s2.timestampMs <= ms && ancestors.contains(s2.snapshotId) }
         require(fits.nonEmpty,
-          s"timestamp_ms=$ms predates every snapshot of ${a(0)}")
+          s"timestamp_ms=$ms predates every main-ancestor snapshot of ${a(0)}")
         val target = fits.maxBy { case (s2, i) => (s2.timestampMs, i) }._1
         val before = t.currentSnapshot.snapshotId
         t.runCommit(IcebergWriter.rollbackTo(s, t.url, target.snapshotId))
@@ -552,8 +585,14 @@ final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
         s"procedure ${d.name}: required parameter '${p.name}' was not supplied")
       case Some(sql) if sql.equalsIgnoreCase("NULL") => null
       case Some(sql) =>
+        // same Catalyst→JVM conversion read() applies to row values: a
+        // string default ('parquet') evals to UTF8String, which handlers
+        // consuming asInstanceOf[String] must never see
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseExpression(sql).eval(InternalRow.empty)
+          .parseExpression(sql).eval(InternalRow.empty) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other
+        }
     }
 
   override def call(input: InternalRow): util.Iterator[Scan] = {

@@ -271,4 +271,24 @@ class IncrementalReadSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("net changelog keys on SCHEMA columns — an underscore-named user " +
+      "column stays in the key and the output") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, StructType(Seq(
+      StructField("k", LongType), StructField("_src", StringType))))
+    IcebergWriter.append(spark, url,
+      Seq((1L, "web"), (1L, "api"), (2L, "web")).toDF("k", "_src").coalesce(1))
+    val base = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // distinct only by _src: a key derived by dropping _-prefixed columns
+    // would merge these two inserts and lose the column from the output
+    IcebergWriter.append(spark, url,
+      Seq((3L, "web"), (3L, "api")).toDF("k", "_src").coalesce(1))
+    val t = IcebergTable.load(spark, url)
+    val net = t.changelogNet(base, t.currentSnapshot.snapshotId)
+    assert(net.columns.contains("_src"), s"cols: ${net.columns.toSeq}")
+    val rows = net.select("k", "_src", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((3L, "web", "insert"), (3L, "api", "insert")))
+  }
 }

@@ -460,6 +460,92 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("subset-layout bind fills a string default as a JVM String " +
+      "(add_files with format omitted)") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/af"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      val ext = java.nio.file.Files.createTempDirectory("graft_af").toString
+      (1L to 30L).map(Tuple1(_)).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(ext)
+      // drive the by-name subset-layout fallback DIRECTLY: bind only
+      // (table, source_dir) — format must come from its declared
+      // 'parquet' default, converted to a JVM String exactly as read()
+      // converts row values (a leaked UTF8String CCEs in the handler)
+      val d = GraftProcedures.all.find(_.name == "add_files").get
+      val proc = new GraftUnboundProcedure(d,
+        n => IcebergTable.load(spark, s"$wh/${n.replace('.', '/')}"))
+      val bound = proc.bind(new org.apache.spark.sql.types.StructType()
+        .add("table", org.apache.spark.sql.types.StringType)
+        .add("source_dir", org.apache.spark.sql.types.StringType))
+      import org.apache.spark.unsafe.types.UTF8String
+      bound.call(org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString("db.af"), UTF8String.fromString(ext)))
+      assert(spark.table(s"$cat.db.af").count() == 30)
+      // and through SQL with reversed named-argument order
+      val ext2 = java.nio.file.Files.createTempDirectory("graft_af2").toString
+      (31L to 40L).map(Tuple1(_)).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(ext2)
+      spark.sql(s"CALL $cat.system.add_files(source_dir => '$ext2', " +
+        s"table => 'db.af')").collect()
+      assert(spark.table(s"$cat.db.af").count() == 40)
+    }
+  }
+
+  test("rollback_to_timestamp ignores staged non-ancestor snapshots") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/wt"
+      IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      IcebergWriter.append(spark, url, (1L to 10L).map(Tuple1(_)).toDF("k"))
+      Thread.sleep(5)
+      IcebergWriter.append(spark, url, (11L to 20L).map(Tuple1(_)).toDF("k"))
+      val mainB = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+      Thread.sleep(5)
+      // staged branch snapshot: NEWER than B, but not a main ancestor —
+      // the wall-clock resolver must skip it, not refuse on it
+      IcebergWriter.appendToBranch(spark, url,
+        (100L to 110L).map(Tuple1(_)).toDF("k"), "audit")
+      val staged = IcebergTable.load(spark, url).metadata.snapshots
+        .maxBy(_.timestampMs)
+      Thread.sleep(5)
+      IcebergWriter.append(spark, url, (21L to 30L).map(Tuple1(_)).toDF("k"))
+      val r = spark.sql(s"CALL $cat.system.rollback_to_timestamp(" +
+        s"table => 'db.wt', timestamp_ms => ${staged.timestampMs}L)")
+        .collect().head
+      assert(r.getAs[Long]("current_snapshot_id") == mainB)
+      assert(spark.table(s"$cat.db.wt").count() == 20)
+    }
+  }
+
+  test("CALL compact on an already-compact table reports 0 rewritten files") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/one"
+      build(url, files = 1)
+      val before = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+      val row = spark.sql(
+        s"CALL $cat.system.compact(table => 'db.one')").collect().head
+      assert(row.getAs[Int]("rewritten_files") == 0)
+      // no-op: no snapshot burned either
+      assert(row.getAs[Long]("current_snapshot_id") == before)
+    }
+  }
+
+  test("where-predicate literals containing ' and ' parse (quote-aware split)") {
+    import graft.iceberg.Pruning._
+    assert(GraftProcedures.parseWhere("cat = 'rock and roll'") ==
+      Eq("cat", "rock and roll"))
+    assert(GraftProcedures.parseWhere("cat = 'a and b' AND k >= 5") ==
+      And(Eq("cat", "a and b"), GtEq("k", 5L)))
+    assert(GraftProcedures.parseWhere("k > 1 and cat != 'x AND y'") ==
+      And(Gt("k", 1L), NotEq("cat", "x AND y")))
+  }
+
   test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
     withCatalog { (cat, _) =>
       val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
