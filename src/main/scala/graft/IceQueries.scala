@@ -1050,11 +1050,17 @@ object IceQueries {
     val nStagedRows = nation.filter(col("n_regionkey") === 0).count()
     val mainUnchanged = staged.read().count() == nBase
     val auditSaw = staged.atBranch("audit").read().count() == nBase + nStagedRows
+    // TIMESTAMP AS OF must resolve MAIN ancestors only: with the branch
+    // snapshot staged (and newer than main's head), a now-timestamp must
+    // still land on main's head, not leak the unpublished audit rows
+    val asOfSkipsStaged = staged
+      .asOfTimestamp(System.currentTimeMillis() + 60000).read().count() == nBase
     IcebergWriter.fastForward(s, url, "audit")
     val t = IcebergTable.load(s, url)
     t.read()
       .withColumn("main_unchanged_while_staged", lit(if (mainUnchanged) 1L else 0L))
       .withColumn("audit_saw_staged", lit(if (auditSaw) 1L else 0L))
+      .withColumn("asof_skips_staged", lit(if (asOfSkipsStaged) 1L else 0L))
       .orderBy("n_nationkey")
   }
 
@@ -2488,7 +2494,8 @@ object IceQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  CAST(1 AS BIGINT) AS main_unchanged_while_staged,
-        |  CAST(1 AS BIGINT) AS audit_saw_staged
+        |  CAST(1 AS BIGINT) AS audit_saw_staged,
+        |  CAST(1 AS BIGINT) AS asof_skips_staged
         |FROM (SELECT * FROM nation
         |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
         |ORDER BY n_nationkey""".stripMargin,

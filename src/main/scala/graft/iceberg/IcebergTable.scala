@@ -114,12 +114,34 @@ final class IcebergTable private (
     new IcebergTable(spark, url, originalUrl, metadata, version, Some(snap.snapshotId), rawMetadataJson = rawMetadataJson, loadedFrom = loadedFrom, commitScope = commitScope)
   }
 
-  /** Travel to the latest snapshot at or before a timestamp (extension —
-    * standard Iceberg `AS OF` semantics the reference lacks). */
+  /** Snapshot ids on the PUBLISHED main line: the parent chain of the
+    * current snapshot. `metadata.snapshots` also holds WAP/branch-STAGED
+    * snapshots that were never published to main — every timestamp-based
+    * resolver must restrict itself to this set, or a staged snapshot newer
+    * than main's head would resolve and silently leak rows the audit gate
+    * never published. */
+  def mainAncestorIds: Set[Long] = {
+    val b = scala.collection.mutable.Set.empty[Long]
+    var cur = snapshots.get(metadata.currentSnapshotId)
+    while (cur.isDefined) {
+      b += cur.get.snapshotId
+      cur = cur.get.parentSnapshotId.flatMap(snapshots.get)
+    }
+    b.toSet
+  }
+
+  /** Travel to the latest MAIN-ANCESTOR snapshot at or before a timestamp
+    * (extension — standard Iceberg `AS OF` semantics the reference lacks).
+    * Staged WAP/branch snapshots never resolve here: `TIMESTAMP AS OF`
+    * must not read unpublished data. Same-millisecond commits break the
+    * tie by metadata order (the snapshots list is append-ordered). */
   def asOfTimestamp(tsMs: Long): IcebergTable = {
-    val candidates = metadata.snapshots.filter(_.timestampMs <= tsMs)
-    require(candidates.nonEmpty, s"no snapshot at or before $tsMs")
-    atSnapshot(candidates.maxBy(_.timestampMs).snapshotId)
+    val ancestors = mainAncestorIds
+    val candidates = metadata.snapshots.zipWithIndex.filter { case (s, _) =>
+      s.timestampMs <= tsMs && ancestors.contains(s.snapshotId) }
+    require(candidates.nonEmpty,
+      s"no published (main-ancestor) snapshot at or before $tsMs")
+    atSnapshot(candidates.maxBy { case (s, i) => (s.timestampMs, i) }._1.snapshotId)
   }
 
   /** Named snapshot refs (metadata `refs`): branches move with commits,
@@ -343,6 +365,41 @@ final class IcebergTable private (
     val added = ch.added
     val removed = ch.removed
 
+    /** Project a frame read under `src`'s SNAPSHOT schema to the changelog
+      * table's schema BY FIELD ID, so a range spanning schema evolution
+      * emits rows in ONE coherent shape (Iceberg changelog semantics: the
+      * table's current schema): a renamed column maps write-time name →
+      * current name, a column added after the commit reads null, a dropped
+      * column disappears, and a dropped-then-re-added name does NOT
+      * resurrect the old bytes (the re-add has a fresh field id). Identical
+      * schemas reduce to the plain name select. Primitive type promotions
+      * (int→long, float→double) cast; an incompatible id-matched type
+      * refuses loudly rather than mis-shaping the changelog. */
+    def project(df: DataFrame, src: IcebergTable,
+        keep: Seq[String] = Nil): DataFrame = {
+      val srcById = src.iceSchema.fields.map(f => f.id -> f).toMap
+      def nested(t: String): Boolean =
+        t.startsWith("{") || t.startsWith("struct") ||
+          t.startsWith("list") || t.startsWith("map")
+      val dataCols = iceSchema.fields.zip(schema.fields).map { case (f, sf) =>
+        srcById.get(f.id) match {
+          case Some(s0) if s0.icebergTypeString == f.icebergTypeString =>
+            col(s0.name).as(f.name)
+          case Some(s0) if !nested(s0.icebergTypeString) &&
+              !nested(f.icebergTypeString) =>
+            col(s0.name).cast(sf.dataType).as(f.name)
+          case Some(s0) => throw new UnsupportedOperationException(
+            s"changelog range spans an incompatible type change on field " +
+              s"id ${f.id} (${s0.icebergTypeString} at snapshot " +
+              s"${s.snapshotId} vs ${f.icebergTypeString} now); narrow the " +
+              "range to one side of the change")
+          case None => lit(null).cast(sf.dataType).as(f.name)
+        }
+      }
+      df.select(dataCols ++ keep.map(col): _*)
+    }
+
+    /** Stamp an already-projected frame with the commit's change columns. */
     def tag(df: DataFrame, changeType: String): DataFrame =
       df.select(schema.fieldNames.map(col).toSeq
         :+ lit(changeType).as("_change_type")
@@ -351,9 +408,11 @@ final class IcebergTable private (
           .as("_commit_timestamp"): _*)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    if (added.nonEmpty) out += tag(cur.readSubset(added), "insert")
+    if (added.nonEmpty)
+      out += tag(project(cur.readSubset(added), cur), "insert")
     prev.foreach { p =>
-      if (removed.nonEmpty) out += tag(p.readSubset(removed), "delete")
+      if (removed.nonEmpty)
+        out += tag(project(p.readSubset(removed), p), "delete")
 
       // rows newly POSITION-deleted from files that survive this snapshot
       // (removed files already emitted all their live rows above)
@@ -399,7 +458,10 @@ final class IcebergTable private (
             org.apache.spark.sql.graftbridge.ScanBridge.morKey(path))
         }
         if (targets.nonEmpty) {
-          val rows = p.readSubset(targets, withMeta = true)
+          // project BEFORE the join: the rows carry current names even
+          // when the range spans schema evolution
+          val rows = project(p.readSubset(targets, withMeta = true), p,
+              keep = Seq("_file", "_pos"))
             .withColumn("_g_key", substring_index(col("_file"), "/data/", -1))
           out += tag(rows.join(delDf,
             rows("_g_key") === delDf("_g_key") && rows("_pos") === delDf("_g_pos"),
@@ -415,8 +477,12 @@ final class IcebergTable private (
             curPaths(rewrite(f.filePath)) && dataSequenceOf(f) < edSeq
           }
           if (targets.nonEmpty) {
+            // project first: eqDeleteKeys resolves keys to CURRENT names,
+            // so the join columns must be current-named too — otherwise a
+            // range spanning a rename (or a drop + re-add reusing the
+            // name) joins against the wrong generation's bytes
             val (keyNames, keyDf) = eqDeleteKeys(ed)
-            val rows = p.readSubset(targets)
+            val rows = project(p.readSubset(targets), p)
             val cond = keyNames.map(n => rows(n) <=> keyDf(n)).reduce(_ && _)
             out += tag(rows.join(keyDf, cond, "left_semi"), "delete")
           }
@@ -465,15 +531,7 @@ final class IcebergTable private (
     * audit signal the table exists for). Metadata-only. */
   def historyDf: DataFrame = {
     import spark.implicits._
-    val ancestors = {
-      val b = scala.collection.mutable.Set.empty[Long]
-      var cur = snapshots.get(metadata.currentSnapshotId)
-      while (cur.isDefined) {
-        b += cur.get.snapshotId
-        cur = cur.get.parentSnapshotId.flatMap(snapshots.get)
-      }
-      b.toSet
-    }
+    val ancestors = mainAncestorIds
     metadata.snapshotLog
       .map { case (ts, id) =>
         (new java.sql.Timestamp(ts), id,

@@ -1014,6 +1014,22 @@ object IcebergWriter {
     }
   }
 
+  /** Are any of `files` FOREIGN (imported id-less) — registered by
+    * `addFiles`/`importParquetDir` rather than written natively? Detected
+    * by the import snapshot marker, a non-parquet format, or a path
+    * outside the table's `data/` dir. Shared by the schema-evolution
+    * refusals below and by [[Maintenance.compact]] (whose fold-to-native
+    * rewrite is the documented remediation those refusals point at). */
+  private[iceberg] def hasForeignFiles(t: IcebergTable,
+      files: Seq[Manifests.DataFileInfo]): Boolean = {
+    val importIds = t.metadata.snapshots
+      .filter(_.summary.contains("graft-added-files")).map(_.snapshotId).toSet
+    files.exists(f =>
+      !f.fileFormat.equalsIgnoreCase("PARQUET") ||
+        f.snapshotId.exists(importIds) ||
+        !t.resolvePath(f.filePath).contains("/data/"))
+  }
+
   /** Rename/drop over a table holding live IMPORTED ID-LESS files is safe
     * only when `schema.name-mapping.default` covers them (the scan's
     * foreign batch then resolves by import-time names). Two loud refusals
@@ -1025,13 +1041,8 @@ object IcebergWriter {
   private def requireImportSafeEvolution(spark: SparkSession, url: String,
       column: String, op: String): Unit = {
     val t = resolveCurrent(spark, url)
-    val importIds = t.metadata.snapshots
-      .filter(_.summary.contains("graft-added-files")).map(_.snapshotId).toSet
     if (t.metadata.currentSnapshotId < 0) return
-    val hasForeign = t.liveFiles().exists(f =>
-      !f.fileFormat.equalsIgnoreCase("PARQUET") ||
-        f.snapshotId.exists(importIds) ||
-        !t.resolvePath(f.filePath).contains("/data/"))
+    val hasForeign = hasForeignFiles(t, t.liveFiles())
     if (!hasForeign) return
     if (column.split('.').length > 1 &&
         t.iceSchema.fields.exists(f => f.name == column.split('.').head &&

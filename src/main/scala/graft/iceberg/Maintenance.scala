@@ -31,12 +31,19 @@ object Maintenance {
     val frozen = t0.atSnapshot(t0.currentSnapshot.snapshotId)
     val pinned = frozen.liveFiles()
     if (pinned.isEmpty) return 0
-    // same no-op guard as compactWhere: one file and no deletes to fold is
-    // already compact — rewriting it would burn I/O and a snapshot for
-    // nothing, and the caller's rewritten_files count must say 0
-    if (pinned.size < 2 && frozen.liveDeleteFiles.isEmpty) return 0
     val n = targetFiles.getOrElse(
       math.max(1, (pinned.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
+    // no-op guard (shared shape with compactWhere): one file with no
+    // deletes to fold is already compact — rewriting it would burn I/O and
+    // a snapshot for nothing, and the caller's rewritten_files count must
+    // say 0. The guard must NOT fire when
+    //  - the file is FOREIGN (imported id-less): compaction is the
+    //    documented fold-to-native remediation renameColumn/dropColumn
+    //    point at, and a no-op would leave the table un-renamable forever;
+    //  - the explicit or size-derived target wants a SPLIT (n > 1): a
+    //    single 10 GB import must not stay one scan task forever.
+    if (pinned.size < 2 && frozen.liveDeleteFiles.isEmpty && n <= 1 &&
+        !IcebergWriter.hasForeignFiles(frozen, pinned)) return 0
     // sorted tables: skip the blind round-robin repartition — the write
     // path range-partitions on the sort order with targetPartitions output
     // slices, restoring the disjoint-bounds layout at the requested file
@@ -89,9 +96,13 @@ object Maintenance {
     val matched = frozen.prunedFiles(pred)
     val matchedPaths = matched.map(f => frozen.resolvePath(f.filePath)).toSet
     val hasDeletes = frozen.liveDeleteFiles.nonEmpty
-    if (matched.isEmpty || (matched.size < 2 && !hasDeletes)) return 0
+    if (matched.isEmpty) return 0
     val n = targetFiles.getOrElse(math.max(1,
       (matched.map(_.fileSizeInBytes).sum / (128L * 1024 * 1024)).toInt))
+    // same no-op guard as compact: skip when a split is wanted or the
+    // single matched file is foreign (fold-to-native remediation)
+    if (matched.size < 2 && !hasDeletes && n <= 1 &&
+        !IcebergWriter.hasForeignFiles(frozen, matched)) return 0
     val carryLineage = frozen.metadata.formatVersion >= 3
     val sortedTable = frozen.sortOrderColumns.nonEmpty
     val base = {

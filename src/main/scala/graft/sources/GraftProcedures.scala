@@ -56,67 +56,101 @@ object GraftProcedures {
   private def longField(n: String) = StructField(n, LongType, nullable = false)
   private def intField(n: String) = StructField(n, IntegerType, nullable = false)
 
+  /** Evaluate a declared parameter default (literal SQL: `NULL`, `1`,
+    * `'parquet'`, …) to the JVM value handlers consume. The parsed literal
+    * is CAST to the DECLARED param type before eval — an integer-shaped
+    * default for a LongType param ("259200000") otherwise evals to
+    * java.lang.Integer and the handler's `asInstanceOf[java.lang.Long]`
+    * throws — then Catalyst-internal values map to their JVM externals
+    * (UTF8String→String), same as `read()` does for supplied arguments. */
+  private[sources] def evalDefault(procName: String, p: ParamDef): Any =
+    p.defaultSql match {
+      case None => throw new IllegalArgumentException(
+        s"procedure $procName: required parameter '${p.name}' was not supplied")
+      case Some(sql) if sql.equalsIgnoreCase("NULL") => null
+      case Some(sql) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql), p.dt).eval(InternalRow.empty) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other
+        }
+    }
+
   private def intArg(a: Any): Option[Int] = Option(a).map {
     case i: Integer => i.intValue
     case l: java.lang.Long => l.intValue
   }
 
-  /** Parse the `where` file-selector grammar: AND-joined simple
-    * comparisons (`col op literal` with = != <> < <= > >=, `col IS
-    * [NOT] NULL`); literals are numbers, 'single-quoted' strings, or
-    * true/false. Deliberately small — the predicate selects FILES via the
-    * pruning tiers, so the same grammar every pruning consumer speaks. */
+  /** Parse the `where` file-selector grammar — simple comparisons
+    * (`col op literal` with = != <> < <= > >=, `col IS [NOT] NULL`,
+    * `col IN (...)`) combined with AND/OR and parentheses; literals are
+    * numbers, 'single-quoted' strings, or true/false. Parsed by Spark's
+    * own SQL expression parser (so quoting/precedence are exactly SQL) and
+    * translated to the [[graft.iceberg.Pruning.IcePredicate]] ADT, which
+    * already models disjunction — the predicate selects FILES via the
+    * pruning tiers, so the same grammar every pruning consumer speaks.
+    * Anything beyond that grammar (arithmetic, functions, column-to-column
+    * comparison) refuses loudly rather than mis-selecting files. */
   private[sources] def parseWhere(s: String): graft.iceberg.Pruning.IcePredicate = {
-    import graft.iceberg.Pruning._
-    val IsNullRe = "(?i)^([\\w.]+)\\s+IS\\s+NULL$".r
-    val NotNullRe = "(?i)^([\\w.]+)\\s+IS\\s+NOT\\s+NULL$".r
-    val CmpRe = "^([\\w.]+)\\s*(!=|<>|<=|>=|=|<|>)\\s*(.+)$".r
-    def lit(raw: String): Any = {
-      val v = raw.trim
-      if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
-        v.substring(1, v.length - 1).replace("''", "'")
-      else if (v.equalsIgnoreCase("true")) true
-      else if (v.equalsIgnoreCase("false")) false
-      else if (v.matches("[+-]?\\d+")) v.toLong
-      else if (v.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) v.toDouble
-      else throw new IllegalArgumentException(
-        s"cannot parse literal '$v' (number, 'string', or true/false)")
-    }
-    def cmp(part: String): IcePredicate = part.trim match {
-      case IsNullRe(c) => IsNull(c)
-      case NotNullRe(c) => NotNull(c)
-      case CmpRe(c, op, raw) => op match {
-        case "=" => Eq(c, lit(raw))
-        case "!=" | "<>" => NotEq(c, lit(raw))
-        case "<" => Lt(c, lit(raw))
-        case "<=" => LtEq(c, lit(raw))
-        case ">" => Gt(c, lit(raw))
-        case ">=" => GtEq(c, lit(raw))
+    import graft.iceberg.{Pruning => P}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    require(s != null && s.trim.nonEmpty, "empty where predicate")
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"cannot parse where predicate '$s': ${e.getMessage}")
       }
-      case other => throw new IllegalArgumentException(
-        s"cannot parse predicate '$other' (col op literal | col IS [NOT] NULL)")
+    def fail(e: Expression): Nothing = throw new IllegalArgumentException(
+      s"cannot translate '${e.sql}' to a file-selector predicate " +
+        "(col op literal | col IS [NOT] NULL | col IN (...), " +
+        "combined with AND/OR/parentheses)")
+    def colOf(e: Expression): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.mkString(".")
+      case other => fail(other)
     }
-    // split on AND only OUTSIDE single-quoted literals, so a valid
-    // predicate like name = 'rock and roll' survives ('' is the escape)
-    val parts = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      var i = 0
-      var inQuote = false
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\'') { inQuote = !inQuote; cur.append(c); i += 1 }
-        else if (!inQuote && (i == 0 || s.charAt(i - 1).isWhitespace) &&
-            s.regionMatches(true, i, "AND", 0, 3) &&
-            (i + 3 >= s.length || s.charAt(i + 3).isWhitespace)) {
-          out += cur.toString; cur.clear(); i += 3
-        } else { cur.append(c); i += 1 }
+    // literal values normalize to the JVM types the pruning evaluator
+    // compares against file bounds: integers widen to Long, decimals/
+    // floats to Double, UTF8String to String
+    def litOf(e: Expression): Any = e match {
+      case Literal(null, _) => throw new IllegalArgumentException(
+        "NULL is not a comparison literal — use IS NULL / IS NOT NULL")
+      case Literal(v, _) => v match {
+        case b: java.lang.Boolean => b.booleanValue
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case f: java.lang.Float => f.doubleValue
+        case n: java.lang.Number => n.longValue
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case _ => fail(e)
       }
-      out += cur.toString
-      out.map(_.trim).filter(_.nonEmpty).toSeq
+      case other => fail(other)
     }
-    require(parts.nonEmpty, "empty where predicate")
-    parts.map(cmp).reduceLeft(And(_, _))
+    def translate(e: Expression): P.IcePredicate = e match {
+      case And(l, r) => P.And(translate(l), translate(r))
+      case Or(l, r) => P.Or(translate(l), translate(r))
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => P.Eq(colOf(a), litOf(l))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => P.Eq(colOf(a), litOf(l))
+      case Not(EqualTo(a: UnresolvedAttribute, l: Literal)) => P.NotEq(colOf(a), litOf(l))
+      case Not(EqualTo(l: Literal, a: UnresolvedAttribute)) => P.NotEq(colOf(a), litOf(l))
+      case LessThan(a: UnresolvedAttribute, l: Literal) => P.Lt(colOf(a), litOf(l))
+      case LessThan(l: Literal, a: UnresolvedAttribute) => P.Gt(colOf(a), litOf(l))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => P.LtEq(colOf(a), litOf(l))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => P.GtEq(colOf(a), litOf(l))
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) => P.Gt(colOf(a), litOf(l))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) => P.Lt(colOf(a), litOf(l))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => P.GtEq(colOf(a), litOf(l))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => P.LtEq(colOf(a), litOf(l))
+      case IsNull(a: UnresolvedAttribute) => P.IsNull(colOf(a))
+      case IsNotNull(a: UnresolvedAttribute) => P.NotNull(colOf(a))
+      case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        P.In(colOf(a), vs.map(litOf))
+      case other => fail(other)
+    }
+    translate(parsed)
   }
 
   val all: Seq[ProcDef] = Seq(
@@ -126,8 +160,8 @@ object GraftProcedures {
         "(partition-scoped compaction)",
       Seq(tableParam, ParamDef("target_files", IntegerType, Some("NULL")),
         ParamDef("where", StringType, Some("NULL"),
-          "file selector: AND-joined `col op literal` / `col IS [NOT] " +
-            "NULL` — rewrites only matching files")),
+          "file selector: `col op literal` / `col IS [NOT] NULL` / " +
+            "`col IN (...)` with AND/OR/parens — rewrites only matching files")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val before = t.currentSnapshot.snapshotId
@@ -243,15 +277,7 @@ object GraftProcedures {
         // metadata.snapshots also holds WAP/branch-staged non-ancestors,
         // and resolving onto one would make rollbackTo refuse instead of
         // picking the latest main-line snapshot at/before the timestamp
-        val ancestors = {
-          val b = scala.collection.mutable.Set.empty[Long]
-          var cur = t.snapshots.get(t.metadata.currentSnapshotId)
-          while (cur.isDefined) {
-            b += cur.get.snapshotId
-            cur = cur.get.parentSnapshotId.flatMap(t.snapshots.get)
-          }
-          b.toSet
-        }
+        val ancestors = t.mainAncestorIds
         val fits = t.metadata.snapshots.zipWithIndex
           .filter { case (s2, _) =>
             s2.timestampMs <= ms && ancestors.contains(s2.snapshotId) }
@@ -305,12 +331,17 @@ object GraftProcedures {
         val name = Option(a(1)).map(_.asInstanceOf[String]).getOrElse(
           a(0).asInstanceOf[String].split('.').last + "_changes")
         def atOrBefore(ms: Long, what: String): Long = {
-          // ties (same-ms commits) break by metadata order: the snapshots
-          // list is append-ordered, so the last fitting entry IS latest
+          // MAIN ANCESTORS only — a staged WAP/branch snapshot newer than
+          // main must not become a changelog bound, or the view would
+          // include commits the audit gate never published. Ties (same-ms
+          // commits) break by metadata order: the snapshots list is
+          // append-ordered, so the last fitting entry IS latest.
+          val ancestors = t.mainAncestorIds
           val fits = t.metadata.snapshots.zipWithIndex
-            .filter(_._1.timestampMs <= ms)
+            .filter { case (s2, _) =>
+              s2.timestampMs <= ms && ancestors.contains(s2.snapshotId) }
           require(fits.nonEmpty,
-            s"$what=$ms predates every snapshot of ${a(0)}")
+            s"$what=$ms predates every published (main-ancestor) snapshot of ${a(0)}")
           fits.maxBy { case (s2, i) => (s2.timestampMs, i) }._1.snapshotId
         }
         val startTs = Option(a(6)).map(_.asInstanceOf[java.lang.Long].longValue)
@@ -578,22 +609,9 @@ final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
 
   override def isDeterministic: Boolean = false
 
-  /** Evaluate a declared default (literal SQL: `NULL`, `1`, …). */
+  /** Evaluate a declared default — see [[GraftProcedures.evalDefault]]. */
   private def defaultValue(p: GraftProcedures.ParamDef): Any =
-    p.defaultSql match {
-      case None => throw new IllegalArgumentException(
-        s"procedure ${d.name}: required parameter '${p.name}' was not supplied")
-      case Some(sql) if sql.equalsIgnoreCase("NULL") => null
-      case Some(sql) =>
-        // same Catalyst→JVM conversion read() applies to row values: a
-        // string default ('parquet') evals to UTF8String, which handlers
-        // consuming asInstanceOf[String] must never see
-        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseExpression(sql).eval(InternalRow.empty) match {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-          case other => other
-        }
-    }
+    GraftProcedures.evalDefault(d.name, p)
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val spark = SparkSession.active

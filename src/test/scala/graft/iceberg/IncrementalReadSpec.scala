@@ -291,4 +291,56 @@ class IncrementalReadSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(rows == Set((3L, "web", "insert"), (3L, "api", "insert")))
   }
+
+  test("changelog across schema drift emits ONE shape — the current " +
+      "schema, mapped by field id (rename, add, drop, re-add)") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    // anchor commit: changelog ranges are (from, to] — this gives the
+    // drifted frames below a range start that precedes all of them
+    IcebergWriter.append(spark, url, Seq((0L, "z")).toDF("k", "v").coalesce(1))
+    val anchor = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    val base = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    // drift: rename v → txt, add a new column, then append under the
+    // evolved schema
+    IcebergWriter.renameColumn(spark, url, "v", "txt")
+    IcebergWriter.addColumn(spark, url, "score", "long")
+    val df2 = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "txt", "score")
+    IcebergWriter.append(spark, url, df2.coalesce(1))
+
+    val t = IcebergTable.load(spark, url)
+    val cl = t.changelog(base, t.currentSnapshot.snapshotId)
+    assert(cl.columns.take(3).toSeq == Seq("k", "txt", "score"),
+      s"changelog must carry the CURRENT schema: ${cl.columns.toSeq}")
+    val got = cl.select("k", "txt", "score", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSet
+    assert(got == Set((3L, "c", 30L, "insert"), (4L, "d", 40L, "insert")))
+
+    // a range that INCLUDES the pre-rename commit: the old frame's `v`
+    // bytes surface under the current name `txt`, score reads null
+    val all = t.changelog(anchor, t.currentSnapshot.snapshotId)
+    val first = all.where("k = 1").collect().head
+    assert(first.getAs[String]("txt") == "a" && first.isNullAt(
+      all.columns.indexOf("score")))
+
+    // net changelog across the same drifted range stays keyed on the
+    // current schema and replays coherently
+    val net = t.changelogNet(base, t.currentSnapshot.snapshotId)
+    assert(net.columns.take(3).toSeq == Seq("k", "txt", "score"))
+    assert(net.where("_change_type = 'insert'").count() == 2)
+
+    // drop + RE-ADD of the original name: the changelog must not
+    // resurrect the dropped bytes under the re-added column (fresh id)
+    IcebergWriter.dropColumn(spark, url, "txt")
+    IcebergWriter.addColumn(spark, url, "txt", "string")
+    val t2 = IcebergTable.load(spark, url)
+    val resurrect = t2.changelog(anchor,
+      t2.currentSnapshot.snapshotId).select("txt").collect()
+    assert(resurrect.forall(_.isNullAt(0)),
+      "re-added same-named column must read null in the changelog, " +
+        "not the dropped generation's bytes")
+  }
 }

@@ -108,6 +108,55 @@ class WapSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves main ancestors only: a newer STAGED wap " +
+      "snapshot never leaks through any timestamp resolver") {
+    withCatalog { (cat, wh) =>
+      spark.sql(s"CREATE TABLE $cat.db.ts (k BIGINT) " +
+        "TBLPROPERTIES ('write.wap.enabled'='true')")
+      spark.sql(s"INSERT INTO $cat.db.ts VALUES (1), (2)")
+      spark.conf.set("spark.wap.id", "audit-ts")
+      spark.sql(s"INSERT INTO $cat.db.ts VALUES (100), (200), (300)")
+      spark.conf.unset("spark.wap.id")
+
+      val t = IcebergTable.load(spark, s"$wh/db/ts")
+      val staged = t.metadata.snapshots
+        .find(_.summary.get("wap.id").contains("audit-ts")).get
+      val mainHead = t.currentSnapshot.snapshotId
+      assert(staged.snapshotId != mainHead)
+      // a wall-clock strictly after the staged commit: the staged snapshot
+      // is the NEWEST fit by timestamp, but it was never published
+      val ms = math.max(staged.timestampMs, t.currentSnapshot.timestampMs) + 1000
+
+      // 1. direct API
+      assert(t.asOfTimestamp(ms).currentSnapshot.snapshotId == mainHead,
+        "asOfTimestamp must skip the staged non-ancestor")
+      // 2. SQL TIMESTAMP AS OF through the path catalog (micros → ms)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ts TIMESTAMP AS OF " +
+        s"timestamp_millis(${ms}L)").head.getLong(0) == 2,
+        "TIMESTAMP AS OF must return main's rows, not staged ones")
+      // 3. the as-of-ms reader option
+      assert(spark.read.format("graft-iceberg")
+        .option("as-of-ms", ms.toString).load(s"$wh/db/ts").count() == 2)
+      // 4. changelog-view timestamp bound: the staged commit must not
+      // enter the changelog range
+      spark.sql(s"CALL $cat.system.create_changelog_view(table => 'db.ts', " +
+        s"end_timestamp_ms => ${ms}L)")
+      val commits = spark.sql(
+        "SELECT DISTINCT _commit_snapshot_id FROM ts_changes")
+        .collect().map(_.getLong(0)).toSet
+      assert(!commits.contains(staged.snapshotId),
+        "changelog view must not include the staged commit")
+      spark.catalog.dropTempView("ts_changes")
+      // 5. rollback_to_timestamp already filters (r15); publishing then
+      // resolving at `ms` still lands on the PUBLISH commit, not staged-id
+      spark.sql(s"CALL $cat.system.publish_changes(table => 'db.ts', " +
+        "wap_id => 'audit-ts')")
+      val t2 = IcebergTable.load(spark, s"$wh/db/ts")
+      assert(t2.asOfTimestamp(System.currentTimeMillis())
+        .read().count() == 5, "after publish the rows are visible")
+    }
+  }
+
   test("wap confs are inert without the table's write.wap.enabled opt-in") {
     withCatalog { (cat, wh) =>
       spark.sql(s"CREATE TABLE $cat.db.n (k BIGINT)")

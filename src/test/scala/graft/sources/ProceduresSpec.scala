@@ -546,6 +546,103 @@ class ProceduresSpec extends AnyFunSuite {
       And(Gt("k", 1L), NotEq("cat", "x AND y")))
   }
 
+  test("where predicates support OR, parentheses, IN, IS NULL, and " +
+      "flipped literal-first comparisons") {
+    import graft.iceberg.Pruning._
+    assert(GraftProcedures.parseWhere("k = 1 OR k = 2") ==
+      Or(Eq("k", 1L), Eq("k", 2L)))
+    assert(GraftProcedures.parseWhere("(k < 10 OR k > 20) AND cat = 'x'") ==
+      And(Or(Lt("k", 10L), Gt("k", 20L)), Eq("cat", "x")))
+    assert(GraftProcedures.parseWhere("k IN (1, 2, 3)") ==
+      In("k", Seq(1L, 2L, 3L)))
+    assert(GraftProcedures.parseWhere("cat IS NULL OR cat IS NOT NULL") ==
+      Or(IsNull("cat"), NotNull("cat")))
+    // literal-first comparisons flip to the column-first ADT shape
+    assert(GraftProcedures.parseWhere("10 < k") == Gt("k", 10L))
+    assert(GraftProcedures.parseWhere("5 >= k") == LtEq("k", 5L))
+    // numeric widening: ints → Long, decimals → Double
+    assert(GraftProcedures.parseWhere("r <= 1.5") == LtEq("r", 1.5))
+    // SQL '' escaping inside strings
+    assert(GraftProcedures.parseWhere("cat = 'it''s'") == Eq("cat", "it's"))
+  }
+
+  test("malformed or out-of-grammar where predicates refuse loudly") {
+    def refuses(s: String): String =
+      intercept[IllegalArgumentException] {
+        GraftProcedures.parseWhere(s)
+      }.getMessage
+    assert(refuses("AND k = 1").contains("cannot parse"))
+    assert(refuses("k = 1 AND AND j = 2").contains("cannot parse"))
+    assert(refuses("").contains("empty"))
+    // parseable SQL but outside the file-selector grammar: loud, never
+    // a silent mis-selection of files
+    assert(refuses("k + 1 = 2").contains("cannot translate"))
+    assert(refuses("k = j").contains("cannot translate"))
+    assert(refuses("upper(cat) = 'X'").contains("cannot translate"))
+    assert(refuses("k = NULL").contains("IS NULL"))
+  }
+
+  test("scoped compaction with an OR predicate rewrites both disjunct " +
+      "ranges and leaves the middle file untouched") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/orc2"
+      build(url, files = 3) // k ranges: 101-150 / 201-250 / 301-350
+      val r = spark.sql(s"CALL $cat.system.compact(table => 'db.orc2', " +
+        "`where` => 'k < 180 OR k > 280')").collect().head
+      assert(r.getAs[Int]("rewritten_files") == 2)
+      assert(r.getAs[Int]("live_files") == 2,
+        "the two matched files fold to one; the 2xx file survives")
+      assert(spark.table(s"$cat.db.orc2").count() == 150, "rows preserved")
+    }
+  }
+
+  test("CALL compact with explicit target_files SPLITS a single file; " +
+      "target_files=1 stays a no-op") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/split"
+      build(url, files = 1)
+      val before = IcebergTable.load(spark, url)
+      assert(before.liveFiles().size == 1)
+      // explicit 1 → still already-compact: no snapshot burned
+      val noop = spark.sql(s"CALL $cat.system.compact(table => 'db.split', " +
+        "target_files => 1)").collect().head
+      assert(noop.getAs[Int]("rewritten_files") == 0)
+      assert(noop.getAs[Long]("current_snapshot_id") ==
+        before.currentSnapshot.snapshotId)
+      // explicit 4 → the oversized-file remedy: one file splits into 4
+      // (at 100 TB a single 10 GB import must not stay one scan task)
+      val split = spark.sql(s"CALL $cat.system.compact(table => 'db.split', " +
+        "target_files => 4)").collect().head
+      assert(split.getAs[Int]("rewritten_files") == 1)
+      assert(split.getAs[Int]("live_files") == 4)
+      assert(spark.table(s"$cat.db.split").count() == 50, "rows preserved")
+    }
+  }
+
+  test("declared parameter defaults eval to the declared JVM type for " +
+      "every procedure in the registry") {
+    for (d <- GraftProcedures.all; p <- d.params; sql <- p.defaultSql
+         if !sql.equalsIgnoreCase("NULL")) {
+      val v = GraftProcedures.evalDefault(d.name, p)
+      val ok = p.dt match {
+        case org.apache.spark.sql.types.StringType => v.isInstanceOf[String]
+        case org.apache.spark.sql.types.LongType => v.isInstanceOf[java.lang.Long]
+        case org.apache.spark.sql.types.IntegerType => v.isInstanceOf[java.lang.Integer]
+        case org.apache.spark.sql.types.BooleanType => v.isInstanceOf[java.lang.Boolean]
+        case other => fail(s"${d.name}.${p.name}: unexpected default type $other")
+      }
+      assert(ok, s"${d.name}.${p.name}: default '$sql' evaluated to " +
+        s"${v.getClass} but the declared type is ${p.dt} — a handler's " +
+        "asInstanceOf would throw when the by-name layout fills this default")
+    }
+    // the concrete regression: older_than_ms is an int-shaped literal on a
+    // LongType param — it must come back Long, not Integer
+    val orphans = GraftProcedures.all.find(_.name == "remove_orphan_files").get
+    val cutoff = GraftProcedures.evalDefault("remove_orphan_files",
+      orphans.params.find(_.name == "older_than_ms").get)
+    assert(cutoff == java.lang.Long.valueOf(3L * 24 * 3600 * 1000))
+  }
+
   test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
     withCatalog { (cat, _) =>
       val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
