@@ -1064,6 +1064,48 @@ object IceQueries {
       .orderBy("n_nationkey")
   }
 
+  /** The TABLE-MIGRATION procedure family end-to-end (Iceberg's snapshot /
+    * migrate / register_table over a raw parquet layout): `snapshot`
+    * registers the source files IN PLACE (metadata-only — pinned by the
+    * `snapshot_in_place` flag), `migrate` folds them into a self-contained
+    * table owning native files (`migrate_self_contained`), and
+    * `register_table` adopts the migrated table's metadata under a new
+    * catalog name without moving a data file (`register_shares_files`).
+    * Rows come back through the REGISTERED entry, so the oracle's nation
+    * replay also proves the adopted metadata serves the same bytes. */
+  def iceMigrate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val wh = java.nio.file.Files.createTempDirectory("graft_migq").toString
+    val cat = s"mq${wh.hashCode.toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftIcebergPathCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$wh/_src"
+    Queries.t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+      .repartition(3).write.parquet(src)
+
+    s.sql(s"CALL $cat.system.snapshot(table => 'db.snap', source_dir => '$src')")
+    s.sql(s"CALL $cat.system.migrate(table => 'db.mig', source_dir => '$src')")
+    val mig = graft.iceberg.IcebergTable.load(s, s"$wh/db/mig")
+    s.sql(s"CALL $cat.system.register_table(table => 'db.reg', " +
+      s"metadata_file => '$wh/db/mig/metadata/v${mig.version}.metadata.json')")
+
+    val st = graft.iceberg.IcebergTable.load(s, s"$wh/db/snap")
+    val snapInPlace = st.liveFiles().nonEmpty &&
+      st.liveFiles().forall(f => st.resolvePath(f.filePath).contains("/_src"))
+    val migSelf = mig.liveFiles().nonEmpty &&
+      mig.liveFiles().forall(f => mig.resolvePath(f.filePath).contains("/data/"))
+    val rt = graft.iceberg.IcebergTable.load(s, s"$wh/db/reg")
+    val regShared = rt.liveFiles().nonEmpty &&
+      rt.liveFiles().forall(f => rt.resolvePath(f.filePath).contains("db/mig"))
+    s.table(s"$cat.db.reg")
+      .withColumn("snapshot_in_place", lit(if (snapInPlace) 1L else 0L))
+      .withColumn("migrate_self_contained", lit(if (migSelf) 1L else 0L))
+      .withColumn("register_shares_files", lit(if (regShared) 1L else 0L))
+      .orderBy("n_nationkey")
+  }
+
   /** SQL row-level DML round-trip: UPDATE and MERGE INTO run Spark's
     * copy-on-write protocol against the V2 catalog table; DELETE takes the
     * position-delete path. The DuckDB oracle replays the same dataflow
@@ -2241,6 +2283,7 @@ object IceQueries {
     "ice_write_eq_multi"   -> (iceWriteEqDeleteMulti _),
     "ice_refs"             -> (iceRefs _),
     "ice_wap"              -> (iceWap _),
+    "ice_migrate"          -> (iceMigrate _),
     "ice_partitions_meta"  -> (icePartitionsMeta _),
     "ice_rewrite_deletes"  -> (iceRewriteDeletes _),
     "ice_sql_meta"         -> (iceSqlMeta _),
@@ -2498,6 +2541,14 @@ object IceQueries {
         |  CAST(1 AS BIGINT) AS asof_skips_staged
         |FROM (SELECT * FROM nation
         |      UNION ALL SELECT * FROM nation WHERE n_regionkey = 0)
+        |ORDER BY n_nationkey""".stripMargin,
+    "ice_migrate" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(1 AS BIGINT) AS snapshot_in_place,
+        |  CAST(1 AS BIGINT) AS migrate_self_contained,
+        |  CAST(1 AS BIGINT) AS register_shares_files
+        |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     // ice_write_eq_delete registers DYNAMICALLY (duckLiveRows replays the
     // written files' equality deletes in DuckDB — see iceWriteEqDelete)

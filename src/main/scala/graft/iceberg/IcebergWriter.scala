@@ -394,6 +394,60 @@ object IcebergWriter {
     addFiles(spark, url, parts.toSeq.sorted, "parquet")
   }
 
+  /** REGISTER an EXISTING Iceberg table under a new warehouse location from
+    * its `metadata.json` — Iceberg's `register_table` procedure shape:
+    * data files and manifests stay at their original absolute paths (zero
+    * data movement); only KB-scale metadata lands under the new root:
+    *  - the metadata file is copied as the new location's
+    *    `v1.metadata.json` with `location` rewritten to the new root, so
+    *    the absolute manifest/data paths inside manifests keep resolving
+    *    at the original site (the loader's original-url rewrite becomes
+    *    the identity) while FUTURE commits write under the new root;
+    *  - each snapshot's manifest-LIST avro is copied into the new
+    *    `metadata/` dir, because the loader resolves manifest lists by
+    *    basename under the local metadata dir (reference parity,
+    *    ice.py:148-151).
+    * The target must not already be a table, and manifest-list paths must
+    * be absolute (a relative one would dangle — refused loudly). Like
+    * Iceberg's procedure, registering a table that another catalog entry
+    * still commits to risks divergent histories — the caller owns that
+    * coordination. Returns the registered current snapshot id. */
+  def registerTable(spark: SparkSession, url: String,
+      metadataFile: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    require(IcebergTable.versionHint(url, conf) == 0,
+      s"register_table target $url already holds a table")
+    val json = IcebergTableIo.readString(metadataFile, conf)
+    val node = mapper.readTree(json).asInstanceOf[ObjectNode]
+    require(node.has("format-version") && node.get("format-version").asInt <= 3,
+      s"unsupported format-version in $metadataFile")
+    def absolute(p: String): Boolean =
+      p.startsWith("/") || p.contains(":/")
+    val manifestLists = if (!node.has("snapshots")) Nil else {
+      val snaps = node.withArray[ArrayNode]("snapshots")
+      (0 until snaps.size).map { i =>
+        val ml = Option(snaps.get(i).get("manifest-list")).map(_.asText)
+          .getOrElse("")
+        require(absolute(ml),
+          s"register_table needs absolute manifest-list paths; '$ml' is " +
+            "relative and would dangle under the new location")
+        ml
+      }
+    }
+    val dstDir = new Path(s"$url/metadata")
+    val dstFs = dstDir.getFileSystem(conf)
+    manifestLists.foreach { ml =>
+      val src = new Path(ml)
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+        dstFs, new Path(dstDir, src.getName), false, true, conf)
+    }
+    node.put("location", url)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    writeString(s"$url/metadata/v1.metadata.json", node.toPrettyString, conf)
+    writeString(s"$url/metadata/version-hint.text", "1", conf)
+    Option(node.get("current-snapshot-id")).map(_.asLong).getOrElse(-1L)
+  }
+
   /** Row count of an Avro data file: block headers carry per-block record
     * counts, so the scan skips from sync marker to sync marker without
     * decoding records. */

@@ -72,10 +72,17 @@ class GraftIcebergPathCatalog extends TableCatalog with IcebergTransformFunction
     * resolves through THIS catalog's warehouse layout. */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident, tbl => {
-      val parts = tbl.split('.')
-      IcebergTable.load(spark, dir(Identifier.of(parts.init, parts.last)))
-    })
+    GraftProcedures.load(ident,
+      (tbl: String) => {
+        val parts = tbl.split('.')
+        IcebergTable.load(spark, dir(Identifier.of(parts.init, parts.last)))
+      },
+      // the warehouse layout, for table-CREATING procedures
+      // (snapshot / migrate / register_table)
+      (tbl: String) => {
+        val parts = tbl.split('.')
+        dir(Identifier.of(parts.init, parts.last))
+      })
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)

@@ -40,12 +40,28 @@ object GraftProcedures {
   final case class ParamDef(name: String, dt: DataType,
       defaultSql: Option[String] = None, comment: String = "")
 
+  /** What a procedure body can reach from its serving catalog: the table
+    * RESOLVER (name → existing table; `apply` delegates so bodies read as
+    * `resolve(name)`), and — for filesystem-warehouse catalogs — the
+    * LAYOUT mapping a table name to its storage path, which the
+    * table-CREATING procedures (snapshot / migrate / register_table) need.
+    * Catalogs without a filesystem layout (REST) leave `tablePath` empty
+    * and those procedures refuse loudly instead of inventing a location. */
+  final case class ProcContext(resolveTable: String => IcebergTable,
+      tablePath: Option[String => String] = None) {
+    def apply(name: String): IcebergTable = resolveTable(name)
+    def pathOf(name: String): String = tablePath.getOrElse(
+      throw new UnsupportedOperationException(
+        "this catalog has no filesystem warehouse layout; snapshot / " +
+          "migrate / register_table need a path catalog"))(name)
+  }
+
   /** One procedure: SQL parameters (first is always `table`) + the body.
-    * `run` receives the catalog's resolver so it can re-resolve the table
-    * AFTER the operation for result reporting. */
+    * `run` receives the catalog's [[ProcContext]] so it can re-resolve the
+    * table AFTER the operation for result reporting. */
   final case class ProcDef(name: String, description: String,
       params: Seq[ParamDef],
-      run: (SparkSession, String => IcebergTable, IndexedSeq[Any]) => DataFrame)
+      run: (SparkSession, ProcContext, IndexedSeq[Any]) => DataFrame)
 
   private val tableParam =
     ParamDef("table", StringType, comment = "table identifier, e.g. 'db.t'")
@@ -545,6 +561,68 @@ object GraftProcedures {
           longField("total_records"))),
           found.size, after.countFromStats().getOrElse(-1L))
       }),
+    ProcDef("snapshot",
+      "Create a NEW table as a metadata-only snapshot of an existing " +
+        "parquet directory: the source files are referenced in place (no " +
+        "copy, no rewrite) — Iceberg's `snapshot` migration procedure over " +
+        "a raw parquet layout. The new table owns only metadata; compact " +
+        "it (or use `migrate`) to make it self-contained",
+      Seq(tableParam,
+        ParamDef("source_dir", StringType,
+          comment = "directory of parquet files to snapshot (recursive)")),
+      (s, resolve, a) => {
+        val name = a(0).asInstanceOf[String]
+        val path = resolve.pathOf(name)
+        require(graft.iceberg.IcebergTable.versionHint(path,
+            s.sessionState.newHadoopConf()) == 0,
+          s"snapshot target $name already holds a table")
+        IcebergWriter.importParquetDir(s, path, a(1).asInstanceOf[String])
+        val t = resolve(name)
+        oneRow(s, StructType(Seq(intField("imported_files"),
+          longField("total_records"))),
+          t.liveFiles().size, t.countFromStats().getOrElse(-1L))
+      }),
+    ProcDef("migrate",
+      "Create a NEW table from an existing parquet directory and make it " +
+        "SELF-CONTAINED: register the files metadata-only, then compact " +
+        "folds them into table-owned native files (the source directory is " +
+        "left in place but no longer referenced) — Iceberg's `migrate` " +
+        "shape without a Hive source to retire",
+      Seq(tableParam,
+        ParamDef("source_dir", StringType,
+          comment = "directory of parquet files to migrate (recursive)"),
+        ParamDef("target_files", IntegerType, Some("NULL"),
+          comment = "file count for the fold rewrite (default: ~128MB/file)")),
+      (s, resolve, a) => {
+        val name = a(0).asInstanceOf[String]
+        val path = resolve.pathOf(name)
+        require(graft.iceberg.IcebergTable.versionHint(path,
+            s.sessionState.newHadoopConf()) == 0,
+          s"migrate target $name already holds a table")
+        IcebergWriter.importParquetDir(s, path, a(1).asInstanceOf[String])
+        val folded = Maintenance.compact(s, path, intArg(a(2)))
+        val t = resolve(name)
+        oneRow(s, StructType(Seq(intField("migrated_files"),
+          intField("live_files"), longField("total_records"))),
+          folded, t.liveFiles().size, t.countFromStats().getOrElse(-1L))
+      }),
+    ProcDef("register_table",
+      "Create a catalog entry for an EXISTING Iceberg table from its " +
+        "metadata.json: data files and manifests stay at their absolute " +
+        "paths (only KB-scale metadata + manifest-list copies land under " +
+        "the new root); future commits write under the new location",
+      Seq(tableParam,
+        ParamDef("metadata_file", StringType,
+          comment = "path to the source table's vN.metadata.json")),
+      (s, resolve, a) => {
+        val name = a(0).asInstanceOf[String]
+        val snapId = IcebergWriter.registerTable(s, resolve.pathOf(name),
+          a(1).asInstanceOf[String])
+        val t = resolve(name)
+        oneRow(s, StructType(Seq(longField("current_snapshot_id"),
+          longField("total_records"))),
+          snapId, t.countFromStats().getOrElse(-1L))
+      }),
     ProcDef("compute_partition_stats",
       "Write + register the spec's partition statistics file (metadata-only)",
       Seq(tableParam),
@@ -565,12 +643,19 @@ object GraftProcedures {
       all.map(p => Identifier.of(Namespace, p.name)).toArray
     else Array.empty
 
-  def load(ident: Identifier, resolve: String => IcebergTable): UnboundProcedure = {
+  def load(ident: Identifier, resolve: String => IcebergTable): UnboundProcedure =
+    load(ident, ProcContext(resolve))
+
+  def load(ident: Identifier, resolve: String => IcebergTable,
+      pathOf: String => String): UnboundProcedure =
+    load(ident, ProcContext(resolve, Some(pathOf)))
+
+  def load(ident: Identifier, ctx: ProcContext): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),
       s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
     val d = byName.getOrElse(ident.name(), throw new IllegalArgumentException(
       s"unknown procedure ${ident.name()}; available: ${all.map(_.name).sorted.mkString(", ")}"))
-    new GraftUnboundProcedure(d, resolve)
+    new GraftUnboundProcedure(d, ctx)
   }
 }
 
@@ -586,7 +671,7 @@ object GraftProcedures {
   * args with a skipped middle optional would land values in the wrong
   * slots. */
 final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
-    resolve: String => IcebergTable)
+    ctx: GraftProcedures.ProcContext)
   extends UnboundProcedure with BoundProcedure {
 
   override def name(): String = d.name
@@ -637,7 +722,7 @@ final class GraftUnboundProcedure(d: GraftProcedures.ProcDef,
             s"${d.params.size} parameters are declared and no matching bound " +
             "input type was recorded")
       }
-    val df = d.run(spark, resolve, args)
+    val df = d.run(spark, ctx, args)
     val out = df.queryExecution.executedPlan.executeCollect()
       .map(_.copy(): InternalRow)
     val schema = df.schema

@@ -476,8 +476,8 @@ class ProceduresSpec extends AnyFunSuite {
       // 'parquet' default, converted to a JVM String exactly as read()
       // converts row values (a leaked UTF8String CCEs in the handler)
       val d = GraftProcedures.all.find(_.name == "add_files").get
-      val proc = new GraftUnboundProcedure(d,
-        n => IcebergTable.load(spark, s"$wh/${n.replace('.', '/')}"))
+      val proc = new GraftUnboundProcedure(d, GraftProcedures.ProcContext(
+        (n: String) => IcebergTable.load(spark, s"$wh/${n.replace('.', '/')}")))
       val bound = proc.bind(new org.apache.spark.sql.types.StructType()
         .add("table", org.apache.spark.sql.types.StringType)
         .add("source_dir", org.apache.spark.sql.types.StringType))
@@ -641,6 +641,68 @@ class ProceduresSpec extends AnyFunSuite {
     val cutoff = GraftProcedures.evalDefault("remove_orphan_files",
       orphans.params.find(_.name == "older_than_ms").get)
     assert(cutoff == java.lang.Long.valueOf(3L * 24 * 3600 * 1000))
+  }
+
+  test("CALL snapshot / migrate / register_table: the migration family — " +
+      "in-place snapshot, self-contained migrate, metadata-only adoption") {
+    withCatalog { (cat, wh) =>
+      // a raw parquet layout (3 files) no Iceberg table knows about
+      val src = s"$wh/_src_pq"
+      (1 to 3).foreach(i =>
+        (i * 100L to i * 100L + 49).map(k => (k, s"v$k")).toDF("k", "v")
+          .coalesce(1).write.mode("append").parquet(src))
+
+      // SNAPSHOT: metadata-only — the live files stay INSIDE the source dir
+      val snap = spark.sql(s"CALL $cat.system.snapshot(table => 'db.snap', " +
+        s"source_dir => '$src')").collect().head
+      assert(snap.getAs[Int]("imported_files") == 3)
+      assert(snap.getAs[Long]("total_records") == 150L)
+      val st = IcebergTable.load(spark, s"$wh/db/snap")
+      assert(st.liveFiles().forall(f =>
+        st.resolvePath(f.filePath).contains("_src_pq")),
+        "snapshot must reference the source files in place")
+      assert(spark.table(s"$cat.db.snap").count() == 150)
+      intercept[Exception] { // occupied target refuses
+        spark.sql(s"CALL $cat.system.snapshot(table => 'db.snap', " +
+          s"source_dir => '$src')").collect()
+      }
+
+      // MIGRATE: import + fold — the table owns native files under data/
+      val mig = spark.sql(s"CALL $cat.system.migrate(table => 'db.mig', " +
+        s"source_dir => '$src')").collect().head
+      assert(mig.getAs[Int]("migrated_files") == 3)
+      assert(mig.getAs[Long]("total_records") == 150L)
+      val mt = IcebergTable.load(spark, s"$wh/db/mig")
+      assert(mt.liveFiles().forall(f =>
+        mt.resolvePath(f.filePath).contains("/data/")),
+        "migrate must leave a self-contained table")
+      assert(spark.table(s"$cat.db.mig").count() == 150)
+      // self-contained ⇒ rename-safe immediately (id-carrying files)
+      IcebergWriter.renameColumn(spark, s"$wh/db/mig", "v", "txt")
+      assert(spark.table(s"$cat.db.mig")
+        .where("txt IS NOT NULL").count() == 150)
+
+      // REGISTER_TABLE: adopt db.mig's current metadata under a new name —
+      // nothing copied but one metadata.json; rows identical; the data
+      // files still live under the ORIGINAL root
+      val mt2 = IcebergTable.load(spark, s"$wh/db/mig")
+      val metaFile = s"$wh/db/mig/metadata/v${mt2.version}.metadata.json"
+      val reg = spark.sql(s"CALL $cat.system.register_table(" +
+        s"table => 'db.reg', metadata_file => '$metaFile')").collect().head
+      assert(reg.getAs[Long]("total_records") == 150L)
+      assert(spark.table(s"$cat.db.reg").count() == 150)
+      val rt = IcebergTable.load(spark, s"$wh/db/reg")
+      assert(rt.liveFiles().forall(f =>
+        rt.resolvePath(f.filePath).contains("db/mig")),
+        "register_table must not move data files")
+      // future commits land under the NEW root; adopted files stay live
+      spark.sql(s"INSERT INTO $cat.db.reg VALUES (9999, 'new')")
+      assert(spark.table(s"$cat.db.reg").count() == 151)
+      val rt2 = IcebergTable.load(spark, s"$wh/db/reg")
+      assert(rt2.liveFiles().exists(f =>
+        rt2.resolvePath(f.filePath).contains("db/reg")),
+        "the new commit's file must live under the registered root")
+    }
   }
 
   test("SHOW PROCEDURES lists the registry; unknown procedure refuses") {
