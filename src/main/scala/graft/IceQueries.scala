@@ -1070,9 +1070,12 @@ object IceQueries {
     * `snapshot_in_place` flag), `migrate` folds them into a self-contained
     * table owning native files (`migrate_self_contained`), and
     * `register_table` adopts the migrated table's metadata under a new
-    * catalog name without moving a data file (`register_shares_files`).
-    * Rows come back through the REGISTERED entry, so the oracle's nation
-    * replay also proves the adopted metadata serves the same bytes. */
+    * catalog name without moving a data file (`register_shares_files`),
+    * and `rewrite_table_path` stages a DR copy whose emitted plan, once
+    * executed, serves the same rows from the target prefix
+    * (`rewrite_path_roundtrip`). Rows come back through the REGISTERED
+    * entry, so the oracle's nation replay also proves the adopted
+    * metadata serves the same bytes. */
   def iceMigrate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val wh = java.nio.file.Files.createTempDirectory("graft_migq").toString
@@ -1099,10 +1102,33 @@ object IceQueries {
     val rt = graft.iceberg.IcebergTable.load(s, s"$wh/db/reg")
     val regShared = rt.liveFiles().nonEmpty &&
       rt.liveFiles().forall(f => rt.resolvePath(f.filePath).contains("db/mig"))
+
+    // rewrite_table_path: stage a DR copy of the migrated table, execute
+    // the emitted plan with plain filesystem copies, and prove the
+    // relocated table serves the same rows from the target prefix
+    val rrow = s.sql(s"CALL $cat.system.rewrite_table_path(" +
+      s"table => 'db.mig', source_prefix => '$wh', " +
+      s"target_prefix => '${wh}_copy')").collect().head
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        rrow.getAs[String]("file_list_path").stripPrefix("file:")))
+      .forEach { line =>
+        val parts = line.split('\t')
+        val to = java.nio.file.Paths.get(parts(1).stripPrefix("file:"))
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(parts(0).stripPrefix("file:")), to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    val moved = graft.iceberg.IcebergTable.load(s, s"${wh}_copy/db/mig")
+    val relocated = moved.read().count() == rt.read().count() &&
+      moved.liveFiles().nonEmpty && moved.liveFiles().forall(f =>
+        moved.resolvePath(f.filePath).contains("_copy"))
+
     s.table(s"$cat.db.reg")
       .withColumn("snapshot_in_place", lit(if (snapInPlace) 1L else 0L))
       .withColumn("migrate_self_contained", lit(if (migSelf) 1L else 0L))
       .withColumn("register_shares_files", lit(if (regShared) 1L else 0L))
+      .withColumn("rewrite_path_roundtrip", lit(if (relocated) 1L else 0L))
       .orderBy("n_nationkey")
   }
 
@@ -2547,7 +2573,8 @@ object IceQueries {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  CAST(1 AS BIGINT) AS snapshot_in_place,
         |  CAST(1 AS BIGINT) AS migrate_self_contained,
-        |  CAST(1 AS BIGINT) AS register_shares_files
+        |  CAST(1 AS BIGINT) AS register_shares_files,
+        |  CAST(1 AS BIGINT) AS rewrite_path_roundtrip
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     // ice_write_eq_delete registers DYNAMICALLY (duckLiveRows replays the

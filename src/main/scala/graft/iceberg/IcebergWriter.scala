@@ -3930,7 +3930,7 @@ object IcebergWriter {
 
   // ------------------------------------------------------------- fs io
 
-  private def writeString(path: String, content: String, conf: Configuration): Unit = {
+  private[iceberg] def writeString(path: String, content: String, conf: Configuration): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)

@@ -623,6 +623,33 @@ object GraftProcedures {
           longField("total_records"))),
           snapId, t.countFromStats().getOrElse(-1L))
       }),
+    ProcDef("rewrite_table_path",
+      "Prepare a table copy / DR relocation: rewrite every path-bearing " +
+        "metadata artifact (metadata.json, manifest lists, manifests) " +
+        "from source_prefix to target_prefix into a staging dir and emit " +
+        "a (source, target) copy plan — nothing moves, the live table is " +
+        "untouched; feed file_list_path to a bulk copier to finish",
+      Seq(tableParam,
+        ParamDef("source_prefix", StringType,
+          comment = "absolute path prefix to replace"),
+        ParamDef("target_prefix", StringType,
+          comment = "replacement prefix at the copy destination"),
+        ParamDef("staging_location", StringType, Some("NULL"),
+          comment = "where rewritten metadata lands (default: under the " +
+            "table's metadata dir)")),
+      (s, resolve, a) => {
+        val t = resolve(a(0).asInstanceOf[String])
+        val r = graft.iceberg.RewriteTablePath.rewrite(s, t.url,
+          a(1).asInstanceOf[String], a(2).asInstanceOf[String],
+          Option(a(3)).map(_.asInstanceOf[String]))
+        oneRow(s, StructType(Seq(
+          StructField("staging_location", StringType, nullable = false),
+          StructField("file_list_path", StringType, nullable = false),
+          intField("manifest_lists"), intField("manifests"),
+          longField("data_files"))),
+          r.stagingLocation, r.fileListPath, r.manifestLists, r.manifests,
+          r.dataFiles)
+      }),
     ProcDef("compute_partition_stats",
       "Write + register the spec's partition statistics file (metadata-only)",
       Seq(tableParam),
