@@ -41,10 +41,19 @@ class GraftIcebergCatalog extends TableCatalog with SupportsNamespaces
     * the same catalog atomicity as DML. */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident, tbl => {
-      val parts = tbl.split('.')
-      rest.loadTable(spark, parts.init.mkString("."), parts.last)
-    })
+    GraftProcedures.load(ident, GraftProcedures.ProcContext(
+      (tbl: String) => {
+        val parts = tbl.split('.')
+        rest.loadTable(spark, parts.init.mkString("."), parts.last)
+      },
+      tablePath = None, // no filesystem layout: snapshot/migrate refuse
+      // register_table goes through the REST register endpoint — the
+      // server records the existing metadata file, zero bytes move
+      register = Some((tbl: String, metaLoc: String) => {
+        val parts = tbl.split('.')
+        rest.registerTable(parts.init.mkString("."), parts.last, metaLoc)
+        ()
+      })))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)

@@ -48,7 +48,13 @@ object GraftProcedures {
     * Catalogs without a filesystem layout (REST) leave `tablePath` empty
     * and those procedures refuse loudly instead of inventing a location. */
   final case class ProcContext(resolveTable: String => IcebergTable,
-      tablePath: Option[String => String] = None) {
+      tablePath: Option[String => String] = None,
+      /** Catalog-native table registration (name, metadata-location) — the
+        * REST protocol's register endpoint: the catalog records the
+        * EXISTING metadata file as the new entry, zero bytes move. Set by
+        * catalogs whose server owns metadata locations; path catalogs use
+        * `tablePath` + a local metadata copy instead. */
+      register: Option[(String, String) => Unit] = None) {
     def apply(name: String): IcebergTable = resolveTable(name)
     def pathOf(name: String): String = tablePath.getOrElse(
       throw new UnsupportedOperationException(
@@ -164,6 +170,10 @@ object GraftProcedures {
       case IsNotNull(a: UnresolvedAttribute) => P.NotNull(colOf(a))
       case In(a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         P.In(colOf(a), vs.map(litOf))
+      // general NOT: translate the inner predicate, then push the negation
+      // through the ADT (De Morgan; IN becomes an AND of !=) — file-tier
+      // soundness is unchanged because every negated leaf is itself a leaf
+      case Not(inner) => P.negate(translate(inner))
       case other => fail(other)
     }
     translate(parsed)
@@ -616,12 +626,18 @@ object GraftProcedures {
           comment = "path to the source table's vN.metadata.json")),
       (s, resolve, a) => {
         val name = a(0).asInstanceOf[String]
-        val snapId = IcebergWriter.registerTable(s, resolve.pathOf(name),
-          a(1).asInstanceOf[String])
+        val metaFile = a(1).asInstanceOf[String]
+        resolve.register match {
+          // catalog-native registration (REST): the server records the
+          // existing metadata file as the entry — zero bytes move
+          case Some(reg) => reg(name, metaFile)
+          case None =>
+            IcebergWriter.registerTable(s, resolve.pathOf(name), metaFile)
+        }
         val t = resolve(name)
         oneRow(s, StructType(Seq(longField("current_snapshot_id"),
           longField("total_records"))),
-          snapId, t.countFromStats().getOrElse(-1L))
+          t.metadata.currentSnapshotId, t.countFromStats().getOrElse(-1L))
       }),
     ProcDef("rewrite_table_path",
       "Prepare a table copy / DR relocation: rewrite every path-bearing " +

@@ -92,6 +92,14 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
   def getTable(namespace: String, name: String): JsonNode =
     request("GET", s"/namespaces/$namespace/tables/$name")
 
+  /** REST spec `RegisterTableRequest` (POST …/namespaces/{ns}/register):
+    * the catalog records an EXISTING table's metadata file as a new entry —
+    * nothing copies; the server owns the entry from then on. */
+  def registerTable(namespace: String, name: String,
+      metadataLocation: String): JsonNode =
+    request("POST", s"/namespaces/$namespace/register", Some(
+      s"""{"name": "$name", "metadata-location": "$metadataLocation"}"""))
+
   /** rest_client.py:90-95 — `purge` asks the server to also drop data
     * files, carried as the REST spec's `purgeRequested` query parameter. */
   def deleteTable(namespace: String, name: String, purge: Boolean = false): Unit = {

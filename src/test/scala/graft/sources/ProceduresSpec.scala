@@ -564,6 +564,12 @@ class ProceduresSpec extends AnyFunSuite {
     assert(GraftProcedures.parseWhere("r <= 1.5") == LtEq("r", 1.5))
     // SQL '' escaping inside strings
     assert(GraftProcedures.parseWhere("cat = 'it''s'") == Eq("cat", "it's"))
+    // general NOT pushes through the ADT (De Morgan; NOT IN → AND of !=)
+    assert(GraftProcedures.parseWhere("NOT (k < 10 OR cat = 'x')") ==
+      And(GtEq("k", 10L), NotEq("cat", "x")))
+    assert(GraftProcedures.parseWhere("k NOT IN (1, 2)") ==
+      And(NotEq("k", 1L), NotEq("k", 2L)))
+    assert(GraftProcedures.parseWhere("cat IS NOT NULL") == NotNull("cat"))
   }
 
   test("malformed or out-of-grammar where predicates refuse loudly") {

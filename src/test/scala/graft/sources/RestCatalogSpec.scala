@@ -67,6 +67,19 @@ class RestCatalogSpec extends AnyFunSuite {
           reply(ex, 200,
             s"""{"metadata-location": "${tables(s"$ns.$name")}",
                  "metadata": {"current-snapshot-id": -1}}""")
+        case ("POST", ns :: "register" :: Nil) =>
+          // REST spec RegisterTableRequest: adopt an existing metadata file
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val name = """"name":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("?")
+          val metaLoc = """"metadata-location":\s*"([^"]+)"""".r
+            .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+          if (metaLoc.isEmpty || tables.contains(s"$ns.$name"))
+            reply(ex, 409, """{"error": "invalid or duplicate register"}""")
+          else {
+            tables(s"$ns.$name") = metaLoc
+            reply(ex, 200, s"""{"metadata-location": "$metaLoc"}""")
+          }
         case ("GET", ns :: "tables" :: t :: Nil) =>
           tables.get(s"$ns.$t") match {
             case Some(metaLoc) =>
@@ -567,6 +580,58 @@ class RestCatalogSpec extends AnyFunSuite {
         t.currentSnapshot.snapshotId)
       assert(scala.io.Source.fromFile(s"$url/metadata/version-hint.text")
         .mkString.trim == "1")
+    }
+  }
+
+  test("CALL register_table through REST: the server adopts an existing " +
+      "metadata file — zero bytes move, rows serve through the new entry") {
+    withServer { (cat, server) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      // a real table OUTSIDE the catalog
+      val url = java.nio.file.Files.createTempDirectory("graft_rest_reg")
+        .toString + "/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      graft.iceberg.IcebergWriter.append(spark, url,
+        (1L to 25L).map(Tuple1(_)).toDF("id"))
+      val v = graft.iceberg.IcebergTable.load(spark, url).version
+      cat.createNamespace("db")
+
+      val catName = s"icereg${server.getAddress.getPort}"
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.sources.GraftIcebergCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.uri",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val row = spark.sql(s"CALL $catName.system.register_table(" +
+        s"table => 'db.adopted', " +
+        s"metadata_file => '$url/metadata/v$v.metadata.json')").collect().head
+      assert(row.getAs[Long]("total_records") == 25L)
+      // the entry serves reads; the metadata file was adopted, not copied
+      assert(spark.sql(s"SELECT count(*) FROM $catName.db.adopted")
+        .head.getLong(0) == 25L)
+      assert(cat.getTable("db", "adopted").get("metadata-location").asText
+        == s"$url/metadata/v$v.metadata.json")
+      // duplicate registration refuses (server-side 409)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $catName.system.register_table(" +
+          s"table => 'db.adopted', " +
+          s"metadata_file => '$url/metadata/v$v.metadata.json')").collect()
+      }
+      assert(e.getMessage.contains("409") || e.getMessage.contains("duplicate"))
+      // snapshot/migrate stay path-catalog-only: loud refusal here
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $catName.system.snapshot(table => 'db.s2', " +
+          s"source_dir => '$url/data')").collect()
+      }
+      assert(e2.getMessage.contains("path catalog") ||
+        Option(e2.getCause).exists(_.getMessage.contains("path catalog")))
     }
   }
 
