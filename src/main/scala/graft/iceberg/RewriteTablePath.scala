@@ -44,15 +44,23 @@ object RewriteTablePath {
       metadataFiles: Int, manifestLists: Int, manifests: Int, dataFiles: Long)
 
   def rewrite(spark: SparkSession, url: String, sourcePrefix: String,
-      targetPrefix: String, stagingLocation: Option[String] = None): Result = {
+      targetPrefix: String, stagingLocation: Option[String] = None): Result =
+    rewriteTable(spark, IcebergWriter.resolveCurrent(spark, url),
+      sourcePrefix, targetPrefix, stagingLocation)
+
+  /** The table-taking form: catalogs resolve THEIR view of the table (a
+    * REST catalog's current metadata can be ahead of the filesystem
+    * version hint) and pass it here, so the staged copy reflects exactly
+    * what the catalog serves. */
+  def rewriteTable(spark: SparkSession, table: IcebergTable,
+      sourcePrefix: String, targetPrefix: String,
+      stagingLocation: Option[String] = None): Result = {
     require(sourcePrefix.nonEmpty && targetPrefix.nonEmpty,
       "source_prefix and target_prefix must be non-empty")
     require(sourcePrefix != targetPrefix,
       "source_prefix equals target_prefix — nothing to rewrite")
     val conf = spark.sessionState.newHadoopConf()
-    val table = IcebergWriter.resolveCurrent(spark, url)
-    require(table.metadata.currentSnapshotId >= 0 ||
-      table.metadata.snapshots.isEmpty, s"cannot resolve $url")
+    val url = table.url
 
     // metadata stores BOTH path forms — scheme-less (/tmp/…/data/f.parquet)
     // and scheme-qualified (file:/tmp/…, hdfs://nn/…): rewrite the path
@@ -141,11 +149,18 @@ object RewriteTablePath {
           root.withArray[ArrayNode](sect).asScala
             .foreach(s => reField(s.asInstanceOf[ObjectNode], "statistics-path"))
       }
-      val metaName = s"v${table.version}.metadata.json"
+      // the staged metadata takes the SOURCE file's own name (a
+      // metadata-file-resolved table reports version 0; the basename is
+      // always right), and the hint mirrors its version number
+      // (a gzip-compressed source writes back PLAIN, so the staged name
+      // drops the .gzip marker — the loader prefers the plain form)
+      val metaName = name(table.loadedFrom)
+        .replace(".gzip.metadata.json", ".metadata.json")
+      val hintV = "v(\\d+)".r.findFirstMatchIn(metaName)
+        .map(_.group(1)).getOrElse("1")
       IcebergWriter.writeString(s"$staging/$metaName", root.toPrettyString, conf)
       plan(s"$staging/$metaName", re(s"$url/metadata/$metaName"))
-      IcebergWriter.writeString(s"$staging/version-hint.text",
-        table.version.toString, conf)
+      IcebergWriter.writeString(s"$staging/version-hint.text", hintV, conf)
       plan(s"$staging/version-hint.text", re(s"$url/metadata/version-hint.text"))
 
       Result(staging, fileListPath, metadataFiles = 1,

@@ -655,7 +655,9 @@ object GraftProcedures {
             "table's metadata dir)")),
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
-        val r = graft.iceberg.RewriteTablePath.rewrite(s, t.url,
+        // pass the CATALOG's resolution, not a re-resolve: a REST table's
+        // current metadata can be ahead of the filesystem version hint
+        val r = graft.iceberg.RewriteTablePath.rewriteTable(s, t,
           a(1).asInstanceOf[String], a(2).asInstanceOf[String],
           Option(a(3)).map(_.asInstanceOf[String]))
         oneRow(s, StructType(Seq(

@@ -635,6 +635,61 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL rewrite_table_path through REST stages the CATALOG's current " +
+      "metadata, not the stale filesystem hint") {
+    withServer { (cat, server) =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_rest_rtp").toString
+      val url = s"$root/site_a/t"
+      graft.iceberg.IcebergWriter.createTable(spark, url,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      cat.createNamespace("db")
+      cat.createTable("db", "t", Seq("id" -> "long"), location = Some(url))
+      // two REST commits, then FORCE the filesystem hint stale: the
+      // catalog's metadata-location stays current while a hint-based
+      // re-resolve would land on the empty v1
+      cat.commitAppend(spark, "db", "t",
+        (1L to 20L).map(Tuple1(_)).toDF("id").coalesce(1))
+      cat.commitAppend(spark, "db", "t",
+        (21L to 40L).map(Tuple1(_)).toDF("id").coalesce(1))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$url/metadata/version-hint.text"),
+        "1".getBytes)
+
+      val catName = s"icertp${server.getAddress.getPort}"
+      spark.conf.set(s"spark.sql.catalog.$catName",
+        "graft.sources.GraftIcebergCatalog")
+      spark.conf.set(s"spark.sql.catalog.$catName.uri",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val r = spark.sql(s"CALL $catName.system.rewrite_table_path(" +
+        s"table => 'db.t', source_prefix => '$root/site_a', " +
+        s"target_prefix => '$root/site_b')").collect().head
+      assert(r.getAs[Long]("data_files") == 2L)
+      // the staged copy reflects the catalog's snapshot-bearing metadata:
+      // execute the plan and the target must serve the 40 rows the REST
+      // entry serves — a hint-resolved rewrite would stage empty v1
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          r.getAs[String]("file_list_path").stripPrefix("file:")))
+        .forEach { line =>
+          val parts = line.split('\t')
+          val to = java.nio.file.Paths.get(parts(1).stripPrefix("file:"))
+          java.nio.file.Files.createDirectories(to.getParent)
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(parts(0).stripPrefix("file:")), to,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      assert(graft.iceberg.IcebergTable.load(spark, s"$root/site_b/t")
+        .read().count() == 40)
+    }
+  }
+
   test("CALL compute_partition_stats through REST: the stats file " +
       "registers catalog-atomically and the result row carries its path") {
     withServer { (cat, server) =>
