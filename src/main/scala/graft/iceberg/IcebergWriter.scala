@@ -379,19 +379,37 @@ object IcebergWriter {
     * inferred from the files, registration + footer-stats harvest via
     * [[addFiles]] — zero data rewritten (the `migrate`/`add_files` shape
     * that onboards an existing 100 TB dataset as one metadata commit). */
-  def importParquetDir(spark: SparkSession, url: String, dir: String): Unit = {
-    val schema = spark.read.parquet(dir).schema
+  def importParquetDir(spark: SparkSession, url: String, dir: String): Unit =
+    importDir(spark, url, dir, "parquet")
+
+  /** Migrate a plain columnar directory (parquet or orc) into a NEW
+    * Iceberg table in one metadata commit: schema inferred from the files,
+    * files registered in place via [[addFiles]] (footer stats harvested,
+    * no data read or moved). Avro lacks dir-level schema inference here
+    * (no spark-avro connector on the classpath) — create the table with an
+    * explicit schema and use [[addFiles]] directly for avro. */
+  def importDir(spark: SparkSession, url: String, dir: String,
+      format: String): Unit = {
+    val schema = format.toLowerCase match {
+      case "parquet" => spark.read.parquet(dir).schema
+      case "orc" => spark.read.orc(dir).schema
+      case other => throw new IllegalArgumentException(
+        s"directory import infers schema for parquet|orc only, got " +
+          s"'$other' (for avro: createTable with an explicit schema, then " +
+          "add_files)")
+    }
     createTable(spark, url, schema)
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
+    val suffix = s".${format.toLowerCase}"
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(d, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) parts += st.getPath.toString
+      if (st.getPath.getName.endsWith(suffix)) parts += st.getPath.toString
     }
-    addFiles(spark, url, parts.toSeq.sorted, "parquet")
+    addFiles(spark, url, parts.toSeq.sorted, format.toLowerCase)
   }
 
   /** REGISTER an EXISTING Iceberg table under a new warehouse location from

@@ -579,14 +579,17 @@ object GraftProcedures {
         "it (or use `migrate`) to make it self-contained",
       Seq(tableParam,
         ParamDef("source_dir", StringType,
-          comment = "directory of parquet files to snapshot (recursive)")),
+          comment = "directory of files to snapshot (recursive)"),
+        ParamDef("format", StringType, Some("'parquet'"),
+          comment = "parquet | orc")),
       (s, resolve, a) => {
         val name = a(0).asInstanceOf[String]
         val path = resolve.pathOf(name)
         require(graft.iceberg.IcebergTable.versionHint(path,
             s.sessionState.newHadoopConf()) == 0,
           s"snapshot target $name already holds a table")
-        IcebergWriter.importParquetDir(s, path, a(1).asInstanceOf[String])
+        IcebergWriter.importDir(s, path, a(1).asInstanceOf[String],
+          Option(a(2)).map(_.asInstanceOf[String]).getOrElse("parquet"))
         val t = resolve(name)
         oneRow(s, StructType(Seq(intField("imported_files"),
           longField("total_records"))),
@@ -600,16 +603,19 @@ object GraftProcedures {
         "shape without a Hive source to retire",
       Seq(tableParam,
         ParamDef("source_dir", StringType,
-          comment = "directory of parquet files to migrate (recursive)"),
+          comment = "directory of files to migrate (recursive)"),
         ParamDef("target_files", IntegerType, Some("NULL"),
-          comment = "file count for the fold rewrite (default: ~128MB/file)")),
+          comment = "file count for the fold rewrite (default: ~128MB/file)"),
+        ParamDef("format", StringType, Some("'parquet'"),
+          comment = "parquet | orc")),
       (s, resolve, a) => {
         val name = a(0).asInstanceOf[String]
         val path = resolve.pathOf(name)
         require(graft.iceberg.IcebergTable.versionHint(path,
             s.sessionState.newHadoopConf()) == 0,
           s"migrate target $name already holds a table")
-        IcebergWriter.importParquetDir(s, path, a(1).asInstanceOf[String])
+        IcebergWriter.importDir(s, path, a(1).asInstanceOf[String],
+          Option(a(3)).map(_.asInstanceOf[String]).getOrElse("parquet"))
         val folded = Maintenance.compact(s, path, intArg(a(2)))
         val t = resolve(name)
         oneRow(s, StructType(Seq(intField("migrated_files"),

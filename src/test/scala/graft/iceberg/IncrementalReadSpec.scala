@@ -343,4 +343,31 @@ class IncrementalReadSpec extends AnyFunSuite {
       "re-added same-named column must read null in the changelog, " +
         "not the dropped generation's bytes")
   }
+
+  test("changelog across a KEY-column rename: equality-delete frames " +
+      "project to current names before the key join") {
+    val url = freshTable
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((0L, "z")).toDF("k", "v").coalesce(1))
+    val anchor = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    IcebergWriter.append(spark, url,
+      (1L to 5L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    // equality-delete ON THE KEY COLUMN under its write-time name...
+    IcebergWriter.upsert(spark, url,
+      Seq((2L, "new2")).toDF("k", "v").coalesce(1), Seq("k"))
+    // ...then rename the key AND the value column
+    IcebergWriter.renameColumn(spark, url, "k", "key")
+    IcebergWriter.renameColumn(spark, url, "v", "txt")
+
+    val t = IcebergTable.load(spark, url)
+    val rows = t.changelog(anchor, t.currentSnapshot.snapshotId)
+      .select("key", "txt", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._1, r._3))
+    // the range holds the original insert of key=2 AND its later
+    // eq-delete + re-insert; all frames carry CURRENT names
+    assert(rows.toSeq == Seq((1L, "a1", "insert"), (2L, "a2", "delete"),
+      (2L, "a2", "insert"), (2L, "new2", "insert"), (3L, "a3", "insert"),
+      (4L, "a4", "insert"), (5L, "a5", "insert")),
+      s"got: ${rows.toSeq}")
+  }
 }

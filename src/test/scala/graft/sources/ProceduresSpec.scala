@@ -673,6 +673,16 @@ class ProceduresSpec extends AnyFunSuite {
           s"source_dir => '$src')").collect()
       }
 
+      // SNAPSHOT of an ORC layout: format parameter routes the inference
+      val orcSrc = s"$wh/_src_orc"
+      (1L to 30L).map(k => (k, k * 2.0)).toDF("a", "b")
+        .coalesce(1).write.orc(orcSrc)
+      val orcSnap = spark.sql(s"CALL $cat.system.snapshot(" +
+        s"table => 'db.osnap', source_dir => '$orcSrc', format => 'orc')")
+        .collect().head
+      assert(orcSnap.getAs[Long]("total_records") == 30L)
+      assert(spark.table(s"$cat.db.osnap").count() == 30)
+
       // MIGRATE: import + fold — the table owns native files under data/
       val mig = spark.sql(s"CALL $cat.system.migrate(table => 'db.mig', " +
         s"source_dir => '$src')").collect().head
