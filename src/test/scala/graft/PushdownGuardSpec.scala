@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scan-efficiency guard: the headline relational queries must keep their
+  * filters PUSHED to the parquet scan and their read schemas PRUNED to the
+  * referenced columns. At 100 TB a scan that reads all 16 lineitem columns
+  * for a 4-column aggregate, or re-filters rows the footer stats could have
+  * skipped, is the difference between minutes and hours — so a regression
+  * in plan shape fails CI here, not in a cluster bill. */
+class PushdownGuardSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q06: every filter reaches the parquet scan as a pushed predicate") {
+    val plan = formatted("q06_forecast_revenue")
+    assert(plan.contains("PushedFilters:"), s"no pushdown section:\n$plan")
+    // all three filter columns appear INSIDE the pushed-filter list
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+  }
+
+  test("q06: read schema prunes to the referenced columns only") {
+    val plan = formatted("q06_forecast_revenue")
+    val read = plan.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(read.contains(c), s"$c missing from scan: $read"))
+    // a 16-column table must NOT be read whole for a 4-column aggregate
+    Seq("l_comment", "l_orderkey", "l_partkey").foreach(c =>
+      assert(!read.contains(c), s"unreferenced $c read by the scan: $read"))
+  }
+
+  test("q02: projection pushdown narrows the scan; filter pushes") {
+    val plan = formatted("q02_filter_project")
+    val read = plan.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(!read.contains("l_comment"),
+      s"projection must prune unreferenced columns: $read")
+    assert(plan.linesIterator.filter(_.contains("PushedFilters:"))
+      .mkString.length > "PushedFilters: []".length,
+      "q02's filter must reach the scan")
+  }
+
+  test("q05: the dimension joins broadcast — no shuffle of nation/region") {
+    val df = SparkEntry.queries("q05_nation_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small dimensions must broadcast:\n$plan")
+  }
+
+  test("q01: the aggregate runs partial-then-final (map-side combine " +
+      "before the shuffle)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n$plan")
+    // two HashAggregate nodes = partial + final; a single one would ship
+    // raw rows through the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation before the exchange:\n$plan")
+  }
+
+  test("whole-stage codegen covers the q06 hot path") {
+    val df = SparkEntry.queries("q06_forecast_revenue")(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans render as `*(n)` prefixes in the tree string; both the
+    // scan-side stage and the final aggregate stage must be covered
+    val stages = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet
+    assert(stages.size >= 2,
+      s"scan+filter+aggregate must run inside whole-stage codegen " +
+        s"(found spans: $stages):\n$plan")
+  }
+}
