@@ -405,6 +405,25 @@ object LlmQueries {
         TF.tokenCount(col("text")) < 40, num = 4, den = 10)
       .select(col("doc_id"), col("source")).orderBy("doc_id")
 
+  /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
+    * 10-token windows (w=50 in production; 10 suits the short synthetic
+    * docs) whose text repeats anywhere in the corpus, non-canonical
+    * occurrences merged into maximal removable `[start, end)` token
+    * ranges. The oracle replays window generation, corpus-first canonical
+    * choice, and the gaps-and-islands merge — hash-checking every span
+    * boundary. */
+  def pipeSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    Corpus.substringSpans(t(s, dir, "documents"), "text", "doc_id", w = 10)
+      .orderBy("doc_id", "span_start")
+
+  /** The rewrite pass over the same spans ([[Corpus.substringDedup]]):
+    * each document with its removable spans cut out, canonical copies
+    * kept. The oracle rebuilds `clean_text` token-by-token, so the cut
+    * positions and the reassembled text are hash-checked exactly. */
+  def pipeSubstringClean(s: SparkSession, dir: String): DataFrame =
+    Corpus.substringDedup(t(s, dir, "documents"), "text", "doc_id", w = 10)
+      .orderBy("doc_id")
+
   /** Corpus-wide repeated-line removal: the documents table has no
     * newlines, so the query first RE-LINES each text deterministically
     * (3-token lines) and then strips every line whose distinct-document
@@ -564,6 +583,8 @@ object LlmQueries {
     "pipe_source_filter" -> (pipeSourceFilter _),
     "pipe_chunk"        -> (pipeChunk _),
     "pipe_line_dedup"   -> (pipeLineDedup _),
+    "pipe_substring_spans" -> (pipeSubstringSpans _),
+    "pipe_substring_clean" -> (pipeSubstringClean _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -925,6 +946,66 @@ object LlmQueries {
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
       ORDER BY doc_id""",
+    // repeated-span detection replayed: 10-token windows, corpus-first
+    // canonical (min doc_id, pos), overlapping/adjacent flags merged via
+    // gaps-and-islands — DuckDB groups by the window TEXT where Spark
+    // groups by its 128-bit fingerprint (identical up to negligible
+    // collisions)
+    "pipe_substring_spans" -> """
+      WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+      wins AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+10], ' ') AS win
+               FROM toks, unnest(range(0, greatest(len(t)-9, 0))) AS u(i)),
+      flagged AS (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+          FROM wins) WHERE rn > 1),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+            FROM flagged),
+      isl AS (SELECT doc_id, pos, sum(new_island) OVER (
+                PARTITION BY doc_id ORDER BY pos) AS island FROM m)
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    // the rewrite replayed: same spans, then token i survives unless a
+    // span covers it (DuckDB lambda indices are 1-based, hence i-1)
+    "pipe_substring_clean" -> """
+      WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+      wins AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+10], ' ') AS win
+               FROM toks, unnest(range(0, greatest(len(t)-9, 0))) AS u(i)),
+      flagged AS (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+          FROM wins) WHERE rn > 1),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+            FROM flagged),
+      isl AS (SELECT doc_id, pos, sum(new_island) OVER (
+                PARTITION BY doc_id ORDER BY pos) AS island FROM m),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 10 AS e
+                FROM isl GROUP BY doc_id, island),
+      sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+             FROM spans GROUP BY doc_id)
+      SELECT t.doc_id,
+        coalesce(array_to_string(list_filter(t.t, (tok, i) ->
+          sp.sp IS NULL OR
+          len(list_filter(sp.sp, r -> (i-1) >= r.s AND (i-1) < r.e)) = 0),
+          ' '), '') AS clean_text,
+        CAST(len(t.t) AS BIGINT) AS n_tokens,
+        CAST(len(t.t) - len(list_filter(t.t, (tok, i) ->
+          sp.sp IS NULL OR
+          len(list_filter(sp.sp, r -> (i-1) >= r.s AND (i-1) < r.e)) = 0))
+          AS BIGINT) AS n_tokens_removed
+      FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+      ORDER BY t.doc_id""",
     // re-lining + boilerplate cut replayed: 3-token lines, lines present in
     // ≥2 distinct docs dropped everywhere, survivors rejoined in order
     "pipe_line_dedup" -> """

@@ -374,4 +374,105 @@ object Corpus {
     }
     df.filter(u < rate)
   }
+
+  /** Cross-document REPEATED-SPAN detection — the span-level analogue of
+    * [[lineDedup]] (after the exact-substring dedup of "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022, done
+    * window-wise instead of suffix-array-wise so it distributes): every
+    * `w`-token window whose exact text occurs ≥ 2 times ANYWHERE in the
+    * corpus (across documents or repeated inside one) is a duplicated
+    * span; the corpus-first occurrence (minimum (doc, position)) stays
+    * canonical and every OTHER occurrence is flagged for removal.
+    * Overlapping and adjacent flagged windows merge into maximal spans per
+    * document (gaps-and-islands), so a verbatim-quoted paragraph comes
+    * back as ONE removable `[start, end)` token range, not `len-w+1`
+    * window hits.
+    *
+    * Returns one row per removable span:
+    * `(id, span_start, span_end, n_windows)` — token positions, 0-based,
+    * end-exclusive.
+    *
+    * Scale shape: tokenization is a projection; window generation is one
+    * explode to O(total tokens) rows of `(id, pos, 128-bit fingerprint)` —
+    * ~24 bytes/token through the shuffle, never the window text itself;
+    * the frequency pass and the flag join share the fingerprint
+    * partitioning (one exchange, reused by AQE); the interval merge is a
+    * per-document window function over FLAGGED rows only (a small fraction
+    * of the corpus). Nothing is quadratic and no state sits on the driver.
+    * The fingerprint is two independent xxhash64 seeds = 128 bits, so the
+    * dedup is exact-text up to ~n²/2¹²⁹ collision odds (negligible below
+    * ~10¹⁵ windows — beyond even a 100 TB corpus). */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 50): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    val toks = df.select(col(idCol).as("_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("_t"))
+    // docs shorter than w yield no windows (they can still CONTAIN no
+    // duplicated span by definition — a span needs w tokens)
+    val wins = toks.filter(size(col("_t")) >= w)
+      .select(col("_id"),
+        explode(sequence(lit(0), size(col("_t")) - w)).as("_pos"), col("_t"))
+      .select(col("_id"), col("_pos").cast("long").as("_pos"),
+        array_join(slice(col("_t"), col("_pos") + lit(1), lit(w)), " ")
+          .as("_win"))
+      .select(col("_id"), col("_pos"),
+        xxhash64(col("_win")).as("_h1"),
+        xxhash64(lit(0x5bd1e995), col("_win")).as("_h2"))
+    val freq = wins.groupBy(col("_h1"), col("_h2"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col("_id"), col("_pos"))).as("_canon"))
+      .filter(col("_cnt") >= 2)
+    val flagged = wins.join(freq, Seq("_h1", "_h2"))
+      .filter(!(col("_id") === col("_canon._id") &&
+        col("_pos") === col("_canon._pos")))
+      .select(col("_id"), col("_pos"))
+    // merge overlapping/adjacent [pos, pos+w) intervals per document: a new
+    // island starts strictly past the running max end, so touching windows
+    // ([0,10) + [10,20)) fold into one contiguous removable region
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+    val prevEnd = max(col("_pos") + w).over(byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("_new",
+        when(col("_pos") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col("_id"), col("_island"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** REWRITE pass over [[substringSpans]]: each document comes back with
+    * its removable spans cut out (`clean_text`), plus the token counts the
+    * pipeline's before/after accounting needs. Canonical occurrences stay,
+    * so every duplicated span survives in exactly one place corpus-wide —
+    * unlike [[lineDedup]], which drops boilerplate EVERYWHERE (boilerplate
+    * carries no signal; a unique paragraph should keep one copy).
+    * Documents with no flagged span pass through verbatim. One extra
+    * by-document shuffle over [[substringSpans]] (the span list is
+    * collected per document — O(spans), tiny) plus the rewrite projection;
+    * the corpus text moves once. */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 50): DataFrame = {
+    val spans = substringSpans(df, textCol, idCol, w)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
+    val toks = df.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), " ").as("_t"))
+    // (element, index) filter: token i survives unless some span covers it;
+    // _sp is NULL for untouched docs (left join) — short-circuit to keep
+    val kept = filter(col("_t"), (_, i) =>
+      col("_sp").isNull || !exists(col("_sp"), s =>
+        i >= s.getField("span_start") && i < s.getField("span_end")))
+    toks.join(spans, Seq(idCol), "left")
+      .withColumn("_kept", kept)
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        (size(col("_t")) - size(col("_kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
 }
