@@ -405,6 +405,22 @@ object LlmQueries {
         TF.tokenCount(col("text")) < 40, num = 4, den = 10)
       .select(col("doc_id"), col("source")).orderBy("doc_id")
 
+  /** Embedding-space balanced sampling ([[Corpus.clusterBalance]]): 16
+    * sign-pattern clusters (bits=4), at most 16 kept per cluster by the
+    * engine-portable poly31 u-rank. The oracle replays the bucketing and
+    * the full top-N per cluster, pinning that the two-pass bin selection
+    * equals an exact per-cluster ranking. */
+  def pipeClusterMix(s: SparkSession, dir: String): DataFrame =
+    Corpus.clusterBalance(t(s, dir, "embeddings"), "embedding", "vec_id",
+      perBucket = 16, bits = 4, bins = 16).orderBy("vec_id")
+
+  /** Token-rarity quality scores ([[Corpus.docRarity]]): min and sum of
+    * corpus token frequencies per document, exact-integer so DuckDB
+    * replays the scores bit-for-bit. */
+  def txDocRarity(s: SparkSession, dir: String): DataFrame =
+    Corpus.docRarity(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
     * 10-token windows (w=50 in production; 10 suits the short synthetic
     * docs) whose text repeats anywhere in the corpus, non-canonical
@@ -585,6 +601,8 @@ object LlmQueries {
     "pipe_line_dedup"   -> (pipeLineDedup _),
     "pipe_substring_spans" -> (pipeSubstringSpans _),
     "pipe_substring_clean" -> (pipeSubstringClean _),
+    "pipe_cluster_mix"  -> (pipeClusterMix _),
+    "tx_doc_rarity"     -> (txDocRarity _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -946,6 +964,38 @@ object LlmQueries {
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
       ORDER BY doc_id""",
+    // cluster-balance replayed as the NAIVE exact form — full per-cluster
+    // ranking — pinning that Spark's two-pass bin selection (no global
+    // per-cluster sort) returns exactly the top-16 by (u, vec_id)
+    "pipe_cluster_mix" -> """
+      WITH key AS (SELECT vec_id,
+        CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS BIGINT)
+          AS cluster,
+        (list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(CAST(vec_id AS VARCHAR), '[^\n]'),
+            ch -> CAST(ascii(ch) AS BIGINT))),
+          (acc, x) -> (acc*31 + x) % 1000000007)
+          * 2654435761) % 1000000007 AS u
+        FROM embeddings),
+      r AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY cluster ORDER BY u, vec_id) AS rn
+            FROM key)
+      SELECT vec_id, cluster FROM r WHERE rn <= 16 ORDER BY vec_id""",
+    // token-rarity quality scores replayed exactly (all-integer contract)
+    "tx_doc_rarity" -> """
+      WITH toks AS (SELECT doc_id,
+        unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+               FROM toks GROUP BY tok)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(min(f) AS BIGINT) AS min_freq,
+        CAST(sum(f) AS BIGINT) AS sum_freq
+      FROM toks JOIN freq USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""",
     // repeated-span detection replayed: 10-token windows, corpus-first
     // canonical (min doc_id, pos), overlapping/adjacent flags merged via
     // gaps-and-islands — DuckDB groups by the window TEXT where Spark

@@ -69,6 +69,11 @@ object SparkEntry {
     "dd_exact", "dd_minhash_lsh", "dd_simhash_op", "sim_topk_brute",
     "sim_topk_lsh_op", "tx_stats", "tx_langid",
     "mm_features", "pipe_line_dedup",
+    // NEW in round 17: pipe_substring_clean — the repeated-span dedup
+    // rewrite (window fingerprints + span merge + token cut, the heaviest
+    // corpus transform after line dedup) — and tx_doc_rarity — the corpus
+    // token-frequency join (vocabulary-keyed shuffle + hot-token skew).
+    "pipe_substring_clean", "tx_doc_rarity",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a

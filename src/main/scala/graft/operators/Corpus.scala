@@ -375,6 +375,97 @@ object Corpus {
     df.filter(u < rate)
   }
 
+  /** Embedding-space BALANCED sampling (cluster-mix): vectors bucket by
+    * the SIGN PATTERN of their first `bits` dimensions — a deterministic
+    * axis-aligned SimHash, no trained quantizer, so any engine replays the
+    * bucketing bit-exactly — and every bucket keeps at most `perBucket`
+    * members, chosen as the smallest (hash-uniform u, id) pairs (the same
+    * engine-portable poly31 u as [[stratifiedSample]]). This is the
+    * diversity-preserving downsample of over-dense embedding regions a
+    * training mix runs after near-dup removal: dense regions contribute
+    * bounded mass, sparse regions survive whole.
+    *
+    * Scale shape: NO per-cluster global sort. Selection is exact top-N via
+    * the two-pass bucketed-prefix-sum trick ([[packSequences]],
+    * [[globalShuffle]]): u-space splits into `bins` order-preserving bins
+    * per cluster; one O(clusters × bins) count table (tiny — it broadcasts)
+    * decides per bin KEEP-ALL / DROP-ALL / BOUNDARY, and only the single
+    * boundary bin per cluster (≈ clusterSize/bins rows) pays a ranking
+    * window — partitioned by (cluster, bin), so no task ever sorts a whole
+    * cluster. `bits` sizes the bucket count: at 100 TB raise it so
+    * n/2^bits stays shuffle-partition-sized (the sign bits are i.i.d.-ish
+    * for centered embeddings).
+    *
+    * Returns the KEPT rows as `(id, cluster)`. Null/short vectors land in
+    * the all-zero-bits cluster (documented, deterministic). */
+  def clusterBalance(df: DataFrame, vecCol: String, idCol: String,
+      perBucket: Int, bits: Int = 8, bins: Int = 256): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(perBucket >= 1 && bins >= 2, "perBucket >= 1 and bins >= 2")
+    val p = 1000000007L
+    val cluster = (0 until bits).map(i =>
+      when(element_at(col(vecCol), i + 1) >= lit(0f), lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val uInt = (TF.rollingFingerprint(col(idCol).cast("string")) *
+      lit(2654435761L)) % lit(p)
+    val keyed = df.select(col(idCol).as("_id"), cluster.as("_cluster"),
+      uInt.as("_u"))
+      // order-preserving u → bin map; double floor is safe here because
+      // bins are Spark-internal (the top-N contract never sees them) and
+      // monotonicity is all the split needs
+      .withColumn("_bin", floor((col("_u") * bins) / p))
+    // pass 1: O(clusters × bins) census — per bin, how many of the
+    // cluster's perBucket slots it consumes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cluster").orderBy("_bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val plan = keyed.groupBy("_cluster", "_bin")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_before", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .withColumn("_take",
+        greatest(lit(0L), least(col("_n"), lit(perBucket.toLong) - col("_before"))))
+      .filter(col("_take") > 0)
+      .select(col("_cluster"), col("_bin"), col("_n"), col("_take"))
+    // pass 2: ONE probe read. Bins not in `plan` drop at the join; the
+    // rest rank within (cluster, bin) — a full bin trivially passes
+    // (_take = _n ≥ every rank) and only the boundary bin's filter bites.
+    // Each window partition is one bin (≈ clusterSize/bins rows), so no
+    // task ever sorts a whole cluster.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cluster", "_bin").orderBy(col("_u"), col("_id"))
+    keyed.join(broadcast(plan), Seq("_cluster", "_bin"))
+      .withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") <= col("_take"))
+      .select(col("_id").as(idCol), col("_cluster").as("cluster"))
+  }
+
+  /** Corpus TOKEN-RARITY quality scoring: every document annotated with
+    * its token count and the MIN and SUM of its tokens' corpus-wide
+    * occurrence frequencies. Rare-token-heavy documents (low min, low
+    * sum/n) are OCR noise, gibberish, or exotic markup — the cheap
+    * LM-free cousin of a perplexity filter; callers threshold on
+    * `sum_freq / n_tokens` (kept as exact integers here so any engine
+    * replays the scores bit-for-bit — no float log in the contract).
+    *
+    * Scale shape: one O(total tokens) frequency aggregation keyed by token
+    * (map-side combine absorbs hot tokens), one token→frequency join
+    * (frequency side is one row per DISTINCT token — AQE broadcasts small
+    * vocabularies, and its skew handling splits the hot-token probe
+    * partitions), one by-document aggregation. Same shuffle floor as
+    * [[lineDedup]]. */
+  def docRarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("_tok"))
+    val freq = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
+    toks.join(freq, Seq("_tok"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("_freq")).as("min_freq"),
+        sum(col("_freq")).as("sum_freq"))
+      .select(col("_id").as(idCol), col("n_tokens"), col("min_freq"),
+        col("sum_freq"))
+  }
+
   /** Cross-document REPEATED-SPAN detection — the span-level analogue of
     * [[lineDedup]] (after the exact-substring dedup of "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022, done
@@ -395,10 +486,11 @@ object Corpus {
     * Scale shape: tokenization is a projection; window generation is one
     * explode to O(total tokens) rows of `(id, pos, 128-bit fingerprint)` —
     * ~24 bytes/token through the shuffle, never the window text itself;
-    * the frequency pass and the flag join share the fingerprint
-    * partitioning (one exchange, reused by AQE); the interval merge is a
-    * per-document window function over FLAGGED rows only (a small fraction
-    * of the corpus). Nothing is quadratic and no state sits on the driver.
+    * flagging is ONE exchange keyed by fingerprint (a ranking window — no
+    * frequency aggregation, no join back, no second corpus read); the
+    * interval merge is a per-document window function over FLAGGED rows
+    * only (a small fraction of the corpus). Nothing is quadratic and no
+    * state sits on the driver.
     * The fingerprint is two independent xxhash64 seeds = 128 bits, so the
     * dedup is exact-text up to ~n²/2¹²⁹ collision odds (negligible below
     * ~10¹⁵ windows — beyond even a 100 TB corpus). */
@@ -418,13 +510,18 @@ object Corpus {
       .select(col("_id"), col("_pos"),
         xxhash64(col("_win")).as("_h1"),
         xxhash64(lit(0x5bd1e995), col("_win")).as("_h2"))
-    val freq = wins.groupBy(col("_h1"), col("_h2"))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(col("_id"), col("_pos"))).as("_canon"))
-      .filter(col("_cnt") >= 2)
-    val flagged = wins.join(freq, Seq("_h1", "_h2"))
-      .filter(!(col("_id") === col("_canon._id") &&
-        col("_pos") === col("_canon._pos")))
+    // ONE pass flags non-canonical occurrences: rank each fingerprint's
+    // occurrences by (id, pos) — rank 1 IS the corpus-first canonical, and
+    // rank > 1 exists only when the window repeats, so no separate
+    // frequency aggregation (and no second read of the corpus to join it
+    // back). The window partition is one duplicated text's occurrence
+    // list — boilerplate repeated millions of times sorts in a single
+    // task, but the rows are 24-byte fingerprint tuples, not text.
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h1"), col("_h2")).orderBy(col("_id"), col("_pos"))
+    val flagged = wins
+      .withColumn("_rn", row_number().over(byWin))
+      .filter(col("_rn") > 1)
       .select(col("_id"), col("_pos"))
     // merge overlapping/adjacent [pos, pos+w) intervals per document: a new
     // island starts strictly past the running max end, so touching windows

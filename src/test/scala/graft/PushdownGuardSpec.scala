@@ -73,6 +73,28 @@ class PushdownGuardSpec extends AnyFunSuite {
       s"no partial aggregation before the exchange:\n$plan")
   }
 
+  test("substring dedup touches the corpus exactly twice (spans pass + " +
+      "rewrite pass), pruned to id + text") {
+    val plan = formatted("pipe_substring_clean")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && !l.trim.startsWith("("))
+    assert(scans <= 2, s"expected <= 2 corpus scans, got $scans:\n$plan")
+    plan.linesIterator.filter(_.contains("ReadSchema:")).foreach(read =>
+      Seq("lang", "source", "n_chars").foreach(c =>
+        assert(!read.contains(c), s"unreferenced $c read by the scan: $read")))
+  }
+
+  test("cluster-balance touches the corpus exactly twice (census + probe) " +
+      "and the census plan broadcasts") {
+    val plan = formatted("pipe_cluster_mix")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && !l.trim.startsWith("("))
+    assert(scans <= 2, s"expected <= 2 scans (census + probe), got $scans:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the O(clusters x bins) census table must broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the q06 hot path") {
     val df = SparkEntry.queries("q06_forecast_revenue")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen spans materialize
