@@ -1109,16 +1109,8 @@ object IceQueries {
     val rrow = s.sql(s"CALL $cat.system.rewrite_table_path(" +
       s"table => 'db.mig', source_prefix => '$wh', " +
       s"target_prefix => '${wh}_copy')").collect().head
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
-        rrow.getAs[String]("file_list_path").stripPrefix("file:")))
-      .forEach { line =>
-        val parts = line.split('\t')
-        val to = java.nio.file.Paths.get(parts(1).stripPrefix("file:"))
-        java.nio.file.Files.createDirectories(to.getParent)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(parts(0).stripPrefix("file:")), to,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    graft.iceberg.RewriteTablePath.executeCopyPlan(
+      rrow.getAs[String]("file_list_path"), s.sessionState.newHadoopConf())
     val moved = graft.iceberg.IcebergTable.load(s, s"${wh}_copy/db/mig")
     val relocated = moved.read().count() == rt.read().count() &&
       moved.liveFiles().nonEmpty && moved.liveFiles().forall(f =>

@@ -130,19 +130,43 @@ final class IcebergTable private (
     b.toSet
   }
 
-  /** Travel to the latest MAIN-ANCESTOR snapshot at or before a timestamp
-    * (extension — standard Iceberg `AS OF` semantics the reference lacks).
-    * Staged WAP/branch snapshots never resolve here: `TIMESTAMP AS OF`
-    * must not read unpublished data. Same-millisecond commits break the
-    * tie by metadata order (the snapshots list is append-ordered). */
-  def asOfTimestamp(tsMs: Long): IcebergTable = {
-    val ancestors = mainAncestorIds
-    val candidates = metadata.snapshots.zipWithIndex.filter { case (s, _) =>
-      s.timestampMs <= tsMs && ancestors.contains(s.snapshotId) }
-    require(candidates.nonEmpty,
-      s"no published (main-ancestor) snapshot at or before $tsMs")
-    atSnapshot(candidates.maxBy { case (s, i) => (s.timestampMs, i) }._1.snapshotId)
-  }
+  /** Resolve a wall-clock instant to the snapshot that was CURRENT on the
+    * published main line at that instant — Iceberg's `AS OF` rule: the
+    * last `snapshot-log` entry at/before the bound. The LOG (not the
+    * parent chain) is what gets BOTH failure modes right: staged
+    * WAP/branch snapshots never enter it, so unpublished rows cannot
+    * leak; while a rollback keeps the rolled-back era's entries, so a
+    * timestamp inside that era still resolves to the snapshot actually
+    * serving reads back then (a parent-chain filter would silently skip
+    * to older data). Entry timestamps are when the snapshot was MADE
+    * CURRENT (re-set by rollback), which is exactly "what did a reader
+    * see at time T". Tables without a snapshot-log (foreign imports,
+    * minimal metadata) fall back to the latest main-ancestor snapshot
+    * at/before the bound. Same-millisecond entries tie-break by log
+    * order (append-ordered). */
+  def snapshotIdAsOf(tsMs: Long, what: String = "timestamp"): Long =
+    if (metadata.snapshotLog.nonEmpty) {
+      val fits = metadata.snapshotLog.zipWithIndex.filter(_._1._1 <= tsMs)
+      require(fits.nonEmpty,
+        s"$what=$tsMs predates the first published snapshot")
+      val ((_, id), _) = fits.maxBy { case ((t, _), i) => (t, i) }
+      require(snapshots.contains(id),
+        s"the snapshot current at $what=$tsMs ($id) has been expired")
+      id
+    } else {
+      val ancestors = mainAncestorIds
+      val fits = metadata.snapshots.zipWithIndex.filter { case (s, _) =>
+        s.timestampMs <= tsMs && ancestors.contains(s.snapshotId) }
+      require(fits.nonEmpty,
+        s"$what=$tsMs predates every published (main-ancestor) snapshot")
+      fits.maxBy { case (s, i) => (s.timestampMs, i) }._1.snapshotId
+    }
+
+  /** Travel to the snapshot current at a timestamp (standard Iceberg
+    * `AS OF` semantics the reference lacks — see [[snapshotIdAsOf]] for
+    * why the snapshot-log, not the parent chain, is the candidate set). */
+  def asOfTimestamp(tsMs: Long): IcebergTable =
+    atSnapshot(snapshotIdAsOf(tsMs))
 
   /** Named snapshot refs (metadata `refs`): branches move with commits,
     * tags pin snapshots — the fixture's v5 metadata carries `refs.main`. */
@@ -1318,7 +1342,7 @@ object IcebergTable {
     }
   }
 
-  private def readString(path: String, conf: Configuration): String = {
+  private[iceberg] def readString(path: String, conf: Configuration): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)

@@ -1819,7 +1819,7 @@ object IcebergWriter {
     if (fully.isEmpty && candidates.isEmpty) return
     // whole-file drops work for any format; only files a predicate SPLITS
     // need position deletes, and those require the parquet row index
-    requireParquetForRowLevel(candidates, "row-level DELETE")
+    requireParquetForRowLevel(table, candidates, "row-level DELETE")
 
     val commitId = UUID.randomUUID().toString
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
@@ -2476,13 +2476,22 @@ object IcebergWriter {
   /** Row-level deletes need the parquet per-file row index (both to compute
     * positions at write time and to apply them merge-on-read); foreign ORC
     * data files have neither, so refuse rather than corrupt. */
-  private def requireParquetForRowLevel(
+  private def requireParquetForRowLevel(table: IcebergTable,
       files: Seq[Manifests.DataFileInfo], what: String): Unit = {
     val bad = files.filterNot(_.fileFormat.equalsIgnoreCase("PARQUET"))
     if (bad.nonEmpty) throw new UnsupportedOperationException(
       s"$what requires parquet data files; ${bad.size} live file(s) are " +
         s"${bad.map(_.fileFormat.toUpperCase).distinct.mkString(",")} — " +
         "rewrite them to parquet with the engine that wrote them first")
+    // FOREIGN (imported id-less) parquet: the position scan resolves
+    // columns by field id (it would crash on id-less footers), and the
+    // resulting merge-on-read scan refuses foreign files anyway — refuse
+    // HERE, before the commit, instead of leaving a table whose reads fail
+    if (hasForeignFiles(table, files)) throw new UnsupportedOperationException(
+      s"$what over FOREIGN (imported id-less) data files is not supported: " +
+        "their columns resolve by name, not field id, and merge-on-read " +
+        "refuses them — compact the table first to fold imports into " +
+        "native files")
   }
 
   /** Normalize a partition value for tuple comparison across sources:
@@ -2711,7 +2720,7 @@ object IcebergWriter {
     if (table.metadata.currentSnapshotId < 0) return // nothing to delete from
     // readers apply equality deletes through the merge-on-read machinery,
     // which ORC data files cannot enter — refuse at write, not read
-    requireParquetForRowLevel(table.liveFiles(), "equality DELETE")
+    requireParquetForRowLevel(table, table.liveFiles(), "equality DELETE")
     val schema = table.iceSchema
     val commitId = UUID.randomUUID().toString
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
@@ -2776,7 +2785,7 @@ object IcebergWriter {
     if (table.metadata.currentSnapshotId < 0 || table.liveFiles().isEmpty) {
       append(spark, url, source, extraSummary); return
     }
-    requireParquetForRowLevel(table.liveFiles(), "UPSERT")
+    requireParquetForRowLevel(table, table.liveFiles(), "UPSERT")
     val schema = table.iceSchema
     keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))
     val commitId = UUID.randomUUID().toString
@@ -3045,7 +3054,7 @@ object IcebergWriter {
     val table = resolveCurrent(spark, url)
     val live = if (table.metadata.currentSnapshotId >= 0) table.liveFiles() else Nil
     if (live.isEmpty) { append(spark, url, source); return }
-    requireParquetForRowLevel(live, "MERGE")
+    requireParquetForRowLevel(table, live, "MERGE")
 
     val schema = table.iceSchema
     keyCols.foreach(k => require(schema.fields.exists(_.name == k), s"no key column $k"))

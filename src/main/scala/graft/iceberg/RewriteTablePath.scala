@@ -1,5 +1,6 @@
 package graft.iceberg
 
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -17,26 +18,46 @@ import org.apache.spark.sql.SparkSession
 /** `rewrite_table_path` — the disaster-recovery / table-copy tool
   * (Iceberg's procedure of the same name): prepare a table for relocation
   * from `sourcePrefix` to `targetPrefix` WITHOUT touching the live table.
-  * Every metadata artifact that embeds absolute paths is rewritten into a
-  * STAGING directory — the current `vN.metadata.json` (location,
-  * manifest-list, metadata-log, statistics paths), every snapshot's
-  * manifest list (manifest_path entries), and every manifest
-  * (`data_file.file_path`, v3 `referenced_data_file`) — via a LOSSLESS
-  * generic-Avro round trip: records are read with each file's own embedded
-  * schema, only the path fields are mutated, and the writer re-emits the
-  * same schema plus the original file metadata (partition-spec, content,
-  * …), so v1/v2/v3 manifests survive byte-semantics-identical.
+  * Every artifact that embeds absolute paths is rewritten into a STAGING
+  * directory:
+  *  - metadata JSON — the current version AND every `metadata-log` entry
+  *    still on disk (location, manifest-list, metadata-log, statistics
+  *    paths), so metadata rollback / debugging at the target can follow
+  *    the log (gzip-compressed versions re-compress under their names);
+  *  - every snapshot's manifest list (`manifest_path` entries, plus
+  *    `manifest_length` updated to the REWRITTEN manifest's size — prefix
+  *    length changes resize manifests, and Avro readers trust the length);
+  *  - every manifest (`data_file.file_path`, v3 `referenced_data_file`,
+  *    and the referenced-path `lower_bounds`/`upper_bounds` stamp delete
+  *    entries carry under field 2147483546) via a LOSSLESS generic-Avro
+  *    round trip: records are read with each file's own embedded schema,
+  *    only the path fields are mutated, and the writer re-emits the same
+  *    schema plus the original file metadata, so v1/v2/v3 manifests
+  *    survive byte-semantics-identical;
+  *  - every POSITION-DELETE carrier, which embeds data-file paths in its
+  *    CONTENT: position-delete parquet rewrites its `file_path` column
+  *    (Spark job per carrier, sorted back to the spec's (path, pos)
+  *    order), and DV puffin files rewrite each blob's
+  *    `referenced-data-file` property (driver-side decode → re-encode;
+  *    blob offsets move, so the manifests' `content_offset`/
+  *    `content_size_in_bytes`/`file_size_in_bytes` are updated to match).
+  *    A verbatim copy of either would silently stop deletes from applying
+  *    at the target for any reader matching full paths. Equality deletes
+  *    embed no paths and copy verbatim.
   *
   * The procedure MOVES NOTHING. It emits a copy plan — a tab-separated
   * `file-list.tsv` of (source, target) pairs covering the data/delete/
-  * statistics files (copied verbatim from their original site) and the
-  * staged rewritten metadata — which the operator feeds to a bulk copier
-  * (distcp-shaped tooling). After the copy, the target prefix holds a
-  * complete, independently loadable table.
+  * statistics files and the staged rewritten artifacts — which the
+  * operator feeds to a bulk copier (distcp-shaped tooling;
+  * [[executeCopyPlan]] is the built-in dev-scale executor). After the
+  * copy, the target prefix holds a complete, independently loadable table.
   *
-  * Scale posture: the rewrite is driver-side Avro IO over METADATA-scale
-  * bytes (same posture as rewriteManifests/expireSnapshots); the file list
-  * streams line-by-line, so driver memory stays O(1) in data-file count.
+  * Scale posture: the rewrite is driver-side Avro/JSON IO over
+  * METADATA-scale bytes (same posture as rewriteManifests /
+  * expireSnapshots) plus one small Spark job per position-delete parquet
+  * carrier (consolidate with `rewrite_position_deletes` first if a CDC
+  * workload left thousands); the file list streams line-by-line, so
+  * driver memory stays O(1) in data-file count.
   */
 object RewriteTablePath {
 
@@ -84,15 +105,56 @@ object RewriteTablePath {
     // the copy plan streams out as it is discovered — O(1) driver memory
     val fileListPath = s"$staging/file-list.tsv"
     val listOut = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-      fs.create(new Path(fileListPath), true), java.nio.charset.StandardCharsets.UTF_8))
+      fs.create(new Path(fileListPath), true), UTF_8))
     var dataFiles = 0L
     val listed = scala.collection.mutable.Set.empty[String]
     def plan(src: String, dst: String): Boolean =
       listed.add(src) && { listOut.println(s"$src\t$dst"); true }
 
     try {
+      // 0. POSITION-DELETE carriers rewrite FIRST: the manifests rewritten
+      // below must record the staged carriers' new sizes/blob offsets
+      val carrierStaged = scala.collection.mutable.Map.empty[String, (String, Long)]
+      val dvFix = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+      var carrierIdx = 0
+      table.metadata.snapshots.foreach { snap =>
+        val view = table.atSnapshot(snap.snapshotId)
+        val mlSrc = s"$url/metadata/${name(snap.manifestList)}"
+        Manifests.readManifestList(mlSrc, conf)
+          .filter(_.content == Manifests.ManifestContent.Deletes)
+          .foreach { mf =>
+            val mSrc = view.resolvePath(mf.path)
+            Manifests.readManifest(mSrc, conf).foreach { e =>
+              val d = e.dataFile
+              val abs = view.resolvePath(d.filePath)
+              if (d.content == Manifests.FileContent.PositionDeletes &&
+                  !carrierStaged.contains(abs)) {
+                carrierIdx += 1
+                val staged = s"$staging/carrier-$carrierIdx-${name(abs)}"
+                if (d.fileFormat.equalsIgnoreCase("PUFFIN")) {
+                  val blobs = DeletionVectors.readPuffin(abs, conf)
+                  val dvs = blobs.map { case (b, pos) =>
+                    (re(b.referencedDataFile),
+                      DeletionVectors.serializePositions(pos), b.cardinality) }
+                  val (newBlobs, newLen) = DeletionVectors.writePuffin(
+                    staged, conf, dvs,
+                    blobs.head._1.snapshotId, blobs.head._1.sequenceNumber)
+                  newBlobs.foreach(b =>
+                    dvFix((abs, b.referencedDataFile)) = (b.offset, b.length))
+                  carrierStaged(abs) = (staged, newLen)
+                } else {
+                  carrierStaged(abs) =
+                    (staged, rewriteDeleteParquet(spark, abs, staged,
+                      sourcePrefix, targetPrefix, conf))
+                }
+              }
+            }
+          }
+      }
+
       var manifestCount = 0
       val rewrittenManifests = scala.collection.mutable.Set.empty[String]
+      val manifestLens = scala.collection.mutable.Map.empty[String, Long]
       // 1. every snapshot's manifests, then its manifest list
       table.metadata.snapshots.foreach { snap =>
         val view = table.atSnapshot(snap.snapshotId)
@@ -103,22 +165,68 @@ object RewriteTablePath {
           val mSrc = view.resolvePath(mf.path)
           if (rewrittenManifests.add(mSrc)) {
             manifestCount += 1
-            copyAvroRewriting(mSrc, s"$staging/${name(mSrc)}", conf) { rec =>
+            val stagedM = s"$staging/${name(mSrc)}"
+            copyAvroRewriting(mSrc, stagedM, conf) { rec =>
               val df = rec.get("data_file").asInstanceOf[GenericRecord]
               val p = df.get("file_path").toString
+              val abs = view.resolvePath(p)
               df.put("file_path", new Utf8(re(p)))
-              if (plan(p, re(p))) dataFiles += 1
+              carrierStaged.get(abs) match {
+                case Some((stagedCarrier, newLen)) =>
+                  // the staged rewrite replaced the carrier's bytes — the
+                  // entry's size (and a DV's blob location) must match them
+                  df.put("file_size_in_bytes", java.lang.Long.valueOf(newLen))
+                  if (df.getSchema.getField("referenced_data_file") != null)
+                    Option(df.get("referenced_data_file")).foreach { r =>
+                      val tref = re(r.toString)
+                      dvFix.get((abs, tref)).foreach { case (off, len) =>
+                        df.put("content_offset", java.lang.Long.valueOf(off))
+                        df.put("content_size_in_bytes",
+                          java.lang.Long.valueOf(len))
+                      }
+                    }
+                  if (plan(stagedCarrier, re(abs))) dataFiles += 1
+                case None =>
+                  if (plan(p, re(p))) dataFiles += 1
+              }
               if (df.getSchema.getField("referenced_data_file") != null) {
                 Option(df.get("referenced_data_file")).foreach(r =>
                   df.put("referenced_data_file", new Utf8(re(r.toString))))
               }
+              // delete entries stamp the referenced data-file path into the
+              // path-column bounds (field 2147483546) — readers prune which
+              // delete files apply with them, so they must relocate too
+              Seq("lower_bounds", "upper_bounds").foreach { f =>
+                if (df.getSchema.getField(f) != null)
+                  Option(df.get(f)).foreach {
+                    case arr: java.util.Collection[_] => arr.asScala.foreach {
+                      case kv: GenericRecord
+                          if kv.get("key").asInstanceOf[Int] ==
+                            Manifests.PosDeletePathFieldId =>
+                        val bb = kv.get("value")
+                          .asInstanceOf[java.nio.ByteBuffer]
+                        val s = UTF_8.decode(bb.duplicate()).toString
+                        kv.put("value",
+                          java.nio.ByteBuffer.wrap(re(s).getBytes(UTF_8)))
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+              }
             }
-            plan(s"$staging/${name(mSrc)}", re(mSrc))
+            manifestLens(name(mSrc)) =
+              new Path(stagedM).getFileSystem(conf)
+                .getFileStatus(new Path(stagedM)).getLen
+            plan(stagedM, re(mSrc))
           }
         }
         copyAvroRewriting(mlSrc, s"$staging/${name(mlSrc)}", conf) { rec =>
-          rec.put("manifest_path",
-            new Utf8(re(rec.get("manifest_path").toString)))
+          val mp = rec.get("manifest_path").toString
+          rec.put("manifest_path", new Utf8(re(mp)))
+          // the rewritten manifest's size differs whenever the prefixes
+          // differ in length — Avro readers trust manifest_length
+          manifestLens.get(name(mp)).foreach(l =>
+            rec.put("manifest_length", java.lang.Long.valueOf(l)))
         }
         plan(s"$staging/${name(mlSrc)}", re(mlSrc))
       }
@@ -135,20 +243,7 @@ object RewriteTablePath {
       val mapper = new ObjectMapper()
       val root = mapper.readTree(
         IcebergWriter.metadataBaseJson(table, url, conf)).asInstanceOf[ObjectNode]
-      root.put("location", re(root.get("location").asText))
-      def reField(n: ObjectNode, f: String): Unit =
-        if (n.has(f)) n.put(f, re(n.get(f).asText))
-      if (root.has("snapshots"))
-        root.withArray[ArrayNode]("snapshots").asScala
-          .foreach(s => reField(s.asInstanceOf[ObjectNode], "manifest-list"))
-      if (root.has("metadata-log"))
-        root.withArray[ArrayNode]("metadata-log").asScala
-          .foreach(e => reField(e.asInstanceOf[ObjectNode], "metadata-file"))
-      Seq("statistics", "partition-statistics").foreach { sect =>
-        if (root.has(sect))
-          root.withArray[ArrayNode](sect).asScala
-            .foreach(s => reField(s.asInstanceOf[ObjectNode], "statistics-path"))
-      }
+      rePrefixMetadataJson(root, re)
       // the staged metadata takes the SOURCE file's own name (a
       // metadata-file-resolved table reports version 0; the basename is
       // always right), and the hint mirrors its version number
@@ -163,11 +258,125 @@ object RewriteTablePath {
       IcebergWriter.writeString(s"$staging/version-hint.text", hintV, conf)
       plan(s"$staging/version-hint.text", re(s"$url/metadata/version-hint.text"))
 
-      Result(staging, fileListPath, metadataFiles = 1,
+      // 4. previous metadata versions named by the metadata-log: rewritten
+      // the same way (and re-gzipped under gzip names), so metadata
+      // rollback / debug tooling at the target can follow the log instead
+      // of hitting dangling pointers. A version already deleted at the
+      // source is skipped — it dangles identically on both sides.
+      var metadataFiles = 1
+      table.metadata.metadataLog.map(_._2).distinct.foreach { mfPath =>
+        val abs =
+          if (mfPath.startsWith("/") || mfPath.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"))
+            mfPath
+          else table.resolvePath(mfPath)
+        val p = new Path(abs)
+        val pfs = p.getFileSystem(conf)
+        if (pfs.exists(p) && name(abs) != metaName) {
+          val old = mapper.readTree(IcebergTable.readString(abs, conf))
+            .asInstanceOf[ObjectNode]
+          rePrefixMetadataJson(old, re)
+          val stagedOld = s"$staging/${name(abs)}"
+          writeMaybeGzip(stagedOld, old.toPrettyString, conf)
+          plan(stagedOld, re(abs))
+          metadataFiles += 1
+        }
+      }
+
+      Result(staging, fileListPath, metadataFiles = metadataFiles,
         manifestLists = manifestListCount, manifests = manifestCount,
         dataFiles = dataFiles)
     } finally listOut.close()
   }
+
+  /** Re-prefix every path-bearing field of a metadata.json document. */
+  private def rePrefixMetadataJson(root: ObjectNode, re: String => String): Unit = {
+    if (root.has("location")) root.put("location", re(root.get("location").asText))
+    def reField(n: ObjectNode, f: String): Unit =
+      if (n.has(f)) n.put(f, re(n.get(f).asText))
+    if (root.has("snapshots"))
+      root.withArray[ArrayNode]("snapshots").asScala
+        .foreach(s => reField(s.asInstanceOf[ObjectNode], "manifest-list"))
+    if (root.has("metadata-log"))
+      root.withArray[ArrayNode]("metadata-log").asScala
+        .foreach(e => reField(e.asInstanceOf[ObjectNode], "metadata-file"))
+    Seq("statistics", "partition-statistics").foreach { sect =>
+      if (root.has(sect))
+        root.withArray[ArrayNode](sect).asScala
+          .foreach(s => reField(s.asInstanceOf[ObjectNode], "statistics-path"))
+    }
+  }
+
+  /** Rewrite one position-delete parquet carrier: the `file_path` column
+    * re-prefixes (same two path forms as the driver-side rule), rows sort
+    * back to the spec's (file_path, pos) order, and the single output file
+    * lands at `dst`. Returns the new file length. */
+  private def rewriteDeleteParquet(spark: SparkSession, src: String,
+      dst: String, sourcePrefix: String, targetPrefix: String,
+      conf: Configuration): Long = {
+    import org.apache.spark.sql.functions._
+    val pattern = "^((?:[A-Za-z][A-Za-z0-9+.-]*:(?://[^/]*)?)?)" +
+      java.util.regex.Pattern.quote(sourcePrefix)
+    val replacement =
+      "$1" + java.util.regex.Matcher.quoteReplacement(targetPrefix)
+    val tmp = s"$dst.tmp"
+    spark.read.parquet(src)
+      .withColumn("file_path",
+        regexp_replace(col("file_path"), pattern, replacement))
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"carrier rewrite produced no parquet under $tmp"))
+      .getPath
+    fs.rename(part, new Path(dst))
+    fs.delete(new Path(tmp), true)
+    fs.getFileStatus(new Path(dst)).getLen
+  }
+
+  /** Execute a copy plan produced by [[rewrite]]: stream `file-list.tsv`
+    * and copy each (source, target) pair through the Hadoop filesystems
+    * (schemes preserved, parent directories created). The DEV-scale
+    * executor shared by tests and the migration queries — production
+    * feeds the list to distcp-shaped tooling instead. Returns the number
+    * of files copied. */
+  def executeCopyPlan(fileListPath: String, conf: Configuration): Int = {
+    val p = new Path(fileListPath)
+    val fs = p.getFileSystem(conf)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), UTF_8))
+    try {
+      var n = 0
+      var line = in.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          val cols = line.split('\t')
+          require(cols.length == 2, s"malformed copy-plan line: $line")
+          val sp = new Path(cols(0))
+          val dp = new Path(cols(1))
+          val dfs = dp.getFileSystem(conf)
+          dfs.mkdirs(dp.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf), sp, dfs, dp, false, true, conf)
+          n += 1
+        }
+        line = in.readLine()
+      }
+      n
+    } finally in.close()
+  }
+
+  /** Write text, gzip-compressed when the file name carries the
+    * `.gzip.metadata.json` marker (iceberg-java resolves the codec from
+    * the NAME, so the bytes must match it). */
+  private def writeMaybeGzip(path: String, text: String,
+      conf: Configuration): Unit =
+    if (path.endsWith(".gzip.metadata.json")) {
+      val out = new Path(path).getFileSystem(conf).create(new Path(path), true)
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      try gz.write(text.getBytes(UTF_8)) finally gz.close()
+    } else IcebergWriter.writeString(path, text, conf)
 
   /** Copy an Avro container file record-by-record with `mutate` applied —
     * the file's OWN embedded schema reads and writes the records, and all

@@ -299,10 +299,13 @@ object GraftProcedures {
       (s, resolve, a) => {
         val t = resolve(a(0).asInstanceOf[String])
         val ms = a(1).asInstanceOf[java.lang.Long].longValue
-        // candidates are ANCESTORS of the current main snapshot only:
-        // metadata.snapshots also holds WAP/branch-staged non-ancestors,
-        // and resolving onto one would make rollbackTo refuse instead of
-        // picking the latest main-line snapshot at/before the timestamp
+        // candidates are ANCESTORS of the current main snapshot only —
+        // deliberately NOT the snapshot-log rule the read paths use
+        // (IcebergTable.snapshotIdAsOf): rollbackTo requires its target to
+        // be an ancestor, so resolving onto a staged snapshot OR a
+        // rolled-back-era entry would refuse where picking the latest
+        // restorable main-line snapshot at/before the timestamp serves the
+        // caller (Iceberg's own rollback refuses non-ancestors too)
         val ancestors = t.mainAncestorIds
         val fits = t.metadata.snapshots.zipWithIndex
           .filter { case (s2, _) =>
@@ -356,20 +359,12 @@ object GraftProcedures {
         val t = resolve(a(0).asInstanceOf[String])
         val name = Option(a(1)).map(_.asInstanceOf[String]).getOrElse(
           a(0).asInstanceOf[String].split('.').last + "_changes")
-        def atOrBefore(ms: Long, what: String): Long = {
-          // MAIN ANCESTORS only — a staged WAP/branch snapshot newer than
-          // main must not become a changelog bound, or the view would
-          // include commits the audit gate never published. Ties (same-ms
-          // commits) break by metadata order: the snapshots list is
-          // append-ordered, so the last fitting entry IS latest.
-          val ancestors = t.mainAncestorIds
-          val fits = t.metadata.snapshots.zipWithIndex
-            .filter { case (s2, _) =>
-              s2.timestampMs <= ms && ancestors.contains(s2.snapshotId) }
-          require(fits.nonEmpty,
-            s"$what=$ms predates every published (main-ancestor) snapshot of ${a(0)}")
-          fits.maxBy { case (s2, i) => (s2.timestampMs, i) }._1.snapshotId
-        }
+        // snapshot-log resolution (IcebergTable.snapshotIdAsOf): staged
+        // WAP/branch snapshots never enter the log, so the view cannot
+        // include commits the audit gate never published — while bounds
+        // inside a rolled-back era still resolve to what served reads then
+        def atOrBefore(ms: Long, what: String): Long =
+          t.snapshotIdAsOf(ms, what)
         val startTs = Option(a(6)).map(_.asInstanceOf[java.lang.Long].longValue)
         val endTs = Option(a(7)).map(_.asInstanceOf[java.lang.Long].longValue)
         require(!(startTs.isDefined && a(2) != null) &&

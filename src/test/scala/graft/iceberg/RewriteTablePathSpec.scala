@@ -18,20 +18,10 @@ class RewriteTablePathSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
-  /** Execute the emitted copy plan with plain filesystem copies. */
-  private def runCopyPlan(fileList: String): Int = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(fileList.stripPrefix("file:")))
-    lines.forEach { line =>
-      val Array(src, dst) = line.split('\t')
-      val from = java.nio.file.Paths.get(src.stripPrefix("file:"))
-      val to = java.nio.file.Paths.get(dst.stripPrefix("file:"))
-      java.nio.file.Files.createDirectories(to.getParent)
-      java.nio.file.Files.copy(from, to,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    lines.size
-  }
+  /** Execute the emitted copy plan (the shared dev-scale executor). */
+  private def runCopyPlan(fileList: String): Int =
+    RewriteTablePath.executeCopyPlan(fileList,
+      spark.sessionState.newHadoopConf())
 
   test("copy plan relocates a multi-commit table with position deletes; " +
       "target loads independently, source untouched") {
@@ -77,6 +67,90 @@ class RewriteTablePathSpec extends AnyFunSuite {
       Seq((999L, "z")).toDF("k", "v").coalesce(1))
     assert(IcebergTable.load(spark, dst).read().count() == 91)
     assert(IcebergTable.load(spark, src).read().count() == 90)
+
+    // CARRIER CONTENT: the copied position-delete parquet's file_path
+    // COLUMN must hold target paths — full-path-matching readers (and
+    // foreign-file tables, whose MOR key is the full path) depend on it
+    val delPaths = t2.positionDeleteFiles
+      .map(f => t2.resolvePath(f.filePath)).distinct
+    assert(delPaths.nonEmpty)
+    val innerPaths = spark.read.parquet(delPaths: _*)
+      .select("file_path").as[String].collect()
+    assert(innerPaths.nonEmpty && innerPaths.forall(_.contains("site_b")),
+      s"delete carrier still references the source: ${innerPaths.take(3).toSeq}")
+    // the entry's recorded size matches the rewritten carrier's bytes
+    t2.positionDeleteFiles.foreach { f =>
+      val real = new java.io.File(
+        t2.resolvePath(f.filePath).stripPrefix("file:")).length
+      assert(f.fileSizeInBytes == real,
+        s"stale file_size_in_bytes for ${f.filePath}: " +
+          s"manifest says ${f.fileSizeInBytes}, file is $real")
+    }
+    // the referenced-path BOUNDS (field 2147483546) relocated with it
+    t2.positionDeleteFiles.foreach { f =>
+      f.lowerBounds.get(Manifests.PosDeletePathFieldId).foreach { b =>
+        val s2 = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        assert(s2.contains("site_b"), s"stale path bound: $s2")
+      }
+    }
+    // METADATA LOG: every logged previous metadata version exists at the
+    // target (re-prefixed), so rollback/debug tooling can follow the log
+    val logged = t2.metadata.metadataLog.map(_._2)
+    assert(logged.nonEmpty, "multi-commit table must carry a metadata-log")
+    logged.foreach { mf =>
+      assert(mf.contains("site_b"), s"metadata-log entry not re-prefixed: $mf")
+      assert(new java.io.File(mf.stripPrefix("file:")).exists,
+        s"metadata-log names a missing file at the target: $mf")
+    }
+    // MANIFEST LENGTH: the copied manifest lists record the REWRITTEN
+    // manifests' true sizes (prefix length changed, so sizes changed)
+    val conf2 = spark.sessionState.newHadoopConf()
+    t2.metadata.snapshots.foreach { snap =>
+      Manifests.readManifestList(
+        s"$dst/metadata/${snap.manifestList.split('/').last}", conf2)
+        .foreach { mf =>
+          val real = new java.io.File(
+            t2.resolvePath(mf.path).stripPrefix("file:")).length
+          assert(mf.length == real,
+            s"stale manifest_length for ${mf.path}: ${mf.length} vs $real")
+        }
+    }
+  }
+
+  test("foreign-file table: a SPLITTING row-level delete refuses loudly " +
+      "(the position scan would crash on id-less footers); whole-file " +
+      "drops and post-compaction deletes relocate fine") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpf").toString
+    val ext = s"$root/site_a/external"
+    (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.parquet(ext)
+    val src = s"$root/site_a/db/f"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    val parts = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    IcebergWriter.addFiles(spark, src, parts.toSeq)
+    // splitting the imported file needs a position scan over an id-less
+    // footer — refused BEFORE any commit, with the compact remediation
+    val e = intercept[UnsupportedOperationException] {
+      IcebergWriter.deleteRows(spark, src, Pruning.LtEq("k", 10L))
+    }
+    assert(e.getMessage.contains("compact"))
+    assert(IcebergTable.load(spark, src).read().count() == 30,
+      "the refused delete must not have committed anything")
+
+    // remediation: compact folds the import into native files; the delete
+    // then works, and the relocated copy keeps applying it
+    Maintenance.compact(spark, src)
+    IcebergWriter.deleteRows(spark, src, Pruning.LtEq("k", 10L))
+    assert(IcebergTable.load(spark, src).read().count() == 20)
+    val r = RewriteTablePath.rewrite(spark, src,
+      sourcePrefix = s"$root/site_a", targetPrefix = s"$root/site_b")
+    runCopyPlan(r.fileListPath)
+    val t2 = IcebergTable.load(spark, s"$root/site_b/db/f")
+    assert(t2.read().count() == 20,
+      "deletes must keep applying at the relocated target")
+    assert(t2.read().as[(Long, String)].collect().map(_._1).min == 11L)
   }
 
   test("v3 deletion vectors: referenced_data_file rewrites, DV blobs copy, " +
@@ -102,6 +176,28 @@ class RewriteTablePathSpec extends AnyFunSuite {
     assert(t2.positionDeleteFiles.forall(f =>
       f.referencedDataFile.exists(_.contains("west"))),
       "referenced_data_file must point at the target prefix")
+    // the PUFFIN CONTENT relocated too: blob properties carry the target
+    // paths, and the manifests' blob locations match the rewritten file
+    val conf2 = spark.sessionState.newHadoopConf()
+    val dvs = t2.positionDeleteFiles.filter(_.isDv)
+    assert(dvs.nonEmpty)
+    dvs.groupBy(f => t2.resolvePath(f.filePath)).foreach { case (pf, entries) =>
+      val blobs = DeletionVectors.readPuffin(pf, conf2)
+      assert(blobs.forall(_._1.referencedDataFile.contains("west")),
+        s"puffin blob property still references the source in $pf")
+      entries.foreach { e =>
+        val b = blobs.map(_._1).find(b2 =>
+          e.referencedDataFile.contains(b2.referencedDataFile))
+          .getOrElse(fail(s"no blob for ${e.referencedDataFile} in $pf"))
+        assert(e.contentOffset.contains(b.offset) &&
+          e.contentSizeInBytes.contains(b.length),
+          s"manifest blob location (${e.contentOffset}/${e.contentSizeInBytes}) " +
+            s"does not match the rewritten puffin (${b.offset}/${b.length})")
+      }
+      val real = new java.io.File(pf.stripPrefix("file:")).length
+      entries.foreach(e => assert(e.fileSizeInBytes == real,
+        s"stale puffin file_size_in_bytes: ${e.fileSizeInBytes} vs $real"))
+    }
   }
 
   test("guards: identical prefixes refuse; staging holds the plan and " +

@@ -44,6 +44,32 @@ class RollbackSpec extends AnyFunSuite {
       == ((1L to 5L) :+ 10L))
   }
 
+  test("AS OF inside a rolled-back era resolves the snapshot that actually " +
+      "served reads then (snapshot-log, not the parent chain)") {
+    val url = java.nio.file.Files.createTempDirectory("graft_rbts").toString + "/t"
+    IcebergWriter.createTable(spark, url, schema)
+    IcebergWriter.append(spark, url, Seq((1L, "a")).toDF("k", "v"))
+    val good = IcebergTable.load(spark, url).currentSnapshot.snapshotId
+    Thread.sleep(5) // distinct log timestamps
+    IcebergWriter.append(spark, url, Seq((2L, "b")).toDF("k", "v"))
+    val t1 = IcebergTable.load(spark, url)
+    val bad = t1.currentSnapshot.snapshotId
+    val badEra = t1.currentSnapshot.timestampMs
+    Thread.sleep(5)
+    IcebergWriter.rollbackTo(spark, url, good)
+
+    val t = IcebergTable.load(spark, url)
+    // bad is NOT a parent-chain ancestor anymore, but at `badEra` it WAS
+    // the table every reader saw — AS OF must keep serving it
+    assert(!t.mainAncestorIds.contains(bad))
+    assert(t.asOfTimestamp(badEra).currentSnapshot.snapshotId == bad,
+      "AS OF must resolve via the snapshot-log, not skip to older data")
+    assert(t.asOfTimestamp(badEra).read().count() == 2)
+    // after the rollback instant, AS OF resolves the restored snapshot
+    assert(t.asOfTimestamp(System.currentTimeMillis())
+      .currentSnapshot.snapshotId == good)
+  }
+
   test("history table: rolled-back entries read is_current_ancestor = false") {
     val url = java.nio.file.Files.createTempDirectory("graft_rbh").toString + "/t"
     IcebergWriter.createTable(spark, url, schema)

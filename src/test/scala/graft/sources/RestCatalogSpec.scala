@@ -675,16 +675,8 @@ class RestCatalogSpec extends AnyFunSuite {
       // the staged copy reflects the catalog's snapshot-bearing metadata:
       // execute the plan and the target must serve the 40 rows the REST
       // entry serves — a hint-resolved rewrite would stage empty v1
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
-          r.getAs[String]("file_list_path").stripPrefix("file:")))
-        .forEach { line =>
-          val parts = line.split('\t')
-          val to = java.nio.file.Paths.get(parts(1).stripPrefix("file:"))
-          java.nio.file.Files.createDirectories(to.getParent)
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(parts(0).stripPrefix("file:")), to,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+      graft.iceberg.RewriteTablePath.executeCopyPlan(
+        r.getAs[String]("file_list_path"), spark.sessionState.newHadoopConf())
       assert(graft.iceberg.IcebergTable.load(spark, s"$root/site_b/t")
         .read().count() == 40)
     }
