@@ -192,6 +192,29 @@ object DeletionVectors {
     root.toString.getBytes(StandardCharsets.UTF_8)
   }
 
+  /** Copy a DV puffin with every blob's `referenced-data-file` property
+    * passed through `re` — the relocation rewrite. Each blob KEEPS its own
+    * snapshot-id/sequence-number (a consolidated or foreign puffin can mix
+    * commits; stamping one lineage over all blobs would corrupt it); only
+    * the referenced path and the recomputed offsets/lengths change.
+    * Returns the rewritten blobs (target-path references, new locations)
+    * and the new file length. */
+  def rewritePuffinPaths(src: String, dst: String, conf: Configuration,
+      re: String => String): (Seq[DvBlob], Long) = {
+    val blobs = readPuffin(src, conf)
+    require(blobs.nonEmpty,
+      s"no deletion-vector blobs in puffin $src — nothing to rewrite")
+    def relocated(located: Seq[(Long, Long)]): Seq[DvBlob] =
+      blobs.zip(located).map { case ((b, _), (off, len)) =>
+        b.copy(referencedDataFile = re(b.referencedDataFile),
+          offset = off, length = len)
+      }
+    val (located, fileLen, _) = Puffin.write(dst, conf,
+      blobs.map { case (_, pos) => frameBlob(serializePositions(pos)) },
+      payloadFor = locs => footerPayload(relocated(locs)))
+    (relocated(located), fileLen)
+  }
+
   /** Read a puffin file's DV blobs WITH their decoded positions, locating
     * blobs through the file's own footer (not manifest offsets — readers
     * of the manifest can also seek directly with content_offset/size). */

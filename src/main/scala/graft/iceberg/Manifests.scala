@@ -53,6 +53,10 @@ object Manifests {
     * file can reference without opening it. */
   val PosDeletePathFieldId: Int = 2147483546
 
+  /** Reserved field id of the `pos` column in position-delete files
+    * (Iceberg v2 spec, "Position Delete Files": 2147483545). */
+  val PosDeletePosFieldId: Int = 2147483545
+
   /** Reserved field ids of the MATERIALIZED row-lineage columns (Iceberg
     * v3 spec, "Row lineage"): file rewrites stamp `_row_id` and
     * `_last_updated_sequence_number` as physical columns under these ids

@@ -112,50 +112,43 @@ object RewriteTablePath {
       listed.add(src) && { listOut.println(s"$src\t$dst"); true }
 
     try {
-      // 0. POSITION-DELETE carriers rewrite FIRST: the manifests rewritten
-      // below must record the staged carriers' new sizes/blob offsets
+      // POSITION-DELETE carrier rewrite state: carriers embed data-file
+      // paths in their CONTENT, so each is rewritten into staging and the
+      // manifests below record the staged bytes' sizes/blob locations.
+      // A carrier referenced ONLY by DELETED-status tombstones may have
+      // been physically collected by expire_snapshots — those are skipped
+      // (nothing to copy; the tombstone itself still relocates).
       val carrierStaged = scala.collection.mutable.Map.empty[String, (String, Long)]
+      val carrierMissing = scala.collection.mutable.Set.empty[String]
       val dvFix = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
       var carrierIdx = 0
-      table.metadata.snapshots.foreach { snap =>
-        val view = table.atSnapshot(snap.snapshotId)
-        val mlSrc = s"$url/metadata/${name(snap.manifestList)}"
-        Manifests.readManifestList(mlSrc, conf)
-          .filter(_.content == Manifests.ManifestContent.Deletes)
-          .foreach { mf =>
-            val mSrc = view.resolvePath(mf.path)
-            Manifests.readManifest(mSrc, conf).foreach { e =>
-              val d = e.dataFile
-              val abs = view.resolvePath(d.filePath)
-              if (d.content == Manifests.FileContent.PositionDeletes &&
-                  !carrierStaged.contains(abs)) {
-                carrierIdx += 1
-                val staged = s"$staging/carrier-$carrierIdx-${name(abs)}"
-                if (d.fileFormat.equalsIgnoreCase("PUFFIN")) {
-                  val blobs = DeletionVectors.readPuffin(abs, conf)
-                  val dvs = blobs.map { case (b, pos) =>
-                    (re(b.referencedDataFile),
-                      DeletionVectors.serializePositions(pos), b.cardinality) }
-                  val (newBlobs, newLen) = DeletionVectors.writePuffin(
-                    staged, conf, dvs,
-                    blobs.head._1.snapshotId, blobs.head._1.sequenceNumber)
-                  newBlobs.foreach(b =>
-                    dvFix((abs, b.referencedDataFile)) = (b.offset, b.length))
-                  carrierStaged(abs) = (staged, newLen)
-                } else {
-                  carrierStaged(abs) =
-                    (staged, rewriteDeleteParquet(spark, abs, staged,
-                      sourcePrefix, targetPrefix, conf))
-                }
-              }
+      def stageCarrier(abs: String, format: String): Unit =
+        if (!carrierStaged.contains(abs) && !carrierMissing.contains(abs)) {
+          val p = new Path(abs)
+          if (!p.getFileSystem(conf).exists(p)) carrierMissing += abs
+          else {
+            carrierIdx += 1
+            val staged = s"$staging/carrier-$carrierIdx-${name(abs)}"
+            if (format.equalsIgnoreCase("PUFFIN")) {
+              val (newBlobs, newLen) =
+                DeletionVectors.rewritePuffinPaths(abs, staged, conf, re)
+              newBlobs.foreach(b =>
+                dvFix((abs, b.referencedDataFile)) = (b.offset, b.length))
+              carrierStaged(abs) = (staged, newLen)
+            } else {
+              carrierStaged(abs) =
+                (staged, rewriteDeleteParquet(spark, abs, staged,
+                  sourcePrefix, targetPrefix, conf))
             }
           }
-      }
+        }
 
       var manifestCount = 0
       val rewrittenManifests = scala.collection.mutable.Set.empty[String]
       val manifestLens = scala.collection.mutable.Map.empty[String, Long]
-      // 1. every snapshot's manifests, then its manifest list
+      // 1. every snapshot's manifests, then its manifest list (decoded
+      // ONCE per snapshot; carriers stage right before their manifest so
+      // the Avro rewrite can record the staged sizes)
       table.metadata.snapshots.foreach { snap =>
         val view = table.atSnapshot(snap.snapshotId)
         // manifest lists live under the local metadata dir by basename —
@@ -164,9 +157,16 @@ object RewriteTablePath {
         Manifests.readManifestList(mlSrc, conf).foreach { mf =>
           val mSrc = view.resolvePath(mf.path)
           if (rewrittenManifests.add(mSrc)) {
+            if (mf.content == Manifests.ManifestContent.Deletes)
+              Manifests.readManifest(mSrc, conf).foreach { e =>
+                if (e.dataFile.content == Manifests.FileContent.PositionDeletes)
+                  stageCarrier(view.resolvePath(e.dataFile.filePath),
+                    e.dataFile.fileFormat)
+              }
             manifestCount += 1
             val stagedM = s"$staging/${name(mSrc)}"
             copyAvroRewriting(mSrc, stagedM, conf) { rec =>
+              val status = rec.get("status").asInstanceOf[Int]
               val df = rec.get("data_file").asInstanceOf[GenericRecord]
               val p = df.get("file_path").toString
               val abs = view.resolvePath(p)
@@ -174,8 +174,11 @@ object RewriteTablePath {
               carrierStaged.get(abs) match {
                 case Some((stagedCarrier, newLen)) =>
                   // the staged rewrite replaced the carrier's bytes — the
-                  // entry's size (and a DV's blob location) must match them
+                  // entry's size (and a DV's blob location) must match
+                  // them, and any recorded split offsets are stale
                   df.put("file_size_in_bytes", java.lang.Long.valueOf(newLen))
+                  if (df.getSchema.getField("split_offsets") != null)
+                    df.put("split_offsets", null)
                   if (df.getSchema.getField("referenced_data_file") != null)
                     Option(df.get("referenced_data_file")).foreach { r =>
                       val tref = re(r.toString)
@@ -186,6 +189,15 @@ object RewriteTablePath {
                       }
                     }
                   if (plan(stagedCarrier, re(abs))) dataFiles += 1
+                case None if carrierMissing.contains(abs) =>
+                  () // expired tombstone carrier: the entry relocates,
+                     // there are no bytes to copy (dangling at source too)
+                case None if status == Manifests.Status.Deleted =>
+                  // tombstoned DATA files can be physically expired too —
+                  // exists-gate ONLY tombstones (live entries stay free)
+                  val pp = new Path(abs)
+                  if (pp.getFileSystem(conf).exists(pp) &&
+                      plan(p, re(p))) dataFiles += 1
                 case None =>
                   if (plan(p, re(p))) dataFiles += 1
               }
@@ -309,7 +321,11 @@ object RewriteTablePath {
   /** Rewrite one position-delete parquet carrier: the `file_path` column
     * re-prefixes (same two path forms as the driver-side rule), rows sort
     * back to the spec's (file_path, pos) order, and the single output file
-    * lands at `dst`. Returns the new file length. */
+    * lands at `dst`. The spec's reserved field ids (file_path 2147483546,
+    * pos 2147483545) are stamped on the output columns — a carrier written
+    * by an id-stamping engine (iceberg-java) must keep resolving by id at
+    * the target, and stamping them on a previously id-less graft-native
+    * carrier only makes it more conformant. Returns the new file length. */
   private def rewriteDeleteParquet(spark: SparkSession, src: String,
       dst: String, sourcePrefix: String, targetPrefix: String,
       conf: Configuration): Long = {
@@ -319,9 +335,24 @@ object RewriteTablePath {
     val replacement =
       "$1" + java.util.regex.Matcher.quoteReplacement(targetPrefix)
     val tmp = s"$dst.tmp"
-    spark.read.parquet(src)
-      .withColumn("file_path",
-        regexp_replace(col("file_path"), pattern, replacement))
+    def fieldId(n: String): Option[Int] = n match {
+      case "file_path" => Some(Manifests.PosDeletePathFieldId)
+      case "pos" => Some(Manifests.PosDeletePosFieldId)
+      case _ => None
+    }
+    val src0 = spark.read.parquet(src)
+    src0.select(src0.schema.fields.map { f =>
+        val c =
+          if (f.name == "file_path")
+            regexp_replace(col("file_path"), pattern, replacement)
+          else col(f.name)
+        fieldId(f.name) match {
+          case Some(id) => c.as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id.toLong).build())
+          case None => c.as(f.name)
+        }
+      }.toSeq: _*)
       .coalesce(1).sortWithinPartitions("file_path", "pos")
       .write.mode("overwrite").parquet(tmp)
     val fs = new Path(tmp).getFileSystem(conf)

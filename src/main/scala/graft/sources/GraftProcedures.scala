@@ -361,10 +361,20 @@ object GraftProcedures {
           a(0).asInstanceOf[String].split('.').last + "_changes")
         // snapshot-log resolution (IcebergTable.snapshotIdAsOf): staged
         // WAP/branch snapshots never enter the log, so the view cannot
-        // include commits the audit gate never published — while bounds
-        // inside a rolled-back era still resolve to what served reads then
-        def atOrBefore(ms: Long, what: String): Long =
-          t.snapshotIdAsOf(ms, what)
+        // include commits the audit gate never published. A changelog is a
+        // RANGE over the CURRENT main line, though — a bound resolving
+        // into a rolled-back era is not on that line, and the parent-chain
+        // walk would throw a bare "not an ancestor"; refuse with the real
+        // diagnosis instead of silently substituting older data
+        def atOrBefore(ms: Long, what: String): Long = {
+          val id = t.snapshotIdAsOf(ms, what)
+          require(t.mainAncestorIds.contains(id),
+            s"$what=$ms resolves to snapshot $id, which was rolled back " +
+              "off the main line — a changelog range must lie on the " +
+              "current history; pass explicit snapshot ids to range over " +
+              "the rolled-back era")
+          id
+        }
         val startTs = Option(a(6)).map(_.asInstanceOf[java.lang.Long].longValue)
         val endTs = Option(a(7)).map(_.asInstanceOf[java.lang.Long].longValue)
         require(!(startTs.isDefined && a(2) != null) &&

@@ -1,5 +1,7 @@
 package graft.iceberg
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -78,6 +80,25 @@ class RewriteTablePathSpec extends AnyFunSuite {
       .select("file_path").as[String].collect()
     assert(innerPaths.nonEmpty && innerPaths.forall(_.contains("site_b")),
       s"delete carrier still references the source: ${innerPaths.take(3).toSeq}")
+    // the rewritten carrier carries the spec's reserved field ids, so
+    // id-resolving readers (iceberg-java) keep finding its columns
+    delPaths.foreach { dp =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dp),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        def idOf(col: String): Int = {
+          val t = schema.getFields.asScala.find(_.getName == col)
+            .getOrElse(fail(s"no $col column in carrier $dp"))
+          assert(t.getId != null, s"rewritten carrier lost $col's field id: $dp")
+          t.getId.intValue
+        }
+        assert(idOf("file_path") == Manifests.PosDeletePathFieldId)
+        assert(idOf("pos") == Manifests.PosDeletePosFieldId)
+      } finally reader.close()
+    }
     // the entry's recorded size matches the rewritten carrier's bytes
     t2.positionDeleteFiles.foreach { f =>
       val real = new java.io.File(
@@ -198,6 +219,43 @@ class RewriteTablePathSpec extends AnyFunSuite {
       entries.foreach(e => assert(e.fileSizeInBytes == real,
         s"stale puffin file_size_in_bytes: ${e.fileSizeInBytes} vs $real"))
     }
+    // per-blob LINEAGE survives the rewrite: every target blob keeps its
+    // own snapshot-id (no head-blob stamping over a mixed puffin)
+    val srcBlobIds = IcebergTable.load(spark, src).positionDeleteFiles
+      .filter(_.isDv)
+      .flatMap(f => DeletionVectors.readPuffin(
+        IcebergTable.load(spark, src).resolvePath(f.filePath), conf2))
+      .map(_._1.snapshotId).sorted
+    val dstBlobIds = dvs
+      .flatMap(f => DeletionVectors.readPuffin(t2.resolvePath(f.filePath), conf2))
+      .map(_._1.snapshotId).sorted
+    assert(srcBlobIds == dstBlobIds, "blob snapshot lineage must survive")
+  }
+
+  test("expired tombstone carriers do not crash the rewrite: after a " +
+      "superseding delete + expire, the plan skips the collected puffin " +
+      "and the target still loads") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpe").toString
+    val src = s"$root/p1/db/e"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    IcebergWriter.append(spark, src,
+      (1L to 30L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.upgradeFormatVersion(spark, src, 3)
+    // two deletes on the same file: the second supersedes the first DV,
+    // tombstoning it; expire then physically collects the superseded blob
+    IcebergWriter.deleteRows(spark, src, Pruning.Lt("k", 3L))
+    IcebergWriter.deleteRows(spark, src, Pruning.Lt("k", 6L))
+    Maintenance.expireSnapshots(spark, src, keepLast = 1)
+    val t0 = IcebergTable.load(spark, src)
+    assert(t0.read().count() == 25)
+
+    val r = RewriteTablePath.rewrite(spark, src,
+      sourcePrefix = s"$root/p1", targetPrefix = s"$root/p2")
+    runCopyPlan(r.fileListPath)
+    val t2 = IcebergTable.load(spark, s"$root/p2/db/e")
+    assert(t2.read().count() == 25,
+      "the live DV must keep applying at the target")
   }
 
   test("guards: identical prefixes refuse; staging holds the plan and " +

@@ -184,6 +184,31 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("create_changelog_view: a timestamp bound inside a ROLLED-BACK era " +
+      "refuses with the rollback diagnosis, not a bare ancestry error") {
+    withCatalog { (cat, wh) =>
+      val url = s"$wh/db/rbcl"
+      build(url, files = 1)
+      Thread.sleep(5)
+      IcebergWriter.append(spark, url,
+        Seq((999L, "bad")).toDF("k", "cat"))
+      val t1 = graft.iceberg.IcebergTable.load(spark, url)
+      val badEra = t1.currentSnapshot.timestampMs
+      Thread.sleep(5)
+      IcebergWriter.rollbackTo(spark, url,
+        t1.currentSnapshot.parentSnapshotId.get)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.create_changelog_view(" +
+          s"table => 'db.rbcl', start_timestamp_ms => ${badEra}L)").collect()
+      }
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+      assert(msgs(e).contains("rolled back"),
+        s"expected the rollback diagnosis, got: ${msgs(e)}")
+    }
+  }
+
   test("CALL create_changelog_view: CDC rows queryable as a temp view") {
     withCatalog { (cat, wh) =>
       val url = s"$wh/db/cl"
