@@ -22,25 +22,33 @@ object PruningPropSpec extends Properties("PruningSoundness") {
   // ------------------------------------------------------------ data model
 
   /** x: long (id 1, bucket[4]-partitioned), s: string (id 2,
-    * truncate[2]-partitioned), d: double (id 3, unpartitioned, may be NaN). */
-  final case class Row(x: Option[Long], s: Option[String], d: Option[Double])
+    * truncate[2]-partitioned), d: double (id 3, unpartitioned, may be
+    * NaN), ts: timestamp micros (id 4, day-partitioned — the
+    * ORDER-PRESERVING time-transform rewrite, where range predicates DO
+    * push through the transform). */
+  final case class Row(x: Option[Long], s: Option[String], d: Option[Double],
+      ts: Option[Long])
 
   private val spec = PartitionSpec(0, Seq(
     PartitionField(1, 1000, "x_bucket", "bucket[4]"),
-    PartitionField(2, 1001, "s_trunc", "truncate[2]")))
+    PartitionField(2, 1001, "s_trunc", "truncate[2]"),
+    PartitionField(4, 1002, "ts_day", "day")))
 
   private val ctx = Context(
     Map("x" -> FieldInfo(1, "x", "long"),
       "s" -> FieldInfo(2, "s", "string"),
-      "d" -> FieldInfo(3, "d", "double")),
+      "d" -> FieldInfo(3, "d", "double"),
+      "ts" -> FieldInfo(4, "ts", "timestamp")),
     spec)
 
   private val bucket = Transforms.Bucket(4)
   private val trunc = Transforms.Truncate(2)
+  private val day = Transforms.Day
 
   private def partitionOf(r: Row): Map[String, Any] = Map(
     "x_bucket" -> r.x.flatMap(v => bucket(v, "long")).orNull,
-    "s_trunc" -> r.s.flatMap(v => trunc(v, "string")).orNull)
+    "s_trunc" -> r.s.flatMap(v => trunc(v, "string")).orNull,
+    "ts_day" -> r.ts.flatMap(v => day(v, "timestamp")).orNull)
 
   private def enc(v: Any, t: String): Array[Byte] =
     IcebergTypes.encodeBound(IcebergTypes.normalizeLiteral(v, t), t)
@@ -52,18 +60,22 @@ object PruningPropSpec extends Properties("PruningSoundness") {
     val xs = rows.flatMap(_.x)
     val ss = rows.flatMap(_.s)
     val ds = rows.flatMap(_.d).filterNot(_.isNaN)
+    val tss = rows.flatMap(_.ts)
     val lower = Map.newBuilder[Int, Array[Byte]]
     val upper = Map.newBuilder[Int, Array[Byte]]
     if (xs.nonEmpty) { lower += 1 -> enc(xs.min, "long"); upper += 1 -> enc(xs.max, "long") }
     if (ss.nonEmpty) { lower += 2 -> enc(ss.min, "string"); upper += 2 -> enc(ss.max, "string") }
     if (ds.nonEmpty) { lower += 3 -> enc(ds.min, "double"); upper += 3 -> enc(ds.max, "double") }
+    if (tss.nonEmpty) { lower += 4 -> enc(tss.min, "timestamp"); upper += 4 -> enc(tss.max, "timestamp") }
     DataFileInfo("f.parquet", "PARQUET", partitionOf(rows.head),
       rows.size.toLong, 1000L,
       Map.empty,
-      Map(1 -> rows.size.toLong, 2 -> rows.size.toLong, 3 -> rows.size.toLong),
+      Map(1 -> rows.size.toLong, 2 -> rows.size.toLong, 3 -> rows.size.toLong,
+        4 -> rows.size.toLong),
       Map(1 -> rows.count(_.x.isEmpty).toLong,
         2 -> rows.count(_.s.isEmpty).toLong,
-        3 -> rows.count(_.d.isEmpty).toLong),
+        3 -> rows.count(_.d.isEmpty).toLong,
+        4 -> rows.count(_.ts.isEmpty).toLong),
       Map(3 -> rows.count(_.d.exists(_.isNaN)).toLong),
       lower.result(), upper.result())
   }
@@ -90,7 +102,8 @@ object PruningPropSpec extends Properties("PruningSoundness") {
         upperBound = if (vs.isEmpty) None else Some(enc(vs.max, boundType)))
     }
     ManifestFile("m.avro", 1L, 0, None,
-      Seq(summary("x_bucket", "int"), summary("s_trunc", "string")),
+      Seq(summary("x_bucket", "int"), summary("s_trunc", "string"),
+        summary("ts_day", "int")),
       Some(files.size), Some(0), Some(0), None, None, None)
   }
 
@@ -107,6 +120,7 @@ object PruningPropSpec extends Properties("PruningSoundness") {
     case "x" => r.x
     case "s" => r.s
     case "d" => r.d
+    case "ts" => r.ts
   }
 
   /** Row-level truth with SQL null semantics (null operand never matches). */
@@ -134,7 +148,11 @@ object PruningPropSpec extends Properties("PruningSoundness") {
       "bc", "z", "zz").map(Some(_)), 1 -> Gen.const(None))
     d <- Gen.frequency(8 -> Gen.choose(-50.0, 50.0).map(Some(_)),
       1 -> Gen.const(Some(Double.NaN)), 1 -> Gen.const(None))
-  } yield Row(x, s, d)
+    // +-5 days of epoch micros, clustered so several rows share a day
+    // (and some straddle midnight) while negatives exercise floorDiv
+    ts <- Gen.frequency(9 -> Gen.choose(-5L * 86400000000L, 5L * 86400000000L)
+      .map(v => Some(v - v % 3600000000L)), 1 -> Gen.const(None))
+  } yield Row(x, s, d, ts)
 
   private val genLeaf: Gen[IcePredicate] = {
     val xLit: Gen[Any] = Gen.choose(-55L, 55L).map(identity[Any])
@@ -143,13 +161,16 @@ object PruningPropSpec extends Properties("PruningSoundness") {
     val dLit: Gen[Any] = Gen.frequency(
       9 -> Gen.choose(-55.0, 55.0).map(identity[Any]),
       1 -> Gen.const(Double.NaN: Any))
+    val tsLit: Gen[Any] = Gen.choose(-6L * 86400000000L, 6L * 86400000000L)
+      .map(v => (v - v % 3600000000L): Any)
     def leafFor(c: String, lit: Gen[Any]): Gen[IcePredicate] = Gen.frequency(
       2 -> lit.map(Eq(c, _)), 2 -> lit.map(NotEq(c, _)),
       2 -> lit.map(Lt(c, _)), 2 -> lit.map(LtEq(c, _)),
       2 -> lit.map(Gt(c, _)), 2 -> lit.map(GtEq(c, _)),
       2 -> Gen.nonEmptyListOf(lit).map(vs => In(c, vs.take(4))),
       1 -> Gen.const(IsNull(c)), 1 -> Gen.const(NotNull(c)))
-    Gen.oneOf(leafFor("x", xLit), leafFor("s", sLit), leafFor("d", dLit))
+    Gen.oneOf(leafFor("x", xLit), leafFor("s", sLit), leafFor("d", dLit),
+      leafFor("ts", tsLit))
   }
 
   private def genPred(depth: Int): Gen[IcePredicate] =
@@ -195,6 +216,22 @@ object PruningPropSpec extends Properties("PruningSoundness") {
       if (!ok) println(s"UNSOUND manifest prune: pred=$pred rows=$rows " +
         s"summaries=${manifest.partitions}")
       ok
+    }
+
+  /** Anti-vacuity pin: the day-partition tier PRUNES when it should — a
+    * bounds-free file whose rows all live on one day must be dropped by a
+    * range predicate on the other side of that day (soundness alone would
+    * also pass by never pruning anything). */
+  property("day-partition tier prunes a bounds-free file on the wrong day") =
+    Prop.forAll(Gen.choose(2L, 5L)) { dayN =>
+      val micros = dayN * 86400000000L + 3600000000L // inside day N
+      val row = Row(Some(1L), Some("a"), Some(1.0), Some(micros))
+      val file = fileOf(Seq(row)).copy(
+        lowerBounds = Map.empty, upperBounds = Map.empty)
+      !fileMightMatch(Lt("ts", 86400000000L - 1L), file, ctx) && // day 0
+        fileMightMatch(GtEq("ts", micros - 1L), file, ctx) &&
+        !manifestMightMatch(Lt("ts", 86400000000L - 1L),
+          manifestOf(Seq(file)), ctx)
     }
 
   /** DNF round-trip: building the same predicate through the reference's
