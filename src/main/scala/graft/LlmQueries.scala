@@ -421,6 +421,12 @@ object LlmQueries {
     Corpus.docRarity(t(s, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** BPE pair-count kernel ([[Corpus.bpePairCounts]]): top-100 adjacent
+    * token pairs corpus-wide, count-then-text ordered so the oracle
+    * replays the exact top-k cut. */
+  def pipeBpePairs(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpePairCounts(t(s, dir, "documents"), "text", k = 100)
+
   /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
     * 10-token windows (w=50 in production; 10 suits the short synthetic
     * docs) whose text repeats anywhere in the corpus, non-canonical
@@ -603,6 +609,7 @@ object LlmQueries {
     "pipe_substring_clean" -> (pipeSubstringClean _),
     "pipe_cluster_mix"  -> (pipeClusterMix _),
     "tx_doc_rarity"     -> (txDocRarity _),
+    "pipe_bpe_pairs"    -> (pipeBpePairs _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -964,6 +971,17 @@ object LlmQueries {
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.75
                           WHEN 'es' THEN 0.75 ELSE 1.0 END
       ORDER BY doc_id""",
+    // the BPE counting kernel replayed exactly: adjacent pairs with
+    // multiplicity, count-desc/pair-asc top-100
+    "pipe_bpe_pairs" -> """
+      WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+      pairs AS (SELECT concat(t[i], ' ', t[i+1]) AS pair
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+                WHERE len(t) >= 2)
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 100""",
     // cluster-balance replayed as the NAIVE exact form — full per-cluster
     // ranking — pinning that Spark's two-pass bin selection (no global
     // per-cluster sort) returns exactly the top-16 by (u, vec_id)

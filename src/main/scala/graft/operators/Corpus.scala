@@ -466,6 +466,34 @@ object Corpus {
         col("sum_freq"))
   }
 
+  /** Adjacent-token PAIR counting — the inner loop of BPE tokenizer
+    * training (the merge candidate for each round is the corpus's most
+    * frequent adjacent pair): every document contributes its n−1 ordered
+    * adjacent token pairs WITH multiplicity, and the corpus-wide counts
+    * come back top-`k`, ties broken by pair text so the result is
+    * deterministic and any engine replays it.
+    *
+    * Scale shape: pair generation is a codegen'd `zip_with` projection (no
+    * explode of characters, one array op per document); ONE aggregation
+    * keyed by pair text (map-side combine absorbs the Zipf head — exactly
+    * the hot pairs BPE wants); top-k is Spark's TakeOrdered (per-partition
+    * heaps, never a global sort). A full BPE trainer loops this with a
+    * merge-apply pass per round; the counting pass here is the part that
+    * touches the corpus. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = df.select(split(coalesce(col(textCol), lit("")), " ").as("_t"))
+      .filter(size(col("_t")) >= 2)
+    toks.select(explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Cross-document REPEATED-SPAN detection — the span-level analogue of
     * [[lineDedup]] (after the exact-substring dedup of "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022, done
