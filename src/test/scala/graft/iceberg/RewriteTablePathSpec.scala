@@ -258,6 +258,51 @@ class RewriteTablePathSpec extends AnyFunSuite {
       "the live DV must keep applying at the target")
   }
 
+  test("a gzip-named metadata-log version re-compresses at the target " +
+      "(name-resolved codecs must match the bytes)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpz").toString
+    val src = s"$root/g1/db/z"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType))))
+    IcebergWriter.append(spark, src, Seq(1L, 2L).map(Tuple1(_)).toDF("k"))
+    IcebergWriter.append(spark, src, Seq(3L).map(Tuple1(_)).toDF("k"))
+    // simulate a foreign gzip-compressing writer for the logged v2 version:
+    // compress the file under the .gzip name and point the log at it
+    val meta = new java.io.File(s"$src/metadata")
+    val v2 = new java.io.File(meta, "v2.metadata.json")
+    val v2gz = new java.io.File(meta, "v2.gzip.metadata.json")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(v2gz))
+    try gz.write(java.nio.file.Files.readAllBytes(v2.toPath)) finally gz.close()
+    assert(v2.delete())
+    val v3 = new java.io.File(meta, "v3.metadata.json")
+    java.nio.file.Files.writeString(v3.toPath,
+      java.nio.file.Files.readString(v3.toPath)
+        .replace("v2.metadata.json", "v2.gzip.metadata.json"))
+    // the hand edits bypass Hadoop's local-FS checksums — drop the stale
+    // .crc sidecars or every subsequent read fails ChecksumException
+    meta.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+
+    val r = RewriteTablePath.rewrite(spark, src,
+      sourcePrefix = s"$root/g1", targetPrefix = s"$root/g2")
+    runCopyPlan(r.fileListPath)
+    val dstGz = new java.io.File(s"$root/g2/db/z/metadata/v2.gzip.metadata.json")
+    assert(dstGz.exists, "the logged gzip version must relocate")
+    val head = java.nio.file.Files.readAllBytes(dstGz.toPath).take(2)
+    assert(head(0) == 0x1f.toByte && head(1) == 0x8b.toByte,
+      "a .gzip name must hold gzip bytes (iceberg-java resolves the codec " +
+        "from the NAME)")
+    // and the re-compressed content is the REWRITTEN metadata
+    val inflated = new String(
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(dstGz)).readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(inflated.contains("g2") && !inflated.contains("/g1/"),
+      "the relocated log version must carry target-prefixed paths")
+    // the target still loads and serves all rows
+    assert(IcebergTable.load(spark, s"$root/g2/db/z").read().count() == 3)
+  }
+
   test("guards: identical prefixes refuse; staging holds the plan and " +
       "rewritten metadata only") {
     val root = java.nio.file.Files.createTempDirectory("graft_rtpg").toString
