@@ -204,6 +204,13 @@ object DeletionVectors {
     val blobs = readPuffin(src, conf)
     require(blobs.nonEmpty,
       s"no deletion-vector blobs in puffin $src — nothing to rewrite")
+    // the rebuild emits ONLY deletion-vector blobs: a foreign puffin mixing
+    // in other blob types (spec-legal) would silently lose them — refuse
+    val total = footerBlobTotal(src, conf)
+    require(total == blobs.size,
+      s"puffin $src holds $total blobs but only ${blobs.size} are " +
+        "deletion-vector-v1 — rewriting would drop the others; copy such " +
+        "mixed files with the engine that wrote them")
     def relocated(located: Seq[(Long, Long)]): Seq[DvBlob] =
       blobs.zip(located).map { case ((b, _), (off, len)) =>
         b.copy(referencedDataFile = re(b.referencedDataFile),
@@ -265,6 +272,26 @@ object DeletionVectors {
       val bytes = new Array[Byte](length.toInt)
       in.readFully(offset, bytes)
       decodeBlob(bytes)
+    } finally in.close()
+  }
+
+  /** Count of ALL blob entries in a puffin's footer, regardless of type. */
+  private def footerBlobTotal(path: String, conf: Configuration): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val tail = new Array[Byte](12)
+      in.readFully(len - 12, tail)
+      val tb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
+      val payloadSize = tb.getInt()
+      val flags = tb.getInt()
+      val stored = new Array[Byte](payloadSize)
+      in.readFully(len - 12 - payloadSize, stored)
+      val payload = if ((flags & 1) != 0) Puffin.lz4Decompress(stored) else stored
+      val blobs = mapper.readTree(payload).get("blobs")
+      if (blobs == null || !blobs.isArray) 0 else blobs.size()
     } finally in.close()
   }
 

@@ -118,15 +118,40 @@ object RewriteTablePath {
       // A carrier referenced ONLY by DELETED-status tombstones may have
       // been physically collected by expire_snapshots — those are skipped
       // (nothing to copy; the tombstone itself still relocates).
-      val carrierStaged = scala.collection.mutable.Map.empty[String, (String, Long)]
+      // staged path, new length, and (parquet only) the EXACT min/max of
+      // the rewritten file_path column — re() is not order-preserving when
+      // a carrier references both re-prefixed and untouched foreign paths,
+      // so the entry's path bounds must come from the rewritten data, not
+      // from re() applied to the old bounds
+      val carrierStaged = scala.collection.mutable
+        .Map.empty[String, (String, Long, Option[(String, String)])]
       val carrierMissing = scala.collection.mutable.Set.empty[String]
+      val deadExists = scala.collection.mutable.Map.empty[String, Boolean]
       val dvFix = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
       var carrierIdx = 0
+      // liveness is a RECONCILED per-snapshot property (a file ADDED in one
+      // manifest and DELETED in another of the same list is dead): a file
+      // live in ANY copied snapshot must exist — expire never collects
+      // those, so absence means source corruption and the rewrite refuses
+      // loudly instead of staging a silently-broken copy. Files live
+      // NOWHERE may legitimately be gone (physical cleanup keeps their
+      // tombstones), so those are exists-probed and skipped when missing.
+      val liveAnywhere: Set[String] = table.metadata.snapshots.flatMap { snap =>
+        val view = table.atSnapshot(snap.snapshotId)
+        (view.liveFiles().map(f => view.resolvePath(f.filePath)) ++
+          view.liveDeleteFiles.map(f => view.resolvePath(f.filePath)))
+      }.toSet
+      def missingLive(abs: String): Nothing = throw new IllegalStateException(
+        s"LIVE position-delete carrier missing at the source: $abs — the " +
+          "table cannot serve correct reads (orphan sweep too aggressive, " +
+          "or storage loss); refusing to stage a silently-broken copy")
       def stageCarrier(abs: String, format: String): Unit =
         if (!carrierStaged.contains(abs) && !carrierMissing.contains(abs)) {
           val p = new Path(abs)
-          if (!p.getFileSystem(conf).exists(p)) carrierMissing += abs
-          else {
+          if (!p.getFileSystem(conf).exists(p)) {
+            if (liveAnywhere.contains(abs)) missingLive(abs)
+            carrierMissing += abs
+          } else {
             carrierIdx += 1
             val staged = s"$staging/carrier-$carrierIdx-${name(abs)}"
             if (format.equalsIgnoreCase("PUFFIN")) {
@@ -134,11 +159,11 @@ object RewriteTablePath {
                 DeletionVectors.rewritePuffinPaths(abs, staged, conf, re)
               newBlobs.foreach(b =>
                 dvFix((abs, b.referencedDataFile)) = (b.offset, b.length))
-              carrierStaged(abs) = (staged, newLen)
+              carrierStaged(abs) = (staged, newLen, None)
             } else {
-              carrierStaged(abs) =
-                (staged, rewriteDeleteParquet(spark, abs, staged,
-                  sourcePrefix, targetPrefix, conf))
+              val (newLen, lo, hi) = rewriteDeleteParquet(spark, abs, staged,
+                sourcePrefix, targetPrefix, conf)
+              carrierStaged(abs) = (staged, newLen, Some((lo, hi)))
             }
           }
         }
@@ -166,13 +191,26 @@ object RewriteTablePath {
             manifestCount += 1
             val stagedM = s"$staging/${name(mSrc)}"
             copyAvroRewriting(mSrc, stagedM, conf) { rec =>
-              val status = rec.get("status").asInstanceOf[Int]
               val df = rec.get("data_file").asInstanceOf[GenericRecord]
               val p = df.get("file_path").toString
               val abs = view.resolvePath(p)
               df.put("file_path", new Utf8(re(p)))
+              def putPathBound(f: String, v: String): Unit =
+                if (df.getSchema.getField(f) != null)
+                  Option(df.get(f)).foreach {
+                    case arr: java.util.Collection[_] => arr.asScala.foreach {
+                      case kv: GenericRecord
+                          if kv.get("key").asInstanceOf[Int] ==
+                            Manifests.PosDeletePathFieldId =>
+                        kv.put("value",
+                          java.nio.ByteBuffer.wrap(v.getBytes(UTF_8)))
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+              var exactBounds = false
               carrierStaged.get(abs) match {
-                case Some((stagedCarrier, newLen)) =>
+                case Some((stagedCarrier, newLen, bounds)) =>
                   // the staged rewrite replaced the carrier's bytes — the
                   // entry's size (and a DV's blob location) must match
                   // them, and any recorded split offsets are stale
@@ -188,18 +226,30 @@ object RewriteTablePath {
                           java.lang.Long.valueOf(len))
                       }
                     }
+                  // parquet carriers: stamp the EXACT min/max of the
+                  // rewritten file_path column — re() on the old bounds is
+                  // unsound when the carrier mixes re-prefixed and foreign
+                  // paths (the image of the min may no longer be minimal)
+                  bounds.foreach { case (lo, hi) =>
+                    putPathBound("lower_bounds", lo)
+                    putPathBound("upper_bounds", hi)
+                    exactBounds = true
+                  }
                   if (plan(stagedCarrier, re(abs))) dataFiles += 1
                 case None if carrierMissing.contains(abs) =>
-                  () // expired tombstone carrier: the entry relocates,
-                     // there are no bytes to copy (dangling at source too)
-                case None if status == Manifests.Status.Deleted =>
-                  // tombstoned DATA files can be physically expired too —
-                  // exists-gate ONLY tombstones (live entries stay free)
-                  val pp = new Path(abs)
-                  if (pp.getFileSystem(conf).exists(pp) &&
-                      plan(p, re(p))) dataFiles += 1
-                case None =>
+                  () // expired dead carrier: the entry relocates, there
+                     // are no bytes to copy (dangling at source too)
+                case None if liveAnywhere.contains(abs) =>
+                  // live somewhere → expire cannot have collected it;
+                  // plan unconditionally (no probe RPC on the hot path)
                   if (plan(p, re(p))) dataFiles += 1
+                case None =>
+                  // dead everywhere → physical cleanup may have collected
+                  // it; probe each distinct path once, skip the missing
+                  if (deadExists.getOrElseUpdate(abs, {
+                        val pp = new Path(abs)
+                        pp.getFileSystem(conf).exists(pp)
+                      }) && plan(p, re(p))) dataFiles += 1
               }
               if (df.getSchema.getField("referenced_data_file") != null) {
                 Option(df.get("referenced_data_file")).foreach(r =>
@@ -208,23 +258,26 @@ object RewriteTablePath {
               // delete entries stamp the referenced data-file path into the
               // path-column bounds (field 2147483546) — readers prune which
               // delete files apply with them, so they must relocate too
-              Seq("lower_bounds", "upper_bounds").foreach { f =>
-                if (df.getSchema.getField(f) != null)
-                  Option(df.get(f)).foreach {
-                    case arr: java.util.Collection[_] => arr.asScala.foreach {
-                      case kv: GenericRecord
-                          if kv.get("key").asInstanceOf[Int] ==
-                            Manifests.PosDeletePathFieldId =>
-                        val bb = kv.get("value")
-                          .asInstanceOf[java.nio.ByteBuffer]
-                        val s = UTF_8.decode(bb.duplicate()).toString
-                        kv.put("value",
-                          java.nio.ByteBuffer.wrap(re(s).getBytes(UTF_8)))
+              // (single-value DV bounds re() safely; parquet carriers were
+              // exact-stamped above)
+              if (!exactBounds)
+                Seq("lower_bounds", "upper_bounds").foreach { f =>
+                  if (df.getSchema.getField(f) != null)
+                    Option(df.get(f)).foreach {
+                      case arr: java.util.Collection[_] => arr.asScala.foreach {
+                        case kv: GenericRecord
+                            if kv.get("key").asInstanceOf[Int] ==
+                              Manifests.PosDeletePathFieldId =>
+                          val bb = kv.get("value")
+                            .asInstanceOf[java.nio.ByteBuffer]
+                          val s = UTF_8.decode(bb.duplicate()).toString
+                          kv.put("value",
+                            java.nio.ByteBuffer.wrap(re(s).getBytes(UTF_8)))
+                        case _ => ()
+                      }
                       case _ => ()
                     }
-                    case _ => ()
-                  }
-              }
+                }
             }
             manifestLens(name(mSrc)) =
               new Path(stagedM).getFileSystem(conf)
@@ -325,10 +378,12 @@ object RewriteTablePath {
     * pos 2147483545) are stamped on the output columns — a carrier written
     * by an id-stamping engine (iceberg-java) must keep resolving by id at
     * the target, and stamping them on a previously id-less graft-native
-    * carrier only makes it more conformant. Returns the new file length. */
+    * carrier only makes it more conformant. Returns the new file length
+    * plus the EXACT (min, max) of the rewritten file_path column — the
+    * sound replacement for the manifest entry's path bounds. */
   private def rewriteDeleteParquet(spark: SparkSession, src: String,
       dst: String, sourcePrefix: String, targetPrefix: String,
-      conf: Configuration): Long = {
+      conf: Configuration): (Long, String, String) = {
     import org.apache.spark.sql.functions._
     val pattern = "^((?:[A-Za-z][A-Za-z0-9+.-]*:(?://[^/]*)?)?)" +
       java.util.regex.Pattern.quote(sourcePrefix)
@@ -363,7 +418,11 @@ object RewriteTablePath {
       .getPath
     fs.rename(part, new Path(dst))
     fs.delete(new Path(tmp), true)
-    fs.getFileStatus(new Path(dst)).getLen
+    // exact bounds of the REWRITTEN paths (one tiny scan of the staged
+    // carrier — carriers are per-commit delete files, not data-scale)
+    val mm = spark.read.parquet(dst)
+      .agg(min(col("file_path")), max(col("file_path"))).head()
+    (fs.getFileStatus(new Path(dst)).getLen, mm.getString(0), mm.getString(1))
   }
 
   /** Execute a copy plan produced by [[rewrite]]: stream `file-list.tsv`

@@ -16,7 +16,10 @@ object ParseWherePropSpec extends Properties("ParseWhereRoundTrip") {
 
   private def sqlLit(v: Any): String = v match {
     case s: String => "'" + s.replace("'", "''") + "'"
-    case d: Double => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    // Locale.ROOT: a comma-decimal default locale must not break the SQL
+    case d: Double => if (d == d.floor && !d.isInfinite)
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    else d.toString
     case b: Boolean => b.toString
     case other => other.toString
   }
