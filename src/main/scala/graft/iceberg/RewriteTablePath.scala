@@ -96,6 +96,16 @@ object RewriteTablePath {
           p.substring(0, i) + targetPrefix + p.substring(i + sourcePrefix.length)
         else p
       }
+    // recorded paths may predate a physical move (original_url ≠ url):
+    // resolve to the CURRENT site first, then re-prefix — staged content,
+    // bounds, and the copy plan all speak the same resolved form, so the
+    // plan's sources exist and its targets match what the manifests say
+    def rel(p: String): String = re(table.resolvePath(p))
+    require(re(url) != url,
+      s"source_prefix '$sourcePrefix' does not cover the table location " +
+        s"'$url' — the staged metadata would target the LIVE table's own " +
+        "paths and the copy would overwrite them; pass a prefix of the " +
+        "table location")
     val staging = stagingLocation.getOrElse(
       s"$url/metadata/rewrite-staging-${UUID.randomUUID().toString.take(8)}")
     val stagingPath = new Path(staging)
@@ -108,8 +118,12 @@ object RewriteTablePath {
       fs.create(new Path(fileListPath), true), UTF_8))
     var dataFiles = 0L
     val listed = scala.collection.mutable.Set.empty[String]
+    // a path the prefix does not cover maps onto itself — the file is
+    // SHARED between source and target (the staged manifests keep pointing
+    // at it in place); copying it onto itself would truncate live data, so
+    // identity pairs never enter the plan
     def plan(src: String, dst: String): Boolean =
-      listed.add(src) && { listOut.println(s"$src\t$dst"); true }
+      src != dst && listed.add(src) && { listOut.println(s"$src\t$dst"); true }
 
     try {
       // POSITION-DELETE carrier rewrite state: carriers embed data-file
@@ -156,13 +170,13 @@ object RewriteTablePath {
             val staged = s"$staging/carrier-$carrierIdx-${name(abs)}"
             if (format.equalsIgnoreCase("PUFFIN")) {
               val (newBlobs, newLen) =
-                DeletionVectors.rewritePuffinPaths(abs, staged, conf, re)
+                DeletionVectors.rewritePuffinPaths(abs, staged, conf, rel)
               newBlobs.foreach(b =>
                 dvFix((abs, b.referencedDataFile)) = (b.offset, b.length))
               carrierStaged(abs) = (staged, newLen, None)
             } else {
               val (newLen, lo, hi) = rewriteDeleteParquet(spark, abs, staged,
-                sourcePrefix, targetPrefix, conf)
+                sourcePrefix, targetPrefix, table.originalUrl, url, conf)
               carrierStaged(abs) = (staged, newLen, Some((lo, hi)))
             }
           }
@@ -194,7 +208,7 @@ object RewriteTablePath {
               val df = rec.get("data_file").asInstanceOf[GenericRecord]
               val p = df.get("file_path").toString
               val abs = view.resolvePath(p)
-              df.put("file_path", new Utf8(re(p)))
+              df.put("file_path", new Utf8(rel(p)))
               def putPathBound(f: String, v: String): Unit =
                 if (df.getSchema.getField(f) != null)
                   Option(df.get(f)).foreach {
@@ -219,7 +233,7 @@ object RewriteTablePath {
                     df.put("split_offsets", null)
                   if (df.getSchema.getField("referenced_data_file") != null)
                     Option(df.get("referenced_data_file")).foreach { r =>
-                      val tref = re(r.toString)
+                      val tref = rel(r.toString)
                       dvFix.get((abs, tref)).foreach { case (off, len) =>
                         df.put("content_offset", java.lang.Long.valueOf(off))
                         df.put("content_size_in_bytes",
@@ -242,18 +256,18 @@ object RewriteTablePath {
                 case None if liveAnywhere.contains(abs) =>
                   // live somewhere → expire cannot have collected it;
                   // plan unconditionally (no probe RPC on the hot path)
-                  if (plan(p, re(p))) dataFiles += 1
+                  if (plan(abs, re(abs))) dataFiles += 1
                 case None =>
                   // dead everywhere → physical cleanup may have collected
                   // it; probe each distinct path once, skip the missing
                   if (deadExists.getOrElseUpdate(abs, {
                         val pp = new Path(abs)
                         pp.getFileSystem(conf).exists(pp)
-                      }) && plan(p, re(p))) dataFiles += 1
+                      }) && plan(abs, re(abs))) dataFiles += 1
               }
               if (df.getSchema.getField("referenced_data_file") != null) {
                 Option(df.get("referenced_data_file")).foreach(r =>
-                  df.put("referenced_data_file", new Utf8(re(r.toString))))
+                  df.put("referenced_data_file", new Utf8(rel(r.toString))))
               }
               // delete entries stamp the referenced data-file path into the
               // path-column bounds (field 2147483546) — readers prune which
@@ -272,7 +286,7 @@ object RewriteTablePath {
                             .asInstanceOf[java.nio.ByteBuffer]
                           val s = UTF_8.decode(bb.duplicate()).toString
                           kv.put("value",
-                            java.nio.ByteBuffer.wrap(re(s).getBytes(UTF_8)))
+                            java.nio.ByteBuffer.wrap(rel(s).getBytes(UTF_8)))
                         case _ => ()
                       }
                       case _ => ()
@@ -287,7 +301,7 @@ object RewriteTablePath {
         }
         copyAvroRewriting(mlSrc, s"$staging/${name(mlSrc)}", conf) { rec =>
           val mp = rec.get("manifest_path").toString
-          rec.put("manifest_path", new Utf8(re(mp)))
+          rec.put("manifest_path", new Utf8(rel(mp)))
           // the rewritten manifest's size differs whenever the prefixes
           // differ in length — Avro readers trust manifest_length
           manifestLens.get(name(mp)).foreach(l =>
@@ -308,16 +322,28 @@ object RewriteTablePath {
       val mapper = new ObjectMapper()
       val root = mapper.readTree(
         IcebergWriter.metadataBaseJson(table, url, conf)).asInstanceOf[ObjectNode]
-      rePrefixMetadataJson(root, re)
+      rePrefixMetadataJson(root, rel)
       // the staged metadata takes the SOURCE file's own name (a
       // metadata-file-resolved table reports version 0; the basename is
       // always right), and the hint mirrors its version number
       // (a gzip-compressed source writes back PLAIN, so the staged name
       // drops the .gzip marker — the loader prefers the plain form)
-      val metaName = name(table.loadedFrom)
+      val metaName0 = name(table.loadedFrom)
         .replace(".gzip.metadata.json", ".metadata.json")
-      val hintV = "v(\\d+)".r.findFirstMatchIn(metaName)
-        .map(_.group(1)).getOrElse("1")
+      val VN = """v(\d+)\.metadata\.json""".r
+      val (metaName, hintV) = metaName0 match {
+        case VN(n) => (metaName0, n)
+        case _ =>
+          // foreign-NAMED current metadata (e.g. iceberg-java's
+          // 00012-<uuid>.metadata.json): the hint must point at a vN file
+          // that EXISTS at the target, so the current version stages under
+          // the first vN name past every vN the metadata-log stages
+          val logged = table.metadata.metadataLog.map(_._2)
+            .map(p => name(p).replace(".gzip.metadata.json", ".metadata.json"))
+            .collect { case VN(n) => n.toInt }
+          val n = (logged :+ table.version).max + 1
+          (s"v$n.metadata.json", n.toString)
+      }
       IcebergWriter.writeString(s"$staging/$metaName", root.toPrettyString, conf)
       plan(s"$staging/$metaName", re(s"$url/metadata/$metaName"))
       IcebergWriter.writeString(s"$staging/version-hint.text", hintV, conf)
@@ -330,16 +356,15 @@ object RewriteTablePath {
       // source is skipped — it dangles identically on both sides.
       var metadataFiles = 1
       table.metadata.metadataLog.map(_._2).distinct.foreach { mfPath =>
-        val abs =
-          if (mfPath.startsWith("/") || mfPath.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"))
-            mfPath
-          else table.resolvePath(mfPath)
+        // logged entries may predate a physical move too — resolve to the
+        // current site (a pure prefix replace; identity when never moved)
+        val abs = table.resolvePath(mfPath)
         val p = new Path(abs)
         val pfs = p.getFileSystem(conf)
         if (pfs.exists(p) && name(abs) != metaName) {
           val old = mapper.readTree(IcebergTable.readString(abs, conf))
             .asInstanceOf[ObjectNode]
-          rePrefixMetadataJson(old, re)
+          rePrefixMetadataJson(old, rel)
           val stagedOld = s"$staging/${name(abs)}"
           writeMaybeGzip(stagedOld, old.toPrettyString, conf)
           plan(stagedOld, re(abs))
@@ -383,12 +408,20 @@ object RewriteTablePath {
     * sound replacement for the manifest entry's path bounds. */
   private def rewriteDeleteParquet(spark: SparkSession, src: String,
       dst: String, sourcePrefix: String, targetPrefix: String,
+      originalUrl: String, currentUrl: String,
       conf: Configuration): (Long, String, String) = {
     import org.apache.spark.sql.functions._
     val pattern = "^((?:[A-Za-z][A-Za-z0-9+.-]*:(?://[^/]*)?)?)" +
       java.util.regex.Pattern.quote(sourcePrefix)
     val replacement =
       "$1" + java.util.regex.Matcher.quoteReplacement(targetPrefix)
+    // recorded paths resolve to the CURRENT site before re-prefixing (same
+    // original_url replace the driver-side `rel` applies)
+    def resolveCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (originalUrl.nonEmpty && originalUrl != currentUrl)
+        regexp_replace(c, java.util.regex.Pattern.quote(originalUrl),
+          java.util.regex.Matcher.quoteReplacement(currentUrl))
+      else c
     val tmp = s"$dst.tmp"
     def fieldId(n: String): Option[Int] = n match {
       case "file_path" => Some(Manifests.PosDeletePathFieldId)
@@ -399,7 +432,7 @@ object RewriteTablePath {
     src0.select(src0.schema.fields.map { f =>
         val c =
           if (f.name == "file_path")
-            regexp_replace(col("file_path"), pattern, replacement)
+            regexp_replace(resolveCol(col("file_path")), pattern, replacement)
           else col(f.name)
         fieldId(f.name) match {
           case Some(id) => c.as(f.name,
@@ -443,6 +476,9 @@ object RewriteTablePath {
         if (line.nonEmpty) {
           val cols = line.split('\t')
           require(cols.length == 2, s"malformed copy-plan line: $line")
+          require(cols(0) != cols(1),
+            s"copy plan maps a file onto itself — executing would TRUNCATE " +
+              s"it before the copy: ${cols(0)}")
           val sp = new Path(cols(0))
           val dp = new Path(cols(1))
           val dfs = dp.getFileSystem(conf)

@@ -96,9 +96,15 @@ final class IceRestCatalog(endpoint: String, prefix: String = "") {
     * the catalog records an EXISTING table's metadata file as a new entry —
     * nothing copies; the server owns the entry from then on. */
   def registerTable(namespace: String, name: String,
-      metadataLocation: String): JsonNode =
-    request("POST", s"/namespaces/$namespace/register", Some(
-      s"""{"name": "$name", "metadata-location": "$metadataLocation"}"""))
+      metadataLocation: String): JsonNode = {
+    // serialized by the mapper, not interpolated — names/locations holding
+    // quotes or backslashes must arrive escaped, not as malformed JSON
+    val body = mapper.createObjectNode()
+    body.put("name", name)
+    body.put("metadata-location", metadataLocation)
+    request("POST", s"/namespaces/$namespace/register",
+      Some(mapper.writeValueAsString(body)))
+  }
 
   /** rest_client.py:90-95 — `purge` asks the server to also drop data
     * files, carried as the REST spec's `purgeRequested` query parameter. */

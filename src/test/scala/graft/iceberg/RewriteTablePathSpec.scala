@@ -303,6 +303,154 @@ class RewriteTablePathSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, s"$root/g2/db/z").read().count() == 3)
   }
 
+  test("paths OUTSIDE source_prefix are shared in place: never planned as " +
+      "self-copies (which would truncate them), target reads them where " +
+      "they are") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtps").toString
+    // external data at a site the prefix does NOT cover
+    val ext = s"$root/shared/external"
+    (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.parquet(ext)
+    val extPart = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val extLen = extPart.length
+    val src = s"$root/site_a/db/s"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    IcebergWriter.addFiles(spark, src, Seq(extPart.getAbsolutePath))
+    IcebergWriter.append(spark, src,
+      (31L to 40L).map(i => (i, s"n$i")).toDF("k", "v").coalesce(1))
+
+    val r = RewriteTablePath.rewrite(spark, src,
+      sourcePrefix = s"$root/site_a", targetPrefix = s"$root/site_b")
+    // the plan NEVER maps a file onto itself
+    val lines = scala.io.Source.fromFile(
+      r.fileListPath.stripPrefix("file:")).getLines().toSeq
+    lines.foreach { l =>
+      val Array(s, d) = l.split('\t')
+      assert(s != d, s"identity pair in the copy plan: $l")
+    }
+    assert(!lines.exists(_.contains("shared/external")),
+      "uncovered external files must not enter the plan at all")
+    runCopyPlan(r.fileListPath)
+    // the external file is byte-identical (nothing truncated it)
+    assert(extPart.length == extLen,
+      "executing the plan must not touch files outside the prefix")
+    // the target reads the shared file IN PLACE plus the relocated natives
+    val t2 = IcebergTable.load(spark, s"$root/site_b/db/s")
+    assert(t2.read().count() == 40)
+    assert(t2.liveFiles().exists(f =>
+      t2.resolvePath(f.filePath).contains("shared/external")),
+      "the staged manifests must keep pointing at the shared site")
+    // the SOURCE still reads too
+    assert(IcebergTable.load(spark, src).read().count() == 40)
+  }
+
+  test("executeCopyPlan refuses a hand-built identity pair instead of " +
+      "truncating the file") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpi").toString
+    val victim = new java.io.File(s"$root/victim.bin")
+    java.nio.file.Files.write(victim.toPath, Array.fill[Byte](64)(7))
+    val plan = new java.io.File(s"$root/file-list.tsv")
+    java.nio.file.Files.writeString(plan.toPath,
+      s"${victim.getAbsolutePath}\t${victim.getAbsolutePath}\n")
+    val e = intercept[IllegalArgumentException] {
+      RewriteTablePath.executeCopyPlan(plan.getAbsolutePath,
+        spark.sessionState.newHadoopConf())
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate"))
+    assert(victim.length == 64, "the refusal must come before any write")
+  }
+
+  test("a source_prefix that does not cover the table location refuses " +
+      "up front (staging would otherwise target the live table's own paths)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpn").toString
+    val src = s"$root/a/db/n"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType))))
+    IcebergWriter.append(spark, src, Seq(1L, 2L).map(Tuple1(_)).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      RewriteTablePath.rewrite(spark, src, s"$root/not_the_site", s"$root/b")
+    }
+    assert(e.getMessage.contains("does not cover"))
+  }
+
+  test("a physically MOVED table (original_url ≠ url): plan sources are " +
+      "the resolved current paths, staged content matches the plan, the " +
+      "target loads") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpm").toString
+    val old = s"$root/old/db/m"
+    IcebergWriter.createTable(spark, old, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    IcebergWriter.append(spark, old,
+      (1L to 40L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1))
+    // a row-level delete leaves a parquet carrier whose CONTENT records
+    // old-site paths — the rewrite must resolve those too
+    IcebergWriter.deleteRows(spark, old, Pruning.LtEq("k", 10L))
+    // physically move the whole table directory: manifests still record
+    // old-site absolute paths, md.location supplies original_url
+    val moved = s"$root/moved/db/m"
+    new java.io.File(s"$root/moved/db").mkdirs()
+    java.nio.file.Files.move(java.nio.file.Paths.get(old),
+      java.nio.file.Paths.get(moved))
+    val t = IcebergTable.load(spark, moved)
+    assert(t.read().count() == 30, "sanity: the moved table serves reads")
+
+    val r = RewriteTablePath.rewriteTable(spark, t,
+      sourcePrefix = s"$root/moved", targetPrefix = s"$root/target")
+    // every planned source EXISTS (the old-site raw paths do not)
+    scala.io.Source.fromFile(r.fileListPath.stripPrefix("file:"))
+      .getLines().foreach { l =>
+        val Array(s, d) = l.split('\t')
+        assert(new java.io.File(s.stripPrefix("file:")).isFile,
+          s"plan names a missing source: $s")
+        assert(d.contains("/target/"), s"plan target off-prefix: $d")
+      }
+    runCopyPlan(r.fileListPath)
+    val t2 = IcebergTable.load(spark, s"$root/target/db/m")
+    assert(t2.read().count() == 30,
+      "deletes must keep applying at the relocated target")
+    assert(t2.liveFiles().forall(f =>
+      t2.resolvePath(f.filePath).contains("/target/")),
+      "staged manifests must record resolved-then-reprefixed paths")
+    // the carrier CONTENT resolved old-site paths before re-prefixing
+    val delPaths = t2.positionDeleteFiles
+      .map(f => t2.resolvePath(f.filePath)).distinct
+    assert(delPaths.nonEmpty)
+    val inner = spark.read.parquet(delPaths: _*)
+      .select("file_path").as[String].collect()
+    assert(inner.forall(_.contains("/target/")),
+      s"carrier still references a pre-move site: ${inner.take(3).toSeq}")
+  }
+
+  test("foreign-NAMED current metadata stages under a vN name the hint " +
+      "can point at (a '1' hint against a uuid basename would dangle)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpu").toString
+    val src = s"$root/f1/db/u"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType))))
+    IcebergWriter.append(spark, src, (1L to 12L).map(Tuple1(_)).toDF("k"))
+    // simulate an iceberg-java-named current metadata file
+    val meta = new java.io.File(s"$src/metadata")
+    val cur = new java.io.File(meta, "v2.metadata.json")
+    val foreign = new java.io.File(meta,
+      "00002-deadbeef-cafe-4000-8000-000000000002.metadata.json")
+    java.nio.file.Files.copy(cur.toPath, foreign.toPath)
+    val t = IcebergTable.load(spark, foreign.getAbsolutePath)
+
+    val r = RewriteTablePath.rewriteTable(spark, t,
+      sourcePrefix = s"$root/f1", targetPrefix = s"$root/f2")
+    runCopyPlan(r.fileListPath)
+    val dstMeta = new java.io.File(s"$root/f2/db/u/metadata")
+    val hint = java.nio.file.Files.readString(
+      new java.io.File(dstMeta, "version-hint.text").toPath).trim
+    assert(hint.forall(_.isDigit), s"hint must be a version number: $hint")
+    assert(new java.io.File(dstMeta, s"v$hint.metadata.json").isFile,
+      s"the hint points at v$hint.metadata.json, which must exist")
+    // and the hinted load serves the CURRENT rows
+    assert(IcebergTable.load(spark, s"$root/f2/db/u").read().count() == 12)
+  }
+
   test("guards: identical prefixes refuse; staging holds the plan and " +
       "rewritten metadata only") {
     val root = java.nio.file.Files.createTempDirectory("graft_rtpg").toString

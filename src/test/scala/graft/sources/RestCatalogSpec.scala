@@ -253,6 +253,30 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("registerTable serializes the request body as JSON — names and " +
+      "locations holding quotes/backslashes arrive escaped, not malformed") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var rawBody: String = null
+    server.createContext("/v1/namespaces", (ex: HttpExchange) => {
+      rawBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val b = """{"metadata-location": "ok"}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val cat = new IceRestCatalog(s"http://127.0.0.1:${server.getAddress.getPort}")
+      val trickyName = """we"ird\name"""
+      val trickyLoc = """/tmp/pa"th\with/v1.metadata.json"""
+      cat.registerTable("db", trickyName, trickyLoc)
+      // the body must parse as JSON and round-trip the exact values
+      val parsed = mapper.readTree(rawBody)
+      assert(parsed.get("name").asText == trickyName)
+      assert(parsed.get("metadata-location").asText == trickyLoc)
+    } finally server.stop(0)
+  }
+
   test("errors surface as failures with status code") {
     withServer { (cat, _) =>
       val e = intercept[RuntimeException](cat.getNamespace("missing"))
