@@ -876,9 +876,15 @@ final class IcebergTable private (
     fileMightMatch(pred, f, pruningContextFor(f))
 
   /** Live files surviving BOTH pruning tiers (manifest summaries + file
-    * stats/partition values) — the planning entry point for the DSv2 scan. */
-  def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] =
-    liveFiles(pred).filter(f => fileMightMatchOwnSpec(pred, f))
+    * stats/partition values) — the planning entry point for the DSv2 scan.
+    * Re-records the planning gauge with the POST-stats count so telemetry
+    * (and PushdownGuardSpec's pruning pin) reflects what the scan will
+    * actually read, not just what the manifest tier let through. */
+  def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] = {
+    val r = liveFiles(pred).filter(f => fileMightMatchOwnSpec(pred, f))
+    IcebergTable.lastPlanningFiles.set(r.size)
+    r
+  }
 
   /** Rewrite a metadata-embedded absolute path to the current table root. */
   def resolvePath(p: String): String = rewrite(p)

@@ -494,6 +494,48 @@ object Corpus {
       .limit(k)
   }
 
+  /** ONE BPE merge round applied corpus-wide: every LEFTMOST,
+    * NON-OVERLAPPING occurrence of the adjacent pair `(a, b)` collapses
+    * into the concatenated token `a+b` (the exact greedy scan BPE training
+    * uses — in `x x x`, merging `(x, x)` folds the first two and leaves the
+    * third, never chains). Composed with [[bpePairCounts]] this is a full
+    * trainer round: count → pick winner → apply → recount.
+    *
+    * Returns one row per document: `(id, merged_text, n_merges,
+    * n_tokens_before, n_tokens_after)`.
+    *
+    * Scale shape: a pure per-document projection — NO shuffle at all (the
+    * greedy scan is sequential WITHIN a document, embarrassingly parallel
+    * across them), linear time and memory per document via a typed map;
+    * the trainer loop's only exchange stays in the recount aggregation. */
+  def bpeMergeApply(df: DataFrame, textCol: String, idCol: String,
+      a: String, b: String): DataFrame = {
+    require(a.nonEmpty && b.nonEmpty,
+      "merge-pair tokens must be non-empty (empty tokens are split noise)")
+    require(!a.contains(" ") && !b.contains(" "),
+      "merge-pair tokens cannot contain the token separator")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merged = a + b
+    df.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.split(" ", -1) // keep empties: mirrors Spark's split()
+        val out = new scala.collection.mutable.ArrayBuffer[String](t.length)
+        var i = 0
+        var nMerges = 0L
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+            out += merged; nMerges += 1; i += 2
+          } else { out += t(i); i += 1 }
+        }
+        (id, out.mkString(" "), nMerges, t.length.toLong, out.length.toLong)
+      }
+      .toDF(idCol, "merged_text", "n_merges", "n_tokens_before",
+        "n_tokens_after")
+  }
+
   /** Cross-document REPEATED-SPAN detection — the span-level analogue of
     * [[lineDedup]] (after the exact-substring dedup of "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022, done
@@ -511,45 +553,52 @@ object Corpus {
     * `(id, span_start, span_end, n_windows)` — token positions, 0-based,
     * end-exclusive.
     *
-    * Scale shape: tokenization is a projection; window generation is one
-    * explode to O(total tokens) rows of `(id, pos, 128-bit fingerprint)` —
-    * ~24 bytes/token through the shuffle, never the window text itself;
-    * flagging is ONE exchange keyed by fingerprint (a ranking window — no
-    * frequency aggregation, no join back, no second corpus read); the
-    * interval merge is a per-document window function over FLAGGED rows
-    * only (a small fraction of the corpus). Nothing is quadratic and no
-    * state sits on the driver.
-    * The fingerprint is two independent xxhash64 seeds = 128 bits, so the
-    * dedup is exact-text up to ~n²/2¹²⁹ collision odds (negligible below
-    * ~10¹⁵ windows — beyond even a 100 TB corpus). */
+    * Scale shape: window fingerprinting is a typed per-document flatMap
+    * computing a 128-bit ROLLING polynomial hash — O(chars + tokens) per
+    * document regardless of `w` (the explode+slice+array_join form paid
+    * O(w × corpus bytes) re-materializing every window's text), emitting
+    * ~32 bytes/token of `(id, pos, fingerprint)` rows, never text;
+    * flagging is a `min(struct(id, pos))` aggregation per fingerprint
+    * joined back to the windows: PARTIAL aggregation absorbs the Zipf-head
+    * fingerprint map-side (boilerplate repeated 10⁹ times folds to one row
+    * per input partition before the exchange — a ranking window would sort
+    * that key's full occurrence list in a single task), only DUPLICATED
+    * fingerprints survive the join build side, and the join-back is
+    * AQE-skew-splittable where a window partition is not (the fingerprint
+    * stream is recomputed for the probe side — one extra LINEAR corpus
+    * scan buys skew immunity); the interval merge is a per-document window
+    * function over FLAGGED rows only (a small fraction of the corpus).
+    * Nothing is quadratic and no state sits on the driver.
+    * The fingerprint is two independent 64-bit polynomial hashes over
+    * per-token char polynomials = 128 bits, so the dedup is exact-text up
+    * to ~n²/2¹²⁹ collision odds (negligible below ~10¹⁵ windows — beyond
+    * even a 100 TB corpus). */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
       w: Int = 50): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
-    val toks = df.select(col(idCol).as("_id"),
-      split(coalesce(col(textCol), lit("")), " ").as("_t"))
+    val spark = df.sparkSession
+    import spark.implicits._
     // docs shorter than w yield no windows (they can still CONTAIN no
     // duplicated span by definition — a span needs w tokens)
-    val wins = toks.filter(size(col("_t")) >= w)
-      .select(col("_id"),
-        explode(sequence(lit(0), size(col("_t")) - w)).as("_pos"), col("_t"))
-      .select(col("_id"), col("_pos").cast("long").as("_pos"),
-        array_join(slice(col("_t"), col("_pos") + lit(1), lit(w)), " ")
-          .as("_win"))
-      .select(col("_id"), col("_pos"),
-        xxhash64(col("_win")).as("_h1"),
-        xxhash64(lit(0x5bd1e995), col("_win")).as("_h2"))
-    // ONE pass flags non-canonical occurrences: rank each fingerprint's
-    // occurrences by (id, pos) — rank 1 IS the corpus-first canonical, and
-    // rank > 1 exists only when the window repeats, so no separate
-    // frequency aggregation (and no second read of the corpus to join it
-    // back). The window partition is one duplicated text's occurrence
-    // list — boilerplate repeated millions of times sorts in a single
-    // task, but the rows are 24-byte fingerprint tuples, not text.
-    val byWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_h1"), col("_h2")).orderBy(col("_id"), col("_pos"))
-    val flagged = wins
-      .withColumn("_rn", row_number().over(byWin))
-      .filter(col("_rn") > 1)
+    val wins = df.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => windowFingerprints(id, text, w) }
+      .toDF("_id", "_pos", "_h1", "_h2")
+    // flag non-canonical occurrences via aggregation + join (NOT a ranking
+    // window): min(struct(_id,_pos)) is the corpus-first canonical, and the
+    // count filter keeps only duplicated fingerprints on the build side.
+    // Partial (map-side) aggregation folds a mega-duplicated span to one
+    // row per input partition BEFORE the exchange — exactly the Zipf-head
+    // key that would otherwise sort in one straggler task — and the
+    // join-back can AQE-skew-split, which a window partition cannot.
+    val canon = wins.groupBy(col("_h1"), col("_h2"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_first"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("_h1"), col("_h2"), col("_first"))
+    val flagged = wins.join(canon, Seq("_h1", "_h2"))
+      .filter(struct(col("_id"), col("_pos")) =!= col("_first"))
       .select(col("_id"), col("_pos"))
     // merge overlapping/adjacent [pos, pos+w) intervals per document: a new
     // island starts strictly past the running max end, so touching windows
@@ -568,6 +617,61 @@ object Corpus {
         count(lit(1)).as("n_windows"))
       .select(col("_id").as(idCol), col("span_start"), col("span_end"),
         col("n_windows"))
+  }
+
+  /** All `w`-token window fingerprints of one document in
+    * O(chars + tokens): two independent char-polynomial token hashes roll
+    * into two independent window polynomials over the native Long ring
+    * (wraparound = arithmetic mod 2⁶⁴, so the rolling update is exact) —
+    * the multiplier powers cancel the token leaving the window, so cost is
+    * independent of `w`. Split semantics match Spark's `split(text, " ")`
+    * (trailing empties kept), so positions line up with [[substringDedup]]
+    * and the SQL oracle's `string_split`. */
+  private def windowFingerprints(id: Long, text: String, w: Int)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val t = text.split(" ", -1)
+    val n = t.length
+    if (n < w) return Iterator.empty
+    // per-token 64-bit hashes under two independent char polynomials
+    val th1 = new Array[Long](n); val th2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = t(i)
+      var a = 0xcbf29ce484222325L // FNV offset seed
+      var b = 0x9e3779b97f4a7c15L // golden-ratio seed
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        a = a * 0x100000001b3L + c
+        b = b * 6364136223846793005L + (c ^ 0x55)
+        j += 1
+      }
+      th1(i) = a + s.length
+      th2(i) = b ^ (s.length * 0x9e3779b97f4a7c15L)
+      i += 1
+    }
+    // window polynomials: h[p] = Σ th[p+j]·M^(w−1−j); rolling update
+    // h[p+1] = (h[p] − th[p]·M^(w−1))·M + th[p+w]
+    val M1 = 0x5deece66dL
+    val M2 = 0x2545f4914f6cdd1dL
+    var pw1 = 1L; var pw2 = 1L // M^(w−1)
+    var h1 = 0L; var h2 = 0L
+    var k = 0
+    while (k < w) {
+      h1 = h1 * M1 + th1(k); h2 = h2 * M2 + th2(k)
+      if (k < w - 1) { pw1 *= M1; pw2 *= M2 }
+      k += 1
+    }
+    val out = new Array[(Long, Long, Long, Long)](n - w + 1)
+    out(0) = (id, 0L, h1, h2)
+    var p = 1
+    while (p <= n - w) {
+      h1 = (h1 - th1(p - 1) * pw1) * M1 + th1(p + w - 1)
+      h2 = (h2 - th2(p - 1) * pw2) * M2 + th2(p + w - 1)
+      out(p) = (id, p.toLong, h1, h2)
+      p += 1
+    }
+    out.iterator
   }
 
   /** REWRITE pass over [[substringSpans]]: each document comes back with

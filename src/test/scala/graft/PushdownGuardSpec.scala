@@ -73,15 +73,36 @@ class PushdownGuardSpec extends AnyFunSuite {
       s"no partial aggregation before the exchange:\n$plan")
   }
 
-  test("substring dedup touches the corpus exactly twice (spans pass + " +
-      "rewrite pass), pruned to id + text") {
+  test("substring dedup touches the corpus at most three times (canon agg " +
+      "+ join-back + rewrite pass), pruned to id + text") {
+    // the spans pass deliberately reads the window stream TWICE (agg side +
+    // join-back side): that buys map-side partial aggregation on the
+    // fingerprint key — the Zipf-head boilerplate span folds per input
+    // partition instead of sorting in one straggler task — and an
+    // AQE-skew-splittable join. One extra SCAN is linear and parallel; a
+    // single-task sort of 10⁹ occurrences is not.
     val plan = formatted("pipe_substring_clean")
     val scans = plan.linesIterator.count(l =>
       l.contains("Scan parquet") && !l.trim.startsWith("("))
-    assert(scans <= 2, s"expected <= 2 corpus scans, got $scans:\n$plan")
+    assert(scans <= 3, s"expected <= 3 corpus scans, got $scans:\n$plan")
     plan.linesIterator.filter(_.contains("ReadSchema:")).foreach(read =>
       Seq("lang", "source", "n_chars").foreach(c =>
         assert(!read.contains(c), s"unreferenced $c read by the scan: $read")))
+  }
+
+  test("substring spans: the fingerprint canonicalization is a PARTIAL-" +
+      "then-final aggregation, never a ranking window (single-task sort " +
+      "of the hottest span's occurrence list)") {
+    val df = SparkEntry.queries("pipe_substring_spans")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial_first"),
+      s"no map-side partial aggregation on the fingerprint key:\n$plan")
+    // the per-fingerprint flagging must NOT be a window partitioned by the
+    // fingerprint (the per-DOCUMENT island merge window is fine)
+    val winOnFingerprint = plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("_h1"))
+    assert(!winOnFingerprint,
+      s"fingerprint flagging regressed to a ranking window:\n$plan")
   }
 
   test("cluster-balance touches the corpus exactly twice (census + probe) " +
@@ -93,6 +114,21 @@ class PushdownGuardSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastHashJoin"),
       s"the O(clusters x bins) census table must broadcast:\n$plan")
+  }
+
+  test("iceberg scan: the metadata plane plans only the stats-surviving " +
+      "file subset (pruning gauge), not the whole live set") {
+    // total live files first (its planning also writes the gauge, so the
+    // filtered read runs LAST and owns the final gauge value)
+    val total = SparkEntry.queries("ice_files")(spark, sfDir).count()
+    assert(total >= 2, s"fixture must hold several live files, got $total")
+    SparkEntry.queries("ice_read_filtered")(spark, sfDir).collect()
+    val pruned = graft.iceberg.IcebergTable.lastPlanningFiles.get()
+    assert(pruned >= 1, "the filtered read must plan at least one file")
+    assert(pruned < total,
+      s"file-level stats pruning regressed: the age>30 scan planned all " +
+        s"$total live files — at 100 TB that is a full metadata+data scan " +
+        "for a selective predicate")
   }
 
   test("whole-stage codegen covers the q06 hot path") {
