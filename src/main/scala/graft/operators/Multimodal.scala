@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark side — schema, partition-sized batching, typed mapPartitions,
   * pushdown-friendly metadata columns — is real and tested, and so is the
   * decode for the library-free public formats: 24-bit BMP and binary PPM
-  * pixels, PCM-16 WAV samples ([[MediaCodec.decode]], pure JVM byte
-  * arithmetic — no codec dependencies). Payloads in formats that DO need a
-  * codec library (JPEG, MP3, H.264…) fall back to the deterministic
-  * [[MediaCodec.decodeStub]]; swap that arm for a JNI/FFI decoder without
-  * touching the surrounding plan.
+  * pixels, PNG (deflate + scanline filters via `java.util.zip.Inflater` —
+  * gray/RGB/palette/alpha, 8-bit, non-interlaced), PCM-16 WAV samples
+  * ([[MediaCodec.decode]], pure JVM byte arithmetic — no codec
+  * dependencies). Payloads in formats that DO need a codec library (JPEG,
+  * MP3, H.264…) fall back to the deterministic [[MediaCodec.decodeStub]];
+  * swap that arm for a JNI/FFI decoder without touching the surrounding
+  * plan.
   */
 object Multimodal {
 
@@ -126,6 +128,195 @@ object Multimodal {
       (w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3))
     }
 
+    // ------------------------------------------------------------- PNG
+    // PNG is deflate + per-scanline filters — decodable with
+    // java.util.zip.Inflater and byte arithmetic, zero codec libraries.
+    // Supported: 8-bit channel depth, color types 0 (gray), 2 (RGB),
+    // 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7
+    // interlace and 1/2/4/16-bit depths refuse loudly (decode() then
+    // falls back to the stub, so mixed corpora keep flowing).
+
+    private def i32be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private val PngSig =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def channelsOf(colorType: Int): Int = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"unsupported PNG color type $t")
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode raw 8-bit scanlines as a PNG — the writer side of
+      * [[decodePng]]. `px` is row-major top-down, `channelsOf(colorType)`
+      * bytes per pixel. Each row carries filter `y % 5`, so a round-trip
+      * exercises every unfilter path (None/Sub/Up/Average/Paeth), making
+      * the encode→decode pair a real conformance check, not an identity. */
+    def encodePng(w: Int, h: Int, colorType: Int, px: Array[Byte],
+        palette: Array[Byte] = null): Array[Byte] = {
+      val bpp = channelsOf(colorType)
+      require(px.length == w * h * bpp,
+        s"need ${w * h * bpp} bytes for ${w}x$h type-$colorType, got ${px.length}")
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      var y = 0
+      while (y < h) {
+        val f = y % 5
+        raw(y * (1 + stride)) = f.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = px(y * stride + x) & 0xff
+          val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - ((left + up) >> 1)
+            case 4 => cur - paeth(left, up, ul)
+          }
+          raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) zOut.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream(zOut.size + 128)
+      out.write(PngSig)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+        val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array())
+      if (colorType == 3) {
+        require(palette != null && palette.length % 3 == 0 &&
+          palette.length <= 768, "palette PNG needs a <=256-entry RGB PLTE")
+        chunk("PLTE", palette)
+      }
+      chunk("IDAT", zOut.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Decode a PNG into (width, height, RGB bytes row-major top-down):
+      * walks the chunk list, inflates the concatenated IDAT zlib stream,
+      * unfilters each scanline (None/Sub/Up/Average/Paeth), then expands
+      * gray/palette/alpha channels to RGB (alpha dropped). Refuses Adam7
+      * interlace and non-8-bit depths loudly. */
+    def decodePng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(b.length > 8 + 25 && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(b, 8), PngSig), "not a PNG")
+      var i = 8
+      var w = 0; var h = 0; var bitDepth = -1; var colorType = -1; var interlace = 0
+      var palette: Array[Byte] = null
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && i + 8 <= b.length) {
+        val len = i32be(b, i)
+        require(len >= 0 && i + 12 + len <= b.length, "PNG chunk exceeds payload")
+        new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+          case "IHDR" =>
+            require(len == 13, "malformed IHDR")
+            w = i32be(b, i + 8); h = i32be(b, i + 12)
+            bitDepth = b(i + 16) & 0xff; colorType = b(i + 17) & 0xff
+            interlace = b(i + 20) & 0xff
+          case "PLTE" => palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks (tEXt, gAMA, …) skip
+        }
+        i += 12 + len
+      }
+      require(bitDepth >= 0 && w > 0 && h > 0, "missing/empty IHDR")
+      require(interlace == 0,
+        "Adam7-interlaced PNG unsupported — re-encode non-interlaced")
+      require(bitDepth == 8, s"only 8-bit channel depth (got $bitDepth)")
+      val bpp = channelsOf(colorType)
+      if (colorType == 3) require(palette != null, "palette PNG without PLTE")
+      val stride = w * bpp
+      require(h.toLong * (1 + stride) <= Int.MaxValue, "PNG dimensions overflow")
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          require(n > 0 || inf.finished(), "stalled PNG inflate (corrupt IDAT)")
+          off += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"undecodable PNG stream: $e")
+      } finally inf.end()
+      require(off == raw.length,
+        s"PNG pixel stream short: $off of ${raw.length} bytes")
+      // unfilter in place into the pixel array
+      val px = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xff
+        var x = 0
+        while (x < stride) {
+          val cur = raw(y * (1 + stride) + 1 + x) & 0xff
+          val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + ((left + up) >> 1)
+            case 4 => cur + paeth(left, up, ul)
+            case other =>
+              throw new IllegalArgumentException(s"bad PNG filter $other")
+          }
+          px(y * stride + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // expand to RGB (alpha drops; gray replicates; palette dereferences)
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        colorType match {
+          case 0 | 4 =>
+            val g = px(p * bpp)
+            rgb(p * 3) = g; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = g
+          case 2 | 6 =>
+            rgb(p * 3) = px(p * bpp); rgb(p * 3 + 1) = px(p * bpp + 1)
+            rgb(p * 3 + 2) = px(p * bpp + 2)
+          case 3 =>
+            val idx = (px(p) & 0xff) * 3
+            require(idx + 2 < palette.length, s"palette index ${px(p) & 0xff} out of range")
+            rgb(p * 3) = palette(idx); rgb(p * 3 + 1) = palette(idx + 1)
+            rgb(p * 3 + 2) = palette(idx + 2)
+        }
+        p += 1
+      }
+      (w, h, rgb)
+    }
+
     /** Encode 16-bit PCM mono/stereo samples as a RIFF/WAVE file — the
       * writer side of [[decodeWav]]. */
     def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
@@ -186,6 +377,9 @@ object Multimodal {
         val b = r.payload
         if (b.length > 2 && b(0) == 'B' && b(1) == 'M') {
           val (w, h, rgb) = decodeBmp(b); imageFeatures(r, w, h, rgb)
+        } else if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+            b(2) == 'N' && b(3) == 'G') {
+          val (w, h, rgb) = decodePng(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 2 && b(0) == 'P' && b(1) == '6') {
           val (w, h, rgb) = decodePpm(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {

@@ -68,6 +68,82 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(s2.toSeq == samples.toSeq)
   }
 
+  test("PNG round-trip recovers dimensions and pixels for gray/RGB/RGBA " +
+      "across sizes that exercise every scanline filter") {
+    // encodePng cycles filters per row (y % 5) — h >= 5 walks all of
+    // None/Sub/Up/Average/Paeth, and w from 1 covers the left==0 edges
+    for (w <- Seq(1, 3, 7); h <- Seq(1, 5, 6)) {
+      val rgb = rgbPattern(w, h)
+      val (dw, dh, dpx) = MediaCodec.decodePng(MediaCodec.encodePng(w, h, 2, rgb))
+      assert((dw, dh) == (w, h), s"dims for ${w}x$h")
+      assert(dpx.toSeq == rgb.toSeq, s"RGB pixels for ${w}x$h")
+      // grayscale (color type 0): expands to (g,g,g)
+      val gray = Array.tabulate(w * h)(p => ((p * 29 + 3) % 256).toByte)
+      val (_, _, g3) = MediaCodec.decodePng(MediaCodec.encodePng(w, h, 0, gray))
+      assert(g3.toSeq == gray.flatMap(g => Seq(g, g, g)).toSeq, s"gray ${w}x$h")
+      // RGBA (color type 6): alpha drops, RGB survives
+      val rgba = Array.tabulate(w * h * 4) { p =>
+        val px = p / 4
+        if (p % 4 == 3) ((px * 5) % 256).toByte else rgb(px * 3 + p % 4)
+      }
+      val (_, _, da) = MediaCodec.decodePng(MediaCodec.encodePng(w, h, 6, rgba))
+      assert(da.toSeq == rgb.toSeq, s"RGBA ${w}x$h")
+    }
+  }
+
+  test("PNG palette (color type 3) dereferences PLTE; gray+alpha (type 4) " +
+      "replicates the gray channel") {
+    val palette = Array.tabulate(256 * 3)(i => ((i * 13 + 5) % 256).toByte)
+    val idx = Array.tabulate(6 * 4)(p => ((p * 41) % 256).toByte)
+    val (w, h, dpx) = MediaCodec.decodePng(
+      MediaCodec.encodePng(6, 4, 3, idx, palette))
+    assert((w, h) == (6, 4))
+    val want = idx.flatMap { i0 =>
+      val i = (i0 & 0xff) * 3
+      Seq(palette(i), palette(i + 1), palette(i + 2))
+    }
+    assert(dpx.toSeq == want.toSeq)
+    val ga = Array.tabulate(3 * 5 * 2)(p =>
+      (if (p % 2 == 0) (p * 7) % 256 else 128).toByte)
+    val (_, _, g3) = MediaCodec.decodePng(MediaCodec.encodePng(3, 5, 4, ga))
+    assert(g3.toSeq == (0 until 15).flatMap { px =>
+      val g = ga(px * 2); Seq(g, g, g)
+    }.toSeq)
+  }
+
+  test("PNG refusals are loud and specific: Adam7 interlace, non-8-bit " +
+      "depth, truncated stream; decode() falls back to the stub for each") {
+    val ok = MediaCodec.encodePng(4, 4, 2, rgbPattern(4, 4))
+    // IHDR layout: sig(8) + len(4) + 'IHDR'(4) + w(4) h(4) depth(1)
+    // colorType(1) compression(1) filter(1) interlace(1) — interlace at 28
+    val interlaced = ok.clone(); interlaced(8 + 4 + 4 + 12) = 1
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodePng(interlaced))
+    assert(e1.getMessage.contains("interlace"), e1.getMessage)
+    val deep = ok.clone(); deep(8 + 4 + 4 + 8) = 16
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodePng(deep))
+    assert(e2.getMessage.contains("8-bit"), e2.getMessage)
+    val truncated = java.util.Arrays.copyOf(ok, ok.length - 20)
+    intercept[IllegalArgumentException](MediaCodec.decodePng(truncated))
+    // every refusal degrades to the stub through decode() — corrupt or
+    // unsupported payloads never kill a mixed-corpus pipeline
+    for (bad <- Seq(interlaced, deep, truncated)) {
+      val rec = MediaRecord(9L, "image", bad, bad.length.toLong)
+      assert(MediaCodec.decode(rec).feature.toSeq ==
+        MediaCodec.decodeStub(rec).feature.toSeq)
+    }
+  }
+
+  test("decode() sniffs PNG alongside BMP (distinct magics, same features)") {
+    val rgb = rgbPattern(5, 6)
+    val png = MediaCodec.decode(MediaRecord(4L, "image",
+      MediaCodec.encodePng(5, 6, 2, rgb), 1L))
+    val bmp = MediaCodec.decode(MediaRecord(4L, "image",
+      MediaCodec.encodeBmp(5, 6, rgb), 1L))
+    assert((png.width, png.height) == (5, 6))
+    assert(png.feature.toSeq == bmp.feature.toSeq,
+      "identical pixels must yield identical features regardless of container")
+  }
+
   test("decode() sniffs real formats; non-media payloads fall back to the stub") {
     val rgb = rgbPattern(4, 3)
     val img = MediaCodec.decode(MediaRecord(1L, "image",
