@@ -427,6 +427,26 @@ object LlmQueries {
   def pipeBpePairs(s: SparkSession, dir: String): DataFrame =
     Corpus.bpePairCounts(t(s, dir, "documents"), "text", k = 100)
 
+  /** ONE full BPE merge round ([[Corpus.bpePairCounts]] →
+    * [[Corpus.bpeMergeApply]]): the corpus-wide winning adjacent pair
+    * (count-desc, pair-asc tie-break; empty split-noise tokens skipped)
+    * collapses greedily, leftmost-non-overlapping, in every document. The
+    * oracle re-derives the same winner in SQL and replays the greedy scan
+    * with a run-parity window (consecutive matches — possible only when
+    * the pair is (x, x) — merge at even run offsets only), hash-checking
+    * every merged text and count. */
+  def pipeBpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val winner = Corpus.bpePairCounts(docs, "text", k = 20)
+      .collect().iterator
+      .map(_.getString(0).split(" ", -1))
+      .find(p => p.length == 2 && p.forall(_.nonEmpty))
+      .getOrElse(throw new IllegalStateException(
+        "no well-formed adjacent pair in the top-20 — corpus too degenerate"))
+    Corpus.bpeMergeApply(docs, "text", "doc_id", winner(0), winner(1))
+      .orderBy("doc_id")
+  }
+
   /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
     * 10-token windows (w=50 in production; 10 suits the short synthetic
     * docs) whose text repeats anywhere in the corpus, non-canonical
@@ -584,6 +604,55 @@ object LlmQueries {
       "sample_sum").orderBy("doc_id")
   }
 
+  /** PNG decode round-trip over REAL bytes (Inflater + scanline unfilter,
+    * zero codec libraries): per document, three variants — 8-bit grayscale
+    * (color type 0), 24-bit RGB (type 2), 32-bit RGBA (type 6, alpha
+    * dropped) — encode with CYCLING scanline filters (y % 5 walks
+    * None/Sub/Up/Average/Paeth) then byte-decode; the oracle recomputes
+    * every checksum in plain SQL integer arithmetic. A decoder mis-reading
+    * any filter, the zlib framing, or the channel expansion breaks the
+    * hash match. */
+  def mmDecodePng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+      val w = (5 + d % 6).toInt; val h = (4 + d % 5).toInt
+      def sumRgb(rgb: Array[Byte]): Long = {
+        var s0 = 0L; var i = 0
+        while (i < rgb.length) {
+          s0 += (rgb(i) & 0xff) + 2L * (rgb(i + 1) & 0xff) +
+            3L * (rgb(i + 2) & 0xff)
+          i += 3
+        }
+        s0
+      }
+      val rgb = new Array[Byte](w * h * 3)
+      val gray = new Array[Byte](w * h)
+      val rgba = new Array[Byte](w * h * 4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = y * w + x
+          val r0 = ((x * 7 + y * 13 + d) % 256).toByte
+          val g0 = ((x * 3 + y * 5 + d * 11) % 256).toByte
+          val b0 = ((x + y + d) % 256).toByte
+          rgb(p * 3) = r0; rgb(p * 3 + 1) = g0; rgb(p * 3 + 2) = b0
+          gray(p) = ((x * 11 + y * 3 + d * 7) % 256).toByte
+          rgba(p * 4) = r0; rgba(p * 4 + 1) = g0; rgba(p * 4 + 2) = b0
+          rgba(p * 4 + 3) = ((x + 2 * y + d) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val mc = Multimodal.MediaCodec
+      val (dw, dh, dRgb) = mc.decodePng(mc.encodePng(w, h, 2, rgb))
+      val (_, _, dGray) = mc.decodePng(mc.encodePng(w, h, 0, gray))
+      val (_, _, dRgba) = mc.decodePng(mc.encodePng(w, h, 6, rgba))
+      (d, dw.toLong, dh.toLong, sumRgb(dRgb), sumRgb(dGray), sumRgb(dRgba))
+    }.toDF("doc_id", "png_w", "png_h", "rgb_sum", "gray_sum", "rgba_sum")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -610,6 +679,7 @@ object LlmQueries {
     "pipe_cluster_mix"  -> (pipeClusterMix _),
     "tx_doc_rarity"     -> (txDocRarity _),
     "pipe_bpe_pairs"    -> (pipeBpePairs _),
+    "pipe_bpe_merge"    -> (pipeBpeMerge _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -627,6 +697,7 @@ object LlmQueries {
     "mm_features"       -> (mmFeatures _),
     "mm_frames"         -> (mmFrames _),
     "mm_decode"         -> (mmDecode _),
+    "mm_decode_png"     -> (mmDecodePng _),
   )
 
   /** Bench-only raw-operator bodies (NOT driver-contract queries): the
@@ -982,6 +1053,50 @@ object LlmQueries {
       SELECT pair, CAST(count(*) AS BIGINT) AS cnt
       FROM pairs GROUP BY pair
       ORDER BY cnt DESC, pair LIMIT 100""",
+    // one BPE merge round replayed exactly: same winner (count-desc,
+    // pair-asc, well-formed pairs only), greedy leftmost-non-overlapping
+    // apply via run-parity (consecutive matches exist only for (x,x)
+    // pairs; even run offsets merge, odd ones are consumed)
+    "pipe_bpe_merge" -> """
+      WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+      allp AS (SELECT concat(t[i], ' ', t[i+1]) AS pair
+               FROM toks, unnest(range(1, len(t))) AS u(i)
+               WHERE len(t) >= 2),
+      winner AS (
+        SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        FROM (SELECT pair, count(*) AS cnt FROM allp
+              WHERE len(string_split(pair, ' ')) = 2
+                AND string_split(pair, ' ')[1] <> ''
+                AND string_split(pair, ' ')[2] <> ''
+              GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)),
+      pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+      flags AS (SELECT doc_id, i, t[i] AS tk,
+                  CASE WHEN i < len(t) AND t[i] = (SELECT a FROM winner)
+                        AND t[i+1] = (SELECT b FROM winner)
+                       THEN 1 ELSE 0 END AS m
+                FROM pos),
+      runs AS (SELECT doc_id, i, tk, m,
+                 CASE WHEN m = 1 THEN i - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, m ORDER BY i) END AS run_id
+               FROM flags),
+      decide AS (SELECT doc_id, i, tk, m,
+                   CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, run_id ORDER BY i) % 2) = 1
+                     THEN 1 ELSE 0 END AS mrg
+                 FROM runs),
+      out AS (SELECT doc_id, i, mrg,
+                CASE WHEN mrg = 1 THEN (SELECT a || b FROM winner)
+                     WHEN LAG(mrg, 1, 0) OVER (
+                       PARTITION BY doc_id ORDER BY i) = 1 THEN NULL
+                     ELSE tk END AS otk
+              FROM decide)
+      SELECT doc_id,
+        coalesce(string_agg(otk, ' ' ORDER BY i), '') AS merged_text,
+        CAST(sum(mrg) AS BIGINT) AS n_merges,
+        CAST(count(*) AS BIGINT) AS n_tokens_before,
+        CAST(count(*) - sum(mrg) AS BIGINT) AS n_tokens_after
+      FROM out GROUP BY doc_id ORDER BY doc_id""",
     // cluster-balance replayed as the NAIVE exact form — full per-cluster
     // ranking — pinning that Spark's two-pass bin selection (no global
     // per-cluster sort) returns exactly the top-16 by (u, vec_id)
@@ -1297,6 +1412,25 @@ object LlmQueries {
              CAST(d.rate AS BIGINT) AS wav_rate, CAST(d.n AS BIGINT) AS wav_n,
              CAST(wav.sample_sum AS BIGINT) AS sample_sum
       FROM d JOIN img USING (doc_id) JOIN wav USING (doc_id)
+      ORDER BY doc_id""",
+    // PNG round-trip: gray expands to (g,g,g) so its checksum is 6*g; RGBA
+    // drops alpha so its checksum equals the RGB one — pure SQL arithmetic
+    "mm_decode_png" -> """
+      WITH d AS (SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+                 FROM documents),
+      xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM d),
+      xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      agg AS (SELECT doc_id,
+               SUM((x*7 + y*13 + doc_id) % 256
+                 + 2*((x*3 + y*5 + doc_id*11) % 256)
+                 + 3*((x + y + doc_id) % 256)) AS rgb_sum,
+               SUM(6 * ((x*11 + y*3 + doc_id*7) % 256)) AS gray_sum
+              FROM xy GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.w AS BIGINT) AS png_w, CAST(d.h AS BIGINT) AS png_h,
+             CAST(agg.rgb_sum AS BIGINT) AS rgb_sum,
+             CAST(agg.gray_sum AS BIGINT) AS gray_sum,
+             CAST(agg.rgb_sum AS BIGINT) AS rgba_sum
+      FROM d JOIN agg USING (doc_id)
       ORDER BY doc_id""",
   )
 

@@ -39,4 +39,59 @@ class BpePairsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("p q", 1L)))
   }
+
+  test("merge-apply is greedy leftmost-non-overlapping; a repeated-token " +
+      "pair never chains through its own output") {
+    val df = Seq(
+      (1L, "a b a b c"), // two disjoint (a,b) hits
+      (2L, "x x x"), // (x,x): first two fold, third survives
+      (3L, "x x x x"), // two folds
+      (4L, "no hits here")).toDF("id", "text")
+    val got = Corpus.bpeMergeApply(df, "text", "id", "a", "b")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, "ab ab c", 2L, 5L, 3L)))
+    assert(got(3) == ((4L, "no hits here", 0L, 3L, 3L)))
+    val xx = Corpus.bpeMergeApply(df, "text", "id", "x", "x")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(xx(1) == ((2L, "xx x", 1L, 3L, 2L)),
+      "the merged token must not re-merge with the next x in the same pass")
+    assert(xx(2) == ((3L, "xx xx", 2L, 4L, 2L)))
+    // empty-token pairs refuse loudly (split noise, not a vocabulary unit)
+    intercept[IllegalArgumentException](
+      Corpus.bpeMergeApply(df, "text", "id", "", "x"))
+    intercept[IllegalArgumentException](
+      Corpus.bpeMergeApply(df, "text", "id", "a b", "x"))
+  }
+
+  test("count -> apply -> recount composes into a 3-round trainer loop: " +
+      "each applied pair's count drops to zero and merged tokens join " +
+      "later rounds' vocabulary") {
+    var corpus = Seq(
+      (1L, "t h e c a t t h e h a t"),
+      (2L, "t h e m a t t h e c a t"),
+      (3L, "a h a t")).toDF("id", "text")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (round <- 1 to 3) {
+      val top = Corpus.bpePairCounts(corpus, "text", k = 1)
+        .as[(String, Long)].collect().head
+      val Array(a, b) = top._1.split(" ", -1)
+      merges += s"$a+$b"
+      corpus = Corpus.bpeMergeApply(corpus, "text", "id", a, b)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("merged_text").as("text"))
+      // the applied pair is gone from the recount
+      val recount = Corpus.bpePairCounts(corpus, "text", k = 100)
+        .as[(String, Long)].collect().toMap
+      assert(!recount.contains(top._1),
+        s"round $round: applied pair '${top._1}' still counted")
+    }
+    // round 1: (a,t) x5 wins; round 2: (h,e) x4 beats (t,h) x4 on the
+    // pair-asc tie-break; round 3: (t,he) x4 — a pair BUILT FROM round 2's
+    // merged token, proof the vocabulary composes across rounds
+    assert(merges.toSeq == Seq("a+t", "h+e", "t+he"),
+      s"unexpected merge sequence: $merges")
+    val finalTexts = corpus.as[(Long, String)].collect().sortBy(_._1)
+    assert(finalTexts(0)._2 == "the c at the h at")
+    assert(finalTexts(2)._2 == "a h at")
+  }
 }
