@@ -1116,11 +1116,51 @@ object IceQueries {
       moved.liveFiles().nonEmpty && moved.liveFiles().forall(f =>
         moved.resolvePath(f.filePath).contains("_copy"))
 
+    // AVRO-directory onboarding (round-18): the same rows written as a
+    // foreign avro container dir (avro-core writer, nullable unions),
+    // snapshot'd metadata-only — schema inferred from the EMBEDDED writer
+    // schema, files referenced in place, rows identical to the parquet path
+    val avroDir = s"$wh/_asrc"
+    new java.io.File(avroDir).mkdirs()
+    locally {
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"nation","fields":[
+          |{"name":"n_nationkey","type":"long"},
+          |{"name":"n_name","type":["null","string"],"default":null},
+          |{"name":"n_regionkey","type":["null","long"],"default":null}]}"""
+          .stripMargin)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSchema))
+      w.create(avroSchema, new java.io.File(s"$avroDir/part-0.avro"))
+      Queries.t(s, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name",
+          "CAST(n_regionkey AS BIGINT)")
+        .collect().foreach { r =>
+          val rec = new GenericData.Record(avroSchema)
+          rec.put("n_nationkey", r.getLong(0))
+          rec.put("n_name", r.getString(1))
+          rec.put("n_regionkey", r.getLong(2))
+          w.append(rec)
+        }
+      w.close()
+    }
+    s.sql(s"CALL $cat.system.snapshot(table => 'db.asnap', " +
+      s"source_dir => '$avroDir', format => 'avro')")
+    val at = graft.iceberg.IcebergTable.load(s, s"$wh/db/asnap")
+    val avroOk = at.liveFiles().nonEmpty &&
+      at.liveFiles().forall(f => at.resolvePath(f.filePath).contains("/_asrc")) &&
+      at.read().selectExpr("n_nationkey", "n_name", "n_regionkey")
+        .collect().map(_.toString).sorted.toSeq ==
+        rt.read().selectExpr("n_nationkey", "n_name", "n_regionkey")
+          .collect().map(_.toString).sorted.toSeq
+
     s.table(s"$cat.db.reg")
       .withColumn("snapshot_in_place", lit(if (snapInPlace) 1L else 0L))
       .withColumn("migrate_self_contained", lit(if (migSelf) 1L else 0L))
       .withColumn("register_shares_files", lit(if (regShared) 1L else 0L))
       .withColumn("rewrite_path_roundtrip", lit(if (relocated) 1L else 0L))
+      .withColumn("avro_snapshot_roundtrip", lit(if (avroOk) 1L else 0L))
       .orderBy("n_nationkey")
   }
 
@@ -2566,7 +2606,8 @@ object IceQueries {
         |  CAST(1 AS BIGINT) AS snapshot_in_place,
         |  CAST(1 AS BIGINT) AS migrate_self_contained,
         |  CAST(1 AS BIGINT) AS register_shares_files,
-        |  CAST(1 AS BIGINT) AS rewrite_path_roundtrip
+        |  CAST(1 AS BIGINT) AS rewrite_path_roundtrip,
+        |  CAST(1 AS BIGINT) AS avro_snapshot_roundtrip
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
     // ice_write_eq_delete registers DYNAMICALLY (duckLiveRows replays the

@@ -382,34 +382,102 @@ object IcebergWriter {
   def importParquetDir(spark: SparkSession, url: String, dir: String): Unit =
     importDir(spark, url, dir, "parquet")
 
-  /** Migrate a plain columnar directory (parquet or orc) into a NEW
+  /** Migrate a plain columnar directory (parquet, orc, or avro) into a NEW
     * Iceberg table in one metadata commit: schema inferred from the files,
-    * files registered in place via [[addFiles]] (footer stats harvested,
-    * no data read or moved). Avro lacks dir-level schema inference here
-    * (no spark-avro connector on the classpath) — create the table with an
-    * explicit schema and use [[addFiles]] directly for avro. */
+    * files registered in place via [[addFiles]] (footer stats harvested
+    * for parquet/orc; avro carries none, so its counts stay absent and
+    * stats consumers refuse exact claims), no data read or moved. Avro
+    * needs no connector for inference — the container header embeds the
+    * writer schema, read with the same generic machinery the manifest
+    * plane uses; files whose schemas DIVERGE refuse loudly (one by-name
+    * mapping cannot serve two generations). */
   def importDir(spark: SparkSession, url: String, dir: String,
       format: String): Unit = {
-    val schema = format.toLowerCase match {
-      case "parquet" => spark.read.parquet(dir).schema
-      case "orc" => spark.read.orc(dir).schema
-      case other => throw new IllegalArgumentException(
-        s"directory import infers schema for parquet|orc only, got " +
-          s"'$other' (for avro: createTable with an explicit schema, then " +
-          "add_files)")
-    }
-    createTable(spark, url, schema)
+    val fmt = format.toLowerCase
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
-    val suffix = s".${format.toLowerCase}"
+    val suffix = s".$fmt"
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(d, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(suffix)) parts += st.getPath.toString
     }
-    addFiles(spark, url, parts.toSeq.sorted, format.toLowerCase)
+    val sorted = parts.toSeq.sorted
+    val schema = fmt match {
+      case "parquet" => spark.read.parquet(dir).schema
+      case "orc" => spark.read.orc(dir).schema
+      case "avro" =>
+        require(sorted.nonEmpty, s"no *$suffix files under $dir")
+        val schemas = sorted.map(p => avroFileSchema(new Path(p), conf))
+        require(schemas.distinct.size == 1,
+          s"avro files under $dir carry ${schemas.distinct.size} distinct " +
+            "writer schemas — one import cannot serve two generations; " +
+            "split the directories or align the schemas first")
+        avroToSparkStruct(schemas.head)
+      case other => throw new IllegalArgumentException(
+        s"directory import supports parquet|orc|avro, got '$other'")
+    }
+    createTable(spark, url, schema)
+    addFiles(spark, url, sorted, fmt)
+  }
+
+  /** The writer schema embedded in an Avro container file's header (Avro is
+    * self-describing — a header read, no data decoded). */
+  private def avroFileSchema(path: Path, conf: Configuration): Schema = {
+    val in = new org.apache.avro.mapred.FsInput(path, conf)
+    val r = new org.apache.avro.file.DataFileReader(in,
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try r.getSchema finally r.close()
+  }
+
+  /** Avro record schema → Spark StructType for directory import: the same
+    * mapping spark-avro publishes for the types Iceberg can carry —
+    * primitives, date/timestamp[-ntz]/decimal logical types, arrays, maps,
+    * nested records; `union [null, T]` is nullable `T`. Anything else
+    * (multi-branch unions, enums beyond string) refuses loudly. */
+  private[iceberg] def avroToSparkStruct(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD,
+      s"avro import needs a record top-level schema, got ${s.getType}")
+    StructType(s.getFields.asScala.map(f =>
+      StructField(f.name, avroToSparkType(f.schema()), nullable = true)).toSeq)
+  }
+
+  private def avroToSparkType(s: Schema): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def logical: String =
+      Option(s.getLogicalType).map(_.getName).getOrElse("")
+    s.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT =>
+        if (logical == "date") DateType else IntegerType
+      case Schema.Type.LONG => logical match {
+        case "timestamp-micros" | "timestamp-millis" => TimestampType
+        case "local-timestamp-micros" | "local-timestamp-millis" =>
+          TimestampNTZType
+        case _ => LongType
+      }
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED =>
+        s.getLogicalType match {
+          case d: org.apache.avro.LogicalTypes.Decimal =>
+            DecimalType(d.getPrecision, d.getScale)
+          case _ => BinaryType
+        }
+      case Schema.Type.ARRAY => ArrayType(avroToSparkType(s.getElementType))
+      case Schema.Type.MAP => MapType(StringType, avroToSparkType(s.getValueType))
+      case Schema.Type.RECORD => avroToSparkStruct(s)
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        require(branches.size == 1,
+          s"unsupported avro union for import: $s (only [null, T])")
+        avroToSparkType(branches.head)
+      case t => throw new IllegalArgumentException(
+        s"unsupported avro type $t for directory import")
+    }
   }
 
   /** REGISTER an EXISTING Iceberg table under a new warehouse location from

@@ -586,7 +586,7 @@ object GraftProcedures {
         ParamDef("source_dir", StringType,
           comment = "directory of files to snapshot (recursive)"),
         ParamDef("format", StringType, Some("'parquet'"),
-          comment = "parquet | orc")),
+          comment = "parquet | orc | avro")),
       (s, resolve, a) => {
         val name = a(0).asInstanceOf[String]
         val path = resolve.pathOf(name)
@@ -612,7 +612,7 @@ object GraftProcedures {
         ParamDef("target_files", IntegerType, Some("NULL"),
           comment = "file count for the fold rewrite (default: ~128MB/file)"),
         ParamDef("format", StringType, Some("'parquet'"),
-          comment = "parquet | orc")),
+          comment = "parquet | orc | avro")),
       (s, resolve, a) => {
         val name = a(0).asInstanceOf[String]
         val path = resolve.pathOf(name)

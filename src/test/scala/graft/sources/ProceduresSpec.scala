@@ -708,6 +708,62 @@ class ProceduresSpec extends AnyFunSuite {
       assert(orcSnap.getAs[Long]("total_records") == 30L)
       assert(spark.table(s"$cat.db.osnap").count() == 30)
 
+      // SNAPSHOT of an AVRO layout: schema inferred from the embedded
+      // writer schema (avro is self-describing — no connector); stats stay
+      // absent (avro carries none) but rows serve through the avro scan
+      val avroSrc = s"$wh/_src_avro"
+      new java.io.File(avroSrc).mkdirs()
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"r","fields":[
+          |{"name":"k","type":"long"},
+          |{"name":"v","type":["null","string"],"default":null}]}""".stripMargin)
+      def writeAvro(file: String, sch: org.apache.avro.Schema,
+          rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter[
+          org.apache.avro.generic.GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](sch))
+        w.create(sch, new java.io.File(file))
+        rows.foreach(w.append); w.close()
+      }
+      writeAvro(s"$avroSrc/p0.avro", avroSchema, (1L to 20L).map { k =>
+        val r = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        r.put("k", k); r.put("v", s"a$k"); r
+      })
+      val avroSnap = spark.sql(s"CALL $cat.system.snapshot(" +
+        s"table => 'db.asnap', source_dir => '$avroSrc', format => 'avro')")
+        .collect().head
+      assert(avroSnap.getAs[Int]("imported_files") == 1)
+      assert(spark.table(s"$cat.db.asnap").count() == 20)
+      assert(spark.sql(s"SELECT v FROM $cat.db.asnap WHERE k = 7")
+        .head.getString(0) == "a7")
+      // MIGRATE an avro layout: the fold rewrites rows into table-owned
+      // native parquet — full footer stats return after migration
+      val avroMig = spark.sql(s"CALL $cat.system.migrate(" +
+        s"table => 'db.amig', source_dir => '$avroSrc', format => 'avro')")
+        .collect().head
+      assert(avroMig.getAs[Long]("total_records") == 20L)
+      val amt = IcebergTable.load(spark, s"$wh/db/amig")
+      assert(amt.liveFiles().forall(f =>
+        amt.resolvePath(f.filePath).contains("/data/")),
+        "avro migrate must leave a self-contained native table")
+      // DIVERGENT writer schemas under one dir refuse loudly
+      val mixed = s"$wh/_src_avro_mixed"
+      new java.io.File(mixed).mkdirs()
+      writeAvro(s"$mixed/p0.avro", avroSchema, Nil)
+      val other = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"r","fields":[
+          |{"name":"k","type":"long"},
+          |{"name":"extra","type":"long"}]}""".stripMargin)
+      writeAvro(s"$mixed/p1.avro", other, Nil)
+      val eMixed = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.snapshot(table => 'db.amix', " +
+          s"source_dir => '$mixed', format => 'avro')").collect()
+      }
+      assert(eMixed.getMessage.contains("distinct") ||
+        Option(eMixed.getCause).exists(_.getMessage.contains("distinct")),
+        s"mixed avro schemas must refuse: ${eMixed.getMessage}")
+
       // MIGRATE: import + fold — the table owns native files under data/
       val mig = spark.sql(s"CALL $cat.system.migrate(table => 'db.mig', " +
         s"source_dir => '$src')").collect().head
