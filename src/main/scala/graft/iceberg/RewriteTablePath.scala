@@ -52,17 +52,155 @@ import org.apache.spark.sql.SparkSession
   * [[executeCopyPlan]] is the built-in dev-scale executor). After the
   * copy, the target prefix holds a complete, independently loadable table.
   *
-  * Scale posture: the rewrite is driver-side Avro/JSON IO over
-  * METADATA-scale bytes (same posture as rewriteManifests /
-  * expireSnapshots) plus one small Spark job per position-delete parquet
-  * carrier (consolidate with `rewrite_position_deletes` first if a CDC
-  * workload left thousands); the file list streams line-by-line, so
-  * driver memory stays O(1) in data-file count.
+  * Scale posture: metadata JSON and manifest lists are driver-side IO
+  * over KB-scale bytes (same posture as rewriteManifests /
+  * expireSnapshots); the MANIFEST rewrite — the part that grows with the
+  * table — shards across executors past
+  * `spark.graft.iceberg.rewriteManifestThreshold` uncopied manifests
+  * (default 64, same pattern as `Manifests.readManifestsScaled`: a
+  * 10⁴–10⁵-manifest table's per-manifest generic-Avro round trips run in
+  * parallel tasks, each writing its staged file directly and returning
+  * only O(entries) copy pairs). One small Spark job runs per
+  * position-delete parquet carrier (consolidate with
+  * `rewrite_position_deletes` first if a CDC workload left thousands);
+  * the file list streams line-by-line.
   */
 object RewriteTablePath {
 
   final case class Result(stagingLocation: String, fileListPath: String,
       metadataFiles: Int, manifestLists: Int, manifests: Int, dataFiles: Long)
+
+  /** Telemetry/spec hook: number of distributed manifest-rewrite jobs this
+    * JVM has launched (mirrors [[Manifests.distributedDecodeJobs]]). */
+  val distributedRewriteJobs = new java.util.concurrent.atomic.AtomicLong
+
+  /** Everything a manifest-rewrite task needs, driver-computed and
+    * broadcast: the prefix rule, the original_url resolution, staged
+    * position-delete carriers (path, new length, exact parquet path
+    * bounds), carriers physically collected by expire, the reconciled
+    * everywhere-liveness set, and rewritten DV blob locations. */
+  private final case class ManifestRewriteCtx(
+      sourcePrefix: String, targetPrefix: String,
+      originalUrl: String, url: String,
+      carrierStaged: Map[String, (String, Long, Option[(String, String)])],
+      carrierMissing: Set[String],
+      liveAnywhere: Set[String],
+      dvFix: Map[(String, String), (Long, Long)]) {
+    def re(p: String): String =
+      if (p.startsWith(sourcePrefix))
+        targetPrefix + p.substring(sourcePrefix.length)
+      else {
+        val i = p.indexOf(sourcePrefix)
+        if (i > 0 && p.substring(0, i).matches("[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?"))
+          p.substring(0, i) + targetPrefix + p.substring(i + sourcePrefix.length)
+        else p
+      }
+    def resolve(p: String): String =
+      if (originalUrl.nonEmpty) p.replace(originalUrl, url) else p
+    def rel(p: String): String = re(resolve(p))
+  }
+
+  /** Rewrite ONE manifest into its staged path (runs on the driver or an
+    * executor — everything it touches is in `ctx`/`conf`): every entry's
+    * file_path / referenced_data_file / path-bounds re-prefix, staged
+    * carriers get their new sizes, bounds, and blob locations stamped.
+    * Returns the staged file's length plus the (source, target) copy pairs
+    * its DATA files contribute (the caller dedups and streams them). */
+  private def rewriteOneManifest(mSrc: String, stagedM: String,
+      ctx: ManifestRewriteCtx, conf: Configuration,
+      deadExists: scala.collection.mutable.Map[String, Boolean] =
+        scala.collection.mutable.Map.empty[String, Boolean])
+      : (Long, Seq[(String, String)]) = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    copyAvroRewriting(mSrc, stagedM, conf) { rec =>
+      val df = rec.get("data_file").asInstanceOf[GenericRecord]
+      val p = df.get("file_path").toString
+      val abs = ctx.resolve(p)
+      df.put("file_path", new Utf8(ctx.rel(p)))
+      def putPathBound(f: String, v: String): Unit =
+        if (df.getSchema.getField(f) != null)
+          Option(df.get(f)).foreach {
+            case arr: java.util.Collection[_] => arr.asScala.foreach {
+              case kv: GenericRecord
+                  if kv.get("key").asInstanceOf[Int] ==
+                    Manifests.PosDeletePathFieldId =>
+                kv.put("value",
+                  java.nio.ByteBuffer.wrap(v.getBytes(UTF_8)))
+              case _ => ()
+            }
+            case _ => ()
+          }
+      var exactBounds = false
+      ctx.carrierStaged.get(abs) match {
+        case Some((stagedCarrier, newLen, bounds)) =>
+          // the staged rewrite replaced the carrier's bytes — the entry's
+          // size (and a DV's blob location) must match them, and any
+          // recorded split offsets are stale
+          df.put("file_size_in_bytes", java.lang.Long.valueOf(newLen))
+          if (df.getSchema.getField("split_offsets") != null)
+            df.put("split_offsets", null)
+          if (df.getSchema.getField("referenced_data_file") != null)
+            Option(df.get("referenced_data_file")).foreach { r =>
+              val tref = ctx.rel(r.toString)
+              ctx.dvFix.get((abs, tref)).foreach { case (off, len) =>
+                df.put("content_offset", java.lang.Long.valueOf(off))
+                df.put("content_size_in_bytes", java.lang.Long.valueOf(len))
+              }
+            }
+          // parquet carriers: stamp the EXACT min/max of the rewritten
+          // file_path column — re() on the old bounds is unsound when the
+          // carrier mixes re-prefixed and foreign paths (the image of the
+          // min may no longer be minimal)
+          bounds.foreach { case (lo, hi) =>
+            putPathBound("lower_bounds", lo)
+            putPathBound("upper_bounds", hi)
+            exactBounds = true
+          }
+          pairs += ((stagedCarrier, ctx.re(abs)))
+        case None if ctx.carrierMissing.contains(abs) =>
+          () // expired dead carrier: the entry relocates, there are no
+             // bytes to copy (dangling at source too)
+        case None if ctx.liveAnywhere.contains(abs) =>
+          // live somewhere → expire cannot have collected it; plan
+          // unconditionally (no probe RPC on the hot path)
+          pairs += ((abs, ctx.re(abs)))
+        case None =>
+          // dead everywhere → physical cleanup may have collected it;
+          // probe each distinct path once, skip the missing
+          if (deadExists.getOrElseUpdate(abs, {
+                val pp = new Path(abs)
+                pp.getFileSystem(conf).exists(pp)
+              })) pairs += ((abs, ctx.re(abs)))
+      }
+      if (df.getSchema.getField("referenced_data_file") != null) {
+        Option(df.get("referenced_data_file")).foreach(r =>
+          df.put("referenced_data_file", new Utf8(ctx.rel(r.toString))))
+      }
+      // delete entries stamp the referenced data-file path into the
+      // path-column bounds (field 2147483546) — readers prune which delete
+      // files apply with them, so they must relocate too (single-value DV
+      // bounds re() safely; parquet carriers were exact-stamped above)
+      if (!exactBounds)
+        Seq("lower_bounds", "upper_bounds").foreach { f =>
+          if (df.getSchema.getField(f) != null)
+            Option(df.get(f)).foreach {
+              case arr: java.util.Collection[_] => arr.asScala.foreach {
+                case kv: GenericRecord
+                    if kv.get("key").asInstanceOf[Int] ==
+                      Manifests.PosDeletePathFieldId =>
+                  val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+                  val s = UTF_8.decode(bb.duplicate()).toString
+                  kv.put("value",
+                    java.nio.ByteBuffer.wrap(ctx.rel(s).getBytes(UTF_8)))
+                case _ => ()
+              }
+              case _ => ()
+            }
+        }
+    }
+    val sp = new Path(stagedM)
+    (sp.getFileSystem(conf).getFileStatus(sp).getLen, pairs.toSeq)
+  }
 
   def rewrite(spark: SparkSession, url: String, sourcePrefix: String,
       targetPrefix: String, stagingLocation: Option[String] = None): Result =
@@ -140,7 +278,6 @@ object RewriteTablePath {
       val carrierStaged = scala.collection.mutable
         .Map.empty[String, (String, Long, Option[(String, String)])]
       val carrierMissing = scala.collection.mutable.Set.empty[String]
-      val deadExists = scala.collection.mutable.Map.empty[String, Boolean]
       val dvFix = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
       var carrierIdx = 0
       // liveness is a RECONCILED per-snapshot property (a file ADDED in one
@@ -182,128 +319,81 @@ object RewriteTablePath {
           }
         }
 
-      var manifestCount = 0
-      val rewrittenManifests = scala.collection.mutable.Set.empty[String]
-      val manifestLens = scala.collection.mutable.Map.empty[String, Long]
-      // 1. every snapshot's manifests, then its manifest list (decoded
-      // ONCE per snapshot; carriers stage right before their manifest so
-      // the Avro rewrite can record the staged sizes)
+      // 1a. enumerate every snapshot's manifest list ONCE (manifests dedup
+      // by resolved path across snapshots) and stage every position-delete
+      // carrier FIRST — the manifest rewrite needs the staged carriers'
+      // sizes, exact path bounds, and DV blob locations
+      val manifestLists = scala.collection.mutable.LinkedHashSet.empty[String]
+      val toRewrite = scala.collection.mutable.LinkedHashMap.empty[String, String]
       table.metadata.snapshots.foreach { snap =>
-        val view = table.atSnapshot(snap.snapshotId)
         // manifest lists live under the local metadata dir by basename —
         // the same rule the loader applies (rewriteManifestList)
         val mlSrc = s"$url/metadata/${name(snap.manifestList)}"
-        Manifests.readManifestList(mlSrc, conf).foreach { mf =>
-          val mSrc = view.resolvePath(mf.path)
-          if (rewrittenManifests.add(mSrc)) {
-            if (mf.content == Manifests.ManifestContent.Deletes)
-              Manifests.readManifest(mSrc, conf).foreach { e =>
-                if (e.dataFile.content == Manifests.FileContent.PositionDeletes)
-                  stageCarrier(view.resolvePath(e.dataFile.filePath),
-                    e.dataFile.fileFormat)
-              }
-            manifestCount += 1
-            val stagedM = s"$staging/${name(mSrc)}"
-            copyAvroRewriting(mSrc, stagedM, conf) { rec =>
-              val df = rec.get("data_file").asInstanceOf[GenericRecord]
-              val p = df.get("file_path").toString
-              val abs = view.resolvePath(p)
-              df.put("file_path", new Utf8(rel(p)))
-              def putPathBound(f: String, v: String): Unit =
-                if (df.getSchema.getField(f) != null)
-                  Option(df.get(f)).foreach {
-                    case arr: java.util.Collection[_] => arr.asScala.foreach {
-                      case kv: GenericRecord
-                          if kv.get("key").asInstanceOf[Int] ==
-                            Manifests.PosDeletePathFieldId =>
-                        kv.put("value",
-                          java.nio.ByteBuffer.wrap(v.getBytes(UTF_8)))
-                      case _ => ()
-                    }
-                    case _ => ()
-                  }
-              var exactBounds = false
-              carrierStaged.get(abs) match {
-                case Some((stagedCarrier, newLen, bounds)) =>
-                  // the staged rewrite replaced the carrier's bytes — the
-                  // entry's size (and a DV's blob location) must match
-                  // them, and any recorded split offsets are stale
-                  df.put("file_size_in_bytes", java.lang.Long.valueOf(newLen))
-                  if (df.getSchema.getField("split_offsets") != null)
-                    df.put("split_offsets", null)
-                  if (df.getSchema.getField("referenced_data_file") != null)
-                    Option(df.get("referenced_data_file")).foreach { r =>
-                      val tref = rel(r.toString)
-                      dvFix.get((abs, tref)).foreach { case (off, len) =>
-                        df.put("content_offset", java.lang.Long.valueOf(off))
-                        df.put("content_size_in_bytes",
-                          java.lang.Long.valueOf(len))
-                      }
-                    }
-                  // parquet carriers: stamp the EXACT min/max of the
-                  // rewritten file_path column — re() on the old bounds is
-                  // unsound when the carrier mixes re-prefixed and foreign
-                  // paths (the image of the min may no longer be minimal)
-                  bounds.foreach { case (lo, hi) =>
-                    putPathBound("lower_bounds", lo)
-                    putPathBound("upper_bounds", hi)
-                    exactBounds = true
-                  }
-                  if (plan(stagedCarrier, re(abs))) dataFiles += 1
-                case None if carrierMissing.contains(abs) =>
-                  () // expired dead carrier: the entry relocates, there
-                     // are no bytes to copy (dangling at source too)
-                case None if liveAnywhere.contains(abs) =>
-                  // live somewhere → expire cannot have collected it;
-                  // plan unconditionally (no probe RPC on the hot path)
-                  if (plan(abs, re(abs))) dataFiles += 1
-                case None =>
-                  // dead everywhere → physical cleanup may have collected
-                  // it; probe each distinct path once, skip the missing
-                  if (deadExists.getOrElseUpdate(abs, {
-                        val pp = new Path(abs)
-                        pp.getFileSystem(conf).exists(pp)
-                      }) && plan(abs, re(abs))) dataFiles += 1
-              }
-              if (df.getSchema.getField("referenced_data_file") != null) {
-                Option(df.get("referenced_data_file")).foreach(r =>
-                  df.put("referenced_data_file", new Utf8(rel(r.toString))))
-              }
-              // delete entries stamp the referenced data-file path into the
-              // path-column bounds (field 2147483546) — readers prune which
-              // delete files apply with them, so they must relocate too
-              // (single-value DV bounds re() safely; parquet carriers were
-              // exact-stamped above)
-              if (!exactBounds)
-                Seq("lower_bounds", "upper_bounds").foreach { f =>
-                  if (df.getSchema.getField(f) != null)
-                    Option(df.get(f)).foreach {
-                      case arr: java.util.Collection[_] => arr.asScala.foreach {
-                        case kv: GenericRecord
-                            if kv.get("key").asInstanceOf[Int] ==
-                              Manifests.PosDeletePathFieldId =>
-                          val bb = kv.get("value")
-                            .asInstanceOf[java.nio.ByteBuffer]
-                          val s = UTF_8.decode(bb.duplicate()).toString
-                          kv.put("value",
-                            java.nio.ByteBuffer.wrap(rel(s).getBytes(UTF_8)))
-                        case _ => ()
-                      }
-                      case _ => ()
-                    }
+        if (manifestLists.add(mlSrc))
+          Manifests.readManifestList(mlSrc, conf).foreach { mf =>
+            val mSrc = table.resolvePath(mf.path)
+            if (!toRewrite.contains(mSrc)) {
+              if (mf.content == Manifests.ManifestContent.Deletes)
+                Manifests.readManifest(mSrc, conf).foreach { e =>
+                  if (e.dataFile.content == Manifests.FileContent.PositionDeletes)
+                    stageCarrier(table.resolvePath(e.dataFile.filePath),
+                      e.dataFile.fileFormat)
                 }
+              toRewrite(mSrc) = s"$staging/${name(mSrc)}"
             }
-            manifestLens(name(mSrc)) =
-              new Path(stagedM).getFileSystem(conf)
-                .getFileStatus(new Path(stagedM)).getLen
-            plan(stagedM, re(mSrc))
+          }
+      }
+
+      // 1b. rewrite every unique manifest: driver-serial below the
+      // threshold, SHARDED across executors past it (the posture of
+      // Manifests.readManifestsScaled — a 10⁴–10⁵-manifest table's DR prep
+      // is hours of single-threaded generic-Avro IO, minutes sharded; each
+      // task writes its staged manifest directly and returns only the
+      // O(entries) copy pairs). The rewrite context is a broadcast of
+      // driver-computed lookup state — carriers, liveness, DV locations.
+      val ctx = ManifestRewriteCtx(sourcePrefix, targetPrefix,
+        table.originalUrl, url, carrierStaged.toMap, carrierMissing.toSet,
+        liveAnywhere, dvFix.toMap)
+      val threshold = spark.conf.get(
+        "spark.graft.iceberg.rewriteManifestThreshold", "64").toInt
+      val rewriteResults: Seq[(String, (Long, Seq[(String, String)]))] =
+        if (toRewrite.size > threshold) {
+          distributedRewriteJobs.incrementAndGet()
+          val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+          val bcCtx = spark.sparkContext.broadcast(ctx)
+          val work = toRewrite.toSeq
+          val par = math.min(work.size, spark.sparkContext.defaultParallelism)
+          try spark.sparkContext.parallelize(work, math.max(1, par))
+            .map { case (mSrc, stagedM) =>
+              mSrc -> rewriteOneManifest(mSrc, stagedM, bcCtx.value, ser.value)
+            }.collect().toSeq
+          finally bcCtx.destroy()
+        } else {
+          // the dead-file existence memo is shared across manifests on the
+          // serial path (distributed tasks each memoize locally — a dead
+          // path shared by two manifests in different tasks probes twice,
+          // a bounded RPC duplication, never a correctness difference)
+          val memo = scala.collection.mutable.Map.empty[String, Boolean]
+          toRewrite.toSeq.map { case (mSrc, stagedM) =>
+            mSrc -> rewriteOneManifest(mSrc, stagedM, ctx, conf, memo)
           }
         }
+      var manifestCount = 0
+      val manifestLens = scala.collection.mutable.Map.empty[String, Long]
+      rewriteResults.foreach { case (mSrc, (stagedLen, pairs)) =>
+        manifestCount += 1
+        manifestLens(name(mSrc)) = stagedLen
+        pairs.foreach { case (src, dst) => if (plan(src, dst)) dataFiles += 1 }
+        plan(s"$staging/${name(mSrc)}", re(mSrc))
+      }
+
+      // 1c. every snapshot's manifest list, stamping the REWRITTEN
+      // manifests' true sizes (prefix length changes resize manifests, and
+      // Avro readers trust manifest_length)
+      manifestLists.foreach { mlSrc =>
         copyAvroRewriting(mlSrc, s"$staging/${name(mlSrc)}", conf) { rec =>
           val mp = rec.get("manifest_path").toString
           rec.put("manifest_path", new Utf8(rel(mp)))
-          // the rewritten manifest's size differs whenever the prefixes
-          // differ in length — Avro readers trust manifest_length
           manifestLens.get(name(mp)).foreach(l =>
             rec.put("manifest_length", java.lang.Long.valueOf(l)))
         }

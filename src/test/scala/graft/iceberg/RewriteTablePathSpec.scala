@@ -451,6 +451,65 @@ class RewriteTablePathSpec extends AnyFunSuite {
     assert(IcebergTable.load(spark, s"$root/f2/db/u").read().count() == 12)
   }
 
+  test("distributed manifest rewrite (threshold=0) stages artifacts " +
+      "equivalent to the driver-serial path and the target loads") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpd").toString
+    val src = s"$root/s1/db/d"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    IcebergWriter.append(spark, src,
+      (1L to 40L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.append(spark, src,
+      (41L to 60L).map(i => (i, s"y$i")).toDF("k", "v").coalesce(1))
+    IcebergWriter.deleteRows(spark, src, Pruning.LtEq("k", 5L)) // carrier
+
+    def planLines(fileList: String): Seq[(String, String)] =
+      scala.io.Source.fromFile(fileList.stripPrefix("file:")).getLines()
+        .map { l => val Array(a, b) = l.split('\t'); (a, b) }.toSeq
+
+    // serial pass (threshold far above the manifest count); the two
+    // target prefixes are SAME-LENGTH on purpose — staged manifests embed
+    // target paths, so differing prefix lengths would shift every size
+    val serial = RewriteTablePath.rewrite(spark, src,
+      s"$root/s1", s"$root/t_aaa", Some(s"$root/stage_serial"))
+    // distributed pass: threshold=0 forces the sharded path — the spec
+    // PROVES it ran via the telemetry counter
+    val before = RewriteTablePath.distributedRewriteJobs.get()
+    spark.conf.set("spark.graft.iceberg.rewriteManifestThreshold", "0")
+    val dist =
+      try RewriteTablePath.rewrite(spark, src,
+        s"$root/s1", s"$root/t_bbb", Some(s"$root/stage_dist"))
+      finally spark.conf.unset("spark.graft.iceberg.rewriteManifestThreshold")
+    assert(RewriteTablePath.distributedRewriteJobs.get() > before,
+      "threshold=0 must route through the distributed rewrite")
+
+    assert(dist.manifests == serial.manifests && dist.manifests >= 3)
+    assert(dist.dataFiles == serial.dataFiles)
+    // the staged manifests are the same set with the same byte LENGTHS
+    // (full byte identity is impossible — Avro containers embed a random
+    // sync marker — but identical records + schema yield identical sizes)
+    def stagedManifests(stage: String): Map[String, Long] =
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("snap-"))
+        .map(f => f.getName -> f.length).toMap
+    val sm = stagedManifests(s"$root/stage_serial")
+    val dm = stagedManifests(s"$root/stage_dist")
+    assert(dm.keySet == sm.keySet, s"manifest sets diverge: $sm vs $dm")
+    assert(dm == sm, "staged manifest lengths diverge between paths")
+    // the copy PLANS are identical modulo the staging/target prefixes
+    def canonical(r: RewriteTablePath.Result, stage: String, tgt: String) =
+      planLines(r.fileListPath)
+        .map { case (a, b) => (a.replace(stage, "<S>"), b.replace(tgt, "<T>")) }
+        .sorted
+    assert(canonical(dist, s"$root/stage_dist", s"$root/t_bbb") ==
+      canonical(serial, s"$root/stage_serial", s"$root/t_aaa"))
+    // and the distributed copy is a complete, correct table
+    runCopyPlan(dist.fileListPath)
+    val t2 = IcebergTable.load(spark, s"$root/t_bbb/db/d")
+    assert(t2.read().count() == 55,
+      "deletes must keep applying at the distributed-path target")
+  }
+
   test("guards: identical prefixes refuse; staging holds the plan and " +
       "rewritten metadata only") {
     val root = java.nio.file.Files.createTempDirectory("graft_rtpg").toString
