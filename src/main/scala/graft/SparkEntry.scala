@@ -74,6 +74,12 @@ object SparkEntry {
     // corpus transform after line dedup) — and tx_doc_rarity — the corpus
     // token-frequency join (vocabulary-keyed shuffle + hot-token skew).
     "pipe_substring_clean", "tx_doc_rarity",
+    // NEW in round 18: pipe_cluster_mix (two-pass bucketed census+probe
+    // over the embeddings) and pipe_bpe_pairs (codegen'd zip_with pair
+    // explosion + Zipf-headed aggregation) get the same regression gate as
+    // the rest of the LLM pipeline; pipe_bpe_merge times the full trainer
+    // round (count -> winner -> greedy apply, a pure per-doc projection).
+    "pipe_cluster_mix", "pipe_bpe_pairs", "pipe_bpe_merge",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a
