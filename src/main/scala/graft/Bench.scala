@@ -169,8 +169,21 @@ object Bench {
           else if (raw.has("tail")) {
             val t = raw.get("tail").asText
             val i = t.indexOf("{\"metric\"")
-            require(i >= 0, "no bench line in tail")
-            mapper.readTree(t.substring(i, t.lastIndexOf('}') + 1))
+            if (i >= 0) mapper.readTree(t.substring(i, t.lastIndexOf('}') + 1))
+            else {
+              // the driver keeps only the LAST chars of a noisy line: the
+              // {"metric" head may be truncated away while "queries_min"
+              // survives mid-string (BENCH_r17's actual on-disk form — the
+              // r12 silent-non-detection recurring one layer deeper), so
+              // recover just that flat object
+              val j = t.indexOf("\"queries_min\":{")
+              require(j >= 0, "no bench line in tail")
+              val seg = t.substring(j + "\"queries_min\":".length)
+              val obj = mapper.createObjectNode()
+              obj.set[com.fasterxml.jackson.databind.JsonNode]("queries_min",
+                mapper.readTree(seg.substring(0, seg.indexOf('}') + 1)))
+              obj
+            }
           } else raw
         val node = if (root.has("queries_min")) root.get("queries_min")
           else root.get("queries") // older rounds published medians only

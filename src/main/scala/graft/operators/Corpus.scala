@@ -516,24 +516,34 @@ object Corpus {
       "merge-pair tokens cannot contain the token separator")
     val spark = df.sparkSession
     import spark.implicits._
-    val merged = a + b
     df.select(col(idCol).cast("long"),
         coalesce(col(textCol), lit("")).cast("string"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val t = text.split(" ", -1) // keep empties: mirrors Spark's split()
-        val out = new scala.collection.mutable.ArrayBuffer[String](t.length)
-        var i = 0
-        var nMerges = 0L
-        while (i < t.length) {
-          if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
-            out += merged; nMerges += 1; i += 2
-          } else { out += t(i); i += 1 }
-        }
+        val (out, nMerges) = greedyMergePass(t, a, b)
         (id, out.mkString(" "), nMerges, t.length.toLong, out.length.toLong)
       }
       .toDF(idCol, "merged_text", "n_merges", "n_tokens_before",
         "n_tokens_after")
+  }
+
+  /** One greedy merge scan over a token sequence: leftmost,
+    * non-overlapping — a matched position consumes its right neighbor, so
+    * the scan resumes PAST it and a merged token never chains into another
+    * merge in the same pass. */
+  private[operators] def greedyMergePass(t: Array[String], a: String,
+      b: String): (Array[String], Long) = {
+    val merged = a + b
+    val out = new scala.collection.mutable.ArrayBuffer[String](t.length)
+    var i = 0
+    var n = 0L
+    while (i < t.length) {
+      if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+        out += merged; n += 1; i += 2
+      } else { out += t(i); i += 1 }
+    }
+    (out.toArray, n)
   }
 
   /** Cross-document REPEATED-SPAN detection — the span-level analogue of
@@ -627,7 +637,7 @@ object Corpus {
     * independent of `w`. Split semantics match Spark's `split(text, " ")`
     * (trailing empties kept), so positions line up with [[substringDedup]]
     * and the SQL oracle's `string_split`. */
-  private def windowFingerprints(id: Long, text: String, w: Int)
+  private[operators] def windowFingerprints(id: Long, text: String, w: Int)
       : Iterator[(Long, Long, Long, Long)] = {
     val t = text.split(" ", -1)
     val n = t.length

@@ -94,6 +94,18 @@ class VerifySpec extends AnyFunSuite {
     val (_, mTail, _) = Bench.loadBaseline(Seq(dir.toFile), None)
     assert(mTail == Map("q_a" -> 0.20, "q_b" -> 0.30),
       s"tail-buried baseline must parse: $mTail")
+    // ...and the TRUNCATED-tail shape: the driver keeps only the line's
+    // last chars, so the {"metric" head is gone but "queries_min" survives
+    // mid-string — BENCH_r17's actual on-disk form; without recovery the
+    // detector silently compares nothing (the r12 bug one layer deeper)
+    Files.writeString(tailOnly,
+      """{"n":17,"rc":0,"sf":0.1,"parsed":null,"tail":""" +
+        """"\"q_x\":0.5,\"queries_min\":{\"q_a\":0.20,\"q_b\":0.30},""" +
+        """\"baseline\":null"}""")
+    val (_, mTrunc, sfTrunc) = Bench.loadBaseline(Seq(dir.toFile), None)
+    assert(mTrunc == Map("q_a" -> 0.20, "q_b" -> 0.30),
+      s"truncated-tail baseline must parse: $mTrunc")
+    assert(sfTrunc.contains(0.1), "wrapper-level sf must still travel out")
 
     // synthetic 2x slowdown on q_a fires; q_b at baseline stays quiet
     val regs = Bench.detectRegressions(
