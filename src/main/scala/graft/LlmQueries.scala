@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash, TextFunctions => TF}
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, JpegCodec, Multimodal, Similarity}
 
 /** LLM-training-data pipeline operators exposed through the driver contract:
   * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
@@ -653,6 +653,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Baseline JPEG round-trip over REAL bytes ([[JpegCodec]]: pure-JVM
+    * huffman + DCT + YCbCr, Annex K tables). JPEG is LOSSY, so this is a
+    * BOUNDED-ERROR oracle (the established pattern): dimensions replay
+    * exactly in SQL, and per-document reconstruction error on a smooth
+    * gradient must stay inside the quantization budget (max ≤ 20/255,
+    * mean ≤ 5) — flags zero on violation and the hash match breaks. */
+  def mmDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+      val w = (8 + d % 9).toInt; val h = (8 + d % 7).toInt
+      val img = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          img(p) = (20 + x * 180 / w + (d % 40)).toByte
+          img(p + 1) = (20 + y * 180 / h + (d % 25)).toByte
+          img(p + 2) = (30 + (x + y) * 140 / (w + h) + (d % 50)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val (dw, dh, out) = JpegCodec.decode(JpegCodec.encode(w, h, img, 90))
+      var maxE = 0; var sum = 0L
+      var i = 0
+      while (i < img.length) {
+        val e = math.abs((img(i) & 0xff) - (out(i) & 0xff))
+        if (e > maxE) maxE = e
+        sum += e
+        i += 1
+      }
+      val meanOk = sum.toDouble / img.length <= 5.0
+      (d, dw.toLong, dh.toLong,
+        if (maxE <= 20) 1L else 0L, if (meanOk) 1L else 0L)
+    }.toDF("doc_id", "jpg_w", "jpg_h", "err_max_ok", "err_mean_ok")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,6 +737,7 @@ object LlmQueries {
     "mm_frames"         -> (mmFrames _),
     "mm_decode"         -> (mmDecode _),
     "mm_decode_png"     -> (mmDecodePng _),
+    "mm_decode_jpeg"    -> (mmDecodeJpeg _),
   )
 
   /** Bench-only raw-operator bodies (NOT driver-contract queries): the
@@ -1432,6 +1472,15 @@ object LlmQueries {
              CAST(agg.rgb_sum AS BIGINT) AS rgba_sum
       FROM d JOIN agg USING (doc_id)
       ORDER BY doc_id""",
+    // lossy JPEG: exact dimensions + bounded-error flags (the flags zero
+    // on violation, breaking the hash match — same pattern as the ANN and
+    // SimHash bounded oracles)
+    "mm_decode_jpeg" -> """
+      SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS jpg_w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS jpg_h,
+             CAST(1 AS BIGINT) AS err_max_ok,
+             CAST(1 AS BIGINT) AS err_mean_ok
+      FROM documents ORDER BY doc_id""",
   )
 
 }

@@ -1,0 +1,616 @@
+package graft.operators
+
+/** Pure-JVM baseline JPEG codec — zero codec libraries, just the public
+  * ITU-T T.81 spec: the encoder writes baseline sequential JFIF (SOF0,
+  * 4:4:4, the spec's Annex K quantization + Huffman tables), and the
+  * decoder reads baseline/extended-sequential Huffman JPEG (grayscale or
+  * YCbCr, any sampling factors up to 4 incl. 4:2:0/4:2:2, restart
+  * markers, byte stuffing). Progressive (SOF2), arithmetic coding, and
+  * 12-bit precision refuse loudly — [[Multimodal.MediaCodec.decode]] then
+  * degrades to the stub so mixed corpora keep flowing.
+  *
+  * JPEG is LOSSY, so unlike the BMP/PPM/PNG codecs a round trip is
+  * near-identity, not identity: the contract query pins exact dimensions
+  * plus BOUNDED reconstruction error (the established bounded-error
+  * oracle pattern), and the spec checks tolerance on smooth images where
+  * DCT quantization error is small and well-understood.
+  */
+object JpegCodec {
+
+  // ------------------------------------------------------- spec constants
+
+  /** Zigzag order: zz(i) = natural position of the i-th zigzag index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.1 luminance quantization table (quality-50 reference). */
+  private val StdLumaQ: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.2 chrominance quantization table. */
+  private val StdChromaQ: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  // Annex K.3 typical Huffman tables: (bits per code length 1..16, values)
+  private val DcLumaBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val DcChromaBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcLumaBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChromaBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // ------------------------------------------------------------- encoder
+
+  /** Quality-scaled quantization table (libjpeg's public scaling rule). */
+  private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - q * 2
+    base.map(v => math.max(1, math.min(255, (v * scale + 50) / 100)))
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >>> (nBits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nBits -= 8
+      }
+    }
+    def flush(): Unit = if (nBits > 0) { // pad with 1-bits per spec
+      val pad = 8 - nBits
+      put((1 << pad) - 1, pad)
+    }
+  }
+
+  /** (code, length) per symbol from a (bits, values) table description. */
+  private def encodingTable(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val table = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len)) {
+        table(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    table
+  }
+
+  private def magnitudeCategory(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** cos((2x+1)·u·π/16) — shared by both DCT directions. */
+  private val Cos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val C0 = 1 / math.sqrt(2)
+
+  /** Forward 8x8 DCT-II with orthonormal scaling, separable (rows then
+    * columns) over the precomputed cosine table. */
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var x = 0
+    while (x < 8) { // 1-D over columns of each row
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += block(x * 8 + y) * Cos(y)(v); y += 1 }
+        tmp(x * 8 + v) = s
+        v += 1
+      }
+      x += 1
+    }
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // 1-D over rows
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x2 = 0
+        while (x2 < 8) { s += tmp(x2 * 8 + v) * Cos(x2)(u); x2 += 1 }
+        val cu = if (u == 0) C0 else 1.0
+        val cv = if (v == 0) C0 else 1.0
+        out(u * 8 + v) = 0.25 * cu * cv * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Inverse 8x8 DCT, separable, matching [[fdct]]'s scaling. */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // 1-D inverse over v for each u row
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) C0 else 1.0
+          s += cv * coef(u * 8 + v) * Cos(y)(v)
+          v += 1
+        }
+        tmp(u * 8 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val out = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var u2 = 0
+        while (u2 < 8) {
+          val cu = if (u2 == 0) C0 else 1.0
+          s += cu * tmp(u2 * 8 + y) * Cos(x)(u2)
+          u2 += 1
+        }
+        out(x * 8 + y) = 0.25 * s
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** Encode RGB (row-major top-down, 3 bytes/pixel) as baseline JFIF,
+    * 4:4:4 (no chroma subsampling), Annex K tables scaled by `quality`. */
+  def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"need ${w * h * 3} RGB bytes for ${w}x$h, got ${rgb.length}")
+    val lumaQ = scaledQ(StdLumaQ, quality)
+    val chromaQ = scaledQ(StdChromaQ, quality)
+
+    // RGB -> YCbCr planes, edge-replicated to 8-multiples
+    val pw = (w + 7) / 8 * 8; val ph = (h + 7) / 8 * 8
+    val yP = new Array[Double](pw * ph)
+    val cbP = new Array[Double](pw * ph)
+    val crP = new Array[Double](pw * ph)
+    var yy = 0
+    while (yy < ph) {
+      val sy = math.min(yy, h - 1)
+      var xx = 0
+      while (xx < pw) {
+        val sx = math.min(xx, w - 1)
+        val p = (sy * w + sx) * 3
+        val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
+        val o = yy * pw + xx
+        yP(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128
+        cbP(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
+        crP(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        xx += 1
+      }
+      yy += 1
+    }
+
+    val payload = new java.io.ByteArrayOutputStream(rgb.length / 4 + 1024)
+    val bw = new BitWriter(payload)
+    val dcL = encodingTable(DcLumaBits, DcLumaVals)
+    val acL = encodingTable(AcLumaBits, AcLumaVals)
+    val dcC = encodingTable(DcChromaBits, DcChromaVals)
+    val acC = encodingTable(AcChromaBits, AcChromaVals)
+    val pred = new Array[Int](3)
+
+    def encodeBlock(plane: Array[Double], bx: Int, by: Int, q: Array[Int],
+        dcT: Array[(Int, Int)], acT: Array[(Int, Int)], comp: Int): Unit = {
+      val blk = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        blk(i) = plane((by * 8 + i / 8) * pw + bx * 8 + i % 8); i += 1
+      }
+      val f = fdct(blk)
+      val zz = new Array[Int](64)
+      i = 0
+      while (i < 64) {
+        val nat = Zigzag(i)
+        zz(i) = math.round(f(nat) / q(nat)).toInt
+        // baseline AC magnitudes are <= 10 bits; only reachable at
+        // quality ~100 where a quant step hits 1 — clamp, don't corrupt
+        if (i > 0) zz(i) = math.max(-1023, math.min(1023, zz(i)))
+        i += 1
+      }
+      // DC: category + magnitude bits of the diff
+      val diff = zz(0) - pred(comp)
+      pred(comp) = zz(0)
+      val cat = magnitudeCategory(diff)
+      val (dcCode, dcLen) = dcT(cat)
+      bw.put(dcCode, dcLen)
+      if (cat > 0)
+        bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      // AC: (run, size) symbols with ZRL and EOB
+      var run = 0
+      i = 1
+      while (i < 64) {
+        if (zz(i) == 0) run += 1
+        else {
+          while (run > 15) { val (c, l) = acT(0xf0); bw.put(c, l); run -= 16 }
+          val sz = magnitudeCategory(zz(i))
+          val (c, l) = acT((run << 4) | sz)
+          bw.put(c, l)
+          bw.put(if (zz(i) < 0) zz(i) + (1 << sz) - 1 else zz(i), sz)
+          run = 0
+        }
+        i += 1
+      }
+      if (run > 0) { val (c, l) = acT(0x00); bw.put(c, l) }
+    }
+
+    var by = 0
+    while (by < ph / 8) {
+      var bx = 0
+      while (bx < pw / 8) {
+        encodeBlock(yP, bx, by, lumaQ, dcL, acL, 0)
+        encodeBlock(cbP, bx, by, chromaQ, dcC, acC, 1)
+        encodeBlock(crP, bx, by, chromaQ, dcC, acC, 2)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+
+    // ------------------------------------------------------------ headers
+    val out = new java.io.ByteArrayOutputStream(payload.size + 1024)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write("JFIF".getBytes); u8(0); u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xdb); u16(67); u8(id)
+      var i = 0
+      while (i < 64) { u8(q(Zigzag(i))); i += 1 }
+    }
+    dqt(0, lumaQ); dqt(1, chromaQ)
+    marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3) // SOF0
+    u8(1); u8(0x11); u8(0) // Y: 1x1, q0
+    u8(2); u8(0x11); u8(1) // Cb
+    u8(3); u8(0x11); u8(1) // Cr
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      var i = 1
+      while (i <= 16) { u8(bits(i)); i += 1 }
+      vals.foreach(u8)
+    }
+    dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
+    dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+    marker(0xda); u16(6 + 2 * 3); u8(3) // SOS
+    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    payload.writeTo(out)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- decoder
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // canonical: minCode/maxCode per length + value offset
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len); k += bits(len)
+        maxCode(len) = code - 1
+        if (bits(len) == 0) maxCode(len) = -1
+        code <<= 1
+      }
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var sawEoi = false
+    /** Next entropy bit; handles 0xFF00 stuffing, stops at a marker. */
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= data.length) { sawEoi = true; return 0 }
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val next = if (pos < data.length) data(pos) & 0xff else 0xd9
+          if (next == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { sawEoi = true; pos -= 1; b = 0 } // marker: stop, pad zeros
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an RSTn marker (restart-interval boundary). */
+    def restart(): Unit = {
+      nBits = 0
+      while (pos + 1 < data.length &&
+          !((data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xf8) == 0xd0))
+        pos += 1
+      if (pos + 1 < data.length) pos += 2
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = bit()
+      var len = 1
+      while (len <= 16) {
+        if (t.maxCode(len) >= 0 && code <= t.maxCode(len))
+          return t.values(t.valPtr(len) + code - t.minCode(len))
+        code = (code << 1) | bit()
+        len += 1
+      }
+      throw new IllegalArgumentException("corrupt JPEG: invalid Huffman code")
+    }
+  }
+
+  private def extend(v: Int, cat: Int): Int =
+    if (cat == 0) 0
+    else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+    else v
+
+  /** Decode a baseline/extended-sequential Huffman JPEG into
+    * (width, height, RGB bytes row-major top-down). Grayscale replicates;
+    * progressive/arithmetic/12-bit refuse loudly. */
+  def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0
+    var restartInterval = 0
+    // per component: id, hSamp, vSamp, quantId, dcId, acId
+    var comps: Array[Array[Int]] = null
+    var scanStart = -1
+
+    def u16(at: Int): Int = ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+    while (scanStart < 0) {
+      require(pos + 3 < b.length, "truncated JPEG (no SOS)")
+      require((b(pos) & 0xff) == 0xff, s"bad marker sync at $pos")
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else {
+        val len = u16(pos + 2)
+        val seg = pos + 4
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < pos + 2 + len) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              require(pq == 0, "only 8-bit quantization tables")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < pos + 2 + len) {
+              val cls = (b(p) & 0xff) >> 4
+              val id = b(p) & 0x0f
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) { bits(i) = b(p + i) & 0xff; total += bits(i); i += 1 }
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = b(p + 17 + i) & 0xff; i += 1 }
+              val t = new HuffTable(bits, vals)
+              if (cls == 0) dcTables(id) = t else acTables(id) = t
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0 / SOF1 (both Huffman sequential)
+            require((b(seg) & 0xff) == 8, "only 8-bit precision JPEG")
+            h = u16(seg + 1); w = u16(seg + 3)
+            val n = b(seg + 5) & 0xff
+            require(n == 1 || n == 3, s"unsupported component count $n")
+            comps = Array.tabulate(n) { i =>
+              val o = seg + 6 + i * 3
+              Array(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+                b(o + 2) & 0xff, 0, 0)
+            }
+          case 0xc2 =>
+            throw new IllegalArgumentException(
+              "progressive JPEG (SOF2) unsupported — re-encode baseline")
+          case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG coding (SOF marker 0x$sof%02x)")
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda => // SOS
+            require(comps != null, "SOS before SOF")
+            val n = b(seg) & 0xff
+            require(n == comps.length, "partial scans unsupported")
+            var i = 0
+            while (i < n) {
+              val cid = b(seg + 1 + i * 2) & 0xff
+              val tb = b(seg + 2 + i * 2) & 0xff
+              val c = comps.find(_(0) == cid).getOrElse(
+                throw new IllegalArgumentException(s"SOS names unknown component $cid"))
+              c(4) = tb >> 4; c(5) = tb & 0x0f
+              i += 1
+            }
+            scanStart = pos + 2 + len
+          case _ => () // APPn / COM / others: skip
+        }
+        if (scanStart < 0) pos += 2 + len
+      }
+    }
+
+    require(w > 0 && h > 0, "missing SOF dimensions")
+    val hMax = comps.map(_(1)).max
+    val vMax = comps.map(_(2)).max
+    require(hMax >= 1 && hMax <= 4 && vMax >= 1 && vMax <= 4,
+      "sampling factors out of range")
+    val mcuW = hMax * 8; val mcuH = vMax * 8
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    // plausibility: every 8x8 block costs >= ~3 bits of entropy data (DC
+    // code + EOB), so declared dimensions wildly beyond the payload are
+    // corruption — refuse BEFORE allocating GB-scale planes for garbage
+    val blocksPerMcu = comps.map(c => c(1) * c(2)).sum
+    val totalBlocks = mcusX.toLong * mcusY * blocksPerMcu
+    require(totalBlocks <= 24L * math.max(0, b.length - scanStart) + 64,
+      s"corrupt JPEG: $totalBlocks blocks declared for " +
+        s"${b.length - scanStart} entropy bytes")
+    // per-component pixel planes at the component's own resolution
+    val planeW = comps.map(c => mcusX * c(1) * 8)
+    val planeH = comps.map(c => mcusY * c(2) * 8)
+    val planes = comps.indices.map(i => new Array[Double](planeW(i) * planeH(i))).toArray
+
+    val br = new BitReader(b, scanStart)
+    val pred = new Array[Int](comps.length)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.restart()
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = quant(c(3))
+        require(q != null, s"missing quantization table ${c(3)}")
+        val dcT = dcTables(c(4)); val acT = acTables(c(5))
+        require(dcT != null && acT != null, "missing Huffman table")
+        var v = 0
+        while (v < c(2)) {
+          var hh = 0
+          while (hh < c(1)) {
+            // decode one 8x8 block
+            val coef = new Array[Double](64)
+            val cat = br.decodeHuff(dcT)
+            pred(ci) += extend(br.bits(cat), cat)
+            coef(0) = pred(ci).toDouble * q(0)
+            var k = 1
+            var done = false
+            while (k < 64 && !done) {
+              val rs = br.decodeHuff(acT)
+              val run = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (run == 15) k += 16 // ZRL
+                else done = true // EOB
+              } else {
+                k += run
+                require(k < 64, "corrupt JPEG: AC index past 63")
+                coef(Zigzag(k)) = extend(br.bits(sz), sz).toDouble * q(Zigzag(k))
+                k += 1
+              }
+            }
+            val px = idct(coef)
+            val bx = (mx * c(1) + hh) * 8; val byy = (my * c(2) + v) * 8
+            var i = 0
+            while (i < 64) {
+              planes(ci)((byy + i / 8) * planeW(ci) + bx + i % 8) = px(i) + 128
+              i += 1
+            }
+            hh += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // upsample (nearest) + color convert
+    val rgb = new Array[Byte](w * h * 3)
+    def clamp(d: Double): Byte =
+      math.max(0, math.min(255, math.round(d))).toByte
+    var y0 = 0
+    while (y0 < h) {
+      var x0 = 0
+      while (x0 < w) {
+        def sample(ci: Int): Double = {
+          val c = comps(ci)
+          val sx = x0 * c(1) / hMax; val sy = y0 * c(2) / vMax
+          planes(ci)(sy * planeW(ci) + sx)
+        }
+        val o = (y0 * w + x0) * 3
+        if (comps.length == 1) {
+          val g = clamp(sample(0))
+          rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+        } else {
+          val yv = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
+          rgb(o) = clamp(yv + 1.402 * cr)
+          rgb(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = clamp(yv + 1.772 * cb)
+        }
+        x0 += 1
+      }
+      y0 += 1
+    }
+    (w, h, rgb)
+  }
+}

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side — schema, partition-sized batching, typed mapPartitions,
   * pushdown-friendly metadata columns — is real and tested, and so is the
-  * decode for the library-free public formats: 24-bit BMP and binary PPM
-  * pixels, PNG (deflate + scanline filters via `java.util.zip.Inflater` —
-  * gray/RGB/palette/alpha, 8-bit, non-interlaced), PCM-16 WAV samples
-  * ([[MediaCodec.decode]], pure JVM byte arithmetic — no codec
-  * dependencies). Payloads in formats that DO need a codec library (JPEG,
-  * MP3, H.264…) fall back to the deterministic [[MediaCodec.decodeStub]];
-  * swap that arm for a JNI/FFI decoder without touching the surrounding
-  * plan.
+  * decode for the public formats: 24-bit BMP and binary PPM pixels, PNG
+  * (deflate + scanline filters via `java.util.zip.Inflater` —
+  * gray/RGB/palette/alpha, 8-bit, non-interlaced), baseline JPEG
+  * ([[JpegCodec]]: huffman + DCT + YCbCr incl. 4:2:0 subsampling and
+  * restart markers, pure JVM), and PCM-16 WAV samples
+  * ([[MediaCodec.decode]] — no codec dependencies anywhere). Payloads in
+  * formats that DO need a codec library (MP3, H.264, progressive JPEG…)
+  * fall back to the deterministic [[MediaCodec.decodeStub]]; swap that arm
+  * for a JNI/FFI decoder without touching the surrounding plan.
   */
 object Multimodal {
 
@@ -254,6 +255,12 @@ object Multimodal {
       if (colorType == 3) require(palette != null, "palette PNG without PLTE")
       val stride = w * bpp
       require(h.toLong * (1 + stride) <= Int.MaxValue, "PNG dimensions overflow")
+      // plausibility: zlib tops out near 1032:1, so declared dimensions
+      // demanding more inflated bytes than the IDAT stream could ever
+      // yield are corruption — refuse before allocating for garbage
+      require(h.toLong * (1 + stride) <= 1100L * idat.size + 1024,
+        s"corrupt PNG: ${h.toLong * (1 + stride)} pixel-stream bytes " +
+          s"declared for ${idat.size} compressed bytes")
       val raw = new Array[Byte](h * (1 + stride))
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -346,6 +353,9 @@ object Multimodal {
       while (i + 8 <= b.length && (rate < 0 || samples == null)) {
         val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = i32le(b, i + 4)
+        // a corrupt negative size would walk the chunk cursor BACKWARDS —
+        // an infinite loop, not just a bad parse
+        require(size >= 0, s"negative RIFF chunk size $size")
         id match {
           case "fmt " =>
             require(u16le(b, i + 8) == 1, "only PCM WAV")
@@ -380,6 +390,8 @@ object Multimodal {
         } else if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
             b(2) == 'N' && b(3) == 'G') {
           val (w, h, rgb) = decodePng(b); imageFeatures(r, w, h, rgb)
+        } else if (b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+          val (w, h, rgb) = JpegCodec.decode(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 2 && b(0) == 'P' && b(1) == '6') {
           val (w, h, rgb) = decodePpm(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
@@ -395,7 +407,13 @@ object Multimodal {
             feature = Array(sum / n, math.sqrt(sq / n), samples.length.toDouble,
               rate.toDouble, channels.toDouble, 0.0, 0.0, 0.0))
         } else decodeStub(r)
-      } catch { case _: IllegalArgumentException => decodeStub(r) }
+      } catch {
+        // refusals are IllegalArgumentException, but a CORRUPT payload can
+        // also surface as index/buffer/inflate errors from header
+        // arithmetic — a mixed 100 TB corpus must degrade to the stub for
+        // every malformed blob, never kill the job
+        case scala.util.control.NonFatal(_) => decodeStub(r)
+      }
 
     private def imageFeatures(r: MediaRecord, w: Int, h: Int,
         rgb: Array[Byte]): MediaFeatures = {

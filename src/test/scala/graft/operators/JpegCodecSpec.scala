@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal.{MediaCodec, MediaRecord}
+
+/** Baseline JPEG codec: JPEG is lossy, so round trips are bounded-error,
+  * not identity — and the strongest conformance evidence is THIRD-PARTY:
+  * the JDK's own ImageIO (javax.imageio, test-side only) must decode our
+  * bitstream, and we must decode its (4:2:0-subsampled) output. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  /** Smooth two-axis gradient — low-frequency content where DCT
+    * quantization error is small and well-understood (no wrap-around
+    * sawtooth edges, which would ring). */
+  private def gradient(w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      rgb(p) = (20 + x * 200 / math.max(1, w)).toByte
+      rgb(p + 1) = (20 + y * 200 / math.max(1, h)).toByte
+      rgb(p + 2) = (40 + (x + y) * 150 / math.max(1, w + h)).toByte
+    }
+    rgb
+  }
+
+  private def errs(a: Array[Byte], b: Array[Byte]): (Int, Double) = {
+    require(a.length == b.length, s"${a.length} vs ${b.length}")
+    var maxE = 0; var sum = 0L
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      if (d > maxE) maxE = d
+      sum += d
+      i += 1
+    }
+    (maxE, sum.toDouble / a.length)
+  }
+
+  test("round-trip on smooth gradients stays within quantization error " +
+      "across block-aligned and ragged dimensions") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (17, 9), (40, 24), (1, 1), (3, 21))) {
+      val img = gradient(w, h)
+      val (dw, dh, out) = JpegCodec.decode(JpegCodec.encode(w, h, img, quality = 90))
+      assert((dw, dh) == (w, h), s"dims for ${w}x$h")
+      val (maxE, meanE) = errs(img, out)
+      assert(maxE <= 20 && meanE <= 5.0,
+        s"${w}x$h reconstruction error too high: max=$maxE mean=$meanE")
+    }
+  }
+
+  test("flat color reconstructs near-exactly (DC-only blocks)") {
+    val w = 24; val h = 16
+    val img = Array.tabulate(w * h * 3)(i => (i % 3 match {
+      case 0 => 180; case 1 => 90; case _ => 45
+    }).toByte)
+    val (_, _, out) = JpegCodec.decode(JpegCodec.encode(w, h, img, quality = 85))
+    val (maxE, _) = errs(img, out)
+    assert(maxE <= 4, s"flat color must be near-exact, max err $maxE")
+  }
+
+  test("THIRD-PARTY conformance: the JDK's ImageIO decodes our bitstream " +
+      "to the same image") {
+    val w = 32; val h = 16
+    val img = gradient(w, h)
+    val bytes = JpegCodec.encode(w, h, img, quality = 90)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(bi != null, "ImageIO rejected our JPEG bitstream")
+    assert(bi.getWidth == w && bi.getHeight == h)
+    val theirs = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = bi.getRGB(x, y)
+      val p = (y * w + x) * 3
+      theirs(p) = ((px >> 16) & 0xff).toByte
+      theirs(p + 1) = ((px >> 8) & 0xff).toByte
+      theirs(p + 2) = (px & 0xff).toByte
+    }
+    val (maxE, meanE) = errs(img, theirs)
+    assert(maxE <= 20 && meanE <= 5.0,
+      s"a third-party decode of our stream diverges: max=$maxE mean=$meanE")
+  }
+
+  test("THIRD-PARTY conformance: we decode a JDK-encoded JPEG (its " +
+      "default 4:2:0 subsampling exercises multi-block MCUs + upsampling)") {
+    val w = 33; val h = 17 // ragged on purpose
+    val img = gradient(w, h)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      bi.setRGB(x, y, ((img(p) & 0xff) << 16) |
+        ((img(p + 1) & 0xff) << 8) | (img(p + 2) & 0xff))
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", buf))
+    val (dw, dh, out) = JpegCodec.decode(buf.toByteArray)
+    assert((dw, dh) == (w, h))
+    val (maxE, meanE) = errs(img, out)
+    // chroma subsampling costs more than 4:4:4 — still clearly the image
+    assert(maxE <= 48 && meanE <= 8.0,
+      s"JDK-encoded JPEG decode diverges: max=$maxE mean=$meanE")
+  }
+
+  test("grayscale single-component JPEG decodes to replicated gray") {
+    val w = 16; val h = 16
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 30 + x * 10 + y * 2
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", buf))
+    val (dw, dh, out) = JpegCodec.decode(buf.toByteArray)
+    assert((dw, dh) == (w, h))
+    for (p <- 0 until w * h)
+      assert(out(p * 3) == out(p * 3 + 1) && out(p * 3) == out(p * 3 + 2),
+        "grayscale must replicate to (g,g,g)")
+  }
+
+  test("progressive refuses loudly; decode() degrades to the stub") {
+    val ok = JpegCodec.encode(16, 16, gradient(16, 16))
+    // flip the SOF0 marker (FF C0) to SOF2 (FF C2): the decoder must refuse
+    // BEFORE misreading the scan, naming the problem
+    val prog = ok.clone()
+    val sof = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && i + 1 < ok.length && (ok(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(e.getMessage.contains("progressive"), e.getMessage)
+    val rec = MediaRecord(5L, "image", prog, prog.length.toLong)
+    assert(MediaCodec.decode(rec).feature.toSeq ==
+      MediaCodec.decodeStub(rec).feature.toSeq,
+      "unsupported JPEG variants must degrade to the stub, not crash")
+  }
+
+  test("decode() sniffs JPEG by magic and reports real dimensions") {
+    val img = gradient(24, 8)
+    val f = MediaCodec.decode(MediaRecord(6L, "image",
+      JpegCodec.encode(24, 8, img), 1L))
+    assert((f.width, f.height, f.n_frames) == (24, 8, 1))
+  }
+}

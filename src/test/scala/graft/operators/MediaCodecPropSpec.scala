@@ -53,6 +53,32 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
       eq(out, Array.tabulate(w * h * 3)(i => px((i / 3) * 4 + i % 3)))
     }
 
+  property("decode() NEVER throws on corrupted payloads of any format — " +
+      "malformed blobs degrade to the stub instead of killing the job") =
+    Prop.forAll(for {
+      kind <- Gen.oneOf("png", "bmp", "wav", "jpeg", "garbage")
+      flips <- Gen.choose(1, 12)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (kind, flips, seed)) { case (kind, flips, seed) =>
+      val rnd = new java.util.Random(seed)
+      val px = Array.tabulate(6 * 6 * 3)(i => ((i * 37) % 256).toByte)
+      val base = kind match {
+        case "png" => MediaCodec.encodePng(6, 6, 2, px)
+        case "bmp" => MediaCodec.encodeBmp(6, 6, px)
+        case "wav" => MediaCodec.encodeWav(8000, 1, Array.tabulate(40)(_.toShort))
+        case "jpeg" => graft.operators.JpegCodec.encode(6, 6, px)
+        case _ =>
+          val g = new Array[Byte](64); rnd.nextBytes(g); g
+      }
+      val corrupt = base.clone()
+      (1 to flips).foreach { _ =>
+        corrupt(rnd.nextInt(corrupt.length)) = rnd.nextInt(256).toByte
+      }
+      val rec = Multimodal.MediaRecord(1L, "image", corrupt, corrupt.length.toLong)
+      val f = MediaCodec.decode(rec) // must not throw — stub or real
+      f.feature.length == 8
+    }
+
   property("palette (type 3) dereferences PLTE for any index pattern") =
     Prop.forAll(for {
       (w, h) <- dims
