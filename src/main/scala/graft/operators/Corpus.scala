@@ -290,9 +290,13 @@ object Corpus {
       textCol: String, idCol: String): DataFrame = {
     def fp(c: Column) =
       struct(xxhash64(c).as("h1"), xxhash64(lit(0x9747b28c), c).as("h2"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
-    val canon = increment.withColumn("_fp", fp(col(textCol)))
-      .withColumn("_canon", min(col(idCol)).over(w))
+    // canonical-per-fingerprint via aggregation + join: the agg shuffles
+    // only (fp, id) with map-side combine absorbing duplicated content's
+    // Zipf head — a window would push the FULL ROWS of the hottest
+    // fingerprint through one task's buffer
+    val keyed = increment.withColumn("_fp", fp(col(textCol)))
+    val firsts = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as("_canon"))
+    val canon = keyed.join(firsts, Seq("_fp"))
       .filter(col(idCol) === col("_canon"))
     val seen = history.select(fp(col(textCol)).as("_fp")).distinct()
     canon.join(seen, Seq("_fp"), "left_anti").drop("_fp", "_canon")
@@ -325,9 +329,10 @@ object Corpus {
     import org.apache.spark.sql.types.BinaryType
     def fp(c: Column) =
       struct(xxhash64(c).as("h1"), xxhash64(lit(0x9747b28c), c).as("h2"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
-    val canon = increment.withColumn("_fp", fp(col(textCol)))
-      .withColumn("_canon", min(col(idCol)).over(w))
+    // same skew-safe canonicalization as [[incrementalDedup]]
+    val keyed = increment.withColumn("_fp", fp(col(textCol)))
+    val firsts = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as("_canon"))
+    val canon = keyed.join(firsts, Seq("_fp"))
       .filter(col(idCol) === col("_canon"))
     val bloomBytes = history.select(ColumnBridge.column(
       new BloomFilterAggregate(

@@ -25,12 +25,19 @@ object Dedup {
     * moves 24 bytes per row instead of the documents themselves. Collision
     * odds at 128 bits are ~n²/2¹²⁹ (negligible below ~10¹⁵ docs). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // ONE explicit exchange on the fingerprint, shared by the group
+    // aggregation and the join probe (ReusedExchange), so the corpus text
+    // hashes once. Group stats via aggregation + join, NOT an aggregate
+    // window: a hash aggregate streams the Zipf-head content group as one
+    // counter where a window task would buffer (and sort) its whole
+    // occurrence list.
     val keyed = df.select(col(idCol),
       xxhash64(col(textCol)).as("_h1"),
       xxhash64(lit(0x9747b28c), col(textCol)).as("_h2"))
-    val w = Window.partitionBy(col("_h1"), col("_h2"))
-    keyed.withColumn("n_copies", count(lit(1)).over(w))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .repartition(col("_h1"), col("_h2"))
+    val groups = keyed.groupBy(col("_h1"), col("_h2"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+    keyed.join(groups, Seq("_h1", "_h2"))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
       .select(col(idCol), col("n_copies"), col("canonical_id"), col("is_canonical"))
   }
@@ -63,18 +70,30 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 2000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // the repartition below the banding is a deliberate MATERIALIZATION
+    // point: every consumer (size aggregation, semi-join probe, both
+    // self-join sides) contains this identical exchange, so ReuseExchange
+    // computes the shingle+MinHash pipeline ONCE and the others replay its
+    // shuffle files — O(sig bytes) per doc, a fraction of re-hashing text
     val sig = sh.withColumn("sig", graft.functions.MinHash.minhash(col("sh"), k))
       .withColumn("bands", TF.lshBands(col("sig"), k, bands))
+      .select(col("id"), col("bands"))
+      .repartition(col("id"))
     val buckets0 = sig.select(col("id"), explode(col("bands")).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // cap degenerate buckets (boilerplate text hashing thousands of docs to
     // one bucket turns the candidate join quadratic): drop buckets over the
     // cap — their members still pair up via their other, more selective
-    // bands. Same-key aggregation so AQE reuses the exchange.
-    val buckets = buckets0.withColumn("_bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    // bands. Sizes come from an aggregation + semi-join, NOT an aggregate
+    // window: the degenerate bucket this cap exists FOR is exactly the one
+    // a window partition would buffer (and sort) whole in one task, while
+    // partial aggregation folds it map-side and the join-back can
+    // AQE-skew-split.
+    val smallEnough = buckets0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+      .select(col("band"), col("bucket"))
+    val buckets = buckets0.join(smallEnough, Seq("band", "bucket"), "left_semi")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -120,19 +139,30 @@ object Dedup {
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket")))
-    val banded0 = sh.withColumn("bb", explode(array(blocks: _*)))
+    // materialization point (see [[minhashDedup]]): the caller's hash
+    // pipeline computes once below this exchange; all four consumers
+    // replay its 16-byte-per-doc shuffle files via ReuseExchange
+    val shRep = sh.repartition(col("id"))
+    val banded0 = shRep.withColumn("bb", explode(array(blocks: _*)))
       .select(col("id"), col("h"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val banded = banded0.withColumn("_bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+    // same cap mechanism as [[minhashDedup]]: aggregation + semi-join, so
+    // the degenerate bucket folds map-side instead of buffering (and
+    // sorting) whole in one window task. The 4x16-bit block space bounds
+    // the size table at 2^18 rows — always broadcastable.
+    val smallEnough = banded0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+      .select(col("band"), col("bucket"))
+    val banded = banded0.join(broadcast(smallEnough), Seq("band", "bucket"), "left_semi")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         SimHash.hamming(col("x.h"), col("y.h")).as("hamming"))
-      .distinct()
+      // hamming is per-pair deterministic, so filtering BEFORE the distinct
+      // is equivalent — and the dedup exchange then moves only survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold within LSH buckets,

@@ -116,6 +116,25 @@ class PushdownGuardSpec extends AnyFunSuite {
       s"the O(clusters x bins) census table must broadcast:\n$plan")
   }
 
+  test("dedup family: canonical selection and bucket caps plan as " +
+      "aggregations, never as an aggregate window over a content " +
+      "fingerprint (the Zipf-head group would buffer in one task's sort)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shaped = Seq(
+      "exactDedup" -> graft.operators.Dedup.exactDedup(docs, "text", "doc_id"),
+      "minhashDedup" -> graft.operators.Dedup.minhashDedup(docs, "text", "doc_id"),
+      "simhashPairs" -> graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"),
+      "incrementalDedup" -> graft.operators.Corpus.incrementalDedup(
+        docs.limit(50), docs, "text", "doc_id"))
+    shaped.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name regressed to a window over a corpus-keyed partition:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"$name lost its aggregation-based group stats:\n$p")
+    }
+  }
+
   test("iceberg scan: the metadata plane plans only the stats-surviving " +
       "file subset (pruning gauge), not the whole live set") {
     // total live files first (its planning also writes the gauge, so the
