@@ -53,6 +53,36 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
       eq(out, Array.tabulate(w * h * 3)(i => px((i / 3) * 4 + i % 3)))
     }
 
+  property("JPEG round-trips random SMOOTH images within the quantization " +
+      "budget across ragged dims and quality levels") =
+    Prop.forAll(for {
+      w <- Gen.choose(8, 25)
+      h <- Gen.choose(8, 21)
+      q <- Gen.choose(75, 95)
+      corners <- Gen.listOfN(12, Gen.choose(30, 220)) // 4 corners x RGB
+    } yield (w, h, q, corners)) { case (w, h, q, c) =>
+      // bilinear interpolation of random corner colors: smooth by
+      // construction, so DCT quantization error stays small and bounded
+      val img = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+        val fx = x.toDouble / math.max(1, w - 1)
+        val fy = y.toDouble / math.max(1, h - 1)
+        val v = c(ch) * (1 - fx) * (1 - fy) + c(3 + ch) * fx * (1 - fy) +
+          c(6 + ch) * (1 - fx) * fy + c(9 + ch) * fx * fy
+        img((y * w + x) * 3 + ch) = math.round(v).toByte
+      }
+      val (dw, dh, out) = graft.operators.JpegCodec.decode(
+        graft.operators.JpegCodec.encode(w, h, img, q))
+      var maxE = 0; var sum = 0L
+      var i = 0
+      while (i < img.length) {
+        val d = math.abs((img(i) & 0xff) - (out(i) & 0xff))
+        if (d > maxE) maxE = d
+        sum += d; i += 1
+      }
+      dw == w && dh == h && maxE <= 24 && sum.toDouble / img.length <= 6.0
+    }
+
   property("decode() NEVER throws on corrupted payloads of any format — " +
       "malformed blobs degrade to the stub instead of killing the job") =
     Prop.forAll(for {
