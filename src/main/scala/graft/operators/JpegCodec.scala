@@ -215,10 +215,16 @@ object JpegCodec {
   }
 
   /** Encode RGB (row-major top-down, 3 bytes/pixel) as baseline JFIF,
-    * 4:4:4 (no chroma subsampling), Annex K tables scaled by `quality`. */
-  def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85): Array[Byte] = {
+    * 4:4:4 (no chroma subsampling), Annex K tables scaled by `quality`.
+    * `restartInterval > 0` writes a DRI segment and emits RSTn markers
+    * every that-many MCUs (DC predictors reset, bitstream byte-aligned) —
+    * the form camera firmware writes for error resilience, and the test
+    * vector for the decoder's restart path. */
+  def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h * 3,
       s"need ${w * h * 3} RGB bytes for ${w}x$h, got ${rgb.length}")
+    require(restartInterval >= 0, "restart interval cannot be negative")
     val lumaQ = scaledQ(StdLumaQ, quality)
     val chromaQ = scaledQ(StdChromaQ, quality)
 
@@ -296,13 +302,22 @@ object JpegCodec {
       if (run > 0) { val (c, l) = acT(0x00); bw.put(c, l) }
     }
 
+    var mcu = 0
     var by = 0
     while (by < ph / 8) {
       var bx = 0
       while (bx < pw / 8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align (1-padded), emit RST(n mod 8), reset DC predictors
+          bw.flush()
+          payload.write(0xff)
+          payload.write(0xd0 + (mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(pred, 0)
+        }
         encodeBlock(yP, bx, by, lumaQ, dcL, acL, 0)
         encodeBlock(cbP, bx, by, chromaQ, dcC, acC, 1)
         encodeBlock(crP, bx, by, chromaQ, dcC, acC, 2)
+        mcu += 1
         bx += 1
       }
       by += 1
@@ -335,6 +350,7 @@ object JpegCodec {
     }
     dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
     dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     marker(0xda); u16(6 + 2 * 3); u8(3) // SOS
     u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
     u8(0); u8(63); u8(0)

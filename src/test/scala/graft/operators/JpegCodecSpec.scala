@@ -118,6 +118,34 @@ class JpegCodecSpec extends AnyFunSuite {
         "grayscale must replicate to (g,g,g)")
   }
 
+  test("restart markers (DRI + RSTn every N MCUs): round-trip equals the " +
+      "marker-free encoding and a third-party decoder accepts the stream") {
+    val w = 32; val h = 24 // 4x3 = 12 MCUs at 4:4:4
+    val img = gradient(w, h)
+    val withRst = JpegCodec.encode(w, h, img, quality = 90, restartInterval = 2)
+    val plain = JpegCodec.encode(w, h, img, quality = 90)
+    assert(withRst.length > plain.length, "DRI/RSTn bytes must be present")
+    // our decoder: the restart path (byte-align, RSTn consume, DC reset)
+    // must reproduce EXACTLY the same pixels as the marker-free stream
+    val (_, _, a) = JpegCodec.decode(withRst)
+    val (_, _, b) = JpegCodec.decode(plain)
+    assert(a.sameElements(b),
+      "restart-marker decode must be pixel-identical to the plain decode")
+    // third-party: the JDK decodes the restart-marker stream too
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(withRst))
+    assert(bi != null && bi.getWidth == w && bi.getHeight == h,
+      "ImageIO rejected the restart-marker bitstream")
+    val theirs = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = bi.getRGB(x, y); val p = (y * w + x) * 3
+      theirs(p) = ((px >> 16) & 0xff).toByte
+      theirs(p + 1) = ((px >> 8) & 0xff).toByte
+      theirs(p + 2) = (px & 0xff).toByte
+    }
+    val (maxE, _) = errs(img, theirs)
+    assert(maxE <= 20, s"third-party decode of restart stream off: $maxE")
+  }
+
   test("progressive refuses loudly; decode() degrades to the stub") {
     val ok = JpegCodec.encode(16, 16, gradient(16, 16))
     // flip the SOF0 marker (FF C0) to SOF2 (FF C2): the decoder must refuse
