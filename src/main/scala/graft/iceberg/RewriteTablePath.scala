@@ -583,6 +583,42 @@ object RewriteTablePath {
     } finally in.close()
   }
 
+  /** [[executeCopyPlan]] at CLUSTER scale: the tab-separated plan loads as
+    * a Dataset and every executor task copies its slice of (source, target)
+    * pairs through the Hadoop filesystems — the Spark-native stand-in for
+    * distcp when the operator wants one engine end to end. Identity pairs
+    * refuse exactly like the serial executor; a failed copy fails its task
+    * (and the job) loudly rather than leaving a silently partial target.
+    * Returns the number of files copied. */
+  def executeCopyPlanDistributed(spark: SparkSession, fileListPath: String,
+      parallelism: Int = 0): Long = {
+    import spark.implicits._
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val lines = spark.read.textFile(fileListPath).filter(_.nonEmpty)
+    val par = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    lines.repartition(par).mapPartitions { it =>
+      val conf = ser.value
+      var n = 0L
+      it.foreach { line =>
+        val cols = line.split('\t')
+        require(cols.length == 2, s"malformed copy-plan line: $line")
+        require(cols(0) != cols(1),
+          s"copy plan maps a file onto itself — executing would TRUNCATE " +
+            s"it before the copy: ${cols(0)}")
+        val sp = new Path(cols(0))
+        val dp = new Path(cols(1))
+        val dfs = dp.getFileSystem(conf)
+        dfs.mkdirs(dp.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sp.getFileSystem(conf), sp, dfs, dp, false, true, conf)
+        n += 1
+      }
+      Iterator.single(n)
+    }.reduce(_ + _)
+  }
+
   /** Write text, gzip-compressed when the file name carries the
     * `.gzip.metadata.json` marker (iceberg-java resolves the codec from
     * the NAME, so the bytes must match it). */

@@ -510,6 +510,42 @@ class RewriteTablePathSpec extends AnyFunSuite {
       "deletes must keep applying at the distributed-path target")
   }
 
+  test("the DISTRIBUTED copy executor lands the same complete table as " +
+      "the serial one and refuses identity pairs task-side") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtpx").toString
+    val src = s"$root/c1/db/x"
+    IcebergWriter.createTable(spark, src, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))))
+    IcebergWriter.append(spark, src,
+      (1L to 60L).map(i => (i, s"x$i")).toDF("k", "v").repartition(3))
+    IcebergWriter.deleteRows(spark, src, Pruning.LtEq("k", 6L))
+    val r = RewriteTablePath.rewrite(spark, src, s"$root/c1", s"$root/c2")
+    val copied = RewriteTablePath.executeCopyPlanDistributed(
+      spark, r.fileListPath, parallelism = 4)
+    val planLines = scala.io.Source
+      .fromFile(r.fileListPath.stripPrefix("file:")).getLines().count(_.nonEmpty)
+    assert(copied == planLines, s"copied $copied of $planLines planned files")
+    val t2 = IcebergTable.load(spark, s"$root/c2/db/x")
+    assert(t2.read().count() == 54,
+      "deletes must apply at the distributed-copy target")
+    assert(t2.liveFiles().forall(f =>
+      t2.resolvePath(f.filePath).contains("/c2/")))
+    // identity pairs refuse INSIDE the task, before any byte moves
+    val victim = new java.io.File(s"$root/victim.bin")
+    java.nio.file.Files.write(victim.toPath, Array.fill[Byte](32)(3))
+    val badPlan = new java.io.File(s"$root/bad.tsv")
+    java.nio.file.Files.writeString(badPlan.toPath,
+      s"${victim.getAbsolutePath}\t${victim.getAbsolutePath}\n")
+    val e = intercept[Exception] {
+      RewriteTablePath.executeCopyPlanDistributed(spark, badPlan.getAbsolutePath)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("TRUNCATE")), chain(e).mkString(" | "))
+    assert(victim.length == 32, "the refusal must come before any write")
+  }
+
   test("guards: identical prefixes refuse; staging holds the plan and " +
       "rewritten metadata only") {
     val root = java.nio.file.Files.createTempDirectory("graft_rtpg").toString
