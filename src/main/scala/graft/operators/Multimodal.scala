@@ -220,9 +220,10 @@ object Multimodal {
 
     /** Decode a PNG into (width, height, RGB bytes row-major top-down):
       * walks the chunk list, inflates the concatenated IDAT zlib stream,
-      * unfilters each scanline (None/Sub/Up/Average/Paeth), then expands
-      * gray/palette/alpha channels to RGB (alpha dropped). Refuses Adam7
-      * interlace and non-8-bit depths loudly. */
+      * unfilters each scanline (None/Sub/Up/Average/Paeth) — per Adam7
+      * PASS for interlaced files, scattering each sub-image onto the grid
+      * — then expands gray/palette/alpha channels to RGB (alpha dropped).
+      * Refuses non-8-bit depths loudly. */
     def decodePng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(b.length > 8 + 25 && java.util.Arrays.equals(
         java.util.Arrays.copyOf(b, 8), PngSig), "not a PNG")
@@ -248,20 +249,35 @@ object Multimodal {
         i += 12 + len
       }
       require(bitDepth >= 0 && w > 0 && h > 0, "missing/empty IHDR")
-      require(interlace == 0,
-        "Adam7-interlaced PNG unsupported — re-encode non-interlaced")
+      require(interlace == 0 || interlace == 1,
+        s"unknown PNG interlace method $interlace")
       require(bitDepth == 8, s"only 8-bit channel depth (got $bitDepth)")
       val bpp = channelsOf(colorType)
       if (colorType == 3) require(palette != null, "palette PNG without PLTE")
       val stride = w * bpp
       require(h.toLong * (1 + stride) <= Int.MaxValue, "PNG dimensions overflow")
+      // Adam7 sub-image geometry: (xStart, yStart, xStep, yStep) per pass;
+      // non-interlaced decodes as the single full-geometry "pass"
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 0, 1, 1))
+        else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+        val (x0, y0, xs, ys) = p
+        (math.max(0, (w - x0 + xs - 1) / xs), math.max(0, (h - y0 + ys - 1) / ys))
+      }
+      val totalRaw = passes.map { p =>
+        val (pw, ph) = passDims(p)
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw * bpp)
+      }.sum
+      require(totalRaw <= Int.MaxValue, "PNG dimensions overflow")
       // plausibility: zlib tops out near 1032:1, so declared dimensions
       // demanding more inflated bytes than the IDAT stream could ever
       // yield are corruption — refuse before allocating for garbage
-      require(h.toLong * (1 + stride) <= 1100L * idat.size + 1024,
-        s"corrupt PNG: ${h.toLong * (1 + stride)} pixel-stream bytes " +
+      require(totalRaw <= 1100L * idat.size + 1024,
+        s"corrupt PNG: $totalRaw pixel-stream bytes " +
           s"declared for ${idat.size} compressed bytes")
-      val raw = new Array[Byte](h * (1 + stride))
+      val raw = new Array[Byte](totalRaw.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var off = 0
@@ -277,30 +293,51 @@ object Multimodal {
       } finally inf.end()
       require(off == raw.length,
         s"PNG pixel stream short: $off of ${raw.length} bytes")
-      // unfilter in place into the pixel array
+      // unfilter each pass's scanlines (filters reference the PASS's own
+      // previous row/pixel, never the full image), then scatter the pass's
+      // pixels onto the image grid
       val px = new Array[Byte](h * stride)
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (1 + stride)) & 0xff
-        var x = 0
-        while (x < stride) {
-          val cur = raw(y * (1 + stride) + 1 + x) & 0xff
-          val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
-          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-          val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
-          val v = f match {
-            case 0 => cur
-            case 1 => cur + left
-            case 2 => cur + up
-            case 3 => cur + ((left + up) >> 1)
-            case 4 => cur + paeth(left, up, ul)
-            case other =>
-              throw new IllegalArgumentException(s"bad PNG filter $other")
+      var rawOff = 0
+      passes.foreach { case pass @ (x0, y0, xs, ys) =>
+        val (pw, ph) = passDims(pass)
+        if (pw > 0 && ph > 0) {
+          val pStride = pw * bpp
+          val pp = new Array[Byte](ph * pStride)
+          var y = 0
+          while (y < ph) {
+            val f = raw(rawOff + y * (1 + pStride)) & 0xff
+            var x = 0
+            while (x < pStride) {
+              val cur = raw(rawOff + y * (1 + pStride) + 1 + x) & 0xff
+              val left = if (x >= bpp) pp(y * pStride + x - bpp) & 0xff else 0
+              val up = if (y > 0) pp((y - 1) * pStride + x) & 0xff else 0
+              val ul = if (x >= bpp && y > 0) pp((y - 1) * pStride + x - bpp) & 0xff else 0
+              val v = f match {
+                case 0 => cur
+                case 1 => cur + left
+                case 2 => cur + up
+                case 3 => cur + ((left + up) >> 1)
+                case 4 => cur + paeth(left, up, ul)
+                case other =>
+                  throw new IllegalArgumentException(s"bad PNG filter $other")
+              }
+              pp(y * pStride + x) = (v & 0xff).toByte
+              x += 1
+            }
+            y += 1
           }
-          px(y * stride + x) = (v & 0xff).toByte
-          x += 1
+          var r = 0
+          while (r < ph) {
+            var c = 0
+            while (c < pw) {
+              val dst = ((y0 + r * ys) * w + (x0 + c * xs)) * bpp
+              System.arraycopy(pp, (r * pw + c) * bpp, px, dst, bpp)
+              c += 1
+            }
+            r += 1
+          }
+          rawOff += ph * (1 + pStride)
         }
-        y += 1
       }
       // expand to RGB (alpha drops; gray replicates; palette dereferences)
       val rgb = new Array[Byte](w * h * 3)

@@ -111,14 +111,15 @@ class MediaCodecSpec extends AnyFunSuite {
     }.toSeq)
   }
 
-  test("PNG refusals are loud and specific: Adam7 interlace, non-8-bit " +
-      "depth, truncated stream; decode() falls back to the stub for each") {
+  test("PNG refusals are loud and specific: a LYING interlace flag, " +
+      "non-8-bit depth, truncated stream; decode() falls back to the stub") {
     val ok = MediaCodec.encodePng(4, 4, 2, rgbPattern(4, 4))
     // IHDR layout: sig(8) + len(4) + 'IHDR'(4) + w(4) h(4) depth(1)
-    // colorType(1) compression(1) filter(1) interlace(1) — interlace at 28
-    val interlaced = ok.clone(); interlaced(8 + 4 + 4 + 12) = 1
-    val e1 = intercept[IllegalArgumentException](MediaCodec.decodePng(interlaced))
-    assert(e1.getMessage.contains("interlace"), e1.getMessage)
+    // colorType(1) compression(1) filter(1) interlace(1) — interlace at 28.
+    // Flipping it on a NON-interlaced stream declares Adam7 geometry the
+    // bytes don't hold — the decode must refuse, not misread
+    val lying = ok.clone(); lying(8 + 4 + 4 + 12) = 1
+    intercept[IllegalArgumentException](MediaCodec.decodePng(lying))
     val deep = ok.clone(); deep(8 + 4 + 4 + 8) = 16
     val e2 = intercept[IllegalArgumentException](MediaCodec.decodePng(deep))
     assert(e2.getMessage.contains("8-bit"), e2.getMessage)
@@ -126,10 +127,38 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodePng(truncated))
     // every refusal degrades to the stub through decode() — corrupt or
     // unsupported payloads never kill a mixed-corpus pipeline
-    for (bad <- Seq(interlaced, deep, truncated)) {
+    for (bad <- Seq(lying, deep, truncated)) {
       val rec = MediaRecord(9L, "image", bad, bad.length.toLong)
       assert(MediaCodec.decode(rec).feature.toSeq ==
         MediaCodec.decodeStub(rec).feature.toSeq)
+    }
+  }
+
+  test("Adam7-INTERLACED PNG decodes to the same pixels (third-party " +
+      "bytes: the JDK's progressive PNG writer)") {
+    for ((w, h) <- Seq((12, 10), (7, 5), (1, 1), (9, 16))) {
+      val rgb = rgbPattern(w, h)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        bi.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+          ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      ios.close(); writer.dispose()
+      val bytes = buf.toByteArray
+      assert(bytes(8 + 4 + 4 + 12) == 1,
+        s"JDK writer did not produce an interlaced PNG for ${w}x$h")
+      val (dw, dh, out) = MediaCodec.decodePng(bytes)
+      assert((dw, dh) == (w, h), s"dims for interlaced ${w}x$h")
+      assert(out.toSeq == rgb.toSeq, s"interlaced pixels for ${w}x$h")
     }
   }
 
