@@ -292,17 +292,32 @@ object LlmQueries {
     * its own; this query verifies the COMPOSITION against a DuckDB replay.
     * Output: the surviving clean corpus (one canonical doc per content
     * group), with quality scores. */
+  /** Canonical (min-id) row per identical text — the skew-safe exact-dedup
+    * step the composed pipelines share: 128-bit fingerprint aggregation +
+    * join (partial aggregation folds a Zipf-head duplicated text map-side,
+    * and the raw text never keys a shuffle). */
+  private def exactCanon(df: DataFrame): DataFrame = {
+    val keyed = df
+      .withColumn("_f1", xxhash64(col("text")))
+      .withColumn("_f2", xxhash64(lit(0x9747b28c), col("text")))
+    val firsts = keyed.groupBy(col("_f1"), col("_f2"))
+      .agg(min(col("doc_id")).as("_cid"))
+    keyed.join(firsts, Seq("_f1", "_f2"))
+      .filter(col("doc_id") === col("_cid"))
+      .drop("_f1", "_f2", "_cid")
+  }
+
   def pipeCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // 1. quality gate: keep docs passing >= 2 of 3 heuristics
     val quality = docs.select(col("doc_id"), col("text"),
         TF.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= lit(2.0) / lit(3.0))
-    // 2. exact dedup: canonical (min-id) copy per identical text
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    val canon = quality
-      .withColumn("_cid", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("_cid")).drop("_cid")
+    // 2. exact dedup: canonical (min-id) copy per identical text —
+    // fingerprint agg + join (the skew-safe canonicalization every dedup
+    // operator uses; a window partitioned by the raw TEXT would ship full
+    // documents through the shuffle and buffer the hot group in one task)
+    val canon = exactCanon(quality)
     // 3. near-dup groups over the survivors: keep each group's min id
     val pairs = Dedup.minhashDedup(canon, "text", "doc_id",
       n = 3, k = 64, bands = 16, threshold = 0.5).select("id_a", "id_b")
@@ -516,10 +531,7 @@ object LlmQueries {
       TF.tokenCount(col("text")) < 40, num = 4, den = 10)
     val decon = Corpus.decontaminate(srcKept,
       docs.filter(col("doc_id") % 17 === 0), "text", "doc_id", n = 5)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    val canon = decon
-      .withColumn("_cid", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("_cid")).drop("_cid")
+    val canon = exactCanon(decon)
     val chunks = Corpus.chunk(canon, "text", "doc_id",
       chunkTokens = 64, overlap = 16)
     Corpus.packSequences(chunks, "doc_id", "chunk_idx", "n_tokens",
