@@ -1,13 +1,16 @@
 package graft.operators
 
-/** Pure-JVM baseline JPEG codec — zero codec libraries, just the public
-  * ITU-T T.81 spec: the encoder writes baseline sequential JFIF (SOF0,
-  * 4:4:4, the spec's Annex K quantization + Huffman tables), and the
-  * decoder reads baseline/extended-sequential Huffman JPEG (grayscale or
-  * YCbCr, any sampling factors up to 4 incl. 4:2:0/4:2:2, restart
-  * markers, byte stuffing). Progressive (SOF2), arithmetic coding, and
-  * 12-bit precision refuse loudly — [[Multimodal.MediaCodec.decode]] then
-  * degrades to the stub so mixed corpora keep flowing.
+/** Pure-JVM JPEG codec — zero codec libraries, just the public ITU-T
+  * T.81 spec: the encoder writes baseline sequential JFIF (SOF0, 4:4:4,
+  * the spec's Annex K quantization + Huffman tables) or a PROGRESSIVE
+  * (SOF2) spectral-selection scan script, and the decoder reads
+  * baseline/extended-sequential Huffman JPEG (grayscale or YCbCr, any
+  * sampling factors up to 4 incl. 4:2:0/4:2:2, restart markers, byte
+  * stuffing) AND progressive JPEG (spectral selection + successive
+  * approximation, EOB runs, per-scan restart markers — T.81 annex G).
+  * Arithmetic coding and 12-bit precision refuse loudly —
+  * [[Multimodal.MediaCodec.decode]] then degrades to the stub so mixed
+  * corpora keep flowing.
   *
   * JPEG is LOSSY, so unlike the BMP/PPM/PNG codecs a round trip is
   * near-identity, not identity: the contract query pins exact dimensions
@@ -221,10 +224,12 @@ object JpegCodec {
     * the form camera firmware writes for error resilience, and the test
     * vector for the decoder's restart path. */
   def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h * 3,
       s"need ${w * h * 3} RGB bytes for ${w}x$h, got ${rgb.length}")
     require(restartInterval >= 0, "restart interval cannot be negative")
+    require(!progressive || restartInterval == 0,
+      "restart intervals unsupported in progressive mode")
     val lumaQ = scaledQ(StdLumaQ, quality)
     val chromaQ = scaledQ(StdChromaQ, quality)
 
@@ -250,16 +255,16 @@ object JpegCodec {
       yy += 1
     }
 
-    val payload = new java.io.ByteArrayOutputStream(rgb.length / 4 + 1024)
-    val bw = new BitWriter(payload)
+    var payload = new java.io.ByteArrayOutputStream(rgb.length / 4 + 1024)
+    var bw = new BitWriter(payload)
     val dcL = encodingTable(DcLumaBits, DcLumaVals)
     val acL = encodingTable(AcLumaBits, AcLumaVals)
     val dcC = encodingTable(DcChromaBits, DcChromaVals)
     val acC = encodingTable(AcChromaBits, AcChromaVals)
     val pred = new Array[Int](3)
 
-    def encodeBlock(plane: Array[Double], bx: Int, by: Int, q: Array[Int],
-        dcT: Array[(Int, Int)], acT: Array[(Int, Int)], comp: Int): Unit = {
+    def quantizeBlock(plane: Array[Double], bx: Int, by: Int,
+        q: Array[Int]): Array[Int] = {
       val blk = new Array[Double](64)
       var i = 0
       while (i < 64) {
@@ -276,17 +281,22 @@ object JpegCodec {
         if (i > 0) zz(i) = math.max(-1023, math.min(1023, zz(i)))
         i += 1
       }
-      // DC: category + magnitude bits of the diff
-      val diff = zz(0) - pred(comp)
-      pred(comp) = zz(0)
+      zz
+    }
+
+    def emitDc(zz0: Int, dcT: Array[(Int, Int)], comp: Int): Unit = {
+      val diff = zz0 - pred(comp)
+      pred(comp) = zz0
       val cat = magnitudeCategory(diff)
       val (dcCode, dcLen) = dcT(cat)
       bw.put(dcCode, dcLen)
       if (cat > 0)
         bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
-      // AC: (run, size) symbols with ZRL and EOB
+    }
+
+    def emitAc(zz: Array[Int], acT: Array[(Int, Int)]): Unit = {
       var run = 0
-      i = 1
+      var i = 1
       while (i < 64) {
         if (zz(i) == 0) run += 1
         else {
@@ -302,27 +312,117 @@ object JpegCodec {
       if (run > 0) { val (c, l) = acT(0x00); bw.put(c, l) }
     }
 
-    var mcu = 0
-    var by = 0
-    while (by < ph / 8) {
-      var bx = 0
-      while (bx < pw / 8) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          // byte-align (1-padded), emit RST(n mod 8), reset DC predictors
-          bw.flush()
-          payload.write(0xff)
-          payload.write(0xd0 + (mcu / restartInterval - 1) % 8)
-          java.util.Arrays.fill(pred, 0)
-        }
-        encodeBlock(yP, bx, by, lumaQ, dcL, acL, 0)
-        encodeBlock(cbP, bx, by, chromaQ, dcC, acC, 1)
-        encodeBlock(crP, bx, by, chromaQ, dcC, acC, 2)
-        mcu += 1
-        bx += 1
-      }
-      by += 1
+    def encodeBlock(plane: Array[Double], bx: Int, by: Int, q: Array[Int],
+        dcT: Array[(Int, Int)], acT: Array[(Int, Int)], comp: Int): Unit = {
+      val zz = quantizeBlock(plane, bx, by, q)
+      emitDc(zz(0), dcT, comp)
+      emitAc(zz, acT)
     }
-    bw.flush()
+
+    // scan script: (SOS payload-header bytes, entropy payload) per scan —
+    // ONE full-band scan for baseline, DC-then-per-component-AC for the
+    // progressive spectral-selection script
+    val scans = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Byte], java.io.ByteArrayOutputStream)]
+    def startScan(): Unit = {
+      payload = new java.io.ByteArrayOutputStream(rgb.length / 8 + 256)
+      bw = new BitWriter(payload)
+      java.util.Arrays.fill(pred, 0)
+    }
+    if (!progressive) {
+      var mcu = 0
+      var by = 0
+      while (by < ph / 8) {
+        var bx = 0
+        while (bx < pw / 8) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            // byte-align (1-padded), emit RST(n mod 8), reset DC predictors
+            bw.flush()
+            payload.write(0xff)
+            payload.write(0xd0 + (mcu / restartInterval - 1) % 8)
+            java.util.Arrays.fill(pred, 0)
+          }
+          encodeBlock(yP, bx, by, lumaQ, dcL, acL, 0)
+          encodeBlock(cbP, bx, by, chromaQ, dcC, acC, 1)
+          encodeBlock(crP, bx, by, chromaQ, dcC, acC, 2)
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+      scans += ((Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
+    } else {
+      // quantize every block once; the scans re-walk the coefficients
+      val nbx = pw / 8; val nby = ph / 8
+      val planesArr = Array(yP, cbP, crP)
+      val qsArr = Array(lumaQ, chromaQ, chromaQ)
+      val coefs = Array.tabulate(3, nby * nbx) { (c, bi) =>
+        quantizeBlock(planesArr(c), bi % nbx, bi / nbx, qsArr(c))
+      }
+      // scan 1: interleaved DC of all components (Ss=0 Se=0 Ah=0 Al=0)
+      startScan()
+      var bi = 0
+      while (bi < nby * nbx) {
+        emitDc(coefs(0)(bi)(0), dcL, 0)
+        emitDc(coefs(1)(bi)(0), dcC, 1)
+        emitDc(coefs(2)(bi)(0), dcC, 2)
+        bi += 1
+      }
+      bw.flush()
+      scans += ((Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0), payload))
+      // scans 2..4: each component's full AC band (Ss=1 Se=63), coded with
+      // EOB-RUN accumulation across all-zero-tail blocks
+      var c = 0
+      while (c < 3) {
+        startScan()
+        val acT = if (c == 0) acL else acC
+        var eobrun = 0
+        def flushEob(): Unit = {
+          // the fixed Annex K AC tables define only EOB0 — no EOBn run
+          // symbols (real progressive encoders ship custom per-scan
+          // tables) — so an accumulated run flushes as one EOB0 per
+          // all-zero block: less compact, equally valid T.81. The
+          // DECODER's EOBRUN>1 path is exercised by ImageIO's
+          // IJG-scripted fixtures (JpegCodecSpec), which do use EOBn.
+          val (code, len) = acT(0x00)
+          while (eobrun > 0) { bw.put(code, len); eobrun -= 1 }
+        }
+        var b2 = 0
+        while (b2 < nby * nbx) {
+          val zz = coefs(c)(b2)
+          var kLast = 63
+          while (kLast >= 1 && zz(kLast) == 0) kLast -= 1
+          if (kLast == 0) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          } else {
+            flushEob() // pending EOB run ends before this block's symbols
+            var run = 0
+            var k = 1
+            while (k <= kLast) {
+              if (zz(k) == 0) run += 1
+              else {
+                while (run > 15) { val (cd, l) = acT(0xf0); bw.put(cd, l); run -= 16 }
+                val sz = magnitudeCategory(zz(k))
+                val (cd, l) = acT((run << 4) | sz)
+                bw.put(cd, l)
+                bw.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (kLast < 63) eobrun = 1 // this block's own EOB starts a run
+          }
+          b2 += 1
+        }
+        flushEob()
+        bw.flush()
+        scans += ((Array[Byte](1, (c + 1).toByte,
+          (if (c == 0) 0x00 else 0x11).toByte, 1, 63, 0), payload))
+        c += 1
+      }
+    }
 
     // ------------------------------------------------------------ headers
     val out = new java.io.ByteArrayOutputStream(payload.size + 1024)
@@ -338,7 +438,9 @@ object JpegCodec {
       while (i < 64) { u8(q(Zigzag(i))); i += 1 }
     }
     dqt(0, lumaQ); dqt(1, chromaQ)
-    marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3) // SOF0
+    // SOF0 (baseline) or SOF2 (progressive) — identical layout
+    marker(if (progressive) 0xc2 else 0xc0)
+    u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3)
     u8(1); u8(0x11); u8(0) // Y: 1x1, q0
     u8(2); u8(0x11); u8(1) // Cb
     u8(3); u8(0x11); u8(1) // Cr
@@ -351,10 +453,11 @@ object JpegCodec {
     dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
     dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
-    marker(0xda); u16(6 + 2 * 3); u8(3) // SOS
-    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
-    u8(0); u8(63); u8(0)
-    payload.writeTo(out)
+    scans.foreach { case (sosBody, pay) =>
+      marker(0xda); u16(2 + sosBody.length)
+      sosBody.foreach(v => u8(v & 0xff))
+      pay.writeTo(out)
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }
@@ -404,13 +507,24 @@ object JpegCodec {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
-    /** Byte-align and consume an RSTn marker (restart-interval boundary). */
-    def restart(): Unit = {
+    /** Byte-align and consume an RSTn marker (restart-interval boundary).
+      * T.81 numbers restart markers modulo 8 exactly so decoders can DETECT
+      * a dropped or duplicated restart segment: consuming a marker whose
+      * index does not match the expected `n mod 8` means the entropy stream
+      * lost sync — decoding on would produce silently shifted blocks, so
+      * refuse loudly instead. */
+    def restart(expected: Int): Unit = {
       nBits = 0
       while (pos + 1 < data.length &&
           !((data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xf8) == 0xd0))
         pos += 1
-      if (pos + 1 < data.length) pos += 2
+      require(pos + 1 < data.length,
+        "corrupt JPEG: expected restart marker, hit end of stream")
+      val got = data(pos + 1) & 0x07
+      require(got == (expected & 7),
+        s"corrupt JPEG: found RST$got where RST${expected & 7} was due — " +
+          "a restart segment was dropped or duplicated")
+      pos += 2
     }
     def decodeHuff(t: HuffTable): Int = {
       var code = bit()
@@ -430,9 +544,9 @@ object JpegCodec {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
-  /** Decode a baseline/extended-sequential Huffman JPEG into
+  /** Decode a baseline/extended-sequential/PROGRESSIVE Huffman JPEG into
     * (width, height, RGB bytes row-major top-down). Grayscale replicates;
-    * progressive/arithmetic/12-bit refuse loudly. */
+    * arithmetic/12-bit refuse loudly. */
   def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
@@ -495,9 +609,8 @@ object JpegCodec {
               Array(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
                 b(o + 2) & 0xff, 0, 0)
             }
-          case 0xc2 =>
-            throw new IllegalArgumentException(
-              "progressive JPEG (SOF2) unsupported — re-encode baseline")
+          case 0xc2 => // progressive: its own multi-scan decode path
+            return decodeProgressive(b)
           case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 =>
             throw new IllegalArgumentException(
               f"unsupported JPEG coding (SOF marker 0x$sof%02x)")
@@ -523,6 +636,12 @@ object JpegCodec {
     }
 
     require(w > 0 && h > 0, "missing SOF dimensions")
+    // T.81 A.2.2: a ONE-component scan is non-interleaved — the MCU is a
+    // single 8x8 data unit and the declared sampling factors are IGNORED.
+    // Forcing 1x1 reproduces that data-unit order exactly (libjpeg/JDK
+    // write grayscale as 1x1 anyway, but other encoders may declare 2x2,
+    // which would otherwise decode to silently wrong pixels).
+    if (comps.length == 1) { comps(0)(1) = 1; comps(0)(2) = 1 }
     val hMax = comps.map(_(1)).max
     val vMax = comps.map(_(2)).max
     require(hMax >= 1 && hMax <= 4 && vMax >= 1 && vMax <= 4,
@@ -549,7 +668,7 @@ object JpegCodec {
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        br.restart()
+        br.restart(((mcu / restartInterval) - 1) & 7)
         java.util.Arrays.fill(pred, 0)
       }
       val mx = mcu % mcusX; val my = mcu / mcusX
@@ -600,7 +719,357 @@ object JpegCodec {
       mcu += 1
     }
 
-    // upsample (nearest) + color convert
+    renderRgb(w, h, comps, hMax, vMax, planes, planeW)
+  }
+
+  /** Decode a PROGRESSIVE (SOF2) Huffman JPEG. T.81 G: every scan carries
+    * a spectral band [Ss, Se] and a successive-approximation bit range
+    * (Ah, Al); DC-first scans (interleaved allowed) code `diff << Al`,
+    * DC-refinement scans append one bit per block, AC-first scans code a
+    * single component's band with EOB-RUN codes, AC-refinement scans
+    * apply the G.2.2 correction procedure (one bit per already-nonzero
+    * coefficient, sign-coded new coefficients between them). Coefficients
+    * accumulate in a full per-component buffer; one dequant+IDCT pass at
+    * EOI renders the image. Restart markers reset DC predictors AND the
+    * EOB run, with the RSTn modulo-8 index checked per scan. */
+  private def decodeProgressive(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0
+    var restartInterval = 0
+    // per component: id, hSamp, vSamp, quantId, dcId, acId
+    var comps: Array[Array[Int]] = null
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // per component: coefficient buffer over the MCU-padded block grid
+    // (natural order within each 64-coef block), and its width in blocks
+    var coefs: Array[Array[Int]] = null
+    var gridW: Array[Int] = null
+    var gridH: Array[Int] = null
+    var eobrun = 0
+
+    def u16(at: Int): Int = ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+    /** One scan's entropy-coded data, starting at `start`; returns the
+      * position of the next marker. */
+    def decodeScan(scanComps: Array[Int], Ss: Int, Se: Int, Ah: Int,
+        Al: Int, start: Int): Int = {
+      val br = new BitReader(b, start)
+      val pred = new Array[Int](comps.length)
+      eobrun = 0
+      val p1 = 1 << Al
+      val m1 = -1 << Al
+
+      def refineNonzero(co: Array[Int], z: Int): Unit =
+        if (br.bit() == 1 && (co(z) & p1) == 0)
+          co(z) += (if (co(z) >= 0) p1 else m1)
+
+      def dcBlock(ci: Int, base: Int): Unit = {
+        val co = coefs(ci)
+        if (Ah == 0) {
+          val dcT = dcTables(comps(ci)(4))
+          require(dcT != null, "missing DC Huffman table")
+          val cat = br.decodeHuff(dcT)
+          pred(ci) += extend(br.bits(cat), cat)
+          co(base) = pred(ci) << Al
+        } else {
+          if (br.bit() == 1) co(base) |= p1
+        }
+      }
+
+      def acFirstBlock(ci: Int, base: Int): Unit = {
+        val co = coefs(ci)
+        val acT = acTables(comps(ci)(5))
+        require(acT != null, "missing AC Huffman table")
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = Ss
+        var break = false
+        while (k <= Se && !break) {
+          val rs = br.decodeHuff(acT)
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r < 15) { eobrun = (1 << r) - 1 + br.bits(r); break = true }
+            else k += 16 // ZRL
+          } else {
+            k += r
+            require(k <= Se, "corrupt JPEG: AC index past spectral end")
+            co(base + Zigzag(k)) = extend(br.bits(s), s) << Al
+            k += 1
+          }
+        }
+      }
+
+      def acRefineBlock(ci: Int, base: Int): Unit = {
+        val co = coefs(ci)
+        val acT = acTables(comps(ci)(5))
+        require(acT != null, "missing AC Huffman table")
+        var k = Ss
+        if (eobrun == 0) {
+          var break = false
+          while (k <= Se && !break) {
+            val rs = br.decodeHuff(acT)
+            var r = rs >> 4; val s = rs & 0x0f
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) { eobrun = (1 << r) + br.bits(r); break = true }
+              // else ZRL: pass 16 zero-HISTORY coefficients, no new value
+            } else {
+              require(s == 1, "corrupt JPEG: refinement magnitude != 1")
+              newVal = if (br.bit() == 1) p1 else m1
+            }
+            if (!break) {
+              // advance past `r` zero-history coefficients (placing the
+              // new value on the one after), reading a correction bit for
+              // every nonzero-history coefficient passed over
+              var placed = false
+              while (k <= Se && !placed) {
+                val z = base + Zigzag(k)
+                if (co(z) != 0) refineNonzero(co, z)
+                else if (r == 0) { if (newVal != 0) co(z) = newVal; placed = true }
+                else r -= 1
+                k += 1
+              }
+              require(placed || newVal == 0,
+                "corrupt JPEG: refinement ran past the spectral band")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // EOB band covers the rest of this block: correction bits only
+          while (k <= Se) {
+            val z = base + Zigzag(k)
+            if (co(z) != 0) refineNonzero(co, z)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeUnit(ci: Int, base: Int): Unit =
+        if (Ss == 0) dcBlock(ci, base) else if (Ah == 0) acFirstBlock(ci, base)
+        else acRefineBlock(ci, base)
+
+      def atRestart(unit: Long): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart((((unit / restartInterval) - 1) & 7).toInt)
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+      if (scanComps.length > 1) {
+        // interleaved scan: T.81 allows this only for DC (Ss == 0)
+        require(Ss == 0 && Se == 0,
+          "corrupt JPEG: interleaved progressive AC scan")
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          atRestart(mcu)
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          scanComps.foreach { ci =>
+            val c = comps(ci)
+            var v = 0
+            while (v < c(2)) {
+              var hh = 0
+              while (hh < c(1)) {
+                val idx = (my * c(2) + v) * gridW(ci) + mx * c(1) + hh
+                decodeUnit(ci, idx * 64)
+                hh += 1
+              }
+              v += 1
+            }
+          }
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: the component's own ceil-dimension block grid,
+        // raster order, one block per restart unit
+        val ci = scanComps(0)
+        val c = comps(ci)
+        val cw = (w * c(1) + hMax - 1) / hMax
+        val ch = (h * c(2) + vMax - 1) / vMax
+        val nbw = (cw + 7) / 8
+        val nbh = (ch + 7) / 8
+        var blk = 0
+        val total = nbw.toLong * nbh
+        while (blk < total) {
+          atRestart(blk.toLong)
+          val idx = (blk / nbw) * gridW(ci) + blk % nbw
+          decodeUnit(ci, idx * 64)
+          blk += 1
+        }
+      }
+      // advance to the next marker (skip entropy bytes, FF00 stuffing and
+      // any RSTn the bit reader stopped just short of)
+      var p = br.pos
+      var found = -1
+      while (found < 0 && p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff) {
+          val nx = b(p + 1) & 0xff
+          if (nx == 0x00 || (nx >= 0xd0 && nx <= 0xd7)) p += 2
+          else if (nx == 0xff) p += 1
+          else found = p
+        } else p += 1
+      }
+      require(found >= 0, "truncated progressive JPEG (no marker after scan)")
+      found
+    }
+
+    var done = false
+    while (!done) {
+      require(pos + 1 < b.length, "truncated progressive JPEG")
+      require((b(pos) & 0xff) == 0xff, s"bad marker sync at $pos")
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { pos += 2 }
+      else if (m == 0xd9) { done = true }
+      else {
+        val len = u16(pos + 2)
+        val seg = pos + 4
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xdb =>
+            var p = seg
+            while (p < pos + 2 + len) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              require(pq == 0, "only 8-bit quantization tables")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < pos + 2 + len) {
+              val cls = (b(p) & 0xff) >> 4
+              val id = b(p) & 0x0f
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) { bits(i) = b(p + i) & 0xff; total += bits(i); i += 1 }
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = b(p + 17 + i) & 0xff; i += 1 }
+              val t = new HuffTable(bits, vals)
+              if (cls == 0) dcTables(id) = t else acTables(id) = t
+              p += 17 + total
+            }
+          case 0xc2 =>
+            require(comps == null, "multiple SOF markers")
+            require((b(seg) & 0xff) == 8, "only 8-bit precision JPEG")
+            h = u16(seg + 1); w = u16(seg + 3)
+            require(w > 0 && h > 0, "missing SOF dimensions")
+            val n = b(seg + 5) & 0xff
+            require(n == 1 || n == 3, s"unsupported component count $n")
+            comps = Array.tabulate(n) { i =>
+              val o = seg + 6 + i * 3
+              Array(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+                b(o + 2) & 0xff, 0, 0)
+            }
+            // T.81 A.2.2: one-component images scan non-interleaved — the
+            // declared sampling factors are ignored (same as baseline)
+            if (comps.length == 1) { comps(0)(1) = 1; comps(0)(2) = 1 }
+            hMax = comps.map(_(1)).max; vMax = comps.map(_(2)).max
+            require(hMax >= 1 && hMax <= 4 && vMax >= 1 && vMax <= 4,
+              "sampling factors out of range")
+            mcusX = (w + hMax * 8 - 1) / (hMax * 8)
+            mcusY = (h + vMax * 8 - 1) / (vMax * 8)
+            // plausibility: refuse GB-scale coefficient buffers declared
+            // by a tiny payload (the multi-scan analogue of the baseline
+            // entropy bound)
+            val totalBlocks = comps.map(c =>
+              mcusX.toLong * c(1) * mcusY * c(2)).sum
+            require(totalBlocks <= 24L * b.length + 64,
+              s"corrupt JPEG: $totalBlocks blocks declared for " +
+                s"${b.length} total bytes")
+            gridW = comps.map(c => mcusX * c(1))
+            gridH = comps.map(c => mcusY * c(2))
+            coefs = comps.indices.map(i =>
+              new Array[Int](gridW(i) * gridH(i) * 64)).toArray
+          case sof if (sof >= 0xc0 && sof <= 0xcf) && sof != 0xc4 && sof != 0xc8 =>
+            throw new IllegalArgumentException(
+              f"unexpected SOF marker 0x$sof%02x inside a progressive stream")
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda =>
+            require(comps != null, "SOS before SOF")
+            val ns = b(seg) & 0xff
+            require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
+            // all-components or single-component scans only: a 2-of-3
+            // interleaved DC scan would need scan-local MCU geometry —
+            // no common encoder emits one; refuse rather than misdecode
+            require(ns == comps.length || ns == 1,
+              s"partial multi-component progressive scan unsupported ($ns of ${comps.length})")
+            val scanComps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = b(seg + 1 + i * 2) & 0xff
+              val tb = b(seg + 2 + i * 2) & 0xff
+              val ci = comps.indexWhere(_(0) == cid)
+              require(ci >= 0, s"SOS names unknown component $cid")
+              comps(ci)(4) = tb >> 4; comps(ci)(5) = tb & 0x0f
+              scanComps(i) = ci
+              i += 1
+            }
+            val ss = b(seg + 1 + ns * 2) & 0xff
+            val se = b(seg + 2 + ns * 2) & 0xff
+            val a = b(seg + 3 + ns * 2) & 0xff
+            val ah = a >> 4; val al = a & 0x0f
+            require(ss <= 63 && se <= 63 && ss <= se,
+              s"bad spectral band [$ss, $se]")
+            require(ss != 0 || se == 0, "DC scan with nonzero spectral end")
+            require(ss == 0 || ns == 1,
+              "corrupt JPEG: progressive AC scan must be single-component")
+            require(al <= 13 && (ah == 0 || ah == al + 1),
+              s"bad successive approximation ($ah, $al)")
+            nextPos = decodeScan(scanComps, ss, se, ah, al, pos + 2 + len)
+          case _ => () // APPn / COM: skip
+        }
+        pos = nextPos
+      }
+    }
+    require(comps != null, "progressive JPEG without SOF2")
+
+    // render: dequantize + IDCT every block of every component's padded
+    // grid, then the shared upsample + color convert
+    val planeW = comps.indices.map(i => gridW(i) * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Double](gridW(i) * 8 * gridH(i) * 8)).toArray
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quant(comps(ci)(3))
+      require(q != null, s"missing quantization table ${comps(ci)(3)}")
+      val co = coefs(ci)
+      val block = new Array[Double](64)
+      var bRow = 0
+      while (bRow < gridH(ci)) {
+        var bCol = 0
+        while (bCol < gridW(ci)) {
+          val base = (bRow * gridW(ci) + bCol) * 64
+          var i = 0
+          while (i < 64) { block(i) = co(base + i).toDouble * q(i); i += 1 }
+          val px = idct(block)
+          val bx = bCol * 8; val byy = bRow * 8
+          var j = 0
+          while (j < 64) {
+            planes(ci)((byy + j / 8) * planeW(ci) + bx + j % 8) = px(j) + 128
+            j += 1
+          }
+          bCol += 1
+        }
+        bRow += 1
+      }
+      ci += 1
+    }
+    renderRgb(w, h, comps, hMax, vMax, planes, planeW)
+  }
+
+  /** Shared render tail for the sequential and progressive decoders:
+    * nearest-neighbor chroma upsample + BT.601 YCbCr→RGB (grayscale
+    * replicates), reading each component's own-resolution plane. */
+  private def renderRgb(w: Int, h: Int, comps: Array[Array[Int]],
+      hMax: Int, vMax: Int, planes: Array[Array[Double]],
+      planeW: Seq[Int]): (Int, Int, Array[Byte]) = {
     val rgb = new Array[Byte](w * h * 3)
     def clamp(d: Double): Byte =
       math.max(0, math.min(255, math.round(d))).toByte

@@ -146,20 +146,144 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxE <= 20, s"third-party decode of restart stream off: $maxE")
   }
 
-  test("progressive refuses loudly; decode() degrades to the stub") {
+  test("a LYING SOF2 marker on a baseline stream refuses loudly (its SOS " +
+      "declares a full-band DC scan — illegal progressive); decode() " +
+      "degrades to the stub") {
     val ok = JpegCodec.encode(16, 16, gradient(16, 16))
-    // flip the SOF0 marker (FF C0) to SOF2 (FF C2): the decoder must refuse
-    // BEFORE misreading the scan, naming the problem
+    // flip the SOF0 marker (FF C0) to SOF2 (FF C2): the stream routes to
+    // the progressive decoder, whose scan-header validation must refuse
+    // the baseline SOS (Ss=0 with Se=63) rather than misread the scan
     val prog = ok.clone()
     val sof = ok.indices.find(i =>
       (ok(i) & 0xff) == 0xff && i + 1 < ok.length && (ok(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
     val e = intercept[IllegalArgumentException](JpegCodec.decode(prog))
-    assert(e.getMessage.contains("progressive"), e.getMessage)
+    assert(e.getMessage.contains("DC scan"), e.getMessage)
     val rec = MediaRecord(5L, "image", prog, prog.length.toLong)
     assert(MediaCodec.decode(rec).feature.toSeq ==
       MediaCodec.decodeStub(rec).feature.toSeq,
-      "unsupported JPEG variants must degrade to the stub, not crash")
+      "malformed JPEG variants must degrade to the stub, not crash")
+  }
+
+  test("PROGRESSIVE encode (spectral-selection scan script) decodes " +
+      "PIXEL-IDENTICAL to the baseline encoding — same coefficients, " +
+      "different scan order") {
+    for ((w, h) <- Seq((8, 8), (17, 9), (40, 24), (1, 1), (3, 21))) {
+      val img = gradient(w, h)
+      val prog = JpegCodec.encode(w, h, img, quality = 90, progressive = true)
+      val base = JpegCodec.encode(w, h, img, quality = 90)
+      // the stream is genuinely progressive: SOF2 present, 4 SOS markers
+      assert(prog.indices.exists(i => (prog(i) & 0xff) == 0xff &&
+        i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc2),
+        s"no SOF2 in the progressive stream for ${w}x$h")
+      val (dw, dh, a) = JpegCodec.decode(prog)
+      val (_, _, b) = JpegCodec.decode(base)
+      assert((dw, dh) == (w, h), s"dims for ${w}x$h")
+      assert(a.sameElements(b),
+        s"progressive reassembly diverged from sequential for ${w}x$h")
+    }
+  }
+
+  test("THIRD-PARTY conformance: ImageIO decodes our PROGRESSIVE stream " +
+      "to the same image") {
+    val w = 32; val h = 16
+    val img = gradient(w, h)
+    val bytes = JpegCodec.encode(w, h, img, quality = 90, progressive = true)
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(bi != null, "ImageIO rejected our progressive JPEG bitstream")
+    assert(bi.getWidth == w && bi.getHeight == h)
+    val theirs = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = bi.getRGB(x, y)
+      val p = (y * w + x) * 3
+      theirs(p) = ((px >> 16) & 0xff).toByte
+      theirs(p + 1) = ((px >> 8) & 0xff).toByte
+      theirs(p + 2) = (px & 0xff).toByte
+    }
+    val (maxE, meanE) = errs(img, theirs)
+    assert(maxE <= 20 && meanE <= 5.0,
+      s"third-party decode of our progressive stream diverges: max=$maxE mean=$meanE")
+  }
+
+  test("THIRD-PARTY conformance: we decode an ImageIO-written PROGRESSIVE " +
+      "JPEG (the IJG multi-scan script with successive approximation + " +
+      "4:2:0 subsampling)") {
+    val w = 33; val h = 17 // ragged on purpose
+    val img = gradient(w, h)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      bi.setRGB(x, y, ((img(p) & 0xff) << 16) |
+        ((img(p + 1) & 0xff) << 8) | (img(p + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = buf.toByteArray
+    assert(bytes.indices.exists(i => (bytes(i) & 0xff) == 0xff &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not produce a progressive JPEG — fixture assumption broken")
+    val (dw, dh, out) = JpegCodec.decode(bytes)
+    assert((dw, dh) == (w, h))
+    val (maxE, meanE) = errs(img, out)
+    // chroma subsampling costs more than 4:4:4 — still clearly the image
+    assert(maxE <= 48 && meanE <= 8.0,
+      s"JDK progressive decode diverges: max=$maxE mean=$meanE")
+    // tighter: against ImageIO's OWN decode of the same bytes (identical
+    // coefficients — differences are IDCT rounding + chroma upsampling)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val theirs = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = ref.getRGB(x, y); val p = (y * w + x) * 3
+      theirs(p) = ((px >> 16) & 0xff).toByte
+      theirs(p + 1) = ((px >> 8) & 0xff).toByte
+      theirs(p + 2) = (px & 0xff).toByte
+    }
+    val (maxE2, meanE2) = errs(theirs, out)
+    assert(maxE2 <= 40 && meanE2 <= 4.0,
+      s"our progressive decode diverges from ImageIO's: max=$maxE2 mean=$meanE2")
+  }
+
+  test("PROGRESSIVE grayscale (single-component non-interleaved scans " +
+      "with successive approximation) decodes from ImageIO bytes") {
+    val w = 19; val h = 13
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = 30 + x * 9 + y * 3
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = buf.toByteArray
+    assert(bytes.indices.exists(i => (bytes(i) & 0xff) == 0xff &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not produce a progressive grayscale JPEG")
+    val (dw, dh, out) = JpegCodec.decode(bytes)
+    assert((dw, dh) == (w, h))
+    for (p <- 0 until w * h)
+      assert(out(p * 3) == out(p * 3 + 1) && out(p * 3) == out(p * 3 + 2),
+        "grayscale must replicate to (g,g,g)")
+    // values track the source within quantization error
+    val ref = bi.getRaster
+    var maxE = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = math.abs(ref.getSample(x, y, 0) - (out((y * w + x) * 3) & 0xff))
+      if (e > maxE) maxE = e
+    }
+    assert(maxE <= 20, s"progressive grayscale reconstruction off by $maxE")
   }
 
   test("decode() sniffs JPEG by magic and reports real dimensions") {
