@@ -683,6 +683,7 @@ final class IcebergTable private (
         f.upperBounds.valuesIterator.map(_.length + 24L).sum
     }
     IcebergTable.lastPlanningFiles.set(result.size)
+    IcebergTable.lastPlanningFilesByRoot.put(url, result.size.toLong)
     IcebergTable.lastPlanningStatsBytes.set(statsBytes)
     val cap = spark.conf.get(
       "spark.graft.iceberg.maxPlanningFiles", "10000000").toLong
@@ -883,6 +884,7 @@ final class IcebergTable private (
   def prunedFiles(pred: IcePredicate): Seq[DataFileInfo] = {
     val r = liveFiles(pred).filter(f => fileMightMatchOwnSpec(pred, f))
     IcebergTable.lastPlanningFiles.set(r.size)
+    IcebergTable.lastPlanningFilesByRoot.put(url, r.size.toLong)
     r
   }
 
@@ -1294,10 +1296,21 @@ object IcebergTable {
   private[graft] val FieldIdReadOptions: Map[String, String] =
     Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
 
-  /** Planning-telemetry gauges (driver-wide, last completed scan plan):
-    * live-file count and estimated decoded-stats bytes. At 100 TB the
-    * metadata plane is its own capacity problem — these make it observable
-    * before [[liveFiles]]' planning cap turns it into a loud failure. */
+  /** Planning-telemetry gauges: live-file count and estimated decoded-stats
+    * bytes. At 100 TB the metadata plane is its own capacity problem —
+    * these make it observable before [[liveFiles]]' planning cap turns it
+    * into a loud failure.
+    *
+    * [[lastPlanningFilesByRoot]] is the race-safe form: keyed by table url,
+    * so concurrent queries over DIFFERENT tables each keep their own last
+    * planning count (two concurrent plans of the SAME table are
+    * last-writer-wins — inherent to a gauge). The two driver-wide
+    * AtomicLongs are LAST-WRITER-WINS convenience telemetry across all
+    * tables: fine for sequential tests and dashboards, NOT a per-scan
+    * measurement under concurrency — any planning call (AQE re-plan,
+    * background query) overwrites them. */
+  val lastPlanningFilesByRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
   val lastPlanningFiles = new java.util.concurrent.atomic.AtomicLong
   val lastPlanningStatsBytes = new java.util.concurrent.atomic.AtomicLong
 

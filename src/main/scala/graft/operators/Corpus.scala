@@ -16,6 +16,28 @@ import graft.functions.{TextFunctions => TF}
   */
 object Corpus {
 
+  /** Bucket auto-sizing for the two-pass prefix-sum operators
+    * ([[globalShuffle]], [[packSequences]]): a caller that leaves
+    * `buckets = 0` gets a count derived from the input's optimizer size
+    * estimate so each bucket's LOCAL sort stays task-sized (~256 MB) at any
+    * corpus scale — a fixed 1024 would be ~100 GB per bucket-sort at
+    * 100 TB, while 100 TB here yields ~400k buckets, still metadata-scale
+    * driver state. Floor = cluster parallelism (every core gets work even
+    * on tiny inputs); cap = 2²⁴ (driver offset table stays tens of MB).
+    * Safe to auto-size because BOTH operators' outputs are bucket-count
+    * INVARIANT (spec-pinned): the count changes execution layout only,
+    * never the assigned ranks/offsets. */
+  private[operators] def autoBucketsFor(bytes: BigInt, parallelism: Int): Int = {
+    val targetBytes = 256L << 20
+    ((bytes / targetBytes) + 1)
+      .max(BigInt(math.max(1, parallelism))).min(BigInt(1 << 24)).toInt
+  }
+
+  private def autoBuckets(df: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else autoBucketsFor(df.queryExecution.optimizedPlan.stats.sizeInBytes,
+      df.sparkSession.sparkContext.defaultParallelism)
+
   /** Word n-grams WITH multiplicity (unlike [[TF.wordShingles]], which
     * dedups) — repetition metrics need the raw counts. */
   private def rawNgrams(text: Column, n: Int): Column = {
@@ -165,8 +187,10 @@ object Corpus {
     * over [0, max] (dense ids — the usual case; skewed ids only unbalance
     * bucket sizes, never change the result). */
   def packSequences(df: DataFrame, idCol: String, subOrderCol: String,
-      nTokensCol: String, seqLen: Int, buckets: Int = 1024): DataFrame = {
-    require(seqLen >= 1 && buckets >= 1, "seqLen and buckets must be positive")
+      nTokensCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+    require(seqLen >= 1 && buckets >= 0,
+      "seqLen must be positive; buckets must be >= 0 (0 = auto-size)")
+    val nBuckets = autoBuckets(df, buckets)
     // The two metadata passes (max id, per-bucket token totals) read a SLIM
     // 16-byte-per-row projection, persisted so the upstream plan executes
     // once for both and the cache footprint stays O(rows × 16 B) — never the
@@ -185,7 +209,7 @@ object Corpus {
             df.schema.add("seq_id", "long").add("seq_offset", "long"))
         case r => r.getLong(0)
       }
-      val width = math.max(1L, (maxId + buckets) / buckets)
+      val width = math.max(1L, (maxId + nBuckets) / nBuckets)
       // per-bucket token totals → cumulative start offsets (driver, O(buckets))
       val totals = slim
         .groupBy((col("_id") / lit(width)).cast("int").as("_b"))
@@ -244,15 +268,16 @@ object Corpus {
     * range-partitioner's bounds) plus the local rank. Salt rotation gives a
     * fresh permutation per epoch with zero RNG state. */
   def globalShuffle(df: DataFrame, keyCol: String, salt: String = "",
-      buckets: Int = 1024): DataFrame = {
-    require(buckets >= 1, "buckets must be positive")
+      buckets: Int = 0): DataFrame = {
+    require(buckets >= 0, "buckets must be >= 0 (0 = auto-size)")
+    val nBuckets = autoBuckets(df, buckets)
     val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
     // first 48 bits of the hash → bucket; width chosen so bucket ids cover
     // [0, buckets) exactly
     val domain = 1L << 48
-    val width = math.max(1L, domain / buckets)
+    val width = math.max(1L, domain / nBuckets)
     val hashed = df.withColumn("_h", h)
-      .withColumn("_b", least(lit(buckets - 1),
+      .withColumn("_b", least(lit(nBuckets - 1),
         (conv(substring(col("_h"), 1, 12), 16, 10).cast("long") / lit(width))
           .cast("int")))
     // per-bucket offsets: cumulative counts, tiny (O(buckets)) driver pass
@@ -485,18 +510,28 @@ object Corpus {
     * heaps, never a global sort). A full BPE trainer loops this with a
     * merge-apply pass per round; the counting pass here is the part that
     * touches the corpus. */
-  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 100,
+      wellFormedOnly: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val toks = df.select(split(coalesce(col(textCol), lit("")), " ").as("_t"))
       .filter(size(col("_t")) >= 2)
-    toks.select(explode(zip_with(
+    val counts = toks.select(explode(zip_with(
         slice(col("_t"), lit(1), size(col("_t")) - 1),
         slice(col("_t"), lit(2), size(col("_t")) - 1),
         (a, b) => concat_ws(" ", a, b))).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("pair"))
-      .limit(k)
+    // merge-winner selection must rank over the WELL-FORMED universe:
+    // empty-token split noise is filtered BEFORE the top-k cut (filtering
+    // after could starve every well-formed pair behind > k noise pairs —
+    // the DuckDB oracle filters first, so must we). Cheap: the filter runs
+    // on the POST-aggregation distinct-pair table, not the pair stream.
+    val ranked = if (wellFormedOnly)
+      counts.filter(
+        element_at(split(col("pair"), " ", -1), 1) =!= lit("") &&
+        element_at(split(col("pair"), " ", -1), 2) =!= lit(""))
+    else counts
+    ranked.orderBy(col("cnt").desc, col("pair")).limit(k)
   }
 
   /** ONE BPE merge round applied corpus-wide: every LEFTMOST,
@@ -531,6 +566,61 @@ object Corpus {
       }
       .toDF(idCol, "merged_text", "n_merges", "n_tokens_before",
         "n_tokens_after")
+  }
+
+  /** Full BPE TRAINER loop: `rounds` iterations of count → pick winner →
+    * greedy merge-apply ([[bpePairCounts]] + [[bpeMergeApply]] composed),
+    * each round re-counting over the PREVIOUS round's merged corpus — the
+    * exact training procedure of byte-pair-encoding tokenizers, lifted to
+    * a distributed corpus. Returns the learned merge table, one row per
+    * round: `(round, pair_a, pair_b, cnt, n_merges)` — the winning pair
+    * (count-desc, pair-asc tie-break over the WELL-FORMED pair universe),
+    * its corpus-wide adjacent count at pick time, and how many merge
+    * operations the greedy leftmost-non-overlapping pass actually applied.
+    * Stops early (fewer rows) if a round finds no well-formed pair.
+    *
+    * Scale shape: each round is two corpus-scale jobs — the pair count
+    * (ONE aggregation, map-side combine absorbs the Zipf head, top-1 via
+    * TakeOrdered) and the merge-apply + merge-count (a ZERO-shuffle typed
+    * projection plus one scalar sum). Each round's merged corpus persists
+    * (MEMORY_AND_DISK) and the previous round unpersists once superseded,
+    * so round N never replays rounds 1..N−1's merges — on a real cluster
+    * at 100 TB the same slot is where you would `checkpoint()` to
+    * truncate lineage; the driver holds O(rounds) rows of state. */
+  def bpeTrain(df: DataFrame, textCol: String, idCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    var cur = df.select(col(idCol).cast("long").as(idCol),
+      coalesce(col(textCol), lit("")).cast("string").as(textCol))
+    var curPersisted: Option[DataFrame] = None
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val win = bpePairCounts(cur, textCol, k = 1, wellFormedOnly = true)
+          .collect().headOption
+        win match {
+          case None => exhausted = true
+          case Some(row) =>
+            val Array(a, b) = row.getString(0).split(" ", -1)
+            val cnt = row.getLong(1)
+            val merged = bpeMergeApply(cur, textCol, idCol, a, b)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val nMerges = merged.agg(sum(col("n_merges"))).head().getLong(0)
+            merges += ((r.toLong, a, b, cnt, nMerges))
+            curPersisted.foreach(_.unpersist())
+            curPersisted = Some(merged)
+            cur = merged.select(col(idCol),
+              col("merged_text").as(textCol))
+            r += 1
+        }
+      }
+    } finally curPersisted.foreach(_.unpersist())
+    spark.createDataFrame(merges.toSeq)
+      .toDF("round", "pair_a", "pair_b", "cnt", "n_merges")
   }
 
   /** One greedy merge scan over a token sequence: leftmost,
@@ -580,14 +670,19 @@ object Corpus {
     * that key's full occurrence list in a single task), only DUPLICATED
     * fingerprints survive the join build side, and the join-back is
     * AQE-skew-splittable where a window partition is not (the fingerprint
-    * stream is recomputed for the probe side — one extra LINEAR corpus
-    * scan buys skew immunity); the interval merge is a per-document window
+    * stream is materialized ONCE behind an id-keyed exchange below the
+    * fan-out, so the agg build and the join probe replay the same shuffle
+    * files instead of each re-scanning the corpus — the LSH signature
+    * tables' ReuseExchange pattern); the interval merge is a per-document window
     * function over FLAGGED rows only (a small fraction of the corpus).
     * Nothing is quadratic and no state sits on the driver.
     * The fingerprint is two independent 64-bit polynomial hashes over
-    * per-token char polynomials = 128 bits, so the dedup is exact-text up
-    * to ~n²/2¹²⁹ collision odds (negligible below ~10¹⁵ windows — beyond
-    * even a 100 TB corpus). */
+    * per-token char polynomials, each passed through murmur3's fmix64
+    * finalizer at emission (a raw fixed-multiplier polynomial mod 2⁶⁴ is
+    * linear — structured token sequences could collide far above the
+    * random-oracle rate) = 128 well-mixed bits, so the dedup is exact-text
+    * up to ~n²/2¹²⁹ collision odds (negligible below ~10¹⁵ windows —
+    * beyond even a 100 TB corpus). */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
       w: Int = 50): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
@@ -595,11 +690,21 @@ object Corpus {
     import spark.implicits._
     // docs shorter than w yield no windows (they can still CONTAIN no
     // duplicated span by definition — a span needs w tokens)
+    // MATERIALIZATION POINT: the id-keyed repartition below the agg/probe
+    // fan-out lets both consumers (the canonical-min aggregation AND the
+    // join-back probe) replay ONE exchange via ReuseExchange/AQE stage
+    // reuse instead of re-scanning the corpus and recomputing every
+    // fingerprint a second time (the r18 shape paid a reproducible ~1.6×
+    // for exactly that). Keyed by _id — NOT the fingerprint — so the
+    // Zipf-head fingerprint stays spread across partitions and the
+    // downstream aggregation still folds it map-side (partial agg runs
+    // AFTER this exchange, BEFORE the fingerprint-keyed one).
     val wins = df.select(col(idCol).cast("long"),
         coalesce(col(textCol), lit("")).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) => windowFingerprints(id, text, w) }
       .toDF("_id", "_pos", "_h1", "_h2")
+      .repartition(col("_id"))
     // flag non-canonical occurrences via aggregation + join (NOT a ranking
     // window): min(struct(_id,_pos)) is the corpus-first canonical, and the
     // count filter keeps only duplicated fingerprints on the build side.
@@ -678,15 +783,29 @@ object Corpus {
       k += 1
     }
     val out = new Array[(Long, Long, Long, Long)](n - w + 1)
-    out(0) = (id, 0L, h1, h2)
+    out(0) = (id, 0L, fmix64(h1), fmix64(h2))
     var p = 1
     while (p <= n - w) {
       h1 = (h1 - th1(p - 1) * pw1) * M1 + th1(p + w - 1)
       h2 = (h2 - th2(p - 1) * pw2) * M2 + th2(p + w - 1)
-      out(p) = (id, p.toLong, h1, h2)
+      out(p) = (id, p.toLong, fmix64(h1), fmix64(h2))
       p += 1
     }
     out.iterator
+  }
+
+  /** murmur3's 64-bit finalizer, applied to each EMITTED window hash: the
+    * raw rolling polynomial (fixed multiplier, mod 2⁶⁴) is linear, so
+    * structured token sequences could collide far more easily than a random
+    * oracle — and a fingerprint collision silently deletes a non-duplicate
+    * span. The finalizer breaks the linear structure at emission without
+    * touching the O(1) rolling update (it is applied to a COPY; the rolling
+    * state stays raw). */
+  @inline private def fmix64(v: Long): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
   }
 
   /** REWRITE pass over [[substringSpans]]: each document comes back with

@@ -75,12 +75,12 @@ class PushdownGuardSpec extends AnyFunSuite {
 
   test("substring dedup touches the corpus at most three times (canon agg " +
       "+ join-back + rewrite pass), pruned to id + text") {
-    // the spans pass deliberately reads the window stream TWICE (agg side +
-    // join-back side): that buys map-side partial aggregation on the
-    // fingerprint key — the Zipf-head boilerplate span folds per input
-    // partition instead of sorting in one straggler task — and an
-    // AQE-skew-splittable join. One extra SCAN is linear and parallel; a
-    // single-task sort of 10⁹ occurrences is not.
+    // the spans pass consumes the window stream TWICE (agg side + join-back
+    // side): that buys map-side partial aggregation on the fingerprint key —
+    // the Zipf-head boilerplate span folds per input partition instead of
+    // sorting in one straggler task — and an AQE-skew-splittable join. The
+    // static plan still shows a scan per consumer; the RUNTIME reuse of the
+    // id-keyed materialization exchange is pinned separately below.
     val plan = formatted("pipe_substring_clean")
     val scans = plan.linesIterator.count(l =>
       l.contains("Scan parquet") && !l.trim.startsWith("("))
@@ -88,6 +88,24 @@ class PushdownGuardSpec extends AnyFunSuite {
     plan.linesIterator.filter(_.contains("ReadSchema:")).foreach(read =>
       Seq("lang", "source", "n_chars").foreach(c =>
         assert(!read.contains(c), s"unreferenced $c read by the scan: $read")))
+  }
+
+  test("substring dedup RUNTIME plan replays the window-fingerprint stream " +
+      "from ONE exchange (agg build + join probe share the id-keyed " +
+      "materialization; the corpus is scanned twice, not three times)") {
+    // the r18 shape recomputed the fingerprint flatMap for the join probe —
+    // a full extra corpus scan, a reproducible ~1.6× at sf0.1. The id-keyed
+    // repartition below the fan-out is the materialization point; AQE stage
+    // reuse must resolve the probe side to a ReusedExchange of it.
+    val df = SparkEntry.queries("pipe_substring_clean")(spark, sfDir)
+    df.collect() // finalize the adaptive plan — reuse is a RUNTIME property
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"fingerprint materialization exchange not reused:\n$finalPlan")
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"expected <= 2 runtime corpus scans (wins + rewrite), got $scans:\n$finalPlan")
   }
 
   test("substring spans: the fingerprint canonicalization is a PARTIAL-" +
@@ -138,11 +156,14 @@ class PushdownGuardSpec extends AnyFunSuite {
   test("iceberg scan: the metadata plane plans only the stats-surviving " +
       "file subset (pruning gauge), not the whole live set") {
     // total live files first (its planning also writes the gauge, so the
-    // filtered read runs LAST and owns the final gauge value)
+    // filtered read runs LAST and owns the final gauge value). The gauge is
+    // read PER TABLE ROOT, so planning of any other table between collect()
+    // and get() cannot corrupt it.
     val total = SparkEntry.queries("ice_files")(spark, sfDir).count()
     assert(total >= 2, s"fixture must hold several live files, got $total")
     SparkEntry.queries("ice_read_filtered")(spark, sfDir).collect()
-    val pruned = graft.iceberg.IcebergTable.lastPlanningFiles.get()
+    val pruned = graft.iceberg.IcebergTable.lastPlanningFilesByRoot
+      .getOrDefault(graft.IceQueries.FixtureDir, -1L)
     assert(pruned >= 1, "the filtered read must plan at least one file")
     assert(pruned < total,
       s"file-level stats pruning regressed: the age>30 scan planned all " +

@@ -94,4 +94,34 @@ class BpePairsSpec extends AnyFunSuite {
     assert(finalTexts(0)._2 == "the c at the h at")
     assert(finalTexts(2)._2 == "a h at")
   }
+
+  test("bpeTrain runs the loop as ONE operator: merge table matches the " +
+      "hand-composed rounds, with pick-time counts and applied tallies") {
+    val df = Seq(
+      (1L, "t h e c a t t h e h a t"),
+      (2L, "t h e m a t t h e c a t"),
+      (3L, "a h a t")).toDF("id", "text")
+    val got = Corpus.bpeTrain(df, "text", "id", rounds = 3)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // same winners as the hand-composed loop above; counts are pick-time
+    // adjacent counts, n_merges the greedy tally (equal here — no overlaps)
+    assert(got == Seq(
+      (1L, "a", "t", 5L, 5L),
+      (2L, "h", "e", 4L, 4L),
+      (3L, "t", "he", 4L, 4L)), s"unexpected merge table: $got")
+  }
+
+  test("bpeTrain stops early when the corpus runs dry of well-formed pairs") {
+    // one two-token doc: round 1 merges it into a single token, round 2
+    // finds no adjacent pair at all — the trainer must return 1 row, not
+    // throw or loop
+    val df = Seq((1L, "p q")).toDF("id", "text")
+    val got = Corpus.bpeTrain(df, "text", "id", rounds = 5)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "p", "q", 1L, 1L)))
+    // split-noise-only corpus: empty tokens never form a well-formed pair,
+    // so the trainer learns nothing (and must not crash picking one)
+    val noise = Seq((1L, "  ")).toDF("id", "text") // tokens: "", "", ""
+    assert(Corpus.bpeTrain(noise, "text", "id", rounds = 2).count() == 0L)
+  }
 }

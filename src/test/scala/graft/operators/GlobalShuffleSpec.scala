@@ -52,5 +52,29 @@ class GlobalShuffleSpec extends AnyFunSuite {
     val d = Corpus.globalShuffle(df, "id", salt = "e2", buckets = 8)
       .select("id", "shuffle_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(a != d, "a fresh salt must give a fresh permutation")
+    // the auto-sized default (buckets = 0) is the same permutation too
+    val auto = Corpus.globalShuffle(df, "id", salt = "e1")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == auto, "auto-sized buckets must not change the permutation")
+  }
+
+  test("bucket auto-sizing grows with input size: task-sized buckets at " +
+      "every scale, parallelism floor, driver-state cap") {
+    def b(bytes: BigInt, par: Int) = Corpus.autoBucketsFor(bytes, par)
+    // floor: tiny inputs still occupy every core
+    assert(b(BigInt(1), 32) == 32)
+    // growth: ~256 MB per bucket once the input outgrows the floor
+    assert(b(BigInt(256L << 20) * 1000, 32) == 1001)
+    // 100 TB → ~400k buckets: the local sort stays ~256 MB per task and
+    // the driver offset table stays metadata-scale (the fixed 1024 default
+    // this replaces would have sorted ~100 GB per bucket)
+    val at100TB = b(BigInt(100L * (1L << 40)), 1000)
+    assert(at100TB > 300000 && at100TB < 500000, s"got $at100TB")
+    // monotone in bytes
+    val seq = Seq(1L, 1L << 30, 1L << 36, 1L << 40, 1L << 44, 1L << 50)
+      .map(x => b(BigInt(x), 8))
+    assert(seq == seq.sorted, s"not monotone: $seq")
+    // cap: driver state bounded even at absurd estimates (BigInt overflow-safe)
+    assert(b(BigInt(2).pow(80), 8) == (1 << 24))
   }
 }
