@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * pushdown-friendly metadata columns — is real and tested, and so is the
   * decode for the public formats: 24-bit BMP and binary PPM pixels, PNG
   * (deflate + scanline filters via `java.util.zip.Inflater` —
-  * gray/RGB/palette/alpha, 8-bit, non-interlaced), baseline JPEG
-  * ([[JpegCodec]]: huffman + DCT + YCbCr incl. 4:2:0 subsampling and
-  * restart markers, pure JVM), and PCM-16 WAV samples
+  * gray/RGB/palette/alpha, every legal bit depth 1/2/4/8/16, interlaced
+  * or not), baseline AND progressive JPEG ([[JpegCodec]]: huffman + DCT +
+  * YCbCr incl. 4:2:0 subsampling, restart markers, spectral selection +
+  * successive approximation, pure JVM), and PCM-16 WAV samples
   * ([[MediaCodec.decode]] — no codec dependencies anywhere). Payloads in
-  * formats that DO need a codec library (MP3, H.264, progressive JPEG…)
-  * fall back to the deterministic [[MediaCodec.decodeStub]]; swap that arm
-  * for a JNI/FFI decoder without touching the surrounding plan.
+  * formats that DO need a codec library (MP3, H.264, 12-bit/arithmetic
+  * JPEG…) fall back to the deterministic [[MediaCodec.decodeStub]]; swap
+  * that arm for a JNI/FFI decoder without touching the surrounding plan.
   */
 object Multimodal {
 
@@ -157,26 +158,66 @@ object Multimodal {
 
     /** Encode raw 8-bit scanlines as a PNG — the writer side of
       * [[decodePng]]. `px` is row-major top-down, `channelsOf(colorType)`
-      * bytes per pixel. Each row carries filter `y % 5`, so a round-trip
+      * bytes per pixel, ALWAYS 8 bits per sample on input; `bitDepth`
+      * selects the on-wire depth: 16 widens each sample to `v×257` (decode
+      * takes the high byte back — identity round-trip), 1/2/4 pack
+      * MSB-first (gray samples quantize via `v >> (8−d)`, so inputs on the
+      * `k×255/(2^d−1)` lattice round-trip exactly; palette INDICES pack
+      * verbatim). Each row carries filter `y % 5`, so a round-trip
       * exercises every unfilter path (None/Sub/Up/Average/Paeth), making
       * the encode→decode pair a real conformance check, not an identity. */
     def encodePng(w: Int, h: Int, colorType: Int, px: Array[Byte],
-        palette: Array[Byte] = null): Array[Byte] = {
+        palette: Array[Byte] = null, bitDepth: Int = 8): Array[Byte] = {
       val bpp = channelsOf(colorType)
       require(px.length == w * h * bpp,
         s"need ${w * h * bpp} bytes for ${w}x$h type-$colorType, got ${px.length}")
-      val stride = w * bpp
-      val raw = new Array[Byte](h * (1 + stride))
+      val legal = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16)
+        case 3 => Set(1, 2, 4, 8)
+        case _ => Set(8, 16)
+      }
+      require(legal(bitDepth),
+        s"illegal PNG depth $bitDepth for color type $colorType")
+      val bitsPP = bitDepth * bpp
+      val delta = math.max(1, bitsPP / 8)
+      val rowB = (w * bitsPP + 7) / 8
+      // pack the 8-bit input samples to the on-wire depth, row-major
+      val packed = new Array[Byte](h * rowB)
+      var py = 0
+      while (py < h) {
+        var s = 0
+        while (s < w * bpp) {
+          val v = px(py * w * bpp + s) & 0xff
+          bitDepth match {
+            case 8 => packed(py * rowB + s) = v.toByte
+            case 16 =>
+              packed(py * rowB + 2 * s) = v.toByte     // v16 = v*257:
+              packed(py * rowB + 2 * s + 1) = v.toByte // high == low == v
+            case d =>
+              val q = if (colorType == 3) {
+                require(v < (1 << d), s"palette index $v exceeds depth $d")
+                v
+              } else v >> (8 - d)
+              val bitOff = s * d
+              val shift = 8 - d - (bitOff & 7)
+              val idx = py * rowB + (bitOff >> 3)
+              packed(idx) = ((packed(idx) & 0xff) | (q << shift)).toByte
+          }
+          s += 1
+        }
+        py += 1
+      }
+      val raw = new Array[Byte](h * (1 + rowB))
       var y = 0
       while (y < h) {
         val f = y % 5
-        raw(y * (1 + stride)) = f.toByte
+        raw(y * (1 + rowB)) = f.toByte
         var x = 0
-        while (x < stride) {
-          val cur = px(y * stride + x) & 0xff
-          val left = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
-          val up = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
-          val ul = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
+        while (x < rowB) {
+          val cur = packed(y * rowB + x) & 0xff
+          val left = if (x >= delta) packed(y * rowB + x - delta) & 0xff else 0
+          val up = if (y > 0) packed((y - 1) * rowB + x) & 0xff else 0
+          val ul = if (x >= delta && y > 0) packed((y - 1) * rowB + x - delta) & 0xff else 0
           val v = f match {
             case 0 => cur
             case 1 => cur - left
@@ -184,7 +225,7 @@ object Multimodal {
             case 3 => cur - ((left + up) >> 1)
             case 4 => cur - paeth(left, up, ul)
           }
-          raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+          raw(y * (1 + rowB) + 1 + x) = (v & 0xff).toByte
           x += 1
         }
         y += 1
@@ -206,7 +247,7 @@ object Multimodal {
         out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
       }
       chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-        .put(8.toByte).put(colorType.toByte)
+        .put(bitDepth.toByte).put(colorType.toByte)
         .put(0.toByte).put(0.toByte).put(0.toByte).array())
       if (colorType == 3) {
         require(palette != null && palette.length % 3 == 0 &&
@@ -223,7 +264,10 @@ object Multimodal {
       * unfilters each scanline (None/Sub/Up/Average/Paeth) — per Adam7
       * PASS for interlaced files, scattering each sub-image onto the grid
       * — then expands gray/palette/alpha channels to RGB (alpha dropped).
-      * Refuses non-8-bit depths loudly. */
+      * All legal bit depths decode: 16-bit scales to 8 (high byte), 1/2/4
+      * unpack MSB-first (gray samples rescale to full range, palette
+      * indices dereference unscaled), per the PNG spec's depth/colorType
+      * matrix — illegal combinations refuse loudly. */
     def decodePng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(b.length > 8 + 25 && java.util.Arrays.equals(
         java.util.Arrays.copyOf(b, 8), PngSig), "not a PNG")
@@ -251,9 +295,24 @@ object Multimodal {
       require(bitDepth >= 0 && w > 0 && h > 0, "missing/empty IHDR")
       require(interlace == 0 || interlace == 1,
         s"unknown PNG interlace method $interlace")
-      require(bitDepth == 8, s"only 8-bit channel depth (got $bitDepth)")
+      val legalDepths: Set[Int] = colorType match {
+        case 0 => Set(1, 2, 4, 8, 16) // grayscale
+        case 3 => Set(1, 2, 4, 8)     // palette indices
+        case 2 | 4 | 6 => Set(8, 16)  // RGB / gray+alpha / RGBA
+        case other =>
+          throw new IllegalArgumentException(s"unknown PNG color type $other")
+      }
+      require(legalDepths(bitDepth),
+        s"illegal PNG depth $bitDepth for color type $colorType")
       val bpp = channelsOf(colorType)
       if (colorType == 3) require(palette != null, "palette PNG without PLTE")
+      // raw-stream geometry: bits per pixel, bytes per scanline (sub-byte
+      // depths pack MSB-first; rows pad to a byte boundary), and the
+      // byte-level filter delta (PNG filters always operate on BYTES — for
+      // sub-byte depths the "previous pixel" is the previous byte)
+      val bitsPP = bitDepth * bpp
+      val filterDelta = math.max(1, bitsPP / 8)
+      def rowBytes(pw: Int): Int = (pw * bitsPP + 7) / 8
       val stride = w * bpp
       require(h.toLong * (1 + stride) <= Int.MaxValue, "PNG dimensions overflow")
       // Adam7 sub-image geometry: (xStart, yStart, xStep, yStep) per pass;
@@ -268,7 +327,7 @@ object Multimodal {
       }
       val totalRaw = passes.map { p =>
         val (pw, ph) = passDims(p)
-        if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw * bpp)
+        if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + rowBytes(pw))
       }.sum
       require(totalRaw <= Int.MaxValue, "PNG dimensions overflow")
       // plausibility: zlib tops out near 1032:1, so declared dimensions
@@ -301,17 +360,17 @@ object Multimodal {
       passes.foreach { case pass @ (x0, y0, xs, ys) =>
         val (pw, ph) = passDims(pass)
         if (pw > 0 && ph > 0) {
-          val pStride = pw * bpp
-          val pp = new Array[Byte](ph * pStride)
+          val pRow = rowBytes(pw)
+          val pp = new Array[Byte](ph * pRow)
           var y = 0
           while (y < ph) {
-            val f = raw(rawOff + y * (1 + pStride)) & 0xff
+            val f = raw(rawOff + y * (1 + pRow)) & 0xff
             var x = 0
-            while (x < pStride) {
-              val cur = raw(rawOff + y * (1 + pStride) + 1 + x) & 0xff
-              val left = if (x >= bpp) pp(y * pStride + x - bpp) & 0xff else 0
-              val up = if (y > 0) pp((y - 1) * pStride + x) & 0xff else 0
-              val ul = if (x >= bpp && y > 0) pp((y - 1) * pStride + x - bpp) & 0xff else 0
+            while (x < pRow) {
+              val cur = raw(rawOff + y * (1 + pRow) + 1 + x) & 0xff
+              val left = if (x >= filterDelta) pp(y * pRow + x - filterDelta) & 0xff else 0
+              val up = if (y > 0) pp((y - 1) * pRow + x) & 0xff else 0
+              val ul = if (x >= filterDelta && y > 0) pp((y - 1) * pRow + x - filterDelta) & 0xff else 0
               val v = f match {
                 case 0 => cur
                 case 1 => cur + left
@@ -321,22 +380,51 @@ object Multimodal {
                 case other =>
                   throw new IllegalArgumentException(s"bad PNG filter $other")
               }
-              pp(y * pStride + x) = (v & 0xff).toByte
+              pp(y * pRow + x) = (v & 0xff).toByte
               x += 1
             }
             y += 1
           }
+          // expand the pass's raw samples to 8 bits per channel: 16-bit
+          // takes the high byte (big-endian per spec), sub-byte unpacks
+          // MSB-first — gray samples rescale to [0,255] (×255/(2^d−1)),
+          // palette INDICES stay unscaled (they dereference, not display)
+          val pStride = pw * bpp
+          val pp8 =
+            if (bitDepth == 8) pp
+            else {
+              val e = new Array[Byte](ph * pStride)
+              val dmax = (1 << bitDepth) - 1
+              var y2 = 0
+              while (y2 < ph) {
+                var s = 0
+                while (s < pStride) {
+                  val v8 =
+                    if (bitDepth == 16) pp(y2 * pRow + 2 * s) & 0xff
+                    else {
+                      val bitOff = s * bitDepth
+                      val shift = 8 - bitDepth - (bitOff & 7)
+                      val v = (pp(y2 * pRow + (bitOff >> 3)) >> shift) & dmax
+                      if (colorType == 3) v else v * 255 / dmax
+                    }
+                  e(y2 * pStride + s) = v8.toByte
+                  s += 1
+                }
+                y2 += 1
+              }
+              e
+            }
           var r = 0
           while (r < ph) {
             var c = 0
             while (c < pw) {
               val dst = ((y0 + r * ys) * w + (x0 + c * xs)) * bpp
-              System.arraycopy(pp, (r * pw + c) * bpp, px, dst, bpp)
+              System.arraycopy(pp8, (r * pw + c) * bpp, px, dst, bpp)
               c += 1
             }
             r += 1
           }
-          rawOff += ph * (1 + pStride)
+          rawOff += ph * (1 + pRow)
         }
       }
       // expand to RGB (alpha drops; gray replicates; palette dereferences)

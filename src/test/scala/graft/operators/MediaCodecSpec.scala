@@ -112,7 +112,7 @@ class MediaCodecSpec extends AnyFunSuite {
   }
 
   test("PNG refusals are loud and specific: a LYING interlace flag, " +
-      "non-8-bit depth, truncated stream; decode() falls back to the stub") {
+      "illegal depth, truncated stream; decode() falls back to the stub") {
     val ok = MediaCodec.encodePng(4, 4, 2, rgbPattern(4, 4))
     // IHDR layout: sig(8) + len(4) + 'IHDR'(4) + w(4) h(4) depth(1)
     // colorType(1) compression(1) filter(1) interlace(1) — interlace at 28.
@@ -120,9 +120,16 @@ class MediaCodecSpec extends AnyFunSuite {
     // bytes don't hold — the decode must refuse, not misread
     val lying = ok.clone(); lying(8 + 4 + 4 + 12) = 1
     intercept[IllegalArgumentException](MediaCodec.decodePng(lying))
-    val deep = ok.clone(); deep(8 + 4 + 4 + 8) = 16
+    // depth 3 exists for NO color type — the spec matrix refuses up front
+    val deep = ok.clone(); deep(8 + 4 + 4 + 8) = 3
     val e2 = intercept[IllegalArgumentException](MediaCodec.decodePng(deep))
-    assert(e2.getMessage.contains("8-bit"), e2.getMessage)
+    assert(e2.getMessage.contains("illegal PNG depth"), e2.getMessage)
+    // depth 16 is LEGAL for RGB, but this stream carries 8-bit data — the
+    // decode must refuse on the short pixel stream, not misread half of it
+    intercept[IllegalArgumentException] {
+      val d16 = ok.clone(); d16(8 + 4 + 4 + 8) = 16
+      MediaCodec.decodePng(d16)
+    }
     val truncated = java.util.Arrays.copyOf(ok, ok.length - 20)
     intercept[IllegalArgumentException](MediaCodec.decodePng(truncated))
     // every refusal degrades to the stub through decode() — corrupt or
@@ -159,6 +166,125 @@ class MediaCodecSpec extends AnyFunSuite {
       val (dw, dh, out) = MediaCodec.decodePng(bytes)
       assert((dw, dh) == (w, h), s"dims for interlaced ${w}x$h")
       assert(out.toSeq == rgb.toSeq, s"interlaced pixels for ${w}x$h")
+    }
+  }
+
+  /** Color-managed `getRGB` lies for gray/16-bit images (Java applies an
+    * ICC transform); read raw raster samples and resolve them the way the
+    * image's own model says to — palette lookup or linear depth rescale. */
+  private def rawRgb(bi: java.awt.image.BufferedImage, x: Int, y: Int): (Int, Int, Int) =
+    bi.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val i = bi.getRaster.getSample(x, y, 0)
+        (icm.getRed(i), icm.getGreen(i), icm.getBlue(i))
+      case _ =>
+        val r = bi.getRaster
+        def s(b: Int) = {
+          val bits = r.getSampleModel.getSampleSize(b)
+          r.getSample(x, y, b) * 255 / ((1 << bits) - 1)
+        }
+        if (r.getNumBands >= 3) (s(0), s(1), s(2)) else (s(0), s(0), s(0))
+    }
+
+  test("PNG bit-depth matrix (16 and sub-byte 1/2/4): our encoder " +
+      "round-trips and ImageIO reads our bytes back pixel-identical") {
+    val w = 9; val h = 7
+    // sub-byte GRAY on the k×255/(2^d−1) lattice: quantize→rescale is exact
+    for (d <- Seq(1, 2, 4)) {
+      val dmax = (1 << d) - 1
+      val gray = Array.tabulate(w * h)(i => (((i * 5 + d) % (dmax + 1)) * 255 / dmax).toByte)
+      val bytes = MediaCodec.encodePng(w, h, 0, gray, bitDepth = d)
+      assert(bytes(8 + 4 + 4 + 8) == d, s"IHDR depth for d=$d")
+      val (dw, dh, rgb) = MediaCodec.decodePng(bytes)
+      assert((dw, dh) == (w, h))
+      assert(rgb.toSeq == gray.flatMap(g => Seq(g, g, g)).toSeq, s"depth-$d gray")
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(y * w + x) & 0xff
+        assert(rawRgb(bi, x, y) == ((g, g, g)), s"ImageIO vs depth-$d at ($x,$y)")
+      }
+    }
+    // sub-byte PALETTE: indices pack verbatim, dereference a tiny PLTE
+    for (d <- Seq(2, 4)) {
+      val n = 1 << d
+      val pal = Array.tabulate(n * 3)(i => ((i * 29 + 7) % 256).toByte)
+      val idx = Array.tabulate(w * h)(i => ((i * 3 + 1) % n).toByte)
+      val bytes = MediaCodec.encodePng(w, h, 3, idx, pal, bitDepth = d)
+      assert(bytes(8 + 4 + 4 + 8) == d)
+      val (_, _, rgb) = MediaCodec.decodePng(bytes)
+      val want = idx.flatMap { i0 =>
+        val i = (i0 & 0xff) * 3; Seq(pal(i), pal(i + 1), pal(i + 2))
+      }
+      assert(rgb.toSeq == want.toSeq, s"depth-$d palette")
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (idx(y * w + x) & 0xff) * 3
+        assert(rawRgb(bi, x, y) ==
+          ((pal(i) & 0xff, pal(i + 1) & 0xff, pal(i + 2) & 0xff)),
+          s"ImageIO vs depth-$d palette at ($x,$y)")
+      }
+    }
+    // 16-bit gray: v×257 on the wire, high byte back — identity round-trip
+    val gray8 = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val b16 = MediaCodec.encodePng(w, h, 0, gray8, bitDepth = 16)
+    assert(b16(8 + 4 + 4 + 8) == 16)
+    val (_, _, rgb16) = MediaCodec.decodePng(b16)
+    assert(rgb16.toSeq == gray8.flatMap(g => Seq(g, g, g)).toSeq, "16-bit gray")
+    val bi16 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b16))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray8(y * w + x) & 0xff
+      assert(rawRgb(bi16, x, y) == ((g, g, g)), s"ImageIO vs 16-bit at ($x,$y)")
+    }
+    // 16-bit RGB too (filter delta = 6 bytes — a different stride path)
+    val rgbIn = rgbPattern(w, h)
+    val (_, _, rgbOut) = MediaCodec.decodePng(
+      MediaCodec.encodePng(w, h, 2, rgbIn, bitDepth = 16))
+    assert(rgbOut.toSeq == rgbIn.toSeq, "16-bit RGB")
+  }
+
+  test("THIRD-PARTY depth fixtures decode: ImageIO-written 16-bit gray " +
+      "and sub-byte palette PNGs") {
+    val w = 11; val h = 6
+    // ImageIO's own 16-bit gray writer (TYPE_USHORT_GRAY → depth-16 PNG)
+    val g16 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, ((x * 251 + y * 37 + 3) * 193) % 65536)
+    val out16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g16, "png", out16)
+    val bytes16 = out16.toByteArray
+    assert(bytes16(8 + 4 + 4 + 8) == 16 && bytes16(8 + 4 + 4 + 9) == 0,
+      "JDK did not write a depth-16 gray PNG — fixture assumption broken")
+    val (dw, dh, px16) = MediaCodec.decodePng(bytes16)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = g16.getRaster.getSample(x, y, 0) >> 8
+      val got = px16((y * w + x) * 3) & 0xff
+      assert(got == want, s"16-bit sample at ($x,$y): got $got want $want")
+    }
+    // ImageIO's sub-byte palette writer (TYPE_BYTE_BINARY + 4-entry
+    // IndexColorModel → depth-2 palette PNG)
+    val colors = Array(0xff000000, 0xffff4020, 0xff20ff40, 0xff4020ff)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      colors.map(c => ((c >> 16) & 0xff).toByte),
+      colors.map(c => ((c >> 8) & 0xff).toByte),
+      colors.map(c => (c & 0xff).toByte))
+    val p2 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      p2.getRaster.setSample(x, y, 0, (x + 2 * y) % 4)
+    val outP = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(p2, "png", outP)
+    val bytesP = outP.toByteArray
+    assert(bytesP(8 + 4 + 4 + 8) == 2 && bytesP(8 + 4 + 4 + 9) == 3,
+      "JDK did not write a depth-2 palette PNG — fixture assumption broken")
+    val (_, _, pxP) = MediaCodec.decodePng(bytesP)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = colors((x + 2 * y) % 4)
+      val p = (y * w + x) * 3
+      assert((pxP(p) & 0xff, pxP(p + 1) & 0xff, pxP(p + 2) & 0xff) ==
+        (((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)),
+        s"palette pixel at ($x,$y)")
     }
   }
 
