@@ -452,15 +452,27 @@ object LlmQueries {
     * every merged text and count. */
   def pipeBpeMerge(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val winner = Corpus.bpePairCounts(docs, "text", k = 20)
-      .collect().iterator
+    // malformed (empty-token) pairs are filtered BEFORE the top-k cut, so
+    // the ranking universe matches the oracle's exactly — a corpus where
+    // split noise floods the head can no longer starve the winner
+    val winner = Corpus.bpePairCounts(docs, "text", k = 1, wellFormedOnly = true)
+      .collect().headOption
       .map(_.getString(0).split(" ", -1))
-      .find(p => p.length == 2 && p.forall(_.nonEmpty))
       .getOrElse(throw new IllegalStateException(
-        "no well-formed adjacent pair in the top-20 — corpus too degenerate"))
+        "corpus has no well-formed adjacent pair — nothing to merge"))
     Corpus.bpeMergeApply(docs, "text", "doc_id", winner(0), winner(1))
       .orderBy("doc_id")
   }
+
+  /** Full BPE trainer ([[Corpus.bpeTrain]]): THREE complete rounds of
+    * count → pick → merge, each re-counting over the previous round's
+    * merged corpus. The oracle replays all three rounds in SQL — winner
+    * selection (well-formed universe, count-desc/pair-asc) and the greedy
+    * run-parity merge — hash-checking every learned pair, its pick-time
+    * count, and the number of merges applied. */
+  def pipeBpeTrain(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeTrain(t(s, dir, "documents"), "text", "doc_id", rounds = 3)
+      .orderBy("round")
 
   /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
     * 10-token windows (w=50 in production; 10 suits the short synthetic
@@ -617,13 +629,15 @@ object LlmQueries {
   }
 
   /** PNG decode round-trip over REAL bytes (Inflater + scanline unfilter,
-    * zero codec libraries): per document, three variants — 8-bit grayscale
+    * zero codec libraries): per document, six variants — 8-bit grayscale
     * (color type 0), 24-bit RGB (type 2), 32-bit RGBA (type 6, alpha
-    * dropped) — encode with CYCLING scanline filters (y % 5 walks
+    * dropped), 16-BIT gray (high byte back), 4-BIT gray (MSB-first unpack
+    * + ×17 rescale), and 2-BIT palette (packed indices dereferencing a
+    * 4-entry PLTE) — encode with CYCLING scanline filters (y % 5 walks
     * None/Sub/Up/Average/Paeth) then byte-decode; the oracle recomputes
     * every checksum in plain SQL integer arithmetic. A decoder mis-reading
-    * any filter, the zlib framing, or the channel expansion breaks the
-    * hash match. */
+    * any filter, the zlib framing, the bit unpacking, or the channel
+    * expansion breaks the hash match. */
   def mmDecodePng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
@@ -656,12 +670,34 @@ object LlmQueries {
         }
         y += 1
       }
+      // depth coverage beyond 8-bit: 16-bit gray (v×257 on the wire, high
+      // byte back — identity), 4-bit gray on the ×17 lattice (quantize →
+      // rescale is exact there), 2-bit PALETTE (indices pack verbatim and
+      // dereference a 4-entry PLTE) — each checksummed independently so a
+      // bit-unpacking or scaling bug breaks its own column
+      val gray4 = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        (((x * 11 + y * 3 + d * 7) % 16) * 17).toByte
+      }
+      val palIdx = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        ((x + y + d) % 4).toByte
+      }
+      val pal = Array.tabulate(12) { i =>
+        val j = i / 3
+        (j * (i % 3 match { case 0 => 11; case 1 => 23; case _ => 37 })).toByte
+      }
       val mc = Multimodal.MediaCodec
       val (dw, dh, dRgb) = mc.decodePng(mc.encodePng(w, h, 2, rgb))
       val (_, _, dGray) = mc.decodePng(mc.encodePng(w, h, 0, gray))
       val (_, _, dRgba) = mc.decodePng(mc.encodePng(w, h, 6, rgba))
-      (d, dw.toLong, dh.toLong, sumRgb(dRgb), sumRgb(dGray), sumRgb(dRgba))
-    }.toDF("doc_id", "png_w", "png_h", "rgb_sum", "gray_sum", "rgba_sum")
+      val (_, _, dG16) = mc.decodePng(mc.encodePng(w, h, 0, gray, bitDepth = 16))
+      val (_, _, dG4) = mc.decodePng(mc.encodePng(w, h, 0, gray4, bitDepth = 4))
+      val (_, _, dP2) = mc.decodePng(mc.encodePng(w, h, 3, palIdx, pal, bitDepth = 2))
+      (d, dw.toLong, dh.toLong, sumRgb(dRgb), sumRgb(dGray), sumRgb(dRgba),
+        sumRgb(dG16), sumRgb(dG4), sumRgb(dP2))
+    }.toDF("doc_id", "png_w", "png_h", "rgb_sum", "gray_sum", "rgba_sum",
+      "gray16_sum", "gray4_sum", "pal2_sum")
       .orderBy("doc_id")
   }
 
@@ -698,9 +734,18 @@ object LlmQueries {
         i += 1
       }
       val meanOk = sum.toDouble / img.length <= 5.0
+      // PROGRESSIVE (SOF2) path: the spectral-selection scan script carries
+      // the SAME quantized coefficients, so its decode must render
+      // PIXEL-IDENTICAL to the sequential decode — an exact flag, not a
+      // bounded one (multi-scan reassembly has no extra loss to budget for)
+      val (pw2, ph2, prog) = JpegCodec.decode(
+        JpegCodec.encode(w, h, img, 90, progressive = true))
+      val progOk = pw2 == dw && ph2 == dh && java.util.Arrays.equals(prog, out)
       (d, dw.toLong, dh.toLong,
-        if (maxE <= 20) 1L else 0L, if (meanOk) 1L else 0L)
-    }.toDF("doc_id", "jpg_w", "jpg_h", "err_max_ok", "err_mean_ok")
+        if (maxE <= 20) 1L else 0L, if (meanOk) 1L else 0L,
+        if (progOk) 1L else 0L)
+    }.toDF("doc_id", "jpg_w", "jpg_h", "err_max_ok", "err_mean_ok",
+      "prog_identical")
       .orderBy("doc_id")
   }
 
@@ -731,6 +776,7 @@ object LlmQueries {
     "tx_doc_rarity"     -> (txDocRarity _),
     "pipe_bpe_pairs"    -> (pipeBpePairs _),
     "pipe_bpe_merge"    -> (pipeBpeMerge _),
+    "pipe_bpe_train"    -> (pipeBpeTrain _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -905,7 +951,65 @@ object LlmQueries {
         AND bit_count(xor(a.sh, b.sh)) <= 16
       ORDER BY id_a, id_b"""
 
+  /** DuckDB replay of [[Corpus.bpeTrain]]: `rounds` macro-expanded copies
+    * of the single-round merge replay (winner over the well-formed pair
+    * universe + greedy run-parity apply), each round's CTEs suffixed and
+    * chained on the previous round's re-tokenized output. Generated, not
+    * hand-written, so the per-round SQL is bit-identical to the
+    * `pipe_bpe_merge` oracle it extends. */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""
+      winp$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT concat(t[i], ' ', t[i+1]) AS pair
+              FROM cur${r - 1}, unnest(range(1, len(t))) AS u$r(i)
+              WHERE len(t) >= 2)
+        WHERE len(string_split(pair, ' ')) = 2
+          AND string_split(pair, ' ')[1] <> ''
+          AND string_split(pair, ' ')[2] <> ''
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      win$r AS (SELECT string_split(pair, ' ')[1] AS a,
+                       string_split(pair, ' ')[2] AS b, cnt FROM winp$r),
+      pos$r AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM cur${r - 1}),
+      flags$r AS (SELECT doc_id, i, t[i] AS tk,
+          CASE WHEN i < len(t) AND t[i] = (SELECT a FROM win$r)
+                AND t[i+1] = (SELECT b FROM win$r) THEN 1 ELSE 0 END AS m
+        FROM pos$r),
+      runs$r AS (SELECT doc_id, i, tk, m,
+          CASE WHEN m = 1 THEN i - ROW_NUMBER() OVER (
+            PARTITION BY doc_id, m ORDER BY i) END AS run_id
+        FROM flags$r),
+      decide$r AS (SELECT doc_id, i, tk, m,
+          CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+              PARTITION BY doc_id, run_id ORDER BY i) % 2) = 1
+            THEN 1 ELSE 0 END AS mrg
+        FROM runs$r),
+      nm$r AS (SELECT CAST(coalesce(sum(mrg), 0) AS BIGINT) AS n
+               FROM decide$r),
+      out$r AS (SELECT doc_id, i, mrg,
+          CASE WHEN mrg = 1 THEN (SELECT a || b FROM win$r)
+               WHEN LAG(mrg, 1, 0) OVER (
+                 PARTITION BY doc_id ORDER BY i) = 1 THEN NULL
+               ELSE tk END AS otk
+        FROM decide$r),
+      cur$r AS (SELECT doc_id,
+          string_split(coalesce(string_agg(otk, ' ' ORDER BY i), ''), ' ') AS t
+        FROM out$r GROUP BY doc_id)"""
+    }.mkString(",")
+    val roundRows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        (SELECT a FROM win$r) AS pair_a, (SELECT b FROM win$r) AS pair_b,
+        (SELECT cnt FROM win$r) AS cnt, (SELECT n FROM nm$r) AS n_merges"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH cur0 AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),$roundCtes
+      SELECT * FROM ($roundRows) ORDER BY round"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "pipe_bpe_train" -> bpeTrainOracleSql(3),
     "dd_exact" -> """
       SELECT doc_id,
         COUNT(*) OVER (PARTITION BY text) AS n_copies,
@@ -1476,12 +1580,17 @@ object LlmQueries {
                SUM((x*7 + y*13 + doc_id) % 256
                  + 2*((x*3 + y*5 + doc_id*11) % 256)
                  + 3*((x + y + doc_id) % 256)) AS rgb_sum,
-               SUM(6 * ((x*11 + y*3 + doc_id*7) % 256)) AS gray_sum
+               SUM(6 * ((x*11 + y*3 + doc_id*7) % 256)) AS gray_sum,
+               SUM(6 * (((x*11 + y*3 + doc_id*7) % 16) * 17)) AS gray4_sum,
+               SUM(168 * ((x + y + doc_id) % 4)) AS pal2_sum
               FROM xy GROUP BY doc_id)
       SELECT d.doc_id, CAST(d.w AS BIGINT) AS png_w, CAST(d.h AS BIGINT) AS png_h,
              CAST(agg.rgb_sum AS BIGINT) AS rgb_sum,
              CAST(agg.gray_sum AS BIGINT) AS gray_sum,
-             CAST(agg.rgb_sum AS BIGINT) AS rgba_sum
+             CAST(agg.rgb_sum AS BIGINT) AS rgba_sum,
+             CAST(agg.gray_sum AS BIGINT) AS gray16_sum,
+             CAST(agg.gray4_sum AS BIGINT) AS gray4_sum,
+             CAST(agg.pal2_sum AS BIGINT) AS pal2_sum
       FROM d JOIN agg USING (doc_id)
       ORDER BY doc_id""",
     // lossy JPEG: exact dimensions + bounded-error flags (the flags zero
@@ -1491,7 +1600,8 @@ object LlmQueries {
       SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS jpg_w,
              CAST(8 + doc_id % 7 AS BIGINT) AS jpg_h,
              CAST(1 AS BIGINT) AS err_max_ok,
-             CAST(1 AS BIGINT) AS err_mean_ok
+             CAST(1 AS BIGINT) AS err_mean_ok,
+             CAST(1 AS BIGINT) AS prog_identical
       FROM documents ORDER BY doc_id""",
   )
 

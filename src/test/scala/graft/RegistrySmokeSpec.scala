@@ -51,6 +51,20 @@ class RegistrySmokeSpec extends AnyFunSuite {
       s"README claims query counts $claims but the registry holds $n — update README.md")
   }
 
+  test("COVERAGE.md's published query counts match the registry") {
+    // this line drifted two rounds running (r17 "130", r18 "133") — pin
+    // every count COVERAGE.md states, same as the README pin above
+    val n = SparkEntry.queries.size
+    val cov = java.nio.file.Files.readString(java.nio.file.Paths.get("COVERAGE.md"))
+    val claims = """all (\d+) \(registry-pinned|\((\d+)/(\d+)\b""".r
+      .findAllMatchIn(cov)
+      .flatMap(m => Seq(m.group(1), m.group(2), m.group(3)).filter(_ != null))
+      .map(_.toInt).toSeq
+    assert(claims.nonEmpty, "COVERAGE.md no longer states query counts — update this spec")
+    assert(claims.forall(_ == n),
+      s"COVERAGE.md claims query counts $claims but the registry holds $n — update COVERAGE.md")
+  }
+
   /** The ONLY queries allowed to plan a cartesian/nested-loop join, each
     * for a documented reason — everything else planning one fails the
     * suite (at 100 TB an accidental cross join is a cluster-killer, so the
