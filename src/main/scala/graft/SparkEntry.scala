@@ -80,6 +80,11 @@ object SparkEntry {
     // the rest of the LLM pipeline; pipe_bpe_merge times the full trainer
     // round (count -> winner -> greedy apply, a pure per-doc projection).
     "pipe_cluster_mix", "pipe_bpe_pairs", "pipe_bpe_merge",
+    // NEW in round 19: pipe_bpe_train — the 3-round trainer LOOP (per-round
+    // persist/unpersist, two corpus jobs per round) — and mm_decode_jpeg,
+    // which now times the progressive (SOF2) decode path alongside the
+    // sequential one (same coefficients, multi-scan reassembly).
+    "pipe_bpe_train", "mm_decode_jpeg",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a

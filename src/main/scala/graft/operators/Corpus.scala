@@ -526,10 +526,12 @@ object Corpus {
     // after could starve every well-formed pair behind > k noise pairs —
     // the DuckDB oracle filters first, so must we). Cheap: the filter runs
     // on the POST-aggregation distinct-pair table, not the pair stream.
+    // tokens are space-free, so a malformed pair is exactly one whose text
+    // starts or ends with the separator — two codegen'd string probes, no
+    // regex split over the distinct-pair table
     val ranked = if (wellFormedOnly)
-      counts.filter(
-        element_at(split(col("pair"), " ", -1), 1) =!= lit("") &&
-        element_at(split(col("pair"), " ", -1), 2) =!= lit(""))
+      counts.filter(!startswith(col("pair"), lit(" ")) &&
+        !endswith(col("pair"), lit(" ")))
     else counts
     ranked.orderBy(col("cnt").desc, col("pair")).limit(k)
   }

@@ -117,6 +117,75 @@ object JpegCodec {
     }
   }
 
+  /** Optimal length-limited Huffman table from symbol frequencies — the
+    * T.81 Annex K.2 procedure: code sizes by repeated pair-merging of the
+    * two least-frequent entries (ties to the LARGER value, per the spec's
+    * flowchart), with symbol 256 reserved at frequency 1 so no real symbol
+    * gets the all-ones codeword; then the BITS list is limited to 16 via
+    * the spec's adjustment and the reserved codeword removed. Returns
+    * `(bits[17], values)` in canonical (length-asc, value-asc) order —
+    * exactly what a DHT segment carries. */
+  private[operators] def optimalTable(freqIn: Array[Long]): (Array[Int], Array[Int]) = {
+    require(freqIn.length == 256, s"need 256 symbol frequencies, got ${freqIn.length}")
+    val freq = java.util.Arrays.copyOf(freqIn, 257)
+    freq(256) = 1
+    val codesize = new Array[Int](257)
+    val others = Array.fill(257)(-1)
+    def findLeast(exclude: Int): Int = {
+      var best = -1; var bf = Long.MaxValue
+      var i = 0
+      while (i < 257) {
+        if (i != exclude && freq(i) > 0 && freq(i) <= bf) { best = i; bf = freq(i) }
+        i += 1
+      }
+      best
+    }
+    var merging = true
+    while (merging) {
+      var v1 = findLeast(-1)
+      var v2 = findLeast(v1)
+      if (v2 < 0) merging = false
+      else {
+        freq(v1) += freq(v2); freq(v2) = 0
+        codesize(v1) += 1
+        while (others(v1) != -1) { v1 = others(v1); codesize(v1) += 1 }
+        others(v1) = v2
+        codesize(v2) += 1
+        while (others(v2) != -1) { v2 = others(v2); codesize(v2) += 1 }
+      }
+    }
+    // raw depths can exceed 32 on adversarial (Fibonacci-skewed) frequency
+    // profiles — up to 256 with 257 leaves — so count at full depth and
+    // let the spec's adjustment walk everything down to 16
+    val bits = new Array[Int](258)
+    var i = 0
+    while (i < 257) {
+      if (codesize(i) > 0) bits(codesize(i)) += 1
+      i += 1
+    }
+    // limit to 16 bits: move a pair of leaves from the longest level under
+    // an interior node freed one level up (the spec's adjust procedure)
+    var ii = 257
+    while (ii > 16) {
+      if (bits(ii) > 0) {
+        var j = ii - 2
+        while (bits(j) == 0) j -= 1
+        bits(ii) -= 2
+        bits(ii - 1) += 1
+        bits(j + 1) += 2
+        bits(j) -= 1
+      } else ii -= 1
+    }
+    // remove the reserved all-ones codeword from the longest used level
+    var k = 16
+    while (k > 0 && bits(k) == 0) k -= 1
+    if (k > 0) bits(k) -= 1
+    // canonical value list: real symbols by (final code size asc, value asc)
+    val order = (0 until 256).filter(codesize(_) > 0)
+      .sortBy(s => (codesize(s), s)).toArray
+    (java.util.Arrays.copyOf(bits, 17), order)
+  }
+
   /** (code, length) per symbol from a (bits, values) table description. */
   private def encodingTable(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
     val table = new Array[(Int, Int)](256)
@@ -319,11 +388,12 @@ object JpegCodec {
       emitAc(zz, acT)
     }
 
-    // scan script: (SOS payload-header bytes, entropy payload) per scan —
-    // ONE full-band scan for baseline, DC-then-per-component-AC for the
-    // progressive spectral-selection script
+    // scan script: (pre-SOS marker bytes e.g. per-scan DHT, SOS
+    // payload-header bytes, entropy payload) per scan — ONE full-band scan
+    // for baseline, DC-then-per-component-AC for the progressive
+    // spectral-selection script
     val scans = scala.collection.mutable.ArrayBuffer
-      .empty[(Array[Byte], java.io.ByteArrayOutputStream)]
+      .empty[(Array[Byte], Array[Byte], java.io.ByteArrayOutputStream)]
     def startScan(): Unit = {
       payload = new java.io.ByteArrayOutputStream(rgb.length / 8 + 256)
       bw = new BitWriter(payload)
@@ -351,75 +421,130 @@ object JpegCodec {
         by += 1
       }
       bw.flush()
-      scans += ((Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
+      scans += ((Array.emptyByteArray,
+        Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
     } else {
-      // quantize every block once; the scans re-walk the coefficients
+      // quantize every block once; the scans re-walk the coefficients.
+      // Each scan is coded TWICE with the same deterministic symbol walk:
+      // a counting pass feeds the Annex K.2 optimal-table builder, then a
+      // writing pass emits against the per-scan tables (the IJG approach —
+      // progressive entropy coding always ships optimized tables). Custom
+      // tables make true EOB-RUN symbols (EOBn, n>=1) available, which the
+      // fixed Annex K tables lack, and each scan carries its OWN DHT
+      // segment — mid-stream table redefinition, like real encoders.
       val nbx = pw / 8; val nby = ph / 8
       val planesArr = Array(yP, cbP, crP)
       val qsArr = Array(lumaQ, chromaQ, chromaQ)
       val coefs = Array.tabulate(3, nby * nbx) { (c, bi) =>
         quantizeBlock(planesArr(c), bi % nbx, bi / nbx, qsArr(c))
       }
-      // scan 1: interleaved DC of all components (Ss=0 Se=0 Ah=0 Al=0)
-      startScan()
-      var bi = 0
-      while (bi < nby * nbx) {
-        emitDc(coefs(0)(bi)(0), dcL, 0)
-        emitDc(coefs(1)(bi)(0), dcC, 1)
-        emitDc(coefs(2)(bi)(0), dcC, 2)
-        bi += 1
+      // a symbol sink abstracts count-vs-write so both passes share one walk
+      abstract class Sink { def sym(s: Int): Unit; def raw(v: Int, n: Int): Unit }
+      final class Counter(val freq: Array[Long] = new Array[Long](256)) extends Sink {
+        def sym(s: Int): Unit = freq(s) += 1
+        def raw(v: Int, n: Int): Unit = ()
       }
+      final class Writer(enc: Array[(Int, Int)]) extends Sink {
+        def sym(s: Int): Unit = {
+          val e = enc(s)
+          require(e != null, f"symbol 0x$s%02x missing from scan table")
+          bw.put(e._1, e._2)
+        }
+        def raw(v: Int, n: Int): Unit = if (n > 0) bw.put(v, n)
+      }
+      def dhtSeg(entries: (Int, Int, Array[Int], Array[Int])*): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(0xff); o.write(0xc4)
+        val len = 2 + entries.map(e => 1 + 16 + e._4.length).sum
+        o.write(len >> 8); o.write(len & 0xff)
+        entries.foreach { case (cls, id, bits, vals) =>
+          o.write((cls << 4) | id)
+          var i = 1
+          while (i <= 16) { o.write(bits(i)); i += 1 }
+          vals.foreach(o.write)
+        }
+        o.toByteArray
+      }
+      def emitDcSym(zz0: Int, comp: Int, sink: Sink): Unit = {
+        val diff = zz0 - pred(comp)
+        pred(comp) = zz0
+        val cat = magnitudeCategory(diff)
+        sink.sym(cat)
+        if (cat > 0) sink.raw(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      }
+      // scan 1: interleaved DC of all components (Ss=0 Se=0 Ah=0 Al=0)
+      def dcPass(sinkL: Sink, sinkC: Sink): Unit = {
+        java.util.Arrays.fill(pred, 0)
+        var bi = 0
+        while (bi < nby * nbx) {
+          emitDcSym(coefs(0)(bi)(0), 0, sinkL)
+          emitDcSym(coefs(1)(bi)(0), 1, sinkC)
+          emitDcSym(coefs(2)(bi)(0), 2, sinkC)
+          bi += 1
+        }
+      }
+      val (cntL, cntC) = (new Counter(), new Counter())
+      dcPass(cntL, cntC)
+      val (dcLBits, dcLVals) = optimalTable(cntL.freq)
+      val (dcCBits, dcCVals) = optimalTable(cntC.freq)
+      startScan()
+      dcPass(new Writer(encodingTable(dcLBits, dcLVals)),
+        new Writer(encodingTable(dcCBits, dcCVals)))
       bw.flush()
-      scans += ((Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0), payload))
-      // scans 2..4: each component's full AC band (Ss=1 Se=63), coded with
-      // EOB-RUN accumulation across all-zero-tail blocks
+      scans += ((dhtSeg((0, 0, dcLBits, dcLVals), (0, 1, dcCBits, dcCVals)),
+        Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0), payload))
+      // scans 2..4: each component's full AC band (Ss=1 Se=63), EOB runs
+      // accumulated across all-zero-tail blocks and flushed as true EOBn
       var c = 0
       while (c < 3) {
-        startScan()
-        val acT = if (c == 0) acL else acC
-        var eobrun = 0
-        def flushEob(): Unit = {
-          // the fixed Annex K AC tables define only EOB0 — no EOBn run
-          // symbols (real progressive encoders ship custom per-scan
-          // tables) — so an accumulated run flushes as one EOB0 per
-          // all-zero block: less compact, equally valid T.81. The
-          // DECODER's EOBRUN>1 path is exercised by ImageIO's
-          // IJG-scripted fixtures (JpegCodecSpec), which do use EOBn.
-          val (code, len) = acT(0x00)
-          while (eobrun > 0) { bw.put(code, len); eobrun -= 1 }
-        }
-        var b2 = 0
-        while (b2 < nby * nbx) {
-          val zz = coefs(c)(b2)
-          var kLast = 63
-          while (kLast >= 1 && zz(kLast) == 0) kLast -= 1
-          if (kLast == 0) {
-            eobrun += 1
-            if (eobrun == 0x7fff) flushEob()
-          } else {
-            flushEob() // pending EOB run ends before this block's symbols
-            var run = 0
-            var k = 1
-            while (k <= kLast) {
-              if (zz(k) == 0) run += 1
-              else {
-                while (run > 15) { val (cd, l) = acT(0xf0); bw.put(cd, l); run -= 16 }
-                val sz = magnitudeCategory(zz(k))
-                val (cd, l) = acT((run << 4) | sz)
-                bw.put(cd, l)
-                bw.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
-                run = 0
-              }
-              k += 1
-            }
-            if (kLast < 63) eobrun = 1 // this block's own EOB starts a run
+        def acPass(sink: Sink): Unit = {
+          var eobrun = 0
+          def flushEob(): Unit = if (eobrun > 0) {
+            var r = 0
+            while ((2 << r) <= eobrun) r += 1 // r = floor(log2(eobrun))
+            sink.sym(r << 4)
+            sink.raw(eobrun - (1 << r), r)
+            eobrun = 0
           }
-          b2 += 1
+          var b2 = 0
+          while (b2 < nby * nbx) {
+            val zz = coefs(c)(b2)
+            var kLast = 63
+            while (kLast >= 1 && zz(kLast) == 0) kLast -= 1
+            if (kLast == 0) {
+              eobrun += 1
+              if (eobrun == 0x7fff) flushEob()
+            } else {
+              flushEob() // pending EOB run ends before this block's symbols
+              var run = 0
+              var k = 1
+              while (k <= kLast) {
+                if (zz(k) == 0) run += 1
+                else {
+                  while (run > 15) { sink.sym(0xf0); run -= 16 }
+                  val sz = magnitudeCategory(zz(k))
+                  sink.sym((run << 4) | sz)
+                  sink.raw(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+                  run = 0
+                }
+                k += 1
+              }
+              if (kLast < 63) eobrun = 1 // this block's own EOB starts a run
+            }
+            b2 += 1
+          }
+          flushEob()
         }
-        flushEob()
+        val cnt = new Counter()
+        acPass(cnt)
+        val (acBits, acVals) = optimalTable(cnt.freq)
+        startScan()
+        acPass(new Writer(encodingTable(acBits, acVals)))
         bw.flush()
-        scans += ((Array[Byte](1, (c + 1).toByte,
-          (if (c == 0) 0x00 else 0x11).toByte, 1, 63, 0), payload))
+        val acId = if (c == 0) 0 else 1
+        scans += ((dhtSeg((1, acId, acBits, acVals)),
+          Array[Byte](1, (c + 1).toByte, (acId & 0x0f).toByte, 1, 63, 0),
+          payload))
         c += 1
       }
     }
@@ -450,10 +575,15 @@ object JpegCodec {
       while (i <= 16) { u8(bits(i)); i += 1 }
       vals.foreach(u8)
     }
-    dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
-    dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+    // baseline ships the Annex K defaults up front; progressive scans each
+    // carry their own optimized DHT in the pre-SOS preamble instead
+    if (!progressive) {
+      dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
+      dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+    }
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
-    scans.foreach { case (sosBody, pay) =>
+    scans.foreach { case (preamble, sosBody, pay) =>
+      preamble.foreach(v => u8(v & 0xff))
       marker(0xda); u16(2 + sosBody.length)
       sosBody.foreach(v => u8(v & 0xff))
       pay.writeTo(out)

@@ -286,6 +286,61 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxE <= 20, s"progressive grayscale reconstruction off by $maxE")
   }
 
+  test("progressive scans ship per-scan OPTIMIZED huffman tables and true " +
+      "EOB-run symbols; sparse images round-trip through the EOBRUN path") {
+    // an almost-flat image: most chroma (and many luma) blocks carry zero
+    // AC, so the per-component AC scans accumulate multi-block EOB runs —
+    // with optimized tables these flush as EOBn (n >= 1) symbols, which
+    // the fixed Annex K tables cannot even express
+    val w = 64; val h = 64
+    val img = Array.fill(w * h * 3)(120.toByte)
+    img(0) = 200.toByte; img(1) = 40.toByte // one busy corner block
+    val prog = JpegCodec.encode(w, h, img, quality = 85, progressive = true)
+    val base = JpegCodec.encode(w, h, img, quality = 85)
+    // four scans, each with its own DHT segment (mid-stream redefinition)
+    def countMarker(bytes: Array[Byte], m: Int): Int = bytes.indices.count(i =>
+      (bytes(i) & 0xff) == 0xff && i + 1 < bytes.length && (bytes(i + 1) & 0xff) == m)
+    assert(countMarker(prog, 0xda) == 4, "expected 4 SOS markers")
+    assert(countMarker(prog, 0xc4) == 4, "expected a DHT per scan")
+    assert(countMarker(base, 0xc4) == 4, "baseline ships the 4 Annex K tables")
+    // EOB runs + optimized tables: the sparse progressive stream must be
+    // much smaller than the baseline one (every all-zero block there costs
+    // three 4-bit EOB codes; here whole runs collapse to one EOBn symbol)
+    assert(prog.length < base.length,
+      s"optimized progressive (${prog.length} B) not smaller than baseline (${base.length} B)")
+    // and it still decodes pixel-identical to the sequential stream
+    val (_, _, a) = JpegCodec.decode(prog)
+    val (_, _, b) = JpegCodec.decode(base)
+    assert(a.sameElements(b), "EOBRUN reassembly diverged from sequential")
+    // third-party: ImageIO agrees on the optimized-table stream
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(bi != null && bi.getWidth == w && bi.getHeight == h,
+      "ImageIO rejected the optimized progressive stream")
+  }
+
+  test("optimalTable (Annex K.2): valid canonical tables from arbitrary " +
+      "frequency profiles — Kraft-complete-or-under, 16-bit limited") {
+    val profiles = Seq[Array[Long]](
+      Array.tabulate(256)(i => if (i == 7) 1000L else 0L), // single symbol
+      Array.tabulate(256)(i => if (i < 2) 50L else 0L), // two symbols
+      Array.tabulate(256)(_ => 1L), // uniform — deep tree
+      Array.tabulate(256)(i => (1L << (i % 30))), // wildly skewed
+      Array.tabulate(256)(i => if (i % 3 == 0) i.toLong * i + 1 else 0L))
+    for ((freq, pi) <- profiles.zipWithIndex) {
+      val (bits, vals) = JpegCodec.optimalTable(freq)
+      val nSyms = freq.count(_ > 0)
+      assert(vals.length == nSyms, s"profile $pi: ${vals.length} vs $nSyms symbols")
+      assert((1 to 16).map(bits).sum == nSyms, s"profile $pi: BITS sum mismatch")
+      // Kraft inequality STRICT (< 1): the reserved all-ones code was
+      // removed, so a decoder can always detect corruption
+      val kraft = (1 to 16).map(l => bits(l) * math.pow(2, -l)).sum
+      assert(kraft < 1.0 + 1e-12, s"profile $pi: Kraft sum $kraft")
+      // every value is a real symbol, no duplicates
+      assert(vals.toSet.size == vals.length && vals.forall(v => freq(v) > 0),
+        s"profile $pi: bad value list")
+    }
+  }
+
   test("decode() sniffs JPEG by magic and reports real dimensions") {
     val img = gradient(24, 8)
     val f = MediaCodec.decode(MediaRecord(6L, "image",
