@@ -622,10 +622,19 @@ object LlmQueries {
         ((k * 31 + d * 17) % 65536 - 32768).toShort)
       val (drate, _, dsamp) = Multimodal.MediaCodec.decodeWav(
         Multimodal.MediaCodec.encodeWav(rate, 1, samples))
+      // every other carrier depth round-trips through its own encode →
+      // decode → 16-bit normalization: 24/32-bit integer and 32/64-bit
+      // float are EXACT (checksums equal the 16-bit sum — pinned in SQL),
+      // 8-bit floors to the 256 lattice (its own SQL replay)
+      def rt(bits: Int, f32: Boolean = false): Long =
+        Multimodal.MediaCodec.decodeWav(Multimodal.MediaCodec.encodeWav(
+          rate, 1, samples, bits, f32))._3.map(_.toLong).sum
       (d, dw.toLong, dh.toLong, pixSum, drate.toLong, dsamp.length.toLong,
-        dsamp.map(_.toLong).sum)
+        dsamp.map(_.toLong).sum,
+        rt(8), rt(24), rt(32), rt(32, f32 = true), rt(64))
     }.toDF("doc_id", "img_w", "img_h", "pix_sum", "wav_rate", "wav_n",
-      "sample_sum").orderBy("doc_id")
+      "sample_sum", "sum_pcm8", "sum_pcm24", "sum_pcm32", "sum_f32", "sum_f64")
+      .orderBy("doc_id")
   }
 
   /** PNG decode round-trip over REAL bytes (Inflater + scanline unfilter,
@@ -1561,12 +1570,19 @@ object LlmQueries {
                  + 3*((x + y + doc_id) % 256)) AS pix_sum
               FROM xy GROUP BY doc_id),
       si AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d),
-      wav AS (SELECT doc_id, SUM((i*31 + doc_id*17) % 65536 - 32768) AS sample_sum
+      wav AS (SELECT doc_id, SUM((i*31 + doc_id*17) % 65536 - 32768) AS sample_sum,
+               SUM(CAST(floor(((i*31 + doc_id*17) % 65536 - 32768) / 256.0)
+                   AS BIGINT) * 256) AS sum8
               FROM si GROUP BY doc_id)
       SELECT d.doc_id, CAST(d.w AS BIGINT) AS img_w, CAST(d.h AS BIGINT) AS img_h,
              CAST(img.pix_sum AS BIGINT) AS pix_sum,
              CAST(d.rate AS BIGINT) AS wav_rate, CAST(d.n AS BIGINT) AS wav_n,
-             CAST(wav.sample_sum AS BIGINT) AS sample_sum
+             CAST(wav.sample_sum AS BIGINT) AS sample_sum,
+             CAST(wav.sum8 AS BIGINT) AS sum_pcm8,
+             CAST(wav.sample_sum AS BIGINT) AS sum_pcm24,
+             CAST(wav.sample_sum AS BIGINT) AS sum_pcm32,
+             CAST(wav.sample_sum AS BIGINT) AS sum_f32,
+             CAST(wav.sample_sum AS BIGINT) AS sum_f64
       FROM d JOIN img USING (doc_id) JOIN wav USING (doc_id)
       ORDER BY doc_id""",
     // PNG round-trip: gray expands to (g,g,g) so its checksum is 6*g; RGBA

@@ -449,33 +449,60 @@ object Multimodal {
       (w, h, rgb)
     }
 
-    /** Encode 16-bit PCM mono/stereo samples as a RIFF/WAVE file — the
-      * writer side of [[decodeWav]]. */
-    def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
-      val dataSize = samples.length * 2
+    /** Encode PCM mono/stereo samples as a RIFF/WAVE file — the writer
+      * side of [[decodeWav]]. Input samples are ALWAYS 16-bit; `bits`
+      * selects the on-wire carrier: integer PCM 8 (unsigned, top byte),
+      * 16, 24, 32 (left-shifted — exact round-trip), or IEEE float 32/64
+      * (`float32 = true`/`bits = 64`, scaled v/32768 — exact round-trip,
+      * the scale is a power of two inside float precision). */
+    def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short],
+        bits: Int = 16, float32: Boolean = false): Array[Byte] = {
+      val isFloat = float32 || bits == 64
+      require(if (isFloat) bits == 32 || bits == 64
+        else Set(8, 16, 24, 32)(bits), s"unsupported WAV carrier: $bits-bit float=$isFloat")
+      val bytesPer = bits / 8
+      val dataSize = samples.length * bytesPer
       val out = java.nio.ByteBuffer.allocate(44 + dataSize)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       out.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
-      out.put("fmt ".getBytes).putInt(16).putShort(1) // PCM
+      out.put("fmt ".getBytes).putInt(16)
+        .putShort(if (isFloat) 3 else 1) // PCM / IEEE float
         .putShort(channels.toShort).putInt(sampleRate)
-        .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
-        .putShort(16)
+        .putInt(sampleRate * channels * bytesPer)
+        .putShort((channels * bytesPer).toShort)
+        .putShort(bits.toShort)
       out.put("data".getBytes).putInt(dataSize)
-      samples.foreach(out.putShort)
+      samples.foreach { s =>
+        if (isFloat && bits == 32) out.putFloat(s / 32768.0f)
+        else if (isFloat) out.putDouble(s / 32768.0)
+        else bits match {
+          case 8 => out.put((((s: Int) >> 8) + 128).toByte)
+          case 16 => out.putShort(s)
+          case 24 =>
+            val v = (s: Int) << 8
+            out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+              .put(((v >> 16) & 0xff).toByte)
+          case 32 => out.putInt((s: Int) << 16)
+        }
+      }
       out.array()
     }
 
-    /** Decode a PCM-16 RIFF/WAVE payload into (sampleRate, channels,
-      * samples). Walks the chunk list, so extra chunks (LIST, fact) between
-      * fmt and data parse fine. */
+    /** Decode a RIFF/WAVE payload into (sampleRate, channels, samples) —
+      * 16-bit normalized. Integer PCM at 8 (unsigned), 16, 24, 32 bits and
+      * IEEE float at 32/64 bits all decode (8 shifts up; 24/32 keep the
+      * top 16 bits; float clamps to [−1, 1] and scales by 32768). Walks
+      * the chunk list, so extra chunks (LIST, fact) parse fine, and a
+      * data chunk BEFORE fmt decodes correctly (bytes are interpreted
+      * only after both are known). */
     def decodeWav(b: Array[Byte]): (Int, Int, Array[Short]) = {
       require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
         "not a RIFF/WAVE")
       var i = 12
-      var rate = -1; var channels = -1
-      var samples: Array[Short] = null
-      while (i + 8 <= b.length && (rate < 0 || samples == null)) {
+      var rate = -1; var channels = -1; var fmtCode = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length && (rate < 0 || dataOff < 0)) {
         val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = i32le(b, i + 4)
         // a corrupt negative size would walk the chunk cursor BACKWARDS —
@@ -483,20 +510,47 @@ object Multimodal {
         require(size >= 0, s"negative RIFF chunk size $size")
         id match {
           case "fmt " =>
-            require(u16le(b, i + 8) == 1, "only PCM WAV")
-            require(u16le(b, i + 22) == 16, "only 16-bit WAV")
+            fmtCode = u16le(b, i + 8)
+            require(fmtCode == 1 || fmtCode == 3,
+              s"only PCM or IEEE-float WAV (format $fmtCode)")
             channels = u16le(b, i + 10)
             rate = i32le(b, i + 12)
+            bits = u16le(b, i + 22)
           case "data" =>
-            val n = size / 2
-            samples = new Array[Short](n)
-            var k = 0
-            while (k < n) { samples(k) = u16le(b, i + 8 + k * 2).toShort; k += 1 }
+            dataOff = i + 8; dataLen = size
           case _ => () // skip unknown chunks
         }
         i += 8 + size + (size & 1) // chunks are word-aligned
       }
-      require(rate > 0 && samples != null, "missing fmt/data chunk")
+      require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
+      require(dataOff + dataLen <= b.length, "WAV data chunk exceeds payload")
+      val legal = if (fmtCode == 3) Set(32, 64) else Set(8, 16, 24, 32)
+      require(legal(bits), s"unsupported WAV depth: $bits-bit format $fmtCode")
+      val bytesPer = bits / 8
+      val n = dataLen / bytesPer
+      val samples = new Array[Short](n)
+      var k = 0
+      while (k < n) {
+        val o = dataOff + k * bytesPer
+        samples(k) =
+          if (fmtCode == 3) {
+            val f =
+              if (bits == 32) java.lang.Float.intBitsToFloat(i32le(b, o)).toDouble
+              else java.lang.Double.longBitsToDouble(
+                (i32le(b, o + 4).toLong << 32) | (i32le(b, o).toLong & 0xffffffffL))
+            math.max(-32768, math.min(32767,
+              math.round(math.max(-1.0, math.min(1.0, f)) * 32768))).toShort
+          } else bits match {
+            case 8 => (((b(o) & 0xff) - 128) << 8).toShort
+            case 16 => u16le(b, o).toShort
+            case 24 =>
+              // sign-extend the 24-bit sample, keep the top 16 bits
+              (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+                (b(o + 2) << 16)) >> 8).toShort
+            case 32 => (i32le(b, o) >> 16).toShort
+          }
+        k += 1
+      }
       (rate, channels, samples)
     }
 

@@ -68,6 +68,48 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(s2.toSeq == samples.toSeq)
   }
 
+  test("WAV depth matrix: 8/24/32-bit PCM and 32/64-bit IEEE float all " +
+      "decode to normalized 16-bit; 24/32/float are exact round-trips") {
+    val samples = Array.tabulate(61)(i =>
+      ((i * 4241 + 13) % 65536 - 32768).toShort)
+    // exact carriers: the full 16-bit value survives the widening
+    for ((bits, f) <- Seq((24, false), (32, false), (32, true), (64, false))) {
+      val (r, c, got) = MediaCodec.decodeWav(
+        MediaCodec.encodeWav(12000, 1, samples, bits, f))
+      assert((r, c) == (12000, 1), s"rate/ch for $bits-bit float=$f")
+      assert(got.toSeq == samples.toSeq, s"$bits-bit float=$f not exact")
+    }
+    // 8-bit floors to the 256 lattice (arithmetic shift, toward -inf)
+    val (_, _, got8) = MediaCodec.decodeWav(
+      MediaCodec.encodeWav(12000, 1, samples, bits = 8))
+    assert(got8.toSeq == samples.map(s => (((s: Int) >> 8) << 8).toShort).toSeq)
+    // a float64 stream with out-of-range values clamps, never wraps
+    val loud = MediaCodec.encodeWav(8000, 1, Array[Short](32767, -32768), bits = 64)
+    // scale the first sample's double to 2.5 (bytes 44..51, little-endian)
+    java.nio.ByteBuffer.wrap(loud, 44, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5)
+    val (_, _, clamped) = MediaCodec.decodeWav(loud)
+    assert(clamped(0) == 32767, s"out-of-range float must clamp, got ${clamped(0)}")
+    // data chunk BEFORE fmt: bytes interpret only after both are known
+    // (even byte count — RIFF pads odd chunks, which the writer omits at
+    // end-of-file but the walk would expect mid-file)
+    val even = samples.take(60)
+    val b24 = MediaCodec.encodeWav(16000, 1, even, bits = 24)
+    val fmtChunk = java.util.Arrays.copyOfRange(b24, 12, 36)
+    val dataChunk = java.util.Arrays.copyOfRange(b24, 36, b24.length)
+    val swapped = java.util.Arrays.copyOf(b24, b24.length)
+    System.arraycopy(dataChunk, 0, swapped, 12, dataChunk.length)
+    System.arraycopy(fmtChunk, 0, swapped, 12 + dataChunk.length, fmtChunk.length)
+    val (r3, _, s3) = MediaCodec.decodeWav(swapped)
+    assert(r3 == 16000 && s3.toSeq == even.toSeq,
+      "data-before-fmt WAV must decode correctly")
+    // compressed formats (e.g. ADPCM, code 2) refuse loudly
+    val bad = MediaCodec.encodeWav(8000, 1, samples)
+    bad(20) = 2
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(bad))
+    assert(e.getMessage.contains("PCM"), e.getMessage)
+  }
+
   test("PNG round-trip recovers dimensions and pixels for gray/RGB/RGBA " +
       "across sizes that exercise every scanline filter") {
     // encodePng cycles filters per row (y % 5) — h >= 5 walks all of
