@@ -750,11 +750,23 @@ object LlmQueries {
       val (pw2, ph2, prog) = JpegCodec.decode(
         JpegCodec.encode(w, h, img, 90, progressive = true))
       val progOk = pw2 == dw && ph2 == dh && java.util.Arrays.equals(prog, out)
+      // 12-BIT precision (SOF1 + counted optimal tables): same quant
+      // tables on 16x-amplified samples, so the error budget TIGHTENS
+      // (max <= 6 where 8-bit allows 20)
+      val (_, _, p12) = JpegCodec.decode(
+        JpegCodec.encode(w, h, img, 90, precision = 12))
+      var max12 = 0
+      i = 0
+      while (i < img.length) {
+        val e = math.abs((img(i) & 0xff) - (p12(i) & 0xff))
+        if (e > max12) max12 = e
+        i += 1
+      }
       (d, dw.toLong, dh.toLong,
         if (maxE <= 20) 1L else 0L, if (meanOk) 1L else 0L,
-        if (progOk) 1L else 0L)
+        if (progOk) 1L else 0L, if (max12 <= 6) 1L else 0L)
     }.toDF("doc_id", "jpg_w", "jpg_h", "err_max_ok", "err_mean_ok",
-      "prog_identical")
+      "prog_identical", "p12_err_ok")
       .orderBy("doc_id")
   }
 
@@ -1617,7 +1629,8 @@ object LlmQueries {
              CAST(8 + doc_id % 7 AS BIGINT) AS jpg_h,
              CAST(1 AS BIGINT) AS err_max_ok,
              CAST(1 AS BIGINT) AS err_mean_ok,
-             CAST(1 AS BIGINT) AS prog_identical
+             CAST(1 AS BIGINT) AS prog_identical,
+             CAST(1 AS BIGINT) AS p12_err_ok
       FROM documents ORDER BY doc_id""",
   )
 

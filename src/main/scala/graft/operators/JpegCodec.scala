@@ -7,8 +7,10 @@ package graft.operators
   * baseline/extended-sequential Huffman JPEG (grayscale or YCbCr, any
   * sampling factors up to 4 incl. 4:2:0/4:2:2, restart markers, byte
   * stuffing) AND progressive JPEG (spectral selection + successive
-  * approximation, EOB runs, per-scan restart markers — T.81 annex G).
-  * Arithmetic coding and 12-bit precision refuse loudly —
+  * approximation, EOB runs, per-scan restart markers — T.81 annex G),
+  * at 8-bit or 12-bit sample precision (12-bit encoding ships counted
+  * optimal tables, since Annex K stops at DC category 11 / AC size 10).
+  * Arithmetic coding refuses loudly —
   * [[Multimodal.MediaCodec.decode]] then degrades to the stub so mixed
   * corpora keep flowing.
   *
@@ -293,14 +295,25 @@ object JpegCodec {
     * the form camera firmware writes for error resilience, and the test
     * vector for the decoder's restart path. */
   def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85,
-      restartInterval: Int = 0, progressive: Boolean = false): Array[Byte] = {
+      restartInterval: Int = 0, progressive: Boolean = false,
+      precision: Int = 8): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h * 3,
       s"need ${w * h * 3} RGB bytes for ${w}x$h, got ${rgb.length}")
     require(restartInterval >= 0, "restart interval cannot be negative")
     require(!progressive || restartInterval == 0,
       "restart intervals unsupported in progressive mode")
+    require(precision == 8 || precision == 12,
+      s"T.81 sample precision is 8 or 12, got $precision")
+    require(precision == 8 || !progressive,
+      "12-bit precision is sequential-only in this encoder")
     val lumaQ = scaledQ(StdLumaQ, quality)
     val chromaQ = scaledQ(StdChromaQ, quality)
+    // 12-bit samples are the 8-bit input widened x16 (0..4080), so the
+    // level-shifted plane value is just the centered 8-bit value x16; DC
+    // magnitudes then reach category 15 and AC category 14, which the
+    // fixed Annex K tables cannot code — 12-bit encoding always runs the
+    // two-pass optimal-table path
+    val pscale = 1 << (precision - 8)
 
     // RGB -> YCbCr planes, edge-replicated to 8-multiples
     val pw = (w + 7) / 8 * 8; val ph = (h + 7) / 8 * 8
@@ -316,9 +329,9 @@ object JpegCodec {
         val p = (sy * w + sx) * 3
         val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
         val o = yy * pw + xx
-        yP(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128
-        cbP(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
-        crP(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        yP(o) = (0.299 * r + 0.587 * g + 0.114 * b - 128) * pscale
+        cbP(o) = (-0.168736 * r - 0.331264 * g + 0.5 * b) * pscale
+        crP(o) = (0.5 * r - 0.418688 * g - 0.081312 * b) * pscale
         xx += 1
       }
       yy += 1
@@ -345,9 +358,11 @@ object JpegCodec {
       while (i < 64) {
         val nat = Zigzag(i)
         zz(i) = math.round(f(nat) / q(nat)).toInt
-        // baseline AC magnitudes are <= 10 bits; only reachable at
-        // quality ~100 where a quant step hits 1 — clamp, don't corrupt
-        if (i > 0) zz(i) = math.max(-1023, math.min(1023, zz(i)))
+        // AC magnitudes top out at 10 bits (8-bit precision) / 14 bits
+        // (12-bit); only reachable at quality ~100 where a quant step
+        // hits 1 — clamp, don't corrupt
+        val acClamp = if (precision == 8) 1023 else 16383
+        if (i > 0) zz(i) = math.max(-acClamp, math.min(acClamp, zz(i)))
         i += 1
       }
       zz
@@ -399,7 +414,51 @@ object JpegCodec {
       bw = new BitWriter(payload)
       java.util.Arrays.fill(pred, 0)
     }
-    if (!progressive) {
+    // a symbol sink abstracts count-vs-write so two-pass (optimal-table)
+    // modes share one deterministic symbol walk with the writing pass
+    abstract class Sink { def sym(s: Int): Unit; def raw(v: Int, n: Int): Unit }
+    final class Counter(val freq: Array[Long] = new Array[Long](256)) extends Sink {
+      def sym(s: Int): Unit = freq(s) += 1
+      def raw(v: Int, n: Int): Unit = ()
+    }
+    final class Writer(enc: Array[(Int, Int)]) extends Sink {
+      def sym(s: Int): Unit = {
+        val e = enc(s)
+        require(e != null, f"symbol 0x$s%02x missing from scan table")
+        bw.put(e._1, e._2)
+      }
+      def raw(v: Int, n: Int): Unit = if (n > 0) bw.put(v, n)
+    }
+    def emitDcSym(zz0: Int, comp: Int, sink: Sink): Unit = {
+      val diff = zz0 - pred(comp)
+      pred(comp) = zz0
+      val cat = magnitudeCategory(diff)
+      sink.sym(cat)
+      if (cat > 0) sink.raw(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+    }
+    def emitAcSyms(zz: Array[Int], sink: Sink): Unit = {
+      var run = 0
+      var i = 1
+      while (i < 64) {
+        if (zz(i) == 0) run += 1
+        else {
+          while (run > 15) { sink.sym(0xf0); run -= 16 }
+          val sz = magnitudeCategory(zz(i))
+          sink.sym((run << 4) | sz)
+          sink.raw(if (zz(i) < 0) zz(i) + (1 << sz) - 1 else zz(i), sz)
+          run = 0
+        }
+        i += 1
+      }
+      if (run > 0) sink.sym(0x00)
+    }
+    // 12-bit sequential tables, built by its counting pass (the fixed
+    // Annex K tables stop at DC category 11 / AC size 10 — 12-bit diffs
+    // reach 15/14, so this mode ALWAYS ships optimized tables)
+    var seqTables: Option[(
+      (Array[Int], Array[Int]), (Array[Int], Array[Int]),
+      (Array[Int], Array[Int]), (Array[Int], Array[Int]))] = None
+    if (!progressive && precision == 8) {
       var mcu = 0
       var by = 0
       while (by < ph / 8) {
@@ -423,6 +482,49 @@ object JpegCodec {
       bw.flush()
       scans += ((Array.emptyByteArray,
         Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
+    } else if (!progressive) {
+      // 12-bit extended sequential: one interleaved scan, coded twice
+      // (count -> optimal tables -> write) through the shared symbol walk
+      val nbx = pw / 8; val nby = ph / 8
+      val planesArr = Array(yP, cbP, crP)
+      val qsArr = Array(lumaQ, chromaQ, chromaQ)
+      val coefs = Array.tabulate(3, nby * nbx) { (c, bi) =>
+        quantizeBlock(planesArr(c), bi % nbx, bi / nbx, qsArr(c))
+      }
+      def seqPass(dL: Sink, aL: Sink, dC: Sink, aC: Sink,
+          onRestart: Int => Unit): Unit = {
+        java.util.Arrays.fill(pred, 0)
+        var bi = 0
+        while (bi < nby * nbx) {
+          if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+            onRestart(bi)
+            java.util.Arrays.fill(pred, 0)
+          }
+          emitDcSym(coefs(0)(bi)(0), 0, dL); emitAcSyms(coefs(0)(bi), aL)
+          emitDcSym(coefs(1)(bi)(0), 1, dC); emitAcSyms(coefs(1)(bi), aC)
+          emitDcSym(coefs(2)(bi)(0), 2, dC); emitAcSyms(coefs(2)(bi), aC)
+          bi += 1
+        }
+      }
+      val (cdL, caL, cdC, caC) = (new Counter(), new Counter(), new Counter(), new Counter())
+      seqPass(cdL, caL, cdC, caC, _ => ())
+      val tDcL = optimalTable(cdL.freq); val tAcL = optimalTable(caL.freq)
+      val tDcC = optimalTable(cdC.freq); val tAcC = optimalTable(caC.freq)
+      seqTables = Some((tDcL, tAcL, tDcC, tAcC))
+      startScan()
+      seqPass(
+        new Writer(encodingTable(tDcL._1, tDcL._2)),
+        new Writer(encodingTable(tAcL._1, tAcL._2)),
+        new Writer(encodingTable(tDcC._1, tDcC._2)),
+        new Writer(encodingTable(tAcC._1, tAcC._2)),
+        bi => {
+          bw.flush()
+          payload.write(0xff)
+          payload.write(0xd0 + (bi / restartInterval - 1) % 8)
+        })
+      bw.flush()
+      scans += ((Array.emptyByteArray,
+        Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
     } else {
       // quantize every block once; the scans re-walk the coefficients.
       // Each scan is coded TWICE with the same deterministic symbol walk:
@@ -438,20 +540,6 @@ object JpegCodec {
       val coefs = Array.tabulate(3, nby * nbx) { (c, bi) =>
         quantizeBlock(planesArr(c), bi % nbx, bi / nbx, qsArr(c))
       }
-      // a symbol sink abstracts count-vs-write so both passes share one walk
-      abstract class Sink { def sym(s: Int): Unit; def raw(v: Int, n: Int): Unit }
-      final class Counter(val freq: Array[Long] = new Array[Long](256)) extends Sink {
-        def sym(s: Int): Unit = freq(s) += 1
-        def raw(v: Int, n: Int): Unit = ()
-      }
-      final class Writer(enc: Array[(Int, Int)]) extends Sink {
-        def sym(s: Int): Unit = {
-          val e = enc(s)
-          require(e != null, f"symbol 0x$s%02x missing from scan table")
-          bw.put(e._1, e._2)
-        }
-        def raw(v: Int, n: Int): Unit = if (n > 0) bw.put(v, n)
-      }
       def dhtSeg(entries: (Int, Int, Array[Int], Array[Int])*): Array[Byte] = {
         val o = new java.io.ByteArrayOutputStream()
         o.write(0xff); o.write(0xc4)
@@ -464,13 +552,6 @@ object JpegCodec {
           vals.foreach(o.write)
         }
         o.toByteArray
-      }
-      def emitDcSym(zz0: Int, comp: Int, sink: Sink): Unit = {
-        val diff = zz0 - pred(comp)
-        pred(comp) = zz0
-        val cat = magnitudeCategory(diff)
-        sink.sym(cat)
-        if (cat > 0) sink.raw(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
       }
       // scan 1: interleaved DC of all components (Ss=0 Se=0 Ah=0 Al=0)
       def dcPass(sinkL: Sink, sinkC: Sink): Unit = {
@@ -555,17 +636,20 @@ object JpegCodec {
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xff); u8(m) }
     marker(0xd8) // SOI
-    marker(0xe0); u16(16) // APP0 JFIF
-    out.write("JFIF".getBytes); u8(0); u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    if (precision == 8) { // JFIF is defined for 8-bit samples only
+      marker(0xe0); u16(16) // APP0 JFIF
+      out.write("JFIF".getBytes); u8(0); u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    }
     def dqt(id: Int, q: Array[Int]): Unit = {
       marker(0xdb); u16(67); u8(id)
       var i = 0
       while (i < 64) { u8(q(Zigzag(i))); i += 1 }
     }
     dqt(0, lumaQ); dqt(1, chromaQ)
-    // SOF0 (baseline) or SOF2 (progressive) — identical layout
-    marker(if (progressive) 0xc2 else 0xc0)
-    u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3)
+    // SOF0 (baseline), SOF1 (12-bit extended sequential) or SOF2
+    // (progressive) — identical layout, differing precision byte
+    marker(if (progressive) 0xc2 else if (precision == 12) 0xc1 else 0xc0)
+    u16(8 + 3 * 3); u8(precision); u16(h); u16(w); u8(3)
     u8(1); u8(0x11); u8(0) // Y: 1x1, q0
     u8(2); u8(0x11); u8(1) // Cb
     u8(3); u8(0x11); u8(1) // Cr
@@ -575,11 +659,17 @@ object JpegCodec {
       while (i <= 16) { u8(bits(i)); i += 1 }
       vals.foreach(u8)
     }
-    // baseline ships the Annex K defaults up front; progressive scans each
-    // carry their own optimized DHT in the pre-SOS preamble instead
-    if (!progressive) {
-      dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
-      dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+    // 8-bit baseline ships the Annex K defaults up front; 12-bit ships its
+    // counted optimal tables (Annex K cannot code 12-bit categories);
+    // progressive scans each carry their own DHT in the pre-SOS preamble
+    seqTables match {
+      case Some((tDcL, tAcL, tDcC, tAcC)) =>
+        dht(0, 0, tDcL._1, tDcL._2); dht(1, 0, tAcL._1, tAcL._2)
+        dht(0, 1, tDcC._1, tDcC._2); dht(1, 1, tAcC._1, tAcC._2)
+      case None if !progressive =>
+        dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
+        dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+      case None => ()
     }
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     scans.foreach { case (preamble, sosBody, pay) =>
@@ -674,9 +764,10 @@ object JpegCodec {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
-  /** Decode a baseline/extended-sequential/PROGRESSIVE Huffman JPEG into
-    * (width, height, RGB bytes row-major top-down). Grayscale replicates;
-    * arithmetic/12-bit refuse loudly. */
+  /** Decode a baseline/extended-sequential/PROGRESSIVE Huffman JPEG, at
+    * 8- or 12-bit sample precision, into (width, height, RGB bytes
+    * row-major top-down — 12-bit normalizes to 8). Grayscale replicates;
+    * arithmetic coding refuses loudly. */
   def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
@@ -684,7 +775,7 @@ object JpegCodec {
     val quant = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var prec = 8
     var restartInterval = 0
     // per component: id, hSamp, vSamp, quantId, dcId, acId
     var comps: Array[Array[Int]] = null
@@ -701,17 +792,22 @@ object JpegCodec {
         val len = u16(pos + 2)
         val seg = pos + 4
         m match {
-          case 0xdb => // DQT: one or more tables
+          case 0xdb => // DQT: one or more tables, 8- or 16-bit entries
             var p = seg
             while (p < pos + 2 + len) {
               val pq = (b(p) & 0xff) >> 4
               val tq = b(p) & 0x0f
-              require(pq == 0, "only 8-bit quantization tables")
+              require(pq == 0 || pq == 1, s"bad quantization precision $pq")
               val t = new Array[Int](64)
               var i = 0
-              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              while (i < 64) {
+                t(Zigzag(i)) =
+                  if (pq == 0) b(p + 1 + i) & 0xff
+                  else ((b(p + 1 + 2 * i) & 0xff) << 8) | (b(p + 2 + 2 * i) & 0xff)
+                i += 1
+              }
               quant(tq) = t
-              p += 65
+              p += 1 + (if (pq == 0) 64 else 128)
             }
           case 0xc4 => // DHT: one or more tables
             var p = seg
@@ -730,7 +826,9 @@ object JpegCodec {
               p += 17 + total
             }
           case 0xc0 | 0xc1 => // SOF0 / SOF1 (both Huffman sequential)
-            require((b(seg) & 0xff) == 8, "only 8-bit precision JPEG")
+            prec = b(seg) & 0xff
+            require(prec == 8 || (prec == 12 && m == 0xc1),
+              s"unsupported JPEG precision $prec for SOF ${m & 0xf}")
             h = u16(seg + 1); w = u16(seg + 3)
             val n = b(seg + 5) & 0xff
             require(n == 1 || n == 3, s"unsupported component count $n")
@@ -835,9 +933,13 @@ object JpegCodec {
             }
             val px = idct(coef)
             val bx = (mx * c(1) + hh) * 8; val byy = (my * c(2) + v) * 8
+            // normalize to the 8-bit domain at fill time: 12-bit samples
+            // carry 16x the amplitude and a 2048 level shift
+            val inv = 1.0 / (1 << (prec - 8))
             var i = 0
             while (i < 64) {
-              planes(ci)((byy + i / 8) * planeW(ci) + bx + i % 8) = px(i) + 128
+              planes(ci)((byy + i / 8) * planeW(ci) + bx + i % 8) =
+                px(i) * inv + 128
               i += 1
             }
             hh += 1
@@ -871,7 +973,7 @@ object JpegCodec {
     var restartInterval = 0
     // per component: id, hSamp, vSamp, quantId, dcId, acId
     var comps: Array[Array[Int]] = null
-    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0; var prec = 8
     // per component: coefficient buffer over the MCU-padded block grid
     // (natural order within each 64-coef block), and its width in blocks
     var coefs: Array[Array[Int]] = null
@@ -1062,12 +1164,17 @@ object JpegCodec {
             while (p < pos + 2 + len) {
               val pq = (b(p) & 0xff) >> 4
               val tq = b(p) & 0x0f
-              require(pq == 0, "only 8-bit quantization tables")
+              require(pq == 0 || pq == 1, s"bad quantization precision $pq")
               val t = new Array[Int](64)
               var i = 0
-              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              while (i < 64) {
+                t(Zigzag(i)) =
+                  if (pq == 0) b(p + 1 + i) & 0xff
+                  else ((b(p + 1 + 2 * i) & 0xff) << 8) | (b(p + 2 + 2 * i) & 0xff)
+                i += 1
+              }
               quant(tq) = t
-              p += 65
+              p += 1 + (if (pq == 0) 64 else 128)
             }
           case 0xc4 =>
             var p = seg
@@ -1087,7 +1194,8 @@ object JpegCodec {
             }
           case 0xc2 =>
             require(comps == null, "multiple SOF markers")
-            require((b(seg) & 0xff) == 8, "only 8-bit precision JPEG")
+            prec = b(seg) & 0xff
+            require(prec == 8 || prec == 12, s"unsupported JPEG precision $prec")
             h = u16(seg + 1); w = u16(seg + 3)
             require(w > 0 && h > 0, "missing SOF dimensions")
             val n = b(seg + 5) & 0xff
@@ -1182,7 +1290,8 @@ object JpegCodec {
           val bx = bCol * 8; val byy = bRow * 8
           var j = 0
           while (j < 64) {
-            planes(ci)((byy + j / 8) * planeW(ci) + bx + j % 8) = px(j) + 128
+            planes(ci)((byy + j / 8) * planeW(ci) + bx + j % 8) =
+              px(j) / (1 << (prec - 8)) + 128
             j += 1
           }
           bCol += 1

@@ -341,6 +341,71 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("12-BIT precision (SOF1 extended sequential): round-trips within " +
+      "a TIGHTER error budget than 8-bit, ships counted optimal tables") {
+    for ((w, h) <- Seq((16, 16), (17, 9), (40, 24))) {
+      val img = gradient(w, h)
+      val bytes = JpegCodec.encode(w, h, img, quality = 90, precision = 12)
+      // SOF1 with precision byte 12 (no JFIF APP0 — it is 8-bit-only, so
+      // SOF1 follows SOI + DQT directly)
+      val sof = bytes.indices.find(i => (bytes(i) & 0xff) == 0xff &&
+        i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xc1).get
+      assert((bytes(sof + 4) & 0xff) == 12, "SOF1 precision byte")
+      val (dw, dh, out) = JpegCodec.decode(bytes)
+      assert((dw, dh) == (w, h), s"dims for ${w}x$h")
+      val (maxE, meanE) = errs(img, out)
+      // same quant tables act on 16x-amplified samples, so relative
+      // quantization error shrinks ~16x: demand clearly better than the
+      // 8-bit budget (max <= 20, mean <= 5)
+      assert(maxE <= 6 && meanE <= 1.5,
+        s"12-bit ${w}x$h error too high: max=$maxE mean=$meanE")
+      val (maxE8, _) = errs(img,
+        JpegCodec.decode(JpegCodec.encode(w, h, img, quality = 90))._3)
+      assert(maxE <= maxE8,
+        s"12-bit (max $maxE) must not be worse than 8-bit (max $maxE8)")
+    }
+    // restart markers work in 12-bit mode too (block-indexed intervals)
+    val img = gradient(32, 24)
+    val rst = JpegCodec.encode(32, 24, img, quality = 90,
+      restartInterval = 2, precision = 12)
+    val plain = JpegCodec.encode(32, 24, img, quality = 90, precision = 12)
+    val (_, _, a) = JpegCodec.decode(rst)
+    val (_, _, b) = JpegCodec.decode(plain)
+    assert(a.sameElements(b),
+      "12-bit restart-marker decode must match the marker-free stream")
+    // 16-bit quantization-table entries (DQT pq=1, the 12-bit-profile
+    // form): widen every DQT segment in place — decode must be identical
+    def widenDqt(bytes: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(bytes, 0, 2)
+      var i = 2
+      var headers = true
+      while (headers && i + 1 < bytes.length) {
+        if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xdb) {
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          assert(len == 67, "fixture DQT must hold one 8-bit table")
+          o.write(0xff); o.write(0xdb)
+          o.write(0); o.write(2 + 1 + 128)
+          o.write(0x10 | (bytes(i + 4) & 0x0f))
+          for (k <- 0 until 64) { o.write(0); o.write(bytes(i + 5 + k) & 0xff) }
+          i += 2 + len
+        } else if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda) {
+          o.write(bytes, i, bytes.length - i); headers = false
+        } else { o.write(bytes(i) & 0xff); i += 1 }
+      }
+      o.toByteArray
+    }
+    val (_, _, c16) = JpegCodec.decode(widenDqt(plain))
+    assert(c16.sameElements(b), "pq=1 16-bit DQT entries must decode identically")
+    // and a pq nibble of 2 is malformed — refuse loudly
+    val badPq = plain.clone()
+    val dqt = badPq.indices.find(i => (badPq(i) & 0xff) == 0xff &&
+      i + 1 < badPq.length && (badPq(i + 1) & 0xff) == 0xdb).get
+    badPq(dqt + 4) = 0x20.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(badPq))
+    assert(e.getMessage.contains("quantization precision"), e.getMessage)
+  }
+
   test("decode() sniffs JPEG by magic and reports real dimensions") {
     val img = gradient(24, 8)
     val f = MediaCodec.decode(MediaRecord(6L, "image",
