@@ -474,6 +474,20 @@ object LlmQueries {
     Corpus.bpeTrain(t(s, dir, "documents"), "text", "doc_id", rounds = 3)
       .orderBy("round")
 
+  /** Tokenizer INFERENCE ([[Corpus.bpeApplyMerges]]): train 3 merges, then
+    * ENCODE the corpus with them in one zero-shuffle projection (the
+    * min-rank-iterate semantics every production BPE tokenizer uses). The
+    * oracle re-derives the same 3 winners in SQL and replays the merges
+    * round by round, hash-checking every document's tokenized text and
+    * final token count. */
+  def pipeBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Corpus.bpeTrain(docs, "text", "doc_id", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Corpus.bpeApplyMerges(docs, "text", "doc_id", merges).orderBy("doc_id")
+  }
+
   /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
     * 10-token windows (w=50 in production; 10 suits the short synthetic
     * docs) whose text repeats anywhere in the corpus, non-canonical
@@ -798,6 +812,7 @@ object LlmQueries {
     "pipe_bpe_pairs"    -> (pipeBpePairs _),
     "pipe_bpe_merge"    -> (pipeBpeMerge _),
     "pipe_bpe_train"    -> (pipeBpeTrain _),
+    "pipe_bpe_apply"    -> (pipeBpeApply _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
     "sim_topk_brute"    -> (simTopkBrute _),
@@ -1029,8 +1044,24 @@ object LlmQueries {
       SELECT * FROM ($roundRows) ORDER BY round"""
   }
 
+  /** Same macro-expanded round replay as [[bpeTrainOracleSql]], but the
+    * result is the ENCODED CORPUS after the final round — what
+    * [[Corpus.bpeApplyMerges]] produces when fed its own trainer's merge
+    * table (self-trained ranks are causal, so min-rank-iterate encoding
+    * equals the trainer's sequential rounds). */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val trainSql = bpeTrainOracleSql(rounds)
+    val ctesEnd = trainSql.lastIndexOf("SELECT * FROM")
+    trainSql.substring(0, ctesEnd) +
+      s"""SELECT doc_id,
+        coalesce(string_agg(otk, ' ' ORDER BY i), '') AS tokenized_text,
+        CAST(count(*) - sum(mrg) AS BIGINT) AS n_tokens
+      FROM out$rounds GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "pipe_bpe_train" -> bpeTrainOracleSql(3),
+    "pipe_bpe_apply" -> bpeApplyOracleSql(3),
     "dd_exact" -> """
       SELECT doc_id,
         COUNT(*) OVER (PARTITION BY text) AS n_copies,

@@ -625,6 +625,60 @@ object Corpus {
       .toDF("round", "pair_a", "pair_b", "cnt", "n_merges")
   }
 
+  /** Tokenizer INFERENCE: apply a learned merge table ([[bpeTrain]]'s
+    * output, or any ranked `(a, b)` list) to every document — the encode
+    * side of BPE. Merges apply in RANK order with the same greedy
+    * leftmost-non-overlapping scan training used, so encoding a corpus
+    * with the merges its own trainer learned reproduces the trainer's
+    * final text exactly (spec-pinned).
+    *
+    * Returns one row per document: `(id, tokenized_text, n_tokens)`.
+    *
+    * Scale shape: ONE corpus scan, ZERO shuffle — a pure typed projection
+    * (embarrassingly parallel across documents). Per document the loop
+    * merges the lowest-rank pair PRESENT and rescans, so cost is
+    * O(distinct merges present × tokens), not O(vocabulary × tokens): a
+    * 30k-merge production vocabulary costs per-document work proportional
+    * to the merges that actually fire there, while a merge table swept
+    * merge-by-merge over the corpus would re-scan 100 TB 30k times. The
+    * merge list broadcasts with the task closure (a vocabulary is KBs–MBs,
+    * closure scale, not data scale). */
+  def bpeApplyMerges(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" "),
+        s"malformed merge pair ('$a', '$b')")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap // first occurrence wins duplicate ranks
+    df.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var t = text.split(" ", -1)
+        var done = false
+        while (!done) {
+          // lowest-rank pair present anywhere in the document
+          var best = Int.MaxValue
+          var i = 0
+          while (i + 1 < t.length) {
+            val r = rank.getOrElse((t(i), t(i + 1)), Int.MaxValue)
+            if (r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (a, b) = merges(best)
+            t = greedyMergePass(t, a, b)._1
+          }
+        }
+        (id, t.mkString(" "), t.length.toLong)
+      }
+      .toDF(idCol, "tokenized_text", "n_tokens")
+  }
+
   /** One greedy merge scan over a token sequence: leftmost,
     * non-overlapping — a matched position consumes its right neighbor, so
     * the scan resumes PAST it and a merged token never chains into another

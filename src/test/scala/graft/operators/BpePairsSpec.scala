@@ -111,6 +111,38 @@ class BpePairsSpec extends AnyFunSuite {
       (3L, "t", "he", 4L, 4L)), s"unexpected merge table: $got")
   }
 
+  test("bpeApplyMerges (tokenizer inference) encodes with min-rank-iterate " +
+      "semantics and reproduces its own trainer's final corpus exactly") {
+    val df = Seq(
+      (1L, "t h e c a t t h e h a t"),
+      (2L, "t h e m a t t h e c a t"),
+      (3L, "a h a t")).toDF("id", "text")
+    val merges = Corpus.bpeTrain(df, "text", "id", rounds = 3)
+      .orderBy("round")
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val got = Corpus.bpeApplyMerges(df, "text", "id", merges)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // self-trained ranks are causal, so the one-scan encode must equal the
+    // trainer's sequential rounds (the hand-verified corpus from above)
+    assert(got == Seq(
+      (1L, "the c at the h at", 6L),
+      (2L, "the m at the c at", 6L),
+      (3L, "a h at", 3L)), s"unexpected encode: $got")
+    // a LATER merge can unlock an EARLIER-involving pair only through the
+    // canonical iterate-until-fixpoint semantics: rank 0 = (x, yz) fires
+    // only AFTER rank 1 = (y, z) creates the yz token
+    val chained = Seq((1L, "x y z")).toDF("id", "text")
+    val enc = Corpus.bpeApplyMerges(chained, "text", "id",
+      Seq(("x", "yz"), ("y", "z")))
+      .as[(Long, String, Long)].collect().head
+    assert(enc == ((1L, "xyz", 1L)),
+      s"min-rank iteration must revisit lower ranks after a merge: $enc")
+    // malformed pairs refuse loudly
+    intercept[IllegalArgumentException](
+      Corpus.bpeApplyMerges(df, "text", "id", Seq(("", "x"))))
+  }
+
   test("bpeTrain stops early when the corpus runs dry of well-formed pairs") {
     // one two-token doc: round 1 merges it into a single token, round 2
     // finds no adjacent pair at all — the trainer must return 1 row, not
