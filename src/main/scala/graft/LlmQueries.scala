@@ -403,6 +403,19 @@ object LlmQueries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** FUZZY decontamination ([[Dedup.decontaminateFuzzy]]): drop corpus
+    * docs NEAR-duplicate (shingle-Jaccard >= 0.5) to any benchmark doc —
+    * candidates from a corpus x benchmark MinHash-LSH bucket join, exact
+    * verification. The oracle replays the exact all-pairs Jaccard against
+    * the benchmark set in SQL, so it also PINS the LSH recall: a
+    * qualifying pair the banding missed would hash-mismatch. */
+  def pipeDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateFuzzy(docs, docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, threshold = 0.5)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Deterministic stratified mixture sampling by language: downsample
     * over-represented strata with a portable hash-uniform, reproducible
     * by the oracle (and by any reader of the recipe). */
@@ -800,6 +813,7 @@ object LlmQueries {
     "tx_repetition"     -> (txRepetition _),
     "tx_redact"         -> (txRedact _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
+    "pipe_decontam_fuzzy" -> (pipeDecontaminateFuzzy _),
     "pipe_sample_mix"   -> (pipeSampleMix _),
     "pipe_shuffle"      -> (pipeShuffle _),
     "pipe_source_filter" -> (pipeSourceFilter _),
@@ -1227,6 +1241,17 @@ object LlmQueries {
              ELSE 0.0 END AS top_ngram_frac
       FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id
       ORDER BY d.doc_id""",
+    // fuzzy decontamination: exact all-pairs Jaccard vs the benchmark set
+    // (empty-shingle docs can never match; a benchmark doc matches itself)
+    "pipe_decontam_fuzzy" -> (shingleCte + """
+      , shf AS (SELECT * FROM sh WHERE len(s) > 0),
+      bench AS (SELECT * FROM shf WHERE doc_id % 17 = 0),
+      hit AS (SELECT DISTINCT a.doc_id FROM shf a JOIN bench b ON
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY doc_id"""),
     "pipe_decontaminate" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id,

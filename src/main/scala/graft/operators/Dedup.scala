@@ -106,6 +106,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** FUZZY decontamination: drop every corpus document NEAR-DUPLICATE to
+    * any benchmark/eval document — the near-dup analogue of
+    * [[Corpus.decontaminate]]'s exact n-gram overlap (a lightly
+    * paraphrased eval question shares few exact 5-grams but most of its
+    * shingle set; this is the leak exact matching misses). Candidates come
+    * from a MinHash-LSH bucket join ACROSS the two sets, then exact
+    * shingle-Jaccard verification at `threshold`; matched corpus ids are
+    * anti-joined away. A benchmark document that itself appears in the
+    * corpus matches itself (Jaccard 1) and is dropped.
+    *
+    * Scale shape: identical to [[minhashDedup]] — shuffle O(rows × bands),
+    * verification O(candidates), degenerate buckets capped by an
+    * aggregation + semi-join — except the join is corpus × BENCHMARK:
+    * benchmark bucket/shingle tables are benchmark-sized (thousands of
+    * rows), so AQE broadcasts them and the corpus side never self-joins.
+    * The corpus shingle+signature pipeline materializes once behind an
+    * id-keyed exchange that both its consumers (bucket generation and
+    * verify probe) replay. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 2000): DataFrame = {
+    def shingled(df: DataFrame) =
+      df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+    def bucketed(sh: DataFrame) = sh
+      .withColumn("sig", graft.functions.MinHash.minhash(col("sh"), k))
+      .withColumn("bands", TF.lshBands(col("sig"), k, bands))
+      .select(col("id"), explode(col("bands")).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val shC = shingled(corpus).repartition(col("id")) // materialization point
+    val shB = shingled(benchmark)
+    val bC = bucketed(shC)
+    val bB = bucketed(shB)
+    // cap Zipf-degenerate CORPUS buckets (the benchmark side is small by
+    // construction): aggregation + semi-join, never a window
+    val smallEnough = bC.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cand = bC.join(smallEnough, Seq("band", "bucket"), "left_semi")
+      .as("x")
+      .join(bB.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_c"), col("y.id").as("id_b"))
+      .distinct()
+    val hits = cand
+      .join(shC.select(col("id").as("id_c"), col("sh").as("sh_c")), "id_c")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(TF.jaccard(col("sh_c"), col("sh_b")) >= threshold)
+      .select(col("id_c").as(idCol))
+      .distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit SimHash over shingles, candidates
     * from banding the hash into 4 16-bit blocks, verified by exact Hamming
     * distance. NOTE (recall contract): the pigeonhole guarantee only covers

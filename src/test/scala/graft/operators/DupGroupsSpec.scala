@@ -31,4 +31,31 @@ class DupGroupsSpec extends AnyFunSuite {
       .collect().toMap
     assert(got.size == 13 && got.values.forall(_ == 0L))
   }
+
+  test("decontaminateFuzzy drops near-duplicates of the benchmark set " +
+      "(paraphrases exact n-gram decontamination misses), keeps the rest") {
+    val bench = Seq(
+      (100L, "what is the capital of france and where is it located")
+    ).toDF("id", "text")
+    val corpus = Seq(
+      // light paraphrase: most 3-shingles shared -> Jaccard above 0.5
+      (1L, "what is the capital of france and where is it found"),
+      // unrelated: survives
+      (2L, "entirely different text about cooking pasta at home tonight"),
+      // verbatim benchmark copy: Jaccard 1, dropped
+      (3L, "what is the capital of france and where is it located"),
+      // shares a few words but far below threshold: survives
+      (4L, "the capital markets of france closed early where trading halted"),
+      // too short to shingle (n=3 needs 3 tokens): can never match, survives
+      (5L, "hi there")).toDF("id", "text")
+    val kept = Dedup.decontaminateFuzzy(corpus, bench, "text", "id",
+        n = 3, threshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L), s"unexpected survivors: $kept")
+    // benchmark set living INSIDE the corpus: self-match drops it
+    val self = Dedup.decontaminateFuzzy(corpus, corpus.filter($"id" === 2L),
+        "text", "id", n = 3, threshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(self == Seq(1L, 3L, 4L, 5L), "a doc must match itself (J = 1)")
+  }
 }
