@@ -488,11 +488,12 @@ object LlmQueries {
       .orderBy("round")
 
   /** Tokenizer INFERENCE ([[Corpus.bpeApplyMerges]]): train 3 merges, then
-    * ENCODE the corpus with them in one zero-shuffle projection (the
-    * min-rank-iterate semantics every production BPE tokenizer uses). The
-    * oracle re-derives the same 3 winners in SQL and replays the merges
-    * round by round, hash-checking every document's tokenized text and
-    * final token count. */
+    * ENCODE the corpus with them in one zero-shuffle projection — a
+    * trainer-faithful rank-order sweep (each merge one greedy pass, absent
+    * merges skipped O(1)), so the encode equals the trainer's own output
+    * unconditionally, aliasing corpora included. The oracle re-derives the
+    * same 3 winners in SQL and replays the merges round by round,
+    * hash-checking every document's tokenized text and token count. */
   def pipeBpeApply(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = Corpus.bpeTrain(docs, "text", "doc_id", rounds = 3)

@@ -627,22 +627,26 @@ object Corpus {
 
   /** Tokenizer INFERENCE: apply a learned merge table ([[bpeTrain]]'s
     * output, or any ranked `(a, b)` list) to every document — the encode
-    * side of BPE. Merges apply in RANK order with the same greedy
-    * leftmost-non-overlapping scan training used, so encoding a corpus
-    * with the merges its own trainer learned reproduces the trainer's
-    * final text exactly (spec-pinned).
+    * side of BPE. Merges replay in RANK order, one greedy
+    * leftmost-non-overlapping pass each (exactly the trainer's apply), so
+    * encoding a corpus with the merges its own trainer learned reproduces
+    * the trainer's final text UNCONDITIONALLY (spec-pinned) — including
+    * on ALIASING corpora (a literal token "ab" coexisting with separate
+    * "a" "b" tokens), where the min-rank-ITERATE semantics some tokenizers
+    * use would re-fire an earlier rank after a later merge recreates its
+    * pair and silently diverge from the trained vocabulary's statistics.
     *
     * Returns one row per document: `(id, tokenized_text, n_tokens)`.
     *
     * Scale shape: ONE corpus scan, ZERO shuffle — a pure typed projection
-    * (embarrassingly parallel across documents). Per document the loop
-    * merges the lowest-rank pair PRESENT and rescans, so cost is
-    * O(distinct merges present × tokens), not O(vocabulary × tokens): a
-    * 30k-merge production vocabulary costs per-document work proportional
-    * to the merges that actually fire there, while a merge table swept
-    * merge-by-merge over the corpus would re-scan 100 TB 30k times. The
-    * merge list broadcasts with the task closure (a vocabulary is KBs–MBs,
-    * closure scale, not data scale). */
+    * (embarrassingly parallel across documents). Per document, a live
+    * adjacent-pair index skips absent merges in O(1), so cost is
+    * O(tokens + merges-APPLIED × tokens + vocabulary) — a 30k-merge
+    * production vocabulary costs per-document work proportional to the
+    * merges that actually fire there, not 30k token scans, while sweeping
+    * the table merge-by-merge over the CORPUS would re-scan 100 TB 30k
+    * times. The merge list broadcasts with the task closure (a vocabulary
+    * is KBs–MBs, closure scale, not data scale). */
   def bpeApplyMerges(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     merges.foreach { case (a, b) =>
@@ -651,28 +655,31 @@ object Corpus {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val rank: Map[(String, String), Int] =
-      merges.zipWithIndex.toMap // first occurrence wins duplicate ranks
+    val mergeList = merges.toArray
     df.select(col(idCol).cast("long"),
         coalesce(col(textCol), lit("")).cast("string"))
       .as[(Long, String)]
       .map { case (id, text) =>
         var t = text.split(" ", -1)
-        var done = false
-        while (!done) {
-          // lowest-rank pair present anywhere in the document
-          var best = Int.MaxValue
+        // live index of the document's adjacent pairs: O(1) "is this merge
+        // present?" per rank, rebuilt only after a merge actually fires
+        // (each firing shrinks the token array, so rebuilds are bounded by
+        // tokens, not by vocabulary size)
+        var present = scala.collection.mutable.HashSet.empty[(String, String)]
+        def reindex(): Unit = {
+          present = scala.collection.mutable.HashSet.empty[(String, String)]
           var i = 0
-          while (i + 1 < t.length) {
-            val r = rank.getOrElse((t(i), t(i + 1)), Int.MaxValue)
-            if (r < best) best = r
-            i += 1
+          while (i + 1 < t.length) { present.add((t(i), t(i + 1))); i += 1 }
+        }
+        reindex()
+        var r = 0
+        while (r < mergeList.length) {
+          if (present.contains(mergeList(r))) {
+            val (a, b) = mergeList(r)
+            val (merged, n) = greedyMergePass(t, a, b)
+            if (n > 0) { t = merged; reindex() }
           }
-          if (best == Int.MaxValue) done = true
-          else {
-            val (a, b) = merges(best)
-            t = greedyMergePass(t, a, b)._1
-          }
+          r += 1
         }
         (id, t.mkString(" "), t.length.toLong)
       }

@@ -123,6 +123,18 @@ class PushdownGuardSpec extends AnyFunSuite {
       s"fingerprint flagging regressed to a ranking window:\n$plan")
   }
 
+  test("fuzzy decontamination: equi-joins only (no cartesian), and the " +
+      "benchmark-sized tables broadcast at runtime") {
+    val df = SparkEntry.queries("pipe_decontam_fuzzy")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy decontamination planned a product join:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"benchmark-sized join sides must broadcast (AQE):\n$finalPlan")
+  }
+
   test("cluster-balance touches the corpus exactly twice (census + probe) " +
       "and the census plan broadcasts") {
     val plan = formatted("pipe_cluster_mix")

@@ -129,15 +129,41 @@ class BpePairsSpec extends AnyFunSuite {
       (1L, "the c at the h at", 6L),
       (2L, "the m at the c at", 6L),
       (3L, "a h at", 3L)), s"unexpected encode: $got")
-    // a LATER merge can unlock an EARLIER-involving pair only through the
-    // canonical iterate-until-fixpoint semantics: rank 0 = (x, yz) fires
-    // only AFTER rank 1 = (y, z) creates the yz token
+    // TRAINER-FAITHFUL rank sweep, not min-rank-iterate: rank 0 = (x, yz)
+    // is absent when its turn comes and must NOT re-fire after rank 1
+    // creates a yz token — a real trainer would have learned (x, yz) only
+    // AFTER (y, z), so a rank-ordered table never needs reactivation, and
+    // on ALIASING corpora (literal "yz" token coexisting with "y" "z")
+    // re-firing would diverge from the trained vocabulary's statistics
     val chained = Seq((1L, "x y z")).toDF("id", "text")
     val enc = Corpus.bpeApplyMerges(chained, "text", "id",
       Seq(("x", "yz"), ("y", "z")))
       .as[(Long, String, Long)].collect().head
-    assert(enc == ((1L, "xyz", 1L)),
-      s"min-rank iteration must revisit lower ranks after a merge: $enc")
+    assert(enc == ((1L, "x yz", 2L)),
+      s"rank sweep must not revisit earlier ranks: $enc")
+    // aliasing corpus end-to-end: the trainer's own merges replay to the
+    // trainer's own output even when a later merge RECREATES an earlier
+    // pair's text ("ab" exists both as a literal token and as a+b)
+    val alias = Seq(
+      (1L, "ab c ab c ab c a b c"),
+      (2L, "a b a b ab c")).toDF("id", "text")
+    val m = Corpus.bpeTrain(alias, "text", "id", rounds = 2)
+      .orderBy("round")
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val viaTrainer = {
+      var cur = alias
+      m.foreach { case (a, b) =>
+        cur = Corpus.bpeMergeApply(cur, "text", "id", a, b)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("merged_text").as("text"))
+      }
+      cur.as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val viaApply = Corpus.bpeApplyMerges(alias, "text", "id", m)
+      .as[(Long, String, Long)].collect().sortBy(_._1).map(r => (r._1, r._2)).toSeq
+    assert(viaApply == viaTrainer,
+      s"aliasing corpus diverged: apply=$viaApply trainer=$viaTrainer")
     // malformed pairs refuse loudly
     intercept[IllegalArgumentException](
       Corpus.bpeApplyMerges(df, "text", "id", Seq(("", "x"))))
