@@ -123,6 +123,18 @@ class PushdownGuardSpec extends AnyFunSuite {
       s"fingerprint flagging regressed to a ranking window:\n$plan")
   }
 
+  test("bpe encode is a PURE PROJECTION: zero exchanges, one corpus scan " +
+      "(the vocabulary rides in the task closure, not a join)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Corpus.bpeApplyMerges(docs, "text", "doc_id",
+      Seq(("the", "cat"), ("a", "b")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"tokenizer encode must not shuffle:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$p")
+  }
+
   test("fuzzy decontamination: equi-joins only (no cartesian), and the " +
       "benchmark-sized tables broadcast at runtime") {
     val df = SparkEntry.queries("pipe_decontam_fuzzy")(spark, sfDir)

@@ -122,4 +122,40 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
         Array(pal(i), pal(i + 1), pal(i + 2))
       })
     }
+
+  property("WAV depth carriers: 24/32-bit PCM and 32/64-bit float " +
+      "round-trip EXACTLY; 8-bit floors to the 256 lattice — any samples, " +
+      "rates, channel counts") =
+    Prop.forAll(for {
+      n <- Gen.choose(0, 200)
+      s <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+      rate <- Gen.choose(1, 192000)
+      ch <- Gen.choose(1, 8)
+    } yield (s.map(_.toShort).toArray, rate, ch)) { case (samples, rate, ch) =>
+      val exact = Seq((24, false), (32, false), (32, true), (64, false))
+        .forall { case (bits, f) =>
+          val (r, c, got) = MediaCodec.decodeWav(
+            MediaCodec.encodeWav(rate, ch, samples, bits, f))
+          r == rate && c == ch && got.sameElements(samples)
+        }
+      val (_, _, got8) = MediaCodec.decodeWav(
+        MediaCodec.encodeWav(rate, ch, samples, bits = 8))
+      exact && got8.sameElements(
+        samples.map(s0 => (((s0: Int) >> 8) << 8).toShort))
+    }
+
+  property("PNG sub-byte and 16-bit depths round-trip on their exact " +
+      "lattices for random dims and pixel patterns") =
+    Prop.forAll(for {
+      (w, h) <- dims
+      d <- Gen.oneOf(1, 2, 4, 16)
+      raw <- bytes(w * h)
+    } yield (w, h, d, raw)) { case (w, h, d, raw) =>
+      val dmax = if (d == 16) 255 else (1 << d) - 1
+      // quantize onto the depth's representable lattice
+      val px = raw.map(v => (((v & 0xff) * dmax / 255) * 255 / dmax).toByte)
+      val (_, _, out) = MediaCodec.decodePng(
+        MediaCodec.encodePng(w, h, 0, px, bitDepth = d))
+      eq(out, px.flatMap(g => Array(g, g, g)))
+    }
 }
