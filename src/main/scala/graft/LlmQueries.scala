@@ -403,6 +403,21 @@ object LlmQueries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** Synthetic hashed-classifier weights for the contract query: 64
+    * buckets, integer weights in [-10, 10], deterministic — the oracle
+    * embeds the identical literal list. */
+  private val ClassifierWeights: Array[Long] =
+    Array.tabulate(64)(i => ((i * 37 + 11) % 21 - 10).toLong)
+
+  /** Hashed-linear quality classifier ([[Corpus.hashedLinearScore]]):
+    * fasttext-slot model scoring as ONE codegen'd projection. The oracle
+    * replays the poly31 token hash, the bucket lookup, and the integer
+    * sum in pure SQL, so scores AND keep decisions hash-match exactly. */
+  def txClassify(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id",
+        ClassifierWeights, bias = 3L, threshold = 0L)
+      .orderBy("doc_id")
+
   /** FUZZY decontamination ([[Dedup.decontaminateFuzzy]]): drop corpus
     * docs NEAR-duplicate (shingle-Jaccard >= 0.5) to any benchmark doc —
     * candidates from a corpus x benchmark MinHash-LSH bucket join, exact
@@ -815,6 +830,7 @@ object LlmQueries {
     "tx_redact"         -> (txRedact _),
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_decontam_fuzzy" -> (pipeDecontaminateFuzzy _),
+    "tx_classify"       -> (txClassify _),
     "pipe_sample_mix"   -> (pipeSampleMix _),
     "pipe_shuffle"      -> (pipeShuffle _),
     "pipe_source_filter" -> (pipeSourceFilter _),
@@ -1242,6 +1258,25 @@ object LlmQueries {
              ELSE 0.0 END AS top_ngram_frac
       FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id
       ORDER BY d.doc_id""",
+    // hashed-linear classifier: token poly31 hash -> bucket -> weight sum,
+    // all integer, replayed with nested SQL lambdas over the SAME literal
+    // weight list the Spark side carries
+    "tx_classify" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+                    FROM documents),
+      sc AS (SELECT doc_id,
+        3 + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, tok ->
+          [${ClassifierWeights.mkString(", ")}][
+            CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(tok, '[^\\n]'),
+                  ch -> CAST(ascii(ch) AS BIGINT))),
+              (acc, x) -> (acc*31 + x) % 1000000007)
+              * 2654435761) % 1000000007) % ${ClassifierWeights.length}
+              AS INT) + 1])),
+          (acc, x) -> acc + x) AS score
+        FROM toks)
+      SELECT doc_id, CAST(score AS BIGINT) AS score, score >= 0 AS kept
+      FROM sc ORDER BY doc_id""",
     // fuzzy decontamination: exact all-pairs Jaccard vs the benchmark set
     // (empty-shingle docs can never match; a benchmark doc matches itself)
     "pipe_decontam_fuzzy" -> (shingleCte + """

@@ -625,6 +625,43 @@ object Corpus {
       .toDF("round", "pair_a", "pair_b", "cnt", "n_merges")
   }
 
+  /** Hashed-linear QUALITY CLASSIFIER — the "model-based filter" slot of a
+    * training-data pipeline (the role fasttext plays in CCNet/RefinedWeb):
+    * `score(doc) = bias + Σ_tokens weights[h(token) mod dim]` with the
+    * engine-portable poly31 hash, so a model trained OFFLINE applies at
+    * corpus scale and any other engine (or the DuckDB oracle) replays the
+    * decision bit-exactly — integer weights give integer scores, no float
+    * threshold boundary. Returns `(id, score, kept)`.
+    *
+    * Scale shape: ONE codegen'd projection — Catalyst higher-order
+    * functions end to end (split → transform → aggregate), no UDF, no
+    * shuffle, no join; the weight vector rides as an array literal
+    * (hashed-dim models are KBs–MBs — closure scale; for multi-GB
+    * embedding-table models, swap the literal lookup for a broadcast
+    * join keyed by feature id). */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+      weights: Array[Long], bias: Long = 0L, threshold: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    val dim = weights.length
+    // raw per-token char polynomial (NOT TF.rollingFingerprint, which
+    // canonicalizes whole documents) + the same Fibonacci finalizer the
+    // sampling operators use, mod the weight dimension
+    def tokHash(t: Column): Column = {
+      val poly = aggregate(
+        transform(regexp_extract_all(t, lit("[^\n]"), lit(0)),
+          c => ascii(c).cast(org.apache.spark.sql.types.LongType)),
+        lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+      ((poly * lit(2654435761L)) % lit(1000000007L)) % lit(dim.toLong)
+    }
+    val w = typedLit(weights.toSeq)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val score = lit(bias) + aggregate(
+      transform(toks, t => element_at(w, tokHash(t).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), score.as("score"))
+      .withColumn("kept", col("score") >= lit(threshold))
+  }
+
   /** Tokenizer INFERENCE: apply a learned merge table ([[bpeTrain]]'s
     * output, or any ranked `(a, b)` list) to every document — the encode
     * side of BPE. Merges replay in RANK order, one greedy

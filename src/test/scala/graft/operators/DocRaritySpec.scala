@@ -44,4 +44,34 @@ class DocRaritySpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq(1L, 2L))
     assert(got(1) == ((2L, 1L, 1L, 1L))) // "" occurs once corpus-wide
   }
+
+  test("hashedLinearScore: bucket-sum additivity, bias/threshold wiring, " +
+      "same token same bucket, kept flag") {
+    val w = Array.tabulate(16)(i => (i * 7 % 11 - 5).toLong)
+    def score(text: String, bias: Long = 0L): Long =
+      Corpus.hashedLinearScore(Seq((1L, text)).toDF("id", "text"),
+          "text", "id", w, bias = bias)
+        .select("score").as[Long].collect().head
+    // score is a sum of per-token bucket weights: concatenation adds
+    val (sa, sb, sab) = (score("alpha"), score("beta"), score("alpha beta"))
+    assert(sab == sa + sb, s"additivity: $sa + $sb != $sab")
+    // identical tokens hash identically (double weight)
+    assert(score("alpha alpha") == 2 * sa)
+    // bias shifts every score; threshold decides kept
+    assert(score("alpha", bias = 100L) == sa + 100L)
+    val flags = Corpus.hashedLinearScore(
+        Seq((1L, "alpha"), (2L, "alpha")).toDF("id", "text"),
+        "text", "id", w, threshold = sa)
+      .select("kept").as[Boolean].collect().toSeq
+    assert(flags == Seq(true, true), "score == threshold keeps")
+    val flags2 = Corpus.hashedLinearScore(
+        Seq((1L, "alpha")).toDF("id", "text"),
+        "text", "id", w, threshold = sa + 1)
+      .select("kept").as[Boolean].collect().toSeq
+    assert(flags2 == Seq(false), "score < threshold drops")
+    // degenerate: zero-dim weight table refuses
+    intercept[IllegalArgumentException](
+      Corpus.hashedLinearScore(Seq((1L, "x")).toDF("id", "text"),
+        "text", "id", Array.empty[Long]))
+  }
 }
