@@ -403,6 +403,19 @@ object LlmQueries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** BOUNDARY-AWARE packing ([[Corpus.packDocuments]]): greedy fill of
+    * 128-token sequences in doc-id order, whole documents only (oversized
+    * docs get their own sequence runs), 8 id-range buckets chained by the
+    * census. The oracle replays the sequential greedy recurrence with a
+    * RECURSIVE CTE per bucket plus the same cumulative bucket offsets,
+    * hash-checking every document's (seq_id, seq_offset). */
+  def pipePackDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+    Corpus.packDocuments(docs, "doc_id", "n_tokens", seqLen = 128, buckets = 8)
+      .orderBy("doc_id")
+  }
+
   /** Synthetic hashed-classifier weights for the contract query: 64
     * buckets, integer weights in [-10, 10], deterministic — the oracle
     * embeds the identical literal list. */
@@ -831,6 +844,7 @@ object LlmQueries {
     "pipe_decontaminate" -> (pipeDecontaminate _),
     "pipe_decontam_fuzzy" -> (pipeDecontaminateFuzzy _),
     "tx_classify"       -> (txClassify _),
+    "pipe_pack_docs"    -> (pipePackDocs _),
     "pipe_sample_mix"   -> (pipeSampleMix _),
     "pipe_shuffle"      -> (pipeShuffle _),
     "pipe_source_filter" -> (pipeSourceFilter _),
@@ -1258,6 +1272,56 @@ object LlmQueries {
              ELSE 0.0 END AS top_ngram_frac
       FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id
       ORDER BY d.doc_id""",
+    // boundary-aware packing: the greedy per-bucket fill is a sequential
+    // recurrence — a RECURSIVE CTE steps it document by document from a
+    // synthetic rn=0 state row per bucket; global ids chain through the
+    // same cumulative per-bucket census the operator uses (L = 128, 8
+    // id-range buckets, width replayed from max(doc_id))
+    "pipe_pack_docs" -> """
+      WITH RECURSIVE w AS (
+        SELECT GREATEST(1, (max(doc_id) + 8) // 8) AS wd FROM documents),
+      d AS (SELECT doc_id,
+              CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
+              CAST(doc_id // (SELECT wd FROM w) AS INT) AS b
+            FROM documents),
+      ord AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+              FROM d),
+      rec AS (
+        SELECT b, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS ls, CAST(NULL AS BIGINT) AS off,
+               CAST(NULL AS BIGINT) AS lsend,
+               CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS f
+        FROM (SELECT DISTINCT b FROM ord)
+        UNION ALL
+        SELECT o.b, o.rn, o.doc_id,
+          CASE WHEN o.n > 128 THEN (CASE WHEN r.f > 0 THEN r.s + 1 ELSE r.s END)
+               WHEN r.f + o.n > 128 THEN r.s + 1
+               ELSE r.s END,
+          CASE WHEN o.n > 128 OR r.f + o.n > 128 THEN 0 ELSE r.f END,
+          CASE WHEN o.n > 128 THEN (CASE WHEN r.f > 0 THEN r.s + 1 ELSE r.s END)
+                 + (o.n + 127) // 128 - 1
+               WHEN r.f + o.n > 128 THEN r.s + 1
+               ELSE r.s END,
+          CASE WHEN o.n > 128 THEN (CASE WHEN r.f > 0 THEN r.s + 1 ELSE r.s END)
+                 + (o.n + 127) // 128
+               WHEN r.f + o.n > 128 THEN (CASE WHEN o.n = 128 THEN r.s + 2
+                                               ELSE r.s + 1 END)
+               WHEN r.f + o.n = 128 THEN r.s + 1
+               ELSE r.s END,
+          CASE WHEN o.n > 128 THEN 0
+               WHEN r.f + o.n > 128 THEN (CASE WHEN o.n = 128 THEN 0 ELSE o.n END)
+               WHEN r.f + o.n = 128 THEN 0
+               ELSE r.f + o.n END
+        FROM rec r JOIN ord o ON o.b = r.b AND o.rn = r.rn + 1),
+      asg AS (SELECT b, doc_id, ls, off, lsend FROM rec WHERE rn > 0),
+      census AS (SELECT b, max(lsend) + 1 AS cnt FROM asg GROUP BY b),
+      offs AS (SELECT b, COALESCE(SUM(cnt) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+               FROM census)
+      SELECT a.doc_id, CAST(o.boff + a.ls AS BIGINT) AS seq_id,
+             CAST(a.off AS BIGINT) AS seq_offset
+      FROM asg a JOIN offs o USING (b)
+      ORDER BY a.doc_id""",
     // hashed-linear classifier: token poly31 hash -> bucket -> weight sum,
     // all integer, replayed with nested SQL lambdas over the SAME literal
     // weight list the Spark side carries

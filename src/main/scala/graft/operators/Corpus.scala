@@ -234,6 +234,99 @@ object Corpus {
       .drop("_b", "_before", "_off", "_start")
   }
 
+  /** BOUNDARY-AWARE sequence packing — the form real LLM data loaders use:
+    * documents fill fixed-length sequences GREEDILY in id order and are
+    * never split across sequences ([[packSequences]] concat-and-cuts,
+    * slicing documents at every boundary — boundary-aware packing trades a
+    * little padding for intact documents). A document that does not fit
+    * the current sequence's remainder starts a fresh one; a document
+    * LONGER than `seqLen` gets its own run of ⌈n/seqLen⌉ sequences
+    * (oversized documents are the only ones split), and the next document
+    * starts fresh after it. Returns one row per document:
+    * `(id, seq_id, seq_offset)` — the sequence and offset where the
+    * document's tokens begin.
+    *
+    * Scale shape: the greedy fill is a SEQUENTIAL recurrence, so it runs
+    * per id-range bucket — one shuffle keyed by bucket, an in-partition
+    * sort, and a single-pass `mapPartitions` carrying O(1) state; buckets
+    * auto-size like [[packSequences]] (sequences never span buckets, so
+    * buckets are independent). Global sequence ids chain through an
+    * O(buckets) driver-side offset table, exactly the two-pass census
+    * shape the other packers use; the slim (id, tokens) projection is
+    * persisted so the recurrence executes once for both the census and
+    * the output join. */
+  def packDocuments(df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int, buckets: Int = 0): DataFrame = {
+    require(seqLen >= 1 && buckets >= 0,
+      "seqLen must be positive; buckets must be >= 0 (0 = auto-size)")
+    val nBuckets = autoBuckets(df, buckets)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df.select(col(idCol).cast("long").as("_id"),
+      col(nTokensCol).cast("long").as("_n"))
+    val maxId = slim.agg(max(col("_id"))).head() match {
+      case r if r.isNullAt(0) =>
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("seq_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("seq_offset",
+              org.apache.spark.sql.types.LongType))))
+      case r => r.getLong(0)
+    }
+    val width = math.max(1L, (maxId + nBuckets) / nBuckets)
+    // the greedy recurrence, once per bucket (state resets on bucket change
+    // — one task may iterate several whole buckets, never a partial one)
+    val assigned = slim
+      .withColumn("_b", (col("_id") / lit(width)).cast("int"))
+      .repartition(col("_b"))
+      .sortWithinPartitions(col("_b"), col("_id"))
+      .select(col("_id"), col("_n"), col("_b"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curB = Int.MinValue
+        var seq = 0L
+        var fill = 0L
+        it.map { case (id, n, b) =>
+          if (b != curB) { curB = b; seq = 0L; fill = 0L }
+          if (n > seqLen) {
+            val start = if (fill > 0) seq + 1 else seq
+            val k = (n + seqLen - 1) / seqLen
+            seq = start + k; fill = 0L
+            (id, b, start, 0L, start + k - 1)
+          } else {
+            if (fill + n > seqLen) { seq += 1; fill = 0L }
+            val (ls, off) = (seq, fill)
+            fill += n
+            if (fill == seqLen) { seq += 1; fill = 0L }
+            (id, b, ls, off, ls)
+          }
+        }
+      }
+      .toDF("_id", "_b", "_ls", "seq_offset", "_lsEnd")
+    // the repartition above is the materialization point: the census
+    // aggregation below and the output join both contain the identical
+    // exchange subtree, so ReuseExchange replays ONE shuffle of the slim
+    // stream (the deterministic recurrence re-runs over the reused shuffle
+    // files — O(rows) of 24-byte tuples, no second corpus scan and no
+    // lingering cache)
+    val counts = assigned.groupBy(col("_b"))
+      .agg((max(col("_lsEnd")) + 1L).as("_cnt"))
+      .orderBy(col("_b")).collect()
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val offDf = spark.createDataFrame(offs.toSeq).toDF("_b", "_off")
+    assigned.join(broadcast(offDf), "_b")
+      .select(col("_id").as(idCol),
+        (col("_off") + col("_ls")).as("seq_id"),
+        col("seq_offset"))
+  }
+
   /** SOURCE-LEVEL filtering (RefinedWeb/CCNet-style): aggregate a per-doc
     * boolean signal by source and drop every document from sources where
     * the flagged share reaches `num/den` — boilerplate farms, spam domains,

@@ -75,4 +75,37 @@ class ChunkSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(one == got)
   }
+
+  test("packDocuments: boundary-aware greedy fill — whole docs, fresh " +
+      "sequence when the remainder is too small, oversized docs get " +
+      "their own sequence runs") {
+    val rows = Seq((1L, 50L), (2L, 60L), (3L, 20L), (4L, 300L), (5L, 10L),
+      (6L, 128L), (7L, 1L)).toDF("id", "n")
+    val got = Corpus.packDocuments(rows, "id", "n", seqLen = 128, buckets = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L),   // fill 50
+      (2L, 0L, 50L),  // 110 <= 128, packs behind doc 1
+      (3L, 1L, 0L),   // 110+20 > 128: fresh sequence
+      (4L, 2L, 0L),   // oversized: own run of ceil(300/128)=3 sequences
+      (5L, 5L, 0L),   // next fresh sequence after the run
+      (6L, 6L, 0L),   // exactly seqLen: can't share with doc 5
+      (7L, 7L, 0L)),  // doc 6 filled its sequence completely
+      s"unexpected packing: $got")
+  }
+
+  test("packDocuments: buckets pack independently and global sequence ids " +
+      "chain through the per-bucket census") {
+    // ids 0..9, 100 tokens each, 2 buckets (width 5): every doc owns a
+    // sequence; bucket 1's local ids offset by bucket 0's count
+    val rows = (0L until 10L).map(i => (i, 100L)).toDF("id", "n")
+    val got = Corpus.packDocuments(rows, "id", "n", seqLen = 128, buckets = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (0L until 10L).map(i => (i, i, 0L)),
+      s"unexpected cross-bucket chaining: $got")
+    // empty input: empty result, correct schema
+    val empty = Corpus.packDocuments(rows.filter($"id" < 0), "id", "n", 128)
+    assert(empty.columns.toSeq == Seq("id", "seq_id", "seq_offset"))
+    assert(empty.count() == 0L)
+  }
 }
