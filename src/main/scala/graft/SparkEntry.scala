@@ -81,10 +81,14 @@ object SparkEntry {
     // round (count -> winner -> greedy apply, a pure per-doc projection).
     "pipe_cluster_mix", "pipe_bpe_pairs", "pipe_bpe_merge",
     // NEW in round 19: pipe_bpe_train — the 3-round trainer LOOP (per-round
-    // persist/unpersist, two corpus jobs per round) — and mm_decode_jpeg,
-    // which now times the progressive (SOF2) decode path alongside the
-    // sequential one (same coefficients, multi-scan reassembly).
-    "pipe_bpe_train", "mm_decode_jpeg",
+    // persist/unpersist, two corpus jobs per round); mm_decode_jpeg, which
+    // now times six codec passes per doc (sequential + progressive +
+    // 12-bit, both directions); tx_classify — the hashed-linear model
+    // filter as one codegen'd projection; pipe_decontam_fuzzy — the
+    // corpus x benchmark LSH join + exact-Jaccard verify; pipe_pack_docs —
+    // the per-bucket greedy recurrence + census chaining.
+    "pipe_bpe_train", "mm_decode_jpeg", "tx_classify",
+    "pipe_decontam_fuzzy", "pipe_pack_docs",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a
