@@ -212,15 +212,19 @@ object Corpus {
       val width = math.max(1L, (maxId + nBuckets) / nBuckets)
       // per-bucket token totals → cumulative start offsets (driver, O(buckets))
       val totals = slim
-        .groupBy((col("_id") / lit(width)).cast("int").as("_b"))
+        // integer `div`, not `/`: Column./ on longs divides as DOUBLE,
+        // which rounds ids past 2^53 — a snowflake-scale id could land in
+        // the wrong bucket vs an exact-integer replay
+        .groupBy(expr(s"_id div ${width}L").cast("int").as("_b"))
         .agg(sum(col("_n")).as("_t")).orderBy(col("_b")).collect()
       var acc = 0L
       (math.max(1L, width),
         totals.map { r => val o = (r.getInt(0), acc); acc += r.getLong(1); o })
     } finally slim.unpersist()
     val (width, offs) = offsets
-    val bucketed = df.withColumn("_b",
-      (col(idCol).cast("long") / lit(width)).cast("int"))
+    val bucketed = df.withColumn("_idl", col(idCol).cast("long"))
+      .withColumn("_b", expr(s"_idl div ${width}L").cast("int"))
+      .drop("_idl")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_b")).orderBy(col(idCol), col(subOrderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -281,7 +285,7 @@ object Corpus {
     // the greedy recurrence, once per bucket (state resets on bucket change
     // — one task may iterate several whole buckets, never a partial one)
     val assigned = slim
-      .withColumn("_b", (col("_id") / lit(width)).cast("int"))
+      .withColumn("_b", expr(s"_id div ${width}L").cast("int")) // exact integer div (see packSequences)
       .repartition(col("_b"))
       .sortWithinPartitions(col("_b"), col("_id"))
       .select(col("_id"), col("_n"), col("_b"))

@@ -108,4 +108,23 @@ class ChunkSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("id", "seq_id", "seq_offset"))
     assert(empty.count() == 0L)
   }
+
+  test("packDocuments buckets by EXACT integer division: snowflake-scale " +
+      "ids past 2^53 land on the right side of a bucket boundary") {
+    // maxId = 2^60+1 with 2 buckets gives width W = 2^59+1; id 2^59 is the
+    // LAST id of bucket 0 and 2^59+1 the first of bucket 1. Double
+    // division (Column./) rounds 2^59 / (2^59+1) to 1.0 and would pull
+    // the boundary id into bucket 1 — where it PACKS with its neighbor
+    // instead of owning bucket 0's sequence.
+    val a = 1L << 59
+    val rows = Seq((a, 50L), (a + 1, 50L), ((1L << 60) + 1, 50L))
+      .toDF("id", "n")
+    val got = Corpus.packDocuments(rows, "id", "n", seqLen = 128, buckets = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (a, 0L, 0L),             // alone in bucket 0
+      (a + 1, 1L, 0L),         // bucket 1, first fill
+      ((1L << 60) + 1, 1L, 50L)), // packs behind it
+      s"boundary id misbucketed: $got")
+  }
 }
