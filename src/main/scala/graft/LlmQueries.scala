@@ -423,7 +423,7 @@ object LlmQueries {
     Array.tabulate(64)(i => ((i * 37 + 11) % 21 - 10).toLong)
 
   /** Hashed-linear quality classifier ([[Corpus.hashedLinearScore]]):
-    * fasttext-slot model scoring as ONE codegen'd projection. The oracle
+    * fasttext-slot model scoring as ONE expression-only projection. The oracle
     * replays the poly31 token hash, the bucket lookup, and the integer
     * sum in pure SQL, so scores AND keep decisions hash-match exactly. */
   def txClassify(s: SparkSession, dir: String): DataFrame =

@@ -370,7 +370,10 @@ object Corpus {
     val nBuckets = autoBuckets(df, buckets)
     val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
     // first 48 bits of the hash → bucket; width chosen so bucket ids cover
-    // [0, buckets) exactly
+    // [0, buckets) exactly. Double division is SAFE here (unlike the
+    // id-keyed packers, which use integer div): the dividend is 48-bit,
+    // inside double's exact-integer range — and bucketing only affects
+    // layout anyway (the permutation is bucket-count invariant).
     val domain = 1L << 48
     val width = math.max(1L, domain / nBuckets)
     val hashed = df.withColumn("_h", h)
@@ -730,9 +733,11 @@ object Corpus {
     * decision bit-exactly — integer weights give integer scores, no float
     * threshold boundary. Returns `(id, score, kept)`.
     *
-    * Scale shape: ONE codegen'd projection — Catalyst higher-order
-    * functions end to end (split → transform → aggregate), no UDF, no
-    * shuffle, no join; the weight vector rides as an array literal
+    * Scale shape: ONE expression-only projection — Catalyst higher-order
+    * functions end to end (split → transform → aggregate; HOFs evaluate
+    * interpreted, outside whole-stage codegen, but carry none of a UDF's
+    * serialization cost), no UDF, no shuffle, no join; the weight vector
+    * rides as an array literal
     * (hashed-dim models are KBs–MBs — closure scale; for multi-GB
     * embedding-table models, swap the literal lookup for a broadcast
     * join keyed by feature id). */

@@ -135,6 +135,21 @@ class PushdownGuardSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$p")
   }
 
+  test("hashed-linear classifier is ONE expression-only projection: zero " +
+      "exchanges, no UDF node, one corpus scan (higher-order functions are " +
+      "interpreted Catalyst expressions, not codegen — but also not UDFs)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Corpus.hashedLinearScore(
+      docs, "text", "doc_id", Array.tabulate(32)(_.toLong - 16))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"classifier must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF") &&
+      !p.contains("MapElements"),
+      s"classifier must be expression-only:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$p")
+  }
+
   test("fuzzy decontamination: equi-joins only (no cartesian), and the " +
       "benchmark-sized tables broadcast at runtime") {
     val df = SparkEntry.queries("pipe_decontam_fuzzy")(spark, sfDir)
