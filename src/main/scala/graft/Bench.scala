@@ -200,12 +200,29 @@ object Bench {
     (path, parsed.map(_._1).getOrElse(Map.empty), parsed.flatMap(_._2))
   }
 
-  /** Queries whose successful-run MIN exceeds `factor`× the baseline min.
-    * A zero/negative baseline entry never flags (a failed baseline run must
-    * not read as "everything regressed"). */
+  /** Queries whose successful-run MIN exceeds `factor`× the baseline min,
+    * normalized by the RUN-LEVEL drift: when the whole artifact shifts
+    * together (a noisy host window, a slower machine), that is ambient
+    * noise, not a code regression — the r19 driver gate flagged a query in
+    * a file untouched all round at 1.54× that a quiet rerun measured at
+    * 1.11×. The normalizer is the LOWER MEDIAN of the per-query ratios
+    * (robust: a genuine single-query spike barely moves it; a uniform
+    * slowdown moves it exactly), clamped at ≥ 1 so a faster-than-baseline
+    * run never tightens the gate, and applied only when ≥ 3 queries are
+    * comparable (below that there is no "rest of the run" to estimate
+    * drift from). A zero/negative baseline entry never flags (a failed
+    * baseline run must not read as "everything regressed"). */
   def detectRegressions(mins: Seq[(String, Double)],
-      baseline: Map[String, Double], factor: Double = 1.5): Seq[String] =
-    mins.collect {
-      case (k, minT) if baseline.get(k).exists(b => b > 0 && minT > b * factor) => k
+      baseline: Map[String, Double], factor: Double = 1.5): Seq[String] = {
+    val ratios = mins.flatMap { case (k, minT) =>
+      baseline.get(k).collect { case b if b > 0 && minT > 0 => (k, minT / b) }
     }
+    val scale =
+      if (ratios.length < 3) 1.0
+      else {
+        val sorted = ratios.map(_._2).sorted
+        math.max(1.0, sorted((sorted.length - 1) / 2))
+      }
+    ratios.collect { case (k, r) if r > factor * scale => k }
+  }
 }

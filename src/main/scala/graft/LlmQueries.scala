@@ -434,9 +434,12 @@ object LlmQueries {
   /** FUZZY decontamination ([[Dedup.decontaminateFuzzy]]): drop corpus
     * docs NEAR-duplicate (shingle-Jaccard >= 0.5) to any benchmark doc —
     * candidates from a corpus x benchmark MinHash-LSH bucket join, exact
-    * verification. The oracle replays the exact all-pairs Jaccard against
-    * the benchmark set in SQL, so it also PINS the LSH recall: a
-    * qualifying pair the banding missed would hash-mismatch. */
+    * verification. Banding is threshold-derived (bands left at the
+    * default: 32 x 2 for t = 0.5 via [[Dedup.bandsForThreshold]] — ≥ 99.9%
+    * candidate recall AT the threshold, where the old fixed 16 x 4 sat at
+    * 64% for a borderline pair). The oracle replays the exact all-pairs
+    * Jaccard against the benchmark set in SQL, so it also PINS the LSH
+    * recall: a qualifying pair the banding missed would hash-mismatch. */
   def pipeDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Dedup.decontaminateFuzzy(docs, docs.filter(col("doc_id") % 17 === 0),
@@ -514,6 +517,20 @@ object LlmQueries {
   def pipeBpeTrain(s: SparkSession, dir: String): DataFrame =
     Corpus.bpeTrain(t(s, dir, "documents"), "text", "doc_id", rounds = 3)
       .orderBy("round")
+
+  /** BATCHED BPE trainer ([[Corpus.bpeTrainBatched]]): two rounds, each
+    * picking the top-3 pairwise-NON-INTERACTING winners from the top-24
+    * ranked well-formed pairs and applying them in ONE projection pass —
+    * 6 merges for 4 corpus jobs where the sequential trainer pays 12. The
+    * oracle replays the whole contract in SQL: the ranked candidate
+    * window, the sequential compatibility filter (a recursive CTE carrying
+    * the used-token set), the simultaneous greedy apply (run-parity), and
+    * the per-pair applied-merge counts — every accepted pair, its rank,
+    * pick-time count, and merge count hash-check exactly. */
+  def pipeBpeTrainBatched(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeTrainBatched(t(s, dir, "documents"), "text", "doc_id",
+        rounds = 2, batch = 3, window = 24)
+      .orderBy("round", "rank")
 
   /** Tokenizer INFERENCE ([[Corpus.bpeApplyMerges]]): train 3 merges, then
     * ENCODE the corpus with them in one zero-shuffle projection — a
@@ -826,6 +843,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** GIF decode round-trip over REAL bytes (LZW + palette, zero codec
+    * libraries): per document, an 8-color palette and an index raster are
+    * pure integer functions of doc_id; [[Multimodal.MediaCodec]] encodes
+    * them as a GIF89a — once sequential, once INTERLACED — and byte-decodes
+    * both. The oracle recomputes dimensions and the palette-dereferenced
+    * pixel checksum in plain SQL arithmetic, and pins that the interlaced
+    * decode lands every row back in place (equal checksum column). A
+    * decoder mis-reading the LZW width growth, a sub-block boundary, the
+    * color table, or the interlace row map breaks the hash match. */
+  def mmDecodeGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+      val w = (6 + d % 7).toInt; val h = (4 + d % 6).toInt
+      val pal = new Array[Byte](24)
+      var j = 0
+      while (j < 8) {
+        pal(j * 3) = ((j * 31 + d) % 256).toByte
+        pal(j * 3 + 1) = ((j * 57 + 2 * d) % 256).toByte
+        pal(j * 3 + 2) = ((j * 89 + 3 * d) % 256).toByte
+        j += 1
+      }
+      val idx = Array.tabulate(w * h)(p =>
+        (((p % w) + 2 * (p / w) + d) % 8).toByte)
+      def sumRgb(rgb: Array[Byte]): Long = {
+        var s0 = 0L; var i = 0
+        while (i < rgb.length) {
+          s0 += (rgb(i) & 0xff) + 2L * (rgb(i + 1) & 0xff) +
+            3L * (rgb(i + 2) & 0xff)
+          i += 3
+        }
+        s0
+      }
+      val mc = Multimodal.MediaCodec
+      val (dw, dh, rgb) = mc.decodeGif(mc.encodeGif(w, h, pal, idx))
+      val (_, _, rgbI) = mc.decodeGif(
+        mc.encodeGif(w, h, pal, idx, interlace = true))
+      (d, dw.toLong, dh.toLong, sumRgb(rgb), sumRgb(rgbI))
+    }.toDF("doc_id", "gif_w", "gif_h", "gif_sum", "gif_interlaced_sum")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -857,6 +915,7 @@ object LlmQueries {
     "pipe_bpe_pairs"    -> (pipeBpePairs _),
     "pipe_bpe_merge"    -> (pipeBpeMerge _),
     "pipe_bpe_train"    -> (pipeBpeTrain _),
+    "pipe_bpe_train_batched" -> (pipeBpeTrainBatched _),
     "pipe_bpe_apply"    -> (pipeBpeApply _),
     "pipe_pack"         -> (pipePack _),
     "pipe_e2e"          -> (pipeE2e _),
@@ -877,6 +936,7 @@ object LlmQueries {
     "mm_decode"         -> (mmDecode _),
     "mm_decode_png"     -> (mmDecodePng _),
     "mm_decode_jpeg"    -> (mmDecodeJpeg _),
+    "mm_decode_gif"     -> (mmDecodeGif _),
   )
 
   /** Bench-only raw-operator bodies (NOT driver-contract queries): the
@@ -1104,8 +1164,93 @@ object LlmQueries {
       FROM out$rounds GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** DuckDB replay of [[Corpus.bpeTrainBatched]]: per round, the ranked
+    * top-`window` well-formed candidate list, the SEQUENTIAL compatibility
+    * filter as a recursive CTE whose state carries the used-token set
+    * (accept iff none of {a, b, a+b} was claimed by an earlier acceptance,
+    * until `batch` accepted), then ONE simultaneous greedy apply — the
+    * same run-parity trick as the single-pair replay (consecutive matches
+    * exist only for (x,x) pairs; distinct accepted pairs share no token,
+    * so their matches never overlap) with the merged token rebuilt from
+    * the position's own (tk, tk2). Per-pair merge counts come from the
+    * decide flags keyed by the pair's text. */
+  private def bpeTrainBatchedOracleSql(rounds: Int, batch: Int,
+      window: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val ok = s"""s.n_acc < $batch AND NOT list_contains(s.used, c.a)
+              AND NOT list_contains(s.used, c.b)
+              AND NOT list_contains(s.used, c.a || c.b)"""
+      s"""
+      candp$r AS (SELECT pair, cnt,
+          CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rn
+        FROM (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT concat(t[i], ' ', t[i+1]) AS pair
+                    FROM cur${r - 1}, unnest(range(1, len(t))) AS u$r(i)
+                    WHERE len(t) >= 2)
+              WHERE len(string_split(pair, ' ')) = 2
+                AND string_split(pair, ' ')[1] <> ''
+                AND string_split(pair, ' ')[2] <> ''
+              GROUP BY pair ORDER BY cnt DESC, pair LIMIT $window)),
+      cand$r AS (SELECT rn, string_split(pair, ' ')[1] AS a,
+                        string_split(pair, ' ')[2] AS b, cnt FROM candp$r),
+      acc$r AS (
+        SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS used,
+               0 AS n_acc, CAST(NULL AS VARCHAR) AS a,
+               CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS cnt,
+               0 AS took
+        UNION ALL
+        SELECT c.rn,
+          CASE WHEN $ok
+            THEN list_concat(s.used, [c.a, c.b, c.a || c.b]) ELSE s.used END,
+          CASE WHEN $ok THEN s.n_acc + 1 ELSE s.n_acc END,
+          c.a, c.b, c.cnt,
+          CASE WHEN $ok THEN 1 ELSE 0 END
+        FROM acc$r s JOIN cand$r c ON c.rn = s.rn + 1),
+      win$r AS (SELECT CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS rk,
+                       a, b, cnt FROM acc$r WHERE took = 1),
+      pos$r AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM cur${r - 1}),
+      flags$r AS (SELECT doc_id, i, t[i] AS tk,
+          CASE WHEN i < len(t) THEN t[i+1] ELSE NULL END AS tk2,
+          CASE WHEN i < len(t) AND EXISTS (SELECT 1 FROM win$r w
+               WHERE w.a = t[i] AND w.b = t[i+1]) THEN 1 ELSE 0 END AS m
+        FROM pos$r),
+      runs$r AS (SELECT doc_id, i, tk, tk2, m,
+          CASE WHEN m = 1 THEN i - ROW_NUMBER() OVER (
+            PARTITION BY doc_id, m ORDER BY i) END AS run_id
+        FROM flags$r),
+      decide$r AS (SELECT doc_id, i, tk, tk2, m,
+          CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+              PARTITION BY doc_id, run_id ORDER BY i) % 2) = 1
+            THEN 1 ELSE 0 END AS mrg
+        FROM runs$r),
+      nm$r AS (SELECT w.rk, w.a, w.b, w.cnt,
+          CAST(coalesce((SELECT sum(d.mrg) FROM decide$r d
+            WHERE d.tk = w.a AND d.tk2 = w.b), 0) AS BIGINT) AS n
+        FROM win$r w),
+      out$r AS (SELECT doc_id, i, mrg,
+          CASE WHEN mrg = 1 THEN tk || tk2
+               WHEN LAG(mrg, 1, 0) OVER (
+                 PARTITION BY doc_id ORDER BY i) = 1 THEN NULL
+               ELSE tk END AS otk
+        FROM decide$r),
+      cur$r AS (SELECT doc_id,
+          string_split(coalesce(string_agg(otk, ' ' ORDER BY i), ''), ' ') AS t
+        FROM out$r GROUP BY doc_id)"""
+    }.mkString(",")
+    val roundRows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, rk AS rank, a AS pair_a,
+           b AS pair_b, cnt, n AS n_merges FROM nm$r"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH RECURSIVE cur0 AS (SELECT doc_id,
+          string_split(coalesce(text, ''), ' ') AS t FROM documents),$roundCtes
+      SELECT * FROM ($roundRows) ORDER BY round, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "pipe_bpe_train" -> bpeTrainOracleSql(3),
+    "pipe_bpe_train_batched" -> bpeTrainBatchedOracleSql(2, 3, 24),
     "pipe_bpe_apply" -> bpeApplyOracleSql(3),
     "dd_exact" -> """
       SELECT doc_id,
@@ -1276,13 +1421,17 @@ object LlmQueries {
     // recurrence — a RECURSIVE CTE steps it document by document from a
     // synthetic rn=0 state row per bucket; global ids chain through the
     // same cumulative per-bucket census the operator uses (L = 128, 8
-    // id-range buckets, width replayed from max(doc_id))
+    // id-range buckets, width replayed from the min-NORMALIZED id span —
+    // the same (id - min) // width assignment the operator computes, so
+    // offset id spaces replay identically)
     "pipe_pack_docs" -> """
       WITH RECURSIVE w AS (
-        SELECT GREATEST(1, (max(doc_id) + 8) // 8) AS wd FROM documents),
+        SELECT min(doc_id) AS mn,
+               GREATEST(1, (max(doc_id) - min(doc_id) + 8) // 8) AS wd
+        FROM documents),
       d AS (SELECT doc_id,
               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
-              CAST(doc_id // (SELECT wd FROM w) AS INT) AS b
+              CAST((doc_id - (SELECT mn FROM w)) // (SELECT wd FROM w) AS INT) AS b
             FROM documents),
       ord AS (SELECT *, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
               FROM d),
@@ -1775,6 +1924,24 @@ object LlmQueries {
              CAST(agg.gray_sum AS BIGINT) AS gray16_sum,
              CAST(agg.gray4_sum AS BIGINT) AS gray4_sum,
              CAST(agg.pal2_sum AS BIGINT) AS pal2_sum
+      FROM d JOIN agg USING (doc_id)
+      ORDER BY doc_id""",
+    // GIF round-trip: dimensions + the palette-dereferenced checksum
+    // replay as pure SQL arithmetic; the interlaced decode must land every
+    // row back in place, so its checksum column is the SAME expression
+    "mm_decode_gif" -> """
+      WITH d AS (SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 6 AS h
+                 FROM documents),
+      xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM d),
+      xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      px AS (SELECT doc_id, (x + 2*y + doc_id) % 8 AS j FROM xy),
+      agg AS (SELECT doc_id,
+               SUM((j*31 + doc_id) % 256 + 2*((j*57 + 2*doc_id) % 256)
+                 + 3*((j*89 + 3*doc_id) % 256)) AS s
+              FROM px GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.w AS BIGINT) AS gif_w, CAST(d.h AS BIGINT) AS gif_h,
+             CAST(agg.s AS BIGINT) AS gif_sum,
+             CAST(agg.s AS BIGINT) AS gif_interlaced_sum
       FROM d JOIN agg USING (doc_id)
       ORDER BY doc_id""",
     // lossy JPEG: exact dimensions + bounded-error flags (the flags zero

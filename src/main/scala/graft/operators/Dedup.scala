@@ -106,6 +106,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Band count giving LSH recall ≥ `minRecall` AT the decision threshold:
+    * with `r = k / bands` signature rows per band, a pair at Jaccard `t`
+    * collides in at least one band with probability `1 − (1 − t^r)^bands`
+    * — the S-curve every banding scheme trades on. Returns the FEWEST
+    * bands (largest `r`, cheapest candidate generation) whose curve still
+    * clears `minRecall` at `t` exactly; recall above `t` is strictly
+    * higher, so the bound covers the whole drop-region. For the defaults
+    * (k = 64, t = 0.5, 99.9 %) this picks 32 bands × 2 rows — recall
+    * 0.99990 at the threshold itself, where 16 × 4 banding would leave a
+    * borderline pair only a 64 % chance of ever becoming a candidate. */
+  def bandsForThreshold(k: Int, threshold: Double,
+      minRecall: Double = 0.999): Int = {
+    require(k >= 1 && threshold > 0 && threshold <= 1 &&
+      minRecall > 0 && minRecall < 1, "need k >= 1, t in (0,1], recall in (0,1)")
+    var best = k // r = 1: bands = k, the maximum-recall endpoint
+    var r = 1
+    while (r <= k) {
+      if (k % r == 0) {
+        val b = k / r
+        if (1 - math.pow(1 - math.pow(threshold, r), b) >= minRecall) best = b
+      }
+      r += 1
+    }
+    best
+  }
+
   /** FUZZY decontamination: drop every corpus document NEAR-DUPLICATE to
     * any benchmark/eval document — the near-dup analogue of
     * [[Corpus.decontaminate]]'s exact n-gram overlap (a lightly
@@ -115,6 +141,19 @@ object Dedup {
     * shingle-Jaccard verification at `threshold`; matched corpus ids are
     * anti-joined away. A benchmark document that itself appears in the
     * corpus matches itself (Jaccard 1) and is dropped.
+    *
+    * RECALL contract: this is a LEAK-PREVENTION operator, so `bands = 0`
+    * (the default) derives the banding from the threshold via
+    * [[bandsForThreshold]] — ≥ 99.9 % candidate recall for a pair AT the
+    * threshold exactly (k = 64, t = 0.5 → 32 bands × 2 rows; recall only
+    * rises above t). A caller pinning `bands` explicitly owns the curve:
+    * e.g. 16 bands × 4 rows gives ~64 % recall at t = 0.5 — near-threshold
+    * leaks can slip through, acceptable only when the corpus is known to
+    * avoid borderline-Jaccard pairs. The exact-verify stage admits no
+    * false positives either way; banding only decides who gets VERIFIED.
+    * Wider banding costs more candidates — bounded here because candidates
+    * are corpus × benchmark (the benchmark side is small), never
+    * corpus × corpus.
     *
     * Scale shape: identical to [[minhashDedup]] — shuffle O(rows × bands),
     * verification O(candidates), degenerate buckets capped by an
@@ -126,14 +165,15 @@ object Dedup {
     * verify probe) replay. */
   def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3, k: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5,
+      bands: Int = 0, threshold: Double = 0.5,
       maxBucketSize: Int = 2000): DataFrame = {
+    val nBands = if (bands > 0) bands else bandsForThreshold(k, threshold)
     def shingled(df: DataFrame) =
       df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), n).as("sh"))
         .filter(size(col("sh")) > 0)
     def bucketed(sh: DataFrame) = sh
       .withColumn("sig", graft.functions.MinHash.minhash(col("sh"), k))
-      .withColumn("bands", TF.lshBands(col("sig"), k, bands))
+      .withColumn("bands", TF.lshBands(col("sig"), k, nBands))
       .select(col("id"), explode(col("bands")).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val shC = shingled(corpus).repartition(col("id")) // materialization point

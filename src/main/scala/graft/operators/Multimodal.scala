@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * decode for the public formats: 24-bit BMP and binary PPM pixels, PNG
   * (deflate + scanline filters via `java.util.zip.Inflater` —
   * gray/RGB/palette/alpha, every legal bit depth 1/2/4/8/16, interlaced
-  * or not), baseline AND progressive JPEG ([[JpegCodec]]: huffman + DCT +
-  * YCbCr incl. 4:2:0 subsampling, restart markers, spectral selection +
-  * successive approximation, pure JVM), and PCM-16 WAV samples
-  * ([[MediaCodec.decode]] — no codec dependencies anywhere). Payloads in
-  * formats that DO need a codec library (MP3, H.264, 12-bit/arithmetic
-  * JPEG…) fall back to the deterministic [[MediaCodec.decodeStub]]; swap
-  * that arm for a JNI/FFI decoder without touching the surrounding plan.
+  * or not), GIF (LZW + global/local color tables, interlace, first frame
+  * of animations), baseline AND progressive JPEG at 8- and 12-bit
+  * precision ([[JpegCodec]]: huffman + DCT + YCbCr incl. 4:2:0
+  * subsampling, restart markers, spectral selection + successive
+  * approximation, pure JVM), and WAV audio across the depth matrix —
+  * integer PCM 8/16/24/32 and IEEE float 32/64 ([[MediaCodec.decode]] —
+  * no codec dependencies anywhere). Payloads in formats that genuinely
+  * need a codec library (MP3, H.264) and arithmetic-coded JPEG fall back
+  * to the deterministic [[MediaCodec.decodeStub]]; swap that arm for a
+  * JNI/FFI decoder without touching the surrounding plan.
   */
 object Multimodal {
 
@@ -133,10 +136,11 @@ object Multimodal {
     // ------------------------------------------------------------- PNG
     // PNG is deflate + per-scanline filters — decodable with
     // java.util.zip.Inflater and byte arithmetic, zero codec libraries.
-    // Supported: 8-bit channel depth, color types 0 (gray), 2 (RGB),
-    // 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7
-    // interlace and 1/2/4/16-bit depths refuse loudly (decode() then
-    // falls back to the stub, so mixed corpora keep flowing).
+    // Supported: color types 0 (gray), 2 (RGB), 3 (palette),
+    // 4 (gray+alpha), 6 (RGBA) at EVERY legal bit depth (1/2/4/8/16 per
+    // the spec's depth/colorType matrix), Adam7-interlaced or not.
+    // Illegal combinations and corrupt streams refuse loudly (decode()
+    // then falls back to the stub, so mixed corpora keep flowing).
 
     private def i32be(b: Array[Byte], o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
@@ -462,15 +466,27 @@ object Multimodal {
         else Set(8, 16, 24, 32)(bits), s"unsupported WAV carrier: $bits-bit float=$isFloat")
       val bytesPer = bits / 8
       val dataSize = samples.length * bytesPer
-      val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      // non-PCM formats require the EXTENDED fmt chunk (18 bytes, cbSize=0)
+      // plus a fact chunk carrying the sample-frame count — strict readers
+      // reject a float WAV with the bare 16-byte PCM fmt (WAVE spec; our
+      // own chunk-walking decoder accepts either, but self-encoded files
+      // must satisfy third-party readers too)
+      val fmtSize = if (isFloat) 18 else 16
+      val extra = if (isFloat) 14 else 0 // cbSize (2) + fact chunk (12)
+      val out = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      out.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
-      out.put("fmt ".getBytes).putInt(16)
+      out.put("RIFF".getBytes).putInt(36 + extra + dataSize).put("WAVE".getBytes)
+      out.put("fmt ".getBytes).putInt(fmtSize)
         .putShort(if (isFloat) 3 else 1) // PCM / IEEE float
         .putShort(channels.toShort).putInt(sampleRate)
         .putInt(sampleRate * channels * bytesPer)
         .putShort((channels * bytesPer).toShort)
         .putShort(bits.toShort)
+      if (isFloat) {
+        out.putShort(0) // cbSize: no format extension bytes
+        out.put("fact".getBytes).putInt(4)
+          .putInt(samples.length / math.max(1, channels))
+      }
       out.put("data".getBytes).putInt(dataSize)
       samples.foreach { s =>
         if (isFloat && bits == 32) out.putFloat(s / 32768.0f)
@@ -554,6 +570,315 @@ object Multimodal {
       (rate, channels, samples)
     }
 
+    // ------------------------------------------------------------- GIF
+    // GIF is a palette + LZW — pure byte/bit arithmetic, zero codec
+    // libraries: header + logical screen descriptor + color tables, then
+    // LZW-compressed palette indices in ≤255-byte sub-blocks, codes packed
+    // LSB-first with the width growing 3→12 bits as the dictionary fills.
+    // The decoder handles GIF87a/89a, global AND local color tables,
+    // interlaced row order, frame offsets (composited onto the logical
+    // screen over the background color), extension blocks (skipped — a
+    // transparency flag drops like PNG alpha), and deferred-clear streams;
+    // animated GIFs decode their FIRST frame. Corrupt payloads refuse
+    // loudly (decode() then degrades to the stub).
+
+    /** Encode palette indices as a single-frame GIF89a — the writer side
+      * of [[decodeGif]]. `palette` is RGB triples (≤ 256 entries, padded on
+      * the wire to the next power of two ≥ 2); `interlace` writes rows in
+      * Adam-style GIF interlace order (pass starts 0/4/2/1, steps 8/8/4/2),
+      * exercising the decoder's row mapping. The LZW width grows exactly
+      * when the classic compress-derived encoders grow it (checked against
+      * the pre-add dictionary size at emit time), so any spec decoder —
+      * including [[decodeGif]] and ImageIO, cross-validated both ways —
+      * tracks it. */
+    def encodeGif(w: Int, h: Int, palette: Array[Byte], indices: Array[Byte],
+        interlace: Boolean = false): Array[Byte] = {
+      require(w > 0 && h > 0 && indices.length == w * h,
+        s"need ${w * h} indices for ${w}x$h, got ${indices.length}")
+      require(palette.length % 3 == 0 && palette.length >= 3 &&
+        palette.length <= 768, "palette must be 1..256 RGB triples")
+      val nEntries = palette.length / 3
+      // GCT size field s encodes 2^(s+1) entries; LZW min code size covers
+      // the palette and is >= 2 per the spec's practical floor
+      var s = 0
+      while ((1 << (s + 1)) < nEntries) s += 1
+      val tableEntries = 1 << (s + 1)
+      val minCode = math.max(2, s + 1)
+      indices.foreach(i => require((i & 0xff) < nEntries,
+        s"index ${i & 0xff} outside the $nEntries-entry palette"))
+      val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 64)
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      u16(w); u16(h)
+      out.write(0x80 | s) // GCT present, size field s
+      out.write(0); out.write(0) // background index, aspect
+      out.write(palette, 0, palette.length)
+      var pad = (tableEntries - nEntries) * 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+      out.write(0x2c) // image descriptor: full screen at (0,0)
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(if (interlace) 0x40 else 0)
+      // source pixels in on-wire row order
+      val src =
+        if (!interlace) indices
+        else {
+          val rows = gifInterlaceRows(h)
+          val re = new Array[Byte](indices.length)
+          var r = 0
+          while (r < h) {
+            System.arraycopy(indices, rows(r) * w, re, r * w, w)
+            r += 1
+          }
+          re
+        }
+      out.write(minCode)
+      // LZW compress into 255-byte sub-blocks, codes packed LSB-first
+      val block = new Array[Byte](255)
+      var blockLen = 0
+      var bitBuf = 0L
+      var bitCnt = 0
+      def flushByte(): Unit = {
+        block(blockLen) = (bitBuf & 0xff).toByte
+        bitBuf >>>= 8; bitCnt -= 8; blockLen += 1
+        if (blockLen == 255) { out.write(255); out.write(block, 0, 255); blockLen = 0 }
+      }
+      var width = minCode + 1
+      def writeCode(c: Int): Unit = {
+        bitBuf |= c.toLong << bitCnt; bitCnt += width
+        while (bitCnt >= 8) flushByte()
+      }
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      var free = clear + 2
+      // dictionary keyed by (prefix code << 8 | next index)
+      var table = new java.util.HashMap[Integer, Integer]()
+      writeCode(clear)
+      var ent = indices.head & 0xff // src.head == indices.head for row 0
+      var i = 1
+      while (i < src.length) {
+        val c = src(i) & 0xff
+        val key = Integer.valueOf((ent << 8) | c)
+        val hit = table.get(key)
+        if (hit != null) ent = hit.intValue()
+        else {
+          writeCode(ent)
+          // width grows per the PRE-add dictionary size (the classic
+          // compress rule) so the decoder's mirror check stays in sync
+          if (free >= (1 << width) && width < 12) width += 1
+          if (free < 4096) { table.put(key, Integer.valueOf(free)); free += 1 }
+          else { // table full: clear and restart (never deferred on encode)
+            writeCode(clear)
+            table = new java.util.HashMap[Integer, Integer]()
+            width = minCode + 1; free = clear + 2
+          }
+          ent = c
+        }
+        i += 1
+      }
+      writeCode(ent)
+      if (free >= (1 << width) && width < 12) width += 1
+      writeCode(eoi)
+      if (bitCnt > 0) flushByte()
+      if (blockLen > 0) { out.write(blockLen); out.write(block, 0, blockLen) }
+      out.write(0) // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** GIF interlace row order for a height-`h` frame: pass starts
+      * 0/4/2/1 with steps 8/8/4/2 — `result(k)` = the IMAGE row that the
+      * k-th on-wire row lands on. */
+    private def gifInterlaceRows(h: Int): Array[Int] = {
+      val rows = new Array[Int](h)
+      var k = 0
+      Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+        var y = start
+        while (y < h) { rows(k) = y; k += 1; y += step }
+      }
+      rows
+    }
+
+    /** Decode a GIF's FIRST frame into (screen width, screen height, RGB
+      * row-major top-down): walks header → color tables → extension blocks
+      * (skipped) → the first image descriptor, LZW-decompresses the index
+      * stream (LSB-first codes, width 3→12, clear/EOI, the invented-code
+      * case, deferred clears), maps interlaced row order back, and
+      * composites the frame onto the logical screen over the background
+      * color. Throws on anything malformed. */
+    def decodeGif(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a', "not a GIF")
+      val w = u16le(b, 6); val h = u16le(b, 8)
+      require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+        s"implausible GIF screen ${w}x$h")
+      val packed = b(10) & 0xff
+      val bgIndex = b(11) & 0xff
+      var i = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (1 << ((packed & 7) + 1))
+        require(i + n <= b.length, "GIF global color table exceeds payload")
+        gct = java.util.Arrays.copyOfRange(b, i, i + n)
+        i += n
+      }
+      // frame state, filled by the first image descriptor
+      var frame: (Int, Int, Int, Int, Boolean, Array[Byte], Array[Byte]) = null
+      while (frame == null) {
+        require(i < b.length, "GIF ended before any image data")
+        (b(i) & 0xff) match {
+          case 0x3b => throw new IllegalArgumentException("GIF has no image frame")
+          case 0x21 => // extension: label + sub-blocks (incl. GCE — skipped;
+            // a transparency flag drops exactly like PNG alpha)
+            i += 2
+            while ({ require(i < b.length, "unterminated GIF extension")
+              val len = b(i) & 0xff; i += 1 + len; len != 0 }) ()
+          case 0x2c =>
+            require(i + 10 <= b.length, "truncated GIF image descriptor")
+            val left = u16le(b, i + 1); val top = u16le(b, i + 3)
+            val iw = u16le(b, i + 5); val ih = u16le(b, i + 7)
+            val ip = b(i + 9) & 0xff
+            i += 10
+            require(iw > 0 && ih > 0 && left + iw <= w && top + ih <= h,
+              s"GIF frame ${iw}x$ih at ($left,$top) exceeds the ${w}x$h screen")
+            var pal = gct
+            if ((ip & 0x80) != 0) {
+              val n = 3 * (1 << ((ip & 7) + 1))
+              require(i + n <= b.length, "GIF local color table exceeds payload")
+              pal = java.util.Arrays.copyOfRange(b, i, i + n)
+              i += n
+            }
+            require(pal != null, "GIF frame without any color table")
+            val (indices, next) = gifLzwDecode(b, i, iw * ih)
+            i = next
+            frame = (left, top, iw, ih, (ip & 0x40) != 0, pal, indices)
+          case other =>
+            throw new IllegalArgumentException(s"unknown GIF block 0x${other.toHexString}")
+        }
+      }
+      val (left, top, iw, ih, interlaced, pal, indices) = frame
+      val nPal = pal.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      // background fill (only visible when the frame is a sub-rectangle)
+      if (gct != null && bgIndex < gct.length / 3) {
+        var p = 0
+        while (p < w * h) {
+          rgb(p * 3) = gct(bgIndex * 3); rgb(p * 3 + 1) = gct(bgIndex * 3 + 1)
+          rgb(p * 3 + 2) = gct(bgIndex * 3 + 2)
+          p += 1
+        }
+      }
+      val rowMap = if (interlaced) gifInterlaceRows(ih) else null
+      var r = 0
+      while (r < ih) {
+        val destY = top + (if (rowMap != null) rowMap(r) else r)
+        var x = 0
+        while (x < iw) {
+          val idx = indices(r * iw + x) & 0xff
+          require(idx < nPal, s"GIF index $idx outside the $nPal-entry palette")
+          val d = (destY * w + left + x) * 3
+          rgb(d) = pal(idx * 3); rgb(d + 1) = pal(idx * 3 + 1)
+          rgb(d + 2) = pal(idx * 3 + 2)
+          x += 1
+        }
+        r += 1
+      }
+      (w, h, rgb)
+    }
+
+    /** LZW-decompress one GIF image data section starting at `off` (min
+      * code size byte, then sub-blocks) into exactly `n` palette indices.
+      * Returns (indices, offset past the section's terminator). The
+      * dictionary holds (prefix code, tail byte) pairs — sequences expand
+      * by walking prefix chains into a scratch stack, O(1) memory per
+      * entry; the width bump mirrors the classic encoders' pre-add check
+      * ([[encodeGif]]). */
+    private def gifLzwDecode(b: Array[Byte], off: Int, n: Int)
+        : (Array[Byte], Int) = {
+      require(off < b.length, "missing GIF LZW data")
+      val minCode = b(off) & 0xff
+      require(minCode >= 2 && minCode <= 8, s"bad GIF LZW min code size $minCode")
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val out = new Array[Byte](n)
+      var outLen = 0
+      val prefix = new Array[Int](4096)
+      val tail = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      var free = clear + 2
+      var width = minCode + 1
+      var prev = -1
+      var i = off + 1
+      var blockRem = 0 // bytes left in the current sub-block
+      var bitBuf = 0L
+      var bitCnt = 0
+      var finished = false
+      def emitSeq(code: Int, invented: Boolean): Unit = {
+        var sp = 0
+        var c = code
+        if (invented) {
+          // the (code == free) case: sequence = prev's expansion + its own
+          // first byte — materialize as prev + [firstByte(prev)]
+          c = prev
+          stack(sp) = 0; sp += 1 // placeholder, patched below
+        }
+        while (c >= clear) { // walk the prefix chain down to a root
+          require(c < free && sp < stack.length, "corrupt GIF LZW chain")
+          stack(sp) = tail(c); sp += 1; c = prefix(c)
+        }
+        val first = c.toByte
+        if (invented) stack(0) = first
+        require(outLen + sp + 1 <= n,
+          "GIF LZW stream yields more pixels than the frame declares")
+        out(outLen) = first; outLen += 1
+        while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      }
+      while (!finished) {
+        while (bitCnt < width) { // refill LSB-first across sub-blocks
+          if (blockRem == 0) {
+            require(i < b.length, "unterminated GIF LZW data")
+            blockRem = b(i) & 0xff; i += 1
+            require(blockRem > 0, "GIF LZW data ended before EOI")
+            require(i + blockRem <= b.length, "GIF sub-block exceeds payload")
+          }
+          bitBuf |= (b(i) & 0xffL) << bitCnt; bitCnt += 8; i += 1; blockRem -= 1
+        }
+        val code = (bitBuf & ((1L << width) - 1)).toInt
+        bitBuf >>>= width; bitCnt -= width
+        if (code == clear) {
+          free = clear + 2; width = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          require(outLen == n,
+            s"GIF frame short: $outLen of $n pixels before EOI")
+          finished = true
+        } else if (prev == -1) { // first code after a clear: a root
+          require(code < clear, s"corrupt GIF LZW: first code $code not a root")
+          require(outLen < n, "GIF LZW stream overflows the frame")
+          out(outLen) = code.toByte; outLen += 1
+          prev = code
+        } else {
+          require(code <= free, s"corrupt GIF LZW code $code (free $free)")
+          emitSeq(code, invented = code == free)
+          if (free < 4096) {
+            prefix(free) = prev
+            tail(free) = (if (code == free) prev else code) match {
+              case c0 => // first byte of the just-emitted sequence
+                var c = c0
+                while (c >= clear) c = prefix(c)
+                c.toByte
+            }
+            free += 1
+          }
+          if (free >= (1 << width) && width < 12) width += 1
+          prev = code
+        }
+      }
+      // skip to the section's end: remaining sub-block bytes + terminator
+      i += blockRem
+      while ({ require(i < b.length, "unterminated GIF image data")
+        val len = b(i) & 0xff; i += 1 + len; len != 0 }) ()
+      (out, i)
+    }
+
     /** REAL decode: sniff the payload's magic and decode BMP/PPM pixels or
       * WAV samples into [[MediaFeatures]] — image width/height are the
       * decoded dimensions and the feature vector carries mean R/G/B plus a
@@ -573,6 +898,9 @@ object Multimodal {
           val (w, h, rgb) = JpegCodec.decode(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 2 && b(0) == 'P' && b(1) == '6') {
           val (w, h, rgb) = decodePpm(b); imageFeatures(r, w, h, rgb)
+        } else if (b.length > 13 && b(0) == 'G' && b(1) == 'I' &&
+            b(2) == 'F' && b(3) == '8') {
+          val (w, h, rgb) = decodeGif(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
           val (rate, channels, samples) = decodeWav(b)
           var sum = 0.0; var sq = 0.0

@@ -135,9 +135,10 @@ class PushdownGuardSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$p")
   }
 
-  test("hashed-linear classifier is ONE expression-only projection: zero " +
-      "exchanges, no UDF node, one corpus scan (higher-order functions are " +
-      "interpreted Catalyst expressions, not codegen — but also not UDFs)") {
+  test("hashed-linear classifier is ONE codegen'd projection: zero " +
+      "exchanges, no UDF node, one corpus scan, and the scoring expression " +
+      "runs INSIDE a whole-stage-codegen span (the interpreted-HOF form " +
+      "this replaces evaluated outside codegen)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.operators.Corpus.hashedLinearScore(
       docs, "text", "doc_id", Array.tabulate(32)(_.toLong - 16))
@@ -148,6 +149,11 @@ class PushdownGuardSpec extends AnyFunSuite {
       s"classifier must be expression-only:\n$p")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$p")
+    // the scoring Project must carry a codegen span marker (`*(n)`): a
+    // CodegenFallback expression would print the Project bare
+    val proj = p.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(proj).isDefined,
+      s"classifier projection fell out of whole-stage codegen:\n$p")
   }
 
   test("fuzzy decontamination: equi-joins only (no cartesian), and the " +

@@ -117,4 +117,31 @@ class VerifySpec extends AnyFunSuite {
     assert(Bench.detectRegressions(
       Seq("q_z" -> 5.0), Map("q_z" -> 0.0)).isEmpty)
   }
+
+  test("regression gate normalizes run-level drift: a uniformly-scaled " +
+      "run never flags, a single-query spike still does") {
+    // Round-19 ask: the driver artifact flagged ice_stats_build at 1.54x
+    // purely from a noisy machine window (the file had zero commits that
+    // round; a quiet rerun measured 1.11x). The gate now divides out the
+    // run's ambient drift — the lower-median per-query ratio — before
+    // applying the 1.5x factor.
+    val base = Map("q_a" -> 0.20, "q_b" -> 0.30, "q_c" -> 0.40, "q_d" -> 0.50)
+    // the whole run 1.8x slower (noisy host): ambient, zero flags
+    val uniform = base.toSeq.map { case (k, v) => k -> v * 1.8 }
+    assert(Bench.detectRegressions(uniform, base).isEmpty,
+      "a uniformly-scaled run is machine noise, not a regression")
+    // one query 2x, the rest at baseline: the spike still flags
+    val spike = Seq("q_a" -> 0.40, "q_b" -> 0.31, "q_c" -> 0.41, "q_d" -> 0.52)
+    assert(Bench.detectRegressions(spike, base) == Seq("q_a"))
+    // a spike ON TOP of uniform drift flags too (ratio 3.0 vs drift 1.5)
+    val both = Seq("q_a" -> 0.60, "q_b" -> 0.45, "q_c" -> 0.60, "q_d" -> 0.75)
+    assert(Bench.detectRegressions(both, base) == Seq("q_a"))
+    // a faster-than-baseline run never TIGHTENS the gate (scale clamps at
+    // 1): 1.4x on q_a is below the 1.5 factor even though the rest ran 0.7x
+    val fast = Seq("q_a" -> 0.28, "q_b" -> 0.21, "q_c" -> 0.28, "q_d" -> 0.35)
+    assert(Bench.detectRegressions(fast, base).isEmpty)
+    // below 3 comparable queries there is no drift population: raw factor
+    assert(Bench.detectRegressions(
+      Seq("q_a" -> 0.40, "q_b" -> 0.31), base) == Seq("q_a"))
+  }
 }

@@ -169,6 +169,74 @@ class BpePairsSpec extends AnyFunSuite {
       Corpus.bpeApplyMerges(df, "text", "id", Seq(("", "x"))))
   }
 
+  test("bpeTrainBatched with batch=1 IS bpeTrain: identical merge tables " +
+      "on any corpus (the batched trick degenerates to the sequential " +
+      "trainer when each round accepts one pair)") {
+    val df = Seq(
+      (1L, "t h e c a t t h e h a t"),
+      (2L, "t h e m a t t h e c a t"),
+      (3L, "a h a t")).toDF("id", "text")
+    val seq3 = Corpus.bpeTrain(df, "text", "id", rounds = 3)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val bat1 = Corpus.bpeTrainBatched(df, "text", "id", rounds = 3, batch = 1)
+      .as[(Long, Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bat1.map(r => (r._1, r._3, r._4, r._5, r._6)) ==
+      seq3.map(r => (r._1, r._2, r._3, r._4, r._5)),
+      s"batch=1 diverged from the sequential trainer:\n $bat1\n $seq3")
+    assert(bat1.forall(_._2 == 1L), "every round accepts exactly rank 1")
+  }
+
+  test("bpeTrainBatched: one round of batch=m equals m sequential rounds " +
+      "on a disjoint-winners corpus (non-interacting pairs commute)") {
+    // winners (a,b) x3, (c,d) x2, (e,f) x1 live in separate docs: merging
+    // one creates no new pairs and changes no other count, so sequential
+    // re-ranking sees exactly the original ranking
+    val docs = (Seq.fill(3)("a b") ++ Seq.fill(2)("c d") ++ Seq("e f"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val seq = Corpus.bpeTrain(docs, "text", "id", rounds = 3)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val bat = Corpus.bpeTrainBatched(docs, "text", "id", rounds = 1, batch = 3)
+      .as[(Long, Long, String, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(bat.map(r => (r._3, r._4, r._5, r._6)) ==
+      seq.map(r => (r._2, r._3, r._4, r._5)),
+      s"batched round diverged from sequential rounds:\n $bat\n $seq")
+    assert(bat.map(_._1).distinct == Seq(1L), "all merges land in round 1")
+  }
+
+  test("bpeTrainBatched compatibility filter: token-sharing and merged-" +
+      "output-colliding candidates are deferred, not misapplied") {
+    // (a,b) x3 and (b,c) x3 tie; pair-asc accepts (a,b), and (b,c) shares
+    // b so the round's second slot goes to (x,y) x2 instead
+    val df = Seq((1L, "a b c a b c a b c"), (2L, "x y"), (3L, "x y"))
+      .toDF("id", "text")
+    val got = Corpus.bpeTrainBatched(df, "text", "id", rounds = 1, batch = 2)
+      .as[(Long, Long, String, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 1L, "a", "b", 3L, 3L),
+      (1L, 2L, "x", "y", 2L, 2L)), s"filter misfired: $got")
+    // merged-output collision: accepting (a,bc) claims the token "abc", so
+    // (ab,c) — which would PRODUCE "abc" — is rejected even though its own
+    // tokens are free; (c,ab) stays compatible and takes the slot
+    val alias = Seq((1L, "a bc a bc"), (2L, "ab c ab c")).toDF("id", "text")
+    val got2 = Corpus.bpeTrainBatched(alias, "text", "id",
+        rounds = 1, batch = 2)
+      .as[(Long, Long, String, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got2 == Seq(
+      (1L, 1L, "a", "bc", 2L, 2L),
+      (1L, 2L, "c", "ab", 1L, 1L)), s"output-collision filter misfired: $got2")
+  }
+
+  test("bpeTrainBatched stops early on a dry corpus") {
+    val noise = Seq((1L, "  ")).toDF("id", "text")
+    assert(Corpus.bpeTrainBatched(noise, "text", "id",
+      rounds = 2, batch = 4).count() == 0L)
+    // a corpus exhausted mid-run returns the rounds it could learn
+    val tiny = Seq((1L, "p q")).toDF("id", "text")
+    val got = Corpus.bpeTrainBatched(tiny, "text", "id", rounds = 5, batch = 2)
+      .as[(Long, Long, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, "p", "q", 1L, 1L)))
+  }
+
   test("bpeTrain stops early when the corpus runs dry of well-formed pairs") {
     // one two-token doc: round 1 merges it into a single token, round 2
     // finds no adjacent pair at all — the trainer must return 1 row, not

@@ -109,22 +109,74 @@ class ChunkSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
-  test("packDocuments buckets by EXACT integer division: snowflake-scale " +
-      "ids past 2^53 land on the right side of a bucket boundary") {
-    // maxId = 2^60+1 with 2 buckets gives width W = 2^59+1; id 2^59 is the
-    // LAST id of bucket 0 and 2^59+1 the first of bucket 1. Double
-    // division (Column./) rounds 2^59 / (2^59+1) to 1.0 and would pull
-    // the boundary id into bucket 1 — where it PACKS with its neighbor
-    // instead of owning bucket 0's sequence.
-    val a = 1L << 59
-    val rows = Seq((a, 50L), (a + 1, 50L), ((1L << 60) + 1, 50L))
+  test("packDocuments buckets by EXACT integer division over the MIN-" +
+      "normalized id span: offsets past 2^53 land on the right side of a " +
+      "bucket boundary") {
+    // base B proves min-normalization (raw ids ~3·2^61 would all collapse
+    // into one raw-range bucket and pack as a single run); the NORMALIZED
+    // offsets {0, 2^59, 2^59+1, 2^60+1} with 2 buckets give width
+    // W = 2^59+1, so offset 2^59 is the LAST id of bucket 0 and 2^59+1
+    // the first of bucket 1. Double division (Column./) rounds
+    // 2^59 / (2^59+1) to 1.0 and would pull the boundary id into
+    // bucket 1 — both failure modes change the packing below.
+    val base = 3L << 61
+    val rows = Seq((base, 10L), (base + (1L << 59), 10L),
+      (base + (1L << 59) + 1, 10L), (base + (1L << 60) + 1, 10L))
       .toDF("id", "n")
     val got = Corpus.packDocuments(rows, "id", "n", seqLen = 128, buckets = 2)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
-      (a, 0L, 0L),             // alone in bucket 0
-      (a + 1, 1L, 0L),         // bucket 1, first fill
-      ((1L << 60) + 1, 1L, 50L)), // packs behind it
+      (base, 0L, 0L),                      // bucket 0, first fill
+      (base + (1L << 59), 0L, 10L),        // boundary id: still bucket 0
+      (base + (1L << 59) + 1, 1L, 0L),     // bucket 1 starts fresh
+      (base + (1L << 60) + 1, 1L, 10L)),   // packs behind it
       s"boundary id misbucketed: $got")
+  }
+
+  test("packers are TRANSLATION-INVARIANT in the id space: an offset " +
+      "corpus (snowflake-style ids starting past 2^40) packs exactly like " +
+      "the dense one") {
+    // the raw-range bucketing this replaces collapsed an offset corpus
+    // into ONE bucket: packSequences only lost balance (output invariant),
+    // but packDocuments' bucket boundaries are semantic — the offset
+    // corpus packed DIFFERENTLY than the same corpus with dense ids
+    val off = 1L << 40
+    val docs = (0L until 64L).map(i => (i, 10L + i % 37))
+    val dense = docs.toDF("id", "n")
+    val shifted = docs.map { case (i, n) => (i + off, n) }.toDF("id", "n")
+    val d = Corpus.packDocuments(dense, "id", "n", seqLen = 128, buckets = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val s = Corpus.packDocuments(shifted, "id", "n", seqLen = 128, buckets = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map { case (i, sq, o) => (i - off, sq, o) }.toSeq
+    assert(d == s, s"offset ids packed differently:\n dense=$d\n shift=$s")
+    val chunks = docs.map { case (i, n) => (i, 0L, n) }
+    val ps = Corpus.packSequences(chunks.toDF("id", "sub", "n"),
+        "id", "sub", "n", seqLen = 128, buckets = 8)
+      .select("id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val pss = Corpus.packSequences(
+        chunks.map { case (i, u, n) => (i + off, u, n) }.toDF("id", "sub", "n"),
+        "id", "sub", "n", seqLen = 128, buckets = 8)
+      .select("id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map { case (i, sq, o) => (i - off, sq, o) }.toSeq
+    assert(ps == pss, "packSequences must be id-translation-invariant")
+  }
+
+  test("min-normalized bucket assignment stays BALANCED on an offset id " +
+      "space (the raw-range form put the whole corpus in one bucket — the " +
+      "single-task straggler sort the auto-sizing exists to prevent)") {
+    val off = 1L << 40
+    val n = 1000
+    val ids = (0L until n.toLong).map(_ + off).toDF("_id")
+    val width = Corpus.idRangeWidth(off, off + n - 1, 8)
+    val sizes = ids.select(Corpus.idBucket("_id", off, width).as("b"))
+      .groupBy("b").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == (0 until 8).toSet,
+      s"every bucket must be hit: ${sizes.keySet}")
+    assert(sizes.values.max <= 2L * n / 8,
+      s"offset ids must spread evenly: $sizes")
   }
 }

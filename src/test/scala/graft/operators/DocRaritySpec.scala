@@ -74,4 +74,40 @@ class DocRaritySpec extends AnyFunSuite {
       Corpus.hashedLinearScore(Seq((1L, "x")).toDF("id", "text"),
         "text", "id", Array.empty[Long]))
   }
+
+  test("codegen'd scoring expression is BIT-IDENTICAL to the composable " +
+      "HOF formula it replaced (split on ' ' with empties kept, per-token " +
+      "poly31 over non-newline code points, Fibonacci finalizer mod dim)") {
+    import org.apache.spark.sql.functions._
+    val w = Array.tabulate(64)(i => ((i * 37 + 11) % 21 - 10).toLong)
+    val dim = w.length
+    // the pre-round-20 interpreted-HOF construction, verbatim — the oracle
+    // SQL replays exactly this, so equality here keeps the oracle valid
+    def tokHash(t: org.apache.spark.sql.Column) = {
+      val poly = aggregate(
+        transform(regexp_extract_all(t, lit("[^\n]"), lit(0)),
+          c => ascii(c).cast(org.apache.spark.sql.types.LongType)),
+        lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+      ((poly * lit(2654435761L)) % lit(1000000007L)) % lit(dim.toLong)
+    }
+    val hofScore = lit(3L) + aggregate(
+      transform(split(coalesce(col("text"), lit("")), " "),
+        t => element_at(typedLit(w.toSeq), tokHash(t).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    // adversarial corpus: empty tokens (leading/trailing/double spaces),
+    // embedded newlines inside tokens (skipped chars, NOT boundaries),
+    // null text, long tokens that wrap the poly modulus many times
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "  double  spaces  "), (5L, "new\nline in\ntoken"),
+      (6L, "x" * 500 + " " + "longtokenwithmanychars" * 20),
+      (7L, "punct!@# 123 mixed-CASE Tokens"))
+      .toDF("doc_id", "text")
+    val got = Corpus.hashedLinearScore(docs, "text", "doc_id", w, bias = 3L)
+      .select("doc_id", "score").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val ref = docs.select(col("doc_id"), hofScore.as("score"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == ref, s"expression diverged from the HOF contract:\n $got\n $ref")
+  }
 }

@@ -58,4 +58,24 @@ class DupGroupsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(self == Seq(1L, 3L, 4L, 5L), "a doc must match itself (J = 1)")
   }
+
+  test("bandsForThreshold picks the cheapest banding whose recall clears " +
+      "99.9% AT the threshold — the leak-prevention default") {
+    // k=64, t=0.5: 32 bands x 2 rows -> recall 1-(1-0.25)^32 = 0.99990;
+    // the old 16 x 4 default sat at 1-(1-0.0625)^16 = 0.644
+    assert(Dedup.bandsForThreshold(64, 0.5) == 32)
+    def recall(k: Int, b: Int, t: Double) =
+      1 - math.pow(1 - math.pow(t, k / b), b)
+    assert(recall(64, 32, 0.5) >= 0.999)
+    assert(recall(64, 16, 0.5) < 0.7, "the r19-flagged gap is real")
+    // high thresholds afford wider rows (cheaper): t=0.9 passes at r=4
+    // (r=8 sits at 0.989 — just under the bar)
+    assert(Dedup.bandsForThreshold(64, 0.9) == 16)
+    assert(recall(64, 16, 0.9) >= 0.999)
+    // the curve only rises above t, so the bound covers the drop region
+    assert(recall(64, 32, 0.7) > recall(64, 32, 0.5))
+    // degenerate guard: t=1 pairs collide in every band at any r
+    assert(Dedup.bandsForThreshold(64, 1.0) == 1)
+    intercept[IllegalArgumentException](Dedup.bandsForThreshold(0, 0.5))
+  }
 }

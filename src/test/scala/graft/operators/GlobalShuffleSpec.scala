@@ -74,7 +74,14 @@ class GlobalShuffleSpec extends AnyFunSuite {
     val seq = Seq(1L, 1L << 30, 1L << 36, 1L << 40, 1L << 44, 1L << 50)
       .map(x => b(BigInt(x), 8))
     assert(seq == seq.sorted, s"not monotone: $seq")
-    // cap: driver state bounded even at absurd estimates (BigInt overflow-safe)
-    assert(b(BigInt(2).pow(80), 8) == (1 << 24))
+    // cap: the offset table is COLLECTED, so even a genuine ~PB input
+    // keeps driver state at ~1M rows (the cap binds past ~256 TB)
+    assert(b(BigInt(1L << 50), 8) == (1 << 20))
+    // sentinel guard: near-Long.MaxValue "sizes" are Spark's
+    // defaultSizeInBytes for unestimatable plans, not measurements —
+    // auto-sizing falls back to the parallelism floor instead of slamming
+    // into the cap and handing the driver a cap-sized collect
+    assert(b(BigInt(Long.MaxValue), 8) == 8)
+    assert(b(BigInt(2).pow(80), 8) == 8)
   }
 }

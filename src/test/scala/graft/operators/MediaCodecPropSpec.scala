@@ -86,7 +86,7 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
   property("decode() NEVER throws on corrupted payloads of any format — " +
       "malformed blobs degrade to the stub instead of killing the job") =
     Prop.forAll(for {
-      kind <- Gen.oneOf("png", "bmp", "wav", "jpeg", "garbage")
+      kind <- Gen.oneOf("png", "bmp", "wav", "jpeg", "gif", "garbage")
       flips <- Gen.choose(1, 12)
       seed <- Gen.choose(0, Int.MaxValue)
     } yield (kind, flips, seed)) { case (kind, flips, seed) =>
@@ -97,6 +97,9 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
         case "bmp" => MediaCodec.encodeBmp(6, 6, px)
         case "wav" => MediaCodec.encodeWav(8000, 1, Array.tabulate(40)(_.toShort))
         case "jpeg" => graft.operators.JpegCodec.encode(6, 6, px)
+        case "gif" => MediaCodec.encodeGif(6, 6,
+          Array.tabulate(12)(i => ((i * 61) % 256).toByte),
+          Array.tabulate(36)(i => (i % 4).toByte))
         case _ =>
           val g = new Array[Byte](64); rnd.nextBytes(g); g
       }
@@ -107,6 +110,24 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
       val rec = Multimodal.MediaRecord(1L, "image", corrupt, corrupt.length.toLong)
       val f = MediaCodec.decode(rec) // must not throw — stub or real
       f.feature.length == 8
+    }
+
+  property("GIF LZW round-trips ANY index raster through ANY palette, " +
+      "sequential or interlaced (random data is LZW's worst case — the " +
+      "dictionary churns and the code width climbs)") =
+    Prop.forAll(for {
+      (w, h) <- dims
+      nPal <- Gen.oneOf(2, 3, 8, 41, 256)
+      px <- bytes(w * h).map(_.map(b => (Math.floorMod(b, nPal)).toByte))
+      pal <- bytes(nPal * 3)
+      inter <- Gen.oneOf(true, false)
+    } yield (w, h, px, pal, inter)) { case (w, h, px, pal, inter) =>
+      val (dw, dh, out) =
+        MediaCodec.decodeGif(MediaCodec.encodeGif(w, h, pal, px, inter))
+      dw == w && dh == h && eq(out, px.flatMap { i0 =>
+        val i = (i0 & 0xff) * 3
+        Array(pal(i), pal(i + 1), pal(i + 2))
+      })
     }
 
   property("palette (type 3) dereferences PLTE for any index pattern") =

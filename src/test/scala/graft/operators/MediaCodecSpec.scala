@@ -83,10 +83,26 @@ class MediaCodecSpec extends AnyFunSuite {
     val (_, _, got8) = MediaCodec.decodeWav(
       MediaCodec.encodeWav(12000, 1, samples, bits = 8))
     assert(got8.toSeq == samples.map(s => (((s: Int) >> 8) << 8).toShort).toSeq)
+    // float WAVs carry the spec's non-PCM framing: an 18-byte fmt chunk
+    // (cbSize = 0) plus a fact chunk with the sample-frame count — strict
+    // third-party readers reject a float file with the bare 16-byte fmt
+    val f32 = MediaCodec.encodeWav(8000, 2, samples, bits = 32, float32 = true)
+    assert(java.nio.ByteBuffer.wrap(f32, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == 18, "float fmt size")
+    assert(new String(f32, 38, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      == "fact", "float WAV must carry a fact chunk")
+    assert(java.nio.ByteBuffer.wrap(f32, 46, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == samples.length / 2,
+      "fact chunk carries the sample-FRAME count")
+    // PCM keeps the classic 16-byte fmt, no fact
+    val pcm = MediaCodec.encodeWav(8000, 1, samples)
+    assert(java.nio.ByteBuffer.wrap(pcm, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == 16, "PCM fmt size")
     // a float64 stream with out-of-range values clamps, never wraps
     val loud = MediaCodec.encodeWav(8000, 1, Array[Short](32767, -32768), bits = 64)
-    // scale the first sample's double to 2.5 (bytes 44..51, little-endian)
-    java.nio.ByteBuffer.wrap(loud, 44, 8)
+    // scale the first sample's double to 2.5 (data starts at 58 with the
+    // extended fmt + fact framing; little-endian)
+    java.nio.ByteBuffer.wrap(loud, 58, 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5)
     val (_, _, clamped) = MediaCodec.decodeWav(loud)
     assert(clamped(0) == 32767, s"out-of-range float must clamp, got ${clamped(0)}")
@@ -328,6 +344,104 @@ class MediaCodecSpec extends AnyFunSuite {
         (((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)),
         s"palette pixel at ($x,$y)")
     }
+  }
+
+  test("GIF round-trip: LZW + palette recover every pixel, sequential and " +
+      "interlaced, through width growth and multiple sub-blocks") {
+    for ((w, h) <- Seq((9, 7), (1, 1), (16, 1), (1, 13), (33, 21))) {
+      val n = 8
+      val pal = Array.tabulate(n * 3)(i => ((i * 41 + 13) % 256).toByte)
+      val idx = Array.tabulate(w * h)(i => ((i * 5 + 2) % n).toByte)
+      val want = idx.flatMap { i0 =>
+        val i = (i0 & 0xff) * 3; Seq(pal(i), pal(i + 1), pal(i + 2))
+      }.toSeq
+      for (inter <- Seq(false, true)) {
+        val (dw, dh, rgb) = MediaCodec.decodeGif(
+          MediaCodec.encodeGif(w, h, pal, idx, inter))
+        assert((dw, dh) == (w, h), s"dims ${w}x$h interlace=$inter")
+        assert(rgb.toSeq == want, s"pixels ${w}x$h interlace=$inter")
+      }
+    }
+    // a large 256-color noisy raster climbs the LZW width to 12 bits,
+    // spans many 255-byte sub-blocks, and (dictionary full) exercises the
+    // encoder's mid-stream clear — the decoder must track all of it
+    val (w, h) = (120, 90)
+    val pal = Array.tabulate(256 * 3)(i => ((i * 23 + 5) % 256).toByte)
+    val idx = Array.tabulate(w * h)(i => ((i * i + 3 * i + 7) % 256).toByte)
+    val (dw, dh, rgb) = MediaCodec.decodeGif(MediaCodec.encodeGif(w, h, pal, idx))
+    assert((dw, dh) == (w, h))
+    val want = idx.flatMap { i0 =>
+      val i = (i0 & 0xff) * 3; Seq(pal(i), pal(i + 1), pal(i + 2))
+    }.toSeq
+    assert(rgb.toSeq == want, "256-color 12-bit-width raster")
+  }
+
+  test("GIF cross-validation: ImageIO reads our bytes pixel-identical " +
+      "(sequential AND interlaced), and our decoder reads ImageIO's GIFs") {
+    val (w, h) = (13, 9)
+    val colors = Array(0xff102030, 0xffe04010, 0xff30c060, 0xff5060f0)
+    val pal = colors.flatMap(c => Seq(((c >> 16) & 0xff).toByte,
+      ((c >> 8) & 0xff).toByte, (c & 0xff).toByte))
+    val idx = Array.tabulate(w * h)(i => ((i % w + 2 * (i / w)) % 4).toByte)
+    for (inter <- Seq(false, true)) {
+      val bytes = MediaCodec.encodeGif(w, h, pal, idx, inter)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected our GIF (interlace=$inter)")
+      assert((bi.getWidth, bi.getHeight) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = colors(idx(y * w + x) & 0xff)
+        assert(rawRgb(bi, x, y) ==
+          (((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)),
+          s"ImageIO vs our GIF at ($x,$y) interlace=$inter")
+      }
+    }
+    // reverse direction: the JDK's own GIF writer (indexed image → GIF)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      colors.map(c => ((c >> 16) & 0xff).toByte),
+      colors.map(c => ((c >> 8) & 0xff).toByte),
+      colors.map(c => (c & 0xff).toByte))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idx(y * w + x) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out), "JDK GIF writer")
+    val (dw, dh, rgb) = MediaCodec.decodeGif(out.toByteArray)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = colors(idx(y * w + x) & 0xff)
+      val p = (y * w + x) * 3
+      assert((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff) ==
+        (((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)),
+        s"our decode vs JDK GIF at ($x,$y)")
+    }
+  }
+
+  test("GIF refusals are loud and specific; decode() degrades corrupt " +
+      "GIFs to the stub") {
+    val pal = Array.tabulate(12)(i => ((i * 61) % 256).toByte)
+    val idx = Array.tabulate(30)(i => (i % 4).toByte)
+    val good = MediaCodec.encodeGif(6, 5, pal, idx)
+    // truncations at every structural boundary refuse, never loop or crash
+    for (cut <- Seq(3, 10, 13, 20, good.length - 2)) {
+      intercept[IllegalArgumentException](
+        MediaCodec.decodeGif(java.util.Arrays.copyOf(good, cut)))
+    }
+    // no image frame before the trailer
+    val noFrame = ("GIF89a".getBytes.toSeq ++
+      Seq[Byte](6, 0, 5, 0, 0, 0, 0, 0x3b)).toArray
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeGif(noFrame))
+    assert(e.getMessage.contains("no image frame"))
+    // decode() falls back to the stub instead of throwing
+    val bad = good.clone()
+    bad(good.length / 2) = (bad(good.length / 2) ^ 0x55).toByte
+    val rec = MediaRecord(9L, "image", java.util.Arrays.copyOf(bad, 17),
+      17L)
+    assert(MediaCodec.decode(rec).feature.toSeq ==
+      MediaCodec.decodeStub(rec).feature.toSeq)
+    // the sniffer routes intact GIFs to the real decoder
+    val feats = MediaCodec.decode(MediaRecord(5L, "image", good, good.length.toLong))
+    assert((feats.width, feats.height) == (6, 5))
   }
 
   test("decode() sniffs PNG alongside BMP (distinct magics, same features)") {
