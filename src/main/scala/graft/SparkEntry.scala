@@ -89,6 +89,11 @@ object SparkEntry {
     // the per-bucket greedy recurrence + census chaining.
     "pipe_bpe_train", "mm_decode_jpeg", "tx_classify",
     "pipe_decontam_fuzzy", "pipe_pack_docs",
+    // NEW in round 20: pipe_bpe_train_batched — 2 rounds x top-3
+    // non-interacting merges in one pass each (6 merges for the job count
+    // the sequential trainer spends on 2); mm_decode_gif — the LZW
+    // codec round-trip, sequential + interlaced per doc.
+    "pipe_bpe_train_batched", "mm_decode_gif",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a
