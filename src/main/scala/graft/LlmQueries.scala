@@ -783,12 +783,15 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Baseline JPEG round-trip over REAL bytes ([[JpegCodec]]: pure-JVM
-    * huffman + DCT + YCbCr, Annex K tables). JPEG is LOSSY, so this is a
+  /** JPEG round-trips over REAL bytes ([[JpegCodec]]: pure-JVM huffman +
+    * arithmetic + DCT + YCbCr, Annex K/D/F). JPEG is LOSSY, so this is a
     * BOUNDED-ERROR oracle (the established pattern): dimensions replay
     * exactly in SQL, and per-document reconstruction error on a smooth
     * gradient must stay inside the quantization budget (max ≤ 20/255,
-    * mean ≤ 5) — flags zero on violation and the hash match breaks. */
+    * mean ≤ 5) — flags zero on violation and the hash match breaks. The
+    * progressive and ARITHMETIC (SOF9) decodes carry the same quantized
+    * coefficients as the sequential stream, so their flags are EXACT
+    * pixel-equality, not bounded. */
   def mmDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
@@ -835,11 +838,18 @@ object LlmQueries {
         if (e > max12) max12 = e
         i += 1
       }
+      // ARITHMETIC coding (SOF9, T.81 Annex D/F): a transparent entropy
+      // layer over the SAME quantized coefficients, so its decode must be
+      // PIXEL-IDENTICAL to the sequential huffman decode — an exact flag
+      val (aw, ah, arith) = JpegCodec.decode(
+        JpegCodec.encode(w, h, img, 90, arithmetic = true))
+      val arithOk = aw == dw && ah == dh && java.util.Arrays.equals(arith, out)
       (d, dw.toLong, dh.toLong,
         if (maxE <= 20) 1L else 0L, if (meanOk) 1L else 0L,
-        if (progOk) 1L else 0L, if (max12 <= 6) 1L else 0L)
+        if (progOk) 1L else 0L, if (max12 <= 6) 1L else 0L,
+        if (arithOk) 1L else 0L)
     }.toDF("doc_id", "jpg_w", "jpg_h", "err_max_ok", "err_mean_ok",
-      "prog_identical", "p12_err_ok")
+      "prog_identical", "p12_err_ok", "arith_identical")
       .orderBy("doc_id")
   }
 
@@ -1953,7 +1963,8 @@ object LlmQueries {
              CAST(1 AS BIGINT) AS err_max_ok,
              CAST(1 AS BIGINT) AS err_mean_ok,
              CAST(1 AS BIGINT) AS prog_identical,
-             CAST(1 AS BIGINT) AS p12_err_ok
+             CAST(1 AS BIGINT) AS p12_err_ok,
+             CAST(1 AS BIGINT) AS arith_identical
       FROM documents ORDER BY doc_id""",
   )
 

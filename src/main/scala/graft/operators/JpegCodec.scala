@@ -54,6 +54,13 @@ object JpegCodec {
     99, 99, 99, 99, 99, 99, 99, 99)
 
   // Annex K.3 typical Huffman tables: (bits per code length 1..16, values)
+  // default arithmetic-conditioning parameters (T.81 F.1.4.4.1.4/F.1.4.4.2:
+  // DC thresholds L=0, U=1; AC high-frequency section boundary Kx=5) —
+  // written into the DAC segment and replayed by the decoder
+  private val ArithDcL = 0
+  private val ArithDcU = 1
+  private val ArithAcKx = 5
+
   private val DcLumaBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val DcLumaVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
   private val DcChromaBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
@@ -296,7 +303,7 @@ object JpegCodec {
     * vector for the decoder's restart path. */
   def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85,
       restartInterval: Int = 0, progressive: Boolean = false,
-      precision: Int = 8): Array[Byte] = {
+      precision: Int = 8, arithmetic: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h * 3,
       s"need ${w * h * 3} RGB bytes for ${w}x$h, got ${rgb.length}")
     require(restartInterval >= 0, "restart interval cannot be negative")
@@ -306,6 +313,8 @@ object JpegCodec {
       s"T.81 sample precision is 8 or 12, got $precision")
     require(precision == 8 || !progressive,
       "12-bit precision is sequential-only in this encoder")
+    require(!arithmetic || (!progressive && restartInterval == 0),
+      "arithmetic coding here is sequential-only, without restart intervals")
     val lumaQ = scaledQ(StdLumaQ, quality)
     val chromaQ = scaledQ(StdChromaQ, quality)
     // 12-bit samples are the 8-bit input widened x16 (0..4080), so the
@@ -458,7 +467,113 @@ object JpegCodec {
     var seqTables: Option[(
       (Array[Int], Array[Int]), (Array[Int], Array[Int]),
       (Array[Int], Array[Int]), (Array[Int], Array[Int]))] = None
-    if (!progressive && precision == 8) {
+    if (arithmetic) {
+      // ARITHMETIC sequential scan (SOF9): the same quantized coefficients
+      // as the huffman paths, entropy-coded through the Annex D coder with
+      // the Annex F sequential statistics model. One interleaved scan,
+      // default conditioning (DC L=0 U=1; AC Kx=5), no DHT segments.
+      val nbx = pw / 8; val nby = ph / 8
+      val planesArr = Array(yP, cbP, crP)
+      val qsArr = Array(lumaQ, chromaQ, chromaQ)
+      val enc = new JpegArith.Encoder
+      val dcStats = Array.fill(2)(JpegArith.freshBins(64))
+      val acStats = Array.fill(2)(JpegArith.freshBins(256))
+      val fixedBin = Array(JpegArith.FixedBin << 1)
+      val dcContext = new Array[Int](3)
+      java.util.Arrays.fill(pred, 0)
+
+      // F.1.4.1: DC difference — zero/sign/small decisions conditioned on
+      // the PREVIOUS block's difference class, magnitude category chain at
+      // bins 20+, magnitude bits 14 above the stopping category bin
+      def encodeDcArith(comp: Int, tbl: Int, dc: Int): Unit = {
+        val stats = dcStats(tbl)
+        val base = dcContext(comp)
+        val diff = dc - pred(comp); pred(comp) = dc
+        if (diff == 0) { enc.encode(stats, base, 0); dcContext(comp) = 0 }
+        else {
+          enc.encode(stats, base, 1)
+          val sign = if (diff < 0) 1 else 0
+          enc.encode(stats, base + 1, sign)
+          val sz = math.abs(diff) - 1
+          var m = 0
+          if (sz == 0) enc.encode(stats, base + 2 + sign, 0)
+          else {
+            enc.encode(stats, base + 2 + sign, 1)
+            m = 1
+            var st = 20
+            while (sz >= (m << 1)) { enc.encode(stats, st, 1); m <<= 1; st += 1 }
+            enc.encode(stats, st, 0)
+            var mm = m >> 1
+            while (mm != 0) {
+              enc.encode(stats, st + 14, if ((sz & mm) != 0) 1 else 0)
+              mm >>= 1
+            }
+          }
+          // F.1.4.4.1.2 conditioning class for the NEXT block (L=0, U=1):
+          // |diff| in {1..3} is "small", >= 4 "large", signed
+          dcContext(comp) =
+            if (m < ((1 << ArithDcL) >> 1)) 0
+            else if (m > ((1 << ArithDcU) >> 1)) 12 + sign * 4
+            else 4 + sign * 4
+        }
+      }
+
+      // F.1.4.2: per-position EOB/zero-run/value decisions at bins
+      // 3(k-1)..3(k-1)+2, sign through the fixed bin, category chains in
+      // the low-k/high-k shared sections at 189/217
+      def encodeAcArith(tbl: Int, zz: Array[Int]): Unit = {
+        val stats = acStats(tbl)
+        var kLast = 63
+        while (kLast >= 1 && zz(kLast) == 0) kLast -= 1
+        var k = 1
+        while (k <= kLast) {
+          var st = 3 * (k - 1)
+          enc.encode(stats, st, 0) // not end-of-block
+          while (zz(k) == 0) { enc.encode(stats, st + 1, 0); st += 3; k += 1 }
+          enc.encode(stats, st + 1, 1)
+          val v0 = zz(k)
+          val sign = if (v0 < 0) 1 else 0
+          enc.encode(fixedBin, 0, sign)
+          val sz = math.abs(v0) - 1
+          if (sz == 0) enc.encode(stats, st + 2, 0)
+          else {
+            enc.encode(stats, st + 2, 1)
+            if (sz == 1) enc.encode(stats, st + 2, 0) // category 1, no bits
+            else {
+              enc.encode(stats, st + 2, 1)
+              var m = 2
+              var xst = if (k <= ArithAcKx) 189 else 217
+              while (sz >= (m << 1)) { enc.encode(stats, xst, 1); m <<= 1; xst += 1 }
+              enc.encode(stats, xst, 0)
+              var mm = m >> 1
+              while (mm != 0) {
+                enc.encode(stats, xst + 14, if ((sz & mm) != 0) 1 else 0)
+                mm >>= 1
+              }
+            }
+          }
+          k += 1
+        }
+        if (kLast < 63) enc.encode(stats, 3 * kLast, 1) // end-of-block
+      }
+
+      var bi = 0
+      while (bi < nby * nbx) {
+        var comp = 0
+        while (comp < 3) {
+          val zz = quantizeBlock(planesArr(comp), bi % nbx, bi / nbx,
+            qsArr(comp))
+          val tbl = if (comp == 0) 0 else 1
+          encodeDcArith(comp, tbl, zz(0))
+          encodeAcArith(tbl, zz)
+          comp += 1
+        }
+        bi += 1
+      }
+      payload.write(enc.finish())
+      scans += ((Array.emptyByteArray,
+        Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
+    } else if (!progressive && precision == 8) {
       var mcu = 0
       var by = 0
       while (by < ph / 8) {
@@ -646,13 +761,25 @@ object JpegCodec {
       while (i < 64) { u8(q(Zigzag(i))); i += 1 }
     }
     dqt(0, lumaQ); dqt(1, chromaQ)
-    // SOF0 (baseline), SOF1 (12-bit extended sequential) or SOF2
-    // (progressive) — identical layout, differing precision byte
-    marker(if (progressive) 0xc2 else if (precision == 12) 0xc1 else 0xc0)
+    // SOF0 (baseline), SOF1 (12-bit extended sequential), SOF2
+    // (progressive) or SOF9 (arithmetic sequential) — identical layout,
+    // differing precision byte
+    marker(if (arithmetic) 0xc9
+      else if (progressive) 0xc2
+      else if (precision == 12) 0xc1 else 0xc0)
     u16(8 + 3 * 3); u8(precision); u16(h); u16(w); u8(3)
     u8(1); u8(0x11); u8(0) // Y: 1x1, q0
     u8(2); u8(0x11); u8(1) // Cb
     u8(3); u8(0x11); u8(1) // Cr
+    if (arithmetic) {
+      // DAC: conditioning for DC tables 0/1 ((U<<4)|L) and AC tables 0/1
+      // (Kx) — the defaults, written explicitly so any decoder sees them
+      marker(0xcc); u16(2 + 8)
+      u8(0x00); u8((ArithDcU << 4) | ArithDcL)
+      u8(0x01); u8((ArithDcU << 4) | ArithDcL)
+      u8(0x10); u8(ArithAcKx)
+      u8(0x11); u8(ArithAcKx)
+    }
     def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
       var i = 1
@@ -666,10 +793,10 @@ object JpegCodec {
       case Some((tDcL, tAcL, tDcC, tAcC)) =>
         dht(0, 0, tDcL._1, tDcL._2); dht(1, 0, tAcL._1, tAcL._2)
         dht(0, 1, tDcC._1, tDcC._2); dht(1, 1, tAcC._1, tAcC._2)
-      case None if !progressive =>
+      case None if !progressive && !arithmetic =>
         dht(0, 0, DcLumaBits, DcLumaVals); dht(1, 0, AcLumaBits, AcLumaVals)
         dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
-      case None => ()
+      case None => () // progressive: per-scan DHT; arithmetic: DAC above
     }
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     scans.foreach { case (preamble, sosBody, pay) =>
@@ -764,10 +891,12 @@ object JpegCodec {
     else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
     else v
 
-  /** Decode a baseline/extended-sequential/PROGRESSIVE Huffman JPEG, at
-    * 8- or 12-bit sample precision, into (width, height, RGB bytes
-    * row-major top-down — 12-bit normalizes to 8). Grayscale replicates;
-    * arithmetic coding refuses loudly. */
+  /** Decode a baseline/extended-sequential/PROGRESSIVE Huffman JPEG or an
+    * ARITHMETIC-coded sequential JPEG (SOF9 — Annex D coder + Annex F
+    * statistics, DAC conditioning honored), at 8- or 12-bit sample
+    * precision, into (width, height, RGB bytes row-major top-down —
+    * 12-bit normalizes to 8). Grayscale replicates; progressive
+    * arithmetic (SOF10) and the lossless modes refuse loudly. */
   def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
@@ -777,6 +906,11 @@ object JpegCodec {
     val acTables = new Array[HuffTable](4)
     var w = 0; var h = 0; var prec = 8
     var restartInterval = 0
+    var arithCoded = false
+    // arithmetic conditioning per table id (DAC overrides the defaults)
+    val arithL = Array.fill(4)(ArithDcL)
+    val arithU = Array.fill(4)(ArithDcU)
+    val arithKx = Array.fill(4)(ArithAcKx)
     // per component: id, hSamp, vSamp, quantId, dcId, acId
     var comps: Array[Array[Int]] = null
     var scanStart = -1
@@ -825,9 +959,10 @@ object JpegCodec {
               if (cls == 0) dcTables(id) = t else acTables(id) = t
               p += 17 + total
             }
-          case 0xc0 | 0xc1 => // SOF0 / SOF1 (both Huffman sequential)
+          case 0xc0 | 0xc1 | 0xc9 => // SOF0/SOF1 (Huffman) or SOF9 (arithmetic)
+            arithCoded = m == 0xc9
             prec = b(seg) & 0xff
-            require(prec == 8 || (prec == 12 && m == 0xc1),
+            require(prec == 8 || (prec == 12 && m != 0xc0),
               s"unsupported JPEG precision $prec for SOF ${m & 0xf}")
             h = u16(seg + 1); w = u16(seg + 3)
             val n = b(seg + 5) & 0xff
@@ -839,6 +974,22 @@ object JpegCodec {
             }
           case 0xc2 => // progressive: its own multi-scan decode path
             return decodeProgressive(b)
+          case 0xcc => // DAC: arithmetic conditioning (class<<4|id, Cs)
+            var p = seg
+            while (p + 1 < pos + 2 + len) {
+              val cls = (b(p) & 0xff) >> 4
+              val id = b(p) & 0x0f
+              val cs = b(p + 1) & 0xff
+              if (cls == 0) {
+                arithL(id) = cs & 0x0f; arithU(id) = cs >> 4
+                require(arithL(id) <= arithU(id) && arithU(id) <= 15,
+                  s"bad DC conditioning L=${arithL(id)} U=${arithU(id)}")
+              } else {
+                require(cs >= 1 && cs <= 63, s"bad AC conditioning Kx=$cs")
+                arithKx(id) = cs
+              }
+              p += 2
+            }
           case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 =>
             throw new IllegalArgumentException(
               f"unsupported JPEG coding (SOF marker 0x$sof%02x)")
@@ -877,14 +1028,20 @@ object JpegCodec {
     val mcuW = hMax * 8; val mcuH = vMax * 8
     val mcusX = (w + mcuW - 1) / mcuW
     val mcusY = (h + mcuH - 1) / mcuH
-    // plausibility: every 8x8 block costs >= ~3 bits of entropy data (DC
-    // code + EOB), so declared dimensions wildly beyond the payload are
-    // corruption — refuse BEFORE allocating GB-scale planes for garbage
+    // plausibility: every 8x8 block costs >= ~3 bits of Huffman entropy
+    // data (DC code + EOB), so declared dimensions wildly beyond the
+    // payload are corruption — refuse BEFORE allocating GB-scale planes
+    // for garbage. Arithmetic coding can compress a block far below a
+    // bit, so it gets an absolute block cap instead.
     val blocksPerMcu = comps.map(c => c(1) * c(2)).sum
     val totalBlocks = mcusX.toLong * mcusY * blocksPerMcu
-    require(totalBlocks <= 24L * math.max(0, b.length - scanStart) + 64,
-      s"corrupt JPEG: $totalBlocks blocks declared for " +
-        s"${b.length - scanStart} entropy bytes")
+    if (arithCoded)
+      require(totalBlocks <= (1L << 20),
+        s"implausible arithmetic JPEG: $totalBlocks blocks declared")
+    else
+      require(totalBlocks <= 24L * math.max(0, b.length - scanStart) + 64,
+        s"corrupt JPEG: $totalBlocks blocks declared for " +
+          s"${b.length - scanStart} entropy bytes")
     // per-component pixel planes at the component's own resolution
     val planeW = comps.map(c => mcusX * c(1) * 8)
     val planeH = comps.map(c => mcusY * c(2) * 8)
@@ -892,6 +1049,89 @@ object JpegCodec {
 
     val br = new BitReader(b, scanStart)
     val pred = new Array[Int](comps.length)
+    // arithmetic entropy state (SOF9): the Annex D decoder plus the
+    // Annex F statistics — contexts per conditioning table, DC difference
+    // classes and predictors per component
+    require(!arithCoded || restartInterval == 0,
+      "restart intervals with arithmetic coding unsupported")
+    val ad = if (arithCoded) new JpegArith.Decoder(b, scanStart) else null
+    val dcStatsD = Array.fill(4)(JpegArith.freshBins(64))
+    val acStatsD = Array.fill(4)(JpegArith.freshBins(256))
+    val fixedBinD = Array(JpegArith.FixedBin << 1)
+    val dcCtx = new Array[Int](comps.length)
+
+    // F.2.4.1: DC difference — mirrors the encoder's decision order exactly
+    def arithDecodeDc(ci: Int, tbl: Int): Unit = {
+      val stats = dcStatsD(tbl)
+      val base = dcCtx(ci)
+      if (ad.decode(stats, base) == 0) dcCtx(ci) = 0
+      else {
+        val sign = ad.decode(stats, base + 1)
+        var m = 0
+        var v = 0
+        if (ad.decode(stats, base + 2 + sign) != 0) {
+          m = 1
+          var st = 20
+          while (ad.decode(stats, st) != 0) {
+            m <<= 1
+            require(m < 0x8000, "corrupt JPEG: runaway arithmetic DC magnitude")
+            st += 1
+          }
+          v = m
+          var mm = m >> 1
+          while (mm != 0) {
+            if (ad.decode(stats, st + 14) != 0) v |= mm
+            mm >>= 1
+          }
+        }
+        dcCtx(ci) =
+          if (m < ((1 << arithL(tbl)) >> 1)) 0
+          else if (m > ((1 << arithU(tbl)) >> 1)) 12 + sign * 4
+          else 4 + sign * 4
+        pred(ci) += (if (sign == 1) -(v + 1) else v + 1)
+      }
+    }
+
+    // F.2.4.2: AC band — EOB/run/value decisions per position
+    def arithDecodeAc(tbl: Int, coef: Array[Double], q: Array[Int]): Unit = {
+      val stats = acStatsD(tbl)
+      var k = 1
+      var done = false
+      while (k <= 63 && !done) {
+        var st = 3 * (k - 1)
+        if (ad.decode(stats, st) != 0) done = true // end-of-block
+        else {
+          while (ad.decode(stats, st + 1) == 0) {
+            st += 3; k += 1
+            require(k <= 63, "corrupt JPEG: arithmetic AC run past 63")
+          }
+          val sign = ad.decode(fixedBinD, 0)
+          var v = 0
+          if (ad.decode(stats, st + 2) != 0) {
+            if (ad.decode(stats, st + 2) == 0) v = 1
+            else {
+              var m = 2
+              var xst = if (k <= arithKx(tbl)) 189 else 217
+              while (ad.decode(stats, xst) != 0) {
+                m <<= 1
+                require(m < 0x8000, "corrupt JPEG: runaway arithmetic AC magnitude")
+                xst += 1
+              }
+              v = m
+              var mm = m >> 1
+              while (mm != 0) {
+                if (ad.decode(stats, xst + 14) != 0) v |= mm
+                mm >>= 1
+              }
+            }
+          }
+          val mag = v + 1
+          coef(Zigzag(k)) = (if (sign == 1) -mag else mag).toDouble * q(Zigzag(k))
+          k += 1
+        }
+      }
+    }
+
     var mcu = 0
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
@@ -906,13 +1146,19 @@ object JpegCodec {
         val q = quant(c(3))
         require(q != null, s"missing quantization table ${c(3)}")
         val dcT = dcTables(c(4)); val acT = acTables(c(5))
-        require(dcT != null && acT != null, "missing Huffman table")
+        require(arithCoded || (dcT != null && acT != null),
+          "missing Huffman table")
         var v = 0
         while (v < c(2)) {
           var hh = 0
           while (hh < c(1)) {
             // decode one 8x8 block
             val coef = new Array[Double](64)
+            if (arithCoded) {
+              arithDecodeDc(ci, c(4))
+              coef(0) = pred(ci).toDouble * q(0)
+              arithDecodeAc(c(5), coef, q)
+            } else {
             val cat = br.decodeHuff(dcT)
             pred(ci) += extend(br.bits(cat), cat)
             coef(0) = pred(ci).toDouble * q(0)
@@ -930,6 +1176,7 @@ object JpegCodec {
                 coef(Zigzag(k)) = extend(br.bits(sz), sz).toDouble * q(Zigzag(k))
                 k += 1
               }
+            }
             }
             val px = idct(coef)
             val bx = (mx * c(1) + hh) * 8; val byy = (my * c(2) + v) * 8

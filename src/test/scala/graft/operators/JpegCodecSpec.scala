@@ -59,6 +59,77 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxE <= 4, s"flat color must be near-exact, max err $maxE")
   }
 
+  test("ARITHMETIC coding (SOF9) is a transparent entropy layer: the " +
+      "arithmetic decode is PIXEL-IDENTICAL to the huffman decode of the " +
+      "same quantized coefficients, across shapes and noisy content") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (17, 9), (40, 24), (1, 1), (3, 21))) {
+      val img = gradient(w, h)
+      val huff = JpegCodec.decode(JpegCodec.encode(w, h, img, quality = 90))
+      val bytes = JpegCodec.encode(w, h, img, quality = 90, arithmetic = true)
+      // the stream really is SOF9 with a DAC segment and no DHT
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc9), "missing SOF9")
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xcc), "missing DAC")
+      assert(!bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc4),
+        "arithmetic stream must carry no huffman tables")
+      val arith = JpegCodec.decode(bytes)
+      assert(arith._1 == w && arith._2 == h, s"dims for ${w}x$h")
+      assert(java.util.Arrays.equals(arith._3, huff._3),
+        s"${w}x$h arithmetic decode diverged from the huffman decode")
+    }
+    // adversarial content: per-pixel noise maximizes AC activity (category
+    // chains, long runs, dense EOB decisions, heavy carry traffic)
+    val w = 33; val h = 18
+    val noisy = Array.tabulate(w * h * 3)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    val huffN = JpegCodec.decode(JpegCodec.encode(w, h, noisy, quality = 95))
+    val arithN = JpegCodec.decode(
+      JpegCodec.encode(w, h, noisy, quality = 95, arithmetic = true))
+    assert(java.util.Arrays.equals(arithN._3, huffN._3), "noisy-content parity")
+    // arithmetic should COMPRESS no worse than huffman on smooth content
+    val img = gradient(64, 48)
+    val hLen = JpegCodec.encode(64, 48, img, quality = 90).length
+    val aLen = JpegCodec.encode(64, 48, img, quality = 90, arithmetic = true).length
+    assert(aLen < hLen, s"arithmetic ($aLen B) should beat huffman ($hLen B)")
+  }
+
+  test("12-BIT ARITHMETIC sequential: entropy-transparent against the " +
+      "12-bit huffman decode, tighter error budget intact") {
+    val w = 21; val h = 14
+    val img = gradient(w, h)
+    val huff12 = JpegCodec.decode(
+      JpegCodec.encode(w, h, img, quality = 90, precision = 12))
+    val arith12 = JpegCodec.decode(
+      JpegCodec.encode(w, h, img, quality = 90, precision = 12, arithmetic = true))
+    assert(java.util.Arrays.equals(arith12._3, huff12._3),
+      "12-bit arithmetic decode diverged from the 12-bit huffman decode")
+    val (maxE, _) = errs(img, arith12._3)
+    assert(maxE <= 6, s"12-bit budget: max err $maxE")
+  }
+
+  test("arithmetic refusals stay loud where support ends; corrupt " +
+      "arithmetic payloads degrade to the stub through decode()") {
+    val img = gradient(16, 16)
+    intercept[IllegalArgumentException](
+      JpegCodec.encode(16, 16, img, arithmetic = true, progressive = true))
+    intercept[IllegalArgumentException](
+      JpegCodec.encode(16, 16, img, arithmetic = true, restartInterval = 2))
+    // a DRI segment spliced into an arithmetic stream refuses (decoder
+    // restart support is declared out, not silently wrong)
+    val bytes = JpegCodec.encode(16, 16, img, arithmetic = true)
+    val dri = Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 2)
+    val spliced = bytes.take(2) ++ dri ++ bytes.drop(2)
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(spliced))
+    assert(e.getMessage.contains("restart"), e.getMessage)
+    // byte corruption inside the entropy segment: decode() falls back
+    val bad = bytes.clone()
+    bad(bytes.length - 8) = (bad(bytes.length - 8) ^ 0x6D).toByte
+    val rec = MediaRecord(7L, "image", java.util.Arrays.copyOf(bad, 24), 24L)
+    assert(MediaCodec.decode(rec).feature.toSeq ==
+      MediaCodec.decodeStub(rec).feature.toSeq)
+  }
+
   test("THIRD-PARTY conformance: the JDK's ImageIO decodes our bitstream " +
       "to the same image") {
     val w = 32; val h = 16

@@ -86,7 +86,8 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
   property("decode() NEVER throws on corrupted payloads of any format — " +
       "malformed blobs degrade to the stub instead of killing the job") =
     Prop.forAll(for {
-      kind <- Gen.oneOf("png", "bmp", "wav", "jpeg", "gif", "garbage")
+      kind <- Gen.oneOf("png", "bmp", "wav", "jpeg", "jpeg-arith", "gif",
+        "garbage")
       flips <- Gen.choose(1, 12)
       seed <- Gen.choose(0, Int.MaxValue)
     } yield (kind, flips, seed)) { case (kind, flips, seed) =>
@@ -97,6 +98,8 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
         case "bmp" => MediaCodec.encodeBmp(6, 6, px)
         case "wav" => MediaCodec.encodeWav(8000, 1, Array.tabulate(40)(_.toShort))
         case "jpeg" => graft.operators.JpegCodec.encode(6, 6, px)
+        case "jpeg-arith" =>
+          graft.operators.JpegCodec.encode(6, 6, px, arithmetic = true)
         case "gif" => MediaCodec.encodeGif(6, 6,
           Array.tabulate(12)(i => ((i * 61) % 256).toByte),
           Array.tabulate(36)(i => (i % 4).toByte))
