@@ -894,6 +894,67 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Baseline TIFF decode round-trip over REAL bytes (IFD walk + strip
+    * decompression, zero codec libraries): per document the same integer-
+    * generated RGB/gray/palette rasters ride through all three baseline
+    * compressions — none, LZW (with and without the horizontal-
+    * differencing predictor), PackBits — and byte-decode back. The oracle
+    * recomputes dimensions and every checksum in plain SQL arithmetic;
+    * the three compressions and the predictor variant must agree exactly
+    * (equal-checksum columns + an exact-equality flag), so a bit-packing,
+    * early-width-change, run-length, or predictor bug breaks the hash. */
+  def mmDecodeTiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+      val w = (7 + d % 6).toInt; val h = (5 + d % 5).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      val gray = new Array[Byte](w * h)
+      val idx = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = y * w + x
+          rgb(p * 3) = ((x * 7 + y * 13 + d) % 256).toByte
+          rgb(p * 3 + 1) = ((x * 3 + y * 5 + d * 11) % 256).toByte
+          rgb(p * 3 + 2) = ((x + y + d) % 256).toByte
+          gray(p) = ((x * 11 + y * 3 + d * 7) % 256).toByte
+          idx(p) = ((x + 2 * y + d) % 16).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val pal = Array.tabulate(768) { i =>
+        val j = i / 3
+        ((j * (i % 3 match { case 0 => 31; case 1 => 57; case _ => 89 }) + d)
+          % 256).toByte
+      }
+      def sumRgb(px: Array[Byte]): Long = {
+        var s0 = 0L; var i = 0
+        while (i < px.length) {
+          s0 += (px(i) & 0xff) + 2L * (px(i + 1) & 0xff) + 3L * (px(i + 2) & 0xff)
+          i += 3
+        }
+        s0
+      }
+      val mc = Multimodal.MediaCodec
+      val (dw, dh, none) = mc.decodeTiff(mc.encodeTiff(w, h, 3, rgb, 1))
+      val (_, _, lzw) = mc.decodeTiff(mc.encodeTiff(w, h, 3, rgb, 5))
+      val (_, _, pack) = mc.decodeTiff(mc.encodeTiff(w, h, 3, rgb, 32773))
+      val (_, _, pred) = mc.decodeTiff(
+        mc.encodeTiff(w, h, 3, rgb, 5, predictor = 2))
+      val predOk = java.util.Arrays.equals(pred, none) &&
+        java.util.Arrays.equals(lzw, none) && java.util.Arrays.equals(pack, none)
+      val (_, _, g) = mc.decodeTiff(mc.encodeTiff(w, h, 1, gray, 5))
+      val (_, _, p) = mc.decodeTiff(
+        mc.encodeTiff(w, h, 1, idx, 32773, palette = pal))
+      (d, dw.toLong, dh.toLong, sumRgb(none), sumRgb(g), sumRgb(p),
+        if (predOk) 1L else 0L)
+    }.toDF("doc_id", "tif_w", "tif_h", "rgb_sum", "gray_sum", "pal_sum",
+      "variants_identical")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -947,6 +1008,7 @@ object LlmQueries {
     "mm_decode_png"     -> (mmDecodePng _),
     "mm_decode_jpeg"    -> (mmDecodeJpeg _),
     "mm_decode_gif"     -> (mmDecodeGif _),
+    "mm_decode_tiff"    -> (mmDecodeTiff _),
   )
 
   /** Bench-only raw-operator bodies (NOT driver-contract queries): the
@@ -1952,6 +2014,30 @@ object LlmQueries {
       SELECT d.doc_id, CAST(d.w AS BIGINT) AS gif_w, CAST(d.h AS BIGINT) AS gif_h,
              CAST(agg.s AS BIGINT) AS gif_sum,
              CAST(agg.s AS BIGINT) AS gif_interlaced_sum
+      FROM d JOIN agg USING (doc_id)
+      ORDER BY doc_id""",
+    // TIFF round-trips: dimensions + checksums replay as SQL arithmetic;
+    // all three compressions and the predictor variant must decode
+    // identically (exact flag), gray expands to (g,g,g), palette
+    // dereferences the 16-bit ColorMap (encoded v*257, high byte back)
+    "mm_decode_tiff" -> """
+      WITH d AS (SELECT doc_id, 7 + doc_id % 6 AS w, 5 + doc_id % 5 AS h
+                 FROM documents),
+      xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM d),
+      xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      agg AS (SELECT doc_id,
+          SUM((x*7 + y*13 + doc_id) % 256 + 2*((x*3 + y*5 + doc_id*11) % 256)
+            + 3*((x + y + doc_id) % 256)) AS rgb_sum,
+          SUM(6 * ((x*11 + y*3 + doc_id*7) % 256)) AS gray_sum,
+          SUM(((x + 2*y + doc_id) % 16 * 31 + doc_id) % 256
+            + 2*(((x + 2*y + doc_id) % 16 * 57 + doc_id) % 256)
+            + 3*(((x + 2*y + doc_id) % 16 * 89 + doc_id) % 256)) AS pal_sum
+        FROM xy GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.w AS BIGINT) AS tif_w, CAST(d.h AS BIGINT) AS tif_h,
+             CAST(agg.rgb_sum AS BIGINT) AS rgb_sum,
+             CAST(agg.gray_sum AS BIGINT) AS gray_sum,
+             CAST(agg.pal_sum AS BIGINT) AS pal_sum,
+             CAST(1 AS BIGINT) AS variants_identical
       FROM d JOIN agg USING (doc_id)
       ORDER BY doc_id""",
     // lossy JPEG: exact dimensions + bounded-error flags (the flags zero

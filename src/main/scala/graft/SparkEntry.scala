@@ -92,8 +92,10 @@ object SparkEntry {
     // NEW in round 20: pipe_bpe_train_batched — 2 rounds x top-3
     // non-interacting merges in one pass each (6 merges for the job count
     // the sequential trainer spends on 2); mm_decode_gif — the LZW
-    // codec round-trip, sequential + interlaced per doc.
-    "pipe_bpe_train_batched", "mm_decode_gif",
+    // codec round-trip, sequential + interlaced per doc; mm_decode_tiff —
+    // six baseline-TIFF round-trips per doc (3 compressions + predictor +
+    // gray + palette).
+    "pipe_bpe_train_batched", "mm_decode_gif", "mm_decode_tiff",
     // NEW in round 12: the v3 DELETION-VECTOR merge-on-read scan (table
     // built + deleted in untimed setup; body is the DV-filtered read).
     // NEW in round 13: ice_cdc_read — full-history CDC changelog over a

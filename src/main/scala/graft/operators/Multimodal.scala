@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * (deflate + scanline filters via `java.util.zip.Inflater` —
   * gray/RGB/palette/alpha, every legal bit depth 1/2/4/8/16, interlaced
   * or not), GIF (LZW + global/local color tables, interlace, first frame
-  * of animations), baseline AND progressive JPEG at 8- and 12-bit
+  * of animations), baseline TIFF (none/LZW/PackBits strips, gray/RGB/
+  * palette/bilevel, both byte orders, horizontal-differencing
+  * predictor), baseline AND progressive JPEG at 8- and 12-bit
   * precision ([[JpegCodec]]: huffman + DCT + YCbCr incl. 4:2:0
   * subsampling, restart markers, spectral selection + successive
   * approximation, plus ARITHMETIC-coded sequential streams via the Annex
@@ -880,6 +882,404 @@ object Multimodal {
       (out, i)
     }
 
+    // ------------------------------------------------------------- TIFF
+    // Baseline TIFF 6.0 is an IFD tag walk + per-strip decompression —
+    // byte arithmetic again: none (1), LZW (5, MSB-first codes with the
+    // spec's EARLY code-width change and horizontal-differencing
+    // predictor), and PackBits (32773). Gray (black- or white-is-zero,
+    // 1/4/8-bit), palette (ColorMap's 16-bit entries), and 8-bit RGB
+    // decode; both byte orders (II/MM); multi-strip. Tiles, planar
+    // configuration 2, and the non-baseline compressions refuse loudly.
+
+    /** Encode 8-bit samples as a single-strip little-endian TIFF — the
+      * writer side of [[decodeTiff]]. `spp` 1 (gray, or palette when
+      * `palette` is given: 256 RGB triples widened to the 16-bit
+      * ColorMap) or 3 (RGB). `compression`: 1 = none, 5 = LZW
+      * (optionally `predictor = 2`, horizontal differencing),
+      * 32773 = PackBits. */
+    def encodeTiff(w: Int, h: Int, spp: Int, px: Array[Byte],
+        compression: Int = 1, palette: Array[Byte] = null,
+        predictor: Int = 1): Array[Byte] = {
+      require(w > 0 && h > 0 && (spp == 1 || spp == 3) &&
+        px.length == w * h * spp, s"need ${w * h * spp} bytes for ${w}x$h")
+      require(Set(1, 5, 32773)(compression), s"unsupported compression $compression")
+      require(predictor == 1 || (predictor == 2 && compression == 5),
+        "predictor 2 rides LZW only")
+      require(palette == null || (spp == 1 && palette.length == 768),
+        "palette mode needs spp=1 and 256 RGB triples")
+      val raw0 = px.clone()
+      if (predictor == 2) { // horizontal differencing per row, per channel
+        var y = 0
+        while (y < h) {
+          var i = w * spp - 1
+          while (i >= spp) {
+            raw0(y * w * spp + i) =
+              (raw0(y * w * spp + i) - px(y * w * spp + i - spp)).toByte
+            i -= 1
+          }
+          y += 1
+        }
+      }
+      val strip = compression match {
+        case 1 => raw0
+        case 5 => tiffLzwEncode(raw0)
+        case _ => packBitsEncode(raw0)
+      }
+      val out = new java.io.ByteArrayOutputStream(strip.length + 512)
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+      out.write('I'); out.write('I'); u16(42)
+      val stripOff = 8
+      val cmapOff = stripOff + strip.length
+      val cmapLen = if (palette != null) 256 * 3 * 2 else 0
+      val bpsOff = cmapOff + cmapLen // SHORT[3] for RGB lives out-of-line
+      u32(bpsOff + (if (spp == 3) 6 else 0)) // first IFD offset
+      out.write(strip, 0, strip.length)
+      if (palette != null) { // ColorMap: all R, all G, all B — 16-bit each
+        for (ch <- 0 until 3; i <- 0 until 256) {
+          val v = palette(i * 3 + ch) & 0xff
+          u16(v * 257)
+        }
+      }
+      if (spp == 3) { u16(8); u16(8); u16(8) }
+      val photometric = if (palette != null) 3 else if (spp == 3) 2 else 1
+      val entries = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Int)] // tag, type, count, value
+      entries += ((256, 4, 1, w))
+      entries += ((257, 4, 1, h))
+      entries += ((258, 3, spp, if (spp == 3) bpsOff else 8))
+      entries += ((259, 3, 1, compression))
+      entries += ((262, 3, 1, photometric))
+      entries += ((273, 4, 1, stripOff))
+      entries += ((277, 3, 1, spp))
+      entries += ((278, 4, 1, h))
+      entries += ((279, 4, 1, strip.length))
+      if (predictor == 2) entries += ((317, 3, 1, 2))
+      if (palette != null) entries += ((320, 3, 256 * 3, cmapOff))
+      u16(entries.length)
+      entries.sortBy(_._1).foreach { case (tag, typ, count, value) =>
+        u16(tag); u16(typ); u32(count)
+        if (typ == 3 && count == 1) { u16(value); u16(0) } else u32(value)
+      }
+      u32(0) // no next IFD
+      out.toByteArray
+    }
+
+    /** TIFF-variant LZW compress (MSB-first bit packing, 9→12-bit codes,
+      * the spec's EARLY width change one code before the table fills). */
+    private def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var width = 9
+      def writeCode(c: Int): Unit = {
+        bitBuf = (bitBuf << width) | c
+        bitCnt += width
+        while (bitCnt >= 8) {
+          out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+          bitCnt -= 8
+        }
+      }
+      val Clear = 256; val Eoi = 257
+      var table = new java.util.HashMap[Integer, Integer]()
+      var free = 258
+      writeCode(Clear)
+      if (data.nonEmpty) {
+        var ent = data(0) & 0xff
+        var i = 1
+        while (i < data.length) {
+          val ch = data(i) & 0xff
+          val key = Integer.valueOf((ent << 8) | ch)
+          val hit = table.get(key)
+          if (hit != null) ent = hit.intValue()
+          else {
+            writeCode(ent)
+            // EARLY change, checked against the PRE-add count: the
+            // decoder bumps after ITS add, which lags the encoder's by
+            // exactly one — the same alignment the GIF pair uses, moved
+            // one code earlier per the TIFF spec
+            if (free >= (1 << width) - 1 && width < 12) width += 1
+            table.put(key, Integer.valueOf(free)); free += 1
+            if (free >= 4093) { // near-full: clear and restart
+              writeCode(Clear)
+              table = new java.util.HashMap[Integer, Integer]()
+              free = 258; width = 9
+            }
+            ent = ch
+          }
+          i += 1
+        }
+        writeCode(ent)
+      }
+      writeCode(Eoi)
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** TIFF LZW decompress into exactly `n` bytes. */
+    private def tiffLzwDecode(b: Array[Byte], n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var outLen = 0
+      val prefix = new Array[Int](4096)
+      val tail = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      val Clear = 256; val Eoi = 257
+      var free = 258
+      var width = 9
+      var prev = -1
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = 0
+      def emit(code: Int, invented: Boolean): Unit = {
+        var sp = 0
+        var c = code
+        if (invented) { stack(sp) = 0; sp += 1; c = prev }
+        while (c >= 258) {
+          require(c < free && sp < stack.length, "corrupt TIFF LZW chain")
+          stack(sp) = tail(c); sp += 1; c = prefix(c)
+        }
+        val first = c.toByte
+        if (invented) stack(0) = first
+        require(outLen + sp + 1 <= n, "TIFF LZW yields more bytes than declared")
+        out(outLen) = first; outLen += 1
+        while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      }
+      var done = false
+      while (!done) {
+        while (bitCnt < width && i < b.length) {
+          bitBuf = (bitBuf << 8) | (b(i) & 0xffL); bitCnt += 8; i += 1
+        }
+        require(bitCnt >= width, "TIFF LZW stream ended before EOI")
+        val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == Clear) { free = 258; width = 9; prev = -1 }
+        else if (code == Eoi) {
+          require(outLen == n, s"TIFF strip short: $outLen of $n bytes")
+          done = true
+        } else if (prev == -1) {
+          require(code < 256, s"corrupt TIFF LZW: first code $code not a root")
+          require(outLen < n, "TIFF LZW overflows the strip")
+          out(outLen) = code.toByte; outLen += 1
+          prev = code
+        } else {
+          require(code <= free && code != 256 && code != 257,
+            s"corrupt TIFF LZW code $code (free $free)")
+          emit(code, invented = code == free)
+          if (free < 4096) {
+            prefix(free) = prev
+            var c0 = if (code == free) prev else code
+            while (c0 >= 258) c0 = prefix(c0)
+            tail(free) = c0.toByte
+            free += 1
+          }
+          if (free >= (1 << width) - 1 && width < 12) width += 1 // early change
+          prev = code
+        }
+      }
+      out
+    }
+
+    private def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length + 32)
+      var i = 0
+      while (i < data.length) {
+        var run = 1
+        while (i + run < data.length && run < 128 && data(i + run) == data(i))
+          run += 1
+        if (run >= 2) {
+          out.write(1 - run) // -(run-1) as a signed byte
+          out.write(data(i))
+          i += run
+        } else {
+          var lit = 1
+          while (i + lit < data.length && lit < 128 &&
+              (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1)))
+            lit += 1
+          out.write(lit - 1)
+          out.write(data, i, lit)
+          i += lit
+        }
+      }
+      out.toByteArray
+    }
+
+    private def packBitsDecode(b: Array[Byte], off: Int, len: Int,
+        n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var outLen = 0
+      var i = off
+      while (outLen < n) {
+        require(i < off + len, "PackBits strip ended early")
+        val ctl = b(i); i += 1
+        if (ctl >= 0) {
+          val cnt = ctl + 1
+          require(i + cnt <= off + len && outLen + cnt <= n, "PackBits overrun")
+          System.arraycopy(b, i, out, outLen, cnt)
+          i += cnt; outLen += cnt
+        } else if (ctl != -128) {
+          val cnt = 1 - ctl
+          require(i < off + len && outLen + cnt <= n, "PackBits overrun")
+          java.util.Arrays.fill(out, outLen, outLen + cnt, b(i))
+          i += 1; outLen += cnt
+        } // -128: noop
+      }
+      out
+    }
+
+    /** Decode a baseline TIFF's FIRST image into (width, height, RGB
+      * row-major top-down): walks the IFD (both byte orders),
+      * decompresses each strip (none/LZW/PackBits), undoes the
+      * horizontal-differencing predictor, unpacks 1/4-bit gray MSB-first,
+      * and expands gray/palette/RGB to RGB. Throws on anything
+      * non-baseline (tiles, planar 2, other compressions/depths). */
+    def decodeTiff(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(b.length > 8, "not a TIFF")
+      val le = b(0) == 'I' && b(1) == 'I'
+      require(le || (b(0) == 'M' && b(1) == 'M'), "not a TIFF")
+      def rd16(o: Int): Int =
+        if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      def rd32(o: Int): Int =
+        if (le) rd16(o) | (rd16(o + 2) << 16) else (rd16(o) << 16) | rd16(o + 2)
+      require(rd16(2) == 42, "bad TIFF magic number")
+      val ifd = rd32(4)
+      require(ifd >= 8 && ifd + 2 <= b.length, "bad IFD offset")
+      val nEntries = rd16(ifd)
+      require(ifd + 2 + nEntries * 12 + 4 <= b.length, "IFD exceeds payload")
+      var w = 0; var h = 0; var compression = 1; var photometric = 1
+      var spp = 1; var rowsPerStrip = Int.MaxValue; var predictor = 1
+      var bits = 1
+      var stripOffsets: Array[Int] = null
+      var stripCounts: Array[Int] = null
+      var cmapOff = -1; var cmapCount = 0
+      var e = 0
+      while (e < nEntries) {
+        val o = ifd + 2 + e * 12
+        val tag = rd16(o); val typ = rd16(o + 4 - 2); val count = rd32(o + 4)
+        // value fits inline when total size <= 4 bytes, else it's an offset
+        def sizeOf(t: Int) = t match {
+          case 1 | 2 | 6 | 7 => 1; case 3 => 2; case 4 | 9 | 11 => 4; case _ => 8
+        }
+        def at(i2: Int): Int = { // i2-th value of this entry
+          val total = sizeOf(typ) * count
+          val base = if (total <= 4) o + 8 else rd32(o + 8)
+          typ match {
+            case 1 => b(base + i2) & 0xff
+            case 3 => rd16(base + i2 * 2)
+            case 4 => rd32(base + i2 * 4)
+            case t => throw new IllegalArgumentException(s"TIFF value type $t")
+          }
+        }
+        tag match {
+          case 256 => w = at(0)
+          case 257 => h = at(0)
+          case 258 =>
+            bits = at(0)
+            var j = 1
+            while (j < count) {
+              require(at(j) == bits, "heterogeneous TIFF BitsPerSample")
+              j += 1
+            }
+          case 259 => compression = at(0)
+          case 262 => photometric = at(0)
+          case 273 => stripOffsets = Array.tabulate(count)(at)
+          case 277 => spp = at(0)
+          case 278 => rowsPerStrip = at(0)
+          case 279 => stripCounts = Array.tabulate(count)(at)
+          case 284 => require(at(0) == 1, "planar TIFF unsupported")
+          case 317 => predictor = at(0)
+          case 320 =>
+            cmapCount = count
+            val total = sizeOf(typ) * count
+            cmapOff = if (total <= 4) o + 8 else rd32(o + 8)
+          case 322 | 323 | 324 | 325 =>
+            throw new IllegalArgumentException("tiled TIFF unsupported")
+          case _ => ()
+        }
+        e = e + 1
+      }
+      require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+        s"implausible TIFF dimensions ${w}x$h")
+      require(stripOffsets != null && stripCounts != null &&
+        stripOffsets.length == stripCounts.length, "missing TIFF strips")
+      require(Set(1, 5, 32773)(compression),
+        s"unsupported TIFF compression $compression")
+      require(predictor == 1 || predictor == 2,
+        s"unsupported TIFF predictor $predictor")
+      require((spp == 1 && Set(1, 4, 8)(bits)) || (spp == 3 && bits == 8),
+        s"unsupported TIFF layout: $spp samples x $bits bits")
+      require(photometric >= 0 && photometric <= 3, s"photometric $photometric")
+      if (photometric == 3)
+        require(cmapOff >= 0 && cmapCount == 3 * (1 << bits), "palette TIFF without ColorMap")
+      val rowBytes = (w * spp * bits + 7) / 8
+      // decompress strips into the packed raster
+      val packed = new Array[Byte](rowBytes * h)
+      var strip = 0
+      var row = 0
+      while (strip < stripOffsets.length) {
+        val rows = math.min(rowsPerStrip, h - row)
+        require(rows > 0, "more TIFF strips than rows")
+        val need = rowBytes * rows
+        val off = stripOffsets(strip); val len = stripCounts(strip)
+        require(off >= 0 && len >= 0 && off + len <= b.length,
+          "TIFF strip exceeds payload")
+        val data = compression match {
+          case 1 =>
+            require(len >= need, "uncompressed TIFF strip short")
+            java.util.Arrays.copyOfRange(b, off, off + need)
+          case 5 => tiffLzwDecode(java.util.Arrays.copyOfRange(b, off, off + len), need)
+          case _ => packBitsDecode(b, off, len, need)
+        }
+        if (predictor == 2) {
+          require(bits == 8, "predictor 2 needs 8-bit samples")
+          var y = 0
+          while (y < rows) {
+            var i2 = spp
+            while (i2 < w * spp) {
+              data(y * rowBytes + i2) =
+                (data(y * rowBytes + i2) + data(y * rowBytes + i2 - spp)).toByte
+              i2 += 1
+            }
+            y += 1
+          }
+        }
+        System.arraycopy(data, 0, packed, row * rowBytes, need)
+        row += rows
+        strip += 1
+      }
+      require(row >= h, s"TIFF strips cover $row of $h rows")
+      // expand to RGB
+      val rgb = new Array[Byte](w * h * 3)
+      val dmax = (1 << bits) - 1
+      var p = 0
+      while (p < w * h) {
+        val y = p / w; val x = p % w
+        val sample =
+          if (bits == 8) packed(y * rowBytes + x * spp) & 0xff
+          else {
+            val bitOff = x * bits
+            (packed(y * rowBytes + (bitOff >> 3)) >> (8 - bits - (bitOff & 7))) & dmax
+          }
+        photometric match {
+          case 2 =>
+            rgb(p * 3) = packed(y * rowBytes + x * 3)
+            rgb(p * 3 + 1) = packed(y * rowBytes + x * 3 + 1)
+            rgb(p * 3 + 2) = packed(y * rowBytes + x * 3 + 2)
+          case 3 =>
+            val n = 1 << bits
+            // ColorMap: 16-bit entries, all R then all G then all B
+            def cm(ch: Int): Byte = (rd16(cmapOff + (ch * n + sample) * 2) >> 8).toByte
+            rgb(p * 3) = cm(0); rgb(p * 3 + 1) = cm(1); rgb(p * 3 + 2) = cm(2)
+          case pm =>
+            val g0 = sample * 255 / dmax
+            val g = (if (pm == 0) 255 - g0 else g0).toByte
+            rgb(p * 3) = g; rgb(p * 3 + 1) = g; rgb(p * 3 + 2) = g
+        }
+        p += 1
+      }
+      (w, h, rgb)
+    }
+
     /** REAL decode: sniff the payload's magic and decode BMP/PPM pixels or
       * WAV samples into [[MediaFeatures]] — image width/height are the
       * decoded dimensions and the feature vector carries mean R/G/B plus a
@@ -902,6 +1302,10 @@ object Multimodal {
         } else if (b.length > 13 && b(0) == 'G' && b(1) == 'I' &&
             b(2) == 'F' && b(3) == '8') {
           val (w, h, rgb) = decodeGif(b); imageFeatures(r, w, h, rgb)
+        } else if (b.length > 8 &&
+            ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+             (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
+          val (w, h, rgb) = decodeTiff(b); imageFeatures(r, w, h, rgb)
         } else if (b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
           val (rate, channels, samples) = decodeWav(b)
           var sum = 0.0; var sq = 0.0

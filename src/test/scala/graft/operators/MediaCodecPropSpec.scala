@@ -87,7 +87,7 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
       "malformed blobs degrade to the stub instead of killing the job") =
     Prop.forAll(for {
       kind <- Gen.oneOf("png", "bmp", "wav", "jpeg", "jpeg-arith", "gif",
-        "garbage")
+        "tiff", "garbage")
       flips <- Gen.choose(1, 12)
       seed <- Gen.choose(0, Int.MaxValue)
     } yield (kind, flips, seed)) { case (kind, flips, seed) =>
@@ -103,6 +103,7 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
         case "gif" => MediaCodec.encodeGif(6, 6,
           Array.tabulate(12)(i => ((i * 61) % 256).toByte),
           Array.tabulate(36)(i => (i % 4).toByte))
+        case "tiff" => MediaCodec.encodeTiff(6, 6, 3, px, compression = 5)
         case _ =>
           val g = new Array[Byte](64); rnd.nextBytes(g); g
       }
@@ -131,6 +132,24 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
         val i = (i0 & 0xff) * 3
         Array(pal(i), pal(i + 1), pal(i + 2))
       })
+    }
+
+  property("TIFF strips round-trip ANY bytes through none/LZW/PackBits, " +
+      "gray and RGB, with and without the LZW predictor") =
+    Prop.forAll(for {
+      (w, h) <- dims
+      spp <- Gen.oneOf(1, 3)
+      comp <- Gen.oneOf(1, 5, 32773)
+      pred <- Gen.oneOf(1, 2)
+      px <- bytes(w * h * spp)
+    } yield (w, h, spp, comp, if (comp == 5) pred else 1, px)) {
+      case (w, h, spp, comp, pred, px) =>
+        val (dw, dh, out) = MediaCodec.decodeTiff(
+          MediaCodec.encodeTiff(w, h, spp, px, comp, predictor = pred))
+        val want =
+          if (spp == 3) px
+          else px.flatMap(v => Array(v, v, v))
+        dw == w && dh == h && eq(out, want)
     }
 
   property("palette (type 3) dereferences PLTE for any index pattern") =

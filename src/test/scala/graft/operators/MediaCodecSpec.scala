@@ -444,6 +444,116 @@ class MediaCodecSpec extends AnyFunSuite {
     assert((feats.width, feats.height) == (6, 5))
   }
 
+  test("TIFF round-trip: none/LZW/PackBits strips recover every pixel for " +
+      "gray, RGB, palette, and the LZW horizontal-differencing predictor") {
+    for ((w, h) <- Seq((9, 7), (1, 1), (16, 1), (33, 21))) {
+      val gray = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val rgb = rgbPattern(w, h)
+      for (comp <- Seq(1, 5, 32773)) {
+        val (dw, dh, g) = MediaCodec.decodeTiff(
+          MediaCodec.encodeTiff(w, h, 1, gray, comp))
+        assert((dw, dh) == (w, h), s"gray dims ${w}x$h comp=$comp")
+        assert(g.toSeq == gray.flatMap(v => Seq(v, v, v)).toSeq,
+          s"gray pixels ${w}x$h comp=$comp")
+        val (_, _, c) = MediaCodec.decodeTiff(
+          MediaCodec.encodeTiff(w, h, 3, rgb, comp))
+        assert(c.toSeq == rgb.toSeq, s"RGB pixels ${w}x$h comp=$comp")
+      }
+      // LZW + predictor 2 (horizontal differencing per channel)
+      val (_, _, p2) = MediaCodec.decodeTiff(
+        MediaCodec.encodeTiff(w, h, 3, rgb, compression = 5, predictor = 2))
+      assert(p2.toSeq == rgb.toSeq, s"predictor-2 pixels ${w}x$h")
+      // palette: 256-entry ColorMap dereferenced from 16-bit entries
+      val pal = Array.tabulate(768)(i => ((i * 29 + 7) % 256).toByte)
+      val idx = Array.tabulate(w * h)(i => ((i * 5 + 3) % 256).toByte)
+      val (_, _, pp) = MediaCodec.decodeTiff(
+        MediaCodec.encodeTiff(w, h, 1, idx, compression = 5, palette = pal))
+      val want = idx.flatMap { i0 =>
+        val i = (i0 & 0xff) * 3; Seq(pal(i), pal(i + 1), pal(i + 2))
+      }
+      assert(pp.toSeq == want.toSeq, s"palette pixels ${w}x$h")
+    }
+    // a large noisy raster pushes TIFF-LZW through the EARLY width
+    // changes (9->10->11->12 bits) and the mid-stream clear
+    val (w, h) = (120, 90)
+    val noisy = Array.tabulate(w * h * 3)(i => ((i * i * 31 + 7 * i) % 256).toByte)
+    val (_, _, out) = MediaCodec.decodeTiff(
+      MediaCodec.encodeTiff(w, h, 3, noisy, compression = 5))
+    assert(out.toSeq == noisy.toSeq, "12-bit-width LZW raster")
+  }
+
+  test("TIFF cross-validation with ImageIO: the JDK reads our LZW and " +
+      "PackBits bytes; we read its (multi-strip, big-endian-capable) " +
+      "output in none/LZW/PackBits and 1-bit bilevel") {
+    val (w, h) = (13, 9)
+    val rgb = rgbPattern(w, h)
+    for ((comp, name) <- Seq(1 -> null, 5 -> "LZW", 32773 -> "PackBits")) {
+      // ours -> ImageIO
+      val bytes = MediaCodec.encodeTiff(w, h, 3, rgb, comp,
+        predictor = if (comp == 5) 2 else 1)
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(bi != null, s"ImageIO rejected our TIFF comp=$comp")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        assert(rawRgb(bi, x, y) ==
+          ((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff)),
+          s"ImageIO vs our TIFF at ($x,$y) comp=$comp")
+      }
+      // ImageIO -> ours
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+          ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      if (name != null) {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(name)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val (dw, dh, got) = MediaCodec.decodeTiff(buf.toByteArray)
+      assert((dw, dh) == (w, h), s"dims from ImageIO TIFF $name")
+      assert(got.toSeq == rgb.toSeq, s"pixels from ImageIO TIFF $name")
+    }
+    // 1-bit bilevel through the JDK's writer (TYPE_BYTE_BINARY -> 1-bit)
+    val bw1 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      bw1.getRaster.setSample(x, y, 0, (x + y) % 2)
+    val out1 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bw1, "tiff", out1), "JDK TIFF writer")
+    val (_, _, px1) = MediaCodec.decodeTiff(out1.toByteArray)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = if ((x + y) % 2 == 1) 255 else 0
+      val p = (y * w + x) * 3
+      assert((px1(p) & 0xff) == want, s"bilevel pixel at ($x,$y)")
+    }
+  }
+
+  test("TIFF refusals are loud; decode() sniffs TIFF and degrades corrupt " +
+      "payloads to the stub") {
+    val rgb = rgbPattern(6, 5)
+    val good = MediaCodec.encodeTiff(6, 5, 3, rgb, compression = 5)
+    for (cut <- Seq(4, 9, good.length / 2, good.length - 3)) {
+      intercept[IllegalArgumentException](
+        MediaCodec.decodeTiff(java.util.Arrays.copyOf(good, cut)))
+    }
+    val feats = MediaCodec.decode(MediaRecord(5L, "image", good, good.length.toLong))
+    assert((feats.width, feats.height) == (6, 5), "sniffer must route TIFF")
+    val bad = good.clone()
+    bad(5) = 0x7f // corrupt the IFD offset
+    val rec = MediaRecord(9L, "image", bad, bad.length.toLong)
+    assert(MediaCodec.decode(rec).feature.toSeq ==
+      MediaCodec.decodeStub(rec).feature.toSeq)
+  }
+
   test("decode() sniffs PNG alongside BMP (distinct magics, same features)") {
     val rgb = rgbPattern(5, 6)
     val png = MediaCodec.decode(MediaRecord(4L, "image",
