@@ -313,8 +313,10 @@ object JpegCodec {
       s"T.81 sample precision is 8 or 12, got $precision")
     require(precision == 8 || !progressive,
       "12-bit precision is sequential-only in this encoder")
-    require(!arithmetic || (!progressive && restartInterval == 0),
-      "arithmetic coding here is sequential-only, without restart intervals")
+    require(!arithmetic || restartInterval == 0,
+      "restart intervals unsupported with arithmetic coding")
+    require(!arithmetic || precision == 8 || !progressive,
+      "arithmetic progressive is 8-bit here")
     val lumaQ = scaledQ(StdLumaQ, quality)
     val chromaQ = scaledQ(StdChromaQ, quality)
     // 12-bit samples are the 8-bit input widened x16 (0..4080), so the
@@ -468,27 +470,46 @@ object JpegCodec {
       (Array[Int], Array[Int]), (Array[Int], Array[Int]),
       (Array[Int], Array[Int]), (Array[Int], Array[Int]))] = None
     if (arithmetic) {
-      // ARITHMETIC sequential scan (SOF9): the same quantized coefficients
-      // as the huffman paths, entropy-coded through the Annex D coder with
-      // the Annex F sequential statistics model. One interleaved scan,
-      // default conditioning (DC L=0 U=1; AC Kx=5), no DHT segments.
+      // ARITHMETIC scans (SOF9 sequential / SOF10 progressive): the same
+      // quantized coefficients as the huffman paths, entropy-coded through
+      // the Annex D coder with the Annex F/G statistics models. Default
+      // conditioning (DC L=0 U=1; AC Kx=5), no DHT segments; each scan is
+      // an independent entropy segment with FRESH statistics. The
+      // progressive script uses SUCCESSIVE APPROXIMATION (Al=1 first
+      // scans, Al=0 refinements), so a round-trip exercises all four
+      // arithmetic scan types while reassembling the exact coefficients.
       val nbx = pw / 8; val nby = ph / 8
       val planesArr = Array(yP, cbP, crP)
       val qsArr = Array(lumaQ, chromaQ, chromaQ)
-      val enc = new JpegArith.Encoder
-      val dcStats = Array.fill(2)(JpegArith.freshBins(64))
-      val acStats = Array.fill(2)(JpegArith.freshBins(256))
-      val fixedBin = Array(JpegArith.FixedBin << 1)
+      val coefs = Array.tabulate(3, nby * nbx) { (c, bi) =>
+        quantizeBlock(planesArr(c), bi % nbx, bi / nbx, qsArr(c))
+      }
+      var enc: JpegArith.Encoder = null
+      var dcStats: Array[Array[Int]] = null
+      var acStats: Array[Array[Int]] = null
+      var fixedBin: Array[Int] = null
       val dcContext = new Array[Int](3)
-      java.util.Arrays.fill(pred, 0)
+      def freshScan(): Unit = {
+        startScan()
+        enc = new JpegArith.Encoder
+        dcStats = Array.fill(2)(JpegArith.freshBins(64))
+        acStats = Array.fill(2)(JpegArith.freshBins(256))
+        fixedBin = Array(JpegArith.FixedBin << 1)
+        java.util.Arrays.fill(dcContext, 0)
+      }
+      def endScan(sosBody: Array[Byte]): Unit = {
+        payload.write(enc.finish())
+        scans += ((Array.emptyByteArray, sosBody, payload))
+      }
 
-      // F.1.4.1: DC difference — zero/sign/small decisions conditioned on
-      // the PREVIOUS block's difference class, magnitude category chain at
-      // bins 20+, magnitude bits 14 above the stopping category bin
-      def encodeDcArith(comp: Int, tbl: Int, dc: Int): Unit = {
+      // F.1.4.1: DC difference of the point-transformed value — zero/sign/
+      // small decisions conditioned on the PREVIOUS block's difference
+      // class, magnitude category chain at bins 20+, magnitude bits 14
+      // above the stopping category bin
+      def encodeDcArith(comp: Int, tbl: Int, v: Int): Unit = {
         val stats = dcStats(tbl)
         val base = dcContext(comp)
-        val diff = dc - pred(comp); pred(comp) = dc
+        val diff = v - pred(comp); pred(comp) = v
         if (diff == 0) { enc.encode(stats, base, 0); dcContext(comp) = 0 }
         else {
           enc.encode(stats, base, 1)
@@ -518,20 +539,25 @@ object JpegCodec {
         }
       }
 
-      // F.1.4.2: per-position EOB/zero-run/value decisions at bins
-      // 3(k-1)..3(k-1)+2, sign through the fixed bin, category chains in
-      // the low-k/high-k shared sections at 189/217
-      def encodeAcArith(tbl: Int, zz: Array[Int]): Unit = {
+      /** Signed point transform (G.1.2.1/2): sign(v)·(|v| >> al). */
+      def pt(v: Int, al: Int): Int =
+        if (v < 0) -((-v) >> al) else v >> al
+
+      // F.1.4.2 (+ G first scans): per-position EOB/zero-run/value
+      // decisions at bins 3(k-1)..3(k-1)+2, sign through the fixed bin,
+      // category chains in the low-k/high-k shared sections at 189/217
+      def encodeAcFirst(tbl: Int, zz: Array[Int], ss: Int, se: Int,
+          al: Int): Unit = {
         val stats = acStats(tbl)
-        var kLast = 63
-        while (kLast >= 1 && zz(kLast) == 0) kLast -= 1
-        var k = 1
+        var kLast = se
+        while (kLast >= ss && pt(zz(kLast), al) == 0) kLast -= 1
+        var k = ss
         while (k <= kLast) {
           var st = 3 * (k - 1)
           enc.encode(stats, st, 0) // not end-of-block
-          while (zz(k) == 0) { enc.encode(stats, st + 1, 0); st += 3; k += 1 }
+          while (pt(zz(k), al) == 0) { enc.encode(stats, st + 1, 0); st += 3; k += 1 }
           enc.encode(stats, st + 1, 1)
-          val v0 = zz(k)
+          val v0 = pt(zz(k), al)
           val sign = if (v0 < 0) 1 else 0
           enc.encode(fixedBin, 0, sign)
           val sz = math.abs(v0) - 1
@@ -554,25 +580,115 @@ object JpegCodec {
           }
           k += 1
         }
-        if (kLast < 63) enc.encode(stats, 3 * kLast, 1) // end-of-block
+        if (kLast < se) enc.encode(stats, 3 * (math.max(kLast + 1, ss) - 1), 1)
       }
 
-      var bi = 0
-      while (bi < nby * nbx) {
-        var comp = 0
-        while (comp < 3) {
-          val zz = quantizeBlock(planesArr(comp), bi % nbx, bi / nbx,
-            qsArr(comp))
-          val tbl = if (comp == 0) 0 else 1
-          encodeDcArith(comp, tbl, zz(0))
-          encodeAcArith(tbl, zz)
-          comp += 1
+      // G.1.3.3 AC refinement: correction bit per nonzero-HISTORY
+      // coefficient, presence+sign for the newly nonzero, EOB decisions
+      // only past the previous scan's highest nonzero (kex) — mirrors the
+      // decoder's walk decision for decision
+      def encodeAcRefine(tbl: Int, zz: Array[Int], ss: Int, se: Int,
+          al: Int): Unit = {
+        val stats = acStats(tbl)
+        var kex = se
+        while (kex > 0 && pt(zz(kex), al + 1) == 0) kex -= 1
+        var kLastNew = se
+        while (kLastNew >= ss && !(pt(zz(kLastNew), al + 1) == 0 &&
+            pt(zz(kLastNew), al) != 0)) kLastNew -= 1
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          var st = 3 * (k - 1)
+          if (k > kex) {
+            if (k > kLastNew) { enc.encode(stats, st, 1); done = true } // EOB
+            else enc.encode(stats, st, 0)
+          }
+          if (!done) {
+            var placed = false
+            while (!placed) {
+              val hist = pt(zz(k), al + 1)
+              val cur = pt(zz(k), al)
+              if (hist != 0) {
+                enc.encode(stats, st + 2, math.abs(cur) & 1)
+                placed = true
+              } else if (cur != 0) { // newly nonzero: always ±1 here
+                enc.encode(stats, st + 1, 1)
+                enc.encode(fixedBin, 0, if (cur < 0) 1 else 0)
+                placed = true
+              } else {
+                enc.encode(stats, st + 1, 0)
+                st += 3; k += 1
+                require(k <= se, "refinement walked past the band")
+              }
+            }
+            k += 1
+          }
         }
-        bi += 1
       }
-      payload.write(enc.finish())
-      scans += ((Array.emptyByteArray,
-        Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0), payload))
+
+      if (!progressive) {
+        freshScan()
+        var bi = 0
+        while (bi < nby * nbx) {
+          var comp = 0
+          while (comp < 3) {
+            val zz = coefs(comp)(bi)
+            val tbl = if (comp == 0) 0 else 1
+            encodeDcArith(comp, tbl, zz(0))
+            encodeAcFirst(tbl, zz, 1, 63, 0)
+            comp += 1
+          }
+          bi += 1
+        }
+        endScan(Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+      } else {
+        // scan 1: interleaved DC first at Al=1 — the DC point transform is
+        // an ARITHMETIC shift (G.1.2.1; AC uses sign-magnitude, G.1.2.2),
+        // so the refinement's two's-complement bit-OR reassembles exactly
+        freshScan()
+        var bi = 0
+        while (bi < nby * nbx) {
+          var comp = 0
+          while (comp < 3) {
+            encodeDcArith(comp, if (comp == 0) 0 else 1, coefs(comp)(bi)(0) >> 1)
+            comp += 1
+          }
+          bi += 1
+        }
+        endScan(Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01))
+        // scan 2: interleaved DC refinement (bit 0 through the fixed bin)
+        freshScan()
+        bi = 0
+        while (bi < nby * nbx) {
+          var comp = 0
+          while (comp < 3) {
+            enc.encode(fixedBin, 0, coefs(comp)(bi)(0) & 1)
+            comp += 1
+          }
+          bi += 1
+        }
+        endScan(Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x10))
+        // scans 3..8: per component, AC first at Al=1 then AC refinement
+        var c = 0
+        while (c < 3) {
+          val tbl = if (c == 0) 0 else 1
+          freshScan()
+          bi = 0
+          while (bi < nby * nbx) {
+            encodeAcFirst(tbl, coefs(c)(bi), 1, 63, 1); bi += 1
+          }
+          endScan(Array[Byte](1, (c + 1).toByte, ((tbl << 4) | tbl).toByte,
+            1, 63, 0x01))
+          freshScan()
+          bi = 0
+          while (bi < nby * nbx) {
+            encodeAcRefine(tbl, coefs(c)(bi), 1, 63, 0); bi += 1
+          }
+          endScan(Array[Byte](1, (c + 1).toByte, ((tbl << 4) | tbl).toByte,
+            1, 63, 0x10))
+          c += 1
+        }
+      }
     } else if (!progressive && precision == 8) {
       var mcu = 0
       var by = 0
@@ -762,9 +878,10 @@ object JpegCodec {
     }
     dqt(0, lumaQ); dqt(1, chromaQ)
     // SOF0 (baseline), SOF1 (12-bit extended sequential), SOF2
-    // (progressive) or SOF9 (arithmetic sequential) — identical layout,
-    // differing precision byte
-    marker(if (arithmetic) 0xc9
+    // (progressive), SOF9 (arithmetic sequential) or SOF10 (arithmetic
+    // progressive) — identical layout, differing precision byte
+    marker(if (arithmetic && progressive) 0xca
+      else if (arithmetic) 0xc9
       else if (progressive) 0xc2
       else if (precision == 12) 0xc1 else 0xc0)
     u16(8 + 3 * 3); u8(precision); u16(h); u16(w); u8(3)
@@ -892,11 +1009,12 @@ object JpegCodec {
     else v
 
   /** Decode a baseline/extended-sequential/PROGRESSIVE Huffman JPEG or an
-    * ARITHMETIC-coded sequential JPEG (SOF9 — Annex D coder + Annex F
-    * statistics, DAC conditioning honored), at 8- or 12-bit sample
-    * precision, into (width, height, RGB bytes row-major top-down —
-    * 12-bit normalizes to 8). Grayscale replicates; progressive
-    * arithmetic (SOF10) and the lossless modes refuse loudly. */
+    * ARITHMETIC-coded JPEG — sequential (SOF9) AND progressive (SOF10,
+    * all four Annex G scan types incl. successive approximation) — via
+    * the Annex D coder + Annex F/G statistics with DAC conditioning
+    * honored, at 8- or 12-bit sample precision, into (width, height, RGB
+    * bytes row-major top-down — 12-bit normalizes to 8). Grayscale
+    * replicates; the lossless/hierarchical modes refuse loudly. */
   def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
@@ -972,8 +1090,8 @@ object JpegCodec {
               Array(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
                 b(o + 2) & 0xff, 0, 0)
             }
-          case 0xc2 => // progressive: its own multi-scan decode path
-            return decodeProgressive(b)
+          case 0xc2 | 0xca => // progressive (huffman or arithmetic):
+            return decodeProgressive(b) // its own multi-scan decode path
           case 0xcc => // DAC: arithmetic conditioning (class<<4|id, Cs)
             var p = seg
             while (p + 1 < pos + 2 + len) {
@@ -1218,6 +1336,10 @@ object JpegCodec {
     val acTables = new Array[HuffTable](4)
     var w = 0; var h = 0
     var restartInterval = 0
+    var arithCoded = false // SOF10: arithmetic entropy, Annex G/F models
+    val arithL = Array.fill(4)(ArithDcL)
+    val arithU = Array.fill(4)(ArithDcU)
+    val arithKx = Array.fill(4)(ArithAcKx)
     // per component: id, hSamp, vSamp, quantId, dcId, acId
     var comps: Array[Array[Int]] = null
     var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0; var prec = 8
@@ -1239,6 +1361,133 @@ object JpegCodec {
       eobrun = 0
       val p1 = 1 << Al
       val m1 = -1 << Al
+      // arithmetic (SOF10): each scan is an independent entropy segment —
+      // a fresh Annex D decoder, fresh statistics, fresh DC contexts
+      require(!arithCoded || restartInterval == 0,
+        "restart intervals with arithmetic coding unsupported")
+      val ad = if (arithCoded) new JpegArith.Decoder(b, start) else null
+      val adDc = if (arithCoded) Array.fill(4)(JpegArith.freshBins(64)) else null
+      val adAc = if (arithCoded) Array.fill(4)(JpegArith.freshBins(256)) else null
+      val adFixed = if (arithCoded) Array(JpegArith.FixedBin << 1) else null
+      val adDcCtx = new Array[Int](comps.length)
+
+      // G.2.1 DC first: the sequential Annex F DC model over the
+      // point-transformed values, result placed at << Al
+      def adDcFirst(ci: Int, base: Int): Unit = {
+        val tbl = comps(ci)(4)
+        val stats = adDc(tbl)
+        val ctx = adDcCtx(ci)
+        if (ad.decode(stats, ctx) == 0) adDcCtx(ci) = 0
+        else {
+          val sign = ad.decode(stats, ctx + 1)
+          var m = 0
+          var v = 0
+          if (ad.decode(stats, ctx + 2 + sign) != 0) {
+            m = 1
+            var st = 20
+            while (ad.decode(stats, st) != 0) {
+              m <<= 1
+              require(m < 0x8000, "corrupt JPEG: runaway arithmetic DC magnitude")
+              st += 1
+            }
+            v = m
+            var mm = m >> 1
+            while (mm != 0) {
+              if (ad.decode(stats, st + 14) != 0) v |= mm
+              mm >>= 1
+            }
+          }
+          adDcCtx(ci) =
+            if (m < ((1 << arithL(tbl)) >> 1)) 0
+            else if (m > ((1 << arithU(tbl)) >> 1)) 12 + sign * 4
+            else 4 + sign * 4
+          pred(ci) += (if (sign == 1) -(v + 1) else v + 1)
+        }
+        coefs(ci)(base) = pred(ci) << Al
+      }
+
+      // G.2.1 DC refinement: one fixed-bin decision per block (bit Al)
+      def adDcRefine(ci: Int, base: Int): Unit =
+        if (ad.decode(adFixed, 0) != 0) coefs(ci)(base) |= p1
+
+      // G.2.2 AC first: the sequential Annex F AC model over [Ss, Se],
+      // values placed at << Al
+      def adAcFirst(ci: Int, base: Int): Unit = {
+        val tbl = comps(ci)(5)
+        val stats = adAc(tbl)
+        val co = coefs(ci)
+        var k = Ss
+        var done = false
+        while (k <= Se && !done) {
+          var st = 3 * (k - 1)
+          if (ad.decode(stats, st) != 0) done = true // end-of-block
+          else {
+            while (ad.decode(stats, st + 1) == 0) {
+              st += 3; k += 1
+              require(k <= Se, "corrupt JPEG: arithmetic AC run past band")
+            }
+            val sign = ad.decode(adFixed, 0)
+            var v = 0
+            if (ad.decode(stats, st + 2) != 0) {
+              if (ad.decode(stats, st + 2) == 0) v = 1
+              else {
+                var m = 2
+                var xst = if (k <= arithKx(tbl)) 189 else 217
+                while (ad.decode(stats, xst) != 0) {
+                  m <<= 1
+                  require(m < 0x8000, "corrupt JPEG: runaway arithmetic AC magnitude")
+                  xst += 1
+                }
+                v = m
+                var mm = m >> 1
+                while (mm != 0) {
+                  if (ad.decode(stats, xst + 14) != 0) v |= mm
+                  mm >>= 1
+                }
+              }
+            }
+            val mag = v + 1
+            co(base + Zigzag(k)) = (if (sign == 1) -mag else mag) << Al
+            k += 1
+          }
+        }
+      }
+
+      // G.2.2 AC refinement: correction bit per nonzero-history
+      // coefficient, presence+sign for the newly nonzero, EOB decisions
+      // only past kex (the previous scans' highest nonzero position)
+      def adAcRefine(ci: Int, base: Int): Unit = {
+        val tbl = comps(ci)(5)
+        val stats = adAc(tbl)
+        val co = coefs(ci)
+        var kex = Se
+        while (kex > 0 && co(base + Zigzag(kex)) == 0) kex -= 1
+        var k = Ss
+        var done = false
+        while (k <= Se && !done) {
+          var st = 3 * (k - 1)
+          if (k > kex && ad.decode(stats, st) != 0) done = true // EOB
+          else {
+            var placed = false
+            while (!placed) {
+              val z = base + Zigzag(k)
+              if (co(z) != 0) {
+                if (ad.decode(stats, st + 2) != 0)
+                  co(z) += (if (co(z) >= 0) p1 else m1)
+                placed = true
+              } else if (ad.decode(stats, st + 1) != 0) {
+                co(z) = if (ad.decode(adFixed, 0) == 1) m1 else p1
+                placed = true
+              } else {
+                st += 3; k += 1
+                require(k <= Se,
+                  "corrupt JPEG: arithmetic AC refinement past band")
+              }
+            }
+            k += 1
+          }
+        }
+      }
 
       def refineNonzero(co: Array[Int], z: Int): Unit =
         if (br.bit() == 1 && (co(z) & p1) == 0)
@@ -1326,7 +1575,12 @@ object JpegCodec {
       }
 
       def decodeUnit(ci: Int, base: Int): Unit =
-        if (Ss == 0) dcBlock(ci, base) else if (Ah == 0) acFirstBlock(ci, base)
+        if (arithCoded) {
+          if (Ss == 0) { if (Ah == 0) adDcFirst(ci, base) else adDcRefine(ci, base) }
+          else if (Ah == 0) adAcFirst(ci, base)
+          else adAcRefine(ci, base)
+        } else if (Ss == 0) dcBlock(ci, base)
+        else if (Ah == 0) acFirstBlock(ci, base)
         else acRefineBlock(ci, base)
 
       def atRestart(unit: Long): Unit =
@@ -1378,6 +1632,19 @@ object JpegCodec {
           blk += 1
         }
       }
+      if (arithCoded) {
+        // arithmetic entropy data has no FF00 stuffing: an X'FF' followed
+        // by <= X'8F' is data (stuffed-bit byte); the first X'FF' with a
+        // follower above X'8F' is the next marker
+        var p = math.max(ad.pos, start)
+        var found = -1
+        while (found < 0 && p + 1 < b.length) {
+          if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) > 0x8f) found = p
+          else p += 1
+        }
+        require(found >= 0, "truncated progressive JPEG (no marker after scan)")
+        found
+      } else {
       // advance to the next marker (skip entropy bytes, FF00 stuffing and
       // any RSTn the bit reader stopped just short of)
       var p = br.pos
@@ -1392,6 +1659,7 @@ object JpegCodec {
       }
       require(found >= 0, "truncated progressive JPEG (no marker after scan)")
       found
+      }
     }
 
     var done = false
@@ -1439,8 +1707,9 @@ object JpegCodec {
               if (cls == 0) dcTables(id) = t else acTables(id) = t
               p += 17 + total
             }
-          case 0xc2 =>
+          case 0xc2 | 0xca =>
             require(comps == null, "multiple SOF markers")
+            arithCoded = m == 0xca
             prec = b(seg) & 0xff
             require(prec == 8 || prec == 12, s"unsupported JPEG precision $prec")
             h = u16(seg + 1); w = u16(seg + 3)
@@ -1472,6 +1741,22 @@ object JpegCodec {
             gridH = comps.map(c => mcusY * c(2))
             coefs = comps.indices.map(i =>
               new Array[Int](gridW(i) * gridH(i) * 64)).toArray
+          case 0xcc => // DAC: arithmetic conditioning (class<<4|id, Cs)
+            var p = seg
+            while (p + 1 < pos + 2 + len) {
+              val cls = (b(p) & 0xff) >> 4
+              val id = b(p) & 0x0f
+              val cs = b(p + 1) & 0xff
+              if (cls == 0) {
+                arithL(id) = cs & 0x0f; arithU(id) = cs >> 4
+                require(arithL(id) <= arithU(id) && arithU(id) <= 15,
+                  s"bad DC conditioning L=${arithL(id)} U=${arithU(id)}")
+              } else {
+                require(cs >= 1 && cs <= 63, s"bad AC conditioning Kx=$cs")
+                arithKx(id) = cs
+              }
+              p += 2
+            }
           case sof if (sof >= 0xc0 && sof <= 0xcf) && sof != 0xc4 && sof != 0xc8 =>
             throw new IllegalArgumentException(
               f"unexpected SOF marker 0x$sof%02x inside a progressive stream")

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * predictor), baseline AND progressive JPEG at 8- and 12-bit
   * precision ([[JpegCodec]]: huffman + DCT + YCbCr incl. 4:2:0
   * subsampling, restart markers, spectral selection + successive
-  * approximation, plus ARITHMETIC-coded sequential streams via the Annex
-  * D/F coder in [[JpegArith]] — pure JVM), and WAV audio across the depth
+  * approximation, plus ARITHMETIC-coded streams — sequential AND
+  * progressive — via the Annex D/F/G coder in [[JpegArith]] — pure JVM),
+  * and WAV audio across the depth
   * matrix — integer PCM 8/16/24/32 and IEEE float 32/64
   * ([[MediaCodec.decode]] — no codec dependencies anywhere). Payloads in
   * formats that genuinely need a codec library (MP3, H.264) fall back to

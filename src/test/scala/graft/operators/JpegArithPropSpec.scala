@@ -52,16 +52,19 @@ object JpegArithPropSpec extends Properties("JpegArith") {
       stateUnchanged && out == bits && bytes.length >= bits.length / 8
     }
 
-  property("the entropy stream never forms a marker (every 0xFF is " +
-      "followed by a stuffed-bit byte <= 0x7F or ends the stream)") =
+  property("the entropy stream never forms a marker: every 0xFF is " +
+      "followed by a byte <= 0x8F (stuffed zero bit, possibly plus a " +
+      "carry into it — exactly the spec's > 0x8F marker boundary) or " +
+      "ends the stream") =
     Prop.forAll(streamGen) { case (nBins, _, bits, binSeq) =>
+      val pairs = bits.zip(binSeq)
       val bins = JpegArith.freshBins(nBins)
       val enc = new JpegArith.Encoder
-      bits.lazyZip(binSeq).foreach { (b, s) => enc.encode(bins, s, b) }
+      pairs.foreach { case (b, s) => enc.encode(bins, s, b) }
       val bytes = enc.finish()
       bytes.indices.forall { i =>
         (bytes(i) & 0xff) != 0xFF || i == bytes.length - 1 ||
-          (bytes(i + 1) & 0xff) <= 0x7F
+          (bytes(i + 1) & 0xff) <= 0x8F
       }
     }
 }

@@ -108,11 +108,45 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxE <= 6, s"12-bit budget: max err $maxE")
   }
 
+  test("PROGRESSIVE ARITHMETIC (SOF10): the successive-approximation scan " +
+      "script (DC first Al=1, DC refine, per-component AC first Al=1 + AC " +
+      "refine) reassembles the EXACT sequential coefficients — decode is " +
+      "pixel-identical to the baseline huffman decode") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (17, 9), (40, 24), (1, 1), (3, 21))) {
+      val img = gradient(w, h)
+      val huff = JpegCodec.decode(JpegCodec.encode(w, h, img, quality = 90))
+      val bytes = JpegCodec.encode(w, h, img, quality = 90,
+        progressive = true, arithmetic = true)
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xca), "missing SOF10")
+      assert(!bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc4),
+        "arithmetic progressive must carry no huffman tables")
+      // eight scans: DC first + DC refine + 3x (AC first + AC refine)
+      val nScans = bytes.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+      assert(nScans == 8, s"expected 8 scans, got $nScans")
+      val prog = JpegCodec.decode(bytes)
+      assert((prog._1, prog._2) == (w, h), s"dims for ${w}x$h")
+      assert(java.util.Arrays.equals(prog._3, huff._3),
+        s"${w}x$h SOF10 decode diverged from the sequential decode")
+    }
+    // noisy content stresses the refinement walks (dense newly-nonzero
+    // coefficients between corrections) and the per-scan coder restarts
+    val w = 33; val h = 18
+    val noisy = Array.tabulate(w * h * 3)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    val huffN = JpegCodec.decode(JpegCodec.encode(w, h, noisy, quality = 95))
+    val progN = JpegCodec.decode(JpegCodec.encode(w, h, noisy, quality = 95,
+      progressive = true, arithmetic = true))
+    assert(java.util.Arrays.equals(progN._3, huffN._3), "noisy SOF10 parity")
+  }
+
   test("arithmetic refusals stay loud where support ends; corrupt " +
       "arithmetic payloads degrade to the stub through decode()") {
     val img = gradient(16, 16)
     intercept[IllegalArgumentException](
-      JpegCodec.encode(16, 16, img, arithmetic = true, progressive = true))
+      JpegCodec.encode(16, 16, img, arithmetic = true, progressive = true,
+        precision = 12))
     intercept[IllegalArgumentException](
       JpegCodec.encode(16, 16, img, arithmetic = true, restartInterval = 2))
     // a DRI segment spliced into an arithmetic stream refuses (decoder

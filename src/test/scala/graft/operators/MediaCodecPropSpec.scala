@@ -144,12 +144,18 @@ object MediaCodecPropSpec extends Properties("PngCodec") {
       px <- bytes(w * h * spp)
     } yield (w, h, spp, comp, if (comp == 5) pred else 1, px)) {
       case (w, h, spp, comp, pred, px) =>
-        val (dw, dh, out) = MediaCodec.decodeTiff(
-          MediaCodec.encodeTiff(w, h, spp, px, comp, predictor = pred))
-        val want =
-          if (spp == 3) px
-          else px.flatMap(v => Array(v, v, v))
-        dw == w && dh == h && eq(out, want)
+        // shrinking can break the generator invariant (dims to 0, px
+        // length unlinked) — such tuples are vacuously fine
+        if (w < 1 || h < 1 || (spp != 1 && spp != 3) ||
+            px.length != w * h * spp) true
+        else {
+          val (dw, dh, out) = MediaCodec.decodeTiff(
+            MediaCodec.encodeTiff(w, h, spp, px, comp, predictor = pred))
+          val want =
+            if (spp == 3) px
+            else px.flatMap(v => Array(v, v, v))
+          dw == w && dh == h && eq(out, want)
+        }
     }
 
   property("palette (type 3) dereferences PLTE for any index pattern") =
