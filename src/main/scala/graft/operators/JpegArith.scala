@@ -1,7 +1,8 @@
 package graft.operators
 
 /** ITU-T T.81 Annex D arithmetic entropy coder (the adaptive binary
-  * "QM-coder") — the entropy layer behind arithmetic-coded (SOF9) JPEGs,
+  * "QM-coder") — the entropy layer behind arithmetic-coded JPEGs,
+  * sequential (SOF9) and progressive (SOF10),
   * implemented from the spec's flowcharts: CODELPS/CODEMPS with
   * conditional exchange (D.1.3), renormalization with X'FF' bit stuffing
   * (D.1.5-D.1.6), FLUSH (D.1.8), and the decoder's DECODE/BYTEIN mirror
@@ -85,7 +86,6 @@ private[operators] object JpegArith {
     private var c: Long = 0L
     private var ct: Int = 11
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
-    private var started = false // no byte written yet: carry has nowhere to go
 
     /** Code one decision in the caller-owned context `bins(bin)`. */
     def encode(bins: Array[Int], bin: Int, bit: Int): Unit = {
@@ -147,7 +147,6 @@ private[operators] object JpegArith {
         buf += t
         ct = if (t == 0xFF) 7 else 8 // bit-stuff after X'FF'
       }
-      started = true
     }
 
     /** Annex D.1.8 FLUSH: set C to the smallest value inside the final
