@@ -537,6 +537,79 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF big-endian (MM) multi-strip fixture decodes: byte order, " +
+      "rowsPerStrip < height, and strip reassembly are all live paths") {
+    // hand-assembled MM file: 4x4 8-bit gray, 2 strips of 2 rows each
+    val gray = Array.tabulate(16)(i => ((i * 37 + 5) % 256).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v & 0xffff) }
+    out.write('M'); out.write('M'); u16(42)
+    u32(24) // IFD offset: header(8) + two 8-byte strips
+    out.write(gray, 0, 8)  // strip 0 (rows 0-1)
+    out.write(gray, 8, 8)  // strip 1 (rows 2-3)
+    val entries = Seq( // tag, type, count, value
+      (256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, 8), (259, 3, 1, 1),
+      (262, 3, 1, 1), (273, 4, 2, -1 /* offsets array, out of line */),
+      (277, 3, 1, 1), (278, 3, 1, 2), (279, 4, 2, -2 /* counts array */))
+    u16(entries.length)
+    val offsArrayAt = 24 + 2 + entries.length * 12 + 4
+    entries.foreach { case (tag, typ, count, value) =>
+      u16(tag); u16(typ); u32(count)
+      value match {
+        case -1 => u32(offsArrayAt)
+        case -2 => u32(offsArrayAt + 8)
+        case v if typ == 3 => u16(v); u16(0)
+        case v => u32(v)
+      }
+    }
+    u32(0) // no next IFD
+    u32(8); u32(16) // strip offsets
+    u32(8); u32(8)  // strip byte counts
+    val (dw, dh, rgb) = MediaCodec.decodeTiff(out.toByteArray)
+    assert((dw, dh) == (4, 4))
+    assert(rgb.toSeq == gray.flatMap(g => Seq(g, g, g)).toSeq,
+      "big-endian multi-strip gray pixels")
+  }
+
+  test("GIF local color table + sub-rectangle frame composite onto the " +
+      "logical screen over the background color") {
+    // take a 2x2 encoded frame's LZW section and re-wrap it as a frame at
+    // (1,1) on a 4x4 screen with a 2-entry GLOBAL table (background) and
+    // the frame's own LOCAL table
+    val pal = Array[Byte](10, 20, 30, 100, 110, 120, -56, -46, -36, 77, 88, 99)
+    val idx = Array[Byte](0, 1, 2, 3)
+    val small = MediaCodec.encodeGif(2, 2, pal, idx)
+    // encodeGif layout: header(6) + LSD(7) + GCT(4 entries x 3) +
+    // descriptor(10) + LZW section + trailer(1)
+    val lzw = java.util.Arrays.copyOfRange(small, 6 + 7 + 12 + 10,
+      small.length - 1) // min code size + sub-blocks + terminator
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(4); out.write(0); out.write(4); out.write(0) // 4x4 screen
+    out.write(0x80) // GCT present, 2 entries (s=0)
+    out.write(1) // background index 1
+    out.write(0)
+    out.write(Array[Byte](5, 6, 7, 40, 50, 60), 0, 6) // GCT: bg = (40,50,60)
+    out.write(0x2c) // frame at (1,1), 2x2, LCT present (4 entries: s=1)
+    out.write(1); out.write(0); out.write(1); out.write(0)
+    out.write(2); out.write(0); out.write(2); out.write(0)
+    out.write(0x81)
+    out.write(pal, 0, 12) // local color table
+    out.write(lzw, 0, lzw.length)
+    out.write(0x3b)
+    val (dw, dh, rgb) = MediaCodec.decodeGif(out.toByteArray)
+    assert((dw, dh) == (4, 4))
+    def px(x: Int, y: Int) = ((rgb((y * 4 + x) * 3) & 0xff,
+      rgb((y * 4 + x) * 3 + 1) & 0xff, rgb((y * 4 + x) * 3 + 2) & 0xff))
+    // background everywhere outside the frame
+    assert(px(0, 0) == ((40, 50, 60)) && px(3, 3) == ((40, 50, 60)) &&
+      px(2, 0) == ((40, 50, 60)) && px(0, 2) == ((40, 50, 60)))
+    // the frame's pixels from the LOCAL table at (1,1)..(2,2)
+    assert(px(1, 1) == ((10, 20, 30)) && px(2, 1) == ((100, 110, 120)))
+    assert(px(1, 2) == ((200, 210, 220)) && px(2, 2) == ((77, 88, 99)))
+  }
+
   test("TIFF refusals are loud; decode() sniffs TIFF and degrades corrupt " +
       "payloads to the stub") {
     val rgb = rgbPattern(6, 5)
