@@ -13,7 +13,17 @@ import graft.operators.{Corpus, Dedup, JpegCodec, Multimodal, Similarity}
   * DuckDB SQL with bit-identical arithmetic; hash-based ops are rows-only.
   */
 object LlmQueries {
-  import Queries.t
+  import Queries.{t, spread, orderedSpread}
+
+  /** The corpus tables with the scale-adaptive scan-parallelism floor
+    * ([[Queries.spread]]) applied: the bench SFs ship each table as ONE
+    * small parquet file, so every per-row kernel above the raw scan
+    * (shingling, MinHash, regexes, codecs) would otherwise run in a
+    * single task. At scale the floor is a no-op. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents"), "doc_id")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "embeddings"), "vec_id")
 
   // ------------------------------------------------------------------ dedup
 
@@ -21,7 +31,7 @@ object LlmQueries {
     Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")
 
   def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
       n = 3, threshold = 0.5).orderBy("id_a", "id_b")
 
   def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -48,11 +58,11 @@ object LlmQueries {
     * violation zeroes a flag and fails the hash match. */
   def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
+    val d = docs(s, dir)
     // ONE pass computes both signatures (the text scan + shingling
     // dominates); the banding/verify tails run off the persisted hashes
     val shingles = TF.wordShingles(col("text"), 3)
-    val sh = docs.select(col("doc_id").as("id"),
+    val sh = d.select(col("doc_id").as("id"),
         SimHash.simhash64(shingles, SimHash.AlgoXx).as("hx"),
         SimHash.simhash64(shingles, SimHash.AlgoPoly31).as("hp"))
       .persist()
@@ -85,7 +95,7 @@ object LlmQueries {
     * family a full hash-match oracle alongside the xx-hash production
     * variant's rows check. */
   def ddSimhashRolling(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
       n = 3, maxHamming = 16, hashAlgo = SimHash.AlgoPoly31)
       .orderBy("id_a", "id_b")
 
@@ -96,10 +106,10 @@ object LlmQueries {
     * equality, so DuckDB replays it with text equality directly — the same
     * collision-freedom argument `dd_exact` rests on. */
   def ddIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val d = docs(s, dir)
     Corpus.incrementalDedup(
-      docs.filter(col("doc_id") % 5 === 0),
-      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
       .select("doc_id", "text", "lang", "source")
       .orderBy("doc_id")
   }
@@ -112,14 +122,14 @@ object LlmQueries {
     * increment around the join, and every true duplicate must land in the
     * suspect set (no false negatives). */
   def ddBloomIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val d = docs(s, dir)
     // increment = the new %7 slice PLUS a small RE-CRAWLED slice of history
     // docs (same text, same id — the duplicate shape an incremental crawl
     // produces); the bloom must route the re-crawls into the suspect set
-    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    val hist = d.filter(col("doc_id") % 7 =!= 0)
     val recrawled = hist.filter(col("doc_id") % 97 === 3)
     val (out, nNovel, nSuspect) = Corpus.incrementalDedupBloom(
-      docs.filter(col("doc_id") % 7 === 0).unionAll(recrawled),
+      d.filter(col("doc_id") % 7 === 0).unionAll(recrawled),
       hist, "text", "doc_id")
     require(nNovel > 0 && nSuspect > 0,
       s"bloom must split the increment (novel=$nNovel suspects=$nSuspect)")
@@ -135,13 +145,13 @@ object LlmQueries {
     // verify step admits no false positives — measured recall on this corpus
     // is exactly 1.0 (0 of 6940 true pairs missed), so the exact all-pairs
     // cosine SQL is a true oracle, the same validation dd_minhash_lsh uses.
-    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+    Dedup.embeddingNearDup(embs(s, dir), "embedding", "vec_id",
       threshold = 0.2, planes = 2, dims = 64, tables = 24).orderBy("id_a", "id_b")
 
   // ------------------------------------------------------------- similarity
 
   def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = embs(s, dir)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
       "embedding", "vec_id", k = 5).orderBy("query_id", "rank")
   }
@@ -155,7 +165,7 @@ object LlmQueries {
     * query returns exactly k hits, ranked by true cosine, no self-matches
     * or duplicates. */
   def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val emb = embs(s, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val approx = Similarity.lshTopK(emb, queries,
       "embedding", "vec_id", k = 5, planes = 4, dims = 64)
@@ -278,11 +288,14 @@ object LlmQueries {
   // ---------------------------------------------------------- text analysis
 
   def txStats(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // sort BELOW the regex-heavy feature projection (orderedSpread), so the
+    // kernels run on every core, execute ONCE (a Sort directly above the
+    // projection would range-sample its full lineage a second time), and
+    // the output leaves the projection already in doc_id order
+    val d = orderedSpread(t(s, dir, "documents"), "doc_id")
     val feats = TF.qualityFeatures(col("text"))
     d.select((col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
       TF.tokenCountBpe(col("text")).as("n_tokens_bpe"): _*)
-      .orderBy("doc_id")
   }
 
   /** The WHOLE cleaning pipeline composed end-to-end, the way a training
@@ -308,9 +321,9 @@ object LlmQueries {
   }
 
   def pipeCleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val d = t(s, dir, "documents")
     // 1. quality gate: keep docs passing >= 2 of 3 heuristics
-    val quality = docs.select(col("doc_id"), col("text"),
+    val quality = d.select(col("doc_id"), col("text"),
         TF.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= lit(2.0) / lit(3.0))
     // 2. exact dedup: canonical (min-id) copy per identical text —
@@ -334,9 +347,8 @@ object LlmQueries {
       .orderBy("doc_id")
 
   def txLangid(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    orderedSpread(t(s, dir, "documents"), "doc_id")
       .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
 
   /** Production xxHash64 token fingerprint with a BOUNDED-ERROR oracle:
     * the hash values are engine-specific, but their STRUCTURE is exactly
@@ -390,15 +402,15 @@ object LlmQueries {
     * share) — the quality signal that catches templated/boilerplate spam
     * which per-token heuristics miss. */
   def txRepetition(s: SparkSession, dir: String): DataFrame =
-    Corpus.repetitionStats(t(s, dir, "documents"), "text", "doc_id", n = 2)
+    Corpus.repetitionStats(docs(s, dir), "text", "doc_id", n = 2)
       .orderBy("doc_id")
 
   /** Benchmark decontamination: docs sharing any word 5-gram with the
     * "benchmark" subset (doc_id % 17 == 0 stands in for an eval set) are
     * dropped — the eval-leakage guard every training corpus needs. */
   def pipeDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Corpus.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0),
+    val d = docs(s, dir)
+    Corpus.decontaminate(d, d.filter(col("doc_id") % 17 === 0),
         "text", "doc_id", n = 5)
       .select(col("doc_id")).orderBy("doc_id")
   }
@@ -410,9 +422,9 @@ object LlmQueries {
     * RECURSIVE CTE per bucket plus the same cumulative bucket offsets,
     * hash-checking every document's (seq_id, seq_offset). */
   def pipePackDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
+    val d = t(s, dir, "documents").select(col("doc_id"),
       size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
-    Corpus.packDocuments(docs, "doc_id", "n_tokens", seqLen = 128, buckets = 8)
+    Corpus.packDocuments(d, "doc_id", "n_tokens", seqLen = 128, buckets = 8)
       .orderBy("doc_id")
   }
 
@@ -427,9 +439,11 @@ object LlmQueries {
     * replays the poly31 token hash, the bucket lookup, and the integer
     * sum in pure SQL, so scores AND keep decisions hash-match exactly. */
   def txClassify(s: SparkSession, dir: String): DataFrame =
-    Corpus.hashedLinearScore(t(s, dir, "documents"), "text", "doc_id",
+    // hashedLinearScore is a pure order-preserving projection, so the sort
+    // moves below it (orderedSpread) and the final orderBy goes away
+    Corpus.hashedLinearScore(
+        orderedSpread(t(s, dir, "documents"), "doc_id"), "text", "doc_id",
         ClassifierWeights, bias = 3L, threshold = 0L)
-      .orderBy("doc_id")
 
   /** FUZZY decontamination ([[Dedup.decontaminateFuzzy]]): drop corpus
     * docs NEAR-duplicate (shingle-Jaccard >= 0.5) to any benchmark doc —
@@ -441,8 +455,8 @@ object LlmQueries {
     * Jaccard against the benchmark set in SQL, so it also PINS the LSH
     * recall: a qualifying pair the banding missed would hash-mismatch. */
   def pipeDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Dedup.decontaminateFuzzy(docs, docs.filter(col("doc_id") % 17 === 0),
+    val d = docs(s, dir)
+    Dedup.decontaminateFuzzy(d, d.filter(col("doc_id") % 17 === 0),
         "text", "doc_id", n = 3, threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id")
   }
@@ -484,7 +498,7 @@ object LlmQueries {
     * token pairs corpus-wide, count-then-text ordered so the oracle
     * replays the exact top-k cut. */
   def pipeBpePairs(s: SparkSession, dir: String): DataFrame =
-    Corpus.bpePairCounts(t(s, dir, "documents"), "text", k = 100)
+    Corpus.bpePairCounts(docs(s, dir), "text", k = 100)
 
   /** ONE full BPE merge round ([[Corpus.bpePairCounts]] →
     * [[Corpus.bpeMergeApply]]): the corpus-wide winning adjacent pair
@@ -495,7 +509,10 @@ object LlmQueries {
     * the pair is (x, x) — merge at even run offsets only), hash-checking
     * every merged text and count. */
   def pipeBpeMerge(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // ordered spread BELOW the merge map: the map preserves row order, so
+    // the final orderBy goes away — with it the post-map range exchange
+    // and the boundary-sampling pass that would run the merge twice
+    val docs = orderedSpread(t(s, dir, "documents"), "doc_id")
     // malformed (empty-token) pairs are filtered BEFORE the top-k cut, so
     // the ranking universe matches the oracle's exactly — a corpus where
     // split noise floods the head can no longer starve the winner
@@ -505,7 +522,6 @@ object LlmQueries {
       .getOrElse(throw new IllegalStateException(
         "corpus has no well-formed adjacent pair — nothing to merge"))
     Corpus.bpeMergeApply(docs, "text", "doc_id", winner(0), winner(1))
-      .orderBy("doc_id")
   }
 
   /** Full BPE trainer ([[Corpus.bpeTrain]]): THREE complete rounds of
@@ -515,7 +531,7 @@ object LlmQueries {
     * run-parity merge — hash-checking every learned pair, its pick-time
     * count, and the number of merges applied. */
   def pipeBpeTrain(s: SparkSession, dir: String): DataFrame =
-    Corpus.bpeTrain(t(s, dir, "documents"), "text", "doc_id", rounds = 3)
+    Corpus.bpeTrain(docs(s, dir), "text", "doc_id", rounds = 3)
       .orderBy("round")
 
   /** BATCHED BPE trainer ([[Corpus.bpeTrainBatched]]): two rounds, each
@@ -528,7 +544,7 @@ object LlmQueries {
     * the per-pair applied-merge counts — every accepted pair, its rank,
     * pick-time count, and merge count hash-check exactly. */
   def pipeBpeTrainBatched(s: SparkSession, dir: String): DataFrame =
-    Corpus.bpeTrainBatched(t(s, dir, "documents"), "text", "doc_id",
+    Corpus.bpeTrainBatched(docs(s, dir), "text", "doc_id",
         rounds = 2, batch = 3, window = 24)
       .orderBy("round", "rank")
 
@@ -540,11 +556,14 @@ object LlmQueries {
     * same 3 winners in SQL and replays the merges round by round,
     * hash-checking every document's tokenized text and token count. */
   def pipeBpeApply(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val merges = Corpus.bpeTrain(docs, "text", "doc_id", rounds = 3)
+    val d = docs(s, dir)
+    val merges = Corpus.bpeTrain(d, "text", "doc_id", rounds = 3)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    Corpus.bpeApplyMerges(docs, "text", "doc_id", merges).orderBy("doc_id")
+    // encode over the ordered spread: the map preserves row order, so the
+    // output needs no post-map sort (and no sampling re-run of the encode)
+    Corpus.bpeApplyMerges(orderedSpread(t(s, dir, "documents"), "doc_id"),
+      "text", "doc_id", merges)
   }
 
   /** Cross-document repeated-SPAN detection ([[Corpus.substringSpans]]):
@@ -575,7 +594,7 @@ object LlmQueries {
   def pipeLineDedup(s: SparkSession, dir: String): DataFrame = {
     val toks = TF.tokens(col("text"))
     val nLines = greatest(((size(toks) + 2) / 3).cast("int"), lit(1))
-    val lined = t(s, dir, "documents").select(col("doc_id"),
+    val lined = docs(s, dir).select(col("doc_id"),
       concat_ws("\n", transform(sequence(lit(0), nLines - 1),
         i => concat_ws(" ", slice(toks, i * 3 + 1, lit(3))))).as("text"))
     Corpus.lineDedup(lined, "text", "doc_id", "\n", minDocFreq = 2)
@@ -665,7 +684,8 @@ object LlmQueries {
     * or sample byte breaks the hash match. */
   def mmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+    orderedSpread(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .as[Long].map { d =>
       val w = (4 + d % 5).toInt; val h = (3 + d % 7).toInt
       val rgb = new Array[Byte](w * h * 3)
       var y = 0
@@ -707,7 +727,6 @@ object LlmQueries {
         rt(8), rt(24), rt(32), rt(32, f32 = true), rt(64))
     }.toDF("doc_id", "img_w", "img_h", "pix_sum", "wav_rate", "wav_n",
       "sample_sum", "sum_pcm8", "sum_pcm24", "sum_pcm32", "sum_f32", "sum_f64")
-      .orderBy("doc_id")
   }
 
   /** PNG decode round-trip over REAL bytes (Inflater + scanline unfilter,
@@ -722,7 +741,8 @@ object LlmQueries {
     * expansion breaks the hash match. */
   def mmDecodePng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+    orderedSpread(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .as[Long].map { d =>
       val w = (5 + d % 6).toInt; val h = (4 + d % 5).toInt
       def sumRgb(rgb: Array[Byte]): Long = {
         var s0 = 0L; var i = 0
@@ -780,7 +800,6 @@ object LlmQueries {
         sumRgb(dG16), sumRgb(dG4), sumRgb(dP2))
     }.toDF("doc_id", "png_w", "png_h", "rgb_sum", "gray_sum", "rgba_sum",
       "gray16_sum", "gray4_sum", "pal2_sum")
-      .orderBy("doc_id")
   }
 
   /** JPEG round-trips over REAL bytes ([[JpegCodec]]: pure-JVM huffman +
@@ -794,7 +813,8 @@ object LlmQueries {
     * pixel-equality, not bounded. */
   def mmDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+    orderedSpread(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .as[Long].map { d =>
       val w = (8 + d % 9).toInt; val h = (8 + d % 7).toInt
       val img = new Array[Byte](w * h * 3)
       var y = 0
@@ -850,7 +870,6 @@ object LlmQueries {
         if (arithOk) 1L else 0L)
     }.toDF("doc_id", "jpg_w", "jpg_h", "err_max_ok", "err_mean_ok",
       "prog_identical", "p12_err_ok", "arith_identical")
-      .orderBy("doc_id")
   }
 
   /** GIF decode round-trip over REAL bytes (LZW + palette, zero codec
@@ -864,7 +883,8 @@ object LlmQueries {
     * color table, or the interlace row map breaks the hash match. */
   def mmDecodeGif(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+    orderedSpread(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .as[Long].map { d =>
       val w = (6 + d % 7).toInt; val h = (4 + d % 6).toInt
       val pal = new Array[Byte](24)
       var j = 0
@@ -891,7 +911,6 @@ object LlmQueries {
         mc.encodeGif(w, h, pal, idx, interlace = true))
       (d, dw.toLong, dh.toLong, sumRgb(rgb), sumRgb(rgbI))
     }.toDF("doc_id", "gif_w", "gif_h", "gif_sum", "gif_interlaced_sum")
-      .orderBy("doc_id")
   }
 
   /** Baseline TIFF decode round-trip over REAL bytes (IFD walk + strip
@@ -905,7 +924,8 @@ object LlmQueries {
     * early-width-change, run-length, or predictor bug breaks the hash. */
   def mmDecodeTiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long].map { d =>
+    orderedSpread(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .as[Long].map { d =>
       val w = (7 + d % 6).toInt; val h = (5 + d % 5).toInt
       val rgb = new Array[Byte](w * h * 3)
       val gray = new Array[Byte](w * h)
@@ -952,7 +972,6 @@ object LlmQueries {
         if (predOk) 1L else 0L)
     }.toDF("doc_id", "tif_w", "tif_h", "rgb_sum", "gray_sum", "pal_sum",
       "variants_identical")
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------------- maps
@@ -1072,7 +1091,7 @@ object LlmQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 3, maxHamming = 16, hashAlgo = SimHash.AlgoXx)),
     "sim_topk_lsh_op" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = embs(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "embedding", "vec_id", k = 5, planes = 4, dims = 64)
     }),

@@ -26,6 +26,56 @@ object Queries {
     // normalize via graft.streaming.EventStreams.tsMicros.
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive SCAN-PARALLELISM floor. The bench tables are single
+    * small parquet files (one row group, unsplittable), so Spark plans a
+    * 1-task scan and every per-row kernel above it — codecs, shingling,
+    * MinHash, regex features — serializes on one core of the cluster.
+    * When the input's optimizer size estimate cannot keep every core busy
+    * at ~8 MB/core, ONE hash exchange with an EXPLICIT partition count
+    * (AQE never coalesces explicit-N repartitions, and the tiny-byte
+    * shuffles here are exactly what its coalescer would collapse back to
+    * one task) spreads the rows across `defaultParallelism` tasks, for
+    * the cost of shuffling an input that is — by the very condition —
+    * tiny. At scale the condition is false and the plan is untouched, so
+    * nothing here is tuned to local mode; the threshold scales with the
+    * cluster (bytes-per-core), not with a partition-count constant. */
+  def spread(df: DataFrame, by: String*): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (n > 1 && bytes < BigInt(n) * (8L << 20)) {
+      // key choice matters for column pruning: hash by a column the query
+      // reads anyway (a keyed spread of an unreferenced column would widen
+      // the scan's ReadSchema — CI-pinned in PushdownGuardSpec); no key =
+      // deterministic round-robin (sort-before-repartition stays on)
+      if (by.isEmpty) df.repartition(n) else df.repartition(n, by.map(col): _*)
+    } else df
+  }
+
+  /** [[spread]] + GLOBAL ORDER for per-row-kernel queries that end in
+    * `orderBy(key)`: range-partition and locally sort the SLIM input
+    * (ids, a few columns) BELOW the kernel so (a) the kernel runs on every
+    * core and (b) the output is already in key order — the caller drops
+    * its final `orderBy`, which removes the post-kernel range exchange
+    * AND the range-boundary sampling job that re-executes the whole
+    * narrow kernel chain a second time (a Sort directly above a long
+    * narrow stage samples its child's full lineage; mm_decode_jpeg paid
+    * its eight codec passes twice for exactly this). Narrow operators
+    * (Project / MapElements / SerializeFromObject) preserve partition
+    * contents and no exchange follows, so global key order survives to
+    * the sink — rows identical, order identical, only the plan moves the
+    * sort below the compute. Partition count grows with the input
+    * (~64 MB/core target, parallelism floor, 2²⁰ cap), so the shape holds
+    * at any scale — sorting the slim projection first is strictly
+    * cheaper than sorting the kernel output at 100 TB too. */
+  def orderedSpread(df: DataFrame, key: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes / (64L << 20)) + 1)
+      .max(BigInt(sc.defaultParallelism)).min(BigInt(1 << 20)).toInt
+    df.repartitionByRange(n, col(key)).sortWithinPartitions(col(key))
+  }
+
   /** Exact order-independent sum of a double column via decimal, as double. */
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
@@ -39,7 +89,7 @@ object Queries {
     * Mirrors the reference's delegated groupby-agg surface (daskberg
     * ice.py:255-264 delegates to dask; tests/test_basic.py:19 value_counts). */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val li = spread(t(s, dir, "lineitem"), "l_shipdate")
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -64,8 +114,10 @@ object Queries {
   /** TPC-H Q3: shipping-priority top-k. Broadcast the filtered customer dim. */
   def q03TopRevenueOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
-    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+    val ord  = spread(t(s, dir, "orders"), "o_orderkey")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
+    val li   = spread(t(s, dir, "lineitem"), "l_orderkey")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -89,8 +141,8 @@ object Queries {
   // ---------------------------------------------------------------- q05
   /** Multi-way join through the star schema with broadcast dims (TPC-H Q5 shape). */
   def q05NationRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li   = t(s, dir, "lineitem")
-    val ord  = t(s, dir, "orders")
+    val li   = spread(t(s, dir, "lineitem"), "l_orderkey")
+    val ord  = spread(t(s, dir, "orders"), "o_orderkey")
     val cust = t(s, dir, "customer")
     val sup  = t(s, dir, "supplier")
     val nat  = t(s, dir, "nation")
@@ -109,7 +161,7 @@ object Queries {
   // ---------------------------------------------------------------- q06
   /** TPC-H Q6: pure scan + filter + global agg — tests pushdown efficiency. */
   def q06ForecastRevenue(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    spread(t(s, dir, "lineitem"), "l_shipdate")
       .filter(col("l_shipdate") >= lit("1994-01-01").cast(TimestampType) &&
         col("l_shipdate") < lit("1995-01-01").cast(TimestampType) &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
@@ -191,7 +243,7 @@ object Queries {
   // ---------------------------------------------------------------- q13
   /** ROLLUP grouping sets (multi-level aggregation in one pass). */
   def q13Rollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    spread(t(s, dir, "lineitem"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),

@@ -816,6 +816,18 @@ object Corpus {
         if (accepted.isEmpty) exhausted = true
         else {
           val pairs = accepted.map { case (a, b, _) => (a, b) }.toArray
+          // TRADES NOTE (r21, measured at sf0.1/local[32]): this typed map
+          // is the one row-at-a-time ser/de hop in the trainer family; an
+          // expression-only rewrite was considered and measured out. Per
+          // round: ranked pair-count job 0.53–0.81 s, merge job (map +
+          // persist + per-pair counts) 0.36 s, of which the map PROJECTION
+          // alone is 0.12 s — statistically equal to the bare
+          // split+concat_ws expression floor (0.11 s) that any codegen
+          // form still pays. The ser/de + greedy scan therefore costs
+          // ≤ ~20 ms/round (≤ 2%), and the pair-count aggregation
+          // dominates the round at any scale (it shuffles; the map does
+          // not) — a custom Catalyst expression would add ~150 lines for
+          // noise-level gain.
           val merged = cur.select(col(idCol),
               coalesce(col(textCol), lit("")).cast("string").as(textCol))
             .as[(Long, String)]

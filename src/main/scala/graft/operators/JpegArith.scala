@@ -173,8 +173,11 @@ private[operators] object JpegArith {
 
   /** Annex D.2 decoder over `data(start until data.length)`; stops
     * consuming at any marker (X'FF' followed by anything above X'8F') and
-    * feeds 1-bits from there on, per D.2.7. `pos` after decoding is the
-    * offset of the terminating marker's X'FF' (or the data end). */
+    * feeds ZERO bits from there on — deliberately diverging from D.2.7's
+    * C + X'FF00' (1-bit) convention, matching the libjpeg convention the
+    * encoder's trailing-0x00 strip depends on (see byteIn). `pos` after
+    * decoding is the offset of the terminating marker's X'FF' (or the
+    * data end). */
   final class Decoder(data: Array[Byte], start: Int) {
     private var np: Int = start // next unconsumed byte
     private var prevFF: Boolean = false

@@ -1014,7 +1014,11 @@ object JpegCodec {
     * the Annex D coder + Annex F/G statistics with DAC conditioning
     * honored, at 8- or 12-bit sample precision, into (width, height, RGB
     * bytes row-major top-down — 12-bit normalizes to 8). Grayscale
-    * replicates; the lossless/hierarchical modes refuse loudly. */
+    * replicates; the lossless/hierarchical modes refuse loudly.
+    * Corruption guard: declared block counts are bounded by the entropy
+    * payload size (Huffman ≥ ~3 bits/block; arithmetic a far more
+    * generous 512 blocks/byte + 2^20 flat) — a pathological
+    * arithmetic stream compressing beyond that bound is refused. */
   def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
@@ -1150,12 +1154,17 @@ object JpegCodec {
     // data (DC code + EOB), so declared dimensions wildly beyond the
     // payload are corruption — refuse BEFORE allocating GB-scale planes
     // for garbage. Arithmetic coding can compress a block far below a
-    // bit, so it gets an absolute block cap instead.
+    // bit, so its bound is much more generous — a bits-per-block floor
+    // scaled by payload size plus a flat allowance (a fixed 2^20 cap
+    // rejected legitimate large images: an 8000x6000 4:4:4 SOF9 file is
+    // ~2.25M blocks).
     val blocksPerMcu = comps.map(c => c(1) * c(2)).sum
     val totalBlocks = mcusX.toLong * mcusY * blocksPerMcu
     if (arithCoded)
-      require(totalBlocks <= (1L << 20),
-        s"implausible arithmetic JPEG: $totalBlocks blocks declared")
+      require(totalBlocks <=
+          512L * math.max(0, b.length - scanStart) + (1L << 20),
+        s"implausible arithmetic JPEG: $totalBlocks blocks declared for " +
+          s"${b.length - scanStart} entropy bytes")
     else
       require(totalBlocks <= 24L * math.max(0, b.length - scanStart) + 64,
         s"corrupt JPEG: $totalBlocks blocks declared for " +

@@ -1183,10 +1183,21 @@ object Multimodal {
             }
           case 259 => compression = at(0)
           case 262 => photometric = at(0)
-          case 273 => stripOffsets = Array.tabulate(count)(at)
+          // strip-array sizes are read UNVALIDATED from the file: bound
+          // them before allocating (strips cannot exceed the h <= 2^26
+          // dimension cap; a corrupt count ~2^30 would force a multi-GB
+          // allocation whose OutOfMemoryError is not NonFatal — it would
+          // skip the stub fallback and kill the executor)
+          case 273 =>
+            require(count >= 1 && count <= (1 << 20),
+              s"implausible TIFF StripOffsets count $count")
+            stripOffsets = Array.tabulate(count)(at)
           case 277 => spp = at(0)
           case 278 => rowsPerStrip = at(0)
-          case 279 => stripCounts = Array.tabulate(count)(at)
+          case 279 =>
+            require(count >= 1 && count <= (1 << 20),
+              s"implausible TIFF StripByteCounts count $count")
+            stripCounts = Array.tabulate(count)(at)
           case 284 => require(at(0) == 1, "planar TIFF unsupported")
           case 317 => predictor = at(0)
           case 320 =>
