@@ -114,7 +114,10 @@ object Queries {
   /** TPC-H Q3: shipping-priority top-k. Broadcast the filtered customer dim. */
   def q03TopRevenueOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val ord  = spread(t(s, dir, "orders"), "o_orderkey")
+    // orders end up BROADCAST (plans/r21/q03_*_after.txt): spreading a
+    // broadcast build side is a wasted exchange, so only the fact side gets
+    // the parallelism floor
+    val ord  = t(s, dir, "orders")
       .filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
     val li   = spread(t(s, dir, "lineitem"), "l_orderkey")
       .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
@@ -142,7 +145,9 @@ object Queries {
   /** Multi-way join through the star schema with broadcast dims (TPC-H Q5 shape). */
   def q05NationRevenue(s: SparkSession, dir: String): DataFrame = {
     val li   = spread(t(s, dir, "lineitem"), "l_orderkey")
-    val ord  = spread(t(s, dir, "orders"), "o_orderkey")
+    // every dimension side of this star join broadcasts (plans/r21) — only
+    // the fact side benefits from the parallelism floor
+    val ord  = t(s, dir, "orders")
     val cust = t(s, dir, "customer")
     val sup  = t(s, dir, "supplier")
     val nat  = t(s, dir, "nation")
