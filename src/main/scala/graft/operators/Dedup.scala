@@ -68,6 +68,16 @@ object Dedup {
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 2000): DataFrame = {
+    // NOTE (r21, measured): the shingle table feeds three consumers (the
+    // signature pipeline and both exact-verify join sides), so the corpus
+    // is scanned and re-shingled three times. Materializing `sh` behind an
+    // id-keyed exchange was tried and REVERTED: shuffling the exploded
+    // shingle arrays (~2.5× the corpus bytes, write + read) costs more
+    // than re-scanning columnar-compressed text — measured 1.4 s → 2.9 s
+    // at sf0.1, and the same byte math holds at 100 TB (300 TB of scans
+    // beats 100 TB scan + 500 TB of shuffle traffic). decontaminateFuzzy
+    // materializes its corpus side because there the SAME exchange also
+    // feeds candidate generation; here candidates flow through `sig`.
     val sh = df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // the repartition below the banding is a deliberate MATERIALIZATION
