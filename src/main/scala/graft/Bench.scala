@@ -38,7 +38,13 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim).filter(_.nonEmpty) match {
         case Some(f) =>
           val want = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
-          base.filter(want)
+          val sel = base.filter(want)
+          // an all-unmatched filter would otherwise print total=0 with zero
+          // queries and exit 0 — indistinguishable from a (fast) valid run
+          if (sel.isEmpty) System.err.println(
+            s"BENCH_ONLY WARNING: '$f' matched no benchable query names " +
+              s"(benchable: ${base.mkString(", ")}) — empty run")
+          sel
         case None => base
       }
     }
@@ -49,7 +55,7 @@ object Bench {
     // entry's samples (r11 saw q01's IQR jump 0.073 → 0.585 from exactly
     // this while its median and min stayed flat).
     names.headOption.foreach { n =>
-      try benchable(n)(spark, "/root/testdata/sf0.001").count()
+      try benchable(n)(spark, s"${SparkEntry.testdataRoot}/sf0.001").count()
       catch { case _: Throwable => () }
       try benchable(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -117,10 +123,23 @@ object Bench {
         .getCanonicalFile)(_.getParentFile)
       .takeWhile(_ != null)
       .find(d => new java.io.File(d, ".git").exists())
+    val searchDirs = (Seq(new java.io.File(".")) ++ repoRoot ++
+      sys.env.get("SPARK_GRAFT_REPO").map(new java.io.File(_))).distinct
+    // this run's own full-fidelity record (and the PREFERRED baseline for
+    // the next same-sf-same-cores run): the driver wrapper keeps only the
+    // stdout line's last 2000 chars, so a wrapper is a lossy baseline — a
+    // BENCH_LOCAL file never truncates. Keyed by sf AND core count because
+    // mins are not comparable across either.
+    val localName = s"BENCH_LOCAL_sf${sfNumber(sfDir).getOrElse(0.0)}_c$cpus.json"
     val (baselinePath, baseline, baselineSf) = loadBaseline(
-      (Seq(new java.io.File(".")) ++ repoRoot ++
-        sys.env.get("SPARK_GRAFT_REPO").map(new java.io.File(_))).distinct,
-      sys.env.get("SPARK_GRAFT_BENCH_BASELINE"))
+      searchDirs, sys.env.get("SPARK_GRAFT_BENCH_BASELINE"), Some(localName))
+    // a resolved baseline that yields ZERO comparable queries makes the
+    // regression gate silently vacuous (the r12 bug, seen again in r21 when
+    // the driver tail truncated before the queries_min label) — say so
+    val baselineUnparsed = baselinePath.isDefined && baseline.isEmpty
+    if (baselineUnparsed) System.err.println(
+      s"BENCH BASELINE UNPARSED: ${baselinePath.get} yielded zero " +
+        "comparable queries — the regression gate is BLIND this run")
     // an SF-mismatched baseline (a local sf0.001 iteration run against the
     // driver's sf0.1 artifact) would flag EVERY query — compare same-SF only
     val curSf = sfNumber(sfDir)
@@ -147,7 +166,7 @@ object Bench {
       results.map(f).mkString("{", ",", "}")
     val qs = obj { case (k, v, _, _, _) => "\"" + k + "\":" + v }
     val mins = obj { case (k, _, m, _, _) => "\"" + k + "\":" + m }
-    val iqrs = obj { case (k, _, _, i, _) => "\"" + k + "\":" + f"$i%.3f" }
+    val iqrs = obj { case (k, _, _, i, _) => "\"" + k + "\":" + f3(i) }
     val errs = results.collect { case (k, _, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -155,9 +174,57 @@ object Bench {
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val baseJson = baselinePath
       .map(p => "\"" + p.replaceAll("[\"\\\\]", "_") + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"baseline":$baseJson,"drift":${f"$drift%.4f"},"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    val unparsedJson = if (baselineUnparsed) ",\"baseline_unparsed\":true" else ""
+    // FULL-FIDELITY record (full-precision medians, mins, IQRs, errors,
+    // baseline audit trail): persisted to the repo as BENCH_LOCAL_*.json —
+    // it is the next run's regression baseline and the judge's audit file.
+    // Numeric fields use Double.toString / Locale.ROOT formatting: a
+    // comma-decimal default locale must never corrupt the JSON.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","cpus":"$cpus","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"baseline":$baseJson$unparsedJson,"drift":${f4(drift)},"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
+    val sidecar = new java.io.File(repoRoot.getOrElse(new java.io.File(".")), localName)
+    try java.nio.file.Files.writeString(sidecar.toPath, fullLine + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"BENCH WARNING: could not persist $sidecar: $e") }
+    // COMPACT stdout line (the driver contract): the driver wrapper keeps
+    // only the LAST ~2000 stdout chars, and every prior round's line outgrew
+    // that tail, so PERF_r01–r21 all parsed null. 3-decimal medians + mins
+    // fit in ~1900 chars for the current 36 entries; the length guard drops
+    // the mins object first (the sidecar keeps full fidelity) rather than
+    // ever emitting a line the driver cannot parse.
+    val compact = compactLine(results, failed, baselineUnparsed, sfDir)
+    println(compact)
     spark.stop()
     if (failed > 0) sys.exit(1)
+  }
+
+  /** Locale-pinned fixed-point formatting: a comma-decimal JVM default
+    * locale would emit `1,0000` and break every JSON consumer. */
+  def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  def f4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  /** The one-line stdout JSON, sized for the driver's 2000-char stdout
+    * tail (minus the sbt "[success]" trailer the tail also eats): ONLY the
+    * contract fields (metric/value/unit/queries/sf) plus 3-decimal mins
+    * and the failure count — aggregation note, IQRs, drift, regressions
+    * and errors live in the full-fidelity sidecar. Mins are dropped first
+    * if a future entry set outgrows `maxLen`; medians never are. Factored
+    * out of main so a spec can pin the length budget against the real
+    * benchQueries name set. */
+  def compactLine(results: Seq[(String, Double, Double, Double, Option[String])],
+      failed: Int, baselineUnparsed: Boolean, sfDir: String,
+      maxLen: Int = 1890): String = {
+    def obj(f: ((String, Double, Double, Double, Option[String])) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val qs = obj { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
+    val mins = obj { case (k, _, m, _, _) => "\"" + k + "\":" + f3(m) }
+    val unparsedJson = if (baselineUnparsed) ",\"baseline_unparsed\":true" else ""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs"""
+    val tail = s""","failed":$failed$unparsedJson,"sf":"$sfDir"}"""
+    val withMins = head + s""","queries_min":$mins""" + tail
+    if (withMins.length <= maxLen) withMins else head + tail
   }
 
   /** "sf0.1" etc. from a path or metric string → Some(0.1). */
@@ -165,23 +232,57 @@ object Bench {
     "sf([0-9.]+[0-9])".r.findFirstMatchIn(s)
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
 
-  /** Resolve the regression baseline: an explicit path wins; otherwise the
-    * newest `BENCH_r*.json` found across `searchDirs` (first dir with any
-    * hit wins — the runner's cwd, then the repo home). Returns the RESOLVED
-    * path (None = nothing to compare against, which the JSON line records
+  /** Resolve the regression baseline: an explicit path wins; otherwise a
+    * same-sf-same-cores `BENCH_LOCAL` file (full-fidelity, written by the
+    * previous run — preferred because driver wrappers truncate the line to
+    * a 2000-char tail); otherwise the newest `BENCH_r*.json` across
+    * `searchDirs` (first dir with any hit wins — the runner's cwd, then
+    * the repo home). Non-explicit candidates that parse to ZERO comparable
+    * queries are SKIPPED (with a stderr note) in favor of the next-newest —
+    * the r21 driver wrapper truncated before the `queries_min` label and
+    * the gate silently compared against nothing. Returns the RESOLVED path
+    * (None = nothing to compare against, which the JSON line records
     * explicitly), the per-query min seconds parsed from it, and the
     * baseline's scale factor when recorded. Factored out of main so a spec
     * can prove detection fires on a pinned baseline. */
-  def loadBaseline(searchDirs: Seq[java.io.File], explicit: Option[String])
+  def loadBaseline(searchDirs: Seq[java.io.File], explicit: Option[String],
+      localName: Option[String] = None)
       : (Option[String], Map[String, Double], Option[Double]) = {
-    val path = explicit.orElse {
-      searchDirs.iterator.map { d =>
-        Option(d.listFiles()).toSeq.flatten
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map(_.getPath)
-      }.collectFirst { case Some(p) => p }
+    val candidates: Seq[String] = explicit match {
+      case Some(p) => Seq(p) // explicit never falls back: the caller owns it
+      case None =>
+        val locals = for {
+          n <- localName.toSeq
+          d <- searchDirs
+          f = new java.io.File(d, n)
+          if f.isFile
+        } yield f.getPath
+        val scanned = searchDirs.iterator.map { d =>
+          Option(d.listFiles()).toSeq.flatten
+            .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+            .sortBy(_.getName).reverse.map(_.getPath)
+        }.find(_.nonEmpty).getOrElse(Nil)
+        locals ++ scanned
     }
-    val parsed = path.flatMap { p =>
+    val hit = candidates.iterator
+      .map { p =>
+        val v = parseBaseline(p)
+        if (!v.exists(_._1.nonEmpty)) System.err.println(
+          s"BENCH baseline candidate skipped (zero comparable queries): $p")
+        p -> v
+      }
+      .collectFirst { case (p, Some(v)) if v._1.nonEmpty => (p, v) }
+    hit match {
+      case Some((p, (m, sf))) => (Some(p), m, sf)
+      case None => // every candidate empty/unparseable: report the first
+        (candidates.headOption, Map.empty, None)
+    }
+  }
+
+  /** One baseline file's per-query mins + recorded sf, None on any parse
+    * failure (the caller decides whether that is loud). */
+  private def parseBaseline(p: String)
+      : Option[(Map[String, Double], Option[Double])] = {
       scala.util.Try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val raw = mapper.readTree(new java.io.File(p))
@@ -224,8 +325,6 @@ object Bench {
         }
         (m.result(), sf)
       }.toOption
-    }
-    (path, parsed.map(_._1).getOrElse(Map.empty), parsed.flatMap(_._2))
   }
 
   /** Queries whose successful-run MIN exceeds `factor`× the baseline min,

@@ -10,9 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Root of the driver's deterministic test tables — env-overridable so
+    * specs and the Bench warm-up share one knob instead of hard-pinning
+    * this host's layout. */
+  def testdataRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q03TopRevenueOrders(spark, "/root/testdata/sf0.001")
+    Queries.q03TopRevenueOrders(spark, s"$testdataRoot/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

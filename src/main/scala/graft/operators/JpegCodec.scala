@@ -1169,6 +1169,17 @@ object JpegCodec {
       require(totalBlocks <= 24L * math.max(0, b.length - scanStart) + 64,
         s"corrupt JPEG: $totalBlocks blocks declared for " +
           s"${b.length - scanStart} entropy bytes")
+    // ABSOLUTE memory cap alongside the payload-proportional bounds: the
+    // generous arithmetic ratio still lets a ~2 MB crafted SOF9 declare
+    // ~1e9 blocks (~550 GB of Double planes), and the resulting
+    // OutOfMemoryError is not NonFatal — it would bypass the stub fallback
+    // and kill the executor. 64 samples × 8 bytes per block against a
+    // fixed 4 GiB plane budget (an 8000×6000 4:4:4 frame is ~1.2 GiB —
+    // comfortably inside; nothing legitimate in a document corpus comes
+    // near the cap).
+    require(totalBlocks <= (4L << 30) / (64L * 8L),
+      s"implausible JPEG: $totalBlocks blocks would allocate " +
+        s"${totalBlocks * 64L * 8L} bytes of pixel planes")
     // per-component pixel planes at the component's own resolution
     val planeW = comps.map(c => mcusX * c(1) * 8)
     val planeH = comps.map(c => mcusY * c(2) * 8)

@@ -24,7 +24,7 @@ class SpreadSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = s"${SparkEntry.testdataRoot}/sf0.001"
 
   test("spread keeps rows identical and lifts a tiny scan to cluster parallelism") {
     val raw = Queries.t(spark, sfDir, "documents")
@@ -37,10 +37,15 @@ class SpreadSpec extends AnyFunSuite {
   }
 
   test("orderedSpread queries return exact global key order without a final sort") {
-    // the three contract queries that dropped their trailing orderBy in
-    // favor of a pre-kernel range sort — their output order is part of the
-    // oracle hash, so global doc_id order must survive the kernel
-    Seq("tx_stats", "tx_classify", "tx_langid", "mm_decode_gif").foreach { name =>
+    // EVERY contract query that dropped its trailing orderBy in favor of a
+    // pre-kernel range sort (the full adopter list — r21 ADVICE flagged
+    // that only four of the ten were pinned, leaving the others' oracle
+    // hashes exposed to a silent plan change): output order is part of the
+    // oracle hash, so global doc_id order must survive the kernel.
+    Seq("tx_stats", "tx_classify", "tx_langid",
+        "pipe_bpe_merge", "pipe_bpe_apply",
+        "mm_decode", "mm_decode_png", "mm_decode_jpeg", "mm_decode_gif",
+        "mm_decode_tiff").foreach { name =>
       val ids = SparkEntry.queries(name)(spark, sfDir)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       assert(ids == ids.sorted, s"$name lost global doc_id order")

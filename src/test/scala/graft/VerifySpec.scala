@@ -118,6 +118,71 @@ class VerifySpec extends AnyFunSuite {
       Seq("q_z" -> 5.0), Map("q_z" -> 0.0)).isEmpty)
   }
 
+  test("compact bench line fits the driver's 2000-char stdout tail and parses") {
+    // Round-22 ask (VERDICT #1): PERF_r01–r21 all came back empty because
+    // the one-line JSON outgrew the driver wrapper's 2000-char tail. The
+    // compact line must stay under budget WITH the real benchQueries name
+    // set (plus slack for the sbt "[success]" trailer the tail also eats).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val names = SparkEntry.benchQueries
+    val results = names.map(n => (n, 0.5, 0.45, 0.1, None: Option[String]))
+    val line = Bench.compactLine(results, 0, false, "/root/testdata/sf0.1")
+    assert(line.length <= 1890, s"compact line ${line.length} chars")
+    val j = mapper.readTree(line)
+    assert(j.get("metric").asText == "total" && j.get("unit").asText == "sec")
+    assert(j.get("queries").size == names.size, "per-query medians present")
+    assert(j.get("queries_min").size == names.size, "per-query mins present")
+    assert(j.get("sf").asText.contains("sf0.1"))
+    // realistic worst case (entries up to single-digit seconds, failure +
+    // unparsed-baseline flags live) keeps the mins object under budget
+    val big = names.map(n => (n, 9.345, 8.111, 0.999, None: Option[String]))
+    val bigLine = Bench.compactLine(big, 2, true, "/root/testdata/sf0.1")
+    assert(bigLine.length <= 1890 && bigLine.contains("queries_min"),
+      s"realistic worst-case line ${bigLine.length} chars")
+    // pathological widths (EVERY entry >= 10 s) shed the mins object but
+    // still fit — the driver always gets a parseable line
+    val path = names.map(n => (n, 12.345, 11.111, 9.999, None: Option[String]))
+    val pathLine = Bench.compactLine(path, 2, true, "/root/testdata/sf0.1")
+    assert(pathLine.length <= 1890 && mapper.readTree(pathLine).has("queries"))
+    // over budget (a future much larger entry set): mins drop, medians and
+    // the rest stay — the line NEVER overflows the tail
+    val many = (1 to 120).map(i =>
+      (f"synthetic_query_name_$i%03d", 0.5, 0.4, 0.0, None: Option[String]))
+    val l2 = Bench.compactLine(many, 0, false, "sf0.1")
+    assert(!l2.contains("queries_min") && mapper.readTree(l2).has("queries"))
+  }
+
+  test("loadBaseline prefers a same-sf-same-cores BENCH_LOCAL file and " +
+      "skips zero-comparable candidates") {
+    // Round-22 ask (VERDICT #2 of 'what's wrong'): BENCH_r20's driver tail
+    // truncates before the queries_min label, so the r21 gate compared
+    // against NOTHING and reported drift 1.0000 vacuously. Unparseable
+    // candidates must now be skipped in favor of the next-newest, and a
+    // local full-fidelity file must win outright.
+    val dir = Files.createTempDirectory("benchlocal")
+    Files.writeString(dir.resolve("BENCH_r50.json"),
+      """{"n":50,"rc":0,"parsed":null,"tail":"truncated, no label here"}""")
+    Files.writeString(dir.resolve("BENCH_r49.json"),
+      """{"queries_min":{"q_a":0.5}}""")
+    val (p1, m1, _) = Bench.loadBaseline(Seq(dir.toFile), None)
+    assert(p1.exists(_.endsWith("BENCH_r49.json")), s"skip unparseable: $p1")
+    assert(m1 == Map("q_a" -> 0.5))
+    // the local sidecar outranks every BENCH_r*.json
+    Files.writeString(dir.resolve("BENCH_LOCAL_sf0.1_c32.json"),
+      """{"queries_min":{"q_a":0.7},"sf":"/root/testdata/sf0.1"}""")
+    val (p2, m2, sf2) = Bench.loadBaseline(Seq(dir.toFile), None,
+      Some("BENCH_LOCAL_sf0.1_c32.json"))
+    assert(p2.exists(_.endsWith("BENCH_LOCAL_sf0.1_c32.json")))
+    assert(m2 == Map("q_a" -> 0.7) && sf2.contains(0.1))
+    // nothing parseable at all: the path still reports (so main warns
+    // loudly instead of silently comparing nothing) with an empty map
+    val dir2 = Files.createTempDirectory("benchlocal2")
+    Files.writeString(dir2.resolve("BENCH_r50.json"),
+      """{"parsed":null,"tail":"nothing"}""")
+    val (p3, m3, _) = Bench.loadBaseline(Seq(dir2.toFile), None)
+    assert(p3.nonEmpty && m3.isEmpty, "unparsed baseline must surface")
+  }
+
   test("regression gate normalizes run-level drift: a uniformly-scaled " +
       "run never flags, a single-query spike still does") {
     // Round-19 ask: the driver artifact flagged ice_stats_build at 1.54x

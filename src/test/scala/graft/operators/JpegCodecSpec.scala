@@ -164,6 +164,37 @@ class JpegCodecSpec extends AnyFunSuite {
       MediaCodec.decodeStub(rec).feature.toSeq)
   }
 
+  test("a crafted SOF9 declaring plane allocations beyond the absolute " +
+      "memory budget refuses loudly (no executor-killing OOM)") {
+    // r21 ADVICE: the payload-proportional arithmetic bound (512
+    // blocks/byte) lets a ~2 MB crafted file declare ~1e9 blocks → ~550 GB
+    // of Double planes, and OutOfMemoryError is not NonFatal, so it would
+    // bypass the stub fallback. Build a real arithmetic stream with enough
+    // entropy payload to clear the proportional bound, then patch the SOF9
+    // dimensions to 16000x16000 (12M blocks ≈ 6.1 GiB of planes): the
+    // ABSOLUTE 4 GiB plane budget must refuse before allocation.
+    var side = 128
+    def noisy(n: Int) =
+      Array.tabulate(n * n * 3)(i => ((i * 2654435761L >> 7) & 0xff).toByte)
+    var bytes = JpegCodec.encode(side, side, noisy(side), quality = 95,
+      arithmetic = true)
+    while (bytes.length < 24 * 1024 && side < 1024) {
+      side *= 2
+      bytes = JpegCodec.encode(side, side, noisy(side), quality = 95,
+        arithmetic = true)
+    }
+    assert(bytes.length >= 24 * 1024,
+      "precondition: need >= 24 KB of payload so the proportional bound " +
+        s"(512 blocks/byte) admits 12M blocks; got ${bytes.length}")
+    val i = bytes.indices.find(j => (bytes(j) & 0xff) == 0xff &&
+      j + 1 < bytes.length && (bytes(j + 1) & 0xff) == 0xc9).get
+    val p = bytes.clone
+    p(i + 5) = (16000 >> 8).toByte; p(i + 6) = (16000 & 0xff).toByte // height
+    p(i + 7) = (16000 >> 8).toByte; p(i + 8) = (16000 & 0xff).toByte // width
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(p))
+    assert(e.getMessage.contains("pixel planes"), e.getMessage)
+  }
+
   test("THIRD-PARTY conformance: the JDK's ImageIO decodes our bitstream " +
       "to the same image") {
     val w = 32; val h = 16
