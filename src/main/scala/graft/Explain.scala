@@ -18,7 +18,14 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       bodies.get(n) match {
-        case Some(q) => q(spark, sfDir).explain("formatted")
+        case Some(q) =>
+          // bench-only entries (ice_cdc_read etc.) read tables their
+          // untimed setup hook builds — run it so the plan is printable
+          SparkEntry.benchSetup.get(n).foreach(f => f(spark, sfDir))
+          try q(spark, sfDir).explain("formatted")
+          finally SparkEntry.benchTeardown.get(n).foreach { f =>
+            try f(spark, sfDir) catch { case _: Throwable => () }
+          }
         case None => println(s"(unknown query $n)")
       }
     }

@@ -80,40 +80,98 @@ object Dedup {
     // feeds candidate generation; here candidates flow through `sig`.
     val sh = df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // the repartition below the banding is a deliberate MATERIALIZATION
-    // point: every consumer (size aggregation, semi-join probe, both
-    // self-join sides) contains this identical exchange, so ReuseExchange
-    // computes the shingle+MinHash pipeline ONCE and the others replay its
-    // shuffle files — O(sig bytes) per doc, a fraction of re-hashing text
-    val sig = sh.withColumn("sig", graft.functions.MinHash.minhash(col("sh"), k))
+    // r22 FUSION (guide §2.4): candidate generation is ONE exchange. The
+    // old shape shuffled the banded rows separately for each of four
+    // consumers (bucket-size aggregation, its semi-join probe, both
+    // self-join sides) — four replays of the shingle+MinHash pipeline
+    // behind a shared exchange and ~8 extra AQE stages — and the cap was
+    // enforced by an extra count aggregation + semi-join. Grouping the
+    // member ids per (band, bucket) with a memory-BOUNDED capped collect
+    // produces the identical pair set from a single shuffle: the cap
+    // filter drops overflowing groups exactly like the old `_bsz <= cap`
+    // semi-join (members still pair up via their other, more selective
+    // bands), kept groups carry their EXACT member set (truncation only
+    // starts past cap+1), and no aggregation buffer can balloon on the
+    // Zipf-degenerate bucket the cap exists for.
+    val buckets = sh
+      .withColumn("sig", graft.functions.MinHash.minhash(col("sh"), k))
       .withColumn("bands", TF.lshBands(col("sig"), k, bands))
-      .select(col("id"), col("bands"))
-      .repartition(col("id"))
-    val buckets0 = sig.select(col("id"), explode(col("bands")).as("bb"))
+      .select(col("id"), explode(col("bands")).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // cap degenerate buckets (boilerplate text hashing thousands of docs to
-    // one bucket turns the candidate join quadratic): drop buckets over the
-    // cap — their members still pair up via their other, more selective
-    // bands. Sizes come from an aggregation + semi-join, NOT an aggregate
-    // window: the degenerate bucket this cap exists FOR is exactly the one
-    // a window partition would buffer (and sort) whole in one task, while
-    // partial aggregation folds it map-side and the join-back can
-    // AQE-skew-split.
-    val smallEnough = buckets0.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val buckets = buckets0.join(smallEnough, Seq("band", "bucket"), "left_semi")
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand = bucketPairs(buckets, maxBucketSize)
     cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", TF.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Buffer for [[CappedCollect]] — the size rides along explicitly
+    * because `List.length` is O(n) and a Zipf-degenerate bucket would turn
+    * every reduce call into a linear walk. */
+  final case class CapBuf(n: Int, ids: List[Long])
+  /** [[CappedCollect]] output, wrapped so the plain product encoder
+    * applies (callers read the `ids` field). */
+  final case class Members(ids: Seq[Long])
+
+  /** `collect_list` with a HARD per-group memory bound: keeps at most
+    * `cap` + 1 member ids — enough to prove a group exceeds the cap
+    * without ever buffering a degenerate bucket whole (built-in
+    * collect_list buffers unbounded; a window would additionally sort the
+    * full occurrence list in one task). Groups that never overflow are
+    * EXACT: truncation only starts past cap+1 members, and the caller
+    * drops every group reporting more than `cap`, so a truncated group is
+    * by definition a dropped group. Partial aggregation still applies —
+    * map-side buffers obey the same bound. */
+  private final class CappedCollect(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, CapBuf, Members] {
+    def zero: CapBuf = CapBuf(0, Nil)
+    def reduce(b: CapBuf, a: Long): CapBuf =
+      if (b.n > cap) b else CapBuf(b.n + 1, a :: b.ids)
+    def merge(x: CapBuf, y: CapBuf): CapBuf =
+      if (x.n > cap) x
+      else if (y.n > cap) y
+      else if (x.n + y.n > cap + 1)
+        CapBuf(cap + 1, (x.ids ::: y.ids).take(cap + 1))
+      else CapBuf(x.n + y.n, x.ids ::: y.ids)
+    def finish(b: CapBuf): Members = Members(b.ids)
+    def bufferEncoder: org.apache.spark.sql.Encoder[CapBuf] =
+      org.apache.spark.sql.Encoders.product[CapBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Members] =
+      org.apache.spark.sql.Encoders.product[Members]
+  }
+
+  /** Bucket membership rows `(id, band, bucket)` → `(band, bucket, ids)`
+    * for every bucket of at most `maxBucketSize` members, in ONE hash
+    * aggregation (capped per-group state — see [[CappedCollect]]). This
+    * replaces the old size-aggregation + semi-join pair, which cost two
+    * extra shuffles/stages per use and re-shuffled every membership row. */
+  private[operators] def groupedBucketMembers(buckets: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val capped = udaf(new CappedCollect(maxBucketSize))
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(capped(col("id")).as("_m"))
+      .select(col("band"), col("bucket"), col("_m.ids").as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) within each (band, bucket)
+    * group, degenerate buckets dropped: pair fan-out runs as nested array
+    * transforms over the SORTED member array (bounded by the cap, so at
+    * most cap²/2 pairs materialize per kept bucket), then one explode;
+    * cross-band duplicates dedup at the end — the same pair set the old
+    * bucket self-join produced, without the join's second shuffle. */
+  private[operators] def bucketPairs(buckets: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val g = groupedBucketMembers(buckets, maxBucketSize)
+      .filter(size(col("ids")) >= 2)
+      .select(array_sort(col("ids")).as("ids"))
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    g.select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Band count giving LSH recall ≥ `minRecall` AT the decision threshold:
@@ -190,17 +248,14 @@ object Dedup {
     val shB = shingled(benchmark)
     val bC = bucketed(shC)
     val bB = bucketed(shB)
-    // cap Zipf-degenerate CORPUS buckets (the benchmark side is small by
-    // construction): aggregation + semi-join, never a window
-    val smallEnough = bC.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val cand = bC.join(smallEnough, Seq("band", "bucket"), "left_semi")
-      .as("x")
-      .join(bB.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.id").as("id_c"), col("y.id").as("id_b"))
+    // r22 FUSION (guide §2.4, same rewrite as [[minhashDedup]]): the
+    // Zipf-degenerate-bucket cap folds INTO the candidate exchange — the
+    // corpus bucket members group once behind one shuffle (capped,
+    // memory-bounded) instead of a count aggregation + semi-join, and the
+    // benchmark-sized bucket table broadcasts onto the grouped buckets.
+    val cand = groupedBucketMembers(bC, maxBucketSize)
+      .join(bB, Seq("band", "bucket"))
+      .select(explode(col("ids")).as("id_c"), col("id").as("id_b"))
       .distinct()
     val hits = cand
       .join(shC.select(col("id").as("id_c"), col("sh").as("sh_c")), "id_c")
