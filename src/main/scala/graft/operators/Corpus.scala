@@ -705,15 +705,19 @@ object Corpus {
     * operations the greedy leftmost-non-overlapping pass actually applied.
     * Stops early (fewer rows) if a round finds no well-formed pair.
     *
-    * Scale shape: each round is two corpus-scale jobs — the pair count
-    * (ONE aggregation, map-side combine absorbs the Zipf head, top-1 via
-    * TakeOrdered) and the merge-apply + merge-count (a ZERO-shuffle typed
-    * projection plus one scalar sum). Each round's merged corpus persists
-    * (MEMORY_AND_DISK) and the previous round unpersists once superseded,
-    * so round N never replays rounds 1..N−1's merges — on a real cluster
-    * at 100 TB the same slot is where you would `checkpoint()` to
-    * truncate lineage; the driver holds O(rounds) rows of state. The
-    * ROUND COUNT itself is the remaining scale axis (2 jobs per merge) —
+    * Scale shape (r22): ONE corpus-scale job per round. Round r's
+    * merge-apply (a ZERO-shuffle typed projection that persists
+    * MEMORY_AND_DISK) and the pair count that picks round r+1's winner are
+    * the SAME pass — the merged text's pairs and the round's applied-merge
+    * total aggregate together ([[mergeStats]]), so the old shape's second
+    * corpus pass per round (count job after the merge job — 2× the corpus
+    * reads at any scale) is gone; only the first round pays a standalone
+    * count (there is nothing to merge yet) and the last round skips the
+    * pair count (no round follows). The previous round unpersists once
+    * superseded, so round N never replays rounds 1..N−1's merges — on a
+    * real cluster at 100 TB the same slot is where you would
+    * `checkpoint()` to truncate lineage; the driver holds O(rounds) rows
+    * of state. The ROUND COUNT itself is the remaining scale axis —
     * [[bpeTrainBatched]] collapses it ~batch-fold for production
     * vocabulary sizes. */
   def bpeTrain(df: DataFrame, textCol: String, idCol: String,
@@ -726,30 +730,78 @@ object Corpus {
       coalesce(col(textCol), lit("")).cast("string").as(textCol))
     var curPersisted: Option[DataFrame] = None
     try {
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        val win = bpePairCounts(cur, textCol, k = 1, wellFormedOnly = true)
-          .collect().headOption
-        win match {
-          case None => exhausted = true
-          case Some(row) =>
-            val Array(a, b) = row.getString(0).split(" ", -1)
-            val cnt = row.getLong(1)
-            val merged = bpeMergeApply(cur, textCol, idCol, a, b)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            val nMerges = merged.agg(sum(col("n_merges"))).head().getLong(0)
-            merges += ((r.toLong, a, b, cnt, nMerges))
-            curPersisted.foreach(_.unpersist())
-            curPersisted = Some(merged)
-            cur = merged.select(col(idCol),
-              col("merged_text").as(textCol))
-            r += 1
+      // round 1's winner: the only standalone count (no merge exists yet)
+      var winner = bpePairCounts(cur, textCol, k = 1, wellFormedOnly = true)
+        .collect().headOption.map { row =>
+          val Array(a, b) = row.getString(0).split(" ", -1)
+          (a, b, row.getLong(1))
         }
+      var r = 1
+      while (r <= rounds && winner.isDefined) {
+        val (a, b, cnt) = winner.get
+        val merged = bpeMergeApply(cur, textCol, idCol, a, b)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (nMerges, next) = mergeStats(merged, needWinner = r < rounds)
+        merges += ((r.toLong, a, b, cnt, nMerges))
+        curPersisted.foreach(_.unpersist())
+        curPersisted = Some(merged)
+        cur = merged.select(col(idCol), col("merged_text").as(textCol))
+        winner = next
+        r += 1
       }
     } finally curPersisted.foreach(_.unpersist())
     spark.createDataFrame(merges.toSeq)
       .toDF("round", "pair_a", "pair_b", "cnt", "n_merges")
+  }
+
+  /** Sentinel aggregation key for [[mergeStats]]: contains NO separator,
+    * while every pair key contains exactly one (concat_ws inserts it even
+    * between empty split-noise tokens), so no pair can collide with it. */
+  private val MergeStatsSentinel = "\u0000"
+
+  /** One pass over a just-merged corpus ([[bpeMergeApply]] output):
+    * the round's total applied-merge count AND — when a round follows —
+    * the next winner from the merged text's well-formed pair ranking
+    * (count desc, pair asc: [[bpePairCounts]]' exact contract). Both ride
+    * ONE keyed aggregation: every document emits its adjacent pairs at
+    * weight 1 plus a sentinel row carrying its n_merges, and a TakeOrdered
+    * that sorts the sentinel first returns `limit(2)` = (total, winner) in
+    * a single action — materializing the persist in the same job. */
+  private[operators] def mergeStats(merged: DataFrame, needWinner: Boolean)
+      : (Long, Option[(String, String, Long)]) = {
+    if (!needWinner) {
+      val n = merged.agg(sum(col("n_merges"))).head().getLong(0)
+      return (n, None)
+    }
+    val toks = split(col("merged_text"), " ")
+    // zip_with over the (n−1)-length slices is an EMPTY typed array for
+    // single-token docs (slice length 0), so no size guard is needed
+    val pairEntries = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => struct(concat_ws(" ", x, y).as("k"), lit(1L).as("w")))
+    val rows = merged
+      .select(explode(concat(pairEntries,
+        array(struct(lit(MergeStatsSentinel).as("k"),
+          col("n_merges").as("w"))))).as("kw"))
+      .select(col("kw.k").as("k"), col("kw.w").as("w"))
+      .groupBy(col("k")).agg(sum(col("w")).as("cnt"))
+      // winner ranking over the WELL-FORMED universe only (bpePairCounts'
+      // rule: a malformed pair starts/ends with the separator); the
+      // sentinel passes the filter and sorts first by construction
+      .filter(col("k") === MergeStatsSentinel ||
+        (!startswith(col("k"), lit(" ")) && !endswith(col("k"), lit(" "))))
+      .orderBy((col("k") === MergeStatsSentinel).desc, col("cnt").desc, col("k"))
+      .limit(2)
+      .collect()
+    require(rows.nonEmpty && rows.head.getString(0) == MergeStatsSentinel,
+      "mergeStats lost its sentinel row — corpus aggregation is broken")
+    val nMerges = rows.head.getLong(1)
+    val next = rows.lift(1).map { row =>
+      val Array(a, b) = row.getString(0).split(" ", -1)
+      (a, b, row.getLong(1))
+    }
+    (nMerges, next)
   }
 
   /** BATCHED BPE trainer: each round picks the top-`batch`
@@ -777,13 +829,15 @@ object Corpus {
     * simply deferred to a later round, where they re-rank over the merged
     * corpus exactly as the sequential trainer would have seen it.
     *
-    * Scale shape: each round is two corpus-scale jobs regardless of
-    * `batch` — the ranked pair count (ONE aggregation + top-`window`
-    * TakeOrdered; the compatibility filter runs on the collected
-    * O(window) rows, driver-side) and the batch merge-apply + per-pair
-    * merge counts (a ZERO-shuffle typed projection; the counts fold
-    * through one O(batch)-key aggregation). Round outputs persist and
-    * supersede exactly like [[bpeTrain]]'s. */
+    * Scale shape (r22): ONE corpus-scale job per round, like [[bpeTrain]] —
+    * the batch merge-apply (ZERO-shuffle typed projection, persisted) and
+    * the ranked pair count that feeds round r+1's window aggregate in the
+    * SAME pass ([[batchedMergeStats]]: pair keys at weight 1 plus one
+    * sentinel key per accepted pair carrying its applied-merge count);
+    * the compatibility filter still runs on the collected O(window) rows,
+    * driver-side. Only round 1 pays a standalone ranked count (nothing is
+    * merged yet), and the last round skips the ranking. Round outputs
+    * persist and supersede exactly like [[bpeTrain]]'s. */
   def bpeTrainBatched(df: DataFrame, textCol: String, idCol: String,
       rounds: Int, batch: Int, window: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
@@ -800,9 +854,10 @@ object Corpus {
     try {
       var r = 1
       var exhausted = false
+      // round 1's ranked window: the only standalone count job
+      var cands: Array[org.apache.spark.sql.Row] =
+        bpePairCounts(cur, textCol, k = win, wellFormedOnly = true).collect()
       while (r <= rounds && !exhausted) {
-        val cands = bpePairCounts(cur, textCol, k = win, wellFormedOnly = true)
-          .collect()
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
         val used = scala.collection.mutable.HashSet.empty[String]
@@ -838,11 +893,10 @@ object Corpus {
             }
             .toDF(idCol, "merged_text", "_counts")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // per-pair applied-merge totals: O(batch) keys, one tiny agg
-          val perPair = merged
-            .select(posexplode(col("_counts")).as(Seq("_pos", "_c")))
-            .groupBy(col("_pos")).agg(sum(col("_c")).as("_n"))
-            .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+          // ONE job: per-pair applied-merge totals AND (when a round
+          // follows) the merged corpus's ranked pair window
+          val (perPair, nextCands) =
+            batchedMergeStats(merged, win, accepted.size, r < rounds)
           accepted.zipWithIndex.foreach { case ((a, b, cnt), i) =>
             table += ((r.toLong, (i + 1).toLong, a, b, cnt,
               perPair.getOrElse(i, 0L)))
@@ -850,12 +904,57 @@ object Corpus {
           curPersisted.foreach(_.unpersist())
           curPersisted = Some(merged)
           cur = merged.select(col(idCol), col("merged_text").as(textCol))
+          cands = nextCands
           r += 1
         }
       }
     } finally curPersisted.foreach(_.unpersist())
     spark.createDataFrame(table.toSeq)
       .toDF("round", "rank", "pair_a", "pair_b", "cnt", "n_merges")
+  }
+
+  /** [[bpeTrainBatched]]'s single per-round pass (the batched analogue of
+    * [[mergeStats]]): over a just-merged corpus carrying per-document
+    * `_counts`, compute every accepted pair's applied-merge total AND —
+    * when a round follows — the merged text's top-`window` well-formed
+    * pair ranking, in ONE keyed aggregation + TakeOrdered. Sentinel keys
+    * (`\u0000<rank-index>`) carry the counts; they contain no separator
+    * while every pair key contains one, so the two key spaces cannot
+    * collide and the sort (separator-free first, then count desc, pair
+    * asc) returns all sentinels followed by the exact
+    * [[bpePairCounts]]-ordered window. */
+  private[operators] def batchedMergeStats(merged: DataFrame, window: Int,
+      nSentinels: Int, needWindow: Boolean)
+      : (Map[Int, Long], Array[org.apache.spark.sql.Row]) = {
+    if (!needWindow) {
+      // last round: only the O(batch)-key counts aggregation
+      val perPair = merged
+        .select(posexplode(col("_counts")).as(Seq("_pos", "_c")))
+        .groupBy(col("_pos")).agg(sum(col("_c")).as("_n"))
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      return (perPair, Array.empty)
+    }
+    val toks = split(col("merged_text"), " ")
+    val pairEntries = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => struct(concat_ws(" ", x, y).as("k"), lit(1L).as("w")))
+    val sentinelEntries = transform(col("_counts"), (c, i) =>
+      struct(concat(lit(MergeStatsSentinel), i.cast("string")).as("k"),
+        c.as("w")))
+    val rows = merged
+      .select(explode(concat(pairEntries, sentinelEntries)).as("kw"))
+      .select(col("kw.k").as("k"), col("kw.w").as("w"))
+      .groupBy(col("k")).agg(sum(col("w")).as("cnt"))
+      .filter(!contains(col("k"), lit(" ")) ||
+        (!startswith(col("k"), lit(" ")) && !endswith(col("k"), lit(" "))))
+      .orderBy(contains(col("k"), lit(" ")), col("cnt").desc, col("k"))
+      .limit(nSentinels + window)
+      .collect()
+    val (sent, pairs) = rows.partition(r => !r.getString(0).contains(" "))
+    val perPair = sent
+      .map(r => r.getString(0).substring(1).toInt -> r.getLong(1)).toMap
+    (perPair, pairs)
   }
 
   /** One simultaneous greedy merge scan for a batch of NON-INTERACTING
