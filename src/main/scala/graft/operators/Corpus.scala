@@ -16,6 +16,23 @@ import graft.functions.{TextFunctions => TF}
   */
 object Corpus {
 
+  /** Scale-adaptive scan-parallelism floor for internal per-row kernels
+    * (the [[graft.Queries.spread]] condition, kept library-local): ONE
+    * explicit-N hash exchange when the input's optimizer size estimate
+    * cannot keep every core busy at ~8 MB/core — the bench tables are
+    * single-row-group parquet files whose scan plans one task — and a
+    * NO-OP at scale, where the scan itself splits. Explicit N because
+    * AQE never coalesces explicit-N repartitions (a byte-targeting
+    * coalescer would collapse these tiny exchanges straight back to one
+    * task). */
+  private def scanSpread(df: DataFrame, key: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (n > 1 && bytes < BigInt(n) * (8L << 20)) df.repartition(n, col(key))
+    else df
+  }
+
   /** Bucket auto-sizing for the two-pass prefix-sum operators
     * ([[globalShuffle]], [[packSequences]]): a caller that leaves
     * `buckets = 0` gets a count derived from the input's optimizer size
@@ -1136,17 +1153,23 @@ object Corpus {
     import spark.implicits._
     // docs shorter than w yield no windows (they can still CONTAIN no
     // duplicated span by definition — a span needs w tokens)
-    // MATERIALIZATION POINT: the id-keyed repartition below the agg/probe
-    // fan-out lets both consumers (the canonical-min aggregation AND the
-    // join-back probe) replay ONE exchange via ReuseExchange/AQE stage
-    // reuse instead of re-scanning the corpus and recomputing every
-    // fingerprint a second time (the r18 shape paid a reproducible ~1.6×
-    // for exactly that). Keyed by _id — NOT the fingerprint — so the
-    // Zipf-head fingerprint stays spread across partitions and the
-    // downstream aggregation still folds it map-side (partial agg runs
-    // AFTER this exchange, BEFORE the fingerprint-keyed one).
-    val wins = df.select(col(idCol).cast("long"),
-        coalesce(col(textCol), lit("")).cast("string"))
+    // r22: the shared exchange moved BELOW the fingerprint flatMap. The
+    // old shape repartitioned the flatMap's OUTPUT by _id as a
+    // materialization point, so the kernel itself inherited the 1-task
+    // single-row-group scan and ran serially (and an exchange of window
+    // fingerprints carries ~32 bytes/token — ~5× the text it came from).
+    // Now the SLIM (id, text) input spreads below the kernel when the
+    // scan cannot feed every core ([[scanSpread]]), both consumers (the
+    // canonical-min aggregation and the join-back probe) replay that
+    // text-sized exchange, and the kernel runs at cluster parallelism —
+    // computed once per consumer, which is the cheaper side of the trade
+    // at every scale: re-running an O(chars) rolling hash beats writing +
+    // reading 5× the corpus bytes through a shuffle (the minhashDedup
+    // shingle note's byte math, same conclusion). At scale the spread is
+    // a no-op and the two consumers re-scan the columnar text — still
+    // cheaper than materializing the fat fingerprint stream.
+    val wins = scanSpread(df.select(col(idCol).cast("long").as("_did"),
+        coalesce(col(textCol), lit("")).cast("string").as("_txt")), "_did")
       .as[(Long, String)]
       .flatMap { case (id, text) => windowFingerprints(id, text, w) }
       .toDF("_id", "_pos", "_h1", "_h2")
@@ -1269,8 +1292,11 @@ object Corpus {
     val spans = substringSpans(df, textCol, idCol, w)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
-    val toks = df.select(col(idCol),
-      split(coalesce(col(textCol), lit("")), " ").as("_t"))
+    // the rewrite projection (per-token span filter) otherwise inherits the
+    // 1-task scan at bench scale — the span side broadcasts, so the spread
+    // partitioning survives to the sink; no-op at scale ([[scanSpread]])
+    val toks = scanSpread(df.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), " ").as("_t")), idCol)
     // (element, index) filter: token i survives unless some span covers it;
     // _sp is NULL for untouched docs (left join) — short-circuit to keep
     val kept = filter(col("_t"), (_, i) =>
