@@ -331,13 +331,24 @@ final class IcebergTable private (
         throw new IllegalArgumentException(
           s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId"))
     }
+    // r22 (guide §2.4/§6): plan the whole range in TWO driver passes —
+    // first every commit's file diff (manifest-only, zero Spark jobs),
+    // then ONE batched job resolving every pos-delete commit's distinct
+    // referenced-file keys. The old shape ran a separate distinct+collect
+    // job inside each commit's frame builder, so planning time grew as
+    // commits × per-job overhead; now the job count is constant in the
+    // commit count (churn-proportional bytes, as before).
+    val chs = range.reverseIterator.map(snapshotFileChanges)
+      .collect { case Some(ch) => ch }.toSeq
+    val posPlans = batchedPosDeletePlans(chs)
     // _change_ordinal: the commit's index among the range's CHANGE-EMITTING
     // commits, oldest first (Iceberg's changelog ordering column — lets a
     // consumer replay multi-commit changes in commit order without joining
     // back to the snapshot log)
     var ordinal = -1
-    range.reverseIterator.flatMap { s =>
-      val frames = snapshotChanges(s)
+    chs.iterator.flatMap { ch =>
+      val frames = snapshotChanges(ch,
+        posPlans.get(ch.snapshot.snapshotId))
       if (frames.isEmpty) frames
       else {
         ordinal += 1
@@ -378,10 +389,92 @@ final class IcebergTable private (
       addedDeletes.filter(_.content == Manifests.FileContent.EqualityDeletes)))
   }
 
-  /** One snapshot's row-level changes — see [[changelog]]. */
-  private def snapshotChanges(s: Snapshot): Seq[DataFrame] = {
+  /** Resolve every pos-delete commit's referenced-file keys in ONE Spark
+    * job for a whole changelog range: the per-commit pair frames union
+    * (tagged by snapshot id), distinct per commit, one collect. The old
+    * shape ran a distinct+collect job inside each commit's frame builder,
+    * so changelog PLANNING paid one scheduled job per pos-delete commit —
+    * fixed overhead × commits; this is constant in the commit count while
+    * collecting the same churn-proportional key set (file keys only,
+    * never positions — metadata-scale at any corpus size). */
+  private def batchedPosDeletePlans(
+      chs: Seq[IcebergTable.SnapshotFileChanges])
+      : Map[Long, IcebergTable.PosDeletePlan] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val withPairs = chs
+      .filter(c => c.addedPosDeletes.nonEmpty && c.parent.isDefined)
+      .flatMap(c => posDeletePairs(c).map(c.snapshot.snapshotId -> _))
+    if (withPairs.isEmpty) return Map.empty
+    // ONE distinct over (key, commit) AFTER the union: a per-leg distinct
+    // would hand AQE one exchange to materialize per commit (a job each),
+    // re-growing planning with the commit count; this shape is one
+    // exchange total — partial aggregation runs inside each union leg
+    val keyRows = withPairs.map { case (sid, d) =>
+      d.select(col("_g_key"), lit(sid).as("_sid"))
+    }.reduce(_ unionAll _).distinct().collect()
+    val bySid = keyRows.groupBy(_.getLong(1))
+      .view.mapValues(_.map(_.getString(0)).toSet).toMap
+    withPairs.map { case (sid, d) =>
+      sid -> IcebergTable.PosDeletePlan(d, bySid.getOrElse(sid, Set.empty))
+    }.toMap
+  }
+
+  /** One commit's NET-new (file key, pos) delete pairs — parquet delete
+    * files scanned by Spark, v3 DV blobs decoded at their manifest offset.
+    * A MERGED deletion vector re-carries every prior position of its file,
+    * so parent-visible positions subtract out (same rule as the CDC
+    * stream). None when the commit added no position deletes or has no
+    * parent to emit deletes against. */
+  private def posDeletePairs(ch: IcebergTable.SnapshotFileChanges)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val p = ch.parent.getOrElse(return None)
+    val posDels = ch.addedPosDeletes
+    if (posDels.isEmpty) return None
+    // (file key, pos) pairs of a delete-file set, either carrier:
+    // parquet scanned by Spark, v3 DV blobs decoded by manifest offset
+    def pairsOf(dels: Seq[DataFileInfo]): DataFrame = {
+      val (dvs, pqs) = dels.partition(_.isDv)
+      // explicit schema: a position-delete carrier is (file_path, pos) by
+      // construction — schema inference would footer-probe every delete
+      // file on the driver (~80 ms per read.parquet call, per commit)
+      val pq = if (pqs.isEmpty) None else Some(spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_path", StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(pqs.map(f => rewrite(f.filePath)).distinct: _*)
+        .select(substring_index(col("file_path"), "/data/", -1).as("_g_key"),
+          col("pos").as("_g_pos")))
+      val dv = if (dvs.isEmpty) None else {
+        val hconf = spark.sessionState.newHadoopConf()
+        val pairs = dvs.flatMap { d =>
+          DeletionVectors.readBlobAt(rewrite(d.filePath), hconf,
+            d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
+            d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}")))
+            .map(pos => (org.apache.spark.sql.graftbridge.ScanBridge.morKey(
+              d.referencedDataFile.getOrElse(
+                sys.error(s"DV without referenced file: ${d.filePath}"))), pos))
+        }
+        import spark.implicits._
+        Some(pairs.toDF("_g_key", "_g_pos"))
+      }
+      (pq.toSeq ++ dv.toSeq).reduce(_ unionByName _)
+    }
+    val addedPairs = pairsOf(posDels)
+    val parentDels = p.positionDeleteFiles
+    Some(if (!posDels.exists(_.isDv) || parentDels.isEmpty) addedPairs
+      else addedPairs.except(pairsOf(parentDels)))
+  }
+
+  /** One snapshot's row-level changes — see [[changelog]]. `posPlan` is
+    * the commit's pre-resolved position-delete plan (pairs frame + target
+    * file keys), batched across the whole range by
+    * [[batchedPosDeletePlans]] so no per-commit Spark job runs here. */
+  private def snapshotChanges(ch: IcebergTable.SnapshotFileChanges,
+      posPlan: Option[IcebergTable.PosDeletePlan]): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit, substring_index}
-    val ch = snapshotFileChanges(s).getOrElse(return Nil)
+    val s = ch.snapshot
     val cur = ch.current
     val prev = ch.parent
     val prevFiles = ch.parentFiles
@@ -439,46 +532,14 @@ final class IcebergTable private (
         out += tag(project(p.readSubset(removed), p), "delete")
 
       // rows newly POSITION-deleted from files that survive this snapshot
-      // (removed files already emitted all their live rows above)
-      val posDels = ch.addedPosDeletes
-      if (posDels.nonEmpty) {
-        // (file key, pos) pairs of a delete-file set, either carrier:
-        // parquet scanned by Spark, v3 DV blobs decoded by manifest offset
-        def pairsOf(dels: Seq[DataFileInfo]): DataFrame = {
-          val (dvs, pqs) = dels.partition(_.isDv)
-          val pq = if (pqs.isEmpty) None else Some(spark.read
-            .parquet(pqs.map(f => rewrite(f.filePath)).distinct: _*)
-            .select(substring_index(col("file_path"), "/data/", -1).as("_g_key"),
-              col("pos").as("_g_pos")))
-          val dv = if (dvs.isEmpty) None else {
-            val hconf = spark.sessionState.newHadoopConf()
-            val pairs = dvs.flatMap { d =>
-              DeletionVectors.readBlobAt(rewrite(d.filePath), hconf,
-                d.contentOffset.getOrElse(sys.error(s"DV without offset: ${d.filePath}")),
-                d.contentSizeInBytes.getOrElse(sys.error(s"DV without size: ${d.filePath}")))
-                .map(pos => (org.apache.spark.sql.graftbridge.ScanBridge.morKey(
-                  d.referencedDataFile.getOrElse(
-                    sys.error(s"DV without referenced file: ${d.filePath}"))), pos))
-            }
-            import spark.implicits._
-            Some(pairs.toDF("_g_key", "_g_pos"))
-          }
-          (pq.toSeq ++ dv.toSeq).reduce(_ unionByName _)
-        }
-        // a MERGED deletion vector re-carries every prior position of its
-        // file — the changelog must emit only NET-new deletes, so parent-
-        // visible positions are subtracted (same rule as the CDC stream)
-        val delDf = {
-          val addedPairs = pairsOf(posDels)
-          val parentDels = p.positionDeleteFiles
-          if (!posDels.exists(_.isDv) || parentDels.isEmpty) addedPairs
-          else addedPairs.except(pairsOf(parentDels))
-        }
-        val targetKeys = delDf.select("_g_key").distinct()
-          .collect().map(_.getString(0)).toSet
+      // (removed files already emitted all their live rows above); the
+      // pair frame and its referenced-file keys were resolved range-wide
+      // in ONE job ([[batchedPosDeletePlans]])
+      posPlan.foreach { pp =>
+        val delDf = pp.pairs
         val targets = prevFiles.filter { f =>
           val path = rewrite(f.filePath)
-          curPaths(path) && targetKeys(
+          curPaths(path) && pp.targetKeys(
             org.apache.spark.sql.graftbridge.ScanBridge.morKey(path))
         }
         if (targets.nonEmpty) {
@@ -526,16 +587,26 @@ final class IcebergTable private (
     val idToCur = iceSchema.fields.map(fl => fl.id -> fl.name).toMap
     val curNames = ids.map(id => idToCur.getOrElse(id,
       throw new IllegalStateException(s"equality id $id not in current schema")))
-    val writeNames = (for {
+    val writeFields = for {
       snapId <- f.snapshotId
       snap <- metadata.snapshotsById.get(snapId)
       sch <- scala.util.Try(metadata.schemaFor(snap)).toOption
       resolved <- {
-        val r = ids.map(id => sch.fields.find(_.id == id).map(_.name))
+        val r = ids.map(id => sch.fields.find(_.id == id))
         if (r.forall(_.isDefined)) Some(r.map(_.get)) else None
       }
-    } yield resolved).getOrElse(curNames)
-    val df = spark.read.parquet(rewrite(f.filePath))
+    } yield resolved
+    val writeNames = writeFields.map(_.map(_.name)).getOrElse(curNames)
+    // explicit read schema from the write-time field types: skips the
+    // driver-side footer probe schema inference pays per eq-delete file
+    // at changelog-planning time; non-primitive or unresolvable key types
+    // fall back to inference
+    val readSchema = writeFields.flatMap { fs =>
+      scala.util.Try(StructType(fs.map(fl => StructField(fl.name,
+        IcebergTypes.primitiveToSpark(fl.icebergTypeString))).toArray)).toOption
+    }
+    val df = readSchema.fold(spark.read)(spark.read.schema)
+      .parquet(rewrite(f.filePath))
       .select(writeNames.zip(curNames).map { case (w, c) => col(w).as(c) }: _*)
     (curNames, df)
   }
@@ -1273,6 +1344,14 @@ object IcebergTable {
       removed: Seq[Manifests.DataFileInfo],
       addedPosDeletes: Seq[Manifests.DataFileInfo],
       addedEqDeletes: Seq[Manifests.DataFileInfo])
+
+  /** One commit's pre-resolved position-delete plan: the (file key, pos)
+    * pair frame the delete emission semi-joins against, and the distinct
+    * referenced-file keys that prune which surviving parent files are read
+    * at all — resolved range-wide in one job (see
+    * `batchedPosDeletePlans`). */
+  private final case class PosDeletePlan(
+      pairs: org.apache.spark.sql.DataFrame, targetKeys: Set[String])
 
   /** Row shapes of the `entries`/`all_entries` metadata tables — the
     * nested `data_file` struct mirrors Iceberg's (subset: the identity and

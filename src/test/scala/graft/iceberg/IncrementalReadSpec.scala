@@ -370,4 +370,50 @@ class IncrementalReadSpec extends AnyFunSuite {
       (4L, "a4", "insert"), (5L, "a5", "insert")),
       s"got: ${rows.toSeq}")
   }
+
+  test("changelog PLANNING runs a constant Spark-job count regardless of " +
+      "the pos-delete commit count (r22: batched key resolution)") {
+    // The old shape ran one distinct+collect job inside every pos-delete
+    // commit's frame builder — planning cost ∝ commits × job overhead.
+    // Now all commits' referenced-file keys resolve in ONE job, so a table
+    // with 4 delete commits must plan with exactly as many jobs as one
+    // with 2 — and the changelog rows must be unchanged.
+    def build(deleteCommits: Int): IcebergTable = {
+      val url = freshTable
+      IcebergWriter.createTable(spark, url, schema)
+      IcebergWriter.append(spark, url,
+        (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2))
+      (0 until deleteCommits).foreach { i =>
+        IcebergWriter.deleteRows(spark, url, Pruning.Eq("k", (i + 1).toLong))
+      }
+      IcebergTable.load(spark, url)
+    }
+    def planningJobs(t: IcebergTable): (Int, Long) = {
+      val sc = spark.sparkContext
+      val group = s"clplan${System.nanoTime()}"
+      sc.setJobGroup(group, "changelog planning")
+      val df =
+        try t.changelog(t.metadata.snapshots.head.snapshotId,
+          t.currentSnapshot.snapshotId)
+        finally sc.clearJobGroup()
+      // the status tracker is listener-bus-driven; give it a beat to drain
+      var ids = sc.statusTracker.getJobIdsForGroup(group)
+      val deadline = System.currentTimeMillis() + 5000
+      var settled = false
+      while (!settled && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        val now = sc.statusTracker.getJobIdsForGroup(group)
+        settled = now.length == ids.length
+        ids = now
+      }
+      (ids.length, df.filter(org.apache.spark.sql.functions
+        .col("_change_type") === "delete").count())
+    }
+    val (jobs2, dels2) = planningJobs(build(2))
+    val (jobs4, dels4) = planningJobs(build(4))
+    assert(dels2 == 2 && dels4 == 4, s"changelog rows wrong: $dels2/$dels4")
+    assert(jobs4 == jobs2,
+      s"planning job count grew with commits: $jobs2 -> $jobs4")
+    assert(jobs2 <= 2, s"planning should be ~one batched job, got $jobs2")
+  }
 }
