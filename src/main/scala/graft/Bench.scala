@@ -81,6 +81,12 @@ object Bench {
           Some(("setup: " + e.toString).replaceAll("[\"\\\\\n]", " ").take(200))
         }
       }
+      // per-entry session-conf overrides (SparkEntry.benchConf): applied
+      // for the reps only, restored after, so entries never leak conf into
+      // one another
+      val overrides = SparkEntry.benchConf.getOrElse(name, Map.empty[String, String])
+      val savedConf = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       val samples =
         if (setupErr.isDefined) Vector.empty[(Double, Option[String])]
         else (1 to reps).map { _ =>
@@ -95,6 +101,8 @@ object Bench {
               Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200)) }
           ((System.nanoTime() - t0) / 1e9, err)
         }
+      savedConf.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
       SparkEntry.benchTeardown.get(name).foreach { f =>
         try f(spark, sfDir) catch { case _: Throwable => () }
       }
