@@ -141,6 +141,45 @@ object Dedup {
       org.apache.spark.sql.Encoders.product[Members]
   }
 
+  /** Buffer/output for [[CappedCollectPairs]] — (id, hash) members. */
+  final case class CapBuf2(n: Int, ids: List[(Long, Long)])
+  final case class Members2(ids: Seq[(Long, Long)])
+
+  /** [[CappedCollect]] over (id, 64-bit hash) members — the SimHash
+    * banding carries the hash alongside the id so Hamming distance
+    * verifies inside the grouped bucket. Same hard memory bound. */
+  private final class CappedCollectPairs(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), CapBuf2, Members2] {
+    def zero: CapBuf2 = CapBuf2(0, Nil)
+    def reduce(b: CapBuf2, a: (Long, Long)): CapBuf2 =
+      if (b.n > cap) b else CapBuf2(b.n + 1, a :: b.ids)
+    def merge(x: CapBuf2, y: CapBuf2): CapBuf2 =
+      if (x.n > cap) x
+      else if (y.n > cap) y
+      else if (x.n + y.n > cap + 1)
+        CapBuf2(cap + 1, (x.ids ::: y.ids).take(cap + 1))
+      else CapBuf2(x.n + y.n, x.ids ::: y.ids)
+    def finish(b: CapBuf2): Members2 = Members2(b.ids)
+    def bufferEncoder: org.apache.spark.sql.Encoder[CapBuf2] =
+      org.apache.spark.sql.Encoders.product[CapBuf2]
+    def outputEncoder: org.apache.spark.sql.Encoder[Members2] =
+      org.apache.spark.sql.Encoders.product[Members2]
+  }
+
+  /** [[groupedBucketMembers]] for `(id, h, band, bucket)` rows:
+    * `(band, bucket, ids)` with `ids` an array of (id, hash) structs for
+    * every bucket of at most `maxBucketSize` members (a tuple-input typed
+    * aggregator takes its fields as separate parameters). */
+  private[operators] def groupedBucketHashMembers(banded: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val capped = udaf(new CappedCollectPairs(maxBucketSize))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(capped(col("id"), col("h")).as("_m"))
+      .select(col("band"), col("bucket"), col("_m.ids").as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+  }
+
   /** Bucket membership rows `(id, band, bucket)` → `(band, bucket, ids)`
     * for every bucket of at most `maxBucketSize` members, in ONE hash
     * aggregation (capped per-group state — see [[CappedCollect]]). This
@@ -244,7 +283,13 @@ object Dedup {
       .withColumn("bands", TF.lshBands(col("sig"), k, nBands))
       .select(col("id"), explode(col("bands")).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val shC = shingled(corpus).repartition(col("id")) // materialization point
+    // materialization point KEPT (r22, re-measured after the candidate
+    // fusion): dropping this exchange so both consumers (bucket generation
+    // + verify probe) re-shingle from the scan measured 1.91 s vs 1.75 s
+    // min at sf0.1 — unlike minhashDedup's three-consumer shape, the
+    // shingle table here feeds only two consumers and the id-keyed rows
+    // are corpus-sized, so one exchange still beats re-shingling
+    val shC = shingled(corpus).repartition(col("id"))
     val shB = shingled(benchmark)
     val bC = bucketed(shC)
     val bB = bucketed(shB)
@@ -299,26 +344,27 @@ object Dedup {
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket")))
-    // materialization point (see [[minhashDedup]]): the caller's hash
-    // pipeline computes once below this exchange; all four consumers
-    // replay its 16-byte-per-doc shuffle files via ReuseExchange
-    val shRep = sh.repartition(col("id"))
-    val banded0 = shRep.withColumn("bb", explode(array(blocks: _*)))
-      .select(col("id"), col("h"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // same cap mechanism as [[minhashDedup]]: aggregation + semi-join, so
-    // the degenerate bucket folds map-side instead of buffering (and
-    // sorting) whole in one window task. The 4x16-bit block space bounds
-    // the size table at 2^18 rows — always broadcastable.
-    val smallEnough = banded0.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val banded = banded0.join(broadcast(smallEnough), Seq("band", "bucket"), "left_semi")
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        SimHash.hamming(col("x.h"), col("y.h")).as("hamming"))
+    // r22 FUSION (the [[minhashDedup]]/[[bucketPairs]] rewrite, carrying
+    // the hash alongside the id so Hamming verifies in place): the old
+    // shape shuffled the banded rows once per consumer (size aggregation +
+    // semi-join + both self-join sides behind a shared id-keyed exchange)
+    // — grouping (id, h) members per (band, bucket) with the capped,
+    // memory-bounded collect produces the identical pair set from ONE
+    // exchange, with the same degenerate-bucket semantics (overflowing
+    // groups drop; kept groups exact).
+    val banded = sh.withColumn("bb", explode(array(blocks: _*)))
+      .select(col("id"), col("h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val g = groupedBucketHashMembers(banded, maxBucketSize)
+      .filter(size(col("ids")) >= 2)
+      .select(array_sort(col("ids")).as("ids")) // struct sort: by id (unique)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.getField("_1").as("id_a"), y.getField("_1").as("id_b"),
+          SimHash.hamming(x.getField("_2"), y.getField("_2")).as("hamming")))))
+    g.select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
       // hamming is per-pair deterministic, so filtering BEFORE the distinct
       // is equivalent — and the dedup exchange then moves only survivors
       .filter(col("hamming") <= maxHamming)
