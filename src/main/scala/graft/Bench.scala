@@ -140,7 +140,8 @@ object Bench {
     // mins are not comparable across either.
     val localName = s"BENCH_LOCAL_sf${sfNumber(sfDir).getOrElse(0.0)}_c$cpus.json"
     val (baselinePath, baseline, baselineSf) = loadBaseline(
-      searchDirs, sys.env.get("SPARK_GRAFT_BENCH_BASELINE"), Some(localName))
+      searchDirs, sys.env.get("SPARK_GRAFT_BENCH_BASELINE"), Some(localName),
+      Some(cpus))
     // a resolved baseline that yields ZERO comparable queries makes the
     // regression gate silently vacuous (the r12 bug, seen again in r21 when
     // the driver tail truncated before the queries_min label) — say so
@@ -254,7 +255,7 @@ object Bench {
     * baseline's scale factor when recorded. Factored out of main so a spec
     * can prove detection fires on a pinned baseline. */
   def loadBaseline(searchDirs: Seq[java.io.File], explicit: Option[String],
-      localName: Option[String] = None)
+      localName: Option[String] = None, cpus: Option[String] = None)
       : (Option[String], Map[String, Double], Option[Double]) = {
     val candidates: Seq[String] = explicit match {
       case Some(p) => Seq(p) // explicit never falls back: the caller owns it
@@ -275,22 +276,30 @@ object Bench {
     val hit = candidates.iterator
       .map { p =>
         val v = parseBaseline(p)
-        if (!v.exists(_._1.nonEmpty)) System.err.println(
+        // mins are not comparable across core counts (the driver runs a
+        // lower-core scaling pass of the same battery): a candidate that
+        // RECORDS a different core count is skipped, never compared
+        val cpuMismatch = (for (want <- cpus; (_, _, got) <- v; g <- got)
+          yield g != want).getOrElse(false)
+        if (cpuMismatch) System.err.println(
+          s"BENCH baseline candidate skipped (core-count mismatch): $p")
+        else if (!v.exists(_._1.nonEmpty)) System.err.println(
           s"BENCH baseline candidate skipped (zero comparable queries): $p")
-        p -> v
+        (p, v, cpuMismatch)
       }
-      .collectFirst { case (p, Some(v)) if v._1.nonEmpty => (p, v) }
+      .collectFirst { case (p, Some(v), false) if v._1.nonEmpty => (p, v) }
     hit match {
-      case Some((p, (m, sf))) => (Some(p), m, sf)
+      case Some((p, (m, sf, _))) => (Some(p), m, sf)
       case None => // every candidate empty/unparseable: report the first
         (candidates.headOption, Map.empty, None)
     }
   }
 
-  /** One baseline file's per-query mins + recorded sf, None on any parse
-    * failure (the caller decides whether that is loud). */
+  /** One baseline file's per-query mins + recorded sf + recorded core
+    * count, None on any parse failure (the caller decides whether that is
+    * loud). */
   private def parseBaseline(p: String)
-      : Option[(Map[String, Double], Option[Double])] = {
+      : Option[(Map[String, Double], Option[Double], Option[String])] = {
       scala.util.Try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val raw = mapper.readTree(new java.io.File(p))
@@ -331,7 +340,11 @@ object Bench {
         val sf = Option(raw.get("sf")).orElse(Option(root.get("sf"))).flatMap { n =>
           if (n.isNumber) Some(n.asDouble) else sfNumber(n.asText)
         }
-        (m.result(), sf)
+        // cpus: the driver wrapper records a top-level number, our own
+        // full-fidelity line a string
+        val cpusRec = Option(raw.get("cpus")).orElse(Option(root.get("cpus")))
+          .map(_.asText)
+        (m.result(), sf, cpusRec)
       }.toOption
   }
 

@@ -181,6 +181,19 @@ class VerifySpec extends AnyFunSuite {
       """{"parsed":null,"tail":"nothing"}""")
     val (p3, m3, _) = Bench.loadBaseline(Seq(dir2.toFile), None)
     assert(p3.nonEmpty && m3.isEmpty, "unparsed baseline must surface")
+    // core-count-mismatched candidates are skipped: an 8-core scaling run
+    // must never gate against 32-core mins (a same-core older file wins)
+    val dir3 = Files.createTempDirectory("benchlocal3")
+    Files.writeString(dir3.resolve("BENCH_r51.json"),
+      """{"n":51,"cpus":32,"sf":0.1,"parsed":{"queries_min":{"q_a":0.2}}}""")
+    Files.writeString(dir3.resolve("BENCH_r50.json"),
+      """{"n":50,"cpus":8,"sf":0.1,"parsed":{"queries_min":{"q_a":0.6}}}""")
+    val (p4, m4, _) = Bench.loadBaseline(Seq(dir3.toFile), None, None, Some("8"))
+    assert(p4.exists(_.endsWith("BENCH_r50.json")) && m4 == Map("q_a" -> 0.6),
+      s"must skip the 32-core newest and take the 8-core: $p4 $m4")
+    // no core count recorded (legacy artifact): still comparable
+    val (p5, m5, _) = Bench.loadBaseline(Seq(dir.toFile), None, None, Some("8"))
+    assert(p5.nonEmpty && m5.nonEmpty, "legacy cpu-less baselines still load")
   }
 
   test("regression gate normalizes run-level drift: a uniformly-scaled " +
