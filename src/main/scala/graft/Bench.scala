@@ -190,8 +190,14 @@ object Bench {
     // Numeric fields use Double.toString / Locale.ROOT formatting: a
     // comma-decimal default locale must never corrupt the JSON.
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","cpus":"$cpus","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"baseline":$baseJson$unparsedJson,"drift":${f4(drift)},"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
+    // subset runs (SPARK_GRAFT_BENCH_ONLY) never persist: a 3-query
+    // sidecar would silently become the next full run's baseline and the
+    // gate would compare almost nothing
+    val subsetRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)
     val sidecar = new java.io.File(repoRoot.getOrElse(new java.io.File(".")), localName)
-    try java.nio.file.Files.writeString(sidecar.toPath, fullLine + "\n")
+    if (subsetRun) System.err.println(
+      s"BENCH NOTE: subset run — not persisting $sidecar")
+    else try java.nio.file.Files.writeString(sidecar.toPath, fullLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH WARNING: could not persist $sidecar: $e") }
     // COMPACT stdout line (the driver contract): the driver wrapper keeps
