@@ -169,6 +169,9 @@ object Bench {
       System.err.println(f"BENCH DRIFT WARNING: the whole run is $drift%.2fx " +
         "the baseline (uniform drift is normalized away by the regression " +
         "gate; rerun on a quiet host or suspect a global regression)")
+    if (regressions.nonEmpty)
+      System.err.println(s"BENCH REGRESSION: ${regressions.mkString(", ")} " +
+        s"exceed 1.5x the baseline min (${baselinePath.getOrElse("?")})")
     // A failed query must never read as a speedup: report per-query errors
     // and exit non-zero so the driver records the regression.
     def obj(f: ((String, Double, Double, Double, Option[String])) => String) =
