@@ -195,11 +195,16 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","aggregation":"median_of_$reps","cpus":"$cpus","queries":$qs,"queries_min":$mins,"queries_iqr":$iqrs,"baseline":$baseJson$unparsedJson,"drift":${f4(drift)},"regression":${regressions.nonEmpty},"regressions":$regs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}"""
     // subset runs (SPARK_GRAFT_BENCH_ONLY) never persist: a 3-query
     // sidecar would silently become the next full run's baseline and the
-    // gate would compare almost nothing
+    // gate would compare almost nothing. Runs with FAILED queries never
+    // persist either: a failed entry records min 0.0, which a zero-guard
+    // in detectRegressions then treats as "nothing to compare" — the
+    // query would be permanently un-gated.
     val subsetRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)
     val sidecar = new java.io.File(repoRoot.getOrElse(new java.io.File(".")), localName)
     if (subsetRun) System.err.println(
       s"BENCH NOTE: subset run — not persisting $sidecar")
+    else if (failed > 0) System.err.println(
+      s"BENCH NOTE: $failed failed queries — not persisting $sidecar")
     else try java.nio.file.Files.writeString(sidecar.toPath, fullLine + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"BENCH WARNING: could not persist $sidecar: $e") }
@@ -210,6 +215,12 @@ object Bench {
     // the mins object first (the sidecar keeps full fidelity) rather than
     // ever emitting a line the driver cannot parse.
     val compact = compactLine(results, failed, baselineUnparsed, sfDir)
+    // the guard sheds mins silently inside compactLine (a pure function);
+    // say so here — losing the min statistic from the driver artifact is
+    // exactly the silent-truncation class this rework exists to end
+    if (!compact.contains("\"queries_min\"")) System.err.println(
+      "BENCH NOTE: compact line over budget — queries_min shed from stdout " +
+        "(full fidelity in the sidecar)")
     println(compact)
     spark.stop()
     if (failed > 0) sys.exit(1)
@@ -286,10 +297,13 @@ object Bench {
       .map { p =>
         val v = parseBaseline(p)
         // mins are not comparable across core counts (the driver runs a
-        // lower-core scaling pass of the same battery): a candidate that
-        // RECORDS a different core count is skipped, never compared
-        val cpuMismatch = (for (want <- cpus; (_, _, got) <- v; g <- got)
-          yield g != want).getOrElse(false)
+        // lower-core scaling pass of the same battery): a SCANNED
+        // candidate recording a different core count is skipped, never
+        // compared. An EXPLICIT baseline is exempt — the caller owns that
+        // comparison (and there is nothing to fall back to anyway).
+        val cpuMismatch = explicit.isEmpty &&
+          (for (want <- cpus; (_, _, got) <- v; g <- got)
+            yield g != want).getOrElse(false)
         if (cpuMismatch) System.err.println(
           s"BENCH baseline candidate skipped (core-count mismatch): $p")
         else if (!v.exists(_._1.nonEmpty)) System.err.println(
@@ -350,9 +364,10 @@ object Bench {
           if (n.isNumber) Some(n.asDouble) else sfNumber(n.asText)
         }
         // cpus: the driver wrapper records a top-level number, our own
-        // full-fidelity line a string
+        // full-fidelity line a string; an explicit JSON null means
+        // "unrecorded" (comparable), not the literal string "null"
         val cpusRec = Option(raw.get("cpus")).orElse(Option(root.get("cpus")))
-          .map(_.asText)
+          .filter(!_.isNull).map(_.asText)
         (m.result(), sf, cpusRec)
       }.toOption
   }

@@ -1153,21 +1153,20 @@ object Corpus {
     import spark.implicits._
     // docs shorter than w yield no windows (they can still CONTAIN no
     // duplicated span by definition — a span needs w tokens)
-    // r22: the shared exchange moved BELOW the fingerprint flatMap. The
-    // old shape repartitioned the flatMap's OUTPUT by _id as a
-    // materialization point, so the kernel itself inherited the 1-task
-    // single-row-group scan and ran serially (and an exchange of window
-    // fingerprints carries ~32 bytes/token — ~5× the text it came from).
-    // Now the SLIM (id, text) input spreads below the kernel when the
-    // scan cannot feed every core ([[scanSpread]]), both consumers (the
-    // canonical-min aggregation and the join-back probe) replay that
-    // text-sized exchange, and the kernel runs at cluster parallelism —
-    // computed once per consumer, which is the cheaper side of the trade
-    // at every scale: re-running an O(chars) rolling hash beats writing +
-    // reading 5× the corpus bytes through a shuffle (the minhashDedup
-    // shingle note's byte math, same conclusion). At scale the spread is
-    // a no-op and the two consumers re-scan the columnar text — still
-    // cheaper than materializing the fat fingerprint stream.
+    // r22: the SLIM (id, text) input spreads below the fingerprint
+    // flatMap when the scan cannot feed every core ([[scanSpread]],
+    // no-op at scale) — previously the kernel sat directly on the 1-task
+    // single-row-group scan and ran serially. The id-keyed repartition
+    // ABOVE the flatMap stays as the materialization point both consumers
+    // (the canonical-min aggregation and the join-back probe) replay:
+    // dropping it so each consumer recomputes the fingerprint stream was
+    // MEASURED at 1.65 s vs 1.25 s min (sf0.1, r22) and rejected — two
+    // consumers amortize one exchange of the fingerprint rows here, the
+    // opposite call from minhashDedup's shingle note because shingle
+    // arrays are ~2.5× corpus bytes while these fixed-width rows shuffle
+    // once for two O(chars) kernel re-runs saved. Keyed by _id — NOT the
+    // fingerprint — so the Zipf-head fingerprint stays spread across
+    // partitions and the downstream aggregation still folds it map-side.
     val wins = scanSpread(df.select(col(idCol).cast("long").as("_did"),
         coalesce(col(textCol), lit("")).cast("string").as("_txt")), "_did")
       .as[(Long, String)]

@@ -109,76 +109,63 @@ object Dedup {
   /** Buffer for [[CappedCollect]] — the size rides along explicitly
     * because `List.length` is O(n) and a Zipf-degenerate bucket would turn
     * every reduce call into a linear walk. */
-  final case class CapBuf(n: Int, ids: List[Long])
+  final case class CapBuf[T](n: Int, ids: List[T])
   /** [[CappedCollect]] output, wrapped so the plain product encoder
     * applies (callers read the `ids` field). */
-  final case class Members(ids: Seq[Long])
+  final case class Members[T](ids: Seq[T])
 
   /** `collect_list` with a HARD per-group memory bound: keeps at most
-    * `cap` + 1 member ids — enough to prove a group exceeds the cap
-    * without ever buffering a degenerate bucket whole (built-in
-    * collect_list buffers unbounded; a window would additionally sort the
-    * full occurrence list in one task). Groups that never overflow are
-    * EXACT: truncation only starts past cap+1 members, and the caller
-    * drops every group reporting more than `cap`, so a truncated group is
-    * by definition a dropped group. Partial aggregation still applies —
-    * map-side buffers obey the same bound. */
-  private final class CappedCollect(cap: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, CapBuf, Members] {
-    def zero: CapBuf = CapBuf(0, Nil)
-    def reduce(b: CapBuf, a: Long): CapBuf =
+    * `cap` + 1 members — enough to prove a group exceeds the cap without
+    * ever buffering a degenerate bucket whole (built-in collect_list
+    * buffers unbounded; a window would additionally sort the full
+    * occurrence list in one task). Groups that never overflow are EXACT:
+    * truncation only starts past cap+1 members, and the caller drops
+    * every group reporting more than `cap`, so a truncated group is by
+    * definition a dropped group. Partial aggregation still applies —
+    * map-side buffers obey the same bound. Generic over the member type
+    * (bare ids for MinHash banding, (id, hash) for SimHash) so the
+    * overflow-proof cap logic exists exactly once. */
+  private final class CappedCollect[T: scala.reflect.runtime.universe.TypeTag](
+      cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[T, CapBuf[T], Members[T]] {
+    def zero: CapBuf[T] = CapBuf(0, Nil)
+    def reduce(b: CapBuf[T], a: T): CapBuf[T] =
       if (b.n > cap) b else CapBuf(b.n + 1, a :: b.ids)
-    def merge(x: CapBuf, y: CapBuf): CapBuf =
+    def merge(x: CapBuf[T], y: CapBuf[T]): CapBuf[T] =
       if (x.n > cap) x
       else if (y.n > cap) y
       else if (x.n + y.n > cap + 1)
         CapBuf(cap + 1, (x.ids ::: y.ids).take(cap + 1))
       else CapBuf(x.n + y.n, x.ids ::: y.ids)
-    def finish(b: CapBuf): Members = Members(b.ids)
-    def bufferEncoder: org.apache.spark.sql.Encoder[CapBuf] =
-      org.apache.spark.sql.Encoders.product[CapBuf]
-    def outputEncoder: org.apache.spark.sql.Encoder[Members] =
-      org.apache.spark.sql.Encoders.product[Members]
+    def finish(b: CapBuf[T]): Members[T] = Members(b.ids)
+    def bufferEncoder: org.apache.spark.sql.Encoder[CapBuf[T]] =
+      org.apache.spark.sql.Encoders.product[CapBuf[T]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Members[T]] =
+      org.apache.spark.sql.Encoders.product[Members[T]]
   }
 
-  /** Buffer/output for [[CappedCollectPairs]] — (id, hash) members. */
-  final case class CapBuf2(n: Int, ids: List[(Long, Long)])
-  final case class Members2(ids: Seq[(Long, Long)])
+  /** Shared tail of the fused candidate generation: capped member arrays
+    * per (band, bucket) group ([[CappedCollect]] over `memberCols` — a
+    * tuple-input typed aggregator takes its fields as separate
+    * parameters), degenerate buckets dropped. */
+  private def groupedMembers(buckets: DataFrame, maxBucketSize: Int,
+      agg: org.apache.spark.sql.expressions.UserDefinedFunction,
+      memberCols: Column*): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(agg(memberCols: _*).as("_m"))
+      .select(col("_m.ids").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(array_sort(col("ids")).as("ids"))
 
-  /** [[CappedCollect]] over (id, 64-bit hash) members — the SimHash
-    * banding carries the hash alongside the id so Hamming distance
-    * verifies inside the grouped bucket. Same hard memory bound. */
-  private final class CappedCollectPairs(cap: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Long), CapBuf2, Members2] {
-    def zero: CapBuf2 = CapBuf2(0, Nil)
-    def reduce(b: CapBuf2, a: (Long, Long)): CapBuf2 =
-      if (b.n > cap) b else CapBuf2(b.n + 1, a :: b.ids)
-    def merge(x: CapBuf2, y: CapBuf2): CapBuf2 =
-      if (x.n > cap) x
-      else if (y.n > cap) y
-      else if (x.n + y.n > cap + 1)
-        CapBuf2(cap + 1, (x.ids ::: y.ids).take(cap + 1))
-      else CapBuf2(x.n + y.n, x.ids ::: y.ids)
-    def finish(b: CapBuf2): Members2 = Members2(b.ids)
-    def bufferEncoder: org.apache.spark.sql.Encoder[CapBuf2] =
-      org.apache.spark.sql.Encoders.product[CapBuf2]
-    def outputEncoder: org.apache.spark.sql.Encoder[Members2] =
-      org.apache.spark.sql.Encoders.product[Members2]
-  }
-
-  /** [[groupedBucketMembers]] for `(id, h, band, bucket)` rows:
-    * `(band, bucket, ids)` with `ids` an array of (id, hash) structs for
-    * every bucket of at most `maxBucketSize` members (a tuple-input typed
-    * aggregator takes its fields as separate parameters). */
-  private[operators] def groupedBucketHashMembers(banded: DataFrame,
-      maxBucketSize: Int): DataFrame = {
-    val capped = udaf(new CappedCollectPairs(maxBucketSize))
-    banded.groupBy(col("band"), col("bucket"))
-      .agg(capped(col("id"), col("h")).as("_m"))
-      .select(col("band"), col("bucket"), col("_m.ids").as("ids"))
-      .filter(size(col("ids")) <= maxBucketSize)
-  }
+  /** All i<j pairs of each group's SORTED member array via nested array
+    * transforms (bounded by the cap, so at most cap²/2 pairs materialize
+    * per kept bucket) + one explode; `pair` builds the emitted struct
+    * from the two members. */
+  private def pairFanout(groups: DataFrame,
+      pair: (Column, Column) => Column): DataFrame =
+    groups.select(explode(flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => pair(x, y))))).as("p"))
 
   /** Bucket membership rows `(id, band, bucket)` → `(band, bucket, ids)`
     * for every bucket of at most `maxBucketSize` members, in ONE hash
@@ -187,7 +174,7 @@ object Dedup {
     * extra shuffles/stages per use and re-shuffled every membership row. */
   private[operators] def groupedBucketMembers(buckets: DataFrame,
       maxBucketSize: Int): DataFrame = {
-    val capped = udaf(new CappedCollect(maxBucketSize))
+    val capped = udaf(new CappedCollect[Long](maxBucketSize))
     buckets.groupBy(col("band"), col("bucket"))
       .agg(capped(col("id")).as("_m"))
       .select(col("band"), col("bucket"), col("_m.ids").as("ids"))
@@ -195,21 +182,19 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) within each (band, bucket)
-    * group, degenerate buckets dropped: pair fan-out runs as nested array
-    * transforms over the SORTED member array (bounded by the cap, so at
-    * most cap²/2 pairs materialize per kept bucket), then one explode;
-    * cross-band duplicates dedup at the end — the same pair set the old
-    * bucket self-join produced, without the join's second shuffle. */
+    * group, degenerate buckets dropped; cross-band duplicates dedup at
+    * the end — the same pair set the old bucket self-join produced,
+    * without the join's second shuffle. The strict `id_a < id_b` filter
+    * also drops self-pairs a duplicate-id input would otherwise produce
+    * (two rows sharing an id land adjacent in the sorted array), exactly
+    * like the old join's `x.id < y.id` condition. */
   private[operators] def bucketPairs(buckets: DataFrame,
       maxBucketSize: Int): DataFrame = {
-    val g = groupedBucketMembers(buckets, maxBucketSize)
-      .filter(size(col("ids")) >= 2)
-      .select(array_sort(col("ids")).as("ids"))
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    g.select(explode(pairs).as("p"))
+    val capped = udaf(new CappedCollect[Long](maxBucketSize))
+    val g = groupedMembers(buckets, maxBucketSize, capped, col("id"))
+    pairFanout(g, (x, y) => struct(x.as("id_a"), y.as("id_b")))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 
@@ -355,19 +340,19 @@ object Dedup {
     val banded = sh.withColumn("bb", explode(array(blocks: _*)))
       .select(col("id"), col("h"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val g = groupedBucketHashMembers(banded, maxBucketSize)
-      .filter(size(col("ids")) >= 2)
-      .select(array_sort(col("ids")).as("ids")) // struct sort: by id (unique)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.getField("_1").as("id_a"), y.getField("_1").as("id_b"),
-          SimHash.hamming(x.getField("_2"), y.getField("_2")).as("hamming")))))
-    g.select(explode(pairs).as("p"))
+    val capped = udaf(new CappedCollect[(Long, Long)](maxBucketSize))
+    // member structs sort by their first field = id, so the fan-out pairs
+    // in id order; the strict id_a < id_b filter reproduces the old
+    // self-join's `x.id < y.id` (no self-pairs on duplicate-id inputs)
+    val g = groupedMembers(banded, maxBucketSize, capped, col("id"), col("h"))
+    pairFanout(g, (x, y) =>
+        struct(x.getField("_1").as("id_a"), y.getField("_1").as("id_b"),
+          SimHash.hamming(x.getField("_2"), y.getField("_2")).as("hamming")))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       // hamming is per-pair deterministic, so filtering BEFORE the distinct
       // is equivalent — and the dedup exchange then moves only survivors
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("id_a") < col("id_b") && col("hamming") <= maxHamming)
       .distinct()
   }
 

@@ -79,6 +79,27 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(tiny.subsetOf(unc))
   }
 
+  test("duplicate-id inputs never produce self-pairs (the fused fan-out " +
+      "keeps the old self-join's strict id_a < id_b)") {
+    // two rows share doc_id=7: they land adjacent in the sorted member
+    // array and would pair as (7,7) without the strict filter
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta epsilon"),
+      (9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val mh = Dedup.minhashDedup(docs, "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.1)
+    assert(mh.filter(col("id_a") === col("id_b")).count() == 0,
+      "minhash emitted a self-pair")
+    // the verify join fans out over the duplicated shingle rows (one row
+    // per duplicate, as the pre-fusion join did) — presence is the pin
+    assert(mh.filter(col("id_a") === 7L && col("id_b") === 9L).count() >= 1,
+      "the real cross-id pair must survive")
+    val simh = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 32)
+    assert(simh.filter(col("id_a") === col("id_b")).count() == 0,
+      "simhash emitted a self-pair")
+  }
+
   test("exactDedup matches text-grouped semantics via the hash-keyed shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Dedup.exactDedup(docs, "text", "doc_id")
